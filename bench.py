@@ -1,0 +1,77 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is the total wall-clock of one timed pass over the headline queries
+(each fully materialized via count()). A warmup pass is NOT taken — the
+timings include Spark's plan/codegen costs, matching how the reference's
+cold-path numbers were reported (BASELINE.md regex cold scans).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "s1_firehose",
+    "s9_liked_weighted",
+    "s10_liked_by_likers",
+    "f14_regex",
+    "o1_sort_created_top",
+    "a1_trending_tags",
+    "sc_hn_normalized",
+    "pipeline_flagship",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embed_cosine_topk",
+    "text_quality",
+    "stream_windowed_counts",
+]
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from query_engine_spark.session import get_spark
+    from query_engine_spark import registry
+
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        spec = registry.REGISTRY[name]
+        t0 = time.time()
+        spec.fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

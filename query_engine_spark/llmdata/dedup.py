@@ -1,0 +1,276 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the point of these implementations):
+
+- exact: hash-groupBy on a fingerprint of the normalized text — one shuffle
+  keyed by a 128-bit hash; no skew (hashes are uniform).
+- MinHash+LSH: signatures are computed scan-side with NO shuffle (array
+  expressions per row, whole-stage codegen); the only shuffle is the
+  band-bucket self-join, which touches candidate pairs only — the classic
+  shingle→minhash→band→bucket-join pipeline. At 100 TB you'd salt giant
+  buckets (boilerplate text) — `lsh_candidate_pairs(max_bucket)` caps them.
+- SimHash: one codegen'd expression chain per row → 32-bit signature; banded
+  self-join on signature chunks gives Hamming-≤k candidates without O(n²).
+- n-gram Jaccard: exact verification for candidate pairs (or small corpora):
+  explode shingles, self-join on shingle, count intersections — the join is
+  keyed by shingle so frequent shingles dominate; cap them with a document-
+  frequency filter (`max_df`).
+
+All hashing is md5-based (portable; see package docstring). MinHash uses the
+*string* min over md5(seed || shingle) — min-wise hashing only needs a random
+total order per seed, and md5 hex strings give exactly that, with no integer
+conversion anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = [
+    "normalize_text",
+    "fingerprint",
+    "exact_dedup",
+    "word_shingles",
+    "minhash_signature",
+    "minhash_signature_table",
+    "lsh_candidate_pairs",
+    "minhash_dedup_pairs",
+    "simhash32_table",
+    "simhash_candidate_pairs",
+    "ngram_jaccard_pairs",
+]
+
+
+def normalize_text(col: Column) -> Column:
+    """lower, strip non-alphanumerics to spaces, collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+def fingerprint(col: Column) -> Column:
+    """128-bit content fingerprint of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per identical normalized text."""
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Array of word k-shingles of the normalized text (empty if < k words)."""
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(col: Column, n_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature as array<string>: element i = min(md5(i || '|' ||
+    shingle)). Pure per-row array expressions — no explode, no shuffle."""
+    sh = word_shingles(col, k)
+    elems = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
+        for i in range(n_hashes)
+    ]
+    return F.array(*elems)
+
+
+def minhash_signature_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, n_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """(id, m0..m{n-1}) signature table via explode + hash-aggregate.
+
+    Spark's higher-order array functions are interpreted, not codegen'd —
+    for wide signatures the explode + groupBy(min×n) form runs in the
+    codegen'd hash aggregate and scales with one doc-keyed shuffle. Docs with
+    no shingles (< k words) drop out, like the reference-free oracle.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("s"),
+    )
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}") for i in range(n_hashes)]
+    return tok.groupBy("id").agg(*aggs)
+
+
+def _band_hash(sig: Column, band: int, rows_per_band: int) -> Column:
+    return F.md5(F.concat_ws("|", F.slice(sig, band * rows_per_band + 1, rows_per_band)))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) that collide in ≥1 LSH band.
+
+    rows_per_band = n_hashes / bands; collision prob ≈ 1-(1-j^r)^b for
+    Jaccard j. The self-join is keyed on (band, band_hash) — only colliding
+    docs meet. `max_bucket` drops pathological buckets (boilerplate)."""
+    if n_hashes % bands:
+        raise ValueError("bands must divide n_hashes")
+    r = n_hashes // bands
+    sigs = minhash_signature_table(df, text_col, id_col, n_hashes=n_hashes, k=k)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws("|", *[F.col(f"m{b * r + j}") for j in range(r)])).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select("id", "e.band", "e.bh")
+    # materialize before the self-join so the signature agg runs once
+    banded = banded.persist()
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bh")
+        banded = banded.withColumn("__n", F.count("*").over(w)).filter(F.col("__n") <= max_bucket).drop("__n")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified by exact shingle-set Jaccard ≥ threshold.
+    Returns (id_a, id_b, jaccard) — `jaccard` rounded to 6 for portability."""
+    cand = lsh_candidate_pairs(df, text_col, id_col, n_hashes=n_hashes, bands=bands, k=k)
+    sh = df.select(F.col(id_col).alias("id"), F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh"))
+    j = (
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("__i", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("__u", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("jaccard", F.round(F.col("__i") / F.col("__u"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return j
+
+
+def simhash32_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, sh) 32-bit SimHash table: bit b of `sh` = sign of Σ_tokens (±1 by
+    bit b of md5(token)). Token hash = first 8 md5 hex chars as a 32-bit int
+    — reproducible in any engine with md5 + hex parse.
+
+    Explode + one codegen'd aggregate with 32 conditional sums (the
+    higher-order-function fold form is interpreted and ~10× slower).
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("t"),
+    ).withColumn("hv", F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long"))
+    votes = [
+        F.sum(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}") for b in range(32)
+    ]
+    per_doc = tok.groupBy("id").agg(*votes)
+    sh = None
+    for b in range(32):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sh = bit if sh is None else sh + bit
+    return per_doc.select("id", sh.alias("sh"))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 32-bit signature into `chunks`
+    8-bit chunks (pigeonhole: hamming ≤ chunks-1 ⟹ some chunk equal), join on
+    chunk equality, verify with bit_count(xor) ≤ max_hamming."""
+    sig = simhash32_table(df, text_col, id_col).persist()
+    width = 32 // chunks
+    banded = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftright(F.col("sh"), c * width).bitwiseAND(F.lit((1 << width) - 1)).alias("cv"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("e"),
+    ).select("id", "sh", "e.chunk", "e.cv")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
+
+    Explode + self-join keyed on the shingle; `max_df` drops shingles that
+    occur in more than max_df docs (stopword-grams) — the standard guard
+    against quadratic blowup on common shingles."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    if max_df is not None:
+        dfreq = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
+        sh = sh.join(dfreq.select("s"), "s", "left_semi")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("__i"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn("jaccard", F.round(F.col("__i") / (F.col("na") + F.col("nb") - F.col("__i")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out

@@ -1,0 +1,115 @@
+"""Text analysis: language-ID, quality scoring, token counting, fingerprints.
+
+All pure Column expressions (codegen'd, no UDFs) so they run scan-side at
+100 TB and reproduce exactly in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from query_engine_spark.llmdata.dedup import normalize_text, word_shingles
+
+__all__ = [
+    "whitespace_token_count",
+    "bpe_ish_token_count",
+    "quality_features",
+    "langid_scores",
+    "langid",
+    "content_fingerprint",
+    "kmin_fingerprint",
+]
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbols
+# (a deterministic stand-in for a GPT-2-style pre-tokenizer split).
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def whitespace_token_count(col: Column) -> Column:
+    t = F.trim(col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, "\\s+")))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
+
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+    "es": ("el", "la", "que", "de", "los", "es"),
+}
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def langid_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword hit-rate (fraction of tokens in the profile)."""
+    toks = _tokens(col)
+    n = F.greatest(F.size(toks), F.lit(1))
+
+    def member_of(words: tuple[str, ...]):
+        # single-arg lambda: a 2-arg lambda would be treated as (elem, index)
+        return lambda t: t.isin(list(words))
+
+    out = {}
+    for lang, words in LANG_PROFILES.items():
+        hits = F.size(F.filter(toks, member_of(words)))
+        out[lang] = hits / n
+    return out
+
+
+def langid(col: Column, default: str = "und") -> Column:
+    """argmax over langid_scores; ties break alphabetically; all-zero → und."""
+    scores = langid_scores(col)
+    best = F.greatest(*scores.values())
+    pred: Column = F.lit(default)
+    # build the when-chain in reverse-alphabetical order so the earliest
+    # alphabetical language wins ties (each later when overrides)
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit(default))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword-ratio features + a composite score.
+
+    The composite mirrors the usual C4/Gopher-style gates: not too short,
+    sane punctuation density, some stopwords (a fluency proxy).
+    """
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    punct = F.length(F.regexp_replace(t, "[^.!?,;:]", ""))
+    en_hits = F.size(F.filter(toks, lambda x: x.isin(*LANG_PROFILES["en"])))
+    feats = df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(n_chars / F.greatest(n_tok, F.lit(1)), 6).alias("avg_token_len"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(en_hits / F.greatest(n_tok, F.lit(1)), 6).alias("stopword_ratio"),
+    )
+    score = (
+        F.when(F.col("n_tokens") >= 20, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((F.col("punct_ratio") > 0.0) & (F.col("punct_ratio") < 0.2), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(F.col("stopword_ratio") > 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return feats.withColumn("quality", F.round(score, 2))
+
+
+def content_fingerprint(col: Column) -> Column:
+    """md5 of the normalized text — the exact-dedup key."""
+    return F.md5(normalize_text(col))
+
+
+def kmin_fingerprint(col: Column, k: int = 4, shingle: int = 3) -> Column:
+    """Order-invariant document sketch: md5 over the k smallest shingle
+    hashes (a k-min sketch — robust to small edits, unlike content_fingerprint)."""
+    hashes = F.array_sort(F.transform(F.array_distinct(word_shingles(col, shingle)), F.md5))
+    return F.md5(F.concat_ws("|", F.slice(hashes, 1, k)))

