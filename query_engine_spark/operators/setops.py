@@ -42,11 +42,22 @@ class Stash:
         empty DataFrame (plans/blocks.py does)."""
         self._slots[name] = df
 
-    def pop(self, name: str, current: DataFrame) -> DataFrame:
-        """Append the stashed set back (bag union, main.rs:2319-2326)."""
+    def pop(self, name: str, current: DataFrame, block_seq: int | None = None) -> DataFrame:
+        """Append the stashed set back (bag union, main.rs:2319-2326).
+
+        The reference appends to the END of the current Vec; with the __ord
+        convention that means re-stamping the stashed rows into a NEW block
+        (preserving their relative order) so they sort after `current`.
+        """
         stashed = self._slots.pop(name, None)
         if stashed is None:
             return current
+        if block_seq is not None and ORD in stashed.columns:
+            from query_engine_spark.operators.ordering import stamp_ord
+
+            stashed = stamp_ord(
+                stashed.withColumnRenamed(ORD, "__old_ord"), ["__old_ord"], block_seq
+            ).drop("__old_ord")
         return append_union(current, stashed)
 
     def subtract(self, name: str, current: DataFrame, key: str = "key") -> DataFrame:

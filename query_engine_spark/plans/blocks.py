@@ -185,13 +185,15 @@ def translate_pipeline(blocks: list[dict[str, Any]], ctx: PipelineContext) -> Da
                 stash.stash(key, cur)
                 cur = _empty_like(posts)
             elif action == "pop":
-                cur = stash.pop(key, cur)
+                cur = stash.pop(key, cur, block_seq=seq)
+                seq += 1
             elif action == "subtract":
                 cur = stash.subtract(key, cur)
             else:
                 raise PipelineError(f"unknown stash action {action!r}")
         elif b_type == "replace":
-            cur = _replace_block(block, cur, posts)
+            cur = _replace_block(block, cur, posts, seq)
+            seq += 1
         elif b_type == "remember_posts":
             pass  # feed-lineage recording (main.rs:2385-2395) — a sink concern
         else:
@@ -393,7 +395,7 @@ def _limit_block(block, cur):
     return So.apply_limit(cur, int(block.get("count", 100)))
 
 
-def _replace_block(block, cur, posts):
+def _replace_block(block, cur, posts, seq):
     target = block.get("with", "parent")
     keep_missing = block.get("keepItemsWithMissingTarget", True)
     if target == "parent":
@@ -403,10 +405,12 @@ def _replace_block(block, cur, posts):
     if target == "record":
         # record refs are "post:<id>" — strip the 5-char prefix (main.rs:2431)
         return J.replace_with_ref(cur, posts, "record", keep_missing_ref=keep_missing, strip_prefix=5)
+    # inverse targets REBUILD the working set from the store (main.rs:2441-2488,
+    # iteration over the id-ordered map) → stamp fresh order by id
     if target == "direct_replies":
-        return J.replace_with_inverse(cur, posts, "parent")
+        return stamp_ord(J.replace_with_inverse(cur, posts, "parent"), ["id"], seq)
     if target == "all_replies":
-        return J.replace_with_inverse(cur, posts, "root")
+        return stamp_ord(J.replace_with_inverse(cur, posts, "root"), ["id"], seq)
     if target == "quote_posts":
-        return J.replace_with_inverse(cur, posts, "record", strip_prefix=5)
+        return stamp_ord(J.replace_with_inverse(cur, posts, "record", strip_prefix=5), ["id"], seq)
     raise PipelineError(f"unknown replace target {target!r}")

@@ -1,0 +1,79 @@
+"""Ingestion lifecycle tests (SURVEY §2.10): idempotent merge, count views,
+label retraction, retention, and the streaming windowed agg."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from query_engine_spark.streaming.ingest import (
+    apply_label_retractions,
+    merge_counts,
+    merge_incremental,
+    retention_filter,
+)
+from tests.conftest import NOW
+
+
+def test_merge_incremental_idempotent(spark):
+    existing = spark.createDataFrame([("a", 1), ("b", 1)], "id string, v int")
+    batch = spark.createDataFrame([("b", 2), ("c", 1)], "id string, v int")
+    merged = merge_incremental(existing, batch, "id")
+    got = {r["id"]: r["v"] for r in merged.collect()}
+    # overlap row 'b' takes the batch version (late-data overlap re-fetch,
+    # main.rs:3195-3209)
+    assert got == {"a": 1, "b": 2, "c": 1}
+    # re-merging the same batch changes nothing (idempotence)
+    again = merge_incremental(merged, batch, "id")
+    assert {r["id"]: r["v"] for r in again.collect()} == got
+
+
+def test_merge_counts(spark, posts, likes):
+    refreshed = merge_counts(posts, likes, key="key", edge_key="post_key", out="like_count")
+    got = {r["key"]: r["like_count"] for r in refreshed.collect()}
+    assert got[1] == 2 and got[3] == 2 and got[6] == 2 and got[5] == 2
+    assert got[7] == 0  # no likes → 0 (copy-on-write default)
+
+
+def test_label_retraction(spark):
+    rows = [
+        ("did:l", "nsfw", "p1", False, 1),
+        ("did:l", "nsfw", "p1", True, 2),   # retracted later → gone
+        ("did:l", "nsfw", "p2", True, 1),
+        ("did:l", "nsfw", "p2", False, 2),  # re-applied later → present
+        ("did:l", "spam", "p1", False, 5),
+    ]
+    labels = spark.createDataFrame(rows, "labeler_did string, val string, post_id string, neg boolean, seq long")
+    got = {(r["post_id"], r["val"]) for r in apply_label_retractions(labels).collect()}
+    assert got == {("p2", "nsfw"), ("p1", "spam")}
+
+
+def test_retention(posts):
+    kept = retention_filter(posts, NOW, days=7)
+    assert kept.count() == posts.count()  # all fixtures within 7d
+    kept1 = retention_filter(posts, NOW, days=1)
+    assert sorted(r["key"] for r in kept1.collect()) == [1, 2, 3, 7, 8]
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    # drive the streaming pipeline from a parquet directory source
+    from query_engine_spark.streaming.ingest import streaming_windowed_counts
+
+    src = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 0, i), "a", 1.0) for i in range(12)],
+        "ts timestamp, event_type string, value double",
+    )
+    path = str(tmp_path / "events")
+    src.write.parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    out = streaming_windowed_counts(spark, stream, window="5 minutes", query_name="t_wc")
+    got = {(r["w"]["start"].minute, r["n"]) for r in out.collect()}
+    assert got == {(0, 5), (5, 5), (10, 2)}
+    # complete-mode streaming result == batch aggregation (the oracle property)
+    batch = src.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type").agg(
+        F.count("*").alias("n"), F.sum("value").alias("total")
+    )
+    assert {tuple(r) for r in out.select("n", "total").collect()} == {
+        tuple(r) for r in batch.select("n", "total").collect()
+    }

@@ -1,0 +1,148 @@
+"""Tests for the training-data operators (SURVEY §7) on planted fixtures —
+the driver's synthetic documents have no near-dups, so we plant some."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from query_engine_spark.llmdata import dedup as D
+from query_engine_spark.llmdata import similarity as Sim
+from query_engine_spark.llmdata import textstats as Tx
+from query_engine_spark.llmdata import multimodal as MM
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+NEAR = "the quick brown fox jumps over the lazy dog and runs far away into the woods today"
+OTHER = "completely different content about spark query engines and distributed joins at scale"
+
+
+def docs_df(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),          # exact dup of 1
+        (3, NEAR),          # near dup of 1
+        (4, OTHER),
+        (5, "short text"),  # < 3 words after normalization? 2 words → no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = D.exact_dedup(docs_df(spark))
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4, 5]
+
+
+def test_minhash_lsh_finds_planted_pair(spark):
+    pairs = D.minhash_dedup_pairs(docs_df(spark), threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup always collides, jaccard 1.0
+    assert (1, 3) in got and (2, 3) in got  # near dup
+    assert all({a, b} != {1, 4} for a, b in got)
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert j[(1, 2)] == 1.0
+    assert 0.5 <= j[(1, 3)] < 1.0
+
+
+def test_simhash_near_dup(spark):
+    pairs = D.simhash_candidate_pairs(docs_df(spark), max_hamming=6)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0  # identical text → identical signature
+    assert (1, 3) in got  # near dup within hamming budget
+
+
+def test_ngram_jaccard(spark):
+    pairs = D.ngram_jaccard_pairs(docs_df(spark), threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got
+
+
+def test_max_df_guard(spark):
+    # shingles occurring in >max_df docs are ignored → the 1-2-3 cluster
+    # shares all shingles (df=3 for common ones), so max_df=2 must remove them
+    pairs = D.ngram_jaccard_pairs(docs_df(spark), threshold=0.1, max_df=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for p in got:
+        assert p in {(1, 2), (1, 3), (2, 3)}
+
+
+def emb_df(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk(spark):
+    emb = emb_df(spark)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = Sim.cosine_topk(emb, q, k=2).collect()
+    ranked = [(r["vec_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [(1, 1), (2, 2)] or ranked[0] == (1, 1)
+    sims = {r["vec_id"]: r["sim"] for r in out}
+    assert abs(sims[1] - 0.993884) < 1e-5
+
+
+def test_ivf_recall_vs_exact(spark):
+    emb = emb_df(spark)
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 1.0])], "cent_id long, cent_vec array<float>"
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r["vec_id"], r["rank"]) for r in Sim.cosine_topk(emb, q, k=1).collect()}
+    approx = {(r["vec_id"], r["rank"]) for r in Sim.ivf_topk(emb, cents, q, k=1, nprobe=1).collect()}
+    assert approx == exact  # nearest neighbor lives in the probed cell
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42x"), (2, ""), (3, "  ")], "id long, text string")
+    out = {r["id"]: (r["ws"], r["bpe"]) for r in df.select(
+        "id",
+        Tx.whitespace_token_count(F.col("text")).alias("ws"),
+        Tx.bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).collect()}
+    assert out[1] == (3, 6)  # ws: Hello,/world!/42x · bpe: Hello , world ! 42 x
+    assert out[2] == (0, 0)
+    assert out[3] == (0, 0)
+
+
+def test_langid(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "xyzzy plugh"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["l"] for r in df.select("id", Tx.langid(F.col("text")).alias("l")).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_multimodal_plumbing(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"hello world" * 100)), (2, bytearray(b""))],
+        "media_id long, payload binary",
+    )
+    media = MM.attach_media_meta(media, media_type="application/test")
+    metas = {r["media_id"]: r["meta"] for r in media.collect()}
+    assert metas[1]["size_bytes"] == 1100 and metas[1]["media_type"] == "application/test"
+
+    feats = {r["media_id"]: r for r in MM.image_features(media, fake=True).collect()}
+    assert feats[1]["n_bytes"] == 1100
+    assert len(feats[1]["byte_hist"]) == 16
+    assert feats[2]["n_bytes"] == 0
+
+    frames = MM.frame_sample(media, every_n_bytes=256, max_frames=3).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert len(by_media[1]) == 3
+    assert bytes(by_media[1][0]["frame_bytes"]) == (b"hello world" * 100)[:256]
