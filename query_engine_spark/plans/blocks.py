@@ -102,8 +102,14 @@ class _ScoreState:
         self.df: DataFrame | None = None
 
     def add(self, batch: DataFrame) -> None:
-        """batch: (key, __batch_score) — already normalized by the caller."""
-        contrib = batch.groupBy("key").agg(F.sum("__batch_score").alias("__s"))
+        """batch: (key, __batch_score) — already normalized by the caller.
+
+        The reference builds the batch map with `post_score.insert(key, s)` —
+        per-key OVERWRITE (main.rs:2166-2207), so duplicate rows in the
+        working set contribute once. The per-row score is a pure function of
+        the post, so max == the overwritten value.
+        """
+        contrib = batch.groupBy("key").agg(F.max("__batch_score").alias("__s"))
         if self.df is None:
             self.df = contrib.select("key", F.col("__s").alias("score"))
         else:

@@ -236,6 +236,70 @@ def s10_liked_by_likers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", F.round("__batch_score", 6).alias("batch_score"))
 
 
+@_register(
+    "s3_input_tags",
+    """
+    SELECT doc_id, source, lang FROM documents
+    WHERE list_has_any([lower(source), lower(lang)], ['src1', 'de'])
+    """,
+    "S3 input.tags (main.rs:1606-1668): lowered-tag-set overlap scan",
+)
+def s3_input_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("tags", F.array("source", "lang"))
+    # no ts on documents → window predicate pinned wide open via far-past now
+    out = In.input_tags(
+        docs.withColumn("ts", F.lit("2024-01-01").cast("timestamp")),
+        ["SRC1", "DE"],
+        dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc),
+        seconds=10 * 86400,
+    )
+    return out.select("doc_id", "source", "lang")
+
+
+@_register(
+    "s4_input_labels",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE list_has_any(['self/' || lang], ['self/en', 'self/fr'])
+    """,
+    "S4 input.labels (main.rs:1669-1703): label-key set overlap ('self/<val>' form)",
+)
+def s4_input_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "labels", F.array(F.concat(F.lit("self/"), F.col("lang")))
+    )
+    out = In.input_labels(
+        docs.withColumn("ts", F.lit("2024-01-01").cast("timestamp")),
+        ["self/en", "self/fr"],
+        dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc),
+        seconds=10 * 86400,
+    )
+    return out.select("doc_id", "lang")
+
+
+_FEED_IDS = [(1, 7), (2, 3), (3, 999999991), (4, 12), (5, 5)]
+
+
+@_register(
+    "s5_input_feed",
+    f"""
+    SELECT f.ord AS feed_ord, e.event_id
+    FROM (VALUES {', '.join(f'({o}, {i})' for o, i in _FEED_IDS)}) f(ord, id)
+    JOIN events e ON e.event_id = f.id
+    """,
+    "S5 input.feed (main.rs:1704-1737): external skeleton ids semi-joined, feed order preserved, missing ids drop",
+)
+def s5_input_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumnRenamed("event_id", "id")
+    feed = spark.createDataFrame(_FEED_IDS, "__feed_ord int, id long")
+    out = In.input_feed(ev, feed)
+    return out.select(F.col("__feed_ord").alias("feed_ord"), F.col("id").alias("event_id"))
+
+
 # ---------------------------------------------------------------------------
 # §2.2 filters
 
@@ -254,6 +318,47 @@ def f_count_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = Fi.apply_filter(li, Fi.count_cmp("l_quantity", ">", 45), keep=True)
     kept = Fi.apply_filter(kept, Fi.count_cmp("l_extendedprice", "<", 50000), keep=False)
     return kept.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@_register(
+    "f1_item_kind",
+    f"""
+    WITH posts AS ({POSTS_VIEW_ORACLE_SQL})
+    SELECT id, parent FROM posts WHERE parent != ''
+    """,
+    "F1 item=reply: is-reply test parent != '' (main.rs:1800-1816, 4324-4326)",
+)
+def f1_item_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = posts_view(spark, sf_dir)
+    return Fi.apply_filter(posts, Fi.is_reply(), keep=True).select("id", "parent")
+
+
+@_register(
+    "f2_image_count",
+    f"""
+    WITH posts AS ({POSTS_VIEW_ORACLE_SQL})
+    SELECT id, image_count FROM posts WHERE image_count >= 2
+    """,
+    "F2 image_count 2+ bucket (main.rs:1817-1830)",
+)
+def f2_image_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = posts_view(spark, sf_dir)
+    return Fi.apply_filter(posts, Fi.image_count_is("2+"), keep=True).select("id", "image_count")
+
+
+@_register(
+    "f11_labels_remove",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE NOT list_has_any(['self/' || lang], ['self/zh', 'self/ru'])
+    """,
+    "F11 labels: always REMOVES posts carrying any listed label (main.rs:1936-1951)",
+)
+def f11_labels_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "labels", F.array(F.concat(F.lit("self/"), F.col("lang")))
+    )
+    return docs.filter(~Fi.has_any_label(["self/zh", "self/ru"])).select("doc_id", "lang")
 
 
 @_register(
@@ -395,6 +500,21 @@ FROM n1 JOIN n2 USING (id)
 
 
 @_register(
+    "f15_profile_filters",
+    r"""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_acctbal > 0 AND regexp_matches(c_name, '(?i)customer#0*[0-9]*[02468]$')
+    """,
+    "F15 profile-mode filters (main.rs:2751-2862): has_avatar analog + regex over name",
+)
+def f15_profile_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    has_avatar = F.col("c_acctbal") > 0
+    name_re = Fi.regex_match(r"customer#0*[0-9]*[02468]$", "text", columns={"text": F.col("c_name")})
+    return cust.filter(has_avatar & name_re).select("c_custkey", "c_name")
+
+
+@_register(
     "sc_hn_normalized",
     _SC_ORACLE,
     "SC3+SC5 hn-decay score, max-normalized ×2, plus SC2 like-copy normalized (main.rs:2190-2227, 2626-2657)",
@@ -448,6 +568,77 @@ def o7_posts_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(ORD)
     top = ordered.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
     return top.select("user_id", "event_id", "rn")
+
+
+@_register(
+    "o2_sort_hn",
+    f"""
+    WITH posts AS ({POSTS_VIEW_ORACLE_SQL}),
+    now_t AS (SELECT max(ts) AS mx FROM posts),
+    s AS (
+      SELECT id,
+             like_count / pow(floor(abs(epoch_us(mx) - epoch_us(ts)) / 60000000.0) / 60.0 + 2.0, 1.8) AS hn
+      FROM posts, now_t)
+    SELECT row_number() OVER (ORDER BY hn DESC, id DESC) AS ord, id, round(hn, 6) AS hn
+    FROM s ORDER BY hn DESC, id DESC LIMIT 50
+    """,
+    "O2 sort.hn: on-the-fly HN-decay sort + limit (main.rs:2245-2264)",
+)
+def o2_sort_hn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = _with_max_ts(posts_view(spark, sf_dir))
+    age_us = F.unix_micros("__mx") - F.unix_micros("ts")
+    hn = hn_score_from_micros(F.col("like_count"), age_us, 1.8)
+    posts = posts.withColumn("__hn", hn)
+    sorted_ = So.sort_by(posts, [F.col("__hn").desc(), F.col("id").desc()], 0, tiebreak=())
+    return So.apply_limit(sorted_, 50).select(
+        F.col(ORD).alias("ord"), "id", F.round("__hn", 6).alias("hn")
+    )
+
+
+@_register(
+    "o4_sort_random",
+    None,
+    "O4 sort.random (main.rs:2283-2285): seeded shuffle — nondeterministic across engines → rows-only check",
+)
+def o4_sort_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    shuffled = So.sort_random(stamp_ord(ev, ["event_id"], 0), 1, seed=42)
+    return So.apply_limit(shuffled, 100).select(F.col(ORD).alias("ord"), "event_id")
+
+
+@_register(
+    "o5_sort_score_dedup",
+    f"""
+    WITH posts AS ({POSTS_VIEW_ORACLE_SQL}),
+    win AS (SELECT * FROM posts, (SELECT max(ts) AS mx FROM posts) WHERE ts >= mx - INTERVAL 1 DAY),
+    normed AS (
+      SELECT id, key, like_count * 1.0 / nullif(max(like_count) OVER (), 0) AS score
+      FROM win),
+    ranked AS (
+      SELECT id, round(score, 6) AS score,
+             row_number() OVER (ORDER BY score DESC, key DESC) AS ord
+      FROM normed)
+    SELECT ord, id, score FROM ranked
+    """,
+    "O5 sort.score: drops unscored, dedups by key, sorts by accumulated score (main.rs:2286-2307) — via the block DSL on a doubled working set",
+)
+def o5_sort_score_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.plans.blocks import PipelineContext, translate_pipeline
+
+    posts = posts_view(spark, sf_dir)
+    now = posts.agg(F.max("ts")).collect()[0][0]
+    if now is not None and now.tzinfo is None:
+        now = now.replace(tzinfo=_dt.timezone.utc)
+    ctx = PipelineContext(spark=spark, posts=posts, now=now)
+    blocks = [
+        {"type": "input", "inputType": "firehose"},  # window twice → duplicates
+        {"type": "input", "inputType": "firehose"},
+        {"type": "score", "scoreType": "add", "from": "likes"},
+        {"type": "sort", "sortType": "score", "sortDirection": "desc"},
+    ]
+    out = translate_pipeline(blocks, ctx)
+    w = Window.orderBy(F.col(ORD))
+    return out.select(F.row_number().over(w).alias("ord"), "id", F.round("score", 6).alias("score"))
 
 
 _ORD_BLOCK = 1 << 40
@@ -545,6 +736,68 @@ def j10_mutuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("src").alias("a"), F.col("dst").alias("b"))
 
 
+@_register(
+    "j3_replace_record",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber
+    FROM lineitem l JOIN orders o ON CAST(l.l_orderkey AS VARCHAR) = CAST(o.o_orderkey AS VARCHAR)
+    WHERE o.o_orderstatus = 'O'
+    """,
+    "J3 replace with=record: quoted-record ref with 'post:' prefix stripped (main.rs:2428-2440)",
+)
+def j3_replace_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "record", F.concat(F.lit("post:"), F.col("l_orderkey").cast("string"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .withColumn("id", F.col("o_orderkey").cast("string"))
+    )
+    out = J.replace_with_ref(li, orders, "record", keep_missing_ref=False, strip_prefix=5)
+    return out.select("o_orderkey", "o_totalprice", "l_linenumber")
+
+
+@_register(
+    "j5_all_replies",
+    """
+    SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
+    WHERE CAST(l_suppkey AS VARCHAR) IN
+      (SELECT CAST(s_suppkey AS VARCHAR) FROM supplier WHERE s_acctbal > 4000)
+    """,
+    "J5 replace with=all_replies: inverted semi-join on the root ref (main.rs:2470-2476)",
+)
+def j5_all_replies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 4000)
+        .withColumn("id", F.col("s_suppkey").cast("string"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").withColumn("root", F.col("l_suppkey").cast("string"))
+    out = J.replace_with_inverse(seeds, li, "root")
+    return out.select("l_orderkey", "l_linenumber", "l_suppkey")
+
+
+@_register(
+    "j10_two_hop",
+    """
+    WITH e AS (SELECT DISTINCT user_id AS src, event_id % 25 AS dst FROM events),
+    hop1 AS (SELECT DISTINCT dst FROM e WHERE src = 5)
+    SELECT DISTINCT e.dst AS did FROM e
+    WHERE e.src IN (SELECT dst FROM hop1)
+    """,
+    "J10 following_following: 2-hop graph expansion via edge self-join (main.rs:3038-3039)",
+)
+def j10_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("user_id").cast("string").alias("src_did"),
+        (F.col("event_id") % 25).cast("string").alias("dst_did"),
+    ).distinct()
+    out = J.following_following(e, "5")
+    return out.select(F.col("did").cast("long").alias("did"))
+
+
 # ---------------------------------------------------------------------------
 # §2.7 aggregations
 
@@ -586,6 +839,38 @@ def a1_trending_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
     )
     return per_tag.select("tag", "name", "count")
+
+
+@_register(
+    "a2_tag_variations",
+    """
+    WITH t AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type) ELSE event_type END AS name
+      FROM events)
+    SELECT lower(name) AS tag, name, count(*) AS n
+    FROM t GROUP BY 1, 2
+    """,
+    "A2 tag spelling-variation counts maintained at ingest (main.rs:3221-3245)",
+)
+def a2_tag_variations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.upper("event_type")).otherwise(F.col("event_type")).alias("name")
+    ).withColumn("tags", F.array("name"))
+    return A.tag_variations(tagged)
+
+
+@_register(
+    "a5_user_like_totals",
+    """
+    SELECT l_suppkey AS user_key, count(*) AS like_total
+    FROM lineitem GROUP BY 1
+    """,
+    "A5 per-user like totals (main.rs:1479-1483)",
+)
+def a5_user_like_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return A.user_like_totals(li.select(F.col("l_suppkey").alias("user_key")))
 
 
 @_register(
@@ -921,6 +1206,56 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return Sim.cosine_topk(emb, queries, k=5)
+
+
+_IVF_ORACLE = f"""
+WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 100 = 0),
+asgn AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT a.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round({_COSINE_SQL.replace('b.embedding', 'c.cv')}, 6) DESC, c.cent_id) AS rn
+    FROM embeddings a CROSS JOIN cents c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, cent_id FROM (
+    SELECT a.vec_id AS query_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round({_COSINE_SQL.replace('b.embedding', 'c.cv')}, 6) DESC, c.cent_id) AS rn
+    FROM embeddings a CROSS JOIN cents c WHERE a.vec_id < 3) WHERE rn <= 2),
+cand AS (
+  SELECT p.query_id, v.vec_id
+  FROM probes p JOIN asgn v ON v.cent_id = p.cent_id
+  WHERE v.vec_id != p.query_id),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         round({_COSINE_SQL}, 6) AS sim
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.query_id
+  JOIN embeddings b ON b.vec_id = cand.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@_register(
+    "embed_ivf_topk",
+    _IVF_ORACLE,
+    "IVF-style ANN: deterministic centroids (vec_id%100==0), nearest-cell assignment, nprobe=2 probe, top-5",
+)
+def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return Sim.ivf_topk(emb, cents, queries, k=5, nprobe=2)
 
 
 @_register(
