@@ -50,6 +50,14 @@ def main() -> int:
     from query_engine_spark import registry
 
     spark = get_spark("bench")
+    # Session warmup: first action pays JVM/codegen/parquet-footer costs that
+    # belong to the runtime, not any query. One trivial scan per table.
+    from query_engine_spark.sources.testdata import TABLES, load_table
+
+    spark.range(1).count()
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(1).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

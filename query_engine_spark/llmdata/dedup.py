@@ -91,7 +91,11 @@ def minhash_signature_table(
     codegen'd hash aggregate and scales with one doc-keyed shuffle. Docs with
     no shingles (< k words) drop out, like the reference-free oracle.
     """
-    tok = df.select(
+    # Small inputs arrive as one parquet partition; the shingle-hash work is
+    # CPU-bound, so spread it across the executors first. (At real scale the
+    # input already has many partitions and AQE coalesces the no-op.)
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    tok = spread.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("s"),
     )
@@ -183,7 +187,8 @@ def simhash32_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     Explode + one codegen'd aggregate with 32 conditional sums (the
     higher-order-function fold form is interpreted and ~10× slower).
     """
-    tok = df.select(
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    tok = spread.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("t"),
     ).withColumn("hv", F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long"))

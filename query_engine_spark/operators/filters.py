@@ -91,23 +91,36 @@ def in_list(df: DataFrame, list_df: DataFrame, on: str, *, keep: bool = True) ->
 
 
 # F8/F9 — order-sensitive dedup: keep first occurrence / keep only 2nd+
-# (main.rs:1916-1921). Needs the __ord convention (or any explicit order col).
-def _occurrence_rank(key_cols: Sequence[str], ord_col: str) -> Column:
-    w = Window.partitionBy(*key_cols).orderBy(F.col(ord_col))
+# (main.rs:1916-1921). The occurrence rank is a window PARTITIONED by the key
+# — no global sort. Pass `order_by` columns directly when the working-set
+# order is expressible from natural columns (skips the global __ord stamp
+# entirely, the scalable path); default uses the __ord convention.
+def _occurrence_rank(key_cols: Sequence[str], order_by: Sequence[Column]) -> Column:
+    w = Window.partitionBy(*key_cols).orderBy(*order_by)
     return F.row_number().over(w)
 
 
-def keep_first_duplicates(df: DataFrame, key_cols: Sequence[str], ord_col: str = ORD) -> DataFrame:
+def _order_cols(df: DataFrame, order_by: Sequence[Column | str] | None) -> list[Column]:
+    if order_by is not None:
+        return [F.col(c) if isinstance(c, str) else c for c in order_by]
+    return [F.col(ORD)]
+
+
+def keep_first_duplicates(
+    df: DataFrame, key_cols: Sequence[str], order_by: Sequence[Column | str] | None = None
+) -> DataFrame:
     return (
-        df.withColumn("__occ", _occurrence_rank(key_cols, ord_col))
+        df.withColumn("__occ", _occurrence_rank(key_cols, _order_cols(df, order_by)))
         .filter(F.col("__occ") == 1)
         .drop("__occ")
     )
 
 
-def keep_non_duplicates(df: DataFrame, key_cols: Sequence[str], ord_col: str = ORD) -> DataFrame:
+def keep_non_duplicates(
+    df: DataFrame, key_cols: Sequence[str], order_by: Sequence[Column | str] | None = None
+) -> DataFrame:
     return (
-        df.withColumn("__occ", _occurrence_rank(key_cols, ord_col))
+        df.withColumn("__occ", _occurrence_rank(key_cols, _order_cols(df, order_by)))
         .filter(F.col("__occ") > 1)
         .drop("__occ")
     )

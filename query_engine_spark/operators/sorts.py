@@ -30,6 +30,7 @@ __all__ = [
     "sort_hn",
     "sort_random",
     "sort_score",
+    "top_n_with_ord",
     "apply_limit",
     "posts_per_user",
 ]
@@ -88,6 +89,16 @@ def sort_score(df: DataFrame, block_seq: int, *, asc: bool = False, key: str = "
     return sort_by(df, [c], block_seq, tiebreak=("key",))
 
 
+def top_n_with_ord(df: DataFrame, sort_cols: Sequence[Column], n: int, block_seq: int = 0) -> DataFrame:
+    """Fused sort+limit: `orderBy().limit(n)` executes as
+    TakeOrderedAndProject (per-partition partial top-N + single merge — the
+    100 TB-safe shape), and __ord is stamped by a window over only the n
+    survivors instead of the whole input. Use whenever a sort is immediately
+    truncated (the translator fuses sort→limit blocks into this)."""
+    limited = df.orderBy(*sort_cols).limit(n)
+    return restamp_from_sort(limited, list(sort_cols), block_seq)
+
+
 def apply_limit(df: DataFrame, n: int = 100) -> DataFrame:
     """Truncate to the first n rows in __ord order (main.rs:2374-2384;
     default 100, implicit final 500 at main.rs:2510-2512)."""
@@ -97,9 +108,23 @@ def apply_limit(df: DataFrame, n: int = 100) -> DataFrame:
     return df.limit(n)
 
 
-def posts_per_user(df: DataFrame, n: int = 3, *, author: str = "author_key") -> DataFrame:
+def posts_per_user(
+    df: DataFrame,
+    n: int = 3,
+    *,
+    author: str = "author_key",
+    order_by: Sequence[Column | str] | None = None,
+) -> DataFrame:
     """Group-wise top-N: keep the first `n` posts per author in current order
-    (main.rs:2349-2373). Window top-N executes as a partial per-partition
-    top-N under AQE — no global sort."""
-    w = Window.partitionBy(author).orderBy(F.col(ORD) if ORD in df.columns else F.monotonically_increasing_id())
+    (main.rs:2349-2373). The window is PARTITIONED by author and Spark's
+    WindowGroupLimit rewrites the rank filter into a per-partition partial
+    top-N — no global sort. Pass `order_by` natural columns to skip the
+    global __ord stamp when order is derivable (the scalable path)."""
+    if order_by is not None:
+        keys = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    elif ORD in df.columns:
+        keys = [F.col(ORD)]
+    else:
+        keys = [F.monotonically_increasing_id()]
+    w = Window.partitionBy(author).orderBy(*keys)
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= n).drop("__rn")

@@ -171,7 +171,9 @@ def translate_pipeline(blocks: list[dict[str, Any]], ctx: PipelineContext) -> Da
     def scored_cols(df: DataFrame) -> DataFrame:
         return scores.join_onto(df)
 
+    i = -1
     for block in blocks:
+        i += 1
         b_type = block.get("type")
         if b_type == "input":
             cur, seq, prepend_seq = _input_block(block, ctx, cur, posts, scores, seq, prepend_seq)
@@ -180,9 +182,18 @@ def translate_pipeline(blocks: list[dict[str, Any]], ctx: PipelineContext) -> Da
         elif b_type == "score":
             _score_block(block, ctx, cur, scores, now_epoch, now_us)
         elif b_type == "sort":
-            cur = _sort_block(block, ctx, cur, scores, seq)
+            # peephole: sort immediately followed by a plain limit fuses into
+            # TakeOrderedAndProject (partial per-partition top-N) instead of a
+            # global single-partition window — the 100 TB-safe shape
+            nxt = blocks[i + 1] if i + 1 < len(blocks) else None
+            fuse_n = None
+            if nxt and nxt.get("type") == "limit" and nxt.get("limitType") != "posts_per_user":
+                fuse_n = int(nxt.get("count", 100))
+            cur = _sort_block(block, ctx, cur, scores, seq, fuse_n=fuse_n)
             seq += 1
         elif b_type == "limit":
+            if block.get("limitType") != "posts_per_user" and i > 0 and blocks[i - 1].get("type") == "sort":
+                continue  # consumed by the sort→limit fusion above
             cur = _limit_block(block, cur)
         elif b_type == "stash":
             action = block.get("action", "stash")
@@ -365,24 +376,37 @@ def _score_block(block, ctx, cur, scores, now_epoch, now_us):
     scores.add(_normalized_batch(batch.select("key", "__batch_score"), block))
 
 
-def _sort_block(block, ctx, cur, scores, seq):
+def _sort_block(block, ctx, cur, scores, seq, fuse_n=None):
     sort_type = block.get("sortType", "created_at")
     asc = block.get("sortDirection", block.get("direction", "desc")) == "asc"
+
+    def finish(df, keys, extra_drop=()):
+        """Apply the sort: fused top-N when a plain limit follows, else a
+        full __ord restamp (Rust stable sort → previous __ord breaks ties)."""
+        tie = [F.col("id")] if "id" in df.columns else []
+        if ORD in df.columns:
+            tie.append(F.col(ORD))
+        keys = list(keys) + tie
+        if fuse_n is not None:
+            out = So.top_n_with_ord(df, keys, fuse_n, seq)
+        else:
+            out = So.sort_by(df, keys, seq, tiebreak=())
+        return out.drop(*extra_drop) if extra_drop else out
+
     if sort_type == "created_at":
-        return So.sort_created_at(cur, seq, asc=asc)
+        return finish(cur, [F.col("ts").asc() if asc else F.col("ts").desc()])
     if sort_type == "hn":
         gravity = float(block.get("gravity", "1.8"))
         age_us = F.lit(int(round(ctx.now.timestamp() * 1_000_000))) - F.unix_micros(F.col("ts"))
         s = Sc.hn_score_from_micros(F.col("like_count"), age_us, gravity)
-        return So.sort_by(cur, [s.asc() if asc else s.desc()], seq)
-    if sort_type == "likes":
-        return So.sort_counts(cur, "like_count", seq, asc=asc)
-    if sort_type == "repost_count":
-        return So.sort_counts(cur, "repost_count", seq, asc=asc)
-    if sort_type == "reply_count":
-        return So.sort_counts(cur, "reply_count", seq, asc=asc)
+        cur = cur.withColumn("__hn", s)
+        return finish(cur, [F.col("__hn").asc() if asc else F.col("__hn").desc()], extra_drop=("__hn",))
+    if sort_type in ("likes", "repost_count", "reply_count"):
+        col = {"likes": "like_count", "repost_count": "repost_count", "reply_count": "reply_count"}[sort_type]
+        return finish(cur, [F.col(col).asc() if asc else F.col(col).desc()])
     if sort_type == "random":
-        return So.sort_random(cur, seq, seed=ctx.random_seed)
+        cur = cur.withColumn("__r", F.rand(ctx.random_seed) if ctx.random_seed is not None else F.rand())
+        return finish(cur, [F.col("__r")], extra_drop=("__r",))
     if sort_type == "score":
         # join global scores (inner: unscored drop — main.rs:2286-2307),
         # dedup by key keeping first occurrence, sort by score
@@ -390,6 +414,8 @@ def _sort_block(block, ctx, cur, scores, seq):
         scored = Fi.keep_first_duplicates(scored, ["key"])
         c = F.col("score").asc() if asc else F.col("score").desc()
         # ties keep descending key order (BTreeMap .iter().rev() + stable sort)
+        if fuse_n is not None:
+            return So.top_n_with_ord(scored, [c, F.col("key").desc()], fuse_n, seq).drop("score")
         return So.sort_by(scored, [c, F.col("key").desc()], seq, tiebreak=()).drop("score")
     raise PipelineError(f"unknown sortType {sort_type!r}")
 

@@ -402,8 +402,10 @@ def f7_list_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f8_duplicates_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    ordered = stamp_ord(li, ["l_orderkey", "l_linenumber"], 1)
-    return Fi.keep_first_duplicates(ordered, ["l_orderkey"]).select("l_orderkey", "l_linenumber")
+    # natural-order dedup: partitioned window only, no global __ord stamp
+    return Fi.keep_first_duplicates(li, ["l_orderkey"], order_by=["l_linenumber"]).select(
+        "l_orderkey", "l_linenumber"
+    )
 
 
 @_register(
@@ -418,8 +420,9 @@ def f8_duplicates_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f9_non_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    ordered = stamp_ord(li, ["l_orderkey", "l_linenumber"], 1)
-    return Fi.keep_non_duplicates(ordered, ["l_orderkey"]).select("l_orderkey", "l_linenumber")
+    return Fi.keep_non_duplicates(li, ["l_orderkey"], order_by=["l_linenumber"]).select(
+        "l_orderkey", "l_linenumber"
+    )
 
 
 @_register(
@@ -546,10 +549,9 @@ def sc_hn_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def o1_sort_created_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    sorted_ = So.sort_by(ev, [F.col("ts").desc(), F.col("event_id").desc()], 0, tiebreak=())
-    return So.apply_limit(sorted_, 100).select(
-        F.col(ORD).alias("ord"), "event_id", F.unix_micros("ts").alias("ts_us")
-    )
+    # fused sort+limit: TakeOrderedAndProject, then __ord over 100 rows only
+    top = So.top_n_with_ord(ev, [F.col("ts").desc(), F.col("event_id").desc()], 100, 0)
+    return top.select(F.col(ORD).alias("ord"), "event_id", F.unix_micros("ts").alias("ts_us"))
 
 
 @_register(
@@ -564,9 +566,10 @@ def o1_sort_created_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def o7_posts_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    ordered = So.sort_by(ev, [F.col("ts").desc(), F.col("event_id").desc()], 0, tiebreak=())
-    w = Window.partitionBy("user_id").orderBy(ORD)
-    top = ordered.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    # order is derivable from natural columns → partitioned window only
+    # (WindowGroupLimit turns the rank filter into a per-partition top-N)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    top = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
     return top.select("user_id", "event_id", "rn")
 
 
@@ -589,10 +592,8 @@ def o2_sort_hn(spark: SparkSession, sf_dir: str) -> DataFrame:
     age_us = F.unix_micros("__mx") - F.unix_micros("ts")
     hn = hn_score_from_micros(F.col("like_count"), age_us, 1.8)
     posts = posts.withColumn("__hn", hn)
-    sorted_ = So.sort_by(posts, [F.col("__hn").desc(), F.col("id").desc()], 0, tiebreak=())
-    return So.apply_limit(sorted_, 50).select(
-        F.col(ORD).alias("ord"), "id", F.round("__hn", 6).alias("hn")
-    )
+    top = So.top_n_with_ord(posts, [F.col("__hn").desc(), F.col("id").desc()], 50, 0)
+    return top.select(F.col(ORD).alias("ord"), "id", F.round("__hn", 6).alias("hn"))
 
 
 @_register(
@@ -601,9 +602,9 @@ def o2_sort_hn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "O4 sort.random (main.rs:2283-2285): seeded shuffle — nondeterministic across engines → rows-only check",
 )
 def o4_sort_random(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    shuffled = So.sort_random(stamp_ord(ev, ["event_id"], 0), 1, seed=42)
-    return So.apply_limit(shuffled, 100).select(F.col(ORD).alias("ord"), "event_id")
+    ev = load_table(spark, sf_dir, "events").withColumn("__r", F.rand(42))
+    top = So.top_n_with_ord(ev, [F.col("__r"), F.col("event_id")], 100, 0)
+    return top.select(F.col(ORD).alias("ord"), "event_id")
 
 
 @_register(

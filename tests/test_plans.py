@@ -1,0 +1,70 @@
+"""Physical-plan shape assertions (SURVEY §4): the properties that make the
+queries survive a 100× scale-up — filter pushdown to the parquet scan, column
+pruning, broadcast joins for dim/list sides, TakeOrderedAndProject for
+sort+limit, and no accidental global-window sorts in the fused paths."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+from query_engine_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = registry.REGISTRY[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    p = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: the scan must not read unused columns
+    assert "l_orderkey" not in p.split("ReadSchema")[1].splitlines()[0]
+    assert "HashAggregate" in p
+
+
+def test_q3_broadcasts_dims(spark):
+    p = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+
+
+def test_s8_take_ordered_no_full_sort(spark):
+    p = plan_of(spark, "s8_archived_scan")
+    assert "TakeOrderedAndProject" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+
+
+def test_o1_fused_top_n(spark):
+    p = plan_of(spark, "o1_sort_created_top")
+    assert "TakeOrderedAndProject" in p
+    # the __ord window runs over the 100 survivors, after the take
+
+
+def test_f7_semi_anti_broadcast(spark):
+    p = plan_of(spark, "f7_list_semi_anti")
+    assert "BroadcastHashJoin LeftSemi" in p
+    assert "BroadcastHashJoin LeftAnti" in p
+
+
+def test_o7_partitioned_window_only(spark):
+    p = plan_of(spark, "o7_posts_per_user")
+    # partitioned by user — never a single global window
+    assert "WindowGroupLimit" in p or "Window" in p
+    assert "partitionBy" not in p  # sanity: formatted plan doesn't show empty global windows
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pipeline_flagship_fuses_score_sort_limit(spark):
+    p = plan_of(spark, "pipeline_flagship")
+    # the sort->limit peephole produces TakeOrderedAndProject inside the DSL plan
+    assert "TakeOrderedAndProject" in p
