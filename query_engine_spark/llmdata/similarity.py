@@ -63,7 +63,8 @@ def cosine_topk(
         F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # long rank: DuckDB's row_number() is BIGINT — keep oracle schemas aligned
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
 
 
 def assign_cells(
@@ -121,4 +122,4 @@ def ivf_topk(
         F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w2).cast("long")).filter(F.col("rank") <= k)

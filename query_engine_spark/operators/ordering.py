@@ -39,7 +39,9 @@ def stamp_ord(df: DataFrame, order_by: Sequence[Column | str], block_seq: int = 
     the stamp is deterministic across runs and engines.
     """
     w = Window.orderBy(*[F.col(c) if isinstance(c, str) else c for c in order_by])
-    return df.withColumn(ORD, F.lit(block_seq * _BLOCK_SHIFT) + F.row_number().over(w))
+    return df.withColumn(
+        ORD, (F.lit(block_seq * _BLOCK_SHIFT) + F.row_number().over(w)).cast("long")
+    )
 
 
 def next_block_ord(block_seq: int) -> int:
@@ -49,4 +51,6 @@ def next_block_ord(block_seq: int) -> int:
 def restamp_from_sort(df: DataFrame, sort_cols: Sequence[Column], block_seq: int) -> DataFrame:
     """Re-stamp ``__ord`` after a sort block (reference sorts in place)."""
     w = Window.orderBy(*sort_cols)
-    return df.withColumn(ORD, F.lit(block_seq * _BLOCK_SHIFT) + F.row_number().over(w))
+    return df.withColumn(
+        ORD, (F.lit(block_seq * _BLOCK_SHIFT) + F.row_number().over(w)).cast("long")
+    )

@@ -569,7 +569,7 @@ def o7_posts_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order is derivable from natural columns → partitioned window only
     # (WindowGroupLimit turns the rank filter into a per-partition top-N)
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    top = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    top = ev.withColumn("rn", F.row_number().over(w).cast("long")).filter(F.col("rn") <= 3)
     return top.select("user_id", "event_id", "rn")
 
 
@@ -639,7 +639,7 @@ def o5_sort_score_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = translate_pipeline(blocks, ctx)
     w = Window.orderBy(F.col(ORD))
-    return out.select(F.row_number().over(w).alias("ord"), "id", F.round("score", 6).alias("score"))
+    return out.select(F.row_number().over(w).cast("long").alias("ord"), "id", F.round("score", 6).alias("score"))
 
 
 _ORD_BLOCK = 1 << 40
@@ -1141,7 +1141,7 @@ def _simhash_oracle() -> str:
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sa, b.sim AS sb
       FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id)
-    SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming FROM pairs
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM pairs
     WHERE bit_count(xor(sa, sb)) <= 6
     """
 
@@ -1432,7 +1432,7 @@ def pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = translate_pipeline(blocks, ctx)
     w = Window.orderBy(F.col(ORD))
-    return out.select(F.row_number().over(w).alias("ord"), "id", F.round("score", 6).alias("score"))
+    return out.select(F.row_number().over(w).cast("long").alias("ord"), "id", F.round("score", 6).alias("score"))
 
 
 # rows-only (no SQL oracle): multimodal plumbing via mapInPandas

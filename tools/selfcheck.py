@@ -47,6 +47,14 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     if problems:
         return problems
     a, b = canonical(spark_pdf), canonical(duck_pdf)
+    # dtype strictness: the driver may compare schemas exactly; catch
+    # int32-vs-int64 (e.g. Spark row_number vs DuckDB row_number) locally
+    for c in a.columns:
+        da, db = str(a[c].dtype), str(b[c].dtype)
+        if da != db and not (len(a) == 0):
+            problems.append(f"dtype {c}: spark={da} duck={db}")
+    if problems:
+        return problems
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
