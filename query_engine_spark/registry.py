@@ -1368,6 +1368,34 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sessionize_events",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM g)
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(epoch_us(CAST(ts AS TIMESTAMP))) AS start_us,
+           max(epoch_us(CAST(ts AS TIMESTAMP))) AS end_us
+    FROM s GROUP BY 1, 2
+    """,
+    "gap-based sessionization (custom stateful operator; batch form — streaming variant in streaming/stateful.py)",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.streaming.stateful import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_seconds=1800)
+
+
+@_register(
     "stream_windowed_counts",
     """
     SELECT epoch_us(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))) AS w_us,

@@ -1,0 +1,142 @@
+"""Custom stateful streaming operators.
+
+`sessionize_batch` / `sessionize_stream` — gap-based sessionization of an
+event stream per user. The batch form is pure window functions (lag + cumsum
+over gap markers — fully SQL-expressible, oracle-checkable); the streaming
+form is the same semantics as an `applyInPandasWithState` operator with
+per-user state (open-session accumulator) and event-time timeout — the
+pattern for any custom stateful operator the DSL might need.
+
+`RegexCache` — the reference's incremental regex result cache
+(/root/reference/src/main.rs:76-79, 2013-2071): per (pattern, target) it
+keeps the set of matching post ids plus a high-water mark, and each refresh
+scans only posts newer than the mark. Here the "cache" is a DataFrame
+(id set) + HWM string, refreshed per micro-batch — driveable from
+foreachBatch; correctness does not depend on it (a cold scan gives the same
+answer — asserted in tests).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["sessionize_batch", "sessionize_stream", "RegexCache"]
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    *,
+    user: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """(user_id, session_id, n_events, start_us, end_us) via lag + cumsum.
+
+    A new session starts when the gap to the previous event of the same user
+    exceeds `gap_seconds`. Windows are PARTITIONED by user — no global sort.
+    """
+    w = Window.partitionBy(user).orderBy(F.col(ts))
+    gap = F.unix_micros(F.col(ts)) - F.unix_micros(F.lag(ts).over(w))
+    marked = events.withColumn(
+        "__new", F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), F.lit(1)).otherwise(F.lit(0))
+    )
+    sess = marked.withColumn("session_id", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy(user, "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.unix_micros(F.col(ts))).alias("start_us"),
+            F.max(F.unix_micros(F.col(ts))).alias("end_us"),
+        )
+    )
+
+
+_SESSION_OUT_SCHEMA = "user_id long, session_start_us long, session_end_us long, n_events long"
+_SESSION_STATE_SCHEMA = "start_us long, end_us long, n long"
+
+
+def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Streaming sessionization with applyInPandasWithState: per-user state
+    holds the open session; an event beyond the gap (or state timeout) closes
+    and emits it. Input must be a streaming DataFrame with watermarked `ts`."""
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, end_us, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [{"user_id": user_id, "session_start_us": start_us, "session_end_us": end_us, "n_events": n}]
+                )
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        closed = []
+        if state.exists:
+            start_us, end_us, n = state.get
+        else:
+            start_us = end_us = None
+            n = 0
+        for t in rows["ts"]:
+            t_us = int(t.value // 1000)  # pandas ns → µs
+            if start_us is None:
+                start_us, end_us, n = t_us, t_us, 1
+            elif t_us - end_us > gap_us:
+                closed.append({"user_id": user_id, "session_start_us": start_us,
+                               "session_end_us": end_us, "n_events": n})
+                start_us, end_us, n = t_us, t_us, 1
+            else:
+                end_us, n = t_us, n + 1
+        state.update((start_us, end_us, n))
+        state.setTimeoutTimestamp(end_us // 1000 + gap_seconds * 1000)  # millis
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return (
+        events.withWatermark("ts", f"{2 * gap_seconds} seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, _SESSION_OUT_SCHEMA, _SESSION_STATE_SCHEMA, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+@dataclass
+class RegexCache:
+    """Incremental regex result cache with a high-water mark (main.rs:2013-2071).
+
+    `matches` holds the ids matched so far; `hwm` the largest id scanned.
+    `refresh` scans only rows with id > hwm — on a time-ordered id (TID
+    semantics) that is the newest slice, so refresh cost tracks the ingest
+    rate instead of the corpus size (the reference measured ~150 µs warm vs
+    ~2.5-28 s cold, main.rs:2072-2083)."""
+
+    pattern: str
+    target: str = "text"
+    matches: DataFrame | None = None
+    hwm: str | None = None
+
+    def refresh(self, posts: DataFrame, id_col: str = "id") -> DataFrame:
+        new = posts if self.hwm is None else posts.filter(F.col(id_col) > self.hwm)
+        found = new.filter(F.coalesce(F.col(self.target), F.lit("")).rlike(self.pattern)).select(id_col)
+        self.matches = found if self.matches is None else self.matches.unionByName(found).distinct()
+        top = posts.agg(F.max(id_col).alias("m")).collect()[0]["m"]
+        if top is not None and (self.hwm is None or top > self.hwm):
+            self.hwm = top
+        # cache the materialized id set — this is the point of the cache
+        self.matches = self.matches.persist()
+        self.matches.count()
+        return self.matches
+
+    def apply(self, working_set: DataFrame, id_col: str = "id", *, invert: bool = False) -> DataFrame:
+        if self.matches is None:
+            raise ValueError("refresh() the cache before applying it")
+        how = "left_anti" if invert else "left_semi"
+        return working_set.join(F.broadcast(self.matches), id_col, how)

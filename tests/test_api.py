@@ -1,0 +1,121 @@
+"""Serving-layer tests: the three entry points + the HTTP wrapper."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from query_engine_spark.api import (
+    FeedServer,
+    generate_feed_skeleton,
+    generate_list_skeleton,
+    get_trending_tags,
+)
+from query_engine_spark.plans.blocks import PipelineContext
+from query_engine_spark.plans.profiles import ProfileContext
+from query_engine_spark.datamodel import PROFILE_SCHEMA
+from tests.conftest import NOW
+
+BLOCKS = [
+    {"type": "input", "inputType": "firehose", "firehoseSeconds": 7 * 86400, "id": "in"},
+    {"type": "keep", "subject": "item", "value": "post", "id": "keep"},
+    {"type": "sort", "sortType": "likes", "sortDirection": "desc"},
+    {"type": "limit", "count": 3},
+]
+
+
+def test_feed_skeleton_response_shape(spark, posts):
+    ctx = PipelineContext(spark=spark, posts=posts, now=NOW)
+    resp = generate_feed_skeleton(ctx, BLOCKS, debug_counts=True)
+    assert [f["post"] for f in resp["feed"]] == ["p0006", "p0003", "p0001"]
+    assert resp["debug"]["counts"]["in"] == 8
+    assert resp["debug"]["counts"]["keep"] == 6
+    assert "time" in resp["debug"]
+
+
+def test_feed_skeleton_uri_conversion(spark, posts):
+    # ids shaped like the reference's "post:<rkey>_<didkey>" convert to at://
+    shaped = posts.withColumn("id", F.concat(F.lit("post:3k"), F.col("key").cast("string"), F.lit("_plc_u1")))
+    ctx = PipelineContext(spark=spark, posts=shaped, now=NOW)
+    resp = generate_feed_skeleton(ctx, [{"type": "input", "inputType": "firehose"}], convert_uris=True)
+    assert all(f["post"].startswith("at://did:plc:u1/app.bsky.feed.post/3k") for f in resp["feed"])
+
+
+def test_trending_tags_endpoint(spark, posts):
+    ctx = PipelineContext(spark=spark, posts=posts, now=NOW)
+    resp = get_trending_tags(ctx, minutes=10 * 24 * 60)
+    # "spark" appears as Spark/spark/SPARK across 3 posts → count 3 (> 2)
+    assert resp["tags"][0]["tag"] == "spark"
+    assert resp["tags"][0]["count"] == 3
+    assert resp["tags"][0]["name"] in ("Spark", "spark", "SPARK")
+
+
+PROFILES = [
+    ("plc_a", "Alice", "alice.bsky", "likes spark", True, True, 10, 5),
+    ("plc_b", "Bob", "bob.test", "", False, True, 3, 2),
+    ("plc_c", "Carol", "carol.bsky", "data eng", True, False, 7, 1),
+]
+
+
+@pytest.fixture(scope="module")
+def profiles(spark):
+    return spark.createDataFrame(
+        [dict(zip([f.name for f in PROFILE_SCHEMA.fields], p)) for p in PROFILES], PROFILE_SCHEMA
+    )
+
+
+def test_list_skeleton(spark, profiles):
+    ctx = ProfileContext(spark=spark, profiles=profiles)
+    blocks = [
+        {"type": "input", "inputType": "network"},
+        {"type": "remove", "subject": "profile", "value": "has_no_avatar"},  # remove w/o avatar
+        {"type": "regex", "target": "handle", "value": "bsky$"},
+        {"type": "limit", "count": 10},
+    ]
+    resp = generate_list_skeleton(ctx, blocks)
+    assert [i["subject"]["did"] for i in resp["items"]] == ["plc:a", "plc:c"]
+    assert resp["items"][0]["subject"]["name"] == "Alice"
+
+
+def test_list_mode_rejects_dead_blocks(spark, profiles):
+    from query_engine_spark.plans.blocks import PipelineError
+
+    ctx = ProfileContext(spark=spark, profiles=profiles)
+    with pytest.raises(PipelineError):
+        generate_list_skeleton(ctx, [{"type": "sort", "sortType": "likes"}])
+
+
+def test_http_server_roundtrip(spark, posts):
+    ctx = PipelineContext(spark=spark, posts=posts, now=NOW)
+    server = FeedServer(ctx).start()
+    try:
+        body = json.dumps({"blocks": BLOCKS}).encode()
+        req = urllib.request.Request(
+            server.address + "/xrpc/me.skyfeed.builder.generateFeedSkeleton",
+            data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            feed = json.loads(r.read())
+        assert [f["post"] for f in feed["feed"]] == ["p0006", "p0003", "p0001"]
+
+        with urllib.request.urlopen(
+            server.address + "/xrpc/app.skyfeed.feed.getTrendingTags?minutes=14400", timeout=60
+        ) as r:
+            tags = json.loads(r.read())
+        assert tags["tags"][0]["tag"] == "spark"
+
+        # admission-control errors surface through the error channel
+        bad = json.dumps({"blocks": [{"type": "input", "inputType": "firehose"}] * 33}).encode()
+        req = urllib.request.Request(
+            server.address + "/xrpc/me.skyfeed.builder.generateFeedSkeleton", data=bad
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            err = json.loads(r.read())
+        assert "error" in err and "Too many blocks" in err["error"]
+    finally:
+        server.stop()
