@@ -18,7 +18,18 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "assign_cells", "ivf_topk"]
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "cosine_topk",
+    "cosine_pairs",
+    "srp_planes",
+    "srp_signature_table",
+    "srp_near_dup_pairs",
+    "assign_cells",
+    "ivf_topk",
+]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -65,6 +76,108 @@ def cosine_topk(
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     # long rank: DuckDB's row_number() is BIGINT — keep oracle schemas aligned
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-duplicate pairs (a < b, cosine ≥ threshold) by brute-force
+    self-join — the correctness baseline; O(n²) dot products, use
+    `srp_near_dup_pairs` at scale."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    out = pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim")
+    )
+    return out.filter(F.col("sim") >= threshold)
+
+
+def srp_planes(bits: int, dims: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes for sign-random-projection: coefficient
+    (b, i) = parity of the first hex digit of md5(f"{b}|{i}"). Pure Python +
+    hashlib, so Spark and any SQL oracle can share the SAME literal planes."""
+    import hashlib
+
+    return [
+        [1 if int(hashlib.md5(f"{b}|{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1 for i in range(dims)]
+        for b in range(bits)
+    ]
+
+
+def srp_signature_table(
+    embeddings: DataFrame,
+    bits: int = 16,
+    dims: int = 64,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code) sign-random-projection signatures: bit b = [Σ_i c_bi·e_i > 0].
+
+    The planes are literal constants (broadcast by value inside the codegen'd
+    expression) — one map-only pass, no shuffle. Cosine-similar vectors agree
+    on most bits (P[bit match] = 1 - θ/π)."""
+    planes = srp_planes(bits, dims)
+    code = None
+    for b, coefs in enumerate(planes):
+        plane = F.array(*[F.lit(float(c)) for c in coefs])
+        dot_b = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot_b > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        code = bit if code is None else code + bit
+    return embeddings.select(F.col(id_col).alias("id"), code.alias("code"))
+
+
+def srp_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    *,
+    bits: int = 16,
+    dims: int = 64,
+    chunks: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup: SRP code → banded self-join on
+    code chunks (candidates = vectors agreeing on ≥1 chunk) → exact cosine
+    verify. Recall is tunable via bits/chunks; candidates ≪ n²."""
+    sig = srp_signature_table(embeddings, bits, dims, id_col=id_col, vec_col=vec_col)
+    width = bits // chunks
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftright(F.col("code"), c * width).bitwiseAND(F.lit((1 << width) - 1)).alias("cv"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("e"),
+    ).select("id", "e.chunk", "e.cv")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    out = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+    return out
 
 
 def assign_cells(

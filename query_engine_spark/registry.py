@@ -1260,6 +1260,62 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COSINE_SQL}, 6) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.35
+    """,
+    "embedding-cosine near-dup pairs: exact O(n²) baseline (scale path: embed_srp_near_dup)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return Sim.cosine_pairs(emb, 0.35)
+
+
+def _srp_oracle(bits: int = 16, dims: int = 64, chunks: int = 2, threshold: float = 0.3) -> str:
+    planes = Sim.srp_planes(bits, dims)
+    values = ", ".join(f"({b},{i},{c})" for b, row in enumerate(planes) for i, c in enumerate(row))
+    width = bits // chunks
+    chunk_union = " UNION ALL ".join(
+        f"SELECT vec_id, {c} AS chunk, (code >> {c * width}) & {(1 << width) - 1} AS cv FROM codes"
+        for c in range(chunks)
+    )
+    return f"""
+    WITH planes(b, i, c) AS (VALUES {values}),
+    e AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) - 1 AS i
+      FROM embeddings),
+    dots AS (SELECT vec_id, b, sum(v * c) AS d FROM e JOIN planes USING (i) GROUP BY 1, 2),
+    codes AS (
+      SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS code
+      FROM dots GROUP BY 1),
+    chunked AS ({chunk_union}),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM chunked x JOIN chunked y ON x.chunk = y.chunk AND x.cv = y.cv AND x.vec_id < y.vec_id),
+    verified AS (
+      SELECT cand.id_a, cand.id_b, round({_COSINE_SQL}, 6) AS sim
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.id_a
+      JOIN embeddings b ON b.vec_id = cand.id_b)
+    SELECT id_a, id_b, sim FROM verified WHERE sim >= {threshold}
+    """
+
+
+@_register(
+    "embed_srp_near_dup",
+    _srp_oracle(),
+    "sign-random-projection LSH near-dup over embeddings: banded code join + exact cosine verify (the 100 TB path)",
+)
+def embed_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return Sim.srp_near_dup_pairs(emb, 0.3, bits=16, dims=64, chunks=2)
+
+
+@_register(
     "text_langid",
     """
     WITH t AS (

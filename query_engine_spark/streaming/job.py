@@ -1,0 +1,90 @@
+"""The ingest lifecycle as a storage job (SURVEY §3, entry point 3).
+
+The reference's loop: page new rows with a 1000-row overlap → dedup on id →
+merge count views → evict beyond the 7-day window → spill old days to archive
+blobs (/root/reference/src/main.rs:328-464, 1004-1087, 1101-1175).
+
+Here the post store IS day-partitioned parquet (`dt=YYYY-MM-DD/`), which
+collapses the reference's three storage tiers (RAM window, day blobs, eviction)
+into one: the serving view is a retention predicate (partition pruning), the
+"archive" is simply the older partitions, and eviction is a partition delete.
+Ingest merges idempotently per micro-batch with dynamic partition overwrite —
+only the days touched by the batch are rewritten. Drive it from a scheduler
+or Structured Streaming's foreachBatch.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from query_engine_spark.streaming.ingest import merge_incremental
+
+__all__ = ["PostStore"]
+
+
+class PostStore:
+    """Day-partitioned parquet post store with idempotent ingest + retention."""
+
+    def __init__(self, spark: SparkSession, path: str, *, ts_col: str = "ts", id_col: str = "id"):
+        self.spark = spark
+        self.path = path
+        self.ts_col = ts_col
+        self.id_col = id_col
+
+    def _exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            e.startswith("dt=") for e in os.listdir(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def ingest(self, batch: DataFrame) -> None:
+        """Idempotent merge of an (overlapping) batch: only the day partitions
+        present in the batch are re-merged and rewritten (dynamic partition
+        overwrite) — ingest cost tracks batch size, not store size."""
+        batch = batch.withColumn("dt", F.date_format(F.col(self.ts_col), "yyyy-MM-dd"))
+        days = [r["dt"] for r in batch.select("dt").distinct().collect()]
+        if self._exists():
+            existing = self.read().filter(F.col("dt").isin(days))
+            merged = merge_incremental(existing, batch, self.id_col)
+        else:
+            merged = batch.dropDuplicates([self.id_col])
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode("overwrite").partitionBy("dt").parquet(self.path)
+
+    def serving_view(self, now: _dt.datetime, days: int = 7) -> DataFrame:
+        """The reference's in-RAM window (main.rs:218-222) as a pruned read:
+        the dt predicate eliminates whole partitions before any IO."""
+        cutoff = (now - _dt.timedelta(days=days)).strftime("%Y-%m-%d")
+        return self.read().filter(F.col("dt") >= cutoff)
+
+    def evict(self, now: _dt.datetime, days: int = 8, archive_path: str | None = None) -> list[str]:
+        """Eviction / archive spill (main.rs:1020-1083): partitions older than
+        the window are moved to the archive directory (or deleted). Returns
+        the partition names affected."""
+        if not self._exists():
+            return []
+        cutoff = (now - _dt.timedelta(days=days)).strftime("%Y-%m-%d")
+        moved = []
+        for entry in sorted(os.listdir(self.path)):
+            if not entry.startswith("dt="):
+                continue
+            if entry[3:] < cutoff:
+                src = os.path.join(self.path, entry)
+                if archive_path is not None:
+                    os.makedirs(archive_path, exist_ok=True)
+                    shutil.move(src, os.path.join(archive_path, entry))
+                else:
+                    shutil.rmtree(src)
+                moved.append(entry)
+        return moved
+
+    def archive_view(self, archive_path: str) -> DataFrame:
+        """S8 input.archived reads the spilled partitions the same way
+        (parquet scan + pushdown) — no separate blob format needed."""
+        return self.spark.read.parquet(archive_path)

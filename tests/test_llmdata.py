@@ -101,6 +101,41 @@ def test_ivf_recall_vs_exact(spark):
     assert approx == exact  # nearest neighbor lives in the probed cell
 
 
+def test_srp_candidates_cover_exact_pairs(spark):
+    # SRP banding must not lose the pairs the exact method finds at a high
+    # threshold (near-identical vectors agree on nearly all code bits)
+    rows = [
+        (0, [1.0, 0.0, 0.5, 0.2]),
+        (1, [0.99, 0.01, 0.5, 0.2]),   # near-dup of 0
+        (2, [-1.0, 0.2, 0.1, 0.0]),
+        (3, [0.0, 1.0, -0.5, 0.3]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"]) for r in Sim.cosine_pairs(emb, 0.999).collect()}
+    assert exact == {(0, 1)}
+    srp = {(r["id_a"], r["id_b"]) for r in Sim.srp_near_dup_pairs(emb, 0.999, bits=16, dims=4, chunks=2).collect()}
+    assert srp == exact
+
+
+def test_connectors(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from query_engine_spark.sources import connectors as C
+
+    schema = T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.StringType())])
+    p = str(tmp_path / "x.json")
+    with open(p, "w") as f:
+        f.write('{"a": 1, "b": "x"}\n{"a": 2}\n')
+    got = {r["a"]: r["b"] for r in C.read_json(spark, p, schema).collect()}
+    assert got == {1: "x", 2: None}  # missing field → null (loose coercion)
+
+    assert C.delta_available(spark) is False
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        C.read_delta(spark, "/nope")
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame([(1, "Hello, world! 42x"), (2, ""), (3, "  ")], "id long, text string")
     out = {r["id"]: (r["ws"], r["bpe"]) for r in df.select(

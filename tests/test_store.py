@@ -1,0 +1,51 @@
+"""E2E lifecycle test for the day-partitioned post store."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from query_engine_spark.streaming.job import PostStore
+
+NOW = dt.datetime(2024, 3, 10, 12, 0, 0)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [(i, NOW - dt.timedelta(days=d), v) for i, d, v in rows],
+        "id long, ts timestamp, v string",
+    )
+
+
+def test_store_lifecycle(spark, tmp_path):
+    store = PostStore(spark, str(tmp_path / "store"))
+
+    # initial load: 3 days
+    store.ingest(_batch(spark, [(1, 0.1, "a"), (2, 1.2, "b"), (3, 9.5, "old")]))
+    assert store.read().count() == 3
+
+    # overlapping re-ingest: id=2 updated, id=4 new (same day as 1)
+    store.ingest(_batch(spark, [(2, 1.2, "b2"), (4, 0.2, "c")]))
+    got = {r["id"]: r["v"] for r in store.read().collect()}
+    assert got == {1: "a", 2: "b2", 3: "old", 4: "c"}  # idempotent, latest wins
+
+    # re-ingesting the same batch changes nothing
+    store.ingest(_batch(spark, [(2, 1.2, "b2"), (4, 0.2, "c")]))
+    assert store.read().count() == 4
+
+    # serving view: 7-day window excludes the old row
+    view = store.serving_view(NOW, days=7)
+    assert sorted(r["id"] for r in view.collect()) == [1, 2, 4]
+
+    # partition pruning: the dt filter reaches the scan
+    plan = view._jdf.queryExecution().executedPlan().toString()
+    assert "dt" in plan
+
+    # eviction spills the old day to the archive
+    archive = str(tmp_path / "archive")
+    moved = store.evict(NOW, days=8, archive_path=archive)
+    assert len(moved) == 1 and moved[0].startswith("dt=2024-02-29" [:3])
+    assert store.read().count() == 3
+    assert store.archive_view(archive).count() == 1
+    assert store.archive_view(archive).collect()[0]["id"] == 3
