@@ -538,6 +538,42 @@ def sc_hn_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sc1_script_score",
+    f"""
+    WITH posts AS ({POSTS_VIEW_ORACLE_SQL}),
+    b AS (SELECT id, CAST(like_count * 2 + reply_count AS DOUBLE) AS s FROM posts),
+    n AS (SELECT id, s / nullif(max(s) OVER (), 0) * 1.0 AS c FROM b)
+    SELECT id, round(coalesce(c, 0), 6) AS score FROM n
+    """,
+    "SC1 score.add with a Rhai `value` expression, translated to a Catalyst expression (main.rs:2162-2175)",
+)
+def sc1_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = posts_view(spark, sf_dir)
+    expr = translate_script("likeCount * 2 + replyCount", now_epoch_expr="0").cast("double")
+    posts = posts.withColumn("__s", expr)
+    mx = F.max("__s").over(Window.partitionBy())
+    return posts.select(
+        "id",
+        F.round(F.coalesce(F.col("__s") / F.nullif(mx, F.lit(0.0)) * 1.0, F.lit(0.0)), 6).alias("score"),
+    )
+
+
+@_register(
+    "o3_sort_counts",
+    f"""
+    WITH posts AS ({POSTS_VIEW_ORACLE_SQL})
+    SELECT row_number() OVER (ORDER BY repost_count DESC, id DESC) AS ord, id, repost_count
+    FROM posts ORDER BY repost_count DESC, id DESC LIMIT 50
+    """,
+    "O3 count sorts (likes/repost/reply, main.rs:2265-2282) + limit, fused top-N",
+)
+def o3_sort_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = posts_view(spark, sf_dir)
+    top = So.top_n_with_ord(posts, [F.col("repost_count").desc(), F.col("id").desc()], 50, 0)
+    return top.select(F.col(ORD).alias("ord"), "id", "repost_count")
+
+
+@_register(
     "o1_sort_created_top",
     f"""
     SELECT row_number() OVER (ORDER BY ts DESC, event_id DESC) AS ord, event_id, {_US} AS ts_us
@@ -840,6 +876,101 @@ def a1_trending_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
     )
     return per_tag.select("tag", "name", "count")
+
+
+@_register(
+    "a1_trending_windowed",
+    """
+    WITH t AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type) ELSE event_type END AS name, ts
+      FROM events
+      WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 600 MINUTE),
+    per_sp AS (SELECT lower(name) AS tag, name, count(*) AS n FROM t GROUP BY 1, 2),
+    ranked AS (
+      SELECT tag, name, n, CAST(sum(n) OVER (PARTITION BY tag) AS BIGINT) AS total,
+             row_number() OVER (PARTITION BY tag ORDER BY n DESC, name DESC) AS rn
+      FROM per_sp)
+    SELECT tag, name, total AS count FROM ranked
+    WHERE rn = 1 AND total > 2
+    ORDER BY total DESC, tag LIMIT 100
+    """,
+    "A1 getTrendingTags complete semantics: trailing window + variation argmax + threshold + top-100 (main.rs:626-688)",
+)
+def a1_trending_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    ev = load_table(spark, sf_dir, "events")
+    now = ev.agg(F.max("ts")).collect()[0][0]
+    if now.tzinfo is None:
+        now = now.replace(tzinfo=dt.timezone.utc)
+    tagged = ev.select(
+        "ts",
+        F.array(
+            F.when(F.col("event_id") % 2 == 0, F.upper("event_type")).otherwise(F.col("event_type"))
+        ).alias("tags"),
+    )
+    return A.trending_tags(tagged, now, minutes=600, min_count=2, top=100)
+
+
+@_register(
+    "profile_pipeline",
+    r"""
+    SELECT c_custkey, c_name FROM (
+      SELECT c_custkey, c_name,
+             row_number() OVER (ORDER BY CAST(c_custkey AS VARCHAR)) AS rn
+      FROM customer
+      WHERE NOT (c_acctbal <= 0)
+        AND regexp_matches(c_name, '(?i)[13579]$')
+        AND c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_nationkey = 0))
+    WHERE rn <= 40
+    """,
+    "list-mode pipeline end-to-end: network input → profile/list removes → regex → limit (main.rs:2676-2985)",
+)
+def profile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.plans.profiles import ProfileContext, translate_profile_pipeline
+
+    cust = load_table(spark, sf_dir, "customer")
+    profiles = cust.select(
+        F.col("c_custkey").cast("string").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_name").alias("handle"),
+        F.lit("").alias("description"),
+        (F.col("c_acctbal") > 0).alias("has_avatar"),
+        F.lit(True).alias("has_banner"),
+        F.lit(0).alias("follower_count"),
+        F.lit(0).alias("following_count"),
+    )
+    blocked = cust.filter(F.col("c_nationkey") == 0).select(F.col("c_custkey").cast("string").alias("id"))
+    ctx = ProfileContext(spark=spark, profiles=profiles, lists={"at://blocked": blocked})
+    blocks = [
+        {"type": "input", "inputType": "network"},
+        {"type": "remove", "subject": "profile", "value": "has_no_avatar"},
+        {"type": "regex", "target": "name", "value": "[13579]$"},
+        {"type": "remove", "subject": "list", "listUri": "at://blocked"},
+        {"type": "limit", "count": 40},
+    ]
+    out = translate_profile_pipeline(blocks, ctx)
+    return out.select(F.col("id").cast("long").alias("c_custkey"), F.col("name").alias("c_name"))
+
+
+@_register(
+    "j2_replace_root",
+    """
+    SELECT s.s_suppkey, s.s_name, l.l_linenumber
+    FROM lineitem l JOIN supplier s ON CAST(l.l_suppkey AS VARCHAR) = CAST(s.s_suppkey AS VARCHAR)
+    WHERE s.s_nationkey < 10
+    """,
+    "J2 replace with=root (main.rs:2415-2427): same join shape on the root ref",
+)
+def j2_replace_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn("root", F.col("l_suppkey").cast("string"))
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 10)
+        .withColumn("id", F.col("s_suppkey").cast("string"))
+    )
+    out = J.replace_with_ref(li, supp, "root", keep_missing_ref=False)
+    return out.select("s_suppkey", "s_name", "l_linenumber")
 
 
 @_register(
