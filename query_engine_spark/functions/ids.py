@@ -34,7 +34,8 @@ def datetime_to_tid(dt: _dt.datetime) -> str:
     64-bit value, matching data_encoding's unpadded big-endian encode)."""
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=_dt.timezone.utc)
-    micros = int(dt.timestamp() * 1_000_000)
+    # exact integer micros — float timestamp()*1e6 drops the last µs
+    micros = (dt - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)) // _dt.timedelta(microseconds=1)
     v = (micros << 9) & ((1 << 64) - 1)
     # 64 bits → 13 base32 chars (ceil(64/5)=13), value left-aligned like
     # data_encoding's bit-stream encode of the 8 big-endian bytes

@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for wide-input-space components."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from query_engine_spark.functions.ids import datetime_to_tid, tid_to_datetime
+from query_engine_spark.functions.scripting import RHAI_SCOPE_COLUMNS, translate_script
+
+UTC = dt.timezone.utc
+
+# micros range: 2000-01-01 .. 2100-01-01 (TID uses unix_micros << 9, u64)
+_MICROS = st.integers(min_value=946_684_800_000_000, max_value=4_102_444_800_000_000)
+
+
+@given(_MICROS)
+@settings(max_examples=200, deadline=None)
+def test_tid_roundtrip(us):
+    t = dt.datetime.fromtimestamp(us / 1_000_000, tz=UTC)
+    t = dt.datetime.fromtimestamp(us // 1_000_000, tz=UTC) + dt.timedelta(microseconds=us % 1_000_000)
+    tid = datetime_to_tid(t)
+    assert len(tid) == 13
+    assert tid_to_datetime(tid) == t
+
+
+@given(_MICROS, _MICROS)
+@settings(max_examples=200, deadline=None)
+def test_tid_order_preserving(a, b):
+    ta = dt.datetime.fromtimestamp(a // 1_000_000, tz=UTC) + dt.timedelta(microseconds=a % 1_000_000)
+    tb = dt.datetime.fromtimestamp(b // 1_000_000, tz=UTC) + dt.timedelta(microseconds=b % 1_000_000)
+    assert (datetime_to_tid(ta) < datetime_to_tid(tb)) == (ta < tb)
+
+
+_num = st.integers(min_value=0, max_value=1000)
+_ident = st.sampled_from(["likeCount", "replyCount", "repostCount", "imageCount"])
+_cmp = st.sampled_from([">", "<", ">=", "<=", "==", "!="])
+_bool_op = st.sampled_from(["&&", "||"])
+
+
+@st.composite
+def scripts(draw):
+    """Random conjunctions of comparisons — the observed Rhai usage shape."""
+    n = draw(st.integers(min_value=1, max_value=3))
+    parts = []
+    for _ in range(n):
+        parts.append(f"{draw(_ident)} {draw(_cmp)} {draw(_num)}")
+    out = parts[0]
+    for p in parts[1:]:
+        out += f" {draw(_bool_op)} {p}"
+    return out
+
+
+@given(scripts(), st.integers(0, 500), st.integers(0, 50), st.integers(0, 50), st.integers(0, 4))
+@settings(max_examples=60, deadline=None)
+def test_script_translation_matches_python(spark, script, likes, replies, reposts, images):
+    """The translated Catalyst expression must agree with a direct Python
+    evaluation of the same expression over the same scope."""
+    col = translate_script(script, now_epoch_expr="0")
+    # evaluate in python
+    py = (
+        script.replace("&&", " and ")
+        .replace("||", " or ")
+        .replace("likeCount", str(likes))
+        .replace("replyCount", str(replies))
+        .replace("repostCount", str(reposts))
+        .replace("imageCount", str(images))
+    )
+    expected = bool(eval(py))  # noqa: S307 — generated from a fixed grammar
+
+    row = spark.createDataFrame(
+        [(likes, replies, reposts, 0, images)],
+        "like_count int, reply_count int, repost_count int, quote_count int, image_count int",
+    ).select(col.alias("v")).collect()[0]
+    assert bool(row["v"]) == expected
+
+
+def test_script_scope_is_complete():
+    # every scope variable the reference exposes translates (main.rs:2596-2624)
+    for ident in RHAI_SCOPE_COLUMNS:
+        translate_script(f"{ident} == {ident}", now_epoch_expr="0")
+
+
