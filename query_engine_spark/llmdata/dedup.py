@@ -81,15 +81,32 @@ def minhash_signature(col: Column, n_hashes: int = 16, k: int = 3) -> Column:
     return F.array(*elems)
 
 
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine hash family, derived from
+    md5 in plain Python so any SQL oracle can embed the same literals."""
+    import hashlib
+
+    out = []
+    for i in range(n_hashes):
+        a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:8], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:8], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signature_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, n_hashes: int = 16, k: int = 3
 ) -> DataFrame:
     """(id, m0..m{n-1}) signature table via explode + hash-aggregate.
 
-    Spark's higher-order array functions are interpreted, not codegen'd —
-    for wide signatures the explode + groupBy(min×n) form runs in the
-    codegen'd hash aggregate and scales with one doc-keyed shuffle. Docs with
-    no shingles (< k words) drop out, like the reference-free oracle.
+    One md5 per shingle → 31-bit base hash → n affine hashes
+    ``(a_i·h + b_i) mod p`` (products < 2^62: no overflow in any engine) →
+    per-doc min. The affine family keeps the generated code small — a naive
+    md5-per-(shingle, seed) inflates whole-stage codegen compile time by
+    seconds per plan. One doc-keyed shuffle; docs with < k words drop out.
     """
     # Small inputs arrive as one parquet partition; the shingle-hash work is
     # CPU-bound, so spread it across the executors first. (At real scale the
@@ -99,7 +116,12 @@ def minhash_signature_table(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("s"),
     )
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}") for i in range(n_hashes)]
+    h31 = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").bitwiseAND(F.lit(MINHASH_P))
+    tok = tok.withColumn("__h", h31)
+    aggs = [
+        F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_params(n_hashes))
+    ]
     return tok.groupBy("id").agg(*aggs)
 
 
@@ -132,7 +154,9 @@ def lsh_candidate_pairs(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.md5(F.concat_ws("|", *[F.col(f"m{b * r + j}") for j in range(r)])).alias("bh"),
+                    F.md5(
+                        F.concat_ws("|", *[F.col(f"m{b * r + j}").cast("string") for j in range(r)])
+                    ).alias("bh"),
                 )
                 for b in range(bands)
             ])
@@ -164,7 +188,12 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """LSH candidates verified by exact shingle-set Jaccard ≥ threshold.
-    Returns (id_a, id_b, jaccard) — `jaccard` rounded to 6 for portability."""
+    Returns (id_a, id_b, jaccard) — `jaccard` rounded to 6 for portability.
+
+    The (repartitioned) input is persisted once and shared by the signature
+    aggregation and the verify join — otherwise each stage re-scans and
+    re-derives the shingles."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)).persist()
     cand = lsh_candidate_pairs(df, text_col, id_col, n_hashes=n_hashes, bands=bands, k=k)
     sh = df.select(F.col(id_col).alias("id"), F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh"))
     j = (

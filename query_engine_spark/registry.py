@@ -1207,11 +1207,14 @@ _MINHASH_BANDS = 4
 
 def _minhash_oracle() -> str:
     r = _MINHASH_SEEDS // _MINHASH_BANDS
+    params = D.minhash_params(_MINHASH_SEEDS)
+    p = D.MINHASH_P
     sig_cols = ",\n         ".join(
-        f"list_aggregate(list_transform(sl, s -> md5('{i}|' || s)), 'min') AS m{i}" for i in range(_MINHASH_SEEDS)
+        f"min((h31 * {a} + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(params)
     )
     band_exprs = ",\n      ".join(
-        "md5(" + " || '|' || ".join(f"m{b * r + j}" for j in range(r)) + f") AS b{b}" for b in range(_MINHASH_BANDS)
+        "md5(" + " || '|' || ".join(f"CAST(m{b * r + j} AS VARCHAR)" for j in range(r)) + f") AS b{b}"
+        for b in range(_MINHASH_BANDS)
     )
     band_union = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, b{b} AS bh FROM bands" for b in range(_MINHASH_BANDS)
@@ -1219,10 +1222,14 @@ def _minhash_oracle() -> str:
     return f"""
     WITH sh AS ({_SHINGLE_SQL}),
     nonempty AS (SELECT * FROM sh WHERE len(sl) > 0),
+    tok AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(sl)), 1, 8))::BIGINT & {p} AS h31
+      FROM nonempty),
     sigs AS (
       SELECT doc_id,
          {sig_cols}
-      FROM nonempty),
+      FROM tok GROUP BY doc_id),
     bands AS (
       SELECT doc_id,
       {band_exprs}
