@@ -559,6 +559,27 @@ def sc1_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sc4_created_at_score",
+    f"""
+    WITH posts AS ({POSTS_VIEW_ORACLE_SQL}),
+    b AS (SELECT id, CAST(epoch_us(ts) // 1000000 AS DOUBLE) AS s FROM posts),
+    n AS (SELECT id, s / nullif(max(s) OVER (), 0) * 1.0 AS c FROM b)
+    SELECT id, round(coalesce(c, 0), 6) AS score FROM n
+    """,
+    "SC4 score.add from=created_at: score = epoch seconds (integer millis/1000, main.rs:2201-2208), normalized",
+)
+def sc4_created_at_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = posts_view(spark, sf_dir)
+    s = F.floor(F.unix_millis(F.col("ts")) / 1000).cast("double")
+    posts = posts.withColumn("__s", s)
+    mx = F.max("__s").over(Window.partitionBy())
+    return posts.select(
+        "id",
+        F.round(F.coalesce(F.col("__s") / F.nullif(mx, F.lit(0.0)) * 1.0, F.lit(0.0)), 6).alias("score"),
+    )
+
+
+@_register(
     "o3_sort_counts",
     f"""
     WITH posts AS ({POSTS_VIEW_ORACLE_SQL})
@@ -813,6 +834,28 @@ def j5_all_replies(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").withColumn("root", F.col("l_suppkey").cast("string"))
     out = J.replace_with_inverse(seeds, li, "root")
     return out.select("l_orderkey", "l_linenumber", "l_suppkey")
+
+
+@_register(
+    "j6_quote_posts",
+    """
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE CAST(l_partkey AS VARCHAR) IN
+      (SELECT CAST(p_partkey AS VARCHAR) FROM part WHERE p_retailprice > 915)
+    """,
+    "J6 replace with=quote_posts: inverted semi-join on 'post:'-prefixed record refs (main.rs:2477-2488)",
+)
+def j6_quote_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_retailprice") > 915)
+        .withColumn("id", F.col("p_partkey").cast("string"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "record", F.concat(F.lit("post:"), F.col("l_partkey").cast("string"))
+    )
+    out = J.replace_with_inverse(seeds, li, "record", strip_prefix=5)
+    return out.select("l_orderkey", "l_linenumber")
 
 
 @_register(
