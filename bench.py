@@ -35,7 +35,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embed_cosine_topk",
+    "embed_srp_near_dup",
     "text_quality",
+    "sessionize_events",
+    "o7_posts_per_user",
     "stream_windowed_counts",
 ]
 
