@@ -119,21 +119,30 @@ def srp_signature_table(
 ) -> DataFrame:
     """(id, code) sign-random-projection signatures: bit b = [Σ_i c_bi·e_i > 0].
 
-    The planes are literal constants (broadcast by value inside the codegen'd
-    expression) — one map-only pass, no shuffle. Cosine-similar vectors agree
-    on most bits (P[bit match] = 1 - θ/π)."""
-    planes = srp_planes(bits, dims)
+    Shape: posexplode the vector → broadcast-join the per-dimension
+    coefficient row (c0..c{bits-1} columns) → one codegen'd aggregate with
+    `bits` conditional sums. (The per-row higher-order-fold form is
+    interpreted and ~10× slower — same lesson as MinHash/SimHash.)
+    Cosine-similar vectors agree on most bits (P[bit match] = 1 - θ/π)."""
+    planes = srp_planes(bits, dims)  # planes[b][i]
+    spark = embeddings.sparkSession
+    coef_rows = [
+        {"i": i, **{f"c{b}": float(planes[b][i]) for b in range(bits)}} for i in range(dims)
+    ]
+    coefs = F.broadcast(spark.createDataFrame(coef_rows))
+    spread = embeddings.repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
+    exploded = spread.select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("i", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    joined = exploded.join(coefs, "i")
+    dots = joined.groupBy("id").agg(
+        *[F.sum(F.col("v") * F.col(f"c{b}")).alias(f"d{b}") for b in range(bits)]
+    )
     code = None
-    for b, coefs in enumerate(planes):
-        plane = F.array(*[F.lit(float(c)) for c in coefs])
-        dot_b = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(dot_b > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    for b in range(bits):
+        bit = F.when(F.col(f"d{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         code = bit if code is None else code + bit
-    return embeddings.select(F.col(id_col).alias("id"), code.alias("code"))
+    return dots.select("id", code.alias("code"))
 
 
 def srp_near_dup_pairs(
@@ -149,7 +158,10 @@ def srp_near_dup_pairs(
     """Scale path for embedding near-dup: SRP code → banded self-join on
     code chunks (candidates = vectors agreeing on ≥1 chunk) → exact cosine
     verify. Recall is tunable via bits/chunks; candidates ≪ n²."""
-    sig = srp_signature_table(embeddings, bits, dims, id_col=id_col, vec_col=vec_col)
+    embeddings = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).persist()
+    sig = srp_signature_table(embeddings, bits, dims, id_col=id_col, vec_col=vec_col).persist()
     width = bits // chunks
     banded = sig.select(
         "id",
