@@ -272,6 +272,53 @@ def simhash_candidate_pairs(
     return pairs
 
 
+def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster) with
+    cluster = min id reachable. Iterative min-label propagation: each round
+    every node adopts the smallest label among itself and its neighbors;
+    converged when no label changes. Rounds needed = graph diameter (near-dup
+    clusters are shallow); each round is one join + one aggregate.
+
+    This is the canonicalization step of a dedup pipeline: keep the doc whose
+    id == cluster, drop the rest.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "nc"), "dst")
+            .groupBy("src")
+            .agg(F.min("nc").alias("min_nc"))
+            .withColumnRenamed("src", "id")
+        )
+        updated = (
+            labels.join(neigh, "id", "left")
+            .select("id", F.least(F.col("cluster"), F.coalesce(F.col("min_nc"), F.col("cluster"))).alias("cluster"))
+            .persist()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.cluster") != F.col("l.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select("id", "cluster")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

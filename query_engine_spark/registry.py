@@ -1248,7 +1248,8 @@ _MINHASH_SEEDS = 16
 _MINHASH_BANDS = 4
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """CTE chain ending in `jp` = verified minhash near-dup pairs."""
     r = _MINHASH_SEEDS // _MINHASH_BANDS
     params = D.minhash_params(_MINHASH_SEEDS)
     p = D.MINHASH_P
@@ -1263,7 +1264,7 @@ def _minhash_oracle() -> str:
         f"SELECT doc_id, {b} AS band, b{b} AS bh FROM bands" for b in range(_MINHASH_BANDS)
     )
     return f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+    sh AS ({_SHINGLE_SQL}),
     nonempty AS (SELECT * FROM sh WHERE len(sl) > 0),
     tok AS (
       SELECT doc_id,
@@ -1286,9 +1287,32 @@ def _minhash_oracle() -> str:
       SELECT id_a, id_b,
              len(list_intersect(sa.ds, sb.ds)) AS i,
              len(list_distinct(list_concat(sa.ds, sb.ds))) AS u
-      FROM cand JOIN shd sa ON sa.doc_id = id_a JOIN shd sb ON sb.doc_id = id_b)
-    SELECT id_a, id_b, round(i * 1.0 / u, 6) AS jaccard FROM j
-    WHERE round(i * 1.0 / u, 6) >= 0.1
+      FROM cand JOIN shd sa ON sa.doc_id = id_a JOIN shd sb ON sb.doc_id = id_b),
+    jp AS (
+      SELECT id_a, id_b, round(i * 1.0 / u, 6) AS jaccard FROM j
+      WHERE round(i * 1.0 / u, 6) >= 0.1)
+    """
+
+
+def _minhash_oracle() -> str:
+    return f"WITH {_minhash_ctes()} SELECT id_a, id_b, jaccard FROM jp"
+
+
+def _cluster_oracle() -> str:
+    """Connected components over the minhash pairs via a recursive CTE:
+    reach = transitive closure (UNION dedups → terminates), cluster = min
+    reachable id."""
+    return f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jp
+      UNION SELECT id_b, id_a FROM jp),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+    SELECT id, min(r) AS cluster FROM reach GROUP BY id
     """
 
 
@@ -1302,6 +1326,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_dedup_pairs(
         docs, n_hashes=_MINHASH_SEEDS, bands=_MINHASH_BANDS, threshold=0.1
     )
+
+
+@_register(
+    "dedup_clusters",
+    _cluster_oracle(),
+    "near-dup clustering: connected components over MinHash pairs (iterative min-label propagation vs recursive-CTE oracle)",
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, n_hashes=_MINHASH_SEEDS, bands=_MINHASH_BANDS, threshold=0.1)
+    return D.dedup_clusters(pairs)
 
 
 def _simhash_oracle() -> str:

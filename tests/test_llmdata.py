@@ -101,6 +101,15 @@ def test_ivf_recall_vs_exact(spark):
     assert approx == exact  # nearest neighbor lives in the probed cell
 
 
+def test_dedup_clusters(spark):
+    # pairs: {1-2, 2-3} chain + {7-8} → clusters {1,2,3}→1 and {7,8}→7
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster"] for r in D.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
 def test_srp_candidates_cover_exact_pairs(spark):
     # SRP banding must not lose the pairs the exact method finds at a high
     # threshold (near-identical vectors agree on nearly all code bits)
