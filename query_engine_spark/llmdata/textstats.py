@@ -103,6 +103,57 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return feats.withColumn("quality", F.round(score, 2))
 
 
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int = 20,
+) -> DataFrame:
+    """BM25 keyword retrieval over the corpus, as two aggregations:
+
+        tf:   explode tokens → per-(doc, term) counts (query terms only)
+        idf:  per-term doc frequency → ln(1 + (N - df + 0.5)/(df + 0.5))
+        score: Σ_terms idf · tf·(k1+1) / (tf + k1·(1 - b + b·len/avglen))
+
+    Shapes: the token explode is the same scan as every other text op; doc
+    frequencies and the average length are tiny aggregates (broadcast). Top
+    docs by (score, id) — a fused top-N.
+    """
+    toks = _tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"), F.size(toks).alias("dl"))
+    n_docs = df.count()
+    avgdl = base.select("id", "dl").distinct().agg(F.avg("dl")).collect()[0][0] or 1.0
+    qt = [t.lower() for t in query_terms]
+    hits = base.filter(F.col("t").isin(qt))
+    tf = hits.groupBy("id", "t").agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "t")
+        .withColumn("idf", F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+        )
+        .groupBy("id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("id"))
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("id"))
+        .limit(top)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(F.col("id").alias(id_col), "score", "rank")
+    )
+
+
 def content_fingerprint(col: Column) -> Column:
     """md5 of the normalized text — the exact-dedup key."""
     return F.md5(normalize_text(col))

@@ -1617,6 +1617,37 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("spark", "join", "data")
+
+
+@_register(
+    "text_bm25_search",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             unnest(string_split_regex({_NORM_SQL}, '\\s+')) AS t,
+             len(string_split_regex({_NORM_SQL}, '\\s+')) AS dl
+      FROM documents),
+    stats AS (SELECT count(*) AS n FROM documents),
+    avgl AS (SELECT avg(dl) AS avgdl FROM (SELECT DISTINCT id, dl FROM base)),
+    hits AS (SELECT * FROM base WHERE t IN {_BM25_TERMS!r}),
+    tf AS (SELECT id, t, count(*) AS tf, min(dl) AS dl FROM hits GROUP BY 1, 2),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT id,
+             round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+      FROM tf JOIN dfreq USING (t), stats, avgl GROUP BY id)
+    SELECT id AS doc_id, score, row_number() OVER (ORDER BY score DESC, id) AS rank
+    FROM scored ORDER BY score DESC, id LIMIT 20
+    """,
+    "BM25 keyword retrieval over the corpus (tf/idf aggregations + fused top-N)",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return Tx.bm25_search(docs, list(_BM25_TERMS), top=20)
+
+
 @_register(
     "text_fingerprint",
     f"""
