@@ -313,9 +313,11 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = updated
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select("id", "cluster")
 
 
