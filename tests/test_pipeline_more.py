@@ -1,0 +1,119 @@
+"""Golden tests for the remaining block-translator paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from query_engine_spark.plans.blocks import PipelineContext, PipelineError, translate_pipeline
+from tests.conftest import NOW
+
+
+def run(spark, posts, blocks, **kw):
+    ctx = PipelineContext(spark=spark, posts=posts, now=NOW, **kw)
+    out = translate_pipeline(blocks, ctx)
+    return [r["key"] for r in out.select("key").collect()]
+
+
+WEEK = {"firehoseSeconds": 7 * 86400}
+
+
+def test_input_tags_block(spark, posts):
+    # tags are lowered before matching (main.rs:1626): "SPARK" tag on key 6
+    blocks = [{"type": "input", "inputType": "tags", "tags": ["spark"], "historySeconds": 7 * 86400}]
+    assert run(spark, posts, blocks) == [1, 2, 6]
+
+
+def test_input_labels_block(spark, posts):
+    blocks = [{"type": "input", "inputType": "labels", "labels": ["self/nsfw"], "historySeconds": 7 * 86400}]
+    assert run(spark, posts, blocks) == [3]
+
+
+def test_input_feed_block(spark, posts):
+    feed = spark.createDataFrame([(1, "p0005"), (2, "p0001"), (3, "p9999")], "__feed_ord int, id string")
+    blocks = [{"type": "input", "inputType": "feed", "feedUri": "at://f"}]
+    # feed order preserved; missing id dropped (main.rs:1732-1737)
+    assert run(spark, posts, blocks, feeds={"at://f": feed}) == [5, 1]
+
+
+def test_input_archived_block(spark, posts):
+    blocks = [{"type": "input", "inputType": "archived", "limit": 3}]
+    # newest-first cap (main.rs:1369-1371)
+    assert run(spark, posts, blocks) == [1, 2, 7]
+
+
+def test_regex_block_via_translator(spark, posts):
+    blocks = [
+        {"type": "input", "inputType": "firehose", **WEEK},
+        {"type": "regex", "value": "spark", "target": "text|alt_text"},
+    ]
+    assert run(spark, posts, blocks) == [1]
+    blocks[1]["invert"] = True
+    assert run(spark, posts, blocks) == [2, 3, 4, 5, 6, 7, 8]
+
+
+def test_language_and_embed_blocks(spark, posts):
+    blocks = [
+        {"type": "input", "inputType": "firehose", **WEEK},
+        {"type": "keep", "subject": "language", "value": "de"},
+    ]
+    assert run(spark, posts, blocks) == [2, 3]
+    blocks = [
+        {"type": "input", "inputType": "firehose", **WEEK},
+        {"type": "keep", "subject": "embed", "value": "post"},  # embed always REMOVES matches
+    ]
+    assert run(spark, posts, blocks) == [1, 2, 3, 4, 6, 7, 8]
+
+
+def test_image_count_and_videos_blocks(spark, posts):
+    blocks = [
+        {"type": "input", "inputType": "firehose", **WEEK},
+        {"type": "keep", "subject": "image_count", "value": "2+"},
+    ]
+    assert run(spark, posts, blocks) == [7]
+    blocks = [
+        {"type": "input", "inputType": "firehose", **WEEK},
+        {"type": "remove", "subject": "videos"},
+    ]
+    assert run(spark, posts, blocks) == [1, 2, 3, 4, 6, 7, 8]
+
+
+def test_score_value_script_block(spark, posts):
+    blocks = [
+        {"type": "input", "inputType": "firehose", **WEEK},
+        {"type": "score", "scoreType": "add", "value": "likeCount * 2", "normalize": False},
+        {"type": "sort", "sortType": "score", "sortDirection": "desc"},
+        {"type": "limit", "count": 2},
+    ]
+    assert run(spark, posts, blocks) == [6, 3]
+
+
+def test_sort_hn_fused_with_limit(spark, posts):
+    blocks = [
+        {"type": "input", "inputType": "firehose", **WEEK},
+        {"type": "sort", "sortType": "hn", "gravity": "1.8"},
+        {"type": "limit", "count": 3},
+    ]
+    got = run(spark, posts, blocks)
+    assert len(got) == 3
+    # newest high-like posts win the decay: key1 (10 likes, 0.1d) beats key6
+    # (100 likes, 6.5d): 10/(2.4+2)^1.8 ≈ 0.69 vs 100/(158)^1.8 ≈ 0.011
+    assert got[0] == 1
+
+
+def test_score_normalization_multiplier(spark, posts):
+    blocks = [
+        {"type": "input", "inputType": "firehose", **WEEK},
+        {"type": "score", "scoreType": "add", "from": "likes",
+         "scoreNormalizationMultiplier": "10.0"},
+        {"type": "sort", "sortType": "score", "sortDirection": "asc"},
+        {"type": "limit", "count": 1},
+    ]
+    got = run(spark, posts, blocks)
+    assert got == [7]  # key 7 has 0 likes → lowest normalized score
+
+
+def test_unknown_block_rejected(spark, posts):
+    with pytest.raises(PipelineError):
+        run(spark, posts, [{"type": "frobnicate"}])
+    with pytest.raises(PipelineError):
+        run(spark, posts, [{"type": "input", "inputType": "mystery"}])
