@@ -124,16 +124,44 @@ def generate_list_skeleton(ctx: ProfileContext, blocks: list[dict[str, Any]]) ->
     }
 
 
+def record_feed_links(
+    ctx: PipelineContext,
+    feed_uri: str,
+    response: dict[str, Any],
+    store_path: str,
+) -> None:
+    """Post↔feed lineage recording (main.rs:2546-2580, LinkedPostsState):
+    append (feed_uri, post, ts) rows for the served feed to a parquet dir —
+    the reference's periodic link dump becomes a partition append."""
+    rows = [(feed_uri, f["post"]) for f in response.get("feed", [])]
+    if not rows:
+        return
+    df = (
+        ctx.spark.createDataFrame(rows, "feed_uri string, post string")
+        .withColumn("served_at", F.lit(ctx.now))
+    )
+    df.write.mode("append").parquet(store_path)
+
+
 class FeedServer:
     """Thin stdlib HTTP wrapper exposing the reference's routes
-    (main.rs:548-565): POST /xrpc/me.skyfeed.builder.generateFeedSkeleton and
-    GET /xrpc/app.skyfeed.feed.getTrendingTags. Demonstration surface for
-    parity — production serving would sit behind a real ASGI server."""
+    (main.rs:548-565, 567-570): POST generateFeedSkeleton + GET
+    getTrendingTags (feed mode) and POST generateListSkeleton (list mode,
+    when a ProfileContext is given). Demonstration surface for parity —
+    production serving would sit behind a real ASGI server."""
 
-    def __init__(self, ctx: PipelineContext, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        ctx: PipelineContext,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        *,
+        profile_ctx: ProfileContext | None = None,
+    ):
         import http.server
 
         api_ctx = ctx
+        api_profile_ctx = profile_ctx
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def log_message(self, *args):  # quiet
@@ -148,14 +176,18 @@ class FeedServer:
                 self.wfile.write(body)
 
             def do_POST(self):
-                if self.path.split("?")[0] != "/xrpc/me.skyfeed.builder.generateFeedSkeleton":
-                    return self._send(404, {"error": "not found"})
+                path = self.path.split("?")[0]
                 n = int(self.headers.get("Content-Length", "0"))
                 try:
                     payload = json.loads(self.rfile.read(n) or b"{}")
                     blocks = payload.get("blocks", payload if isinstance(payload, list) else [])
-                    resp = generate_feed_skeleton(api_ctx, blocks)
-                    self._send(200, resp)
+                    if path == "/xrpc/me.skyfeed.builder.generateFeedSkeleton":
+                        return self._send(200, generate_feed_skeleton(api_ctx, blocks))
+                    if path == "/xrpc/me.skyfeed.builder.generateListSkeleton":
+                        if api_profile_ctx is None:
+                            return self._send(200, {"items": [], "error": "list mode not configured"})
+                        return self._send(200, generate_list_skeleton(api_profile_ctx, blocks))
+                    return self._send(404, {"error": "not found"})
                 except Exception as e:
                     # error-channel parity: errors become a feed payload
                     # (main.rs:1203-1223 wraps errors as an error post)

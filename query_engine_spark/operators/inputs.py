@@ -138,6 +138,7 @@ def input_liked_weighted(
     user_col: str = "user_key",
     post_col: str = "post_key",
     key_col: str = "key",
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """S9 — posts liked by list members, scored Σ 1/(baseLikeCount +
     user_total_likes) (main.rs:1453-1514). Returns posts + `__batch_score`,
@@ -146,8 +147,14 @@ def input_liked_weighted(
     Shape: likes ⋈ list (broadcast semi) → per-user like totals (agg) →
     per-post weight sum (agg) → join posts. Two shuffles on likes, both
     keyed — the minimum for this computation.
+
+    `edges_distinct=True` skips the dedup shuffle when the edge table is
+    already unique per (user, post) — make that an INGEST invariant at scale
+    (the reference's bitmaps are deduped at ingest, main.rs:3335-3362), not a
+    per-query full shuffle of the 100 TB edge table.
     """
-    likes = likes.select(user_col, post_col).distinct()  # bitmap edges are distinct
+    if not edges_distinct:
+        likes = likes.select(user_col, post_col).distinct()  # bitmap edges are distinct
     members = list_df.select(F.col(list_df.columns[0]).alias(user_col)).distinct()
     member_likes = likes.join(F.broadcast(members), user_col, "left_semi")
     user_totals = member_likes.groupBy(user_col).agg(F.count("*").alias("__user_likes"))
@@ -170,6 +177,7 @@ def input_liked_by_likers(
     user_col: str = "user_key",
     post_col: str = "post_key",
     key_col: str = "key",
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """S10 — 2-hop collaborative filtering (main.rs:1515-1605).
 
@@ -187,7 +195,9 @@ def input_liked_by_likers(
     """
     # the reference's like edges are Roaring bitmaps → (user, post) pairs are
     # implicitly distinct (main.rs:61-62); dedupe the edge table to match
-    likes = likes.select(user_col, post_col).distinct()
+    # unless the caller guarantees it at ingest (edges_distinct)
+    if not edges_distinct:
+        likes = likes.select(user_col, post_col).distinct()
     seed_keys = seed_posts.select(F.col(key_col).alias(post_col)).distinct()
     post_totals = likes.groupBy(post_col).agg(F.count("*").alias("__post_likers"))
     seed_likes = likes.join(F.broadcast(seed_keys), post_col, "left_semi")

@@ -89,6 +89,39 @@ def test_list_mode_rejects_dead_blocks(spark, profiles):
         generate_list_skeleton(ctx, [{"type": "sort", "sortType": "likes"}])
 
 
+def test_record_feed_links(spark, posts, tmp_path):
+    from query_engine_spark.api import record_feed_links
+
+    ctx = PipelineContext(spark=spark, posts=posts, now=NOW)
+    resp = generate_feed_skeleton(ctx, BLOCKS)
+    store = str(tmp_path / "links")
+    record_feed_links(ctx, "at://feed/1", resp, store)
+    record_feed_links(ctx, "at://feed/2", resp, store)
+    links = spark.read.parquet(store)
+    assert links.count() == 6
+    got = {(r["feed_uri"], r["post"]) for r in links.collect()}
+    assert ("at://feed/1", "p0006") in got and ("at://feed/2", "p0001") in got
+
+
+def test_http_list_route(spark, posts, profiles):
+    ctx = PipelineContext(spark=spark, posts=posts, now=NOW)
+    pctx = ProfileContext(spark=spark, profiles=profiles)
+    server = FeedServer(ctx, profile_ctx=pctx).start()
+    try:
+        body = json.dumps({"blocks": [
+            {"type": "input", "inputType": "network"},
+            {"type": "regex", "target": "handle", "value": "bsky$"},
+        ]}).encode()
+        req = urllib.request.Request(
+            server.address + "/xrpc/me.skyfeed.builder.generateListSkeleton", data=body
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            resp = json.loads(r.read())
+        assert [i["subject"]["did"] for i in resp["items"]] == ["plc:a", "plc:c"]
+    finally:
+        server.stop()
+
+
 def test_http_server_roundtrip(spark, posts):
     ctx = PipelineContext(spark=spark, posts=posts, now=NOW)
     server = FeedServer(ctx).start()
