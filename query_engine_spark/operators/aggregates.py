@@ -18,6 +18,7 @@ __all__ = [
     "count_views",
     "degree_counts",
     "user_like_totals",
+    "salted_agg",
     "table_stats",
 ]
 
@@ -87,6 +88,47 @@ def degree_counts(follows: DataFrame) -> DataFrame:
 def user_like_totals(likes: DataFrame, *, user_col: str = "user_key") -> DataFrame:
     """A5 — per-user like totals (main.rs:1479-1483)."""
     return likes.groupBy(user_col).agg(F.count("*").alias("like_total"))
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, str],
+    *,
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: partial agg on (key, salt) —
+    spreading a hot key over `salt` reducers — then final agg on key.
+
+    Exact for decomposable aggregates; `aggs` maps column → "sum"|"count"|
+    "max"|"min". Spark's map-side partial aggregation already handles
+    moderate skew; this is the explicit fix when one key dominates entire
+    partitions (e.g. a viral post's like edges). AQE's skew-join handling
+    covers the join side; this covers the groupBy side.
+    """
+    supported = {"sum", "count", "max", "min"}
+    for c, how in aggs.items():
+        if how not in supported:
+            raise ValueError(f"unsupported salted agg {how!r} for {c!r}")
+    salted = df.withColumn("__salt", (F.rand() * salt).cast("int"))
+    partial_exprs = []
+    final_exprs = []
+    for c, how in aggs.items():
+        out = f"{c}_{how}"
+        if how == "count":
+            partial_exprs.append(F.count(c).alias(out))
+            final_exprs.append(F.sum(out).alias(out))
+        elif how == "sum":
+            partial_exprs.append(F.sum(c).alias(out))
+            final_exprs.append(F.sum(out).alias(out))
+        elif how == "max":
+            partial_exprs.append(F.max(c).alias(out))
+            final_exprs.append(F.max(out).alias(out))
+        else:
+            partial_exprs.append(F.min(c).alias(out))
+            final_exprs.append(F.min(out).alias(out))
+    partial = salted.groupBy(key, "__salt").agg(*partial_exprs)
+    return partial.groupBy(key).agg(*final_exprs)
 
 
 def table_stats(tables: dict[str, DataFrame]) -> DataFrame:

@@ -18,6 +18,41 @@ def _batch(spark, rows):
     )
 
 
+def test_streaming_ingest_into_store(spark, tmp_path):
+    """EP3 as Structured Streaming: readStream → foreachBatch(store.ingest)."""
+    src = _batch(spark, [(1, 0.1, "a"), (2, 1.2, "b"), (2, 1.2, "b2"), (3, 2.5, "c")])
+    src_path = str(tmp_path / "stream_src")
+    src.write.parquet(src_path)
+    store = PostStore(spark, str(tmp_path / "stream_store"))
+
+    stream = spark.readStream.schema(src.schema).parquet(src_path)
+    q = (
+        stream.writeStream.foreachBatch(lambda batch, epoch: store.ingest(batch))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"] for r in store.read().collect()}
+    assert got == {1, 2, 3}  # in-batch duplicate id=2 deduped
+
+
+def test_salted_agg_exact(spark):
+    from query_engine_spark.operators.aggregates import salted_agg
+    from pyspark.sql import functions as F
+
+    # one hot key (90% of rows) + tail
+    df = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    counts = {r["k"]: r["v_count"] for r in salted_agg(df, "k", {"v": "count"}).collect()}
+    sums = {r["k"]: r["v_sum"] for r in salted_agg(df, "k", {"v": "sum"}).collect()}
+    exact_c = {r["k"]: r["c"] for r in df.groupBy("k").agg(F.count("v").alias("c")).collect()}
+    exact_s = {r["k"]: r["s"] for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    assert counts == exact_c and sums == exact_s
+
+
 def test_store_lifecycle(spark, tmp_path):
     store = PostStore(spark, str(tmp_path / "store"))
 
