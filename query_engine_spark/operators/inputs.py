@@ -99,11 +99,58 @@ def input_feed(posts: DataFrame, feed_ids: DataFrame, *, id_col: str = "id") -> 
     )
 
 
-def input_did(posts: DataFrame, author_key, *, author: str = "author_key") -> DataFrame:
-    """S6 — one user's posts (main.rs:1738-1779). With full history in
-    parquet, the reference's "fetch remote for full history" special case
-    disappears: it is the same pruned scan."""
-    return posts.filter(F.col(author) == F.lit(author_key))
+def input_did(
+    posts: DataFrame,
+    author_key,
+    *,
+    author: str = "author_key",
+    collection: str = "post",
+    likes: DataFrame | None = None,
+    reposts: DataFrame | None = None,
+    parent_col: str = "parent",
+    key_col: str = "key",
+    user_col: str = "user_key",
+    post_col: str = "post_key",
+) -> DataFrame:
+    """S6 — one user's rows by the `collection` matrix (prefetch
+    main.rs:1300-1344, SQL templates main.rs:3755-3757):
+
+        starts_with "post"   → authored top-level posts (parent == "")
+        contains    "reply"  → authored replies (parent != "")
+        contains    "repost" → posts the user reposted (edge table)
+        ends_with   "like"   → posts the user liked (edge table)
+
+    Parts union in that order (the reference appends sequentially). With full
+    history in parquet the reference's "fetch remote" special case disappears:
+    each part is a pruned scan or a broadcast semi-join on one user's edges.
+    `withCounts` is an ingest concern here — counts are refreshed by
+    streaming.ingest.merge_counts, not per query."""
+    authored = posts.filter(F.col(author) == F.lit(author_key))
+    has_parent = parent_col in posts.columns
+    parts: list[DataFrame] = []
+    if collection.startswith("post"):
+        # tables without a parent ref have no reply notion — all rows are posts
+        parts.append(
+            authored.filter(F.coalesce(F.col(parent_col), F.lit("")) == "") if has_parent else authored
+        )
+    if "reply" in collection and has_parent:
+        parts.append(authored.filter(F.coalesce(F.col(parent_col), F.lit("")) != ""))
+    if "repost" in collection:
+        if reposts is None:
+            raise ValueError("collection includes 'repost' but no reposts edge table given")
+        keys = reposts.filter(F.col(user_col) == F.lit(author_key)).select(F.col(post_col).alias(key_col))
+        parts.append(posts.join(F.broadcast(keys.distinct()), key_col, "left_semi"))
+    if collection.endswith("like"):
+        if likes is None:
+            raise ValueError("collection includes 'like' but no likes edge table given")
+        keys = likes.filter(F.col(user_col) == F.lit(author_key)).select(F.col(post_col).alias(key_col))
+        parts.append(posts.join(F.broadcast(keys.distinct()), key_col, "left_semi"))
+    if not parts:
+        return posts.limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def input_post(posts: DataFrame, post_id, *, id_col: str = "id") -> DataFrame:

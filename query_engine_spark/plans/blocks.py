@@ -56,6 +56,7 @@ class PipelineContext:
     spark: SparkSession
     posts: DataFrame
     likes: DataFrame | None = None
+    reposts: DataFrame | None = None
     follows: DataFrame | None = None
     lists: dict[str, DataFrame] = field(default_factory=dict)  # listUri → member keys
     feeds: dict[str, DataFrame] = field(default_factory=dict)  # feedUri → (id, __feed_ord)
@@ -233,7 +234,13 @@ def _input_block(block, ctx, cur, posts, scores, seq, prepend_seq):
     elif input_type == "labels":
         new = In.input_labels(posts, list(block.get("labels", [])), ctx.now, _seconds(block, "historySeconds", 604800))
     elif input_type == "did":
-        new = In.input_did(posts, block["did"])
+        new = In.input_did(
+            posts,
+            block["did"],
+            collection=block.get("collection", "post"),
+            likes=ctx.likes,
+            reposts=ctx.reposts,
+        )
     elif input_type == "feed":
         uri = block.get("feedUri")
         if uri not in ctx.feeds:

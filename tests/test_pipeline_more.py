@@ -112,6 +112,18 @@ def test_score_normalization_multiplier(spark, posts):
     assert got == [7]  # key 7 has 0 likes → lowest normalized score
 
 
+def test_input_did_collection_matrix(spark, posts, likes):
+    # author 2: key3 (post), key4 (reply). "post" → only key3
+    blocks = [{"type": "input", "inputType": "did", "did": 2, "collection": "post"}]
+    assert run(spark, posts, blocks) == [3]
+    # "post_reply" hits both branches of the matrix (main.rs:1319-1336)
+    blocks = [{"type": "input", "inputType": "did", "did": 2, "collection": "post_reply"}]
+    assert run(spark, posts, blocks) == [3, 4]
+    # trailing "like": posts user 10 liked (edge table) — keys 1,2,3
+    blocks = [{"type": "input", "inputType": "did", "did": 10, "collection": "like"}]
+    assert run(spark, posts, blocks, likes=likes) == [1, 2, 3]
+
+
 def test_unknown_block_rejected(spark, posts):
     with pytest.raises(PipelineError):
         run(spark, posts, [{"type": "frobnicate"}])
