@@ -32,6 +32,7 @@ __all__ = [
     "merge_counts",
     "apply_label_retractions",
     "retention_filter",
+    "streaming_count_view",
     "streaming_windowed_counts",
 ]
 
@@ -73,6 +74,32 @@ def retention_filter(df: DataFrame, now: _dt.datetime, days: int = 7, ts: str = 
     view it is this filter, which also prunes partitions."""
     cutoff = now - _dt.timedelta(days=days)
     return df.filter(F.col(ts) >= F.lit(cutoff))
+
+
+def streaming_count_view(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    key: str = "post_key",
+    query_name: str = "count_view",
+) -> DataFrame:
+    """A3 as a live incremental aggregation: per-key edge counts maintained
+    in update mode — the streaming replacement for the reference's tiered
+    count-view refresh loop (main.rs:353-443). Complete-mode memory sink so
+    the drained table equals the batch groupBy (asserted in tests); in
+    production this would be update-mode into a keyed sink/state store."""
+    agg = edges.groupBy(key).agg(F.count("*").alias("cnt"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
 
 
 def streaming_windowed_counts(

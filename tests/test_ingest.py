@@ -56,6 +56,18 @@ def test_retention(posts):
     assert sorted(r["key"] for r in kept1.collect()) == [1, 2, 3, 7, 8]
 
 
+def test_streaming_count_view(spark, tmp_path, likes):
+    from query_engine_spark.streaming.ingest import streaming_count_view
+
+    path = str(tmp_path / "likes_stream")
+    likes.write.parquet(path)
+    stream = spark.readStream.schema(likes.schema).parquet(path)
+    out = streaming_count_view(spark, stream, query_name="t_cv")
+    got = {r["post_key"]: r["cnt"] for r in out.collect()}
+    batch = {r["post_key"]: r["c"] for r in likes.groupBy("post_key").agg(F.count("*").alias("c")).collect()}
+    assert got == batch
+
+
 def test_streaming_windowed_counts(spark, tmp_path):
     # drive the streaming pipeline from a parquet directory source
     from query_engine_spark.streaming.ingest import streaming_windowed_counts
