@@ -166,6 +166,11 @@ REGEX_TARGETS = {
 
 
 def _java_pattern(pattern: str, case_sensitive: bool) -> str:
+    # the Rust engine rewrites BOTH \b and \B to its ASCII boundary (?-u:\b)
+    # (main.rs:1983-1987 — yes, \B becomes a word BOUNDARY there); feeds
+    # written against the reference depend on that observable behavior, so
+    # replicate it, then translate the Rust form back to Java's \b
+    pattern = pattern.replace("\\B", "(?-u:\\b)")
     pattern = pattern.replace("(?-u:\\b)", "\\b")
     if not case_sensitive:
         pattern = "(?i)" + pattern

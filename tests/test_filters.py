@@ -86,3 +86,6 @@ def test_regex_targets(posts):
     assert inv == [2, 3, 4, 5, 6, 7, 8]
     # the Rust engine's (?-u:\b) rewrite is translated back to Java \b
     assert keys(posts.filter(Fi.regex_match(r"(?-u:\b)spark(?-u:\b)", "text"))) == [1]
+    # bug-for-bug parity: the reference rewrites \B to a word BOUNDARY too
+    # (main.rs:1983-1987), so \Bspark\B behaves like \bspark\b
+    assert keys(posts.filter(Fi.regex_match(r"\Bspark\B", "text"))) == [1]
