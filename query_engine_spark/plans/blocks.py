@@ -254,7 +254,8 @@ def _input_block(block, ctx, cur, posts, scores, seq, prepend_seq):
     elif input_type == "archived":
         newest_first = not block.get("oldestFirst", False)
         limit = int(block.get("limit", 1000))
-        new = In.input_archived(posts, None, limit, newest_first=newest_first)
+        pred = _archived_children_pred(block.get("children", []))
+        new = In.input_archived(posts, pred, limit, newest_first=newest_first)
         order_keys = ["ts", "id"] if not newest_first else [F.col("ts").desc(), F.col("id").desc()]
     elif input_type == "custom_likedweighted":
         if ctx.likes is None:
@@ -291,6 +292,46 @@ def _input_block(block, ctx, cur, posts, scores, seq, prepend_seq):
     if "__feed_ord" in new.columns:
         new = new.drop("__feed_ord")
     return append_union(cur, new), seq + 1, prepend_seq
+
+
+def _archived_children_pred(children):
+    """Nested filters of input.archived (main.rs:784-899), ANDed and pushed
+    into the cold scan BEFORE the limit:
+    - regex with target key `regexType` (same targets as F14)
+    - keep/remove like_count with `min` → like_count >= min
+    - keep/remove videos → video presence
+    - tags child: dead code in the reference (collected, never applied)
+    """
+    pred = None
+
+    def conj(p):
+        nonlocal pred
+        pred = p if pred is None else (pred & p)
+
+    for child in children:
+        c_type = child.get("type")
+        if c_type == "regex":
+            conj(
+                Fi.regex_match(
+                    child["value"],
+                    child.get("regexType", "text"),
+                    case_sensitive=child.get("caseSensitive", False),
+                    invert=child.get("invert", False),
+                )
+            )
+        elif c_type in ("keep", "remove"):
+            subject = child.get("subject")
+            if subject == "like_count" and "min" in child:
+                conj(F.col("like_count") >= int(child["min"]))
+            elif subject == "videos":
+                conj(Fi.is_video() if c_type == "keep" else ~Fi.is_video())
+            elif subject == "tags":
+                pass  # dead code in the reference (main.rs:883-888)
+            else:
+                raise PipelineError(f"unsupported archived child subject {subject!r}")
+        else:
+            raise PipelineError(f"unsupported archived child type {c_type!r}")
+    return pred
 
 
 def _filter_block(block, ctx, cur, scores, now_epoch):

@@ -41,6 +41,21 @@ def test_input_archived_block(spark, posts):
     assert run(spark, posts, blocks) == [1, 2, 7]
 
 
+def test_input_archived_children_pushdown(spark, posts):
+    blocks = [{
+        "type": "input", "inputType": "archived", "limit": 10,
+        "children": [
+            {"type": "regex", "value": "spark|deutscher|quoting", "regexType": "text"},
+            {"type": "keep", "subject": "like_count", "min": 8},
+        ],
+    }]
+    # text matches: 1 (spark, 10 likes), 3 (deutscher, 50), 5 (quoting, 7);
+    # min 8 drops 5 → newest-first: 1, 3
+    assert run(spark, posts, blocks) == [1, 3]
+    blocks[0]["children"].append({"type": "keep", "subject": "videos"})
+    assert run(spark, posts, blocks) == []
+
+
 def test_regex_block_via_translator(spark, posts):
     blocks = [
         {"type": "input", "inputType": "firehose", **WEEK},
