@@ -75,6 +75,47 @@ def langid(col: Column, default: str = "und") -> Column:
     return F.when(best > 0, pred).otherwise(F.lit(default))
 
 
+# tiny per-language character-trigram profiles (the classic n-gram heuristic;
+# profiles chosen from distinctive function-word trigrams)
+CHAR_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "ing", "ion", " th", "of "),
+    "de": ("der", "ein", "ich", "sch", "und", "die"),
+    "fr": ("les", "ent", "que", "des", " de", "ait"),
+    "es": ("que", " de", "los", "ado", "nte", "es "),
+}
+
+
+def char_trigrams(col: Column) -> Column:
+    """All character trigrams of the normalized text (array<string>)."""
+    t = normalize_text(col)
+    n = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(0)))
+    return F.when(n >= 3, F.transform(idx, lambda i: t.substr(i, F.lit(3)))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def langid_ngram(col: Column, default: str = "und") -> Column:
+    """Character-n-gram language ID: per language, the fraction of the doc's
+    trigrams that appear in the language's profile; argmax with alphabetical
+    tie-break, all-zero → `default`."""
+    tri = char_trigrams(col)
+    n = F.greatest(F.size(tri), F.lit(1))
+
+    def member_of(grams: tuple[str, ...]):
+        return lambda g: g.isin(list(grams))
+
+    scores = {
+        lang: F.size(F.filter(tri, member_of(grams))) / n
+        for lang, grams in CHAR_TRIGRAM_PROFILES.items()
+    }
+    best = F.greatest(*scores.values())
+    pred: Column = F.lit(default)
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit(default))
+
+
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Length / punctuation / stopword-ratio features + a composite score.
 

@@ -1560,6 +1560,46 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", Tx.langid(F.col("text")).alias("lang_pred"))
 
 
+def _langid_ngram_oracle() -> str:
+    langs = Tx.CHAR_TRIGRAM_PROFILES
+    score_cols = ",\n        ".join(
+        f"len(list_filter(tri, g -> g IN ({', '.join(map(repr, grams))}))) * 1.0 / greatest(len(tri), 1) AS s_{lang}"
+        for lang, grams in langs.items()
+    )
+    gl = "greatest(s_en, s_de, s_fr, s_es)"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+    tri_t AS (
+      SELECT doc_id,
+             CASE WHEN length(nt) >= 3
+                  THEN list_transform(range(1, length(nt) - 1), i -> substr(nt, CAST(i AS INT), 3))
+                  ELSE [] END AS tri
+      FROM t),
+    s AS (
+      SELECT doc_id,
+        {score_cols}
+      FROM tri_t)
+    SELECT doc_id,
+      CASE WHEN {gl} = 0 THEN 'und'
+           WHEN s_de = {gl} THEN 'de'
+           WHEN s_en = {gl} THEN 'en'
+           WHEN s_es = {gl} THEN 'es'
+           ELSE 'fr' END AS lang_pred
+    FROM s
+    """
+
+
+@_register(
+    "text_langid_ngram",
+    _langid_ngram_oracle(),
+    "language-ID via character-trigram profiles (the n-gram heuristic variant)",
+)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", Tx.langid_ngram(F.col("text")).alias("lang_pred"))
+
+
 @_register(
     "text_quality",
     """
