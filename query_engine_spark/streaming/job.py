@@ -55,7 +55,11 @@ class PostStore:
         else:
             merged = batch.dropDuplicates([self.id_col])
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy("dt").parquet(self.path)
+        # sort within partitions by id: parquet row-group min/max stats then
+        # prune id-range scans (the TID range-scan analog, SURVEY §4) — the
+        # reference's "time-ordered ids → B-tree range" property, re-created
+        # as a storage layout instead of an index
+        merged.sortWithinPartitions(self.id_col).write.mode("overwrite").partitionBy("dt").parquet(self.path)
 
     def serving_view(self, now: _dt.datetime, days: int = 7) -> DataFrame:
         """The reference's in-RAM window (main.rs:218-222) as a pruned read:
