@@ -1089,6 +1089,49 @@ def a4_degree_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "agg_distinct_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS users,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY 1
+    """,
+    "distinct aggregation (beyond the reference's surface): exact distinct users per event type",
+)
+def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users"),
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+
+
+@_register(
+    "agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "CUBE grouping sets (beyond the reference's surface): status × priority with grouping flags",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@_register(
     "a7_admin_stats",
     """
     SELECT 'customer' AS tbl, count(*) AS rows_n FROM customer UNION ALL
