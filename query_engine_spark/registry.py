@@ -1132,6 +1132,73 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "agg_pivot",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'view') AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+    FROM events GROUP BY 1
+    """,
+    "pivot: event types to columns of per-user counts",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .fillna(0, ["click", "view", "purchase"])
+    )
+    return out.select("user_id", "click", "view", "purchase")
+
+
+@_register(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS total, CAST(qty AS DOUBLE) AS qty
+    FROM customer, orders,
+         (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem GROUP BY 1) lq
+    WHERE o_orderkey = l_orderkey AND c_custkey = o_custkey AND qty > 150
+    """,
+    "TPC-H Q18 shape: aggregate-subquery + HAVING-style threshold join-back",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty")).filter(F.col("qty") > 150)
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select("c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"), F.col("qty").cast("double").alias("qty"))
+    )
+
+
+@_register(
+    "window_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+    FROM orders
+    """,
+    "window frames: per-customer running revenue (partitioned cumulative sum)",
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running")
+    )
+
+
+@_register(
     "a7_admin_stats",
     """
     SELECT 'customer' AS tbl, count(*) AS rows_n FROM customer UNION ALL
