@@ -148,6 +148,8 @@ def normalize_posts(df: DataFrame) -> DataFrame:
         out = out.withColumn("ts", F.to_timestamp("created_at"))
     else:
         out = out.withColumn("ts", F.coalesce(F.col("ts"), F.to_timestamp("created_at")))
+    if "author_key" not in cols:
+        out = out.withColumn("author_key", F.lit(None).cast("long"))
     for c in ("video",):
         if c not in cols:
             out = out.withColumn(c, F.lit(None).cast(VIDEO_TYPE))
