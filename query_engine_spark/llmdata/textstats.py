@@ -195,6 +195,56 @@ def bm25_search(
     )
 
 
+def contamination_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Train/test contamination check: (train_id, test_id, shared n-gram
+    count) for every pair sharing ≥ min_hits word n-grams — the standard
+    benchmark-leakage detector. The join is keyed on the n-gram, so only
+    colliding documents meet; at 100 TB drop stop-grams first (df cap) the
+    same way ngram_jaccard_pairs does."""
+    from query_engine_spark.llmdata.dedup import word_shingles
+
+    def grams(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(name),
+            F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("g"),
+        )
+
+    tr = grams(train, "train_id")
+    te = grams(test, "test_id")
+    return (
+        tr.join(te, "g")
+        .groupBy("train_id", "test_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_hits)
+    )
+
+
+# PII-ish patterns (emails, international-ish phone numbers, IPv4) — the
+# redaction pass a training-data pipeline runs before tokenization
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>"),
+    ("\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Sequentially apply the PII regex redactions (order matters: emails
+    before phones so digits in addresses don't half-match)."""
+    out = col
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 def content_fingerprint(col: Column) -> Column:
     """md5 of the normalized text — the exact-dedup key."""
     return F.md5(normalize_text(col))

@@ -1849,6 +1849,55 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_contamination",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    tok AS (SELECT DISTINCT doc_id, unnest(sl) AS g FROM sh),
+    tr AS (SELECT doc_id AS train_id, g FROM tok WHERE doc_id % 2 = 0),
+    te AS (SELECT doc_id AS test_id, g FROM tok WHERE doc_id % 2 = 1)
+    SELECT train_id, test_id, count(*) AS shared_ngrams
+    FROM tr JOIN te USING (g)
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+    "train/test contamination: shared word n-grams between two corpus splits (benchmark-leakage detector)",
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    return Tx.contamination_pairs(train, test, n=3, min_hits=3)
+
+
+@_register(
+    "text_redact_pii",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text || ' contact: u' || doc_id || '@example.com or +1 555 000 ' || doc_id,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'),
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+    FROM documents
+    """,
+    "PII redaction pass (emails/phones/IPs) — synthetic PII appended then scrubbed",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_pii = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555 000 "),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return with_pii.select("doc_id", Tx.redact_pii(F.col("text")).alias("redacted"))
+
+
+@_register(
     "stream_windowed_counts",
     """
     SELECT epoch_us(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))) AS w_us,
