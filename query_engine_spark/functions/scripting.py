@@ -11,20 +11,29 @@ filter (/root/reference/src/main.rs:1952-1971) and `score value` blocks
     ageSeconds : now - created_at, whole seconds
     score    : accumulated global score (float; `where` only)
 
-Observed scripts are arithmetic/boolean expressions over that scope. We
-translate them to a Spark SQL expression (JVM-side, codegen'd — the fast
-path); scripts using Rhai features beyond the expression grammar are rejected
-with ``ScriptTranslationError`` so callers can surface a clear error (a
-sandboxed Python UDF fallback would be the slow path; not wired by default
-because nothing in the observed surface needs it).
+Two-tier design:
 
-Translation is a strict tokenizer + identifier mapping, not a regex splice:
-unknown identifiers/operators fail loudly rather than producing wrong SQL.
+1. **SQL tier (default, fast path)**: scripts parse to a small AST and emit a
+   Catalyst SQL expression — JVM-side, whole-stage codegen. Covers
+   arithmetic/boolean expressions PLUS `let` bindings (inlined) and
+   `if cond { .. } else { .. }` expressions (emitted as CASE WHEN).
+2. **Sandboxed UDF tier (opt-in slow path, ``allow_udf=True``)**: scripts
+   using imperative Rhai the SQL tier can't express — variable reassignment,
+   `while` loops, early `return`, statement-position `if` — run in a
+   restricted interpreter over the SAME fixed scope, wrapped in an
+   Arrow-batched pandas UDF. It is a closed interpreter over the parsed AST
+   (no eval/exec, no attribute access, no names beyond the scope), so the
+   sandbox boundary is the grammar itself. Opt-in because a Python UDF breaks
+   codegen and is the documented 10-100× slow path.
+
+Anything outside the grammar of BOTH tiers raises ``ScriptTranslationError``
+with a position, rather than producing wrong SQL.
 """
 
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
 
 from pyspark.sql import Column, functions as F
 
@@ -33,6 +42,10 @@ __all__ = ["ScriptTranslationError", "translate_script", "RHAI_SCOPE_COLUMNS"]
 
 class ScriptTranslationError(ValueError):
     pass
+
+
+class _NeedsUdf(Exception):
+    """Internal: the AST uses imperative features the SQL tier can't emit."""
 
 
 # scope name → SQL expression over the posts schema (datamodel.POST_SCHEMA).
@@ -52,49 +65,454 @@ RHAI_SCOPE_COLUMNS: dict[str, str] = {
 _TOKEN_RE = re.compile(
     r"""
     \s+
+  | //[^\n]*
   | (?P<num>\d+\.\d+|\d+)
   | (?P<str>"(?:[^"\\]|\\.)*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>&&|\|\||==|!=|<=|>=|[-+*/%<>!()])
+  | (?P<op>&&|\|\||==|!=|<=|>=|[-+*/%<>!(){};=])
     """,
     re.VERBOSE,
 )
 
-_OP_MAP = {"&&": " AND ", "||": " OR ", "!": " NOT ", "==": " = "}
-_KEYWORDS = {"true": "true", "false": "false"}
+_KEYWORDS = {"true", "false", "let", "if", "else", "while", "return"}
 
 
-def translate_script(script: str, *, now_epoch_expr: str = "unix_seconds(current_timestamp())") -> Column:
-    """Translate a Rhai expression to a Column; raises on anything outside
-    the expression grammar (statements, lets, method calls, indexing...)."""
-    out: list[str] = []
+@dataclass
+class _Tok:
+    kind: str  # num | str | ident | op | kw
+    text: str
+    pos: int
+
+
+def _tokenize(script: str) -> list[_Tok]:
+    toks: list[_Tok] = []
     pos = 0
     for m in _TOKEN_RE.finditer(script):
         if m.start() != pos:
             raise ScriptTranslationError(f"unexpected character at {pos}: {script[pos:pos+10]!r}")
         pos = m.end()
-        if m.group(0).isspace():
+        if m.group(0).isspace() or m.group(0).startswith("//"):
             continue
         if m.group("num"):
-            out.append(m.group("num"))
+            toks.append(_Tok("num", m.group("num"), m.start()))
         elif m.group("str"):
-            body = m.group("str")[1:-1].replace("''", "''").replace("'", "''")
-            out.append(f"'{body}'")
+            toks.append(_Tok("str", m.group("str"), m.start()))
         elif m.group("ident"):
-            ident = m.group("ident")
-            if ident in _KEYWORDS:
-                out.append(_KEYWORDS[ident])
-            elif ident in RHAI_SCOPE_COLUMNS:
-                out.append(RHAI_SCOPE_COLUMNS[ident].replace("__now_epoch__", now_epoch_expr))
-            else:
-                raise ScriptTranslationError(f"unknown identifier {ident!r}")
-        elif m.group("op"):
-            op = m.group("op")
-            out.append(_OP_MAP.get(op, op))
+            t = m.group("ident")
+            toks.append(_Tok("kw" if t in _KEYWORDS else "ident", t, m.start()))
         else:
-            raise ScriptTranslationError(f"unsupported token at {m.start()}")
+            toks.append(_Tok("op", m.group("op"), m.start()))
     if pos != len(script):
         raise ScriptTranslationError(f"unexpected trailing input: {script[pos:]!r}")
-    if not out:
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# Parser → AST. Nodes are plain tuples:
+#   ("num", float|int) ("str", s) ("bool", b) ("var", name)
+#   ("un", op, x) ("bin", op, a, b)
+#   ("if", cond, then_block, else_block|None)
+#   ("let", name, expr) ("assign", name, expr) ("return", expr) ("while", c, b)
+#   ("block", [stmts], final_expr|None)
+
+
+class _Parser:
+    def __init__(self, toks: list[_Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> _Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> _Tok:
+        t = self.peek()
+        if t is None:
+            raise ScriptTranslationError("unexpected end of script")
+        self.i += 1
+        return t
+
+    def eat_op(self, op: str) -> None:
+        t = self.next()
+        if t.kind != "op" or t.text != op:
+            raise ScriptTranslationError(f"expected {op!r} at {t.pos} (got {t.text!r})")
+
+    def at_op(self, *ops: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "op" and t.text in ops
+
+    def at_kw(self, kw: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "kw" and t.text == kw
+
+    # block := stmt* expr?   (Rhai: value of a block is its final expression)
+    def block(self, *, until_brace: bool) -> tuple:
+        stmts: list[tuple] = []
+        final = None
+        while True:
+            t = self.peek()
+            if t is None:
+                break
+            if until_brace and t.kind == "op" and t.text == "}":
+                break
+            node, is_stmt = self.statement()
+            if self.at_op(";"):
+                self.eat_op(";")
+                stmts.append(node)
+                continue
+            nxt = self.peek()
+            at_end = nxt is None or (until_brace and nxt.kind == "op" and nxt.text == "}")
+            if at_end:
+                if is_stmt:
+                    stmts.append(node)
+                else:
+                    final = node
+                break
+            # statement-position if/while without a semicolon
+            if is_stmt or node[0] in ("if", "while"):
+                stmts.append(node)
+                continue
+            raise ScriptTranslationError(f"expected ';' or end of block near token {self.i}")
+        return ("block", stmts, final)
+
+    def statement(self) -> tuple[tuple, bool]:
+        if self.at_kw("let"):
+            self.next()
+            name = self.next()
+            if name.kind != "ident":
+                raise ScriptTranslationError(f"expected identifier after let at {name.pos}")
+            self.eat_op("=")
+            return ("let", name.text, self.expr()), True
+        if self.at_kw("return"):
+            self.next()
+            return ("return", self.expr()), True
+        if self.at_kw("while"):
+            self.next()
+            cond = self.expr()
+            self.eat_op("{")
+            body = self.block(until_brace=True)
+            self.eat_op("}")
+            return ("while", cond, body), True
+        # assignment: ident '=' (but not '==')
+        t = self.peek()
+        if (
+            t is not None
+            and t.kind == "ident"
+            and self.i + 1 < len(self.toks)
+            and self.toks[self.i + 1].kind == "op"
+            and self.toks[self.i + 1].text == "="
+        ):
+            self.next()
+            self.eat_op("=")
+            return ("assign", t.text, self.expr()), True
+        return self.expr(), False
+
+    def expr(self) -> tuple:
+        if self.at_kw("if"):
+            return self.if_expr()
+        return self.or_expr()
+
+    def if_expr(self) -> tuple:
+        self.next()  # if
+        cond = self.or_expr()
+        self.eat_op("{")
+        then = self.block(until_brace=True)
+        self.eat_op("}")
+        els = None
+        if self.at_kw("else"):
+            self.next()
+            if self.at_kw("if"):
+                els = ("block", [], self.if_expr())
+            else:
+                self.eat_op("{")
+                els = self.block(until_brace=True)
+                self.eat_op("}")
+        return ("if", cond, then, els)
+
+    def or_expr(self) -> tuple:
+        node = self.and_expr()
+        while self.at_op("||"):
+            self.next()
+            node = ("bin", "||", node, self.and_expr())
+        return node
+
+    def and_expr(self) -> tuple:
+        node = self.cmp()
+        while self.at_op("&&"):
+            self.next()
+            node = ("bin", "&&", node, self.cmp())
+        return node
+
+    def cmp(self) -> tuple:
+        node = self.add()
+        if self.at_op("==", "!=", "<", "<=", ">", ">="):
+            op = self.next().text
+            node = ("bin", op, node, self.add())
+        return node
+
+    def add(self) -> tuple:
+        node = self.mul()
+        while self.at_op("+", "-"):
+            op = self.next().text
+            node = ("bin", op, node, self.mul())
+        return node
+
+    def mul(self) -> tuple:
+        node = self.unary()
+        while self.at_op("*", "/", "%"):
+            op = self.next().text
+            node = ("bin", op, node, self.unary())
+        return node
+
+    def unary(self) -> tuple:
+        if self.at_op("!", "-"):
+            op = self.next().text
+            return ("un", op, self.unary())
+        return self.primary()
+
+    def primary(self) -> tuple:
+        t = self.next()
+        if t.kind == "num":
+            return ("num", float(t.text) if "." in t.text else int(t.text))
+        if t.kind == "str":
+            body = t.text[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+            return ("str", body)
+        if t.kind == "kw" and t.text in ("true", "false"):
+            return ("bool", t.text == "true")
+        if t.kind == "kw" and t.text == "if":
+            self.i -= 1
+            return self.if_expr()
+        if t.kind == "ident":
+            return ("var", t.text)
+        if t.kind == "op" and t.text == "(":
+            node = self.expr()
+            self.eat_op(")")
+            return node
+        raise ScriptTranslationError(f"unexpected token {t.text!r} at {t.pos}")
+
+
+def _parse(script: str) -> tuple:
+    p = _Parser(_tokenize(script))
+    node = p.block(until_brace=False)
+    if p.peek() is not None:
+        raise ScriptTranslationError(f"unexpected token {p.peek().text!r} at {p.peek().pos}")
+    if node[1] == [] and node[2] is None:
         raise ScriptTranslationError("empty script")
-    return F.expr("(" + "".join(out) + ")")
+    return node
+
+
+# ---------------------------------------------------------------------------
+# SQL tier
+
+
+_SQL_OPS = {"&&": "AND", "||": "OR", "==": "="}
+
+
+def _to_sql(node: tuple, env: dict[str, str], now_epoch_expr: str) -> str:
+    kind = node[0]
+    if kind == "num":
+        return repr(node[1]) if isinstance(node[1], float) else str(node[1])
+    if kind == "str":
+        return "'" + node[1].replace("'", "''") + "'"
+    if kind == "bool":
+        return "true" if node[1] else "false"
+    if kind == "var":
+        name = node[1]
+        if name in env:
+            return env[name]
+        if name in RHAI_SCOPE_COLUMNS:
+            return RHAI_SCOPE_COLUMNS[name].replace("__now_epoch__", now_epoch_expr)
+        raise ScriptTranslationError(f"unknown identifier {name!r}")
+    if kind == "un":
+        inner = _to_sql(node[2], env, now_epoch_expr)
+        return f"(NOT {inner})" if node[1] == "!" else f"(- {inner})"
+    if kind == "bin":
+        a = _to_sql(node[2], env, now_epoch_expr)
+        b = _to_sql(node[3], env, now_epoch_expr)
+        op = _SQL_OPS.get(node[1], node[1])
+        return f"({a} {op} {b})"
+    if kind == "if":
+        if node[3] is None:
+            raise _NeedsUdf("if without else in expression position")
+        c = _to_sql(node[1], env, now_epoch_expr)
+        t = _block_to_sql(node[2], dict(env), now_epoch_expr)
+        e = _block_to_sql(node[3], dict(env), now_epoch_expr)
+        return f"(CASE WHEN {c} THEN {t} ELSE {e} END)"
+    if kind in ("assign", "while", "return"):
+        raise _NeedsUdf(f"{kind} statement")
+    raise ScriptTranslationError(f"unsupported node {kind}")
+
+
+def _block_to_sql(block: tuple, env: dict[str, str], now_epoch_expr: str) -> str:
+    _, stmts, final = block
+    for s in stmts:
+        if s[0] == "let":
+            # single-assignment: inline the bound SQL into later references
+            env[s[1]] = _to_sql(s[2], env, now_epoch_expr)
+        else:
+            raise _NeedsUdf(f"statement of kind {s[0]} before the result expression")
+    if final is None:
+        raise _NeedsUdf("block has no final expression")
+    return _to_sql(final, env, now_epoch_expr)
+
+
+# ---------------------------------------------------------------------------
+# Sandboxed interpreter tier (pandas UDF)
+
+
+class _Return(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+_MAX_LOOP_ITERS = 100_000
+
+
+def _eval(node: tuple, env: dict):
+    kind = node[0]
+    if kind in ("num", "str", "bool"):
+        return node[1]
+    if kind == "var":
+        if node[1] in env:
+            return env[node[1]]
+        raise ScriptTranslationError(f"unknown identifier {node[1]!r}")
+    if kind == "un":
+        v = _eval(node[2], env)
+        return (not v) if node[1] == "!" else (-v)
+    if kind == "bin":
+        op = node[1]
+        a = _eval(node[2], env)
+        if op == "&&":
+            return bool(a) and bool(_eval(node[3], env))
+        if op == "||":
+            return bool(a) or bool(_eval(node[3], env))
+        b = _eval(node[3], env)
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            # match the SQL tier: double division (see module docstring)
+            return a / b if b != 0 else None
+        if op == "%":
+            return a % b if b != 0 else None
+        if op == "==":
+            return a == b
+        if op == "!=":
+            return a != b
+        if op == "<":
+            return a < b
+        if op == "<=":
+            return a <= b
+        if op == ">":
+            return a > b
+        if op == ">=":
+            return a >= b
+    if kind == "if":
+        if _eval(node[1], env):
+            return _eval_block(node[2], env)
+        if node[3] is not None:
+            return _eval_block(node[3], env)
+        return None
+    raise ScriptTranslationError(f"unsupported node {kind}")
+
+
+def _eval_stmt(node: tuple, env: dict):
+    kind = node[0]
+    if kind == "let" or kind == "assign":
+        env[node[1]] = _eval(node[2], env)
+        return None
+    if kind == "return":
+        raise _Return(_eval(node[1], env))
+    if kind == "while":
+        n = 0
+        while _eval(node[1], env):
+            _eval_block(node[2], env)
+            n += 1
+            if n > _MAX_LOOP_ITERS:
+                raise ScriptTranslationError("while loop exceeded iteration cap")
+        return None
+    return _eval(node, env)
+
+
+def _eval_block(block: tuple, env: dict):
+    _, stmts, final = block
+    out = None
+    for s in stmts:
+        out = _eval_stmt(s, env)
+    if final is not None:
+        out = _eval(final, env)
+    return out
+
+
+def _udf_column(ast: tuple, now_epoch_expr: str, *, boolean: bool) -> Column:
+    """Evaluate the AST per row over the fixed Rhai scope, as an
+    Arrow-batched pandas UDF. The scope values are computed JVM-side (the
+    same SQL exprs as the fast tier) and shipped as a struct — only the
+    script logic itself runs in Python."""
+    import pandas as pd
+
+    names = list(RHAI_SCOPE_COLUMNS)
+
+    def _run_rows(batch: pd.DataFrame) -> list:
+        results = []
+        for row in batch.itertuples(index=False):
+            env = dict(zip(names, row))
+            try:
+                v = _eval_block(ast, env)
+            except _Return as r:
+                v = r.value
+            results.append(v)
+        return results
+
+    if boolean:
+
+        @F.pandas_udf("boolean")
+        def run(batch: pd.DataFrame) -> pd.Series:
+            return pd.Series([None if v is None else bool(v) for v in _run_rows(batch)], dtype="object")
+
+    else:
+
+        @F.pandas_udf("double")
+        def run(batch: pd.DataFrame) -> pd.Series:
+            vals = [
+                None if v is None else float(v) if not isinstance(v, bool) else (1.0 if v else 0.0)
+                for v in _run_rows(batch)
+            ]
+            return pd.Series(vals, dtype="float64")
+
+    scope = F.struct(
+        *[
+            F.expr(RHAI_SCOPE_COLUMNS[n].replace("__now_epoch__", now_epoch_expr)).alias(n)
+            for n in names
+        ]
+    )
+    return run(scope)
+
+
+def translate_script(
+    script: str,
+    *,
+    now_epoch_expr: str = "unix_seconds(current_timestamp())",
+    allow_udf: bool = False,
+    boolean: bool = False,
+) -> Column:
+    """Translate a Rhai script to a Column.
+
+    Expressions, `let` bindings and `if/else` translate to a Catalyst SQL
+    expression (fast path). Imperative scripts (reassignment, `while`,
+    `return`, statement `if`) need ``allow_udf=True`` and run in the
+    sandboxed interpreter; pass ``boolean=True`` in filter contexts so the
+    UDF tier yields a boolean predicate (the SQL tier's type is already
+    whatever the expression produces, like the reference's eval).
+    """
+    ast = _parse(script)
+    try:
+        return F.expr(_block_to_sql(ast, {}, now_epoch_expr))
+    except _NeedsUdf as why:
+        if not allow_udf:
+            raise ScriptTranslationError(
+                f"script needs the sandboxed UDF tier ({why}); pass allow_udf=True to opt in"
+            ) from None
+        return _udf_column(ast, now_epoch_expr, boolean=boolean)

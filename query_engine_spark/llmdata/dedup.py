@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from query_engine_spark.llmdata import tracked_persist
+
 __all__ = [
     "normalize_text",
     "fingerprint",
@@ -162,8 +164,9 @@ def lsh_candidate_pairs(
             ])
         ).alias("e"),
     ).select("id", "e.band", "e.bh")
-    # materialize before the self-join so the signature agg runs once
-    banded = banded.persist()
+    # materialize before the self-join so the signature agg runs once;
+    # tracked so clear_llmdata_cache() can free it after the collect
+    banded = tracked_persist(banded)
     if max_bucket is not None:
         w = Window.partitionBy("band", "bh")
         banded = banded.withColumn("__n", F.count("*").over(w)).filter(F.col("__n") <= max_bucket).drop("__n")
@@ -193,7 +196,7 @@ def minhash_dedup_pairs(
     The (repartitioned) input is persisted once and shared by the signature
     aggregation and the verify join — otherwise each stage re-scans and
     re-derives the shingles."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)).persist()
+    df = tracked_persist(df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)))
     cand = lsh_candidate_pairs(df, text_col, id_col, n_hashes=n_hashes, bands=bands, k=k)
     sh = df.select(F.col(id_col).alias("id"), F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh"))
     j = (
@@ -243,7 +246,7 @@ def simhash_candidate_pairs(
     """Near-dup pairs by SimHash: band the 32-bit signature into `chunks`
     8-bit chunks (pigeonhole: hamming ≤ chunks-1 ⟹ some chunk equal), join on
     chunk equality, verify with bit_count(xor) ≤ max_hamming."""
-    sig = simhash32_table(df, text_col, id_col).persist()
+    sig = tracked_persist(simhash32_table(df, text_col, id_col))
     width = 32 // chunks
     banded = sig.select(
         "id",
@@ -294,7 +297,7 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
         .withColumn("cluster", F.col("id"))
         .persist()
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         neigh = (
             edges.join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "nc"), "dst")
             .groupBy("src")
@@ -304,8 +307,13 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
         updated = (
             labels.join(neigh, "id", "left")
             .select("id", F.least(F.col("cluster"), F.coalesce(F.col("min_nc"), F.col("cluster"))).alias("cluster"))
-            .persist()
         )
+        # persist bounds recomputation but the logical plan still deepens by
+        # one join per round; truncate the lineage every few rounds so a
+        # 100 TB / high-diameter run keeps flat per-iteration planning cost
+        if (it + 1) % 4 == 0:
+            updated = updated.localCheckpoint(eager=False)
+        updated = updated.persist()
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "id")
@@ -339,10 +347,13 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("s"),
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     if max_df is not None:
         dfreq = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
         sh = sh.join(dfreq.select("s"), "s", "left_semi")
+    # sizes AFTER the max_df filter so the Jaccard numerator and denominator
+    # use the same shingle universe (round-1 advice: computing sizes first
+    # biased similarity low when max_df dropped stop-grams)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))

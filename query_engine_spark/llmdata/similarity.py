@@ -158,10 +158,12 @@ def srp_near_dup_pairs(
     """Scale path for embedding near-dup: SRP code → banded self-join on
     code chunks (candidates = vectors agreeing on ≥1 chunk) → exact cosine
     verify. Recall is tunable via bits/chunks; candidates ≪ n²."""
-    embeddings = embeddings.repartition(
-        embeddings.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    ).persist()
-    sig = srp_signature_table(embeddings, bits, dims, id_col=id_col, vec_col=vec_col).persist()
+    from query_engine_spark.llmdata import tracked_persist
+
+    embeddings = tracked_persist(
+        embeddings.repartition(embeddings.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    )
+    sig = tracked_persist(srp_signature_table(embeddings, bits, dims, id_col=id_col, vec_col=vec_col))
     width = bits // chunks
     banded = sig.select(
         "id",

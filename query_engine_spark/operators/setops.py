@@ -45,13 +45,19 @@ class Stash:
     def pop(self, name: str, current: DataFrame, block_seq: int | None = None) -> DataFrame:
         """Append the stashed set back (bag union, main.rs:2319-2326).
 
+        The reference CLONES the stashed Vec on pop — the slot survives, so a
+        key can be popped any number of times (main.rs:2325-2326) — and
+        hard-errors when the key does not exist (main.rs:2320-2324).
+
         The reference appends to the END of the current Vec; with the __ord
         convention that means re-stamping the stashed rows into a NEW block
         (preserving their relative order) so they sort after `current`.
         """
-        stashed = self._slots.pop(name, None)
+        stashed = self._slots.get(name)
         if stashed is None:
-            return current
+            from query_engine_spark.errors import PipelineError
+
+            raise PipelineError(f"stash pop failed: no stash with key {name!r} (main.rs:2320-2324)")
         if block_seq is not None and ORD in stashed.columns:
             from query_engine_spark.operators.ordering import stamp_ord
 
@@ -62,10 +68,13 @@ class Stash:
 
     def subtract(self, name: str, current: DataFrame, key: str = "key") -> DataFrame:
         """Anti-join by post key, bag-preserving on the left
-        (main.rs:2327-2341)."""
+        (main.rs:2327-2341); errors on a missing key like the reference
+        (main.rs:2328-2333)."""
         stashed = self._slots.get(name)
         if stashed is None:
-            return current
+            from query_engine_spark.errors import PipelineError
+
+            raise PipelineError(f"stash subtract failed: no stash with key {name!r} (main.rs:2328-2333)")
         return current.join(stashed.select(key).distinct(), key, "left_anti")
 
     def get(self, name: str) -> DataFrame | None:

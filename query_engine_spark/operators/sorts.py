@@ -96,15 +96,17 @@ def top_n_with_ord(df: DataFrame, sort_cols: Sequence[Column], n: int, block_seq
     survivors instead of the whole input. Use whenever a sort is immediately
     truncated (the translator fuses sort→limit blocks into this)."""
     limited = df.orderBy(*sort_cols).limit(n)
-    return restamp_from_sort(limited, list(sort_cols), block_seq)
+    # ≤ n survivors → a single-task dense window is the cheapest stamp
+    return restamp_from_sort(limited, list(sort_cols), block_seq, bounded=True)
 
 
 def apply_limit(df: DataFrame, n: int = 100) -> DataFrame:
     """Truncate to the first n rows in __ord order (main.rs:2374-2384;
-    default 100, implicit final 500 at main.rs:2510-2512)."""
+    default 100, implicit final 500 at main.rs:2510-2512). `orderBy().limit()`
+    executes as TakeOrderedAndProject — per-partition partial top-N plus a
+    single merge, never a global single-partition sort."""
     if ORD in df.columns:
-        w = Window.orderBy(F.col(ORD))
-        return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= n).drop("__rn")
+        return df.orderBy(F.col(ORD)).limit(n)
     return df.limit(n)
 
 

@@ -40,15 +40,13 @@ from query_engine_spark.operators.ordering import ORD, stamp_ord
 from query_engine_spark.operators.setops import Stash, append_union
 from query_engine_spark.functions.scripting import translate_script
 
+from query_engine_spark.errors import PipelineError
+
 __all__ = ["PipelineContext", "translate_pipeline", "PipelineError"]
 
 MAX_BLOCKS = 32  # main.rs:1240-1254
 MAX_REGEX_BLOCKS = 10  # main.rs:1256-1281
 FINAL_LIMIT = 500  # main.rs:2510-2512
-
-
-class PipelineError(ValueError):
-    pass
 
 
 @dataclass
@@ -141,12 +139,17 @@ def _normalized_batch(batch: DataFrame, block: dict[str, Any]) -> DataFrame:
     if not normalize:
         return batch
     mult = float(block.get("scoreNormalizationMultiplier", "1.0"))
-    from pyspark.sql import Window
-
-    mx = F.max("__batch_score").over(Window.partitionBy())
-    return batch.withColumn(
-        "__batch_score",
-        F.when(mx != 0.0, F.col("__batch_score") / mx * F.lit(mult)).otherwise(F.lit(0.0)),
+    # batch max as a broadcast scalar (agg + crossJoin broadcast), not an
+    # unpartitioned window — same pattern as registry._with_max_ts
+    mx_df = batch.agg(F.max("__batch_score").alias("__qe_mx"))
+    mx = F.col("__qe_mx")
+    return (
+        batch.crossJoin(F.broadcast(mx_df))
+        .withColumn(
+            "__batch_score",
+            F.when(mx != 0.0, F.col("__batch_score") / mx * F.lit(mult)).otherwise(F.lit(0.0)),
+        )
+        .drop("__qe_mx")
     )
 
 
@@ -347,33 +350,48 @@ def _filter_block(block, ctx, cur, scores, now_epoch):
 
     keep = b_type == "keep"
     subject = block.get("subject")
+    # NOTE: the reference IGNORES keep/remove polarity for item / image_count /
+    # count-comparison / language subjects — both spellings remove matching
+    # posts (main.rs:1796-1902; e.g. `keep item value=post` RETAINS replies).
+    # Polarity is honored only for list / where / videos below.
     if subject == "item":
-        value = block.get("value", "post")
+        value = block.get("value") or "reply"  # default "reply" (main.rs:1801-1805)
         if value == "post":
-            pred = ~Fi.is_reply()
-        elif value == "reply":
-            pred = Fi.is_reply()
-        elif value == "repost":
-            return cur  # no-op in the reference (main.rs:1806)
-        elif value == "has_labels":
-            pred = Fi.has_labels()
-        elif value == "has_no_labels":
-            pred = ~Fi.has_labels()
-        else:
-            raise PipelineError(f"unknown item value {value!r}")
-        return Fi.apply_filter(cur, pred, keep=keep)
+            return cur.filter(Fi.is_reply())  # remove non-replies (main.rs:1807-1808)
+        if value == "reply":
+            return cur.filter(~Fi.is_reply())
+        if value == "repost":
+            return cur  # no-op in the reference (main.rs:1811)
+        if value == "has_labels":
+            return cur.filter(~Fi.has_labels())
+        if value == "has_no_labels":
+            return cur.filter(Fi.has_labels())
+        raise PipelineError(f"unknown item value {value!r}")
     if subject == "image_count":
-        return Fi.apply_filter(cur, Fi.image_count_is(str(block.get("value", "0"))), keep=keep)
+        value = str(block.get("value") or "0")
+        # remove-matching in both polarities (main.rs:1817-1830)
+        return cur.filter(~Fi.image_count_is(value))
     if subject in ("reply_count", "repost_count", "like_count"):
-        return Fi.apply_filter(
-            cur, Fi.count_cmp(subject, block.get("operator", ">"), float(block.get("value", 0))), keep=keep
-        )
+        # default operator "<"; remove-matching: `< v` retains >= v
+        # (main.rs:1831-1884); value is required there (unwrap)
+        if "value" not in block:
+            raise PipelineError(f"{subject} filter requires a value (main.rs:1832)")
+        op = block.get("operator") or "<"
+        if op not in ("<", ">", "==", "!="):
+            raise PipelineError(f"unsupported {subject} operator {op!r}")
+        return cur.filter(~Fi.count_cmp(subject, op, int(block["value"])))
     if subject == "language":
-        op = block.get("operator", "==")
-        pred = Fi.language_is(block.get("value", "en"))
+        # key is `language` (default "en"), default operator "!=";
+        # "==" removes posts IN the language, "!=" removes posts NOT in it
+        # (main.rs:1885-1902). `value` accepted as a lenient fallback key.
+        op = block.get("operator") or "!="
+        lang = block.get("language", block.get("value", "en")) or "en"
+        member = Fi.language_is(lang)
+        if op == "==":
+            return cur.filter(~member)
         if op == "!=":
-            pred = ~pred
-        return Fi.apply_filter(cur, pred, keep=keep)
+            return cur.filter(member)
+        return cur  # other operators: no retain call at all (main.rs:1896-1901)
     if subject == "list":
         return Fi.in_list(cur, ctx.resolve_list(block), "author_key", keep=keep)
     if subject == "duplicates":

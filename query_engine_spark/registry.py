@@ -147,10 +147,12 @@ def s7_input_post_prepend(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned = stamp_ord(In.input_post(ev, 42, id_col="event_id"), ["event_id"], 0).withColumn(
         ORD, F.lit(-1).cast("long")
     )
+    # dense: the rank VALUE is part of the query result (oracle row_number)
     window = stamp_ord(
         _with_max_ts(ev).filter(F.col("ts") >= F.col("__mx") - F.expr("INTERVAL 6 HOUR")).drop("__mx"),
         ["event_id"],
         0,
+        dense=True,
     )
     return append_union(pinned, window).select(F.col(ORD).alias("ord"), "event_id")
 
@@ -525,11 +527,13 @@ def f15_profile_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sc_hn_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = _with_max_ts(posts_view(spark, sf_dir))
     age_us = F.unix_micros("__mx") - F.unix_micros("ts")
-    w = Window.partitionBy()
     s1 = hn_score_from_micros(F.col("like_count"), age_us, 1.8)
-    posts = posts.withColumn("__s1", s1).withColumn("__c1", F.col("__s1") / F.nullif(F.max("__s1").over(w), F.lit(0.0)) * 2.0)
-    posts = posts.withColumn("__s2", F.col("like_count").cast("double")).withColumn(
-        "__c2", F.col("__s2") / F.nullif(F.max("__s2").over(w), F.lit(0.0)) * 1.0
+    posts = posts.withColumn("__s1", s1).withColumn("__s2", F.col("like_count").cast("double"))
+    # both batch maxes in ONE broadcast scalar aggregate (no global window)
+    mxs = posts.agg(F.max("__s1").alias("__mx1"), F.max("__s2").alias("__mx2"))
+    posts = posts.crossJoin(F.broadcast(mxs))
+    posts = posts.withColumn("__c1", F.col("__s1") / F.nullif(F.col("__mx1"), F.lit(0.0)) * 2.0).withColumn(
+        "__c2", F.col("__s2") / F.nullif(F.col("__mx2"), F.lit(0.0)) * 1.0
     )
     return posts.select(
         "id",
@@ -551,7 +555,8 @@ def sc1_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = posts_view(spark, sf_dir)
     expr = translate_script("likeCount * 2 + replyCount", now_epoch_expr="0").cast("double")
     posts = posts.withColumn("__s", expr)
-    mx = F.max("__s").over(Window.partitionBy())
+    posts = posts.crossJoin(F.broadcast(posts.agg(F.max("__s").alias("__qe_mx"))))
+    mx = F.col("__qe_mx")
     return posts.select(
         "id",
         F.round(F.coalesce(F.col("__s") / F.nullif(mx, F.lit(0.0)) * 1.0, F.lit(0.0)), 6).alias("score"),
@@ -572,7 +577,8 @@ def sc4_created_at_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = posts_view(spark, sf_dir)
     s = F.floor(F.unix_millis(F.col("ts")) / 1000).cast("double")
     posts = posts.withColumn("__s", s)
-    mx = F.max("__s").over(Window.partitionBy())
+    posts = posts.crossJoin(F.broadcast(posts.agg(F.max("__s").alias("__qe_mx"))))
+    mx = F.col("__qe_mx")
     return posts.select(
         "id",
         F.round(F.coalesce(F.col("__s") / F.nullif(mx, F.lit(0.0)) * 1.0, F.lit(0.0)), 6).alias("score"),
@@ -695,11 +701,12 @@ def o5_sort_score_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"type": "sort", "sortType": "score", "sortDirection": "desc"},
     ]
     out = translate_pipeline(blocks, ctx)
-    w = Window.orderBy(F.col(ORD))
+    # bounded: post-final-limit working set is <=500 rows
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col(ORD))
     return out.select(F.row_number().over(w).cast("long").alias("ord"), "id", F.round("score", 6).alias("score"))
 
 
-_ORD_BLOCK = 1 << 40
+from query_engine_spark.operators.ordering import _BLOCK_SHIFT as _ORD_BLOCK
 
 
 @_register(
@@ -721,10 +728,11 @@ _ORD_BLOCK = 1 << 40
 )
 def u_stash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    purchases = stamp_ord(ev.filter(F.col("event_type") == "purchase"), ["event_id"], 1)
-    signups = stamp_ord(ev.filter(F.col("event_type") == "signup"), ["event_id"], 2)
+    # dense: ord values are part of the result (oracle computes row_number)
+    purchases = stamp_ord(ev.filter(F.col("event_type") == "purchase"), ["event_id"], 1, dense=True)
+    signups = stamp_ord(ev.filter(F.col("event_type") == "signup"), ["event_id"], 2, dense=True)
     # pop: stash contents re-stamped to follow the current working set
-    popped = stamp_ord(purchases.drop(ORD), ["event_id"], 3)
+    popped = stamp_ord(purchases.drop(ORD), ["event_id"], 3, dense=True)
     cur = append_union(signups, popped)
     high = ev.filter(F.col("value") > 180).select("event_id")
     cur = cur.join(high, "event_id", "left_anti")
@@ -1961,7 +1969,8 @@ def pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"type": "limit", "count": 100},
     ]
     out = translate_pipeline(blocks, ctx)
-    w = Window.orderBy(F.col(ORD))
+    # bounded: post-final-limit working set is <=500 rows
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col(ORD))
     return out.select(F.row_number().over(w).cast("long").alias("ord"), "id", F.round("score", 6).alias("score"))
 
 

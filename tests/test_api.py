@@ -22,7 +22,7 @@ from tests.conftest import NOW
 
 BLOCKS = [
     {"type": "input", "inputType": "firehose", "firehoseSeconds": 7 * 86400, "id": "in"},
-    {"type": "keep", "subject": "item", "value": "post", "id": "keep"},
+    {"type": "keep", "subject": "item", "value": "reply", "id": "keep"},
     {"type": "sort", "sortType": "likes", "sortDirection": "desc"},
     {"type": "limit", "count": 3},
 ]

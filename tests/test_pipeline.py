@@ -23,11 +23,26 @@ def test_firehose_default_window(spark, posts):
 def test_firehose_filter_sort_limit(spark, posts):
     blocks = [
         {"type": "input", "inputType": "firehose", "firehoseSeconds": 7 * 86400},
-        {"type": "keep", "subject": "item", "value": "post"},
+        # item filters ignore polarity and REMOVE the matching kind
+        # (main.rs:1801-1816): value "reply" removes replies, keeping posts
+        {"type": "keep", "subject": "item", "value": "reply"},
         {"type": "sort", "sortType": "likes", "sortDirection": "desc"},
         {"type": "limit", "count": 3},
     ]
     assert run(spark, posts, blocks) == [6, 3, 1]
+
+
+def test_item_filter_removes_matching_both_polarities(spark, posts):
+    # `keep item value=post` REMOVES posts (retains replies) — the reference
+    # ignores keep/remove for this subject (main.rs:1801-1816)
+    week = {"firehoseSeconds": 7 * 86400}
+    base = [{"type": "input", "inputType": "firehose", **week}]
+    keep_post = run(spark, posts, base + [{"type": "keep", "subject": "item", "value": "post"}])
+    remove_post = run(spark, posts, base + [{"type": "remove", "subject": "item", "value": "post"}])
+    assert keep_post == remove_post == [4, 8]  # the replies
+    # default value is "reply" (main.rs:1801-1805) → removes replies
+    default = run(spark, posts, base + [{"type": "keep", "subject": "item"}])
+    assert default == [1, 2, 3, 5, 6, 7]
 
 
 def test_input_post_prepends(spark, posts):

@@ -82,9 +82,11 @@ def test_language_and_embed_blocks(spark, posts):
 def test_image_count_and_videos_blocks(spark, posts):
     blocks = [
         {"type": "input", "inputType": "firehose", **WEEK},
+        # image_count filters REMOVE the matching bucket in both polarities
+        # (main.rs:1817-1830): "2+" drops posts with >= 2 images
         {"type": "keep", "subject": "image_count", "value": "2+"},
     ]
-    assert run(spark, posts, blocks) == [7]
+    assert run(spark, posts, blocks) == [1, 2, 3, 4, 5, 6, 8]
     blocks = [
         {"type": "input", "inputType": "firehose", **WEEK},
         {"type": "remove", "subject": "videos"},
@@ -144,3 +146,55 @@ def test_unknown_block_rejected(spark, posts):
         run(spark, posts, [{"type": "frobnicate"}])
     with pytest.raises(PipelineError):
         run(spark, posts, [{"type": "input", "inputType": "mystery"}])
+
+
+def test_count_filter_default_operator_and_remove_matching(spark, posts):
+    # default operator is "<" and matching rows are REMOVED regardless of
+    # polarity (main.rs:1831-1884): value=8 retains like_count >= 8
+    blocks = [
+        {"type": "input", "inputType": "firehose", **WEEK},
+        {"type": "keep", "subject": "like_count", "value": 8},
+    ]
+    assert run(spark, posts, blocks) == [1, 3, 6]
+    blocks[1] = {"type": "remove", "subject": "like_count", "value": 8}
+    assert run(spark, posts, blocks) == [1, 3, 6]
+    # ">" removes like_count > 8 → retains <= 8
+    blocks[1] = {"type": "keep", "subject": "like_count", "operator": ">", "value": 8}
+    assert run(spark, posts, blocks) == [2, 4, 5, 7, 8]
+
+
+def test_language_block_reads_language_key(spark, posts):
+    # the reference reads filter["language"] (default "en") with default
+    # operator "!=" (remove posts NOT in the language) — main.rs:1885-1902
+    blocks = [
+        {"type": "input", "inputType": "firehose", **WEEK},
+        {"type": "keep", "subject": "language", "language": "de"},
+    ]
+    assert run(spark, posts, blocks) == [2, 3]
+    # "==" removes posts IN the language, same in both polarities
+    blocks[1] = {"type": "remove", "subject": "language", "language": "de", "operator": "=="}
+    assert run(spark, posts, blocks) == [1, 4, 5, 6, 7, 8]
+    # default language is "en"
+    blocks[1] = {"type": "keep", "subject": "language"}
+    assert run(spark, posts, blocks) == [1, 2, 4, 5, 6, 7, 8]
+
+
+def test_stash_pop_clones_and_missing_key_errors(spark, posts):
+    from query_engine_spark.plans.blocks import PipelineError
+
+    # pop does NOT consume the slot — the reference clones on pop
+    # (main.rs:2325-2326), so the same key pops twice
+    blocks = [
+        {"type": "input", "inputType": "firehose"},  # 1,2,3,7,8
+        {"type": "stash", "action": "stash", "key": "x"},
+        {"type": "stash", "action": "pop", "key": "x"},
+        {"type": "stash", "action": "pop", "key": "x"},
+    ]
+    assert run(spark, posts, blocks) == [1, 2, 3, 7, 8, 1, 2, 3, 7, 8]
+    # pop/subtract of an unknown key hard-error (main.rs:2320-2333)
+    for action in ("pop", "subtract"):
+        with pytest.raises(PipelineError):
+            run(spark, posts, [
+                {"type": "input", "inputType": "firehose"},
+                {"type": "stash", "action": action, "key": "nope"},
+            ])
