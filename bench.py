@@ -61,6 +61,8 @@ def main() -> int:
     for t in TABLES:
         load_table(spark, sf_dir, t).limit(1).count()
 
+    from query_engine_spark.llmdata import clear_llmdata_cache
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -70,17 +72,24 @@ def main() -> int:
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+        # free tracked llmdata persists so queries don't inherit each
+        # other's cached blocks (and a long-lived driver doesn't leak)
+        clear_llmdata_cache()
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+    # per-query history for round-over-round regression tracking (append-only;
+    # see tools/bench_history.py for the diff report)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"), "a") as f:
+            f.write(json.dumps({"ts": int(time.time()), **result}) + "\n")
+    except OSError:
+        pass
     return 0
 
 

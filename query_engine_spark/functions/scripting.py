@@ -35,6 +35,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
+import pandas as pd
+
 from pyspark.sql import Column, functions as F
 
 __all__ = ["ScriptTranslationError", "translate_script", "RHAI_SCOPE_COLUMNS"]
@@ -451,8 +453,6 @@ def _udf_column(ast: tuple, now_epoch_expr: str, *, boolean: bool) -> Column:
     Arrow-batched pandas UDF. The scope values are computed JVM-side (the
     same SQL exprs as the fast tier) and shipped as a struct — only the
     script logic itself runs in Python."""
-    import pandas as pd
-
     names = list(RHAI_SCOPE_COLUMNS)
 
     def _run_rows(batch: pd.DataFrame) -> list:

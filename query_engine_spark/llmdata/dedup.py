@@ -275,7 +275,7 @@ def simhash_candidate_pairs(
     return pairs
 
 
-def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20, on_iteration=None) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster) with
     cluster = min id reachable. Iterative min-label propagation: each round
     every node adopts the smallest label among itself and its neighbors;
@@ -285,11 +285,15 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
     This is the canonicalization step of a dedup pipeline: keep the doc whose
     id == cluster, drop the rest.
     """
+    # localCheckpoint (not just persist): truncates the upstream lineage —
+    # `pairs` usually carries a deep MinHash/banding plan, and every
+    # iteration would otherwise re-analyze that whole tree (plan time, not
+    # data, dominates the loop otherwise)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -323,9 +327,10 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
         )
         labels.unpersist()
         labels = updated
+        if on_iteration is not None:
+            on_iteration(it)
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select("id", "cluster")
 
 

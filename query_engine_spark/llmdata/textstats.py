@@ -16,7 +16,11 @@ __all__ = [
     "quality_features",
     "langid_scores",
     "langid",
+    "langid_ngram_table",
     "content_fingerprint",
+    "hash_bucket",
+    "hash_sample",
+    "top_terms",
     "kmin_fingerprint",
 ]
 
@@ -95,10 +99,44 @@ def char_trigrams(col: Column) -> Column:
     )
 
 
+def langid_ngram_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", default: str = "und"
+) -> DataFrame:
+    """Character-n-gram language ID as (id, lang_pred) — the scale path.
+
+    Same semantics as the Column form ``langid_ngram`` but built as
+    explode → broadcast profile join → two aggregates instead of one
+    per-language higher-order-function expression per row. The HOF form
+    re-inlines the trigram transform ~5× per language and runs interpreted
+    (not codegen'd) — 24 s at sf0.01; this shape is sub-second. Profile rows
+    (~24) broadcast; argmax = min(struct(-score, lang)) for the alphabetical
+    tie-break; docs with no trigrams or zero hits get `default`.
+    """
+    spark = df.sparkSession
+    rows = [(g, lang) for lang, grams in CHAR_TRIGRAM_PROFILES.items() for g in grams]
+    prof = spark.createDataFrame(rows, "gram string, lang string")
+    tri = df.select(F.col(id_col).alias("id"), F.explode(char_trigrams(F.col(text_col))).alias("gram"))
+    totals = tri.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    hits = tri.join(F.broadcast(prof), "gram").groupBy("id", "lang").agg(F.count(F.lit(1)).alias("h"))
+    scored = hits.join(totals, "id").withColumn("s", F.col("h") / F.greatest(F.col("n"), F.lit(1)))
+    best = scored.groupBy("id").agg(
+        F.min(F.struct((-F.col("s")).alias("ns"), F.col("lang").alias("lang"))).alias("b")
+    )
+    picked = best.select("id", F.col("b.lang").alias("lang_pred"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(picked, "id", "left")
+        .select(F.col("id").alias(id_col), F.coalesce("lang_pred", F.lit(default)).alias("lang_pred"))
+    )
+
+
 def langid_ngram(col: Column, default: str = "und") -> Column:
     """Character-n-gram language ID: per language, the fraction of the doc's
     trigrams that appear in the language's profile; argmax with alphabetical
-    tie-break, all-zero → `default`."""
+    tie-break, all-zero → `default`.
+
+    NOTE: per-row HOF form — fine for a handful of rows; use
+    ``langid_ngram_table`` for corpus-scale scoring (see its docstring)."""
     tri = char_trigrams(col)
     n = F.greatest(F.size(tri), F.lit(1))
 
@@ -190,16 +228,12 @@ def bm25_search(
         .groupBy("id")
         .agg(F.round(F.sum("term_score"), 6).alias("score"))
     )
-    from pyspark.sql import Window
+    from query_engine_spark.operators.ordering import dense_rank_over
 
-    # dense rank over the top-N survivors only (bounded single task)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("score").desc(), F.col("id"))
-    return (
-        scored.orderBy(F.col("score").desc(), F.col("id"))
-        .limit(top)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .select(F.col("id").alias(id_col), "score", "rank")
-    )
+    # dense rank over the top-N survivors only (no unpartitioned window)
+    limited = scored.orderBy(F.col("score").desc(), F.col("id")).limit(top)
+    ranked = dense_rank_over(limited, [F.col("score").desc(), F.col("id")], "rank")
+    return ranked.select(F.col("id").alias(id_col), "score", "rank")
 
 
 def contamination_pairs(
@@ -262,3 +296,63 @@ def kmin_fingerprint(col: Column, k: int = 4, shingle: int = 3) -> Column:
     hashes (a k-min sketch — robust to small edits, unlike content_fingerprint)."""
     hashes = F.array_sort(F.transform(F.array_distinct(word_shingles(col, shingle)), F.md5))
     return F.md5(F.concat_ws("|", F.slice(hashes, 1, k)))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling + vocabulary (training-data pipeline staples)
+
+
+def hash_bucket(col: Column, buckets: int = 10_000) -> Column:
+    """Deterministic [0, buckets) bucket from md5 of the value — the
+    engine-portable way to sample reproducibly (same rows in Spark, DuckDB,
+    or any engine with md5; never rand(), which varies by partitioning)."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+    return h % buckets
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float = 0.1,
+    *,
+    id_col: str = "doc_id",
+    strat_col: str | None = None,
+    rates: dict[str, float] | None = None,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic (stratified) sampling: keep a row iff its id's hash
+    bucket falls below the stratum's rate. Map-only — no shuffle, pushes to
+    the scan; at 100 TB this is the only sane way to subsample (rand() isn't
+    reproducible across retries/partitionings, and a groupBy-based sampler
+    shuffles the world).
+
+    `rates` maps strat_col values → rate; unmatched strata use `rate`.
+    """
+    b = hash_bucket(F.col(id_col), buckets)
+    if strat_col is None or not rates:
+        return df.filter(b < int(rate * buckets))
+    thresh: Column = F.lit(int(rate * buckets))
+    for value, r in sorted(rates.items()):
+        thresh = F.when(F.col(strat_col) == value, F.lit(int(r * buckets))).otherwise(thresh)
+    return df.filter(b < thresh)
+
+
+def top_terms(
+    df: DataFrame,
+    k: int = 100,
+    *,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Vocabulary building: top-k tokens by frequency → (term, cnt, rank).
+
+    explode → one hash-keyed aggregate (map-side partial) → fused top-k
+    (TakeOrderedAndProject) → dense rank over the k survivors only.
+    """
+    from query_engine_spark.operators.ordering import dense_rank_over
+
+    toks = df.select(F.explode(_tokens(F.col(text_col))).alias("term")).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") >= min_count)
+    limited = counts.orderBy(F.col("cnt").desc(), F.col("term")).limit(k)
+    return dense_rank_over(limited, [F.col("cnt").desc(), F.col("term")], "rank").select(
+        "term", "cnt", "rank"
+    )

@@ -33,8 +33,11 @@ single partition. Instead:
   (joined back via broadcast). Use only when the dense rank VALUE is part of
   the query result.
 - ``bounded=True``: the input is already bounded (e.g. ≤500 rows after a
-  top-N fusion or the final limit) — a single-task dense window is fine and
-  cheapest; ``partitionBy(lit(0))`` keeps the partition spec non-empty.
+  top-N fusion or the final limit) — routed to the same dense two-phase
+  rank. (A ``partitionBy(lit(0))`` single-task window looks cheaper but the
+  foldable partition key is optimized away, reintroducing the unpartitioned
+  WindowExec; the two-phase rank on a bounded set costs a few tiny jobs and
+  stays warning-free and size-safe.)
 
 Sorting re-stamps ``__ord`` from the sort rank, so downstream order-sensitive
 ops (dedup-first, per-user-top-N, final limit) observe the sorted order —
@@ -51,7 +54,7 @@ ORD = "__ord"
 # mono ids are pid * 2^33 + offset; pid < 2^17 partitions keeps them < 2^50
 _BLOCK_SHIFT = 1 << 50
 
-__all__ = ["ORD", "stamp_ord", "next_block_ord", "restamp_from_sort"]
+__all__ = ["ORD", "stamp_ord", "next_block_ord", "restamp_from_sort", "dense_rank_over"]
 
 
 def _cols(order_by: Sequence[Column | str]) -> list[Column]:
@@ -74,16 +77,13 @@ def stamp_ord(
     """
     cols = _cols(order_by)
     base = F.lit(block_seq * _BLOCK_SHIFT)
-    if bounded:
-        w = Window.partitionBy(F.lit(0)).orderBy(*cols)
-        return df.withColumn(ORD, (base + F.row_number().over(w)).cast("long"))
-    if dense:
-        return _dense_stamp(df, cols, block_seq)
+    if dense or bounded:
+        return _dense_stamp(df, cols, ORD, block_seq * _BLOCK_SHIFT)
     ordered = df.orderBy(*cols)
     return ordered.withColumn(ORD, (base + F.monotonically_increasing_id()).cast("long"))
 
 
-def _dense_stamp(df: DataFrame, cols: list[Column], block_seq: int) -> DataFrame:
+def _dense_stamp(df: DataFrame, cols: list[Column], out_col: str, base: int) -> DataFrame:
     """Two-phase distributed dense rank: range repartition → partition-local
     row_number + per-partition offset. The offset table is one row per shuffle
     partition (tiny); its prefix sums are computed with a triangular self-join
@@ -102,11 +102,18 @@ def _dense_stamp(df: DataFrame, cols: list[Column], block_seq: int) -> DataFrame
     return (
         part.join(F.broadcast(offsets), "__qe_pid")
         .withColumn(
-            ORD,
-            (F.lit(block_seq * _BLOCK_SHIFT) + F.col("__qe_off") + F.row_number().over(w)).cast("long"),
+            out_col,
+            (F.lit(base) + F.col("__qe_off") + F.row_number().over(w)).cast("long"),
         )
         .drop("__qe_pid", "__qe_off")
     )
+
+
+def dense_rank_over(df: DataFrame, order_by: Sequence[Column | str], out_col: str = "rank") -> DataFrame:
+    """Attach a dense 1..N rank column in the given total order, without an
+    unpartitioned window (two-phase distributed rank). For output-facing
+    ranks (the driver-visible `ord`/`rank` columns)."""
+    return _dense_stamp(df, _cols(order_by), out_col, 0)
 
 
 def next_block_ord(block_seq: int) -> int:

@@ -60,6 +60,9 @@ class PipelineContext:
     feeds: dict[str, DataFrame] = field(default_factory=dict)  # feedUri → (id, __feed_ord)
     now: _dt.datetime = field(default_factory=lambda: _dt.datetime.now(_dt.timezone.utc))
     random_seed: int | None = None
+    # opt-in for the sandboxed pandas-UDF script tier (scripting.py): scripts
+    # beyond the SQL grammar (reassignment, while, return) run interpreted
+    allow_udf_scripts: bool = False
 
     def resolve_list(self, block: dict[str, Any]) -> DataFrame:
         """fetch_list (main.rs:3046-3140): Bluesky list membership or a graph
@@ -409,7 +412,12 @@ def _filter_block(block, ctx, cur, scores, now_epoch):
         wanted = [str(x).lower() for x in block.get("labels", [])]
         return cur.filter(~Fi.has_any_label(wanted))
     if subject == "where":
-        pred = translate_script(block["value"], now_epoch_expr=str(now_epoch))
+        pred = translate_script(
+            block["value"],
+            now_epoch_expr=str(now_epoch),
+            allow_udf=ctx.allow_udf_scripts,
+            boolean=True,
+        )
         return Fi.apply_filter(scores.join_onto(cur), pred, keep=keep).drop("score")
     if subject == "videos":
         return Fi.apply_filter(cur, Fi.is_video(), keep=keep)
@@ -420,7 +428,9 @@ def _score_block(block, ctx, cur, scores, now_epoch, now_us):
     if block.get("scoreType", "add") != "add":
         raise PipelineError("only scoreType=add exists (main.rs:2151-2162)")
     if "value" in block:
-        col = translate_script(block["value"], now_epoch_expr=str(now_epoch)).cast("double")
+        col = translate_script(
+            block["value"], now_epoch_expr=str(now_epoch), allow_udf=ctx.allow_udf_scripts
+        ).cast("double")
         batch = scores.join_onto(cur).withColumn("__batch_score", col)
     else:
         from_ = block.get("from", "likes")

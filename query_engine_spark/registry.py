@@ -29,7 +29,7 @@ from query_engine_spark.operators import inputs as In
 from query_engine_spark.operators import joins as J
 from query_engine_spark.operators import aggregates as A
 from query_engine_spark.operators import sorts as So
-from query_engine_spark.operators.ordering import ORD, stamp_ord
+from query_engine_spark.operators.ordering import ORD, dense_rank_over, stamp_ord
 from query_engine_spark.operators.scoring import hn_score_from_micros
 from query_engine_spark.operators.setops import append_union
 from query_engine_spark.functions.scripting import translate_script
@@ -453,6 +453,58 @@ def f12_where_script(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "f12_where_script_stmt",
+    f"""
+    WITH posts AS ({POSTS_VIEW_ORACLE_SQL})
+    SELECT id,
+           round(CASE WHEN like_count + repost_count > 150
+                      THEN (like_count + repost_count) * 2.0
+                      ELSE (like_count + repost_count) / 2.0 END, 6) AS boosted
+    FROM posts
+    WHERE CASE WHEN like_count + repost_count > 150
+               THEN (like_count + repost_count) * 2.0
+               ELSE (like_count + repost_count) / 2.0 END > 120
+    """,
+    "F12 Rhai statements: let bindings + if/else expression translated to inlined SQL + CASE WHEN "
+    "(main.rs:1952-1971 accepts full Rhai; SQL tier covers let/if, scripting.py)",
+)
+def f12_where_script_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = posts_view(spark, sf_dir)
+    script = """
+        let engagement = likeCount + repostCount;
+        let boosted = if engagement > 150 { engagement * 2.0 } else { engagement / 2.0 };
+        boosted
+    """
+    val = translate_script(script, now_epoch_expr="0").cast("double")
+    return posts.withColumn("boosted", F.round(val, 6)).filter(F.col("boosted") > 120).select("id", "boosted")
+
+
+@_register(
+    "f12_where_udf_tier",
+    None,  # imperative script: sandboxed interpreter tier — rows-only check
+    "F12 imperative Rhai (reassignment + while + return) via the opt-in sandboxed pandas-UDF "
+    "interpreter tier (scripting.py; reference accepts arbitrary Rhai, main.rs:1952-1971)",
+)
+def f12_where_udf_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the UDF tier ships the FULL Rhai scope struct, so every scope column
+    # must resolve (quote_count is always 0 in the reference, main.rs:3652)
+    posts = (
+        posts_view(spark, sf_dir)
+        .withColumn("score", F.lit(0.0))
+        .withColumn("quote_count", F.lit(0))
+    )
+    script = """
+        let x = likeCount;
+        let steps = 0;
+        while x > 1 { x = x / 2; steps = steps + 1; }
+        if steps >= 7 { return true; }
+        false
+    """
+    pred = translate_script(script, now_epoch_expr="0", allow_udf=True, boolean=True)
+    return posts.filter(pred).select("id", "like_count")
+
+
+@_register(
     "f13_videos_notnull",
     """
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
@@ -701,9 +753,10 @@ def o5_sort_score_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"type": "sort", "sortType": "score", "sortDirection": "desc"},
     ]
     out = translate_pipeline(blocks, ctx)
-    # bounded: post-final-limit working set is <=500 rows
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col(ORD))
-    return out.select(F.row_number().over(w).cast("long").alias("ord"), "id", F.round("score", 6).alias("score"))
+    # dense output rank without an unpartitioned window (a partitionBy(lit)
+    # spec is constant-folded away, reintroducing the single-partition warn)
+    out = dense_rank_over(out, [F.col(ORD)], "ord")
+    return out.select("ord", "id", F.round("score", 6).alias("score"))
 
 
 from query_engine_spark.operators.ordering import _BLOCK_SHIFT as _ORD_BLOCK
@@ -1337,14 +1390,20 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §7 LLM-data: dedup / similarity / text / streaming
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
-_SHINGLE_SQL = f"""
+
+
+def _shingle_sql(src: str = "documents") -> str:
+    return f"""
   SELECT doc_id,
          CASE WHEN len(ws) >= 3
               THEN list_transform(range(1, len(ws) - 1),
                    i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] || ' ' || ws[CAST(i AS INT)+2])
               ELSE [] END AS sl
-  FROM (SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS ws FROM documents)
+  FROM (SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS ws FROM {src})
 """
+
+
+_SHINGLE_SQL = _shingle_sql()
 
 
 @_register(
@@ -1366,8 +1425,8 @@ _MINHASH_SEEDS = 16
 _MINHASH_BANDS = 4
 
 
-def _minhash_ctes() -> str:
-    """CTE chain ending in `jp` = verified minhash near-dup pairs."""
+def _minhash_ctes(src: str = "documents") -> str:
+    """CTE chain ending in `jp` = verified minhash near-dup pairs over `src`."""
     r = _MINHASH_SEEDS // _MINHASH_BANDS
     params = D.minhash_params(_MINHASH_SEEDS)
     p = D.MINHASH_P
@@ -1382,31 +1441,31 @@ def _minhash_ctes() -> str:
         f"SELECT doc_id, {b} AS band, b{b} AS bh FROM bands" for b in range(_MINHASH_BANDS)
     )
     return f"""
-    sh AS ({_SHINGLE_SQL}),
+    sh AS MATERIALIZED ({_shingle_sql(src)}),
     nonempty AS (SELECT * FROM sh WHERE len(sl) > 0),
     tok AS (
       SELECT doc_id,
              ('0x' || substr(md5(unnest(sl)), 1, 8))::BIGINT & {p} AS h31
       FROM nonempty),
-    sigs AS (
+    sigs AS MATERIALIZED (
       SELECT doc_id,
          {sig_cols}
       FROM tok GROUP BY doc_id),
-    bands AS (
+    bands AS MATERIALIZED (
       SELECT doc_id,
       {band_exprs}
       FROM sigs),
-    banded AS ({band_union}),
-    cand AS (
+    banded AS MATERIALIZED ({band_union}),
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-    shd AS (SELECT doc_id, list_distinct(sl) AS ds FROM sh),
+    shd AS MATERIALIZED (SELECT doc_id, list_distinct(sl) AS ds FROM sh),
     j AS (
       SELECT id_a, id_b,
              len(list_intersect(sa.ds, sb.ds)) AS i,
              len(list_distinct(list_concat(sa.ds, sb.ds))) AS u
       FROM cand JOIN shd sa ON sa.doc_id = id_a JOIN shd sb ON sb.doc_id = id_b),
-    jp AS (
+    jp AS MATERIALIZED (
       SELECT id_a, id_b, round(i * 1.0 / u, 6) AS jaccard FROM j
       WHERE round(i * 1.0 / u, 6) >= 0.1)
     """
@@ -1422,7 +1481,7 @@ def _cluster_oracle() -> str:
     reachable id."""
     return f"""
     WITH RECURSIVE {_minhash_ctes()},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM jp
       UNION SELECT id_b, id_a FROM jp),
     nodes AS (SELECT DISTINCT src AS id FROM edges),
@@ -1466,7 +1525,7 @@ def _simhash_oracle() -> str:
       SELECT doc_id, CAST(r.b AS INT) AS b,
              sum(CASE WHEN (hv >> CAST(r.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
       FROM h CROSS JOIN range(0, 32) r(b) GROUP BY 1, 2),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sim
       FROM bits GROUP BY 1),
     chunks AS (
@@ -1493,7 +1552,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "dedup_ngram_jaccard",
     f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+    WITH sh AS MATERIALIZED ({_SHINGLE_SQL}),
     tok AS (SELECT DISTINCT doc_id AS id, unnest(sl) AS s FROM sh),
     sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY 1),
     inter AS (
@@ -1559,7 +1618,7 @@ probes AS (
              PARTITION BY a.vec_id
              ORDER BY round({_COSINE_SQL.replace('b.embedding', 'c.cv')}, 6) DESC, c.cent_id) AS rn
     FROM embeddings a CROSS JOIN cents c WHERE a.vec_id < 3) WHERE rn <= 2),
-cand AS (
+cand AS MATERIALIZED (
   SELECT p.query_id, v.vec_id
   FROM probes p JOIN asgn v ON v.cent_id = p.cent_id
   WHERE v.vec_id != p.query_id),
@@ -1627,7 +1686,7 @@ def _srp_oracle(bits: int = 16, dims: int = 64, chunks: int = 2, threshold: floa
       SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS code
       FROM dots GROUP BY 1),
     chunked AS ({chunk_union}),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
       FROM chunked x JOIN chunked y ON x.chunk = y.chunk AND x.cv = y.cv AND x.vec_id < y.vec_id),
     verified AS (
@@ -1678,7 +1737,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", Tx.langid(F.col("text")).alias("lang_pred"))
 
 
-def _langid_ngram_oracle() -> str:
+def _langid_ngram_ctes(src: str = "documents") -> str:
+    """CTE chain ending in `langpred` = (doc_id, lang_pred) over `src`."""
     langs = Tx.CHAR_TRIGRAM_PROFILES
     score_cols = ",\n        ".join(
         f"len(list_filter(tri, g -> g IN ({', '.join(map(repr, grams))}))) * 1.0 / greatest(len(tri), 1) AS s_{lang}"
@@ -1686,26 +1746,31 @@ def _langid_ngram_oracle() -> str:
     )
     gl = "greatest(s_en, s_de, s_fr, s_es)"
     return f"""
-    WITH t AS (
-      SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
-    tri_t AS (
+    lt AS (
+      SELECT doc_id, {_NORM_SQL} AS nt FROM {src}),
+    ltri AS (
       SELECT doc_id,
              CASE WHEN length(nt) >= 3
                   THEN list_transform(range(1, length(nt) - 1), i -> substr(nt, CAST(i AS INT), 3))
                   ELSE [] END AS tri
-      FROM t),
-    s AS (
+      FROM lt),
+    ls AS (
       SELECT doc_id,
         {score_cols}
-      FROM tri_t)
-    SELECT doc_id,
-      CASE WHEN {gl} = 0 THEN 'und'
-           WHEN s_de = {gl} THEN 'de'
-           WHEN s_en = {gl} THEN 'en'
-           WHEN s_es = {gl} THEN 'es'
-           ELSE 'fr' END AS lang_pred
-    FROM s
+      FROM ltri),
+    langpred AS MATERIALIZED (
+      SELECT doc_id,
+        CASE WHEN {gl} = 0 THEN 'und'
+             WHEN s_de = {gl} THEN 'de'
+             WHEN s_en = {gl} THEN 'en'
+             WHEN s_es = {gl} THEN 'es'
+             ELSE 'fr' END AS lang_pred
+      FROM ls)
     """
+
+
+def _langid_ngram_oracle() -> str:
+    return f"WITH {_langid_ngram_ctes()} SELECT doc_id, lang_pred FROM langpred"
 
 
 @_register(
@@ -1715,7 +1780,9 @@ def _langid_ngram_oracle() -> str:
 )
 def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", Tx.langid_ngram(F.col("text")).alias("lang_pred"))
+    # explode + broadcast-profile join (langid_ngram_table): the per-row HOF
+    # expression form compiled/ran ~25x slower (round-1 verdict fix #8)
+    return Tx.langid_ngram_table(docs)
 
 
 @_register(
@@ -1809,7 +1876,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "text_fingerprint",
     f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+    WITH sh AS MATERIALIZED ({_SHINGLE_SQL}),
     k AS (
       SELECT doc_id,
              md5(array_to_string(list_slice(list_sort(list_transform(list_distinct(sl), s -> md5(s))), 1, 4), '|')) AS kmin
@@ -1859,7 +1926,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "text_contamination",
     f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+    WITH sh AS MATERIALIZED ({_SHINGLE_SQL}),
     tok AS (SELECT DISTINCT doc_id, unnest(sl) AS g FROM sh),
     tr AS (SELECT doc_id AS train_id, g FROM tok WHERE doc_id % 2 = 0),
     te AS (SELECT doc_id AS test_id, g FROM tok WHERE doc_id % 2 = 1)
@@ -1969,9 +2036,10 @@ def pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"type": "limit", "count": 100},
     ]
     out = translate_pipeline(blocks, ctx)
-    # bounded: post-final-limit working set is <=500 rows
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col(ORD))
-    return out.select(F.row_number().over(w).cast("long").alias("ord"), "id", F.round("score", 6).alias("score"))
+    # dense output rank without an unpartitioned window (a partitionBy(lit)
+    # spec is constant-folded away, reintroducing the single-partition warn)
+    out = dense_rank_over(out, [F.col(ORD)], "ord")
+    return out.select("ord", "id", F.round("score", 6).alias("score"))
 
 
 # rows-only (no SQL oracle): multimodal plumbing via mapInPandas
@@ -1991,9 +2059,131 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.image_features(media, fake=True).select("media_id", "n_bytes", F.round("byte_mean", 6).alias("byte_mean"))
 
 
+# ---------------------------------------------------------------------------
+# §7 training-data pipeline: deterministic sampling, vocabulary, end-to-end
+# corpus preparation
+
+
+@_register(
+    "llm_hash_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 <
+          CASE WHEN lang = 'de' THEN 2000 WHEN lang = 'en' THEN 5000 ELSE 1000 END
+    """,
+    "deterministic stratified sampling: md5-bucket per id vs per-stratum rate — map-only, "
+    "reproducible across engines/retries (rand() is neither)",
+)
+def llm_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = Tx.hash_sample(docs, 0.1, strat_col="lang", rates={"en": 0.5, "de": 0.2})
+    return out.select("doc_id", "lang")
+
+
+@_register(
+    "llm_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex({_NORM_SQL}, '\\s+')) AS term FROM documents),
+    c AS (SELECT term, count(*) AS cnt FROM toks WHERE term != '' GROUP BY term)
+    SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank
+    FROM c ORDER BY cnt DESC, term LIMIT 100
+    """,
+    "vocabulary building: top-k tokens by frequency (explode -> one keyed agg -> fused top-k)",
+)
+def llm_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return Tx.top_terms(docs, 100)
+
+
+def _prepare_corpus_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_langid_ngram_ctes("documents")},
+    qt AS (
+      SELECT doc_id, text, string_split_regex({_NORM_SQL}, '\\s+') AS toks FROM documents),
+    qf AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+             round(len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','a'))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
+      FROM qt),
+    qual AS MATERIALIZED (
+      SELECT doc_id,
+             round(CASE WHEN n_tokens >= 20 THEN 0.4 ELSE 0.0 END
+                 + CASE WHEN punct_ratio > 0.0 AND punct_ratio < 0.2 THEN 0.3 ELSE 0.0 END
+                 + CASE WHEN stopword_ratio > 0.05 THEN 0.3 ELSE 0.0 END, 2) AS quality
+      FROM qf),
+    gated AS MATERIALIZED (
+      SELECT d.doc_id, d.text, lp.lang_pred, q.quality
+      FROM documents d JOIN langpred lp USING (doc_id) JOIN qual q USING (doc_id)
+      WHERE lp.lang_pred IN ('en', 'de') AND q.quality >= 0.7),
+    exact AS MATERIALIZED (
+      SELECT doc_id, text, lang_pred, quality FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
+        FROM gated) WHERE rn = 1),
+    {_minhash_ctes("exact")},
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM jp
+      UNION SELECT id_b, id_a FROM jp),
+    cnodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM cnodes
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+    clusters AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+    losers AS (SELECT id FROM clusters WHERE id != cluster)
+    SELECT doc_id, lang_pred, quality FROM exact
+    WHERE doc_id NOT IN (SELECT id FROM losers)
+    """
+
+
+@_register(
+    "llm_prepare_corpus",
+    _prepare_corpus_oracle(),
+    "end-to-end corpus prep: language+quality gate -> exact dedup -> MinHash near-dup "
+    "canonicalization, one lazy chain (llmdata/corpus.py)",
+)
+def llm_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata.corpus import prepare_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prepare_corpus(docs, langs=("en", "de"), min_quality=0.7)
+
+
+# Queries the round-1 driver already hash-verified (CORRECTNESS_r01.json).
+# The registry is reordered to surface the not-yet-driver-verified queries
+# first, so a fixed-size driver sample covers them this round (round-1
+# verdict ask #3); the previously-green set follows and stays available.
+_R1_DRIVER_VERIFIED = {
+    "s1_firehose", "s2_input_list", "s6_input_did", "s7_input_post_prepend",
+    "s8_archived_scan", "s9_liked_weighted", "s10_liked_by_likers",
+    "s3_input_tags", "s4_input_labels", "s5_input_feed", "f_count_cmp",
+    "f1_item_kind", "f2_image_count", "f11_labels_remove", "f6_language",
+    "f7_list_semi_anti", "f8_duplicates_first", "f9_non_duplicates",
+    "f10_embed_prefix", "f12_where_script", "f13_videos_notnull", "f14_regex",
+    "f15_profile_filters", "sc_hn_normalized", "sc1_script_score",
+    "sc4_created_at_score", "o3_sort_counts", "o1_sort_created_top",
+    "o7_posts_per_user", "o2_sort_hn", "o4_sort_random", "o5_sort_score_dedup",
+    "u_stash_pipeline", "j1_replace_parent", "j4_direct_replies",
+    "j10_mutuals", "j3_replace_record", "j5_all_replies", "j6_quote_posts",
+    "j10_two_hop", "a1_trending_tags", "a1_trending_windowed",
+    "profile_pipeline", "j2_replace_root", "a2_tag_variations",
+    "a5_user_like_totals", "a3_count_views", "a4_degree_counts",
+    "agg_distinct_users", "agg_cube",
+}
+
+
+def _driver_order() -> list[str]:
+    fresh = [n for n in REGISTRY if n not in _R1_DRIVER_VERIFIED]
+    seen = [n for n in REGISTRY if n in _R1_DRIVER_VERIFIED]
+    return fresh + seen
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _driver_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle for name in _driver_order() if REGISTRY[name].oracle is not None
+    }

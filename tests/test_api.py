@@ -152,3 +152,51 @@ def test_http_server_roundtrip(spark, posts):
         assert "error" in err and "Too many blocks" in err["error"]
     finally:
         server.stop()
+
+
+def test_fetched_feed_skeleton_roundtrip(spark, posts):
+    """S5 end-to-end through the HTTP fetch adapter: recorded feed-skeleton
+    fixture → fetch_feed_skeleton → PipelineContext.feeds → input.feed block
+    (main.rs:1704-1737)."""
+    from query_engine_spark.sources.connectors import fetch_feed_skeleton
+
+    # posts ids are "p0001".. — shape them like the reference's
+    # "post:<rkey>_<didkey>" so at:// conversion round-trips
+    shaped = posts.withColumn(
+        "id", F.concat(F.lit("3kp"), F.col("key").cast("string"), F.lit("_plc_u1"))
+    )
+    recorded = {
+        "feed": [
+            {"post": "at://did:plc:u1/app.bsky.feed.post/3kp5"},
+            {"post": "at://did:plc:u1/app.bsky.feed.post/3kp1"},
+            {"post": "at://did:plc:u9/other.collection/xxx"},  # unparseable → dropped
+            {"post": "at://did:plc:u1/app.bsky.feed.post/3kp9999"},  # not in store
+        ]
+    }
+    calls = []
+
+    def fetcher(url):
+        calls.append(url)
+        return recorded
+
+    feed = fetch_feed_skeleton(spark, "at://did:plc:f/app.bsky.feed.generator/g", fetcher=fetcher)
+    assert len(calls) == 1 and "app.bsky.feed.generator" in urllib.request.unquote(calls[0])
+    ctx = PipelineContext(spark=spark, posts=shaped, now=NOW, feeds={"at://f": feed})
+    resp = generate_feed_skeleton(ctx, [{"type": "input", "inputType": "feed", "feedUri": "at://f"}])
+    # feed order preserved; missing id and bad URI dropped
+    assert [f["post"] for f in resp["feed"]] == ["3kp5_plc_u1", "3kp1_plc_u1"]
+
+
+def test_fetch_list_members_adapter(spark):
+    from query_engine_spark.sources.connectors import fetch_list_members
+
+    recorded = [{"result": ["user:plc_a", "user:plc_b", "plc_c"]}]
+    got = fetch_list_members(spark, "at://did:plc:x/app.bsky.graph.list/3kabc", fetcher=lambda u: recorded)
+    assert sorted(r["did_key"] for r in got.collect()) == ["plc_a", "plc_b", "plc_c"]
+    key_map = spark.createDataFrame([("plc_a", 1), ("plc_c", 3)], "did_key string, author_key long")
+    got = fetch_list_members(
+        spark, "at://did:plc:x/app.bsky.graph.list/3kabc", fetcher=lambda u: recorded, key_map=key_map
+    )
+    assert sorted(r["author_key"] for r in got.collect()) == [1, 3]
+    with pytest.raises(ValueError):
+        fetch_list_members(spark, "list://did:plc:x/following", fetcher=lambda u: recorded)

@@ -102,3 +102,67 @@ def test_script_rejects_unknown():
         translate_script("unknownVar > 5")
     with pytest.raises(ScriptTranslationError):
         translate_script("likeCount.method()")
+
+
+def test_script_let_and_if_sql_tier(spark, posts):
+    # let bindings inline; if/else becomes CASE WHEN — still pure SQL (no UDF)
+    script = """
+        let e = likeCount + repostCount;
+        if e > 20 { e * 2 } else { e }
+    """
+    col = translate_script(script, now_epoch_expr="0").cast("double")
+    rows = {r["key"]: r["v"] for r in posts.select("key", col.alias("v")).collect()}
+    # key1: 10+0=10 → 10; key3: 50 → 100; key2: 5+3=8 → 8; key6: 100 → 200
+    assert rows[1] == 10.0 and rows[3] == 100.0 and rows[2] == 8.0 and rows[6] == 200.0
+
+
+def test_script_else_if_chain(spark, posts):
+    script = 'if likeCount > 50 { "hot" } else if likeCount > 5 { "warm" } else { "cold" }'
+    col = translate_script(script, now_epoch_expr="0")
+    rows = {r["key"]: r["v"] for r in posts.select("key", col.alias("v")).collect()}
+    assert rows[6] == "hot" and rows[1] == "warm" and rows[2] == "cold"
+
+
+def test_script_imperative_requires_opt_in():
+    with pytest.raises(ScriptTranslationError, match="allow_udf"):
+        translate_script("let x = 1; x = x + likeCount; x")
+
+
+def test_script_udf_tier_interpreter(spark, posts):
+    # reassignment + while + return run in the sandboxed interpreter
+    script = """
+        let x = likeCount;
+        let steps = 0;
+        while x > 1 { x = x / 2; steps = steps + 1; }
+        steps
+    """
+    posts = posts.withColumn("score", F.lit(0.0))
+    col = translate_script(script, now_epoch_expr="0", allow_udf=True)
+    rows = {r["key"]: r["v"] for r in posts.select("key", col.alias("v")).collect()}
+    import math
+
+    def steps(n):
+        s, x = 0, n
+        while x > 1:
+            x /= 2
+            s += 1
+        return float(s)
+
+    assert rows[1] == steps(10) and rows[3] == steps(50) and rows[6] == steps(100) and rows[7] == 0.0
+
+    pred = translate_script(
+        'if likeCount >= 10 { return true; } false', now_epoch_expr="0", allow_udf=True, boolean=True
+    )
+    got = sorted(r["key"] for r in posts.filter(pred).collect())
+    assert got == [1, 3, 6]
+
+
+def test_script_udf_tier_matches_sql_tier(spark, posts):
+    # the two tiers agree on the shared grammar
+    script = "let e = likeCount * 2 + replyCount; if e > 10 { e } else { 0 }"
+    posts = posts.withColumn("score", F.lit(0.0))
+    sql_col = translate_script(script, now_epoch_expr="0").cast("double")
+    ast = __import__("query_engine_spark.functions.scripting", fromlist=["_parse"])
+    udf_col = ast._udf_column(ast._parse(script), "0", boolean=False)
+    mism = posts.select(sql_col.alias("a"), udf_col.alias("b")).filter(F.col("a") != F.col("b")).count()
+    assert mism == 0

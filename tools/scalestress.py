@@ -76,6 +76,37 @@ def main() -> int:
     # sessionization (stateful shape) — windows partitioned per user
     run("sessionize", lambda: sessionize_batch(posts, gap_seconds=60).count())
 
+    # connected components on a planted DEEP graph: chains of length 16 →
+    # diameter 15 → ~15 label-propagation rounds. The localCheckpoint every 4
+    # rounds (llmdata/dedup.py) must keep per-iteration wall time flat —
+    # without it, lineage deepens by a join every round and later iterations
+    # slow down / blow the planner up.
+    def cc_chain():
+        from query_engine_spark.llmdata.dedup import dedup_clusters
+
+        chain_n = max(n // 100, 16_000)
+        nodes = spark.range(chain_n)
+        edges = (
+            nodes.filter((F.col("id") + 1) % 16 != 0)  # break into chains of 16
+            .select(
+                F.concat(F.lit("d"), F.col("id").cast("string")).alias("id_a"),
+                F.concat(F.lit("d"), (F.col("id") + 1).cast("string")).alias("id_b"),
+            )
+        )
+        iter_times: list[float] = []
+        last = [time.time()]
+
+        def tick(_):
+            now = time.time()
+            iter_times.append(round(now - last[0], 2))
+            last[0] = now
+
+        out = dedup_clusters(edges, max_iters=25, on_iteration=tick).count()
+        results["cc_chain_iter_sec"] = iter_times
+        return out
+
+    run("cc_chain_diameter15", cc_chain)
+
     print(json.dumps({"n_rows": n, "ops": results}))
     return 0
 

@@ -79,11 +79,13 @@ def main() -> int:
 
     spark = get_spark("selfcheck")
     con = load_duck(sf_dir)
+    from query_engine_spark.llmdata import clear_llmdata_cache
 
     n_pass = n_fail = 0
     for name, spec in registry.REGISTRY.items():
         if only and name not in only:
             continue
+        clear_llmdata_cache()
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir).toPandas()
