@@ -32,12 +32,14 @@ single partition. Instead:
   per-partition offsets computed from a tiny per-partition count aggregate
   (joined back via broadcast). Use only when the dense rank VALUE is part of
   the query result.
-- ``bounded=True``: the input is already bounded (e.g. ≤500 rows after a
-  top-N fusion or the final limit) — routed to the same dense two-phase
-  rank. (A ``partitionBy(lit(0))`` single-task window looks cheaper but the
-  foldable partition key is optimized away, reintroducing the unpartitioned
-  WindowExec; the two-phase rank on a bounded set costs a few tiny jobs and
-  stays warning-free and size-safe.)
+- ``bounded=True``: the input is STRUCTURALLY bounded (≤ ~1000 rows after a
+  top-N fusion, the archive cap, or the final limit) — ``repartition(1)`` +
+  a window partitioned by ``spark_partition_id()``. One tiny exchange of the
+  bounded set, zero extra jobs (the two-phase rank costs a sampling pass, a
+  count aggregate and a broadcast — several scheduler round-trips per query).
+  The partition key is non-foldable so Catalyst never rewrites it into the
+  unpartitioned WindowExec (a ``partitionBy(lit(0))`` spec is constant-folded
+  away, reintroducing the single-partition warning).
 
 Sorting re-stamps ``__ord`` from the sort rank, so downstream order-sensitive
 ops (dedup-first, per-user-top-N, final limit) observe the sorted order —
@@ -77,10 +79,36 @@ def stamp_ord(
     """
     cols = _cols(order_by)
     base = F.lit(block_seq * _BLOCK_SHIFT)
-    if dense or bounded:
+    if bounded:
+        return _bounded_stamp(df, cols, ORD, block_seq * _BLOCK_SHIFT)
+    if dense:
         return _dense_stamp(df, cols, ORD, block_seq * _BLOCK_SHIFT)
     ordered = df.orderBy(*cols)
-    return ordered.withColumn(ORD, (base + F.monotonically_increasing_id()).cast("long"))
+    # Overflow guard (checked, not a comment): mono ids are pid*2^33 + offset;
+    # with >= 2^17 post-AQE partitions (plausible at 100 TB) or > 2^33 rows in
+    # one partition the id would silently spill into the next block's __ord
+    # range, corrupting cross-block order. Fail loudly instead.
+    mono = F.monotonically_increasing_id()
+    checked = F.when(mono < F.lit(_BLOCK_SHIFT), mono).otherwise(
+        F.raise_error(
+            F.lit(
+                "__ord stamp overflow: monotonically_increasing_id >= 2^50 "
+                "(more than 2^17 partitions or 2^33 rows/partition); "
+                "use dense=True or widen _BLOCK_SHIFT"
+            )
+        )
+    )
+    return ordered.withColumn(ORD, (base + checked).cast("long"))
+
+
+def _bounded_stamp(df: DataFrame, cols: list[Column], out_col: str, base: int) -> DataFrame:
+    """Rank a structurally bounded set: one tiny round-robin exchange into a
+    single partition, then a partition-local row_number. The partition key is
+    ``spark_partition_id()`` (non-foldable) so no unpartitioned WindowExec
+    appears; correctness does not depend on the upstream limit's partitioning."""
+    one = df.repartition(1).withColumn("__qe_pid", F.spark_partition_id())
+    w = Window.partitionBy("__qe_pid").orderBy(*cols)
+    return one.withColumn(out_col, (F.lit(base) + F.row_number().over(w)).cast("long")).drop("__qe_pid")
 
 
 def _dense_stamp(df: DataFrame, cols: list[Column], out_col: str, base: int) -> DataFrame:
@@ -109,10 +137,16 @@ def _dense_stamp(df: DataFrame, cols: list[Column], out_col: str, base: int) -> 
     )
 
 
-def dense_rank_over(df: DataFrame, order_by: Sequence[Column | str], out_col: str = "rank") -> DataFrame:
+def dense_rank_over(
+    df: DataFrame, order_by: Sequence[Column | str], out_col: str = "rank", *, bounded: bool = False
+) -> DataFrame:
     """Attach a dense 1..N rank column in the given total order, without an
     unpartitioned window (two-phase distributed rank). For output-facing
-    ranks (the driver-visible `ord`/`rank` columns)."""
+    ranks (the driver-visible `ord`/`rank` columns). Pass ``bounded=True``
+    when the input is structurally limited (e.g. a pipeline's ≤500-row final
+    output) — single tiny exchange instead of the 4-job two-phase rank."""
+    if bounded:
+        return _bounded_stamp(df, _cols(order_by), out_col, 0)
     return _dense_stamp(df, _cols(order_by), out_col, 0)
 
 

@@ -753,9 +753,8 @@ def o5_sort_score_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"type": "sort", "sortType": "score", "sortDirection": "desc"},
     ]
     out = translate_pipeline(blocks, ctx)
-    # dense output rank without an unpartitioned window (a partitionBy(lit)
-    # spec is constant-folded away, reintroducing the single-partition warn)
-    out = dense_rank_over(out, [F.col(ORD)], "ord")
+    # output is structurally ≤500 rows (implicit final limit) → bounded rank
+    out = dense_rank_over(out, [F.col(ORD)], "ord", bounded=True)
     return out.select("ord", "id", F.round("score", 6).alias("score"))
 
 
@@ -2036,9 +2035,9 @@ def pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"type": "limit", "count": 100},
     ]
     out = translate_pipeline(blocks, ctx)
-    # dense output rank without an unpartitioned window (a partitionBy(lit)
-    # spec is constant-folded away, reintroducing the single-partition warn)
-    out = dense_rank_over(out, [F.col(ORD)], "ord")
+    # output is structurally ≤500 rows (implicit final limit) → bounded rank:
+    # one tiny exchange, no unpartitioned window
+    out = dense_rank_over(out, [F.col(ORD)], "ord", bounded=True)
     return out.select("ord", "id", F.round("score", 6).alias("score"))
 
 

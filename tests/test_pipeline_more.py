@@ -67,11 +67,13 @@ def test_regex_block_via_translator(spark, posts):
 
 
 def test_language_and_embed_blocks(spark, posts):
+    # the reference reads only filter["language"]; a `value` key is IGNORED
+    # (main.rs:1885-1902) — so this behaves as the default "en"
     blocks = [
         {"type": "input", "inputType": "firehose", **WEEK},
         {"type": "keep", "subject": "language", "value": "de"},
     ]
-    assert run(spark, posts, blocks) == [2, 3]
+    assert run(spark, posts, blocks) == [1, 2, 4, 5, 6, 7, 8]
     blocks = [
         {"type": "input", "inputType": "firehose", **WEEK},
         {"type": "keep", "subject": "embed", "value": "post"},  # embed always REMOVES matches
