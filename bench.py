@@ -4,10 +4,12 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-`value` is the total wall-clock of one timed pass over the headline queries
-(each fully materialized via count()). A warmup pass is NOT taken — the
-timings include Spark's plan/codegen costs, matching how the reference's
-cold-path numbers were reported (BASELINE.md regex cold scans).
+`value` is the total of per-query MINIMUM wall-clock over N passes
+(default 3, $SPARK_GRAFT_BENCH_N) — single-run numbers on a busy host swing
+~18% run-to-run, too noisy to trust regressions. Each query is fully
+materialized via count(); the first pass still pays plan/codegen cost, so the
+min reflects steady-state execution (`first_pass` in the JSON keeps the
+cold-path total for reference against BASELINE.md's cold scans).
 """
 
 from __future__ import annotations
@@ -63,23 +65,27 @@ def main() -> int:
 
     from query_engine_spark.llmdata import clear_llmdata_cache
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        spec = registry.REGISTRY[name]
-        t0 = time.time()
-        spec.fn(spark, sf_dir).count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        # free tracked llmdata persists so queries don't inherit each
-        # other's cached blocks (and a long-lived driver doesn't leak)
-        clear_llmdata_cache()
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_N", "3"))
+    runs: list[dict[str, float]] = []
+    for _ in range(n_runs):
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            spec = registry.REGISTRY[name]
+            t0 = time.time()
+            spec.fn(spark, sf_dir).count()
+            timings[name] = time.time() - t0
+            # free tracked llmdata persists so queries don't inherit each
+            # other's cached blocks (and a long-lived driver doesn't leak)
+            clear_llmdata_cache()
+        runs.append(timings)
+    best = {name: round(min(r[name] for r in runs), 3) for name in HEADLINE}
     result = {
         "metric": "headline_queries_total_wall",
-        "value": round(total, 3),
+        "value": round(sum(best.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": best,
+        "n_runs": n_runs,
+        "first_pass": round(sum(runs[0].values()), 3),
         "sf": sf,
     }
     print(json.dumps(result))

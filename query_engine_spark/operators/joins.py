@@ -26,6 +26,7 @@ __all__ = [
     "followers",
     "mutuals",
     "following_following",
+    "top_moots",
 ]
 
 
@@ -134,3 +135,63 @@ def following_following(follows: DataFrame, user: str) -> DataFrame:
         .distinct()
     )
     return hop2
+
+
+def top_moots(
+    follows: DataFrame,
+    likes: DataFrame,
+    posts: DataFrame,
+    user,
+    n: int = 50,
+    *,
+    user_col: str = "user_key",
+    post_col: str = "post_key",
+    key_col: str = "key",
+    author_col: str = "author_key",
+) -> DataFrame:
+    """`skygraph://<did>/topMoots` (main.rs:3072-3089): the user's mutual
+    follows ranked by interaction weight. The reference loads precomputed
+    per-user (toDid, weight) lists from a skygraph file (main.rs:130-141);
+    this derives the same shape from the likes/follows edges when no
+    precomputed table exists: weight(m) = likes by `user` on posts authored
+    by m + likes by m on posts authored by `user`. Zero-interaction mutuals
+    rank last (weight 0).
+
+    `likes` must be distinct per (user, post) — the reference's bitmap-edge
+    ingest invariant (main.rs:3335-3362).
+
+    Shape: the one-user mutual set is tiny → broadcast it into both
+    directions' semi-joins; each direction is one keyed aggregation over the
+    (pre-filtered) likes edges; returns ≤n rows (TakeOrderedAndProject).
+    """
+    muts = mutuals(follows, user)  # (did)
+    authors = posts.select(F.col(key_col).alias(post_col), F.col(author_col).alias("did"))
+    # likes BY `user` on a mutual's posts → outbound weight for that mutual
+    outbound = (
+        likes.filter(F.col(user_col) == F.lit(user))
+        .select(post_col)
+        .join(authors, post_col)
+        .join(F.broadcast(muts), "did", "left_semi")
+        .groupBy("did")
+        .agg(F.count(F.lit(1)).alias("__w_out"))
+    )
+    # likes BY a mutual on `user`'s posts → inbound weight for that mutual
+    my_posts = authors.filter(F.col("did") == F.lit(user)).select(post_col)
+    inbound = (
+        likes.join(F.broadcast(my_posts), post_col, "left_semi")
+        .select(F.col(user_col).alias("did"))
+        .join(F.broadcast(muts), "did", "left_semi")
+        .groupBy("did")
+        .agg(F.count(F.lit(1)).alias("__w_in"))
+    )
+    # outbound/inbound are per-mutual aggregates (≤ |mutuals| rows) → broadcast
+    # them as the build sides of the left joins
+    w = (
+        muts.join(F.broadcast(outbound), "did", "left")
+        .join(F.broadcast(inbound), "did", "left")
+        .select(
+            "did",
+            (F.coalesce(F.col("__w_out"), F.lit(0)) + F.coalesce(F.col("__w_in"), F.lit(0))).alias("weight"),
+        )
+    )
+    return w.orderBy(F.col("weight").desc(), F.col("did")).limit(n)

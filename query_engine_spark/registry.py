@@ -938,6 +938,61 @@ def j10_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("did").cast("long").alias("did"))
 
 
+@_register(
+    "j10_community",
+    """
+    SELECT DISTINCT c_custkey AS did FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    "skygraph://community/<name> list resolution (main.rs:3059-3071): community membership table",
+)
+def j10_community(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.plans.blocks import PipelineContext
+
+    cust = load_table(spark, sf_dir, "customer")
+    communities = cust.select(
+        F.col("c_mktsegment").alias("community"), F.col("c_custkey").alias("user_key")
+    )
+    ctx = PipelineContext(spark=spark, posts=cust, communities=communities)
+    return ctx.resolve_list({"listUri": "skygraph://community/BUILDING"})
+
+
+_TOP_MOOTS_ORACLE = """
+WITH e AS (SELECT DISTINCT user_id AS src, event_id % 25 AS dst FROM events),
+muts AS (SELECT DISTINCT ea.dst AS did FROM e ea JOIN e e2 ON ea.src = e2.dst AND ea.dst = e2.src
+         WHERE ea.src = 5),
+posts AS (SELECT DISTINCT event_id % 500 AS post_key, (event_id % 500) % 25 AS author FROM events),
+likes AS (SELECT DISTINCT user_id AS user_key, event_id % 500 AS post_key FROM events),
+outb AS (SELECT p.author AS did, count(*) AS w FROM likes l JOIN posts p USING (post_key)
+         WHERE l.user_key = 5 AND p.author IN (SELECT did FROM muts) GROUP BY 1),
+inb AS (SELECT l.user_key AS did, count(*) AS w FROM likes l
+        WHERE l.post_key IN (SELECT post_key FROM posts WHERE author = 5)
+          AND l.user_key IN (SELECT did FROM muts) GROUP BY 1)
+SELECT m.did, CAST(coalesce(o.w, 0) + coalesce(i.w, 0) AS BIGINT) AS weight
+FROM muts m LEFT JOIN outb o ON m.did = o.did LEFT JOIN inb i ON m.did = i.did
+ORDER BY weight DESC, m.did LIMIT 10
+"""
+
+
+@_register(
+    "j10_top_moots",
+    _TOP_MOOTS_ORACLE,
+    "skygraph://<did>/topMoots (main.rs:3072-3089): mutuals ranked by like interactions, top-N",
+)
+def j10_top_moots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    follows = ev.select(
+        F.col("user_id").alias("src_did"), (F.col("event_id") % 25).alias("dst_did")
+    ).distinct()
+    posts = ev.select(
+        (F.col("event_id") % 500).alias("key"), ((F.col("event_id") % 500) % 25).alias("author_key")
+    ).distinct()
+    likes = ev.select(
+        F.col("user_id").alias("user_key"), (F.col("event_id") % 500).alias("post_key")
+    ).distinct()
+    out = J.top_moots(follows, likes, posts, 5, 10)
+    return out.select("did", F.col("weight").cast("long").alias("weight"))
+
+
 # ---------------------------------------------------------------------------
 # §2.7 aggregations
 
@@ -2172,10 +2227,38 @@ _R1_DRIVER_VERIFIED = {
 }
 
 
+# Round-2 driver-verified set (CORRECTNESS_r02.json) — same rationale.
+_R2_DRIVER_VERIFIED = {
+    "a7_admin_stats", "agg_pivot", "dedup_clusters", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "embed_cosine_topk", "embed_ivf_topk", "embed_srp_near_dup",
+    "f12_where_script_stmt", "f12_where_udf_tier", "llm_hash_sample",
+    "llm_prepare_corpus", "llm_top_terms", "multimodal_features",
+    "pipeline_flagship", "q18_large_orders", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume", "sessionize_events",
+    "stream_windowed_counts", "text_bm25_search", "text_contamination",
+    "text_fingerprint", "text_langid", "text_langid_ngram", "text_quality",
+    "text_redact_pii", "text_tokens", "window_running_revenue",
+}
+
+# Queries whose machinery round 3 rewrote (lazy __ord stamping, bounded rank,
+# folded score state, language-key fix) — surface them right after the
+# brand-new queries so the driver re-verifies them on the new code.
+_ROUND3_TOUCHED = {
+    "pipeline_flagship", "o5_sort_score_dedup", "o1_sort_created_top",
+    "o2_sort_hn", "o3_sort_counts", "o4_sort_random", "o7_posts_per_user",
+    "s7_input_post_prepend", "s8_archived_scan", "u_stash_pipeline",
+    "f8_duplicates_first", "f9_non_duplicates", "sc_hn_normalized",
+    "sc1_script_score", "sc4_created_at_score",
+}
+
+
 def _driver_order() -> list[str]:
-    fresh = [n for n in REGISTRY if n not in _R1_DRIVER_VERIFIED]
-    seen = [n for n in REGISTRY if n in _R1_DRIVER_VERIFIED]
-    return fresh + seen
+    verified = _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED
+    fresh = [n for n in REGISTRY if n not in verified]
+    touched = [n for n in REGISTRY if n in verified and n in _ROUND3_TOUCHED]
+    seen = [n for n in REGISTRY if n in verified and n not in _ROUND3_TOUCHED]
+    return fresh + touched + seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

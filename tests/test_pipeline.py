@@ -151,6 +151,44 @@ def test_admission_control(spark, posts):
             + [{"type": "regex", "value": "x"}] * 11)
 
 
+def test_three_score_blocks_fold_into_one_exchange(spark, posts):
+    """The score map (post_score_global) must resolve in ONE key-partitioned
+    Exchange regardless of the number of score blocks — hash(key) clusters
+    (key, batch) too, so both the per-(key,batch) max and the per-key sum
+    are partition-local (round 2 chained a full_outer join per block)."""
+    import re
+
+    from query_engine_spark.plans.blocks import _ScoreState
+    from pyspark.sql import functions as F
+
+    s = _ScoreState(spark)
+    for i in range(3):
+        s.add(posts.select("key", (F.col("like_count") * (i + 1.0)).alias("__batch_score")))
+    plan = s.df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "full_outer" not in plan.lower()
+    # semantics: batches sum per key (per-batch per-key overwrite first)
+    row = s.df.filter(F.col("key") == 6).collect()[0]
+    assert row["score"] == 100.0 * (1 + 2 + 3)
+
+
+def test_score_blocks_still_sum_through_pipeline(spark, posts):
+    blocks = [
+        {"type": "input", "inputType": "firehose", "firehoseSeconds": 7 * 86400},
+        {"type": "score", "scoreType": "add", "from": "likes", "normalize": False},
+        {"type": "score", "scoreType": "add", "from": "reply_count", "normalize": False},
+        {"type": "score", "scoreType": "add", "value": "1.5", "normalize": False},
+        {"type": "sort", "sortType": "score", "sortDirection": "desc"},
+        {"type": "limit", "count": 3},
+    ]
+    ctx = PipelineContext(spark=spark, posts=posts, now=NOW)
+    out = translate_pipeline(blocks, ctx)
+    rows = out.select("key", "score").collect()
+    got = {r["key"]: r["score"] for r in rows}
+    # key6: 100 likes + 0 replies + 1.5
+    assert got[6] == 101.5
+
+
 def test_final_limit_500(spark):
     import datetime as dt
     from query_engine_spark.datamodel import POST_SCHEMA, normalize_posts

@@ -181,6 +181,47 @@ def test_language_block_reads_language_key(spark, posts):
     assert run(spark, posts, blocks) == [1, 2, 4, 5, 6, 7, 8]
 
 
+def test_skygraph_community_and_top_moots_resolution(spark, posts):
+    from query_engine_spark.plans.blocks import PipelineContext
+
+    comm = spark.createDataFrame(
+        [("dogs", 2), ("dogs", 3), ("cats", 4)], "community string, user_key long"
+    )
+    moots = spark.createDataFrame(
+        [("u1", "u9", 5.0), ("u1", "u7", 9.0), ("u2", "u5", 1.0)],
+        "src_key string, dst_key string, weight double",
+    )
+    ctx = PipelineContext(spark=spark, posts=posts, communities=comm, moots=moots)
+    got = ctx.resolve_list({"listUri": "skygraph://community/dogs"})
+    assert sorted(r["did"] for r in got.collect()) == [2, 3]
+    # topMoots: the user's precomputed moots, weight-desc (main.rs:3072-3089)
+    got = ctx.resolve_list({"listUri": "skygraph://u1/topMoots"})
+    assert [r["did"] for r in got.collect()] == ["u7", "u9"]
+    with pytest.raises(PipelineError):
+        ctx.resolve_list({"listUri": "skygraph://u1/unknownKind"})
+    # the tables are optional — absent tables error cleanly
+    bare = PipelineContext(spark=spark, posts=posts)
+    with pytest.raises(PipelineError):
+        bare.resolve_list({"listUri": "skygraph://community/dogs"})
+
+
+def test_top_moots_derived_from_edges(spark):
+    from query_engine_spark.operators import joins as J
+
+    follows = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 1), (1, 4)], "src_did long, dst_did long"
+    )
+    posts = spark.createDataFrame(
+        [(100, 2), (101, 3), (102, 1), (103, 1)], "key long, author_key long"
+    )
+    likes = spark.createDataFrame(
+        [(1, 100), (1, 101), (3, 102), (3, 103)], "user_key long, post_key long"
+    )
+    out = J.top_moots(follows, likes, posts, 1, 10).collect()
+    # mutuals(1) = {2, 3}; weight(3) = 1 outbound + 2 inbound = 3; weight(2) = 1
+    assert [(r["did"], r["weight"]) for r in out] == [(3, 3), (2, 1)]
+
+
 def test_stash_pop_clones_and_missing_key_errors(spark, posts):
     from query_engine_spark.plans.blocks import PipelineError
 
