@@ -28,10 +28,24 @@ Two-tier design:
 
 Anything outside the grammar of BOTH tiers raises ``ScriptTranslationError``
 with a position, rather than producing wrong SQL.
+
+Numeric semantics match Rhai (main.rs:2602-2621 pushes the counts as i64):
+`/` and `%` on two INTEGER operands are Rust-truncated integer division /
+remainder (sign of the dividend) — `likeCount / 2` with likeCount=5 is 2 —
+in BOTH tiers (the SQL tier type-infers the AST and emits `DIV` for int÷int;
+Spark's `%` on bigints already truncates like Rust). Mixed or float operands
+use f64 arithmetic. Error semantics: the reference `unwrap()`s the eval
+result (main.rs:1965, 2174) — the interpreter tier likewise RAISES on
+integer division/modulo by zero and on a non-bool result in a boolean
+(`where`) context, instead of null-masking rows. Known divergences, accepted:
+the SQL tier yields NULL (row dropped / score null) where Rhai would error
+the whole query (int div-by-zero), and the score context coerces int results
+to double where strict Rhai `eval::<f64>` would error on an INT.
 """
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass
 
@@ -39,11 +53,21 @@ import pandas as pd
 
 from pyspark.sql import Column, functions as F
 
-__all__ = ["ScriptTranslationError", "translate_script", "RHAI_SCOPE_COLUMNS"]
+__all__ = [
+    "ScriptTranslationError",
+    "ScriptRuntimeError",
+    "translate_script",
+    "RHAI_SCOPE_COLUMNS",
+]
 
 
 class ScriptTranslationError(ValueError):
     pass
+
+
+class ScriptRuntimeError(RuntimeError):
+    """Interpreter-tier evaluation failure — mirrors the reference's
+    `.unwrap()` panic on a script runtime error (main.rs:1965, 2174)."""
 
 
 class _NeedsUdf(Exception):
@@ -303,48 +327,86 @@ def _parse(script: str) -> tuple:
 
 
 # ---------------------------------------------------------------------------
-# SQL tier
+# SQL tier. Emission carries a static type ("i" int / "f" float / "s" str /
+# "b" bool / None unknown) so int÷int emits Spark `DIV` (Rust-truncated, the
+# Rhai i64 semantics) while any float operand keeps `/`.
 
 
 _SQL_OPS = {"&&": "AND", "||": "OR", "==": "="}
 
+_SCOPE_TYPES: dict[str, str] = {
+    "likeCount": "i",
+    "replyCount": "i",
+    "repostCount": "i",
+    "quoteCount": "i",
+    "imageCount": "i",
+    "lang": "s",
+    "tsMillis": "i",
+    "ageSeconds": "i",
+    "score": "f",
+}
 
-def _to_sql(node: tuple, env: dict[str, str], now_epoch_expr: str) -> str:
+
+def _unify(ta: str | None, tb: str | None) -> str | None:
+    if ta == tb:
+        return ta
+    if {ta, tb} <= {"i", "f"}:
+        return "f"
+    return None
+
+
+def _to_sql(node: tuple, env: dict[str, tuple[str, str | None]], now_epoch_expr: str) -> tuple[str, str | None]:
     kind = node[0]
     if kind == "num":
-        return repr(node[1]) if isinstance(node[1], float) else str(node[1])
+        if isinstance(node[1], float):
+            return repr(node[1]), "f"
+        return str(node[1]), "i"
     if kind == "str":
-        return "'" + node[1].replace("'", "''") + "'"
+        return "'" + node[1].replace("'", "''") + "'", "s"
     if kind == "bool":
-        return "true" if node[1] else "false"
+        return ("true" if node[1] else "false"), "b"
     if kind == "var":
         name = node[1]
         if name in env:
             return env[name]
         if name in RHAI_SCOPE_COLUMNS:
-            return RHAI_SCOPE_COLUMNS[name].replace("__now_epoch__", now_epoch_expr)
+            return RHAI_SCOPE_COLUMNS[name].replace("__now_epoch__", now_epoch_expr), _SCOPE_TYPES.get(name)
         raise ScriptTranslationError(f"unknown identifier {name!r}")
     if kind == "un":
-        inner = _to_sql(node[2], env, now_epoch_expr)
-        return f"(NOT {inner})" if node[1] == "!" else f"(- {inner})"
+        inner, ty = _to_sql(node[2], env, now_epoch_expr)
+        if node[1] == "!":
+            return f"(NOT {inner})", "b"
+        return f"(- {inner})", ty
     if kind == "bin":
-        a = _to_sql(node[2], env, now_epoch_expr)
-        b = _to_sql(node[3], env, now_epoch_expr)
-        op = _SQL_OPS.get(node[1], node[1])
-        return f"({a} {op} {b})"
+        a, ta = _to_sql(node[2], env, now_epoch_expr)
+        b, tb = _to_sql(node[3], env, now_epoch_expr)
+        op = node[1]
+        if op in ("&&", "||", "==", "!=", "<", "<=", ">", ">="):
+            return f"({a} {_SQL_OPS.get(op, op)} {b})", "b"
+        if op == "/":
+            if ta == "i" and tb == "i":
+                # Rhai i64 division truncates (main.rs:2602-2621 scope is i64)
+                return f"({a} DIV {b})", "i"
+            return f"({a} / {b})", "f"
+        # + - * %: int only when both sides are int (Spark's bigint % already
+        # matches Rust's remainder — sign of the dividend)
+        ty = "i" if (ta == "i" and tb == "i") else _unify(ta, tb)
+        return f"({a} {op} {b})", ty
     if kind == "if":
         if node[3] is None:
             raise _NeedsUdf("if without else in expression position")
-        c = _to_sql(node[1], env, now_epoch_expr)
-        t = _block_to_sql(node[2], dict(env), now_epoch_expr)
-        e = _block_to_sql(node[3], dict(env), now_epoch_expr)
-        return f"(CASE WHEN {c} THEN {t} ELSE {e} END)"
+        c, _tc = _to_sql(node[1], env, now_epoch_expr)
+        t, tt = _block_to_sql_typed(node[2], dict(env), now_epoch_expr)
+        e, te = _block_to_sql_typed(node[3], dict(env), now_epoch_expr)
+        return f"(CASE WHEN {c} THEN {t} ELSE {e} END)", _unify(tt, te)
     if kind in ("assign", "while", "return"):
         raise _NeedsUdf(f"{kind} statement")
     raise ScriptTranslationError(f"unsupported node {kind}")
 
 
-def _block_to_sql(block: tuple, env: dict[str, str], now_epoch_expr: str) -> str:
+def _block_to_sql_typed(
+    block: tuple, env: dict[str, tuple[str, str | None]], now_epoch_expr: str
+) -> tuple[str, str | None]:
     _, stmts, final = block
     for s in stmts:
         if s[0] == "let":
@@ -357,6 +419,10 @@ def _block_to_sql(block: tuple, env: dict[str, str], now_epoch_expr: str) -> str
     return _to_sql(final, env, now_epoch_expr)
 
 
+def _block_to_sql(block: tuple, env: dict, now_epoch_expr: str) -> str:
+    return _block_to_sql_typed(block, env, now_epoch_expr)[0]
+
+
 # ---------------------------------------------------------------------------
 # Sandboxed interpreter tier (pandas UDF)
 
@@ -367,6 +433,10 @@ class _Return(Exception):
 
 
 _MAX_LOOP_ITERS = 100_000
+
+
+def _is_int(v) -> bool:
+    return isinstance(v, int) and not isinstance(v, bool)
 
 
 def _eval(node: tuple, env: dict):
@@ -395,10 +465,25 @@ def _eval(node: tuple, env: dict):
         if op == "*":
             return a * b
         if op == "/":
-            # match the SQL tier: double division (see module docstring)
-            return a / b if b != 0 else None
+            # Rhai/Rust semantics: i64 ÷ i64 truncates toward zero and
+            # ERRORS on zero (the reference unwrap()s → query fails);
+            # f64 ÷ 0 is ±inf/nan (module docstring)
+            if _is_int(a) and _is_int(b):
+                if b == 0:
+                    raise ScriptRuntimeError("integer division by zero")
+                q = abs(a) // abs(b)
+                return q if (a >= 0) == (b >= 0) else -q
+            if b == 0:
+                return float("nan") if a == 0 else math.copysign(math.inf, a) * math.copysign(1.0, b)
+            return a / b
         if op == "%":
-            return a % b if b != 0 else None
+            # Rust remainder: sign of the dividend (both i64 and f64)
+            if _is_int(a) and _is_int(b):
+                if b == 0:
+                    raise ScriptRuntimeError("integer modulo by zero")
+                r = abs(a) % abs(b)
+                return r if a >= 0 else -r
+            return math.fmod(a, b) if b != 0 else float("nan")
         if op == "==":
             return a == b
         if op == "!=":
@@ -470,16 +555,33 @@ def _udf_column(ast: tuple, now_epoch_expr: str, *, boolean: bool) -> Column:
 
         @F.pandas_udf("boolean")
         def run(batch: pd.DataFrame) -> pd.Series:
-            return pd.Series([None if v is None else bool(v) for v in _run_rows(batch)], dtype="object")
+            # fail-loud like the reference's `let result: bool = ...unwrap()`
+            # (main.rs:1965): a non-bool result is a script bug, not a
+            # silently-dropped row
+            vals = []
+            for v in _run_rows(batch):
+                if not isinstance(v, bool):
+                    raise ScriptRuntimeError(
+                        f"where-script returned {type(v).__name__}, expected bool "
+                        "(the reference hard-errors here, main.rs:1965)"
+                    )
+                vals.append(v)
+            return pd.Series(vals, dtype="object")
 
     else:
 
         @F.pandas_udf("double")
         def run(batch: pd.DataFrame) -> pd.Series:
-            vals = [
-                None if v is None else float(v) if not isinstance(v, bool) else (1.0 if v else 0.0)
-                for v in _run_rows(batch)
-            ]
+            # numeric context: ints coerce to double (documented leniency vs
+            # strict Rhai eval::<f64>); bool/None/str results are script bugs
+            vals = []
+            for v in _run_rows(batch):
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    raise ScriptRuntimeError(
+                        f"score-script returned {type(v).__name__}, expected a number "
+                        "(the reference hard-errors here, main.rs:2174)"
+                    )
+                vals.append(float(v))
             return pd.Series(vals, dtype="float64")
 
     scope = F.struct(

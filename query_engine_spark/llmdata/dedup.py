@@ -285,15 +285,17 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20, on_iteration=None) 
     This is the canonicalization step of a dedup pipeline: keep the doc whose
     id == cluster, drop the rest.
     """
+    from query_engine_spark.llmdata import tracked, tracked_local_checkpoint
+
     # localCheckpoint (not just persist): truncates the upstream lineage —
     # `pairs` usually carries a deep MinHash/banding plan, and every
     # iteration would otherwise re-analyze that whole tree (plan time, not
-    # data, dominates the loop otherwise)
-    edges = (
+    # data, dominates the loop otherwise). Tracked so clear_llmdata_cache()
+    # frees the checkpoint blocks (round-2 advice).
+    edges = tracked_local_checkpoint(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -315,9 +317,11 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20, on_iteration=None) 
         # persist bounds recomputation but the logical plan still deepens by
         # one join per round; truncate the lineage every few rounds so a
         # 100 TB / high-diameter run keeps flat per-iteration planning cost
+        # (the checkpoint already caches — no extra persist on those rounds)
         if (it + 1) % 4 == 0:
-            updated = updated.localCheckpoint(eager=False)
-        updated = updated.persist()
+            updated = tracked_local_checkpoint(updated)
+        else:
+            updated = updated.persist()
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "id")
@@ -331,7 +335,9 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20, on_iteration=None) 
             on_iteration(it)
         if changed == 0:
             break
-    return labels.select("id", "cluster")
+    # the returned frame stays cached (callers iterate it) — tracked so
+    # clear_llmdata_cache() frees it once the caller has materialized
+    return tracked(labels).select("id", "cluster")
 
 
 def ngram_jaccard_pairs(

@@ -67,11 +67,20 @@ def media_repartition(df: DataFrame, target_mb: int = 128, payload_col: str = "p
 
     Media skew (one 4K video next to thumbnails) breaks row-count-based
     partitioning; byte-based sizing keeps Arrow batches bounded.
+
+    Fully in-plan (no driver-side byte-count collect): the AQE REBALANCE
+    hint sizes shuffle partitions by BYTES at runtime — merging small
+    partitions and splitting oversized ones toward the advisory size — which
+    is exactly byte-based repartitioning, decided from the actual shuffle
+    statistics instead of a pre-pass aggregate. Note: the advisory size is a
+    session-level AQE knob; it is set here and applies to subsequent adaptive
+    coalescing in the session.
     """
-    row = df.agg(F.sum(F.length(F.col(payload_col))).alias("b")).collect()[0]
-    total = int(row["b"] or 0)
-    n = max(1, total // (target_mb * 1024 * 1024) + 1)
-    return df.repartition(n)
+    spark = df.sparkSession
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(target_mb * 1024 * 1024)
+    )
+    return df.hint("rebalance")
 
 
 _FEATURE_SCHEMA = "media_id long, n_bytes long, byte_mean double, byte_hist array<int>"

@@ -29,6 +29,8 @@ __all__ = [
     "srp_near_dup_pairs",
     "assign_cells",
     "ivf_topk",
+    "write_ivf_index",
+    "ivf_topk_indexed",
 ]
 
 
@@ -215,6 +217,38 @@ def assign_cells(
     return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn", "csim")
 
 
+def _query_probes(
+    centroids: DataFrame,
+    queries: DataFrame,
+    nprobe: int,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """(query_id, qv, qcent_id): each query's `nprobe` nearest cells."""
+    c = F.broadcast(centroids.select(F.col("cent_id").alias("qcent_id"), F.col("cent_vec").alias("cv")))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv"))
+    q_cells = (
+        q.crossJoin(c)
+        .select("query_id", "qv", "qcent_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("csim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("qcent_id"))
+    return q_cells.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= nprobe).drop("__rn", "csim")
+
+
+def _probe_topk(probes: DataFrame, assigned: DataFrame, k: int) -> DataFrame:
+    cand = probes.join(assigned, probes["qcent_id"] == assigned["cent_id"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w2).cast("long")).filter(F.col("rank") <= k)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -230,23 +264,47 @@ def ivf_topk(
     """Approximate top-k: search only the `nprobe` cells nearest each query.
 
     Recall < 1 by construction; the bench compares it against `cosine_topk`.
+    This form assigns cells on the fly; at scale, materialize the assignment
+    once with `write_ivf_index` and search with `ivf_topk_indexed` so each
+    query scans only nprobe PARTITIONS of the index.
     """
     assigned = assign_cells(embeddings, centroids, id_col=id_col, vec_col=vec_col)
-    c = F.broadcast(centroids.select(F.col("cent_id").alias("qcent_id"), F.col("cent_vec").alias("cv")))
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv"))
-    q_cells = (
-        q.crossJoin(c)
-        .select("query_id", "qv", "qcent_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("csim"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("qcent_id"))
-    probes = q_cells.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= nprobe).drop("__rn", "csim")
-    cand = probes.join(assigned, probes["qcent_id"] == assigned["cent_id"]).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    scored = cand.select(
-        "query_id",
-        "vec_id",
-        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w2).cast("long")).filter(F.col("rank") <= k)
+    probes = _query_probes(centroids, queries, nprobe, query_id_col=query_id_col, query_vec_col=query_vec_col)
+    return _probe_topk(probes, assigned, k)
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout: the cell assignment written as parquet
+    PARTITIONED BY cent_id — the cell-partitioned layout that makes a query
+    scan only its nprobe cells (directory-level pruning, no full pass)."""
+    assigned = assign_cells(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    assigned.write.partitionBy("cent_id").mode("overwrite").parquet(path)
+
+
+def ivf_topk_indexed(
+    index: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k over a materialized IVF index (`spark.read.parquet` of a
+    `write_ivf_index` layout, where `cent_id` is a PARTITION column).
+
+    The probe⋈index join is on the partition column with a broadcast-small
+    build side, so Spark inserts a dynamic-partition-pruning subquery: the
+    scan's PartitionFilters carries `dynamicpruningexpression(cent_id IN
+    subquery)` and only the probed cell directories are read — the 100 TB
+    shape the on-the-fly `ivf_topk` can't give you."""
+    probes = _query_probes(centroids, queries, nprobe, query_id_col=query_id_col, query_vec_col=query_vec_col)
+    return _probe_topk(probes, index, k)

@@ -122,6 +122,12 @@ class RegexCache:
     target: str = "text"
     matches: DataFrame | None = None
     hwm: str | None = None
+    # above this many cached match ids, apply() switches from a broadcast
+    # semi-join to a shuffled one — a hot regex over a 100 TB corpus can
+    # match far more ids than the driver/executors can broadcast (round-2
+    # advice); feed-sized sets stay on the broadcast fast path
+    broadcast_threshold: int = 1_000_000
+    _n_matches: int = 0
 
     def refresh(self, posts: DataFrame, id_col: str = "id") -> DataFrame:
         new = posts if self.hwm is None else posts.filter(F.col(id_col) > self.hwm)
@@ -132,11 +138,14 @@ class RegexCache:
             self.hwm = top
         # cache the materialized id set — this is the point of the cache
         self.matches = self.matches.persist()
-        self.matches.count()
+        self._n_matches = self.matches.count()
         return self.matches
 
     def apply(self, working_set: DataFrame, id_col: str = "id", *, invert: bool = False) -> DataFrame:
         if self.matches is None:
             raise ValueError("refresh() the cache before applying it")
         how = "left_anti" if invert else "left_semi"
-        return working_set.join(F.broadcast(self.matches), id_col, how)
+        right = self.matches
+        if self._n_matches <= self.broadcast_threshold:
+            right = F.broadcast(right)
+        return working_set.join(right, id_col, how)

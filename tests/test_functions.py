@@ -142,9 +142,10 @@ def test_script_udf_tier_interpreter(spark, posts):
     import math
 
     def steps(n):
+        # Rhai i64 division truncates (main.rs:2602-2621 scope is i64)
         s, x = 0, n
         while x > 1:
-            x /= 2
+            x //= 2
             s += 1
         return float(s)
 
@@ -155,6 +156,39 @@ def test_script_udf_tier_interpreter(spark, posts):
     )
     got = sorted(r["key"] for r in posts.filter(pred).collect())
     assert got == [1, 3, 6]
+
+
+def test_script_rhai_integer_semantics(spark, posts):
+    from query_engine_spark.functions.scripting import _eval, _parse, ScriptRuntimeError
+
+    # SQL tier: int ÷ int truncates like Rust (5/2 == 2, -7/2 == -3)
+    col = translate_script("likeCount / 3", now_epoch_expr="0")
+    rows = {r["key"]: r["v"] for r in posts.select("key", col.alias("v")).collect()}
+    assert rows[1] == 10 // 3 and rows[3] == 50 // 3  # truncated, still int
+    # float operand keeps f64 division
+    col = translate_script("likeCount / 4.0", now_epoch_expr="0")
+    rows = {r["key"]: r["v"] for r in posts.select("key", col.alias("v")).collect()}
+    assert rows[1] == 2.5
+    # interpreter tier agrees, including Rust sign rules
+    assert _eval(_parse("7 / 2")[2], {}) == 3
+    assert _eval(_parse("0 - 7 / 2")[2], {}) == -3  # trunc toward zero, not floor
+    assert _eval(_parse("(0 - 7) % 2")[2], {}) == -1  # remainder keeps dividend sign
+    assert _eval(_parse("7.0 / 2")[2], {}) == 3.5
+    # int division by zero hard-errors (reference unwrap, main.rs:1965)
+    import pytest as _pytest
+
+    with _pytest.raises(ScriptRuntimeError):
+        _eval(_parse("1 / 0")[2], {})
+
+
+def test_script_udf_tier_fails_loud_on_non_bool(spark, posts):
+    # boolean-context script returning a number must error, not null-drop
+    posts = posts.withColumn("score", F.lit(0.0))
+    pred = translate_script(
+        "let x = likeCount; x = x + 1; x", now_epoch_expr="0", allow_udf=True, boolean=True
+    )
+    with pytest.raises(Exception, match="expected bool"):
+        posts.filter(pred).count()
 
 
 def test_script_udf_tier_matches_sql_tier(spark, posts):

@@ -110,6 +110,56 @@ def test_dedup_clusters(spark):
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
 
 
+def test_dedup_clusters_frees_all_cached_blocks(spark):
+    # the checkpoint/persist blocks (edges, periodic lineage truncations, the
+    # returned labels) must all be freed by clear_llmdata_cache — a
+    # long-lived driver otherwise accumulates them until JVM GC
+    from query_engine_spark.llmdata import clear_llmdata_cache
+
+    clear_llmdata_cache()
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long"  # diameter > 4
+    )
+    out = D.dedup_clusters(pairs, max_iters=20)
+    assert out.count() == 12
+    clear_llmdata_cache()
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set()
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    # the materialized IVF layout must let a query scan ONLY its nprobe cell
+    # partitions: the probe join on the cent_id partition column produces a
+    # dynamic-partition-pruning filter in the scan, and results match the
+    # on-the-fly ivf_topk
+    import pyspark.sql.functions as F
+    from query_engine_spark.llmdata import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7 + 1), float((i * 3) % 5 + 1), 1.0]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 5.0, 1.0]), (1, [7.0, 1.0, 1.0]), (2, [3.0, 3.0, 1.0])],
+        "cent_id int, cent_vec array<float>",
+    )
+    qs = spark.createDataFrame([(1000, [6.5, 1.5, 1.0])], "query_id long, query_vec array<float>")
+
+    path = str(tmp_path / "ivf_index")
+    S.write_ivf_index(emb, cents, path)
+    index = spark.read.parquet(path)
+
+    out = S.ivf_topk_indexed(index, cents, qs, k=5, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan
+    got = [(r["query_id"], r["vec_id"], r["sim"], r["rank"]) for r in out.collect()]
+    want_df = S.ivf_topk(emb, cents, qs, k=5, nprobe=1)
+    want = [(r["query_id"], r["vec_id"], r["sim"], r["rank"]) for r in want_df.collect()]
+    assert sorted(got) == sorted(want) and len(got) == 5
+
+
 def test_srp_candidates_cover_exact_pairs(spark):
     # SRP banding must not lose the pairs the exact method finds at a high
     # threshold (near-identical vectors agree on nearly all code bits)
@@ -190,3 +240,15 @@ def test_multimodal_plumbing(spark):
         by_media.setdefault(r["media_id"], []).append(r)
     assert len(by_media[1]) == 3
     assert bytes(by_media[1][0]["frame_bytes"]) == (b"hello world" * 100)[:256]
+
+
+def test_media_repartition_is_in_plan(spark):
+    # byte-based partition sizing must be the AQE REBALANCE hint (runtime
+    # shuffle-stat sizing), not a driver-side byte-count collect
+    media = spark.createDataFrame(
+        [(i, bytearray(b"x" * 100)) for i in range(10)], "media_id long, payload binary"
+    )
+    out = MM.media_repartition(media, target_mb=1)
+    assert "RebalancePartitions" in out._jdf.queryExecution().optimizedPlan().toString()
+    assert spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes") == str(1024 * 1024)
+    assert out.count() == 10

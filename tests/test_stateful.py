@@ -79,3 +79,24 @@ def test_regex_cache_warm_equals_cold(spark, posts):
     assert [r["key"] for r in kept.collect()] == [1]
     dropped = cache.apply(posts, invert=True)
     assert sorted(r["key"] for r in dropped.collect()) == [2, 3, 4, 5, 6, 7, 8]
+
+
+def test_regex_cache_large_set_drops_broadcast_hint(spark, posts):
+    # past the broadcast threshold apply() must not FORCE a broadcast of the
+    # match set (a hot regex at 100 TB can exceed broadcast limits) — the
+    # hint disappears and the planner sizes the join from stats; results
+    # agree with the broadcast path
+    small = RegexCache(pattern=".")  # matches every post
+    small.refresh(posts)
+    big = RegexCache(pattern=".", broadcast_threshold=2)
+    big.refresh(posts)
+    assert big._n_matches > big.broadcast_threshold
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    assert "ResolvedHint" in analyzed(small.apply(posts))
+    assert "Hint" not in analyzed(big.apply(posts))
+    a = sorted(r["key"] for r in small.apply(posts).collect())
+    b = sorted(r["key"] for r in big.apply(posts).collect())
+    assert a == b and len(a) >= 7  # key 7 has empty text — '.' no-match
