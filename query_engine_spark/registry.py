@@ -1707,6 +1707,31 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embed_ivf_indexed",
+    _IVF_ORACLE,
+    "IVF over the MATERIALIZED cell-partitioned index (write_ivf_index → parquet partitionBy cent_id; "
+    "probe join prunes to nprobe cells via dynamic partition pruning) — same results as embed_ivf_topk",
+)
+def embed_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_index_{tag}")
+    if not os.path.exists(path):
+        Sim.write_ivf_index(emb, cents, path)
+    index = spark.read.parquet(path)
+    return Sim.ivf_topk_indexed(index, cents, queries, k=5, nprobe=2)
+
+
+@_register(
     "dedup_embedding_cosine",
     f"""
     WITH pairs AS (

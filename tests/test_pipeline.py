@@ -151,6 +151,58 @@ def test_admission_control(spark, posts):
             + [{"type": "regex", "value": "x"}] * 11)
 
 
+def test_input_after_sort_appends_in_order(spark, posts):
+    # a stamped (sorted) segment followed by a pending input segment must
+    # keep append order: sorted firehose first, then author-3 posts by id
+    blocks = [
+        {"type": "input", "inputType": "firehose", "firehoseSeconds": 7 * 86400},
+        {"type": "keep", "subject": "item", "value": "reply"},  # drop replies
+        {"type": "sort", "sortType": "likes", "sortDirection": "desc"},
+        {"type": "input", "inputType": "did", "did": 3},  # author 3 → 5,6
+    ]
+    # sorted non-replies by likes desc: 6(100),3(50),1(10),2(5),5(7)... recompute:
+    # non-replies in week: 1(10),2(5),3(50),5(7),6(100),7(0) → desc: 6,3,1,5,2,7
+    assert run(spark, posts, blocks) == [6, 3, 1, 5, 2, 7, 5, 6]
+
+
+def test_stash_of_sorted_segment_pops_in_sorted_order(spark, posts):
+    blocks = [
+        {"type": "input", "inputType": "firehose", "firehoseSeconds": 7 * 86400},
+        {"type": "keep", "subject": "item", "value": "reply"},
+        {"type": "sort", "sortType": "likes", "sortDirection": "desc"},
+        {"type": "stash", "action": "stash", "key": "s"},
+        {"type": "input", "inputType": "did", "did": 3},
+        {"type": "stash", "action": "pop", "key": "s"},
+    ]
+    assert run(spark, posts, blocks) == [5, 6, 6, 3, 1, 5, 2, 7]
+
+
+def test_posts_per_user_after_sort_uses_sorted_order(spark, posts):
+    blocks = [
+        {"type": "input", "inputType": "firehose", "firehoseSeconds": 7 * 86400},
+        {"type": "sort", "sortType": "likes", "sortDirection": "desc"},
+        {"type": "limit", "limitType": "posts_per_user", "count": 1},
+    ]
+    # per author, keep the HIGHEST-liked post (first in sorted order):
+    # a1: 1(10) over 2(5); a2: 3(50) over 4(2); a3: 6(100) over 5(7); a4: 8(3) over 7(0)
+    got = run(spark, posts, blocks)
+    assert sorted(got) == [1, 3, 6, 8]
+    assert got == [6, 3, 1, 8]  # and in sorted (like-desc) order
+
+
+def test_duplicates_block_keeps_first_across_segments(spark, posts):
+    blocks = [
+        {"type": "input", "inputType": "firehose"},  # 1,2,3,7,8
+        {"type": "input", "inputType": "firehose", "firehoseSeconds": 7 * 86400},  # 1..8
+        {"type": "keep", "subject": "duplicates"},
+    ]
+    # first occurrence survives in position: 1,2,3,7,8 from block 1, then 4,5,6
+    assert run(spark, posts, blocks) == [1, 2, 3, 7, 8, 4, 5, 6]
+    blocks[2] = {"type": "keep", "subject": "non_duplicates"}
+    # only 2nd+ occurrences survive: the week-window copies of 1,2,3,7,8
+    assert run(spark, posts, blocks) == [1, 2, 3, 7, 8]
+
+
 def test_three_score_blocks_fold_into_one_exchange(spark, posts):
     """The score map (post_score_global) must resolve in ONE key-partitioned
     Exchange regardless of the number of score blocks — hash(key) clusters
