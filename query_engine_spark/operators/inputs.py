@@ -186,6 +186,7 @@ def input_liked_weighted(
     post_col: str = "post_key",
     key_col: str = "key",
     edges_distinct: bool = False,
+    cache: bool = False,
 ) -> DataFrame:
     """S9 — posts liked by list members, scored Σ 1/(baseLikeCount +
     user_total_likes) (main.rs:1453-1514). Returns posts + `__batch_score`,
@@ -199,11 +200,21 @@ def input_liked_weighted(
     already unique per (user, post) — make that an INGEST invariant at scale
     (the reference's bitmaps are deduped at ingest, main.rs:3335-3362), not a
     per-query full shuffle of the 100 TB edge table.
+
+    `cache=True` persists the member-filtered edge set, which BOTH the
+    user-totals aggregate and the weight sum consume — without it each branch
+    re-scans and re-dedups the edge table. Opt-in because the cached blocks
+    live until `cache.clear_tracked_cache()`; batch/bench paths clear between
+    queries, a serving driver must do its own housekeeping.
     """
     if not edges_distinct:
         likes = likes.select(user_col, post_col).distinct()  # bitmap edges are distinct
     members = list_df.select(F.col(list_df.columns[0]).alias(user_col)).distinct()
     member_likes = likes.join(F.broadcast(members), user_col, "left_semi")
+    if cache:
+        from query_engine_spark.cache import tracked_persist
+
+        member_likes = tracked_persist(member_likes)
     user_totals = member_likes.groupBy(user_col).agg(F.count("*").alias("__user_likes"))
     scored = (
         member_likes.join(user_totals, user_col)
@@ -225,6 +236,7 @@ def input_liked_by_likers(
     post_col: str = "post_key",
     key_col: str = "key",
     edges_distinct: bool = False,
+    cache: bool = False,
 ) -> DataFrame:
     """S10 — 2-hop collaborative filtering (main.rs:1515-1605).
 
@@ -238,17 +250,25 @@ def input_liked_by_likers(
 
     Shape: two passes over the likes edge table (seed⋈likes → curators;
     curators⋈likes → posts), each a keyed agg. The seed set is small
-    (a feed working set) → broadcast.
+    (a feed working set) → broadcast. The per-seed-post liker totals are
+    computed from the seed-filtered edges (identical: seed_likes holds ALL
+    likers of each seed post), never a full-table aggregate. `cache=True`
+    persists the deduped edge table shared by both hops (see S9 docstring
+    for the cleanup contract).
     """
     # the reference's like edges are Roaring bitmaps → (user, post) pairs are
     # implicitly distinct (main.rs:61-62); dedupe the edge table to match
     # unless the caller guarantees it at ingest (edges_distinct)
     if not edges_distinct:
         likes = likes.select(user_col, post_col).distinct()
+    if cache:
+        from query_engine_spark.cache import tracked_persist
+
+        likes = tracked_persist(likes)
     seed_keys = seed_posts.select(F.col(key_col).alias(post_col)).distinct()
-    post_totals = likes.groupBy(post_col).agg(F.count("*").alias("__post_likers"))
     seed_likes = likes.join(F.broadcast(seed_keys), post_col, "left_semi")
-    per_like_w = seed_likes.join(post_totals, post_col).withColumn(
+    post_totals = seed_likes.groupBy(post_col).agg(F.count("*").alias("__post_likers"))
+    per_like_w = seed_likes.join(F.broadcast(post_totals), post_col).withColumn(
         "__w", weight_fn(user_score_function, F.col("__post_likers"), score_exponent)
     )
     curators = (

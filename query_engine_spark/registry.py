@@ -202,7 +202,7 @@ def s9_liked_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     likes = li.select(F.col("l_suppkey").alias("user_key"), F.col("l_orderkey").alias("post_key"))
     members = supp.filter(F.col("s_acctbal") > 5000).select("s_suppkey")
-    out = In.input_liked_weighted(likes, orders, members, base_like_count=2)
+    out = In.input_liked_weighted(likes, orders, members, base_like_count=2, cache=True)
     return out.select("o_orderkey", F.round("__batch_score", 6).alias("batch_score"))
 
 
@@ -234,7 +234,7 @@ def s10_liked_by_likers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").withColumn("key", F.col("o_orderkey"))
     likes = li.select(F.col("l_suppkey").alias("user_key"), F.col("l_orderkey").alias("post_key"))
     seeds = orders.filter(F.col("o_totalprice") > 490000)
-    out = In.input_liked_by_likers(likes, orders, seeds, user_score_function="f1")
+    out = In.input_liked_by_likers(likes, orders, seeds, user_score_function="f1", cache=True)
     return out.select("o_orderkey", F.round("__batch_score", 6).alias("batch_score"))
 
 
