@@ -29,6 +29,8 @@ from query_engine_spark.operators import inputs as In
 from query_engine_spark.operators import joins as J
 from query_engine_spark.operators import aggregates as A
 from query_engine_spark.operators import sorts as So
+from query_engine_spark.operators import sketches as Sk
+from query_engine_spark.operators import temporal as T
 from query_engine_spark.operators.ordering import ORD, dense_rank_over, stamp_ord
 from query_engine_spark.operators.scoring import hn_score_from_micros
 from query_engine_spark.operators.setops import append_union
@@ -2227,6 +2229,175 @@ def llm_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return prepare_corpus(docs, langs=("en", "de"), min_quality=0.7)
+
+
+# ---------------------------------------------------------------------------
+# temporal operators (as-of / range join / hypertable rollup) + sketches —
+# custom operators Spark lacks natively, per the build contract's ladder:
+# pure DataFrame composition, no UDFs (operators/temporal.py, sketches.py)
+
+
+@_register(
+    "asof_join_events",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      FROM events WHERE event_type = 'view'
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id, epoch_us(CAST(ts AS TIMESTAMP))
+        ORDER BY event_id DESC) = 1
+    )
+    SELECT p.event_id, p.user_id, p.ts_us,
+           CASE WHEN v.ts_us IS NOT NULL AND p.ts_us - v.ts_us <= 86400000000
+                THEN v.ts_us END AS view_ts_us,
+           CASE WHEN v.ts_us IS NOT NULL AND p.ts_us - v.ts_us <= 86400000000
+                THEN round(v.value, 4) END AS view_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+    """,
+    "as-of join (union+LOCF, one shuffle): each purchase gets the latest prior view "
+    "per user within a 1-day tolerance (operators/temporal.py asof_join)",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts_us")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts_us", "value", "event_id")
+    # as-of requires a unique right side per (key, ts): keep the max-id row
+    w = Window.partitionBy("user_id", "ts_us").orderBy(F.col("event_id").desc())
+    views = (
+        views.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "event_id")
+    )
+    out = T.asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        value_cols=["value"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        tolerance=86_400_000_000,  # 1 day in µs
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("ts_us_r").alias("view_ts_us"),
+        F.round("value_r", 4).alias("view_value"),
+    )
+
+
+@_register(
+    "range_join_events",
+    """
+    WITH i AS (
+      SELECT event_id AS incident_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+             epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e_us
+      FROM events WHERE event_type = 'error'
+    ), c AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS click_us, value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT i.incident_id, count(*) AS n_clicks, round(sum(c.value), 4) AS click_value
+    FROM i JOIN c ON c.click_us >= i.s_us AND c.click_us <= i.e_us
+    GROUP BY i.incident_id
+    """,
+    "range (interval-containment) join via overlap bins — no cross-join: clicks inside "
+    "each error's 30-min incident window (operators/temporal.py range_join)",
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts_us").alias("s_us"),
+        (F.col("ts_us") + 1_800_000_000).alias("e_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts_us").alias("click_us"), "value"
+    )
+    pairs = T.range_join(
+        clicks, incidents, "click_us", "s_us", "e_us", bin_width=1_800_000_000
+    )
+    return pairs.groupBy("incident_id").agg(
+        F.count("*").alias("n_clicks"), F.round(F.sum("value"), 4).alias("click_value")
+    )
+
+
+@_register(
+    "rollup_gapfill_events",
+    """
+    WITH b AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS bucket_us,
+             count(*) AS n_events, avg(value) AS avg_value
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type,
+             unnest(generate_series(min(bucket_us), max(bucket_us), 3600000000)) AS bucket_us
+      FROM b GROUP BY event_type
+    )
+    SELECT s.event_type, s.bucket_us, coalesce(b.n_events, 0) AS n_events,
+           round(last_value(b.avg_value IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.bucket_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS avg_value_locf
+    FROM s LEFT JOIN b USING (event_type, bucket_us)
+    """,
+    "hypertable rollup: 1-hour time_bucket per event_type, densified per-key spine, "
+    "zero-filled counts + LOCF gauges (operators/temporal.py rollup_gapfill)",
+)
+def rollup_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    out = T.rollup_gapfill(
+        ev,
+        keys=["event_type"],
+        ts_us_col="ts_us",
+        width_us=3_600_000_000,  # 1 hour
+        aggs={"n_events": F.count("*"), "avg_value": F.avg("value")},
+        zero_cols=["n_events"],
+        locf_cols=["avg_value"],
+    )
+    return out.select(
+        "event_type",
+        "bucket_us",
+        "n_events",
+        F.round("avg_value", 4).alias("avg_value_locf"),
+    )
+
+
+@_register(
+    "kmv_distinct_users",
+    """
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ), r AS (
+      SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM d
+    ), a AS (
+      SELECT event_type, count(*) AS exact_distinct,
+             max(CASE WHEN rk <= 64 THEN h END) AS kth
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, exact_distinct,
+           round(CASE WHEN exact_distinct < 64 THEN CAST(exact_distinct AS DOUBLE)
+                      ELSE 63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)
+                 END, 4) AS kmv_est
+    FROM a
+    """,
+    "KMV (k-minimum-values) distinct sketch on md5 hashes — engine-portable unlike "
+    "HLL: distinct users per event_type, k=64 (operators/sketches.py kmv_distinct)",
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = Sk.kmv_distinct(ev, ["event_type"], "user_id", k=64)
+    return out.select(
+        "event_type", "exact_distinct", F.round("kmv_distinct", 4).alias("kmv_est")
+    )
 
 
 # Queries the round-1 driver already hash-verified (CORRECTNESS_r01.json).

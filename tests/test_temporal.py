@@ -1,0 +1,223 @@
+"""Unit tests for operators/temporal.py and operators/sketches.py —
+handcrafted frames with known answers, plus plan-shape assertions (the
+as-of join must be a single shuffle, the range join must not be a
+cartesian product)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from query_engine_spark.operators.sketches import kmv_distinct
+from query_engine_spark.operators.temporal import (
+    asof_join,
+    range_join,
+    rollup_gapfill,
+    time_bucket,
+)
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+
+
+@pytest.fixture()
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            Row(sym="A", ts_us=100, qty=1),
+            Row(sym="A", ts_us=205, qty=2),
+            Row(sym="A", ts_us=300, qty=3),  # exact tie with quote at 300
+            Row(sym="B", ts_us=50, qty=4),  # before any B quote -> null
+            Row(sym="B", ts_us=900, qty=5),
+        ]
+    )
+    quotes = spark.createDataFrame(
+        [
+            Row(sym="A", ts_us=90, px=1.0),
+            Row(sym="A", ts_us=200, px=2.0),
+            Row(sym="A", ts_us=300, px=3.0),
+            Row(sym="B", ts_us=800, px=8.0),
+        ]
+    )
+    return trades, quotes
+
+
+def test_asof_backward_matches_latest_prior(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on=["sym"], value_cols=["px"], left_ts="ts_us", right_ts="ts_us"
+    )
+    got = {(r.sym, r.ts_us): (r.ts_us_r, r.px_r) for r in out.collect()}
+    assert got[("A", 100)] == (90, 1.0)
+    assert got[("A", 205)] == (200, 2.0)
+    # equal timestamps match (backward-inclusive)
+    assert got[("A", 300)] == (300, 3.0)
+    # no prior quote -> NULL match
+    assert got[("B", 50)] == (None, None)
+    assert got[("B", 900)] == (800, 8.0)
+    # left join: every left row survives
+    assert out.count() == trades.count()
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades,
+        quotes,
+        on=["sym"],
+        value_cols=["px"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        tolerance=10,
+    )
+    got = {(r.sym, r.ts_us): r.px_r for r in out.collect()}
+    assert got[("A", 100)] == 1.0  # gap 10 == tolerance -> kept
+    assert got[("A", 205)] == 2.0  # gap 5 -> kept
+    assert got[("A", 300)] == 3.0  # gap 0 -> kept
+    assert got[("B", 900)] is None  # gap 100 > tolerance -> nulled
+    assert got[("B", 50)] is None  # no match at all
+
+
+def test_asof_tolerance_exact_boundaries(spark):
+    left = spark.createDataFrame([Row(k=1, ts_us=100), Row(k=1, ts_us=111)])
+    right = spark.createDataFrame([Row(k=1, ts_us=90, v=7.0)])
+    out = asof_join(
+        left, right, on=["k"], value_cols=["v"], left_ts="ts_us", right_ts="ts_us", tolerance=10
+    )
+    got = {r.ts_us: r.v_r for r in out.collect()}
+    assert got[100] == 7.0  # gap exactly == tolerance: kept
+    assert got[111] is None  # gap 21 > tolerance: nulled
+
+
+def test_asof_single_shuffle(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on=["sym"], value_cols=["px"], left_ts="ts_us", right_ts="ts_us"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # union+LOCF formulation: exactly one Exchange (the key partition), no join
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# range join
+
+
+def test_range_join_containment_and_exactly_once(spark):
+    points = spark.createDataFrame(
+        [Row(p=0), Row(p=5), Row(p=10), Row(p=15), Row(p=25), Row(p=99)]
+    )
+    # interval spanning many bins; bin_width deliberately tiny (3) so each
+    # interval explodes into several bins — pairs must still be unique
+    intervals = spark.createDataFrame(
+        [Row(iid=1, s=0, e=10), Row(iid=2, s=10, e=20), Row(iid=3, s=90, e=95)]
+    )
+    out = range_join(points, intervals, "p", "s", "e", bin_width=3)
+    pairs = sorted((r.p, r.iid) for r in out.collect())
+    # inclusive both ends: p=10 is in both [0,10] and [10,20]; p=99 matches none
+    assert pairs == [(0, 1), (5, 1), (10, 1), (10, 2), (15, 2)]
+    # exactly-once: no dedup pass, so duplicates would show up here
+    assert len(pairs) == len(set(pairs))
+
+
+def test_range_join_no_cartesian(spark):
+    points = spark.createDataFrame([Row(p=i) for i in range(50)])
+    intervals = spark.createDataFrame([Row(iid=i, s=i * 10, e=i * 10 + 9) for i in range(5)])
+    out = range_join(points, intervals, "p", "s", "e", bin_width=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert out.count() == 50  # every point in exactly one interval here
+
+
+# ---------------------------------------------------------------------------
+# time_bucket + rollup_gapfill
+
+
+def test_time_bucket_floors_to_width(spark):
+    df = spark.createDataFrame([Row(ts_us=0), Row(ts_us=999), Row(ts_us=1000), Row(ts_us=2500)])
+    got = [r.b for r in df.select(time_bucket("ts_us", 1000).alias("b")).collect()]
+    assert got == [0, 0, 1000, 2000]
+
+
+def test_rollup_gapfill_zero_and_locf(spark):
+    # key 'a': buckets 0,1000,3000 present -> 2000 is a gap
+    df = spark.createDataFrame(
+        [
+            Row(k="a", ts_us=10, v=1.0),
+            Row(k="a", ts_us=1500, v=3.0),
+            Row(k="a", ts_us=3100, v=5.0),
+            Row(k="b", ts_us=500, v=7.0),
+        ]
+    )
+    out = rollup_gapfill(
+        df,
+        keys=["k"],
+        ts_us_col="ts_us",
+        width_us=1000,
+        aggs={"n": F.count("*"), "av": F.avg("v")},
+        zero_cols=["n"],
+        locf_cols=["av"],
+    ).orderBy("k", "bucket_us")
+    rows = [(r.k, r.bucket_us, r.n, r.av) for r in out.collect()]
+    assert rows == [
+        ("a", 0, 1, 1.0),
+        ("a", 1000, 1, 3.0),
+        ("a", 2000, 0, 3.0),  # gap: count zero-filled, gauge carried forward
+        ("a", 3000, 1, 5.0),
+        ("b", 0, 1, 7.0),  # single-bucket key: no spurious spine rows
+    ]
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame([Row(g="x", v=i % 10) for i in range(100)])
+    out = kmv_distinct(df, ["g"], "v", k=64).collect()[0]
+    assert out.exact_distinct == 10
+    assert out.kmv_distinct == 10.0  # below k -> exact
+
+
+def test_kmv_estimate_above_k_is_close(spark):
+    df = spark.createDataFrame([Row(g="x", v=i) for i in range(2000)])
+    out = kmv_distinct(df, ["g"], "v", k=64).collect()[0]
+    assert out.exact_distinct == 2000
+    # k=64 -> ~13% standard error; allow 3 sigma
+    assert abs(out.kmv_distinct - 2000) / 2000 < 0.4, out.kmv_distinct
+
+
+def test_kmv_matches_duckdb(spark):
+    """The whole point of KMV-on-md5: DuckDB reproduces the estimate
+    bit-for-bit (Spark HLL estimates can't)."""
+    import duckdb
+
+    df = spark.createDataFrame([Row(g="g%d" % (i % 3), v=i * 7) for i in range(600)])
+    got = {
+        r.g: (r.exact_distinct, r.kmv_distinct)
+        for r in kmv_distinct(df, ["g"], "v", k=64).collect()
+    }
+    con = duckdb.connect()
+    want = {}
+    pdf = df.toPandas()
+    con.register("src", pdf)
+    rows = con.execute(
+        """
+        WITH d AS (
+          SELECT DISTINCT g, ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM src
+        ), r AS (
+          SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM d
+        )
+        SELECT g, count(*),
+               CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                    ELSE 63.0 * 1152921504606846976.0 /
+                         CAST(max(CASE WHEN rk <= 64 THEN h END) AS DOUBLE) END
+        FROM r GROUP BY g
+        """
+    ).fetchall()
+    for g, n, est in rows:
+        want[g] = (n, est)
+    assert got == want
