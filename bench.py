@@ -42,6 +42,10 @@ HEADLINE = [
     "sessionize_events",
     "o7_posts_per_user",
     "stream_windowed_counts",
+    "asof_join_events",
+    "range_join_events",
+    "rollup_gapfill_events",
+    "kmv_distinct_users",
 ]
 
 

@@ -176,12 +176,15 @@ def rollup_gapfill(
     aggs: dict[str, Column],
     zero_cols: Sequence[str] = (),
     locf_cols: Sequence[str] = (),
+    interp_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Hypertable rollup: aggregate into fixed `width_us` buckets per key,
     then densify each key's series over its own [min, max] bucket range and
     fill gaps — count-like columns to 0 (`zero_cols`), gauge-like columns by
-    last-observation-carried-forward (`locf_cols`); anything else stays NULL
-    in gap rows.
+    last-observation-carried-forward (`locf_cols`) or linear interpolation
+    between the surrounding observed buckets (`interp_cols`, TimescaleDB
+    `interpolate` semantics: NULL when no observation on either side);
+    anything else stays NULL in gap rows.
 
     The spine (dense bucket sequence) is derived per key with
     ``sequence(min_bucket, max_bucket, width)`` — distributed, no
@@ -215,4 +218,24 @@ def rollup_gapfill(
         full = full.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     for c in locf_cols:
         full = full.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    if interp_cols:
+        wf = (
+            Window.partitionBy(*keys)
+            .orderBy("bucket_us")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        for c in interp_cols:
+            known_b = F.when(F.col(c).isNotNull(), F.col("bucket_us"))
+            prev_v = F.last(c, ignorenulls=True).over(w)
+            prev_b = F.last(known_b, ignorenulls=True).over(w)
+            next_v = F.first(c, ignorenulls=True).over(wf)
+            next_b = F.first(known_b, ignorenulls=True).over(wf)
+            # gap rows: prev + (next-prev) * elapsed/gap — plain double math,
+            # identical expression order on the oracle side for bit-parity
+            interp = prev_v + (next_v - prev_v) * (
+                (F.col("bucket_us") - prev_b) / (next_b - prev_b)
+            )
+            full = full.withColumn(
+                c, F.when(F.col(c).isNotNull(), F.col(c)).otherwise(interp)
+            )
     return full

@@ -2333,7 +2333,7 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT event_type,
              (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS bucket_us,
-             count(*) AS n_events, avg(value) AS avg_value
+             count(*) AS n_events, avg(value) AS avg_value, max(value) AS vmax
       FROM events GROUP BY 1, 2
     ), s AS (
       SELECT event_type,
@@ -2341,13 +2341,28 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b GROUP BY event_type
     )
     SELECT s.event_type, s.bucket_us, coalesce(b.n_events, 0) AS n_events,
-           round(last_value(b.avg_value IGNORE NULLS) OVER (
-             PARTITION BY s.event_type ORDER BY s.bucket_us
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS avg_value_locf
+           round(last_value(b.avg_value IGNORE NULLS) OVER wp, 4) AS avg_value_locf,
+           round(CASE WHEN b.vmax IS NOT NULL THEN b.vmax
+                 ELSE last_value(b.vmax IGNORE NULLS) OVER wp
+                      + (first_value(b.vmax IGNORE NULLS) OVER wn
+                         - last_value(b.vmax IGNORE NULLS) OVER wp)
+                        * ((s.bucket_us
+                            - last_value(CASE WHEN b.vmax IS NOT NULL
+                                         THEN s.bucket_us END IGNORE NULLS) OVER wp)
+                           / (first_value(CASE WHEN b.vmax IS NOT NULL
+                                          THEN s.bucket_us END IGNORE NULLS) OVER wn
+                              - last_value(CASE WHEN b.vmax IS NOT NULL
+                                           THEN s.bucket_us END IGNORE NULLS) OVER wp))
+                 END, 4) AS vmax_interp
     FROM s LEFT JOIN b USING (event_type, bucket_us)
+    WINDOW wp AS (PARTITION BY s.event_type ORDER BY s.bucket_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY s.event_type ORDER BY s.bucket_us
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     """,
     "hypertable rollup: 1-hour time_bucket per event_type, densified per-key spine, "
-    "zero-filled counts + LOCF gauges (operators/temporal.py rollup_gapfill)",
+    "zero-filled counts + LOCF and linear-interpolated gauges "
+    "(operators/temporal.py rollup_gapfill)",
 )
 def rollup_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
@@ -2356,15 +2371,21 @@ def rollup_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"],
         ts_us_col="ts_us",
         width_us=3_600_000_000,  # 1 hour
-        aggs={"n_events": F.count("*"), "avg_value": F.avg("value")},
+        aggs={
+            "n_events": F.count("*"),
+            "avg_value": F.avg("value"),
+            "vmax": F.max("value"),
+        },
         zero_cols=["n_events"],
         locf_cols=["avg_value"],
+        interp_cols=["vmax"],
     )
     return out.select(
         "event_type",
         "bucket_us",
         "n_events",
         F.round("avg_value", 4).alias("avg_value_locf"),
+        F.round("vmax", 4).alias("vmax_interp"),
     )
 
 

@@ -170,6 +170,28 @@ def test_rollup_gapfill_zero_and_locf(spark):
     ]
 
 
+def test_rollup_gapfill_linear_interp(spark):
+    # gauge observed at buckets 0 (v=1.0) and 3000 (v=7.0); gaps at 1000,
+    # 2000 interpolate linearly: 3.0 and 5.0
+    df = spark.createDataFrame(
+        [Row(k="a", ts_us=10, v=1.0), Row(k="a", ts_us=3100, v=7.0)]
+    )
+    out = rollup_gapfill(
+        df,
+        keys=["k"],
+        ts_us_col="ts_us",
+        width_us=1000,
+        aggs={"g": F.max("v")},
+        interp_cols=["g"],
+    ).orderBy("bucket_us")
+    assert [(r.bucket_us, r.g) for r in out.collect()] == [
+        (0, 1.0),
+        (1000, 3.0),
+        (2000, 5.0),
+        (3000, 7.0),
+    ]
+
+
 # ---------------------------------------------------------------------------
 # KMV sketch
 
