@@ -336,6 +336,36 @@ def hash_sample(
     return df.filter(b < thresh)
 
 
+def balanced_sample(
+    df: DataFrame,
+    strat_col: str,
+    *,
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Class-balancing downsample: reduce every stratum to (approximately)
+    the SMALLEST stratum's size, deterministically — the training-data move
+    for capping over-represented languages/sources without a shuffle of the
+    data itself.
+
+    Data-dependent rates stay in-plan: stratum counts are a tiny aggregate
+    broadcast back onto the scan, and the keep-test is pure integer math —
+    ``bucket(id) * n_stratum < n_min * buckets`` (exact in int64; no
+    float thresholds that could round differently across engines). Like
+    `hash_sample`, selection is by md5 bucket, so it is reproducible across
+    retries, partitionings, and engines.
+    """
+    counts = df.groupBy(strat_col).agg(F.count("*").alias("__n"))
+    mn = counts.agg(F.min("__n").alias("__n_min"))
+    b = hash_bucket(F.col(id_col), buckets)
+    return (
+        df.join(F.broadcast(counts), strat_col)
+        .crossJoin(F.broadcast(mn))
+        .filter(b * F.col("__n") < F.col("__n_min") * buckets)
+        .drop("__n", "__n_min")
+    )
+
+
 def top_terms(
     df: DataFrame,
     k: int = 100,

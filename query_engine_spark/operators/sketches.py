@@ -27,7 +27,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["kmv_distinct", "md5_hash60"]
+__all__ = ["kmv_distinct", "md5_hash60", "group_quantiles"]
 
 # hashes are 60-bit ints (15 md5 hex chars): exact in a signed 64-bit on
 # both engines, and 2^60 is exactly representable as a double for the
@@ -43,6 +43,44 @@ def md5_hash60(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.9),
+) -> DataFrame:
+    """EXACT per-group quantiles, engine-portable (Spark's
+    `percentile_approx`/t-digest and DuckDB's `quantile` interpolation
+    rules differ — this spells out one rule both reproduce).
+
+    Discrete (percentile_disc) semantics: quantile q = the value at rank
+    ``max(1, ceil(q * n))`` in the group's ascending sort (1-indexed).
+    Output columns are ``q25``-style, from each quantile's two leading
+    decimals (0.25 → q25, 0.5 → q50).
+
+    One shuffle: row_number + per-group count over the same partition,
+    then a conditional-max aggregate. Ties don't need a tiebreaker — the
+    value at a fixed rank of a sorted multiset is unique regardless of
+    tie order. At 100 TB the full-group sort is the cost; for gauges
+    where ±ε is fine, pre-bucket values and take the quantile over
+    (bucket, count) pairs instead.
+    """
+    groups = list(group_cols)
+    w = Window.partitionBy(*groups).orderBy(value_col)
+    wc = Window.partitionBy(*groups)
+    r = df.select(*groups, value_col).withColumn(
+        "__rn", F.row_number().over(w)
+    ).withColumn("__n", F.count("*").over(wc))
+    aggs = []
+    for q in quantiles:
+        rank = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("__n")))
+        name = f"q{str(q)[2:4].ljust(2, '0')}"
+        aggs.append(
+            F.max(F.when(F.col("__rn") == rank, F.col(value_col))).alias(name)
+        )
+    return r.groupBy(*groups).agg(*aggs)
 
 
 def kmv_distinct(

@@ -37,6 +37,7 @@ __all__ = [
     "asof_join",
     "range_join",
     "time_bucket",
+    "hopping_windows",
     "rollup_gapfill",
 ]
 
@@ -166,6 +167,38 @@ def time_bucket(col: Column | str, width: int) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return (F.floor(c / width) * width).cast("long")
+
+
+def hopping_windows(
+    df: DataFrame,
+    ts_us_col: str,
+    width_us: int,
+    slide_us: int,
+    start_col: str = "window_start_us",
+) -> DataFrame:
+    """Assign each row to EVERY hopping (sliding) window containing it —
+    the batch analog of Structured Streaming's ``F.window(ts, width,
+    slide)``, kept as explicit epoch-micros arithmetic so any SQL engine
+    reproduces the window starts bit-for-bit.
+
+    A row at t belongs to windows [s, s+width) for every s ≡ 0 (mod slide)
+    with s <= t < s+width — that's start indexes
+    ``floor((t - width)/slide) + 1 .. floor(t/slide)`` (width/slide of
+    them when width is a multiple of slide). Explode is a narrow op; the
+    downstream per-window aggregation is where the (deliberate,
+    width/slide-fold) row multiplication gets reduced — at scale prefer
+    aggregating tumbling `slide_us` buckets first and rolling those up
+    into hops if the agg is algebraic. Assumes non-negative epochs (see
+    `time_bucket`).
+    """
+    t = F.col(ts_us_col)
+    lo = (F.floor((t - width_us) / slide_us) + 1).cast("long")
+    hi = F.floor(t / slide_us).cast("long")
+    # explode must be top-level in its projection; scale to µs after
+    out = df.withColumn("__hop_idx", F.explode(F.sequence(lo, hi)))
+    return out.withColumn(
+        start_col, F.col("__hop_idx") * slide_us
+    ).drop("__hop_idx")
 
 
 def rollup_gapfill(

@@ -2421,6 +2421,90 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "hopping_window_events",
+    """
+    WITH h AS (
+      SELECT event_type, value,
+             unnest(generate_series(
+               (epoch_us(CAST(ts AS TIMESTAMP)) - 21600000000) // 3600000000 + 1,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)) * 3600000000
+               AS window_start_us
+      FROM events
+    )
+    SELECT event_type, window_start_us, count(*) AS n_events,
+           round(sum(floor(value * 1000)) / count(*), 4) AS avg_value_milli
+    FROM h GROUP BY 1, 2
+    """,
+    "hopping (sliding) windows, batch form: 6-hour windows every hour per event_type "
+    "(operators/temporal.py hopping_windows)",
+)
+def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    hopped = T.hopping_windows(
+        ev, "ts_us", width_us=21_600_000_000, slide_us=3_600_000_000
+    )
+    # mean over a ~2000-row window: float-sum ORDER differs between engines
+    # and flips round() at half boundaries — sum exact int64 millis instead
+    # (memory: floor-cast determinism convention)
+    return hopped.groupBy("event_type", "window_start_us").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.floor(F.col("value") * 1000)) / F.count("*"), 4
+        ).alias("avg_value_milli"),
+    )
+
+
+@_register(
+    "group_quantiles_events",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT)) THEN value END), 4) AS q25,
+           round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN value END), 4) AS q50,
+           round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT)) THEN value END), 4) AS q90
+    FROM r GROUP BY event_type
+    """,
+    "exact per-group percentile_disc quantiles via explicit rank arithmetic — "
+    "portable where t-digest/interpolation rules aren't (operators/sketches.py group_quantiles)",
+)
+def group_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = Sk.group_quantiles(ev, ["event_type"], "value", quantiles=(0.25, 0.5, 0.9))
+    return out.select(
+        "event_type",
+        F.round("q25", 4).alias("q25"),
+        F.round("q50", 4).alias("q50"),
+        F.round("q90", 4).alias("q90"),
+    )
+
+
+@_register(
+    "llm_balanced_sample",
+    """
+    WITH c AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), m AS (
+      SELECT min(n) AS n_min FROM c
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN c USING (lang) CROSS JOIN m
+    WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) * c.n
+          < m.n_min * 10000
+    """,
+    "class-balancing downsample: every lang reduced to ~smallest lang's size via "
+    "deterministic md5-bucket threshold, rates in-plan (llmdata/textstats.py balanced_sample)",
+)
+def llm_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return Tx.balanced_sample(docs, "lang").select("doc_id", "lang")
+
+
 # Queries the round-1 driver already hash-verified (CORRECTNESS_r01.json).
 # The registry is reordered to surface the not-yet-driver-verified queries
 # first, so a fixed-size driver sample covers them this round (round-1

@@ -8,9 +8,10 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import Row, functions as F
 
-from query_engine_spark.operators.sketches import kmv_distinct
+from query_engine_spark.operators.sketches import group_quantiles, kmv_distinct
 from query_engine_spark.operators.temporal import (
     asof_join,
+    hopping_windows,
     range_join,
     rollup_gapfill,
     time_bucket,
@@ -190,6 +191,45 @@ def test_rollup_gapfill_linear_interp(spark):
         (2000, 5.0),
         (3000, 7.0),
     ]
+
+
+def test_hopping_windows_membership(spark):
+    # width 10, slide 5: t=12 belongs to windows starting at 5 and 10;
+    # t=10 sits on a slide boundary -> [5,15) and [10,20), NOT [15,25)
+    df = spark.createDataFrame([Row(ts_us=12), Row(ts_us=10), Row(ts_us=27)])
+    out = hopping_windows(df, "ts_us", width_us=10, slide_us=5)
+    got = sorted((r.ts_us, r.window_start_us) for r in out.collect())
+    assert got == [(10, 5), (10, 10), (12, 5), (12, 10), (27, 20), (27, 25)]
+    # every row lands in exactly width/slide windows
+    assert out.count() == 6
+
+
+def test_group_quantiles_exact(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", v=float(x)) for x in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]]
+        + [Row(g="b", v=float(x)) for x in [10, 20, 30]]
+    )
+    out = {r.g: (r.q25, r.q50, r.q90) for r in
+           group_quantiles(df, ["g"], "v", quantiles=(0.25, 0.5, 0.9)).collect()}
+    # percentile_disc: rank = max(1, ceil(q*n)), 1-indexed ascending
+    assert out["a"] == (3.0, 5.0, 9.0)  # ceil(2.5)=3, ceil(5)=5, ceil(9)=9
+    assert out["b"] == (10.0, 20.0, 30.0)  # ceil(0.75)=1, ceil(1.5)=2, ceil(2.7)=3
+
+
+def test_balanced_sample_caps_strata(spark):
+    from query_engine_spark.llmdata.textstats import balanced_sample
+
+    rows = [Row(doc_id=i, lang="en") for i in range(1000)] + [
+        Row(doc_id=10_000 + i, lang="de") for i in range(50)
+    ]
+    out = balanced_sample(spark.createDataFrame(rows), "lang")
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # de (smallest stratum) keeps everything; en downsampled to ~50
+    assert counts["de"] == 50
+    assert 25 <= counts["en"] <= 85, counts
+    # deterministic: same result on re-run
+    out2 = balanced_sample(spark.createDataFrame(rows), "lang")
+    assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in out2.collect())
 
 
 # ---------------------------------------------------------------------------

@@ -63,6 +63,10 @@ QUERIES = [
     "embed_cosine_topk",
     "embed_srp_near_dup",
     "sessionize_events",
+    "asof_join_events",
+    "range_join_events",
+    "rollup_gapfill_events",
+    "kmv_distinct_users",
 ]
 
 
