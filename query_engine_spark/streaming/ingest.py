@@ -107,25 +107,30 @@ def streaming_windowed_counts(
     source: DataFrame,
     *,
     window: str = "5 minutes",
+    slide: str | None = None,
     watermark: str = "10 minutes",
     query_name: str = "windowed_counts",
     complete: bool = True,
 ) -> DataFrame:
-    """Event-time tumbling-window counts per event_type as a Structured
-    Streaming query, drained synchronously into a memory sink.
+    """Event-time windowed counts per event_type as a Structured Streaming
+    query, drained synchronously into a memory sink. Tumbling by default;
+    pass `slide` for hopping (sliding) windows — the streaming counterpart
+    of the batch `operators.temporal.hopping_windows` (test_stateful
+    asserts stream == batch on the same data).
 
     complete=True emits every window each trigger → after
     processAllAvailable() the memory table equals the batch groupBy — which
     is exactly what the oracle checks. Watermark + append mode is the
     production configuration for unbounded sources.
     """
-    agg = source.groupBy(F.window("ts", window).alias("w"), "event_type").agg(
+    win = F.window("ts", window, slide or window).alias("w")
+    agg = source.groupBy(win, "event_type").agg(
         F.count("*").alias("n"), F.sum("value").alias("total")
     )
     if not complete:
         agg = (
             source.withWatermark("ts", watermark)
-            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .groupBy(win, "event_type")
             .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
         )
     q = (

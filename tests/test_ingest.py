@@ -89,3 +89,37 @@ def test_streaming_windowed_counts(spark, tmp_path):
     assert {tuple(r) for r in out.select("n", "total").collect()} == {
         tuple(r) for r in batch.select("n", "total").collect()
     }
+
+
+def test_streaming_sliding_equals_batch_hopping(spark, tmp_path):
+    """Structured Streaming F.window(w, slide) == the batch
+    operators.temporal.hopping_windows formulation on the same data."""
+    from query_engine_spark.operators.temporal import hopping_windows
+    from query_engine_spark.streaming.ingest import streaming_windowed_counts
+
+    src = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 0, 3 * i), "a", float(i)) for i in range(20)],
+        "ts timestamp, event_type string, value double",
+    )
+    path = str(tmp_path / "events_slide")
+    src.write.parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    out = streaming_windowed_counts(
+        spark, stream, window="10 minutes", slide="5 minutes", query_name="t_hop"
+    )
+    got = {
+        (int(r["w"]["start"].timestamp() * 1_000_000), r["event_type"]): r["n"]
+        for r in out.collect()
+    }
+    batch = (
+        hopping_windows(
+            src.withColumn("ts_us", F.unix_micros("ts")),
+            "ts_us",
+            width_us=600_000_000,
+            slide_us=300_000_000,
+        )
+        .groupBy("window_start_us", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    want = {(r.window_start_us, r.event_type): r.n for r in batch.collect()}
+    assert got == want

@@ -102,6 +102,76 @@ def test_asof_single_shuffle(spark, trades_quotes):
     assert "Join" not in plan, plan
 
 
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized differential test: asof_join == pandas.merge_asof
+    (backward, by-key, tolerance) on seeded random frames."""
+    import numpy as np
+    import pandas as pd
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        left = pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, 200),
+                "ts_us": rng.choice(10_000, 200, replace=False).astype("int64"),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, 150),
+                "ts_us": rng.choice(10_000, 150, replace=False).astype("int64"),
+                "v": rng.random(150),
+            }
+        )
+        # merge_asof needs unique (k, ts); choice(replace=False) gives unique
+        # ts globally, so (k, ts) is unique too
+        tol = 500
+        want = pd.merge_asof(
+            left.sort_values("ts_us"),
+            right.sort_values("ts_us"),
+            on="ts_us",
+            by="k",
+            direction="backward",
+            tolerance=tol,
+        )
+        got = asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on=["k"],
+            value_cols=["v"],
+            left_ts="ts_us",
+            right_ts="ts_us",
+            tolerance=tol,
+        ).toPandas()
+        wm = {(r.k, r.ts_us): r.v for r in want.itertuples()}
+        gm = {(r.k, r.ts_us): r.v_r for r in got.itertuples()}
+        assert set(wm) == set(gm)
+        for key in wm:
+            a, b = wm[key], gm[key]
+            assert (pd.isna(a) and pd.isna(b)) or a == b, (seed, key, a, b)
+
+
+def test_range_join_matches_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    pts = [int(x) for x in rng.integers(0, 1000, 120)]
+    ivls = [
+        (i, int(s), int(s + rng.integers(0, 80)))
+        for i, s in enumerate(rng.integers(0, 1000, 40))
+    ]
+    points = spark.createDataFrame([Row(p=p, pid=i) for i, p in enumerate(pts)])
+    intervals = spark.createDataFrame([Row(iid=i, s=s, e=e) for i, s, e in ivls])
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(points, intervals, "p", "s", "e", bin_width=50).collect()
+    )
+    want = sorted(
+        (pi, ii) for pi, p in enumerate(pts) for ii, s, e in ivls if s <= p <= e
+    )
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # range join
 
