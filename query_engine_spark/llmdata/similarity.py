@@ -308,3 +308,69 @@ def ivf_topk_indexed(
     shape the on-the-fly `ivf_topk` can't give you."""
     probes = _query_probes(centroids, queries, nprobe, query_id_col=query_id_col, query_vec_col=query_vec_col)
     return _probe_topk(probes, index, k)
+
+
+def quantize_vec(col: Column, quant: int = 1000) -> Column:
+    """float array → integer-grid array: floor(x·quant) per element.
+
+    The point is cross-engine DETERMINISM for iterative algorithms: dot
+    products and norms of ≤60-bit-integer-valued vectors are exact in IEEE
+    doubles regardless of summation order, so cosine comparisons (and hence
+    cluster assignments) can't drift between Spark's fold and another
+    engine's list_dot_product."""
+    return F.transform(col, lambda x: F.floor(x.cast("double") * quant).cast("long"))
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1000,
+) -> DataFrame:
+    """Distributed Lloyd's k-means on the integer-quantized grid → final
+    (vec_id, cent_id) assignment. Trains the centroids IVF needs instead of
+    taking a deterministic sample (`assign_cells` docstring).
+
+    Per iteration (all DataFrame ops, no UDFs, no driver-side vectors):
+      1. assign: broadcast-centroid cosine argmax (`assign_cells` — ties →
+         lowest cent_id), map-only;
+      2. update: per-dimension mean via posexplode + one (cent_id, pos)
+         shuffle, re-quantized with floor(mean) to stay on the integer grid
+         (quantized Lloyd's — each step is still a contraction); empty
+         cells keep their previous centroid.
+
+    Init = the k lowest-id vectors (deterministic, SQL-reproducible).
+    Fixed `iters` keeps the lazy plan shallow (2·iters shuffles); for big
+    iteration counts insert a localCheckpoint every few rounds like
+    dedup_clusters does. Convergence-based stopping would need a
+    driver-side delta check per round — deliberate non-goal here.
+    """
+    q = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col), quant).alias("qv")
+    )
+    cents = (
+        q.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cent_id"), F.col("qv").alias("cv"))
+    )
+    for _ in range(iters):
+        assigned = assign_cells(q, cents, vec_col="qv", cent_vec_col="cv")
+        sums = (
+            assigned.select("cent_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cent_id", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
+        )
+        means = (
+            sums.withColumn("m", F.floor(F.col("s") / F.col("c")).cast("long"))
+            .groupBy("cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cent_id", F.transform("pm", lambda e: e["m"]).alias("cv_new"))
+        )
+        cents = cents.join(means, "cent_id", "left").select(
+            "cent_id", F.coalesce("cv_new", "cv").alias("cv")
+        )
+    final = assign_cells(q, cents, vec_col="qv", cent_vec_col="cv")
+    return final.select("vec_id", "cent_id")

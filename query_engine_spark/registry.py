@@ -2421,6 +2421,66 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 2, quant: int = 1000, dims: int = 64) -> str:
+    """Unrolled Lloyd's iterations as a CTE chain. All arithmetic is exact
+    (integer-quantized vectors → order-independent dots; see
+    similarity.quantize_vec), so the assignment is engine-deterministic."""
+
+    def dd(v: str) -> str:
+        return f"list_transform({v}, x -> CAST(x AS DOUBLE))"
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({dd(a)}, {dd(b)}) / "
+            f"(sqrt(list_dot_product({dd(a)}, {dd(a)})) * "
+            f"sqrt(list_dot_product({dd(b)}, {dd(b)})))"
+        )
+
+    def assign(cents: str) -> str:
+        return f"""
+      SELECT vec_id, cent_id, qv FROM (
+        SELECT q.vec_id, c.cent_id, q.qv,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round({cos('q.qv', 'c.cv')}, 6) DESC, c.cent_id) AS rn
+        FROM q CROSS JOIN {cents} c) WHERE rn = 1"""
+
+    sql = f"""
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * {quant}) AS BIGINT) for x in embedding] AS qv
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cent_id, qv AS cv FROM q ORDER BY vec_id LIMIT {k}
+    )"""
+    for i in range(iters):
+        sql += f""", a{i} AS ({assign(f'c{i}')}
+    ), u{i} AS (
+      SELECT cent_id, i, sum(qv[i + 1]) AS s, count(*) AS c
+      FROM a{i}, unnest(range({dims})) AS t(i) GROUP BY cent_id, i
+    ), m{i} AS (
+      SELECT cent_id, list(CAST(floor(CAST(s AS DOUBLE) / c) AS BIGINT) ORDER BY i) AS cv_new
+      FROM u{i} GROUP BY cent_id
+    ), c{i + 1} AS (
+      SELECT c{i}.cent_id, coalesce(m{i}.cv_new, c{i}.cv) AS cv
+      FROM c{i} LEFT JOIN m{i} USING (cent_id)
+    )"""
+    sql += f"""
+    SELECT vec_id, cent_id FROM ({assign(f'c{iters}')})
+    """
+    return sql
+
+
+@_register(
+    "embed_kmeans",
+    _kmeans_oracle(),
+    "distributed Lloyd's k-means (k=8, 2 iterations) on the integer-quantized grid — "
+    "iterative algorithm with a full unrolled-CTE oracle (llmdata/similarity.py kmeans_lloyd)",
+)
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return Sim.kmeans_lloyd(emb, k=8, iters=2)
+
+
 @_register(
     "hopping_window_events",
     """

@@ -321,6 +321,25 @@ def test_kmv_estimate_above_k_is_close(spark):
     assert abs(out.kmv_distinct - 2000) / 2000 < 0.4, out.kmv_distinct
 
 
+def test_kmeans_lloyd_separates_clear_clusters(spark):
+    from query_engine_spark.llmdata.similarity import kmeans_lloyd
+
+    # two tight angular clusters around (1,0) and (0,1); k=2 inits on the two
+    # lowest ids, one drawn from each cluster
+    rows = [Row(vec_id=2 * i, embedding=[1.0, 0.01 * i]) for i in range(10)] + [
+        Row(vec_id=2 * i + 1, embedding=[0.01 * i, 1.0]) for i in range(10)
+    ]
+    out = kmeans_lloyd(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        k=2,
+        iters=2,
+    )
+    got = {r.vec_id: r.cent_id for r in out.collect()}
+    evens = {got[v] for v in range(0, 20, 2)}
+    odds = {got[v] for v in range(1, 20, 2)}
+    assert evens == {0} and odds == {1}, got
+
+
 def test_kmv_matches_duckdb(spark):
     """The whole point of KMV-on-md5: DuckDB reproduces the estimate
     bit-for-bit (Spark HLL estimates can't)."""
