@@ -51,28 +51,36 @@ def asof_join(
     right_ts: str = "ts",
     tolerance: int | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach `value_cols` from the
-    LATEST right row with the same key and ``right.ts <= left.ts`` (Pandas
-    ``merge_asof`` / DuckDB ``ASOF LEFT JOIN`` semantics; unmatched → NULL).
+    """As-of join: for each left row, attach `value_cols` from the right
+    row with the same key that is the LATEST with ``right.ts <= left.ts``
+    (direction="backward", the default — Pandas ``merge_asof`` / DuckDB
+    ``ASOF LEFT JOIN`` semantics), the EARLIEST with ``right.ts >=
+    left.ts`` ("forward"), or whichever of those two is closer in time
+    ("nearest", exact-distance ties → backward). Unmatched → NULL.
 
     Implementation is the union+LOCF formulation, not a join: tag right
     rows side=0 and left rows side=1, union, then one window
     ``last(<right payload>, ignorenulls=True)`` per key ordered by
     (ts, side) carries the most recent right payload forward onto each
-    left row. Equal timestamps match (right sorts before left at a tie).
-    The whole operator is one shuffle + sort, no join explosion.
+    left row (mirrored with ``first`` over the following range frame for
+    the forward direction; "nearest" evaluates both windows over the SAME
+    exchange and sort — still one shuffle total). Equal timestamps match
+    in every direction. No join explosion.
 
     `tolerance` (in the ts columns' own units — use epoch micros) NULLs the
-    match when ``left.ts - matched.ts > tolerance``.
+    match when it is more than `tolerance` away on the direction's side.
 
     The right side must be unique per (key, ts) — as-of semantics are
     ambiguous otherwise; pre-dedup with a deterministic rule (the registry
     fixture keeps the max-id row) so results are engine-reproducible.
 
     Timestamps may be any orderable numeric/timestamp type, but `tolerance`
-    requires a numeric (epoch-micros) ts on both sides.
+    and direction="nearest" require a numeric (epoch-micros) ts.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     on = list(on)
     rv = list(value_cols)
     payload = F.struct(
@@ -91,22 +99,52 @@ def asof_join(
         F.lit(None).cast(r2.schema["__payload"].dataType).alias("__payload"),
     )
     u = l2.unionByName(r2, allowMissingColumns=True)
-    w = (
+    # RANGE frames ordered by __ats alone: a right row tied with a left row is
+    # a frame PEER, so it lands in both the preceding and following frame
+    # regardless of intra-tie row order (right is unique per (key, ts), so the
+    # tied right row is always the extreme non-null payload of its frame).
+    # Identical partitioning + ordering for both windows → Catalyst plans ONE
+    # Exchange and ONE Sort even for "nearest".
+    wb = (
         Window.partitionBy(*on)
-        .orderBy("__ats", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy("__ats")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    u = u.withColumn("__payload", F.last("__payload", ignorenulls=True).over(w))
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy("__ats")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    if direction in ("backward", "nearest"):
+        u = u.withColumn("__pb", F.last("__payload", ignorenulls=True).over(wb))
+    if direction in ("forward", "nearest"):
+        u = u.withColumn("__pf", F.first("__payload", ignorenulls=True).over(wf))
     matched = u.filter(F.col("__side") == 1)
     if tolerance is not None:
-        ok = (F.col("__ats") - F.col("__payload.__match_ts")) <= F.lit(tolerance)
-        matched = matched.withColumn(
-            "__payload", F.when(ok, F.col("__payload"))
+        if direction in ("backward", "nearest"):
+            okb = (F.col("__ats") - F.col("__pb.__match_ts")) <= F.lit(tolerance)
+            matched = matched.withColumn("__pb", F.when(okb, F.col("__pb")))
+        if direction in ("forward", "nearest"):
+            okf = (F.col("__pf.__match_ts") - F.col("__ats")) <= F.lit(tolerance)
+            matched = matched.withColumn("__pf", F.when(okf, F.col("__pf")))
+    if direction == "backward":
+        chosen = F.col("__pb")
+    elif direction == "forward":
+        chosen = F.col("__pf")
+    else:
+        db = F.col("__ats") - F.col("__pb.__match_ts")
+        df_ = F.col("__pf.__match_ts") - F.col("__ats")
+        chosen = (
+            F.when(F.col("__pb").isNull(), F.col("__pf"))
+            .when(F.col("__pf").isNull(), F.col("__pb"))
+            .when(df_ < db, F.col("__pf"))
+            .otherwise(F.col("__pb"))  # ties → backward
         )
+    matched = matched.withColumn("__chosen", chosen)
     out = matched.select(
         *[c for c in left.columns],
-        F.col("__payload.__match_ts").alias(right_ts + suffix),
-        *[F.col(f"__payload.{c}").alias(c + suffix) for c in rv],
+        F.col("__chosen.__match_ts").alias(right_ts + suffix),
+        *[F.col(f"__chosen.{c}").alias(c + suffix) for c in rv],
     )
     return out
 

@@ -2291,6 +2291,74 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "asof_join_directions",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      FROM events WHERE event_type = 'view'
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id, epoch_us(CAST(ts AS TIMESTAMP))
+        ORDER BY event_id DESC) = 1
+    ), fwd AS (
+      SELECT p.event_id, p.user_id, p.ts_us, v.ts_us AS f_ts, v.value AS f_val
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts_us <= v.ts_us
+    ), bwd AS (
+      SELECT p.event_id, v.ts_us AS b_ts, v.value AS b_val
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+    )
+    SELECT f.event_id, f.user_id, f.ts_us,
+           f.f_ts AS fwd_ts_us, round(f.f_val, 4) AS fwd_value,
+           CASE WHEN b.b_ts IS NULL THEN f.f_ts
+                WHEN f.f_ts IS NULL THEN b.b_ts
+                WHEN f.f_ts - f.ts_us < f.ts_us - b.b_ts THEN f.f_ts
+                ELSE b.b_ts END AS near_ts_us,
+           round(CASE WHEN b.b_ts IS NULL THEN f.f_val
+                      WHEN f.f_ts IS NULL THEN b.b_val
+                      WHEN f.f_ts - f.ts_us < f.ts_us - b.b_ts THEN f.f_val
+                      ELSE b.b_val END, 4) AS near_value
+    FROM fwd f JOIN bwd b USING (event_id)
+    """,
+    "as-of join forward + nearest directions (range-frame LOCF, nearest shares one "
+    "exchange between both windows): each purchase gets the next view and the "
+    "closest-in-time view, ties -> backward (operators/temporal.py asof_join)",
+)
+def asof_join_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts_us", "value", "event_id"
+    )
+    w = Window.partitionBy("user_id", "ts_us").orderBy(F.col("event_id").desc())
+    views = (
+        views.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "event_id")
+    )
+    fwd = T.asof_join(
+        purchases, views, on=["user_id"], value_cols=["value"],
+        left_ts="ts_us", right_ts="ts_us", direction="forward", suffix="_f",
+    )
+    near = T.asof_join(
+        fwd, views, on=["user_id"], value_cols=["value"],
+        left_ts="ts_us", right_ts="ts_us", direction="nearest", suffix="_n",
+    )
+    return near.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("ts_us_f").alias("fwd_ts_us"),
+        F.round("value_f", 4).alias("fwd_value"),
+        F.col("ts_us_n").alias("near_ts_us"),
+        F.round("value_n", 4).alias("near_value"),
+    )
+
+
+@_register(
     "range_join_events",
     """
     WITH i AS (

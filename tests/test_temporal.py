@@ -102,6 +102,37 @@ def test_asof_single_shuffle(spark, trades_quotes):
     assert "Join" not in plan, plan
 
 
+def test_asof_forward_and_nearest(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    fwd = asof_join(
+        trades, quotes, on=["sym"], value_cols=["px"],
+        left_ts="ts_us", right_ts="ts_us", direction="forward",
+    )
+    got = {(r.sym, r.ts_us): r.px_r for r in fwd.collect()}
+    # A@100 -> earliest quote >= 100 is 200; A@300 ties inclusive; B@900 none
+    assert got[("A", 100)] == 2.0
+    assert got[("A", 300)] == 3.0
+    assert got[("B", 50)] == 8.0
+    assert got[("B", 900)] is None
+    near = asof_join(
+        trades, quotes, on=["sym"], value_cols=["px"],
+        left_ts="ts_us", right_ts="ts_us", direction="nearest",
+    )
+    got = {(r.sym, r.ts_us): r.px_r for r in near.collect()}
+    # A@205: backward 200 (d=5) beats forward 300 (d=95)
+    assert got[("A", 205)] == 2.0
+    # A@100: backward 90 (d=10) vs forward 200 (d=100) -> backward
+    assert got[("A", 100)] == 1.0
+    assert got[("B", 50)] == 8.0  # only forward exists
+    # nearest still a single shuffle: identical range-frame window specs share
+    # one Window node, one Sort, one Exchange (AQE prints the pre-collect
+    # initial plan too — count only the final section)
+    plan = near._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, plan
+    assert final.count("Window") == 1, plan
+
+
 def test_asof_matches_pandas_merge_asof(spark):
     """Randomized differential test: asof_join == pandas.merge_asof
     (backward, by-key, tolerance) on seeded random frames."""
@@ -126,29 +157,31 @@ def test_asof_matches_pandas_merge_asof(spark):
         # merge_asof needs unique (k, ts); choice(replace=False) gives unique
         # ts globally, so (k, ts) is unique too
         tol = 500
-        want = pd.merge_asof(
-            left.sort_values("ts_us"),
-            right.sort_values("ts_us"),
-            on="ts_us",
-            by="k",
-            direction="backward",
-            tolerance=tol,
-        )
-        got = asof_join(
-            spark.createDataFrame(left),
-            spark.createDataFrame(right),
-            on=["k"],
-            value_cols=["v"],
-            left_ts="ts_us",
-            right_ts="ts_us",
-            tolerance=tol,
-        ).toPandas()
-        wm = {(r.k, r.ts_us): r.v for r in want.itertuples()}
-        gm = {(r.k, r.ts_us): r.v_r for r in got.itertuples()}
-        assert set(wm) == set(gm)
-        for key in wm:
-            a, b = wm[key], gm[key]
-            assert (pd.isna(a) and pd.isna(b)) or a == b, (seed, key, a, b)
+        for direction in ("backward", "forward", "nearest"):
+            want = pd.merge_asof(
+                left.sort_values("ts_us"),
+                right.sort_values("ts_us"),
+                on="ts_us",
+                by="k",
+                direction=direction,
+                tolerance=tol,
+            )
+            got = asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                on=["k"],
+                value_cols=["v"],
+                left_ts="ts_us",
+                right_ts="ts_us",
+                tolerance=tol,
+                direction=direction,
+            ).toPandas()
+            wm = {(r.k, r.ts_us): r.v for r in want.itertuples()}
+            gm = {(r.k, r.ts_us): r.v_r for r in got.itertuples()}
+            assert set(wm) == set(gm)
+            for key in wm:
+                a, b = wm[key], gm[key]
+                assert (pd.isna(a) and pd.isna(b)) or a == b, (seed, direction, key, a, b)
 
 
 def test_range_join_matches_bruteforce(spark):
