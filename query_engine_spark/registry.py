@@ -29,6 +29,7 @@ from query_engine_spark.operators import inputs as In
 from query_engine_spark.operators import joins as J
 from query_engine_spark.operators import aggregates as A
 from query_engine_spark.operators import sorts as So
+from query_engine_spark.operators import behavior as B
 from query_engine_spark.operators import sketches as Sk
 from query_engine_spark.operators import temporal as T
 from query_engine_spark.operators.ordering import ORD, dense_rank_over, stamp_ord
@@ -2631,6 +2632,99 @@ def group_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return Tx.balanced_sample(docs, "lang").select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# behavioral analytics: ordered funnels, retention cohorts, triangle counts
+# (operators/behavior.py) — product-analytics + graph-metric workhorses
+
+
+@_register(
+    "funnel_events",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_type, event_id
+      FROM events
+    ), s0 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END) OVER w AS r0
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s1 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND r0 IS NOT NULL
+                         THEN ts_us END) OVER w AS r1
+      FROM s0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts_us END) AS t0,
+           min(CASE WHEN event_type = 'click' AND r0 IS NOT NULL
+                    THEN ts_us END) AS t1,
+           min(CASE WHEN event_type = 'purchase' AND r1 IS NOT NULL
+                    THEN ts_us END) AS t2
+    FROM s1 GROUP BY user_id HAVING t0 IS NOT NULL
+    """,
+    "ordered view->click->purchase funnel: per-user earliest in-order stage "
+    "completions, one Exchange for any stage count (operators/behavior.py funnel)",
+)
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    return B.funnel(ev, ["view", "click", "purchase"])
+
+
+@_register(
+    "retention_cohorts",
+    """
+    WITH ub AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS b
+      FROM events
+    ), f AS (
+      SELECT user_id, min(b) AS b0 FROM ub GROUP BY user_id
+    )
+    SELECT f.b0 * 86400000000 AS cohort_bucket, ub.b - f.b0 AS offset,
+           count(*) AS n_users
+    FROM ub JOIN f USING (user_id) GROUP BY 1, 2
+    """,
+    "daily retention cohort grid: users cohorted by first-event day, active-user "
+    "counts per (cohort, day offset); distinct (user, day) before any join "
+    "(operators/behavior.py retention_cohorts)",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    return B.retention_cohorts(ev, bucket_us=86_400_000_000)
+
+
+@_register(
+    "graph_triangles",
+    """
+    WITH e0 AS (SELECT DISTINCT user_id AS s, event_id % 25 AS t FROM events),
+    und AS (
+      SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+      FROM e0 WHERE s <> t
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1 JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node, count(*) AS n_triangles FROM corners GROUP BY node
+    """,
+    "per-node triangle counts, degree-ordered wedge enumeration (Suri & "
+    "Vassilvitskii WWW'11) — out-degree bounded O(sqrt E), no hub explosion "
+    "(operators/behavior.py triangle_count)",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"), (F.col("event_id") % 25).alias("dst")
+    )
+    return B.triangle_count(edges)
 
 
 # Queries the round-1 driver already hash-verified (CORRECTNESS_r01.json).

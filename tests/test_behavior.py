@@ -1,0 +1,169 @@
+"""Tests for operators/behavior.py: ordered funnels, retention cohorts,
+triangle counting — handcrafted cases, randomized differentials against
+brute-force Python, and plan-shape asserts (the funnel must be ONE
+Exchange no matter how many stages)."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from query_engine_spark.operators.behavior import (
+    funnel,
+    retention_cohorts,
+    triangle_count,
+)
+
+
+# ---------------------------------------------------------------------------
+# funnel
+
+
+@pytest.fixture()
+def funnel_events(spark):
+    return spark.createDataFrame(
+        [
+            # u1 completes all 3 in order
+            Row(user_id=1, ts_us=100, event_type="view", event_id=1),
+            Row(user_id=1, ts_us=200, event_type="click", event_id=2),
+            Row(user_id=1, ts_us=300, event_type="purchase", event_id=3),
+            # u2: click BEFORE view — click must not count; later click does
+            Row(user_id=2, ts_us=100, event_type="click", event_id=4),
+            Row(user_id=2, ts_us=200, event_type="view", event_id=5),
+            Row(user_id=2, ts_us=350, event_type="click", event_id=6),
+            # u3: purchase before click — stage 3 never validly reached
+            Row(user_id=3, ts_us=100, event_type="view", event_id=7),
+            Row(user_id=3, ts_us=150, event_type="purchase", event_id=8),
+            Row(user_id=3, ts_us=200, event_type="click", event_id=9),
+            # u4: never views -> excluded entirely
+            Row(user_id=4, ts_us=100, event_type="click", event_id=10),
+            # u5: tie — click at the SAME ts as view, higher event_id: counts
+            Row(user_id=5, ts_us=100, event_type="view", event_id=11),
+            Row(user_id=5, ts_us=100, event_type="click", event_id=12),
+            # u6: tie with LOWER event_id: does not count
+            Row(user_id=6, ts_us=100, event_type="click", event_id=13),
+            Row(user_id=6, ts_us=100, event_type="view", event_id=14),
+        ]
+    )
+
+
+def test_funnel_ordering_semantics(spark, funnel_events):
+    out = funnel(funnel_events, ["view", "click", "purchase"])
+    rows = {r.user_id: (r.t0, r.t1, r.t2) for r in out.collect()}
+    assert rows[1] == (100, 200, 300)
+    assert rows[2] == (200, 350, None)  # early click skipped
+    assert rows[3] == (100, 200, None)  # purchase-before-click invalid
+    assert 4 not in rows  # never entered the funnel
+    assert rows[5] == (100, 100, None)  # tie counts (event_id after)
+    assert rows[6] == (100, None, None)  # tie does not count (event_id before)
+
+
+def test_funnel_single_exchange(spark, funnel_events):
+    out = funnel(funnel_events, ["view", "click", "purchase"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # k windows + the final groupBy all share one hash partition on user
+    assert final.count("Exchange") == 1, plan
+
+
+def brute_funnel(events, stages):
+    """Reference implementation: per-user event scan in (ts, id) order."""
+    by_user: dict = {}
+    for e in events:
+        by_user.setdefault(e[0], []).append(e)
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort(key=lambda e: (e[1], e[3]))
+        times = [None] * len(stages)
+        for _, ts, typ, _eid in evs:
+            for i, s in enumerate(stages):
+                if typ == s and times[i] is None and (i == 0 or times[i - 1] is not None):
+                    times[i] = ts
+                    break
+        if times[0] is not None:
+            want[u] = tuple(times)
+    return want
+
+
+def test_funnel_matches_bruteforce(spark):
+    rng = random.Random(7)
+    stages = ["a", "b", "c", "d"]
+    events = [
+        (
+            rng.randrange(20),  # user
+            rng.randrange(50),  # ts (dense -> plenty of ties)
+            rng.choice(stages + ["x"]),
+            i,  # unique event_id
+        )
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(events, "user_id long, ts_us long, event_type string, event_id long")
+    got = {
+        r.user_id: (r.t0, r.t1, r.t2, r.t3)
+        for r in funnel(df, stages).collect()
+    }
+    assert got == brute_funnel(events, stages)
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts
+
+
+def test_retention_grid(spark):
+    df = spark.createDataFrame(
+        [
+            # u1 first at bucket 0, active 0 and 2; u2 first at 1, active 1, 2, 3
+            Row(user_id=1, ts_us=5), Row(user_id=1, ts_us=25),
+            Row(user_id=2, ts_us=12), Row(user_id=2, ts_us=22),
+            Row(user_id=2, ts_us=23),  # same bucket as 22: deduped
+            Row(user_id=2, ts_us=33),
+        ]
+    )
+    out = retention_cohorts(df, bucket_us=10)
+    got = {(r.cohort_bucket, r.offset): r.n_users for r in out.collect()}
+    assert got == {
+        (0, 0): 1, (0, 2): 1,  # u1
+        (10, 0): 1, (10, 1): 1, (10, 2): 1,  # u2
+    }
+
+
+def test_retention_negative_ts_floor(spark):
+    # floor semantics: ts=-5 at bucket width 10 is bucket -1, not 0
+    df = spark.createDataFrame([Row(user_id=1, ts_us=-5), Row(user_id=1, ts_us=5)])
+    out = retention_cohorts(df, bucket_us=10)
+    got = {(r.cohort_bucket, r.offset): r.n_users for r in out.collect()}
+    assert got == {(-10, 0): 1, (-10, 1): 1}
+
+
+# ---------------------------------------------------------------------------
+# triangle count
+
+
+def brute_triangles(edges):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    count: dict = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if ((a, b) in und) and ((b, c) in und) and ((a, c) in und):
+            for n in (a, b, c):
+                count[n] = count.get(n, 0) + 1
+    return count
+
+
+def test_triangle_handcrafted(spark):
+    # one triangle (1,2,3) + a dangling edge + a duplicate + a reversed dup
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 1), (1, 2), (5, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_matches_bruteforce(spark):
+    rng = random.Random(11)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == brute_triangles(edges)
