@@ -366,6 +366,76 @@ def balanced_sample(
     )
 
 
+def tfidf_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 50,
+    min_cos: float = 0.2,
+    quant: int = 1000,
+) -> DataFrame:
+    """All-pairs TF-IDF cosine similarity over an inverted index:
+    ``(doc_a, doc_b, cosine)`` for every document pair with cosine ≥
+    `min_cos`, doc_a < doc_b.
+
+    TF-IDF weights are QUANTIZED to integers (``floor(tf·ln(N/df)·quant)``)
+    before any sum: integer dot products are order-independent, so two
+    engines summing postings in different orders agree bit-for-bit —
+    float dot products would drift in the last ulp and flip rounded
+    output at boundaries (repo determinism convention).
+
+    Scale shape (Bayardo et al., WWW'07 all-pairs similarity): the
+    self-join is keyed on the TERM, and terms with df > `max_df` are
+    dropped first (a stop-term cap), so per-term fan-out is ≤ max_df² and
+    hub terms never explode the join. Corpus size N rides in-plan as a
+    broadcast one-row scalar; document norms join back on the id key.
+    With `quant`=1000, weights stay < ~10⁶ and a million-term document's
+    norm² < 10¹⁸ — inside int64; raise `quant` only with shorter docs.
+    """
+    toks = _tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t")).filter(
+        F.col("t") != ""
+    )
+    tf = base.groupBy("id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    dfreq = (
+        tf.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+    )
+    w = (
+        tf.join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "t",
+            "id",
+            F.floor(
+                F.col("tf") * F.log(F.col("__n") / F.col("df")) * F.lit(quant)
+            ).cast("bigint").alias("wq"),
+        )
+        .filter(F.col("wq") > 0)
+    )
+    norms = w.groupBy("id").agg(F.sum(F.col("wq") * F.col("wq")).alias("ssq"))
+    a = w.select(F.col("t"), F.col("id").alias("doc_a"), F.col("wq").alias("wa"))
+    b = w.select(F.col("t"), F.col("id").alias("doc_b"), F.col("wq").alias("wb"))
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("doc_a"), F.col("ssq").alias("ssq_a"))
+    nb = norms.select(F.col("id").alias("doc_b"), F.col("ssq").alias("ssq_b"))
+    cos = F.col("dot") / (F.sqrt(F.col("ssq_a")) * F.sqrt(F.col("ssq_b")))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= min_cos)
+    )
+
+
 def top_terms(
     df: DataFrame,
     k: int = 100,

@@ -2727,6 +2727,100 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.triangle_count(edges)
 
 
+@_register(
+    "kmv_set_ops_events",
+    """
+    WITH d AS (
+      SELECT DISTINCT event_type AS s,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ), sk AS (
+      SELECT s, h FROM (
+        SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rk FROM d)
+      WHERE rk <= 64
+    ), sids AS (SELECT DISTINCT s FROM sk),
+    pairs AS (SELECT x.s AS sa, y.s AS sb FROM sids x JOIN sids y ON x.s < y.s),
+    rws AS (
+      SELECT p.sa, p.sb, k.h,
+             max(CASE WHEN k.s = p.sa THEN 1 ELSE 0 END) AS ina,
+             max(CASE WHEN k.s = p.sb THEN 1 ELSE 0 END) AS inb
+      FROM pairs p JOIN sk k ON k.s = p.sa OR k.s = p.sb
+      GROUP BY 1, 2, 3
+    ), m AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rk
+        FROM rws)
+      WHERE rk <= 64
+    ), agg AS (
+      SELECT sa, sb, count(*) AS mm, max(h) AS kth, sum(ina * inb) AS nboth
+      FROM m GROUP BY 1, 2
+    )
+    SELECT sa AS set_a, sb AS set_b,
+           round(CASE WHEN mm < 64 THEN CAST(mm AS DOUBLE)
+                      ELSE 63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)
+                 END, 4) AS union_est,
+           round(CAST(nboth AS DOUBLE) / CAST(mm AS DOUBLE), 6) AS jaccard_est,
+           round(CAST(nboth AS DOUBLE) / CAST(mm AS DOUBLE) *
+                 CASE WHEN mm < 64 THEN CAST(mm AS DOUBLE)
+                      ELSE 63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)
+                 END, 4) AS inter_est
+    FROM agg
+    """,
+    "KMV sketch set algebra (Beyer et al. SIGMOD'07): audience union/Jaccard/"
+    "intersection estimates between every event_type pair from merged k-min "
+    "sketches — pair math never rescans raw data (operators/sketches.py kmv_set_ops)",
+)
+def kmv_set_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = Sk.kmv_set_ops(ev, "event_type", "user_id", k=64)
+    return out.select(
+        "set_a",
+        "set_b",
+        F.round("union_est", 4).alias("union_est"),
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+        F.round("inter_est", 4).alias("inter_est"),
+    )
+
+
+@_register(
+    "text_tfidf_pairs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest(string_split_regex({_NORM_SQL}, '\\s+')) AS t
+      FROM documents
+    ), tok2 AS (SELECT id, t FROM tok WHERE t <> ''),
+    tf AS (SELECT id, t, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    dfreq AS (
+      SELECT t, count(*) AS df FROM tf GROUP BY t
+      HAVING count(*) >= 2 AND count(*) <= 50
+    ), w AS (
+      SELECT tf.t, tf.id,
+             CAST(floor(tf.tf * ln(nd.n / dfreq.df) * 1000) AS BIGINT) AS wq
+      FROM tf JOIN dfreq USING (t) CROSS JOIN nd
+    ), w2 AS (SELECT * FROM w WHERE wq > 0),
+    norms AS (SELECT id, sum(wq * wq) AS ssq FROM w2 GROUP BY id),
+    dots AS (
+      SELECT a.id AS doc_a, b.id AS doc_b, sum(a.wq * b.wq) AS dot
+      FROM w2 a JOIN w2 b ON a.t = b.t AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(dot / (sqrt(na.ssq) * sqrt(nb.ssq)), 6) AS cosine
+    FROM dots JOIN norms na ON na.id = doc_a JOIN norms nb ON nb.id = doc_b
+    WHERE dot / (sqrt(na.ssq) * sqrt(nb.ssq)) >= 0.2
+    """,
+    "all-pairs TF-IDF cosine similarity over an inverted index (Bayardo WWW'07 "
+    "shape: df-capped stop terms bound per-term fan-out); integer-quantized "
+    "weights make dot products order-independent across engines "
+    "(llmdata/textstats.py tfidf_pairs)",
+)
+def text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = Tx.tfidf_pairs(docs, max_df=50, min_cos=0.2)
+    return out.select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
+
+
 # Queries the round-1 driver already hash-verified (CORRECTNESS_r01.json).
 # The registry is reordered to surface the not-yet-driver-verified queries
 # first, so a fixed-size driver sample covers them this round (round-1

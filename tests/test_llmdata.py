@@ -252,3 +252,49 @@ def test_media_repartition_is_in_plan(spark):
     assert "RebalancePartitions" in out._jdf.queryExecution().optimizedPlan().toString()
     assert spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes") == str(1024 * 1024)
     assert out.count() == 10
+
+
+def test_tfidf_pairs_matches_bruteforce(spark):
+    """Quantized TF-IDF cosine == a plain-Python reimplementation (same
+    quantization), and identical docs score cosine 1.0."""
+    import math
+
+    docs = [
+        (1, "spark runs distributed queries fast"),
+        (2, "spark runs distributed queries fast"),  # exact dup of 1
+        (3, "distributed queries need a fast shuffle"),
+        (4, "completely unrelated words about cooking pasta dinner"),
+        (5, "cooking pasta requires boiling water for dinner"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in Tx.tfidf_pairs(df, max_df=4, min_cos=0.01).collect()
+    }
+
+    # brute force with the same normalize/quantize rules
+    toks = {i: t.lower().split() for i, t in docs}
+    n = float(len(docs))
+    from collections import Counter
+
+    tfs = {i: Counter(ts) for i, ts in toks.items()}
+    dfreq = Counter(t for c in tfs.values() for t in c)
+    vocab = [t for t, d in dfreq.items() if 2 <= d <= 4]
+    w = {
+        i: {t: math.floor(c[t] * math.log(n / dfreq[t]) * 1000) for t in vocab if t in c}
+        for i, c in tfs.items()
+    }
+    want = {}
+    ids = sorted(w)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            dot = sum(w[a][t] * w[b][t] for t in w[a] if t in w[b])
+            na = math.sqrt(sum(v * v for v in w[a].values()))
+            nb = math.sqrt(sum(v * v for v in w[b].values()))
+            if dot and na and nb and dot / (na * nb) >= 0.01:
+                want[(a, b)] = dot / (na * nb)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    assert abs(got[(1, 2)] - 1.0) < 1e-12  # exact duplicates (to float ulp)

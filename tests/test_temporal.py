@@ -354,6 +354,46 @@ def test_kmv_estimate_above_k_is_close(spark):
     assert abs(out.kmv_distinct - 2000) / 2000 < 0.4, out.kmv_distinct
 
 
+def test_kmv_set_ops_exact_below_k(spark):
+    from query_engine_spark.operators.sketches import kmv_set_ops
+
+    # A = {0..9}, B = {5..14}: union 15, inter 5 — both fully sketched at
+    # k=64, so every estimate is exact
+    rows = [Row(s="A", v=i) for i in range(10)] + [
+        Row(s="B", v=i) for i in range(5, 15)
+    ]
+    df = spark.createDataFrame(rows)
+    out = kmv_set_ops(df, "s", "v", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.set_a, r.set_b) == ("A", "B")
+    assert r.union_est == 15.0
+    assert r.jaccard_est == 5.0 / 15.0
+    assert r.inter_est == 5.0
+
+
+def test_kmv_set_ops_estimate_close_and_all_pairs(spark):
+    from query_engine_spark.operators.sketches import kmv_set_ops
+
+    # A = 0..1999, B = 1000..2999, C disjoint: union(A,B)=3000, inter=1000
+    rows = (
+        [Row(s="A", v=i) for i in range(2000)]
+        + [Row(s="B", v=i) for i in range(1000, 3000)]
+        + [Row(s="C", v=i) for i in range(10_000, 10_500)]
+    )
+    df = spark.createDataFrame(rows)
+    got = {(r.set_a, r.set_b): r for r in kmv_set_ops(df, "s", "v", k=64).collect()}
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = got[("A", "B")]
+    assert abs(ab.union_est - 3000) / 3000 < 0.4, ab
+    assert abs(ab.jaccard_est - 1 / 3) < 0.25, ab
+    assert abs(ab.inter_est - 1000) / 1000 < 0.75, ab
+    # disjoint pairs: zero shared hashes -> exactly zero estimates
+    assert got[("A", "C")].jaccard_est == 0.0
+    assert got[("A", "C")].inter_est == 0.0
+    assert got[("B", "C")].jaccard_est == 0.0
+
+
 def test_kmeans_lloyd_separates_clear_clusters(spark):
     from query_engine_spark.llmdata.similarity import kmeans_lloyd
 
