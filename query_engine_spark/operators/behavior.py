@@ -30,7 +30,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["funnel", "retention_cohorts", "triangle_count"]
+__all__ = ["funnel", "retention_cohorts", "triangle_count", "pagerank"]
 
 
 def funnel(
@@ -129,6 +129,72 @@ def retention_cohorts(
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration PageRank (d = 0.85, dangling mass redistributed
+    uniformly) on an INTEGER fixed-point grid: every rank is a bigint in
+    units of 1/`scale`, and every step uses integer division, so the
+    result is bit-identical in any engine with 64-bit `div` — the same
+    determinism device as `kmeans_lloyd`'s quantized grid (floating-point
+    PageRank sums in engine-dependent order and drifts in the last ulp).
+
+    Returns ``(node, rank_q)`` — rank_q ≈ rank · scale. Ranks sum to
+    slightly under `scale` (each floor division sheds < 1 unit of mass
+    per node per iteration — quantized PageRank is still a contraction,
+    the stationary ranking is unaffected for scale ≫ |V|).
+
+    Per iteration: contributions are an equi-join of ranks onto edges
+    grouped by destination (the one big shuffle, keyed like every other
+    per-node agg), the dangling total is a one-row broadcast scalar, and
+    |V| rides in-plan the same way. Fixed `iters` keeps the lazy plan
+    shallow (for tens of iterations, localCheckpoint every few rounds
+    like dedup_clusters). No driver-side loops over data — only the
+    Python-side plan unroll.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    outdeg = e.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"{scale} div n").alias("r")
+    )
+    for _ in range(iters):
+        j = r.join(outdeg, "node", "left")
+        contrib = j.filter(F.col("outdeg").isNotNull()).select(
+            F.col("node").alias("u"), F.expr("r div outdeg").alias("c")
+        )
+        inm = (
+            e.join(contrib, "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("c").alias("inm"))
+        )
+        dang = j.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang")
+        )
+        r = (
+            nodes.join(inm, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                F.expr(
+                    f"(15 * {scale}) div (100 * n)"
+                    f" + (85 * (coalesce(inm, 0) + dang div n)) div 100"
+                ).alias("r"),
+            )
+        )
+    return r.select("node", F.col("r").alias("rank_q"))
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

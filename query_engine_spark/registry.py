@@ -2727,6 +2727,49 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.triangle_count(edges)
 
 
+def _pagerank_oracle(iters: int = 3, scale: int = 10**12) -> str:
+    parts = [
+        f"""
+    WITH e AS (SELECT DISTINCT user_id AS u, event_id % 25 AS v FROM events),
+    nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    od AS (SELECT u AS node, count(*) AS outdeg FROM e GROUP BY u),
+    r0 AS (SELECT node, {scale} // n AS r FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f""",
+    c{i} AS (SELECT {p}.node, {p}.r // od.outdeg AS c FROM {p} JOIN od USING (node)),
+    i{i} AS (SELECT e.v AS node, CAST(sum(c.c) AS BIGINT) AS inm
+             FROM e JOIN c{i} c ON c.node = e.u GROUP BY e.v),
+    d{i} AS (SELECT CAST(coalesce(sum({p}.r), 0) AS BIGINT) AS dang
+             FROM {p} LEFT JOIN od USING (node) WHERE od.outdeg IS NULL),
+    r{i} AS (SELECT nodes.node,
+               CAST((15 * {scale}) // (100 * nn.n)
+               + (85 * (coalesce(i{i}.inm, 0) + d{i}.dang // nn.n)) // 100
+               AS BIGINT) AS r
+             FROM nodes LEFT JOIN i{i} USING (node) CROSS JOIN nn CROSS JOIN d{i})"""
+        )
+    parts.append(f"\n    SELECT node, r AS rank_q FROM r{iters}")
+    return "".join(parts)
+
+
+@_register(
+    "graph_pagerank",
+    _pagerank_oracle(iters=3),
+    "fixed-point integer PageRank, 3 unrolled iterations (d=0.85, dangling mass "
+    "redistributed): bigint ranks + integer div make the iteration bit-identical "
+    "across engines, kmeans-style (operators/behavior.py pagerank)",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"), (F.col("event_id") % 25).alias("dst")
+    )
+    return B.pagerank(edges, iters=3)
+
+
 @_register(
     "kmv_set_ops_events",
     """

@@ -13,6 +13,7 @@ from pyspark.sql import Row, functions as F
 
 from query_engine_spark.operators.behavior import (
     funnel,
+    pagerank,
     retention_cohorts,
     triangle_count,
 )
@@ -167,3 +168,49 @@ def test_triangle_matches_bruteforce(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
     assert got == brute_triangles(edges)
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+
+
+def brute_pagerank(edges, iters, scale=10**12):
+    """Same integer fixed-point iteration in plain Python."""
+    e = sorted({(u, v) for u, v in edges})
+    nodes = sorted({n for uv in e for n in uv})
+    n = len(nodes)
+    out = {}
+    for u, _ in e:
+        out[u] = out.get(u, 0) + 1
+    r = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        inm = {v: 0 for v in nodes}
+        for u, v in e:
+            inm[v] += r[u] // out[u]
+        dang = sum(r[u] for u in nodes if u not in out)
+        r = {
+            v: (15 * scale) // (100 * n) + (85 * (inm[v] + dang // n)) // 100
+            for v in nodes
+        }
+    return r
+
+
+def test_pagerank_matches_bruteforce_with_dangling(spark):
+    rng = random.Random(3)
+    # node 99 is a guaranteed sink (dangling); plus a random digraph
+    edges = [(rng.randrange(20), rng.randrange(20)) for _ in range(80)]
+    edges = [(u, v) for u, v in edges] + [(1, 99), (2, 99)]
+    edges = [(u, v) for u, v in edges if u != 99]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_q for r in pagerank(df, iters=4).collect()}
+    assert got == brute_pagerank(edges, iters=4)
+
+
+def test_pagerank_ranking_and_mass(spark):
+    # star graph: everyone points at 0 -> node 0 must dominate
+    edges = [(i, 0) for i in range(1, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_q for r in pagerank(df, iters=3).collect()}
+    assert max(got, key=got.get) == 0
+    # quantized mass: conserved to within |V| units per iteration
+    assert abs(sum(got.values()) - 10**12) < 11 * 3 * 100
