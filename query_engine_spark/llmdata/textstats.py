@@ -366,6 +366,41 @@ def balanced_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 100,
+    *,
+    id_col: str = "doc_id",
+    seed: str = "aes",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: k rows drawn
+    with probability proportional to `weight_col` (> 0; non-positive rows
+    are excluded), via Efraimidis–Spirakis A-ES (IPL 2006): each row gets
+    key = ln(u)/w for uniform u, and the k LARGEST keys are the sample.
+
+    "Uniform" u comes from md5(seed:id) — the same engine-portable
+    randomness device as `hash_sample` — so the sample is reproducible
+    across engines and retries, and re-keyable by changing `seed`.
+
+    One pass, no shuffle until the fused top-k (TakeOrderedAndProject);
+    at any scale this is a map-side-combining heap merge, never a global
+    sort. Returns the sampled rows + `sample_rank` (1 = first drawn).
+    """
+    from query_engine_spark.operators.ordering import dense_rank_over
+    from query_engine_spark.operators.sketches import md5_hash60
+
+    h = md5_hash60(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    u = F.greatest(h, F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col)
+    keyed = df.filter(F.col(weight_col) > 0).withColumn("__key", key)
+    limited = keyed.orderBy(F.col("__key").desc(), F.col(id_col)).limit(k)
+    ranked = dense_rank_over(
+        limited, [F.col("__key").desc(), F.col(id_col)], "sample_rank"
+    )
+    return ranked.drop("__key")
+
+
 def tfidf_pairs(
     df: DataFrame,
     *,

@@ -2727,6 +2727,32 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.triangle_count(edges)
 
 
+@_register(
+    "llm_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln(CAST(greatest(
+                  ('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                  1) AS DOUBLE) / 1152921504606846976.0) / n_chars AS key
+      FROM documents WHERE n_chars > 0
+    ), top AS (
+      SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT 100
+    )
+    SELECT doc_id, n_chars,
+           CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS sample_rank
+    FROM top
+    """,
+    "Efraimidis-Spirakis A-ES weighted sampling without replacement (k=100, "
+    "weight = n_chars) on md5 randomness — engine-reproducible, fused top-k, "
+    "no global sort (llmdata/textstats.py weighted_sample)",
+)
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = Tx.weighted_sample(docs, "n_chars", k=100)
+    return out.select("doc_id", "n_chars", "sample_rank")
+
+
 def _pagerank_oracle(iters: int = 3, scale: int = 10**12) -> str:
     parts = [
         f"""

@@ -298,3 +298,29 @@ def test_tfidf_pairs_matches_bruteforce(spark):
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
     assert abs(got[(1, 2)] - 1.0) < 1e-12  # exact duplicates (to float ulp)
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    """A-ES sampling: deterministic across runs/seeds, biased toward heavy
+    weights, exact when k >= population."""
+    rows = [(i, 1 if i < 400 else 100) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    s1 = Tx.weighted_sample(df, "w", k=50, id_col="doc_id")
+    s2 = Tx.weighted_sample(df, "w", k=50, id_col="doc_id")
+    got1 = [(r.doc_id, r.sample_rank) for r in s1.orderBy("sample_rank").collect()]
+    got2 = [(r.doc_id, r.sample_rank) for r in s2.orderBy("sample_rank").collect()]
+    assert got1 == got2  # deterministic
+    # heavy rows are 100/400 of the population by count but carry 100x the
+    # weight each -> they should dominate the sample
+    heavy = sum(1 for d, _ in got1 if d >= 400)
+    assert heavy > 35, heavy
+    # different seed -> different sample
+    s3 = Tx.weighted_sample(df, "w", k=50, id_col="doc_id", seed="other")
+    got3 = {r.doc_id for r in s3.collect()}
+    assert got3 != {d for d, _ in got1}
+    # k >= population: everything sampled, non-positive weights excluded
+    small = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -1), (4, 2)], "doc_id long, w long"
+    )
+    all_rows = Tx.weighted_sample(small, "w", k=10, id_col="doc_id").collect()
+    assert {r.doc_id for r in all_rows} == {1, 4}
