@@ -2728,6 +2728,45 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stream_interval_join_pairs",
+    """
+    WITH v AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events WHERE event_type = 'view'
+    ), c AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT v.user_id, v.ts_us AS ts_l, c.ts_us AS ts_r,
+           round(c.value, 4) AS r_value
+    FROM v JOIN c ON v.user_id = c.user_id
+      AND c.ts_us >= v.ts_us AND c.ts_us <= v.ts_us + 1800000000
+    """,
+    "keyed interval join, batch form of streaming/ingest.py "
+    "streaming_interval_join (stream == batch asserted in test_ingest): clicks "
+    "attributed to same-user views within 30 min; watermark bounds stream state",
+)
+def stream_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts_us")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "value"
+    )
+    out = views.alias("l").join(
+        clicks.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts_us") >= F.col("l.ts_us"))
+        & (F.col("r.ts_us") <= F.col("l.ts_us") + F.lit(1_800_000_000)),
+    )
+    return out.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts_us").alias("ts_l"),
+        F.col("r.ts_us").alias("ts_r"),
+        F.round("r.value", 4).alias("r_value"),
+    )
+
+
+@_register(
     "llm_weighted_sample",
     """
     WITH keyed AS (

@@ -34,6 +34,7 @@ __all__ = [
     "retention_filter",
     "streaming_count_view",
     "streaming_windowed_counts",
+    "streaming_interval_join",
 ]
 
 
@@ -135,6 +136,69 @@ def streaming_windowed_counts(
         )
     q = (
         agg.writeStream.outputMode("complete" if complete else "append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+def streaming_interval_join(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+    query_name: str = "interval_join",
+) -> DataFrame:
+    """Watermarked stream-stream INNER interval join: every (l, r) pair
+    with the same `key` and ``l.ts <= r.ts <= l.ts + within`` — the
+    streaming counterpart of the batch `operators.temporal.range_join`
+    (attribute each right event to the left events that precede it within
+    a horizon; e.g. clicks to the views they follow).
+
+    Both sides carry a `watermark`: with the time-range join condition,
+    Spark bounds the buffered state to watermark + `within` per side and
+    evicts older rows — without the range bound the state would grow
+    unboundedly (this is the documented stream-stream join requirement).
+    Output schema: (key, ts_l, ts_r, <left cols...>, <right cols...>)
+    excluding the join/ts columns, left's prefixed `l_`, right's `r_`.
+
+    Drained synchronously into a memory sink (append mode — the only mode
+    stream-stream inner joins support); production would writeStream to a
+    real sink with the same plan.
+    """
+    lv = [c for c in left.columns if c not in (key, left_ts)]
+    rv = [c for c in right.columns if c not in (key, right_ts)]
+    l = left.withWatermark(left_ts, watermark).select(
+        F.col(key), F.col(left_ts).alias("__lts"), *[F.col(c).alias(f"l_{c}") for c in lv]
+    )
+    r = right.withWatermark(right_ts, watermark).select(
+        F.col(key).alias("__rkey"), F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(f"r_{c}") for c in rv],
+    )
+    cond = (
+        (F.col(key) == F.col("__rkey"))
+        & (F.col("__rts") >= F.col("__lts"))
+        & (F.col("__rts") <= F.col("__lts") + F.expr(f"INTERVAL {within}"))
+    )
+    j = l.join(r, cond).select(
+        F.col(key),
+        F.col("__lts").alias("ts_l"),
+        F.col("__rts").alias("ts_r"),
+        *[F.col(f"l_{c}") for c in lv],
+        *[F.col(f"r_{c}") for c in rv],
+    )
+    q = (
+        j.writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)
         .start()

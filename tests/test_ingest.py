@@ -123,3 +123,57 @@ def test_streaming_sliding_equals_batch_hopping(spark, tmp_path):
     )
     want = {(r.window_start_us, r.event_type): r.n for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_interval_join_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == the plain batch join with
+    the same (key, time-range) condition."""
+    from query_engine_spark.streaming.ingest import streaming_interval_join
+
+    views = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0), "v1"),
+            (1, dt.datetime(2024, 1, 1, 0, 20), "v2"),
+            (2, dt.datetime(2024, 1, 1, 0, 5), "v3"),
+            (3, dt.datetime(2024, 1, 1, 1, 0), "v4"),  # no click within 30m
+        ],
+        "user_id long, ts timestamp, page string",
+    )
+    clicks = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 10), 1.0),   # joins v1
+            (1, dt.datetime(2024, 1, 1, 0, 25), 2.0),   # joins v1 AND v2
+            (2, dt.datetime(2024, 1, 1, 0, 50), 3.0),   # 45m after v3: outside
+            (1, dt.datetime(2023, 12, 31, 23, 0), 4.0), # before any view
+        ],
+        "user_id long, ts timestamp, amount double",
+    )
+    vp, cp = str(tmp_path / "views"), str(tmp_path / "clicks")
+    views.write.parquet(vp)
+    clicks.write.parquet(cp)
+    out = streaming_interval_join(
+        spark,
+        spark.readStream.schema(views.schema).parquet(vp),
+        spark.readStream.schema(clicks.schema).parquet(cp),
+        within="30 minutes",
+        query_name="t_ij",
+    )
+    got = {
+        (r.user_id, r.ts_l, r.ts_r, r.l_page, r.r_amount) for r in out.collect()
+    }
+    batch = (
+        views.alias("l")
+        .join(
+            clicks.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 30 minutes")),
+        )
+        .select(
+            F.col("l.user_id"), F.col("l.ts").alias("ts_l"),
+            F.col("r.ts").alias("ts_r"), F.col("l.page"), F.col("r.amount"),
+        )
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    assert len(got) == 3  # v1-c1, v1-c2, v2-c2
