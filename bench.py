@@ -46,6 +46,13 @@ HEADLINE = [
     "range_join_events",
     "rollup_gapfill_events",
     "kmv_distinct_users",
+    "funnel_events",
+    "retention_cohorts",
+    "graph_triangles",
+    "graph_pagerank",
+    "text_tfidf_pairs",
+    "kmv_set_ops_events",
+    "llm_weighted_sample",
 ]
 
 

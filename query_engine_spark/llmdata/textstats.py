@@ -366,6 +366,50 @@ def balanced_sample(
     )
 
 
+def ngram_lm(
+    df: DataFrame,
+    n: int = 2,
+    *,
+    text_col: str = "text",
+    min_count: int = 2,
+    quant: int = 10**6,
+) -> DataFrame:
+    """Count-based n-gram language-model table: ``(ngram, cnt, ctx_cnt,
+    prob_q)`` where prob_q = MLE conditional probability
+    P(wₙ | w₁..wₙ₋₁) · quant, floored to an integer — the count pipeline
+    under any KN/Katz smoothing, and the classic "train an n-gram LM for
+    perplexity filtering" step of corpus curation.
+
+    Context totals are the SUM of n-gram counts per context (not raw
+    (n-1)-gram occurrences), so probabilities per context sum to ≤ quant
+    exactly, with the deficit = mass dropped by `min_count` (cutoff
+    applies to emitted rows only, never to the denominators — a cutoff
+    that re-normalized would silently inflate surviving probabilities).
+
+    One token explode, two hash aggregations, one context-keyed join —
+    every stage map-side combinable; integer prob floor keeps the table
+    engine-reproducible.
+    """
+    if n < 2:
+        raise ValueError("ngram_lm needs n >= 2 (context must be non-empty)")
+    from query_engine_spark.llmdata.dedup import word_shingles
+
+    grams = df.select(F.explode(word_shingles(F.col(text_col), n)).alias("g"))
+    g_all = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = F.regexp_replace("g", " [^ ]+$", "")
+    cc = g_all.groupBy(ctx.alias("ctx")).agg(F.sum("cnt").alias("ctx_cnt"))
+    cg = g_all.filter(F.col("cnt") >= min_count).withColumn("ctx", ctx)
+    return (
+        cg.join(cc, "ctx")
+        .select(
+            F.col("g").alias("ngram"),
+            "cnt",
+            "ctx_cnt",
+            F.expr(f"(cnt * {quant}) div ctx_cnt").alias("prob_q"),
+        )
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

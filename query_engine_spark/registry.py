@@ -2767,6 +2767,40 @@ def stream_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "llm_ngram_lm",
+    f"""
+    WITH ws AS (
+      SELECT string_split_regex({_NORM_SQL}, '\\s+') AS ws FROM documents
+    ), bg AS (
+      SELECT CASE WHEN len(ws) >= 2
+                  THEN list_transform(range(1, len(ws)),
+                       i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1])
+                  ELSE [] END AS gl
+      FROM ws
+    ), g AS (SELECT unnest(gl) AS g FROM bg),
+    cg AS (SELECT g, count(*) AS cnt FROM g GROUP BY g),
+    cx AS (
+      SELECT regexp_replace(g, ' [^ ]+$', '') AS ctx,
+             CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+      FROM cg GROUP BY 1
+    ), sel AS (
+      SELECT g, cnt, regexp_replace(g, ' [^ ]+$', '') AS ctx
+      FROM cg WHERE cnt >= 2
+    )
+    SELECT g AS ngram, cnt, ctx_cnt,
+           CAST((cnt * 1000000) // ctx_cnt AS BIGINT) AS prob_q
+    FROM sel JOIN cx USING (ctx)
+    """,
+    "bigram LM count table with integer MLE conditionals (min_count cutoff on "
+    "emitted rows, denominators keep full mass) — the count pipeline under "
+    "perplexity-filter LM training (llmdata/textstats.py ngram_lm)",
+)
+def llm_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return Tx.ngram_lm(docs, n=2, min_count=2)
+
+
+@_register(
     "llm_weighted_sample",
     """
     WITH keyed AS (

@@ -324,3 +324,28 @@ def test_weighted_sample_determinism_and_bias(spark):
     )
     all_rows = Tx.weighted_sample(small, "w", k=10, id_col="doc_id").collect()
     assert {r.doc_id for r in all_rows} == {1, 4}
+
+
+def test_ngram_lm_counts_and_probs(spark):
+    rows = [
+        (1, "a b a b c"),
+        (2, "a b x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.ngram: (r.cnt, r.ctx_cnt, r.prob_q)
+        for r in Tx.ngram_lm(df, n=2, min_count=1).collect()
+    }
+    # bigrams: doc1: "a b","b a","a b","b c"; doc2: "a b","b x"
+    # ctx 'a' total = 3 ("a b" x3); ctx 'b' total = 3 ("b a","b c","b x")
+    assert got["a b"] == (3, 3, 1_000_000)
+    assert got["b a"] == (1, 3, 333_333)
+    assert got["b c"] == (1, 3, 333_333)
+    assert got["b x"] == (1, 3, 333_333)
+    # min_count cutoff drops rows but keeps denominators intact
+    got2 = {
+        r.ngram: (r.cnt, r.ctx_cnt, r.prob_q)
+        for r in Tx.ngram_lm(df, n=2, min_count=2).collect()
+    }
+    assert set(got2) == {"a b"}
+    assert got2["a b"] == (3, 3, 1_000_000)  # ctx_cnt still 3, not re-normed
