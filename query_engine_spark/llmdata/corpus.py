@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, functions as F
 from query_engine_spark.llmdata import dedup as D
 from query_engine_spark.llmdata import textstats as Tx
 
-__all__ = ["prepare_corpus"]
+__all__ = ["prepare_corpus", "chunk_documents", "pack_chunks"]
 
 
 def prepare_corpus(
@@ -58,3 +58,101 @@ def prepare_corpus(
     losers = clusters.filter(F.col("id") != F.col("cluster")).select(F.col("id").alias(id_col))
     kept = exact.join(losers, id_col, "left_anti")
     return kept.select(id_col, "lang_pred", "quality")
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into token windows of `chunk_tokens` words with
+    `overlap` words of context carried between consecutive chunks — the
+    pre-tokenizer chunking step of LM training-data prep (long documents
+    must become model-context-sized pieces; the overlap preserves
+    cross-boundary n-grams for the loss).
+
+    Chunk i covers tokens [i·step, i·step + chunk_tokens) with
+    step = chunk_tokens − overlap; the last chunk may be short; documents
+    with no tokens yield no chunks. Pure per-row array expressions
+    (split → sequence → transform/slice → posexplode): map-only, no
+    shuffle, whole-stage codegen — a 100 TB corpus chunks at scan speed.
+
+    Output: (id_col, chunk_id, n_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(Tx.normalize_text(F.col(text_col)), " ")
+    toks = F.filter(toks, lambda t: t != "")
+    n = F.size(toks)
+    # ceil((n - overlap) / step) chunks, min 1 for any non-empty doc
+    n_chunks = F.greatest(
+        F.lit(1), F.floor((n - F.lit(overlap) + F.lit(step - 1)) / F.lit(step)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.slice(toks, i * F.lit(step) + F.lit(1), F.lit(chunk_tokens)),
+    )
+    out = (
+        df.withColumn("__toks", toks)
+        .filter(F.size("__toks") > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_id", "__chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("__chunk").alias("n_tokens"),
+            F.concat_ws(" ", "__chunk").alias("chunk_text"),
+        )
+    )
+    return out
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    *,
+    capacity: int = 512,
+    shards: int = 32,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Concat-then-split sequence packing: lay the chunk stream end to end
+    and cut every `capacity` tokens — the standard LM batch-packing rule
+    (a chunk straddling a cut belongs to the bin where it STARTS).
+
+    A global concatenation order would need one unpartitioned running sum
+    — the classic scale-killer — so the stream is first split into
+    `shards` deterministic md5 shards (the same device as hash_sample):
+    packing is exact WITHIN a shard and shards pack in parallel; at 100 TB
+    each shard is one executor-sized stream, and bins from different
+    shards are independent training sequences by construction.
+
+    Output: (shard, bin, n_chunks, tokens) — `tokens` may exceed
+    `capacity` only by the straddling chunk's tail (< max chunk size).
+    """
+    from pyspark.sql import Window
+    from query_engine_spark.llmdata.textstats import hash_bucket
+
+    shard = hash_bucket(F.col(id_col), shards)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col, chunk_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokens_col).over(w)
+    start = (cum - F.col(tokens_col)).cast("bigint")
+    return (
+        chunks.withColumn("shard", shard)
+        .withColumn("bin", F.floor(start / F.lit(capacity)).cast("bigint"))
+        .groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(tokens_col).alias("tokens"),
+        )
+    )

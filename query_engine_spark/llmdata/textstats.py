@@ -450,7 +450,8 @@ def tfidf_pairs(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_df: int = 50,
+    max_df: int | None = None,
+    max_df_frac: float = 0.1,
     min_cos: float = 0.2,
     quant: int = 1000,
 ) -> DataFrame:
@@ -465,12 +466,16 @@ def tfidf_pairs(
     output at boundaries (repo determinism convention).
 
     Scale shape (Bayardo et al., WWW'07 all-pairs similarity): the
-    self-join is keyed on the TERM, and terms with df > `max_df` are
-    dropped first (a stop-term cap), so per-term fan-out is ≤ max_df² and
-    hub terms never explode the join. Corpus size N rides in-plan as a
-    broadcast one-row scalar; document norms join back on the id key.
-    With `quant`=1000, weights stay < ~10⁶ and a million-term document's
-    norm² < 10¹⁸ — inside int64; raise `quant` only with shorter docs.
+    self-join is keyed on the TERM, and stop terms are dropped first —
+    df > `max_df` if given, else df > `max_df_frac`·N with the corpus
+    size N computed IN-PLAN (a fixed absolute cap silently tightens to
+    nothing as the corpus grows; the fractional cap keeps the same
+    "drop terms in >10% of docs" meaning at any scale). Per-term
+    fan-out is then ≤ cap², so hub terms never explode the join. N rides
+    as a broadcast one-row scalar; document norms join back on the id
+    key. With `quant`=1000, weights stay < ~10⁶ and a million-term
+    document's norm² < 10¹⁸ — inside int64; raise `quant` only with
+    shorter docs.
     """
     toks = _tokens(F.col(text_col))
     base = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t")).filter(
@@ -478,10 +483,17 @@ def tfidf_pairs(
     )
     tf = base.groupBy("id", "t").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    cap = (
+        F.lit(max_df)
+        if max_df is not None
+        else F.greatest(F.lit(2), F.floor(F.lit(max_df_frac) * F.col("__n")))
+    )
     dfreq = (
         tf.groupBy("t")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .crossJoin(F.broadcast(n_docs))
+        .filter((F.col("df") >= 2) & (F.col("df") <= cap))
+        .select("t", "df")
     )
     w = (
         tf.join(F.broadcast(dfreq), "t")

@@ -2766,6 +2766,78 @@ def stream_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_CTE = f"""
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex({_NORM_SQL}, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), nz AS (SELECT * FROM t WHERE len(toks) > 0),
+    ch AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(1,
+               CAST(ceil((len(toks) - 4) / 28.0) AS BIGINT)) + 1)) AS i,
+             toks
+      FROM nz
+    ), chunks AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
+             list_slice(toks, CAST((i-1)*28 + 1 AS INT), CAST((i-1)*28 + 32 AS INT)) AS c
+      FROM ch
+    )"""
+
+
+@_register(
+    "llm_chunk_docs",
+    f"""
+    WITH {_CHUNK_CTE}
+    SELECT doc_id, chunk_id, CAST(len(c) AS INT) AS n_tokens,
+           md5(array_to_string(c, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+    "LM pre-tokenizer chunking: 32-token windows, 4-token overlap, pure array "
+    "exprs, map-only / no shuffle — chunks at scan speed "
+    "(llmdata/corpus.py chunk_documents)",
+)
+def llm_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata.corpus import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_tokens=32, overlap=4)
+    return out.select(
+        "doc_id", "chunk_id", "n_tokens", F.md5("chunk_text").alias("chunk_hash")
+    )
+
+
+@_register(
+    "llm_pack_chunks",
+    f"""
+    WITH {_CHUNK_CTE},
+    pk AS (
+      SELECT doc_id, chunk_id, CAST(len(c) AS INT) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
+      FROM chunks
+    ), cum AS (
+      SELECT shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS strt
+      FROM pk
+    )
+    SELECT shard, strt // 256 AS bin, count(*) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens
+    FROM cum GROUP BY 1, 2
+    """,
+    "concat-then-split sequence packing into 256-token bins, md5-sharded so the "
+    "running sum is per-shard (no unpartitioned window at any scale) "
+    "(llmdata/corpus.py pack_chunks)",
+)
+def llm_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata.corpus import chunk_documents, pack_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=4)
+    return pack_chunks(chunks, capacity=256, shards=8)
+
+
 @_register(
     "llm_ngram_lm",
     f"""
@@ -2934,8 +3006,9 @@ def kmv_set_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf AS (SELECT id, t, count(*) AS tf FROM tok2 GROUP BY 1, 2),
     nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
     dfreq AS (
-      SELECT t, count(*) AS df FROM tf GROUP BY t
-      HAVING count(*) >= 2 AND count(*) <= 50
+      SELECT t, count(*) AS df FROM tf CROSS JOIN nd GROUP BY t, nd.n
+      HAVING count(*) >= 2
+         AND count(*) <= greatest(2, CAST(floor(0.1 * nd.n) AS BIGINT))
     ), w AS (
       SELECT tf.t, tf.id,
              CAST(floor(tf.tf * ln(nd.n / dfreq.df) * 1000) AS BIGINT) AS wq
@@ -2953,13 +3026,13 @@ def kmv_set_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE dot / (sqrt(na.ssq) * sqrt(nb.ssq)) >= 0.2
     """,
     "all-pairs TF-IDF cosine similarity over an inverted index (Bayardo WWW'07 "
-    "shape: df-capped stop terms bound per-term fan-out); integer-quantized "
-    "weights make dot products order-independent across engines "
-    "(llmdata/textstats.py tfidf_pairs)",
+    "shape: fractional df cap — 10% of N, in-plan — bounds per-term fan-out at "
+    "any corpus size); integer-quantized weights make dot products "
+    "order-independent across engines (llmdata/textstats.py tfidf_pairs)",
 )
 def text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    out = Tx.tfidf_pairs(docs, max_df=50, min_cos=0.2)
+    out = Tx.tfidf_pairs(docs, max_df_frac=0.1, min_cos=0.2)
     return out.select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
 
 

@@ -349,3 +349,44 @@ def test_ngram_lm_counts_and_probs(spark):
     }
     assert set(got2) == {"a b"}
     assert got2["a b"] == (3, 3, 1_000_000)  # ctx_cnt still 3, not re-normed
+
+
+def test_chunk_documents_boundaries(spark):
+    from query_engine_spark.llmdata.corpus import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, ""), (4, "solo")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    got = {(r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text) for r in out}
+    # doc1: step 3, ceil((10-1)/3) = 3 chunks: [0:4], [3:7], [6:10]
+    assert got[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert got[(1, 1)] == (4, "w3 w4 w5 w6")
+    assert got[(1, 2)] == (4, "w6 w7 w8 w9")
+    assert got[(2, 0)] == (3, "a b c")  # single short chunk
+    assert (3, 0) not in got  # empty doc -> no chunks
+    assert got[(4, 0)] == (1, "solo")
+    assert len(got) == 5
+    # overlap: every chunk after the first starts with the previous tail
+    assert got[(1, 1)][1].split()[0] == got[(1, 0)][1].split()[-1]
+
+
+def test_pack_chunks_capacity_property(spark):
+    from query_engine_spark.llmdata.corpus import chunk_documents, pack_chunks
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}x{j}" for j in range(50 + i % 37))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap=2)
+    packed = pack_chunks(chunks, capacity=64, shards=4).collect()
+    total_chunk_tokens = chunks.agg(F.sum("n_tokens")).collect()[0][0]
+    # conservation: every chunk token lands in exactly one bin
+    assert sum(r.tokens for r in packed) == total_chunk_tokens
+    # each bin holds >= 1 chunk; all but the last bin of each shard start
+    # within capacity (a bin overflows only by a straddling chunk's tail)
+    for r in packed:
+        assert r.n_chunks >= 1
+        assert r.tokens < 64 + 16, r  # capacity + max chunk size

@@ -67,6 +67,16 @@ QUERIES = [
     "range_join_events",
     "rollup_gapfill_events",
     "kmv_distinct_users",
+    "funnel_events",
+    "retention_cohorts",
+    "graph_triangles",
+    "graph_pagerank",
+    "text_tfidf_pairs",
+    "kmv_set_ops_events",
+    "llm_weighted_sample",
+    "llm_ngram_lm",
+    "stream_interval_join_pairs",
+    "asof_join_directions",
 ]
 
 
