@@ -2839,6 +2839,41 @@ def llm_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_top_terms_per_lang",
+    f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split_regex({_NORM_SQL}, '\\s+')) AS term
+      FROM documents
+    ), cnts AS (
+      SELECT lang, term, count(*) AS cnt FROM tok WHERE term <> '' GROUP BY 1, 2
+    )
+    SELECT lang, term, cnt,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rn
+      FROM cnts)
+    WHERE rn <= 5
+    """,
+    "per-language top-5 vocabulary: rank-filter window Spark rewrites to "
+    "WindowGroupLimit — per-group top-k without materializing full per-group "
+    "sorts (group-limit pushdown at any group count)",
+)
+def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata.textstats import _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(_tokens(F.col("text"))).alias("term")).filter(
+        F.col("term") != ""
+    )
+    cnts = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term"))
+    return (
+        cnts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@_register(
     "llm_ngram_lm",
     f"""
     WITH ws AS (

@@ -35,6 +35,7 @@ __all__ = [
     "streaming_count_view",
     "streaming_windowed_counts",
     "streaming_interval_join",
+    "streaming_dedup",
 ]
 
 
@@ -199,6 +200,44 @@ def streaming_interval_join(
     )
     q = (
         j.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    source: DataFrame,
+    *,
+    id_col: str = "id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    query_name: str = "stream_dedup",
+) -> DataFrame:
+    """Streaming exact-once dedup: first-seen row per id wins, with state
+    bounded by the watermark (`dropDuplicatesWithinWatermark` — ids older
+    than the watermark horizon are evicted from state, so duplicate ids
+    must arrive within the horizon to be caught; that is the documented
+    trade of bounded state for bounded lookback, exactly the reference's
+    1000-row overlap-dedup rephrased in event time).
+
+    Append-mode memory sink for tests; production would write to a real
+    sink. Batch equivalence: on bounded input with all duplicates inside
+    the horizon, the result == batch `dropDuplicates([id])` up to which
+    duplicate survives (streaming keeps the FIRST arrival; the test
+    compares id sets).
+    """
+    dd = source.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+    q = (
+        dd.writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)
         .start()

@@ -177,3 +177,31 @@ def test_streaming_interval_join_equals_batch(spark, tmp_path):
     want = {tuple(r) for r in batch.collect()}
     assert got == want
     assert len(got) == 3  # v1-c1, v1-c2, v2-c2
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from query_engine_spark.streaming.ingest import streaming_dedup
+
+    src = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0), "a"),
+            (1, dt.datetime(2024, 1, 1, 0, 5), "b"),   # dup id within horizon
+            (2, dt.datetime(2024, 1, 1, 0, 1), "c"),
+            (3, dt.datetime(2024, 1, 1, 0, 2), "d"),
+            (3, dt.datetime(2024, 1, 1, 0, 2), "d"),   # exact dup row
+        ],
+        "id long, ts timestamp, v string",
+    )
+    path = str(tmp_path / "dedup_stream")
+    src.write.parquet(path)
+    out = streaming_dedup(
+        spark,
+        spark.readStream.schema(src.schema).parquet(path),
+        query_name="t_dd",
+    )
+    ids = sorted(r.id for r in out.collect())
+    assert ids == [1, 2, 3]
+    # batch equivalence on id sets
+    assert ids == sorted(
+        r.id for r in src.dropDuplicates(["id"]).collect()
+    )
