@@ -53,6 +53,12 @@ HEADLINE = [
     "text_tfidf_pairs",
     "kmv_set_ops_events",
     "llm_weighted_sample",
+    "embed_semdedup",
+    "text_repetition_features",
+    "llm_doc_lm_score",
+    "hybrid_rrf_search",
+    "llm_curation_flags",
+    "q17_small_quantity",
 ]
 
 

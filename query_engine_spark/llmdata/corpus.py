@@ -18,7 +18,86 @@ from pyspark.sql import DataFrame, functions as F
 from query_engine_spark.llmdata import dedup as D
 from query_engine_spark.llmdata import textstats as Tx
 
-__all__ = ["prepare_corpus", "chunk_documents", "pack_chunks"]
+__all__ = ["prepare_corpus", "chunk_documents", "pack_chunks", "curation_flags"]
+
+
+def curation_flags(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.4,
+    max_top2_ppm: int = 100_000,
+    min_score_q: int = 33_000,
+) -> DataFrame:
+    """Dolma-tagger-style curation audit: one row per document with every
+    drop signal as a named boolean plus the fused ``keep`` decision —
+    the *explainable* form of corpus filtering (keep `prepare_corpus` for
+    the filter-and-forget form). Flags:
+
+    - ``is_dup``       exact-dup (same normalized-text fingerprint as a
+      lower-id doc);
+    - ``bad_lang``     language-ID abstained (no stopword profile hit);
+    - ``low_quality``  composite quality gate < `min_quality`;
+    - ``repetitive``   top-bigram occupancy > `max_top2_ppm` (Gopher-style
+      boilerplate signal);
+    - ``unlikely``     mean bigram-LM probability < `min_score_q` (the
+      perplexity filter, self-trained on this corpus);
+    - ``keep``         none of the above.
+
+    Documents too short to produce bigrams carry `repetitive`/`unlikely` =
+    false (no evidence ≠ bad). Each signal is an independent corpus-shaped
+    aggregation (see its operator's docstring for the 100 TB shape); the
+    final assembly is doc-keyed equi-joins that AQE co-partitions. Signal
+    columns are all integers/booleans, so the output hashes identically
+    across engines.
+    """
+    did = F.col(id_col)
+    fp = df.select(did.alias("doc_id"), D.fingerprint(F.col(text_col)).alias("fp"))
+    keeper = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    dup = fp.join(keeper, "fp").select(
+        "doc_id", (F.col("doc_id") != F.col("keeper")).alias("is_dup")
+    )
+    qual = Tx.quality_features(df, text_col=text_col, id_col=id_col).select(
+        F.col(id_col).alias("doc_id"), "quality"
+    )
+    lang = df.select(did.alias("doc_id"), Tx.langid(F.col(text_col)).alias("lang_pred"))
+    rep = Tx.repetition_features(df, id_col=id_col, text_col=text_col).select(
+        "doc_id", "top2_ppm"
+    )
+    lmsc = Tx.lm_score_docs(df, id_col=id_col, text_col=text_col).select(
+        "doc_id", "score_q"
+    )
+    out = (
+        df.select(did.alias("doc_id"))
+        .join(dup, "doc_id")
+        .join(qual, "doc_id")
+        .join(lang, "doc_id")
+        .join(rep, "doc_id", "left")
+        .join(lmsc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_dup",
+            (F.col("lang_pred") == "und").alias("bad_lang"),
+            (F.col("quality") < min_quality).alias("low_quality"),
+            F.coalesce(F.col("top2_ppm") > max_top2_ppm, F.lit(False)).alias(
+                "repetitive"
+            ),
+            F.coalesce(F.col("score_q") < min_score_q, F.lit(False)).alias(
+                "unlikely"
+            ),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        ~(
+            F.col("is_dup")
+            | F.col("bad_lang")
+            | F.col("low_quality")
+            | F.col("repetitive")
+            | F.col("unlikely")
+        ),
+    )
 
 
 def prepare_corpus(

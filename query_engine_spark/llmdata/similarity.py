@@ -31,6 +31,8 @@ __all__ = [
     "ivf_topk",
     "write_ivf_index",
     "ivf_topk_indexed",
+    "semdedup",
+    "rrf_fuse",
 ]
 
 
@@ -374,3 +376,96 @@ def kmeans_lloyd(
         )
     final = assign_cells(q, cents, vec_col="qv", cent_vec_col="cv")
     return final.select("vec_id", "cent_id")
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    quant: int = 10**9,
+    top: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two ranked
+    retrieval lists — the standard hybrid-search combiner (BM25 ∪ ANN):
+
+        score(d) = Σ_lists 1/(k + rank_list(d)),   k = 60
+
+    quantized to ``score_q = Σ floor(quant/(k + rank))`` so the fusion is
+    integer-exact across engines (no float reciprocal sums). Documents
+    missing from a list contribute 0 from it. Returns
+    ``(id, score_q, rank)`` for the fused top-`top`.
+
+    Shape: both inputs are already top-N bounded (retrieval outputs), so the
+    full-outer join and fused top-k are tiny regardless of corpus size —
+    the heavy lifting happened inside the retrieval operators.
+    """
+    from query_engine_spark.operators.ordering import dense_rank_over
+
+    ra = a.select(F.col(id_col).alias("id"), F.col(rank_col).cast("long").alias("ra"))
+    rb = b.select(F.col(id_col).alias("id"), F.col(rank_col).cast("long").alias("rb"))
+    j = ra.join(rb, "id", "full_outer")
+    score = F.coalesce(F.expr(f"{quant} div ({k} + ra)"), F.lit(0)) + F.coalesce(
+        F.expr(f"{quant} div ({k} + rb)"), F.lit(0)
+    )
+    scored = j.select("id", score.alias("score_q"))
+    limited = scored.orderBy(F.col("score_q").desc(), "id").limit(top)
+    ranked = dense_rank_over(limited, [F.col("score_q").desc(), F.col("id")], "rank")
+    return ranked.select(F.col("id").alias(id_col), "score_q", "rank")
+
+
+def semdedup(
+    embeddings: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.35,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means clustering + WITHIN-cluster cosine pruning. Returns
+    ``(vec_id, cent_id, is_dup)`` — `is_dup` marks vectors whose cosine to a
+    LOWER-id vector in the same cluster is ≥ `tau` (keep-lowest-id, the
+    deterministic analogue of the paper's keep-one-per-near-dup-group).
+
+    Scale shape — this is the whole point of the algorithm: the pair space
+    is Σ|cluster|² instead of n², bounded by choosing k ~ n/target_cluster
+    (the paper uses k ≈ 11k clusters for 5B embeddings). The self-join
+    shuffles both sides by cent_id only; no global all-pairs ever exists.
+    A pathological giant cluster re-creates n² locally — at 100 TB, cap it
+    by raising k or pre-splitting hot cells (same salt-cap device as
+    dedup.py's LSH `max_bucket`).
+
+    Determinism: cluster assignment comes from `kmeans_lloyd` on the
+    integer-quantized grid; the tau comparison uses round(cosine, 6) of
+    exact-integer dot products, so membership can't drift across engines.
+    """
+    assigned = kmeans_lloyd(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col, quant=quant
+    )
+    q = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col), quant).alias("qv")
+    )
+    side = assigned.join(q, "vec_id")
+    a, b = side.alias("a"), side.alias("b")
+    sim = F.round(cosine(F.col("a.qv"), F.col("b.qv")), 6)
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a.vec_id") > F.col("b.vec_id")),
+        )
+        .filter(sim >= tau)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("__dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id", "cent_id", F.coalesce("__dup", F.lit(False)).alias("is_dup")
+        )
+    )

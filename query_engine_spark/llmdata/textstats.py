@@ -22,6 +22,8 @@ __all__ = [
     "hash_sample",
     "top_terms",
     "kmin_fingerprint",
+    "repetition_features",
+    "lm_score_docs",
 ]
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbols
@@ -407,6 +409,122 @@ def ngram_lm(
             "ctx_cnt",
             F.expr(f"(cnt * {quant}) div ctx_cnt").alias("prob_q"),
         )
+    )
+
+
+def repetition_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quant: int = 10**6,
+) -> DataFrame:
+    """Gopher-style repetition quality features (Rae et al. 2021, §A1.1):
+    per document, for word n-grams n ∈ {1,2,3},
+
+    - ``top{n}_ppm``  — fraction of n-gram occurrences taken by the single
+      most frequent n-gram (quantized to parts-per-million, floored);
+    - ``dup{n}_ppm``  — fraction of n-gram occurrences whose n-gram occurs
+      more than once.
+
+    Gopher thresholds these to drop boilerplate/spam (e.g. top-2-gram
+    fraction > 0.20). We count occurrence fractions rather than the paper's
+    character fractions — proportional for near-uniform token lengths, and
+    exactly integer-reproducible across engines (floor ppm, no float ratio).
+
+    Shape: one explode + one (doc_id, gram) hash-agg + one doc_id hash-agg
+    per n — all map-side combinable, sharded by document, no window, no
+    driver state. Documents whose normalized text is empty vanish (no
+    tokens); docs with < n words get 0 for that n's features.
+    """
+    from query_engine_spark.llmdata.dedup import word_shingles
+
+    def per_n(n: int) -> DataFrame:
+        if n == 1:
+            grams = df.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(_tokens(F.col(text_col))).alias("g"),
+            ).filter(F.col("g") != "")
+        else:
+            grams = df.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+            )
+        cnts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+        return cnts.groupBy("doc_id").agg(
+            F.expr(f"(max(cnt) * {quant}) div sum(cnt)").alias(f"top{n}_ppm"),
+            F.expr(
+                f"(coalesce(sum(cnt) filter (where cnt >= 2), 0) * {quant}) div sum(cnt)"
+            ).alias(f"dup{n}_ppm"),
+        )
+
+    out = per_n(1)
+    for n in (2, 3):
+        out = out.join(per_n(n), "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "top1_ppm",
+        "dup1_ppm",
+        F.coalesce("top2_ppm", F.lit(0)).alias("top2_ppm"),
+        F.coalesce("dup2_ppm", F.lit(0)).alias("dup2_ppm"),
+        F.coalesce("top3_ppm", F.lit(0)).alias("top3_ppm"),
+        F.coalesce("dup3_ppm", F.lit(0)).alias("dup3_ppm"),
+    )
+
+
+def lm_score_docs(
+    df: DataFrame,
+    lm: DataFrame | None = None,
+    *,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    quant: int = 10**6,
+) -> DataFrame:
+    """Score every document under an n-gram LM count table (`ngram_lm`
+    schema) — the scoring half of the classic perplexity-filter loop
+    (train a cheap LM on the corpus or a trusted subset, keep documents the
+    model finds likely). Returns per doc:
+
+    - ``n_grams``     — scoring n-grams in the doc;
+    - ``oov``         — grams absent from the table (unseen or cut off);
+    - ``sum_prob_q``  — Σ quantized conditional probability over grams
+      (OOV contributes 0);
+    - ``score_q``     — sum_prob_q div n_grams: mean quantized conditional
+      probability, a monotone inverse of perplexity on the quantized MLE.
+
+    Integer mean-probability instead of the textbook mean-log-probability:
+    ln() is not exactly reproducible across engines (libm vs StrictMath),
+    while this is floor arithmetic end-to-end. Docs with < n words have no
+    grams and are not scored.
+
+    Shape: per-(doc, gram) pre-aggregation shrinks the LM join to distinct
+    grams per doc; the join keys on the gram (hash-partition both sides —
+    or mark the LM side broadcast when the post-cutoff table fits); one
+    final doc-keyed agg. When `lm` is None the table is trained on `df`
+    itself (self-scoring).
+    """
+    if lm is None:
+        lm = ngram_lm(df, n, text_col=text_col, min_count=min_count, quant=quant)
+    from query_engine_spark.llmdata.dedup import word_shingles
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    )
+    dg = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    joined = dg.join(
+        lm.select(F.col("ngram").alias("g"), "prob_q"), "g", "left"
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum(F.when(F.col("prob_q").isNull(), F.col("cnt")).otherwise(F.lit(0))).alias("oov"),
+            F.sum(F.coalesce(F.col("prob_q"), F.lit(0)) * F.col("cnt")).alias("sum_prob_q"),
+        )
+        .withColumn("score_q", F.expr("sum_prob_q div n_grams"))
     )
 
 

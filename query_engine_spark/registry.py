@@ -1294,6 +1294,107 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY 1
+    """,
+    "TPC-H Q4 shape: EXISTS correlated subquery decorrelated to a left-semi "
+    "join (returnflag stands in for commit<receipt, absent from the "
+    "fixture), then a tiny priority rollup",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(returned, orders["o_orderkey"] == returned["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_register(
+    "q22_no_order_customers",
+    """
+    WITH c AS (SELECT c_custkey, c_nationkey,
+                      CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+               FROM customer),
+    s AS (SELECT CAST(sum(cents) AS BIGINT) AS s, count(*) AS n
+          FROM c WHERE cents > 0)
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+    FROM c, s
+    WHERE cents * n > s
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    GROUP BY 1
+    """,
+    "TPC-H Q22 shape: scalar-average threshold + NOT EXISTS anti-join "
+    "(no F-status order — every fixture customer has SOME order, so the "
+    "original no-order predicate would be vacuous). The above-average test "
+    "is cross-multiplied in integer cents (cents·n > Σcents) so the "
+    "threshold is exact — no float avg whose summation order could flip a "
+    "boundary customer between engines",
+)
+def q22_no_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    stats = cust.filter(F.col("cents") > 0).agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    rich = cust.crossJoin(F.broadcast(stats)).filter(
+        F.col("cents") * F.col("n") > F.col("s")
+    )
+    f_orders = orders.filter(F.col("o_orderstatus") == "F")
+    no_orders = rich.join(
+        f_orders, rich["c_custkey"] == f_orders["o_custkey"], "left_anti"
+    )
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("cents").alias("totacctbal_cents"),
+    )
+
+
+@_register(
+    "q17_small_quantity",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_small,
+           round(coalesce(sum(l_extendedprice), 0) / 7.0, 2) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#4'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    "TPC-H Q17 shape: correlated scalar subquery (per-part avg threshold) "
+    "decorrelated into a partition window over the brand-pruned join — the "
+    "broadcast part filter prunes lineitem BEFORE the avg, so the window "
+    "shuffle only carries the brand's rows (l_quantity is integer-valued, "
+    "sum/avg exact in doubles → threshold engine-deterministic)",
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand = part.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    j = li.join(F.broadcast(brand), li["l_partkey"] == brand["p_partkey"])
+    w = Window.partitionBy("p_partkey")
+    small = j.withColumn("avg_q", F.avg("l_quantity").over(w)).filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_q")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0, 2).alias("avg_yearly"),
+    )
+
+
+@_register(
     "window_running_revenue",
     """
     SELECT o_custkey, o_orderkey,
@@ -1956,6 +2057,59 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "hybrid_rrf_search",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             unnest(string_split_regex({_NORM_SQL}, '\\s+')) AS t,
+             len(string_split_regex({_NORM_SQL}, '\\s+')) AS dl
+      FROM documents),
+    stats AS (SELECT count(*) AS n FROM documents),
+    avgl AS (SELECT avg(dl) AS avgdl FROM (SELECT DISTINCT id, dl FROM base)),
+    hits AS (SELECT * FROM base WHERE t IN {_BM25_TERMS!r}),
+    tf AS (SELECT id, t, count(*) AS tf, min(dl) AS dl FROM hits GROUP BY 1, 2),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+    bscored AS (
+      SELECT id,
+             round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+      FROM tf JOIN dfreq USING (t), stats, avgl GROUP BY id),
+    bm AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS ra
+           FROM bscored ORDER BY score DESC, id LIMIT 20),
+    vs AS (SELECT b.vec_id AS id, round({_COSINE_SQL}, 6) AS sim
+           FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+           WHERE a.vec_id = 0),
+    vr AS (SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS rb
+           FROM vs ORDER BY sim DESC, id LIMIT 20),
+    fused AS (
+      SELECT coalesce(bm.id, vr.id) AS doc_id,
+             CAST(coalesce(1000000000 // (60 + ra), 0)
+                + coalesce(1000000000 // (60 + rb), 0) AS BIGINT) AS score_q
+      FROM bm FULL JOIN vr ON bm.id = vr.id),
+    t10 AS (SELECT * FROM fused ORDER BY score_q DESC, doc_id LIMIT 10)
+    SELECT doc_id, score_q,
+           CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank
+    FROM t10
+    """,
+    "hybrid retrieval: BM25 top-20 + embedding-cosine top-20 fused by "
+    "reciprocal-rank fusion (Cormack SIGIR'09), integer-quantized reciprocal "
+    "ranks — both inputs are bounded retrieval outputs so the fusion join is "
+    "tiny at any corpus scale (llmdata/similarity.py rrf_fuse)",
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm25 = Tx.bm25_search(docs, list(_BM25_TERMS), top=20)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vec = Sim.cosine_topk(emb, queries, k=20).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return Sim.rrf_fuse(bm25.select("doc_id", "rank"), vec, top=10)
+
+
+@_register(
     "text_fingerprint",
     f"""
     WITH sh AS MATERIALIZED ({_SHINGLE_SQL}),
@@ -2490,7 +2644,9 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 2, quant: int = 1000, dims: int = 64) -> str:
+def _kmeans_oracle(
+    k: int = 8, iters: int = 2, quant: int = 1000, dims: int = 64, final_fn=None
+) -> str:
     """Unrolled Lloyd's iterations as a CTE chain. All arithmetic is exact
     (integer-quantized vectors → order-independent dots; see
     similarity.quantize_vec), so the assignment is engine-deterministic."""
@@ -2533,10 +2689,30 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, quant: int = 1000, dims: int = 64
       SELECT c{i}.cent_id, coalesce(m{i}.cv_new, c{i}.cv) AS cv
       FROM c{i} LEFT JOIN m{i} USING (cent_id)
     )"""
-    sql += f"""
-    SELECT vec_id, cent_id FROM ({assign(f'c{iters}')})
-    """
+    sql += f""", fin AS ({assign(f'c{iters}')}
+    )"""
+    if final_fn is None:
+        sql += "\n    SELECT vec_id, cent_id FROM fin"
+    else:
+        sql += final_fn(cos)
     return sql
+
+
+def _semdedup_oracle(
+    k: int = 8, iters: int = 2, quant: int = 1000, dims: int = 64, tau: float = 0.35
+) -> str:
+    """k-means CTE chain + within-cluster cosine pruning (keep-lowest-id)."""
+
+    def final(cos) -> str:
+        return f""", p AS (
+      SELECT DISTINCT a.vec_id FROM fin a JOIN fin b
+        ON a.cent_id = b.cent_id AND a.vec_id > b.vec_id
+      WHERE round({cos('a.qv', 'b.qv')}, 6) >= {tau}
+    )
+    SELECT fin.vec_id, fin.cent_id, (p.vec_id IS NOT NULL) AS is_dup
+    FROM fin LEFT JOIN p ON fin.vec_id = p.vec_id"""
+
+    return _kmeans_oracle(k, iters, quant, dims, final_fn=final)
 
 
 @_register(
@@ -2548,6 +2724,18 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, quant: int = 1000, dims: int = 64
 def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return Sim.kmeans_lloyd(emb, k=8, iters=2)
+
+
+@_register(
+    "embed_semdedup",
+    _semdedup_oracle(),
+    "SemDeDup semantic dedup (arXiv:2303.09540): k-means clusters bound the "
+    "pair space to within-cluster joins (never global n²), keep-lowest-id "
+    "pruning at cosine >= 0.35 (llmdata/similarity.py semdedup)",
+)
+def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return Sim.semdedup(emb, k=8, iters=2, tau=0.35)
 
 
 @_register(
@@ -2905,6 +3093,146 @@ def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return Tx.ngram_lm(docs, n=2, min_count=2)
+
+
+def _grams_sql(n: int) -> str:
+    """DuckDB expression: word n-grams of the pre-split `ws` list column."""
+    if n == 1:
+        return "ws"
+    parts = " || ' ' || ".join(
+        f"ws[CAST(i AS INT){f' + {j}' if j else ''}]" for j in range(n)
+    )
+    hi = "len(ws)" if n == 2 else f"len(ws) - {n - 2}"
+    return (
+        f"CASE WHEN len(ws) >= {n} THEN list_transform(range(1, {hi}), i -> {parts}) "
+        "ELSE [] END"
+    )
+
+
+def _repetition_oracle(quant: int = 10**6) -> str:
+    sql = f"WITH ws AS (SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS ws FROM documents)"
+    for n in (1, 2, 3):
+        where = "WHERE g <> '' " if n == 1 else ""
+        sql += f""",
+    g{n} AS (SELECT doc_id, unnest({_grams_sql(n)}) AS g FROM ws),
+    c{n} AS (SELECT doc_id, g, count(*) AS cnt FROM g{n} {where}GROUP BY 1, 2),
+    a{n} AS (SELECT doc_id,
+        CAST((max(cnt) * {quant}) // sum(cnt) AS BIGINT) AS top{n}_ppm,
+        CAST((coalesce(sum(cnt) FILTER (WHERE cnt >= 2), 0) * {quant}) // sum(cnt) AS BIGINT) AS dup{n}_ppm
+      FROM c{n} GROUP BY 1)"""
+    sql += """
+    SELECT a1.doc_id, a1.top1_ppm, a1.dup1_ppm,
+           CAST(coalesce(a2.top2_ppm, 0) AS BIGINT) AS top2_ppm,
+           CAST(coalesce(a2.dup2_ppm, 0) AS BIGINT) AS dup2_ppm,
+           CAST(coalesce(a3.top3_ppm, 0) AS BIGINT) AS top3_ppm,
+           CAST(coalesce(a3.dup3_ppm, 0) AS BIGINT) AS dup3_ppm
+    FROM a1 LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+    """
+    return sql
+
+
+@_register(
+    "text_repetition_features",
+    _repetition_oracle(),
+    "Gopher-style repetition quality features (top-n-gram / duplicated-n-gram "
+    "occurrence fractions for n=1..3, floor-ppm) — the boilerplate/spam "
+    "filter signals of Rae et al. 2021 §A1.1 (llmdata/textstats.py "
+    "repetition_features)",
+)
+def text_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return Tx.repetition_features(docs)
+
+
+@_register(
+    "llm_doc_lm_score",
+    f"""
+    WITH ws AS (SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS ws FROM documents),
+    bg AS (SELECT doc_id, unnest({_grams_sql(2)}) AS g FROM ws),
+    dg AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2),
+    cg AS (SELECT g, count(*) AS cnt FROM bg GROUP BY g),
+    cx AS (SELECT regexp_replace(g, ' [^ ]+$', '') AS ctx, CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+           FROM cg GROUP BY 1),
+    sel AS (SELECT g, cnt, regexp_replace(g, ' [^ ]+$', '') AS ctx FROM cg WHERE cnt >= 2),
+    lm AS (SELECT g AS ngram, CAST((cnt * 1000000) // ctx_cnt AS BIGINT) AS prob_q
+           FROM sel JOIN cx USING (ctx)),
+    j AS (SELECT dg.doc_id, dg.cnt, lm.prob_q FROM dg LEFT JOIN lm ON dg.g = lm.ngram)
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+           CAST(coalesce(sum(cnt) FILTER (WHERE prob_q IS NULL), 0) AS BIGINT) AS oov,
+           CAST(sum(coalesce(prob_q, 0) * cnt) AS BIGINT) AS sum_prob_q,
+           CAST(sum(coalesce(prob_q, 0) * cnt) // sum(cnt) AS BIGINT) AS score_q
+    FROM j GROUP BY 1
+    """,
+    "per-document LM scoring against the corpus bigram LM (mean quantized "
+    "conditional probability + OOV count) — the scoring half of the "
+    "perplexity-filter loop, integer-exact instead of ln() "
+    "(llmdata/textstats.py lm_score_docs)",
+)
+def llm_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return Tx.lm_score_docs(docs, n=2, min_count=2)
+
+
+@_register(
+    "llm_curation_flags",
+    f"""
+    WITH fpt AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents),
+    dup AS (SELECT doc_id, doc_id != min(doc_id) OVER (PARTITION BY fp) AS is_dup FROM fpt),
+    t AS (SELECT doc_id, text, string_split_regex({_NORM_SQL}, '\\s+') AS toks FROM documents),
+    qf AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+             round(len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','a'))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
+      FROM t),
+    qg AS (
+      SELECT doc_id, round(CASE WHEN n_tokens >= 20 THEN 0.4 ELSE 0.0 END
+           + CASE WHEN punct_ratio > 0.0 AND punct_ratio < 0.2 THEN 0.3 ELSE 0.0 END
+           + CASE WHEN stopword_ratio > 0.05 THEN 0.3 ELSE 0.0 END, 2) AS quality
+      FROM qf),
+    ls AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','a'))) * 1.0 / greatest(len(toks), 1) AS s_en,
+        len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht'))) * 1.0 / greatest(len(toks), 1) AS s_de,
+        len(list_filter(toks, x -> x IN ('le','la','et','les','des','est'))) * 1.0 / greatest(len(toks), 1) AS s_fr,
+        len(list_filter(toks, x -> x IN ('el','la','que','de','los','es'))) * 1.0 / greatest(len(toks), 1) AS s_es
+      FROM t),
+    lang AS (
+      SELECT doc_id, (greatest(s_en, s_de, s_fr, s_es) = 0) AS bad_lang FROM ls),
+    g2 AS (SELECT doc_id, unnest({_grams_sql(2)}) AS g FROM (SELECT doc_id, toks AS ws FROM t)),
+    c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+    a2 AS (SELECT doc_id, CAST((max(cnt) * 1000000) // sum(cnt) AS BIGINT) AS top2_ppm
+           FROM c2 GROUP BY 1),
+    cg AS (SELECT g, count(*) AS cnt FROM g2 GROUP BY g),
+    cx AS (SELECT regexp_replace(g, ' [^ ]+$', '') AS ctx, CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+           FROM cg GROUP BY 1),
+    sel AS (SELECT g, cnt, regexp_replace(g, ' [^ ]+$', '') AS ctx FROM cg WHERE cnt >= 2),
+    lm AS (SELECT g AS ngram, CAST((cnt * 1000000) // ctx_cnt AS BIGINT) AS prob_q
+           FROM sel JOIN cx USING (ctx)),
+    lj AS (SELECT c2.doc_id, c2.cnt, lm.prob_q FROM c2 LEFT JOIN lm ON c2.g = lm.ngram),
+    lmsc AS (SELECT doc_id, CAST(sum(coalesce(prob_q, 0) * cnt) // sum(cnt) AS BIGINT) AS score_q
+             FROM lj GROUP BY 1),
+    flags AS (
+      SELECT d.doc_id, dup.is_dup, lang.bad_lang,
+             (qg.quality < 0.4) AS low_quality,
+             coalesce(a2.top2_ppm > 100000, false) AS repetitive,
+             coalesce(lmsc.score_q < 33000, false) AS unlikely
+      FROM documents d
+      JOIN dup USING (doc_id) JOIN qg USING (doc_id) JOIN lang USING (doc_id)
+      LEFT JOIN a2 USING (doc_id) LEFT JOIN lmsc USING (doc_id))
+    SELECT doc_id, is_dup, bad_lang, low_quality, repetitive, unlikely,
+           NOT (is_dup OR bad_lang OR low_quality OR repetitive OR unlikely) AS keep
+    FROM flags
+    """,
+    "Dolma-tagger-style curation audit: every drop signal (exact-dup, "
+    "lang-ID abstain, quality gate, Gopher repetition, LM perplexity "
+    "filter) as a named boolean + fused keep decision — the explainable "
+    "composition of the corpus pipeline (llmdata/corpus.py curation_flags)",
+)
+def llm_curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata.corpus import curation_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_flags(docs)
 
 
 @_register(

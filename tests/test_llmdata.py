@@ -390,3 +390,64 @@ def test_pack_chunks_capacity_property(spark):
     for r in packed:
         assert r.n_chunks >= 1
         assert r.tokens < 64 + 16, r  # capacity + max chunk size
+
+
+def test_semdedup_flags_within_cluster_near_dups(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.001, 0.0]),   # near dup of 3
+        (5, [0.7, 0.7, 0.0, 0.0]),     # distinct (cos ~0.707 to both axes)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = Sim.semdedup(emb, k=2, iters=2, tau=0.9)
+    dups = {r.vec_id for r in out.collect() if r.is_dup}
+    # near-identical vectors always co-cluster (identical argmax), and the
+    # lower id of each pair is kept
+    assert dups == {2, 4}
+    assert out.count() == 5
+
+
+def test_repetition_features_fractions(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in Tx.repetition_features(df).collect()}
+    # doc1 unigrams: a*3 b*1; bigrams: "a a"*2 "a b"*1; trigrams: "a a a","a a b"
+    assert got[1]["top1_ppm"] == 750_000 and got[1]["dup1_ppm"] == 750_000
+    assert got[1]["top2_ppm"] == 666_666 and got[1]["dup2_ppm"] == 666_666
+    assert got[1]["top3_ppm"] == 500_000 and got[1]["dup3_ppm"] == 0
+    # doc2: one bigram, no trigram (coalesced to 0)
+    assert got[2]["top1_ppm"] == 500_000 and got[2]["dup1_ppm"] == 0
+    assert got[2]["top2_ppm"] == 1_000_000 and got[2]["top3_ppm"] == 0
+    # doc3: single word
+    assert got[3]["top1_ppm"] == 1_000_000
+    assert got[3]["top2_ppm"] == 0 and got[3]["dup2_ppm"] == 0
+
+
+def test_lm_score_docs_self_scoring(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x")], "doc_id long, text string"
+    )
+    # min_count=2 LM keeps only "a b" (prob_q = 1.0 quantized: ctx 'a' is all "a b")
+    got = {r.doc_id: r.asDict() for r in Tx.lm_score_docs(df, min_count=2).collect()}
+    assert got[1]["n_grams"] == 4 and got[1]["oov"] == 2
+    assert got[1]["sum_prob_q"] == 2_000_000 and got[1]["score_q"] == 500_000
+    assert got[2]["n_grams"] == 2 and got[2]["oov"] == 1
+    assert got[2]["score_q"] == 500_000
+
+
+def test_rrf_fuse_integer_scores(spark):
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rank long")
+    b = spark.createDataFrame([(20, 1), (40, 2)], "doc_id long, rank long")
+    got = {r.doc_id: (r.score_q, r.rank) for r in Sim.rrf_fuse(a, b, top=4).collect()}
+    q = 10**9
+    # doc 20 appears in both lists: 1/(60+2) + 1/(60+1)
+    assert got[20][0] == q // 62 + q // 61 and got[20][1] == 1
+    assert got[10][0] == q // 61  # only list a
+    assert got[40][0] == q // 62  # only list b
+    assert got[30][0] == q // 63
+    # full ordering: fused-both first, then by reciprocal rank, ties by id
+    assert [d for d, (s, r) in sorted(got.items(), key=lambda kv: kv[1][1])] == [20, 10, 40, 30]
