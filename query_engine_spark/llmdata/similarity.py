@@ -33,6 +33,7 @@ __all__ = [
     "ivf_topk_indexed",
     "semdedup",
     "rrf_fuse",
+    "label_centroids",
 ]
 
 
@@ -376,6 +377,38 @@ def kmeans_lloyd(
         )
     final = assign_cells(q, cents, vec_col="qv", cent_vec_col="cv")
     return final.select("vec_id", "cent_id")
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    quant: int = 1000,
+) -> DataFrame:
+    """Per-label mean embedding ("class centroid") on the integer-quantized
+    grid, in long format ``(label, pos, mean_q, n)`` — the building block
+    for class-prototype analytics (nearest-centroid classification, per-class
+    cohesion/outlier audits, SemDeDup-style cluster seeding from labels).
+
+    Long format deliberately: scalar rows hash portably across engines where
+    array columns don't, and downstream dot products join on (label, pos)
+    without re-exploding. Shape: one positional explode + one
+    (label, pos) hash-agg — map-side combinable, dims·labels output rows,
+    no window. floor(Σx/n) matches `kmeans_lloyd`'s quantized-mean update.
+    """
+    q = embeddings.select(
+        F.col(label_col).alias("label"), quantize_vec(F.col(vec_col), quant).alias("qv")
+    )
+    return (
+        q.select("label", F.posexplode("qv").alias("pos", "x"))
+        .select("label", F.col("pos").cast("long").alias("pos"), "x")
+        .groupBy("label", "pos")
+        .agg(
+            F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("mean_q"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
 
 
 def rrf_fuse(

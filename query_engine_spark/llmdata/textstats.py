@@ -24,6 +24,8 @@ __all__ = [
     "kmin_fingerprint",
     "repetition_features",
     "lm_score_docs",
+    "duplicated_spans",
+    "split_assign",
 ]
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbols
@@ -375,6 +377,7 @@ def ngram_lm(
     text_col: str = "text",
     min_count: int = 2,
     quant: int = 10**6,
+    gram_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Count-based n-gram language-model table: ``(ngram, cnt, ctx_cnt,
     prob_q)`` where prob_q = MLE conditional probability
@@ -391,13 +394,20 @@ def ngram_lm(
     One token explode, two hash aggregations, one context-keyed join —
     every stage map-side combinable; integer prob floor keeps the table
     engine-reproducible.
+
+    `gram_counts` (a pre-aggregated ``(g, cnt)`` corpus table) skips the
+    explode — callers that already hold per-doc gram counts (lm_score_docs)
+    roll them up instead of re-scanning the corpus.
     """
     if n < 2:
         raise ValueError("ngram_lm needs n >= 2 (context must be non-empty)")
     from query_engine_spark.llmdata.dedup import word_shingles
 
-    grams = df.select(F.explode(word_shingles(F.col(text_col), n)).alias("g"))
-    g_all = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    if gram_counts is not None:
+        g_all = gram_counts
+    else:
+        grams = df.select(F.explode(word_shingles(F.col(text_col), n)).alias("g"))
+        g_all = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
     ctx = F.regexp_replace("g", " [^ ]+$", "")
     cc = g_all.groupBy(ctx.alias("ctx")).agg(F.sum("cnt").alias("ctx_cnt"))
     cg = g_all.filter(F.col("cnt") >= min_count).withColumn("ctx", ctx)
@@ -503,10 +513,10 @@ def lm_score_docs(
     grams per doc; the join keys on the gram (hash-partition both sides —
     or mark the LM side broadcast when the post-cutoff table fits); one
     final doc-keyed agg. When `lm` is None the table is trained on `df`
-    itself (self-scoring).
+    itself (self-scoring) by ROLLING UP the persisted per-(doc, gram)
+    counts — the corpus is exploded once, not once per consumer.
     """
-    if lm is None:
-        lm = ngram_lm(df, n, text_col=text_col, min_count=min_count, quant=quant)
+    from query_engine_spark.llmdata import tracked_persist
     from query_engine_spark.llmdata.dedup import word_shingles
 
     grams = df.select(
@@ -514,6 +524,13 @@ def lm_score_docs(
         F.explode(word_shingles(F.col(text_col), n)).alias("g"),
     )
     dg = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    if lm is None:
+        dg = tracked_persist(dg)
+        g_all = dg.groupBy("g").agg(F.sum("cnt").alias("cnt"))
+        lm = ngram_lm(
+            df, n, text_col=text_col, min_count=min_count, quant=quant,
+            gram_counts=g_all,
+        )
     joined = dg.join(
         lm.select(F.col("ngram").alias("g"), "prob_q"), "g", "left"
     )
@@ -525,6 +542,84 @@ def lm_score_docs(
             F.sum(F.coalesce(F.col("prob_q"), F.lit(0)) * F.col("cnt")).alias("sum_prob_q"),
         )
         .withColumn("score_q", F.expr("sum_prob_q div n_grams"))
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quant: int = 10**6,
+) -> DataFrame:
+    """Span-level exact-substring duplication (the hash-window approximation
+    of Lee et al. 2022's suffix-array method, as used by large-corpus dedupe
+    tooling): a position is *duplicated* when its word k-gram occurs ≥ 2
+    times anywhere in the corpus (other docs or a repeat in the same doc).
+    Returns per doc: ``n_spans`` (= max(words−k+1, 0)), ``dup_spans``, and
+    ``dup_ppm`` — the signal used to strip boilerplate spans or drop
+    span-duplicated documents. Docs with < k words have no spans and are
+    absent.
+
+    Shape: one positional explode → md5 the k-gram (fixed-width shuffle
+    key, uniform distribution), one hash-agg for global span counts, one
+    hash-semi-join back, one doc-keyed agg — every stage map-side
+    combinable; no window, no sort, no driver state. The gram table feeds
+    both the count and the join, so it is persisted via the tracked cache
+    (freed by `clear_llmdata_cache`, same lifecycle as the LSH tables).
+    """
+    from query_engine_spark.llmdata import tracked_persist
+    from query_engine_spark.llmdata.dedup import word_shingles
+
+    grams = tracked_persist(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(word_shingles(F.col(text_col), k)).alias("pos0", "g"),
+        ).select("doc_id", (F.col("pos0") + 1).alias("pos"), F.md5("g").alias("h"))
+    )
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    flagged = grams.join(dup_h.withColumn("__dup", F.lit(1)), "h", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0))).alias("dup_spans"),
+        )
+        .withColumn("dup_ppm", F.expr(f"(dup_spans * {quant}) div n_spans"))
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    val_ppm: int = 100_000,
+    test_ppm: int = 100_000,
+    buckets: int = 10_000,
+    seed: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the id's salted md5 bucket
+    partitions the corpus into `test` (first `test_ppm`·buckets/10⁶
+    buckets), `val` (next `val_ppm`), `train` (rest). Map-only, pushes to
+    the scan, reproducible across engines / retries / repartitioning —
+    the only split discipline that survives a 100 TB rerun (rand() and
+    row-order splits do not). Salting with `seed` re-rolls the split
+    without touching the data.
+    """
+    h = hash_bucket(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")), buckets)
+    test_hi = test_ppm * buckets // 10**6
+    val_hi = test_hi + val_ppm * buckets // 10**6
+    return df.withColumn(
+        "split",
+        F.when(h < test_hi, F.lit("test"))
+        .when(h < val_hi, F.lit("val"))
+        .otherwise(F.lit("train")),
     )
 
 

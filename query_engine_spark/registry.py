@@ -2317,6 +2317,76 @@ def llm_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_dup_spans",
+    f"""
+    WITH ws AS (SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS ws FROM documents),
+    p AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 8)) AS pos
+          FROM ws WHERE len(ws) >= 10),
+    gr AS (SELECT doc_id, pos,
+                  md5(array_to_string(list_slice(ws, CAST(pos AS INT), CAST(pos AS INT) + 9), ' ')) AS h
+           FROM p),
+    duph AS (SELECT h FROM (SELECT h, count(*) AS c FROM gr GROUP BY h) WHERE c >= 2)
+    SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(duph.h) AS BIGINT) AS dup_spans,
+           CAST((count(duph.h) * 1000000) // count(*) AS BIGINT) AS dup_ppm
+    FROM gr LEFT JOIN duph ON gr.h = duph.h
+    GROUP BY 1
+    """,
+    "span-level exact-substring duplication (hash-window approximation of "
+    "Lee et al. 2022's suffix-array dedup): positions whose word 10-gram "
+    "occurs >=2 times corpus-wide, per-doc duplicated-span fraction "
+    "(llmdata/textstats.py duplicated_spans)",
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return Tx.duplicated_spans(docs, k=10)
+
+
+@_register(
+    "llm_split_assign",
+    """
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 1000 THEN 'test'
+                  WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 2000 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents)
+    SELECT lang, split, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2
+    """,
+    "deterministic train/val/test split on salted md5 buckets (10/10/80) — "
+    "map-only, survives retries/repartitioning, re-rollable by seed; "
+    "summarized per language (llmdata/textstats.py split_assign)",
+)
+def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = Tx.split_assign(docs)
+    return out.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "embed_label_centroids",
+    """
+    WITH q AS (
+      SELECT label,
+             [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS qv
+      FROM embeddings),
+    e AS (SELECT label, i AS pos, qv[CAST(i AS INT) + 1] AS x
+          FROM q, unnest(range(len(qv))) AS t(i))
+    SELECT label, pos,
+           CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS mean_q,
+           CAST(count(*) AS BIGINT) AS n
+    FROM e GROUP BY 1, 2
+    """,
+    "per-label embedding centroids on the integer-quantized grid, long "
+    "format (label, pos) — class-prototype analytics; floor mean matches "
+    "kmeans_lloyd's update (llmdata/similarity.py label_centroids)",
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return Sim.label_centroids(emb)
+
+
+@_register(
     "llm_top_terms",
     f"""
     WITH toks AS (

@@ -451,3 +451,45 @@ def test_rrf_fuse_integer_scores(spark):
     assert got[30][0] == q // 63
     # full ordering: fused-both first, then by reciprocal rank, ties by id
     assert [d for d, (s, r) in sorted(got.items(), key=lambda kv: kv[1][1])] == [20, 10, 40, 30]
+
+
+def test_duplicated_spans_planted(spark):
+    ten = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [
+        (1, ten + " tail one"),          # spans at pos 1..3
+        (2, ten + " other ending here"),  # shares the pos-1 10-gram with doc 1
+        (3, "completely unrelated words that never repeat anywhere at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_spans, r.dup_spans) for r in Tx.duplicated_spans(df, k=10).collect()}
+    # doc1: 3 spans (12 words), only span@1 ("w1..w10") occurs twice corpus-wide
+    assert got[1] == (3, 1)
+    assert got[2] == (4, 1)
+    assert got[3] == (1, 0)
+
+
+def test_split_assign_deterministic_partition(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out1 = {r.doc_id: r.split for r in Tx.split_assign(df).collect()}
+    out2 = {r.doc_id: r.split for r in Tx.split_assign(df.repartition(7)).collect()}
+    assert out1 == out2  # partitioning-independent
+    frac = {s: sum(1 for v in out1.values() if v == s) / 500 for s in ("train", "val", "test")}
+    assert frac["train"] > 0.7 and 0.02 < frac["val"] < 0.2 and 0.02 < frac["test"] < 0.2
+    # different seed re-rolls membership
+    out3 = {r.doc_id: r.split for r in Tx.split_assign(df, seed="other").collect()}
+    assert out3 != out1
+
+
+def test_label_centroids_exact_means(spark):
+    rows = [
+        ("a", [1.0, 2.0]),
+        ("a", [3.0, 5.0]),
+        ("b", [10.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "label string, embedding array<double>")
+    got = {(r.label, r.pos): (r.mean_q, r.n) for r in Sim.label_centroids(emb).collect()}
+    # quant=1000: a -> floor((1000+3000)/2)=2000, floor((2000+5000)/2)=3500
+    assert got[("a", 0)] == (2000, 2)
+    assert got[("a", 1)] == (3500, 2)
+    assert got[("b", 0)] == (10000, 1)
+    assert got[("b", 1)] == (0, 1)
