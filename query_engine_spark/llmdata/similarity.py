@@ -34,6 +34,7 @@ __all__ = [
     "semdedup",
     "rrf_fuse",
     "label_centroids",
+    "label_cohesion",
 ]
 
 
@@ -408,6 +409,66 @@ def label_centroids(
             F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("mean_q"),
             F.count(F.lit(1)).alias("n"),
         )
+    )
+
+
+def label_cohesion(
+    embeddings: DataFrame,
+    *,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1000,
+    cquant: int = 10**6,
+) -> DataFrame:
+    """Per-label cluster cohesion: each member's cosine to its label
+    centroid, aggregated to ``(label, n_members, cohesion_q, min_cos_q)``
+    with cosines floored to `cquant` — the class-quality / outlier audit
+    for labeled embedding corpora (a low min_cos_q member is a label error
+    or an outlier; a low cohesion_q label is incoherent).
+
+    All dot products run in LONG format — (label, pos)-keyed join of the
+    member explode against `label_centroids` — so every sum is an exact
+    integer and the only float ops are the final sqrt/divide (IEEE
+    correctly-rounded, hence engine-identical; the floor quantization is
+    the same device as `quantize_vec`). No arrays cross a shuffle
+    boundary, no UDFs. Scale: the join shuffles dims·n rows by
+    (label, pos) — wide but perfectly uniform keys; the centroid side is
+    dims·labels (broadcastable).
+    """
+    cents = label_centroids(
+        embeddings, label_col=label_col, vec_col=vec_col, quant=quant
+    ).select("label", "pos", "mean_q")
+    e = (
+        embeddings.select(
+            F.col(label_col).alias("label"),
+            F.col(id_col).alias("vec_id"),
+            quantize_vec(F.col(vec_col), quant).alias("qv"),
+        )
+        .select("label", "vec_id", F.posexplode("qv").alias("pos", "x"))
+        .select("label", "vec_id", F.col("pos").cast("long").alias("pos"), "x")
+    )
+    d = (
+        e.join(cents, ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(F.col("x") * F.col("mean_q")).alias("dot"),
+            F.sum(F.col("x") * F.col("x")).alias("na"),
+            F.sum(F.col("mean_q") * F.col("mean_q")).alias("nb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+    )
+    v = d.select(
+        "label",
+        "vec_id",
+        F.floor(
+            F.lit(cquant) * F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))
+        ).cast("long").alias("cos_q"),
+    )
+    return v.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.expr("sum(cos_q) div count(*)").alias("cohesion_q"),
+        F.min("cos_q").alias("min_cos_q"),
     )
 
 

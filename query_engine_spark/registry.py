@@ -2387,6 +2387,42 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embed_label_cohesion",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS qv
+      FROM embeddings),
+    e AS (SELECT vec_id, label, i AS pos, qv[CAST(i AS INT) + 1] AS x
+          FROM q, unnest(range(len(qv))) AS t(i)),
+    c AS (SELECT label, pos, CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS m
+          FROM e GROUP BY 1, 2),
+    d AS (SELECT e.label, e.vec_id,
+                 CAST(sum(e.x * c.m) AS BIGINT) AS dot,
+                 CAST(sum(e.x * e.x) AS BIGINT) AS na,
+                 CAST(sum(c.m * c.m) AS BIGINT) AS nb
+          FROM e JOIN c ON e.label = c.label AND e.pos = c.pos
+          GROUP BY 1, 2
+          HAVING sum(e.x * e.x) > 0 AND sum(c.m * c.m) > 0),
+    v AS (SELECT label, vec_id,
+                 CAST(floor(1000000 * dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))) AS BIGINT) AS cos_q
+          FROM d)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(cos_q) // count(*) AS BIGINT) AS cohesion_q,
+           min(cos_q) AS min_cos_q
+    FROM v GROUP BY 1
+    """,
+    "per-label cohesion audit: member-to-centroid cosines via long-format "
+    "integer dot products (exact sums, floor-quantized cosine) — label-error "
+    "/ outlier detection for labeled embedding corpora "
+    "(llmdata/similarity.py label_cohesion)",
+)
+def embed_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return Sim.label_cohesion(emb)
+
+
+@_register(
     "llm_top_terms",
     f"""
     WITH toks AS (

@@ -493,3 +493,43 @@ def test_label_centroids_exact_means(spark):
     assert got[("a", 1)] == (3500, 2)
     assert got[("b", 0)] == (10000, 1)
     assert got[("b", 1)] == (0, 1)
+
+
+def test_label_cohesion_exact(spark):
+    rows = [
+        (1, "a", [1.0, 0.0]),
+        (2, "a", [1.0, 0.0]),   # identical -> centroid == member -> cos 1.0
+        (3, "b", [0.0, 1.0]),
+        (4, "b", [1.0, 0.0]),   # orthogonal pair -> centroid at 45 deg
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    got = {r.label: (r.n_members, r.cohesion_q, r.min_cos_q) for r in Sim.label_cohesion(emb).collect()}
+    assert got["a"] == (2, 1_000_000, 1_000_000)
+    # b: centroid (500, 500); cos(member, centroid) = 1/sqrt(2) -> floor -> 707106
+    assert got["b"][0] == 2 and got["b"][1] == 707106 and got["b"][2] == 707106
+
+
+def test_semdedup_plan_shape(spark):
+    rows = [(i, [float(i % 7), 1.0, 0.0, 0.0]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plan = Sim.semdedup(emb, k=2, iters=1)._jdf.queryExecution().executedPlan().toString()
+    # centroid assignment is a broadcast nested loop over k rows (bounded);
+    # the within-cluster pair join must be a real equi-join on cent_id,
+    # never an unbounded cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_spans_gram_table_reused_from_cache(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(12))) for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = Tx.duplicated_spans(df, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the gram table feeds both the global count and the join-back; the
+    # tracked persist must make the second consumer an in-memory scan,
+    # not a second explode of the corpus
+    assert "InMemoryTableScan" in plan
+    from query_engine_spark.llmdata import clear_llmdata_cache
+
+    clear_llmdata_cache()

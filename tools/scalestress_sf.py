@@ -77,6 +77,18 @@ QUERIES = [
     "llm_ngram_lm",
     "stream_interval_join_pairs",
     "asof_join_directions",
+    # round-3 additions
+    "embed_semdedup",
+    "text_repetition_features",
+    "llm_doc_lm_score",
+    "hybrid_rrf_search",
+    "llm_curation_flags",
+    "text_dup_spans",
+    "llm_split_assign",
+    "embed_label_centroids",
+    "q4_order_priority",
+    "q17_small_quantity",
+    "q22_no_order_customers",
 ]
 
 
