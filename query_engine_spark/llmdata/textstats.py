@@ -26,6 +26,8 @@ __all__ = [
     "lm_score_docs",
     "duplicated_spans",
     "split_assign",
+    "bpe_pair_counts",
+    "domain_mix",
 ]
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbols
@@ -620,6 +622,91 @@ def split_assign(
         F.when(h < test_hi, F.lit("test"))
         .when(h < val_hi, F.lit("val"))
         .otherwise(F.lit("train")),
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    top: int = 100,
+) -> DataFrame:
+    """The inner statistic of BPE vocabulary training (Sennrich et al. 2016):
+    adjacent character-pair counts across the corpus, weighted by word
+    frequency — ``(l, r, cnt, rank)`` for the `top` pairs. One BPE merge
+    round = pick rank 1 and re-segment; this table is the distributed part
+    (the merge decision is a driver-side O(1) read of it).
+
+    Scale shape: the corpus COMPRESSES TO ITS VOCABULARY first (token
+    explode → (word, cnt) hash-agg, map-side combinable) — every later
+    stage is vocabulary-sized, not corpus-sized, which is what makes
+    BPE training tractable at 100 TB. Then a per-word pair explode
+    (≤ len(word) rows per vocab entry), a pair hash-agg, and a fused
+    top-k; no window over unbounded data.
+    """
+    from query_engine_spark.operators.ordering import dense_rank_over
+
+    toks = df.select(F.explode(_tokens(F.col(text_col))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = (
+        vocab.filter(F.length("w") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> struct(substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r))"
+                )
+            ).alias("p"),
+        )
+        .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "cnt")
+    )
+    pc = pairs.groupBy("l", "r").agg(F.sum("cnt").alias("cnt"))
+    limited = pc.orderBy(F.col("cnt").desc(), "l", "r").limit(top)
+    ranked = dense_rank_over(
+        limited, [F.col("cnt").desc(), F.col("l"), F.col("r")], "rank"
+    )
+    return ranked.select("l", "r", "cnt", "rank")
+
+
+def domain_mix(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    quant: int = 10**6,
+) -> DataFrame:
+    """Domain-mixing weight table: per source, document/token counts, the
+    proportional token share, and a √-damped sampling weight (w ∝ √tokens —
+    the classic uniform↔proportional interpolation used for multilingual /
+    multi-domain sampling, and the usual initialization before a learned
+    DoReMi-style reweighting). All ratios are integer ppm over exact
+    integer totals: isqrt = floor(√tokens) is exact (correctly-rounded
+    IEEE sqrt on < 2⁵³ integers), so no float summation order can perturb
+    the weights between engines.
+
+    Shape: one corpus scan → per-source hash-agg; totals fold back in as
+    ONE broadcast row (the BM25 scalar device) — no driver round-trip.
+    """
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(whitespace_token_count(F.col(text_col))).alias("tokens"),
+    )
+    per = per.withColumn("isqrt", F.floor(F.sqrt("tokens")).cast("long"))
+    tot = per.agg(
+        F.sum("tokens").alias("tot_tokens"), F.sum("isqrt").alias("tot_isqrt")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "docs",
+            "tokens",
+            F.expr(f"(tokens * {quant}) div tot_tokens").alias("share_ppm"),
+            F.expr(f"(isqrt * {quant}) div tot_isqrt").alias("weight_ppm"),
+        )
     )
 
 

@@ -1294,6 +1294,68 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q19_disjunctive",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0), 2) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND (
+          (p_type = 'SMALL'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_type = 'MEDIUM' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_type = 'PROMO'  AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 40))
+    """,
+    "TPC-H Q19 shape: disjunction of per-bracket conjunctions across the "
+    "join — Catalyst extracts the common p_partkey equi-key so this stays a "
+    "hash join with the OR as a post-join filter, and pushes the "
+    "column-local disjuncts (p_type/p_size, l_quantity brackets) down to "
+    "both parquet scans",
+)
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    q, t, s = F.col("l_quantity"), F.col("p_type"), F.col("p_size")
+    cond = (
+        ((t == "SMALL") & s.between(1, 15) & q.between(1, 20))
+        | ((t == "MEDIUM") & s.between(1, 25) & q.between(10, 30))
+        | ((t == "PROMO") & s.between(1, 50) & q.between(20, 40))
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.coalesce(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), F.lit(0.0)), 2
+        ).alias("revenue"),
+    )
+
+
+@_register(
+    "q16_supplier_variety",
+    """
+    SELECT p_brand, p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 25
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    """,
+    "TPC-H Q16 shape: NOT IN subquery (negative-balance suppliers stand in "
+    "for the complaints LIKE filter) decorrelated to an anti-join + count "
+    "DISTINCT per group (two-phase distinct aggregation)",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    supp = load_table(spark, sf_dir, "supplier")
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    j = (
+        li.join(bad, li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(part, li["l_partkey"] == part["p_partkey"])
+    )
+    return j.groupBy("p_brand", "p_type").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@_register(
     "q4_order_priority",
     """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
@@ -2420,6 +2482,57 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return Sim.label_cohesion(emb)
+
+
+@_register(
+    "llm_bpe_pair_counts",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex({_NORM_SQL}, '\\s+')) AS w FROM documents),
+    v AS (SELECT w, count(*) AS cnt FROM tok WHERE w <> '' GROUP BY w),
+    p AS (SELECT substr(w, CAST(i AS INT), 1) AS l, substr(w, CAST(i AS INT) + 1, 1) AS r, cnt
+          FROM v, unnest(range(1, length(w))) AS t(i) WHERE length(w) >= 2),
+    pc AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS cnt FROM p GROUP BY 1, 2),
+    t AS (SELECT * FROM pc ORDER BY cnt DESC, l, r LIMIT 100)
+    SELECT l, r, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, l, r) AS BIGINT) AS rank
+    FROM t
+    """,
+    "BPE training's inner statistic (Sennrich'16): frequency-weighted "
+    "adjacent character-pair counts — corpus compresses to its vocabulary "
+    "before the pair explode, so every post-vocab stage is vocab-sized at "
+    "any corpus scale (llmdata/textstats.py bpe_pair_counts)",
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return Tx.bpe_pair_counts(docs, top=100)
+
+
+@_register(
+    "llm_domain_mix",
+    f"""
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS tokens
+      FROM documents GROUP BY 1),
+    w AS (SELECT source, docs, tokens,
+                 CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS isqrt
+          FROM per),
+    tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot_tokens,
+                   CAST(sum(isqrt) AS BIGINT) AS tot_isqrt FROM w)
+    SELECT source, docs, tokens,
+           CAST((tokens * 1000000) // tot_tokens AS BIGINT) AS share_ppm,
+           CAST((isqrt * 1000000) // tot_isqrt AS BIGINT) AS weight_ppm
+    FROM w, tot
+    """,
+    "domain-mixing weight table: per-source token shares + sqrt-damped "
+    "sampling weights (uniform-proportional interpolation, DoReMi-style "
+    "init) in exact integer ppm; totals broadcast in-plan "
+    "(llmdata/textstats.py domain_mix)",
+)
+def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return Tx.domain_mix(docs)
 
 
 @_register(

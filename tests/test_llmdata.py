@@ -533,3 +533,26 @@ def test_dup_spans_gram_table_reused_from_cache(spark):
     from query_engine_spark.llmdata import clear_llmdata_cache
 
     clear_llmdata_cache()
+
+
+def test_bpe_pair_counts_weighted(spark):
+    df = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "ab x")], "doc_id long, text string"
+    )
+    got = {(r.l, r.r): (r.cnt, r.rank) for r in Tx.bpe_pair_counts(df).collect()}
+    # "ab" occurs 3 times, "cd" once; "x" has no pairs
+    assert got[("a", "b")] == (3, 1)
+    assert got[("c", "d")] == (1, 2)
+    assert len(got) == 2
+
+
+def test_domain_mix_exact_ppm(spark):
+    df = spark.createDataFrame(
+        [(1, "s1", "a b c d"), (2, "s1", "e f g h i j k l m n o p"), (3, "s2", "q r s t")],
+        "doc_id long, source string, text string",
+    )
+    got = {r.source: r.asDict() for r in Tx.domain_mix(df).collect()}
+    # s1: 16 tokens (isqrt 4), s2: 4 tokens (isqrt 2); totals 20 / 6
+    assert got["s1"]["docs"] == 2 and got["s1"]["tokens"] == 16
+    assert got["s1"]["share_ppm"] == 800_000 and got["s2"]["share_ppm"] == 200_000
+    assert got["s1"]["weight_ppm"] == 666_666 and got["s2"]["weight_ppm"] == 333_333
