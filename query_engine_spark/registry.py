@@ -1695,10 +1695,11 @@ def _minhash_oracle() -> str:
     return f"WITH {_minhash_ctes()} SELECT id_a, id_b, jaccard FROM jp"
 
 
-def _cluster_oracle() -> str:
+def _cluster_oracle(final: str | None = None) -> str:
     """Connected components over the minhash pairs via a recursive CTE:
     reach = transitive closure (UNION dedups → terminates), cluster = min
-    reachable id."""
+    reachable id. `final` replaces the trailing SELECT (CTE `cc` holds
+    the (id, cluster) table)."""
     return f"""
     WITH RECURSIVE {_minhash_ctes()},
     edges AS MATERIALIZED (
@@ -1708,8 +1709,9 @@ def _cluster_oracle() -> str:
     reach(id, r) AS (
       SELECT id, id FROM nodes
       UNION
-      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
-    SELECT id, min(r) AS cluster FROM reach GROUP BY id
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+    cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+    {final if final is not None else "SELECT id, cluster FROM cc"}
     """
 
 
@@ -2482,6 +2484,105 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return Sim.label_cohesion(emb)
+
+
+_QUALITY_CTE = f"""
+    qtok AS (
+      SELECT doc_id, text, string_split_regex({_NORM_SQL}, '\\s+') AS toks
+      FROM documents),
+    qfeat AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+             round(len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','a'))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
+      FROM qtok),
+    qgate AS (
+      SELECT doc_id, round(CASE WHEN n_tokens >= 20 THEN 0.4 ELSE 0.0 END
+           + CASE WHEN punct_ratio > 0.0 AND punct_ratio < 0.2 THEN 0.3 ELSE 0.0 END
+           + CASE WHEN stopword_ratio > 0.05 THEN 0.3 ELSE 0.0 END, 2) AS quality
+      FROM qfeat)"""
+
+
+@_register(
+    "llm_quality_calibrated",
+    f"""
+    WITH {_QUALITY_CTE},
+    src AS (SELECT q.doc_id, d.source, q.quality
+            FROM qgate q JOIN documents d USING (doc_id)),
+    r AS (SELECT source, quality,
+                 row_number() OVER (PARTITION BY source ORDER BY quality) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM src),
+    th AS (SELECT source,
+                  max(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT)) THEN quality END) AS q25
+           FROM r GROUP BY source)
+    SELECT s.doc_id, s.source, s.quality, th.q25,
+           (s.quality >= th.q25) AS keep
+    FROM src s JOIN th USING (source)
+    """,
+    "per-source CALIBRATED quality gate: each source's own p25 quality is "
+    "its threshold (percentile_disc rank arithmetic), computed and joined "
+    "entirely in-plan — data-dependent thresholds with no driver round-trip; "
+    "the fixed-threshold gate penalizes whole sources whose style differs "
+    "(operators/sketches.py group_quantiles + llmdata/textstats.py "
+    "quality_features)",
+)
+def llm_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qual = Tx.quality_features(docs).select("doc_id", "quality")
+    src = docs.select("doc_id", "source").join(qual, "doc_id")
+    th = Sk.group_quantiles(src, ["source"], "quality", quantiles=(0.25,))
+    return (
+        src.join(F.broadcast(th), "source")
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            "q25",
+            (F.col("quality") >= F.col("q25")).alias("keep"),
+        )
+    )
+
+
+@_register(
+    "dedup_best_of_cluster",
+    _cluster_oracle(
+        f""", {_QUALITY_CTE},
+    m AS (SELECT cc.id, cc.cluster, q.quality
+          FROM cc JOIN qgate q ON q.doc_id = cc.id),
+    best AS (SELECT cluster, id, quality,
+                    row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, id) AS rn,
+                    count(*) OVER (PARTITION BY cluster) AS n
+             FROM m)
+    SELECT cluster, id AS best_doc, quality AS best_quality,
+           CAST(n AS BIGINT) AS n_members
+    FROM best WHERE rn = 1"""
+    ),
+    "quality-argmax canonicalization: near-dup clusters (MinHash LSH -> "
+    "connected components) keep their HIGHEST-QUALITY member instead of the "
+    "lowest id — the canonical-selection policy real curation uses; one "
+    "cluster-keyed window after the CC labels",
+)
+def dedup_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(
+        docs, n_hashes=_MINHASH_SEEDS, bands=_MINHASH_BANDS, threshold=0.1
+    )
+    cc = D.dedup_clusters(pairs)
+    qual = Tx.quality_features(docs).select(F.col("doc_id").alias("id"), "quality")
+    m = cc.join(qual, "id")
+    w = Window.partitionBy("cluster").orderBy(F.col("quality").desc(), F.col("id"))
+    wc = Window.partitionBy("cluster")
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("id").alias("best_doc"),
+            F.col("quality").alias("best_quality"),
+            "n_members",
+        )
+    )
 
 
 @_register(
