@@ -2359,6 +2359,43 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.image_features(media, fake=True).select("media_id", "n_bytes", F.round("byte_mean", 6).alias("byte_mean"))
 
 
+@_register(
+    "media_dedup",
+    """
+    SELECT media_id, fp, size_bytes FROM (
+      SELECT doc_id AS media_id, md5(text) AS fp,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size_bytes,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+    "multimodal exact dedup: md5 fingerprint of the OPAQUE BINARY payload "
+    "(keep lowest media_id) — step 1 of any media pipeline, and the one "
+    "stage that needs no codec; unlike multimodal_features this IS "
+    "hash-verified against the oracle because the fingerprint is over raw "
+    "bytes (llmdata/multimodal.py + dedup keep-first shape)",
+)
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    media = MM.attach_media_meta(media, media_type="text/plain")
+    w = Window.partitionBy("fp").orderBy("media_id")
+    return (
+        media.select(
+            "media_id",
+            F.md5("payload").alias("fp"),
+            F.col("meta.size_bytes").alias("size_bytes"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §7 training-data pipeline: deterministic sampling, vocabulary, end-to-end
 # corpus preparation
