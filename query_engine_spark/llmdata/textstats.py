@@ -529,12 +529,32 @@ def lm_score_docs(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("g"),
     )
-    dg = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
     if lm is None:
+        if df.isStreaming:
+            raise ValueError(
+                "self-training an LM on an unbounded stream is ill-defined — "
+                "train offline with ngram_lm and pass it as `lm`"
+            )
         lm = ngram_lm(df, n, text_col=text_col, min_count=min_count, quant=quant)
-    joined = dg.join(
-        lm.select(F.col("ngram").alias("g"), "prob_q"), "g", "left"
-    )
+    lm_side = lm.select(F.col("ngram").alias("g"), "prob_q")
+    if df.isStreaming:
+        # one stateful operator only: stream-static join on the gram, then a
+        # single doc-keyed agg (a per-(doc,gram) pre-agg would chain two
+        # stateful aggregations, which Structured Streaming rejects)
+        joined = grams.join(lm_side, "g", "left")
+        return (
+            joined.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum(
+                    F.when(F.col("prob_q").isNull(), F.lit(1)).otherwise(F.lit(0))
+                ).alias("oov"),
+                F.sum(F.coalesce(F.col("prob_q"), F.lit(0))).alias("sum_prob_q"),
+            )
+            .withColumn("score_q", F.expr("sum_prob_q div n_grams"))
+        )
+    dg = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    joined = dg.join(lm_side, "g", "left")
     return (
         joined.groupBy("doc_id")
         .agg(

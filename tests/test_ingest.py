@@ -205,3 +205,40 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert ids == sorted(
         r.id for r in src.dropDuplicates(["id"]).collect()
     )
+
+
+def test_streaming_lm_score_static_lm(spark, tmp_path):
+    """Stream-side perplexity filter, the production shape: train the bigram
+    LM OFFLINE (batch ngram_lm), score the document STREAM against it via a
+    stream-static join + per-doc aggregation. Streaming result must equal
+    scoring the same micro-batch in batch mode."""
+    from query_engine_spark.llmdata import textstats as Tx
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, "c a b a")],
+        "doc_id long, text string",
+    )
+    lm = Tx.ngram_lm(docs, 2, min_count=2)  # pretrained, static
+    path = str(tmp_path / "docs_stream")
+    docs.write.parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    scored = Tx.lm_score_docs(stream, lm)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("t_lms")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.doc_id: (r.n_grams, r.oov, r.sum_prob_q, r.score_q)
+            for r in spark.table("t_lms").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        r.doc_id: (r.n_grams, r.oov, r.sum_prob_q, r.score_q)
+        for r in Tx.lm_score_docs(docs, lm).collect()
+    }
+    assert got == batch and len(got) == 3
