@@ -1294,10 +1294,62 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q7_nation_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE n1.n_name < n2.n_name
+    GROUP BY 1, 2
+    """,
+    "TPC-H Q7 shape: 5-way star join reaching nation through BOTH the "
+    "supplier and customer paths (two broadcast dims under two fact-fact "
+    "hash joins), cross-nation revenue matrix. Revenue is summed in exact "
+    "integer 10^-4 dollars (cents x (100-disc_pct)) — 300 groups of ~6k "
+    "float products WILL hit a cent-rounding boundary somewhere under "
+    "engine-dependent summation order; integers can't",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("n2_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    return j.groupBy("supp_nation", "cust_nation").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(cents * (100 - disc_pct)).alias("revenue_e4"),
+    )
+
+
+@_register(
     "q19_disjunctive",
     """
     SELECT CAST(count(*) AS BIGINT) AS n,
-           round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0), 2) AS revenue
+           CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100) AS BIGINT))), 0) AS BIGINT) AS revenue_e4
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND (
           (p_type = 'SMALL'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
@@ -1320,11 +1372,11 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((t == "MEDIUM") & s.between(1, 25) & q.between(10, 30))
         | ((t == "PROMO") & s.between(1, 50) & q.between(20, 40))
     )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
     return j.filter(cond).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.coalesce(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), F.lit(0.0)), 2
-        ).alias("revenue"),
+        F.coalesce(F.sum(cents * (100 - disc_pct)), F.lit(0)).alias("revenue_e4"),
     )
 
 
@@ -1429,7 +1481,7 @@ def q22_no_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q17_small_quantity",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_small,
-           round(coalesce(sum(l_extendedprice), 0) / 7.0, 2) AS avg_yearly
+           CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) // 7 AS BIGINT) AS avg_yearly_cents
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND p_brand = 'Brand#4'
       AND l_quantity < (SELECT 0.2 * avg(l_quantity)
@@ -1452,7 +1504,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return small.agg(
         F.count(F.lit(1)).alias("n_small"),
-        F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0, 2).alias("avg_yearly"),
+        F.expr("coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) div 7").alias("avg_yearly_cents"),
     )
 
 
@@ -3802,6 +3854,8 @@ _ROUND3_TOUCHED = {
     "s7_input_post_prepend", "s8_archived_scan", "u_stash_pipeline",
     "f8_duplicates_first", "f9_non_duplicates", "sc_hn_normalized",
     "sc1_script_score", "sc4_created_at_score",
+    # late round-3: oracle-chain refactors (same semantics, new SQL text)
+    "dedup_clusters",
 }
 
 
