@@ -1250,6 +1250,70 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "agg_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "ROLLUP grouping sets: hierarchical status -> priority subtotals + grand total",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@_register(
+    "window_revenue_deciles",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1),
+    d AS (SELECT o_custkey, rev_cents,
+                 row_number() OVER (ORDER BY rev_cents DESC, o_custkey) AS rn,
+                 count(*) OVER () AS n
+          FROM per_cust)
+    SELECT CAST((rn - 1) * 10 // n + 1 AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(rev_cents) AS BIGINT) AS rev_cents,
+           CAST(min(rev_cents) AS BIGINT) AS floor_cents
+    FROM d GROUP BY 1
+    """,
+    "decile segmentation of customers by lifetime revenue via rank "
+    "arithmetic (floor((rank-1)*10/n)+1) instead of ntile — identical "
+    "analytics, but the rank comes from the DISTRIBUTED two-phase machinery "
+    "(no single-partition window) and the bucket rule is engine-exact where "
+    "ntile's uneven-group allocation order is not; revenue in exact cents",
+)
+def window_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
+    )
+    ranked = dense_rank_over(
+        per_cust, [F.col("rev_cents").desc(), F.col("o_custkey")], "rn"
+    )
+    n = per_cust.agg(F.count(F.lit(1)).alias("n"))
+    d = ranked.crossJoin(F.broadcast(n)).withColumn(
+        "decile", F.expr("(rn - 1) * 10 div n + 1")
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("rev_cents").alias("rev_cents"),
+        F.min("rev_cents").alias("floor_cents"),
+    )
+
+
+@_register(
     "agg_pivot",
     """
     SELECT user_id,
