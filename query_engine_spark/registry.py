@@ -2697,6 +2697,67 @@ def llm_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "llm_dedup_funnel",
+    _cluster_oracle(
+        f""", fpt AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS fp,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok
+      FROM documents),
+    k1 AS (SELECT doc_id, tok,
+                  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+           FROM fpt),
+    exact_kept AS (SELECT doc_id, tok FROM k1 WHERE rn = 1),
+    near_drop AS (SELECT id FROM cc WHERE id != cluster),
+    near_kept AS (SELECT e.doc_id, e.tok FROM exact_kept e
+                  LEFT JOIN near_drop d ON d.id = e.doc_id
+                  WHERE d.id IS NULL)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM fpt) AS n_docs,
+           (SELECT CAST(count(*) AS BIGINT) FROM exact_kept) AS n_exact_kept,
+           (SELECT CAST(count(*) AS BIGINT) FROM near_kept) AS n_near_kept,
+           (SELECT CAST(sum(tok) AS BIGINT) FROM fpt) AS tokens_in,
+           (SELECT CAST(sum(tok) AS BIGINT) FROM near_kept) AS tokens_kept"""
+    ),
+    "dedup-funnel observability: corpus -> exact keep-first -> near-dup "
+    "canonical survivors, with token retention — the one-row report a "
+    "curation run logs per shard; every stage reuses the verified "
+    "fingerprint / MinHash-CC primitives, assembled as semi/anti joins",
+)
+def llm_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        D.fingerprint(F.col("text")).alias("fp"),
+        Tx.whitespace_token_count(F.col("text")).cast("long").alias("tok"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    exact_kept = (
+        base.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        .select("doc_id", "tok")
+    )
+    pairs = D.minhash_dedup_pairs(
+        docs, n_hashes=_MINHASH_SEEDS, bands=_MINHASH_BANDS, threshold=0.1
+    )
+    cc = D.dedup_clusters(pairs)
+    near_drop = cc.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias("doc_id")
+    )
+    near_kept = exact_kept.join(near_drop, "doc_id", "left_anti")
+    stats_in = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("tokens_in")
+    )
+    stats_exact = exact_kept.agg(F.count(F.lit(1)).alias("n_exact_kept"))
+    stats_near = near_kept.agg(
+        F.count(F.lit(1)).alias("n_near_kept"), F.sum("tok").alias("tokens_kept")
+    )
+    return (
+        stats_in.crossJoin(F.broadcast(stats_exact))
+        .crossJoin(F.broadcast(stats_near))
+        .select("n_docs", "n_exact_kept", "n_near_kept", "tokens_in", "tokens_kept")
+    )
+
+
+@_register(
     "dedup_best_of_cluster",
     _cluster_oracle(
         f""", {_QUALITY_CTE},
