@@ -1728,6 +1728,22 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 
 
+def _grams_sql(n: int) -> str:
+    """DuckDB expression: word n-grams of the pre-split `ws` list column."""
+    if n == 1:
+        return "ws"
+    parts = " || ' ' || ".join(
+        f"ws[CAST(i AS INT){f' + {j}' if j else ''}]" for j in range(n)
+    )
+    hi = "len(ws)" if n == 2 else f"len(ws) - {n - 2}"
+    return (
+        f"CASE WHEN len(ws) >= {n} THEN list_transform(range(1, {hi}), i -> {parts}) "
+        "ELSE [] END"
+    )
+
+
+
+
 def _shingle_sql(src: str = "documents") -> str:
     return f"""
   SELECT doc_id,
@@ -2800,6 +2816,44 @@ def dedup_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "llm_decontaminate",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 1000 THEN 'test'
+                  WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 2000 THEN 'val'
+                  ELSE 'train' END AS split,
+             string_split_regex({_NORM_SQL}, '\\s+') AS ws
+      FROM documents),
+    tg AS (SELECT doc_id, unnest({_grams_sql(10)}) AS g FROM s WHERE split = 'train'),
+    eg AS (SELECT DISTINCT unnest({_grams_sql(10)}) AS g FROM s WHERE split != 'train')
+    SELECT tg.doc_id, CAST(count(DISTINCT tg.g) AS BIGINT) AS n_shared_grams
+    FROM tg JOIN eg USING (g)
+    GROUP BY 1
+    """,
+    "eval decontamination: train-split documents sharing any word 10-gram "
+    "with the val/test splits, with the shared-span count — the leakage "
+    "filter run before training. Gram-keyed semi-join against the "
+    "(much smaller) eval gram set; at 100 TB the eval side broadcasts "
+    "(llmdata/textstats.py split_assign + dedup.py word_shingles)",
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata.dedup import word_shingles
+
+    docs = Tx.split_assign(load_table(spark, sf_dir, "documents"))
+    grams = lambda side: side.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 10)).alias("g")
+    )
+    tg = grams(docs.filter(F.col("split") == "train"))
+    eg = grams(docs.filter(F.col("split") != "train")).select("g").distinct()
+    return (
+        tg.join(eg, "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_grams"))
+    )
+
+
+@_register(
     "llm_bpe_pair_counts",
     f"""
     WITH tok AS (
@@ -3627,20 +3681,6 @@ def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return Tx.ngram_lm(docs, n=2, min_count=2)
-
-
-def _grams_sql(n: int) -> str:
-    """DuckDB expression: word n-grams of the pre-split `ws` list column."""
-    if n == 1:
-        return "ws"
-    parts = " || ' ' || ".join(
-        f"ws[CAST(i AS INT){f' + {j}' if j else ''}]" for j in range(n)
-    )
-    hi = "len(ws)" if n == 2 else f"len(ws) - {n - 2}"
-    return (
-        f"CASE WHEN len(ws) >= {n} THEN list_transform(range(1, {hi}), i -> {parts}) "
-        "ELSE [] END"
-    )
 
 
 def _repetition_oracle(quant: int = 10**6) -> str:
