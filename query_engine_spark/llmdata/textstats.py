@@ -25,6 +25,7 @@ __all__ = [
     "repetition_features",
     "lm_score_docs",
     "duplicated_spans",
+    "strip_duplicated_spans",
     "split_assign",
     "bpe_pair_counts",
     "domain_mix",
@@ -613,6 +614,65 @@ def duplicated_spans(
             F.sum(F.coalesce(F.col("__dup"), F.lit(0))).alias("dup_spans"),
         )
         .withColumn("dup_ppm", F.expr(f"(dup_spans * {quant}) div n_spans"))
+    )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (Lee et al. 2022 rewrite
+    documents rather than drop them): delete every token covered by at
+    least one corpus-duplicated word k-gram and rebuild the cleaned text.
+    Returns ``(doc_id, n_tokens, n_removed, clean_fp)`` with `clean_fp` =
+    md5 of the cleaned token stream (the fingerprint keeps the verified
+    output small; the cleaned text itself is `concat_ws(' ', ...)` of the
+    same array).
+
+    Shape: the positional gram table and global span counts are the
+    `duplicated_spans` machinery; covered token positions explode k rows
+    per duplicated span, dedup to (doc, pos), and collect to ONE small
+    array per affected document — the rebuild is then a per-row indexed
+    array filter (codegen, no shuffle). Documents with no duplicated spans
+    pass through with n_removed = 0.
+    """
+    from query_engine_spark.llmdata.dedup import word_shingles
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_shingles(F.col(text_col), k)).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), F.md5("g").alias("h"))
+    duph = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    covered = (
+        grams.join(duph, "h", "left_semi")
+        .select("doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("tpos"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("tpos")).alias("cov"))
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(_tokens(F.col(text_col)), lambda x: x != "").alias("ws"),
+    )
+    j = base.join(covered, "doc_id", "left").withColumn(
+        "cov", F.coalesce("cov", F.array().cast("array<int>"))
+    )
+    cleaned = F.filter(
+        F.col("ws"), lambda x, i: ~F.array_contains(F.col("cov"), (i + 1).cast("int"))
+    )
+    return j.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        (F.size("ws") - F.size(cleaned)).cast("long").alias("n_removed"),
+        F.md5(F.concat_ws(" ", cleaned)).alias("clean_fp"),
     )
 
 

@@ -2576,6 +2576,44 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_strip_dup_spans",
+    f"""
+    WITH wsr AS (
+      SELECT doc_id,
+             list_filter(string_split_regex({_NORM_SQL}, '\\s+'), x -> x <> '') AS ws
+      FROM documents),
+    p AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 8)) AS pos
+          FROM wsr WHERE len(ws) >= 10),
+    gr AS (SELECT doc_id, pos,
+                  md5(array_to_string(list_slice(ws, CAST(pos AS INT), CAST(pos AS INT) + 9), ' ')) AS h
+           FROM p),
+    duph AS (SELECT h FROM (SELECT h, count(*) AS c FROM gr GROUP BY h) WHERE c >= 2),
+    covpos AS (SELECT DISTINCT gr.doc_id, CAST(t.i AS INT) AS tpos
+               FROM gr JOIN duph USING (h), unnest(range(pos, pos + 10)) AS t(i)),
+    cov AS (SELECT doc_id, list_sort(list(tpos)) AS cov FROM covpos GROUP BY 1),
+    cl AS (
+      SELECT w.doc_id, w.ws,
+             CASE WHEN cov.cov IS NULL THEN w.ws
+                  ELSE list_filter(w.ws, (x, i) -> NOT list_contains(cov.cov, CAST(i AS INT)))
+             END AS cl
+      FROM wsr w LEFT JOIN cov USING (doc_id))
+    SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(ws) - len(cl) AS BIGINT) AS n_removed,
+           md5(coalesce(array_to_string(cl, ' '), '')) AS clean_fp
+    FROM cl
+    """,
+    "exact-substring dedup REMOVAL (Lee et al. 2022's rewrite step): delete "
+    "every token covered by a corpus-duplicated word 10-gram and rebuild "
+    "the text; covered positions collect to one small per-doc array, the "
+    "rebuild is a codegen indexed array filter "
+    "(llmdata/textstats.py strip_duplicated_spans)",
+)
+def text_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return Tx.strip_duplicated_spans(docs, k=10)
+
+
+@_register(
     "llm_split_assign",
     """
     WITH s AS (

@@ -556,3 +556,21 @@ def test_domain_mix_exact_ppm(spark):
     assert got["s1"]["docs"] == 2 and got["s1"]["tokens"] == 16
     assert got["s1"]["share_ppm"] == 800_000 and got["s2"]["share_ppm"] == 200_000
     assert got["s1"]["weight_ppm"] == 666_666 and got["s2"]["weight_ppm"] == 333_333
+
+
+def test_strip_duplicated_spans_rebuild(spark):
+    ten = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        (1, ten + " unique1 tail"),   # 10-gram at pos 1 duplicated with doc 2
+        (2, ten + " other2 ending"),
+        (3, "totally unrelated text with no duplicate spans present here ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_fp) for r in Tx.strip_duplicated_spans(df, k=10).collect()}
+    import hashlib
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # docs 1/2: tokens 1-10 removed, suffix survives
+    assert got[1] == (12, 10, md5("unique1 tail"))
+    assert got[2] == (12, 10, md5("other2 ending"))
+    # doc 3 untouched
+    assert got[3][1] == 0 and got[3][2] == md5(rows[2][1])
