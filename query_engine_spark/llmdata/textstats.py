@@ -24,6 +24,7 @@ __all__ = [
     "kmin_fingerprint",
     "repetition_features",
     "lm_score_docs",
+    "stupid_backoff_score",
     "duplicated_spans",
     "strip_duplicated_spans",
     "split_assign",
@@ -564,6 +565,76 @@ def lm_score_docs(
             F.sum(F.coalesce(F.col("prob_q"), F.lit(0)) * F.col("cnt")).alias("sum_prob_q"),
         )
         .withColumn("score_q", F.expr("sum_prob_q div n_grams"))
+    )
+
+
+def stupid_backoff_score(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    quant: int = 10**6,
+    alpha_num: int = 4,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """Stupid-backoff trigram scoring (Brants et al., EMNLP 2007 — designed
+    FOR distributed web-scale LMs): each trigram scores its MLE conditional
+    if the trigram survived the count cutoff, else α·P(w|bigram-context),
+    else 0 (counted as OOV). α = 0.4 as in the paper, applied as exact
+    integer arithmetic (prob_q·4 div 10). Returns per doc:
+    ``(doc_id, n_grams, tri_hits, bi_hits, oov, score_q)`` with
+    score_q = Σ backoff-score div n_grams.
+
+    Shape: two LM count tables (trigram + bigram — each one explode + two
+    hash-aggs), one per-(doc, trigram) pre-agg, two gram-keyed joins (the
+    suffix bigram key is a regexp strip of the first word). Every stage
+    map-side combinable; the LM sides broadcast under AQE when the cutoffs
+    keep them small.
+    """
+    from query_engine_spark.llmdata.dedup import word_shingles
+
+    lm3 = ngram_lm(df, 3, text_col=text_col, min_count=min_count, quant=quant)
+    lm2 = ngram_lm(df, 2, text_col=text_col, min_count=min_count, quant=quant)
+    dg = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(F.col(text_col), 3)).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("g2", F.regexp_replace("g", "^[^ ]+ ", ""))
+    )
+    j = (
+        dg.join(
+            lm3.select(F.col("ngram").alias("g"), F.col("prob_q").alias("p3")),
+            "g",
+            "left",
+        )
+        .join(
+            lm2.select(F.col("ngram").alias("g2"), F.col("prob_q").alias("p2")),
+            "g2",
+            "left",
+        )
+    )
+    backoff = F.coalesce(
+        F.col("p3"), F.expr(f"(p2 * {alpha_num}) div {alpha_den}"), F.lit(0)
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum(F.when(F.col("p3").isNotNull(), F.col("cnt")).otherwise(F.lit(0))).alias("tri_hits"),
+            F.sum(
+                F.when(F.col("p3").isNull() & F.col("p2").isNotNull(), F.col("cnt")).otherwise(F.lit(0))
+            ).alias("bi_hits"),
+            F.sum(
+                F.when(F.col("p3").isNull() & F.col("p2").isNull(), F.col("cnt")).otherwise(F.lit(0))
+            ).alias("oov"),
+            F.sum(backoff * F.col("cnt")).alias("sum_q"),
+        )
+        .withColumn("score_q", F.expr("sum_q div n_grams"))
+        .drop("sum_q")
     )
 
 

@@ -3744,6 +3744,46 @@ def _repetition_oracle(quant: int = 10**6) -> str:
 
 
 @_register(
+    "llm_stupid_backoff",
+    f"""
+    WITH ws AS (SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS ws FROM documents),
+    g3 AS (SELECT doc_id, unnest({_grams_sql(3)}) AS g FROM ws),
+    g2 AS (SELECT unnest({_grams_sql(2)}) AS g FROM ws),
+    c3 AS (SELECT g, count(*) AS cnt FROM g3 GROUP BY g),
+    x3 AS (SELECT regexp_replace(g, ' [^ ]+$', '') AS ctx, CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+           FROM c3 GROUP BY 1),
+    s3 AS (SELECT g, cnt, regexp_replace(g, ' [^ ]+$', '') AS ctx FROM c3 WHERE cnt >= 2),
+    lm3 AS (SELECT g AS ngram, CAST((cnt * 1000000) // ctx_cnt AS BIGINT) AS p3
+            FROM s3 JOIN x3 USING (ctx)),
+    c2 AS (SELECT g, count(*) AS cnt FROM g2 GROUP BY g),
+    x2 AS (SELECT regexp_replace(g, ' [^ ]+$', '') AS ctx, CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+           FROM c2 GROUP BY 1),
+    s2 AS (SELECT g, cnt, regexp_replace(g, ' [^ ]+$', '') AS ctx FROM c2 WHERE cnt >= 2),
+    lm2 AS (SELECT g AS ngram, CAST((cnt * 1000000) // ctx_cnt AS BIGINT) AS p2
+            FROM s2 JOIN x2 USING (ctx)),
+    dg0 AS (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+    dg AS (SELECT doc_id, g, cnt, regexp_replace(g, '^[^ ]+ ', '') AS g2k FROM dg0),
+    j AS (SELECT dg.doc_id, dg.cnt, lm3.p3, lm2.p2
+          FROM dg LEFT JOIN lm3 ON dg.g = lm3.ngram
+                  LEFT JOIN lm2 ON dg.g2k = lm2.ngram)
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+           CAST(coalesce(sum(cnt) FILTER (WHERE p3 IS NOT NULL), 0) AS BIGINT) AS tri_hits,
+           CAST(coalesce(sum(cnt) FILTER (WHERE p3 IS NULL AND p2 IS NOT NULL), 0) AS BIGINT) AS bi_hits,
+           CAST(coalesce(sum(cnt) FILTER (WHERE p3 IS NULL AND p2 IS NULL), 0) AS BIGINT) AS oov,
+           CAST(sum(coalesce(p3, (p2 * 4) // 10, 0) * cnt) // sum(cnt) AS BIGINT) AS score_q
+    FROM j GROUP BY 1
+    """,
+    "stupid-backoff trigram doc scoring (Brants EMNLP'07 — THE web-scale "
+    "distributed LM smoothing: no normalization pass, score = trigram MLE "
+    "else 0.4 x bigram, integer-exact) over self-trained count tables "
+    "(llmdata/textstats.py stupid_backoff_score)",
+)
+def llm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return Tx.stupid_backoff_score(docs, min_count=2)
+
+
+@_register(
     "text_repetition_features",
     _repetition_oracle(),
     "Gopher-style repetition quality features (top-n-gram / duplicated-n-gram "

@@ -574,3 +574,22 @@ def test_strip_duplicated_spans_rebuild(spark):
     assert got[2] == (12, 10, md5("other2 ending"))
     # doc 3 untouched
     assert got[3][1] == 0 and got[3][2] == md5(rows[2][1])
+
+
+def test_stupid_backoff_tiers(spark):
+    # "a b c" x2 -> trigram "a b c" kept (cnt 2); "a b d" backs off to
+    # bigram ctx "b d" (cnt 1 -> cut) ... construct explicit tiers:
+    rows = [
+        (1, "a b c"), (2, "a b c"),          # tri "a b c" cnt=2 kept
+        (3, "x b c"),                        # tri cut; bigram "b c" cnt=3 kept
+        (4, "p q r"),                        # tri cut; bigram "q r" cnt=1 cut -> oov
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in Tx.stupid_backoff_score(df, min_count=2).collect()}
+    # doc1/2: the only trigram is "a b c": P(c|a b)=1.0 -> 1_000_000
+    assert got[1]["tri_hits"] == 1 and got[1]["score_q"] == 1_000_000
+    # doc3: trigram "x b c" cut -> backoff to P(c|b): "b c" cnt 3, ctx 'b'
+    # total = 3 ("b c" x3; "b d" none) -> p2 = 1.0 -> 0.4 -> 400_000
+    assert got[3]["bi_hits"] == 1 and got[3]["score_q"] == 400_000
+    # doc4: both cut -> oov, score 0
+    assert got[4]["oov"] == 1 and got[4]["score_q"] == 0
