@@ -34,6 +34,7 @@ __all__ = [
     "semdedup",
     "rrf_fuse",
     "label_centroids",
+    "dim_stats",
     "label_cohesion",
 ]
 
@@ -408,6 +409,31 @@ def label_centroids(
         .agg(
             F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("mean_q"),
             F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def dim_stats(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    quant: int = 1000,
+) -> DataFrame:
+    """Per-dimension corpus statistics on the integer-quantized grid —
+    ``(pos, n, min_q, max_q, mean_q)`` — the profile a vector pipeline
+    needs before whitening / clipping / dead-dimension pruning. One
+    positional explode + one pos-keyed hash-agg (map-side combinable,
+    `dims` output rows); floor mean matches `kmeans_lloyd`'s update."""
+    q = embeddings.select(quantize_vec(F.col(vec_col), quant).alias("qv"))
+    return (
+        q.select(F.posexplode("qv").alias("pos", "x"))
+        .select(F.col("pos").cast("long").alias("pos"), "x")
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_q"),
+            F.max("x").alias("max_q"),
+            F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("mean_q"),
         )
     )
 

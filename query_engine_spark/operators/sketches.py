@@ -27,7 +27,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["kmv_distinct", "kmv_set_ops", "md5_hash60", "group_quantiles"]
+__all__ = ["kmv_distinct", "kmv_set_ops", "md5_hash60", "group_quantiles", "group_quantiles_bucketed"]
 
 # hashes are 60-bit ints (15 md5 hex chars): exact in a signed 64-bit on
 # both engines, and 2^60 is exactly representable as a double for the
@@ -196,3 +196,47 @@ def kmv_set_ops(
         jac.alias("jaccard_est"),
         (jac * union_est).alias("inter_est"),
     )
+
+
+def group_quantiles_bucketed(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.9),
+    bucket_width: int = 1,
+) -> DataFrame:
+    """Bucketed quantiles — the 100 TB path `group_quantiles`' docstring
+    points at: pre-bucket values with ``floor(value / width)`` so the raw
+    scan reduces to a tiny (group, bucket, count) table, then take the
+    quantile over cumulative bucket counts. Resolution is one bucket; the
+    returned ``q*_lo`` is each quantile's bucket lower bound
+    (bucket · width, a BIGINT — exact in both engines via the floor-cast
+    convention).
+
+    Quantile rule matches `group_quantiles` (percentile_disc rank
+    ``max(1, ceil(q·n))``): the quantile's bucket is the first whose
+    cumulative count reaches the rank. Shape: one (group, bucket)
+    hash-agg over the full data (map-side combinable — the ONLY pass over
+    raw rows), then a per-group window over the bucket table, whose size
+    is |groups|·|occupied buckets|, not row count.
+    """
+    groups = list(group_cols)
+    b = (F.floor(F.col(value_col) / F.lit(bucket_width))).cast("long")
+    bc = df.select(*groups, b.alias("__b")).groupBy(*groups, "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy(*groups).orderBy("__b")
+    wc = Window.partitionBy(*groups)
+    r = bc.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__n", F.sum("__c").over(wc)
+    )
+    aggs = []
+    for q in quantiles:
+        rank = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("__n")))
+        name = f"q{str(q)[2:4].ljust(2, '0')}_lo"
+        aggs.append(
+            F.min(
+                F.when(F.col("__cum") >= rank, F.col("__b") * bucket_width)
+            ).alias(name)
+        )
+    return r.groupBy(*groups).agg(*aggs)

@@ -2658,6 +2658,56 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embed_dim_stats",
+    """
+    WITH q AS (
+      SELECT [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS qv
+      FROM embeddings),
+    e AS (SELECT i AS pos, qv[CAST(i AS INT) + 1] AS x
+          FROM q, unnest(range(len(qv))) AS t(i))
+    SELECT pos, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(x) AS BIGINT) AS min_q, CAST(max(x) AS BIGINT) AS max_q,
+           CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS mean_q
+    FROM e GROUP BY 1
+    """,
+    "per-dimension embedding statistics (quantized min/max/mean) — the "
+    "whitening / clipping / dead-dimension profile before vector indexing "
+    "(llmdata/similarity.py dim_stats)",
+)
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return Sim.dim_stats(emb)
+
+
+@_register(
+    "group_quantiles_bucketed",
+    """
+    WITH bc AS (
+      SELECT event_type, CAST(floor(value / 5) AS BIGINT) AS b, count(*) AS c
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, b, c,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+                 sum(c) OVER (PARTITION BY event_type) AS n
+          FROM bc)
+    SELECT event_type,
+           CAST(min(CASE WHEN cum >= greatest(1, CAST(ceil(0.25 * n) AS BIGINT)) THEN b * 5 END) AS BIGINT) AS q25_lo,
+           CAST(min(CASE WHEN cum >= greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN b * 5 END) AS BIGINT) AS q50_lo,
+           CAST(min(CASE WHEN cum >= greatest(1, CAST(ceil(0.9 * n) AS BIGINT)) THEN b * 5 END) AS BIGINT) AS q90_lo
+    FROM r GROUP BY 1
+    """,
+    "bucketed group quantiles — the promised 100 TB path for "
+    "group_quantiles: ONE map-side-combinable (group, bucket) agg over raw "
+    "rows, then a window over the tiny bucket table; quantile resolution = "
+    "bucket width (operators/sketches.py group_quantiles_bucketed)",
+)
+def group_quantiles_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return Sk.group_quantiles_bucketed(
+        ev, ["event_type"], "value", quantiles=(0.25, 0.5, 0.9), bucket_width=5
+    )
+
+
+@_register(
     "embed_label_cohesion",
     """
     WITH q AS (

@@ -445,3 +445,17 @@ def test_kmv_matches_duckdb(spark):
     for g, n, est in rows:
         want[g] = (n, est)
     assert got == want
+
+
+def test_group_quantiles_bucketed_vs_exact(spark):
+    """Bucket width 1 over integer values == exact group_quantiles."""
+    from query_engine_spark.operators import sketches as Sk
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [("b", float(v * 3)) for v in range(1, 8)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    exact = {r.g: (r.q25, r.q50, r.q90) for r in
+             Sk.group_quantiles(df, ["g"], "value", (0.25, 0.5, 0.9)).collect()}
+    bucketed = {r.g: (r.q25_lo, r.q50_lo, r.q90_lo) for r in
+                Sk.group_quantiles_bucketed(df, ["g"], "value", (0.25, 0.5, 0.9), bucket_width=1).collect()}
+    for g in exact:
+        assert bucketed[g] == tuple(int(v) for v in exact[g]), (g, exact[g], bucketed[g])
