@@ -30,7 +30,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["funnel", "retention_cohorts", "triangle_count", "pagerank"]
+__all__ = ["funnel", "retention_cohorts", "triangle_count", "pagerank", "transition_matrix"]
 
 
 def funnel(
@@ -255,3 +255,39 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .unionAll(tri.select(F.col("y").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def transition_matrix(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    quant: int = 10**6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    ``(src, dst, cnt, src_cnt, prob_ppm)`` with prob_ppm the integer-ppm
+    conditional P(dst | src) — the behavioral-model table under
+    next-action prediction, anomaly scoring, and funnel design.
+
+    Shape: ONE user-partitioned lag window (the sequences shuffle by user
+    exactly once, same exchange the funnel uses), a (src, dst) hash-agg —
+    |types|² output rows regardless of event volume — and a src-total
+    join over that tiny table. Integer ppm keeps rows engine-exact.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    t = events.withColumn("__prev", F.lag(type_col).over(w)).filter(
+        F.col("__prev").isNotNull()
+    )
+    pc = t.groupBy(
+        F.col("__prev").alias("src"), F.col(type_col).alias("dst")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = pc.groupBy("src").agg(F.sum("cnt").alias("src_cnt"))
+    return pc.join(tot, "src").select(
+        "src",
+        "dst",
+        "cnt",
+        "src_cnt",
+        F.expr(f"(cnt * {quant}) div src_cnt").alias("prob_ppm"),
+    )

@@ -3504,6 +3504,30 @@ def llm_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_transition_matrix",
+    """
+    WITH t AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    pc AS (SELECT prev AS src, event_type AS dst, count(*) AS cnt
+           FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS src_cnt FROM pc GROUP BY 1)
+    SELECT src, dst, CAST(cnt AS BIGINT) AS cnt, src_cnt,
+           CAST((cnt * 1000000) // src_cnt AS BIGINT) AS prob_ppm
+    FROM pc JOIN tot USING (src)
+    """,
+    "first-order Markov transition matrix over per-user event sequences "
+    "(one user-partitioned lag window -> |types|^2 table -> integer-ppm "
+    "conditionals) — next-action / anomaly / funnel-design model "
+    "(operators/behavior.py transition_matrix)",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return B.transition_matrix(ev)
+
+
+@_register(
     "funnel_events",
     """
     WITH e AS (

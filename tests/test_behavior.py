@@ -214,3 +214,24 @@ def test_pagerank_ranking_and_mass(spark):
     assert max(got, key=got.get) == 0
     # quantized mass: conserved to within |V| units per iteration
     assert abs(sum(got.values()) - 10**12) < 11 * 3 * 100
+
+
+def test_transition_matrix_handcrafted(spark):
+    import datetime as dt
+    from query_engine_spark.operators.behavior import transition_matrix
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> a  (transitions: a->b, b->a)
+        (1, 1, t0, "a"), (2, 1, t0 + dt.timedelta(minutes=1), "b"),
+        (3, 1, t0 + dt.timedelta(minutes=2), "a"),
+        # user 2: a -> b       (transition: a->b)
+        (4, 2, t0, "a"), (5, 2, t0 + dt.timedelta(minutes=1), "b"),
+        # user 3: single event, no transitions
+        (6, 3, t0, "c"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {(r.src, r.dst): (r.cnt, r.src_cnt, r.prob_ppm) for r in transition_matrix(ev).collect()}
+    assert got[("a", "b")] == (2, 2, 1_000_000)
+    assert got[("b", "a")] == (1, 1, 1_000_000)
+    assert len(got) == 2  # user 3 contributes nothing
