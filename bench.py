@@ -59,6 +59,10 @@ HEADLINE = [
     "hybrid_rrf_search",
     "llm_curation_flags",
     "q17_small_quantity",
+    "q7_nation_volume",
+    "text_dup_spans",
+    "llm_stupid_backoff",
+    "events_transition_matrix",
 ]
 
 
