@@ -39,6 +39,8 @@ __all__ = [
     "time_bucket",
     "hopping_windows",
     "rollup_gapfill",
+    "truncated_ema",
+    "ema_weights",
 ]
 
 
@@ -310,3 +312,56 @@ def rollup_gapfill(
                 c, F.when(F.col(c).isNotNull(), F.col(c)).otherwise(interp)
             )
     return full
+
+
+def ema_weights(alpha: float = 0.5, k: int = 8, quant: int = 2**20) -> list[int]:
+    """Integer EMA kernel: w_j = round(α·(1-α)^j · quant) for j = 0..k-1.
+    Computed ONCE in Python and inlined as literals, so Spark and any SQL
+    oracle share the exact same integers — `pow` on doubles is not
+    correctly-rounded everywhere, so it must never run per-engine."""
+    return [round(alpha * (1 - alpha) ** j * quant) for j in range(k)]
+
+
+def truncated_ema(
+    df: DataFrame,
+    value_col: str,
+    *,
+    key_cols: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    alpha: float = 0.5,
+    k: int = 8,
+    vquant: int = 1000,
+) -> DataFrame:
+    """Truncated exponential moving average per key — the classic
+    time-series smoother, made distributed + engine-exact. True EMA is a
+    sequential recurrence (unbounded lookback → unexpressible without a
+    per-key scan); truncating the kernel at `k` terms keeps >1-(1-α)^k of
+    the mass (99.6% for α=.5, k=8) and becomes k LAG columns inside ONE
+    key-partitioned window — whole-stage codegen, one shuffle by key.
+
+    All arithmetic is integer: values floor-quantize to `vquant`, kernel
+    weights are Python-precomputed literals (`ema_weights`), and the
+    normalizer re-sums only the PRESENT terms so sequence heads (fewer
+    than k predecessors) renormalize instead of biasing toward zero.
+    Returns the input keys + ``(ts, id, value_q, ema_q)``.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, id_col)
+    weights = ema_weights(alpha, k)
+    vq = F.floor(F.col(value_col) * vquant).cast("long")
+    out = df.withColumn("value_q", vq)
+    num = None
+    den = None
+    for j, wj in enumerate(weights):
+        term = F.lag("value_q", j).over(w) if j else F.col("value_q")
+        contrib = F.when(term.isNotNull(), term * wj).otherwise(F.lit(0))
+        present = F.when(term.isNotNull(), F.lit(wj)).otherwise(F.lit(0))
+        num = contrib if num is None else num + contrib
+        den = present if den is None else den + present
+    return out.select(
+        *key_cols,
+        F.col(ts_col),
+        F.col(id_col),
+        "value_q",
+        F.floor(num / den).cast("long").alias("ema_q"),
+    )

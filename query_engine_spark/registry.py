@@ -3503,6 +3503,55 @@ def llm_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (operators/behavior.py) — product-analytics + graph-metric workhorses
 
 
+def _ema_oracle(alpha: float = 0.5, k: int = 8, vquant: int = 1000) -> str:
+    from query_engine_spark.operators.temporal import ema_weights
+
+    ws = ema_weights(alpha, k)
+    num = " + ".join(
+        f"coalesce(lag(value_q, {j}) OVER w * {w}, 0)" if j else f"value_q * {w}"
+        for j, w in enumerate(ws)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value_q, {j}) OVER w IS NOT NULL THEN {w} ELSE 0 END"
+        if j
+        else f"{w}"
+        for j, w in enumerate(ws)
+    )
+    return f"""
+    WITH v AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * {vquant}) AS BIGINT) AS value_q
+      FROM events)
+    SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+           value_q,
+           CAST(floor(CAST({num} AS DOUBLE) / ({den})) AS BIGINT) AS ema_q
+    FROM v
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """
+
+
+@_register(
+    "events_ema",
+    _ema_oracle(),
+    "truncated exponential moving average per event type: the sequential "
+    "EMA recurrence cut to an 8-term kernel (99.6% mass) = 8 LAG columns "
+    "in ONE key-partitioned codegen window; kernel weights are "
+    "Python-precomputed integer literals shared with the oracle (pow is "
+    "not correctly-rounded across engines) "
+    "(operators/temporal.py truncated_ema)",
+)
+def events_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = T.truncated_ema(ev, "value", key_cols=("event_type",))
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        "value_q",
+        "ema_q",
+    )
+
+
 @_register(
     "events_transition_matrix",
     """

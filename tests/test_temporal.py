@@ -459,3 +459,27 @@ def test_group_quantiles_bucketed_vs_exact(spark):
                 Sk.group_quantiles_bucketed(df, ["g"], "value", (0.25, 0.5, 0.9), bucket_width=1).collect()}
     for g in exact:
         assert bucketed[g] == tuple(int(v) for v in exact[g]), (g, exact[g], bucketed[g])
+
+
+def test_truncated_ema_handcrafted(spark):
+    import datetime as dt
+    from query_engine_spark.operators.temporal import truncated_ema, ema_weights
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(minutes=i), "a", 10.0) for i in range(4)]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    got = {r.event_id: r.ema_q for r in
+           truncated_ema(ev, "value", key_cols=("event_type",)).collect()}
+    # constant series: EMA == the value at every position (head renormalizes)
+    assert all(v == 10_000 for v in got.values()), got
+    # kernel sanity: weights are the alpha-geometric sequence, integer, shared literals
+    ws = ema_weights(0.5, 8)
+    assert ws[0] == 2**19 and ws[1] == 2**18 and len(ws) == 8
+    # step series: second point of [0, 10] -> (w0*10000 + w1*0) / (w0+w1)
+    ev2 = spark.createDataFrame(
+        [(0, t0, "a", 0.0), (1, t0 + dt.timedelta(minutes=1), "a", 10.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    got2 = {r.event_id: r.ema_q for r in
+            truncated_ema(ev2, "value", key_cols=("event_type",)).collect()}
+    assert got2[0] == 0 and got2[1] == (ws[0] * 10_000) // (ws[0] + ws[1])
