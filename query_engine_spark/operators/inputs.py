@@ -34,8 +34,15 @@ __all__ = [
 ]
 
 
-def window_pred(now: _dt.datetime, seconds: int, ts: str = "ts") -> Column:
-    """ts >= now - seconds (main.rs:1417-1424 cutoff-TID range)."""
+def window_pred(now: _dt.datetime | Column, seconds: int, ts: str = "ts") -> Column:
+    """ts >= now - seconds (main.rs:1417-1424 cutoff-TID range).
+
+    `now` may be a Column (e.g. a broadcast-scalar "data max" column attached
+    by PipelineContext) so the cutoff stays in-plan — no driver round-trip.
+    A datetime `now` folds to a literal, which parquet min/max skipping and
+    partition pruning can use directly."""
+    if isinstance(now, Column):
+        return F.col(ts) >= now - F.expr(f"INTERVAL {int(seconds)} SECOND")
     cutoff = now - _dt.timedelta(seconds=seconds)
     return F.col(ts) >= F.lit(cutoff)
 

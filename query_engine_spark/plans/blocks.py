@@ -70,6 +70,10 @@ FINAL_LIMIT = 500  # main.rs:2510-2512
 # sort→limit fusion / final limit) → cheap single-task stamp
 _ORD_HIDDEN = "__qe_o"
 
+# hidden broadcast-scalar "now" column for the in-plan now mode (now=None):
+# attached to posts once via crossJoin(broadcast(agg)), dropped on output
+NOW_COL = "__qe_now"
+
 
 @dataclass
 class PipelineContext:
@@ -84,7 +88,12 @@ class PipelineContext:
     # precomputed mutual-affinity ("moots") edges
     communities: DataFrame | None = None  # (community, user_key)
     moots: DataFrame | None = None  # (src_key, dst_key, weight)
-    now: _dt.datetime = field(default_factory=lambda: _dt.datetime.now(_dt.timezone.utc))
+    # now=None → "in-plan now": every window cutoff / age computation reads a
+    # hidden broadcast-scalar column pinned to max(posts.ts) — zero driver
+    # round-trips (deterministic fixtures). A datetime pins it explicitly
+    # (production: the serving layer passes request time), which folds to a
+    # literal that parquet min/max skipping can push down.
+    now: _dt.datetime | None = field(default_factory=lambda: _dt.datetime.now(_dt.timezone.utc))
     random_seed: int | None = None
     # opt-in for the sandboxed pandas-UDF script tier (scripting.py): scripts
     # beyond the SQL grammar (reassignment, while, return) run interpreted
