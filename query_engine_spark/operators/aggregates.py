@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import datetime as _dt
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "trending_tags",
@@ -25,7 +25,7 @@ __all__ = [
 
 def trending_tags(
     posts: DataFrame,
-    now: _dt.datetime,
+    now: _dt.datetime | Column | None,
     minutes: int = 600,
     *,
     tags_col: str = "tags",
@@ -40,10 +40,21 @@ def trending_tags(
 
     One explode + two-level agg; the variation argmax is `max_by` over the
     per-(tag, spelling) counts — no driver-side loops.
+
+    `now=None` pins the window to max(ts) IN-PLAN via a broadcast one-row
+    crossJoin (the SC5 broadcast-scalar pattern) — no driver round-trip. A
+    datetime `now` (serving: the request time) folds to a literal the parquet
+    reader can min/max-skip on.
     """
-    cutoff = now - _dt.timedelta(minutes=minutes)
+    if now is None:
+        posts = posts.crossJoin(F.broadcast(posts.agg(F.max(ts).alias("__now"))))
+        now = F.col("__now")
+    if isinstance(now, Column):
+        window = F.col(ts) >= now - F.expr(f"INTERVAL {int(minutes)} MINUTE")
+    else:
+        window = F.col(ts) >= F.lit(now - _dt.timedelta(minutes=minutes))
     exploded = (
-        posts.filter(F.col(ts) >= F.lit(cutoff))
+        posts.filter(window)
         .select(F.explode(F.coalesce(F.col(tags_col), F.array())).alias("name"))
         .withColumn("tag", F.lower(F.col("name")))
     )

@@ -369,25 +369,36 @@ def translate_pipeline(blocks: list[dict[str, Any]], ctx: PipelineContext) -> Da
         raise PipelineError(f"Too many regex blocks ({n_regex} > {MAX_REGEX_BLOCKS})")
 
     posts = ctx.posts
+    if ctx.now is None:
+        # in-plan "now": one hidden broadcast-scalar column pinned to
+        # max(posts.ts) — the SC5 broadcast-scalar crossJoin pattern. Every
+        # window cutoff / age expression below reads the column; zero extra
+        # Spark jobs, zero driver round-trips.
+        posts = posts.crossJoin(F.broadcast(posts.agg(F.max("ts").alias(NOW_COL))))
+        now_arg: _dt.datetime | Column = F.col(NOW_COL)
+        now_epoch_expr = f"unix_seconds({NOW_COL})"
+        now_us: Column = F.unix_micros(F.col(NOW_COL))
+    else:
+        now_arg = ctx.now
+        now_epoch_expr = str(int(ctx.now.timestamp()))
+        now_us = F.lit(int(round(ctx.now.timestamp() * 1_000_000)))
     ws = _WorkingSet(posts)
     stash: dict[str, list[_Segment]] = {}
     scores = _ScoreState(ctx.spark)
     seq = 1
     prepend_seq = -1
-    now_epoch = int(ctx.now.timestamp())
-    now_us = int(round(ctx.now.timestamp() * 1_000_000))
 
     i = -1
     for block in blocks:
         i += 1
         b_type = block.get("type")
         if b_type == "input":
-            seq, prepend_seq = _input_block(block, ctx, ws, posts, scores, seq, prepend_seq)
+            seq, prepend_seq = _input_block(block, ctx, ws, posts, scores, seq, prepend_seq, now_arg)
         elif b_type in ("keep", "remove", "regex"):
-            _filter_block(block, ctx, ws, scores, now_epoch, seq)
+            _filter_block(block, ctx, ws, scores, now_epoch_expr, seq)
             seq += 1
         elif b_type == "score":
-            _score_block(block, ctx, ws, scores, now_epoch, now_us)
+            _score_block(block, ctx, ws, scores, now_epoch_expr, now_us)
         elif b_type == "sort":
             # peephole: sort immediately followed by a plain limit fuses into
             # TakeOrderedAndProject (partial per-partition top-N) instead of a
@@ -396,7 +407,7 @@ def translate_pipeline(blocks: list[dict[str, Any]], ctx: PipelineContext) -> Da
             fuse_n = None
             if nxt and nxt.get("type") == "limit" and nxt.get("limitType") != "posts_per_user":
                 fuse_n = int(nxt.get("count", 100))
-            _sort_block(block, ctx, ws, scores, seq, fuse_n=fuse_n)
+            _sort_block(block, ctx, ws, scores, seq, now_us, fuse_n=fuse_n)
             seq += 1
         elif b_type == "limit":
             if block.get("limitType") != "posts_per_user" and i > 0 and blocks[i - 1].get("type") == "sort":
@@ -445,7 +456,7 @@ def translate_pipeline(blocks: list[dict[str, Any]], ctx: PipelineContext) -> Da
 
     out = ws.limited(FINAL_LIMIT)
     out = scores.join_onto(out)
-    return out.orderBy(ORD)
+    return out.drop(NOW_COL).orderBy(ORD)
 
 
 def _reseq(s: _Segment, seq: int) -> _Segment:
@@ -457,18 +468,18 @@ def _reseq(s: _Segment, seq: int) -> _Segment:
     return _dc_replace(s, seq=seq)
 
 
-def _input_block(block, ctx, ws, posts, scores, seq, prepend_seq):
+def _input_block(block, ctx, ws, posts, scores, seq, prepend_seq, now_arg):
     input_type = block.get("inputType", "firehose")
     order: list[tuple[Column, bool]] = [(F.col("id"), True)]
     bounded = False
     if input_type == "firehose":
-        new = In.input_firehose(posts, ctx.now, _seconds(block, "firehoseSeconds", 86400))
+        new = In.input_firehose(posts, now_arg, _seconds(block, "firehoseSeconds", 86400))
     elif input_type == "list":
-        new = In.input_list(posts, ctx.resolve_list(block), ctx.now, _seconds(block, "historySeconds", 604800))
+        new = In.input_list(posts, ctx.resolve_list(block), now_arg, _seconds(block, "historySeconds", 604800))
     elif input_type == "tags":
-        new = In.input_tags(posts, list(block.get("tags", [])), ctx.now, _seconds(block, "historySeconds", 604800))
+        new = In.input_tags(posts, list(block.get("tags", [])), now_arg, _seconds(block, "historySeconds", 604800))
     elif input_type == "labels":
-        new = In.input_labels(posts, list(block.get("labels", [])), ctx.now, _seconds(block, "historySeconds", 604800))
+        new = In.input_labels(posts, list(block.get("labels", [])), now_arg, _seconds(block, "historySeconds", 604800))
     elif input_type == "did":
         new = In.input_did(
             posts,
@@ -508,7 +519,7 @@ def _input_block(block, ctx, ws, posts, scores, seq, prepend_seq):
         )
         seconds = _seconds(block, "historySeconds", 604800)
         if seconds < 604800:
-            new = new.filter(In.window_pred(ctx.now, seconds))
+            new = new.filter(In.window_pred(now_arg, seconds))
         scores.add(_normalized_batch(new.select("key", "__batch_score"), block))
         # S9 REPLACES the working set, sorted by batch score desc (main.rs:1500-1510)
         seg = _make_segment(new, [(F.col("__batch_score"), False), (F.col("key"), False)], seq)
@@ -526,7 +537,7 @@ def _input_block(block, ctx, ws, posts, scores, seq, prepend_seq):
         )
         seconds = _seconds(block, "historySeconds", 604800)
         if seconds < 604800:
-            new = new.filter(In.window_pred(ctx.now, seconds))
+            new = new.filter(In.window_pred(now_arg, seconds))
         scores.add(_normalized_batch(new.select("key", "__batch_score"), block))
         seg = _make_segment(new, [(F.col("__batch_score"), False), (F.col("key"), False)], seq)
         ws.replace_all(_dc_replace(seg, df=seg.df.drop("__batch_score")))
@@ -577,7 +588,7 @@ def _archived_children_pred(children):
     return pred
 
 
-def _filter_block(block, ctx, ws, scores, now_epoch, seq):
+def _filter_block(block, ctx, ws, scores, now_epoch_expr, seq):
     b_type = block["type"]
     if b_type == "regex":
         pred = Fi.regex_match(
@@ -666,7 +677,7 @@ def _filter_block(block, ctx, ws, scores, now_epoch, seq):
     if subject == "where":
         pred = translate_script(
             block["value"],
-            now_epoch_expr=str(now_epoch),
+            now_epoch_expr=now_epoch_expr,
             allow_udf=ctx.allow_udf_scripts,
             boolean=True,
         )
@@ -678,13 +689,13 @@ def _filter_block(block, ctx, ws, scores, now_epoch, seq):
     raise PipelineError(f"unknown filter subject {subject!r}")
 
 
-def _score_block(block, ctx, ws, scores, now_epoch, now_us):
+def _score_block(block, ctx, ws, scores, now_epoch_expr, now_us):
     if block.get("scoreType", "add") != "add":
         raise PipelineError("only scoreType=add exists (main.rs:2151-2162)")
     cur = ws.data()
     if "value" in block:
         col = translate_script(
-            block["value"], now_epoch_expr=str(now_epoch), allow_udf=ctx.allow_udf_scripts
+            block["value"], now_epoch_expr=now_epoch_expr, allow_udf=ctx.allow_udf_scripts
         ).cast("double")
         batch = scores.join_onto(cur).withColumn("__batch_score", col)
     else:
@@ -697,7 +708,7 @@ def _score_block(block, ctx, ws, scores, now_epoch, now_us):
             batch = cur.withColumn("__batch_score", F.col("reply_count").cast("double"))
         elif from_ == "hn":
             gravity = float(block.get("gravity", "1.8"))
-            age_us = F.lit(now_us) - F.unix_micros(F.col("ts"))
+            age_us = now_us - F.unix_micros(F.col("ts"))
             batch = cur.withColumn("__batch_score", Sc.hn_score_from_micros(F.col("like_count"), age_us, gravity))
         elif from_ == "created_at":
             # main.rs:2201-2208: score = epoch millis / 1000 (integer division)
@@ -707,7 +718,7 @@ def _score_block(block, ctx, ws, scores, now_epoch, now_us):
     scores.add(_normalized_batch(batch.select("key", "__batch_score"), block))
 
 
-def _sort_block(block, ctx, ws, scores, seq, fuse_n=None):
+def _sort_block(block, ctx, ws, scores, seq, now_us, fuse_n=None):
     """A sort discards ALL pending (and stamped) order for free — the
     segments' data is unioned unordered and re-sorted. Tiebreak is `id`;
     rows sharing an id are clones of the same store row (the reference's
@@ -752,7 +763,7 @@ def _sort_block(block, ctx, ws, scores, seq, fuse_n=None):
         finish(cur, [F.col("ts").asc() if asc else F.col("ts").desc()])
     elif sort_type == "hn":
         gravity = float(block.get("gravity", "1.8"))
-        age_us = F.lit(int(round(ctx.now.timestamp() * 1_000_000))) - F.unix_micros(F.col("ts"))
+        age_us = now_us - F.unix_micros(F.col("ts"))
         s = Sc.hn_score_from_micros(F.col("like_count"), age_us, gravity)
         cur = cur.withColumn("__hn", s)
         finish(cur, [F.col("__hn").asc() if asc else F.col("__hn").desc()], extra_drop=("__hn",))

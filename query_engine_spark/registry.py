@@ -745,10 +745,9 @@ def o5_sort_score_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_engine_spark.plans.blocks import PipelineContext, translate_pipeline
 
     posts = posts_view(spark, sf_dir)
-    now = posts.agg(F.max("ts")).collect()[0][0]
-    if now is not None and now.tzinfo is None:
-        now = now.replace(tzinfo=_dt.timezone.utc)
-    ctx = PipelineContext(spark=spark, posts=posts, now=now)
+    # now=None → in-plan "now" pinned to max(ts) via broadcast scalar: the
+    # whole query is ONE Spark job, no driver round-trip (VERDICT r3 #4)
+    ctx = PipelineContext(spark=spark, posts=posts, now=None)
     blocks = [
         {"type": "input", "inputType": "firehose"},  # window twice → duplicates
         {"type": "input", "inputType": "firehose"},
@@ -1058,19 +1057,15 @@ def a1_trending_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "A1 getTrendingTags complete semantics: trailing window + variation argmax + threshold + top-100 (main.rs:626-688)",
 )
 def a1_trending_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import datetime as dt
-
     ev = load_table(spark, sf_dir, "events")
-    now = ev.agg(F.max("ts")).collect()[0][0]
-    if now.tzinfo is None:
-        now = now.replace(tzinfo=dt.timezone.utc)
     tagged = ev.select(
         "ts",
         F.array(
             F.when(F.col("event_id") % 2 == 0, F.upper("event_type")).otherwise(F.col("event_type"))
         ).alias("tags"),
     )
-    return A.trending_tags(tagged, now, minutes=600, min_count=2, top=100)
+    # now=None → the trailing window pins to max(ts) in-plan (broadcast scalar)
+    return A.trending_tags(tagged, None, minutes=600, min_count=2, top=100)
 
 
 @_register(
@@ -2455,10 +2450,9 @@ def pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_engine_spark.plans.blocks import PipelineContext, translate_pipeline
 
     posts = posts_view(spark, sf_dir)
-    now = posts.agg(F.max("ts")).collect()[0][0]
-    if now is not None and now.tzinfo is None:
-        now = now.replace(tzinfo=_dt.timezone.utc)
-    ctx = PipelineContext(spark=spark, posts=posts, now=now)
+    # now=None → in-plan "now" pinned to max(ts) via broadcast scalar: the
+    # whole query is ONE Spark job, no driver round-trip (VERDICT r3 #4)
+    ctx = PipelineContext(spark=spark, posts=posts, now=None)
     blocks = [
         {"type": "input", "inputType": "firehose", "firehoseSeconds": 7 * 86400},
         {"type": "keep", "subject": "where", "value": "likeCount >= 50"},

@@ -3,11 +3,14 @@
 Tables: region nation customer supplier part orders lineitem events documents
 embeddings — one parquet each under ``/root/testdata/sf{0.001,0.01,0.1}/``.
 
-``events.parquet`` stores TIMESTAMP(NANOS), which Spark 4's parquet reader
-rejects unless ``spark.sql.legacy.parquet.nanosAsLong=true``; the loader sets
-that conf at runtime (it is a runtime SQL conf) and converts the long-nanos
-column back to a native microsecond timestamp, which is exactly what DuckDB's
-``CAST(ts AS TIMESTAMP)`` yields — keeping the oracle comparison honest.
+``events.parquet`` has stored TIMESTAMP(NANOS) in some generations (which
+Spark 4's parquet reader rejects unless
+``spark.sql.legacy.parquet.nanosAsLong=true``; the loader sets that conf at
+runtime) and plain TIMESTAMP(MICROS) in others. The loader is type-driven: a
+long ``ts`` is nanos → converted by integer `div` to a native microsecond
+timestamp — exactly what DuckDB's ``CAST(ts AS TIMESTAMP)`` yields — and a
+native timestamp passes through, keeping the oracle comparison honest either
+way.
 
 At 100 TB these would be date-partitioned parquet/Delta tables; the loaders
 keep the read declarative (`spark.read.parquet`) so partition pruning, filter
@@ -63,7 +66,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.dataType.typeName() == "timestamp_ntz":
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
-    if name == "events":
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # long nanos (see module docstring) → native micros timestamp.
         # Integer `div`, NOT float division: a double can't represent ns
         # epochs exactly (53-bit mantissa vs ~1.7e18) and rounds the last µs.
