@@ -539,7 +539,8 @@ def rrf_fuse(
 def semdedup(
     embeddings: DataFrame,
     *,
-    k: int = 8,
+    k: int | None = None,
+    target_cluster_size: int = 200,
     iters: int = 2,
     tau: float = 0.35,
     quant: int = 1000,
@@ -560,10 +561,22 @@ def semdedup(
     by raising k or pre-splitting hot cells (same salt-cap device as
     dedup.py's LSH `max_bucket`).
 
+    k defaults to the paper's growth law, not a constant: `k=None` →
+    ``k = max(8, n // target_cluster_size)`` from one cheap count
+    aggregate (kmeans init takes the k lowest-id vectors via `.limit(k)`,
+    so k must be a driver-side int — a count agg, never a data collect).
+    Expected pair work is then Σ|cluster|² ≈ n·target_cluster_size:
+    LINEAR in n at any scale. A fixed k that was right at 1× re-creates
+    quadratic clusters at 100× — pass explicit k only for pinned
+    fixtures/tests.
+
     Determinism: cluster assignment comes from `kmeans_lloyd` on the
     integer-quantized grid; the tau comparison uses round(cosine, 6) of
     exact-integer dot products, so membership can't drift across engines.
     """
+    if k is None:
+        n = embeddings.count()
+        k = max(8, n // target_cluster_size)
     assigned = kmeans_lloyd(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col, quant=quant
     )

@@ -904,6 +904,7 @@ def tfidf_pairs(
     max_df_frac: float = 0.1,
     min_cos: float = 0.2,
     quant: int = 1000,
+    max_pairs: int | None = 10_000_000,
 ) -> DataFrame:
     """All-pairs TF-IDF cosine similarity over an inverted index:
     ``(doc_a, doc_b, cosine)`` for every document pair with cosine ≥
@@ -926,6 +927,16 @@ def tfidf_pairs(
     key. With `quant`=1000, weights stay < ~10⁶ and a million-term
     document's norm² < 10¹⁸ — inside int64; raise `quant` only with
     shorter docs.
+
+    Pair-explosion guard: the FRACTIONAL cap has a growth-law hazard —
+    if vocabulary doesn't track corpus growth, `0.1·N` admits hub terms
+    whose postings square. `max_pairs` bounds the candidate-pair upper
+    bound Σ df·(df−1)/2 over the surviving vocabulary with an IN-PLAN
+    `assert_true`: the mass scalar is a vocab-sized aggregate broadcast
+    onto the term table, so the assertion fires while the broadcast side
+    of the posting join is being built — i.e. the job fails LOUDLY
+    *before* the quadratic term-keyed shuffle is ever emitted, naming
+    the bound and the fix. `max_pairs=None` disables (trusted caps).
     """
     toks = _tokens(F.col(text_col))
     base = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t")).filter(
@@ -945,6 +956,28 @@ def tfidf_pairs(
         .filter((F.col("df") >= 2) & (F.col("df") <= cap))
         .select("t", "df")
     )
+    if max_pairs is not None:
+        # candidate-pair upper bound Σ df·(df−1)/2 over the surviving vocab —
+        # a vocab-sized agg, broadcast as a one-row scalar. assert_true lives
+        # in a FILTER (not a dropped column, which Catalyst would prune), so
+        # it evaluates while the dfreq broadcast is built — before the
+        # term-keyed pair shuffle exists.
+        mass = dfreq.agg(
+            F.sum(F.col("df").cast("double") * (F.col("df") - 1) / 2).alias("__mass")
+        )
+        guard = F.assert_true(
+            F.coalesce(F.col("__mass"), F.lit(0.0)) <= F.lit(float(max_pairs)),
+            F.format_string(
+                "tfidf_pairs: candidate-pair upper bound %.0f exceeds "
+                "max_pairs=%d — the df cap does not bound the term join for "
+                "this corpus/vocabulary (hub terms survived). Pass an "
+                "absolute max_df sized to the corpus, lower max_df_frac, or "
+                "raise max_pairs explicitly.",
+                F.col("__mass"),
+                F.lit(max_pairs),
+            ),
+        )
+        dfreq = dfreq.crossJoin(F.broadcast(mass)).filter(guard.isNull()).drop("__mass")
     w = (
         tf.join(F.broadcast(dfreq), "t")
         .crossJoin(F.broadcast(n_docs))

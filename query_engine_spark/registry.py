@@ -2468,21 +2468,54 @@ def pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("ord", "id", F.round("score", 6).alias("score"))
 
 
-# rows-only (no SQL oracle): multimodal plumbing via mapInPandas
 @_register(
-    None if False else "multimodal_features",
-    None,
-    "multimodal: binary payload + typed meta; Arrow-batched mapInPandas feature stub (rows-only check)",
+    "multimodal_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 4 + doc_id % 5 AS width, 3 + doc_id % 4 AS height
+      FROM documents WHERE doc_id < 64
+    )
+    SELECT m.media_id, CAST(m.width AS INT) AS width, CAST(m.height AS INT) AS height,
+           24 AS bpp,
+           CAST(SUM((m.media_id*31 + y.y*7 + x.x*3 + c.c) % 256) AS BIGINT) AS px_sum,
+           CAST(m.media_id*31 % 256 AS INT) AS top_left
+    FROM m, generate_series(0, 5) AS y(y), generate_series(0, 7) AS x(x),
+         generate_series(0, 2) AS c(c)
+    WHERE y.y < m.height AND x.x < m.width
+    GROUP BY m.media_id, m.width, m.height
+    """,
+    "multimodal REAL image decode, hash-verified: deterministic 24-bpp BMP "
+    "payloads are PACKED distributed (mapInPandas over documents ids), then "
+    "DECODED distributed by a pure-Python BMP parser (header fields, "
+    "bottom-up rows, 4-byte stride padding) in a second Arrow mapInPandas "
+    "stage; the oracle predicts every decoded feature with integer "
+    "arithmetic, so a parser that misreads offsets/stride/row-order fails "
+    "the hash (llmdata/multimodal.py make_bmp/decode_bmp/bmp_features; "
+    "VERDICT r3 #6 — upgraded from rows-only)",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as _pd
+
     from query_engine_spark.llmdata import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "utf-8").alias("payload")
-    )
-    media = MM.attach_media_meta(media, media_type="text/plain")
-    return MM.image_features(media, fake=True).select("media_id", "n_bytes", F.round("byte_mean", 6).alias("byte_mean"))
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+
+    def pack(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        MM.make_bmp(int(i), 4 + int(i) % 5, 3 + int(i) % 4)
+                        for i in pdf["media_id"]
+                    ],
+                }
+            )
+
+    media = ids.mapInPandas(pack, "media_id long, payload binary")
+    media = MM.attach_media_meta(media, media_type="image/bmp")
+    return MM.bmp_features(media)
 
 
 @_register(

@@ -242,6 +242,42 @@ def test_multimodal_plumbing(spark):
     assert bytes(by_media[1][0]["frame_bytes"]) == (b"hello world" * 100)[:256]
 
 
+def test_bmp_decode_real(spark):
+    """decode_bmp is a REAL parser: roundtrips make_bmp (incl. stride
+    padding and bottom-up rows), matches an independent feature
+    computation, and rejects non-BMP bytes."""
+    import pytest
+
+    # widths 4..8 cover stride padding 0..3; heights 3..6
+    for mid, w, h in [(0, 4, 3), (7, 5, 6), (9, 7, 4), (13, 8, 5)]:
+        blob = MM.make_bmp(mid, w, h)
+        gw, gh, bpp, px_sum, top_left = MM.decode_bmp(blob)
+        want_sum = sum(
+            (mid * 31 + y * 7 + x * 3 + c) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        assert (gw, gh, bpp) == (w, h, 24)
+        assert px_sum == want_sum
+        assert top_left == mid * 31 % 256
+        # file size: headers + stride*height exactly
+        assert len(blob) == 54 + ((w * 3 + 3) & ~3) * h
+
+    with pytest.raises(ValueError):
+        MM.decode_bmp(b"PNG not a bmp")
+
+    # distributed: pack driver-side, decode via Arrow mapInPandas
+    media = spark.createDataFrame(
+        [(i, MM.make_bmp(i, 4 + i % 5, 3 + i % 4)) for i in range(12)],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in MM.bmp_features(media).collect()}
+    assert len(out) == 12
+    assert out[3]["width"] == 7 and out[3]["height"] == 6
+    assert out[3]["top_left"] == 93
+
+
 def test_media_repartition_is_in_plan(spark):
     # byte-based partition sizing must be the AQE REBALANCE hint (runtime
     # shuffle-stat sizing), not a driver-side byte-count collect
@@ -298,6 +334,41 @@ def test_tfidf_pairs_matches_bruteforce(spark):
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
     assert abs(got[(1, 2)] - 1.0) < 1e-12  # exact duplicates (to float ulp)
+
+
+def test_tfidf_pairs_explosion_guard(spark):
+    """A hub-term corpus with a mis-chosen fractional cap fails LOUDLY
+    (in-plan assert during broadcast build) instead of emitting the
+    quadratic term-keyed shuffle; a sane max_pairs passes unchanged."""
+    import pytest
+
+    # 59 of 60 docs share 3 hub terms (df=59, idf>0) -> frac cap 1.0 admits
+    # them; candidate-pair bound 3*C(59,2) = 5133 >> max_pairs=100
+    docs = [(i, f"hub common shared unique{i}") for i in range(59)]
+    docs.append((59, "different words entirely"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bad = Tx.tfidf_pairs(df, max_df_frac=1.0, min_cos=0.01, max_pairs=100)
+    with pytest.raises(Exception, match="max_pairs"):
+        bad.collect()
+    # same corpus, honest bound -> identical results to guard-off
+    ok = Tx.tfidf_pairs(df, max_df_frac=1.0, min_cos=0.01, max_pairs=10_000)
+    off = Tx.tfidf_pairs(df, max_df_frac=1.0, min_cos=0.01, max_pairs=None)
+    assert sorted(map(tuple, ok.collect())) == sorted(map(tuple, off.collect()))
+    assert ok.count() == 59 * 58 // 2  # identical hub vectors pair up fully
+
+
+def test_semdedup_auto_k(spark):
+    """k=None derives k from the corpus size (growth law k ~ n/target):
+    same flags as the equivalent explicit k, so the default scales
+    linearly without changing semantics."""
+    rows = [(i, [float(i % 7), 1.0, float((i * 3) % 5)]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    auto = Sim.semdedup(emb, target_cluster_size=8, iters=1, tau=0.9)
+    explicit = Sim.semdedup(emb, k=8, iters=1, tau=0.9)  # 64 // 8 = 8
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, explicit.collect()))
+    # floor at 8 when the corpus is tiny
+    tiny = spark.createDataFrame(rows[:10], "vec_id long, embedding array<float>")
+    assert Sim.semdedup(tiny, target_cluster_size=1000, iters=1).count() == 10
 
 
 def test_weighted_sample_determinism_and_bias(spark):
