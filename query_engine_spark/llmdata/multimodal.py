@@ -34,6 +34,9 @@ __all__ = [
     "make_bmp",
     "decode_bmp",
     "bmp_features",
+    "make_wav",
+    "decode_wav",
+    "wav_features",
 ]
 
 MEDIA_META_TYPE = T.StructType(
@@ -175,9 +178,18 @@ def decode_bmp(blob: bytes) -> tuple[int, int, int, int, int]:
     (off,) = struct.unpack_from("<I", blob, 10)
     width, height = struct.unpack_from("<ii", blob, 18)
     (bpp,) = struct.unpack_from("<H", blob, 28)
+    (compression,) = struct.unpack_from("<I", blob, 30)
     if bpp != 24 or height <= 0:
         raise NotImplementedError("only 24-bpp bottom-up BMP supported")
+    if compression != 0:
+        raise NotImplementedError("only uncompressed (BI_RGB) BMP supported")
+    if width <= 0:
+        raise ValueError(f"invalid BMP width {width}")
     stride = (width * 3 + 3) & ~3
+    if len(blob) < off + stride * height:
+        raise ValueError(
+            f"truncated BMP: need {off + stride * height} bytes, have {len(blob)}"
+        )
     px_sum = 0
     for stored_row in range(height):
         row = blob[off + stored_row * stride : off + stored_row * stride + width * 3]
@@ -219,6 +231,129 @@ def bmp_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(run, _BMP_SCHEMA)
+
+
+# --- real WAV/PCM decode (same no-codec-needed reasoning as BMP: RIFF is
+# chunked headers + raw little-endian samples) -------------------------------
+
+
+def make_wav(media_id: int, n_samples: int, sample_rate: int = 8000) -> bytes:
+    """Pack a deterministic RIFF/WAVE 16-bit mono PCM payload.
+
+    Sample i is ``((media_id*131 + i*17) % 65536) - 32768`` — a pure
+    function of (media_id, position), so an oracle predicts every decoded
+    feature by integer arithmetic. A JUNK chunk is inserted between the
+    fmt and data chunks on purpose: a decoder that assumes samples start
+    at byte 44 (instead of walking chunks) reads garbage and fails the
+    oracle hash.
+    """
+    import struct
+
+    data = b"".join(
+        struct.pack("<h", ((media_id * 131 + i * 17) % 65536) - 32768)
+        for i in range(n_samples)
+    )
+    block_align = 2  # mono * 16-bit
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * block_align, block_align, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"JUNK" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, int, int, int, int]:
+    """Parse RIFF/WAVE 16-bit mono PCM →
+    (sample_rate, n_samples, duration_ms, amp_sum, peak, first_sample).
+
+    A real chunk walker: iterates chunks (word-aligned, per the RIFF spec)
+    until it has seen `fmt ` and `data`, validating magic, declared sizes
+    against the actual byte count, PCM format tag, and fmt-field
+    consistency (block_align, byte_rate). `amp_sum`/`peak`/`first_sample`
+    are over SIGNED sample values, so an unsigned misread fails the oracle.
+    """
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_size,) = struct.unpack_from("<I", blob, 4)
+    if 8 + riff_size > len(blob):
+        raise ValueError(f"truncated RIFF: declares {8 + riff_size} bytes, have {len(blob)}")
+    end = 8 + riff_size
+    fmt_body = data_body = None
+    pos = 12
+    while pos + 8 <= end:
+        cid = blob[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", blob, pos + 4)
+        body = blob[pos + 8 : pos + 8 + csize]
+        if len(body) < csize:
+            raise ValueError(f"truncated chunk {cid!r}: declares {csize} bytes")
+        if cid == b"fmt ":
+            fmt_body = body
+        elif cid == b"data":
+            data_body = body
+        pos += 8 + csize + (csize & 1)  # chunks are 2-byte aligned
+    if fmt_body is None or data_body is None:
+        raise ValueError("missing fmt / data chunk")
+    if len(fmt_body) < 16:
+        raise ValueError("fmt chunk too short")
+    audio_format, channels, rate, byte_rate, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt_body, 0
+    )
+    if audio_format != 1 or bits != 16 or channels != 1:
+        raise NotImplementedError("only 16-bit mono PCM (format tag 1) supported")
+    if rate <= 0 or block_align != 2 or byte_rate != rate * block_align:
+        raise ValueError("inconsistent fmt fields")
+    n = len(data_body) // 2
+    samples = struct.unpack(f"<{n}h", data_body[: n * 2]) if n else ()
+    amp_sum = sum(samples)
+    peak = max(samples) if samples else 0
+    first = samples[0] if samples else 0
+    return rate, n, n * 1000 // rate, amp_sum, peak, first
+
+
+_WAV_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, duration_ms long, "
+    "amp_sum long, peak int, first_sample int"
+)
+
+
+def wav_features(df: DataFrame) -> DataFrame:
+    """REAL audio decode: distributed WAV parsing via Arrow mapInPandas.
+
+    Same map-only plan shape as `bmp_features` (no shuffle; pair with
+    `media_repartition` for byte-bounded batches) — the features come from
+    decoded PCM samples, hash-verified against a DuckDB oracle in the
+    registry (`multimodal_audio`). Compressed audio (MP3/AAC/Opus) stays
+    an env-boundary stub: it needs a codec library this container lacks.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                rate, n, dur, amp_sum, peak, first = decode_wav(bytes(blob))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": rate,
+                        "n_samples": n,
+                        "duration_ms": dur,
+                        "amp_sum": amp_sum,
+                        "peak": peak,
+                        "first_sample": first,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "duration_ms",
+                    "amp_sum", "peak", "first_sample",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _WAV_SCHEMA)
 
 
 _FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes binary"

@@ -2519,6 +2519,59 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_audio",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             8000 + (doc_id % 4) * 4000 AS rate,
+             600 + (doc_id % 7) * 100 AS n
+      FROM documents WHERE doc_id < 64
+    )
+    SELECT m.media_id,
+           CAST(m.rate AS INT) AS sample_rate,
+           CAST(m.n AS BIGINT) AS n_samples,
+           CAST(m.n * 1000 // m.rate AS BIGINT) AS duration_ms,
+           CAST(SUM(((m.media_id*131 + i.i*17) % 65536) - 32768) AS BIGINT) AS amp_sum,
+           CAST(MAX(((m.media_id*131 + i.i*17) % 65536) - 32768) AS INT) AS peak,
+           CAST(((m.media_id*131) % 65536) - 32768 AS INT) AS first_sample
+    FROM m, generate_series(0, 1199) AS i(i)
+    WHERE i.i < m.n
+    GROUP BY m.media_id, m.rate, m.n
+    """,
+    "multimodal REAL audio decode, hash-verified: deterministic RIFF/WAVE "
+    "16-bit mono PCM payloads (with a JUNK chunk so offset-44 shortcuts "
+    "fail) are PACKED distributed, then DECODED distributed by a "
+    "pure-Python RIFF chunk walker + signed-sample arithmetic in Arrow "
+    "mapInPandas; the oracle predicts sample_rate/duration/amp_sum/peak by "
+    "integer arithmetic (llmdata/multimodal.py make_wav/decode_wav/"
+    "wav_features; VERDICT r4 #7 — audio modality parity with BMP)",
+)
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as _pd
+
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+
+    def pack(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        MM.make_wav(int(i), 600 + int(i) % 7 * 100, 8000 + int(i) % 4 * 4000)
+                        for i in pdf["media_id"]
+                    ],
+                }
+            )
+
+    media = ids.mapInPandas(pack, "media_id long, payload binary")
+    media = MM.attach_media_meta(media, media_type="audio/wav")
+    return MM.wav_features(media)
+
+
+@_register(
     "media_dedup",
     """
     SELECT media_id, fp, size_bytes FROM (

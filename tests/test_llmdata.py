@@ -278,6 +278,76 @@ def test_bmp_decode_real(spark):
     assert out[3]["top_left"] == 93
 
 
+def test_bmp_decode_validates_header(spark):
+    """ADVICE r4: decode_bmp must reject compressed/truncated/absurd headers
+    loudly instead of silently mis-summing pixels."""
+    import struct
+
+    import pytest
+
+    good = MM.make_bmp(5, 6, 4)
+    # compression field (offset 30) != 0 (BI_RGB)
+    bad_comp = bytearray(good)
+    struct.pack_into("<I", bad_comp, 30, 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        MM.decode_bmp(bytes(bad_comp))
+    # non-positive width
+    bad_w = bytearray(good)
+    struct.pack_into("<i", bad_w, 18, 0)
+    with pytest.raises(ValueError):
+        MM.decode_bmp(bytes(bad_w))
+    # truncated pixel data
+    with pytest.raises(ValueError):
+        MM.decode_bmp(good[:-5])
+
+
+def test_wav_decode_real(spark):
+    """decode_wav is a REAL parser: walks RIFF chunks (incl. the JUNK chunk
+    make_wav plants), matches an independent signed-sample computation, and
+    rejects malformed payloads."""
+    import struct
+
+    import pytest
+
+    for mid, n, rate in [(0, 600, 8000), (7, 900, 12000), (13, 1200, 20000)]:
+        blob = MM.make_wav(mid, n, rate)
+        grate, gn, dur, amp_sum, peak, first = MM.decode_wav(blob)
+        samples = [((mid * 131 + i * 17) % 65536) - 32768 for i in range(n)]
+        assert (grate, gn) == (rate, n)
+        assert dur == n * 1000 // rate
+        assert amp_sum == sum(samples)
+        assert peak == max(samples)
+        assert first == samples[0]
+        # exact file size: RIFF hdr 12 + fmt 24 + JUNK 12 + data hdr 8 + samples
+        assert len(blob) == 12 + 24 + 12 + 8 + 2 * n
+
+    with pytest.raises(ValueError):
+        MM.decode_wav(b"OggS not a wav")
+    with pytest.raises(ValueError):
+        MM.decode_wav(MM.make_wav(1, 100)[:-7])  # truncated data chunk
+    # non-PCM format tag
+    bad = bytearray(MM.make_wav(1, 100))
+    struct.pack_into("<H", bad, 20, 3)  # IEEE float
+    with pytest.raises(NotImplementedError):
+        MM.decode_wav(bytes(bad))
+    # inconsistent byte_rate
+    bad = bytearray(MM.make_wav(1, 100))
+    struct.pack_into("<I", bad, 28, 999)
+    with pytest.raises(ValueError):
+        MM.decode_wav(bytes(bad))
+
+    # distributed: pack driver-side, decode via Arrow mapInPandas
+    media = spark.createDataFrame(
+        [(i, MM.make_wav(i, 600 + i % 7 * 100, 8000 + i % 4 * 4000)) for i in range(12)],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in MM.wav_features(media).collect()}
+    assert len(out) == 12
+    assert out[3]["sample_rate"] == 20000 and out[3]["n_samples"] == 900
+    assert out[3]["duration_ms"] == 900 * 1000 // 20000
+    assert out[3]["first_sample"] == 3 * 131 - 32768
+
+
 def test_media_repartition_is_in_plan(spark):
     # byte-based partition sizing must be the AQE REBALANCE hint (runtime
     # shuffle-stat sizing), not a driver-side byte-count collect
