@@ -1,0 +1,97 @@
+"""Composed end-to-end streaming job: readStream → watermarked dedup →
+incremental windowed counts → checkpointed parquet sink, asserted equal to
+the batch answer — including across a mid-stream restart (VERDICT r4 #3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from query_engine_spark.streaming.compose import (
+    composed_batch_answer,
+    composed_ingest_result,
+    composed_ingest_start,
+)
+
+_SCHEMA = "id long, user_id long, event_type string, value double, ts timestamp"
+_BASE = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+
+def _ev(i: int, minute: float, etype: str, value: float):
+    return (i, i % 7, etype, value, _BASE + dt.timedelta(minutes=minute))
+
+
+def _batches(spark):
+    """Three micro-batch files with cross-file duplicate ids (the reference's
+    1000-row overlap re-fetch) plus a final flush sentinel past the horizon."""
+    b1 = [_ev(1, 0, "view", 1.0), _ev(2, 1, "view", 2.0), _ev(3, 2, "like", 1.0),
+          _ev(4, 6, "view", 4.0)]
+    # overlap: ids 3 and 4 re-fetched with identical payloads
+    b2 = [_ev(3, 2, "like", 1.0), _ev(4, 6, "view", 4.0), _ev(5, 7, "like", 3.0),
+          _ev(6, 11, "view", 1.0)]
+    b3 = [_ev(6, 11, "view", 1.0), _ev(7, 12, "like", 2.0), _ev(8, 16, "view", 5.0)]
+    # sentinel: advances the watermark past every real window's end + horizon
+    flush = [_ev(999, 24 * 60, "__flush__", 0.0)]
+    return [spark.createDataFrame(b, _SCHEMA) for b in (b1, b2, b3, flush)]
+
+
+def test_composed_job_matches_batch_across_restart(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    output_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batches = _batches(spark)
+
+    # phase 1: two files, then a hard stop (simulated failure)
+    batches[0].coalesce(1).write.mode("append").parquet(input_dir)
+    batches[1].coalesce(1).write.mode("append").parquet(input_dir)
+    q = composed_ingest_start(spark, input_dir, output_dir, ckpt, window="5 minutes",
+                              watermark="10 minutes", max_files_per_trigger=1)
+    q.processAllAvailable()
+    q.stop()
+
+    # phase 2: resume from the SAME checkpoint with the remaining files
+    batches[2].coalesce(1).write.mode("append").parquet(input_dir)
+    batches[3].coalesce(1).write.mode("append").parquet(input_dir)
+    q2 = composed_ingest_start(spark, input_dir, output_dir, ckpt, window="5 minutes",
+                               watermark="10 minutes", max_files_per_trigger=1)
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = {
+        (r["win_start"], r["event_type"], r["n"], float(r["total"]))
+        for r in composed_ingest_result(spark, output_dir)
+        .filter(F.col("event_type") != "__flush__")
+        .collect()
+    }
+    all_events = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    want = {
+        (r["win_start"], r["event_type"], r["n"], float(r["total"]))
+        for r in composed_batch_answer(spark, all_events, window="5 minutes").collect()
+    }
+    assert got == want
+    # duplicates were actually present and actually removed: id 3,4,6 appear
+    # twice in the input but exactly once in the counts
+    n_total = sum(n for (_, _, n, _) in got)
+    assert n_total == 8  # 8 distinct real ids
+
+
+def test_composed_job_exactly_once_sink(spark, tmp_path):
+    """Replaying the same input dir against the same checkpoint emits nothing
+    new (exactly-once sink semantics, not at-least-once)."""
+    input_dir = str(tmp_path / "in")
+    output_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batches = _batches(spark)
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(input_dir)
+    q = composed_ingest_start(spark, input_dir, output_dir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    n1 = composed_ingest_result(spark, output_dir).count()
+    # restart with no new input: no duplicate emission
+    q2 = composed_ingest_start(spark, input_dir, output_dir, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    n2 = composed_ingest_result(spark, output_dir).count()
+    assert n1 == n2 > 0
