@@ -10,6 +10,17 @@ Prints ONE JSON line:
 materialized via count(); the first pass still pays plan/codegen cost, so the
 min reflects steady-state execution (`first_pass` in the JSON keeps the
 cold-path total for reference against BASELINE.md's cold scans).
+
+Cross-SESSION attributability (the r3/r4 history showed uniform ~1.3x
+session-to-session drift with no per-query signature — host noise, not plan
+changes): every run also reports
+  - `calibration_sec`: min wall of a fixed data-independent Spark workload
+    (hash+shuffle over spark.range) — a pure session-speed anchor. Divide any
+    query time by it to compare across sessions; a plan regression moves a
+    query's RATIO, host noise moves everything uniformly.
+  - `queries_best_ever` / `best_ever_total`: per-query min across this run AND
+    all prior BENCH_HISTORY.jsonl sessions — the number to hold a round to,
+    rather than the previous (possibly slow) session.
 """
 
 from __future__ import annotations
@@ -66,6 +77,27 @@ HEADLINE = [
 ]
 
 
+def _calibration(spark, n: int = 3) -> float:
+    """Fixed, data-independent session-speed anchor: 48M-row hash + 1000-key
+    shuffle + sum, min of `n`. Same partition count every run (explicit 32) so
+    the workload is identical regardless of env knobs."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
+        (
+            spark.range(0, 48_000_000, 1, 32)
+            .select((F.hash("id") % 1000).alias("k"), F.col("id"))
+            .groupBy("k")
+            .agg(F.sum("id").alias("s"))
+            .select(F.sum("s"))
+            .collect()
+        )
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,6 +132,26 @@ def main() -> int:
             clear_llmdata_cache()
         runs.append(timings)
     best = {name: round(min(r[name] for r in runs), 3) for name in HEADLINE}
+
+    calibration = _calibration(spark)
+
+    # fold in prior sessions: per-query min across history + this run
+    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
+    best_ever = dict(best)
+    try:
+        with open(hist_path) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                if rec.get("sf") != sf:
+                    continue
+                for q, t in rec.get("queries", {}).items():
+                    if q in best_ever:
+                        best_ever[q] = min(best_ever[q], t)
+    except OSError:
+        pass
+
     result = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(best.values()), 3),
@@ -107,14 +159,18 @@ def main() -> int:
         "queries": best,
         "n_runs": n_runs,
         "first_pass": round(sum(runs[0].values()), 3),
+        "calibration_sec": calibration,
+        "queries_best_ever": {q: round(t, 3) for q, t in best_ever.items()},
+        "best_ever_total": round(sum(best_ever.values()), 3),
         "sf": sf,
     }
     print(json.dumps(result))
     # per-query history for round-over-round regression tracking (append-only;
     # see tools/bench_history.py for the diff report)
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"), "a") as f:
-            f.write(json.dumps({"ts": int(time.time()), **result}) + "\n")
+        hist_rec = {k: v for k, v in result.items() if k not in ("queries_best_ever", "best_ever_total")}
+        with open(hist_path, "a") as f:
+            f.write(json.dumps({"ts": int(time.time()), **hist_rec}) + "\n")
     except OSError:
         pass
     return 0
