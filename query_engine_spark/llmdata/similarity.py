@@ -565,6 +565,10 @@ def semdedup(
     ``k = max(8, n // target_cluster_size)`` from one cheap count
     aggregate (kmeans init takes the k lowest-id vectors via `.limit(k)`,
     so k must be a driver-side int — a count agg, never a data collect).
+    The count is an EAGER action over the id column only (column-pruned
+    scan), and the upstream lineage then runs again for kmeans — if
+    `embeddings` is an expensive uncached plan, persist/cache it before
+    calling with k=None, or pass an explicit k.
     Expected pair work is then Σ|cluster|² ≈ n·target_cluster_size:
     LINEAR in n at any scale. A fixed k that was right at 1× re-creates
     quadratic clusters at 100× — pass explicit k only for pinned
@@ -575,7 +579,7 @@ def semdedup(
     exact-integer dot products, so membership can't drift across engines.
     """
     if k is None:
-        n = embeddings.count()
+        n = embeddings.select(id_col).count()
         k = max(8, n // target_cluster_size)
     assigned = kmeans_lloyd(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col, quant=quant

@@ -961,7 +961,12 @@ def tfidf_pairs(
         # a vocab-sized agg, broadcast as a one-row scalar. assert_true lives
         # in a FILTER (not a dropped column, which Catalyst would prune), so
         # it evaluates while the dfreq broadcast is built — before the
-        # term-keyed pair shuffle exists.
+        # term-keyed pair shuffle exists. dfreq is persisted (vocab-sized,
+        # tiny) because both the mass aggregate and the posting join consume
+        # it — otherwise the tokenize+groupBy('t') stage runs twice.
+        from query_engine_spark.llmdata import tracked_persist
+
+        dfreq = tracked_persist(dfreq)
         mass = dfreq.agg(
             F.sum(F.col("df").cast("double") * (F.col("df") - 1) / 2).alias("__mass")
         )
