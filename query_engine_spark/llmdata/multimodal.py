@@ -175,6 +175,8 @@ def decode_bmp(blob: bytes) -> tuple[int, int, int, int, int]:
 
     if blob[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(blob) < 54:  # 14-byte file header + 40-byte BITMAPINFOHEADER
+        raise ValueError(f"truncated BMP header: {len(blob)} bytes")
     (off,) = struct.unpack_from("<I", blob, 10)
     width, height = struct.unpack_from("<ii", blob, 18)
     (bpp,) = struct.unpack_from("<H", blob, 28)

@@ -83,3 +83,51 @@ def test_script_scope_is_complete():
         translate_script(f"{ident} == {ident}", now_epoch_expr="0")
 
 
+
+
+# --- multimodal codecs: decode(make(...)) over the whole parameter space ----
+
+from query_engine_spark.llmdata import multimodal as MM  # noqa: E402
+
+
+@given(
+    mid=st.integers(min_value=0, max_value=10**9),
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_property(mid, w, h):
+    gw, gh, bpp, px_sum, top_left = MM.decode_bmp(MM.make_bmp(mid, w, h))
+    assert (gw, gh, bpp) == (w, h, 24)
+    assert px_sum == sum(
+        (mid * 31 + y * 7 + x * 3 + c) % 256
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    assert top_left == mid * 31 % 256
+
+
+@given(
+    mid=st.integers(min_value=0, max_value=10**9),
+    n=st.integers(min_value=1, max_value=500),
+    rate=st.sampled_from([8000, 11025, 16000, 22050, 44100]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(mid, n, rate):
+    grate, gn, dur, amp_sum, peak, first = MM.decode_wav(MM.make_wav(mid, n, rate))
+    samples = [((mid * 131 + i * 17) % 65536) - 32768 for i in range(n)]
+    assert (grate, gn, dur) == (rate, n, n * 1000 // rate)
+    assert (amp_sum, peak, first) == (sum(samples), max(samples), samples[0])
+
+
+@given(data=st.binary(min_size=0, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_decoders_never_silently_accept_garbage(data):
+    import pytest
+
+    for decode in (MM.decode_bmp, MM.decode_wav):
+        try:
+            decode(data)
+        except (ValueError, NotImplementedError, IndexError):
+            pass
+        else:  # pragma: no cover - random bytes forming a valid file
+            pytest.fail("decoder accepted random garbage")
