@@ -33,7 +33,9 @@ __all__ = [
     "frame_sample",
     "make_bmp",
     "decode_bmp",
+    "resize_bmp",
     "bmp_features",
+    "bmp_resize",
     "make_wav",
     "decode_wav",
     "wav_features",
@@ -136,6 +138,25 @@ def image_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
 # + raw pixels, so a pure-Python parser is a REAL decode, not a stub) -------
 
 
+def _pack_bmp(width: int, height: int, pixels_topdown: bytes) -> bytes:
+    """Pack image-row-major top-down BGR bytes (3 per pixel) into a 24-bpp
+    bottom-up BMP with 4-byte row stride (BITMAPINFOHEADER)."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    img_size = stride * height
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = bytearray()
+    pad = b"\x00" * (stride - width * 3)
+    for stored_row in range(height):
+        y = height - 1 - stored_row  # bottom-up
+        rows += pixels_topdown[y * width * 3 : (y + 1) * width * 3]
+        rows += pad
+    return header + dib + bytes(rows)
+
+
 def make_bmp(media_id: int, width: int, height: int) -> bytes:
     """Pack a deterministic 24-bpp bottom-up BMP (BITMAPINFOHEADER).
 
@@ -146,31 +167,17 @@ def make_bmp(media_id: int, width: int, height: int) -> bytes:
     bottom-up (file row 0 is image row height-1) and padded to 4-byte
     stride, exactly the spec quirks `decode_bmp` must get right.
     """
-    import struct
-
-    stride = (width * 3 + 3) & ~3
-    img_size = stride * height
-    off = 14 + 40
-    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
-    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0)
-    rows = bytearray()
-    for stored_row in range(height):
-        y = height - 1 - stored_row  # bottom-up
-        for x in range(width):
-            for c in range(3):
-                rows.append((media_id * 31 + y * 7 + x * 3 + c) % 256)
-        rows.extend(b"\x00" * (stride - width * 3))
-    return header + dib + bytes(rows)
+    pixels = bytes(
+        (media_id * 31 + y * 7 + x * 3 + c) % 256
+        for y in range(height)
+        for x in range(width)
+        for c in range(3)
+    )
+    return _pack_bmp(width, height, pixels)
 
 
-def decode_bmp(blob: bytes) -> tuple[int, int, int, int, int]:
-    """Parse a 24-bpp BMP → (width, height, bpp, px_sum, top_left).
-
-    `px_sum` sums every PIXEL byte (stride padding excluded); `top_left`
-    is the first stored byte (blue channel) of image pixel (0, 0) — which
-    bottom-up storage puts in the LAST file row, so a parser that ignores
-    row order or stride reads the wrong byte and fails the oracle.
-    """
+def _parse_bmp_header(blob: bytes) -> tuple[int, int, int, int]:
+    """Validate a 24-bpp BI_RGB bottom-up BMP → (off, width, height, stride)."""
     import struct
 
     if blob[:2] != b"BM":
@@ -192,12 +199,48 @@ def decode_bmp(blob: bytes) -> tuple[int, int, int, int, int]:
         raise ValueError(
             f"truncated BMP: need {off + stride * height} bytes, have {len(blob)}"
         )
+    return off, width, height, stride
+
+
+def decode_bmp(blob: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a 24-bpp BMP → (width, height, bpp, px_sum, top_left).
+
+    `px_sum` sums every PIXEL byte (stride padding excluded); `top_left`
+    is the first stored byte (blue channel) of image pixel (0, 0) — which
+    bottom-up storage puts in the LAST file row, so a parser that ignores
+    row order or stride reads the wrong byte and fails the oracle.
+    """
+    off, width, height, stride = _parse_bmp_header(blob)
     px_sum = 0
     for stored_row in range(height):
         row = blob[off + stored_row * stride : off + stored_row * stride + width * 3]
         px_sum += sum(row)
     top_left = blob[off + (height - 1) * stride]
-    return width, height, bpp, px_sum, top_left
+    return width, height, 24, px_sum, top_left
+
+
+def resize_bmp(blob: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor resize: decode → integer-grid sample → re-encode.
+
+    Source pixel of output (x', y') is (x'*width // out_w, y'*height //
+    out_h) — pure integer arithmetic, so every byte of the output BMP (and
+    any feature of it) is oracle-predictable. Returns a valid 24-bpp BMP:
+    resize stages compose with `decode_bmp`/`bmp_features` downstream.
+    """
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"invalid target size {out_w}x{out_h}")
+    off, width, height, stride = _parse_bmp_header(blob)
+
+    def px(x: int, y: int) -> bytes:
+        start = off + (height - 1 - y) * stride + x * 3  # bottom-up rows
+        return blob[start : start + 3]
+
+    out = bytearray()
+    for y_out in range(out_h):
+        sy = y_out * height // out_h
+        for x_out in range(out_w):
+            out += px(x_out * width // out_w, sy)
+    return _pack_bmp(out_w, out_h, bytes(out))
 
 
 _BMP_SCHEMA = "media_id long, width int, height int, bpp int, px_sum long, top_left int"
@@ -233,6 +276,29 @@ def bmp_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(run, _BMP_SCHEMA)
+
+
+def bmp_resize(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL image resize stage: distributed nearest-neighbor BMP resize via
+    Arrow mapInPandas — (media_id, payload) in, (media_id, payload) out,
+    where the output payload is a valid resized BMP. Map-only (no shuffle),
+    composes with `bmp_features`/`decode_bmp` downstream; the registry's
+    `multimodal_resize` hash-verifies the whole decode→resize→decode chain
+    against integer arithmetic in DuckDB.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        resize_bmp(bytes(blob), out_w, out_h) for blob in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, "media_id long, payload binary")
 
 
 # --- real WAV/PCM decode (same no-codec-needed reasoning as BMP: RIFF is

@@ -2519,6 +2519,52 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_resize",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 64
+    )
+    SELECT m.media_id, 4 AS width, 3 AS height, 24 AS bpp,
+           CAST(SUM((m.media_id*31 + ((y.y * m.h) // 3)*7 + ((x.x * m.w) // 4)*3 + c.c) % 256) AS BIGINT) AS px_sum,
+           CAST(m.media_id*31 % 256 AS INT) AS top_left
+    FROM m, generate_series(0, 2) AS y(y), generate_series(0, 3) AS x(x),
+         generate_series(0, 2) AS c(c)
+    GROUP BY m.media_id
+    """,
+    "multimodal REAL image resize, hash-verified: BMP payloads are packed "
+    "distributed, RESIZED distributed (nearest-neighbor integer-grid "
+    "sampling: source pixel (x'*w//4, y'*h//3), re-encoded as valid BMP), "
+    "then re-DECODED distributed — three chained Arrow mapInPandas stages; "
+    "the oracle predicts every resized pixel by integer arithmetic, so a "
+    "sampling/row-order/stride bug anywhere in the decode→resize→re-encode "
+    "chain fails the hash (llmdata/multimodal.py resize_bmp/bmp_resize)",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as _pd
+
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+
+    def pack(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        MM.make_bmp(int(i), 4 + int(i) % 5, 3 + int(i) % 4)
+                        for i in pdf["media_id"]
+                    ],
+                }
+            )
+
+    media = ids.mapInPandas(pack, "media_id long, payload binary")
+    return MM.bmp_features(MM.bmp_resize(media, 4, 3))
+
+
+@_register(
     "multimodal_audio",
     """
     WITH m AS (

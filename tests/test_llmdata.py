@@ -301,6 +301,48 @@ def test_bmp_decode_validates_header(spark):
         MM.decode_bmp(good[:-5])
 
 
+def test_bmp_resize_real(spark):
+    """resize_bmp is a real nearest-neighbor resample: identity at the same
+    size, exact integer-grid sampling when shrinking, output is a valid BMP
+    that roundtrips through decode_bmp."""
+    blob = MM.make_bmp(7, 8, 6)
+
+    # identity resize: byte-identical payload
+    assert MM.resize_bmp(blob, 8, 6) == blob
+
+    # downsample 8x6 -> 4x3: source pixel (x'*8//4, y'*6//3) = (2x', 2y')
+    small = MM.resize_bmp(blob, 4, 3)
+    w, h, bpp, px_sum, top_left = MM.decode_bmp(small)
+    want = sum(
+        (7 * 31 + (2 * y) * 7 + (2 * x) * 3 + c) % 256
+        for y in range(3)
+        for x in range(4)
+        for c in range(3)
+    )
+    assert (w, h, bpp) == (4, 3, 24)
+    assert px_sum == want
+    assert top_left == 7 * 31 % 256
+
+    # upsample 2x2 -> 5x5 replicates pixels; total bytes = 25 pixels
+    up = MM.resize_bmp(MM.make_bmp(1, 2, 2), 5, 5)
+    w, h, _, _, _ = MM.decode_bmp(up)
+    assert (w, h) == (5, 5)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        MM.resize_bmp(blob, 0, 3)
+
+    # distributed chain: pack -> resize -> features via Arrow mapInPandas
+    media = spark.createDataFrame(
+        [(i, MM.make_bmp(i, 4 + i % 5, 3 + i % 4)) for i in range(12)],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in MM.bmp_features(MM.bmp_resize(media, 4, 3)).collect()}
+    assert len(out) == 12
+    assert all(r["width"] == 4 and r["height"] == 3 for r in out.values())
+
+
 def test_wav_decode_real(spark):
     """decode_wav is a REAL parser: walks RIFF chunks (incl. the JUNK chunk
     make_wav plants), matches an independent signed-sample computation, and
