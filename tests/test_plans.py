@@ -68,3 +68,33 @@ def test_pipeline_flagship_fuses_score_sort_limit(spark):
     p = plan_of(spark, "pipeline_flagship")
     # the sort->limit peephole produces TakeOrderedAndProject inside the DSL plan
     assert "TakeOrderedAndProject" in p
+
+
+def test_multimodal_chain_is_map_only(spark):
+    # pack -> resize -> decode: three chained Arrow stages, ZERO shuffles —
+    # media pipelines must never exchange multi-MB payloads between stages
+    p = plan_of(spark, "multimodal_resize")
+    assert "Exchange" not in p
+    assert "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_minhash_lsh", "dedup_simhash", "embed_srp_near_dup", "embed_semdedup"],
+)
+def test_near_dup_paths_never_cartesian(spark, name):
+    # the scale guarantee of every near-dup operator: candidate generation is
+    # a banded/bucketed EQUI-join (LSH bands, simhash chunks, SRP chunks,
+    # k-means cells) — a CartesianProduct anywhere means the all-pairs
+    # explosion snuck back in
+    p = plan_of(spark, name)
+    assert "CartesianProduct" not in p
+
+
+def test_s10_two_hop_broadcasts_seed_side(spark):
+    # 2-hop collaborative filtering: the seed-user like set is tiny and must
+    # broadcast; shuffling the full edge table against it would be the 100 TB
+    # bottleneck
+    p = plan_of(spark, "s10_liked_by_likers")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
