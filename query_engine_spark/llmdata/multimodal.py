@@ -38,7 +38,9 @@ __all__ = [
     "bmp_resize",
     "make_wav",
     "decode_wav",
+    "resample_wav",
     "wav_features",
+    "wav_resample",
 ]
 
 MEDIA_META_TYPE = T.StructType(
@@ -381,6 +383,45 @@ def decode_wav(blob: bytes) -> tuple[int, int, int, int, int, int]:
     return rate, n, n * 1000 // rate, amp_sum, peak, first
 
 
+def resample_wav(blob: bytes, out_rate: int) -> bytes:
+    """REAL audio resample: decode → nearest-neighbor sample pick → re-encode.
+
+    Output length preserves duration: out_n = n*out_rate//in_rate; output
+    sample j is input sample j*n//out_n (integer grid, the audio analog of
+    `resize_bmp`'s pixel sampling — no interpolation, so every output byte
+    is oracle-predictable). Returns a valid 16-bit mono PCM WAV that
+    composes with `decode_wav`/`wav_features` downstream. Real DSP
+    (windowed-sinc anti-aliasing) needs no extra libraries but has no
+    integer-exact cross-engine form — nearest-neighbor is the deterministic
+    tier, matching the integer-arithmetic contract of the oracle suite.
+    """
+    import struct
+
+    if out_rate <= 0:
+        raise ValueError(f"invalid target rate {out_rate}")
+    rate, n, _, _, _, _ = decode_wav(blob)
+    # re-walk chunks for the raw data (decode_wav validated everything)
+    pos, data = 12, b""
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", blob, pos + 4)
+        if cid == b"data":
+            data = blob[pos + 8 : pos + 8 + csize]
+            break
+        pos += 8 + csize + (csize & 1)
+    out_n = n * out_rate // rate
+    picks = b"".join(
+        data[2 * (j * n // out_n) : 2 * (j * n // out_n) + 2] for j in range(out_n)
+    )
+    block_align = 2
+    fmt = struct.pack("<HHIIHH", 1, 1, out_rate, out_rate * block_align, block_align, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(picks)) + picks
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 _WAV_SCHEMA = (
     "media_id long, sample_rate int, n_samples long, duration_ms long, "
     "amp_sum long, peak int, first_sample int"
@@ -422,6 +463,27 @@ def wav_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(run, _WAV_SCHEMA)
+
+
+def wav_resample(df: DataFrame, out_rate: int) -> DataFrame:
+    """REAL audio resample stage: distributed nearest-neighbor WAV resample
+    via Arrow mapInPandas — payload in, resampled payload out (map-only, no
+    shuffle), composing with `wav_features` downstream; the registry's
+    `multimodal_audio_resample` hash-verifies the decode→resample→decode
+    chain against integer arithmetic in DuckDB."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        resample_wav(bytes(blob), out_rate) for blob in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, "media_id long, payload binary")
 
 
 _FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes binary"

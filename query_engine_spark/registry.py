@@ -2618,6 +2618,59 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_audio_resample",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             8000 + (doc_id % 4) * 4000 AS rate,
+             600 + (doc_id % 7) * 100 AS n
+      FROM documents WHERE doc_id < 64
+    ),
+    m2 AS (SELECT media_id, rate, n, n * 8000 // rate AS out_n FROM m)
+    SELECT m2.media_id,
+           8000 AS sample_rate,
+           CAST(m2.out_n AS BIGINT) AS n_samples,
+           CAST(m2.out_n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(SUM(((m2.media_id*131 + ((j.j * m2.n) // m2.out_n)*17) % 65536) - 32768) AS BIGINT) AS amp_sum,
+           CAST(MAX(((m2.media_id*131 + ((j.j * m2.n) // m2.out_n)*17) % 65536) - 32768) AS INT) AS peak,
+           CAST(((m2.media_id*131) % 65536) - 32768 AS INT) AS first_sample
+    FROM m2, generate_series(0, 1199) AS j(j)
+    WHERE j.j < m2.out_n
+    GROUP BY m2.media_id, m2.out_n
+    """,
+    "multimodal REAL audio resample, hash-verified: mixed-rate WAV payloads "
+    "(8/12/16/20 kHz) are resampled distributed to 8 kHz by nearest-neighbor "
+    "integer-grid sample picking (duration-preserving out_n = n*out_rate//"
+    "in_rate, source index j*n//out_n), re-encoded as valid PCM WAV, then "
+    "re-decoded — three chained Arrow mapInPandas stages; the oracle "
+    "predicts every picked sample by integer arithmetic "
+    "(llmdata/multimodal.py resample_wav/wav_resample)",
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as _pd
+
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+
+    def pack(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        MM.make_wav(int(i), 600 + int(i) % 7 * 100, 8000 + int(i) % 4 * 4000)
+                        for i in pdf["media_id"]
+                    ],
+                }
+            )
+
+    media = ids.mapInPandas(pack, "media_id long, payload binary")
+    return MM.wav_features(MM.wav_resample(media, 8000))
+
+
+@_register(
     "media_dedup",
     """
     SELECT media_id, fp, size_bytes FROM (

@@ -390,6 +390,49 @@ def test_wav_decode_real(spark):
     assert out[3]["first_sample"] == 3 * 131 - 32768
 
 
+def test_wav_resample_real(spark):
+    """resample_wav is a real duration-preserving nearest-neighbor resample:
+    identity at the same rate, exact integer-grid picks when downsampling,
+    output roundtrips through decode_wav."""
+    import pytest
+
+    blob = MM.make_wav(7, 900, 12000)
+
+    # identity: same rate -> same samples (JUNK chunk dropped, so compare
+    # decoded features, not raw bytes)
+    same = MM.resample_wav(blob, 12000)
+    assert MM.decode_wav(same) == MM.decode_wav(blob)
+
+    # 12 kHz -> 8 kHz: out_n = 900*8000//12000 = 600, pick j*900//600
+    down = MM.resample_wav(blob, 8000)
+    rate, n, dur, amp_sum, peak, first = MM.decode_wav(down)
+    samples = [((7 * 131 + i * 17) % 65536) - 32768 for i in range(900)]
+    picks = [samples[j * 900 // 600] for j in range(600)]
+    assert (rate, n, dur) == (8000, 600, 600 * 1000 // 8000)
+    assert amp_sum == sum(picks)
+    assert peak == max(picks)
+    assert first == picks[0]
+
+    # upsample 8 kHz -> 16 kHz doubles samples by repetition
+    up = MM.resample_wav(MM.make_wav(1, 100, 8000), 16000)
+    rate, n, _, _, _, _ = MM.decode_wav(up)
+    assert (rate, n) == (16000, 200)
+
+    with pytest.raises(ValueError):
+        MM.resample_wav(blob, 0)
+
+    # distributed chain: pack -> resample -> features via Arrow mapInPandas
+    media = spark.createDataFrame(
+        [(i, MM.make_wav(i, 600 + i % 7 * 100, 8000 + i % 4 * 4000)) for i in range(12)],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in MM.wav_features(MM.wav_resample(media, 8000)).collect()}
+    assert len(out) == 12
+    assert all(r["sample_rate"] == 8000 for r in out.values())
+    # 12 kHz source (i%4==1): duration preserved
+    assert out[1]["n_samples"] == (600 + 1 % 7 * 100) * 8000 // 12000
+
+
 def test_media_repartition_is_in_plan(spark):
     # byte-based partition sizing must be the AQE REBALANCE hint (runtime
     # shuffle-stat sizing), not a driver-side byte-count collect
