@@ -41,6 +41,9 @@ __all__ = [
     "resample_wav",
     "wav_features",
     "wav_resample",
+    "make_avi",
+    "demux_avi",
+    "avi_frame_features",
 ]
 
 MEDIA_META_TYPE = T.StructType(
@@ -484,6 +487,165 @@ def wav_resample(df: DataFrame, out_rate: int) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(run, "media_id long, payload binary")
+
+
+# --- real AVI demux (RIFF container + raw uncompressed DIB frames: same
+# no-codec-needed reasoning — the format is chunked headers + raw pixels) ----
+
+
+def make_avi(media_id: int, width: int, height: int, n_frames: int, fps: int = 10) -> bytes:
+    """Pack a deterministic uncompressed AVI: RIFF 'AVI ' with an hdrl
+    (avih + strl{strh 'vids'/'DIB ', strf BITMAPINFOHEADER}) and a movi
+    LIST of raw '00db' DIB frames (bottom-up rows, 4-byte stride — the BMP
+    pixel-array layout without the file header).
+
+    Pixel byte c of pixel (x, y) in frame f is
+    ``(media_id*31 + f*97 + y*7 + x*3 + c) % 256`` — pure integer
+    arithmetic, so an oracle predicts every sampled frame's features.
+    """
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    frame_size = stride * height
+
+    def frame(f: int) -> bytes:
+        rows = bytearray()
+        for stored_row in range(height):
+            y = height - 1 - stored_row  # bottom-up
+            for x in range(width):
+                for c in range(3):
+                    rows.append((media_id * 31 + f * 97 + y * 7 + x * 3 + c) % 256)
+            rows.extend(b"\x00" * (stride - width * 3))
+        return bytes(rows)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII16s",
+        1_000_000 // fps, frame_size * fps, 0, 0x10, n_frames, 0, 1, frame_size,
+        width, height, b"\x00" * 16,
+    )
+    # AVISTREAMHEADER: fccType fccHandler flags prio lang init scale rate
+    # start length sugg_buffer quality(signed) sample_size rcFrame
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI8s",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n_frames, frame_size, -1, 0,
+        struct.pack("<hhhh", 0, 0, width, height),
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", frame(f)) for f in range(n_frames)))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def demux_avi(blob: bytes) -> tuple[int, int, list[bytes]]:
+    """REAL demuxer: walk the RIFF tree → (width, height, raw frames).
+
+    Validates the container magic, locates strf (a BITMAPINFOHEADER —
+    reusing the BMP validation rules: 24-bpp, BI_RGB, positive dims),
+    and iterates the movi LIST's '00db' (uncompressed DIB) chunks. '00dc'
+    (compressed) frames raise NotImplementedError — the honest codec
+    boundary; each returned frame is the stride-padded bottom-up pixel
+    array, decodable with the BMP row arithmetic.
+    """
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    (riff_size,) = struct.unpack_from("<I", blob, 4)
+    if 8 + riff_size > len(blob):
+        raise ValueError(f"truncated RIFF: declares {8 + riff_size} bytes, have {len(blob)}")
+
+    strf = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal strf
+        while pos + 8 <= end:
+            cid = blob[pos : pos + 4]
+            (csize,) = struct.unpack_from("<I", blob, pos + 4)
+            body_start, body_end = pos + 8, pos + 8 + csize
+            if body_end > end:
+                raise ValueError(f"truncated chunk {cid!r}: declares {csize} bytes")
+            if cid == b"LIST":
+                walk(body_start + 4, body_end)  # skip the 4-byte list type
+            elif cid == b"strf":
+                strf = blob[body_start:body_end]
+            elif cid == b"00db":
+                frames.append(blob[body_start:body_end])
+            elif cid == b"00dc":
+                raise NotImplementedError(
+                    "compressed AVI frames need a codec library (not in this "
+                    "container); only raw '00db' DIB frames are supported"
+                )
+            pos = body_end + (csize & 1)  # chunks are 2-byte aligned
+
+    walk(12, 8 + riff_size)
+    if strf is None or len(strf) < 40:
+        raise ValueError("missing/short strf (BITMAPINFOHEADER) chunk")
+    _, width, height, _, bpp, compression = struct.unpack_from("<IiiHHI", strf, 0)
+    if bpp != 24 or height <= 0:
+        raise NotImplementedError("only 24-bpp bottom-up DIB frames supported")
+    if compression != 0:
+        raise NotImplementedError("only uncompressed (BI_RGB) frames supported")
+    if width <= 0:
+        raise ValueError(f"invalid frame width {width}")
+    stride = (width * 3 + 3) & ~3
+    for i, fr in enumerate(frames):
+        if len(fr) < stride * height:
+            raise ValueError(f"truncated frame {i}: {len(fr)} < {stride * height} bytes")
+    return width, height, frames
+
+
+_AVI_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, px_sum long, top_left int"
+)
+
+
+def avi_frame_features(df: DataFrame, every_n: int = 1, max_frames: int = 8) -> DataFrame:
+    """REAL video frame-sample: distributed AVI demux via Arrow mapInPandas —
+    one media row in → one row per SAMPLED frame out (frames 0, every_n,
+    2·every_n, …, capped at max_frames — the `frame_sample` semantics, now
+    backed by a real demuxer instead of byte slices). Per-frame features
+    use the BMP pixel-array arithmetic (bottom-up rows, stride padding);
+    hash-verified end-to-end by the registry's `multimodal_video_frames`.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = demux_avi(bytes(blob))
+                stride = (w * 3 + 3) & ~3
+                for j in range(min(max_frames, (len(frames) + every_n - 1) // every_n)):
+                    fi = j * every_n
+                    fr = frames[fi]
+                    px_sum = sum(
+                        sum(fr[r * stride : r * stride + w * 3]) for r in range(h)
+                    )
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": fi,
+                            "width": w,
+                            "height": h,
+                            "px_sum": px_sum,
+                            "top_left": fr[(h - 1) * stride],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height", "px_sum", "top_left"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _AVI_SCHEMA)
 
 
 _FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes binary"

@@ -2618,6 +2618,57 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_video_frames",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 48
+    ),
+    fr AS (SELECT f.f * 2 AS fi FROM generate_series(0, 2) AS f(f))
+    SELECT m.media_id, CAST(fr.fi AS INT) AS frame_idx,
+           CAST(m.w AS INT) AS width, CAST(m.h AS INT) AS height,
+           CAST(SUM((m.media_id*31 + fr.fi*97 + y.y*7 + x.x*3 + c.c) % 256) AS BIGINT) AS px_sum,
+           CAST((m.media_id*31 + fr.fi*97) % 256 AS INT) AS top_left
+    FROM m, fr, generate_series(0, 5) AS y(y), generate_series(0, 7) AS x(x),
+         generate_series(0, 2) AS c(c)
+    WHERE y.y < m.h AND x.x < m.w
+    GROUP BY m.media_id, fr.fi, m.w, m.h
+    """,
+    "multimodal REAL video frame-sample, hash-verified: deterministic "
+    "uncompressed AVIs (RIFF 'AVI ' + hdrl + movi of raw '00db' DIB frames) "
+    "are packed distributed, then DEMUXED distributed by a pure-Python RIFF "
+    "tree walker (LIST recursion, strf BITMAPINFOHEADER validation, 2-byte "
+    "chunk alignment) sampling every 2nd frame up to 3 — the frame_sample "
+    "semantics backed by a real demuxer; the oracle predicts every sampled "
+    "frame's pixel features by integer arithmetic; compressed '00dc' frames "
+    "raise (codec boundary) (llmdata/multimodal.py make_avi/demux_avi/"
+    "avi_frame_features)",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as _pd
+
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 48).select(F.col("doc_id").alias("media_id"))
+
+    def pack(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        MM.make_avi(int(i), 4 + int(i) % 5, 3 + int(i) % 4, 6)
+                        for i in pdf["media_id"]
+                    ],
+                }
+            )
+
+    media = ids.mapInPandas(pack, "media_id long, payload binary")
+    return MM.avi_frame_features(media, every_n=2, max_frames=3)
+
+
+@_register(
     "multimodal_audio_resample",
     """
     WITH m AS (

@@ -433,6 +433,50 @@ def test_wav_resample_real(spark):
     assert out[1]["n_samples"] == (600 + 1 % 7 * 100) * 8000 // 12000
 
 
+def test_avi_demux_real(spark):
+    """demux_avi is a REAL RIFF-tree walker: recovers every raw DIB frame
+    from make_avi (incl. LIST recursion and chunk alignment), rejects
+    malformed containers, and raises on compressed frames."""
+    import struct
+
+    import pytest
+
+    blob = MM.make_avi(7, 5, 4, 6)
+    w, h, frames = MM.demux_avi(blob)
+    assert (w, h, len(frames)) == (5, 4, 6)
+    stride = (5 * 3 + 3) & ~3
+    for f in (0, 3, 5):
+        want = sum(
+            (7 * 31 + f * 97 + y * 7 + x * 3 + c) % 256
+            for y in range(4) for x in range(5) for c in range(3)
+        )
+        got = sum(sum(frames[f][r * stride : r * stride + 15]) for r in range(4))
+        assert got == want
+        assert frames[f][(4 - 1) * stride] == (7 * 31 + f * 97) % 256  # top-left
+
+    with pytest.raises(ValueError):
+        MM.demux_avi(b"MP4 not an avi")
+    with pytest.raises(ValueError):
+        MM.demux_avi(blob[:-3])  # truncated final frame chunk
+    # a compressed '00dc' frame must raise, not silently skip
+    dc = bytearray(blob)
+    i = bytes(dc).find(b"00db")
+    dc[i : i + 4] = b"00dc"
+    with pytest.raises(NotImplementedError):
+        MM.demux_avi(bytes(dc))
+
+    # distributed frame sampling: every 2nd frame, capped at 3
+    media = spark.createDataFrame(
+        [(i, MM.make_avi(i, 4 + i % 5, 3 + i % 4, 6)) for i in range(8)],
+        "media_id long, payload binary",
+    )
+    out = MM.avi_frame_features(media, every_n=2, max_frames=3).collect()
+    assert len(out) == 8 * 3
+    assert sorted({r["frame_idx"] for r in out}) == [0, 2, 4]
+    by_key = {(r["media_id"], r["frame_idx"]): r for r in out}
+    assert by_key[(3, 4)]["top_left"] == (3 * 31 + 4 * 97) % 256
+
+
 def test_media_repartition_is_in_plan(spark):
     # byte-based partition sizing must be the AQE REBALANCE hint (runtime
     # shuffle-stat sizing), not a driver-side byte-count collect
