@@ -131,3 +131,23 @@ def test_decoders_never_silently_accept_garbage(data):
             pass
         else:  # pragma: no cover - random bytes forming a valid file
             pytest.fail("decoder accepted random garbage")
+
+
+@given(
+    mid=st.integers(min_value=0, max_value=10**9),
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=12),
+    nf=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=40, deadline=None)
+def test_avi_roundtrip_property(mid, w, h, nf):
+    gw, gh, frames = MM.demux_avi(MM.make_avi(mid, w, h, nf))
+    assert (gw, gh, len(frames)) == (w, h, nf)
+    stride = (w * 3 + 3) & ~3
+    f = nf - 1
+    want = sum(
+        (mid * 31 + f * 97 + y * 7 + x * 3 + c) % 256
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    got = sum(sum(frames[f][r * stride : r * stride + w * 3]) for r in range(h))
+    assert got == want
