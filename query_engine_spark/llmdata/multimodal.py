@@ -1,13 +1,23 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
 The container has no image/audio codec LIBRARIES, so compressed formats
-(PNG/JPEG/MP4) stay stubbed — but uncompressed BMP needs only the format
-spec, so `decode_bmp`/`bmp_features` is a REAL decode: a pure-Python
-24-bpp BMP header+pixel parser (magic, little-endian header fields,
-bottom-up row order, 4-byte row-stride padding) running distributed inside
-Arrow-batched `mapInPandas`. The rest of the plumbing — schemas, batch
-signatures, partition shaping, metadata model — is shared with the stubbed
-formats, so swapping in Pillow/torchaudio for the compressed ones is a
+(PNG/JPEG/MP3/MP4) stay stubbed — but the uncompressed containers need
+only their format specs, so all three modalities have REAL pure-Python
+parsers running distributed inside Arrow-batched `mapInPandas`:
+
+- image: 24-bpp BMP decode + nearest-neighbor resize (`decode_bmp`,
+  `resize_bmp` — magic, little-endian header fields, bottom-up rows,
+  4-byte stride);
+- audio: RIFF/WAVE 16-bit PCM decode + duration-preserving resample
+  (`decode_wav`, `resample_wav` — word-aligned chunk walking, fmt
+  validation, signed samples);
+- video: RIFF/AVI demux + every-Nth frame sampling (`demux_avi` —
+  recursive LIST walking, strf validation, raw '00db' DIB frames).
+
+Each is hash-verified end-to-end by a registry oracle that predicts the
+decoded features with integer arithmetic. The plumbing — schemas, batch
+signatures, partition shaping, metadata model — is shared with the
+compressed-format stubs, so swapping in Pillow/torchaudio/PyAV is a
 one-function change; nothing about the distributed plan changes.
 
 Scale notes: media rows are large (MBs) — `media_repartition` sizes
@@ -652,10 +662,11 @@ _FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes binary"
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8, *, fake: bool = True) -> DataFrame:
-    """Sample "frames" from a video payload (stub: fixed-stride byte slices).
-
-    The real implementation would seek keyframes with a demuxer; the plumbing
-    (one row in → N frame rows out via mapInPandas) is what's being tested.
+    """Sample "frames" from an OPAQUE video payload (fixed-stride byte
+    slices) — the format-agnostic fallback. For uncompressed AVI the REAL
+    path is `avi_frame_features` (an actual RIFF demuxer); compressed
+    containers (MP4/MKV) need a demuxer library this container lacks. The
+    plumbing (one row in → N frame rows out via mapInPandas) is shared.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
