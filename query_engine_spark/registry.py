@@ -4478,10 +4478,20 @@ _STALE_VERIFICATION = {
     "multimodal_features",
 }
 
-# Queries whose machinery round 5 touches (dfreq persist under the tfidf
-# guard, semdedup caching note, streaming compose demo reusing the windowed
-# paths) — re-verify them on the new code.
+# Queries whose machinery rounds 4–5 changed after their last driver check —
+# re-verify them on the new code ahead of the least-recently-verified pool.
+# Round 4: the in-plan `now` rewrite (blocks.py/inputs.py/aggregates.py)
+# touched the whole s-family input path and the flagship; their r2-era
+# verification predates it. Round 5: tfidf dfreq persist, semdedup pruned
+# count, and the streaming compose demo reusing the windowed paths.
 _ROUND5_TOUCHED = {
+    # r4 now-machinery (verified r1/r2, rewritten since)
+    "pipeline_flagship", "s1_firehose", "s2_input_list", "s3_input_tags",
+    "s4_input_labels", "s5_input_feed", "s6_input_did",
+    "s7_input_post_prepend", "s8_archived_scan", "s9_liked_weighted",
+    "s10_liked_by_likers", "o5_sort_score_dedup", "a1_trending_tags",
+    "a1_trending_windowed",
+    # r5-touched
     "text_tfidf_pairs",
     "embed_semdedup",
     "stream_windowed_counts",
