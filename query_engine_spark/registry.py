@@ -1536,6 +1536,257 @@ def q22_no_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CENTS = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+_DISC_PCT = "CAST(round(l_discount * 100) AS BIGINT)"
+
+
+@_register(
+    "q6_forecast_revenue",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum({_CENTS} * {_DISC_PCT}) AS BIGINT) AS revenue_e4
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND {_DISC_PCT} BETWEEN 5 AND 7 AND l_quantity < 24
+    """,
+    "TPC-H Q6 shape: pure scan-side filter + global agg — every predicate "
+    "pushes to the parquet scan (no joins, no shuffle beyond the final "
+    "1-row combine); the discount band compares exact integer percent, not "
+    "floats",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & disc_pct.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(cents * disc_pct).alias("revenue_e4"),
+        )
+    )
+
+
+@_register(
+    "q8_market_share",
+    f"""
+    WITH vol AS (
+      SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+             {_CENTS} * (100 - {_DISC_PCT}) AS v,
+             n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n2.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN part     ON p_partkey = l_partkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'CHINA' THEN v ELSE 0 END) AS BIGINT) AS nation_e4,
+           CAST(sum(v) AS BIGINT) AS total_e4,
+           round(CAST(sum(CASE WHEN supp_nation = 'CHINA' THEN v ELSE 0 END) AS DOUBLE)
+                 / sum(v), 6) AS share
+    FROM vol GROUP BY o_year
+    """,
+    "TPC-H Q8 shape: 7-way snowflake reaching nation/region through the "
+    "customer path and nation through the supplier path, market share as a "
+    "conditional-sum ratio per year — numerator and denominator are exact "
+    "integers, one final double division (deterministic) rounded to 6",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region"))
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("n2_key"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")), F.col("n2_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(part.filter(F.col("p_type") == "PROMO")), li["l_partkey"] == part["p_partkey"])
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+    )
+    v = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    nat = F.sum(F.when(F.col("supp_nation") == "CHINA", v).otherwise(F.lit(0)))
+    return (
+        j.withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            nat.alias("nation_e4"),
+            F.sum(v).alias("total_e4"),
+            F.round(nat.cast("double") / F.sum(v), 6).alias("share"),
+        )
+    )
+
+
+@_register(
+    "q10_returned_items",
+    f"""
+    WITH rev AS (
+      SELECT c_custkey, c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+             n_name,
+             CAST(sum({_CENTS} * (100 - {_DISC_PCT})) AS BIGINT) AS revenue_e4
+      FROM customer
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON n_nationkey = c_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT * FROM rev ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+    """,
+    "TPC-H Q10 shape: returned-item revenue per customer (fact-fact join "
+    "under a broadcast dim), top-20 under a TOTAL order (revenue desc, "
+    "custkey) so the LIMIT is engine-portable",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = (
+        cust.join(orders, orders["o_custkey"] == cust["c_custkey"])
+        .join(li.filter(F.col("l_returnflag") == "R"), li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+    )
+    v = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    rev = j.groupBy(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        "n_name",
+    ).agg(F.sum(v).alias("revenue_e4"))
+    return rev.orderBy(F.col("revenue_e4").desc(), F.col("c_custkey")).limit(20)
+
+
+@_register(
+    "q13_customer_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    "TPC-H Q13 shape: customers-per-order-count histogram — LEFT join so "
+    "zero-order customers survive, then a second aggregation over the "
+    "first's result (two shuffles, the minimum for a grouped histogram)",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    c_orders = (
+        cust.join(orders, orders["o_custkey"] == cust["c_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_register(
+    "q14_promo_revenue",
+    f"""
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN {_CENTS} * (100 - {_DISC_PCT}) ELSE 0 END) AS BIGINT) AS promo_e4,
+           CAST(sum({_CENTS} * (100 - {_DISC_PCT})) AS BIGINT) AS total_e4,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN {_CENTS} * (100 - {_DISC_PCT}) ELSE 0 END)
+                 / sum({_CENTS} * (100 - {_DISC_PCT})), 6) AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    "TPC-H Q14 shape: promo revenue share for one month — broadcast part "
+    "join, conditional integer sums, one final double division rounded to 6",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    v = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", v).otherwise(F.lit(0)))
+    return j.agg(
+        promo.alias("promo_e4"),
+        F.sum(v).alias("total_e4"),
+        F.round(F.lit(100.0) * promo / F.sum(v), 6).alias("promo_pct"),
+    )
+
+
+@_register(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, CAST(sum({_CENTS} * (100 - {_DISC_PCT})) AS BIGINT) AS total_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_e4
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_e4 = (SELECT max(total_e4) FROM rev)
+    """,
+    "TPC-H Q15 shape: quarterly revenue view + max-revenue supplier via a "
+    "scalar-subquery threshold — the max folds to a broadcast one-row "
+    "scalar, no second sort; exact integer revenue makes the argmax "
+    "engine-portable (ties all surface)",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    v = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(v).alias("total_e4"))
+    )
+    mx = rev.agg(F.max("total_e4").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_e4") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_e4")
+    )
+
+
 @_register(
     "q17_small_quantity",
     """
