@@ -98,3 +98,19 @@ def test_s10_two_hop_broadcasts_seed_side(spark):
     p = plan_of(spark, "s10_liked_by_likers")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_q6_pure_pushdown_no_join(spark):
+    # Q6 is the canonical scan-bound query: every predicate reaches the
+    # parquet scan and the only exchanges are the 1-row agg combine
+    p = plan_of(spark, "q6_forecast_revenue")
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1][:300]
+    assert "Join" not in p
+
+
+def test_q15_argmax_without_sort(spark):
+    # the max-revenue threshold must fold to a broadcast scalar — a global
+    # sort (or second pass ranking) would be the 100 TB mistake
+    p = plan_of(spark, "q15_top_supplier")
+    assert "Sort" not in p
+    assert "BroadcastHashJoin" in p
