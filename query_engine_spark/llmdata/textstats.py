@@ -21,6 +21,8 @@ __all__ = [
     "hash_bucket",
     "hash_sample",
     "top_terms",
+    "write_text_index",
+    "bm25_search_indexed",
     "kmin_fingerprint",
     "repetition_features",
     "lm_score_docs",
@@ -222,6 +224,13 @@ def bm25_search(
     qt = [t.lower() for t in query_terms]
     hits = base.filter(F.col("t").isin(qt))
     tf = hits.groupBy("id", "t").agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    return _bm25_score(tf, stats, k1=k1, b=b, top=top, id_col=id_col)
+
+
+def _bm25_score(tf: DataFrame, stats: DataFrame, *, k1: float, b: float, top: int, id_col: str) -> DataFrame:
+    """Shared BM25 scoring tail: per-(doc, term) tf rows + a one-row corpus
+    stats table (__n, __avgdl) → ranked top docs. df per term derives from
+    the tf rows (one row per posting)."""
     dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "t")
@@ -242,6 +251,75 @@ def bm25_search(
     limited = scored.orderBy(F.col("score").desc(), F.col("id")).limit(top)
     ranked = dense_rank_over(limited, [F.col("score").desc(), F.col("id")], "rank")
     return ranked.select(F.col("id").alias(id_col), "score", "rank")
+
+
+def _term_bucket(col: Column, n_buckets: int) -> Column:
+    """md5-prefix hash bucket for a term — deterministic and reproducible
+    driver-side (int(md5(t)[:4], 16) % n_buckets), so query planning can
+    compute the bucket list without touching data."""
+    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("long") % n_buckets
+
+
+def write_text_index(
+    df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the inverted index: per-(doc, term) postings written as
+    parquet PARTITIONED BY the term's md5-hash bucket, plus a one-row corpus
+    stats table — the text analog of `similarity.write_ivf_index`.
+
+    At 100 TB this is the structure that makes keyword retrieval cheap: a
+    query's terms map to a handful of bucket directories (static partition
+    pruning — the bucket list is computable from the query string alone,
+    before planning), so a search reads |query terms| buckets instead of
+    re-tokenizing the corpus."""
+    toks = _tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("t"), F.size(toks).alias("dl")
+    ).filter(F.col("t") != "")
+    tf = base.groupBy("id", "t").agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    postings = tf.withColumn("bucket", _term_bucket(F.col("t"), n_buckets))
+    postings.write.partitionBy("bucket").mode("overwrite").parquet(f"{path}/postings")
+    stats = df.select(_tokens(F.col(text_col)).alias("__t")).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.coalesce(F.avg(F.when(F.size("__t") > 0, F.size("__t"))), F.lit(1.0)).alias("__avgdl"),
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_search_indexed(
+    spark,
+    path: str,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int = 20,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 over a materialized `write_text_index` layout.
+
+    The query terms' buckets are computed DRIVER-SIDE from the same md5
+    prefix the writer used, so the postings scan carries a static
+    `bucket IN (...)` partition filter — only those directories are listed
+    and read (plan-asserted in test_plans). Scoring is byte-identical to
+    `bm25_search` (shared `_bm25_score` tail)."""
+    import hashlib
+
+    qt = sorted({t.lower() for t in query_terms})
+    buckets = sorted({int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % n_buckets for t in qt})
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets) & F.col("t").isin(qt))
+        .select("id", "t", "tf", "dl")
+    )
+    stats = spark.read.parquet(f"{path}/stats")
+    return _bm25_score(postings, stats, k1=k1, b=b, top=top, id_col=id_col)
 
 
 def contamination_pairs(

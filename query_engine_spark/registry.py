@@ -2499,6 +2499,47 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_bm25_indexed",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             unnest(string_split_regex({_NORM_SQL}, '\\s+')) AS t,
+             len(string_split_regex({_NORM_SQL}, '\\s+')) AS dl
+      FROM documents),
+    stats AS (SELECT count(*) AS n FROM documents),
+    avgl AS (SELECT avg(dl) AS avgdl FROM (SELECT DISTINCT id, dl FROM base)),
+    hits AS (SELECT * FROM base WHERE t IN {_BM25_TERMS!r}),
+    tf AS (SELECT id, t, count(*) AS tf, min(dl) AS dl FROM hits GROUP BY 1, 2),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT id,
+             round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+      FROM tf JOIN dfreq USING (t), stats, avgl GROUP BY id)
+    SELECT id AS doc_id, score, row_number() OVER (ORDER BY score DESC, id) AS rank
+    FROM scored ORDER BY score DESC, id LIMIT 20
+    """,
+    "BM25 over a MATERIALIZED inverted index (write_text_index → parquet "
+    "postings partitioned by md5 term-hash bucket + one-row corpus stats; "
+    "the query's buckets are computed driver-side from the same hash, so "
+    "the scan carries a static bucket IN partition filter and reads only "
+    "those directories — the text analog of embed_ivf_indexed, same "
+    "results as text_bm25_search (llmdata/textstats.py "
+    "write_text_index/bm25_search_indexed)",
+)
+def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_text_index_{tag}")
+    if not os.path.exists(os.path.join(path, "stats")):
+        Tx.write_text_index(docs, path)
+    return Tx.bm25_search_indexed(spark, path, list(_BM25_TERMS), top=20)
+
+
+@_register(
     "hybrid_rrf_search",
     f"""
     WITH base AS (

@@ -863,3 +863,27 @@ def test_stupid_backoff_tiers(spark):
     assert got[3]["bi_hits"] == 1 and got[3]["score_q"] == 400_000
     # doc4: both cut -> oov, score 0
     assert got[4]["oov"] == 1 and got[4]["score_q"] == 0
+
+
+def test_bm25_indexed_matches_direct(spark, tmp_path):
+    """write_text_index + bm25_search_indexed must reproduce bm25_search
+    exactly (same postings, same stats, shared scoring tail)."""
+    from query_engine_spark.llmdata import textstats as Tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark joins data with spark"),
+            (2, "data pipelines move data"),
+            (3, "completely unrelated words here"),
+            (4, "spark spark spark"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "tindex")
+    Tx.write_text_index(docs, path, n_buckets=8)
+    direct = {(r["doc_id"], r["score"], r["rank"])
+              for r in Tx.bm25_search(docs, ["spark", "data"], top=10).collect()}
+    indexed = {(r["doc_id"], r["score"], r["rank"])
+               for r in Tx.bm25_search_indexed(spark, path, ["spark", "data"], top=10, n_buckets=8).collect()}
+    assert direct == indexed and len(direct) == 3

@@ -114,3 +114,14 @@ def test_q15_argmax_without_sort(spark):
     p = plan_of(spark, "q15_top_supplier")
     assert "Sort" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_bm25_indexed_static_bucket_pruning(spark):
+    # the query terms' buckets are computed driver-side from the same md5
+    # prefix the index writer used → the postings scan must carry a static
+    # partition filter (bucket IN ...) and read only those directories
+    import re
+
+    p = plan_of(spark, "text_bm25_indexed")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "bucket" in m.group(1) and " IN " in m.group(1)
