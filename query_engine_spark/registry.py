@@ -1864,6 +1864,40 @@ def a7_admin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.table_stats(tables).select(F.col("table").alias("tbl"), F.col("rows").alias("rows_n"))
 
 
+@_register(
+    "events_salted_counts",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           CAST(max(user_id) AS BIGINT) AS max_user
+    FROM events GROUP BY event_type
+    """,
+    "skew-safe two-phase aggregation: partial agg on (key, random salt) — "
+    "spreading a hot key over 16 reducers — then final agg on key "
+    "(operators/aggregates.py salted_agg). The salt is rand() but the "
+    "result is EXACT for decomposable integer aggregates regardless of "
+    "salt assignment, so it hash-matches the plain GROUP BY oracle — the "
+    "explicit groupBy-side fix when one key dominates partitions (a viral "
+    "post's edges) beyond what map-side partial agg absorbs",
+)
+def events_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        "user_id",
+    )
+    out = A.salted_agg(
+        ev, "event_type", {"vc": "sum", "event_type": "count", "user_id": "max"}, salt=16
+    )
+    return out.select(
+        "event_type",
+        F.col("event_type_count").alias("n_events"),
+        F.col("vc_sum").alias("value_cents"),
+        F.col("user_id_max").alias("max_user"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style headliners (bench + heavy-agg/join coverage)
 
