@@ -41,6 +41,7 @@ __all__ = [
     "rollup_gapfill",
     "truncated_ema",
     "ema_weights",
+    "ohlc",
 ]
 
 
@@ -207,6 +208,39 @@ def time_bucket(col: Column | str, width: int) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return (F.floor(c / width) * width).cast("long")
+
+
+def ohlc(
+    df: DataFrame,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    keys: list[str],
+    width_us: int,
+) -> DataFrame:
+    """OHLC candle rollup per (keys, time bucket): open/close are the value
+    at the first/last row under the TOTAL order (ts, order_col) — the
+    tiebreaker makes the candle engine-portable when timestamps collide —
+    plus high/low/n. One shuffle: both row_number windows and the final
+    aggregate share the (keys, bucket) partitioning, so the plan is
+    exchange → two window passes → partial/final agg, no second shuffle.
+    The hypertable "candlestick_agg" shape re-expressed as DataFrame ops.
+    """
+    bucket = time_bucket(F.col(ts_col), width_us).alias("bucket_us")
+    base = df.select(*keys, ts_col, order_col, value_col, bucket)
+    part = [*keys, "bucket_us"]
+    asc = Window.partitionBy(*part).orderBy(F.col(ts_col), F.col(order_col))
+    desc = Window.partitionBy(*part).orderBy(F.col(ts_col).desc(), F.col(order_col).desc())
+    tagged = base.withColumn("__ra", F.row_number().over(asc)).withColumn(
+        "__rd", F.row_number().over(desc)
+    )
+    return tagged.groupBy(*part).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.when(F.col("__ra") == 1, F.col(value_col))).alias("open"),
+        F.max(F.col(value_col)).alias("high"),
+        F.min(F.col(value_col)).alias("low"),
+        F.max(F.when(F.col("__rd") == 1, F.col(value_col))).alias("close"),
+    )
 
 
 def hopping_windows(

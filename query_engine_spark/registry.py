@@ -4005,6 +4005,45 @@ def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_ohlc",
+    """
+    WITH b AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 * 3600000000 AS bucket_us,
+             event_id, CAST(round(value * 100) AS BIGINT) AS vc,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bucket_us ORDER BY ts_us, event_id) AS ra,
+             row_number() OVER (PARTITION BY event_type, bucket_us ORDER BY ts_us DESC, event_id DESC) AS rd
+      FROM b
+    )
+    SELECT event_type, bucket_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(CASE WHEN ra = 1 THEN vc END) AS BIGINT) AS open,
+           CAST(max(vc) AS BIGINT) AS high,
+           CAST(min(vc) AS BIGINT) AS low,
+           CAST(max(CASE WHEN rd = 1 THEN vc END) AS BIGINT) AS close
+    FROM r GROUP BY event_type, bucket_us
+    """,
+    "OHLC candle rollup per (event_type, 1h bucket): open/close under the "
+    "TOTAL order (ts, event_id) so timestamp collisions are "
+    "engine-portable; integer cents; one shuffle — both row_number windows "
+    "and the final agg share the (key, bucket) partitioning "
+    "(operators/temporal.py ohlc — the hypertable candlestick_agg shape)",
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("vc", F.round(F.col("value") * 100).cast("long"))
+    )
+    return T.ohlc(ev, "ts_us", "event_id", "vc", ["event_type"], 3_600_000_000)
+
+
+@_register(
     "group_quantiles_events",
     """
     WITH r AS (

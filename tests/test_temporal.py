@@ -483,3 +483,49 @@ def test_truncated_ema_handcrafted(spark):
     got2 = {r.event_id: r.ema_q for r in
             truncated_ema(ev2, "value", key_cols=("event_type",)).collect()}
     assert got2[0] == 0 and got2[1] == (ws[0] * 10_000) // (ws[0] + ws[1])
+
+
+def test_ohlc_candles(spark):
+    import datetime as dt
+
+    from query_engine_spark.operators.temporal import ohlc
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # bucket 10:00 — out-of-order arrival, a timestamp collision at :05
+        (1, base + dt.timedelta(minutes=5), "a", 30),
+        (2, base + dt.timedelta(minutes=1), "a", 10),
+        (3, base + dt.timedelta(minutes=5), "a", 40),   # same ts as id 1
+        (4, base + dt.timedelta(minutes=50), "a", 20),
+        # bucket 11:00
+        (5, base + dt.timedelta(minutes=65), "a", 99),
+        # other key
+        (6, base + dt.timedelta(minutes=2), "b", 7),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, k string, v long")
+    ev = ev.withColumn("ts_us", F.unix_micros("ts"))
+    out = {(r["k"], r["bucket_us"]): r for r in ohlc(ev, "ts_us", "event_id", "v", ["k"], 3_600_000_000).collect()}
+    h10 = out[("a", int(base.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000)]
+    # open = earliest (id 2); close = latest (id 4); the :05 collision breaks
+    # ties by event_id, so high=40 comes from id 3 but open stays id 2's 10
+    assert (h10["open"], h10["high"], h10["low"], h10["close"], h10["n_events"]) == (10, 40, 10, 20, 4)
+    h11 = out[("a", int((base + dt.timedelta(hours=1)).replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000)]
+    assert (h11["open"], h11["close"], h11["n_events"]) == (99, 99, 1)
+    assert out[("b", h10["bucket_us"])]["open"] == 7
+
+
+def test_ohlc_single_exchange(spark):
+    # both row_number windows and the final agg must share ONE (key, bucket)
+    # exchange — a second shuffle would double the cost of every candle query
+    import io
+    import contextlib
+
+    from query_engine_spark import registry
+
+    df = registry.REGISTRY["events_ohlc"].fn(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]  # the operator tree, not the detail
+    assert tree.count("Exchange") == 1, tree
