@@ -84,3 +84,52 @@ def test_store_lifecycle(spark, tmp_path):
     assert store.read().count() == 3
     assert store.archive_view(archive).count() == 1
     assert store.archive_view(archive).collect()[0]["id"] == 3
+
+
+def test_store_compaction(spark, tmp_path):
+    """Micro-batch ingest leaves one file per batch per day; compact() must
+    merge them down to the byte-optimal count, preserve every row, keep the
+    id sort, and be a no-op when partitions are already tight."""
+    import os
+
+    store = PostStore(spark, str(tmp_path / "cstore"))
+    # PostStore.ingest rewrites whole day partitions, so it never accumulates
+    # files — the small-file buildup comes from APPEND-mode writers into the
+    # same layout (a streaming parquet sink emits one file per micro-batch
+    # per partition). Simulate 6 micro-batches:
+    for i in range(6):
+        (
+            _batch(spark, [(100 + i, 0.1, f"v{i}")])
+            .withColumn("dt", F.date_format(F.col("ts"), "yyyy-MM-dd"))
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("dt")
+            .parquet(store.path)
+        )
+    day_dir = next(
+        os.path.join(store.path, e) for e in os.listdir(store.path) if e.startswith("dt=")
+    )
+    files_before = [f for f in os.listdir(day_dir) if f.endswith(".parquet")]
+    assert len(files_before) > 1
+    before = {(r["id"], r["v"]) for r in store.read().collect()}
+
+    rewritten = store.compact(target_bytes=64 * 1024 * 1024)
+    assert rewritten, "small-file partition was not compacted"
+    files_after = [f for f in os.listdir(day_dir) if f.endswith(".parquet")]
+    assert len(files_after) == 1  # tiny data -> one byte-optimal file
+    assert {(r["id"], r["v"]) for r in store.read().collect()} == before
+
+    # idempotent: nothing left to compact
+    assert store.compact(target_bytes=64 * 1024 * 1024) == {}
+
+    # older_than_days guard: today's partition is live -> untouched
+    for i in range(3):
+        (
+            _batch(spark, [(200 + i, 0.1, f"w{i}")])
+            .withColumn("dt", F.date_format(F.col("ts"), "yyyy-MM-dd"))
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("dt")
+            .parquet(store.path)
+        )
+    assert store.compact(target_bytes=64 * 1024 * 1024, older_than_days=1, now=NOW) == {}
