@@ -36,6 +36,7 @@ __all__ = [
     "streaming_windowed_counts",
     "streaming_interval_join",
     "streaming_dedup",
+    "streaming_ohlc",
 ]
 
 
@@ -200,6 +201,54 @@ def streaming_interval_join(
     )
     q = (
         j.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+def streaming_ohlc(
+    spark: SparkSession,
+    source: DataFrame,
+    *,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "vc",
+    window: str = "1 hour",
+    query_name: str = "ohlc_stream",
+) -> DataFrame:
+    """OHLC candles as a live incremental aggregation — the streaming
+    counterpart of `operators.temporal.ohlc`. Open/close use
+    ``min_by/max_by(value, struct(ts, order_col))``: the struct's
+    lexicographic order is the same TOTAL order the batch operator ranks
+    by, so timestamp collisions resolve identically and stream == batch
+    (asserted in tests). min_by/max_by are decomposable, so this runs as
+    an ordinary incremental state update — no per-window sort, no
+    row_number, state is one candle per (key, window).
+
+    Complete-mode memory sink so the drained table equals the batch
+    answer; production would use update mode + watermark into a keyed sink.
+    """
+    ordk = F.struct(F.col(ts_col), F.col(order_col))
+    agg = source.groupBy(F.window(ts_col, window).alias("w"), key).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min_by(F.col(value_col), ordk).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(F.col(value_col), ordk).alias("close"),
+    )
+    out = agg.select(
+        F.unix_micros(F.col("w.start")).alias("bucket_us"),
+        key, "n_events", "open", "high", "low", "close",
+    )
+    q = (
+        out.writeStream.outputMode("complete")
         .format("memory")
         .queryName(query_name)
         .start()

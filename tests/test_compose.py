@@ -109,6 +109,43 @@ def test_streaming_content_dedup_matches_batch(spark, tmp_path):
     assert out.count() == 5  # 8 docs, 3 duplicate texts removed
 
 
+def test_streaming_ohlc_matches_batch(spark, tmp_path):
+    """Streaming candles (min_by/max_by over the (ts, id) struct) must equal
+    the batch ohlc operator (row_number over the same total order) —
+    including on a timestamp collision, where both resolve by event_id."""
+    from pyspark.sql import functions as F
+
+    from query_engine_spark.operators.temporal import ohlc
+    from query_engine_spark.streaming.ingest import streaming_ohlc
+
+    rows = [
+        (1, _BASE + dt.timedelta(minutes=5), "a", 30),
+        (2, _BASE + dt.timedelta(minutes=1), "a", 10),
+        (3, _BASE + dt.timedelta(minutes=5), "a", 40),   # ts collision with id 1
+        (4, _BASE + dt.timedelta(minutes=50), "a", 20),
+        (5, _BASE + dt.timedelta(minutes=65), "a", 99),
+        (6, _BASE + dt.timedelta(minutes=2), "b", 7),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, vc long")
+    path = str(tmp_path / "ohlc_events")
+    ev.write.parquet(path)
+
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    got = {
+        (r["event_type"], r["bucket_us"], r["n_events"], r["open"], r["high"], r["low"], r["close"])
+        for r in streaming_ohlc(spark, stream, query_name="ohlc_stream_t").collect()
+    }
+    batch = ohlc(
+        ev.withColumn("ts_us", F.unix_micros("ts")),
+        "ts_us", "event_id", "vc", ["event_type"], 3_600_000_000,
+    )
+    want = {
+        (r["event_type"], r["bucket_us"], r["n_events"], r["open"], r["high"], r["low"], r["close"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) == 3
+
+
 def test_composed_job_exactly_once_sink(spark, tmp_path):
     """Replaying the same input dir against the same checkpoint emits nothing
     new (exactly-once sink semantics, not at-least-once)."""
