@@ -31,6 +31,7 @@ __all__ = [
     "strip_duplicated_spans",
     "split_assign",
     "bpe_pair_counts",
+    "bpe_apply",
     "domain_mix",
 ]
 
@@ -897,6 +898,51 @@ def bpe_pair_counts(
         limited, [F.col("cnt").desc(), F.col("l"), F.col("r")], "rank"
     )
     return ranked.select("l", "r", "cnt", "rank")
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer APPLICATION: segment every word to characters and apply an
+    ordered merge list — the other half of BPE (`bpe_pair_counts` learns
+    the merges; this encodes with them). Returns per-doc
+    ``(id, n_words, chars, bpe_tokens)``.
+
+    Semantics (deterministic, engine-portable): each word becomes the
+    delimited symbol string ``|h|e|l|l|o|``; merge (l, r) rewrites every
+    non-overlapping leftmost ``|l|r|`` to ``|lr|``, one pass per merge in
+    priority order (later merges see earlier merges' symbols, e.g.
+    ('t','h') then ('th','e')). One pass per merge is the labeled
+    simplification of the fixed-point loop — it makes the encode a chain
+    of literal `replace` calls that Spark and DuckDB execute identically,
+    so the oracle is exact. Entirely JVM-side column expressions: the
+    symbol count is derived from the delimiter count, no UDF, map-only
+    until the per-doc aggregation.
+    """
+    toks = _tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("w")).filter(
+        F.col("w") != ""
+    )
+    seg = F.concat(
+        F.lit("|"), F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), "|"), F.lit("|")
+    )
+    for left, right in merges:
+        seg = F.replace(seg, F.lit(f"|{left}|{right}|"), F.lit(f"|{left}{right}|"))
+    # symbols per word = delimiter count - 1
+    n_sym = (F.length(seg) - F.length(F.replace(seg, F.lit("|"), F.lit("")))) - 1
+    return (
+        base.select("id", F.length("w").alias("chars"), n_sym.alias("n_sym"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("chars").alias("chars"),
+            F.sum("n_sym").alias("bpe_tokens"),
+        )
+    )
 
 
 def domain_mix(

@@ -1864,6 +1864,48 @@ def a7_admin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.table_stats(tables).select(F.col("table").alias("tbl"), F.col("rows").alias("rows_n"))
 
 
+_BPE_MERGES = [("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"), ("e", "r"), ("o", "n")]
+
+
+def _bpe_seg_sql() -> str:
+    s = "'|' || array_to_string(string_split(w, ''), '|') || '|'"
+    for left, right in _BPE_MERGES:
+        s = f"replace({s}, '|{left}|{right}|', '|{left}{right}|')"
+    return s
+
+
+@_register(
+    "llm_bpe_apply",
+    f"""
+    WITH words AS (
+      SELECT doc_id AS id,
+             unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS w
+      FROM documents
+    ),
+    segged AS (
+      SELECT id, length(w) AS chars,
+             length({_bpe_seg_sql()}) - length(replace({_bpe_seg_sql()}, '|', '')) - 1 AS n_sym
+      FROM words WHERE w != ''
+    )
+    SELECT id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(chars) AS BIGINT) AS chars,
+           CAST(sum(n_sym) AS BIGINT) AS bpe_tokens
+    FROM segged GROUP BY id
+    """,
+    "BPE tokenizer APPLICATION (encode, the other half of llm_bpe_pair_counts' "
+    "training): every word character-segmented and rewritten by an ordered "
+    "6-merge list incl. chained merges (t+h then th+e) — one literal-replace "
+    "pass per merge, so Spark and DuckDB encode identically and the per-doc "
+    "token counts hash-match; all JVM column expressions, no UDF, map-only "
+    "until the per-doc agg (llmdata/textstats.py bpe_apply)",
+)
+def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = Tx.bpe_apply(docs, _BPE_MERGES)
+    return out.select(F.col("id").alias("doc_id"), "n_words", "chars", "bpe_tokens")
+
+
 @_register(
     "events_salted_counts",
     """

@@ -887,3 +887,24 @@ def test_bm25_indexed_matches_direct(spark, tmp_path):
     indexed = {(r["doc_id"], r["score"], r["rank"])
                for r in Tx.bm25_search_indexed(spark, path, ["spark", "data"], top=10, n_buckets=8).collect()}
     assert direct == indexed and len(direct) == 3
+
+
+def test_bpe_apply_chained_merges(spark):
+    """bpe_apply encodes with the ordered merge list: chained merges see
+    earlier outputs ('t'+'h' then 'th'+'e'), single-pass-per-merge is
+    leftmost non-overlapping, and counts derive from the delimiters."""
+    docs = spark.createDataFrame(
+        [(1, "the thin other"), (2, "aaa"), (3, "")],
+        "doc_id long, text string",
+    )
+    merges = [("t", "h"), ("th", "e"), ("a", "a")]
+    out = {r["id"]: r for r in Tx.bpe_apply(docs, merges).collect()}
+    # "the" -> |t|h|e| -> |th|e| -> |the|          = 1 symbol
+    # "thin" -> |th|i|n|                            = 3 symbols
+    # "other" -> |o|th|e|r| (no |th|e| at word edge? o-th-e-r: th+e merges -> |o|the|r|) = 3
+    assert out[1]["n_words"] == 3
+    assert out[1]["chars"] == len("the") + len("thin") + len("other")
+    assert out[1]["bpe_tokens"] == 1 + 3 + 3
+    # "aaa" -> |a|a|a| -> leftmost non-overlapping (a,a): |aa|a| = 2 symbols
+    assert out[2]["bpe_tokens"] == 2
+    assert 3 not in out  # empty doc has no words
