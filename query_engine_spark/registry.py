@@ -2986,6 +2986,55 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_png",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 4 + doc_id % 5 AS width, 3 + doc_id % 4 AS height
+      FROM documents WHERE doc_id < 64
+    )
+    SELECT m.media_id, CAST(m.width AS INT) AS width, CAST(m.height AS INT) AS height,
+           CAST(SUM((m.media_id*31 + y.y*7 + x.x*3 + c.c) % 256) AS BIGINT) AS px_sum,
+           CAST(m.media_id*31 % 256 AS INT) AS top_left
+    FROM m, generate_series(0, 5) AS y(y), generate_series(0, 7) AS x(x),
+         generate_series(0, 2) AS c(c)
+    WHERE y.y < m.height AND x.x < m.width
+    GROUP BY m.media_id, m.width, m.height
+    """,
+    "multimodal REAL COMPRESSED-image decode, hash-verified: 8-bit RGB PNGs "
+    "(real zlib DEFLATE — stdlib, no external codec — with rows cycling all "
+    "five filter types) are packed distributed, then decoded distributed by "
+    "a pure-Python chunk walker with per-chunk CRC-32 validation, stdlib "
+    "inflate, and spec scanline UNFILTERING (Sub/Up/Average/Paeth integer "
+    "reconstruction) in Arrow mapInPandas; the oracle predicts every pixel "
+    "by integer arithmetic, so a bug in any filter's reconstruction fails "
+    "the hash (llmdata/multimodal.py make_png/decode_png/png_features)",
+)
+def multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as _pd
+
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+
+    def pack(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        MM.make_png(int(i), 4 + int(i) % 5, 3 + int(i) % 4)
+                        for i in pdf["media_id"]
+                    ],
+                }
+            )
+
+    media = ids.mapInPandas(pack, "media_id long, payload binary")
+    media = MM.attach_media_meta(media, media_type="image/png")
+    return MM.png_features(media)
+
+
+@_register(
     "multimodal_video_frames",
     """
     WITH m AS (
