@@ -63,6 +63,8 @@ __all__ = [
     "make_png",
     "decode_png",
     "png_features",
+    "text_compress",
+    "text_decompress",
 ]
 
 MEDIA_META_TYPE = T.StructType(
@@ -841,6 +843,53 @@ def png_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(run, _PNG_SCHEMA)
+
+
+# --- compressed TEXT ingestion (zlib is stdlib): web-scale corpora arrive
+# gzip/zlib-compressed; these are the distributed (de)compression stages ----
+
+
+def text_compress(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", level: int = 6) -> DataFrame:
+    """Compress text to zlib binary payloads distributed (Arrow
+    mapInPandas, map-only). The storage-side half of compressed-corpus
+    ingestion; `text_decompress` is the read side."""
+    import zlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": [
+                        zlib.compress((t or "").encode("utf-8"), level)
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, "media_id long, payload binary")
+
+
+def text_decompress(df: DataFrame) -> DataFrame:
+    """Inflate zlib text payloads distributed — (media_id, payload) →
+    (media_id, text). Raises on corrupt streams (zlib.error surfaces as a
+    task failure, not silent truncation). Registry `llm_compressed_ingest`
+    hash-verifies the full compress→decompress roundtrip against the
+    original column."""
+    import zlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "text": [
+                        zlib.decompress(bytes(b)).decode("utf-8") for b in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, "media_id long, text string")
 
 
 _FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes binary"

@@ -2986,6 +2986,33 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "llm_compressed_ingest",
+    """
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS chars, md5(text) AS fp
+    FROM documents WHERE doc_id < 256
+    """,
+    "compressed-corpus ingestion roundtrip, hash-verified: documents are "
+    "zlib-compressed distributed (stdlib, Arrow mapInPandas), then "
+    "INFLATED distributed, and the recovered text's length + md5 must "
+    "hash-match the oracle computed on the ORIGINAL column — losslessness "
+    "of the whole compress->store->decompress path, the shape web-scale "
+    "gzip corpora ingest through (llmdata/multimodal.py "
+    "text_compress/text_decompress)",
+)
+def llm_compressed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 256)
+    packed = MM.text_compress(docs)
+    recovered = MM.text_decompress(packed)
+    return recovered.select(
+        F.col("media_id").alias("doc_id"),
+        F.length("text").cast("long").alias("chars"),
+        F.md5(F.encode("text", "utf-8")).alias("fp"),
+    )
+
+
+@_register(
     "multimodal_png",
     """
     WITH m AS (

@@ -953,3 +953,23 @@ def test_png_decode_real(spark):
     )
     out = {r["media_id"]: r for r in MM.png_features(media).collect()}
     assert len(out) == 12 and out[3]["width"] == 7 and out[3]["top_left"] == 93
+
+
+def test_text_compress_roundtrip(spark):
+    """Distributed zlib compress -> decompress is lossless (incl. unicode
+    and empty strings), and corrupt payloads fail loudly."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "ünïcødé ✓ text"), (4, "a" * 10_000)],
+        "doc_id long, text string",
+    )
+    packed = MM.text_compress(docs)
+    sizes = {r["media_id"]: len(bytes(r["payload"])) for r in packed.collect()}
+    assert sizes[4] < 200  # 10k repeated chars compress hard
+    back = {r["media_id"]: r["text"] for r in MM.text_decompress(packed).collect()}
+    assert back == {1: "hello world", 2: "", 3: "ünïcødé ✓ text", 4: "a" * 10_000}
+
+    corrupt = spark.createDataFrame([(9, bytearray(b"not zlib"))], "media_id long, payload binary")
+    with pytest.raises(Exception):
+        MM.text_decompress(corrupt).collect()
