@@ -143,7 +143,10 @@ def main() -> int:
             for line in f:
                 if not line.strip():
                     continue
-                rec = json.loads(line)
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue  # a crash mid-append can truncate the last line
                 if rec.get("sf") != sf:
                     continue
                 for q, t in rec.get("queries", {}).items():

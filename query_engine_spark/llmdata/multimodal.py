@@ -386,6 +386,10 @@ def decode_wav(blob: bytes) -> tuple[int, int, int, int, int, int]:
         if cid == b"fmt ":
             fmt_body = body
         elif cid == b"data":
+            if data_body is not None:
+                # the spec allows one data chunk; accepting extras silently
+                # would let decode/resample disagree on which one to read
+                raise ValueError("multiple data chunks")
             data_body = body
         pos += 8 + csize + (csize & 1)  # chunks are 2-byte aligned
     if fmt_body is None or data_body is None:
@@ -639,6 +643,9 @@ def avi_frame_features(df: DataFrame, every_n: int = 1, max_frames: int = 8) -> 
     hash-verified end-to-end by the registry's `multimodal_video_frames`.
     """
 
+    if every_n <= 0 or max_frames <= 0:
+        raise ValueError(f"invalid sampling every_n={every_n} max_frames={max_frames}")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -756,9 +763,9 @@ def decode_png(blob: bytes) -> tuple[int, int, int, int]:
     while pos + 12 <= len(blob):
         (clen,) = struct.unpack_from(">I", blob, pos)
         typ = blob[pos + 4 : pos + 8]
-        data = blob[pos + 8 : pos + 8 + clen]
-        if len(data) < clen:
+        if pos + 12 + clen > len(blob):
             raise ValueError(f"truncated chunk {typ!r}")
+        data = blob[pos + 8 : pos + 8 + clen]
         (crc,) = struct.unpack_from(">I", blob, pos + 8 + clen)
         if crc != zlib.crc32(typ + data) & 0xFFFFFFFF:
             raise ValueError(f"CRC mismatch in chunk {typ!r}")
@@ -860,8 +867,10 @@ def text_compress(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
+                    # NULL stays NULL (a lossless roundtrip must not coerce
+                    # missing text into the empty string)
                     "payload": [
-                        zlib.compress((t or "").encode("utf-8"), level)
+                        None if t is None else zlib.compress(t.encode("utf-8"), level)
                         for t in pdf[text_col]
                     ],
                 }
@@ -884,7 +893,8 @@ def text_decompress(df: DataFrame) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "text": [
-                        zlib.decompress(bytes(b)).decode("utf-8") for b in pdf["payload"]
+                        None if b is None else zlib.decompress(bytes(b)).decode("utf-8")
+                        for b in pdf["payload"]
                     ],
                 }
             )

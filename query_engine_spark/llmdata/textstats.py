@@ -285,9 +285,13 @@ def write_text_index(
     tf = base.groupBy("id", "t").agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
     postings = tf.withColumn("bucket", _term_bucket(F.col("t"), n_buckets))
     postings.write.partitionBy("bucket").mode("overwrite").parquet(f"{path}/postings")
+    # stats carries n_buckets so readers can't probe with a mismatched hash
+    # modulus; written LAST so its _SUCCESS marker doubles as the index's
+    # commit record (a crash mid-build leaves no committed stats -> rebuild)
     stats = df.select(_tokens(F.col(text_col)).alias("__t")).agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.coalesce(F.avg(F.when(F.size("__t") > 0, F.size("__t"))), F.lit(1.0)).alias("__avgdl"),
+        F.lit(n_buckets).alias("__n_buckets"),
     )
     stats.write.mode("overwrite").parquet(f"{path}/stats")
 
@@ -308,10 +312,17 @@ def bm25_search_indexed(
     The query terms' buckets are computed DRIVER-SIDE from the same md5
     prefix the writer used, so the postings scan carries a static
     `bucket IN (...)` partition filter — only those directories are listed
-    and read (plan-asserted in test_plans). Scoring is byte-identical to
-    `bm25_search` (shared `_bm25_score` tail)."""
+    and read (plan-asserted in test_plans). The bucket modulus comes from
+    the INDEX's stats row, not the caller (a mismatched `n_buckets` would
+    silently drop hits); the parameter is only the fallback for legacy
+    layouts without the column. Scoring is byte-identical to `bm25_search`
+    (shared `_bm25_score` tail)."""
     import hashlib
 
+    stats = spark.read.parquet(f"{path}/stats")
+    if "__n_buckets" in stats.columns:
+        n_buckets = stats.select("__n_buckets").head()[0]
+        stats = stats.drop("__n_buckets")
     qt = sorted({t.lower() for t in query_terms})
     buckets = sorted({int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % n_buckets for t in qt})
     postings = (
@@ -319,7 +330,6 @@ def bm25_search_indexed(
         .filter(F.col("bucket").isin(buckets) & F.col("t").isin(qt))
         .select("id", "t", "tf", "dl")
     )
-    stats = spark.read.parquet(f"{path}/stats")
     return _bm25_score(postings, stats, k1=k1, b=b, top=top, id_col=id_col)
 
 

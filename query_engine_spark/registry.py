@@ -1928,13 +1928,16 @@ def events_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("vc"),
         "user_id",
+        # count a never-null literal so the salted count matches count(*)
+        # even if the group key itself were NULL (count(key) would not)
+        F.lit(1).alias("one"),
     )
     out = A.salted_agg(
-        ev, "event_type", {"vc": "sum", "event_type": "count", "user_id": "max"}, salt=16
+        ev, "event_type", {"vc": "sum", "one": "count", "user_id": "max"}, salt=16
     )
     return out.select(
         "event_type",
-        F.col("event_type_count").alias("n_events"),
+        F.col("one_count").alias("n_events"),
         F.col("vc_sum").alias("value_cents"),
         F.col("user_id_max").alias("max_user"),
     )
@@ -2347,7 +2350,9 @@ def embed_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_index_{tag}")
-    if not os.path.exists(path):
+    # _SUCCESS is the write's commit marker — a partial/crashed build is
+    # rebuilt instead of silently searched
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         Sim.write_ivf_index(emb, cents, path)
     index = spark.read.parquet(path)
     return Sim.ivf_topk_indexed(index, cents, queries, k=5, nprobe=2)
@@ -2610,7 +2615,9 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_text_index_{tag}")
-    if not os.path.exists(os.path.join(path, "stats")):
+    # stats is written LAST, so its _SUCCESS marker is the build's commit
+    # record — a crashed/partial build is rebuilt, never silently reused
+    if not os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
         Tx.write_text_index(docs, path)
     return Tx.bm25_search_indexed(spark, path, list(_BM25_TERMS), top=20)
 
@@ -2836,6 +2843,25 @@ def pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("ord", "id", F.round("score", 6).alias("score"))
 
 
+def _pack_media(ids: DataFrame, maker) -> DataFrame:
+    """Shared pack stage for the multimodal queries: (media_id) ids →
+    (media_id, payload) with payload = maker(media_id), one Arrow
+    mapInPandas map-only stage. Changing batch shape/meta for every
+    multimodal query means editing this one function."""
+    import pandas as _pd
+
+    def pack(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [maker(int(i)) for i in pdf["media_id"]],
+                }
+            )
+
+    return ids.mapInPandas(pack, "media_id long, payload binary")
+
+
 @_register(
     "multimodal_features",
     """
@@ -2862,26 +2888,11 @@ def pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     "VERDICT r3 #6 — upgraded from rows-only)",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as _pd
-
     from query_engine_spark.llmdata import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents")
     ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
-
-    def pack(batches):
-        for pdf in batches:
-            yield _pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        MM.make_bmp(int(i), 4 + int(i) % 5, 3 + int(i) % 4)
-                        for i in pdf["media_id"]
-                    ],
-                }
-            )
-
-    media = ids.mapInPandas(pack, "media_id long, payload binary")
+    media = _pack_media(ids, lambda i: MM.make_bmp(i, 4 + i % 5, 3 + i % 4))
     media = MM.attach_media_meta(media, media_type="image/bmp")
     return MM.bmp_features(media)
 
@@ -2909,26 +2920,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chain fails the hash (llmdata/multimodal.py resize_bmp/bmp_resize)",
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as _pd
-
     from query_engine_spark.llmdata import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents")
     ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
-
-    def pack(batches):
-        for pdf in batches:
-            yield _pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        MM.make_bmp(int(i), 4 + int(i) % 5, 3 + int(i) % 4)
-                        for i in pdf["media_id"]
-                    ],
-                }
-            )
-
-    media = ids.mapInPandas(pack, "media_id long, payload binary")
+    media = _pack_media(ids, lambda i: MM.make_bmp(i, 4 + i % 5, 3 + i % 4))
     return MM.bmp_features(MM.bmp_resize(media, 4, 3))
 
 
@@ -2961,26 +2957,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wav_features; VERDICT r4 #7 — audio modality parity with BMP)",
 )
 def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as _pd
-
     from query_engine_spark.llmdata import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents")
     ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
-
-    def pack(batches):
-        for pdf in batches:
-            yield _pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        MM.make_wav(int(i), 600 + int(i) % 7 * 100, 8000 + int(i) % 4 * 4000)
-                        for i in pdf["media_id"]
-                    ],
-                }
-            )
-
-    media = ids.mapInPandas(pack, "media_id long, payload binary")
+    media = _pack_media(ids, lambda i: MM.make_wav(i, 600 + i % 7 * 100, 8000 + i % 4 * 4000))
     media = MM.attach_media_meta(media, media_type="audio/wav")
     return MM.wav_features(media)
 
@@ -3037,26 +3018,11 @@ def llm_compressed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the hash (llmdata/multimodal.py make_png/decode_png/png_features)",
 )
 def multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as _pd
-
     from query_engine_spark.llmdata import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents")
     ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
-
-    def pack(batches):
-        for pdf in batches:
-            yield _pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        MM.make_png(int(i), 4 + int(i) % 5, 3 + int(i) % 4)
-                        for i in pdf["media_id"]
-                    ],
-                }
-            )
-
-    media = ids.mapInPandas(pack, "media_id long, payload binary")
+    media = _pack_media(ids, lambda i: MM.make_png(i, 4 + i % 5, 3 + i % 4))
     media = MM.attach_media_meta(media, media_type="image/png")
     return MM.png_features(media)
 
@@ -3089,26 +3055,11 @@ def multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     "avi_frame_features)",
 )
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as _pd
-
     from query_engine_spark.llmdata import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents")
     ids = docs.filter(F.col("doc_id") < 48).select(F.col("doc_id").alias("media_id"))
-
-    def pack(batches):
-        for pdf in batches:
-            yield _pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        MM.make_avi(int(i), 4 + int(i) % 5, 3 + int(i) % 4, 6)
-                        for i in pdf["media_id"]
-                    ],
-                }
-            )
-
-    media = ids.mapInPandas(pack, "media_id long, payload binary")
+    media = _pack_media(ids, lambda i: MM.make_avi(i, 4 + i % 5, 3 + i % 4, 6))
     return MM.avi_frame_features(media, every_n=2, max_frames=3)
 
 
@@ -3142,26 +3093,11 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(llmdata/multimodal.py resample_wav/wav_resample)",
 )
 def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as _pd
-
     from query_engine_spark.llmdata import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents")
     ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
-
-    def pack(batches):
-        for pdf in batches:
-            yield _pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        MM.make_wav(int(i), 600 + int(i) % 7 * 100, 8000 + int(i) % 4 * 4000)
-                        for i in pdf["media_id"]
-                    ],
-                }
-            )
-
-    media = ids.mapInPandas(pack, "media_id long, payload binary")
+    media = _pack_media(ids, lambda i: MM.make_wav(i, 600 + i % 7 * 100, 8000 + i % 4 * 4000))
     return MM.wav_features(MM.wav_resample(media, 8000))
 
 

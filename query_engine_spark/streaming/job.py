@@ -88,7 +88,7 @@ class PostStore:
                 moved.append(entry)
         return moved
 
-    def compact(self, target_bytes: int = 128 * 1024 * 1024, older_than_days: int | None = None,
+    def compact(self, target_bytes: int = 128 * 1024 * 1024, older_than_days: int | None = 1,
                 now: _dt.datetime | None = None) -> dict[str, int]:
         """Compact small files: frequent micro-batch ingest leaves each day
         partition with one file per batch; at 100 TB that is millions of
@@ -97,8 +97,11 @@ class PostStore:
         the id sort (row-group min/max pruning survives).
 
         Only partitions with more files than their byte-optimal count are
-        rewritten (idempotent, skip-if-tight); `older_than_days` limits
-        compaction to closed partitions so it never races live ingest.
+        rewritten (idempotent, skip-if-tight). Compaction is
+        read-then-overwrite of the same partition, so it must not race a
+        concurrent writer: by DEFAULT only partitions closed for
+        `older_than_days=1` are touched; pass `older_than_days=None`
+        explicitly to compact everything when ingest is known quiescent.
         Returns {partition: files_before} for the rewritten ones.
         """
         if not self._exists():
@@ -108,27 +111,34 @@ class PostStore:
             now = now or _dt.datetime.now(_dt.timezone.utc)
             cutoff = (now - _dt.timedelta(days=older_than_days)).strftime("%Y-%m-%d")
         rewritten: dict[str, int] = {}
+        prev_mode = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        for entry in sorted(os.listdir(self.path)):
-            if not entry.startswith("dt="):
-                continue
-            if cutoff is not None and entry[3:] >= cutoff:
-                continue
-            pdir = os.path.join(self.path, entry)
-            files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
-            total = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
-            want = max(1, -(-total // target_bytes))  # ceil
-            if len(files) <= want:
-                continue
-            part = self.spark.read.parquet(pdir).withColumn("dt", F.lit(entry[3:]))
-            (
-                part.repartition(want)
-                .sortWithinPartitions(self.id_col)
-                .write.mode("overwrite")
-                .partitionBy("dt")
-                .parquet(self.path)
-            )
-            rewritten[entry] = len(files)
+        try:
+            for entry in sorted(os.listdir(self.path)):
+                if not entry.startswith("dt="):
+                    continue
+                if cutoff is not None and entry[3:] >= cutoff:
+                    continue
+                pdir = os.path.join(self.path, entry)
+                files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+                total = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+                want = max(1, -(-total // target_bytes))  # ceil
+                if len(files) <= want:
+                    continue
+                part = self.spark.read.parquet(pdir).withColumn("dt", F.lit(entry[3:]))
+                (
+                    part.repartition(want)
+                    .sortWithinPartitions(self.id_col)
+                    .write.mode("overwrite")
+                    .partitionBy("dt")
+                    .parquet(self.path)
+                )
+                rewritten[entry] = len(files)
+        finally:
+            if prev_mode is not None:
+                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+            else:
+                self.spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         return rewritten
 
     def archive_view(self, archive_path: str) -> DataFrame:

@@ -973,3 +973,26 @@ def test_text_compress_roundtrip(spark):
     corrupt = spark.createDataFrame([(9, bytearray(b"not zlib"))], "media_id long, payload binary")
     with pytest.raises(Exception):
         MM.text_decompress(corrupt).collect()
+
+
+def test_codec_contract_fixes(spark):
+    """Review fixes: truncation inside a PNG chunk raises ValueError (not
+    struct.error); a WAV with two data chunks is rejected rather than
+    decode/resample silently disagreeing; frame sampling validates args."""
+    import struct
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        MM.decode_png(MM.make_png(1, 4, 4)[:30])
+
+    blob = MM.make_wav(1, 4)
+    i = blob.find(b"data")
+    two = bytearray(blob) + blob[i:]
+    struct.pack_into("<I", two, 4, len(two) - 8)
+    with pytest.raises(ValueError, match="multiple data"):
+        MM.decode_wav(bytes(two))
+
+    media = spark.createDataFrame([(1, MM.make_avi(1, 4, 3, 4))], "media_id long, payload binary")
+    with pytest.raises(ValueError):
+        MM.avi_frame_features(media, every_n=0)
