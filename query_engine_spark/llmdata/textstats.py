@@ -33,6 +33,9 @@ __all__ = [
     "bpe_pair_counts",
     "bpe_apply",
     "domain_mix",
+    "train_hashed_classifier",
+    "hashed_classifier_score",
+    "dsir_weights",
 ]
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbols
@@ -1146,6 +1149,181 @@ def tfidf_pairs(
         .join(nb, "doc_b")
         .select("doc_a", "doc_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= min_cos)
+    )
+
+
+def train_hashed_classifier(
+    docs: DataFrame,
+    label: Column,
+    *,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Train a fastText-style hashing-trick linear text classifier
+    (Joulin et al. 2016's bag-of-hashed-tokens model family) entirely
+    in-plan: per-bucket Naive-Bayes count weights, no gradient loop.
+
+    `label` is a boolean Column over `docs` (the positive class).
+    Weight of bucket b = floor(quant·(n_pos(b)+1)/(n_tot(b)+2)) − quant/2 —
+    a centered Laplace-smoothed class probability in exact integers (repo
+    convention: no transcendentals, so Spark and any SQL oracle agree
+    bit-for-bit; a log-odds weight would hit cross-engine ln() ulps).
+
+    Shape at 100 TB: one token explode (map-only) → ONE hash-agg keyed by
+    bucket with map-side combine; the model is `n_buckets` rows — megabytes
+    for any corpus size, always broadcastable at serving time. That is the
+    whole point of the hashing trick: model size is decoupled from
+    vocabulary size, so no vocab table ever shuffles.
+
+    Returns (bkt, w_q).
+    """
+    toks = docs.select(
+        label.alias("__pos"), F.explode(_tokens(F.col(text_col))).alias("t")
+    ).filter(F.col("t") != "")
+    counts = (
+        toks.select("__pos", hash_bucket(F.col("t"), n_buckets).alias("bkt"))
+        .groupBy("bkt")
+        .agg(
+            F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("n_pos"),
+            F.count(F.lit(1)).alias("n_tot"),
+        )
+    )
+    w = F.floor((F.col("n_pos") + 1) * quant / (F.col("n_tot") + 2)).cast("long")
+    return counts.select("bkt", (w - quant // 2).alias("w_q"))
+
+
+def hashed_classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    prior_label: Column,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Inference for `train_hashed_classifier`: per-doc mean bucket weight
+    plus the class prior, in exact integers.
+
+    score_q(doc) = prior_q + floor(Σ w_q(bkt(token)) / n_tokens);
+    prior_q = floor(quant·(P+1)/(P+N+2)) − quant/2 over the scored corpus
+    (`prior_label` marks positives). Prediction = score_q > 0. Token-less
+    docs keep the prior (LEFT join back to `docs`).
+
+    Shape: token explode → broadcast join against the n_buckets-row model
+    (never a shuffle on the text side's vocabulary) → one doc-keyed agg →
+    left join to re-attach empty docs. The model join is THE serving path
+    for quality-filter classifiers at 100 TB: map-only against a broadcast
+    table, so scoring runs at scan speed.
+
+    Returns (id_col, n_tokens, score_q, pred).
+    """
+    prior = docs.agg(
+        (
+            F.floor(
+                (F.sum(F.when(prior_label, 1).otherwise(0)) + 1)
+                * quant
+                / (F.count(F.lit(1)) + 2)
+            ).cast("long")
+            - quant // 2
+        ).alias("prior_q")
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("t")
+    ).filter(F.col("t") != "")
+    scored = (
+        toks.select(id_col, hash_bucket(F.col("t"), n_buckets).alias("bkt"))
+        .join(F.broadcast(weights), "bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.floor(F.sum("w_q") / F.count(F.lit(1))).cast("long").alias("mean_w_q"),
+        )
+    )
+    out = (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            (F.col("prior_q") + F.coalesce("mean_w_q", F.lit(0))).alias("score_q"),
+        )
+    )
+    return out.withColumn("pred", F.col("score_q") > 0)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score each raw doc by how much its hashed-bigram
+    distribution looks like the `target` corpus relative to the raw corpus.
+
+    Per-bucket importance ratio in exact bigint arithmetic:
+        r_q(b) = floor( (n_t(b)+1)·(N_r+B)·quant / ((n_r(b)+1)·(N_t+B)) )
+    (Laplace-smoothed target/raw probability ratio, quant ≙ ratio 1.0).
+    Doc weight = floor(Σ_grams r_q(bkt(gram)) / n_grams) — the paper's
+    log-domain product becomes a linear-domain mean here, the repo's
+    standing trade (exact integers over transcendentals) so the oracle
+    hash-matches; ranking is what resampling consumes and the mean ratio
+    preserves the paper's monotone "target-like" ordering for same-length
+    docs. Overflow bound: (n_t+1)·(N_r+B)·quant must stay < 2⁶³ — holds to
+    ~10¹² raw grams at quant=10⁶; shrink quant at larger scale.
+
+    Shape at 100 TB: two gram explodes (target is the small curated corpus)
+    → ONE bucket-keyed agg each (map-side combine, n_buckets output rows)
+    → the two n_buckets-row ratio tables broadcast-join back to the raw
+    gram stream → one doc-keyed agg. The raw corpus never shuffles its
+    grams by vocabulary; weighting runs at scan speed like `hash_sample`.
+    Feed the result to `weighted_sample` (Efraimidis-Spirakis) for the
+    paper's final resample step.
+
+    Returns (id_col, n_grams, dsir_weight_q) for docs with ≥1 bigram.
+    """
+    B = n_buckets
+
+    def grams(df: DataFrame, *cols: Column) -> DataFrame:
+        g = df.select(*cols, F.explode(word_shingles(F.col(text_col), 2)).alias("g"))
+        return g.select(*[c for c in g.columns if c != "g"], hash_bucket(F.col("g"), B).alias("bkt"))
+
+    tgt = grams(target).groupBy("bkt").agg(F.count(F.lit(1)).alias("n_t"))
+    raw = grams(docs).groupBy("bkt").agg(F.count(F.lit(1)).alias("n_r"))
+    n_t_total = tgt.agg(F.sum("n_t").alias("nt_total"))
+    n_r_total = raw.agg(F.sum("n_r").alias("nr_total"))
+    # ratio table: raw buckets left-joined with target counts (buckets the
+    # target never hit get the smoothed floor), totals as broadcast scalars
+    ratios = (
+        raw.join(tgt, "bkt", "left")
+        .crossJoin(F.broadcast(n_t_total))
+        .crossJoin(F.broadcast(n_r_total))
+        .select(
+            "bkt",
+            F.floor(
+                (F.coalesce("n_t", F.lit(0)) + 1)
+                * (F.col("nr_total") + B)
+                * quant
+                / ((F.col("n_r") + 1) * (F.col("nt_total") + B))
+            )
+            .cast("long")
+            .alias("r_q"),
+        )
+    )
+    doc_grams = grams(docs, F.col(id_col))
+    return (
+        doc_grams.join(F.broadcast(ratios), "bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.floor(F.sum("r_q") / F.count(F.lit(1))).cast("long").alias("dsir_weight_q"),
+        )
     )
 
 

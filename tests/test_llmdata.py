@@ -996,3 +996,49 @@ def test_codec_contract_fixes(spark):
     media = spark.createDataFrame([(1, MM.make_avi(1, 4, 3, 4))], "media_id long, payload binary")
     with pytest.raises(ValueError):
         MM.avi_frame_features(media, every_n=0)
+
+
+def test_hashed_classifier_separates_planted_classes(spark):
+    """Two disjoint vocabularies: the classifier must score positives above
+    negatives, and the weight table must have exactly n_buckets-bounded keys."""
+    pos_text = "alpha beta gamma delta epsilon zeta"
+    neg_text = "uno dos tres cuatro cinco seis"
+    rows = [(i, pos_text, True) for i in range(10)] + [
+        (i + 10, neg_text, False) for i in range(10)
+    ] + [(99, "", False)]  # token-less doc keeps the prior
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    w = Tx.train_hashed_classifier(docs, F.col("y"), n_buckets=64)
+    assert w.count() <= 64
+    out = Tx.hashed_classifier_score(docs, w, F.col("y"), n_buckets=64)
+    got = {r.doc_id: r for r in out.collect()}
+    assert all(got[i].pred for i in range(10))
+    assert not any(got[i + 10].pred for i in range(10))
+    assert got[99].n_tokens == 0
+    # prior over 21 docs: floor((10+1)*1e6/23) - 500000 = floor(478260.8..) - 500000
+    assert got[99].score_q == 478_260 - 500_000
+    # partitioning independence (hashing trick is map-only deterministic)
+    out2 = Tx.hashed_classifier_score(docs.repartition(7), w, F.col("y"), n_buckets=64)
+    assert {(r.doc_id, r.score_q) for r in out2.collect()} == {
+        (r.doc_id, r.score_q) for r in out.collect()
+    }
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Docs made of target-corpus bigrams must outweigh docs made of bigrams
+    the target never uses."""
+    target_like = "climate science energy policy research data"
+    off_domain = "zzz qqq www eee rrr ttt"
+    docs = spark.createDataFrame(
+        [(1, target_like), (2, off_domain), (3, target_like + " " + target_like)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100 + i, target_like) for i in range(5)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in Tx.dsir_weights(docs, target, n_buckets=256).collect()}
+    assert out[1].dsir_weight_q > out[2].dsir_weight_q
+    assert out[3].dsir_weight_q > out[2].dsir_weight_q
+    # n_grams: 6 tokens -> 5 bigrams; doc 3 has 12 tokens -> 11 bigrams
+    assert out[1].n_grams == 5 and out[3].n_grams == 11
+    # ratio floor: a bucket never seen in target still yields weight >= 0
+    assert out[2].dsir_weight_q >= 0
