@@ -36,6 +36,9 @@ __all__ = [
     "label_centroids",
     "dim_stats",
     "label_cohesion",
+    "pq_train",
+    "pq_encode",
+    "pq_adc_topk",
 ]
 
 
@@ -324,6 +327,189 @@ def quantize_vec(col: Column, quant: int = 1000) -> Column:
     cluster assignments) can't drift between Spark's fold and another
     engine's list_dot_product."""
     return F.transform(col, lambda x: F.floor(x.cast("double") * quant).cast("long"))
+
+
+def _pq_subvectors(
+    df: DataFrame, m: int, dsub: int, *, id_col: str = "vec_id", vec_col: str = "qv"
+) -> DataFrame:
+    """(id, sub, sv): each quantized vector split into m contiguous
+    dsub-dim subvectors — one array literal + explode, map-only."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("sub"),
+                F.slice(vec_col, s * dsub + 1, dsub).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(subs).alias("e")).select(
+        id_col, F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv")
+    )
+
+
+def _l2_sq(a: Column, b: Column) -> Column:
+    """Exact squared L2 distance between two integer-grid arrays (bigint
+    accumulation — order-independent, engine-portable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_assign(subv: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Nearest-codeword assignment per (vector, subspace): broadcast the
+    m·ksub-row codebook, argmin exact squared-L2 (ties → lowest code)."""
+    scored = subv.join(F.broadcast(codebooks), "sub").select(
+        "vec_id", "sub", "sv", "code", _l2_sq(F.col("sv"), F.col("cv")).alias("d")
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.col("d"), F.col("code"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "d")
+    )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    quant: int = 1000,
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou, Douze & Schmid, TPAMI 2011):
+    split the `dims`-dim integer-quantized vectors into `m` contiguous
+    subspaces and run quantized Lloyd's k-means (ksub codewords) in EVERY
+    subspace at once — the subspace id is just another grouping key, so m
+    k-means trainings cost the same shuffles as one.
+
+    Init = subvectors of the ksub lowest-id vectors (deterministic,
+    SQL-reproducible; the tiny unpartitioned row_number window runs over
+    ksub rows post-limit, never the corpus). Same quantized-mean update and
+    empty-cell handling as `kmeans_lloyd`.
+
+    Returns (sub, code, cv) — m·ksub rows, kilobytes at any corpus size,
+    always broadcastable. That is PQ's scale story: a 100 TB embedding
+    column compresses to m one-byte codes per vector (here kept as a long
+    format table; pack to a byte array at the storage boundary), and
+    search never touches the raw vectors again.
+    """
+    dsub = dims // m
+    q = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col), quant).alias("qv")
+    )
+    seeds = q.orderBy("vec_id").limit(ksub)
+    seeds = seeds.withColumn(
+        "code", (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("int")
+    )
+    cbooks = _pq_subvectors(seeds, m, dsub, id_col="code", vec_col="qv").select(
+        "sub", F.col("code"), F.col("sv").alias("cv")
+    )
+    subv = _pq_subvectors(q, m, dsub)
+    for _ in range(iters):
+        assigned = _pq_assign(subv, cbooks)
+        sums = (
+            assigned.select("sub", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
+        )
+        means = (
+            sums.withColumn("mn", F.floor(F.col("s") / F.col("c")).cast("long"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("pm"))
+            .select("sub", "code", F.transform("pm", lambda e: e["mn"]).alias("cv_new"))
+        )
+        cbooks = cbooks.join(means, ["sub", "code"], "left").select(
+            "sub", "code", F.coalesce("cv_new", "cv").alias("cv")
+        )
+    return cbooks
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    quant: int = 1000,
+) -> DataFrame:
+    """PQ codes (vec_id, sub, code): nearest codeword per subspace — the
+    compressed index. Map-only against the broadcast codebook; at 100 TB
+    this is one scan of the embedding column, and the output is the only
+    thing ADC search ever reads (pack the m codes to a byte array at the
+    storage boundary to hit PQ's ~dims·4/m-fold compression)."""
+    q = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col), quant).alias("qv")
+    )
+    return _pq_assign(_pq_subvectors(q, m, dims // m), codebooks).drop("sv")
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dims: int = 64,
+    quant: int = 1000,
+) -> DataFrame:
+    """Approximate top-k by Asymmetric Distance Computation over PQ codes
+    (Jégou'11 §IV): per query, a lookup table of exact squared-L2 partial
+    distances to every (sub, code) codeword; a vector's approximate
+    distance is the SUM of its m table entries.
+
+    Shape at 100 TB: the LUT is queries·m·ksub rows — broadcast; the scan
+    side is the CODES table (m small ints per vector, ~100-500× smaller
+    than the raw embedding column), map-only joined on (sub, code), then
+    one (query_id, vec_id) agg and a per-query top-k window. The raw
+    vectors are never read at search time — that's the entire point of PQ:
+    the index fits in memory where the vectors don't.
+
+    Trains codebooks in-plan here (self-contained for the oracle); at
+    scale, `pq_train` once, persist codes via `pq_encode`, and search
+    those. Returns (query_id, vec_id, adc_dist, rank) — distances exact
+    integers on the quantized grid, ties → lowest vec_id.
+    """
+    dsub = dims // m
+    cbooks = pq_train(
+        embeddings, m, ksub, iters, id_col=id_col, vec_col=vec_col, dims=dims, quant=quant
+    )
+    q = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col), quant).alias("qv")
+    )
+    codes = _pq_assign(_pq_subvectors(q, m, dsub), cbooks).drop("sv")
+    qs = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        quantize_vec(F.col(query_vec_col), quant).alias("qv"),
+    )
+    qsub = _pq_subvectors(qs, m, dsub, id_col="query_id")
+    lut = qsub.join(F.broadcast(cbooks), "sub").select(
+        "query_id", "sub", "code", _l2_sq(F.col("sv"), F.col("cv")).alias("pd")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
 
 
 def kmeans_lloyd(

@@ -4823,6 +4823,95 @@ def text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _pq_oracle(
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    k: int = 5,
+    dims: int = 64,
+    quant: int = 1000,
+) -> str:
+    """Unrolled per-subspace Lloyd's + ADC search as a CTE chain. All
+    arithmetic is exact squared-L2 on the integer-quantized grid, so
+    codebooks, codes, and distances are engine-deterministic."""
+    dsub = dims // m
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}))"
+        )
+
+    def assign(cb: str) -> str:
+        return f"""
+      SELECT vec_id, sub, sv, code FROM (
+        SELECT s.vec_id, s.sub, s.sv, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY {d2('s.sv', 'c.cv')}, c.code) AS rn
+        FROM s JOIN {cb} c ON c.sub = s.sub) WHERE rn = 1"""
+
+    sql = f"""
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * {quant}) AS BIGINT) for x in embedding] AS qv
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, sub, list_slice(qv, sub * {dsub} + 1, sub * {dsub} + {dsub}) AS sv
+      FROM q, unnest(range({m})) AS t(sub)
+    ), seeds AS (
+      SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) - 1 AS code
+      FROM (SELECT * FROM q ORDER BY vec_id LIMIT {ksub})
+    ), cb0 AS (
+      SELECT sub, code, list_slice(qv, sub * {dsub} + 1, sub * {dsub} + {dsub}) AS cv
+      FROM seeds, unnest(range({m})) AS t(sub)
+    )"""
+    for i in range(iters):
+        sql += f""", a{i} AS ({assign(f'cb{i}')}
+    ), u{i} AS (
+      SELECT sub, code, j, sum(sv[j + 1]) AS sm, count(*) AS c
+      FROM a{i}, unnest(range({dsub})) AS t(j) GROUP BY 1, 2, 3
+    ), m{i} AS (
+      SELECT sub, code, list(CAST(floor(CAST(sm AS DOUBLE) / c) AS BIGINT) ORDER BY j) AS cv_new
+      FROM u{i} GROUP BY 1, 2
+    ), cb{i + 1} AS (
+      SELECT cb{i}.sub, cb{i}.code, coalesce(m{i}.cv_new, cb{i}.cv) AS cv
+      FROM cb{i} LEFT JOIN m{i} USING (sub, code)
+    )"""
+    sql += f""", fin AS ({assign(f'cb{iters}')}
+    ), qs AS (
+      SELECT vec_id AS query_id, sub, sv AS qsv FROM s WHERE vec_id < 3
+    ), lut AS (
+      SELECT qs.query_id, c.sub, c.code, {d2('qs.qsv', 'c.cv')} AS pd
+      FROM qs JOIN cb{iters} c ON c.sub = qs.sub
+    ), sc AS (
+      SELECT l.query_id, f.vec_id, CAST(sum(l.pd) AS BIGINT) AS adc_dist
+      FROM fin f JOIN lut l ON l.sub = f.sub AND l.code = f.code
+      WHERE f.vec_id != l.query_id GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_dist, vec_id) AS rank FROM sc) WHERE rank <= {k}"""
+    return sql
+
+
+@_register(
+    "embed_pq_topk",
+    _pq_oracle(),
+    "product-quantization ANN (Jégou'11 IVF-PQ family): per-subspace Lloyd's "
+    "codebooks (m=4, ksub=4 — all m trainings share one shuffle via the sub "
+    "grouping key), asymmetric-distance top-k where the scan side is the "
+    "CODES table joined against a broadcast per-query LUT — raw vectors are "
+    "never read at search time (llmdata/similarity.py pq_train/pq_adc_topk); "
+    "full unrolled-CTE oracle, exact integer squared-L2 on the quantized grid",
+)
+def embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return Sim.pq_adc_topk(emb, queries, k=5, m=4, ksub=4, iters=2)
+
+
 @_register(
     "llm_quality_classifier",
     f"""

@@ -1042,3 +1042,40 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     assert out[1].n_grams == 5 and out[3].n_grams == 11
     # ratio floor: a bucket never seen in target still yields weight >= 0
     assert out[2].dsir_weight_q >= 0
+
+
+def test_pq_adc_recovers_planted_clusters(spark):
+    """Vectors built from per-subspace prototypes are exactly PQ-expressible:
+    ADC distance to a same-cluster query must be 0 and ranked first."""
+    import itertools
+
+    # 8-dim, m=2 subspaces of 4; two prototypes per subspace -> 4 PQ cells
+    protos = {0: [[10, 0, 0, 0], [0, 10, 0, 0]], 1: [[0, 0, 10, 0], [0, 0, 0, 10]]}
+    rows = []
+    vid = 0
+    for a, b in itertools.product(range(2), range(2)):
+        for _ in range(3):  # 3 identical members per cell
+            rows.append((vid, [float(x) / 10 for x in protos[0][a] + protos[1][b]]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = Sim.pq_adc_topk(emb, queries, k=3, m=2, ksub=4, iters=2, dims=8)
+    got = [(r.vec_id, r.adc_dist) for r in out.orderBy("rank").collect()]
+    # vec 1 and 2 are identical to the query's cell -> ADC distance 0
+    assert got[0] == (1, 0) and got[1] == (2, 0)
+    # everything outside the cell is strictly farther
+    assert got[2][1] > 0
+
+    cb = Sim.pq_train(emb, m=2, ksub=4, iters=2, dims=8)
+    assert cb.count() == 2 * 4  # m x ksub codewords, broadcastable always
+    codes = Sim.pq_encode(emb, cb, m=2, dims=8)
+    assert codes.count() == 12 * 2  # one code per (vector, subspace)
+    # identical vectors encode identically regardless of partitioning
+    c1 = {(r.vec_id, r.sub): r.code for r in codes.collect()}
+    c2 = {
+        (r.vec_id, r.sub): r.code
+        for r in Sim.pq_encode(emb.repartition(5), cb, m=2, dims=8).collect()
+    }
+    assert c1 == c2
