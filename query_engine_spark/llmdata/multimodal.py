@@ -63,6 +63,9 @@ __all__ = [
     "make_png",
     "decode_png",
     "png_features",
+    "make_gif",
+    "decode_gif",
+    "gif_features",
     "text_compress",
     "text_decompress",
 ]
@@ -850,6 +853,256 @@ def png_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(run, _PNG_SCHEMA)
+
+
+# --- GIF (LZW is pure arithmetic — no library needed at all) --------------
+
+
+def _lzw_compress(data: bytes, min_code_size: int) -> bytes:
+    """GIF LZW encode: variable-width codes (min+1 → 12 bits) packed
+    LSB-first, clear/EOI codes, dictionary reset when code 4095 would be
+    assigned. The width schedule is the giflib-compatible one — after every
+    emitted code, grow the width if the next code to ASSIGN no longer fits
+    — which counts emissions, not table entries, so the final flush (which
+    assigns nothing) still advances the schedule exactly like the decoder's
+    per-read count does."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    res = bytearray()
+    acc = nbits = 0
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        # emit at the CURRENT width, then post-check growth (giflib order)
+        nonlocal acc, nbits, width
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            res.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+
+    emit(clear)
+    w_str = b""
+    for byte in data:
+        wc = w_str + bytes([byte])
+        if wc in table:
+            w_str = wc
+            continue
+        emit(table[w_str])
+        if next_code >= 4095:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        else:
+            table[wc] = next_code
+            next_code += 1
+        w_str = bytes([byte])
+    if w_str:
+        emit(table[w_str])
+    emit(eoi)
+    if nbits:
+        res.append(acc & 0xFF)
+    return bytes(res)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+    """GIF LZW decode, giflib-compatible: a per-read counter drives the
+    width schedule (grow when counter passes 2^width — one count per code
+    READ, matching the encoder's one check per code EMITTED), table entries
+    are assigned one behind the reads (the KwKwK case is a reference to the
+    entry being assigned), and a clear code resets everything."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    counter = eoi + 1
+    width = min_code_size + 1
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated before EOI")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if counter < 4097:
+            counter += 1
+            if counter > (1 << width) and width < 12:
+                width += 1
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            counter = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"LZW code {code} out of range after clear")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # KwKwK: the entry being assigned
+            else:
+                raise ValueError(f"LZW code {code} out of range (table={len(table)})")
+            if len(table) < 4095:
+                table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+
+
+def make_gif(media_id: int, width: int, height: int) -> bytes:
+    """Pack a deterministic GIF89a: 256-entry global palette (entry i =
+    (i, i·3 mod 256, i·7 mod 256)), one full-frame image, REAL LZW-coded
+    pixel indices. Index of pixel (x, y) is ``(media_id*31 + y*7 + x*3) %
+    256`` — same family as `make_bmp`, so the oracle predicts every decoded
+    feature by integer arithmetic."""
+    import struct
+
+    palette = bytes(
+        v for i in range(256) for v in (i, (i * 3) % 256, (i * 7) % 256)
+    )
+    idx = bytes(
+        (media_id * 31 + y * 7 + x * 3) % 256
+        for y in range(height)
+        for x in range(width)
+    )
+    lzw = _lzw_compress(idx, 8)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        sub = lzw[i : i + 255]
+        blocks.append(len(sub))
+        blocks += sub
+    blocks.append(0)  # block terminator
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 2^8 entries
+        + palette
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + b"\x08"  # LZW min code size
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def decode_gif(blob: bytes) -> tuple[int, int, int, int, int]:
+    """REAL GIF decode → (width, height, idx_sum, rgb_sum, top_left_idx).
+
+    Parses the logical screen descriptor, global color table, extension
+    blocks (skipped per spec), and the first image descriptor, then
+    LZW-DECOMPRESSES the pixel indices (variable-width codes, clear/EOI,
+    KwKwK) and folds them through the palette. Interlaced images and local
+    color tables raise NotImplementedError; a truncated stream or an index
+    count that disagrees with the descriptor raises ValueError."""
+    import struct
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(blob) < 13:
+        raise ValueError("truncated logical screen descriptor")
+    _, _, packed, _, _ = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    palette = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = blob[pos : pos + 3 * n]
+        if len(palette) < 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    while True:
+        if pos >= len(blob):
+            raise ValueError("no image descriptor before end of data")
+        b0 = blob[pos]
+        pos += 1
+        if b0 == 0x3B:
+            raise ValueError("trailer before any image descriptor")
+        if b0 == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while pos < len(blob) and blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected block 0x{b0:02x}")
+        if pos + 9 > len(blob):
+            raise ValueError("truncated image descriptor")
+        _, _, iw, ih, ipacked = struct.unpack_from("<HHHHB", blob, pos)
+        pos += 9
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        if ipacked & 0x80:
+            raise NotImplementedError("local color table not supported")
+        break
+    if iw <= 0 or ih <= 0:
+        raise ValueError(f"invalid dimensions {iw}x{ih}")
+    if not palette:
+        raise ValueError("no color table for image")
+    min_code_size = blob[pos]
+    pos += 1
+    lzw = bytearray()
+    while True:
+        if pos >= len(blob):
+            raise ValueError("truncated image data sub-blocks")
+        n = blob[pos]
+        pos += 1
+        if n == 0:
+            break
+        lzw += blob[pos : pos + n]
+        pos += n
+    idx = _lzw_decompress(bytes(lzw), min_code_size)
+    if len(idx) != iw * ih:
+        raise ValueError(f"decoded {len(idx)} indices for {iw}x{ih} image")
+    idx_sum = sum(idx)
+    rgb_sum = sum(
+        palette[3 * i] + palette[3 * i + 1] + palette[3 * i + 2] for i in idx
+    )
+    return iw, ih, idx_sum, rgb_sum, idx[0]
+
+
+_GIF_SCHEMA = "media_id long, width int, height int, idx_sum long, rgb_sum long, top_left_idx int"
+
+
+def gif_features(df: DataFrame) -> DataFrame:
+    """REAL LZW-compressed-image decode stage: distributed GIF parse via
+    Arrow mapInPandas — same map-only plan shape as `png_features`;
+    hash-verified by the registry's `multimodal_gif`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                w, h, idx_sum, rgb_sum, top_left = decode_gif(bytes(blob))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "idx_sum": idx_sum,
+                        "rgb_sum": rgb_sum,
+                        "top_left_idx": top_left,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "idx_sum", "rgb_sum", "top_left_idx",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _GIF_SCHEMA)
 
 
 # --- compressed TEXT ingestion (zlib is stdlib): web-scale corpora arrive

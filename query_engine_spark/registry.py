@@ -2967,6 +2967,47 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_gif",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 28 + doc_id % 5 AS width, 18 + doc_id % 4 AS height
+      FROM documents WHERE doc_id < 64
+    ),
+    px AS (
+      SELECT m.media_id, m.width, m.height,
+             (m.media_id*31 + y.y*7 + x.x*3) % 256 AS idx
+      FROM m, generate_series(0, 21) AS y(y), generate_series(0, 32) AS x(x)
+      WHERE y.y < m.height AND x.x < m.width
+    )
+    SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(SUM(idx) AS BIGINT) AS idx_sum,
+           CAST(SUM(idx + (idx*3) % 256 + (idx*7) % 256) AS BIGINT) AS rgb_sum,
+           CAST(media_id*31 % 256 AS INT) AS top_left_idx
+    FROM px GROUP BY media_id, width, height
+    """,
+    "multimodal REAL LZW-compressed-image decode, hash-verified: GIF89a "
+    "payloads (256-entry palette, REAL variable-width LZW with the "
+    "giflib-compatible width schedule — images are big enough that the "
+    "9->10-bit code-width transition happens inside the driver-checked "
+    "path) are packed distributed, then decoded distributed by a "
+    "pure-Python parser (screen descriptor, palette, extension skipping, "
+    "sub-block reassembly, full LZW including KwKwK and clear-code resets) "
+    "in Arrow mapInPandas; the oracle predicts palette-index and RGB sums "
+    "by integer arithmetic, so a mis-timed width bump or a wrong KwKwK "
+    "reconstruction fails the hash (llmdata/multimodal.py "
+    "make_gif/decode_gif/gif_features)",
+)
+def multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = _pack_media(ids, lambda i: MM.make_gif(i, 28 + i % 5, 18 + i % 4))
+    media = MM.attach_media_meta(media, media_type="image/gif")
+    return MM.gif_features(media)
+
+
+@_register(
     "llm_compressed_ingest",
     """
     SELECT doc_id, CAST(length(text) AS BIGINT) AS chars, md5(text) AS fp

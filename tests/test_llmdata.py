@@ -1079,3 +1079,58 @@ def test_pq_adc_recovers_planted_clusters(spark):
         for r in Sim.pq_encode(emb.repartition(5), cb, m=2, dims=8).collect()
     }
     assert c1 == c2
+
+
+def test_gif_decode_real(spark):
+    """REAL GIF/LZW: distributed decode must reproduce the generator's
+    integer arithmetic; the LZW layer must survive KwKwK runs, dictionary
+    overflow (clear-code reset), and reject malformed payloads."""
+    import pytest
+
+    rows = [(i,) for i in (0, 5, 17)]
+    ids = spark.createDataFrame(rows, "media_id long")
+    import pandas as _pd
+
+    def pack(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        MM.make_gif(int(i), 28 + int(i) % 5, 18 + int(i) % 4)
+                        for i in pdf["media_id"]
+                    ],
+                }
+            )
+
+    media = ids.mapInPandas(pack, "media_id long, payload binary")
+    got = {r.media_id: r for r in MM.gif_features(media).collect()}
+    for mid in (0, 5, 17):
+        w, h = 28 + mid % 5, 18 + mid % 4
+        exp_idx = sum((mid * 31 + y * 7 + x * 3) % 256 for y in range(h) for x in range(w))
+        exp_rgb = sum(
+            v + (v * 3) % 256 + (v * 7) % 256
+            for v in ((mid * 31 + y * 7 + x * 3) % 256 for y in range(h) for x in range(w))
+        )
+        r = got[mid]
+        assert (r.width, r.height, r.idx_sum, r.rgb_sum, r.top_left_idx) == (
+            w, h, exp_idx, exp_rgb, mid * 31 % 256
+        )
+
+    # LZW edge cases, driver-side (pure functions)
+    kwkwk = b"\x01" * 500  # aaaa... forces code == next-entry reference
+    assert MM._lzw_decompress(MM._lzw_compress(kwkwk, 8), 8) == kwkwk
+    noisy = bytes((i * i * 31 + 7 * i) % 256 for i in range(60_000))  # > 4095 entries
+    assert MM._lzw_decompress(MM._lzw_compress(noisy, 8), 8) == noisy
+
+    with pytest.raises(ValueError):
+        MM.decode_gif(b"not a gif")
+    blob = MM.make_gif(1, 10, 8)
+    with pytest.raises(ValueError):
+        MM.decode_gif(blob[:40])  # truncated inside palette/descriptor
+    # extension blocks are skipped per spec: splice a comment extension in
+    # front of the image descriptor
+    hdr_end = 13 + 3 * 256
+    ext = b"\x21\xfe\x05hello\x00"
+    spliced = blob[:hdr_end] + ext + blob[hdr_end:]
+    assert MM.decode_gif(spliced) == MM.decode_gif(blob)
