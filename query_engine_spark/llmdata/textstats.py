@@ -36,6 +36,7 @@ __all__ = [
     "train_hashed_classifier",
     "hashed_classifier_score",
     "dsir_weights",
+    "winnow_fingerprints",
 ]
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbols
@@ -1325,6 +1326,71 @@ def dsir_weights(
             F.floor(F.sum("r_q") / F.count(F.lit(1))).cast("long").alias("dsir_weight_q"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character k-gram, slide a
+    window of `w` consecutive hashes, and keep each window's minimum
+    (rightmost on ties, per the paper). Guarantee: any match of length
+    ≥ w + k − 1 between two documents shares at least one fingerprint,
+    with ~2/(w+1) of positions selected — position-robust dedup/plagiarism
+    signatures at a fraction of full-gram cost.
+
+    Engine-portable rightmost-min: each (hash, pos) is packed into one
+    bigint ``h·2²⁰ + (2²⁰ − pos)`` so a plain integer MIN picks the lowest
+    hash and breaks ties toward the LARGER position; the pack is inverted
+    exactly with div/mod (doc offsets must stay < 2²⁰ ≈ 1M chars — chunk
+    longer docs first with `chunk_documents`).
+
+    Shape at 100 TB: one position explode + ONE doc-keyed shuffle carrying
+    the (pos, hash) stream — the w-row running MIN and the final DISTINCT
+    both ride that same partitioning (same single-exchange discipline as
+    `duplicated_spans`). Fingerprint volume is ~2/(w+1) of gram volume, so
+    downstream match-joins touch a fraction of the data full-gram methods
+    shuffle. Returns (id_col, fpos, fph) — the distinct selected
+    fingerprints; docs shorter than w+k−1 produce none (no full window).
+    """
+    from pyspark.sql import Window as _W
+
+    pack = 1 << 20
+    base = docs.select(F.col(id_col), F.lower(F.col(text_col)).alias("t")).select(
+        id_col, "t", (F.length("t") - (k - 1)).alias("ng")
+    )
+    g = base.select(
+        id_col,
+        "ng",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.col("ng"), F.lit(0)))).alias("pos"),
+        "t",
+    ).select(
+        id_col,
+        "ng",
+        "pos",
+        F.conv(
+            F.substring(F.md5(F.expr(f"substring(t, pos, {k})")), 1, 8), 16, 10
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    enc = F.col("h") * pack + (pack - F.col("pos"))
+    win = _W.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        g.withColumn("m", F.min(enc).over(win))
+        .filter(F.col("pos") <= F.col("ng") - (w - 1))  # full windows only
+        .select(
+            id_col,
+            (F.lit(pack) - F.col("m") % pack).alias("fpos"),
+            F.expr(f"m div {pack}").alias("fph"),  # exact bigint unpack
+        )
+    )
+    return sel.distinct()
 
 
 def top_terms(

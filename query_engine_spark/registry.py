@@ -5003,6 +5003,42 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_winnowing",
+    """
+    WITH d AS (
+      SELECT doc_id, lower(text) AS t, length(text) - 4 AS ng
+      FROM documents WHERE doc_id < 200
+    ),
+    g AS (
+      SELECT doc_id, ng, CAST(r.i AS BIGINT) AS pos,
+             ('0x' || substr(md5(substr(t, CAST(r.i AS INT), 5)), 1, 8))::BIGINT AS h
+      FROM d, unnest(range(1, greatest(ng, 0) + 1)) AS r(i)
+    ),
+    m AS (
+      SELECT doc_id, ng, pos,
+             min(h * 1048576 + (1048576 - pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+      FROM g
+    )
+    SELECT DISTINCT doc_id,
+           1048576 - (mn % 1048576) AS fpos,
+           mn // 1048576 AS fph
+    FROM m WHERE pos <= ng - 3
+    """,
+    "winnowing document fingerprints (Schleimer'03 SIGMOD / MOSS): char "
+    "5-gram hashes, window-4 rightmost-min selection via a single packed "
+    "bigint MIN (h*2^20 + (2^20 - pos)), ~2/(w+1) selection density with "
+    "the shared-fingerprint guarantee for matches >= w+k-1 "
+    "(llmdata/textstats.py winnow_fingerprints; one doc-keyed shuffle "
+    "carries the window AND the distinct)",
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return Tx.winnow_fingerprints(docs, k=5, w=4)
+
+
+@_register(
     "llm_dsir_weights",
     f"""
     WITH ws AS (

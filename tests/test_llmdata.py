@@ -1134,3 +1134,34 @@ def test_gif_decode_real(spark):
     ext = b"\x21\xfe\x05hello\x00"
     spliced = blob[:hdr_end] + ext + blob[hdr_end:]
     assert MM.decode_gif(spliced) == MM.decode_gif(blob)
+
+
+def test_winnowing_guarantee_and_ties(spark):
+    """Schleimer'03 §2: docs sharing a substring of length >= w+k-1 must
+    share a fingerprint; all-equal hashes select the RIGHTMOST window min."""
+    shared = "the common stolen passage here"
+    d1 = "prefix one %s suffix alpha" % shared
+    d2 = "totally different opening %s and ending" % shared
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, "unrelated short words entirely")],
+        "doc_id long, text string",
+    )
+    out = Tx.winnow_fingerprints(docs, k=5, w=4)
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r.doc_id, set()).add(r.fph)
+    assert fps[1] & fps[2], "shared passage must share a fingerprint"
+    # density ~ 2/(w+1): far fewer fingerprints than grams
+    n1 = len(d1) - 4
+    assert len({(r.fpos, r.fph) for r in out.collect() if r.doc_id == 1}) < n1 / 2
+
+    # rightmost tie-break: constant text -> every k-gram hash equal -> each
+    # full window selects its LAST position -> fingerprints at w..ng
+    const = spark.createDataFrame([(9, "a" * 12)], "doc_id long, text string")
+    sel = Tx.winnow_fingerprints(const, k=5, w=4)
+    ng = 12 - 4  # 8 grams
+    assert sorted(r.fpos for r in sel.collect()) == list(range(4, ng + 1))
+
+    # doc too short for a full window -> no fingerprints
+    tiny = spark.createDataFrame([(5, "abcdefg")], "doc_id long, text string")
+    assert Tx.winnow_fingerprints(tiny, k=5, w=4).count() == 0
