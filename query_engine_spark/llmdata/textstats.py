@@ -1197,8 +1197,9 @@ def train_hashed_classifier(
 def hashed_classifier_score(
     docs: DataFrame,
     weights: DataFrame,
-    prior_label: Column,
+    prior_label: Column | None = None,
     *,
+    prior_q: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 4096,
@@ -1209,8 +1210,10 @@ def hashed_classifier_score(
 
     score_q(doc) = prior_q + floor(Σ w_q(bkt(token)) / n_tokens);
     prior_q = floor(quant·(P+1)/(P+N+2)) − quant/2 over the scored corpus
-    (`prior_label` marks positives). Prediction = score_q > 0. Token-less
-    docs keep the prior (LEFT join back to `docs`).
+    (`prior_label` marks positives) — or pass the trained `prior_q`
+    directly. Exactly one of `prior_label` / `prior_q` must be given.
+    Prediction = score_q > 0. In batch, token-less docs keep the prior
+    (LEFT join back to `docs`).
 
     Shape: token explode → broadcast join against the n_buckets-row model
     (never a shuffle on the text side's vocabulary) → one doc-keyed agg →
@@ -1218,39 +1221,58 @@ def hashed_classifier_score(
     for quality-filter classifiers at 100 TB: map-only against a broadcast
     table, so scoring runs at scan speed.
 
+    STREAMING: `docs` may be a streaming DataFrame — the production
+    quality-gate shape (train offline, score the firehose). Requires a
+    precomputed `prior_q` (an agg over an unbounded stream is ill-defined)
+    and uses one stateful operator only: the stream-static model join is
+    stateless, then a single doc-keyed agg. Token-less docs don't surface
+    (a stream can't left-join back to itself).
+
     Returns (id_col, n_tokens, score_q, pred).
     """
-    prior = docs.agg(
-        (
-            F.floor(
-                (F.sum(F.when(prior_label, 1).otherwise(0)) + 1)
-                * quant
-                / (F.count(F.lit(1)) + 2)
-            ).cast("long")
-            - quant // 2
-        ).alias("prior_q")
-    )
+    if (prior_label is None) == (prior_q is None):
+        raise ValueError("pass exactly one of prior_label / prior_q")
+    if docs.isStreaming and prior_q is None:
+        raise ValueError(
+            "streaming scoring needs a precomputed prior_q — train offline "
+            "with train_hashed_classifier and a batch prior"
+        )
     toks = docs.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("t")
     ).filter(F.col("t") != "")
-    scored = (
+    agg = (
         toks.select(id_col, hash_bucket(F.col("t"), n_buckets).alias("bkt"))
         .join(F.broadcast(weights), "bkt")
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.floor(F.sum("w_q") / F.count(F.lit(1))).cast("long").alias("mean_w_q"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("w_q").alias("sum_w_q"))
     )
-    out = (
-        docs.select(id_col)
-        .join(scored, id_col, "left")
-        .crossJoin(F.broadcast(prior))
-        .select(
-            id_col,
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            (F.col("prior_q") + F.coalesce("mean_w_q", F.lit(0))).alias("score_q"),
+    mean_w = F.floor(F.col("sum_w_q") / F.col("n_tokens")).cast("long")
+    if docs.isStreaming:
+        scored = agg.select(
+            id_col, "n_tokens", (F.lit(prior_q) + mean_w).alias("score_q")
         )
+        return scored.withColumn("pred", F.col("score_q") > 0)
+    scored = agg.select(id_col, "n_tokens", mean_w.alias("mean_w_q"))
+    base = docs.select(id_col).join(scored, id_col, "left")
+    if prior_q is not None:
+        prior_col = F.lit(prior_q)
+    else:
+        prior = docs.agg(
+            (
+                F.floor(
+                    (F.sum(F.when(prior_label, 1).otherwise(0)) + 1)
+                    * quant
+                    / (F.count(F.lit(1)) + 2)
+                ).cast("long")
+                - quant // 2
+            ).alias("prior_q")
+        )
+        base = base.crossJoin(F.broadcast(prior))
+        prior_col = F.col("prior_q")
+    out = base.select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        (prior_col + F.coalesce("mean_w_q", F.lit(0))).alias("score_q"),
     )
     return out.withColumn("pred", F.col("score_q") > 0)
 

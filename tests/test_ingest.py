@@ -242,3 +242,51 @@ def test_streaming_lm_score_static_lm(spark, tmp_path):
         for r in Tx.lm_score_docs(docs, lm).collect()
     }
     assert got == batch and len(got) == 3
+
+
+def test_streaming_classifier_score_static_model(spark, tmp_path):
+    """Stream-side quality gate: train the hashed classifier OFFLINE, score
+    the document STREAM against the broadcast model (stream-static join +
+    one stateful agg). Streaming result must equal batch scoring with the
+    same pretrained model and prior."""
+    from query_engine_spark.llmdata import textstats as Tx
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", True), (2, "uno dos tres", False),
+         (3, "alpha dos beta", True)],
+        "doc_id long, text string, y boolean",
+    )
+    w = Tx.train_hashed_classifier(docs, F.col("y"), n_buckets=64)
+    prior_q = 0  # balanced demo prior
+    path = str(tmp_path / "docs_stream")
+    docs.write.parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    scored = Tx.hashed_classifier_score(stream, w, prior_q=prior_q, n_buckets=64)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("t_clf")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.doc_id: (r.n_tokens, r.score_q, r.pred)
+            for r in spark.table("t_clf").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        r.doc_id: (r.n_tokens, r.score_q, r.pred)
+        for r in Tx.hashed_classifier_score(docs, w, prior_q=prior_q, n_buckets=64).collect()
+    }
+    assert got == batch and len(got) == 3
+
+    # guard rails: stream without prior_q, and double-prior
+    import pytest
+
+    with pytest.raises(ValueError, match="prior_q"):
+        Tx.hashed_classifier_score(stream, w, F.col("y"), n_buckets=64)
+    with pytest.raises(ValueError, match="exactly one"):
+        Tx.hashed_classifier_score(docs, w, F.col("y"), prior_q=1, n_buckets=64)
