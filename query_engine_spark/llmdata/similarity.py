@@ -425,7 +425,9 @@ def pq_train(
             .agg(F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("pm"))
             .select("sub", "code", F.transform("pm", lambda e: e["mn"]).alias("cv_new"))
         )
-        cbooks = cbooks.join(means, ["sub", "code"], "left").select(
+        # both sides are m·ksub rows (model-sized, data-independent) —
+        # broadcast so the update never plans a sort-merge exchange
+        cbooks = cbooks.join(F.broadcast(means), ["sub", "code"], "left").select(
             "sub", "code", F.coalesce("cv_new", "cv").alias("cv")
         )
     return cbooks

@@ -125,3 +125,46 @@ def test_bm25_indexed_static_bucket_pruning(spark):
     p = plan_of(spark, "text_bm25_indexed")
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
     assert m and "bucket" in m.group(1) and " IN " in m.group(1)
+
+
+def test_pq_adc_all_joins_broadcast(spark):
+    """PQ: every join (codebook assignment, update, LUT) must broadcast its
+    model-sized side — zero sort-merge exchanges on join keys, and the
+    query×codes work is a key join, never a cartesian."""
+    p = plan_of(spark, "embed_pq_topk")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_classifier_model_join_broadcast(spark):
+    """The hashing-trick point: the model join must be broadcast — the
+    token stream never shuffles by vocabulary/bucket."""
+    p = plan_of(spark, "llm_quality_classifier")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_dsir_ratio_tables_broadcast(spark):
+    p = plan_of(spark, "llm_dsir_weights")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_winnowing_two_exchanges_only(spark):
+    """One doc-keyed exchange for the running-min window, one for the final
+    distinct — no join, no global sort."""
+    import re
+
+    p = plan_of(spark, "text_winnowing")
+    assert len(re.findall(r"\bExchange\b", p)) <= 2
+    assert "Join" not in p
+
+
+def test_gif_decode_map_only(spark):
+    import re
+
+    p = plan_of(spark, "multimodal_gif")
+    assert len(re.findall(r"\bExchange\b", p)) == 0
