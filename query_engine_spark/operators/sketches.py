@@ -27,7 +27,15 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["kmv_distinct", "kmv_set_ops", "md5_hash60", "group_quantiles", "group_quantiles_bucketed"]
+__all__ = [
+    "kmv_distinct",
+    "kmv_set_ops",
+    "md5_hash60",
+    "group_quantiles",
+    "group_quantiles_bucketed",
+    "countmin_sketch",
+    "countmin_estimate",
+]
 
 # hashes are 60-bit ints (15 md5 hex chars): exact in a signed 64-bit on
 # both engines, and 2^60 is exactly representable as a double for the
@@ -240,3 +248,85 @@ def group_quantiles_bucketed(
             ).alias(name)
         )
     return r.groupBy(*groups).agg(*aggs)
+
+
+def _cm_bucket(col: Column, row: int, w: int) -> Column:
+    """Row-r count-min bucket of a value: md5-prefix hash of "r|value" mod w
+    — engine-portable (same idiom as md5_hash60) and independent across
+    rows because the row index salts the hash input."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{row}|"), col.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+    return h % w
+
+
+def countmin_sketch(
+    df: DataFrame,
+    item_col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) of a
+    column's frequency distribution: d independent hash rows × w buckets,
+    ``sketch[r][b] = count of items hashing to b in row r``.
+
+    Returns the sketch as (row, bucket, cnt) — AT MOST d·w rows no matter
+    the input cardinality, which is the whole point: frequency state in
+    kilobytes at any scale, and two sketches MERGE by adding counts
+    pointwise (union of partitions, days, or streams = one groupBy sum),
+    where an exact per-item count table grows with cardinality.
+
+    Shape: one array literal of the d (row, bucket) pairs per input row →
+    posexplode-free explode → ONE hash-agg with map-side combine. Estimate
+    guarantees: est ≥ true count always (only overcounts), and
+    est ≤ true + εN with probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("row"),
+                _cm_bucket(F.col(item_col), r, w).alias("bucket"),
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("e"))
+        .select(F.col("e.row").alias("row"), F.col("e.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for each candidate item: estimate = MIN over
+    the d rows of the item's bucket count (missing bucket → 0).
+
+    The sketch side is ≤ d·w rows — always broadcast; candidates explode
+    into d probe rows, join map-only, and one item-keyed agg takes the
+    min. Returns (item_col, cm_est)."""
+    probes = items.select(
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        _cm_bucket(F.col(item_col), r, w).alias("bucket"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("e"),
+    ).select(item_col, F.col("e.row").alias("row"), F.col("e.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_est"))
+    )

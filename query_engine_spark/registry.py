@@ -5003,6 +5003,63 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_countmin",
+    """
+    WITH b AS (
+      SELECT user_id, r.r,
+             ('0x' || substr(md5(r.r || '|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 1024
+               AS bucket
+      FROM events, unnest(range(4)) AS r(r)
+    ),
+    sketch AS (
+      SELECT r, bucket, count(*) AS cnt FROM b GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM events GROUP BY 1 ORDER BY exact_cnt DESC, user_id LIMIT 20
+    ),
+    probes AS (
+      SELECT e.user_id, e.exact_cnt, r.r,
+             ('0x' || substr(md5(r.r || '|' || CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT % 1024
+               AS bucket
+      FROM exact e, unnest(range(4)) AS r(r)
+    )
+    SELECT p.user_id, p.exact_cnt,
+           CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cm_est,
+           CAST(min(coalesce(s.cnt, 0)) - p.exact_cnt AS BIGINT) AS overcount
+    FROM probes p LEFT JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+    GROUP BY 1, 2
+    """,
+    "count-min sketch heavy hitters (Cormode & Muthukrishnan'05): 4x1024 "
+    "md5-salted sketch of event user frequencies — frequency state bounded "
+    "at d*w integers regardless of cardinality, mergeable across "
+    "partitions/days by pointwise add; the top-20 exact users are "
+    "point-queried against it and the one-sided error (est >= exact, "
+    "overcount <= eps*N w.h.p.) is surfaced per row "
+    "(operators/sketches.py countmin_sketch/countmin_estimate)",
+)
+def events_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sketch = Sk.countmin_sketch(ev, "user_id", d=4, w=1024)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+        .limit(20)
+    )
+    est = Sk.countmin_estimate(sketch, exact.select("user_id"), "user_id", d=4, w=1024)
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )
+
+
+@_register(
     "text_winnowing",
     """
     WITH d AS (

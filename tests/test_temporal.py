@@ -529,3 +529,38 @@ def test_ohlc_single_exchange(spark):
         df.explain("formatted")
     tree = buf.getvalue().split("\n\n")[0]  # the operator tree, not the detail
     assert tree.count("Exchange") == 1, tree
+
+
+def test_countmin_one_sided_error_and_merge(spark):
+    """CM guarantees: est >= exact always; small sketches collide and only
+    OVERcount; two partition sketches merged by pointwise add equal the
+    whole-data sketch."""
+    import pyspark.sql.functions as F
+    from query_engine_spark.operators import sketches as Sk
+
+    rows = [(i % 7,) for i in range(700)] + [(100 + i,) for i in range(50)]
+    df = spark.createDataFrame(rows, "user_id long")
+    sketch = Sk.countmin_sketch(df, "user_id", d=4, w=32)  # tiny -> collisions
+    items = df.select("user_id").distinct()
+    est = {r.user_id: r.cm_est for r in
+           Sk.countmin_estimate(sketch, items, "user_id", d=4, w=32).collect()}
+    exact = {r.user_id: r.cnt for r in
+             df.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert all(est[u] >= exact[u] for u in exact)  # one-sided
+    # heavy hitters dominate their buckets: the 7 heavy users estimate
+    # within eps*N of truth for w=32 (eps ~ e/32, N=750 -> slack ~64)
+    assert all(est[u] - exact[u] <= 5 * 750 / 32 for u in range(7))
+
+    # mergeability: sketch(A) + sketch(B) == sketch(A union B)
+    a = df.filter(F.col("user_id") < 50)
+    b = df.filter(F.col("user_id") >= 50)
+    merged = (
+        Sk.countmin_sketch(a, "user_id", d=4, w=32)
+        .unionByName(Sk.countmin_sketch(b, "user_id", d=4, w=32))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r.row, r.bucket): r.cnt for r in
+             Sk.countmin_sketch(df, "user_id", d=4, w=32).collect()}
+    got = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    assert got == whole
