@@ -39,6 +39,7 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_adc_topk",
+    "ivfpq_topk",
 ]
 
 
@@ -400,10 +401,15 @@ def pq_train(
     format table; pack to a byte array at the storage boundary), and
     search never touches the raw vectors again.
     """
-    dsub = dims // m
     q = embeddings.select(
         F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col), quant).alias("qv")
     )
+    return _pq_train_q(q, m, ksub, iters, dims // m)
+
+
+def _pq_train_q(q: DataFrame, m: int, ksub: int, iters: int, dsub: int) -> DataFrame:
+    """Codebook training over pre-quantized q = (vec_id, qv) — split out so
+    IVF-PQ can train on RESIDUALS (already integer) without requantizing."""
     seeds = q.orderBy("vec_id").limit(ksub)
     seeds = seeds.withColumn(
         "code", (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("int")
@@ -514,6 +520,107 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    coarse_k: int = 4,
+    coarse_iters: int = 2,
+    m: int = 4,
+    ksub: int = 4,
+    pq_iters: int = 2,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dims: int = 64,
+    quant: int = 1000,
+) -> DataFrame:
+    """IVF-PQ (Jégou'11 §V — the FAISS `IVFx,PQy` layout) as pure DataFrame
+    composition: coarse k-means cells prune WHICH vectors are scored,
+    product-quantized RESIDUALS (vector − its cell centroid) compress HOW
+    they are scored.
+
+    Pipeline, all integer-exact on the quantized grid:
+      1. coarse: `_kmeans_centroids` (cosine assignment, same operator IVF
+         uses), every vector's residual = qv − centroid;
+      2. PQ codebooks trained ON RESIDUALS (`_pq_train_q` — one shared
+         codebook across cells, FAISS's default), vectors encoded to m
+         codes;
+      3. search: each query probes its `nprobe` nearest cells; PER
+         (query, cell) the query residual builds an ADC lookup table; the
+         codes of that cell's vectors join the broadcast LUT on
+         (cell, sub, code) and one agg sums the m partial distances.
+
+    Scale story — the two halves multiply: IVF's partition pruning means a
+    query touches nprobe/coarse_k of the CODES table (cell-partition the
+    codes like `write_ivf_index` to make that directory-level pruning),
+    and PQ means what it touches is m bytes per vector, not the raw
+    embedding column. Residual encoding is why IVF-PQ beats flat PQ at
+    equal bits: residuals are centered near zero, so the same ksub
+    codewords quantize them with far less error.
+
+    Returns (query_id, vec_id, adc_dist, rank) — approximate squared-L2 of
+    residual differences, ties → lowest vec_id.
+    """
+    dsub = dims // m
+    q = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col), quant).alias("qv")
+    )
+    cents = _kmeans_centroids(q, coarse_k, coarse_iters)
+    assigned = assign_cells(q, cents, vec_col="qv", cent_vec_col="cv")
+    res = assigned.join(F.broadcast(cents), "cent_id").select(
+        "vec_id",
+        "cent_id",
+        F.zip_with("v", "cv", lambda x, y: x - y).alias("qv"),
+    )
+    cbooks = _pq_train_q(res.select("vec_id", "qv"), m, ksub, pq_iters, dsub)
+    # carry cent_id THROUGH the assignment as part of the (struct) id so the
+    # codes table needs no corpus-sized self-join to recover its cell
+    packed = res.select(F.struct("vec_id", "cent_id").alias("vec_id"), "qv")
+    codes = _pq_assign(_pq_subvectors(packed, m, dsub), cbooks).select(
+        F.col("vec_id.vec_id").alias("vec_id"),
+        F.col("vec_id.cent_id").alias("cent_id"),
+        "sub",
+        "code",
+    )
+
+    qs = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        quantize_vec(F.col(query_vec_col), quant).alias("qv"),
+    )
+    probes = _query_probes(
+        cents.select("cent_id", F.col("cv").alias("cent_vec")),
+        qs,
+        nprobe,
+        query_vec_col="qv",
+    )
+    qres = probes.join(
+        F.broadcast(cents.withColumnRenamed("cent_id", "qcent_id")), "qcent_id"
+    ).select(
+        F.struct("query_id", "qcent_id").alias("qid_cell"),
+        F.zip_with("qv", "cv", lambda x, y: x - y).alias("rqv"),
+    )
+    qsub = _pq_subvectors(qres, m, dsub, id_col="qid_cell", vec_col="rqv")
+    lut = qsub.join(F.broadcast(cbooks), "sub").select(
+        F.col("qid_cell.query_id").alias("query_id"),
+        F.col("qid_cell.qcent_id").alias("cent_id"),
+        "sub",
+        "code",
+        _l2_sq(F.col("sv"), F.col("cv")).alias("pd"),
+    )
+    cand = codes.join(F.broadcast(lut), ["cent_id", "sub", "code"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.groupBy("query_id", "vec_id").agg(F.sum("pd").alias("adc_dist"))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
 def kmeans_lloyd(
     embeddings: DataFrame,
     k: int = 8,
@@ -544,6 +651,16 @@ def kmeans_lloyd(
     q = embeddings.select(
         F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col), quant).alias("qv")
     )
+    cents = _kmeans_centroids(q, k, iters)
+    final = assign_cells(q, cents, vec_col="qv", cent_vec_col="cv")
+    return final.select("vec_id", "cent_id")
+
+
+def _kmeans_centroids(q: DataFrame, k: int, iters: int) -> DataFrame:
+    """(cent_id, cv) after `iters` quantized-Lloyd's rounds over
+    q = (vec_id, qv) — the centroid-table half of `kmeans_lloyd`, split out
+    so IVF-PQ can compute residuals against the SAME centroids the
+    assignment used."""
     cents = (
         q.orderBy("vec_id")
         .limit(k)
@@ -562,11 +679,10 @@ def kmeans_lloyd(
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cent_id", F.transform("pm", lambda e: e["m"]).alias("cv_new"))
         )
-        cents = cents.join(means, "cent_id", "left").select(
+        cents = cents.join(F.broadcast(means), "cent_id", "left").select(
             "cent_id", F.coalesce("cv_new", "cv").alias("cv")
         )
-    final = assign_cells(q, cents, vec_col="qv", cent_vec_col="cv")
-    return final.select("vec_id", "cent_id")
+    return cents
 
 
 def label_centroids(

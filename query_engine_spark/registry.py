@@ -4935,6 +4935,119 @@ def _pq_oracle(
     return sql
 
 
+def _ivfpq_oracle(
+    coarse_k: int = 4,
+    m: int = 4,
+    ksub: int = 4,
+    pq_iters: int = 2,
+    nprobe: int = 2,
+    k: int = 5,
+    dims: int = 64,
+) -> str:
+    """IVF-PQ as one CTE chain: the `_kmeans_oracle` coarse chain (c0..c2 +
+    fin), residuals against the final centroids, an unrolled per-subspace
+    PQ training on the residuals, and the per-(query, probed-cell) ADC
+    search. All integer arithmetic — engine-deterministic."""
+    dsub = dims // m
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}))"
+        )
+
+    def passign(cb: str) -> str:
+        return f"""
+      SELECT vec_id, sub, sv, code FROM (
+        SELECT ps.vec_id, ps.sub, ps.sv, c.code,
+               row_number() OVER (PARTITION BY ps.vec_id, ps.sub
+                 ORDER BY {d2('ps.sv', 'c.cv')}, c.code) AS rn
+        FROM ps JOIN {cb} c ON c.sub = ps.sub) WHERE rn = 1"""
+
+    def final(cos) -> str:
+        sql = f""", res AS (
+      SELECT f.vec_id, f.cent_id,
+             list_transform(range({dims}), i -> f.qv[i + 1] - c.cv[i + 1]) AS rv
+      FROM fin f JOIN c2 c ON c.cent_id = f.cent_id
+    ), ps AS (
+      SELECT vec_id, sub, list_slice(rv, sub * {dsub} + 1, sub * {dsub} + {dsub}) AS sv
+      FROM res, unnest(range({m})) AS t(sub)
+    ), pseeds AS (
+      SELECT vec_id, rv, row_number() OVER (ORDER BY vec_id) - 1 AS code
+      FROM (SELECT * FROM res ORDER BY vec_id LIMIT {ksub})
+    ), pb0 AS (
+      SELECT sub, code, list_slice(rv, sub * {dsub} + 1, sub * {dsub} + {dsub}) AS cv
+      FROM pseeds, unnest(range({m})) AS t(sub)
+    )"""
+        for i in range(pq_iters):
+            sql += f""", pa{i} AS ({passign(f'pb{i}')}
+    ), pu{i} AS (
+      SELECT sub, code, j, sum(sv[j + 1]) AS sm, count(*) AS c
+      FROM pa{i}, unnest(range({dsub})) AS t(j) GROUP BY 1, 2, 3
+    ), pm{i} AS (
+      SELECT sub, code, list(CAST(floor(CAST(sm AS DOUBLE) / c) AS BIGINT) ORDER BY j) AS cv_new
+      FROM pu{i} GROUP BY 1, 2
+    ), pb{i + 1} AS (
+      SELECT pb{i}.sub, pb{i}.code, coalesce(pm{i}.cv_new, pb{i}.cv) AS cv
+      FROM pb{i} LEFT JOIN pm{i} USING (sub, code)
+    )"""
+        sql += f""", pfin AS ({passign(f'pb{pq_iters}')}
+    ), pcodes AS (
+      SELECT p.vec_id, p.sub, p.code, r.cent_id
+      FROM pfin p JOIN res r ON r.vec_id = p.vec_id
+    ), qprobes AS (
+      SELECT query_id, qcent_id, qv FROM (
+        SELECT q.vec_id AS query_id, c.cent_id AS qcent_id, q.qv,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round({cos('q.qv', 'c.cv')}, 6) DESC, c.cent_id) AS rn
+        FROM q CROSS JOIN c2 c WHERE q.vec_id < 3) WHERE rn <= {nprobe}
+    ), qres AS (
+      SELECT p.query_id, p.qcent_id,
+             list_transform(range({dims}), i -> p.qv[i + 1] - c.cv[i + 1]) AS rqv
+      FROM qprobes p JOIN c2 c ON c.cent_id = p.qcent_id
+    ), qsub AS (
+      SELECT query_id, qcent_id, sub,
+             list_slice(rqv, sub * {dsub} + 1, sub * {dsub} + {dsub}) AS qsv
+      FROM qres, unnest(range({m})) AS t(sub)
+    ), lut AS (
+      SELECT qs.query_id, qs.qcent_id, cb.sub, cb.code, {d2('qs.qsv', 'cb.cv')} AS pd
+      FROM qsub qs JOIN pb{pq_iters} cb ON cb.sub = qs.sub
+    ), cand AS (
+      SELECT l.query_id, pc.vec_id, l.pd
+      FROM pcodes pc JOIN lut l
+        ON l.qcent_id = pc.cent_id AND l.sub = pc.sub AND l.code = pc.code
+      WHERE pc.vec_id != l.query_id
+    ), sc AS (
+      SELECT query_id, vec_id, CAST(sum(pd) AS BIGINT) AS adc_dist
+      FROM cand GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_dist, vec_id) AS rank FROM sc) WHERE rank <= {k}"""
+        return sql
+
+    return _kmeans_oracle(coarse_k, 2, 1000, dims, final_fn=final)
+
+
+@_register(
+    "embed_ivfpq_topk",
+    _ivfpq_oracle(),
+    "IVF-PQ ANN (Jégou'11 §V, the FAISS IVFx,PQy layout): coarse k-means "
+    "cells prune WHICH vectors are scored (nprobe=2 of 4 cells), "
+    "product-quantized RESIDUALS compress HOW (shared codebook trained on "
+    "vector - centroid, ADC per (query, cell) lookup table). The whole "
+    "train+encode+search pipeline is one lazy plan with only broadcast "
+    "model joins, verified by a fully unrolled CTE oracle "
+    "(llmdata/similarity.py ivfpq_topk)",
+)
+def embed_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return Sim.ivfpq_topk(emb, queries, k=5, coarse_k=4, m=4, ksub=4, nprobe=2)
+
+
 @_register(
     "embed_pq_topk",
     _pq_oracle(),

@@ -290,3 +290,30 @@ def test_streaming_classifier_score_static_model(spark, tmp_path):
         Tx.hashed_classifier_score(stream, w, F.col("y"), n_buckets=64)
     with pytest.raises(ValueError, match="exactly one"):
         Tx.hashed_classifier_score(docs, w, F.col("y"), prior_q=1, n_buckets=64)
+
+
+def test_streaming_countmin_sketch(spark, tmp_path):
+    """The count-min build is one explode + one stateful agg, so the same
+    operator runs on a stream; the streamed sketch must equal the batch
+    sketch of the same data (mergeable frequency state on the firehose)."""
+    from query_engine_spark.operators import sketches as Sk
+
+    df = spark.createDataFrame([(i % 5,) for i in range(200)], "user_id long")
+    path = str(tmp_path / "cm_stream")
+    df.write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    q = (
+        Sk.countmin_sketch(stream, "user_id", d=4, w=32)
+        .writeStream.format("memory")
+        .queryName("t_cm")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r.row, r.bucket): r.cnt for r in spark.table("t_cm").collect()}
+    finally:
+        q.stop()
+    want = {(r.row, r.bucket): r.cnt
+            for r in Sk.countmin_sketch(df, "user_id", d=4, w=32).collect()}
+    assert got == want and sum(want.values()) == 4 * 200

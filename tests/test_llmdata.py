@@ -1165,3 +1165,38 @@ def test_winnowing_guarantee_and_ties(spark):
     # doc too short for a full window -> no fingerprints
     tiny = spark.createDataFrame([(5, "abcdefg")], "doc_id long, text string")
     assert Tx.winnow_fingerprints(tiny, k=5, w=4).count() == 0
+
+
+def test_ivfpq_planted_cells(spark):
+    """IVF-PQ: identical vectors land in the same coarse cell with residual
+    0, so ADC distance is exactly 0 and they rank first; nprobe pruning
+    keeps far-cell vectors out of the candidate set."""
+    import itertools
+
+    protos = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0],
+              [0.0, 0.0, 10.0, 0.0], [0.0, 0.0, 0.0, 10.0]]
+    rows = []
+    vid = 0
+    for p in protos:
+        for j in range(4):
+            # tiny within-cell jitter on one dim keeps cells distinct
+            v = list(p)
+            v[0] += 0.001 * j if p[0] == 0 else 0.0
+            rows.append((vid, [float(x) for x in v + v]))  # 8-dim
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = Sim.ivfpq_topk(
+        emb, queries, k=3, coarse_k=4, coarse_iters=2, m=2, ksub=4,
+        nprobe=1, dims=8,
+    )
+    got = [(r.vec_id, r.adc_dist) for r in out.orderBy("rank").collect()]
+    # vectors 1-3 share vector 0's cell; identical prototype -> adc 0
+    assert {v for v, _ in got} <= {1, 2, 3}
+    assert got[0][1] == 0
+
+    # plan shape: train+encode+search is broadcast-joins only
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p

@@ -168,3 +168,12 @@ def test_gif_decode_map_only(spark):
 
     p = plan_of(spark, "multimodal_gif")
     assert len(re.findall(r"\bExchange\b", p)) == 0
+
+
+def test_ivfpq_broadcast_only(spark):
+    """IVF-PQ train+encode+search: no corpus-sized join anywhere — cell id
+    rides the struct key through PQ assignment, every model join broadcasts."""
+    p = plan_of(spark, "embed_ivfpq_topk")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
