@@ -40,6 +40,7 @@ __all__ = [
     "simhash32_table",
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
+    "containment_pairs",
 ]
 
 
@@ -379,3 +380,49 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """One-sided shingle CONTAINMENT (Broder 1997's second resemblance
+    measure): C(A→B) = |S(A) ∩ S(B)| / |S(A)| — how much of doc A lives
+    inside doc B. The asymmetric complement to `ngram_jaccard_pairs`:
+    a short doc quoted wholesale inside a long one scores containment ≈ 1
+    while its Jaccard stays low (the union is dominated by the long doc),
+    so quote/subset duplication is invisible to resemblance but obvious
+    here — the signal corpus curation needs for boilerplate-envelope and
+    quoted-reply dedup.
+
+    Output (id_a, id_b, containment): ORDERED pairs (a contained in b,
+    a ≠ b, both directions surface separately). Same shuffle shape as the
+    Jaccard: distinct-shingle explode, shingle-keyed self-join with the
+    `max_df` stop-gram guard, sizes measured AFTER the guard so numerator
+    and denominator share one shingle universe.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("s"),
+    )
+    if max_df is not None:
+        dfreq = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
+        sh = sh.join(dfreq.select("s"), "s", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("__i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .withColumn("containment", F.round(F.col("__i") / F.col("na"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

@@ -2248,6 +2248,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, threshold=0.05)
 
 
+@_register(
+    "dedup_containment",
+    f"""
+    WITH sh AS MATERIALIZED ({_SHINGLE_SQL}),
+    tok AS (SELECT DISTINCT doc_id AS id, unnest(sl) AS s FROM sh),
+    sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY 1),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM tok a JOIN tok b ON a.s = b.s AND a.id != b.id GROUP BY 1, 2)
+    SELECT id_a, id_b, round(i * 1.0 / sa.n, 6) AS containment
+    FROM inter JOIN sizes sa ON sa.id = id_a
+    WHERE round(i * 1.0 / sa.n, 6) >= 0.05
+    """,
+    "one-sided shingle containment (Broder'97): |S(A) inter S(B)| / |S(A)| "
+    "over ORDERED pairs — catches short-doc-quoted-in-long-doc duplication "
+    "that symmetric Jaccard dilutes away; same shingle-keyed join shape and "
+    "max_df stop-gram guard as dedup_ngram_jaccard "
+    "(llmdata/dedup.py containment_pairs)",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, threshold=0.05)
+
+
 _COSINE_SQL = """
     list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
                      list_transform(b.embedding, x -> CAST(x AS DOUBLE)))

@@ -1200,3 +1200,26 @@ def test_ivfpq_planted_cells(spark):
     # plan shape: train+encode+search is broadcast-joins only
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+
+
+def test_containment_asymmetric_quote(spark):
+    """A short doc quoted wholesale inside a long one: containment(short ->
+    long) = 1.0 while Jaccard stays low — the case resemblance can't see."""
+    short = "the quick brown fox jumps over dogs"
+    long_doc = (
+        "unrelated opening words establish context here and then "
+        + short
+        + " followed by much more unrelated trailing content going on and on"
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "entirely different text altogether")],
+        "doc_id long, text string",
+    )
+    out = {(r.id_a, r.id_b): r.containment
+           for r in D.containment_pairs(docs, threshold=0.05).collect()}
+    assert out[(1, 2)] == 1.0            # every shingle of 1 is in 2
+    assert out[(2, 1)] < 0.4             # reverse direction is weak
+    assert (1, 3) not in out and (3, 1) not in out
+    jac = {(r.id_a, r.id_b): r.jaccard
+           for r in D.ngram_jaccard_pairs(docs, threshold=0.01).collect()}
+    assert jac[(1, 2)] < 0.4             # Jaccard dilutes the quote signal
