@@ -5366,6 +5366,9 @@ _ROUND5_TOUCHED = {
     "embed_semdedup",
     "stream_windowed_counts",
     "sessionize_events",
+    # r5 session 2: kmeans_lloyd refactored into _kmeans_centroids (shared
+    # with IVF-PQ) with a broadcast update join — re-verify on the new code
+    "embed_kmeans",
 }
 
 
