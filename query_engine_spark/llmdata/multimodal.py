@@ -958,7 +958,10 @@ def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
                 entry = prev + prev[:1]  # KwKwK: the entry being assigned
             else:
                 raise ValueError(f"LZW code {code} out of range (table={len(table)})")
-            if len(table) < 4095:
+            # spec allows entries through code 4095; a deferred-clear
+            # encoder (legal GIF89a) may reference 4095, so the table caps
+            # at 4096 ENTRIES, not 4095 (our own encoder clears earlier)
+            if len(table) < 4096:
                 table.append(prev + entry[:1])
         out += entry
         prev = entry

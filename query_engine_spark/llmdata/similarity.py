@@ -401,6 +401,8 @@ def pq_train(
     format table; pack to a byte array at the storage boundary), and
     search never touches the raw vectors again.
     """
+    if dims % m:
+        raise ValueError(f"dims={dims} must divide evenly into m={m} subspaces")
     q = embeddings.select(
         F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col), quant).alias("qv")
     )
@@ -454,6 +456,8 @@ def pq_encode(
     this is one scan of the embedding column, and the output is the only
     thing ADC search ever reads (pack the m codes to a byte array at the
     storage boundary to hit PQ's ~dims·4/m-fold compression)."""
+    if dims % m:
+        raise ValueError(f"dims={dims} must divide evenly into m={m} subspaces")
     q = embeddings.select(
         F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col), quant).alias("qv")
     )
@@ -496,10 +500,9 @@ def pq_adc_topk(
     cbooks = pq_train(
         embeddings, m, ksub, iters, id_col=id_col, vec_col=vec_col, dims=dims, quant=quant
     )
-    q = embeddings.select(
-        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col), quant).alias("qv")
+    codes = pq_encode(
+        embeddings, cbooks, m, id_col=id_col, vec_col=vec_col, dims=dims, quant=quant
     )
-    codes = _pq_assign(_pq_subvectors(q, m, dsub), cbooks).drop("sv")
     qs = queries.select(
         F.col(query_id_col).alias("query_id"),
         quantize_vec(F.col(query_vec_col), quant).alias("qv"),
@@ -565,6 +568,8 @@ def ivfpq_topk(
     Returns (query_id, vec_id, adc_dist, rank) — approximate squared-L2 of
     residual differences, ties → lowest vec_id.
     """
+    if dims % m:
+        raise ValueError(f"dims={dims} must divide evenly into m={m} subspaces")
     dsub = dims // m
     q = embeddings.select(
         F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col), quant).alias("qv")

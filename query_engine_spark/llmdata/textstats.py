@@ -1240,11 +1240,18 @@ def hashed_classifier_score(
     toks = docs.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("t")
     ).filter(F.col("t") != "")
+    # LEFT join: a token whose bucket the training corpus never populated
+    # (possible whenever the model is trained offline and scores NEW data)
+    # must still count in n_tokens and dilute the mean with weight 0 — an
+    # inner join would let one in-vocabulary token drive the whole score
     agg = (
         toks.select(id_col, hash_bucket(F.col("t"), n_buckets).alias("bkt"))
-        .join(F.broadcast(weights), "bkt")
+        .join(F.broadcast(weights), "bkt", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("w_q").alias("sum_w_q"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("w_q", F.lit(0))).alias("sum_w_q"),
+        )
     )
     mean_w = F.floor(F.col("sum_w_q") / F.col("n_tokens")).cast("long")
     if docs.isStreaming:
@@ -1317,8 +1324,11 @@ def dsir_weights(
         g = df.select(*cols, F.explode(word_shingles(F.col(text_col), 2)).alias("g"))
         return g.select(*[c for c in g.columns if c != "g"], hash_bucket(F.col("g"), B).alias("bkt"))
 
+    doc_grams = grams(docs, F.col(id_col))
     tgt = grams(target).groupBy("bkt").agg(F.count(F.lit(1)).alias("n_t"))
-    raw = grams(docs).groupBy("bkt").agg(F.count(F.lit(1)).alias("n_r"))
+    # raw counts derive from the SAME exploded subtree the per-doc weighting
+    # reads — two corpus-scale explodes total (target + raw), not three
+    raw = doc_grams.groupBy("bkt").agg(F.count(F.lit(1)).alias("n_r"))
     n_t_total = tgt.agg(F.sum("n_t").alias("nt_total"))
     n_r_total = raw.agg(F.sum("n_r").alias("nr_total"))
     # ratio table: raw buckets left-joined with target counts (buckets the
@@ -1339,7 +1349,6 @@ def dsir_weights(
             .alias("r_q"),
         )
     )
-    doc_grams = grams(docs, F.col(id_col))
     return (
         doc_grams.join(F.broadcast(ratios), "bkt")
         .groupBy(id_col)

@@ -281,6 +281,17 @@ def countmin_sketch(
     guarantees: est ≥ true count always (only overcounts), and
     est ≤ true + εN with probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
     """
+    return (
+        _cm_pairs(df, item_col, d, w)
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _cm_pairs(df: DataFrame, item_col: str, d: int, w: int) -> DataFrame:
+    """Explode each item into its d (row, bucket) sketch coordinates — the
+    ONE definition of the sketch/probe hashing contract (build and query
+    must agree on it exactly, so it lives in one place)."""
     pairs = F.array(
         *[
             F.struct(
@@ -290,11 +301,8 @@ def countmin_sketch(
             for r in range(d)
         ]
     )
-    return (
-        df.select(F.explode(pairs).alias("e"))
-        .select(F.col("e.row").alias("row"), F.col("e.bucket").alias("bucket"))
-        .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    return df.select(item_col, F.explode(pairs).alias("e")).select(
+        item_col, F.col("e.row").alias("row"), F.col("e.bucket").alias("bucket")
     )
 
 
@@ -311,20 +319,7 @@ def countmin_estimate(
     The sketch side is ≤ d·w rows — always broadcast; candidates explode
     into d probe rows, join map-only, and one item-keyed agg takes the
     min. Returns (item_col, cm_est)."""
-    probes = items.select(
-        F.col(item_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).cast("int").alias("row"),
-                        _cm_bucket(F.col(item_col), r, w).alias("bucket"),
-                    )
-                    for r in range(d)
-                ]
-            )
-        ).alias("e"),
-    ).select(item_col, F.col("e.row").alias("row"), F.col("e.bucket").alias("bucket"))
+    probes = _cm_pairs(items, item_col, d, w)
     return (
         probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(item_col)

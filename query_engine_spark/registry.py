@@ -4900,53 +4900,17 @@ def _pq_oracle(
     arithmetic is exact squared-L2 on the integer-quantized grid, so
     codebooks, codes, and distances are engine-deterministic."""
     dsub = dims // m
-
-    def d2(a: str, b: str) -> str:
-        return (
-            f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
-            f" + list_dot_product({b}, {b}))"
-        )
-
-    def assign(cb: str) -> str:
-        return f"""
-      SELECT vec_id, sub, sv, code FROM (
-        SELECT s.vec_id, s.sub, s.sv, c.code,
-               row_number() OVER (PARTITION BY s.vec_id, s.sub
-                 ORDER BY {d2('s.sv', 'c.cv')}, c.code) AS rn
-        FROM s JOIN {cb} c ON c.sub = s.sub) WHERE rn = 1"""
-
     sql = f"""
     WITH q AS (
       SELECT vec_id,
              [CAST(floor(CAST(x AS DOUBLE) * {quant}) AS BIGINT) for x in embedding] AS qv
       FROM embeddings
-    ), s AS (
-      SELECT vec_id, sub, list_slice(qv, sub * {dsub} + 1, sub * {dsub} + {dsub}) AS sv
-      FROM q, unnest(range({m})) AS t(sub)
-    ), seeds AS (
-      SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) - 1 AS code
-      FROM (SELECT * FROM q ORDER BY vec_id LIMIT {ksub})
-    ), cb0 AS (
-      SELECT sub, code, list_slice(qv, sub * {dsub} + 1, sub * {dsub} + {dsub}) AS cv
-      FROM seeds, unnest(range({m})) AS t(sub)
     )"""
-    for i in range(iters):
-        sql += f""", a{i} AS ({assign(f'cb{i}')}
-    ), u{i} AS (
-      SELECT sub, code, j, sum(sv[j + 1]) AS sm, count(*) AS c
-      FROM a{i}, unnest(range({dsub})) AS t(j) GROUP BY 1, 2, 3
-    ), m{i} AS (
-      SELECT sub, code, list(CAST(floor(CAST(sm AS DOUBLE) / c) AS BIGINT) ORDER BY j) AS cv_new
-      FROM u{i} GROUP BY 1, 2
-    ), cb{i + 1} AS (
-      SELECT cb{i}.sub, cb{i}.code, coalesce(m{i}.cv_new, cb{i}.cv) AS cv
-      FROM cb{i} LEFT JOIN m{i} USING (sub, code)
-    )"""
-    sql += f""", fin AS ({assign(f'cb{iters}')}
-    ), qs AS (
+    sql += _pq_train_sql("", "q", "qv", m, ksub, iters, dsub)
+    sql += f""", qs AS (
       SELECT vec_id AS query_id, sub, sv AS qsv FROM s WHERE vec_id < 3
     ), lut AS (
-      SELECT qs.query_id, c.sub, c.code, {d2('qs.qsv', 'c.cv')} AS pd
+      SELECT qs.query_id, c.sub, c.code, {_d2_sql('qs.qsv', 'c.cv')} AS pd
       FROM qs JOIN cb{iters} c ON c.sub = qs.sub
     ), sc AS (
       SELECT l.query_id, f.vec_id, CAST(sum(l.pd) AS BIGINT) AS adc_dist
@@ -4956,6 +4920,56 @@ def _pq_oracle(
     SELECT query_id, vec_id, adc_dist, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY adc_dist, vec_id) AS rank FROM sc) WHERE rank <= {k}"""
+    return sql
+
+
+def _d2_sql(a: str, b: str) -> str:
+    """Exact squared L2 between two bigint list expressions."""
+    return (
+        f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}))"
+    )
+
+
+def _pq_train_sql(p: str, src: str, vec: str, m: int, ksub: int, iters: int, dsub: int) -> str:
+    """Shared unrolled per-subspace PQ-training CTE chain: subvectors
+    ({p}s), lowest-id seeds, codebooks {p}cb0..{p}cb{iters}, final codes
+    {p}fin — ONE generator, so the flat-PQ and IVF-PQ oracles can never
+    drift on tie-breaks or floor-mean arithmetic. `src` must expose
+    (vec_id, {vec}) with {vec} a bigint list."""
+
+    def assign(cb: str) -> str:
+        return f"""
+      SELECT vec_id, sub, sv, code FROM (
+        SELECT s.vec_id, s.sub, s.sv, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY {_d2_sql('s.sv', 'c.cv')}, c.code) AS rn
+        FROM {p}s s JOIN {cb} c ON c.sub = s.sub) WHERE rn = 1"""
+
+    sql = f""", {p}s AS (
+      SELECT vec_id, sub, list_slice({vec}, sub * {dsub} + 1, sub * {dsub} + {dsub}) AS sv
+      FROM {src}, unnest(range({m})) AS t(sub)
+    ), {p}seeds AS (
+      SELECT vec_id, {vec}, row_number() OVER (ORDER BY vec_id) - 1 AS code
+      FROM (SELECT * FROM {src} ORDER BY vec_id LIMIT {ksub})
+    ), {p}cb0 AS (
+      SELECT sub, code, list_slice({vec}, sub * {dsub} + 1, sub * {dsub} + {dsub}) AS cv
+      FROM {p}seeds, unnest(range({m})) AS t(sub)
+    )"""
+    for i in range(iters):
+        sql += f""", {p}a{i} AS ({assign(f'{p}cb{i}')}
+    ), {p}u{i} AS (
+      SELECT sub, code, j, sum(sv[j + 1]) AS sm, count(*) AS c
+      FROM {p}a{i}, unnest(range({dsub})) AS t(j) GROUP BY 1, 2, 3
+    ), {p}m{i} AS (
+      SELECT sub, code, list(CAST(floor(CAST(sm AS DOUBLE) / c) AS BIGINT) ORDER BY j) AS cv_new
+      FROM {p}u{i} GROUP BY 1, 2
+    ), {p}cb{i + 1} AS (
+      SELECT {p}cb{i}.sub, {p}cb{i}.code, coalesce({p}m{i}.cv_new, {p}cb{i}.cv) AS cv
+      FROM {p}cb{i} LEFT JOIN {p}m{i} USING (sub, code)
+    )"""
+    sql += f""", {p}fin AS ({assign(f'{p}cb{iters}')}
+    )"""
     return sql
 
 
@@ -4969,56 +4983,21 @@ def _ivfpq_oracle(
     dims: int = 64,
 ) -> str:
     """IVF-PQ as one CTE chain: the `_kmeans_oracle` coarse chain (c0..c2 +
-    fin), residuals against the final centroids, an unrolled per-subspace
-    PQ training on the residuals, and the per-(query, probed-cell) ADC
-    search. All integer arithmetic — engine-deterministic."""
+    fin), residuals against the final centroids, the SHARED `_pq_train_sql`
+    chain (prefix 'p') on the residuals, and the per-(query, probed-cell)
+    ADC search. All integer arithmetic — engine-deterministic."""
     dsub = dims // m
-
-    def d2(a: str, b: str) -> str:
-        return (
-            f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
-            f" + list_dot_product({b}, {b}))"
-        )
-
-    def passign(cb: str) -> str:
-        return f"""
-      SELECT vec_id, sub, sv, code FROM (
-        SELECT ps.vec_id, ps.sub, ps.sv, c.code,
-               row_number() OVER (PARTITION BY ps.vec_id, ps.sub
-                 ORDER BY {d2('ps.sv', 'c.cv')}, c.code) AS rn
-        FROM ps JOIN {cb} c ON c.sub = ps.sub) WHERE rn = 1"""
 
     def final(cos) -> str:
         sql = f""", res AS (
       SELECT f.vec_id, f.cent_id,
              list_transform(range({dims}), i -> f.qv[i + 1] - c.cv[i + 1]) AS rv
       FROM fin f JOIN c2 c ON c.cent_id = f.cent_id
-    ), ps AS (
-      SELECT vec_id, sub, list_slice(rv, sub * {dsub} + 1, sub * {dsub} + {dsub}) AS sv
-      FROM res, unnest(range({m})) AS t(sub)
-    ), pseeds AS (
-      SELECT vec_id, rv, row_number() OVER (ORDER BY vec_id) - 1 AS code
-      FROM (SELECT * FROM res ORDER BY vec_id LIMIT {ksub})
-    ), pb0 AS (
-      SELECT sub, code, list_slice(rv, sub * {dsub} + 1, sub * {dsub} + {dsub}) AS cv
-      FROM pseeds, unnest(range({m})) AS t(sub)
     )"""
-        for i in range(pq_iters):
-            sql += f""", pa{i} AS ({passign(f'pb{i}')}
-    ), pu{i} AS (
-      SELECT sub, code, j, sum(sv[j + 1]) AS sm, count(*) AS c
-      FROM pa{i}, unnest(range({dsub})) AS t(j) GROUP BY 1, 2, 3
-    ), pm{i} AS (
-      SELECT sub, code, list(CAST(floor(CAST(sm AS DOUBLE) / c) AS BIGINT) ORDER BY j) AS cv_new
-      FROM pu{i} GROUP BY 1, 2
-    ), pb{i + 1} AS (
-      SELECT pb{i}.sub, pb{i}.code, coalesce(pm{i}.cv_new, pb{i}.cv) AS cv
-      FROM pb{i} LEFT JOIN pm{i} USING (sub, code)
-    )"""
-        sql += f""", pfin AS ({passign(f'pb{pq_iters}')}
-    ), pcodes AS (
-      SELECT p.vec_id, p.sub, p.code, r.cent_id
-      FROM pfin p JOIN res r ON r.vec_id = p.vec_id
+        sql += _pq_train_sql("p", "res", "rv", m, ksub, pq_iters, dsub)
+        sql += f""", pcodes AS (
+      SELECT pf.vec_id, pf.sub, pf.code, r.cent_id
+      FROM pfin pf JOIN res r ON r.vec_id = pf.vec_id
     ), qprobes AS (
       SELECT query_id, qcent_id, qv FROM (
         SELECT q.vec_id AS query_id, c.cent_id AS qcent_id, q.qv,
@@ -5034,8 +5013,8 @@ def _ivfpq_oracle(
              list_slice(rqv, sub * {dsub} + 1, sub * {dsub} + {dsub}) AS qsv
       FROM qres, unnest(range({m})) AS t(sub)
     ), lut AS (
-      SELECT qs.query_id, qs.qcent_id, cb.sub, cb.code, {d2('qs.qsv', 'cb.cv')} AS pd
-      FROM qsub qs JOIN pb{pq_iters} cb ON cb.sub = qs.sub
+      SELECT qs.query_id, qs.qcent_id, cb.sub, cb.code, {_d2_sql('qs.qsv', 'cb.cv')} AS pd
+      FROM qsub qs JOIN pcb{pq_iters} cb ON cb.sub = qs.sub
     ), cand AS (
       SELECT l.query_id, pc.vec_id, l.pd
       FROM pcodes pc JOIN lut l

@@ -1223,3 +1223,28 @@ def test_containment_asymmetric_quote(spark):
     jac = {(r.id_a, r.id_b): r.jaccard
            for r in D.ngram_jaccard_pairs(docs, threshold=0.01).collect()}
     assert jac[(1, 2)] < 0.4             # Jaccard dilutes the quote signal
+
+
+def test_classifier_oov_buckets_dilute_score(spark):
+    """Train-offline/score-new-data: tokens hashing to buckets the model
+    never saw must count in n_tokens and contribute weight 0 — not be
+    dropped by the model join (review fix: left join + coalesce)."""
+    train = spark.createDataFrame(
+        [(1, "alpha alpha alpha", True), (2, "beta beta beta", False)],
+        "doc_id long, text string, y boolean",
+    )
+    w = Tx.train_hashed_classifier(train, F.col("y"), n_buckets=4096)
+    # new doc: one trained positive token + three never-seen tokens
+    new = spark.createDataFrame(
+        [(10, "alpha qqqzz wwwyy eeexx")], "doc_id long, text string"
+    )
+    r = Tx.hashed_classifier_score(new, w, prior_q=0, n_buckets=4096).collect()[0]
+    assert r.n_tokens == 4  # all four tokens counted
+    # mean diluted by the three zero-weight OOV tokens: floor(w(alpha) / 4)
+    alpha_bkt = spark.range(1).select(
+        Tx.hash_bucket(F.lit("alpha"), 4096).alias("b")
+    ).collect()[0].b
+    alpha_w = {x.bkt: x.w_q for x in w.collect()}[alpha_bkt]
+    import math
+
+    assert r.score_q == math.floor(alpha_w / 4)
