@@ -94,12 +94,38 @@ def main() -> int:
         media = ids.mapInPandas(pack, "media_id long, payload binary")
         return MM.gif_features(media)
 
+    def countmin(sf_dir: str):
+        from query_engine_spark.operators import sketches as Sk
+
+        ev = load_table(spark, sf_dir, "events")
+        sketch = Sk.countmin_sketch(ev, "user_id", d=4, w=1024)
+        items = ev.select("user_id").distinct()
+        return Sk.countmin_estimate(sketch, items, "user_id", d=4, w=1024)
+
+    def containment(sf_dir: str):
+        from query_engine_spark.llmdata import dedup as D
+
+        docs = load_table(spark, sf_dir, "documents")
+        # max_df guard on: the production configuration for a full corpus
+        return D.containment_pairs(docs, threshold=0.5, max_df=50)
+
+    def ivfpq(sf_dir: str):
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = (
+            emb.orderBy("vec_id").limit(3)
+            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        )
+        return Sim.ivfpq_topk(emb, queries, k=5, coarse_k=8, m=4, ksub=4, nprobe=2)
+
     ops = {
         "classifier_full": classifier,
         "dsir_full": dsir,
         "winnowing_full": winnow,
         "pq_adc_full": pq,
         "gif_decode_full": gif,
+        "countmin_full": countmin,
+        "containment_full": containment,
+        "ivfpq_full": ivfpq,
     }
 
     results: dict[str, dict] = {}
