@@ -151,3 +151,54 @@ def test_avi_roundtrip_property(mid, w, h, nf):
     )
     got = sum(sum(frames[f][r * stride : r * stride + w * 3]) for r in range(h))
     assert got == want
+
+
+@given(
+    st.binary(min_size=0, max_size=4000),
+    st.sampled_from([2, 4, 8]),
+)
+@settings(max_examples=100, deadline=None)
+def test_lzw_roundtrip_property(data, mcs):
+    """GIF LZW: decompress(compress(x)) == x for arbitrary byte streams
+    whose symbols fit the code size — covers width growth, KwKwK runs, and
+    (via long inputs elsewhere) dictionary resets."""
+    from query_engine_spark.llmdata.multimodal import _lzw_compress, _lzw_decompress
+
+    clipped = bytes(b % (1 << mcs) for b in data)
+    assert _lzw_decompress(_lzw_compress(clipped, mcs), mcs) == clipped
+
+
+@given(st.integers(min_value=0, max_value=500), st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=30))
+@settings(max_examples=30, deadline=None)
+def test_gif_roundtrip_property(mid, w, h):
+    """decode(make_gif(...)) reproduces the generator arithmetic for any
+    size, including single-pixel and wide/flat shapes."""
+    from query_engine_spark.llmdata.multimodal import decode_gif, make_gif
+
+    gw, gh, idx_sum, rgb_sum, tl = decode_gif(make_gif(mid, w, h))
+    exp = [(mid * 31 + y * 7 + x * 3) % 256 for y in range(h) for x in range(w)]
+    assert (gw, gh) == (w, h)
+    assert idx_sum == sum(exp)
+    assert rgb_sum == sum(v + (v * 3) % 256 + (v * 7) % 256 for v in exp)
+    assert tl == exp[0]
+
+
+@given(st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=300))
+@settings(max_examples=25, deadline=None)
+def test_countmin_one_sided_property(spark, items):
+    """est >= exact for EVERY item, on arbitrary multisets and a deliberately
+    tiny (collision-heavy) sketch."""
+    import pyspark.sql.functions as F
+    from query_engine_spark.operators import sketches as Sk
+
+    df = spark.createDataFrame([(i,) for i in items], "user_id long")
+    sketch = Sk.countmin_sketch(df, "user_id", d=3, w=8)
+    est = {r.user_id: r.cm_est for r in
+           Sk.countmin_estimate(sketch, df.distinct(), "user_id", d=3, w=8).collect()}
+    exact = {r.user_id: r.cnt for r in
+             df.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert all(est[u] >= c for u, c in exact.items())
+    # total mass conservation per row: sum of sketch counts == d * n
+    mass = sum(r.cnt for r in sketch.collect())
+    assert mass == 3 * len(items)
