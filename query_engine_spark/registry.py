@@ -5119,6 +5119,47 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_zorder_box",
+    f"""
+    SELECT event_id, {_US} AS ts_us, user_id, event_type, value
+    FROM events
+    WHERE user_id BETWEEN 40 AND 80
+      AND ts >= (SELECT max(ts) FROM events) - INTERVAL 4 DAY
+      AND ts <  (SELECT max(ts) FROM events) - INTERVAL 2 DAY
+    """,
+    "Z-order (Morton-curve) layout: events rewritten clustered on the "
+    "interleaved bits of (user_id, ts) — the lakehouse ZORDER BY technique "
+    "as pure column arithmetic — then a 2-D box predicate reads the "
+    "clustered copy. Results hash-match the RAW table (layout is metadata, "
+    "not semantics); the row-group skipping the layout buys is measured "
+    "from parquet footer stats in test_bucketing "
+    "(operators/layout.py z_value/write_zordered)",
+)
+def events_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from query_engine_spark.operators import layout as L
+
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_zorder_events_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        L.write_zordered(ev, path, dims=["user_id", "ts_us"])
+    z = spark.read.parquet(path)
+    mx = z.agg(F.max("ts_us").alias("__mx"))
+    return (
+        z.crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("user_id").between(40, 80)
+            & (F.col("ts_us") >= F.col("__mx") - 4 * 86_400_000_000)
+            & (F.col("ts_us") < F.col("__mx") - 2 * 86_400_000_000)
+        )
+        .select("event_id", "ts_us", "user_id", "event_type", "value")
+    )
+
+
+@_register(
     "events_countmin",
     """
     WITH b AS (

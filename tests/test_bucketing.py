@@ -45,3 +45,78 @@ def test_bucketed_agg_no_shuffle(spark, bucketed):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
     assert agg.count() == 10_000
+
+
+def test_zorder_rowgroup_skipping(spark, tmp_path):
+    """Z-order layout vs single-column sort, measured straight from parquet
+    footer min/max stats (engine-independent): for a 2-D box predicate, the
+    Morton layout must let the scan skip a strictly larger fraction of row
+    groups than the one-dimension sort, and reading it back returns exactly
+    the same rows."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from query_engine_spark.operators import layout as L
+
+    n = 40_000
+    df = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") * 7919 % 1000).alias("user_id"),      # decorrelated dims
+        (F.col("id") * 104729 % 100_000).alias("ts_us"),
+    )
+    z_path = str(tmp_path / "z")
+    lin_path = str(tmp_path / "lin")
+    L.write_zordered(df, z_path, dims=["user_id", "ts_us"], n_files=64)
+    # baseline: the obvious layout — sorted by time only
+    df.repartitionByRange(64, "ts_us").sortWithinPartitions("ts_us").write.parquet(lin_path)
+
+    # 2-D box: ~10% of each dimension
+    u_lo, u_hi, t_lo, t_hi = 100, 199, 20_000, 29_999
+
+    def overlapping_rowgroups(path: str) -> tuple[int, int]:
+        total = hit = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            cols = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+            for rg in range(meta.num_row_groups):
+                total += 1
+                su = meta.row_group(rg).column(cols["user_id"]).statistics
+                st = meta.row_group(rg).column(cols["ts_us"]).statistics
+                if su.min <= u_hi and su.max >= u_lo and st.min <= t_hi and st.max >= t_lo:
+                    hit += 1
+        return hit, total
+
+    z_hit, z_total = overlapping_rowgroups(z_path)
+    l_hit, l_total = overlapping_rowgroups(lin_path)
+    assert z_total > 0 and l_total > 0
+    # ts-sort: every row group spans ALL user_ids -> ~10% of groups hit on
+    # ts alone; z-order bounds BOTH dims -> strictly fewer groups touched
+    assert z_hit / z_total < l_hit / l_total, (z_hit, z_total, l_hit, l_total)
+
+    # the killer case: a USER-only predicate. The ts-sorted layout can skip
+    # NOTHING (every row group spans all users); z-order still bounds it.
+    def user_only_hits(path: str) -> tuple[int, int]:
+        total = hit = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            cols = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+            for rg in range(meta.num_row_groups):
+                total += 1
+                su = meta.row_group(rg).column(cols["user_id"]).statistics
+                if su.min <= u_hi and su.max >= u_lo:
+                    hit += 1
+        return hit, total
+
+    zu_hit, zu_total = user_only_hits(z_path)
+    lu_hit, lu_total = user_only_hits(lin_path)
+    assert lu_hit == lu_total            # time layout: full scan for user queries
+    assert zu_hit / zu_total <= 0.5, (zu_hit, zu_total)  # z: most groups skipped
+
+    box = (
+        (F.col("user_id").between(u_lo, u_hi))
+        & (F.col("ts_us").between(t_lo, t_hi))
+    )
+    want = sorted(r.event_id for r in df.filter(box).collect())
+    got = sorted(r.event_id for r in spark.read.parquet(z_path).filter(box).collect())
+    assert got == want  # layout is metadata, not semantics
