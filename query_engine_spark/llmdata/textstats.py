@@ -36,6 +36,7 @@ __all__ = [
     "train_hashed_classifier",
     "hashed_classifier_score",
     "dsir_weights",
+    "dsir_ratio_table",
     "winnow_fingerprints",
 ]
 
@@ -1286,8 +1287,9 @@ def hashed_classifier_score(
 
 def dsir_weights(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     *,
+    ratios: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 4096,
@@ -1316,8 +1318,21 @@ def dsir_weights(
     Feed the result to `weighted_sample` (Efraimidis-Spirakis) for the
     paper's final resample step.
 
+    STREAMING: pass a precomputed `ratios` table (bkt, r_q) — train it
+    offline with this same function's batch form (its `ratios` subplan) or
+    any snapshot — and `docs` may be a stream: the gram explode is
+    stateless, the ratio join broadcasts, and the doc-keyed agg is the one
+    stateful operator. Exactly one of `target` / `ratios` must be given;
+    computing ratio tables over an unbounded stream is ill-defined.
+
     Returns (id_col, n_grams, dsir_weight_q) for docs with ≥1 bigram.
     """
+    if (target is None) == (ratios is None):
+        raise ValueError("pass exactly one of target / ratios")
+    if docs.isStreaming and ratios is None:
+        raise ValueError(
+            "streaming DSIR needs a precomputed ratios table — train offline"
+        )
     B = n_buckets
 
     def grams(df: DataFrame, *cols: Column) -> DataFrame:
@@ -1325,15 +1340,39 @@ def dsir_weights(
         return g.select(*[c for c in g.columns if c != "g"], hash_bucket(F.col("g"), B).alias("bkt"))
 
     doc_grams = grams(docs, F.col(id_col))
+    if ratios is not None:
+        return (
+            doc_grams.join(F.broadcast(ratios), "bkt")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.floor(F.sum("r_q") / F.count(F.lit(1))).cast("long").alias("dsir_weight_q"),
+            )
+        )
     tgt = grams(target).groupBy("bkt").agg(F.count(F.lit(1)).alias("n_t"))
     # raw counts derive from the SAME exploded subtree the per-doc weighting
     # reads — two corpus-scale explodes total (target + raw), not three
     raw = doc_grams.groupBy("bkt").agg(F.count(F.lit(1)).alias("n_r"))
+    ratio_tbl = _dsir_ratios(raw, tgt, B, quant)
+    return (
+        doc_grams.join(F.broadcast(ratio_tbl), "bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.floor(F.sum("r_q") / F.count(F.lit(1))).cast("long").alias("dsir_weight_q"),
+        )
+    )
+
+
+def _dsir_ratios(raw: DataFrame, tgt: DataFrame, B: int, quant: int) -> DataFrame:
+    """(bkt, r_q) from the two bucket-count tables — the ONE definition of
+    the smoothed ratio formula (batch scoring, offline training, and the
+    oracle must agree on it). Raw buckets left-join target counts (buckets
+    the target never hit get the smoothed floor); totals fold in as
+    broadcast scalars."""
     n_t_total = tgt.agg(F.sum("n_t").alias("nt_total"))
     n_r_total = raw.agg(F.sum("n_r").alias("nr_total"))
-    # ratio table: raw buckets left-joined with target counts (buckets the
-    # target never hit get the smoothed floor), totals as broadcast scalars
-    ratios = (
+    return (
         raw.join(tgt, "bkt", "left")
         .crossJoin(F.broadcast(n_t_total))
         .crossJoin(F.broadcast(n_r_total))
@@ -1349,14 +1388,26 @@ def dsir_weights(
             .alias("r_q"),
         )
     )
-    return (
-        doc_grams.join(F.broadcast(ratios), "bkt")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.floor(F.sum("r_q") / F.count(F.lit(1))).cast("long").alias("dsir_weight_q"),
-        )
-    )
+
+
+def dsir_ratio_table(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Offline DSIR training: the (bkt, r_q) importance-ratio table from a
+    raw-corpus snapshot and a target corpus — persist it, then stream-score
+    the firehose with ``dsir_weights(stream, ratios=table)``."""
+    def grams(df: DataFrame) -> DataFrame:
+        g = df.select(F.explode(word_shingles(F.col(text_col), 2)).alias("g"))
+        return g.select(hash_bucket(F.col("g"), n_buckets).alias("bkt"))
+
+    tgt = grams(target).groupBy("bkt").agg(F.count(F.lit(1)).alias("n_t"))
+    raw = grams(docs).groupBy("bkt").agg(F.count(F.lit(1)).alias("n_r"))
+    return _dsir_ratios(raw, tgt, n_buckets, quant)
 
 
 def winnow_fingerprints(

@@ -317,3 +317,45 @@ def test_streaming_countmin_sketch(spark, tmp_path):
     want = {(r.row, r.bucket): r.cnt
             for r in Sk.countmin_sketch(df, "user_id", d=4, w=32).collect()}
     assert got == want and sum(want.values()) == 4 * 200
+
+
+def test_streaming_dsir_score_static_ratios(spark, tmp_path):
+    """Stream-side DSIR: train the ratio table OFFLINE on a snapshot, score
+    the document STREAM against the broadcast table — one stateless gram
+    explode + ratio join, one stateful doc agg. Stream == batch with the
+    same pretrained table."""
+    from query_engine_spark.llmdata import textstats as Tx
+    import pyspark.sql.functions as F
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "climate science energy policy"), (2, "zzz qqq www eee"),
+         (3, "climate policy zzz www")],
+        "doc_id long, text string",
+    )
+    target = docs.filter(F.col("doc_id") == 1)
+    ratios = Tx.dsir_ratio_table(docs, target, n_buckets=256)
+    path = str(tmp_path / "dsir_stream")
+    docs.write.parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    q = (
+        Tx.dsir_weights(stream, ratios=ratios, n_buckets=256)
+        .writeStream.format("memory").queryName("t_dsir")
+        .outputMode("complete").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id: (r.n_grams, r.dsir_weight_q)
+               for r in spark.table("t_dsir").collect()}
+    finally:
+        q.stop()
+    batch = {r.doc_id: (r.n_grams, r.dsir_weight_q)
+             for r in Tx.dsir_weights(docs, ratios=ratios, n_buckets=256).collect()}
+    assert got == batch and len(got) == 3
+    # target-like doc still outweighs off-domain under the pretrained table
+    assert got[1][1] > got[2][1]
+
+    with pytest.raises(ValueError, match="exactly one"):
+        Tx.dsir_weights(docs, target, ratios=ratios)
+    with pytest.raises(ValueError, match="train offline"):
+        Tx.dsir_weights(stream, target)
