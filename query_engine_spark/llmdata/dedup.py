@@ -41,6 +41,8 @@ __all__ = [
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
     "containment_pairs",
+    "write_lsh_index",
+    "lsh_dedup_vs_index",
 ]
 
 
@@ -132,6 +134,107 @@ def _band_hash(sig: Column, band: int, rows_per_band: int) -> Column:
     return F.md5(F.concat_ws("|", F.slice(sig, band * rows_per_band + 1, rows_per_band)))
 
 
+def _banded(sigs: DataFrame, bands: int, r: int) -> DataFrame:
+    """(id, band, bh): each signature's per-band bucket hashes — the ONE
+    definition of the banding contract (a full-corpus self-join and an
+    incremental index probe must bucket identically)."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws("|", *[F.col(f"m{b * r + j}").cast("string") for j in range(r)])
+                    ).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select("id", "e.band", "e.bh")
+
+
+def write_lsh_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> None:
+    """Materialize the SEEN-corpus dedup state: LSH band buckets
+    (band, bh, id; parquet partitioned by band) plus the exact distinct
+    shingle sets used for Jaccard verification.
+
+    This is the production incremental-dedup layout: the historical corpus
+    is shingled, minhashed, and banded ONCE; every new crawl batch then
+    hashes only ITSELF and probes this index (`lsh_dedup_vs_index`) — at
+    100 TB the alternative (re-running the full self-join per batch)
+    rescans the entire history every time. Index growth is append-only:
+    union the new batch's bands/shingles in after accepting it."""
+    if n_hashes % bands:
+        raise ValueError("bands must divide n_hashes")
+    sigs = minhash_signature_table(docs, text_col, id_col, n_hashes=n_hashes, k=k)
+    banded = _banded(sigs, bands, n_hashes // bands)
+    banded.write.partitionBy("band").mode("overwrite").parquet(f"{path}/bands")
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh"),
+    )
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+
+
+def lsh_dedup_vs_index(
+    new_docs: DataFrame,
+    spark,
+    path: str,
+    *,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Near-dups of a NEW batch against a `write_lsh_index` corpus:
+    (seen_id, new_id, jaccard ≥ threshold).
+
+    The new batch is signed and banded with the SAME `_banded` contract,
+    candidates come from the (band, bh) equi-join against the stored
+    buckets, and only candidates pay the exact shingle-set Jaccard (the
+    seen side's shingles are read back, never recomputed). Matches the
+    full-corpus `minhash_dedup_pairs` restricted to cross pairs — which is
+    exactly what the registry oracle checks. Within-batch duplicates are a
+    separate (much smaller) `minhash_dedup_pairs` run on the batch alone."""
+    if n_hashes % bands:
+        raise ValueError("bands must divide n_hashes")
+    seen_bands = spark.read.parquet(f"{path}/bands")
+    seen_sh = spark.read.parquet(f"{path}/shingles")
+    sigs = minhash_signature_table(new_docs, text_col, id_col, n_hashes=n_hashes, k=k)
+    nb = _banded(sigs, bands, n_hashes // bands)
+    cand = (
+        nb.withColumnRenamed("id", "new_id")
+        .join(seen_bands.withColumnRenamed("id", "seen_id"), ["band", "bh"])
+        .select("seen_id", "new_id")
+        .distinct()
+    )
+    new_sh = new_docs.select(
+        F.col(id_col).alias("new_id"),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh_n"),
+    )
+    return (
+        cand.join(seen_sh.select(F.col("id").alias("seen_id"), F.col("sh").alias("sh_s")), "seen_id")
+        .join(new_sh, "new_id")
+        .withColumn("__i", F.size(F.array_intersect("sh_s", "sh_n")))
+        .withColumn("__u", F.size(F.array_union("sh_s", "sh_n")))
+        .withColumn("jaccard", F.round(F.col("__i") / F.col("__u"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("seen_id", "new_id", "jaccard")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -151,20 +254,7 @@ def lsh_candidate_pairs(
         raise ValueError("bands must divide n_hashes")
     r = n_hashes // bands
     sigs = minhash_signature_table(df, text_col, id_col, n_hashes=n_hashes, k=k)
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(
-                        F.concat_ws("|", *[F.col(f"m{b * r + j}").cast("string") for j in range(r)])
-                    ).alias("bh"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("e"),
-    ).select("id", "e.band", "e.bh")
+    banded = _banded(sigs, bands, r)
     # materialize before the self-join so the signature agg runs once;
     # tracked so clear_llmdata_cache() can free it after the collect
     banded = tracked_persist(banded)

@@ -2185,6 +2185,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_incremental",
+    f"WITH {_minhash_ctes()} SELECT id_a AS seen_id, id_b AS new_id, jaccard FROM jp "
+    "WHERE id_a < 250 AND id_b >= 250",
+    "incremental near-dup dedup against a MATERIALIZED LSH index: the seen "
+    "corpus (doc_id < 250) is shingled/minhashed/banded ONCE "
+    "(write_lsh_index — band-partitioned buckets + stored shingle sets); "
+    "the new batch signs only itself and probes the index, so each crawl "
+    "batch costs O(batch), never O(history). Results equal the full-corpus "
+    "LSH restricted to cross pairs — which is what the oracle checks "
+    "(llmdata/dedup.py write_lsh_index/lsh_dedup_vs_index)",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_lsh_index_{tag}")
+    if not os.path.exists(os.path.join(path, "shingles", "_SUCCESS")):
+        D.write_lsh_index(seen, path, n_hashes=_MINHASH_SEEDS, bands=_MINHASH_BANDS)
+    return D.lsh_dedup_vs_index(
+        new, spark, path,
+        threshold=0.1, n_hashes=_MINHASH_SEEDS, bands=_MINHASH_BANDS,
+    )
+
+
+@_register(
     "dedup_clusters",
     _cluster_oracle(),
     "near-dup clustering: connected components over MinHash pairs (iterative min-label propagation vs recursive-CTE oracle)",

@@ -1248,3 +1248,36 @@ def test_classifier_oov_buckets_dilute_score(spark):
     import math
 
     assert r.score_q == math.floor(alpha_w / 4)
+
+
+def test_incremental_lsh_dedup_vs_index(spark, tmp_path):
+    """Production incremental dedup: the seen corpus indexed once, a new
+    batch probed against it — planted cross-boundary dup found with the
+    same jaccard the full-corpus method reports; within-batch dups are NOT
+    reported (separate concern); a second batch reuses the index."""
+    seen = spark.createDataFrame(
+        [(1, BASE), (2, OTHER), (3, "totally separate topic words here")],
+        "doc_id long, text string",
+    )
+    batch1 = spark.createDataFrame(
+        [(10, NEAR),            # near-dup of seen doc 1
+         (11, "fresh unrelated content entirely new on this day"),
+         (12, NEAR)],           # also dups doc 1 AND doc 10 (within-batch)
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lsh_index")
+    D.write_lsh_index(seen, path)
+    out = {(r.seen_id, r.new_id): r.jaccard
+           for r in D.lsh_dedup_vs_index(batch1, spark, path, threshold=0.5).collect()}
+    assert (1, 10) in out and (1, 12) in out
+    assert all(s in (1, 2, 3) for s, _ in out)       # never new x new
+    # jaccard agrees with the full-corpus method on the same pair
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in D.minhash_dedup_pairs(
+                seen.unionByName(batch1), threshold=0.5).collect()}
+    assert out[(1, 10)] == full[(1, 10)]
+    # second batch probes the SAME index without rebuilding
+    batch2 = spark.createDataFrame([(20, BASE)], "doc_id long, text string")
+    out2 = {(r.seen_id, r.new_id)
+            for r in D.lsh_dedup_vs_index(batch2, spark, path, threshold=0.5).collect()}
+    assert (1, 20) in out2
