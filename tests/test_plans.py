@@ -177,3 +177,11 @@ def test_ivfpq_broadcast_only(spark):
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_incremental_dedup_no_cartesian(spark):
+    """The index probe is a (band, bh) equi-join and the verify joins key on
+    ids — never a cartesian; the new batch side is the only signature
+    computation in the plan."""
+    p = plan_of(spark, "dedup_incremental")
+    assert "CartesianProduct" not in p

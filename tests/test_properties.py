@@ -202,3 +202,26 @@ def test_countmin_one_sided_property(spark, items):
     # total mass conservation per row: sum of sketch counts == d * n
     mass = sum(r.cnt for r in sketch.collect())
     assert mass == 3 * len(items)
+
+
+@given(
+    st.text(alphabet="abcdef gh", min_size=20, max_size=60),
+    st.text(alphabet="mnopqr st", min_size=20, max_size=60),
+    st.text(alphabet="uvwxyz ab", min_size=8, max_size=30),
+)
+@settings(max_examples=20, deadline=None)
+def test_winnowing_shared_substring_guarantee(spark, pre, post, shared):
+    """Schleimer'03 theorem, property form: any two docs sharing a substring
+    of length >= w + k - 1 (= 8 at k=5, w=4) share >= 1 fingerprint hash."""
+    from query_engine_spark.llmdata import textstats as Tx
+
+    docs = spark.createDataFrame(
+        [(1, pre + shared + post), (2, post + shared + pre)],
+        "doc_id long, text string",
+    )
+    out = Tx.winnow_fingerprints(docs, k=5, w=4)
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r.doc_id, set()).add(r.fph)
+    if len(shared) >= 8:
+        assert fps.get(1, set()) & fps.get(2, set()), (pre, post, shared)
