@@ -1819,6 +1819,310 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q2_min_cost_supplier",
+    f"""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(min({_CENTS}) AS BIGINT) AS cost_cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eu AS (
+      SELECT s_suppkey, s_name, n_name,
+             CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    c2 AS (SELECT cost.* FROM cost JOIN eu ON l_suppkey = s_suppkey),
+    mn AS (SELECT l_partkey AS mk, min(cost_cents) AS mn_cents FROM c2 GROUP BY 1)
+    SELECT bal_cents, s_name, n_name, p_partkey, cost_cents
+    FROM c2
+    JOIN mn ON c2.l_partkey = mk AND cost_cents = mn_cents
+    JOIN part ON p_partkey = c2.l_partkey
+    JOIN eu ON c2.l_suppkey = eu.s_suppkey
+    WHERE p_size = 15 AND p_type = 'SMALL'
+    ORDER BY bal_cents DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+    "TPC-H Q2 shape (min-cost supplier; lineitem min-price-per-(part,supp) "
+    "stands in for the absent partsupp supplycost): the correlated "
+    "MIN-subquery is decorrelated to a per-part min over the REGION-pruned "
+    "cost table joined back on equality — region/nation/supplier fold to "
+    "broadcasts, the part filter applies AFTER the min (Q2's subquery sees "
+    "all parts), and the top-100 sits on a total order (s_name, p_partkey "
+    "unique per row). Integer cents end-to-end",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    eu = (
+        supp.join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("bal_cents"),
+        )
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(F.min(cents).alias("cost_cents"))
+    c2 = cost.join(
+        F.broadcast(eu.select("s_suppkey")),
+        cost["l_suppkey"] == F.col("s_suppkey"),
+        "left_semi",
+    )
+    mn = c2.groupBy(F.col("l_partkey").alias("mk")).agg(F.min("cost_cents").alias("mn_cents"))
+    return (
+        c2.join(mn, (c2["l_partkey"] == mn["mk"]) & (c2["cost_cents"] == mn["mn_cents"]))
+        .join(F.broadcast(part), c2["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(eu), c2["l_suppkey"] == eu["s_suppkey"])
+        .select("bal_cents", "s_name", "n_name", "p_partkey", "cost_cents")
+        .orderBy(F.col("bal_cents").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "q9_product_profit",
+    f"""
+    SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum({_CENTS} * (100 - {_DISC_PCT})) AS BIGINT) AS profit_e4
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+    "TPC-H Q9 shape (product-type profit by supplier nation and order "
+    "year; discounted revenue stands in for the absent ps_supplycost "
+    "term): five-way star join where part (name-substring filter), "
+    "supplier and nation broadcast, the only big-big join is "
+    "lineitem-orders on orderkey, and the year extraction happens "
+    "post-join — Catalyst pushes the LIKE to the part scan so the "
+    "broadcast hash-filter prunes lineitem before the orders shuffle",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    )
+    return j.groupBy(
+        "n_name", F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(F.sum(cents * (100 - disc_pct)).alias("profit_e4"))
+
+
+@_register(
+    "q11_important_value",
+    f"""
+    WITH v AS (
+      SELECT l_partkey AS partkey, CAST(sum({_CENTS}) AS BIGINT) AS value_cents
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM v)
+    SELECT partkey, value_cents
+    FROM v, t
+    WHERE value_cents * 1000 > total_cents
+    ORDER BY value_cents DESC, partkey LIMIT 100
+    """,
+    "TPC-H Q11 shape (important stock: per-part value vs a global-total "
+    "HAVING threshold; one nation's lineitem revenue stands in for "
+    "supplycost*availqty): the scalar total folds to a broadcast one-row "
+    "cross join and the 0.1% fraction test is cross-multiplied in integer "
+    "cents (value*1000 > total) — no float threshold whose summation "
+    "order could flip a boundary part between engines",
+)
+def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    v = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    t = v.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select("partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "partkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "q12_priority_lines",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+    "TPC-H Q12 shape (shipmode priority split; l_returnflag stands in for "
+    "the absent l_shipmode): conditional aggregation — one pass, two "
+    "CASE-summed counters per group instead of two filtered subqueries; "
+    "the ship-year predicate pushes to the lineitem scan before the "
+    "orderkey shuffle",
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "q20_promotion_suppliers",
+    """
+    WITH qty AS (
+      SELECT l_suppkey, l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT l_suppkey FROM qty
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+        AND sq > 40
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM cand)
+      AND n_name IN ('NATION_3', 'NATION_4')
+    ORDER BY s_name
+    """,
+    "TPC-H Q20 shape (potential part promotion): two nested IN subqueries "
+    "— name-prefix parts feed a per-(supplier,part) shipped-quantity agg "
+    "(the >40 threshold stands in for the absent ps_availqty half-stock "
+    "test), whose distinct suppliers semi-join into the nation-filtered "
+    "supplier list. Both INs decorrelate to left-semi hash joins; the "
+    "part side broadcasts. l_quantity is whole-valued so the bigint cast "
+    "is exact in both engines",
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("large"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_4")
+    )
+    qty = (
+        li.join(F.broadcast(part.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
+    )
+    cand = qty.filter(F.col("sq") > 40).select("l_suppkey").distinct()
+    return (
+        supp.join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(cand, supp["s_suppkey"] == cand["l_suppkey"], "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@_register(
+    "q21_waiting_suppliers",
+    """
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey, l_returnflag
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE l_returnflag = 'R')
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM l1 JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_5'
+      AND EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+    "TPC-H Q21 shape (suppliers who kept orders waiting; returnflag='R' "
+    "stands in for receipt>commit lateness): the classic EXISTS / NOT "
+    "EXISTS pair over a self-referenced lineitem — decorrelated to a "
+    "left-semi then left-anti hash join, each on orderkey equality plus a "
+    "suppkey<>suppkey residual condition, over one shared F-status "
+    "line-level table. Supplier and nation broadcast; the top-100 sits on "
+    "a total order (s_name unique)",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    l = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_semi")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+    )
+    l1 = (
+        l.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l2 = l.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = l.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(l2, (l1["l_orderkey"] == l2["k2"]) & (l1["l_suppkey"] != l2["s2"]), "left_semi")
+        .join(l3, (l1["l_orderkey"] == l3["k3"]) & (l1["l_suppkey"] != l3["s3"]), "left_anti")
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@_register(
     "window_running_revenue",
     """
     SELECT o_custkey, o_orderkey,
@@ -5403,10 +5707,16 @@ _STALE_VERIFICATION = {
 # touched the whole s-family input path and the flagship; their r2-era
 # verification predates it. Round 5: tfidf dfreq persist, semdedup pruned
 # count, and the streaming compose demo reusing the windowed paths.
+#
+# The driver checks exactly 50 names, so this set is curated to keep
+# never-verified + touched <= 50. The thin s-family wrappers s2–s6 share
+# the r4 now-machinery call path (_input_block → NOW_COL) with s1/flagship,
+# which stay in the window — verifying s1_firehose + pipeline_flagship on
+# the new code covers the rewritten path; s2–s6 keep their r2 record and
+# rejoin the least-recently-verified rotation.
 _ROUND5_TOUCHED = {
     # r4 now-machinery (verified r1/r2, rewritten since)
-    "pipeline_flagship", "s1_firehose", "s2_input_list", "s3_input_tags",
-    "s4_input_labels", "s5_input_feed", "s6_input_did",
+    "pipeline_flagship", "s1_firehose",
     "s7_input_post_prepend", "s8_archived_scan", "s9_liked_weighted",
     "s10_liked_by_likers", "o5_sort_score_dedup", "a1_trending_tags",
     "a1_trending_windowed",

@@ -185,3 +185,57 @@ def test_incremental_dedup_no_cartesian(spark):
     computation in the plan."""
     p = plan_of(spark, "dedup_incremental")
     assert "CartesianProduct" not in p
+
+
+def test_q2_region_broadcasts_and_min_equality_join(spark):
+    """Q2 shape: the decorrelated per-part min joins back on equality (a
+    shuffle join keyed on partkey is fine — both sides are part-sized), the
+    region/nation/supplier/part dims all broadcast, and the top-100 fuses
+    to TakeOrderedAndProject."""
+    p = plan_of(spark, "q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "EqualTo(r_name,EUROPE)" in p
+
+
+def test_q9_only_big_big_join_is_orders(spark):
+    """Q9 star join: part/supplier/nation broadcast; lineitem-orders is the
+    only shuffle join; the p_name LIKE pushes to the part scan."""
+    p = plan_of(spark, "q9_product_profit")
+    assert "StringContains(p_name,widget)" in p
+    assert p.count("SortMergeJoin") <= 1
+
+
+def test_q11_scalar_total_broadcasts(spark):
+    """Q11 HAVING-vs-global-total: the one-row total joins as a broadcast
+    nested loop (one-row build side), not a shuffle."""
+    p = plan_of(spark, "q11_important_value")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q12_ship_year_pushes_to_scan(spark):
+    p = plan_of(spark, "q12_priority_lines")
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_shipdate" in p
+
+
+def test_q20_nested_semi_joins(spark):
+    """Q20 nested INs: both levels decorrelate to left-semi joins; the part
+    prefix filter pushes to the scan (StringStartsWith)."""
+    p = plan_of(spark, "q20_promotion_suppliers")
+    assert "StringStartsWith(p_name,large)" in p
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q21_semi_then_anti_on_orderkey(spark):
+    """Q21 EXISTS/NOT-EXISTS pair: a semi and an anti join, each keyed on
+    orderkey with the suppkey<> residual as the join condition — never a
+    cartesian."""
+    p = plan_of(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
