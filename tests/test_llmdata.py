@@ -1281,3 +1281,58 @@ def test_incremental_lsh_dedup_vs_index(spark, tmp_path):
     out2 = {(r.seen_id, r.new_id)
             for r in D.lsh_dedup_vs_index(batch2, spark, path, threshold=0.5).collect()}
     assert (1, 20) in out2
+
+
+def test_strip_boilerplate_planted_prefix(spark):
+    from query_engine_spark.llmdata.textstats import strip_boilerplate
+
+    rows = (
+        [(i, "cookie banner unique body %d here" % i, "a") for i in range(5)]
+        + [(10, "other text entirely", "a")]
+        + [(20, "cookie banner but rare source", "b")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in strip_boilerplate(df, k=2, min_pct=50, min_count=2).collect()}
+    # 5/7 of source a share the prefix -> boilerplate there
+    for i in range(5):
+        assert out[i]["is_boilerplate"] and out[i]["removed_tokens"] == 2
+        assert out[i]["clean_text"] == "unique body %d here" % i
+    assert not out[10]["is_boilerplate"] and out[10]["clean_text"] == "other text entirely"
+    # same prefix, but the only occurrence in source b -> kept (per-source table)
+    assert not out[20]["is_boilerplate"]
+
+
+def test_strip_boilerplate_short_doc_loses_everything(spark):
+    from query_engine_spark.llmdata.textstats import strip_boilerplate
+
+    rows = [(1, "hi", "s"), (2, "hi", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in strip_boilerplate(df, k=3, min_pct=50, min_count=2).collect()}
+    assert out[1]["is_boilerplate"] and out[1]["removed_tokens"] == 1
+    assert out[1]["clean_text"] == ""
+
+
+def test_dedup_doc_segments_drops_repeats_keeps_order(spark):
+    from query_engine_spark.llmdata.textstats import dedup_doc_segments
+    import hashlib
+
+    # segments of 2: "a b" "c d" "a b" "e f" -> drop the repeat, keep order
+    df = spark.createDataFrame(
+        [(1, "a b c d a b e f"), (2, "x y x y x y")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup_doc_segments(df, seg_tokens=2).collect()}
+    assert out[1]["n_segments"] == 4 and out[1]["n_dropped"] == 1
+    assert out[1]["clean_fp"] == hashlib.md5(b"a b c d e f").hexdigest()
+    assert out[2]["n_segments"] == 3 and out[2]["n_dropped"] == 2
+    assert out[2]["clean_fp"] == hashlib.md5(b"x y").hexdigest()
+
+
+def test_dedup_doc_segments_tail_segment_is_distinct(spark):
+    from query_engine_spark.llmdata.textstats import dedup_doc_segments
+    import hashlib
+
+    # 5 tokens, seg=2 -> "a b", "a b", "a" ; short tail "a" != "a b"
+    df = spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string")
+    row = dedup_doc_segments(df, seg_tokens=2).collect()[0]
+    assert row["n_segments"] == 3 and row["n_dropped"] == 1
+    assert row["clean_fp"] == hashlib.md5(b"a b a").hexdigest()

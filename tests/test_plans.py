@@ -239,3 +239,23 @@ def test_q21_semi_then_anti_on_orderkey(spark):
     assert "LeftSemi" in p
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_strip_boilerplate_corpus_never_shuffle_joins(spark):
+    """The boilerplate table (bounded by 100/min_pct rows per source)
+    broadcasts back onto the corpus — the strip join must be a broadcast,
+    never a corpus-sized SortMergeJoin."""
+    p = plan_of(spark, "text_strip_boilerplate")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_doc_segment_dedup_map_only(spark):
+    """Intra-doc segment dedup is pure per-row array expressions: zero
+    exchanges, no explode-induced shuffle."""
+    import re
+
+    p = plan_of(spark, "text_doc_segment_dedup")
+    assert len(re.findall(r"\bExchange\b", p)) == 0
+    assert "Generate" not in p  # no explode path
