@@ -74,6 +74,11 @@ HEADLINE = [
     "text_dup_spans",
     "llm_stupid_backoff",
     "events_transition_matrix",
+    # round-5 session-3 plan families
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "text_strip_boilerplate",
+    "text_doc_segment_dedup",
 ]
 
 

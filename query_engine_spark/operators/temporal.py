@@ -42,6 +42,7 @@ __all__ = [
     "truncated_ema",
     "ema_weights",
     "ohlc",
+    "rolling_anomaly",
 ]
 
 
@@ -398,4 +399,77 @@ def truncated_ema(
         F.col(id_col),
         "value_q",
         F.floor(num / den).cast("long").alias("ema_q"),
+    )
+
+
+def rolling_anomaly(
+    df: DataFrame,
+    value_col: str = "value",
+    *,
+    key_cols: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lookback: int = 64,
+    min_n: int = 16,
+    z: int = 3,
+    vquant: int = 1000,
+) -> DataFrame:
+    """Rolling z-score anomaly detection per key, engine-exact: flag a
+    point whose deviation from the trailing `lookback`-row mean exceeds
+    `z` standard deviations of that same trailing window (the current row
+    is excluded from its own baseline — a spike must not mask itself).
+
+    The test is evaluated with NO float sqrt/mean anywhere: with
+    n/s/ss = count/sum/sum-of-squares of the quantized trailing values,
+        z² < (x·n − s)² / (n·ss − s²)
+    cross-multiplies to the pure-int64 predicate
+        (x·n − s)² > z² · (n·ss − s²),
+    so the boundary can't flip between engines the way a float
+    stddev comparison can. One key-partitioned codegen window (three
+    aggregates share the frame), one shuffle by key; bounded frames keep
+    state O(lookback) per partition at any history length — the same
+    restartable shape a streaming deployment needs.
+
+    Returns input keys + (ts, id, value_q, n_base, dev2, thr2) for rows
+    where n_base >= min_n, variance > 0, and the predicate fires.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-lookback, -1)
+    )
+    vq = F.round(F.col(value_col) * vquant).cast("long")
+    base = df.select(
+        *key_cols,
+        F.col(ts_col),
+        F.col(id_col),
+        vq.alias("value_q"),
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("value_q").over(w)
+    ss = F.sum(F.col("value_q") * F.col("value_q")).over(w)
+    stats = base.select(
+        *key_cols,
+        ts_col,
+        id_col,
+        "value_q",
+        n.alias("n_base"),
+        (F.col("value_q") * n - s).alias("__dev"),
+        (n * ss - s * s).alias("__nvar"),
+    )
+    return (
+        stats.filter(
+            (F.col("n_base") >= min_n)
+            & (F.col("__nvar") > 0)
+            & (F.col("__dev") * F.col("__dev") > z * z * F.col("__nvar"))
+        )
+        .select(
+            *key_cols,
+            ts_col,
+            id_col,
+            "value_q",
+            F.col("n_base").cast("long").alias("n_base"),
+            (F.col("__dev") * F.col("__dev")).alias("dev2"),
+            (F.lit(z * z) * F.col("__nvar")).alias("thr2"),
+        )
     )

@@ -4600,6 +4600,51 @@ def events_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_anomaly_zscore",
+    """
+    WITH q AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 1000) AS BIGINT) AS value_q
+      FROM events),
+    s AS (
+      SELECT event_type, ts, event_id, value_q,
+             count(*) OVER w AS n,
+             sum(value_q) OVER w AS s,
+             sum(value_q * value_q) OVER w AS ss
+      FROM q
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 64 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, value_q,
+           CAST(n AS BIGINT) AS n_base,
+           CAST((value_q * n - s) * (value_q * n - s) AS BIGINT) AS dev2,
+           CAST(9 * (n * ss - s * s) AS BIGINT) AS thr2
+    FROM s
+    WHERE n >= 16 AND n * ss - s * s > 0
+      AND (value_q * n - s) * (value_q * n - s) > 9 * (n * ss - s * s)
+    """,
+    "rolling z-score anomaly detection per event type, engine-exact: "
+    "trailing-64-row mean/variance test with the current row excluded "
+    "from its own baseline, cross-multiplied to a pure-int64 predicate "
+    "(x·n−s)² > z²·(n·ss−s²) — no float sqrt/mean can flip a boundary "
+    "between engines; one key-partitioned codegen window, bounded frame "
+    "= O(lookback) state per key at any history length "
+    "(operators/temporal.py rolling_anomaly)",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = T.rolling_anomaly(ev, "value", lookback=64, min_n=16, z=3)
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        "value_q",
+        "n_base",
+        "dev2",
+        "thr2",
+    )
+
+
+@_register(
     "events_transition_matrix",
     """
     WITH t AS (

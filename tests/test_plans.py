@@ -259,3 +259,16 @@ def test_doc_segment_dedup_map_only(spark):
     p = plan_of(spark, "text_doc_segment_dedup")
     assert len(re.findall(r"\bExchange\b", p)) == 0
     assert "Generate" not in p  # no explode path
+
+
+def test_anomaly_zscore_single_key_shuffle(spark):
+    """Rolling anomaly: three window aggregates share ONE key-partitioned
+    frame — a single exchange on event_type, no extra sort or join."""
+    import re
+
+    p = plan_of(spark, "events_anomaly_zscore")
+    # formatted plans print each node twice (tree line + detail header);
+    # count the numbered detail headers
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1
+    assert "Join" not in p

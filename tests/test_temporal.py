@@ -564,3 +564,56 @@ def test_countmin_one_sided_error_and_merge(spark):
              Sk.countmin_sketch(df, "user_id", d=4, w=32).collect()}
     got = {(r.row, r.bucket): r.cnt for r in merged.collect()}
     assert got == whole
+
+
+def test_rolling_anomaly_flags_planted_spike(spark):
+    from datetime import datetime, timedelta
+    from query_engine_spark.operators.temporal import rolling_anomaly
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # steady alternating baseline (variance > 0), one spike at i=40
+    for i in range(60):
+        v = 10.0 if i % 2 == 0 else 12.0
+        if i == 40:
+            v = 500.0
+        rows.append(("a", t0 + timedelta(seconds=i), i, v))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, event_id long, value double")
+    out = rolling_anomaly(df, "value", lookback=16, min_n=8, z=3).collect()
+    assert [r["event_id"] for r in out] == [40]
+    r = out[0]
+    assert r["value_q"] == 500000 and r["dev2"] > r["thr2"]
+
+
+def test_rolling_anomaly_excludes_current_row_from_baseline(spark):
+    """Two consecutive spikes: the first must still be flagged (its own
+    value not in its baseline); the second sees the first in ITS baseline
+    but one outlier among 16 alternating values still leaves it >3 sigma
+    of the pre-spike window only if variance stays small — just assert
+    the first spike is flagged and no baseline row is."""
+    from datetime import datetime, timedelta
+    from query_engine_spark.operators.temporal import rolling_anomaly
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        v = 10.0 if i % 2 == 0 else 12.0
+        if i in (30, 31):
+            v = 400.0
+        rows.append(("a", t0 + timedelta(seconds=i), i, v))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, event_id long, value double")
+    flagged = {r["event_id"] for r in rolling_anomaly(df, "value", lookback=16, min_n=8, z=3).collect()}
+    assert 30 in flagged
+    assert not (flagged - {30, 31})
+
+
+def test_rolling_anomaly_min_n_gate(spark):
+    from datetime import datetime, timedelta
+    from query_engine_spark.operators.temporal import rolling_anomaly
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("a", t0 + timedelta(seconds=i), i, 10.0 + (i % 2)) for i in range(5)]
+    rows.append(("a", t0 + timedelta(seconds=9), 9, 999.0))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, event_id long, value double")
+    # only 5 predecessors < min_n=8 -> nothing can fire
+    assert rolling_anomaly(df, "value", lookback=16, min_n=8, z=3).count() == 0
