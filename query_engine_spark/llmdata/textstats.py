@@ -34,6 +34,7 @@ __all__ = [
     "split_assign",
     "bpe_pair_counts",
     "bpe_apply",
+    "bpe_train",
     "domain_mix",
     "train_hashed_classifier",
     "hashed_classifier_score",
@@ -1067,6 +1068,79 @@ def bpe_apply(
             F.sum("chars").alias("chars"),
             F.sum("n_sym").alias("bpe_tokens"),
         )
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    *,
+    rounds: int = 6,
+    text_col: str = "text",
+):
+    """Iterative BPE vocabulary TRAINING (Sennrich et al. 2016): `rounds`
+    merge rounds, each picking the corpus-wide most frequent adjacent
+    symbol pair on the CURRENT segmentation and rewriting it — the loop
+    that `bpe_pair_counts` is one round of and `bpe_apply` consumes the
+    output of. Returns a DataFrame of the learned ordered merge list
+    ``(merge_rank, l, r, cnt)``.
+
+    Scale shape: the corpus compresses to its vocabulary once (word →
+    count hash-agg, map-side combinable); every round then runs on the
+    vocab-sized segmentation table — symbol-pair explode (≤ len(word)
+    rows per vocab entry), pair hash-agg, fused top-1 — so round cost is
+    O(vocab), not O(corpus), at any corpus size. The argmax pair is a
+    driver-side collect of ONE row per round: inherently sequential
+    (round i+1's counts depend on round i's merge), the same
+    tiny-driver-action-per-iteration shape as the k-means loop; the
+    vocab table is persisted across rounds so the corpus explode runs
+    once.
+
+    Merge semantics match bpe_apply exactly (delimited symbol string,
+    non-overlapping leftmost replace, later rounds see earlier symbols),
+    so train → apply composes; ties break (cnt desc, l, r) — total order,
+    engine-portable. Pair counts weight by word frequency and count each
+    adjacent occurrence (the labeled simplification of overlap handling
+    shared with bpe_pair_counts).
+    """
+    from query_engine_spark.llmdata import tracked_persist
+
+    toks = df.select(F.explode(_tokens(F.col(text_col))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    seg0 = F.concat(
+        F.lit("|"), F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), "|"), F.lit("|")
+    )
+    vocab = tracked_persist(vocab.select("cnt", seg0.alias("seg")))
+    merges: list[tuple[int, str, str, int]] = []
+    seg = F.col("seg")
+    for rnd in range(1, rounds + 1):
+        syms = F.filter(F.split(seg, "\\|"), lambda x: x != "")
+        cur = vocab.select("cnt", syms.alias("sy")).filter(F.size("sy") >= 2)
+        pairs = cur.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(sy) - 1), "
+                    "i -> struct(sy[i - 1] AS l, sy[i] AS r))"
+                )
+            ).alias("p"),
+        ).select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "cnt")
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("cnt").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((rnd, l, r, cnt))
+        seg = F.replace(seg, F.lit(f"|{l}|{r}|"), F.lit(f"|{l}{r}|"))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_rank long, l string, r string, cnt long"
     )
 
 

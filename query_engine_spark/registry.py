@@ -2210,6 +2210,59 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "n_words", "chars", "bpe_tokens")
 
 
+def _bpe_train_oracle_sql(rounds: int) -> str:
+    """Unrolled BPE-training oracle (same generator discipline as the
+    k-means/PQ training SQL): stage i recomputes pair counts on the
+    current segmentation, picks the (cnt desc, l, r) argmax IN SQL, and
+    rewrites the segmentation with that data-dependent winner via a
+    cross-joined one-row scalar — no merge is baked into the query."""
+    ctes = [
+        "v0 AS (SELECT CAST(count(*) AS BIGINT) AS cnt,"
+        " '|' || array_to_string(string_split(w, ''), '|') || '|' AS seg FROM ("
+        "SELECT unnest(list_filter(string_split_regex(trim(regexp_replace("
+        "lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+'), x -> x <> '')) AS w"
+        " FROM documents) GROUP BY w)"
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"p{i} AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS cnt FROM ("
+            f"SELECT cnt,"
+            f" unnest(list_transform(range(len(sy) - 1), j -> sy[j + 1])) AS l,"
+            f" unnest(list_transform(range(len(sy) - 1), j -> sy[j + 2])) AS r"
+            f" FROM (SELECT cnt, list_filter(string_split(seg, '|'), x -> x <> '') AS sy"
+            f" FROM v{i}) WHERE len(sy) >= 2) GROUP BY 1, 2)"
+        )
+        ctes.append(f"w{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1)")
+        ctes.append(
+            f"v{i + 1} AS (SELECT v{i}.cnt AS cnt,"
+            f" replace(seg, '|' || w{i}.l || '|' || w{i}.r || '|',"
+            f" '|' || w{i}.l || w{i}.r || '|') AS seg FROM v{i} CROSS JOIN w{i})"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank, l, r, cnt FROM w{i}"
+        for i in range(rounds)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+@_register(
+    "llm_bpe_train",
+    _bpe_train_oracle_sql(6),
+    "iterative BPE vocabulary TRAINING: 6 merge rounds, each a vocab-sized "
+    "symbol-pair count + (cnt desc, l, r) argmax + segmentation rewrite — "
+    "the corpus compresses to its vocabulary once, so round cost is "
+    "O(vocab) at any corpus size; the per-round argmax is a one-row driver "
+    "collect (inherently sequential, the k-means-loop shape). The oracle "
+    "re-derives every winner in SQL via unrolled data-dependent stages — "
+    "no merge list is baked in, so a wrong argmax or rewrite at ANY round "
+    "fails the hash (llmdata/textstats.py bpe_train; composes with "
+    "bpe_apply = llm_bpe_apply)",
+)
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return Tx.bpe_train(docs, rounds=6)
+
+
 @_register(
     "events_salted_counts",
     """
