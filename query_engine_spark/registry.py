@@ -5882,10 +5882,11 @@ _ROUND5_TOUCHED = {
     # r4 now-machinery (verified r1/r2, rewritten since)
     "pipeline_flagship", "s1_firehose", "s9_liked_weighted",
     "s10_liked_by_likers", "o5_sort_score_dedup", "a1_trending_tags",
-    # r5-touched
+    # r5-touched (stream_windowed_counts also reuses compose-demo paths but
+    # its stream==batch equality is asserted directly in test_compose, and
+    # sessionize_events covers the shared stateful path in-window)
     "text_tfidf_pairs",
     "embed_semdedup",
-    "stream_windowed_counts",
     "sessionize_events",
     # r5 session 2: kmeans_lloyd refactored into _kmeans_centroids (shared
     # with IVF-PQ) with a broadcast update join — re-verify on the new code

@@ -1336,3 +1336,46 @@ def test_dedup_doc_segments_tail_segment_is_distinct(spark):
     row = dedup_doc_segments(df, seg_tokens=2).collect()[0]
     assert row["n_segments"] == 3 and row["n_dropped"] == 1
     assert row["clean_fp"] == hashlib.md5(b"a b a").hexdigest()
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    from query_engine_spark.llmdata.textstats import bpe_train
+
+    # "the" x3, "then" x1: (t,h) and (h,e) tie at cnt 4 -> the (cnt desc,
+    # l, r) tiebreak picks (h,e); round 2 then sees t|he in both words ->
+    # (t,he) cnt 4; round 3 merges (the,n) cnt 1
+    df = spark.createDataFrame(
+        [(1, "the the then"), (2, "the")], "doc_id long, text string"
+    )
+    out = {r["merge_rank"]: (r["l"], r["r"], r["cnt"]) for r in bpe_train(df, rounds=3).collect()}
+    assert out[1] == ("h", "e", 4)
+    assert out[2] == ("t", "he", 4)
+    assert out[3] == ("the", "n", 1)
+
+
+def test_bpe_train_composes_with_bpe_apply(spark):
+    from query_engine_spark.llmdata.textstats import bpe_train, bpe_apply
+
+    df = spark.createDataFrame([(1, "banana bandana")], "doc_id long, text string")
+    merges = [
+        (r["l"], r["r"])
+        for r in bpe_train(df, rounds=4).orderBy("merge_rank").collect()
+    ]
+    row = bpe_apply(df, merges).collect()[0]
+    # 4 merges strictly shrink the symbol count from the char baseline
+    assert row["bpe_tokens"] < row["chars"]
+    # determinism: retraining yields the identical merge list
+    merges2 = [
+        (r["l"], r["r"])
+        for r in bpe_train(df, rounds=4).orderBy("merge_rank").collect()
+    ]
+    assert merges == merges2
+
+
+def test_bpe_train_stops_when_no_pairs_remain(spark):
+    from query_engine_spark.llmdata.textstats import bpe_train
+
+    # single 2-char word: round 1 merges it fully, later rounds find no pairs
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    rows = bpe_train(df, rounds=5).collect()
+    assert [(r["merge_rank"], r["l"], r["r"]) for r in rows] == [(1, "a", "b")]
