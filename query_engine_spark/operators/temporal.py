@@ -43,6 +43,8 @@ __all__ = [
     "ema_weights",
     "ohlc",
     "rolling_anomaly",
+    "anomaly_baseline",
+    "anomaly_score_static",
 ]
 
 
@@ -471,5 +473,93 @@ def rolling_anomaly(
             F.col("n_base").cast("long").alias("n_base"),
             (F.col("__dev") * F.col("__dev")).alias("dev2"),
             (F.lit(z * z) * F.col("__nvar")).alias("thr2"),
+        )
+    )
+
+
+def anomaly_baseline(
+    df: DataFrame,
+    value_col: str = "value",
+    *,
+    key_cols: Sequence[str] = ("event_type",),
+    vquant: int = 1000,
+) -> DataFrame:
+    """Per-key baseline moments for `anomaly_score_static` — the offline
+    half of the train-offline / score-the-stream anomaly deployment (same
+    split as the hashed classifier and DSIR: the model is a tiny keyed
+    table, the stream never aggregates). One hash-agg, map-side
+    combinable.
+
+    Unlike rolling_anomaly — whose frame is bounded at `lookback` rows, so
+    the exact cross-multiplied predicate (x·n−s)² > z²·(n·ss−s²) stays
+    inside int64 — a reference-window baseline has UNBOUNDED n, and n²·var
+    overflows. The baseline therefore stores floor-quantized moments
+    (mean_q = s div n, var_q = ss div n − mean_q²): integer div is
+    identical in Spark and DuckDB, so the scorer's predicate is still
+    engine-exact, and every quantity is bounded by the value range alone
+    — no n² term at any corpus size. Emits key_cols + (n, mean_q, var_q).
+    """
+    vq = F.round(F.col(value_col) * vquant).cast("long")
+    agg = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vq).alias("__s"),
+        F.sum(vq * vq).alias("__ss"),
+    )
+    mean_q = F.expr("__s div n")
+    return agg.select(
+        *key_cols,
+        "n",
+        mean_q.alias("mean_q"),
+        (F.expr("__ss div n") - mean_q * mean_q).alias("var_q"),
+    )
+
+
+def anomaly_score_static(
+    df: DataFrame,
+    baseline: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    min_n: int = 16,
+    z: int = 3,
+    vquant: int = 1000,
+) -> DataFrame:
+    """Score points against a pretrained per-key baseline:
+    (x − mean_q)² > z²·var_q over `anomaly_baseline`'s floor-quantized
+    integer moments — engine-exact (both engines compute identical
+    integers) and overflow-free at any baseline size (see
+    anomaly_baseline on why the unbounded-n case can't reuse
+    rolling_anomaly's cross-multiplied form). The baseline broadcasts
+    (one row per key) and the scoring is a map-only stream-static join —
+    no watermark, no state, append output: the shape that runs unchanged
+    on a `readStream` firehose. Unlike rolling_anomaly the baseline is
+    FIXED (trained on a reference window), which is what a monitoring
+    deployment wants: the alert threshold must not drift with the
+    anomalies it is measuring.
+
+    Returns only the anomalous rows: keys + (ts, id, value_q, n_base,
+    dev2, thr2).
+    """
+    vq = F.round(F.col(value_col) * vquant).cast("long")
+    scored = df.select(
+        *key_cols, F.col(ts_col), F.col(id_col), vq.alias("value_q")
+    ).join(F.broadcast(baseline), list(key_cols), "inner")
+    dev = F.col("value_q") - F.col("mean_q")
+    return (
+        scored.filter(
+            (F.col("n") >= min_n)
+            & (F.col("var_q") > 0)
+            & (dev * dev > z * z * F.col("var_q"))
+        )
+        .select(
+            *key_cols,
+            ts_col,
+            id_col,
+            "value_q",
+            F.col("n").cast("long").alias("n_base"),
+            (dev * dev).alias("dev2"),
+            (F.lit(z * z) * F.col("var_q")).alias("thr2"),
         )
     )

@@ -4698,6 +4698,54 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_anomaly_static",
+    """
+    WITH q AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 1000) AS BIGINT) AS value_q
+      FROM events),
+    a AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(value_q) AS BIGINT) AS s,
+             CAST(sum(value_q * value_q) AS BIGINT) AS ss
+      FROM q GROUP BY 1),
+    b AS (
+      SELECT event_type, n, s // n AS mean_q,
+             ss // n - (s // n) * (s // n) AS var_q
+      FROM a)
+    SELECT q.event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, value_q,
+           CAST(n AS BIGINT) AS n_base,
+           CAST((value_q - mean_q) * (value_q - mean_q) AS BIGINT) AS dev2,
+           CAST(9 * var_q AS BIGINT) AS thr2
+    FROM q JOIN b USING (event_type)
+    WHERE n >= 16 AND var_q > 0
+      AND (value_q - mean_q) * (value_q - mean_q) > 9 * var_q
+    """,
+    "static-baseline anomaly scoring (the train-offline / score-the-stream "
+    "half of events_anomaly_zscore): per-key floor-quantized integer "
+    "moments (mean_q = s div n, var_q = ss div n − mean_q²) broadcast "
+    "onto a map-only join — no n² term, so int64-safe at ANY baseline "
+    "size, and stateless/append so the same operator scores a readStream "
+    "firehose unchanged (stream==batch asserted in test_ingest); fixture "
+    "form self-trains on the full table "
+    "(operators/temporal.py anomaly_baseline/anomaly_score_static)",
+)
+def events_anomaly_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    baseline = T.anomaly_baseline(ev, "value")
+    out = T.anomaly_score_static(ev, baseline, min_n=16, z=3)
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        "value_q",
+        "n_base",
+        "dev2",
+        "thr2",
+    )
+
+
+@_register(
     "events_transition_matrix",
     """
     WITH t AS (
@@ -5885,8 +5933,11 @@ _ROUND5_TOUCHED = {
     # r5-touched (stream_windowed_counts also reuses compose-demo paths but
     # its stream==batch equality is asserted directly in test_compose, and
     # sessionize_events covers the shared stateful path in-window)
+    # embed_semdedup left the head late in session 3: it is r4-verified and
+    # the r5 change (auto-k pruned count) is outside the oracle path — the
+    # registry oracle pins k=8, so a driver re-check could not exercise it;
+    # test_semdedup_auto_k covers the k=None path directly.
     "text_tfidf_pairs",
-    "embed_semdedup",
     "sessionize_events",
     # r5 session 2: kmeans_lloyd refactored into _kmeans_centroids (shared
     # with IVF-PQ) with a broadcast update join — re-verify on the new code

@@ -359,3 +359,39 @@ def test_streaming_dsir_score_static_ratios(spark, tmp_path):
         Tx.dsir_weights(docs, target, ratios=ratios)
     with pytest.raises(ValueError, match="train offline"):
         Tx.dsir_weights(stream, target)
+
+
+def test_streaming_anomaly_score_static_baseline(spark, tmp_path):
+    """Stream-side anomaly monitor: train the per-key baseline OFFLINE,
+    score the event STREAM against the broadcast moments (map-only
+    stream-static join, append mode, no state). Streaming result must
+    equal batch scoring with the same baseline."""
+    from datetime import datetime, timedelta
+    from query_engine_spark.operators.temporal import anomaly_baseline, anomaly_score_static
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        v = 10.0 if i % 2 == 0 else 12.0
+        if i == 33:
+            v = 300.0
+        rows.append(("a", t0 + timedelta(seconds=i), i, v))
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, event_id long, value double")
+    baseline = anomaly_baseline(ev.filter("event_id < 30"), "value")
+
+    path = str(tmp_path / "ev_stream")
+    ev.write.parquet(path)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    scored = anomaly_score_static(stream, baseline, min_n=8, z=3)
+    q = scored.writeStream.format("memory").queryName("t_anom").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        got = {(r.event_id, r.value_q, r.dev2, r.thr2) for r in spark.table("t_anom").collect()}
+    finally:
+        q.stop()
+    batch = {
+        (r.event_id, r.value_q, r.dev2, r.thr2)
+        for r in anomaly_score_static(ev, baseline, min_n=8, z=3).collect()
+    }
+    assert got == batch
+    assert {e for e, *_ in got} == {33}
