@@ -51,6 +51,9 @@ __all__ = [
     "decode_bmp",
     "resize_bmp",
     "bmp_features",
+    "dhash_bmp_bands",
+    "dhash_bands",
+    "perceptual_dedup_pairs",
     "bmp_resize",
     "make_wav",
     "decode_wav",
@@ -1181,3 +1184,111 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8, 
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame_bytes"])
 
     return df.select("media_id", "payload").mapInPandas(run, _FRAME_SCHEMA)
+
+
+def dhash_bmp_bands(blob: bytes, *, grid_w: int = 9, grid_h: int = 8) -> list[int]:
+    """Perceptual difference-hash of a decoded BMP, as four 16-bit bands.
+
+    Classic dHash: nearest-neighbor sample a `grid_w`x`grid_h` grayscale
+    grid (source pixel of grid cell (gx, gy) is (gx*width // grid_w,
+    gy*height // grid_h), the same integer-grid rule as `resize_bmp`),
+    then bit k of row gy is 1 iff gray(gx) > gray(gx+1) — (grid_w-1) *
+    grid_h = 64 bits. Gray is the CHANNEL SUM (no division: keeps every
+    quantity an exact small integer the oracle can reproduce). The 64
+    bits pack little-endian into four 16-bit integers — the LSH band
+    keys of `perceptual_dedup_pairs` — instead of one int64, so no
+    sign-bit edge case exists in either engine.
+    """
+    off, width, height, stride = _parse_bmp_header(blob)
+
+    def gray(x: int, y: int) -> int:
+        s = off + (height - 1 - y) * stride + x * 3  # bottom-up rows
+        return blob[s] + blob[s + 1] + blob[s + 2]
+
+    bits: list[int] = []
+    for gy in range(grid_h):
+        sy = gy * height // grid_h
+        g = [gray(gx * width // grid_w, sy) for gx in range(grid_w)]
+        bits.extend(1 if g[i] > g[i + 1] else 0 for i in range(grid_w - 1))
+    n_bands = (len(bits) + 15) // 16
+    return [
+        sum(bits[b * 16 + k] << k for k in range(16) if b * 16 + k < len(bits))
+        for b in range(n_bands)
+    ]
+
+
+_DHASH_SCHEMA = "media_id long, b0 long, b1 long, b2 long, b3 long"
+
+
+def dhash_bands(df: DataFrame) -> DataFrame:
+    """Distributed perceptual hashing: decode + dHash every BMP payload in
+    one Arrow mapInPandas pass (map-only, no shuffle — the pixel data
+    never leaves the executor; only the 4x16-bit fingerprint does, which
+    is what makes perceptual dedup tractable at 100 TB of media)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                b0, b1, b2, b3 = dhash_bmp_bands(bytes(blob))
+                rows.append(
+                    {"media_id": mid, "b0": b0, "b1": b1, "b2": b2, "b3": b3}
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _DHASH_SCHEMA)
+
+
+def perceptual_dedup_pairs(bands: DataFrame, *, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs from dHash bands: pigeonhole LSH — two
+    64-bit hashes within hamming distance 3 must agree EXACTLY on at
+    least one of the four 16-bit bands, so candidates come from four
+    band-keyed equi-joins (one exploded join here), never an all-pairs
+    comparison; the exact hamming distance (sum of per-band bit_count of
+    xor) then verifies candidates only. The same chunk-pigeonhole
+    device as SimHash text dedup (dedup.py), applied to decoded pixels.
+
+    Returns (media_a, media_b, hamming), media_a < media_b.
+    """
+    long = bands.select(
+        "media_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"b{b}").alias("val"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("k"),
+    ).select("media_id", "b0", "b1", "b2", "b3", "k.band_id", "k.val")
+    a = long.select(
+        F.col("media_id").alias("media_a"),
+        *[F.col(f"b{b}").alias(f"a{b}") for b in range(4)],
+        "band_id",
+        "val",
+    )
+    b = long.select(
+        F.col("media_id").alias("media_b"),
+        *[F.col(f"b{b}").alias(f"bb{b}") for b in range(4)],
+        "band_id",
+        "val",
+    )
+    cand = (
+        a.join(b, ["band_id", "val"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .dropDuplicates(["media_a", "media_b"])
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"bb{i}"))) for i in range(4)
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )

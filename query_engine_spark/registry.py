@@ -3589,6 +3589,77 @@ def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_perceptual_dedup_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = _pack_media(
+        ids,
+        lambda i: MM.make_bmp(i % 48, 32 + (i % 48) % 7, 24 + (i % 48) % 5),
+    )
+    bands = MM.dhash_bands(media)
+    return MM.perceptual_dedup_pairs(bands, max_hamming=3).orderBy("media_a", "media_b")
+
+
+@_register(
+    "media_perceptual_dedup",
+    """
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 48 AS pat,
+                      32 + (doc_id % 48) % 7 AS w, 24 + (doc_id % 48) % 5 AS h
+               FROM documents WHERE doc_id < 64),
+    g AS (
+      SELECT media_id, gy.gy AS gy, gx.gx AS gx,
+             ((pat*31 + ((gy.gy*h)//8)*7 + ((gx.gx*w)//9)*3 + 0) % 256
+            + (pat*31 + ((gy.gy*h)//8)*7 + ((gx.gx*w)//9)*3 + 1) % 256
+            + (pat*31 + ((gy.gy*h)//8)*7 + ((gx.gx*w)//9)*3 + 2) % 256) AS gray
+      FROM m, generate_series(0,7) AS gy(gy), generate_series(0,8) AS gx(gx)),
+    bits AS (
+      SELECT a.media_id, a.gy AS gy, a.gx AS k,
+             CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS bit
+      FROM g a JOIN g b ON a.media_id = b.media_id AND a.gy = b.gy AND b.gx = a.gx + 1),
+    bands AS (
+      SELECT media_id, (gy*8 + k) // 16 AS band_id,
+             CAST(sum(bit * (1 << ((gy*8 + k) % 16))) AS BIGINT) AS val
+      FROM bits GROUP BY 1, 2),
+    wide AS (
+      SELECT media_id,
+             CAST(max(CASE WHEN band_id = 0 THEN val END) AS BIGINT) AS b0,
+             CAST(max(CASE WHEN band_id = 1 THEN val END) AS BIGINT) AS b1,
+             CAST(max(CASE WHEN band_id = 2 THEN val END) AS BIGINT) AS b2,
+             CAST(max(CASE WHEN band_id = 3 THEN val END) AS BIGINT) AS b3
+      FROM bands GROUP BY 1),
+    cand AS (
+      SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+      FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.val = b.val
+                               AND a.media_id < b.media_id)
+    SELECT media_a, media_b,
+           CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+              + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
+    FROM cand JOIN wide x ON x.media_id = media_a JOIN wide y ON y.media_id = media_b
+    WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3
+    ORDER BY media_a, media_b
+    """,
+    "PERCEPTUAL image near-dup over REAL decoded pixels: BMP payloads "
+    "(16 planted exact-duplicate patterns via media_id%48) are decoded "
+    "and dHashed distributed in one map-only Arrow pass (9x8 "
+    "nearest-neighbor grid, channel-sum gray, 64 comparison bits packed "
+    "as four 16-bit LSH bands); candidates come from the SimHash-style "
+    "band-pigeonhole equi-join (hamming<=3 must share a band — never "
+    "all-pairs) and verify by exact bit_count-of-xor. The oracle "
+    "recomputes every pixel, bit, band, candidate and distance by "
+    "integer arithmetic, so a wrong stride/sample/pack anywhere flips "
+    "the hash. Synthetic gradient patterns are mutually self-similar "
+    "(272 pairs incl. the 16 planted hamming-0 dups) — the discrimination "
+    "is the pattern family's, the machinery is production dHash "
+    "(llmdata/multimodal.py dhash_bmp_bands/dhash_bands/"
+    "perceptual_dedup_pairs)",
+)
+def media_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _media_perceptual_dedup_impl(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # §7 training-data pipeline: deterministic sampling, vocabulary, end-to-end
 # corpus preparation
@@ -5927,8 +5998,10 @@ _STALE_VERIFICATION = {
 # code covers the rewritten path; the rest keep their r1/r2 record and
 # rejoin the least-recently-verified rotation.
 _ROUND5_TOUCHED = {
-    # r4 now-machinery (verified r1/r2, rewritten since)
-    "pipeline_flagship", "s1_firehose", "s9_liked_weighted",
+    # r4 now-machinery (verified r1/r2, rewritten since); s9 dropped late in
+    # session 3 — s10 keeps the heavier like-graph CF path in-window and
+    # s1/flagship/o5/a1 cover the shared now machinery
+    "pipeline_flagship", "s1_firehose",
     "s10_liked_by_likers", "o5_sort_score_dedup", "a1_trending_tags",
     # r5-touched (stream_windowed_counts also reuses compose-demo paths but
     # its stream==batch equality is asserted directly in test_compose, and

@@ -1379,3 +1379,48 @@ def test_bpe_train_stops_when_no_pairs_remain(spark):
     df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
     rows = bpe_train(df, rounds=5).collect()
     assert [(r["merge_rank"], r["l"], r["r"]) for r in rows] == [(1, "a", "b")]
+
+
+def test_dhash_identical_images_hamming_zero(spark):
+    from query_engine_spark.llmdata.multimodal import (
+        make_bmp, dhash_bmp_bands, dhash_bands, perceptual_dedup_pairs,
+    )
+    import pandas as pd
+
+    # same pattern at the same size -> identical hash; a different pattern
+    # is a candidate only if a band collides
+    blobs = [(0, make_bmp(7, 20, 14)), (1, make_bmp(7, 20, 14)), (2, make_bmp(7, 21, 14))]
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [m for m, _ in blobs], "payload": [b for _, b in blobs]})
+    )
+    bands = dhash_bands(media)
+    pairs = {(r.media_a, r.media_b): r.hamming for r in perceptual_dedup_pairs(bands, max_hamming=64).collect()}
+    assert pairs[(0, 1)] == 0
+    # local reference agrees with the distributed hash
+    local = dhash_bmp_bands(make_bmp(7, 20, 14))
+    row = {r.media_id: (r.b0, r.b1, r.b2, r.b3) for r in bands.collect()}
+    assert row[0] == tuple(local) == row[1]
+
+
+def test_dhash_is_resize_invariant_for_nearest_neighbor_upscale(spark):
+    """dHash's whole point: a resized copy of the same image hashes close.
+    A nearest-neighbor 2x upscale of the same pattern samples back to the
+    identical 9x8 grid -> hamming 0 to the original."""
+    from query_engine_spark.llmdata.multimodal import make_bmp, resize_bmp, dhash_bmp_bands
+
+    orig = make_bmp(11, 18, 16)
+    up = resize_bmp(orig, 36, 32)
+    assert dhash_bmp_bands(orig) == dhash_bmp_bands(up)
+
+
+def test_perceptual_pairs_pigeonhole_no_cartesian(spark):
+    from query_engine_spark import registry
+    import io, contextlib
+
+    df = registry.REGISTRY["media_perceptual_dedup"].fn(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
