@@ -1241,7 +1241,9 @@ def dhash_bands(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, _DHASH_SCHEMA)
 
 
-def perceptual_dedup_pairs(bands: DataFrame, *, max_hamming: int = 3) -> DataFrame:
+def perceptual_dedup_pairs(
+    bands: DataFrame, *, max_hamming: int = 3, max_bucket: int | None = None
+) -> DataFrame:
     """Near-duplicate image pairs from dHash bands: pigeonhole LSH — two
     64-bit hashes within hamming distance 3 must agree EXACTLY on at
     least one of the four 16-bit bands, so candidates come from four
@@ -1249,6 +1251,13 @@ def perceptual_dedup_pairs(bands: DataFrame, *, max_hamming: int = 3) -> DataFra
     comparison; the exact hamming distance (sum of per-band bit_count of
     xor) then verifies candidates only. The same chunk-pigeonhole
     device as SimHash text dedup (dedup.py), applied to decoded pixels.
+
+    `max_bucket` is the production skew guard, same as MinHash-LSH's:
+    a band value shared by B images yields B²/2 candidate rows (solid
+    borders, letterboxes and template graphics are the image analogue of
+    boilerplate text), so buckets above the cap are dropped before the
+    self-join — pairs inside a dropped bucket usually still meet in one
+    of their other three bands. None disables (trusted corpora).
 
     Returns (media_a, media_b, hamming), media_a < media_b.
     """
@@ -1267,6 +1276,15 @@ def perceptual_dedup_pairs(bands: DataFrame, *, max_hamming: int = 3) -> DataFra
             )
         ).alias("k"),
     ).select("media_id", "b0", "b1", "b2", "b3", "k.band_id", "k.val")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "val")
+        long = (
+            long.withColumn("__n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
     a = long.select(
         F.col("media_id").alias("media_a"),
         *[F.col(f"b{b}").alias(f"a{b}") for b in range(4)],

@@ -1424,3 +1424,20 @@ def test_perceptual_pairs_pigeonhole_no_cartesian(spark):
     p = buf.getvalue()
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_perceptual_pairs_max_bucket_drops_hub(spark):
+    """A band value shared by many images squares the candidate join;
+    max_bucket drops the hub bucket (the image analogue of boilerplate).
+    With every image identical all four bands are hubs, so a cap below
+    the class size yields no pairs; without the cap, all pairs."""
+    from query_engine_spark.llmdata.multimodal import make_bmp, dhash_bands, perceptual_dedup_pairs
+    import pandas as pd
+
+    blob = make_bmp(5, 20, 14)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": list(range(6)), "payload": [blob] * 6})
+    )
+    bands = dhash_bands(media)
+    assert perceptual_dedup_pairs(bands, max_hamming=3).count() == 15
+    assert perceptual_dedup_pairs(bands, max_hamming=3, max_bucket=5).count() == 0

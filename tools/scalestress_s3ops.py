@@ -40,6 +40,9 @@ OPS = [
     "text_strip_boilerplate",
     "text_doc_segment_dedup",
     "events_anomaly_zscore",
+    # late session-3 additions
+    "events_anomaly_static",
+    "llm_bpe_train",
 ]
 
 
@@ -59,10 +62,35 @@ def main() -> int:
         build_dataset(spark, k, out_dir)
         print(f"# built {k}x dataset at {out_dir} in {time.time() - t0:.0f}s", file=sys.stderr)
 
+    def perceptual_full(spark, sf_dir):
+        # the registry fixture caps at 64 ids for oracle determinism; the
+        # stress form hashes EVERY document's (synthetic) image. The BMP
+        # generator has only 256 distinct pixel bases, so duplicate classes
+        # GROW with the corpus (10x docs -> 10x per class -> 100x true
+        # pairs): exactly the hub-bucket hazard max_bucket exists for — the
+        # production configuration caps the bucket, keeping the join linear
+        # while the pathological classes are dropped, same as MinHash-LSH.
+        from pyspark.sql import functions as F
+        from query_engine_spark.llmdata import multimodal as MM
+        from query_engine_spark.registry import _pack_media
+
+        docs = registry.load_table(spark, sf_dir, "documents")
+        ids = docs.select(F.col("doc_id").alias("media_id"))
+        media = _pack_media(
+            ids, lambda i: MM.make_bmp(i, 32 + i % 7, 24 + i % 5)
+        )
+        return MM.perceptual_dedup_pairs(
+            MM.dhash_bands(media), max_hamming=3, max_bucket=50
+        )
+
     results: dict[str, dict] = {}
     for sf_name, sf_dir in (("sf0.1", BASE), (f"sf1({k}x)", out_dir)):
-        for name in OPS:
-            fn = registry.REGISTRY[name].fn
+        for name in OPS + ["media_perceptual_full"]:
+            fn = (
+                perceptual_full
+                if name == "media_perceptual_full"
+                else registry.REGISTRY[name].fn
+            )
             best, shuffle_b, rows = None, None, None
             for _ in range(2):
                 s0 = total_shuffle_write(spark)
