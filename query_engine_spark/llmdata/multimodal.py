@@ -54,8 +54,12 @@ __all__ = [
     "dhash_bmp_bands",
     "dhash_bands",
     "perceptual_dedup_pairs",
+    "audio_envelope_bands",
+    "audio_fingerprints",
+    "audio_dedup",
     "bmp_resize",
     "make_wav",
+    "make_wav_tone",
     "decode_wav",
     "resample_wav",
     "wav_features",
@@ -353,6 +357,15 @@ def make_wav(media_id: int, n_samples: int, sample_rate: int = 8000) -> bytes:
         struct.pack("<h", ((media_id * 131 + i * 17) % 65536) - 32768)
         for i in range(n_samples)
     )
+    return _pack_wav_pcm(data, sample_rate)
+
+
+def _pack_wav_pcm(data: bytes, sample_rate: int) -> bytes:
+    """RIFF/WAVE 16-bit mono PCM container shared by the wav generators —
+    keeps the deliberate JUNK chunk so every generated payload exercises
+    the chunk walker."""
+    import struct
+
     block_align = 2  # mono * 16-bit
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * block_align, block_align, 16)
     chunks = (
@@ -361,6 +374,26 @@ def make_wav(media_id: int, n_samples: int, sample_rate: int = 8000) -> bytes:
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def make_wav_tone(media_id: int, n_samples: int, sample_rate: int = 8000) -> bytes:
+    """Pack a deterministic WAV whose LOUDNESS ENVELOPE carries the
+    pattern: sample i is ``((media_id >> ((i*32 // n) % 16)) & 1) *
+    (1000 + i % 997)`` — frame f of 32 is loud iff bit (f % 16) of
+    media_id is set, so the 32-frame energy mask IS the id's bit pattern
+    (doubled) and `audio_envelope_bands` recovers it exactly; an oracle
+    reproduces every energy by integer arithmetic. Use n_samples
+    divisible by 32 so frame boundaries are exact in both engines."""
+    import struct
+
+    data = b"".join(
+        struct.pack(
+            "<h",
+            ((media_id >> ((i * 32 // n_samples) % 16)) & 1) * (1000 + i % 997),
+        )
+        for i in range(n_samples)
+    )
+    return _pack_wav_pcm(data, sample_rate)
 
 
 def decode_wav(blob: bytes) -> tuple[int, int, int, int, int, int]:
@@ -1309,4 +1342,80 @@ def perceptual_dedup_pairs(
         cand.withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("media_a", "media_b", "hamming")
+    )
+
+
+def audio_envelope_bands(blob: bytes, *, frames: int = 32) -> tuple[int, int]:
+    """Perceptual audio fingerprint of a decoded WAV: frame the PCM stream
+    into `frames` equal windows, take each window's integer energy
+    (sum of |sample|), and emit one bit per window: energy·frames >
+    total (the above-mean loudness mask — chromaprint's shape without
+    the FFT; the mask, unlike exact byte hashes, survives level scaling
+    and nearest-neighbor resampling, and unlike adjacent-frame
+    transition bits it keeps magnitude, so uniform-energy streams don't
+    collapse into one class). 32 bits pack little-endian into two 16-bit integers,
+    the band keys for pigeonhole candidate joins or direct keep-first
+    canonicalization. All arithmetic is integer — the oracle reproduces
+    every energy, bit and band from the sample formula alone.
+    """
+    import struct
+
+    rate, n, _, _, _, _ = decode_wav(blob)  # full validation
+    # re-walk for raw samples (decode_wav validated structure)
+    pos, data = 12, b""
+    end = 8 + struct.unpack_from("<I", blob, 4)[0]
+    while pos + 8 <= end:
+        cid = blob[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", blob, pos + 4)
+        if cid == b"data":
+            data = blob[pos + 8 : pos + 8 + csize]
+        pos += 8 + csize + (csize & 1)
+    samples = struct.unpack(f"<{n}h", data[: n * 2]) if n else ()
+    if n < frames:
+        raise ValueError(f"need >= {frames} samples for a {frames}-frame envelope")
+    energies = [
+        sum(abs(s) for s in samples[f * n // frames : (f + 1) * n // frames])
+        for f in range(frames)
+    ]
+    total = sum(energies)
+    # above-mean loudness mask, cross-multiplied: bit f = energy_f*frames >
+    # total. Level-invariant (scaling every sample scales both sides) and
+    # pure-integer, unlike adjacent-frame transition bits which discard
+    # magnitude and collapse uniform-energy streams into one class.
+    bits = [1 if e * frames > total else 0 for e in energies]
+    lo = sum(bits[k] << k for k in range(min(16, frames)))
+    hi = sum(bits[16 + k] << k for k in range(max(0, frames - 16)))
+    return lo, hi
+
+
+_AUDIO_FP_SCHEMA = "media_id long, fp_lo long, fp_hi long"
+
+
+def audio_fingerprints(df: DataFrame) -> DataFrame:
+    """Distributed audio fingerprinting: decode + envelope-hash every WAV
+    payload in one Arrow mapInPandas pass (map-only; only the 4-byte
+    fingerprint leaves the executor, never the PCM)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                lo, hi = audio_envelope_bands(bytes(blob))
+                rows.append({"media_id": mid, "fp_lo": lo, "fp_hi": hi})
+            yield pd.DataFrame(rows, columns=["media_id", "fp_lo", "fp_hi"])
+
+    return df.select("media_id", "payload").mapInPandas(run, _AUDIO_FP_SCHEMA)
+
+
+def audio_dedup(fps: DataFrame) -> DataFrame:
+    """Keep-first canonicalization on the perceptual fingerprint: one
+    fingerprint-keyed window (the exact-dedup shape from dedup.py, keyed
+    on the ENVELOPE instead of raw bytes, so level-preserving re-encodes
+    collapse onto one canonical media row). Returns every row with its
+    canonical representative: (media_id, fp_lo, fp_hi, canonical_id)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp_lo", "fp_hi").orderBy("media_id")
+    return fps.withColumn("canonical_id", F.min("media_id").over(w)).select(
+        "media_id", "fp_lo", "fp_hi", "canonical_id"
     )

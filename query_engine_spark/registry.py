@@ -3660,6 +3660,49 @@ def media_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _media_perceptual_dedup_impl(spark, sf_dir)
 
 
+@_register(
+    "media_audio_dedup",
+    """
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 48 AS pat,
+                      32 * (10 + (doc_id % 48) % 7) AS n
+               FROM documents WHERE doc_id < 64),
+    e AS (
+      SELECT media_id, (i.i * 32) // n AS f,
+             CAST(sum(((pat >> (((i.i * 32) // n) % 16)) & 1) * (1000 + (i.i % 997))) AS BIGINT) AS energy
+      FROM m, generate_series(0, 1023) AS i(i) WHERE i.i < n GROUP BY 1, 2),
+    t AS (SELECT media_id, CAST(sum(energy) AS BIGINT) AS total FROM e GROUP BY 1),
+    fp AS (
+      SELECT e.media_id,
+             CAST(sum(CASE WHEN f < 16 AND energy * 32 > total THEN (1 << f) ELSE 0 END) AS BIGINT) AS fp_lo,
+             CAST(sum(CASE WHEN f >= 16 AND energy * 32 > total THEN (1 << (f - 16)) ELSE 0 END) AS BIGINT) AS fp_hi
+      FROM e JOIN t USING (media_id) GROUP BY 1)
+    SELECT media_id, fp_lo, fp_hi,
+           CAST(min(media_id) OVER (PARTITION BY fp_lo, fp_hi) AS BIGINT) AS canonical_id
+    FROM fp ORDER BY media_id
+    """,
+    "PERCEPTUAL audio dedup over REAL decoded PCM: WAV payloads (16 "
+    "planted duplicate tone patterns via media_id%48) are decoded and "
+    "envelope-hashed distributed in one map-only Arrow pass — 32 equal "
+    "frames, integer |sample| energies, above-mean loudness mask "
+    "(energy·32 > total, cross-multiplied: level-invariant, no floats) "
+    "packed as two 16-bit words — then canonicalized keep-first on the "
+    "fingerprint (one keyed window). The oracle recomputes every sample, "
+    "energy, mask bit and canonical id by integer arithmetic; only the "
+    "4-byte fingerprint ever leaves the executor (llmdata/multimodal.py "
+    "make_wav_tone/audio_envelope_bands/audio_fingerprints/audio_dedup)",
+)
+def media_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = _pack_media(
+        ids, lambda i: MM.make_wav_tone(i % 48, 32 * (10 + (i % 48) % 7))
+    )
+    fps = MM.audio_fingerprints(media)
+    return MM.audio_dedup(fps).orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # §7 training-data pipeline: deterministic sampling, vocabulary, end-to-end
 # corpus preparation
@@ -6001,8 +6044,12 @@ _ROUND5_TOUCHED = {
     # r4 now-machinery (verified r1/r2, rewritten since); s9 dropped late in
     # session 3 — s10 keeps the heavier like-graph CF path in-window and
     # s1/flagship/o5/a1 cover the shared now machinery
+    # o5 dropped for the audio-dedup slot: its now=None path was
+    # selfcheck-verified on the r4 code (VERDICT r4) and flagship keeps the
+    # score→sort→limit path in-window; sessionize stays — its r2 driver
+    # record predates the r3 stateful.py rewrite.
     "pipeline_flagship", "s1_firehose",
-    "s10_liked_by_likers", "o5_sort_score_dedup", "a1_trending_tags",
+    "s10_liked_by_likers", "a1_trending_tags",
     # r5-touched (stream_windowed_counts also reuses compose-demo paths but
     # its stream==batch equality is asserted directly in test_compose, and
     # sessionize_events covers the shared stateful path in-window)

@@ -1441,3 +1441,49 @@ def test_perceptual_pairs_max_bucket_drops_hub(spark):
     bands = dhash_bands(media)
     assert perceptual_dedup_pairs(bands, max_hamming=3).count() == 15
     assert perceptual_dedup_pairs(bands, max_hamming=3, max_bucket=5).count() == 0
+
+
+def test_audio_envelope_level_invariant_and_discriminative(spark):
+    from query_engine_spark.llmdata.multimodal import (
+        make_wav_tone, audio_envelope_bands, _pack_wav_pcm,
+    )
+    import struct
+
+    base = make_wav_tone(5, 320)
+    # doubling every sample scales each frame energy AND the total by 2x:
+    # the above-mean mask is unchanged (level invariance)
+    def scale2(blob):
+        pos, data = 12, b""
+        end = 8 + struct.unpack_from("<I", blob, 4)[0]
+        while pos + 8 <= end:
+            cid = blob[pos:pos+4]
+            (csize,) = struct.unpack_from("<I", blob, pos + 4)
+            if cid == b"data":
+                data = blob[pos+8:pos+8+csize]
+            pos += 8 + csize + (csize & 1)
+        n = len(data) // 2
+        doubled = b"".join(
+            struct.pack("<h", struct.unpack_from("<h", data, 2*i)[0] * 2)
+            for i in range(n)
+        )
+        return _pack_wav_pcm(doubled, 8000)
+
+    assert audio_envelope_bands(base) == audio_envelope_bands(scale2(base))
+    # distinct tone patterns get distinct masks (bits of media_id)
+    assert audio_envelope_bands(make_wav_tone(5, 320)) != audio_envelope_bands(make_wav_tone(6, 320))
+    # the mask IS the pattern's bit layout: pat=5 -> frames 0 and 2 loud,
+    # repeated in the upper 16 frames
+    lo, hi = audio_envelope_bands(make_wav_tone(5, 320))
+    assert lo == 5 and hi == 5
+
+
+def test_audio_dedup_canonicalizes_planted_dups(spark):
+    from query_engine_spark.llmdata.multimodal import make_wav_tone, audio_fingerprints, audio_dedup
+    import pandas as pd
+
+    rows = [(i, make_wav_tone(i % 4, 320)) for i in range(8)]
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [m for m, _ in rows], "payload": [b for _, b in rows]})
+    )
+    out = {r.media_id: r.canonical_id for r in audio_dedup(audio_fingerprints(media)).collect()}
+    assert out == {i: i % 4 for i in range(8)}
