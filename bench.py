@@ -79,6 +79,9 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "text_strip_boilerplate",
     "text_doc_segment_dedup",
+    "events_anomaly_zscore",
+    "llm_bpe_train",
+    "media_perceptual_dedup",
 ]
 
 

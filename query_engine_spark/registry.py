@@ -4860,6 +4860,50 @@ def events_anomaly_static(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_cusum_drift",
+    """
+    WITH q AS (SELECT event_type, ts, event_id,
+                      CAST(round(value * 1000) AS BIGINT) AS value_q FROM events),
+    b AS (SELECT event_type,
+                 CAST(sum(value_q) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_q
+          FROM q GROUP BY 1),
+    u AS (SELECT q.event_type, ts, event_id, value_q,
+                 sum(value_q - mean_q - 500) OVER w AS u
+          FROM q JOIN b USING (event_type)
+          WINDOW w AS (PARTITION BY q.event_type ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING)),
+    s AS (SELECT *, u - least(0, min(u) OVER w2) AS s_q FROM u
+          WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING))
+    SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+           value_q, CAST(s_q AS BIGINT) AS s_q
+    FROM s WHERE s_q > 2000000
+    """,
+    "one-sided CUSUM drift detection per event type (Page 1954): the "
+    "sequential recursion's no-reset form has the closed identity "
+    "S_t = U_t − min(0, cummin U_t), so it runs as TWO cumulative windows "
+    "over one key-partitioned sort — single exchange, all integer, and "
+    "the same semantics an O(1)-state applyInPandasWithState operator "
+    "computes on a stream (streaming/stateful.py cusum_batch/cusum_stream; "
+    "stream == batch asserted in test_stateful). Fixture form self-trains "
+    "the per-key mean; production trains offline via anomaly_baseline",
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.streaming.stateful import cusum_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    means = T.anomaly_baseline(ev, "value").select("event_type", "mean_q")
+    out = cusum_batch(ev, means, slack_q=500, threshold_q=2_000_000)
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        "value_q",
+        "s_q",
+    )
+
+
+@_register(
     "events_transition_matrix",
     """
     WITH t AS (
@@ -6048,8 +6092,11 @@ _ROUND5_TOUCHED = {
     # selfcheck-verified on the r4 code (VERDICT r4) and flagship keeps the
     # score→sort→limit path in-window; sessionize stays — its r2 driver
     # record predates the r3 stateful.py rewrite.
+    # a1_trending_tags dropped for the CUSUM slot: it was selfcheck-verified
+    # on the r4 in-plan-now code (VERDICT r4 "+self4") and a1's aggregate
+    # path shares the NOW_COL machinery s1/flagship keep in-window.
     "pipeline_flagship", "s1_firehose",
-    "s10_liked_by_likers", "a1_trending_tags",
+    "s10_liked_by_likers",
     # r5-touched (stream_windowed_counts also reuses compose-demo paths but
     # its stream==batch equality is asserted directly in test_compose, and
     # sessionize_events covers the shared stateful path in-window)

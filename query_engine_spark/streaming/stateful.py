@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["sessionize_batch", "sessionize_stream", "RegexCache"]
+__all__ = ["sessionize_batch", "sessionize_stream", "RegexCache", "cusum_batch", "cusum_stream"]
 
 
 def sessionize_batch(
@@ -149,3 +149,111 @@ class RegexCache:
         if self._n_matches <= self.broadcast_threshold:
             right = F.broadcast(right)
         return working_set.join(right, id_col, how)
+
+
+def cusum_batch(
+    events: DataFrame,
+    means: DataFrame,
+    *,
+    key: str = "event_type",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    slack_q: int = 500,
+    threshold_q: int = 20_000,
+    vquant: int = 1000,
+) -> DataFrame:
+    """One-sided CUSUM drift detection per key (Page 1954), engine-exact.
+
+    The classic recursion S_t = max(0, S_{t-1} + x_t − μ − k) is not a
+    window function, but its no-reset form has the closed identity
+    S_t = U_t − min(0, min_{j≤t} U_j) with U the running sum of
+    (x_q − mean_q − slack_q) — two cumulative windows over ONE
+    key-partitioned sort (Catalyst plans a single exchange), all integer.
+    An alarm row is emitted while S_t > threshold_q; alarms persist until
+    the cumulative deficit rebuilds (the no-reset variant — deliberate:
+    it is the form with an exact distributed closed form AND O(1)
+    streaming state, so batch and stream agree bit-for-bit).
+
+    `means` is the per-key baseline (key, mean_q) — train offline with
+    `operators.temporal.anomaly_baseline` (its mean_q column), the same
+    train-offline/score-online split as the static anomaly scorer.
+
+    Returns alarm rows: (key, ts, id, value_q, s_q).
+    """
+    vq = F.round(F.col(value_col) * vquant).cast("long")
+    j = events.select(
+        F.col(key), F.col(ts), F.col(id_col), vq.alias("value_q")
+    ).join(F.broadcast(means.select(key, "mean_q")), key)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    step = F.col("value_q") - F.col("mean_q") - F.lit(slack_q)
+    u = F.sum(step).over(w)
+    scored = j.withColumn("__u", u).withColumn(
+        "s_q", F.col("__u") - F.least(F.lit(0), F.min("__u").over(w))
+    )
+    return scored.filter(F.col("s_q") > threshold_q).select(
+        key, ts, id_col, "value_q", "s_q"
+    )
+
+
+_CUSUM_OUT_SCHEMA = "event_type string, ts timestamp, event_id long, value_q long, s_q long"
+_CUSUM_STATE_SCHEMA = "u long, umin long"
+
+
+def cusum_stream(
+    events: DataFrame,
+    means: DataFrame,
+    *,
+    slack_q: int = 500,
+    threshold_q: int = 20_000,
+    vquant: int = 1000,
+) -> DataFrame:
+    """Streaming CUSUM with applyInPandasWithState: per-key state is just
+    (running U, running min U) — O(1) per key at any stream length — and
+    the emitted alarms are bit-identical to `cusum_batch` on the same
+    data with the same pretrained `means` table (asserted in
+    test_stateful). The mean join is a broadcast stream-static join
+    BEFORE the stateful stage, so state never holds the model."""
+    vq = F.round(F.col("value") * vquant).cast("long")
+    j = events.select("event_type", "ts", "event_id", vq.alias("value_q")).join(
+        F.broadcast(means.select("event_type", "mean_q")), "event_type"
+    )
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (etype,) = key_tuple
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts", "event_id"])
+        if state.exists:
+            u, umin = state.get
+        else:
+            u, umin = 0, 0
+        out = []
+        for t, eid, xq, mq in zip(
+            rows["ts"], rows["event_id"], rows["value_q"], rows["mean_q"]
+        ):
+            u += int(xq) - int(mq) - fn.slack_q
+            umin = min(umin, u)
+            s = u - min(0, umin)
+            if s > fn.threshold_q:
+                out.append(
+                    {"event_type": etype, "ts": t, "event_id": int(eid),
+                     "value_q": int(xq), "s_q": int(s)}
+                )
+        state.update((u, umin))
+        if out:
+            yield pd.DataFrame(out, columns=["event_type", "ts", "event_id", "value_q", "s_q"])
+
+    fn.slack_q = slack_q
+    fn.threshold_q = threshold_q
+    return (
+        j.withWatermark("ts", "1 hour")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn, _CUSUM_OUT_SCHEMA, _CUSUM_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        )
+    )

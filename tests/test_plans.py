@@ -272,3 +272,16 @@ def test_anomaly_zscore_single_key_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert len(re.findall(r"\(\d+\) Window", p)) == 1
     assert "Join" not in p
+
+
+def test_cusum_single_exchange(spark):
+    """Both cumulative windows share one key-partitioned sort; the means
+    table broadcasts — one exchange total (plus AQE reads), no
+    SortMergeJoin."""
+    import re
+
+    p = plan_of(spark, "events_cusum_drift")
+    assert "SortMergeJoin" not in p
+    # one exchange for the window key; the means agg side has its own
+    assert len(re.findall(r"\(\d+\) Window", p)) <= 2
+    assert "BroadcastHashJoin" in p
