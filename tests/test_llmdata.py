@@ -1487,3 +1487,43 @@ def test_audio_dedup_canonicalizes_planted_dups(spark):
     )
     out = {r.media_id: r.canonical_id for r in audio_dedup(audio_fingerprints(media)).collect()}
     assert out == {i: i % 4 for i in range(8)}
+
+
+def test_curation_pipeline_translator_validates_at_translate_time(spark):
+    import pytest
+    from query_engine_spark.llmdata.pipeline import translate_curation_pipeline
+
+    with pytest.raises(ValueError, match="unknown op"):
+        translate_curation_pipeline([{"op": "frobnicate"}])
+    with pytest.raises(ValueError, match="after 'chunk'"):
+        translate_curation_pipeline([{"op": "chunk"}, {"op": "dedup_exact"}])
+    with pytest.raises(ValueError, match="requires a preceding 'chunk'"):
+        translate_curation_pipeline([{"op": "pack"}])
+    with pytest.raises(ValueError, match="after terminal 'pack'"):
+        translate_curation_pipeline([{"op": "chunk"}, {"op": "pack"}, {"op": "chunk"}])
+
+
+def test_curation_pipeline_stages_compose(spark):
+    from query_engine_spark.llmdata.pipeline import translate_curation_pipeline
+
+    rows = [
+        # src a: 3 docs sharing a 2-token header (boilerplate), one unique;
+        # doc 2 is a post-strip duplicate of doc 1; doc 10 is German-ish
+        (1, "a", "cookie banner the quick brown fox is in the yard and a dog is of note to all of the people in town"),
+        (2, "a", "cookie banner the quick brown fox is in the yard and a dog is of note to all of the people in town"),
+        (3, "a", "cookie banner the quick brown fox is in the yard and a dog is of note to all of the people in town today"),
+        (10, "a", "der hund ist und das nicht die katze der hund ist und das nicht die katze der hund ist und das"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    run = translate_curation_pipeline(
+        [
+            {"op": "strip_boilerplate", "k": 2, "min_pct": 50, "min_count": 2},
+            {"op": "dedup_exact"},
+            {"op": "langid_filter", "allow": ["en"]},
+            {"op": "quality_filter", "min_quality": 0.5},
+        ]
+    )
+    out = run(df).select("doc_id").collect()
+    # 2 dropped as exact dup of 1 (after identical prefixes stripped),
+    # 10 dropped by langid, 1 and 3 survive (>=20 tokens, stopword-rich)
+    assert sorted(r.doc_id for r in out) == [1, 3]
