@@ -285,3 +285,13 @@ def test_cusum_single_exchange(spark):
     # one exchange for the window key; the means agg side has its own
     assert len(re.findall(r"\(\d+\) Window", p)) <= 2
     assert "BroadcastHashJoin" in p
+
+
+def test_curation_pipeline_is_one_plan_no_cartesian(spark):
+    """The whole six-stage spec folds into one lazy plan: the only joins
+    are the boilerplate broadcast and the dedup/langid/quality gates'
+    internal shapes — never a cartesian, and the chunk/pack stages add no
+    join at all."""
+    p = plan_of(spark, "llm_curation_pipeline")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
