@@ -54,6 +54,7 @@ __all__ = [
     "dhash_bmp_bands",
     "dhash_bands",
     "perceptual_dedup_pairs",
+    "perceptual_probe_pairs",
     "audio_envelope_bands",
     "audio_fingerprints",
     "audio_dedup",
@@ -1418,4 +1419,69 @@ def audio_dedup(fps: DataFrame) -> DataFrame:
     w = Window.partitionBy("fp_lo", "fp_hi").orderBy("media_id")
     return fps.withColumn("canonical_id", F.min("media_id").over(w)).select(
         "media_id", "fp_lo", "fp_hi", "canonical_id"
+    )
+
+
+def perceptual_probe_pairs(
+    new_bands: DataFrame,
+    index_bands: DataFrame,
+    *,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Probe a MATERIALIZED dHash band index with a batch (or stream) of
+    new media — the incremental form of `perceptual_dedup_pairs`, same
+    crawl-batch shape as dedup.py's LSH index probe: each new batch pays
+    O(batch) hashing + a band-keyed join against the index, never
+    O(history), and never re-hashes history. On a streaming `new_bands`
+    this is a stream-static equi-join (append mode, no state).
+
+    `max_bucket` caps INDEX-side hub bands (the history side is where
+    boilerplate media accumulates). Returns (media_id, match_id, hamming)
+    with match_id from the index.
+    """
+    idx = index_bands.select(
+        F.col("media_id").alias("match_id"),
+        *[F.col(f"b{b}").alias(f"ib{b}") for b in range(4)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"b{b}").alias("val"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("k"),
+    ).select("match_id", "ib0", "ib1", "ib2", "ib3", "k.band_id", "k.val")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "val")
+        idx = (
+            idx.withColumn("__n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
+    probe = new_bands.select(
+        "media_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"b{b}").alias("val"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("k"),
+    ).select("media_id", "b0", "b1", "b2", "b3", "k.band_id", "k.val")
+    cand = probe.join(idx, ["band_id", "val"]).dropDuplicates(["media_id", "match_id"])
+    ham = sum(
+        F.bit_count(F.col(f"b{i}").bitwiseXOR(F.col(f"ib{i}"))) for i in range(4)
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_id", "match_id", "hamming")
     )

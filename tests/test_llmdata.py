@@ -1527,3 +1527,50 @@ def test_curation_pipeline_stages_compose(spark):
     # 2 dropped as exact dup of 1 (after identical prefixes stripped),
     # 10 dropped by langid, 1 and 3 survive (>=20 tokens, stopword-rich)
     assert sorted(r.doc_id for r in out) == [1, 3]
+
+
+def test_streaming_perceptual_dedup_probe(spark, tmp_path):
+    """Incremental media dedup: history is dHashed ONCE into a parquet
+    band index; each new crawl batch (here a readStream) hashes only
+    itself and probes the index via a stream-static band join — O(batch),
+    never O(history). Streamed matches equal the batch probe."""
+    from query_engine_spark.llmdata.multimodal import (
+        make_bmp, dhash_bands, perceptual_probe_pairs,
+    )
+    import pandas as pd
+
+    hist = spark.createDataFrame(pd.DataFrame({
+        "media_id": [0, 1, 2],
+        "payload": [make_bmp(i, 20, 14) for i in (7, 8, 9)],
+    }))
+    idx_path = str(tmp_path / "band_index")
+    dhash_bands(hist).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    # new batch: 10 duplicates history pattern 8; 11 is novel
+    new = spark.createDataFrame(pd.DataFrame({
+        "media_id": [10, 11],
+        "payload": [make_bmp(8, 20, 14), make_bmp(55, 24, 18)],
+    }))
+    batch = {
+        (r.media_id, r.match_id, r.hamming)
+        for r in perceptual_probe_pairs(dhash_bands(new), index, max_hamming=0).collect()
+    }
+    assert (10, 1, 0) in batch and all(m == 10 for m, *_ in batch)
+
+    new_path = str(tmp_path / "new_media")
+    new.write.parquet(new_path)
+    stream = spark.readStream.schema(new.schema).parquet(new_path)
+    q = (
+        perceptual_probe_pairs(dhash_bands(stream), index, max_hamming=0)
+        .writeStream.format("memory").queryName("t_probe").outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.media_id, r.match_id, r.hamming)
+            for r in spark.table("t_probe").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch

@@ -43,6 +43,9 @@ OPS = [
     # late session-3 additions
     "events_anomaly_static",
     "llm_bpe_train",
+    "events_cusum_drift",
+    "media_audio_dedup",
+    "llm_curation_pipeline",
 ]
 
 
