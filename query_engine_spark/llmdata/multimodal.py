@@ -1295,12 +1295,12 @@ def perceptual_dedup_pairs(
 
     Returns (media_a, media_b, hamming), media_a < media_b.
     """
+    # NARROW candidate join (the oracle's own shape): explode only
+    # (media_id, band_id, val) — dragging all four bands through both
+    # sides of the self-join would shuffle ~8x the necessary payload —
+    # then join the unexploded bands table back by id for the verify.
     long = bands.select(
         "media_id",
-        "b0",
-        "b1",
-        "b2",
-        "b3",
         F.explode(
             F.array(
                 *[
@@ -1309,7 +1309,7 @@ def perceptual_dedup_pairs(
                 ]
             )
         ).alias("k"),
-    ).select("media_id", "b0", "b1", "b2", "b3", "k.band_id", "k.val")
+    ).select("media_id", "k.band_id", "k.val")
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -1319,28 +1319,29 @@ def perceptual_dedup_pairs(
             .filter(F.col("__n") <= max_bucket)
             .drop("__n")
         )
-    a = long.select(
-        F.col("media_id").alias("media_a"),
-        *[F.col(f"b{b}").alias(f"a{b}") for b in range(4)],
-        "band_id",
-        "val",
-    )
-    b = long.select(
-        F.col("media_id").alias("media_b"),
-        *[F.col(f"b{b}").alias(f"bb{b}") for b in range(4)],
-        "band_id",
-        "val",
-    )
+    a = long.select(F.col("media_id").alias("media_a"), "band_id", "val")
+    b = long.select(F.col("media_id").alias("media_b"), "band_id", "val")
     cand = (
         a.join(b, ["band_id", "val"])
         .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b")
         .dropDuplicates(["media_a", "media_b"])
+    )
+    wa = bands.select(
+        F.col("media_id").alias("media_a"),
+        *[F.col(f"b{b}").alias(f"a{b}") for b in range(4)],
+    )
+    wb = bands.select(
+        F.col("media_id").alias("media_b"),
+        *[F.col(f"b{b}").alias(f"bb{b}") for b in range(4)],
     )
     ham = sum(
         F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"bb{i}"))) for i in range(4)
     )
     return (
-        cand.withColumn("hamming", ham.cast("long"))
+        cand.join(wa, "media_a")
+        .join(wb, "media_b")
+        .withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("media_a", "media_b", "hamming")
     )
@@ -1442,7 +1443,6 @@ def perceptual_probe_pairs(
     """
     idx = index_bands.select(
         F.col("media_id").alias("match_id"),
-        *[F.col(f"b{b}").alias(f"ib{b}") for b in range(4)],
         F.explode(
             F.array(
                 *[
@@ -1451,7 +1451,7 @@ def perceptual_probe_pairs(
                 ]
             )
         ).alias("k"),
-    ).select("match_id", "ib0", "ib1", "ib2", "ib3", "k.band_id", "k.val")
+    ).select("match_id", "k.band_id", "k.val")
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -1463,10 +1463,6 @@ def perceptual_probe_pairs(
         )
     probe = new_bands.select(
         "media_id",
-        "b0",
-        "b1",
-        "b2",
-        "b3",
         F.explode(
             F.array(
                 *[
@@ -1475,13 +1471,26 @@ def perceptual_probe_pairs(
                 ]
             )
         ).alias("k"),
-    ).select("media_id", "b0", "b1", "b2", "b3", "k.band_id", "k.val")
-    cand = probe.join(idx, ["band_id", "val"]).dropDuplicates(["media_id", "match_id"])
+    ).select("media_id", "k.band_id", "k.val")
+    cand = (
+        probe.join(idx, ["band_id", "val"])
+        .select("media_id", "match_id")
+        .dropDuplicates(["media_id", "match_id"])
+    )
+    wn = new_bands.select(
+        "media_id", *[F.col(f"b{b}").alias(f"nb{b}") for b in range(4)]
+    )
+    wi = index_bands.select(
+        F.col("media_id").alias("match_id"),
+        *[F.col(f"b{b}").alias(f"ib{b}") for b in range(4)],
+    )
     ham = sum(
-        F.bit_count(F.col(f"b{i}").bitwiseXOR(F.col(f"ib{i}"))) for i in range(4)
+        F.bit_count(F.col(f"nb{i}").bitwiseXOR(F.col(f"ib{i}"))) for i in range(4)
     )
     return (
-        cand.withColumn("hamming", ham.cast("long"))
+        cand.join(wn, "media_id")
+        .join(wi, "match_id")
+        .withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("media_id", "match_id", "hamming")
     )

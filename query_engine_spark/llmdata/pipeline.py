@@ -74,6 +74,8 @@ def translate_curation_pipeline(
             raise ValueError(f"stage {i}: {op!r} after terminal 'pack'")
         if op in _DOC_OPS and shape != "docs":
             raise ValueError(f"stage {i}: document stage {op!r} after 'chunk'")
+        if op == "chunk" and shape != "docs":
+            raise ValueError(f"stage {i}: 'chunk' requires document shape (got a second 'chunk'?)")
         if op == "pack" and shape != "chunks":
             raise ValueError(f"stage {i}: 'pack' requires a preceding 'chunk'")
         shape = {"chunk": "chunks", "pack": "packed"}.get(op, shape)

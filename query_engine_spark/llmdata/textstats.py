@@ -940,9 +940,13 @@ def dedup_doc_segments(
     kept = F.filter(
         segs, lambda s, i: F.array_position(F.slice(segs, 1, i), s) == 0
     )
+    # drop zero-token docs BEFORE building segs: sequence(0, n_segs-1) with
+    # n_segs=0 is sequence(0, -1), which Spark auto-steps DOWN to [0, -1] —
+    # an empty doc would otherwise emit two phantom empty segments instead
+    # of being dropped (diverging from the oracle's len(toks) > 0 gate)
     return (
-        df.select(F.col(id_col).alias("doc_id"), segs.alias("__segs"), kept.alias("__kept"))
-        .filter(F.size("__segs") > 0)
+        df.select(F.col(id_col).alias("doc_id"), n.alias("__n"), segs.alias("__segs"), kept.alias("__kept"))
+        .filter(F.col("__n") > 0)
         .select(
             "doc_id",
             F.size("__segs").cast("long").alias("n_segments"),

@@ -334,17 +334,33 @@ def rollup_gapfill(
             .orderBy("bucket_us")
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
+        int_types = {"bigint", "long", "int", "integer", "smallint", "tinyint"}
         for c in interp_cols:
             known_b = F.when(F.col(c).isNotNull(), F.col("bucket_us"))
             prev_v = F.last(c, ignorenulls=True).over(w)
             prev_b = F.last(known_b, ignorenulls=True).over(w)
             next_v = F.first(c, ignorenulls=True).over(wf)
             next_b = F.first(known_b, ignorenulls=True).over(wf)
-            # gap rows: prev + (next-prev) * elapsed/gap — plain double math,
-            # identical expression order on the oracle side for bit-parity
-            interp = prev_v + (next_v - prev_v) * (
-                (F.col("bucket_us") - prev_b) / (next_b - prev_b)
-            )
+            if dict(full.dtypes).get(c) in int_types:
+                # integral gauge (pre-quantized): EXACT interpolation —
+                # prev + floor((next-prev)·elapsed_buckets / gap_buckets).
+                # Rounding a double interp at a decimal boundary flips
+                # differently across engines (Spark rounds the shortest
+                # decimal repr, DuckDB the binary value — observed at
+                # sf0.001); the integer form has no boundary. Elapsed/gap
+                # normalize to BUCKET counts so every term stays ≤ ~2^40:
+                # the double division is then exact enough that floor() is
+                # the true floor (quotient ulp ≪ 1/gap), identically in
+                # both engines.
+                eb = ((F.col("bucket_us") - prev_b) / F.lit(width_us)).cast("long")
+                gb = ((next_b - prev_b) / F.lit(width_us)).cast("long")
+                interp = prev_v + F.floor((next_v - prev_v) * eb / gb).cast("long")
+            else:
+                # gap rows: prev + (next-prev) * elapsed/gap — plain double
+                # math, identical expression order on the oracle side
+                interp = prev_v + (next_v - prev_v) * (
+                    (F.col("bucket_us") - prev_b) / (next_b - prev_b)
+                )
             full = full.withColumn(
                 c, F.when(F.col(c).isNotNull(), F.col(c)).otherwise(interp)
             )
@@ -441,7 +457,27 @@ def rolling_anomaly(
         .rowsBetween(-lookback, -1)
     )
     vq = F.round(F.col(value_col) * vquant).cast("long")
-    base = df.select(
+    # int64 budget for the cross-multiplied predicate: the largest term is
+    # z²·n·ss ≤ z²·lookback²·vq², so |value_q| must stay under
+    # sqrt(int64max / (2·z²·lookback²)) (factor 2 headroom for the s²
+    # subtraction). Silently wrapping would make __nvar negative and
+    # SUPPRESS genuine spikes — fail loudly in-plan instead; callers with
+    # wider-range metrics lower `vquant` or pre-center values per key.
+    vq_bound = int((2**63 - 1) // (2 * z * z * lookback * lookback)) ** 0.5
+    vq_bound = int(vq_bound)
+    guard = F.assert_true(
+        F.abs(vq) <= F.lit(vq_bound),
+        F.format_string(
+            "rolling_anomaly: |value*%d| exceeds %d — the int64 "
+            "cross-multiplied z-score would overflow (z=%d, lookback=%d); "
+            "lower vquant or center values per key.",
+            F.lit(vquant),
+            F.lit(vq_bound),
+            F.lit(z),
+            F.lit(lookback),
+        ),
+    )
+    base = df.filter(guard.isNull()).select(
         *key_cols,
         F.col(ts_col),
         F.col(id_col),
@@ -505,7 +541,13 @@ def anomaly_baseline(
         F.sum(vq).alias("__s"),
         F.sum(vq * vq).alias("__ss"),
     )
-    mean_q = F.expr("__s div n")
+    # FLOOR division, not Spark's truncating `div`: DuckDB's `//` floors, so
+    # a negative sum (s=-10, n=3 → Spark div -3, DuckDB // -4) would shift
+    # mean_q by 1 and flip boundary classifications for any negative-valued
+    # metric. n > 0 always; __ss >= 0 so its div == floor already.
+    mean_q = F.expr(
+        "__s div n - (CASE WHEN __s % n != 0 AND __s < 0 THEN 1 ELSE 0 END)"
+    )
     return agg.select(
         *key_cols,
         "n",

@@ -4404,42 +4404,61 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "rollup_gapfill_events",
     """
-    WITH b AS (
+    WITH q AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(round(value * 10000) AS BIGINT) AS vq
+      FROM events
+    ), b AS (
       SELECT event_type,
-             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS bucket_us,
-             count(*) AS n_events, avg(value) AS avg_value, max(value) AS vmax
-      FROM events GROUP BY 1, 2
+             (ts_us // 3600000000) * 3600000000 AS bucket_us,
+             count(*) AS n_events,
+             CAST(floor(sum(vq) / count(*)) AS BIGINT) AS avg_q,
+             max(vq) AS vmax_q
+      FROM q GROUP BY 1, 2
     ), s AS (
       SELECT event_type,
              unnest(generate_series(min(bucket_us), max(bucket_us), 3600000000)) AS bucket_us
       FROM b GROUP BY event_type
     )
     SELECT s.event_type, s.bucket_us, coalesce(b.n_events, 0) AS n_events,
-           round(last_value(b.avg_value IGNORE NULLS) OVER wp, 4) AS avg_value_locf,
-           round(CASE WHEN b.vmax IS NOT NULL THEN b.vmax
-                 ELSE last_value(b.vmax IGNORE NULLS) OVER wp
-                      + (first_value(b.vmax IGNORE NULLS) OVER wn
-                         - last_value(b.vmax IGNORE NULLS) OVER wp)
-                        * ((s.bucket_us
-                            - last_value(CASE WHEN b.vmax IS NOT NULL
-                                         THEN s.bucket_us END IGNORE NULLS) OVER wp)
-                           / (first_value(CASE WHEN b.vmax IS NOT NULL
-                                          THEN s.bucket_us END IGNORE NULLS) OVER wn
-                              - last_value(CASE WHEN b.vmax IS NOT NULL
-                                           THEN s.bucket_us END IGNORE NULLS) OVER wp))
-                 END, 4) AS vmax_interp
+           last_value(b.avg_q IGNORE NULLS) OVER wp AS avg_locf_q,
+           CASE WHEN b.vmax_q IS NOT NULL THEN b.vmax_q
+                ELSE last_value(b.vmax_q IGNORE NULLS) OVER wp
+                     + CAST(floor(
+                         (first_value(b.vmax_q IGNORE NULLS) OVER wn
+                          - last_value(b.vmax_q IGNORE NULLS) OVER wp)
+                         * ((s.bucket_us
+                             - last_value(CASE WHEN b.vmax_q IS NOT NULL
+                                          THEN s.bucket_us END IGNORE NULLS) OVER wp)
+                            // 3600000000)
+                         / ((first_value(CASE WHEN b.vmax_q IS NOT NULL
+                                         THEN s.bucket_us END IGNORE NULLS) OVER wn
+                             - last_value(CASE WHEN b.vmax_q IS NOT NULL
+                                          THEN s.bucket_us END IGNORE NULLS) OVER wp)
+                            // 3600000000)) AS BIGINT)
+                END AS vmax_interp_q
     FROM s LEFT JOIN b USING (event_type, bucket_us)
     WINDOW wp AS (PARTITION BY s.event_type ORDER BY s.bucket_us
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
            wn AS (PARTITION BY s.event_type ORDER BY s.bucket_us
                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     """,
-    "hypertable rollup: 1-hour time_bucket per event_type, densified per-key spine, "
-    "zero-filled counts + LOCF and linear-interpolated gauges "
-    "(operators/temporal.py rollup_gapfill)",
+    "hypertable rollup: 1-hour time_bucket per event_type, densified per-key "
+    "spine, zero-filled counts + LOCF'd mean and linear-interpolated max — "
+    "ALL in e4-quantized integers. Round 5 converted this query from "
+    "round(double, 4) outputs after the sf0.001 sweep caught the "
+    "cross-engine decimal-boundary flip (Spark rounds the shortest decimal "
+    "repr, DuckDB the binary value): integer LOCF has no boundary, and the "
+    "interp floor((Δv·elapsed_buckets)/gap_buckets) is exact double math "
+    "in both engines since every term ≤ ~2^40 "
+    "(operators/temporal.py rollup_gapfill, type-driven interp)",
 )
 def rollup_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("vq", F.round(F.col("value") * 10000).cast("long"))
+    )
     out = T.rollup_gapfill(
         ev,
         keys=["event_type"],
@@ -4447,19 +4466,19 @@ def rollup_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         width_us=3_600_000_000,  # 1 hour
         aggs={
             "n_events": F.count("*"),
-            "avg_value": F.avg("value"),
-            "vmax": F.max("value"),
+            "avg_q": F.floor(F.sum("vq") / F.count(F.lit(1))).cast("bigint"),
+            "vmax_q": F.max("vq"),
         },
         zero_cols=["n_events"],
-        locf_cols=["avg_value"],
-        interp_cols=["vmax"],
+        locf_cols=["avg_q"],
+        interp_cols=["vmax_q"],
     )
     return out.select(
         "event_type",
         "bucket_us",
         "n_events",
-        F.round("avg_value", 4).alias("avg_value_locf"),
-        F.round("vmax", 4).alias("vmax_interp"),
+        F.col("avg_q").alias("avg_locf_q"),
+        F.col("vmax_q").alias("vmax_interp_q"),
     )
 
 
@@ -6148,6 +6167,11 @@ _STALE_VERIFICATION = {
     # real BMP decode + hash-verified oracle and round 5 adds header
     # validation — the driver has never checked the real decode.
     "multimodal_features",
+    # r4-verified with round(double, 4) outputs; the round-5 sf0.001 sweep
+    # caught the cross-engine decimal-boundary flip in the interpolation and
+    # the query+oracle were converted to e4-quantized integers — the r4
+    # record no longer describes this oracle.
+    "rollup_gapfill_events",
 }
 
 # Queries whose machinery rounds 4–5 changed after their last driver check —
@@ -6190,9 +6214,10 @@ _ROUND5_TOUCHED = {
     # test_semdedup_auto_k covers the k=None path directly.
     "text_tfidf_pairs",
     "sessionize_events",
-    # r5 session 2: kmeans_lloyd refactored into _kmeans_centroids (shared
-    # with IVF-PQ) with a broadcast update join — re-verify on the new code
-    "embed_kmeans",
+    # embed_kmeans left the head late in session 3 for the re-quantized
+    # rollup_gapfill_events slot: the session-2 _kmeans_centroids refactor it
+    # was scheduled for is shared with IVF-PQ, and embed_ivfpq_topk (never
+    # verified, always in-window) drives that exact path on r5 code.
 }
 
 

@@ -217,7 +217,19 @@ def cusum_stream(
     the emitted alarms are bit-identical to `cusum_batch` on the same
     data with the same pretrained `means` table (asserted in
     test_stateful). The mean join is a broadcast stream-static join
-    BEFORE the stateful stage, so state never holds the model."""
+    BEFORE the stateful stage, so state never holds the model.
+
+    Ordering contract: rows sort by (ts, event_id) WITHIN each
+    micro-batch, but a cumulative sum is inherently sequence-dependent,
+    so the bit-identical guarantee holds when each key's events arrive in
+    event-time order ACROSS micro-batches too (a partition-ordered log —
+    the usual CDC/firehose shape). Late arrivals within the watermark
+    are processed at arrival position: U (and therefore every future
+    alarm's s_q) converges to the same total, but umin — and alarms in
+    the affected window — can transiently differ from the batch answer.
+    Buffering to full event-time order would need an EventTimeTimeout
+    reorder buffer (state O(late-window), not O(1)); this operator
+    deliberately takes the O(1) form."""
     vq = F.round(F.col("value") * vquant).cast("long")
     j = events.select("event_type", "ts", "event_id", vq.alias("value_q")).join(
         F.broadcast(means.select("event_type", "mean_q")), "event_type"

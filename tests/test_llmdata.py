@@ -1574,3 +1574,24 @@ def test_streaming_perceptual_dedup_probe(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_quality_score_col_matches_quality_features(spark):
+    """pipeline.quality_score_col and textstats.quality_features compute
+    the composite score with shared gate constants — pin them equal so a
+    future tweak to one can't silently desynchronize the other."""
+    from query_engine_spark.llmdata.pipeline import quality_score_col
+    from query_engine_spark.llmdata.textstats import quality_features
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, "the quick brown fox is in the yard and a dog is of note to all of the people in town"),
+        (2, "short text"),
+        (3, "no stopwords here: xyzzy plugh qwerty " * 5),
+        (4, "punctuation!!! heavy??? ... ;;; :::"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: r.quality for r in quality_features(df).collect()}
+    b = {r.doc_id: r.q for r in df.select("doc_id", quality_score_col(F.col("text")).alias("q")).collect()}
+    assert a == b
