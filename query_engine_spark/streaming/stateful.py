@@ -166,14 +166,18 @@ def cusum_batch(
     """One-sided CUSUM drift detection per key (Page 1954), engine-exact.
 
     The classic recursion S_t = max(0, S_{t-1} + x_t − μ − k) is not a
-    window function, but its no-reset form has the closed identity
+    window function, but the reflection identity gives it EXACTLY as
     S_t = U_t − min(0, min_{j≤t} U_j) with U the running sum of
-    (x_q − mean_q − slack_q) — two cumulative windows over ONE
-    key-partitioned sort (Catalyst plans a single exchange), all integer.
-    An alarm row is emitted while S_t > threshold_q; alarms persist until
-    the cumulative deficit rebuilds (the no-reset variant — deliberate:
-    it is the form with an exact distributed closed form AND O(1)
-    streaming state, so batch and stream agree bit-for-bit).
+    (x_q − mean_q − slack_q) — property-tested against the direct
+    recursion over arbitrary integer step sequences — i.e. two cumulative
+    windows over ONE key-partitioned sort (Catalyst plans a single
+    exchange), all integer. An alarm row is emitted while
+    S_t > threshold_q; the only departure from textbook monitoring
+    practice is that S is NOT restarted to 0 after an alarm (a
+    post-alarm restart is sequence-dependent in a way no window
+    expresses), so alarms persist until the cumulative deficit rebuilds
+    — deliberate: this is the form with an exact distributed closed form
+    AND O(1) streaming state, so batch and stream agree bit-for-bit.
 
     `means` is the per-key baseline (key, mean_q) — train offline with
     `operators.temporal.anomaly_baseline` (its mean_q column), the same

@@ -225,3 +225,76 @@ def test_winnowing_shared_substring_guarantee(spark, pre, post, shared):
         fps.setdefault(r.doc_id, set()).add(r.fph)
     if len(shared) >= 8:
         assert fps.get(1, set()) & fps.get(2, set()), (pre, post, shared)
+
+
+@given(st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_cusum_reflection_identity(steps):
+    """The no-reset closed form S_t = U_t - min(0, cummin U) used by
+    cusum_batch equals the direct recursion S_t = max(0, S_{t-1} + step)
+    ... for the no-reset variant the recursion is S_t = U_t - running
+    floor; prove the reflection identity over arbitrary integer steps."""
+    u, umin = 0, 0
+    s_closed = []
+    for x in steps:
+        u += x
+        umin = min(umin, u)
+        s_closed.append(u - min(0, umin))
+    # direct max(0, .) recursion
+    s = 0
+    s_rec = []
+    for x in steps:
+        s = max(0, s + x)
+        s_rec.append(s)
+    assert s_closed == s_rec
+
+
+@given(
+    st.integers(min_value=0, max_value=10**9),
+    st.integers(min_value=9, max_value=40),
+    st.integers(min_value=8, max_value=30),
+    st.integers(min_value=2, max_value=3),
+)
+@settings(max_examples=60, deadline=None)
+def test_dhash_invariant_under_integer_upscale(media_id, w, h, k):
+    """dHash's purpose, as a property: a nearest-neighbor kx upscale
+    samples back to the identical 9x8 grid for ANY image and integer k."""
+    from query_engine_spark.llmdata.multimodal import make_bmp, resize_bmp, dhash_bmp_bands
+
+    blob = make_bmp(media_id, w, h)
+    up = resize_bmp(blob, w * k, h * k)
+    assert dhash_bmp_bands(blob) == dhash_bmp_bands(up)
+
+
+@given(
+    st.integers(min_value=0, max_value=2**16 - 1),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=2, max_value=10),
+)
+@settings(max_examples=60, deadline=None)
+def test_audio_mask_level_invariant(media_id, n32, gain):
+    """The above-mean loudness mask is level-invariant: scaling every
+    sample by a constant gain scales each frame energy AND the total
+    equally, so energy*32 > total is unchanged (as long as nothing
+    clips int16)."""
+    import struct
+    from query_engine_spark.llmdata.multimodal import (
+        make_wav_tone, audio_envelope_bands, _pack_wav_pcm,
+    )
+
+    n = 32 * n32
+    base = make_wav_tone(media_id, n)
+    # make_wav_tone samples are in [0, 1996]; gain<=10 stays within int16
+    pos, data = 12, b""
+    end = 8 + struct.unpack_from("<I", base, 4)[0]
+    while pos + 8 <= end:
+        cid = base[pos:pos + 4]
+        (csize,) = struct.unpack_from("<I", base, pos + 4)
+        if cid == b"data":
+            data = base[pos + 8:pos + 8 + csize]
+        pos += 8 + csize + (csize & 1)
+    scaled = b"".join(
+        struct.pack("<h", struct.unpack_from("<h", data, 2 * i)[0] * gain)
+        for i in range(len(data) // 2)
+    )
+    assert audio_envelope_bands(base) == audio_envelope_bands(_pack_wav_pcm(scaled, 8000))
