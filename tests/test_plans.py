@@ -295,3 +295,20 @@ def test_curation_pipeline_is_one_plan_no_cartesian(spark):
     p = plan_of(spark, "llm_curation_pipeline")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_anomaly_static_broadcasts_baseline(spark):
+    p = plan_of(spark, "events_anomaly_static")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_audio_dedup_map_only_plus_fingerprint_window(spark):
+    """decode+hash is one Arrow stage; the only exchange is the
+    fingerprint-keyed canonicalization window."""
+    import re
+
+    p = plan_of(spark, "media_audio_dedup")
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1
