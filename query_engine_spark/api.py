@@ -218,3 +218,46 @@ class FeedServer:
     def stop(self):
         self._httpd.shutdown()
         self._httpd.server_close()
+
+
+def _plan_summary(df) -> dict[str, Any]:
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    return {
+        "plan": plan,
+        "summary": {
+            "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
+            "sort_merge_joins": len(re.findall(r"\(\d+\) SortMergeJoin", plan)),
+            "broadcast_joins": len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)),
+            "windows": len(re.findall(r"\(\d+\) Window", plan)),
+            "cartesian": bool(re.search(r"\(\d+\) CartesianProduct", plan)),
+            "pushed_filters": "PushedFilters: [" in plan and "PushedFilters: []" not in plan,
+        },
+    }
+
+
+def explain_feed_pipeline(ctx: "PipelineContext", blocks: list[dict[str, Any]]) -> dict[str, Any]:
+    """EXPLAIN for the feed DSL: translate the block pipeline WITHOUT
+    executing it and return the Catalyst physical plan plus a
+    plan-feature summary (exchange / join / window counts, cartesian
+    check) — the debuggability surface a feed author needs to see WHY a
+    pipeline would be slow before it runs against the full corpus. Pure
+    plan analysis: no action is triggered."""
+    from query_engine_spark.plans.blocks import translate_pipeline
+
+    return _plan_summary(translate_pipeline(blocks, ctx))
+
+
+def explain_curation_pipeline(docs, spec: list[dict[str, Any]]) -> dict[str, Any]:
+    """EXPLAIN for the curation DSL (same contract as
+    explain_feed_pipeline): validates the spec at translate time, folds
+    it over `docs` lazily, and returns plan + summary without running."""
+    from query_engine_spark.llmdata.pipeline import translate_curation_pipeline
+
+    return _plan_summary(translate_curation_pipeline(spec)(docs))

@@ -200,3 +200,30 @@ def test_fetch_list_members_adapter(spark):
     assert sorted(r["author_key"] for r in got.collect()) == [1, 3]
     with pytest.raises(ValueError):
         fetch_list_members(spark, "list://did:plc:x/following", fetcher=lambda u: recorded)
+
+
+def test_explain_feed_pipeline_no_execution(spark, posts):
+    from query_engine_spark.api import explain_feed_pipeline
+
+    ctx = PipelineContext(spark=spark, posts=posts, now=NOW)
+    out = explain_feed_pipeline(ctx, BLOCKS)
+    assert "Physical Plan" in out["plan"]
+    s = out["summary"]
+    assert s["cartesian"] is False
+    assert isinstance(s["exchanges"], int)
+    # sort+limit must have fused: TakeOrderedAndProject in the plan text
+    assert "TakeOrderedAndProject" in out["plan"]
+
+
+def test_explain_curation_pipeline_no_execution(spark):
+    from query_engine_spark.api import explain_curation_pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "a", "hello world the and of")], "doc_id long, source string, text string"
+    )
+    out = explain_curation_pipeline(
+        docs,
+        [{"op": "strip_boilerplate"}, {"op": "dedup_exact"}, {"op": "chunk"}, {"op": "pack"}],
+    )
+    assert "Physical Plan" in out["plan"]
+    assert out["summary"]["cartesian"] is False
