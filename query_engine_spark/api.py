@@ -187,6 +187,11 @@ class FeedServer:
                         if api_profile_ctx is None:
                             return self._send(200, {"items": [], "error": "list mode not configured"})
                         return self._send(200, generate_list_skeleton(api_profile_ctx, blocks))
+                    if path == "/xrpc/me.skyfeed.builder.explainFeedSkeleton":
+                        # plan-only: translate + summarize, never execute —
+                        # feed authors debug cost before running (no
+                        # reference analogue; the Spark-side win is free)
+                        return self._send(200, explain_feed_pipeline(api_ctx, blocks))
                     return self._send(404, {"error": "not found"})
                 except Exception as e:
                     # error-channel parity: errors become a feed payload

@@ -227,3 +227,26 @@ def test_explain_curation_pipeline_no_execution(spark):
     )
     assert "Physical Plan" in out["plan"]
     assert out["summary"]["cartesian"] is False
+
+
+def test_server_explain_endpoint(spark, posts):
+    import json as _json
+    import urllib.request
+
+    from query_engine_spark.api import FeedServer
+
+    ctx = PipelineContext(spark=spark, posts=posts, now=NOW)
+    server = FeedServer(ctx).start()
+    try:
+        req = urllib.request.Request(
+            server.address + "/xrpc/me.skyfeed.builder.explainFeedSkeleton",
+            data=_json.dumps({"blocks": BLOCKS}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            out = _json.loads(resp.read())
+    finally:
+        server.stop()
+    assert out["summary"]["cartesian"] is False
+    assert "TakeOrderedAndProject" in out["plan"]
