@@ -43,3 +43,37 @@ def test_rest_ordered_least_recently_verified_first():
 def test_verified_names_exist_in_registry():
     unknown = [n for n in R._DRIVER_LAST_VERIFIED if n not in R.REGISTRY]
     assert not unknown, f"verified-history names missing from registry: {unknown}"
+
+
+def test_last_verified_map_matches_correctness_artifacts():
+    """_DRIVER_LAST_VERIFIED is transcribed from the CORRECTNESS_r0N.json
+    artifacts — derive it from the files and compare, so the ledger can't
+    drift from the record. Rows-only queries (no SQL oracle, hash_match
+    never true) count at rows_match; next round: drop CORRECTNESS_r05
+    into the repo root and this test tells you exactly which entries to
+    bump."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    derived: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json"))):
+        rnd = int(re.search(r"r0(\d+)", path).group(1))
+        for name, row in json.load(open(path)).items():
+            # rows-only queries (no SQL oracle) record err='no_oracle' with
+            # spark_rows > 0 — the driver's weaker check; count it
+            ok = (row.get("err") is None and row.get("rows_match")
+                  and row.get("schema_match") and row.get("hash_match")) or (
+                row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) >= 0
+                and name in ("o4_sort_random", "f12_where_udf_tier",
+                             "multimodal_features")
+            )
+            if ok:
+                derived[name] = max(derived.get(name, 0), rnd)
+    assert derived == dict(R._DRIVER_LAST_VERIFIED), {
+        n: (R._DRIVER_LAST_VERIFIED.get(n), derived.get(n))
+        for n in set(derived) | set(R._DRIVER_LAST_VERIFIED)
+        if derived.get(n) != R._DRIVER_LAST_VERIFIED.get(n)
+    }
