@@ -737,9 +737,15 @@ def o4_sort_random(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id, round(score, 6) AS score,
              row_number() OVER (ORDER BY score DESC, key DESC) AS ord
       FROM normed)
-    SELECT ord, id, score FROM ranked
+    SELECT ord, id, score FROM ranked WHERE ord <= 500
     """,
-    "O5 sort.score: drops unscored, dedups by key, sorts by accumulated score (main.rs:2286-2307) — via the block DSL on a doubled working set",
+    "O5 sort.score: drops unscored, dedups by key, sorts by accumulated "
+    "score (main.rs:2286-2307) — via the block DSL on a doubled working "
+    "set. The oracle applies the SAME implicit final-500 cap as the "
+    "translator (O8, main.rs final limit) over the identical total order: "
+    "the round-5 sf0.1 sweep caught the cap missing oracle-side — "
+    "invisible at sf0.01 where the working set is under 500 rows, a "
+    "row-count divergence at any real scale",
 )
 def o5_sort_score_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_engine_spark.plans.blocks import PipelineContext, translate_pipeline
@@ -4899,7 +4905,7 @@ def events_anomaly_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s WHERE s_q > 2000000
     """,
     "one-sided CUSUM drift detection per event type (Page 1954): the "
-    "sequential recursion's no-reset form has the closed identity "
+    "reflection identity gives the textbook max(0, S+x) recursion EXACTLY as "
     "S_t = U_t − min(0, cummin U_t), so it runs as TWO cumulative windows "
     "over one key-partitioned sort — single exchange, all integer, and "
     "the same semantics an O(1)-state applyInPandasWithState operator "
