@@ -58,6 +58,8 @@ __all__ = [
     "audio_envelope_bands",
     "audio_fingerprints",
     "audio_dedup",
+    "video_frame_hashes",
+    "video_dedup_pairs",
     "bmp_resize",
     "make_wav",
     "make_wav_tone",
@@ -1234,10 +1236,20 @@ def dhash_bmp_bands(blob: bytes, *, grid_w: int = 9, grid_h: int = 8) -> list[in
     sign-bit edge case exists in either engine.
     """
     off, width, height, stride = _parse_bmp_header(blob)
+    return _dhash_bands_of_pixels(blob, off, width, height, stride, grid_w=grid_w, grid_h=grid_h)
+
+
+def _dhash_bands_of_pixels(
+    buf: bytes, off: int, width: int, height: int, stride: int,
+    *, grid_w: int = 9, grid_h: int = 8,
+) -> list[int]:
+    """Shared dHash kernel over a bottom-up stride-padded 24-bpp pixel
+    array (the BMP pixel layout — also exactly what demux_avi's raw
+    frames are, headerless)."""
 
     def gray(x: int, y: int) -> int:
         s = off + (height - 1 - y) * stride + x * 3  # bottom-up rows
-        return blob[s] + blob[s + 1] + blob[s + 2]
+        return buf[s] + buf[s + 1] + buf[s + 2]
 
     bits: list[int] = []
     for gy in range(grid_h):
@@ -1493,4 +1505,69 @@ def perceptual_probe_pairs(
         .withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("media_id", "match_id", "hamming")
+    )
+
+
+_VIDEO_HASH_SCHEMA = "media_id long, frame_idx int, b0 long, b1 long, b2 long, b3 long"
+
+
+def video_frame_hashes(df: DataFrame, *, every_n: int = 1, max_frames: int = 8) -> DataFrame:
+    """Distributed video fingerprinting: demux each AVI payload, sample
+    every `every_n`-th frame up to `max_frames`, and dHash each sampled
+    frame with the shared kernel — one Arrow mapInPandas pass, map-only
+    (frames never leave the executor; only 8-byte hashes do). The set of
+    frame hashes IS the video's perceptual signature."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                width, height, frames = demux_avi(bytes(blob))
+                stride = (width * 3 + 3) & ~3
+                for fi in range(0, len(frames), every_n):
+                    if fi // every_n >= max_frames:
+                        break
+                    b0, b1, b2, b3 = _dhash_bands_of_pixels(
+                        frames[fi], 0, width, height, stride
+                    )
+                    rows.append(
+                        {"media_id": mid, "frame_idx": fi,
+                         "b0": b0, "b1": b1, "b2": b2, "b3": b3}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "b0", "b1", "b2", "b3"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _VIDEO_HASH_SCHEMA)
+
+
+def video_dedup_pairs(
+    frame_hashes: DataFrame, *, min_common: int = 2, max_bucket: int | None = None
+) -> DataFrame:
+    """Near-duplicate video pairs by frame-hash containment: two videos
+    sharing >= `min_common` DISTINCT frame dHashes (a clipped or
+    re-muxed copy shares most of its frames; frame order does not
+    matter, so re-cuts still match). Same scale shape as the image path:
+    distinct per-video hash sets, an equi-join keyed on the full 64-bit
+    hash (never all-pairs), `max_bucket` capping degenerate hashes
+    (black/title frames are the video hub analogue), then a count
+    filter. Returns (media_a, media_b, n_common), media_a < media_b."""
+    sig = frame_hashes.select("media_id", "b0", "b1", "b2", "b3").distinct()
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("b0", "b1", "b2", "b3")
+        sig = (
+            sig.withColumn("__n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
+    a = sig.select(F.col("media_id").alias("media_a"), "b0", "b1", "b2", "b3")
+    b = sig.select(F.col("media_id").alias("media_b"), "b0", "b1", "b2", "b3")
+    return (
+        a.join(b, ["b0", "b1", "b2", "b3"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
     )

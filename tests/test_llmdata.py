@@ -1595,3 +1595,45 @@ def test_quality_score_col_matches_quality_features(spark):
     a = {r.doc_id: r.quality for r in quality_features(df).collect()}
     b = {r.doc_id: r.q for r in df.select("doc_id", quality_score_col(F.col("text")).alias("q")).collect()}
     assert a == b
+
+
+def test_video_dedup_clipped_copy_detected(spark):
+    """A clipped copy (same pattern, fewer frames) shares all of its
+    frame hashes with the full video -> containment pair; an unrelated
+    pattern shares none."""
+    import pandas as pd
+    from query_engine_spark.llmdata.multimodal import (
+        make_avi, video_frame_hashes, video_dedup_pairs,
+    )
+
+    media = spark.createDataFrame(pd.DataFrame({
+        "media_id": [1, 2, 3],
+        "payload": [
+            make_avi(7, 20, 14, 6),   # full video, pattern 7
+            make_avi(7, 20, 14, 3),   # clipped copy: first 3 frames of pattern 7
+            make_avi(55, 20, 14, 6),  # unrelated pattern
+        ],
+    }))
+    fh = video_frame_hashes(media, every_n=1, max_frames=8)
+    pairs = {(r.media_a, r.media_b): r.n_common for r in video_dedup_pairs(fh, min_common=2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
+
+
+def test_video_dedup_order_invariant_and_bucket_cap(spark):
+    """Frame order doesn't matter (distinct hash sets), and max_bucket
+    drops a hash shared by every video (the black-frame hub)."""
+    import pandas as pd
+    from query_engine_spark.llmdata.multimodal import (
+        make_avi, video_frame_hashes, video_dedup_pairs,
+    )
+
+    # 4 videos of the same single-frame pattern: every pair matches on
+    # that one hub hash; a bucket cap below 4 kills all candidates
+    media = spark.createDataFrame(pd.DataFrame({
+        "media_id": list(range(4)),
+        "payload": [make_avi(9, 16, 12, 1) for _ in range(4)],
+    }))
+    fh = video_frame_hashes(media)
+    assert video_dedup_pairs(fh, min_common=1).count() == 6
+    assert video_dedup_pairs(fh, min_common=1, max_bucket=3).count() == 0
