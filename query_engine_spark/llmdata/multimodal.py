@@ -1287,6 +1287,48 @@ def dhash_bands(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, _DHASH_SCHEMA)
 
 
+def _subband_splits(max_hamming: int) -> int:
+    """Sub-splits per 16-bit dHash band so the pigeonhole guarantee
+    (number of bands > max_hamming) actually holds for the requested
+    radius: 4x16-bit bands cover radius 3, 8x8-bit cover 7, 16x4-bit
+    cover 15. Beyond 15 the 4-bit keys are already near-degenerate
+    buckets; refuse loudly rather than silently drop true pairs (an
+    unchecked radius would accept any value but only ever guarantee
+    recall at 3 — ADVICE r5 finding)."""
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
+    for s in (1, 2, 4):
+        if max_hamming < 4 * s:
+            return s
+    raise ValueError(
+        f"max_hamming={max_hamming} exceeds the radius-15 pigeonhole "
+        "guarantee of the 16x4-bit band split; wider radii need a "
+        "different candidate structure (multi-probe or brute force)"
+    )
+
+
+def _exploded_band_keys(df: DataFrame, id_col: str, alias: str, s: int) -> DataFrame:
+    """(id, band_id, val) long-form band keys, each 16-bit band split into
+    `s` equal sub-bands (s=1 keeps the original bands and the original
+    driver-verified plan shape)."""
+    width = 16 // s
+    mask = (1 << width) - 1
+    entries = []
+    for b in range(4):
+        for i in range(s):
+            val = (
+                F.col(f"b{b}")
+                if s == 1
+                else F.shiftright(F.col(f"b{b}"), width * i).bitwiseAND(F.lit(mask))
+            )
+            entries.append(
+                F.struct(F.lit(b * s + i).alias("band_id"), val.alias("val"))
+            )
+    return df.select(
+        F.col(id_col).alias(alias), F.explode(F.array(*entries)).alias("k")
+    ).select(alias, "k.band_id", "k.val")
+
+
 def perceptual_dedup_pairs(
     bands: DataFrame, *, max_hamming: int = 3, max_bucket: int | None = None
 ) -> DataFrame:
@@ -1297,6 +1339,9 @@ def perceptual_dedup_pairs(
     comparison; the exact hamming distance (sum of per-band bit_count of
     xor) then verifies candidates only. The same chunk-pigeonhole
     device as SimHash text dedup (dedup.py), applied to decoded pixels.
+    For radii above 3 the bands split into 8x8-bit (radius ≤ 7) or
+    16x4-bit (radius ≤ 15) sub-band keys so the guarantee scales with
+    the request; radii above 15 raise (see `_subband_splits`).
 
     `max_bucket` is the production skew guard, same as MinHash-LSH's:
     a band value shared by B images yields B²/2 candidate rows (solid
@@ -1311,17 +1356,7 @@ def perceptual_dedup_pairs(
     # (media_id, band_id, val) — dragging all four bands through both
     # sides of the self-join would shuffle ~8x the necessary payload —
     # then join the unexploded bands table back by id for the verify.
-    long = bands.select(
-        "media_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_id"), F.col(f"b{b}").alias("val"))
-                    for b in range(4)
-                ]
-            )
-        ).alias("k"),
-    ).select("media_id", "k.band_id", "k.val")
+    long = _exploded_band_keys(bands, "media_id", "media_id", _subband_splits(max_hamming))
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -1451,19 +1486,13 @@ def perceptual_probe_pairs(
 
     `max_bucket` caps INDEX-side hub bands (the history side is where
     boilerplate media accumulates). Returns (media_id, match_id, hamming)
-    with match_id from the index.
+    with match_id from the index. Radii above 3 split the band keys as in
+    `perceptual_dedup_pairs` (sub-band split MUST match the one the index
+    was written with if the index is pre-exploded; here both sides derive
+    from the same `max_hamming`, so they always agree).
     """
-    idx = index_bands.select(
-        F.col("media_id").alias("match_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_id"), F.col(f"b{b}").alias("val"))
-                    for b in range(4)
-                ]
-            )
-        ).alias("k"),
-    ).select("match_id", "k.band_id", "k.val")
+    s = _subband_splits(max_hamming)
+    idx = _exploded_band_keys(index_bands, "media_id", "match_id", s)
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -1473,17 +1502,7 @@ def perceptual_probe_pairs(
             .filter(F.col("__n") <= max_bucket)
             .drop("__n")
         )
-    probe = new_bands.select(
-        "media_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_id"), F.col(f"b{b}").alias("val"))
-                    for b in range(4)
-                ]
-            )
-        ).alias("k"),
-    ).select("media_id", "k.band_id", "k.val")
+    probe = _exploded_band_keys(new_bands, "media_id", "media_id", s)
     cand = (
         probe.join(idx, ["band_id", "val"])
         .select("media_id", "match_id")

@@ -463,8 +463,12 @@ def rolling_anomaly(
     # subtraction). Silently wrapping would make __nvar negative and
     # SUPPRESS genuine spikes — fail loudly in-plan instead; callers with
     # wider-range metrics lower `vquant` or pre-center values per key.
-    vq_bound = int((2**63 - 1) // (2 * z * z * lookback * lookback)) ** 0.5
-    vq_bound = int(vq_bound)
+    # dev = x·n − s can reach 2·lookback·|vq| so dev² reaches 4·L²·vq²,
+    # which dominates z²·n·ss = z²·L²·vq² whenever z < 2 — size the budget
+    # by max(4, 2·z²) so the guard holds for small z too.
+    vq_bound = int(
+        ((2**63 - 1) // (max(4, 2 * z * z) * lookback * lookback)) ** 0.5
+    )
     guard = F.assert_true(
         F.abs(vq) <= F.lit(vq_bound),
         F.format_string(
@@ -524,7 +528,9 @@ def anomaly_baseline(
     half of the train-offline / score-the-stream anomaly deployment (same
     split as the hashed classifier and DSIR: the model is a tiny keyed
     table, the stream never aggregates). One hash-agg, map-side
-    combinable.
+    combinable. The intermediate sum-of-squares DOES scale with n, so the
+    agg carries max(|vq|) and asserts n·max² fits int64 post-agg — a
+    wrapped sum fails loudly instead of silently suppressing anomalies.
 
     Unlike rolling_anomaly — whose frame is bounded at `lookback` rows, so
     the exact cross-multiplied predicate (x·n−s)² > z²·(n·ss−s²) stays
@@ -540,6 +546,27 @@ def anomaly_baseline(
         F.count(F.lit(1)).alias("n"),
         F.sum(vq).alias("__s"),
         F.sum(vq * vq).alias("__ss"),
+        F.max(F.abs(vq)).alias("__maxabs"),
+    )
+    # sum(vq²) ≤ n·max(|vq|)² — if that bound fits in int64 the summed __ss
+    # cannot have wrapped (ANSI off ⇒ wrap is silent; a wrapped __ss makes
+    # var_q garbage and silently suppresses genuine anomalies downstream).
+    # n and max(|vq|) are computed exactly regardless, so the post-agg
+    # assert fails loudly on exactly the inputs whose __ss is untrustworthy;
+    # callers lower `vquant` or pre-partition hot keys. One tiny agg row per
+    # key — the guard costs one comparison, no extra shuffle.
+    agg = agg.filter(
+        F.assert_true(
+            # stepwise div keeps every intermediate in int64 even when
+            # maxabs² alone would wrap: n ≤ (M div a) div a ⟺ n·a² ≤ M.
+            (F.col("__maxabs") == 0)
+            | (F.col("n") <= F.expr(f"({2**63 - 1} div __maxabs) div __maxabs")),
+            F.format_string(
+                "anomaly_baseline: n*max(|value*%d|)^2 exceeds int64 — the "
+                "sum-of-squares may have wrapped; lower vquant.",
+                F.lit(vquant),
+            ),
+        ).isNull()
     )
     # FLOOR division, not Spark's truncating `div`: DuckDB's `//` floors, so
     # a negative sum (s=-10, n=3 → Spark div -3, DuckDB // -4) would shift
@@ -571,7 +598,7 @@ def anomaly_score_static(
     """Score points against a pretrained per-key baseline:
     (x − mean_q)² > z²·var_q over `anomaly_baseline`'s floor-quantized
     integer moments — engine-exact (both engines compute identical
-    integers) and overflow-free at any baseline size (see
+    integers), with in-plan asserts that dev² and z²·var_q fit int64 (see
     anomaly_baseline on why the unbounded-n case can't reuse
     rolling_anomaly's cross-multiplied form). The baseline broadcasts
     (one row per key) and the scoring is a map-only stream-static join —
@@ -589,8 +616,23 @@ def anomaly_score_static(
         *key_cols, F.col(ts_col), F.col(id_col), vq.alias("value_q")
     ).join(F.broadcast(baseline), list(key_cols), "inner")
     dev = F.col("value_q") - F.col("mean_q")
+    # dev² and z²·var_q must not wrap (ANSI off ⇒ silent): |dev| ≤
+    # floor(sqrt(int64max)) guards the square; var_q ≤ int64max div z²
+    # guards the threshold. Map-side comparisons, no extra shuffle.
+    dev_bound = int((2**63 - 1) ** 0.5)
+    guard = F.assert_true(
+        (F.abs(dev) <= F.lit(dev_bound))
+        & (F.col("var_q") <= F.lit((2**63 - 1) // max(1, z * z))),
+        F.format_string(
+            "anomaly_score_static: |value_q - mean_q| or z^2*var_q exceeds "
+            "the int64 budget (vquant=%d, z=%d) — lower vquant.",
+            F.lit(vquant),
+            F.lit(z),
+        ),
+    )
     return (
-        scored.filter(
+        scored.filter(guard.isNull())
+        .filter(
             (F.col("n") >= min_n)
             & (F.col("var_q") > 0)
             & (dev * dev > z * z * F.col("var_q"))

@@ -6132,13 +6132,13 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "f12_where_script_stmt", "f12_where_udf_tier", "f1_item_kind",
         "f2_image_count", "f6_language", "f7_list_semi_anti",
         "f8_duplicates_first", "f_count_cmp", "llm_hash_sample",
-        "llm_prepare_corpus", "llm_top_terms", "multimodal_features",
-        "pipeline_flagship", "q18_large_orders", "q1_pricing_summary",
+        "llm_prepare_corpus", "llm_top_terms",
+        "q18_large_orders", "q1_pricing_summary",
         "q3_shipping_priority", "q5_local_supplier_volume",
-        "s10_liked_by_likers", "s1_firehose", "s2_input_list",
+        "s10_liked_by_likers", "s2_input_list",
         "s3_input_tags", "s4_input_labels", "s5_input_feed", "s6_input_did",
         "s7_input_post_prepend", "s8_archived_scan", "s9_liked_weighted",
-        "sessionize_events", "stream_windowed_counts", "text_bm25_search",
+        "stream_windowed_counts", "text_bm25_search",
         "text_contamination", "text_fingerprint", "text_langid",
         "text_langid_ngram", "text_quality", "text_redact_pii",
         "text_tokens", "window_running_revenue",
@@ -6159,72 +6159,66 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "llm_split_assign", "llm_stupid_backoff", "media_dedup",
         "q16_supplier_variety", "q17_small_quantity", "q19_disjunctive",
         "q22_no_order_customers", "q4_order_priority", "q7_nation_volume",
-        "range_join_events", "retention_cohorts", "rollup_gapfill_events",
+        "range_join_events", "retention_cohorts",
         "stream_interval_join_pairs", "text_dup_spans",
         "text_repetition_features", "text_strip_dup_spans",
         "text_top_terms_per_lang", "window_revenue_deciles",
+    )},
+    # last hash-green in CORRECTNESS_r05.json (50/50 green)
+    **{n: 5 for n in (
+        "dedup_containment", "dedup_incremental", "embed_ivfpq_topk",
+        "embed_pq_topk", "events_anomaly_static", "events_anomaly_zscore",
+        "events_countmin", "events_cusum_drift", "events_ohlc",
+        "events_salted_counts", "events_zorder_box", "graph_pagerank",
+        "kmv_set_ops_events", "llm_bpe_apply", "llm_bpe_train",
+        "llm_compressed_ingest", "llm_curation_pipeline",
+        "llm_dsir_weights", "llm_quality_classifier", "llm_weighted_sample",
+        "media_audio_dedup", "media_perceptual_dedup",
+        "multimodal_audio", "multimodal_audio_resample",
+        "multimodal_features", "multimodal_gif", "multimodal_png",
+        "multimodal_resize", "multimodal_video_frames",
+        "pipeline_flagship", "q10_returned_items", "q11_important_value",
+        "q12_priority_lines", "q13_customer_distribution",
+        "q14_promo_revenue", "q15_top_supplier", "q20_promotion_suppliers",
+        "q21_waiting_suppliers", "q2_min_cost_supplier",
+        "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
+        "rollup_gapfill_events", "s1_firehose", "sessionize_events",
+        "text_bm25_indexed", "text_doc_segment_dedup",
+        "text_strip_boilerplate", "text_tfidf_pairs", "text_winnowing",
     )},
 }
 
 # Rows whose oracle or machinery changed AFTER their last driver check, so the
 # recorded verification is stale — schedule them as if never verified.
-_STALE_VERIFICATION = {
-    # r2-verified with the old rows-only oracle; round 4 replaced it with a
-    # real BMP decode + hash-verified oracle and round 5 adds header
-    # validation — the driver has never checked the real decode.
-    "multimodal_features",
-    # r4-verified with round(double, 4) outputs; the round-5 sf0.001 sweep
-    # caught the cross-engine decimal-boundary flip in the interpolation and
-    # the query+oracle were converted to e4-quantized integers — the r4
-    # record no longer describes this oracle.
-    "rollup_gapfill_events",
-}
+_STALE_VERIFICATION: set[str] = set()
 
-# Queries whose machinery rounds 4–5 changed after their last driver check —
+# Queries whose machinery round 6 changed after their last driver check —
 # re-verify them on the new code ahead of the least-recently-verified pool.
-# Round 4: the in-plan `now` rewrite (blocks.py/inputs.py/aggregates.py)
-# touched the whole s-family input path and the flagship; their r2-era
-# verification predates it. Round 5: tfidf dfreq persist, semdedup pruned
-# count, and the streaming compose demo reusing the windowed paths.
 #
 # The driver checks exactly 50 names, so this set is curated to keep
 # never-verified + touched <= 50: new queries (never verified, the code the
 # driver most needs to see) outrank re-verification of already-green rows.
-# The thin s-family wrappers s2–s8 and a1_trending_windowed share the r4
-# now-machinery call path (_input_block → NOW_COL) with s1/flagship/
-# a1_trending_tags, which stay in the window — verifying those on the new
-# code covers the rewritten path; the rest keep their r1/r2 record and
-# rejoin the least-recently-verified rotation.
-_ROUND5_TOUCHED = {
-    # r4 now-machinery (verified r1/r2, rewritten since); s9 dropped late in
-    # session 3 — s10 keeps the heavier like-graph CF path in-window and
-    # s1/flagship/o5/a1 cover the shared now machinery
-    # o5 dropped for the audio-dedup slot: its now=None path was
-    # selfcheck-verified on the r4 code (VERDICT r4) and flagship keeps the
-    # score→sort→limit path in-window; sessionize stays — its r2 driver
-    # record predates the r3 stateful.py rewrite.
-    # a1_trending_tags dropped for the CUSUM slot: it was selfcheck-verified
-    # on the r4 in-plan-now code (VERDICT r4 "+self4") and a1's aggregate
-    # path shares the NOW_COL machinery s1/flagship keep in-window.
-    # s10 dropped for the curation-pipeline slot: the s9/s10 registry
-    # queries call the like-graph operators directly with no `now` anywhere
-    # in their plans — the r4 now rewrite never touched their code path, so
-    # the r2 driver record stands.
-    "pipeline_flagship", "s1_firehose",
-    # r5-touched (stream_windowed_counts also reuses compose-demo paths but
-    # its stream==batch equality is asserted directly in test_compose, and
-    # sessionize_events covers the shared stateful path in-window)
-    # embed_semdedup left the head late in session 3: it is r4-verified and
-    # the r5 change (auto-k pruned count) is outside the oracle path — the
-    # registry oracle pins k=8, so a driver re-check could not exercise it;
-    # test_semdedup_auto_k covers the k=None path directly.
-    "text_tfidf_pairs",
-    "sessionize_events",
-    # embed_kmeans left the head late in session 3 for the re-quantized
-    # rollup_gapfill_events slot: the session-2 _kmeans_centroids refactor it
-    # was scheduled for is shared with IVF-PQ, and embed_ivfpq_topk (never
-    # verified, always in-window) drives that exact path on r5 code.
+_ROUND6_TOUCHED = {
+    # r1-verified, but its ORACLE was corrected late in round 5 (commit
+    # b631247: the sf0.1 sweep caught the oracle missing the final-500 cap,
+    # invisible at the driver's sf0.01 scale). Selfcheck-green at three
+    # scales since, but the durable driver record predates the corrected
+    # oracle — it leads the round-6 window (VERDICT r5 item 1).
+    "o5_sort_score_dedup",
+    # r5-verified, but round 6 added in-plan int64 overflow guards to
+    # anomaly_baseline/anomaly_score_static (ADVICE r5 item 1) — the scoring
+    # plan gained assert filters after the driver's check.
+    "events_anomaly_static",
+    # r5-verified; round 6 refactored the band-key explode through
+    # _exploded_band_keys with radius-derived sub-band splitting (ADVICE r5
+    # item 4). The registry query's max_hamming=3 path emits the same keys,
+    # but the machinery changed — re-verify on the new code.
+    "media_perceptual_dedup",
 }
+
+# Stable alias so _driver_order and the scheduling tests survive the
+# per-round rename of the touched set.
+_ROUND_TOUCHED = _ROUND6_TOUCHED
 
 
 def _driver_order() -> list[str]:
@@ -6233,7 +6227,7 @@ def _driver_order() -> list[str]:
         n for n in REGISTRY
         if n not in _DRIVER_LAST_VERIFIED or n in _STALE_VERIFICATION
     ]
-    touched = [n for n in REGISTRY if n not in never and n in _ROUND5_TOUCHED]
+    touched = [n for n in REGISTRY if n not in never and n in _ROUND_TOUCHED]
     head = set(never) | set(touched)
     rest = sorted(
         (n for n in REGISTRY if n not in head),

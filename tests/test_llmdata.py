@@ -1394,7 +1394,7 @@ def test_dhash_identical_images_hamming_zero(spark):
         pd.DataFrame({"media_id": [m for m, _ in blobs], "payload": [b for _, b in blobs]})
     )
     bands = dhash_bands(media)
-    pairs = {(r.media_a, r.media_b): r.hamming for r in perceptual_dedup_pairs(bands, max_hamming=64).collect()}
+    pairs = {(r.media_a, r.media_b): r.hamming for r in perceptual_dedup_pairs(bands, max_hamming=15).collect()}
     assert pairs[(0, 1)] == 0
     # local reference agrees with the distributed hash
     local = dhash_bmp_bands(make_bmp(7, 20, 14))
@@ -1441,6 +1441,37 @@ def test_perceptual_pairs_max_bucket_drops_hub(spark):
     bands = dhash_bands(media)
     assert perceptual_dedup_pairs(bands, max_hamming=3).count() == 15
     assert perceptual_dedup_pairs(bands, max_hamming=3, max_bucket=5).count() == 0
+
+
+def test_perceptual_pairs_radius_scales_bands(spark):
+    """The pigeonhole guarantee must scale with the requested radius:
+    two hashes at hamming 4 spread one flip per 16-bit band share NO
+    16-bit band, but must still be found at max_hamming=4 via the
+    8x8-bit sub-band split (each 16-bit band has one flip, so one of its
+    two 8-bit halves is exact). Radii beyond 15 raise."""
+    import pandas as pd
+    import pytest
+    from query_engine_spark.llmdata.multimodal import (
+        _subband_splits, perceptual_dedup_pairs,
+    )
+
+    assert [_subband_splits(h) for h in (0, 3, 4, 7, 8, 15)] == [1, 1, 2, 2, 4, 4]
+    with pytest.raises(ValueError, match="radius-15"):
+        _subband_splits(16)
+
+    # hand-built band rows: b = {b0..b3}; flip one bit in each 16-bit band
+    base = (0x1234, 0x5678, 0x9ABC, 0x0DEF)
+    far = tuple(v ^ (1 << 12) for v in base)  # bit 12 of each band: hamming 4
+    bands = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, *base), (1, *far)],
+            columns=["media_id", "b0", "b1", "b2", "b3"],
+        )
+    )
+    # no 16-bit band agrees -> the radius-3 split finds nothing
+    assert perceptual_dedup_pairs(bands, max_hamming=3).count() == 0
+    got = perceptual_dedup_pairs(bands, max_hamming=4).collect()
+    assert [(r.media_a, r.media_b, r.hamming) for r in got] == [(0, 1, 4)]
 
 
 def test_audio_envelope_level_invariant_and_discriminative(spark):

@@ -28,14 +28,14 @@ def test_never_verified_and_stale_lead_the_order():
 def test_round_touched_queries_in_the_sample():
     order = R._driver_order()
     head = set(order[:50])
-    missing = [n for n in R._ROUND5_TOUCHED if n in R.REGISTRY and n not in head]
+    missing = [n for n in R._ROUND_TOUCHED if n in R.REGISTRY and n not in head]
     assert not missing, f"round-touched queries outside the driver sample: {missing}"
 
 
 def test_rest_ordered_least_recently_verified_first():
     order = R._driver_order()
     tail = [n for n in order if n in R._DRIVER_LAST_VERIFIED
-            and n not in R._STALE_VERIFICATION and n not in R._ROUND5_TOUCHED]
+            and n not in R._STALE_VERIFICATION and n not in R._ROUND_TOUCHED]
     rounds = [R._DRIVER_LAST_VERIFIED[n] for n in tail]
     assert rounds == sorted(rounds)
 
@@ -77,7 +77,7 @@ def test_last_verified_map_matches_correctness_artifacts():
             # spark_rows > 0 — the driver's weaker check; count it
             ok = (row.get("err") is None and row.get("rows_match")
                   and row.get("schema_match") and row.get("hash_match")) or (
-                row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) >= 0
+                row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0
                 and name in ("o4_sort_random", "f12_where_udf_tier",
                              "multimodal_features")
             )
