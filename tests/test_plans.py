@@ -312,3 +312,28 @@ def test_audio_dedup_map_only_plus_fingerprint_window(spark):
     p = plan_of(spark, "media_audio_dedup")
     assert "Join" not in p
     assert len(re.findall(r"\(\d+\) Window", p)) == 1
+
+
+def test_incremental_media_probe_never_rehashes_history(spark):
+    """The probe's plan must pay decode+dHash (MapInPandas) ONLY for the
+    new batch: the history side is parquet scans of the materialized band
+    index — that is the O(batch)-per-crawl property the operator claims."""
+    import re
+
+    p = plan_of(spark, "media_incremental_dedup")
+    # the probe pipeline is pack->hash (2 MapInPandas nodes), instantiated
+    # on the candidate side and again on the verify side = 4 distinct
+    # nodes; hashing history too would add its own pack->hash pair
+    nodes = set(re.findall(r"\((\d+)\) MapInPandas", p))
+    assert len(nodes) <= 4, p
+    assert "Scan parquet" in p  # index comes from the materialized files
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_video_dedup_containment_is_equi_join(spark):
+    """Frame-hash containment joins on the full 64-bit hash — an
+    equi-join, never all-pairs."""
+    p = plan_of(spark, "media_video_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
