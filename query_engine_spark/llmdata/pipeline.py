@@ -12,8 +12,10 @@ Stage vocabulary (document-shaped until `chunk`, chunk-shaped until
 
   {"op": "strip_boilerplate", "k": 2, "min_pct": 5, "min_count": 2}
   {"op": "dedup_exact"}
+  {"op": "dedup_minhash", "threshold": 0.1, "keep": "best"}
   {"op": "langid_filter", "allow": ["en"]}
   {"op": "quality_filter", "min_quality": 0.5}
+  {"op": "classifier_filter", "label_min_quality": 0.5, "min_score_q": 0}
   {"op": "chunk", "chunk_tokens": 32, "overlap": 4}
   {"op": "pack", "capacity": 128, "shards": 8}
 
@@ -22,6 +24,19 @@ replaces text with the prefix-stripped form. Unknown ops and out-of-order
 stages (a document stage after `chunk`, anything after `pack`) raise at
 TRANSLATE time — a mis-specified 100 TB pipeline must fail before it
 launches, not after the first shuffle.
+
+`dedup_minhash` is the NEAR-dup funnel (LSH band candidates → exact
+Jaccard verify → connected components → keep one doc per cluster:
+"best" = highest quality_score_col, tie lowest id; "first" = lowest id).
+Unlike every other stage it is not a single lazy expression — connected
+components is inherently iterative (min-label propagation with
+localCheckpoint), so this stage materializes the tiny pair/cluster
+tables while the documents themselves stay lazy. `classifier_filter`
+self-trains the hashed Naive-Bayes classifier on the stage input
+(positives = quality_score_col >= label_min_quality), broadcasts the
+4096-row model, and keeps docs with score_q > min_score_q — the
+train-offline/score-at-scan-speed quality gate, smoother than the raw
+heuristic because token evidence is pooled across the corpus.
 """
 
 from __future__ import annotations
@@ -36,7 +51,14 @@ from query_engine_spark.llmdata.corpus import chunk_documents, pack_chunks
 
 __all__ = ["translate_curation_pipeline", "quality_score_col", "CURATION_OPS"]
 
-_DOC_OPS = ("strip_boilerplate", "dedup_exact", "langid_filter", "quality_filter")
+_DOC_OPS = (
+    "strip_boilerplate",
+    "dedup_exact",
+    "dedup_minhash",
+    "langid_filter",
+    "quality_filter",
+    "classifier_filter",
+)
 CURATION_OPS = _DOC_OPS + ("chunk", "pack")
 
 
@@ -78,6 +100,11 @@ def translate_curation_pipeline(
             raise ValueError(f"stage {i}: 'chunk' requires document shape (got a second 'chunk'?)")
         if op == "pack" and shape != "chunks":
             raise ValueError(f"stage {i}: 'pack' requires a preceding 'chunk'")
+        if op == "dedup_minhash" and stage.get("keep", "best") not in ("best", "first"):
+            raise ValueError(
+                f"stage {i}: dedup_minhash keep must be 'best' or 'first' "
+                f"(got {stage.get('keep')!r})"
+            )
         shape = {"chunk": "chunks", "pack": "packed"}.get(op, shape)
 
     def run(df: DataFrame) -> DataFrame:
@@ -93,6 +120,46 @@ def translate_curation_pipeline(
                 df = out.select("doc_id", "source", F.col("clean_text").alias("text"))
             elif op == "dedup_exact":
                 df = D.exact_dedup(df, text_col="text", id_col="doc_id")
+            elif op == "dedup_minhash":
+                from pyspark.sql import Window
+
+                pairs = D.minhash_dedup_pairs(
+                    df,
+                    n_hashes=stage.get("n_hashes", 16),
+                    bands=stage.get("bands", 4),
+                    threshold=stage.get("threshold", 0.1),
+                )
+                cc = D.dedup_clusters(pairs).withColumnRenamed("id", "doc_id")
+                # docs in no cluster are their own singleton; a real cluster's
+                # label is its min member id and that member is in cc, so
+                # coalescing outsiders to their own id can't collide
+                lab = df.join(cc, "doc_id", "left").withColumn(
+                    "__cluster", F.coalesce("cluster", F.col("doc_id"))
+                ).drop("cluster")
+                order = (
+                    [quality_score_col(F.col("text")).desc(), F.col("doc_id")]
+                    if stage.get("keep", "best") == "best"
+                    else [F.col("doc_id")]
+                )
+                w = Window.partitionBy("__cluster").orderBy(*order)
+                df = (
+                    lab.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn", "__cluster")
+                )
+            elif op == "classifier_filter":
+                label = quality_score_col(F.col("text")) >= stage.get(
+                    "label_min_quality", 0.5
+                )
+                n_buckets = stage.get("n_buckets", 4096)
+                model = Tx.train_hashed_classifier(df, label, n_buckets=n_buckets)
+                scored = Tx.hashed_classifier_score(
+                    df, model, label, n_buckets=n_buckets
+                )
+                kept = scored.filter(
+                    F.col("score_q") > stage.get("min_score_q", 0)
+                ).select("doc_id")
+                df = df.join(kept, "doc_id", "left_semi")
             elif op == "langid_filter":
                 allow = list(stage.get("allow", ["en"]))
                 df = df.filter(Tx.langid(F.col("text")).isin(allow))

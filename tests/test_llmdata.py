@@ -1668,3 +1668,38 @@ def test_video_dedup_order_invariant_and_bucket_cap(spark):
     fh = video_frame_hashes(media)
     assert video_dedup_pairs(fh, min_common=1).count() == 6
     assert video_dedup_pairs(fh, min_common=1, max_bucket=3).count() == 0
+
+
+def test_curation_pipeline_neardup_and_classifier_stages(spark):
+    """dedup_minhash keeps one doc per near-dup cluster (quality argmax,
+    tie lowest id; singletons pass through); classifier_filter self-trains
+    on the stage input and keeps positively-scored docs. keep='first'
+    keeps the lowest id instead."""
+    from query_engine_spark.llmdata.pipeline import translate_curation_pipeline
+    import pytest
+
+    base = ("the quick brown fox is in the yard and a dog is of note "
+            "to all of the people in town today for sure right now")
+    rows = [
+        (1, "a", base),
+        (2, "a", base + " extra"),          # near-dup of 1 (high Jaccard)
+        (3, "a", base + " extra indeed"),   # near-dup of 1/2
+        (9, "b", "unrelated words entirely distinct vocabulary "
+                 "nothing shared with that other cluster at all kept "
+                 "the and of to in is a " * 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    run = translate_curation_pipeline(
+        [{"op": "dedup_minhash", "threshold": 0.5, "keep": "first"}]
+    )
+    kept = sorted(r.doc_id for r in run(df).select("doc_id").collect())
+    assert kept[0] == 1 and 9 in kept and len(kept) < 4
+
+    with pytest.raises(ValueError, match="keep must be"):
+        translate_curation_pipeline([{"op": "dedup_minhash", "keep": "median"}])
+
+    run2 = translate_curation_pipeline([{"op": "classifier_filter"}])
+    out2 = run2(df)
+    assert out2.columns == ["doc_id", "source", "text"]
+    assert out2.count() >= 1  # self-trained gate keeps the quality docs
