@@ -7,9 +7,20 @@ Prints ONE JSON line:
 `value` is the total of per-query MINIMUM wall-clock over N passes
 (default 3, $SPARK_GRAFT_BENCH_N) — single-run numbers on a busy host swing
 ~18% run-to-run, too noisy to trust regressions. Each query is fully
-materialized via count(); the first pass still pays plan/codegen cost, so the
-min reflects steady-state execution (`first_pass` in the JSON keeps the
-cold-path total for reference against BASELINE.md's cold scans).
+materialized via a noop-format write (`action: "noop_write"` in the JSON);
+the first pass still pays plan/codegen cost, so the min reflects
+steady-state execution (`first_pass` in the JSON keeps the cold-path total
+for reference against BASELINE.md's cold scans).
+
+Round 6 switched the action from count() to the noop write: count() lets
+Catalyst PRUNE computed output columns, so map-only projection queries
+measured a bare row count instead of their work (text_doc_segment_dedup
+"ran" in 0.31 s while its real evaluation cost 74 s — the r5 bench outlier
+was the honest number leaking through). The noop sink evaluates every
+output column and discards rows, which is the measurement we want. Because
+the two actions are incomparable, best-ever folding only consumes history
+records with the SAME `action` marker; pre-round-6 records (no marker)
+feed a legacy `queries_best_ever_count` field for continuity, not the gate.
 
 Cross-SESSION attributability (the r3/r4 history showed uniform ~1.3x
 session-to-session drift with no per-query signature — host noise, not plan
@@ -133,7 +144,10 @@ def main() -> int:
         for name in HEADLINE:
             spec = registry.REGISTRY[name]
             t0 = time.time()
-            spec.fn(spark, sf_dir).count()
+            # noop write: evaluates every output column (count() would let
+            # Catalyst prune the computed columns on map-only queries and
+            # time a bare row count — see module docstring)
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = time.time() - t0
             # free tracked llmdata persists so queries don't inherit each
             # other's cached blocks (and a long-lived driver doesn't leak)
@@ -143,9 +157,15 @@ def main() -> int:
 
     calibration = _calibration(spark)
 
-    # fold in prior sessions: per-query min across history + this run
+    # fold in prior sessions: per-query min across history + this run.
+    # Only same-action records fold into the regression gate — count()-era
+    # minima measured column-pruned plans and would hold noop-write numbers
+    # to a standard no real evaluation can meet. The legacy minima are kept
+    # in a separate field for continuity.
+    ACTION = "noop_write"
     hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
     best_ever = dict(best)
+    legacy_best: dict[str, float] = {}
     try:
         with open(hist_path) as f:
             for line in f:
@@ -157,9 +177,10 @@ def main() -> int:
                     continue  # a crash mid-append can truncate the last line
                 if rec.get("sf") != sf:
                     continue
+                fold = best_ever if rec.get("action") == ACTION else legacy_best
                 for q, t in rec.get("queries", {}).items():
                     if q in best_ever:
-                        best_ever[q] = min(best_ever[q], t)
+                        fold[q] = min(fold.get(q, t), t)
     except OSError:
         pass
 
@@ -169,17 +190,20 @@ def main() -> int:
         "unit": "sec",
         "queries": best,
         "n_runs": n_runs,
+        "action": ACTION,
         "first_pass": round(sum(runs[0].values()), 3),
         "calibration_sec": calibration,
         "queries_best_ever": {q: round(t, 3) for q, t in best_ever.items()},
         "best_ever_total": round(sum(best_ever.values()), 3),
+        "queries_best_ever_count": {q: round(t, 3) for q, t in sorted(legacy_best.items())},
         "sf": sf,
     }
     print(json.dumps(result))
     # per-query history for round-over-round regression tracking (append-only;
     # see tools/bench_history.py for the diff report)
     try:
-        hist_rec = {k: v for k, v in result.items() if k not in ("queries_best_ever", "best_ever_total")}
+        hist_rec = {k: v for k, v in result.items()
+                    if k not in ("queries_best_ever", "best_ever_total", "queries_best_ever_count")}
         with open(hist_path, "a") as f:
             f.write(json.dumps({"ts": int(time.time()), **hist_rec}) + "\n")
     except OSError:

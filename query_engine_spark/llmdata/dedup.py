@@ -64,26 +64,47 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
+def bind_once(expr: Column, body) -> Column:
+    """Evaluate `expr` exactly once per row and pass it to `body` as a
+    lambda VARIABLE (an O(1) reference), returning body's result.
+
+    Spark re-evaluates any non-attribute expression captured inside a
+    higher-order-function lambda PER ARRAY ELEMENT — codegen subexpression
+    elimination does not reach inside lambdas, so e.g. slicing a computed
+    `words` array per shingle re-runs the tokenizing regex O(n) times per
+    row (measured 240x on doc-segment dedup, 20x on trigram langid).
+    Wrapping the expression as the one-element input of an outer transform
+    binds it to a lambda variable that inner lambdas reference for free.
+    """
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Array of word k-shingles of the normalized text (empty if < k words)."""
-    words = F.split(normalize_text(col), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
-    return F.when(
-        n >= k,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k))),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def mk(words: Column) -> Column:
+        n = F.size(words)
+        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+        return F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k))),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(F.split(normalize_text(col), " "), mk)
 
 
 def minhash_signature(col: Column, n_hashes: int = 16, k: int = 3) -> Column:
     """MinHash signature as array<string>: element i = min(md5(i || '|' ||
     shingle)). Pure per-row array expressions — no explode, no shuffle."""
-    sh = word_shingles(col, k)
-    elems = [
-        F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
-        for i in range(n_hashes)
-    ]
-    return F.array(*elems)
+
+    def mk(sh: Column) -> Column:
+        return F.array(*[
+            F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
+            for i in range(n_hashes)
+        ])
+
+    # bind the shingle array once: inlining it would build it n_hashes times
+    return bind_once(word_shingles(col, k), mk)
 
 
 MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)

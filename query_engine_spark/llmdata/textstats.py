@@ -110,12 +110,16 @@ CHAR_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
 
 def char_trigrams(col: Column) -> Column:
     """All character trigrams of the normalized text (array<string>)."""
-    t = normalize_text(col)
-    n = F.length(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(0)))
-    return F.when(n >= 3, F.transform(idx, lambda i: t.substr(i, F.lit(3)))).otherwise(
-        F.array().cast("array<string>")
-    )
+    from query_engine_spark.llmdata.dedup import bind_once
+
+    def mk(t: Column) -> Column:
+        n = F.length(t)
+        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(0)))
+        return F.when(
+            n >= 3, F.transform(idx, lambda i: t.substr(i, F.lit(3)))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(normalize_text(col), mk)
 
 
 def langid_ngram_table(
@@ -926,33 +930,48 @@ def dedup_doc_segments(
     duplicated_spans/strip_duplicated_spans pair; this one is per-row
     state-free.
 
+    Evaluation note: `__toks` and `__segs` are materialized as REAL
+    attributes across projection boundaries (each alias is consumed more
+    than once downstream, so CollapseProject keeps the boundary). The
+    original single-expression form re-embedded the whole `segs` tree —
+    tokenizing regex included — inside the keep-first lambda, which Spark
+    re-evaluates PER ARRAY ELEMENT: O(n_segs) full re-tokenizations per
+    row, ~240x slower at sf0.1 (74 s -> 0.3 s). Higher-order-function
+    lambdas defeat codegen subexpression elimination; never reference a
+    non-attribute expression from inside one.
+
     Output: (doc_id, n_segments, n_dropped, clean_fp) with clean_fp the
     md5 of the reassembled text (rows stay narrow at any corpus size).
     """
     toks = F.filter(_tokens(F.col(text_col)), lambda x: x != "")
-    n = F.size(toks)
-    n_segs = F.floor((n + F.lit(seg_tokens - 1)) / F.lit(seg_tokens)).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), n_segs - F.lit(1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * F.lit(seg_tokens) + 1, F.lit(seg_tokens))),
-    )
-    # keep segment i iff it does not appear among segments [0, i)
-    kept = F.filter(
-        segs, lambda s, i: F.array_position(F.slice(segs, 1, i), s) == 0
-    )
     # drop zero-token docs BEFORE building segs: sequence(0, n_segs-1) with
     # n_segs=0 is sequence(0, -1), which Spark auto-steps DOWN to [0, -1] —
     # an empty doc would otherwise emit two phantom empty segments instead
     # of being dropped (diverging from the oracle's len(toks) > 0 gate)
-    return (
-        df.select(F.col(id_col).alias("doc_id"), n.alias("__n"), segs.alias("__segs"), kept.alias("__kept"))
-        .filter(F.col("__n") > 0)
-        .select(
-            "doc_id",
-            F.size("__segs").cast("long").alias("n_segments"),
-            (F.size("__segs") - F.size("__kept")).cast("long").alias("n_dropped"),
-            F.md5(F.concat_ws(" ", F.col("__kept"))).alias("clean_fp"),
-        )
+    t1 = df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    n_segs = F.floor(
+        (F.size("__toks") + F.lit(seg_tokens - 1)) / F.lit(seg_tokens)
+    ).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - F.lit(1)),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("__toks"), i * F.lit(seg_tokens) + 1, F.lit(seg_tokens))
+        ),
+    )
+    t2 = t1.select("doc_id", segs.alias("__segs"))
+    # keep segment i iff it does not appear among segments [0, i)
+    kept = F.filter(
+        F.col("__segs"),
+        lambda s, i: F.array_position(F.slice(F.col("__segs"), 1, i), s) == 0,
+    )
+    t3 = t2.select("doc_id", F.size("__segs").alias("__n_segs"), kept.alias("__kept"))
+    return t3.select(
+        "doc_id",
+        F.col("__n_segs").cast("long").alias("n_segments"),
+        (F.col("__n_segs") - F.size("__kept")).cast("long").alias("n_dropped"),
+        F.md5(F.concat_ws(" ", F.col("__kept"))).alias("clean_fp"),
     )
 
 

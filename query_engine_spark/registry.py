@@ -6427,6 +6427,20 @@ _ROUND6_TOUCHED = {
     # item 4). The registry query's max_hamming=3 path emits the same keys,
     # but the machinery changed — re-verify on the new code.
     "media_perceptual_dedup",
+    # round 6 rewrote word_shingles/char_trigrams/minhash_signature and
+    # dedup_doc_segments to bind captured expressions once (bind_once /
+    # attribute materialization — the per-element lambda-recompute fix,
+    # 3–20x on real evaluation). ~20 queries consume these helpers;
+    # representatives below cover each distinct consumption shape, the
+    # rest keep their record and rejoin the rotation (full selfcheck at
+    # sf0.01 re-proved all 181 rows on the new code this session):
+    # signature-table + band join; trigram langid; shingle-set Jaccard;
+    # posexplode span path; the rewritten map-only segment dedup.
+    "dedup_minhash_lsh",
+    "text_langid_ngram",
+    "dedup_ngram_jaccard",
+    "text_dup_spans",
+    "text_doc_segment_dedup",
 }
 
 # Stable alias so _driver_order and the scheduling tests survive the
