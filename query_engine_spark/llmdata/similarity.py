@@ -99,11 +99,20 @@ def cosine_pairs(
     """Exact near-duplicate pairs (a < b, cosine ≥ threshold) by brute-force
     self-join — the correctness baseline; O(n²) dot products, use
     `srp_near_dup_pairs` at scale."""
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms once per vector below the join (float-identical to inlined
+    # cosine; see semdedup) — per-pair work is the dot alone
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     out = pairs.select(
-        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim")
+        "id_a", "id_b",
+        F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("sim"),
     )
     return out.filter(F.col("sim") >= threshold)
 
@@ -893,12 +902,19 @@ def semdedup(
     assigned = kmeans_lloyd(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col, quant=quant
     )
+    # per-vector norm ONCE below the join boundary: cosine(a,b) inside the
+    # pair join would recompute both norms per PAIR — 3x the per-pair flops
+    # on Σ|cluster|² pairs (and HOF array folds are interpreted, not
+    # codegen'd, so the waste is expensive). sqrt(ssa)·sqrt(ssb) here is
+    # float-identical to the inlined form, so round(...,6) cannot drift.
     q = embeddings.select(
         F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col), quant).alias("qv")
-    )
+    ).withColumn("__nq", l2_norm(F.col("qv")))
     side = assigned.join(q, "vec_id")
     a, b = side.alias("a"), side.alias("b")
-    sim = F.round(cosine(F.col("a.qv"), F.col("b.qv")), 6)
+    sim = F.round(
+        dot(F.col("a.qv"), F.col("b.qv")) / (F.col("a.__nq") * F.col("b.__nq")), 6
+    )
     dropped = (
         a.join(
             b,
