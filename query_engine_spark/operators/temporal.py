@@ -568,10 +568,12 @@ def anomaly_baseline(
             ),
         ).isNull()
     )
-    # FLOOR division, not Spark's truncating `div`: DuckDB's `//` floors, so
-    # a negative sum (s=-10, n=3 → Spark div -3, DuckDB // -4) would shift
-    # mean_q by 1 and flip boundary classifications for any negative-valued
-    # metric. n > 0 always; __ss >= 0 so its div == floor already.
+    # FLOOR division, explicitly: BOTH Spark's `div` and DuckDB's integer
+    # `//` truncate (s=-10, n=3 → -3 in both), so floor semantics must be
+    # spelled out with the same sign correction on both sides (the SQL
+    # oracle carries the identical CASE). Floor is the right mean for a
+    # threshold baseline: truncation biases negative means toward zero.
+    # n > 0 always; __ss >= 0 so its div == floor already.
     mean_q = F.expr(
         "__s div n - (CASE WHEN __s % n != 0 AND __s < 0 THEN 1 ELSE 0 END)"
     )

@@ -4994,8 +4994,14 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(value_q * value_q) AS BIGINT) AS ss
       FROM q GROUP BY 1),
     b AS (
-      SELECT event_type, n, s // n AS mean_q,
-             ss // n - (s // n) * (s // n) AS var_q
+      -- FLOOR division to mirror the operator: DuckDB's integer // and
+      -- Spark's div both TRUNCATE, so the same sign correction appears on
+      -- both sides (identical for this all-positive fixture; diverges for
+      -- negative-valued metrics without it)
+      SELECT event_type, n,
+             s // n - (CASE WHEN s % n != 0 AND s < 0 THEN 1 ELSE 0 END) AS mean_q,
+             ss // n - (s // n - (CASE WHEN s % n != 0 AND s < 0 THEN 1 ELSE 0 END))
+                     * (s // n - (CASE WHEN s % n != 0 AND s < 0 THEN 1 ELSE 0 END)) AS var_q
       FROM a)
     SELECT q.event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, value_q,
            CAST(n AS BIGINT) AS n_base,
@@ -6441,6 +6447,10 @@ _ROUND6_TOUCHED = {
     "dedup_ngram_jaccard",
     "text_dup_spans",
     "text_doc_segment_dedup",
+    # round 6 hoisted per-vector norms below the pair join (float-identical
+    # expression, new plan) in semdedup and cosine_pairs
+    "embed_semdedup",
+    "dedup_embedding_cosine",
 }
 
 # Stable alias so _driver_order and the scheduling tests survive the
