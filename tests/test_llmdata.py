@@ -1703,3 +1703,82 @@ def test_curation_pipeline_neardup_and_classifier_stages(spark):
     out2 = run2(df)
     assert out2.columns == ["doc_id", "source", "text"]
     assert out2.count() >= 1  # self-trained gate keeps the quality docs
+
+
+def test_jpeg_roundtrip_matches_coefficient_formula(spark):
+    """decode_jpeg(make_jpeg(...)) must equal the pure-integer prediction
+    from jpeg_qcoefs through the shared basis table — the exact contract
+    the registry oracle checks, here over a wider id range incl. every
+    (bw, bh) fixture shape, plus the DC-prediction chain and the ZRL path
+    (the 19-zero gap before zigzag index 40)."""
+    from query_engine_spark.llmdata.multimodal import (
+        _JPEG_IDCT_A, _JPEG_QTAB, _JPEG_ZIGZAG, decode_jpeg, jpeg_qcoefs, make_jpeg,
+    )
+
+    def predict(mid, bw, bh):
+        out = [[0] * (bw * 8) for _ in range(bh * 8)]
+        for bi in range(bw * bh):
+            qc = jpeg_qcoefs(mid, bi)
+            S = [0] * 64
+            for i in range(64):
+                S[_JPEG_ZIGZAG[i]] = qc[i] * _JPEG_QTAB[i]
+            bx, by = (bi % bw) * 8, (bi // bw) * 8
+            for y in range(8):
+                for x in range(8):
+                    t = sum(
+                        S[v * 8 + u] * _JPEG_IDCT_A[u][x] * _JPEG_IDCT_A[v][y]
+                        for u in range(8) for v in range(8) if S[v * 8 + u]
+                    )
+                    out[by + y][bx + x] = min(255, max(0, 128 + ((t + (1 << 25)) >> 26)))
+        return out
+
+    for mid in range(0, 96, 7):
+        bw, bh = 2 + mid % 2, 2 + (mid // 2) % 2
+        w, h, px = decode_jpeg(make_jpeg(mid, bw, bh))
+        assert (w, h) == (bw * 8, bh * 8)
+        assert px == predict(mid, bw, bh), f"media {mid}"
+
+
+def test_jpeg_rejects_unsupported_and_corrupt(spark):
+    import pytest
+    from query_engine_spark.llmdata.multimodal import decode_jpeg, make_jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    with pytest.raises(NotImplementedError, match="SOF0"):
+        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05aaa")
+    blob = make_jpeg(3)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(blob[:-20])
+    # entropy-coded segment must be byte-stuffed: no bare FF followed by a
+    # non-00 non-marker byte anywhere in the scan
+    sos = blob.find(b"\xff\xda")
+    scan = blob[sos + 14 : -2]
+    i = 0
+    while i < len(scan) - 1:
+        if scan[i] == 0xFF:
+            assert scan[i + 1] == 0x00, "unstuffed FF in entropy segment"
+            i += 2
+        else:
+            i += 1
+
+
+def test_jpeg_bit_corruption_changes_pixels(spark):
+    """Flipping one bit inside the entropy-coded segment must change the
+    decode (or raise) — evidence the Huffman path is really consumed, not
+    bypassed."""
+    from query_engine_spark.llmdata.multimodal import decode_jpeg, make_jpeg
+
+    blob = make_jpeg(5)
+    base = decode_jpeg(blob)[2]
+    sos = blob.find(b"\xff\xda")
+    mut = bytearray(blob)
+    # flip a bit in the first scan byte that isn't FF/00 (avoid making a marker)
+    for off in range(sos + 14, len(blob) - 2):
+        if mut[off] not in (0xFF, 0x00) and (mut[off] ^ 0x40) not in (0xFF,):
+            mut[off] ^= 0x40
+            break
+    try:
+        assert decode_jpeg(bytes(mut))[2] != base
+    except (ValueError, KeyError):
+        pass  # invalid code path is an acceptable detection too
