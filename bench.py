@@ -93,6 +93,15 @@ HEADLINE = [
     "events_anomaly_zscore",
     "llm_bpe_train",
     "media_perceptual_dedup",
+    # round-6 plan families: video containment dedup, index-probe dedup,
+    # near-dup+classifier pipeline, lossy-codec decode, and the two
+    # shingle families the bind_once rewrite changed most
+    "media_video_dedup",
+    "media_incremental_dedup",
+    "llm_curation_pipeline_neardup",
+    "multimodal_jpeg",
+    "text_langid_ngram",
+    "dedup_ngram_jaccard",
 ]
 
 

@@ -148,6 +148,15 @@ def translate_curation_pipeline(
                     .drop("__rn", "__cluster")
                 )
             elif op == "classifier_filter":
+                from query_engine_spark.llmdata import tracked_persist
+
+                # the stage input is consumed THREE times (train, score,
+                # final semi-join); when it carries upstream join/window
+                # lineage (post-dedup), replaying it per pass triples the
+                # cost — persist the narrow doc projection once. At real
+                # scale the funnel writes the deduped corpus out between
+                # stages anyway; this is the in-session equivalent.
+                df = tracked_persist(df)
                 label = quality_score_col(F.col("text")) >= stage.get(
                     "label_min_quality", 0.5
                 )
