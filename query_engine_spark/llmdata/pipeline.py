@@ -16,6 +16,7 @@ Stage vocabulary (document-shaped until `chunk`, chunk-shaped until
   {"op": "langid_filter", "allow": ["en"]}
   {"op": "quality_filter", "min_quality": 0.5}
   {"op": "classifier_filter", "label_min_quality": 0.5, "min_score_q": 0}
+  {"op": "decontaminate", "k": 10, "seed": "split"}
   {"op": "chunk", "chunk_tokens": 32, "overlap": 4}
   {"op": "pack", "capacity": 128, "shards": 8}
 
@@ -37,6 +38,10 @@ self-trains the hashed Naive-Bayes classifier on the stage input
 4096-row model, and keeps docs with score_q > min_score_q — the
 train-offline/score-at-scan-speed quality gate, smoother than the raw
 heuristic because token evidence is pooled across the corpus.
+`decontaminate` NARROWS the corpus to the deterministic train split
+(split_assign's salted md5 buckets) and anti-joins out any train doc
+sharing a word k-gram with the held-out splits — the leakage filter run
+last before chunk/pack; the eval-side gram set broadcasts at scale.
 """
 
 from __future__ import annotations
@@ -58,6 +63,7 @@ _DOC_OPS = (
     "langid_filter",
     "quality_filter",
     "classifier_filter",
+    "decontaminate",
 )
 CURATION_OPS = _DOC_OPS + ("chunk", "pack")
 
@@ -169,6 +175,31 @@ def translate_curation_pipeline(
                     F.col("score_q") > stage.get("min_score_q", 0)
                 ).select("doc_id")
                 df = df.join(kept, "doc_id", "left_semi")
+            elif op == "decontaminate":
+                from query_engine_spark.llmdata.dedup import word_shingles
+
+                k = stage.get("k", 10)
+                s = Tx.split_assign(
+                    df,
+                    seed=stage.get("seed", "split"),
+                    val_ppm=stage.get("val_ppm", 100_000),
+                    test_ppm=stage.get("test_ppm", 100_000),
+                )
+                eval_grams = (
+                    s.filter(F.col("split") != "train")
+                    .select(F.explode(word_shingles(F.col("text"), k)).alias("g"))
+                    .distinct()
+                )
+                train = s.filter(F.col("split") == "train").drop("split")
+                leaked = (
+                    train.select(
+                        "doc_id", F.explode(word_shingles(F.col("text"), k)).alias("g")
+                    )
+                    .join(F.broadcast(eval_grams), "g")
+                    .select("doc_id")
+                    .distinct()
+                )
+                df = train.join(leaked, "doc_id", "left_anti")
             elif op == "langid_filter":
                 allow = list(stage.get("allow", ["en"]))
                 df = df.filter(Tx.langid(F.col("text")).isin(allow))

@@ -6406,6 +6406,55 @@ def llm_curation_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@_register(
+    "llm_curation_pipeline_decontam",
+    f"""
+    WITH s0 AS (
+      SELECT doc_id, source, text, md5({_NORM_SQL}) AS fp FROM documents),
+    d1 AS (
+      SELECT doc_id, source, text FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM s0) WHERE rn = 1),
+    s AS (
+      SELECT doc_id, source, text,
+             CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 1000 THEN 'test'
+                  WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 2000 THEN 'val'
+                  ELSE 'train' END AS split,
+             string_split_regex({_NORM_SQL}, '\\s+') AS ws
+      FROM d1),
+    tg AS (SELECT doc_id, unnest({_grams_sql(10)}) AS g FROM s WHERE split = 'train'),
+    eg AS (SELECT DISTINCT unnest({_grams_sql(10)}) AS g FROM s WHERE split != 'train'),
+    leaked AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (g))
+    SELECT doc_id, source, md5(text) AS fp
+    FROM s
+    WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM leaked)
+    ORDER BY doc_id
+    """,
+    "curation pipeline ending in DECONTAMINATION: the JSON spec "
+    "[dedup_exact → decontaminate(k=10)] dedups on the normalized "
+    "fingerprint, assigns the deterministic salted-md5 train/val/test "
+    "split, and anti-joins out every train doc sharing a word 10-gram "
+    "with the held-out splits — the leakage filter run last before "
+    "chunk/pack, as one translated plan (llmdata/pipeline.py; composes "
+    "the verified split_assign + llm_decontaminate forms; eval-side gram "
+    "set broadcasts at scale)",
+)
+def llm_curation_pipeline_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata.pipeline import translate_curation_pipeline
+
+    run = translate_curation_pipeline(
+        [{"op": "dedup_exact"}, {"op": "decontaminate", "k": 10}]
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return (
+        run(docs)
+        .select(
+            "doc_id", "source", F.md5(F.encode("text", "utf-8")).alias("fp")
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Driver verification history. The CORRECTNESS_r01–r04 artifacts prove the
 # driver hash-checks exactly the FIRST 50 names of _driver_order() each round
 # (the r3 and r4 sample sets are identical and equal order[:50]). The order

@@ -1782,3 +1782,31 @@ def test_jpeg_bit_corruption_changes_pixels(spark):
         assert decode_jpeg(bytes(mut))[2] != base
     except (ValueError, KeyError):
         pass  # invalid code path is an acceptable detection too
+
+
+def test_curation_pipeline_decontaminate_stage(spark):
+    """decontaminate narrows to the deterministic train split and drops
+    train docs sharing a word k-gram with the held-out splits."""
+    from query_engine_spark.llmdata.pipeline import translate_curation_pipeline
+    from query_engine_spark.llmdata.textstats import split_assign
+
+    rows = [(i, "a", f"unique words for document number {i} " * 3) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    splits = {r.doc_id: r.split for r in split_assign(df).collect()}
+    eval_ids = [i for i, s in splits.items() if s != "train"]
+    train_ids = [i for i, s in splits.items() if s == "train"]
+    assert eval_ids, "fixture must include held-out docs"
+
+    run = translate_curation_pipeline([{"op": "decontaminate", "k": 5}])
+    kept = {r.doc_id for r in run(df).select("doc_id").collect()}
+    # every kept doc is train-split
+    assert kept <= set(train_ids)
+    # the shared 5-gram "unique words for document number" leaks from every
+    # eval doc into every train doc -> everything is dropped
+    assert kept == set()
+
+    # disjoint vocabulary -> full train split survives
+    rows2 = [(i, "a", " ".join(f"w{i}x{j}" for j in range(8))) for i in range(40)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, source string, text string")
+    kept2 = {r.doc_id for r in run(df2).select("doc_id").collect()}
+    assert kept2 == {i for i, s in splits.items() if s == "train"}
