@@ -1810,3 +1810,33 @@ def test_curation_pipeline_decontaminate_stage(spark):
     df2 = spark.createDataFrame(rows2, "doc_id long, source string, text string")
     kept2 = {r.doc_id for r in run(df2).select("doc_id").collect()}
     assert kept2 == {i for i, s in splits.items() if s == "train"}
+
+
+def test_rle8_roundtrip_and_boundaries(spark):
+    """decode_avi_rle8(make_avi_rle8(...)) must reproduce the index
+    formula exactly — encoded runs, absolute-mode lines (every third
+    stored line, word-aligned), EOL/EOD; raw-vs-RLE8 streams route to the
+    right decoder; corrupt streams fail loudly."""
+    import pytest
+    from query_engine_spark.llmdata.multimodal import (
+        _rle8_palette, decode_avi_rle8, demux_avi, make_avi, make_avi_rle8,
+        rle8_frame_index,
+    )
+
+    for mid, w, h, nf in [(0, 9, 7, 2), (5, 12, 6, 3), (17, 3, 4, 1), (9, 2, 5, 2)]:
+        W, H, frames, pal = decode_avi_rle8(make_avi_rle8(mid, w, h, nf))
+        assert (W, H) == (w, h) and len(frames) == nf
+        assert pal == [_rle8_palette(i) for i in range(256)]
+        for f, fr in enumerate(frames):
+            assert fr == [
+                [rle8_frame_index(mid, f, x, y) for x in range(w)] for y in range(h)
+            ]
+
+    with pytest.raises(NotImplementedError, match="RLE8"):
+        demux_avi(make_avi_rle8(0, 8, 8, 1))
+    with pytest.raises(NotImplementedError, match="8-bpp"):
+        decode_avi_rle8(make_avi(0, 8, 8, 1))
+    blob = make_avi_rle8(3, 10, 6, 1)
+    # truncate inside the movi frame data -> loud failure
+    with pytest.raises(ValueError):
+        decode_avi_rle8(blob[:-6] + b"\x00" * 6)
