@@ -64,6 +64,10 @@ __all__ = [
     "make_wav",
     "make_wav_tone",
     "decode_wav",
+    "make_wav_mulaw",
+    "decode_wav_mulaw",
+    "mulaw_decode_byte",
+    "mulaw_features",
     "resample_wav",
     "wav_features",
     "wav_resample",
@@ -373,6 +377,111 @@ def make_wav(media_id: int, n_samples: int, sample_rate: int = 8000) -> bytes:
         for i in range(n_samples)
     )
     return _pack_wav_pcm(data, sample_rate)
+
+
+def mulaw_decode_byte(b: int) -> int:
+    """G.711 mu-law → linear PCM, the canonical public-domain integer form
+    (Sun g711.c): invert, rebuild mantissa+bias, shift by the exponent,
+    re-bias, apply sign. Stateless per byte — the property that lets a SQL
+    oracle reproduce every decoded sample with a CASE expression."""
+    inv = ~b & 0xFF
+    t = (((inv & 0x0F) << 3) + 0x84) << ((inv & 0x70) >> 4)
+    return 0x84 - t if inv & 0x80 else t - 0x84
+
+
+def make_wav_mulaw(media_id: int, n_samples: int, sample_rate: int = 8000) -> bytes:
+    """Pack a deterministic RIFF/WAVE G.711 mu-law payload (format tag 7,
+    8-bit samples). Encoded byte j is ``(media_id*13 + j*7) % 256`` — the
+    ENCODED stream is the integer formula (like make_jpeg's coefficients),
+    so the oracle predicts every DECODED sample through the same mu-law
+    expansion. Keeps the deliberate JUNK chunk so offset-44 shortcuts
+    fail."""
+    import struct
+
+    data = bytes((media_id * 13 + j * 7) % 256 for j in range(n_samples))
+    fmt = struct.pack("<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"JUNK" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav_mulaw(blob: bytes) -> tuple[int, int, list[int]]:
+    """REAL compressed-audio decode → (sample_rate, n_samples, samples):
+    walks the RIFF/WAVE chunks (JUNK-proof), validates a format-tag-7
+    mono 8-bit fmt chunk, and expands every G.711 mu-law byte to linear
+    PCM via `mulaw_decode_byte`. Other compressed tags (ADPCM, MP3) raise
+    NotImplementedError — the remaining audio boundary is codecs with
+    cross-sample state."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_size,) = struct.unpack_from("<I", blob, 4)
+    end = min(len(blob), 8 + riff_size)
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = blob[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", blob, pos + 4)
+        if pos + 8 + csize > end:
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            fmt = blob[pos + 8 : pos + 8 + csize]
+        elif cid == b"data":
+            data = blob[pos + 8 : pos + 8 + csize]
+        pos += 8 + csize + (csize & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag != 7:
+        raise NotImplementedError(
+            "decode_wav_mulaw handles G.711 mu-law (format tag 7) only; "
+            "16-bit PCM decodes via decode_wav, ADPCM/MP3 remain codec "
+            "boundaries"
+        )
+    if channels != 1 or bits != 8:
+        raise NotImplementedError("only mono 8-bit mu-law supported")
+    return rate, len(data), [mulaw_decode_byte(b) for b in data]
+
+
+_MULAW_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, amp_sum long, peak int, first_sample int"
+)
+
+
+def mulaw_features(df: DataFrame) -> DataFrame:
+    """Distributed G.711 decode: expand every mu-law payload in one Arrow
+    mapInPandas pass (map-only); hash-verified by `multimodal_audio_mulaw`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                rate, n, samples = decode_wav_mulaw(bytes(blob))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": rate,
+                        "n_samples": n,
+                        "amp_sum": sum(samples),
+                        "peak": max(samples),
+                        "first_sample": samples[0] if samples else 0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "amp_sum", "peak", "first_sample",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _MULAW_SCHEMA)
 
 
 def _pack_wav_pcm(data: bytes, sample_rate: int) -> bytes:

@@ -3607,6 +3607,48 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_audio_mulaw",
+    """
+    WITH m AS (SELECT doc_id AS media_id, 400 + (doc_id % 5) * 50 AS n
+               FROM documents WHERE doc_id < 64),
+    s AS (SELECT media_id, n, j.j AS j,
+                 255 - ((media_id*13 + j.j*7) % 256) AS inv
+          FROM m, generate_series(0, 599) AS j(j) WHERE j.j < n),
+    d AS (SELECT media_id, n, j,
+            CASE WHEN (inv & 128) != 0
+                 THEN 132 - ((((inv & 15) << 3) + 132) << ((inv & 112) >> 4))
+                 ELSE ((((inv & 15) << 3) + 132) << ((inv & 112) >> 4)) - 132
+            END AS sample
+          FROM s)
+    SELECT media_id, 8000 AS sample_rate,
+           CAST(any_value(n) AS BIGINT) AS n_samples,
+           CAST(sum(sample) AS BIGINT) AS amp_sum,
+           CAST(max(sample) AS INT) AS peak,
+           CAST(max(CASE WHEN j = 0 THEN sample END) AS INT) AS first_sample
+    FROM d GROUP BY 1
+    """,
+    "multimodal REAL COMPRESSED-audio decode, hash-verified: G.711 mu-law "
+    "WAV payloads (format tag 7 — the telephony log-PCM codec) are packed "
+    "distributed with formula-generated encoded bytes, then EXPANDED "
+    "distributed by the canonical integer mu-law decoder (invert, "
+    "mantissa+bias rebuild, exponent shift, re-bias, sign) in Arrow "
+    "mapInPandas; the per-byte expansion is stateless, so the oracle "
+    "reproduces every decoded sample with a CASE expression — a wrong "
+    "bias, shift or sign anywhere flips amp_sum/peak and fails the hash. "
+    "Remaining audio boundaries are cross-sample-state codecs (ADPCM, "
+    "MP3/AAC) (llmdata/multimodal.py make_wav_mulaw/decode_wav_mulaw/"
+    "mulaw_features)",
+)
+def multimodal_audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = _pack_media(ids, lambda i: MM.make_wav_mulaw(i, 400 + (i % 5) * 50))
+    return MM.mulaw_features(media)
+
+
+@_register(
     "multimodal_video_rle",
     """
     WITH m AS (

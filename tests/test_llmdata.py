@@ -1840,3 +1840,32 @@ def test_rle8_roundtrip_and_boundaries(spark):
     # truncate inside the movi frame data -> loud failure
     with pytest.raises(ValueError):
         decode_avi_rle8(blob[:-6] + b"\x00" * 6)
+
+
+def test_mulaw_decode_matches_reference_values(spark):
+    """G.711 mu-law expansion pinned to the public table's landmark values
+    and roundtripped through the WAV container (JUNK chunk included);
+    non-mu-law tags route to the right decoder."""
+    import pytest
+    from query_engine_spark.llmdata.multimodal import (
+        decode_wav_mulaw, make_wav, make_wav_mulaw, mulaw_decode_byte,
+    )
+
+    # landmark values from the canonical table
+    assert mulaw_decode_byte(0xFF) == 0
+    assert mulaw_decode_byte(0x7F) == 0
+    assert mulaw_decode_byte(0x00) == -32124
+    assert mulaw_decode_byte(0x80) == 32124
+    # symmetric: flipping the sign bit negates (except the two zeros)
+    for b in range(0x00, 0x7F):
+        assert mulaw_decode_byte(b) == -mulaw_decode_byte(b | 0x80)
+    # monotone within a sign: larger encoded magnitude -> larger |sample|
+    mags = [abs(mulaw_decode_byte(b)) for b in range(0x7F, -1, -1)]
+    assert mags == sorted(mags)
+
+    rate, n, samples = decode_wav_mulaw(make_wav_mulaw(3, 450))
+    assert (rate, n) == (8000, 450)
+    assert samples == [mulaw_decode_byte((3 * 13 + j * 7) % 256) for j in range(450)]
+
+    with pytest.raises(NotImplementedError, match="format tag 7"):
+        decode_wav_mulaw(make_wav(1, 100))
