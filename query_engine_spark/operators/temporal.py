@@ -549,17 +549,27 @@ def anomaly_baseline(
         F.max(F.abs(vq)).alias("__maxabs"),
     )
     # sum(vq²) ≤ n·max(|vq|)² — if that bound fits in int64 the summed __ss
-    # cannot have wrapped (ANSI off ⇒ wrap is silent; a wrapped __ss makes
-    # var_q garbage and silently suppresses genuine anomalies downstream).
-    # n and max(|vq|) are computed exactly regardless, so the post-agg
-    # assert fails loudly on exactly the inputs whose __ss is untrustworthy;
-    # callers lower `vquant` or pre-partition hot keys. One tiny agg row per
-    # key — the guard costs one comparison, no extra shuffle.
+    # cannot have wrapped. Under this repo's sessions ANSI is ON (Spark 4
+    # default), so the vq·vq multiply itself raises ARITHMETIC_OVERFLOW
+    # before this guard is reached; the assert is the safety net for
+    # ANSI-off deployments, where the wrap would be SILENT and a garbage
+    # var_q would suppress genuine anomalies downstream. n and max(|vq|)
+    # are computed exactly regardless, so the post-agg assert fails loudly
+    # (with an actionable message) on exactly the inputs whose __ss is
+    # untrustworthy; callers lower `vquant` or pre-partition hot keys. One
+    # comparison per key row, no extra shuffle.
     agg = agg.filter(
         F.assert_true(
             # stepwise div keeps every intermediate in int64 even when
             # maxabs² alone would wrap: n ≤ (M div a) div a ⟺ n·a² ≤ M.
-            (F.col("__maxabs") == 0)
+            # A key whose values are ALL null has __maxabs null — its
+            # moments come out null and downstream var_q>0 filters drop it;
+            # the guard must not turn that into a spurious raise
+            # (assert_true treats NULL conditions as failures). n counts
+            # null-valued rows too, so for partially-null keys the bound is
+            # conservative — it can only over-protect, never under.
+            F.col("__maxabs").isNull()
+            | (F.col("__maxabs") == 0)
             | (F.col("n") <= F.expr(f"({2**63 - 1} div __maxabs) div __maxabs")),
             F.format_string(
                 "anomaly_baseline: n*max(|value*%d|)^2 exceeds int64 — the "
@@ -618,9 +628,11 @@ def anomaly_score_static(
         *key_cols, F.col(ts_col), F.col(id_col), vq.alias("value_q")
     ).join(F.broadcast(baseline), list(key_cols), "inner")
     dev = F.col("value_q") - F.col("mean_q")
-    # dev² and z²·var_q must not wrap (ANSI off ⇒ silent): |dev| ≤
-    # floor(sqrt(int64max)) guards the square; var_q ≤ int64max div z²
-    # guards the threshold. Map-side comparisons, no extra shuffle.
+    # dev² and z²·var_q must not wrap: |dev| ≤ floor(sqrt(int64max)) guards
+    # the square; var_q ≤ int64max div z² guards the threshold. Under ANSI
+    # (the repo default) the multiplies raise natively; the assert is the
+    # ANSI-off safety net with an actionable message. Map-side comparisons,
+    # no extra shuffle.
     dev_bound = int((2**63 - 1) ** 0.5)
     guard = F.assert_true(
         (F.abs(dev) <= F.lit(dev_bound))

@@ -617,3 +617,18 @@ def test_rolling_anomaly_min_n_gate(spark):
     df = spark.createDataFrame(rows, "event_type string, ts timestamp, event_id long, value double")
     # only 5 predecessors < min_n=8 -> nothing can fire
     assert rolling_anomaly(df, "value", lookback=16, min_n=8, z=3).count() == 0
+
+
+def test_anomaly_baseline_null_values_do_not_trip_the_guard(spark):
+    """A key whose values are all NULL yields null moments (downstream
+    var_q>0 filters drop it) — the int64-budget guard must not turn that
+    into a spurious assert failure (assert_true raises on NULL)."""
+    from query_engine_spark.operators.temporal import anomaly_baseline
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", 1.5), ("b", 2.5), ("b", 100.0)],
+        "event_type string, value double",
+    )
+    rows = {r.event_type: (r.n, r.mean_q, r.var_q) for r in anomaly_baseline(df).collect()}
+    assert rows["a"] == (2, None, None)
+    assert rows["b"][0] == 3 and rows["b"][1] is not None
