@@ -224,12 +224,31 @@ def assign_cells(
     cent_vec_col: str = "cent_vec",
 ) -> DataFrame:
     """IVF assignment: nearest centroid per vector (by cosine; ties → lowest
-    centroid id). Map-only against broadcast centroids."""
-    c = F.broadcast(centroids.select(F.col(cent_id_col).alias("cent_id"), F.col(cent_vec_col).alias("cv")))
+    centroid id). Map-only against broadcast centroids. Norms are computed
+    once per vector and once per centroid below the join (float-identical
+    to the inlined cosine — sqrt·sqrt in the same order — so the rounded
+    comparison can't drift), leaving only the dot per (vector, centroid)
+    pair; interpreted HOF folds are the cost center here."""
+    c = F.broadcast(
+        centroids.select(
+            F.col(cent_id_col).alias("cent_id"),
+            F.col(cent_vec_col).alias("cv"),
+            l2_norm(F.col(cent_vec_col)).alias("__cn"),
+        )
+    )
     scored = (
-        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            l2_norm(F.col(vec_col)).alias("__vn"),
+        )
         .crossJoin(c)
-        .select("vec_id", "v", "cent_id", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("csim"))
+        .select(
+            "vec_id", "v", "cent_id",
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("__vn") * F.col("__cn")), 6
+            ).alias("csim"),
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
     return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn", "csim")
@@ -243,12 +262,28 @@ def _query_probes(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """(query_id, qv, qcent_id): each query's `nprobe` nearest cells."""
-    c = F.broadcast(centroids.select(F.col("cent_id").alias("qcent_id"), F.col("cent_vec").alias("cv")))
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv"))
+    """(query_id, qv, qcent_id): each query's `nprobe` nearest cells.
+    Norms hoisted below the join as in `assign_cells`."""
+    c = F.broadcast(
+        centroids.select(
+            F.col("cent_id").alias("qcent_id"),
+            F.col("cent_vec").alias("cv"),
+            l2_norm(F.col("cent_vec")).alias("__cn"),
+        )
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+        l2_norm(F.col(query_vec_col)).alias("__qn"),
+    )
     q_cells = (
         q.crossJoin(c)
-        .select("query_id", "qv", "qcent_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("csim"))
+        .select(
+            "query_id", "qv", "qcent_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")), 6
+            ).alias("csim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("qcent_id"))
     return q_cells.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= nprobe).drop("__rn", "csim")

@@ -6668,10 +6668,16 @@ _ROUND6_TOUCHED = {
     "dedup_ngram_jaccard",
     "text_dup_spans",
     "text_doc_segment_dedup",
-    # round 6 hoisted per-vector norms below the pair join (float-identical
-    # expression, new plan) in semdedup and cosine_pairs
+    # round 6 hoisted per-vector/per-centroid norms below the pair joins
+    # (float-identical expression, new plan) in semdedup, cosine_pairs,
+    # assign_cells and _query_probes — representatives of every consumer
+    # shape re-verify on the new code
     "embed_semdedup",
     "dedup_embedding_cosine",
+    "embed_ivf_topk",
+    "embed_ivf_indexed",
+    "embed_kmeans",
+    "hybrid_rrf_search",
     # round 6 extracted the shared _riff_walk helper from demux_avi (the
     # RLE8 decoder reuses it) — the r5-verified demux path changed shape
     "multimodal_video_frames",
