@@ -75,14 +75,27 @@ def cosine_topk(
     `sim` is rounded to 6 decimals BEFORE ranking so rank order is stable
     under float summation-order differences; ties break by vec_id.
     """
-    q = F.broadcast(queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")))
-    pairs = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")).crossJoin(q)
+    # norms once per side below the join (float-identical; see assign_cells)
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+            l2_norm(F.col(query_vec_col)).alias("__qn"),
+        )
+    )
+    pairs = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("__vn"),
+    ).crossJoin(q)
     if not include_self:
         pairs = pairs.filter(F.col("vec_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
+        F.round(
+            dot(F.col("v"), F.col("qv")) / (F.col("__vn") * F.col("__qn")), 6
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     # long rank: DuckDB's row_number() is BIGINT — keep oracle schemas aligned
@@ -290,13 +303,19 @@ def _query_probes(
 
 
 def _probe_topk(probes: DataFrame, assigned: DataFrame, k: int) -> DataFrame:
-    cand = probes.join(assigned, probes["qcent_id"] == assigned["cent_id"]).filter(
+    # norms once per probe row / per assigned row BELOW the fan-out join
+    # (float-identical; see assign_cells)
+    p = probes.withColumn("__qn", l2_norm(F.col("qv")))
+    a = assigned.withColumn("__vn", l2_norm(F.col("v")))
+    cand = p.join(a, p["qcent_id"] == a["cent_id"]).filter(
         F.col("vec_id") != F.col("query_id")
     )
     scored = cand.select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
+        F.round(
+            dot(F.col("v"), F.col("qv")) / (F.col("__vn") * F.col("__qn")), 6
+        ).alias("sim"),
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w2).cast("long")).filter(F.col("rank") <= k)
