@@ -873,42 +873,55 @@ def rle8_frame_index(media_id: int, f: int, x: int, y: int) -> int:
     return (media_id * 31 + f * 97 + y * 7 + (x // 4) * 5) % 256
 
 
+def encode_rle8_frame(rows: list[list[int]]) -> bytes:
+    """BI_RLE8-encode TOP-DOWN palette-index rows: encoded runs, ABSOLUTE
+    mode for every third stored (bottom-up) line with the spec's
+    word-alignment pad, end-of-line and end-of-bitmap markers — the frame
+    encoder shared by the fixture generator and the fuzz tests."""
+    height, width = len(rows), len(rows[0])
+    out = bytearray()
+    for stored in range(height):
+        y = height - 1 - stored  # bottom-up
+        idxs = rows[y]
+        if stored % 3 == 2 and width >= 3:
+            # absolute mode: 0x00 n (3<=n<=255) literal indices, padded
+            x = 0
+            while x < width:
+                n = min(255, width - x)
+                if n < 3:  # spec minimum for absolute mode — tail as runs
+                    for v in idxs[x:]:
+                        out += bytes((1, v))
+                    break
+                out += bytes((0, n)) + bytes(idxs[x : x + n])
+                if n & 1:
+                    out.append(0)  # word-align
+                x += n
+        else:
+            x = 0
+            while x < width:
+                run = 1
+                while x + run < width and idxs[x + run] == idxs[x] and run < 255:
+                    run += 1
+                out += bytes((run, idxs[x]))
+                x += run
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    return bytes(out)
+
+
 def make_avi_rle8(media_id: int, width: int, height: int, n_frames: int, fps: int = 10) -> bytes:
     """Pack a deterministic 8-bit palettized AVI whose '00dc' frames are
-    REAL BI_RLE8-compressed: encoded runs, ABSOLUTE mode for every third
-    stored line (with the spec's word-alignment pad), end-of-line and
-    end-of-bitmap markers. Lines are stored bottom-up like any DIB."""
+    REAL BI_RLE8-compressed (see `encode_rle8_frame`). Lines are stored
+    bottom-up like any DIB."""
     import struct
 
     def encode_frame(f: int) -> bytes:
-        out = bytearray()
-        for stored in range(height):
-            y = height - 1 - stored  # bottom-up
-            idxs = [rle8_frame_index(media_id, f, x, y) for x in range(width)]
-            if stored % 3 == 2 and width >= 3:
-                # absolute mode: 0x00 n (3<=n<=255) literal indices, padded
-                x = 0
-                while x < width:
-                    n = min(255, width - x)
-                    if n < 3:  # spec minimum for absolute mode — tail as runs
-                        for v in idxs[x:]:
-                            out += bytes((1, v))
-                        break
-                    out += bytes((0, n)) + bytes(idxs[x : x + n])
-                    if n & 1:
-                        out.append(0)  # word-align
-                    x += n
-            else:
-                x = 0
-                while x < width:
-                    run = 1
-                    while x + run < width and idxs[x + run] == idxs[x] and run < 255:
-                        run += 1
-                    out += bytes((run, idxs[x]))
-                    x += run
-            out += b"\x00\x00"  # end of line
-        out += b"\x00\x01"  # end of bitmap
-        return bytes(out)
+        return encode_rle8_frame(
+            [
+                [rle8_frame_index(media_id, f, x, y) for x in range(width)]
+                for y in range(height)
+            ]
+        )
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
@@ -1583,15 +1596,27 @@ def make_jpeg(media_id: int, blocks_w: int = 2, blocks_h: int = 2) -> bytes:
     with per-image canonical Huffman tables, real DC differential coding,
     AC run-lengths, EOB/ZRL, byte stuffing. Any standard JPEG decoder
     accepts the output."""
+    return encode_jpeg_blocks(
+        [jpeg_qcoefs(media_id, bi) for bi in range(blocks_w * blocks_h)],
+        blocks_w,
+        blocks_h,
+    )
+
+
+def encode_jpeg_blocks(blocks: list[list[int]], blocks_w: int, blocks_h: int) -> bytes:
+    """Entropy-encode arbitrary per-block quantized-coefficient lists
+    (zigzag order, 64 each) into a baseline grayscale JPEG — the encoder
+    half shared by the fixture generator and the fuzz tests."""
     import struct
 
+    if len(blocks) != blocks_w * blocks_h:
+        raise ValueError("blocks list must cover blocks_w*blocks_h")
     w, h = blocks_w * 8, blocks_h * 8
     dc_syms: list[int] = []
     ac_syms: list[int] = []
     per_block: list[tuple[int, list[tuple[int, int, int]]]] = []
     pred = 0
-    for bi in range(blocks_w * blocks_h):
-        qc = jpeg_qcoefs(media_id, bi)
+    for qc in blocks:
         diff = qc[0] - pred
         pred = qc[0]
         dc_syms.append(_jpeg_csize(diff))

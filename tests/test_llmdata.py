@@ -1869,3 +1869,86 @@ def test_mulaw_decode_matches_reference_values(spark):
 
     with pytest.raises(NotImplementedError, match="format tag 7"):
         decode_wav_mulaw(make_wav(1, 100))
+
+
+def test_jpeg_fuzz_random_coefficients_roundtrip(spark):
+    """500 random sparse coefficient sets through encode -> real entropy
+    decode must equal the direct dequant+IDCT prediction — exercises DC
+    diff categories up to 8 bits, negative values, arbitrary run lengths,
+    multi-ZRL gaps and blocks that are entirely EOB."""
+    import random
+    from query_engine_spark.llmdata.multimodal import (
+        _JPEG_IDCT_A, _JPEG_QTAB, _JPEG_ZIGZAG, decode_jpeg, encode_jpeg_blocks,
+    )
+
+    rng = random.Random(606)
+
+    def predict(blocks, bw, bh):
+        out = [[0] * (bw * 8) for _ in range(bh * 8)]
+        for bi, qc in enumerate(blocks):
+            S = [0] * 64
+            for i in range(64):
+                S[_JPEG_ZIGZAG[i]] = qc[i] * _JPEG_QTAB[i]
+            bx, by = (bi % bw) * 8, (bi // bw) * 8
+            for y in range(8):
+                for x in range(8):
+                    t = sum(
+                        S[v * 8 + u] * _JPEG_IDCT_A[u][x] * _JPEG_IDCT_A[v][y]
+                        for u in range(8) for v in range(8) if S[v * 8 + u]
+                    )
+                    out[by + y][bx + x] = min(255, max(0, 128 + ((t + (1 << 25)) >> 26)))
+        return out
+
+    for trial in range(500):
+        bw, bh = rng.randint(1, 3), rng.randint(1, 3)
+        blocks = []
+        for _ in range(bw * bh):
+            qc = [0] * 64
+            qc[0] = rng.randint(-120, 120)
+            for _ in range(rng.randint(0, 10)):
+                qc[rng.randint(1, 63)] = rng.randint(-100, 100)  # may be 0
+            blocks.append(qc)
+        w, h, px = decode_jpeg(encode_jpeg_blocks(blocks, bw, bh))
+        assert (w, h) == (bw * 8, bh * 8)
+        assert px == predict(blocks, bw, bh), f"trial {trial}"
+
+
+def test_rle8_fuzz_random_frames_roundtrip(spark):
+    """500 random index frames through encode_rle8_frame -> the real RLE8
+    decoder (wrapped in a minimal AVI) must be identity — exercises runs
+    of every length, 255-run splitting, absolute-mode lines with odd
+    lengths (word-alignment pad) and single-pixel tails."""
+    import random
+    import struct
+    from query_engine_spark.llmdata.multimodal import (
+        decode_avi_rle8, encode_rle8_frame, _rle8_palette,
+    )
+
+    rng = random.Random(707)
+
+    def wrap_avi(width, height, frame_payloads):
+        def chunk(cid, body):
+            return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+        def lst(t, body):
+            return chunk(b"LIST", t + body)
+
+        strf = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 8, 1, 0, 2835, 2835, 256, 0
+        ) + b"".join(bytes((b, g, r, 0)) for r, g, b in (_rle8_palette(i) for i in range(256)))
+        hdrl = lst(b"hdrl", chunk(b"strf", strf))
+        movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in frame_payloads))
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    for trial in range(500):
+        w, h = rng.randint(1, 40), rng.randint(1, 12)
+        # mix of runs and noise so both encoder modes are exercised
+        rows = [
+            [rng.choice([rng.randint(0, 255), 7, 7, 7]) for _ in range(w)]
+            for _ in range(h)
+        ]
+        blob = wrap_avi(w, h, [encode_rle8_frame(rows)])
+        W, H, frames, _ = decode_avi_rle8(blob)
+        assert (W, H) == (w, h)
+        assert frames[0] == rows, f"trial {trial}"
