@@ -176,9 +176,17 @@ def translate_curation_pipeline(
                 ).select("doc_id")
                 df = df.join(kept, "doc_id", "left_semi")
             elif op == "decontaminate":
+                from query_engine_spark.llmdata import tracked_persist
                 from query_engine_spark.llmdata.dedup import word_shingles
 
                 k = stage.get("k", 10)
+                # the split table feeds the eval-gram set, the train-side
+                # gram explode AND the final anti-join — with upstream
+                # dedup/window lineage that subtree would replay 3-4x
+                # (PLAN_REPORT showed the dedup window node appearing 9x in
+                # the chained spec); persist the stage input once, same
+                # policy as classifier_filter
+                df = tracked_persist(df)
                 s = Tx.split_assign(
                     df,
                     seed=stage.get("seed", "split"),

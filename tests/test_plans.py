@@ -337,3 +337,13 @@ def test_video_dedup_containment_is_equi_join(spark):
     p = plan_of(spark, "media_video_dedup")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_round6_codec_stages_map_only(spark):
+    """JPEG / RLE8-video / mu-law decode chains are pure Arrow map stages:
+    no exchange anywhere — the property that makes 100 TB media decode a
+    single scan."""
+    for q in ("multimodal_jpeg", "multimodal_video_rle", "multimodal_audio_mulaw"):
+        p = plan_of(spark, q)
+        assert "Exchange" not in p, q
+        assert "Join" not in p, q
