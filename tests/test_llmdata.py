@@ -1952,3 +1952,39 @@ def test_rle8_fuzz_random_frames_roundtrip(spark):
         W, H, frames, _ = decode_avi_rle8(blob)
         assert (W, H) == (w, h)
         assert frames[0] == rows, f"trial {trial}"
+
+
+def test_streaming_jpeg_decode_stream_equals_batch(spark, tmp_path):
+    """The codec stages are stateless Arrow map stages, so they must run
+    UNCHANGED on a readStream — the firehose ingest shape for media. Pin
+    stream == batch for the JPEG path (representative: all codec features
+    share the mapInPandas plumbing)."""
+    import pandas as pd
+    from query_engine_spark.llmdata.multimodal import jpeg_features, make_jpeg
+
+    media = spark.createDataFrame(pd.DataFrame({
+        "media_id": list(range(12)),
+        "payload": [make_jpeg(i, 2 + i % 2, 2) for i in range(12)],
+    }))
+    p = str(tmp_path / "jpeg_media")
+    media.write.parquet(p)
+
+    batch = {
+        (r.media_id, r.width, r.height, r.px_sum, r.top_left)
+        for r in jpeg_features(spark.read.parquet(p)).collect()
+    }
+    stream = spark.readStream.schema(media.schema).parquet(p)
+    q = (
+        jpeg_features(stream)
+        .writeStream.format("memory").queryName("t_jpeg_stream")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.media_id, r.width, r.height, r.px_sum, r.top_left)
+            for r in spark.table("t_jpeg_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch and len(batch) == 12
