@@ -200,6 +200,12 @@ def main() -> int:
         "queries": best,
         "n_runs": n_runs,
         "action": ACTION,
+        "note": (
+            "action changed count->noop_write in round 6: totals are NOT "
+            "comparable to pre-r6 records (count() let Catalyst prune "
+            "computed columns; see module docstring). Compare per-query "
+            "against queries_best_ever (same-action fold) only."
+        ),
         "first_pass": round(sum(runs[0].values()), 3),
         "calibration_sec": calibration,
         "queries_best_ever": {q: round(t, 3) for q, t in best_ever.items()},
@@ -212,7 +218,8 @@ def main() -> int:
     # see tools/bench_history.py for the diff report)
     try:
         hist_rec = {k: v for k, v in result.items()
-                    if k not in ("queries_best_ever", "best_ever_total", "queries_best_ever_count")}
+                    if k not in ("queries_best_ever", "best_ever_total",
+                                 "queries_best_ever_count", "note")}
         with open(hist_path, "a") as f:
             f.write(json.dumps({"ts": int(time.time()), **hist_rec}) + "\n")
     except OSError:
