@@ -68,6 +68,12 @@ __all__ = [
     "decode_wav_mulaw",
     "mulaw_decode_byte",
     "mulaw_features",
+    "make_wav_adpcm",
+    "encode_wav_adpcm",
+    "decode_wav_adpcm",
+    "adpcm_decode_step",
+    "adpcm_nibble",
+    "adpcm_features",
     "resample_wav",
     "wav_features",
     "wav_resample",
@@ -482,6 +488,184 @@ def mulaw_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(run, _MULAW_SCHEMA)
+
+
+# IMA ADPCM step-size and index-adjust tables (public spec data — the
+# DVI4/IMA algorithm of RFC 3551 §4.5.1 / the IMA Recommended Practices).
+_ADPCM_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767,
+]
+_ADPCM_IDX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def adpcm_nibble(media_id: int, j: int) -> int:
+    """Fixture nibble of sample j — the integer formula the encoder packs
+    and the recursive-CTE oracle replays."""
+    return (media_id * 7 + j * 3) % 16
+
+
+def adpcm_decode_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition: (pred, idx) x nibble → (pred', idx').
+    Pure integers (shift-add vpdiff reconstruction, both clamps) — exactly
+    the expression the SQL oracle's recursion carries."""
+    step = _ADPCM_STEP[idx]
+    delta = nib & 7
+    vpdiff = step >> 3
+    if delta & 4:
+        vpdiff += step
+    if delta & 2:
+        vpdiff += step >> 1
+    if delta & 1:
+        vpdiff += step >> 2
+    pred = pred - vpdiff if nib & 8 else pred + vpdiff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _ADPCM_IDX_ADJ[delta]))
+    return pred, idx
+
+
+def encode_wav_adpcm(pred0: int, idx0: int, nibbles: list[int], rate: int = 8000) -> bytes:
+    """Pack one IMA ADPCM block (format tag 0x11) into a RIFF/WAVE payload:
+    4-byte block header (predictor int16, step index uint8, reserved),
+    then nibbles packed low-first. Output sample 0 is the header
+    predictor; each nibble decodes one further sample. Keeps the JUNK
+    chunk so offset-44 shortcuts fail."""
+    import struct
+
+    n_samples = len(nibbles) + 1
+    data = struct.pack("<hBB", pred0, idx0, 0)
+    by = bytearray()
+    for k in range(0, len(nibbles), 2):
+        lo = nibbles[k]
+        hi = nibbles[k + 1] if k + 1 < len(nibbles) else 0
+        by.append(lo | (hi << 4))
+    data += bytes(by)
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate, rate, len(data), 4, 2, n_samples)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"JUNK" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def make_wav_adpcm(media_id: int, n_samples: int, rate: int = 8000) -> bytes:
+    """Deterministic single-block IMA ADPCM fixture: header state and every
+    nibble come from integer formulas, so the oracle can replay the whole
+    state recursion."""
+    return encode_wav_adpcm(
+        ((media_id * 131) % 4000) - 2000,
+        media_id % 89,
+        [adpcm_nibble(media_id, j) for j in range(1, n_samples)],
+        rate,
+    )
+
+
+def decode_wav_adpcm(blob: bytes) -> tuple[int, list[int]]:
+    """REAL cross-sample-state compressed-audio decode → (sample_rate,
+    samples): walks the RIFF/WAVE chunks (JUNK-proof), validates a
+    format-tag-0x11 mono 4-bit fmt chunk with wSamplesPerBlock, and runs
+    the IMA ADPCM state machine over every block — per-nibble shift-add
+    reconstruction with BOTH clamps (predictor to int16, step index to
+    [0, 88]). Unlike mu-law the state threads through every sample, which
+    is why the registry oracle is a recursive CTE rather than a CASE
+    expression. Other compressed tags raise NotImplementedError — the
+    remaining audio boundary is transform codecs (MP3/AAC)."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_size,) = struct.unpack_from("<I", blob, 4)
+    end = min(len(blob), 8 + riff_size)
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = blob[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", blob, pos + 4)
+        if pos + 8 + csize > end:
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            fmt = blob[pos + 8 : pos + 8 + csize]
+        elif cid == b"data":
+            data = blob[pos + 8 : pos + 8 + csize]
+        pos += 8 + csize + (csize & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, rate, _, block_align, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag != 0x11:
+        raise NotImplementedError(
+            "decode_wav_adpcm handles IMA ADPCM (format tag 0x11) only"
+        )
+    if channels != 1 or bits != 4:
+        raise NotImplementedError("only mono 4-bit IMA ADPCM supported")
+    if len(fmt) < 20:
+        raise ValueError("ADPCM fmt chunk missing wSamplesPerBlock")
+    (spb,) = struct.unpack_from("<H", fmt, 18)
+    samples: list[int] = []
+    for b0 in range(0, len(data), block_align):
+        blk = data[b0 : b0 + block_align]
+        if len(blk) < 4:
+            raise ValueError("truncated ADPCM block header")
+        pred, idx, _ = struct.unpack_from("<hBB", blk, 0)
+        if idx > 88:
+            raise ValueError(f"ADPCM block step index {idx} out of range")
+        out = [pred]
+        for k in range(4, len(blk)):
+            byte = blk[k]
+            for nib in (byte & 0xF, byte >> 4):
+                if len(out) >= spb:
+                    break
+                pred, idx = adpcm_decode_step(pred, idx, nib)
+                out.append(pred)
+        samples.extend(out[:spb])
+    return rate, samples
+
+
+_ADPCM_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, amp_sum long, "
+    "peak int, first_sample int, last_sample int"
+)
+
+
+def adpcm_features(df: DataFrame) -> DataFrame:
+    """Distributed IMA ADPCM decode: run the state machine over every
+    payload in one Arrow mapInPandas pass (map-only). `last_sample` pins
+    the FINAL state of the recursion, so any mid-stream state drift —
+    wrong clamp, wrong index adjust — fails the hash even if sums
+    accidentally cancel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                rate, samples = decode_wav_adpcm(bytes(blob))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": rate,
+                        "n_samples": len(samples),
+                        "amp_sum": sum(samples),
+                        "peak": max(samples),
+                        "first_sample": samples[0] if samples else 0,
+                        "last_sample": samples[-1] if samples else 0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "amp_sum",
+                    "peak", "first_sample", "last_sample",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _ADPCM_SCHEMA)
 
 
 def _pack_wav_pcm(data: bytes, sample_rate: int) -> bytes:

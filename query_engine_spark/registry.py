@@ -3648,6 +3648,74 @@ def multimodal_audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.mulaw_features(media)
 
 
+def _adpcm_oracle() -> str:
+    """Recursive-CTE oracle for the IMA ADPCM state machine: the (pred,
+    idx) state threads sample to sample, so unlike every other codec
+    oracle this one RECURSES — one level per sample, carrying the same
+    shift-add vpdiff reconstruction and both clamps as the decoder."""
+    from query_engine_spark.llmdata.multimodal import _ADPCM_IDX_ADJ, _ADPCM_STEP
+
+    step_vals = ", ".join(f"({i}, {v})" for i, v in enumerate(_ADPCM_STEP))
+    adj_vals = ", ".join(f"({i}, {v})" for i, v in enumerate(_ADPCM_IDX_ADJ))
+    nib = "((r.media_id*7 + (r.j+1)*3) % 16)"
+    return f"""
+    WITH RECURSIVE
+    m AS (SELECT doc_id AS media_id, 200 + (doc_id % 5) * 40 AS n
+          FROM documents WHERE doc_id < 48),
+    st(i, s) AS (VALUES {step_vals}),
+    adj(d, a) AS (VALUES {adj_vals}),
+    rec(media_id, j, pred, idx) AS (
+      SELECT media_id, 0, ((media_id*131) % 4000) - 2000, media_id % 89 FROM m
+      UNION ALL
+      SELECT r.media_id, r.j + 1,
+        greatest(-32768, least(32767,
+          r.pred + (CASE WHEN {nib} & 8 != 0 THEN -1 ELSE 1 END) *
+            ((st.s >> 3)
+             + CASE WHEN ({nib} & 4) != 0 THEN st.s ELSE 0 END
+             + CASE WHEN ({nib} & 2) != 0 THEN st.s >> 1 ELSE 0 END
+             + CASE WHEN ({nib} & 1) != 0 THEN st.s >> 2 ELSE 0 END))),
+        greatest(0, least(88, r.idx + adj.a))
+      FROM rec r
+      JOIN m ON m.media_id = r.media_id AND r.j + 1 < m.n
+      JOIN st ON st.i = r.idx
+      JOIN adj ON adj.d = {nib} & 7
+    )
+    SELECT media_id, 8000 AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(pred) AS BIGINT) AS amp_sum,
+           CAST(max(pred) AS INT) AS peak,
+           CAST(max(CASE WHEN j = 0 THEN pred END) AS INT) AS first_sample,
+           CAST(max(CASE WHEN j = n - 1 THEN pred END) AS INT) AS last_sample
+    FROM rec JOIN m USING (media_id)
+    GROUP BY 1
+    """
+
+
+@_register(
+    "multimodal_audio_adpcm",
+    _adpcm_oracle(),
+    "multimodal REAL STATEFUL compressed-audio decode, hash-verified: IMA "
+    "ADPCM WAVs (format tag 0x11 — the 4-bit DVI4 codec of RFC 3551; "
+    "block header carries (predictor, step index), every nibble advances "
+    "that state through shift-add reconstruction with predictor AND index "
+    "clamps) are packed distributed with formula-generated nibbles, then "
+    "decoded distributed by the real state machine in Arrow mapInPandas. "
+    "The state threads through EVERY sample, so the oracle is a DuckDB "
+    "RECURSIVE CTE replaying the identical transition per level — "
+    "last_sample pins the final state, so a single mis-clamp anywhere in "
+    "the stream fails the hash. Remaining audio boundary: transform "
+    "codecs (MP3/AAC) (llmdata/multimodal.py make_wav_adpcm/"
+    "decode_wav_adpcm/adpcm_features)",
+)
+def multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 48).select(F.col("doc_id").alias("media_id"))
+    media = _pack_media(ids, lambda i: MM.make_wav_adpcm(i, 200 + (i % 5) * 40))
+    return MM.adpcm_features(media)
+
+
 @_register(
     "multimodal_video_rle",
     """

@@ -1988,3 +1988,49 @@ def test_streaming_jpeg_decode_stream_equals_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch and len(batch) == 12
+
+
+def test_adpcm_state_machine_and_fuzz(spark):
+    """IMA ADPCM: decode equals the direct state recursion for the fixture
+    formula AND for 300 random nibble streams (clamp boundaries included —
+    streams driven to the int16 rails and index rails); wrong-tag payloads
+    route to the right decoder."""
+    import random
+    import pytest
+    from query_engine_spark.llmdata.multimodal import (
+        adpcm_decode_step, adpcm_nibble, decode_wav_adpcm, encode_wav_adpcm,
+        make_wav, make_wav_adpcm,
+    )
+
+    def recompute(pred, idx, nibs):
+        out = [pred]
+        for nib in nibs:
+            pred, idx = adpcm_decode_step(pred, idx, nib)
+            out.append(pred)
+        return out
+
+    for mid in (0, 3, 17, 46):
+        n = 200 + (mid % 5) * 40
+        rate, got = decode_wav_adpcm(make_wav_adpcm(mid, n))
+        nibs = [adpcm_nibble(mid, j) for j in range(1, n)]
+        assert got == recompute(((mid * 131) % 4000) - 2000, mid % 89, nibs)
+        assert rate == 8000
+
+    rng = random.Random(808)
+    for trial in range(300):
+        pred0 = rng.randint(-32768, 32767)
+        idx0 = rng.randint(0, 88)
+        # bias toward extreme nibbles so the predictor hits the clamps
+        nibs = [rng.choice([7, 15, 15, rng.randint(0, 15)]) for _ in range(rng.randint(1, 200))]
+        rate, got = decode_wav_adpcm(encode_wav_adpcm(pred0, idx0, nibs))
+        assert got == recompute(pred0, idx0, nibs), f"trial {trial}"
+
+    # clamps really engage: all-15 stream pins to the negative rail
+    rate, got = decode_wav_adpcm(encode_wav_adpcm(0, 88, [15] * 50))
+    assert min(got) == -32768
+
+    with pytest.raises(NotImplementedError, match="0x11"):
+        decode_wav_adpcm(make_wav(1, 100))
+    with pytest.raises(NotImplementedError, match="mu-law"):
+        from query_engine_spark.llmdata.multimodal import decode_wav_mulaw
+        decode_wav_mulaw(make_wav_adpcm(1, 100))

@@ -347,3 +347,9 @@ def test_round6_codec_stages_map_only(spark):
         p = plan_of(spark, q)
         assert "Exchange" not in p, q
         assert "Join" not in p, q
+
+
+def test_adpcm_stage_map_only(spark):
+    p = plan_of(spark, "multimodal_audio_adpcm")
+    assert "Exchange" not in p
+    assert "Join" not in p
