@@ -102,6 +102,8 @@ HEADLINE = [
     "multimodal_jpeg",
     "text_langid_ngram",
     "dedup_ngram_jaccard",
+    "multimodal_audio_mulaw",
+    "multimodal_audio_adpcm",
 ]
 
 

@@ -6728,7 +6728,7 @@ _ROUND6_TOUCHED = {
     # 3–20x on real evaluation). ~20 queries consume these helpers;
     # representatives below cover each distinct consumption shape, the
     # rest keep their record and rejoin the rotation (full selfcheck at
-    # sf0.01 re-proved all 181 rows on the new code this session):
+    # sf0.01 re-proved all 186 rows on the final round-6 code, three scales):
     # signature-table + band join; trigram langid; shingle-set Jaccard;
     # posexplode span path; the rewritten map-only segment dedup.
     "dedup_minhash_lsh",
