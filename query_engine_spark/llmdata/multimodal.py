@@ -52,6 +52,7 @@ __all__ = [
     "resize_bmp",
     "bmp_features",
     "dhash_bmp_bands",
+    "jpeg_dhash_bands",
     "dhash_bands",
     "perceptual_dedup_pairs",
     "perceptual_probe_pairs",
@@ -2181,7 +2182,50 @@ def _dhash_bands_of_pixels(
     ]
 
 
+def _dhash_bands_of_gray(pixels: list[list[int]], *, grid_w: int = 9, grid_h: int = 8) -> list[int]:
+    """dHash over a 2D GRAYSCALE pixel array (top-down rows) — the same
+    nearest-neighbor grid / comparison-bit / band packing as the 24-bpp
+    kernel, with gray = the pixel value itself (single channel). Used for
+    decoded JPEG output."""
+    h, w = len(pixels), len(pixels[0])
+    bits: list[int] = []
+    for gy in range(grid_h):
+        sy = gy * h // grid_h
+        g = [pixels[sy][gx * w // grid_w] for gx in range(grid_w)]
+        bits.extend(1 if g[i] > g[i + 1] else 0 for i in range(grid_w - 1))
+    n_bands = (len(bits) + 15) // 16
+    return [
+        sum(bits[b * 16 + k] << k for k in range(16) if b * 16 + k < len(bits))
+        for b in range(n_bands)
+    ]
+
+
 _DHASH_SCHEMA = "media_id long, b0 long, b1 long, b2 long, b3 long"
+
+
+def jpeg_dhash_bands(df: DataFrame) -> DataFrame:
+    """Perceptual hashing over a LOSSY-compressed corpus: decode each
+    baseline JPEG (real Huffman + integer IDCT) and dHash the grayscale
+    output in one Arrow mapInPandas pass — the web-crawl shape, where
+    images arrive compressed and only the 8-byte fingerprint ever leaves
+    the executor. Emits the same (media_id, b0..b3) band schema as
+    `dhash_bands`, so `perceptual_dedup_pairs`/`perceptual_probe_pairs`
+    run unchanged on the output."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                _, _, px = decode_jpeg(bytes(blob))
+                b0, b1, b2, b3 = _dhash_bands_of_gray(px)
+                rows.append(
+                    {"media_id": mid, "b0": b0, "b1": b1, "b2": b2, "b3": b3}
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _DHASH_SCHEMA)
 
 
 def dhash_bands(df: DataFrame) -> DataFrame:

@@ -3509,6 +3509,124 @@ def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.jpeg_features(media)
 
 
+def _jpeg_dhash_oracle() -> str:
+    """Chained oracle: decode every fixture JPEG's pixels by the integer
+    IDCT (content keyed on pat = doc_id % 48, so ids 48-63 are planted
+    exact duplicates of patterns 0-15), dHash the grayscale output (gray =
+    the pixel itself), then the band-pigeonhole candidate join + exact
+    hamming — perceptual dedup over a LOSSY format, verified end to end."""
+    from query_engine_spark.llmdata.multimodal import (
+        _JPEG_IDCT_A,
+        _JPEG_QTAB,
+        _JPEG_ZIGZAG,
+    )
+
+    a_rows = ", ".join(
+        f"({u}, {x}, {_JPEG_IDCT_A[u][x]})" for u in range(8) for x in range(8)
+    )
+    used = [0, 1, 3, 8, 20, 40, 55]
+    cmap = ", ".join(
+        f"({i}, {_JPEG_ZIGZAG[i] % 8}, {_JPEG_ZIGZAG[i] // 8}, {_JPEG_QTAB[i]})"
+        for i in used
+    )
+    half, full = 1 << 25, 1 << 26
+    fd = (
+        f"((t + {half}) // {full}) - (CASE WHEN (t + {half}) % {full} != 0 "
+        f"AND t + {half} < 0 THEN 1 ELSE 0 END)"
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id % 48 AS pat,
+             2 + (doc_id % 48) % 2 AS bw, 2 + ((doc_id % 48) // 2) % 2 AS bh
+      FROM documents WHERE doc_id < 64),
+    blocks AS (
+      SELECT media_id, pat, bw, bh, b.b AS bi
+      FROM m, generate_series(0, 8) AS b(b) WHERE b.b < bw * bh),
+    cm(zi, cu, cv, q) AS (VALUES {cmap}),
+    coefs AS (
+      SELECT media_id, bw, bh, bi, cm.cu, cm.cv,
+             (CASE WHEN cm.zi = 0 THEN ((pat*7 + bi*5) % 13) - 6
+                   ELSE ((pat*11 + bi*3 + cm.zi) % 9) - 4 END) * cm.q AS cq
+      FROM blocks, cm),
+    a(au, ax, aval) AS (VALUES {a_rows}),
+    terms AS (
+      SELECT c.media_id, c.bw, c.bh, c.bi, px.x AS x, py.y AS y,
+             CAST(sum(c.cq * aa.aval * ab.aval) AS BIGINT) AS t
+      FROM coefs c, generate_series(0, 7) AS px(x), generate_series(0, 7) AS py(y)
+      JOIN a aa ON aa.au = c.cu AND aa.ax = px.x
+      JOIN a ab ON ab.au = c.cv AND ab.ax = py.y
+      GROUP BY 1, 2, 3, 4, 5, 6),
+    pix AS (
+      SELECT media_id, bw, bh,
+             (bi % bw) * 8 + x AS px_x, (bi // bw) * 8 + y AS px_y,
+             greatest(0, least(255, 128 + {fd})) AS p
+      FROM terms),
+    g AS (
+      SELECT p.media_id, gy.gy AS gy, gx.gx AS gx, p.p AS gray
+      FROM pix p
+      JOIN generate_series(0, 7) AS gy(gy) ON p.px_y = (gy.gy * (p.bh * 8)) // 8
+      JOIN generate_series(0, 8) AS gx(gx) ON p.px_x = (gx.gx * (p.bw * 8)) // 9),
+    bits AS (
+      SELECT a2.media_id, a2.gy AS gy, a2.gx AS k,
+             CASE WHEN a2.gray > b2.gray THEN 1 ELSE 0 END AS bit
+      FROM g a2 JOIN g b2 ON a2.media_id = b2.media_id AND a2.gy = b2.gy
+                         AND b2.gx = a2.gx + 1),
+    bands AS (
+      SELECT media_id, (gy*8 + k) // 16 AS band_id,
+             CAST(sum(bit * (1 << ((gy*8 + k) % 16))) AS BIGINT) AS val
+      FROM bits GROUP BY 1, 2),
+    wide AS (
+      SELECT media_id,
+             CAST(max(CASE WHEN band_id = 0 THEN val END) AS BIGINT) AS b0,
+             CAST(max(CASE WHEN band_id = 1 THEN val END) AS BIGINT) AS b1,
+             CAST(max(CASE WHEN band_id = 2 THEN val END) AS BIGINT) AS b2,
+             CAST(max(CASE WHEN band_id = 3 THEN val END) AS BIGINT) AS b3
+      FROM bands GROUP BY 1),
+    cand AS (
+      SELECT DISTINCT a3.media_id AS media_a, b3.media_id AS media_b
+      FROM bands a3 JOIN bands b3 ON a3.band_id = b3.band_id AND a3.val = b3.val
+                                 AND a3.media_id < b3.media_id)
+    SELECT media_a, media_b,
+           CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+              + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
+    FROM cand JOIN wide x ON x.media_id = media_a JOIN wide y ON y.media_id = media_b
+    WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3
+    ORDER BY media_a, media_b
+    """
+
+
+@_register(
+    "media_jpeg_perceptual_dedup",
+    _jpeg_dhash_oracle(),
+    "PERCEPTUAL near-dup over a LOSSY-COMPRESSED corpus — the web-crawl "
+    "scenario: baseline JPEGs (ids 48-63 planted as exact re-encodes of "
+    "patterns 0-15) are Huffman-decoded + integer-IDCT'd and dHashed "
+    "GRAYSCALE in one map-only Arrow pass, then the same 4x16-bit band "
+    "pigeonhole join + exact hamming verify as the BMP path — only the "
+    "8-byte fingerprint ever leaves the executor, never decoded pixels. "
+    "The oracle chains the verified IDCT pixel CTEs into the verified "
+    "dHash/band/hamming CTEs, so a decode bug, grid-sampling slip or band "
+    "mis-pack anywhere in the composition fails the hash "
+    "(llmdata/multimodal.py jpeg_dhash_bands + perceptual_dedup_pairs)",
+)
+def media_jpeg_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = _pack_media(
+        ids,
+        lambda i: MM.make_jpeg(
+            i % 48, 2 + (i % 48) % 2, 2 + ((i % 48) // 2) % 2
+        ),
+    )
+    bands = MM.jpeg_dhash_bands(media)
+    return MM.perceptual_dedup_pairs(bands, max_hamming=3).orderBy(
+        "media_a", "media_b"
+    )
+
+
 @_register(
     "llm_compressed_ingest",
     """

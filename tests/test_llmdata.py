@@ -2034,3 +2034,22 @@ def test_adpcm_state_machine_and_fuzz(spark):
     with pytest.raises(NotImplementedError, match="mu-law"):
         from query_engine_spark.llmdata.multimodal import decode_wav_mulaw
         decode_wav_mulaw(make_wav_adpcm(1, 100))
+
+
+def test_jpeg_perceptual_dedup_planted_reencodes(spark):
+    """Planted JPEG re-encodes (same pattern) must surface at hamming 0
+    through the decode -> grayscale dHash -> band join composition."""
+    import pandas as pd
+    from query_engine_spark.llmdata.multimodal import (
+        jpeg_dhash_bands, make_jpeg, perceptual_dedup_pairs,
+    )
+
+    media = spark.createDataFrame(pd.DataFrame({
+        "media_id": [0, 1, 2],
+        "payload": [make_jpeg(9, 2, 3), make_jpeg(9, 2, 3), make_jpeg(23, 3, 2)],
+    }))
+    pairs = {
+        (r.media_a, r.media_b): r.hamming
+        for r in perceptual_dedup_pairs(jpeg_dhash_bands(media), max_hamming=3).collect()
+    }
+    assert pairs.get((0, 1)) == 0
