@@ -95,6 +95,9 @@ __all__ = [
     "decode_jpeg",
     "jpeg_qcoefs",
     "jpeg_features",
+    "make_jpeg_color",
+    "jpeg_color_qcoefs",
+    "jpeg_color_features",
     "text_compress",
     "text_decompress",
 ]
@@ -1714,8 +1717,9 @@ _JPEG_IDCT_A = [
     [799, -2276, 3406, -4017, 4017, -3406, 2276, -799],
 ]
 
-# fixture quantization table (zigzag order, values 16..27)
+# fixture quantization tables (zigzag order): luma 16..27, chroma 20..29
 _JPEG_QTAB = [16 + (k % 12) for k in range(64)]
+_JPEG_QTAB_C = [20 + (k % 10) for k in range(64)]
 
 
 def jpeg_qcoefs(media_id: int, bi: int) -> list[int]:
@@ -1858,6 +1862,110 @@ def encode_jpeg_blocks(blocks: list[list[int]], blocks_w: int, blocks_h: int) ->
     )
 
 
+def jpeg_color_qcoefs(pat: int, bi: int, comp: int) -> list[int]:
+    """Quantized coefficients of component `comp` (0=Y, 1=Cb, 2=Cr) in
+    block `bi` of color-fixture pattern `pat` — the formula the color
+    encoder packs and the SQL oracle replays per plane."""
+    qc = [0] * 64
+    qc[0] = ((pat * 7 + bi * 5 + comp * 17) % 13) - 6
+    for p in (1, 3, 8, 20, 40, 55):
+        qc[p] = ((pat * 11 + bi * 3 + comp * 29 + p) % 9) - 4
+    return qc
+
+
+def make_jpeg_color(pat: int, blocks_w: int = 2, blocks_h: int = 2) -> bytes:
+    """Pack a deterministic baseline 4:4:4 YCbCr color JPEG: three
+    interleaved components per MCU with separate quant tables (luma 0,
+    chroma 1), separate canonical Huffman table pairs (class 0/1 ids 0/1)
+    and per-component DC predictors — the full multi-component scan
+    structure of T.81 baseline, coefficients from `jpeg_color_qcoefs`."""
+    import struct
+
+    w, h = blocks_w * 8, blocks_h * 8
+    dc_syms: dict[int, list[int]] = {0: [], 1: []}
+    ac_syms: dict[int, list[int]] = {0: [], 1: []}
+    per_mcu: list[list[tuple[int, list[tuple[int, int, int]]]]] = []
+    preds = [0, 0, 0]
+    for bi in range(blocks_w * blocks_h):
+        mcu = []
+        for c in range(3):
+            tid = 0 if c == 0 else 1
+            qc = jpeg_color_qcoefs(pat, bi, c)
+            diff = qc[0] - preds[c]
+            preds[c] = qc[0]
+            dc_syms[tid].append(_jpeg_csize(diff))
+            acs: list[tuple[int, int, int]] = []
+            run = 0
+            for k in range(1, 64):
+                v = qc[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    acs.append((0xF0, 0, 0))
+                    ac_syms[tid].append(0xF0)
+                    run -= 16
+                s = _jpeg_csize(v)
+                acs.append(((run << 4) | s, v, s))
+                ac_syms[tid].append((run << 4) | s)
+                run = 0
+            if run:
+                acs.append((0x00, 0, 0))
+                ac_syms[tid].append(0x00)
+            mcu.append((diff, acs))
+        per_mcu.append(mcu)
+    for tid in (0, 1):
+        if 0x00 not in ac_syms[tid]:
+            ac_syms[tid].append(0x00)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    tabs: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+    dht = b""
+    for tid in (0, 1):
+        db, dv, dt = _jpeg_canonical(dc_syms[tid])
+        ab, av, at = _jpeg_canonical(ac_syms[tid])
+        tabs[(0, tid)] = dt
+        tabs[(1, tid)] = at
+        dht += seg(0xFFC4, bytes([tid]) + bytes(db) + bytes(dv))
+        dht += seg(0xFFC4, bytes([0x10 | tid]) + bytes(ab) + bytes(av))
+
+    bw = _JpegBitWriter()
+    for mcu in per_mcu:
+        for c in range(3):
+            tid = 0 if c == 0 else 1
+            diff, acs = mcu[c]
+            s = _jpeg_csize(diff)
+            code, ln = tabs[(0, tid)][s]
+            bw.put(code, ln)
+            if s:
+                bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            for sym, v, sz in acs:
+                code, ln = tabs[(1, tid)][sym]
+                bw.put(code, ln)
+                if sz:
+                    bw.put(v if v > 0 else v + (1 << sz) - 1, sz)
+    bw.flush()
+
+    return (
+        b"\xff\xd8"
+        + seg(0xFFDB, bytes([0x00]) + bytes(_JPEG_QTAB))
+        + seg(0xFFDB, bytes([0x01]) + bytes(_JPEG_QTAB_C))
+        + seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, 0x11, 0])
+            + bytes([2, 0x11, 1])
+            + bytes([3, 0x11, 1]),
+        )
+        + dht
+        + seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+
+
 class _JpegBitReader:
     """MSB-first bit reader over the entropy-coded segment with byte
     UNstuffing; a bare marker mid-segment or a truncated stream raises."""
@@ -1912,7 +2020,18 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg(blob: bytes) -> tuple[int, int, list[list[int]]]:
+def _jpeg_ycbcr_to_rgb(Y: int, Cb: int, Cr: int) -> tuple[int, int, int]:
+    """JFIF YCbCr → RGB in fixed point 2^16 (1.402→91881, 0.344136→22554,
+    0.714136→46802, 1.772→116130) with floor rounding — exactly the
+    integers the SQL oracle recomputes."""
+    r = Y + ((91881 * (Cr - 128) + 32768) >> 16)
+    g = Y - ((22554 * (Cb - 128) + 46802 * (Cr - 128) + 32768) >> 16)
+    b = Y + ((116130 * (Cb - 128) + 32768) >> 16)
+    clamp = lambda v: 0 if v < 0 else 255 if v > 255 else v  # noqa: E731
+    return clamp(r), clamp(g), clamp(b)
+
+
+def decode_jpeg(blob: bytes) -> tuple[int, int, list[list]]:
     """REAL baseline-JPEG decode → (width, height, pixel rows).
 
     Walks markers (SOI/DQT/SOF0/DHT/SOS/EOI), builds Huffman decode tables
@@ -1922,8 +2041,14 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, list[list[int]]]:
     (`_JPEG_IDCT_A`, floor rounding: 128 + ((t + 2^25) >> 26), clamped to
     [0, 255]) — every output pixel is an exact integer function of the
     coefficient stream, which is what lets the registry oracle verify a
-    LOSSY codec by hash. Progressive (SOF2), multi-component scans,
-    restart markers and 16-bit quant tables raise NotImplementedError.
+    LOSSY codec by hash.
+
+    Grayscale (1 component) returns rows of ints; 4:4:4 YCbCr color
+    (3 components, interleaved MCUs with per-component quant/Huffman
+    tables and DC predictors) returns rows of (r, g, b) tuples after the
+    fixed-point `_jpeg_ycbcr_to_rgb` conversion. Progressive (SOF2),
+    chroma SUBSAMPLING, restart markers and 16-bit quant tables raise
+    NotImplementedError.
     """
     import struct
 
@@ -1933,9 +2058,9 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, list[list[int]]]:
     qtabs: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
-    comp_q = 0
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan: list[tuple[int, int, int]] = []  # (component id, dc table, ac table)
     data = None
-    dc_tab = ac_tab = None
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("expected marker")
@@ -1954,11 +2079,13 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, list[list[int]]]:
                 p += 65
         elif marker == 0xFFC0:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
-            if prec != 8 or ncomp != 1:
-                raise NotImplementedError("only 8-bit grayscale baseline supported")
-            if payload[7] != 0x11:
-                raise NotImplementedError("chroma subsampling not supported")
-            comp_q = payload[8]
+            if prec != 8 or ncomp not in (1, 3):
+                raise NotImplementedError("only 8-bit 1- or 3-component baseline supported")
+            for ci in range(ncomp):
+                cid, samp, qid = payload[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError("chroma subsampling not supported")
+                comps.append((cid, qid))
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise NotImplementedError("only baseline sequential (SOF0) supported")
         elif marker == 0xFFDD:
@@ -1974,18 +2101,19 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, list[list[int]]]:
                 )
                 p += 17 + nv
         elif marker == 0xFFDA:
-            if payload[0] != 1:
-                raise NotImplementedError("single-component scan only")
-            dc_tab = huff[(0, payload[2] >> 4)]
-            ac_tab = huff[(1, payload[2] & 0xF)]
+            if payload[0] != len(comps):
+                raise NotImplementedError("scan must cover all frame components")
+            for si in range(payload[0]):
+                cid = payload[1 + 2 * si]
+                tt = payload[2 + 2 * si]
+                scan.append((cid, tt >> 4, tt & 0xF))
             data = blob[pos + ln :]
             break
         pos += ln
-    if data is None or w is None or dc_tab is None or ac_tab is None:
+    if data is None or w is None or not scan:
         raise ValueError("missing SOF0/SOS")
     if data.endswith(b"\xff\xd9"):
         data = data[:-2]
-    q = qtabs[comp_q]
     br = _JpegBitReader(data)
 
     def read_sym(tab: dict[tuple[int, int], int]) -> int:
@@ -1996,47 +2124,99 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, list[list[int]]]:
                 return tab[(length, code)]
         raise ValueError("invalid Huffman code")
 
+    qid_of = dict(comps)
     bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    pixels = [[0] * w for _ in range(h)]
-    pred = 0
+    planes = [[[0] * w for _ in range(h)] for _ in scan]
+    preds = [0] * len(scan)
     for bi in range(bw_ * bh_):
-        zz = [0] * 64
-        s = read_sym(dc_tab)
-        pred += _jpeg_extend(br.bits(s), s) if s else 0
-        zz[0] = pred
-        k = 1
-        while k < 64:
-            sym = read_sym(ac_tab)
-            if sym == 0x00:
-                break
-            if sym == 0xF0:
-                k += 16
-                continue
-            k += sym >> 4
-            if k > 63:
-                raise ValueError("AC run overflows the block")
-            s = sym & 0xF
-            zz[k] = _jpeg_extend(br.bits(s), s)
-            k += 1
-        coef = [0] * 64
-        for i in range(64):
-            coef[_JPEG_ZIGZAG[i]] = zz[i] * q[i]
-        bx, by = (bi % bw_) * 8, (bi // bw_) * 8
-        for y in range(8):
-            for x in range(8):
-                t = 0
-                for u in range(8):
-                    au = _JPEG_IDCT_A[u][x]
-                    for v in range(8):
-                        c = coef[v * 8 + u]
-                        if c:
-                            t += c * au * _JPEG_IDCT_A[v][y]
-                px = 128 + ((t + (1 << 25)) >> 26)
-                pixels[by + y][bx + x] = 0 if px < 0 else 255 if px > 255 else px
-    return w, h, pixels
+        for ci, (cid, td, ta) in enumerate(scan):
+            q = qtabs[qid_of[cid]]
+            dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+            zz = [0] * 64
+            s = read_sym(dc_tab)
+            preds[ci] += _jpeg_extend(br.bits(s), s) if s else 0
+            zz[0] = preds[ci]
+            k = 1
+            while k < 64:
+                sym = read_sym(ac_tab)
+                if sym == 0x00:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                k += sym >> 4
+                if k > 63:
+                    raise ValueError("AC run overflows the block")
+                s = sym & 0xF
+                zz[k] = _jpeg_extend(br.bits(s), s)
+                k += 1
+            coef = [0] * 64
+            for i in range(64):
+                coef[_JPEG_ZIGZAG[i]] = zz[i] * q[i]
+            plane = planes[ci]
+            bx, by = (bi % bw_) * 8, (bi // bw_) * 8
+            for y in range(8):
+                for x in range(8):
+                    t = 0
+                    for u in range(8):
+                        au = _JPEG_IDCT_A[u][x]
+                        for v in range(8):
+                            c = coef[v * 8 + u]
+                            if c:
+                                t += c * au * _JPEG_IDCT_A[v][y]
+                    px = 128 + ((t + (1 << 25)) >> 26)
+                    plane[by + y][bx + x] = 0 if px < 0 else 255 if px > 255 else px
+    if len(scan) == 1:
+        return w, h, planes[0]
+    rgb = [
+        [
+            _jpeg_ycbcr_to_rgb(planes[0][y][x], planes[1][y][x], planes[2][y][x])
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    return w, h, rgb
 
 
 _JPEG_SCHEMA = "media_id long, width int, height int, px_sum long, top_left int"
+
+_JPEG_COLOR_SCHEMA = (
+    "media_id long, width int, height int, "
+    "r_sum long, g_sum long, b_sum long, top_left_r int"
+)
+
+
+def jpeg_color_features(df: DataFrame) -> DataFrame:
+    """Distributed 4:4:4 COLOR JPEG decode: three interleaved entropy
+    planes + integer IDCT + fixed-point YCbCr→RGB per payload in one
+    Arrow mapInPandas pass (map-only); hash-verified by
+    `multimodal_jpeg_color`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_jpeg(bytes(blob))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "r_sum": sum(p[0] for row in px for p in row),
+                        "g_sum": sum(p[1] for row in px for p in row),
+                        "b_sum": sum(p[2] for row in px for p in row),
+                        "top_left_r": px[0][0][0],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "r_sum", "g_sum", "b_sum", "top_left_r",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _JPEG_COLOR_SCHEMA)
 
 
 def jpeg_features(df: DataFrame) -> DataFrame:

@@ -3509,6 +3509,113 @@ def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.jpeg_features(media)
 
 
+def _jpeg_color_oracle() -> str:
+    """Three IDCT plane chains (per-component quant tables and coefficient
+    formulas) + the fixed-point YCbCr→RGB conversion with explicit floor
+    shifts — the color half of the deterministic-decoder contract."""
+    from query_engine_spark.llmdata.multimodal import (
+        _JPEG_IDCT_A,
+        _JPEG_QTAB,
+        _JPEG_QTAB_C,
+        _JPEG_ZIGZAG,
+    )
+
+    a_rows = ", ".join(
+        f"({u}, {x}, {_JPEG_IDCT_A[u][x]})" for u in range(8) for x in range(8)
+    )
+    used = [0, 1, 3, 8, 20, 40, 55]
+    cmap = ", ".join(
+        f"({i}, {_JPEG_ZIGZAG[i] % 8}, {_JPEG_ZIGZAG[i] // 8}, "
+        f"{_JPEG_QTAB[i]}, {_JPEG_QTAB_C[i]})"
+        for i in used
+    )
+    half, full = 1 << 25, 1 << 26
+    fd = (
+        f"((t + {half}) // {full}) - (CASE WHEN (t + {half}) % {full} != 0 "
+        f"AND t + {half} < 0 THEN 1 ELSE 0 END)"
+    )
+
+    def fd16(v: str) -> str:
+        return (
+            f"(({v} + 32768) // 65536) - (CASE WHEN ({v} + 32768) % 65536 != 0 "
+            f"AND {v} + 32768 < 0 THEN 1 ELSE 0 END)"
+        )
+
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, 2 + doc_id % 2 AS bw, 2 + (doc_id // 2) % 2 AS bh
+      FROM documents WHERE doc_id < 48),
+    blocks AS (
+      SELECT media_id, bw, bh, b.b AS bi
+      FROM m, generate_series(0, 8) AS b(b) WHERE b.b < bw * bh),
+    cm(zi, cu, cv, q0, q1) AS (VALUES {cmap}),
+    coefs AS (
+      SELECT media_id, bw, bh, bi, comp.c AS c, cm.cu, cm.cv,
+             (CASE WHEN cm.zi = 0 THEN ((media_id*7 + bi*5 + comp.c*17) % 13) - 6
+                   ELSE ((media_id*11 + bi*3 + comp.c*29 + cm.zi) % 9) - 4 END)
+             * (CASE WHEN comp.c = 0 THEN cm.q0 ELSE cm.q1 END) AS cq
+      FROM blocks, cm, generate_series(0, 2) AS comp(c)),
+    a(au, ax, aval) AS (VALUES {a_rows}),
+    terms AS (
+      SELECT co.media_id, co.bw, co.bh, co.bi, co.c, px.x AS x, py.y AS y,
+             CAST(sum(co.cq * aa.aval * ab.aval) AS BIGINT) AS t
+      FROM coefs co, generate_series(0, 7) AS px(x), generate_series(0, 7) AS py(y)
+      JOIN a aa ON aa.au = co.cu AND aa.ax = px.x
+      JOIN a ab ON ab.au = co.cv AND ab.ax = py.y
+      GROUP BY 1, 2, 3, 4, 5, 6, 7),
+    plane AS (
+      SELECT media_id, bw, bh, bi, c, x, y,
+             greatest(0, least(255, 128 + {fd})) AS p
+      FROM terms),
+    ycc AS (
+      SELECT media_id, bw, bh, bi, x, y,
+             max(CASE WHEN c = 0 THEN p END) AS yy,
+             max(CASE WHEN c = 1 THEN p END) AS cb,
+             max(CASE WHEN c = 2 THEN p END) AS cr
+      FROM plane GROUP BY 1, 2, 3, 4, 5, 6),
+    rgb AS (
+      SELECT media_id, bw, bh, bi, x, y,
+             greatest(0, least(255, yy + ({fd16("91881 * (cr - 128)")}))) AS r,
+             greatest(0, least(255, yy - ({fd16("22554 * (cb - 128) + 46802 * (cr - 128)")}))) AS g,
+             greatest(0, least(255, yy + ({fd16("116130 * (cb - 128)")}))) AS b
+      FROM ycc)
+    SELECT media_id, CAST(bw * 8 AS INT) AS width, CAST(bh * 8 AS INT) AS height,
+           CAST(sum(r) AS BIGINT) AS r_sum,
+           CAST(sum(g) AS BIGINT) AS g_sum,
+           CAST(sum(b) AS BIGINT) AS b_sum,
+           CAST(max(CASE WHEN bi = 0 AND x = 0 AND y = 0 THEN r END) AS INT) AS top_left_r
+    FROM rgb GROUP BY 1, 2, 3
+    """
+
+
+@_register(
+    "multimodal_jpeg_color",
+    _jpeg_color_oracle(),
+    "multimodal REAL COLOR lossy-codec decode, hash-verified: baseline "
+    "4:4:4 YCbCr JPEGs (three interleaved components per MCU, separate "
+    "luma/chroma quant tables, separate Huffman table pairs, "
+    "per-component DC predictors — T.81's full multi-component scan "
+    "structure) are decoded distributed: three entropy planes + integer "
+    "IDCT + fixed-point YCbCr->RGB (2^16 constants, floor shifts) in "
+    "Arrow mapInPandas; the oracle recomputes all three planes and the "
+    "color conversion by integer arithmetic, so a swapped chroma table, "
+    "broken predictor interleave or color-matrix rounding slip fails the "
+    "hash. Remaining JPEG boundary: chroma subsampling + progressive "
+    "(llmdata/multimodal.py make_jpeg_color/decode_jpeg/"
+    "jpeg_color_features)",
+)
+def multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 48).select(F.col("doc_id").alias("media_id"))
+    media = _pack_media(
+        ids, lambda i: MM.make_jpeg_color(i, 2 + i % 2, 2 + (i // 2) % 2)
+    )
+    media = MM.attach_media_meta(media, media_type="image/jpeg")
+    return MM.jpeg_color_features(media)
+
+
 def _jpeg_dhash_oracle() -> str:
     """Chained oracle: decode every fixture JPEG's pixels by the integer
     IDCT (content keyed on pat = doc_id % 48, so ids 48-63 are planted

@@ -2053,3 +2053,54 @@ def test_jpeg_perceptual_dedup_planted_reencodes(spark):
         for r in perceptual_dedup_pairs(jpeg_dhash_bands(media), max_hamming=3).collect()
     }
     assert pairs.get((0, 1)) == 0
+
+
+def test_jpeg_color_roundtrip_and_fuzz(spark):
+    """4:4:4 color JPEG: decode equals the three-plane IDCT + fixed-point
+    YCbCr->RGB prediction for the fixture formula; the grayscale path is
+    untouched (rows of ints); color-conversion landmarks pin the matrix."""
+    from query_engine_spark.llmdata.multimodal import (
+        _JPEG_IDCT_A, _JPEG_QTAB, _JPEG_QTAB_C, _JPEG_ZIGZAG,
+        _jpeg_ycbcr_to_rgb, decode_jpeg, jpeg_color_qcoefs, make_jpeg,
+        make_jpeg_color,
+    )
+
+    def predict(pat, bw, bh):
+        planes = []
+        for c in range(3):
+            q = _JPEG_QTAB if c == 0 else _JPEG_QTAB_C
+            pl = [[0] * (bw * 8) for _ in range(bh * 8)]
+            for bi in range(bw * bh):
+                qc = jpeg_color_qcoefs(pat, bi, c)
+                S = [0] * 64
+                for i in range(64):
+                    S[_JPEG_ZIGZAG[i]] = qc[i] * q[i]
+                bx, by = (bi % bw) * 8, (bi // bw) * 8
+                for y in range(8):
+                    for x in range(8):
+                        t = sum(
+                            S[v * 8 + u] * _JPEG_IDCT_A[u][x] * _JPEG_IDCT_A[v][y]
+                            for u in range(8) for v in range(8) if S[v * 8 + u]
+                        )
+                        pl[by + y][bx + x] = min(255, max(0, 128 + ((t + (1 << 25)) >> 26)))
+            planes.append(pl)
+        return [[_jpeg_ycbcr_to_rgb(planes[0][y][x], planes[1][y][x], planes[2][y][x])
+                 for x in range(bw * 8)] for y in range(bh * 8)]
+
+    for pat in range(0, 48, 5):
+        bw, bh = 2 + pat % 2, 2 + (pat // 2) % 2
+        w, h, px = decode_jpeg(make_jpeg_color(pat, bw, bh))
+        assert (w, h) == (bw * 8, bh * 8)
+        assert px == predict(pat, bw, bh), f"pat {pat}"
+
+    # grayscale contract untouched
+    _, _, gray = decode_jpeg(make_jpeg(7, 3, 2))
+    assert isinstance(gray[0][0], int)
+
+    # color matrix landmarks (JFIF): neutral chroma is identity; full Cr
+    # saturates red
+    assert _jpeg_ycbcr_to_rgb(128, 128, 128) == (128, 128, 128)
+    assert _jpeg_ycbcr_to_rgb(0, 128, 128) == (0, 0, 0)
+    assert _jpeg_ycbcr_to_rgb(255, 128, 128) == (255, 255, 255)
+    r, g, b = _jpeg_ycbcr_to_rgb(128, 128, 255)
+    assert r == 255 and g < 128 and b == 128

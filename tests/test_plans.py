@@ -359,3 +359,9 @@ def test_jpeg_perceptual_dedup_no_cartesian(spark):
     p = plan_of(spark, "media_jpeg_perceptual_dedup")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_jpeg_color_stage_map_only(spark):
+    p = plan_of(spark, "multimodal_jpeg_color")
+    assert "Exchange" not in p
+    assert "Join" not in p
