@@ -6842,82 +6842,90 @@ def llm_curation_pipeline_decontam(spark: SparkSession, sf_dir: str) -> DataFram
 # least-recently-verified first. The map below is transcribed from the
 # CORRECTNESS files: name -> last round a driver hash-match was recorded.
 _DRIVER_LAST_VERIFIED: dict[str, int] = {
-    # last hash-green in CORRECTNESS_r01.json
+    # last driver-verified in CORRECTNESS_r01.json (7 rows)
     **{n: 1 for n in (
-        "a1_trending_tags", "a1_trending_windowed", "a2_tag_variations",
-        "a3_count_views", "a4_degree_counts", "a5_user_like_totals",
-        "agg_cube", "agg_distinct_users", "f10_embed_prefix",
-        "f12_where_script", "f13_videos_notnull", "f14_regex",
-        "f15_profile_filters", "f9_non_duplicates", "j10_mutuals",
-        "j10_two_hop", "j1_replace_parent", "j2_replace_root",
-        "j3_replace_record", "j4_direct_replies", "j5_all_replies",
-        "j6_quote_posts", "o1_sort_created_top", "o2_sort_hn",
-        "o3_sort_counts", "o4_sort_random", "o5_sort_score_dedup",
-        "o7_posts_per_user", "profile_pipeline", "sc1_script_score",
-        "sc4_created_at_score", "sc_hn_normalized", "u_stash_pipeline",
+        "a2_tag_variations", "a3_count_views", "a4_degree_counts",
+        "a5_user_like_totals", "agg_cube", "agg_distinct_users",
+        "j2_replace_root",
     )},
-    # last hash-green in CORRECTNESS_r02.json
+    # last driver-verified in CORRECTNESS_r02.json (41 rows)
     **{n: 2 for n in (
-        "a7_admin_stats", "agg_pivot", "dedup_clusters",
-        "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
-        "dedup_ngram_jaccard", "dedup_simhash", "embed_cosine_topk",
-        "embed_ivf_topk", "embed_srp_near_dup", "f11_labels_remove",
-        "f12_where_script_stmt", "f12_where_udf_tier", "f1_item_kind",
-        "f2_image_count", "f6_language", "f7_list_semi_anti",
-        "f8_duplicates_first", "f_count_cmp", "llm_hash_sample",
-        "llm_prepare_corpus", "llm_top_terms",
-        "q18_large_orders", "q1_pricing_summary",
-        "q3_shipping_priority", "q5_local_supplier_volume",
-        "s10_liked_by_likers", "s2_input_list",
+        "a7_admin_stats", "agg_pivot", "dedup_clusters", "dedup_exact",
+        "dedup_simhash", "embed_cosine_topk", "embed_srp_near_dup",
+        "f11_labels_remove", "f12_where_script_stmt", "f12_where_udf_tier",
+        "f1_item_kind", "f2_image_count", "f6_language",
+        "f7_list_semi_anti", "f8_duplicates_first", "f_count_cmp",
+        "llm_hash_sample", "llm_prepare_corpus", "llm_top_terms",
+        "q18_large_orders", "q1_pricing_summary", "q3_shipping_priority",
+        "q5_local_supplier_volume", "s10_liked_by_likers", "s2_input_list",
         "s3_input_tags", "s4_input_labels", "s5_input_feed", "s6_input_did",
         "s7_input_post_prepend", "s8_archived_scan", "s9_liked_weighted",
-        "stream_windowed_counts", "text_bm25_search",
-        "text_contamination", "text_fingerprint", "text_langid",
-        "text_langid_ngram", "text_quality", "text_redact_pii",
-        "text_tokens", "window_running_revenue",
+        "stream_windowed_counts", "text_bm25_search", "text_contamination",
+        "text_fingerprint", "text_langid", "text_quality",
+        "text_redact_pii", "text_tokens", "window_running_revenue",
     )},
-    # last hash-green in CORRECTNESS_r04.json
+    # last driver-verified in CORRECTNESS_r04.json (44 rows)
     **{n: 4 for n in (
         "agg_rollup", "asof_join_directions", "asof_join_events",
-        "dedup_best_of_cluster", "embed_dim_stats", "embed_ivf_indexed",
-        "embed_kmeans", "embed_label_centroids", "embed_label_cohesion",
-        "embed_semdedup", "events_ema", "events_transition_matrix",
+        "dedup_best_of_cluster", "embed_dim_stats", "embed_label_centroids",
+        "embed_label_cohesion", "events_ema", "events_transition_matrix",
         "funnel_events", "graph_triangles", "group_quantiles_bucketed",
-        "group_quantiles_events", "hopping_window_events",
-        "hybrid_rrf_search", "j10_community", "j10_top_moots",
-        "kmv_distinct_users", "llm_balanced_sample", "llm_bpe_pair_counts",
-        "llm_chunk_docs", "llm_curation_flags", "llm_decontaminate",
-        "llm_dedup_funnel", "llm_doc_lm_score", "llm_domain_mix",
-        "llm_ngram_lm", "llm_pack_chunks", "llm_quality_calibrated",
-        "llm_split_assign", "llm_stupid_backoff", "media_dedup",
-        "q16_supplier_variety", "q17_small_quantity", "q19_disjunctive",
-        "q22_no_order_customers", "q4_order_priority", "q7_nation_volume",
-        "range_join_events", "retention_cohorts",
-        "stream_interval_join_pairs", "text_dup_spans",
-        "text_repetition_features", "text_strip_dup_spans",
-        "text_top_terms_per_lang", "window_revenue_deciles",
+        "group_quantiles_events", "hopping_window_events", "j10_community",
+        "j10_top_moots", "kmv_distinct_users", "llm_balanced_sample",
+        "llm_bpe_pair_counts", "llm_chunk_docs", "llm_curation_flags",
+        "llm_decontaminate", "llm_dedup_funnel", "llm_doc_lm_score",
+        "llm_domain_mix", "llm_ngram_lm", "llm_pack_chunks",
+        "llm_quality_calibrated", "llm_split_assign", "llm_stupid_backoff",
+        "media_dedup", "q16_supplier_variety", "q17_small_quantity",
+        "q19_disjunctive", "q22_no_order_customers", "q4_order_priority",
+        "q7_nation_volume", "range_join_events", "retention_cohorts",
+        "stream_interval_join_pairs", "text_repetition_features",
+        "text_strip_dup_spans", "text_top_terms_per_lang",
+        "window_revenue_deciles",
     )},
-    # last hash-green in CORRECTNESS_r05.json (50/50 green)
+    # last driver-verified in CORRECTNESS_r05.json (46 rows)
     **{n: 5 for n in (
         "dedup_containment", "dedup_incremental", "embed_ivfpq_topk",
-        "embed_pq_topk", "events_anomaly_static", "events_anomaly_zscore",
-        "events_countmin", "events_cusum_drift", "events_ohlc",
-        "events_salted_counts", "events_zorder_box", "graph_pagerank",
-        "kmv_set_ops_events", "llm_bpe_apply", "llm_bpe_train",
-        "llm_compressed_ingest", "llm_curation_pipeline",
-        "llm_dsir_weights", "llm_quality_classifier", "llm_weighted_sample",
-        "media_audio_dedup", "media_perceptual_dedup",
-        "multimodal_audio", "multimodal_audio_resample",
-        "multimodal_features", "multimodal_gif", "multimodal_png",
-        "multimodal_resize", "multimodal_video_frames",
+        "embed_pq_topk", "events_anomaly_zscore", "events_countmin",
+        "events_cusum_drift", "events_ohlc", "events_salted_counts",
+        "events_zorder_box", "graph_pagerank", "kmv_set_ops_events",
+        "llm_bpe_apply", "llm_bpe_train", "llm_compressed_ingest",
+        "llm_curation_pipeline", "llm_dsir_weights",
+        "llm_quality_classifier", "llm_weighted_sample",
+        "media_audio_dedup", "multimodal_audio",
+        "multimodal_audio_resample", "multimodal_features",
+        "multimodal_gif", "multimodal_png", "multimodal_resize",
         "pipeline_flagship", "q10_returned_items", "q11_important_value",
         "q12_priority_lines", "q13_customer_distribution",
         "q14_promo_revenue", "q15_top_supplier", "q20_promotion_suppliers",
         "q21_waiting_suppliers", "q2_min_cost_supplier",
         "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
         "rollup_gapfill_events", "s1_firehose", "sessionize_events",
-        "text_bm25_indexed", "text_doc_segment_dedup",
-        "text_strip_boilerplate", "text_tfidf_pairs", "text_winnowing",
+        "text_bm25_indexed", "text_strip_boilerplate", "text_tfidf_pairs",
+        "text_winnowing",
+    )},
+    # last driver-verified in CORRECTNESS_r06.json (50 rows)
+    **{n: 6 for n in (
+        "a1_trending_tags", "a1_trending_windowed",
+        "dedup_embedding_cosine", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "embed_ivf_indexed", "embed_ivf_topk",
+        "embed_kmeans", "embed_semdedup", "events_anomaly_static",
+        "f10_embed_prefix", "f12_where_script", "f13_videos_notnull",
+        "f14_regex", "f15_profile_filters", "f9_non_duplicates",
+        "hybrid_rrf_search", "j10_mutuals", "j10_two_hop",
+        "j1_replace_parent", "j3_replace_record", "j4_direct_replies",
+        "j5_all_replies", "j6_quote_posts",
+        "llm_curation_pipeline_decontam", "llm_curation_pipeline_neardup",
+        "media_incremental_dedup", "media_jpeg_perceptual_dedup",
+        "media_perceptual_dedup", "media_video_dedup",
+        "multimodal_audio_adpcm", "multimodal_audio_mulaw",
+        "multimodal_jpeg", "multimodal_jpeg_color",
+        "multimodal_video_frames", "multimodal_video_rle",
+        "o1_sort_created_top", "o2_sort_hn", "o3_sort_counts",
+        "o4_sort_random", "o5_sort_score_dedup", "o7_posts_per_user",
+        "profile_pipeline", "sc1_script_score", "sc4_created_at_score",
+        "sc_hn_normalized", "text_doc_segment_dedup", "text_dup_spans",
+        "text_langid_ngram", "u_stash_pipeline",
     )},
 }
 
@@ -6925,60 +6933,41 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
 # recorded verification is stale — schedule them as if never verified.
 _STALE_VERIFICATION: set[str] = set()
 
-# Queries whose machinery round 6 changed after their last driver check —
+# Queries whose machinery round 7 changed after their last driver check —
 # re-verify them on the new code ahead of the least-recently-verified pool.
 #
 # The driver checks exactly 50 names, so this set is curated to keep
-# never-verified + touched <= 50: new queries (never verified, the code the
-# driver most needs to see) outrank re-verification of already-green rows.
-_ROUND6_TOUCHED = {
-    # r1-verified, but its ORACLE was corrected late in round 5 (commit
-    # b631247: the sf0.1 sweep caught the oracle missing the final-500 cap,
-    # invisible at the driver's sf0.01 scale). Selfcheck-green at three
-    # scales since, but the durable driver record predates the corrected
-    # oracle — it leads the round-6 window (VERDICT r5 item 1).
-    "o5_sort_score_dedup",
-    # r5-verified, but round 6 added in-plan int64 overflow guards to
-    # anomaly_baseline/anomaly_score_static (ADVICE r5 item 1) — the scoring
-    # plan gained assert filters after the driver's check.
+# never-verified + touched <= 50. Round 7's primary mission is the 48-query
+# r1/r2-era rotation cohort (7 r1 + 41 r2 rows, the least-recently-verified
+# pool) — with the new multimodal_jpeg_420 (never-verified, leads the window)
+# and the three touched rows below, 52 candidates compete for 50 slots, so
+# the final two r2-era rotation names by registry position slip to the
+# round-8 window (they keep their r2 record; the three-scale selfcheck sweep
+# covers them on current code this round).
+_ROUND7_TOUCHED = {
+    # r6-verified, but round 7 replaces min-label connected components with
+    # alternating large-star/small-star (dedup.py dedup_clusters) — the
+    # near-dup pipeline consumes CC downstream of LSH. Output contract
+    # (cluster = min reachable id) is unchanged; re-verify on the new code.
+    # (dedup_clusters itself is r2-era and already in the rotation cohort;
+    # the other CC consumers — llm_dedup_funnel, dedup_best_of_cluster,
+    # media_dedup — are r4/r5-era, outside this 50-slot window, and rely on
+    # the selfcheck sweep until their rotation turn.)
+    "llm_curation_pipeline_neardup",
+    # r6-verified, but round 7 adds the explicit NULL escape to the int64
+    # overflow guard (ADVICE r6: assert_true raises on NULL condition if
+    # Catalyst constraint propagation ever stops pushing the not-null
+    # filters below the guard) — the scoring plan changes.
     "events_anomaly_static",
-    # r5-verified; round 6 refactored the band-key explode through
-    # _exploded_band_keys with radius-derived sub-band splitting (ADVICE r5
-    # item 4). The registry query's max_hamming=3 path emits the same keys,
-    # but the machinery changed — re-verify on the new code.
-    "media_perceptual_dedup",
-    # round 6 rewrote word_shingles/char_trigrams/minhash_signature and
-    # dedup_doc_segments to bind captured expressions once (bind_once /
-    # attribute materialization — the per-element lambda-recompute fix,
-    # 3–20x on real evaluation). ~20 queries consume these helpers;
-    # representatives below cover each distinct consumption shape, the
-    # rest keep their record and rejoin the rotation (full selfcheck at
-    # sf0.01 re-proved all 186 rows on the final round-6 code, three scales):
-    # signature-table + band join; trigram langid; shingle-set Jaccard;
-    # posexplode span path; the rewritten map-only segment dedup.
-    "dedup_minhash_lsh",
-    "text_langid_ngram",
-    "dedup_ngram_jaccard",
-    "text_dup_spans",
-    "text_doc_segment_dedup",
-    # round 6 hoisted per-vector/per-centroid norms below the pair joins
-    # (float-identical expression, new plan) in semdedup, cosine_pairs,
-    # assign_cells and _query_probes — representatives of every consumer
-    # shape re-verify on the new code
-    "embed_semdedup",
-    "dedup_embedding_cosine",
-    "embed_ivf_topk",
-    "embed_ivf_indexed",
-    "embed_kmeans",
-    "hybrid_rrf_search",
-    # round 6 extracted the shared _riff_walk helper from demux_avi (the
-    # RLE8 decoder reuses it) — the r5-verified demux path changed shape
-    "multimodal_video_frames",
+    # r6-verified, but round 7 re-keys the persisted dHash band index cache
+    # by a content fingerprint instead of the sf-dir basename (ADVICE r6
+    # medium: stale cross-session /tmp reuse) — the index build path changes.
+    "media_incremental_dedup",
 }
 
 # Stable alias so _driver_order and the scheduling tests survive the
 # per-round rename of the touched set.
-_ROUND_TOUCHED = _ROUND6_TOUCHED
+_ROUND_TOUCHED = _ROUND7_TOUCHED
 
 
 def _driver_order() -> list[str]:
