@@ -1783,8 +1783,11 @@ def make_jpeg(media_id: int, blocks_w: int = 2, blocks_h: int = 2) -> bytes:
     come straight from `jpeg_qcoefs` (no forward DCT — the whole point is
     that the oracle can predict the DECODED pixels exactly), entropy-coded
     with per-image canonical Huffman tables, real DC differential coding,
-    AC run-lengths, EOB/ZRL, byte stuffing. Any standard JPEG decoder
-    accepts the output."""
+    AC run-lengths, EOB/ZRL, byte stuffing, per T.81 baseline. Conformance
+    is anchored outside this co-developed encode/decode pair by
+    test_jpeg_golden_hand_authored_stream: a spec-authored byte-literal
+    stream with multi-length Huffman tables (a shape this encoder never
+    emits) that the decoder must reproduce pixel-exact."""
     return encode_jpeg_blocks(
         [jpeg_qcoefs(media_id, bi) for bi in range(blocks_w * blocks_h)],
         blocks_w,

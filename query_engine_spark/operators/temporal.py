@@ -634,9 +634,22 @@ def anomaly_score_static(
     # ANSI-off safety net with an actionable message. Map-side comparisons,
     # no extra shuffle.
     dev_bound = int((2**63 - 1) ** 0.5)
+    # Explicit NULL escape, mirroring anomaly_baseline's sibling guard: a
+    # null value or a null-moment baseline row (all-null key) makes the
+    # bound comparison NULL, and assert_true raises on NULL conditions.
+    # The shipped composition happens to survive because Catalyst infers
+    # IsNotNull from the downstream var_q>0 / dev*dev filters and pushes
+    # them below the guard — but that inference breaks if the filters are
+    # separated (persist/checkpoint), reordered, or constraint propagation
+    # is disabled, so the guard must tolerate NULL itself. Null rows are
+    # dropped by the downstream filters either way.
     guard = F.assert_true(
-        (F.abs(dev) <= F.lit(dev_bound))
-        & (F.col("var_q") <= F.lit((2**63 - 1) // max(1, z * z))),
+        dev.isNull()
+        | F.col("var_q").isNull()
+        | (
+            (F.abs(dev) <= F.lit(dev_bound))
+            & (F.col("var_q") <= F.lit((2**63 - 1) // max(1, z * z)))
+        ),
         F.format_string(
             "anomaly_score_static: |value_q - mean_q| or z^2*var_q exceeds "
             "the int64 budget (vquant=%d, z=%d) — lower vquant.",

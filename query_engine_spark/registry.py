@@ -65,6 +65,31 @@ def _with_max_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     return df.crossJoin(F.broadcast(mx))
 
 
+_PROCESS_INDEX_ROOT: str | None = None
+
+
+def _index_cache_path(kind: str, sf_dir: str) -> str:
+    """Per-process cache dir for materialized indexes (LSH/IVF/BM25/dHash/
+    Z-order). Keeps the build-once-probe-many amortization within a session
+    while making cross-session staleness impossible: a previous fix keyed
+    these under tempfile.gettempdir() by sf-dir BASENAME and reused them
+    whenever _SUCCESS existed, so regenerating the fixture maker, the hash
+    parameters, or the test data silently probed a stale index (and
+    concurrent selfcheck/bench runs raced on the overwrite). A fresh
+    mkdtemp per process cannot see another session's writes or another
+    process's half-written files; the dataset tag is the realpath hash so
+    two datasets sharing a basename never collide either."""
+    global _PROCESS_INDEX_ROOT
+    import hashlib
+    import os
+    import tempfile
+
+    if _PROCESS_INDEX_ROOT is None:
+        _PROCESS_INDEX_ROOT = tempfile.mkdtemp(prefix="spark_graft_idx_")
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(_PROCESS_INDEX_ROOT, f"{kind}_{tag}")
+
+
 _US = "epoch_us(CAST(ts AS TIMESTAMP))"
 
 
@@ -2561,13 +2586,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     docs = load_table(spark, sf_dir, "documents")
     seen = docs.filter(F.col("doc_id") < 250)
     new = docs.filter(F.col("doc_id") >= 250)
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_lsh_index_{tag}")
+    path = _index_cache_path("lsh_index", sf_dir)
     if not os.path.exists(os.path.join(path, "shingles", "_SUCCESS")):
         D.write_lsh_index(seen, path, n_hashes=_MINHASH_SEEDS, bands=_MINHASH_BANDS)
     return D.lsh_dedup_vs_index(
@@ -2755,7 +2778,6 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embed_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") % 100 == 0).select(
@@ -2764,8 +2786,7 @@ def embed_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_index_{tag}")
+    path = _index_cache_path("ivf_index", sf_dir)
     # _SUCCESS is the write's commit marker — a partial/crashed build is
     # rebuilt instead of silently searched
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -3026,11 +3047,9 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     docs = load_table(spark, sf_dir, "documents")
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_text_index_{tag}")
+    path = _index_cache_path("text_index", sf_dir)
     # stats is written LAST, so its _SUCCESS marker is the build's commit
     # record — a crashed/partial build is rebuilt, never silently reused
     if not os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
@@ -4248,7 +4267,6 @@ def media_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from query_engine_spark.llmdata import multimodal as MM
 
@@ -4263,8 +4281,7 @@ def media_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def maker(i: int) -> bytes:
         return MM.make_bmp(i % 32, 32 + (i % 32) % 7, 24 + (i % 32) % 5)
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_dhash_index_{tag}")
+    path = _index_cache_path("dhash_index", sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         MM.dhash_bands(_pack_media(hist_ids, maker)).write.mode(
             "overwrite"
@@ -6415,13 +6432,11 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from query_engine_spark.operators import layout as L
 
     ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_zorder_events_{tag}")
+    path = _index_cache_path("zorder_events", sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         L.write_zordered(ev, path, dims=["user_id", "ts_us"])
     z = spark.read.parquet(path)

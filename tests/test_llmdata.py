@@ -2104,3 +2104,109 @@ def test_jpeg_color_roundtrip_and_fuzz(spark):
     assert _jpeg_ycbcr_to_rgb(255, 128, 128) == (255, 255, 255)
     r, g, b = _jpeg_ycbcr_to_rgb(128, 128, 255)
     assert r == 255 and g < 128 and b == 128
+
+
+def test_jpeg_golden_hand_authored_stream():
+    """Conformance anchor OUTSIDE the co-developed encode/decode pair
+    (ADVICE r6): a baseline JPEG hand-assembled byte-by-byte from the T.81
+    spec — DQT/SOF0/DHT/SOS layout, canonical Annex-C Huffman codes written
+    out as literal bit-strings, DC differential coding, EXTEND for negative
+    values, ZRL, EOB, 1-padding — using MULTI-LENGTH Huffman tables (the
+    standard's shape; make_jpeg only ever emits single-length canonical
+    tables, so a mirrored encoder/decoder misinterpretation of the code
+    assignment could never be caught by roundtrip or fuzz). Expected pixels
+    are computed here from the spec-pinned basis/zigzag literals restated
+    locally, not imported from the module under test."""
+    import struct
+
+    from query_engine_spark.llmdata.multimodal import decode_jpeg
+
+    # --- spec constants restated locally (T.81: zigzag order, orthonormal
+    # 8-point DCT-II basis at 2^13 fixed point) ---
+    ZZ = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    A = [
+        [2896, 2896, 2896, 2896, 2896, 2896, 2896, 2896],
+        [4017, 3406, 2276, 799, -799, -2276, -3406, -4017],
+        [3784, 1567, -1567, -3784, -3784, -1567, 1567, 3784],
+        [3406, -799, -4017, -2276, 2276, 4017, 799, -3406],
+        [2896, -2896, -2896, 2896, 2896, -2896, -2896, 2896],
+        [2276, -4017, 799, 3406, -3406, -799, 4017, -2276],
+        [1567, -3784, 3784, -1567, -1567, 3784, -3784, 1567],
+        [799, -2276, 3406, -4017, 4017, -3406, 2276, -799],
+    ]
+    # quant table, zigzag order (varied so a dequant-before-dezigzag slip
+    # would change pixels)
+    q = [16 + (k % 7) for k in range(64)]
+
+    # --- the standard DC luminance Huffman table (T.81 Annex K.3.3.1):
+    # BITS = [0,1,5,1,1,1,1,1,1,0,...], HUFFVAL = categories 0..11.
+    # Canonical Annex-C assignment gives: cat0="00", cat1="010",
+    # cat2="011", cat3="100", cat4="101", cat5="110", cat6="1110", ...
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    # --- a multi-length AC table in the standard's shape:
+    # len2: 0x01, 0x02 -> "00", "01"; len3: 0x03 -> "100";
+    # len4: EOB(0x00) -> "1010"; len5: ZRL(0xF0) -> "10110"
+    ac_bits = [0, 2, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = [0x01, 0x02, 0x03, 0x00, 0xF0]
+
+    # --- entropy-coded scan for two 8x8 blocks (16x2 MCU row), written as
+    # literal code/value bit-strings:
+    # block 0: DC diff +3 (cat 2: code "011", bits "11");
+    #          AC zigzag1 = -2 (sym 0x02: "01", EXTEND bits "01");
+    #          ZRL ("10110") skipping 16 zeros (zigzag 2..17);
+    #          AC zigzag18 = +1 (sym 0x01: "00", bit "1"); EOB "1010"
+    # block 1: DC diff -3 (cat 2: "011", EXTEND bits "00" = -3) -> DC value
+    #          0, all ACs zero -> EOB "1010"
+    bitstr = (
+        "011" "11" "01" "01" "10110" "00" "1" "1010"
+        + "011" "00" "1010"
+    )
+    bitstr += "1" * (-len(bitstr) % 8)  # spec: pad final byte with 1s
+    scan_bytes = bytes(
+        int(bitstr[i : i + 8], 2) for i in range(0, len(bitstr), 8)
+    )
+    assert 0xFF not in scan_bytes  # no stuffing needed in this fixture
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    blob = (
+        b"\xff\xd8"
+        + seg(0xFFDB, bytes([0x00]) + bytes(q))
+        + seg(0xFFC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+        + seg(0xFFC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+        + seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + scan_bytes
+        + b"\xff\xd9"
+    )
+    # pin the exact bytes so any future encoder/decoder drift that would
+    # re-interpret this spec-authored stream is loud
+    assert scan_bytes == bytes([0x7A, 0xD8, 0xD3, 0x2B])
+
+    w, h, px = decode_jpeg(blob)
+    assert (w, h) == (16, 8)
+
+    # expected pixels, independently: block 0 has natural-order coefs
+    # coef[0] = 3*q[0] (u=0,v=0), coef[1] = -2*q[1] (u=1,v=0),
+    # coef[26] = 1*q[18] (zigzag18 -> natural 26 -> u=2, v=3)
+    assert ZZ[1] == 1 and ZZ[18] == 26
+    c0, c1, c26 = 3 * q[0], -2 * q[1], 1 * q[18]
+    for y in range(8):
+        for x in range(8):
+            t = (
+                c0 * A[0][x] * A[0][y]
+                + c1 * A[1][x] * A[0][y]
+                + c26 * A[2][x] * A[3][y]
+            )
+            want = 128 + ((t + (1 << 25)) >> 26)
+            want = 0 if want < 0 else 255 if want > 255 else want
+            assert px[y][x] == want, (x, y)
+    # block 1: DC prediction 3 + (-3) = 0, no ACs -> flat 128
+    assert all(px[y][x] == 128 for y in range(8) for x in range(8, 16))

@@ -632,3 +632,37 @@ def test_anomaly_baseline_null_values_do_not_trip_the_guard(spark):
     rows = {r.event_type: (r.n, r.mean_q, r.var_q) for r in anomaly_baseline(df).collect()}
     assert rows["a"] == (2, None, None)
     assert rows["b"][0] == 3 and rows["b"][1] is not None
+
+
+def test_anomaly_score_static_null_moments_do_not_trip_the_guard(spark):
+    """ADVICE r6: the score-side int64 guard must tolerate NULL itself —
+    the shipped composition only avoided a spurious raise because Catalyst
+    pushed IsNotNull constraints (inferred from var_q>0 / dev*dev) below
+    the guard. Run with constraint propagation DISABLED (the exact
+    fragility: without the inferred IsNotNull pushdown the unescaped guard
+    sees the null-moment rows) and feed a null-moment baseline row plus a
+    null value: must not raise. Confirmed to reproduce the pre-fix raise."""
+    from datetime import datetime
+
+    from query_engine_spark.operators.temporal import anomaly_baseline, anomaly_score_static
+
+    t0 = datetime(2024, 1, 1)
+    base_src = spark.createDataFrame(
+        [("a", None), ("a", None)]
+        + [("b", float(10 + (i % 2))) for i in range(20)],
+        "event_type string, value double",
+    )
+    baseline = anomaly_baseline(base_src)
+    # key "a" carries null mean_q/var_q into the broadcast join; a null
+    # value on key "b" makes dev NULL on the probe side
+    pts = spark.createDataFrame(
+        [("a", t0, 1, 5.0), ("b", t0, 2, None), ("b", t0, 3, 999.0)],
+        "event_type string, ts timestamp, event_id long, value double",
+    )
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try:
+        out = anomaly_score_static(pts, baseline, min_n=8, z=3)
+        rows = out.collect()  # must not raise through the assert_true guard
+    finally:
+        spark.conf.set("spark.sql.constraintPropagation.enabled", "true")
+    assert {r.event_id for r in rows} == {3}
