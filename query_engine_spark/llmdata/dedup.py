@@ -389,67 +389,123 @@ def simhash_candidate_pairs(
 
 def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20, on_iteration=None) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster) with
-    cluster = min id reachable. Iterative min-label propagation: each round
-    every node adopts the smallest label among itself and its neighbors;
-    converged when no label changes. Rounds needed = graph diameter (near-dup
-    clusters are shallow); each round is one join + one aggregate.
+    cluster = min id reachable. Alternating large-star/small-star edge
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14):
 
-    This is the canonicalization step of a dedup pipeline: keep the doc whose
-    id == cluster, drop the rest.
+      large-star: each node u emits (v, m) for every neighbor v > u, where
+        m = min(N(u) ∪ {u}) — strictly-larger neighbors rewire to the local
+        minimum;
+      small-star: on the resulting big→small pointers, each node u with
+        out-neighbors S emits (u, m) and (v, m) for v ∈ S∖{m}, m = min(S).
+
+    The pair of phases contracts component height geometrically, so rounds
+    needed = O(log diameter) instead of min-label propagation's O(diameter)
+    — and the driver-side convergence probe (the barrier the 100× scale
+    run showed dominating the near-dup pipeline wall: rounds serialize
+    through the driver) runs once per phase PAIR, not once per hop. At the
+    fixpoint every component is a star whose center is its minimum id
+    (paper Thm 1), so the label of a non-center node is simply its one
+    out-neighbor. Each phase is one aggregate + one join on the (small)
+    edge set; lineage is truncated by an eager localCheckpoint per round
+    with the previous round's blocks freed immediately.
+
+    This is the canonicalization step of a dedup pipeline: keep the doc
+    whose id == cluster, drop the rest. (Reference semantics: near-dup
+    cluster canonicalization; verified against the recursive-CTE oracle of
+    `dedup_clusters` in the registry.)
     """
-    from query_engine_spark.llmdata import tracked, tracked_local_checkpoint
+    from query_engine_spark.llmdata import tracked, tracked_local_checkpoint, tracked_persist
 
-    # localCheckpoint (not just persist): truncates the upstream lineage —
-    # `pairs` usually carries a deep MinHash/banding plan, and every
-    # iteration would otherwise re-analyze that whole tree (plan time, not
-    # data, dominates the loop otherwise). Tracked so clear_llmdata_cache()
-    # frees the checkpoint blocks (round-2 advice).
-    edges = tracked_local_checkpoint(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    def _ckpt(df: DataFrame):
+        """Eager localCheckpoint returning (df, free_fn) so the loop can
+        free the PREVIOUS round's blocks as soon as the next round is
+        materialized (a long contraction otherwise accumulates every
+        round's blocks until clear_tracked_cache)."""
+        jsc = df.sparkSession.sparkContext._jsc
+        before = set(jsc.getPersistentRDDs().keySet().toArray())
+        out = df.localCheckpoint()
+        after = jsc.getPersistentRDDs()
+        rdds = [after.get(i) for i in after.keySet().toArray() if i not in before]
+
+        def _free(rdds=rdds):
+            for r in rdds:
+                r.unpersist()
+
+        return out, _free
+
+    # ONE materialization of the upstream plan: `pairs` usually carries a
+    # deep MinHash/banding tree, and both the node inventory and the edge
+    # list must derive from the same cached copy. Tracked so
+    # clear_llmdata_cache() frees the blocks (round-2 advice). Kept alive
+    # through the loop: `nodes` below re-reads it when labels materialize.
+    base = tracked_local_checkpoint(
+        pairs.select(
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("u"),
+            F.least(F.col("id_a"), F.col("id_b")).alias("v"),
+        ).distinct()
+    )
+    nodes = (
+        base.select(F.col("u").alias("id"))
+        .unionByName(base.select(F.col("v").alias("id")))
         .distinct()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("cluster", F.col("id"))
-        .persist()
-    )
+    # big→small pointers; self-pairs contribute a node but no edge
+    edges = base.filter(F.col("u") != F.col("v"))
+    cnt = edges.count()
+    prev_free = None
+    converged = False
     for it in range(max_iters):
-        neigh = (
-            edges.join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "nc"), "dst")
-            .groupBy("src")
-            .agg(F.min("nc").alias("min_nc"))
-            .withColumnRenamed("src", "id")
+        und = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        updated = (
-            labels.join(neigh, "id", "left")
-            .select("id", F.least(F.col("cluster"), F.coalesce(F.col("min_nc"), F.col("cluster"))).alias("cluster"))
+        lmin = und.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
         )
-        # persist bounds recomputation but the logical plan still deepens by
-        # one join per round; truncate the lineage every few rounds so a
-        # 100 TB / high-diameter run keeps flat per-iteration planning cost
-        # (the checkpoint already caches — no extra persist on those rounds)
-        if (it + 1) % 4 == 0:
-            updated = tracked_local_checkpoint(updated)
-        else:
-            updated = updated.persist()
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.cluster") != F.col("l.cluster"))
-            .limit(1)
-            .count()
+        large = (
+            und.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
         )
-        labels.unpersist()
-        labels = updated
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smin, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smin.select("u", F.col("m").alias("v")))
+            .distinct()
+        )
+        new_edges, free_new = _ckpt(small)
+        # convergence probe — the ONE driver action per round pair: equal
+        # cardinality plus one-sided emptiness ⟺ equal sets (both distinct)
+        new_cnt = new_edges.count()
+        changed = new_cnt != cnt or new_edges.exceptAll(edges).limit(1).count() > 0
+        if prev_free is not None:
+            prev_free()
+        edges, cnt, prev_free = new_edges, new_cnt, free_new
         if on_iteration is not None:
             on_iteration(it)
-        if changed == 0:
+        if not changed:
+            converged = True
             break
-    # the returned frame stays cached (callers iterate it) — tracked so
-    # clear_llmdata_cache() frees it once the caller has materialized
-    return tracked(labels).select("id", "cluster")
+    if not converged:
+        raise ValueError(
+            f"dedup_clusters: star contraction did not converge in "
+            f"{max_iters} rounds — raise max_iters (components of diameter "
+            f"~2^{max_iters} should not occur in a near-dup graph)"
+        )
+    # final blocks stay cached (callers iterate the result) — registered so
+    # clear_llmdata_cache() frees them once the caller has materialized
+    if prev_free is not None:
+        tracked(prev_free)
+    # at the fixpoint each non-center node has exactly ONE out-pointer, to
+    # its component minimum; centers and singleton (self-pair) nodes label
+    # themselves
+    labels = nodes.join(
+        edges.select(F.col("u").alias("id"), F.col("v").alias("__c")), "id", "left"
+    ).select("id", F.coalesce(F.col("__c"), F.col("id")).alias("cluster"))
+    return tracked_persist(labels)
 
 
 def ngram_jaccard_pairs(

@@ -2210,3 +2210,46 @@ def test_jpeg_golden_hand_authored_stream():
             assert px[y][x] == want, (x, y)
     # block 1: DC prediction 3 + (-3) = 0, no ACs -> flat 128
     assert all(px[y][x] == 128 for y in range(8) for x in range(8, 16))
+
+
+def test_dedup_clusters_random_graphs_match_union_find(spark):
+    """Star-contraction CC vs a driver-side union-find oracle over random
+    graph shapes that stress the algorithm differently: long chains (max
+    diameter — where min-label propagation needed O(d) rounds), random
+    sparse edges (many small components), and a dense blob plus
+    singleton-ish self-pairs."""
+    import random
+
+    rng = random.Random(7)
+    cases = []
+    # long chain with shuffled endpoints
+    chain = [(i, i + 1) for i in range(1, 30)]
+    rng.shuffle(chain)
+    cases.append(chain)
+    # random sparse graph
+    cases.append([(rng.randrange(100), rng.randrange(100)) for _ in range(60)])
+    # dense blob + a self-pair (must survive as a singleton cluster)
+    cases.append([(rng.randrange(10), rng.randrange(10)) for _ in range(40)] + [(77, 77)])
+
+    for edges in cases:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+        )
+        got = {r["id"]: r["cluster"] for r in D.dedup_clusters(pairs).collect()}
+        assert got == want
