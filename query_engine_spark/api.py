@@ -35,6 +35,7 @@ __all__ = [
     "generate_feed_skeleton",
     "get_trending_tags",
     "generate_list_skeleton",
+    "admin_stats",
     "FeedServer",
     "QUERY_TIMEOUT_SECONDS",
 ]
@@ -109,6 +110,36 @@ def get_trending_tags(ctx: PipelineContext, minutes: int = 600) -> dict[str, Any
     """TrendingTagsResponse (main.rs:2988-2997): {tags: [{tag, name, count}]}."""
     df = trending_tags(ctx.posts, ctx.now, minutes=minutes)
     return {"tags": [{"tag": r["tag"], "name": r["name"], "count": r["count"]} for r in df.collect()]}
+
+
+def admin_stats(ctx: PipelineContext) -> dict[str, Any]:
+    """AdminStatsResponse (main.rs:690-704, struct main.rs:1089-1099): the
+    reference reports its in-memory index cardinalities — posts, authors
+    with ≥1 post, distinct tags — plus the newest post id. Here those are
+    one single-pass aggregate over the posts table (explode_outer keeps
+    tagless posts in the id/author distincts; map-side partial aggregation
+    keeps the shuffle key-sized), and `last_post_id` is max(id) — TIDs are
+    lexicographically time-ordered, so the max IS the newest.
+    `count_queries_anchor`/`pointer_is_a` are echoed for response-shape
+    parity (the reference hardcodes them: "DEPRECATED" / true)."""
+    row = (
+        ctx.posts.select("id", "author", F.explode_outer("tags").alias("tag"))
+        .agg(
+            F.countDistinct("id").alias("np"),
+            F.countDistinct("author").alias("na"),
+            F.countDistinct("tag").alias("nt"),
+            F.max("id").alias("last"),
+        )
+        .collect()[0]
+    )
+    return {
+        "all_posts_length": row["np"],
+        "all_posts_by_author_length": row["na"],
+        "all_posts_by_tag_length": row["nt"],
+        "last_post_id": row["last"] or "",
+        "count_queries_anchor": "DEPRECATED",
+        "pointer_is_a": True,
+    }
 
 
 def generate_list_skeleton(ctx: ProfileContext, blocks: list[dict[str, Any]]) -> dict[str, Any]:
@@ -201,6 +232,15 @@ class FeedServer:
 
             def do_GET(self):
                 path, _, query = self.path.partition("?")
+                if path == "/health":
+                    # reference parity (main.rs:549, 613): 200 with an
+                    # empty body — the liveness probe must not touch Spark
+                    self.send_response(200)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                if path == "/api/admin/stats":
+                    return self._send(200, admin_stats(api_ctx))
                 if path != "/xrpc/app.skyfeed.feed.getTrendingTags":
                     return self._send(404, {"error": "not found"})
                 minutes = 600

@@ -250,3 +250,26 @@ def test_server_explain_endpoint(spark, posts):
         server.stop()
     assert out["summary"]["cartesian"] is False
     assert "TakeOrderedAndProject" in out["plan"]
+
+
+def test_http_health_and_admin_stats(spark, posts):
+    """Reference ops-surface parity (main.rs:549 /health → empty 200 body;
+    main.rs:563, 690-704 /api/admin/stats → index cardinalities)."""
+    ctx = PipelineContext(spark=spark, posts=posts, now=NOW)
+    server = FeedServer(ctx).start()
+    try:
+        with urllib.request.urlopen(server.address + "/health", timeout=60) as r:
+            assert r.status == 200
+            assert r.read() == b""
+        with urllib.request.urlopen(server.address + "/api/admin/stats", timeout=60) as r:
+            stats = json.loads(r.read())
+    finally:
+        server.stop()
+    rows = posts.select("id", "author", "tags").collect()
+    want_tags = {t for r in rows for t in (r["tags"] or [])}
+    assert stats["all_posts_length"] == len({r["id"] for r in rows})
+    assert stats["all_posts_by_author_length"] == len({r["author"] for r in rows})
+    assert stats["all_posts_by_tag_length"] == len(want_tags)
+    assert stats["last_post_id"] == max(r["id"] for r in rows)
+    assert stats["count_queries_anchor"] == "DEPRECATED"
+    assert stats["pointer_is_a"] is True
