@@ -1969,6 +1969,112 @@ def make_jpeg_color(pat: int, blocks_w: int = 2, blocks_h: int = 2) -> bytes:
     )
 
 
+def make_jpeg_420(pat: int, mcus_w: int = 1, mcus_h: int = 1) -> bytes:
+    """Pack a deterministic baseline 4:2:0 YCbCr color JPEG — the dominant
+    web-crawl shape: Y sampled 2×2 (sampling byte 0x22), Cb/Cr 1×1, so
+    each MCU covers 16×16 pixels and interleaves FOUR Y blocks (left-to-
+    right, top-to-bottom per T.81 A.2.3) followed by one Cb and one Cr
+    block at quarter resolution. Coefficients come from the same
+    `jpeg_color_qcoefs` formula the 4:4:4 fixture uses: Y blocks are keyed
+    by their GLOBAL Y-block raster index bi = (my·2+vy)·(2·mcus_w) +
+    (mx·2+vx) and chroma blocks by the MCU index — the block-position ↔
+    formula binding the SQL oracle replays, so a mis-ordered MCU
+    interleave or a wrong upsample map shifts pixels against the
+    position-coupled oracle (top_left_r plus the Y/chroma coupling) and
+    fails the hash. Same separate quant tables, canonical Huffman table
+    pairs and per-component DC predictors as `make_jpeg_color`."""
+    import struct
+
+    w, h = mcus_w * 16, mcus_h * 16
+    dc_syms: dict[int, list[int]] = {0: [], 1: []}
+    ac_syms: dict[int, list[int]] = {0: [], 1: []}
+    # per MCU: [(tid, diff, acs)] in scan order — 4×Y, Cb, Cr
+    per_mcu: list[list[tuple[int, int, list[tuple[int, int, int]]]]] = []
+    preds = [0, 0, 0]
+    for mi in range(mcus_w * mcus_h):
+        mx, my = mi % mcus_w, mi // mcus_w
+        units: list[tuple[int, int]] = []  # (component, formula block index)
+        for vy in range(2):
+            for vx in range(2):
+                units.append((0, (my * 2 + vy) * (2 * mcus_w) + (mx * 2 + vx)))
+        units += [(1, mi), (2, mi)]
+        mcu = []
+        for c, bi in units:
+            tid = 0 if c == 0 else 1
+            qc = jpeg_color_qcoefs(pat, bi, c)
+            diff = qc[0] - preds[c]
+            preds[c] = qc[0]
+            dc_syms[tid].append(_jpeg_csize(diff))
+            acs: list[tuple[int, int, int]] = []
+            run = 0
+            for k in range(1, 64):
+                v = qc[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    acs.append((0xF0, 0, 0))
+                    ac_syms[tid].append(0xF0)
+                    run -= 16
+                s = _jpeg_csize(v)
+                acs.append(((run << 4) | s, v, s))
+                ac_syms[tid].append((run << 4) | s)
+                run = 0
+            if run:
+                acs.append((0x00, 0, 0))
+                ac_syms[tid].append(0x00)
+            mcu.append((tid, diff, acs))
+        per_mcu.append(mcu)
+    for tid in (0, 1):
+        if 0x00 not in ac_syms[tid]:
+            ac_syms[tid].append(0x00)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    tabs: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+    dht = b""
+    for tid in (0, 1):
+        db, dv, dt = _jpeg_canonical(dc_syms[tid])
+        ab, av, at = _jpeg_canonical(ac_syms[tid])
+        tabs[(0, tid)] = dt
+        tabs[(1, tid)] = at
+        dht += seg(0xFFC4, bytes([tid]) + bytes(db) + bytes(dv))
+        dht += seg(0xFFC4, bytes([0x10 | tid]) + bytes(ab) + bytes(av))
+
+    bw = _JpegBitWriter()
+    for mcu in per_mcu:
+        for tid, diff, acs in mcu:
+            s = _jpeg_csize(diff)
+            code, ln = tabs[(0, tid)][s]
+            bw.put(code, ln)
+            if s:
+                bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            for sym, v, sz in acs:
+                code, ln = tabs[(1, tid)][sym]
+                bw.put(code, ln)
+                if sz:
+                    bw.put(v if v > 0 else v + (1 << sz) - 1, sz)
+    bw.flush()
+
+    return (
+        b"\xff\xd8"
+        + seg(0xFFDB, bytes([0x00]) + bytes(_JPEG_QTAB))
+        + seg(0xFFDB, bytes([0x01]) + bytes(_JPEG_QTAB_C))
+        + seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, 0x22, 0])
+            + bytes([2, 0x11, 1])
+            + bytes([3, 0x11, 1]),
+        )
+        + dht
+        + seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+
+
 class _JpegBitReader:
     """MSB-first bit reader over the entropy-coded segment with byte
     UNstuffing; a bare marker mid-segment or a truncated stream raises."""
@@ -2046,12 +2152,19 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, list[list]]:
     coefficient stream, which is what lets the registry oracle verify a
     LOSSY codec by hash.
 
-    Grayscale (1 component) returns rows of ints; 4:4:4 YCbCr color
+    Grayscale (1 component) returns rows of ints; YCbCr color
     (3 components, interleaved MCUs with per-component quant/Huffman
     tables and DC predictors) returns rows of (r, g, b) tuples after the
-    fixed-point `_jpeg_ycbcr_to_rgb` conversion. Progressive (SOF2),
-    chroma SUBSAMPLING, restart markers and 16-bit quant tables raise
-    NotImplementedError.
+    fixed-point `_jpeg_ycbcr_to_rgb` conversion. Sampling factors 1–2 per
+    axis are supported generally: 4:4:4 (1×1 everywhere), 4:2:0 (2×2 luma
+    — the dominant web-crawl shape: each MCU carries four Y blocks plus
+    one Cb and one Cr at quarter resolution), and 4:2:2 (2×1). Chroma is
+    upsampled by SAMPLE REPLICATION — full-res (x, y) reads component c at
+    (x·h_c div Hmax, y·v_c div Vmax) — an exactly-specified integer
+    mapping the SQL oracle replays (T.81 leaves the upsampling filter to
+    the decoder; replication keeps every output pixel an integer function
+    of the coefficient stream). Progressive (SOF2), sampling factors > 2,
+    restart markers and 16-bit quant tables raise NotImplementedError.
     """
     import struct
 
@@ -2061,7 +2174,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, list[list]]:
     qtabs: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
-    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    comps: list[tuple[int, int, int, int]] = []  # (component id, quant table id, h, v)
     scan: list[tuple[int, int, int]] = []  # (component id, dc table, ac table)
     data = None
     while pos + 4 <= len(blob):
@@ -2086,9 +2199,15 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, list[list]]:
                 raise NotImplementedError("only 8-bit 1- or 3-component baseline supported")
             for ci in range(ncomp):
                 cid, samp, qid = payload[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError("chroma subsampling not supported")
-                comps.append((cid, qid))
+                sh, sv = samp >> 4, samp & 0xF
+                if sh not in (1, 2) or sv not in (1, 2):
+                    raise NotImplementedError("sampling factors beyond 2 not supported")
+                if ncomp == 1 and samp != 0x11:
+                    # a single-component scan is non-interleaved per T.81
+                    # (one block per MCU regardless of declared factors) —
+                    # out of scope until a fixture needs it
+                    raise NotImplementedError("subsampled single-component frames not supported")
+                comps.append((cid, qid, sh, sv))
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise NotImplementedError("only baseline sequential (SOF0) supported")
         elif marker == 0xFFDD:
@@ -2127,53 +2246,75 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, list[list]]:
                 return tab[(length, code)]
         raise ValueError("invalid Huffman code")
 
-    qid_of = dict(comps)
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    planes = [[[0] * w for _ in range(h)] for _ in scan]
+    meta_of = {cid: (qid, sh, sv) for cid, qid, sh, sv in comps}
+    hmax = max(sh for _, _, sh, _ in comps)
+    vmax = max(sv for _, _, _, sv in comps)
+    # interleaved scan: one MCU covers 8·Hmax × 8·Vmax image pixels and
+    # carries h_c × v_c blocks per component, left-to-right top-to-bottom
+    # (T.81 A.2.3); each component plane is stored at ITS OWN resolution,
+    # padded to whole MCUs, and sampled via the replication map at the end
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for cid, td, ta in scan:
+        _, sh, sv = meta_of[cid]
+        planes.append([[0] * (mcux * sh * 8) for _ in range(mcuy * sv * 8)])
     preds = [0] * len(scan)
-    for bi in range(bw_ * bh_):
+    for mcu in range(mcux * mcuy):
+        mx, my = mcu % mcux, mcu // mcux
         for ci, (cid, td, ta) in enumerate(scan):
-            q = qtabs[qid_of[cid]]
+            qid, sh, sv = meta_of[cid]
+            q = qtabs[qid]
             dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
-            zz = [0] * 64
-            s = read_sym(dc_tab)
-            preds[ci] += _jpeg_extend(br.bits(s), s) if s else 0
-            zz[0] = preds[ci]
-            k = 1
-            while k < 64:
-                sym = read_sym(ac_tab)
-                if sym == 0x00:
-                    break
-                if sym == 0xF0:
-                    k += 16
-                    continue
-                k += sym >> 4
-                if k > 63:
-                    raise ValueError("AC run overflows the block")
-                s = sym & 0xF
-                zz[k] = _jpeg_extend(br.bits(s), s)
-                k += 1
-            coef = [0] * 64
-            for i in range(64):
-                coef[_JPEG_ZIGZAG[i]] = zz[i] * q[i]
-            plane = planes[ci]
-            bx, by = (bi % bw_) * 8, (bi // bw_) * 8
-            for y in range(8):
-                for x in range(8):
-                    t = 0
-                    for u in range(8):
-                        au = _JPEG_IDCT_A[u][x]
-                        for v in range(8):
-                            c = coef[v * 8 + u]
-                            if c:
-                                t += c * au * _JPEG_IDCT_A[v][y]
-                    px = 128 + ((t + (1 << 25)) >> 26)
-                    plane[by + y][bx + x] = 0 if px < 0 else 255 if px > 255 else px
+            for vy in range(sv):
+                for vx in range(sh):
+                    zz = [0] * 64
+                    s = read_sym(dc_tab)
+                    preds[ci] += _jpeg_extend(br.bits(s), s) if s else 0
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        sym = read_sym(ac_tab)
+                        if sym == 0x00:
+                            break
+                        if sym == 0xF0:
+                            k += 16
+                            continue
+                        k += sym >> 4
+                        if k > 63:
+                            raise ValueError("AC run overflows the block")
+                        s = sym & 0xF
+                        zz[k] = _jpeg_extend(br.bits(s), s)
+                        k += 1
+                    coef = [0] * 64
+                    for i in range(64):
+                        coef[_JPEG_ZIGZAG[i]] = zz[i] * q[i]
+                    plane = planes[ci]
+                    bx, by = (mx * sh + vx) * 8, (my * sv + vy) * 8
+                    for y in range(8):
+                        for x in range(8):
+                            t = 0
+                            for u in range(8):
+                                au = _JPEG_IDCT_A[u][x]
+                                for v in range(8):
+                                    c = coef[v * 8 + u]
+                                    if c:
+                                        t += c * au * _JPEG_IDCT_A[v][y]
+                            px = 128 + ((t + (1 << 25)) >> 26)
+                            plane[by + y][bx + x] = 0 if px < 0 else 255 if px > 255 else px
     if len(scan) == 1:
-        return w, h, planes[0]
+        return w, h, [row[:w] for row in planes[0][:h]]
+    # sample-replication upsampling: component c at full-res (x, y) reads
+    # its plane at (x·h_c div Hmax, y·v_c div Vmax) — for 4:4:4 this is the
+    # identity, for 4:2:0 chroma it is (x div 2, y div 2)
+    samps = [meta_of[cid][1:] for cid, _, _ in scan]
     rgb = [
         [
-            _jpeg_ycbcr_to_rgb(planes[0][y][x], planes[1][y][x], planes[2][y][x])
+            _jpeg_ycbcr_to_rgb(
+                planes[0][y * samps[0][1] // vmax][x * samps[0][0] // hmax],
+                planes[1][y * samps[1][1] // vmax][x * samps[1][0] // hmax],
+                planes[2][y * samps[2][1] // vmax][x * samps[2][0] // hmax],
+            )
             for x in range(w)
         ]
         for y in range(h)
