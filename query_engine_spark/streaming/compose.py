@@ -35,7 +35,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-__all__ = ["composed_ingest_start", "composed_ingest_result", "composed_batch_answer"]
+__all__ = [
+    "composed_ingest_start",
+    "composed_ingest_result",
+    "composed_batch_answer",
+    "media_ingest_start",
+]
 
 
 def _plan(src: DataFrame, *, window: str, watermark: str) -> DataFrame:
@@ -89,6 +94,110 @@ def composed_ingest_start(
 def composed_ingest_result(spark: SparkSession, output_dir: str) -> DataFrame:
     """Read the sink back as a batch DataFrame (what a serving layer scans)."""
     return spark.read.parquet(output_dir)
+
+
+def media_ingest_start(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    matches_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: str = "media_id long, payload binary",
+    max_hamming: int = 3,
+    hasher=None,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Crawl-media ingest with INCREMENTAL perceptual dedup — the streaming
+    form of the batch `media_incremental_dedup` shape (VERDICT r6 item 6),
+    mirroring what `composed_ingest_start` does for exact event dedup:
+
+        readStream(media parquet)                -- crawl batches of (id, payload)
+          -> foreachBatch:
+               dHash the batch                   -- map-only Arrow pass; only the
+                                                    8-byte fingerprint leaves the
+                                                    executor, never the pixels
+               probe the band index              -- band-pigeonhole equi-join
+                                                    against HISTORY ONLY: each
+                                                    batch pays O(batch) hashing,
+                                                    never O(history), and history
+                                                    is never re-hashed
+               append matches + own bands        -- both sinks partitioned by
+                                                    batch id
+
+    Exactly-once across restarts without a transactional sink: every write
+    is a DYNAMIC partition overwrite keyed by the micro-batch id, and the
+    probe filters the index to partitions with __batch_id < current — so a
+    replayed batch overwrites its own partitions with identical content
+    and can never see its own (or a later) batch in the index. `hasher`
+    defaults to the BMP dHash pass (`multimodal.dhash_bands`); pass
+    `multimodal.jpeg_dhash_bands` for a compressed crawl. At 100 TB the
+    index is a parquet band table that compacts like any other — the probe
+    join stays band-keyed and the per-batch cost stays O(batch)."""
+    from pyspark.sql.utils import AnalysisException
+
+    from query_engine_spark.llmdata import multimodal as MM
+
+    do_hash = hasher if hasher is not None else MM.dhash_bands
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        ss = batch.sparkSession
+        bands = do_hash(batch).persist()
+        try:
+            try:
+                index = ss.read.parquet(index_dir).filter(
+                    F.col("__batch_id") < F.lit(batch_id)
+                )
+                has_index = True
+            except AnalysisException:
+                has_index = False
+            if has_index:
+                matches = MM.perceptual_probe_pairs(
+                    bands, index.drop("__batch_id"), max_hamming=max_hamming
+                ).filter(F.col("media_id") != F.col("match_id"))
+            else:
+                matches = ss.createDataFrame(
+                    [], "media_id long, match_id long, hamming long"
+                )
+            (
+                matches.withColumn("__batch_id", F.lit(batch_id))
+                .write.partitionBy("__batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(matches_dir)
+            )
+            (
+                bands.withColumn("__batch_id", F.lit(batch_id))
+                .write.partitionBy("__batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(index_dir)
+            )
+        finally:
+            bands.unpersist()
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    src = reader.parquet(input_dir)
+    return (
+        src.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def media_ingest_matches(spark: SparkSession, matches_dir: str) -> DataFrame:
+    """Read the matches sink back as a batch DataFrame. A sink whose only
+    batches produced zero matches holds no readable footer (an empty
+    partitioned write commits just _SUCCESS), so that case comes back as
+    an explicitly-empty frame with the sink's schema."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        return spark.read.parquet(matches_dir).drop("__batch_id")
+    except AnalysisException:
+        return spark.createDataFrame([], "media_id long, match_id long, hamming long")
 
 
 def composed_batch_answer(

@@ -165,3 +165,58 @@ def test_composed_job_exactly_once_sink(spark, tmp_path):
     q2.stop()
     n2 = composed_ingest_result(spark, output_dir).count()
     assert n1 == n2 > 0
+
+
+def test_streaming_media_perceptual_dedup_matches_batch(spark, tmp_path):
+    """The incremental PERCEPTUAL media probe inside the streaming compose
+    job (VERDICT r6 item 6 — the crawl-ingest shape): each micro-batch is
+    dHashed once, probed against the parquet band index of earlier batches
+    only, and appended to the index. Two-phase parity: after streaming
+    batch A then batch B, the matches sink must equal the BATCH probe of
+    B's bands against A's bands (the media mirror of
+    test_streaming_content_dedup_matches_batch)."""
+    from query_engine_spark.llmdata import multimodal as MM
+    from query_engine_spark.streaming.compose import (
+        media_ingest_matches,
+        media_ingest_start,
+    )
+
+    def maker(i: int) -> bytes:
+        return MM.make_bmp(i % 6, 28, 20)
+
+    in_dir, index_dir, matches_dir, ckpt = (
+        str(tmp_path / n) for n in ("in", "idx", "matches", "ckpt")
+    )
+    df_a = spark.createDataFrame(
+        [(i, bytearray(maker(i))) for i in range(8)], "media_id long, payload binary"
+    )
+    df_b = spark.createDataFrame(
+        [(i, bytearray(maker(i))) for i in range(8, 16)], "media_id long, payload binary"
+    )
+    df_a.coalesce(1).write.mode("append").parquet(in_dir)
+    q = media_ingest_start(spark, in_dir, index_dir, matches_dir, ckpt)
+    try:
+        q.processAllAvailable()
+        # batch A seeds the index; no history yet -> no matches
+        assert media_ingest_matches(spark, matches_dir).count() == 0
+        assert spark.read.parquet(index_dir).count() == 8
+        df_b.coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["media_id"], r["match_id"], r["hamming"])
+        for r in media_ingest_matches(spark, matches_dir).collect()
+    }
+    want = {
+        (r["media_id"], r["match_id"], r["hamming"])
+        for r in MM.perceptual_probe_pairs(
+            MM.dhash_bands(df_b), MM.dhash_bands(df_a), max_hamming=3
+        ).collect()
+    }
+    assert got == want
+    # the planted pattern reuse (i % 6) guarantees real cross-batch matches
+    assert len(want) >= 8
+    # the index now covers both batches, hashed exactly once each
+    assert spark.read.parquet(index_dir).count() == 16
