@@ -1983,20 +1983,40 @@ def make_jpeg_420(pat: int, mcus_w: int = 1, mcus_h: int = 1) -> bytes:
     position-coupled oracle (top_left_r plus the Y/chroma coupling) and
     fails the hash. Same separate quant tables, canonical Huffman table
     pairs and per-component DC predictors as `make_jpeg_color`."""
+    return make_jpeg_subsampled(pat, mcus_w, mcus_h, luma_h=2, luma_v=2)
+
+
+def make_jpeg_422(pat: int, mcus_w: int = 1, mcus_h: int = 1) -> bytes:
+    """Baseline 4:2:2 (Y sampled 2×1 — sampling byte 0x21): each MCU is
+    16×8 pixels with TWO Y blocks plus Cb/Cr at half horizontal
+    resolution. Same coefficient-formula binding as `make_jpeg_420`."""
+    return make_jpeg_subsampled(pat, mcus_w, mcus_h, luma_h=2, luma_v=1)
+
+
+def make_jpeg_subsampled(
+    pat: int, mcus_w: int, mcus_h: int, *, luma_h: int, luma_v: int
+) -> bytes:
+    """Shared encoder for chroma-subsampled baseline fixtures: Y sampled
+    `luma_h`×`luma_v` (1–2 each), chroma 1×1. Y blocks are interleaved
+    left-to-right top-to-bottom within each MCU (T.81 A.2.3) and keyed by
+    their global Y-block raster index; chroma blocks by the MCU index."""
     import struct
 
-    w, h = mcus_w * 16, mcus_h * 16
+    w, h = mcus_w * 8 * luma_h, mcus_h * 8 * luma_v
     dc_syms: dict[int, list[int]] = {0: [], 1: []}
     ac_syms: dict[int, list[int]] = {0: [], 1: []}
-    # per MCU: [(tid, diff, acs)] in scan order — 4×Y, Cb, Cr
+    # per MCU: [(tid, diff, acs)] in scan order — luma_h·luma_v × Y, Cb, Cr
     per_mcu: list[list[tuple[int, int, list[tuple[int, int, int]]]]] = []
     preds = [0, 0, 0]
     for mi in range(mcus_w * mcus_h):
         mx, my = mi % mcus_w, mi // mcus_w
         units: list[tuple[int, int]] = []  # (component, formula block index)
-        for vy in range(2):
-            for vx in range(2):
-                units.append((0, (my * 2 + vy) * (2 * mcus_w) + (mx * 2 + vx)))
+        for vy in range(luma_v):
+            for vx in range(luma_h):
+                units.append((
+                    0,
+                    (my * luma_v + vy) * (luma_h * mcus_w) + (mx * luma_h + vx),
+                ))
         units += [(1, mi), (2, mi)]
         mcu = []
         for c, bi in units:
@@ -2064,7 +2084,7 @@ def make_jpeg_420(pat: int, mcus_w: int = 1, mcus_h: int = 1) -> bytes:
         + seg(
             0xFFC0,
             struct.pack(">BHHB", 8, h, w, 3)
-            + bytes([1, 0x22, 0])
+            + bytes([1, (luma_h << 4) | luma_v, 0])
             + bytes([2, 0x11, 1])
             + bytes([3, 0x11, 1]),
         )

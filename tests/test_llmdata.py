@@ -2310,3 +2310,58 @@ def test_jpeg_420_roundtrip_matches_prediction():
             for y in range(H)
         ]
         assert decode_jpeg(make_jpeg_420(pat, mw, mh)) == (W, H, want), (pat, mw, mh)
+
+
+def test_jpeg_422_roundtrip_matches_prediction():
+    """4:2:2 (Y 2x1) through the same generalized MCU walker: two Y blocks
+    + half-horizontal-resolution chroma per 16x8 MCU, upsample map
+    (x // 2, y). Prediction computed independently as in the 4:2:0 test."""
+    from query_engine_spark.llmdata.multimodal import (
+        _JPEG_IDCT_A, _JPEG_QTAB, _JPEG_QTAB_C, _JPEG_ZIGZAG,
+        _jpeg_ycbcr_to_rgb, decode_jpeg, jpeg_color_qcoefs, make_jpeg_422,
+    )
+
+    def block(pat, bi, comp):
+        q = _JPEG_QTAB if comp == 0 else _JPEG_QTAB_C
+        qc = jpeg_color_qcoefs(pat, bi, comp)
+        coef = [0] * 64
+        for i in range(64):
+            coef[_JPEG_ZIGZAG[i]] = qc[i] * q[i]
+        out = [[0] * 8 for _ in range(8)]
+        for y in range(8):
+            for x in range(8):
+                t = 0
+                for u in range(8):
+                    for v in range(8):
+                        c = coef[v * 8 + u]
+                        if c:
+                            t += c * _JPEG_IDCT_A[u][x] * _JPEG_IDCT_A[v][y]
+                p = 128 + ((t + (1 << 25)) >> 26)
+                out[y][x] = 0 if p < 0 else 255 if p > 255 else p
+        return out
+
+    for pat, mw, mh in [(0, 1, 1), (3, 2, 1), (9, 2, 2)]:
+        W, H = mw * 16, mh * 8
+        Y = [[0] * W for _ in range(H)]
+        for byc in range(mh):
+            for bxc in range(2 * mw):
+                b = block(pat, byc * (2 * mw) + bxc, 0)
+                for y in range(8):
+                    for x in range(8):
+                        Y[byc * 8 + y][bxc * 8 + x] = b[y][x]
+        C = {}
+        for comp in (1, 2):
+            P = [[0] * (mw * 8) for _ in range(mh * 8)]
+            for my in range(mh):
+                for mx in range(mw):
+                    b = block(pat, my * mw + mx, comp)
+                    for y in range(8):
+                        for x in range(8):
+                            P[my * 8 + y][mx * 8 + x] = b[y][x]
+            C[comp] = P
+        want = [
+            [_jpeg_ycbcr_to_rgb(Y[y][x], C[1][y][x // 2], C[2][y][x // 2])
+             for x in range(W)]
+            for y in range(H)
+        ]
+        assert decode_jpeg(make_jpeg_422(pat, mw, mh)) == (W, H, want), (pat, mw, mh)
