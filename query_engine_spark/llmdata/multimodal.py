@@ -1795,10 +1795,19 @@ def make_jpeg(media_id: int, blocks_w: int = 2, blocks_h: int = 2) -> bytes:
     )
 
 
-def encode_jpeg_blocks(blocks: list[list[int]], blocks_w: int, blocks_h: int) -> bytes:
+def encode_jpeg_blocks(
+    blocks: list[list[int]],
+    blocks_w: int,
+    blocks_h: int,
+    *,
+    restart_interval: int | None = None,
+) -> bytes:
     """Entropy-encode arbitrary per-block quantized-coefficient lists
     (zigzag order, 64 each) into a baseline grayscale JPEG — the encoder
-    half shared by the fixture generator and the fuzz tests."""
+    half shared by the fixture generator and the fuzz tests. With
+    `restart_interval` a DRI segment is emitted and every interval
+    boundary gets a byte-aligned RSTm marker (sequence modulo 8) with the
+    DC predictor reset — the web-crawl-common stream shape (T.81 E.1.4)."""
     import struct
 
     if len(blocks) != blocks_w * blocks_h:
@@ -1808,7 +1817,9 @@ def encode_jpeg_blocks(blocks: list[list[int]], blocks_w: int, blocks_h: int) ->
     ac_syms: list[int] = []
     per_block: list[tuple[int, list[tuple[int, int, int]]]] = []
     pred = 0
-    for qc in blocks:
+    for bi, qc in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            pred = 0  # predictor resets at every restart boundary
         diff = qc[0] - pred
         pred = qc[0]
         dc_syms.append(_jpeg_csize(diff))
@@ -1837,7 +1848,10 @@ def encode_jpeg_blocks(blocks: list[list[int]], blocks_w: int, blocks_h: int) ->
     ac_bits, ac_vals, ac_tab = _jpeg_canonical(ac_syms)
 
     bw = _JpegBitWriter()
-    for diff, acs in per_block:
+    for bi, (diff, acs) in enumerate(per_block):
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw.flush()  # byte-align (1-padding), then the bare marker
+            bw.out += bytes([0xFF, 0xD0 + ((bi // restart_interval - 1) & 7)])
         s = _jpeg_csize(diff)
         code, ln = dc_tab[s]
         bw.put(code, ln)
@@ -1853,12 +1867,16 @@ def encode_jpeg_blocks(blocks: list[list[int]], blocks_w: int, blocks_h: int) ->
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
     return (
         b"\xff\xd8"
         + seg(0xFFDB, bytes([0x00]) + bytes(_JPEG_QTAB))
         + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
         + seg(0xFFC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
         + seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        + dri
         + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
         + bytes(bw.out)
         + b"\xff\xd9"
@@ -2126,6 +2144,19 @@ class _JpegBitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self, m: int) -> None:
+        """Consume an RSTm marker at a restart-interval boundary: discard
+        the current byte's remaining pad bits, skip any stuffed 0xFF00
+        emitted while padding, and require the expected 0xFFD0+m (T.81
+        E.1.4 — markers are byte-aligned and the modulo-8 sequence number
+        catches lost intervals)."""
+        self._n = 0
+        while self._data[self._pos : self._pos + 2] == b"\xff\x00":
+            self._pos += 2
+        if self._data[self._pos : self._pos + 2] != bytes([0xFF, 0xD0 + m]):
+            raise ValueError(f"expected RST{m} at restart boundary")
+        self._pos += 2
+
 
 def _jpeg_huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """(length, code) -> symbol from a DHT's BITS/HUFFVAL, canonical code
@@ -2183,14 +2214,17 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, list[list]]:
     (x·h_c div Hmax, y·v_c div Vmax) — an exactly-specified integer
     mapping the SQL oracle replays (T.81 leaves the upsampling filter to
     the decoder; replication keeps every output pixel an integer function
-    of the coefficient stream). Progressive (SOF2), sampling factors > 2,
-    restart markers and 16-bit quant tables raise NotImplementedError.
+    of the coefficient stream). Restart intervals (DRI + byte-aligned RSTn
+    with modulo-8 sequence check and DC-predictor reset, T.81 E.1.4) are
+    honored. Progressive (SOF2), sampling factors > 2 and 16-bit quant
+    tables raise NotImplementedError.
     """
     import struct
 
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
+    restart_interval = 0
     qtabs: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
@@ -2231,7 +2265,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, list[list]]:
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise NotImplementedError("only baseline sequential (SOF0) supported")
         elif marker == 0xFFDD:
-            raise NotImplementedError("restart intervals not supported")
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xFFC4:
             p = 0
             while p < len(payload):
@@ -2281,6 +2315,11 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, list[list]]:
         planes.append([[0] * (mcux * sh * 8) for _ in range(mcuy * sv * 8)])
     preds = [0] * len(scan)
     for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            # T.81 E.1.4: byte-align onto the RSTm marker (sequence number
+            # modulo 8) and reset every component's DC predictor
+            br.restart((mcu // restart_interval - 1) & 7)
+            preds = [0] * len(scan)
         mx, my = mcu % mcux, mcu // mcux
         for ci, (cid, td, ta) in enumerate(scan):
             qid, sh, sv = meta_of[cid]

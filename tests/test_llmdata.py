@@ -2365,3 +2365,114 @@ def test_jpeg_422_roundtrip_matches_prediction():
             for y in range(H)
         ]
         assert decode_jpeg(make_jpeg_422(pat, mw, mh)) == (W, H, want), (pat, mw, mh)
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """DRI/RSTn support (T.81 E.1.4): encode with restart intervals that
+    exercise mid-row boundaries and the modulo-8 marker wrap, decode, and
+    compare to the pure-integer prediction. A missed DC-predictor reset or
+    misaligned marker consumption changes pixels or raises."""
+    from query_engine_spark.llmdata.multimodal import (
+        _JPEG_IDCT_A, _JPEG_QTAB, _JPEG_ZIGZAG,
+        decode_jpeg, encode_jpeg_blocks, jpeg_qcoefs,
+    )
+
+    def predict(blocks, bw_, bh_):
+        W, H = bw_ * 8, bh_ * 8
+        out = [[0] * W for _ in range(H)]
+        for bi, qc in enumerate(blocks):
+            coef = [0] * 64
+            for i in range(64):
+                coef[_JPEG_ZIGZAG[i]] = qc[i] * _JPEG_QTAB[i]
+            bx, by = (bi % bw_) * 8, (bi // bw_) * 8
+            for y in range(8):
+                for x in range(8):
+                    t = 0
+                    for u in range(8):
+                        for v in range(8):
+                            c = coef[v * 8 + u]
+                            if c:
+                                t += c * _JPEG_IDCT_A[u][x] * _JPEG_IDCT_A[v][y]
+                    p = 128 + ((t + (1 << 25)) >> 26)
+                    out[by + y][bx + x] = 0 if p < 0 else 255 if p > 255 else p
+        return W, H, out
+
+    # 18 blocks at interval 1 -> 17 markers, wrapping RST7 -> RST0 twice
+    for mid, bw_, bh_, ri in [(3, 3, 2, 1), (5, 2, 2, 2), (11, 3, 3, 5), (7, 6, 3, 1)]:
+        blocks = [jpeg_qcoefs(mid, bi) for bi in range(bw_ * bh_)]
+        blob = encode_jpeg_blocks(blocks, bw_, bh_, restart_interval=ri)
+        assert b"\xff\xdd" in blob and b"\xff\xd0" in blob
+        assert decode_jpeg(blob) == predict(blocks, bw_, bh_), (mid, bw_, bh_, ri)
+
+    # a wrong sequence number must raise, not silently resync
+    blob = encode_jpeg_blocks(
+        [jpeg_qcoefs(5, bi) for bi in range(4)], 2, 2, restart_interval=1
+    )
+    broken = blob.replace(b"\xff\xd0", b"\xff\xd3", 1)
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_jpeg(broken)
+
+
+def test_jpeg_golden_hand_authored_restart_stream():
+    """Spec-anchored restart conformance OUTSIDE the co-developed pair:
+    the hand-authored golden stream extended with DRI=1 and an RST0
+    between its two blocks. Block 2's DC diff (-3) now decodes against a
+    RESET predictor — value −3, a uniformly darker block — instead of the
+    running predictor's 3 + (−3) = 0 (flat 128) in the restartless
+    golden, so a decoder that consumes the marker but forgets the
+    predictor reset (or vice versa) fails loudly."""
+    import struct
+
+    from query_engine_spark.llmdata.multimodal import decode_jpeg
+
+    q = [16 + (k % 7) for k in range(64)]
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    ac_bits = [0, 2, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = [0x01, 0x02, 0x03, 0x00, 0xF0]
+
+    def to_bytes(bitstr):
+        bitstr += "1" * (-len(bitstr) % 8)
+        return bytes(int(bitstr[i : i + 8], 2) for i in range(0, len(bitstr), 8))
+
+    # block 0 (same as the restartless golden): DC +3, AC zz1=-2, ZRL,
+    # AC zz18=+1, EOB; 21 bits -> 1-padded to 3 bytes
+    ent = to_bytes("011" "11" "01" "01" "10110" "00" "1" "1010")
+    ent += bytes([0xFF, 0xD0])  # RST0 at the interval-1 boundary
+    # block 1 after predictor reset: DC diff -3 (cat 2 "011", EXTEND "00")
+    # -> DC VALUE -3 now, not 0; EOB
+    ent += to_bytes("011" "00" "1010")
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    blob = (
+        b"\xff\xd8"
+        + seg(0xFFDB, bytes([0x00]) + bytes(q))
+        + seg(0xFFC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+        + seg(0xFFC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+        + seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        + seg(0xFFDD, struct.pack(">H", 1))
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + ent
+        + b"\xff\xd9"
+    )
+    w, h, px = decode_jpeg(blob)
+    assert (w, h) == (16, 8)
+    # block 1 is flat: 128 + floor((-3*16*2896*2896 + 2^25) / 2^26) per pixel
+    flat = 128 + ((-3 * 16 * 2896 * 2896 + (1 << 25)) >> 26)
+    assert 0 < flat < 128  # strictly darker than the restartless golden's 128
+    assert all(px[y][x] == flat for y in range(8) for x in range(8, 16))
+    # block 0 is bit-identical to the restartless golden's first block
+    A1 = [4017, 3406, 2276, 799, -799, -2276, -3406, -4017]
+    A3 = [3406, -799, -4017, -2276, 2276, 4017, 799, -3406]
+    A2 = [3784, 1567, -1567, -3784, -3784, -1567, 1567, 3784]
+    c0, c1, c26 = 3 * q[0], -2 * q[1], 1 * q[18]
+    for y in range(8):
+        for x in range(8):
+            t = c0 * 2896 * 2896 + c1 * A1[x] * 2896 + c26 * A2[x] * A3[y]
+            want = 128 + ((t + (1 << 25)) >> 26)
+            want = 0 if want < 0 else 255 if want > 255 else want
+            assert px[y][x] == want, (x, y)
