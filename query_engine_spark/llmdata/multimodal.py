@@ -2113,6 +2113,237 @@ def make_jpeg_subsampled(
     )
 
 
+_JPEG_DEFAULT_PROG_SCANS: list[tuple] = [
+    # a libjpeg-like script: DC first at Al=1 (interleaved), luma AC in two
+    # spectral bands at Al=2, chroma AC at Al=1, DC refinement, then AC
+    # refinements down to Al=0 — exercising spectral selection, EOB runs
+    # and successive approximation on every component
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((0,), 1, 63, 2, 1),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+_JPEG_DEFAULT_PROG_SCANS_GRAY: list[tuple] = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def encode_jpeg_progressive(
+    blocks: dict[int, list[list[int]]],
+    blocks_w: int,
+    blocks_h: int,
+    *,
+    scans: list[tuple] | None = None,
+) -> bytes:
+    """Entropy-encode quantized coefficients as a PROGRESSIVE JPEG (SOF2,
+    4:4:4 or grayscale): `blocks` maps component index (0=Y[, 1=Cb, 2=Cr])
+    to per-block zigzag coefficient lists; `scans` is the scan script as
+    (component indices, Ss, Se, Ah, Al) tuples (defaults exercise spectral
+    selection, EOB runs and successive approximation). Encodes per T.81
+    G.1.2: DC scans use the arithmetic-shift point transform and
+    differential coding (refinements send one raw bit per block); AC first
+    passes send magnitude>>Al with run lengths and cross-block EOB runs;
+    AC refinement passes send newly-nonzero coefficients as (run,1)
+    symbols with sign bits, correction bits for already-nonzero
+    coefficients interleaved in position order (buffered across EOB runs),
+    and ZRL segmented every 16 zero-history positions. Canonical Huffman
+    tables are built per scan and emitted as DHT right before each SOS.
+    The decoded result must be pixel-identical to a baseline encoding of
+    the same coefficients once every scan script reaches Al=0."""
+    import struct
+
+    ncomp = len(blocks)
+    if ncomp not in (1, 3):
+        raise ValueError("1 or 3 components")
+    n = blocks_w * blocks_h
+    for c, bl in blocks.items():
+        if len(bl) != n:
+            raise ValueError("blocks list must cover blocks_w*blocks_h")
+    if scans is None:
+        scans = _JPEG_DEFAULT_PROG_SCANS if ncomp == 3 else _JPEG_DEFAULT_PROG_SCANS_GRAY
+
+    def csize(v: int) -> int:
+        return 0 if v == 0 else abs(v).bit_length()
+
+    scan_payloads: list[tuple[dict, list]] = []  # (tables used, ops)
+    for comp_idx, ss, se, ah, al in scans:
+        ops: list[tuple] = []  # ("sym", table_key, sym) | ("bits", val, n)
+        if ss == 0:
+            if ah == 0:
+                preds = {c: 0 for c in comp_idx}
+                for bi in range(n):
+                    for c in comp_idx:
+                        vis = blocks[c][bi][0] >> al  # arithmetic shift (G.1.2.1)
+                        diff = vis - preds[c]
+                        preds[c] = vis
+                        s = csize(diff)
+                        ops.append(("sym", ("dc", 0 if c == 0 else 1), s))
+                        if s:
+                            ops.append(
+                                ("bits", diff if diff > 0 else diff + (1 << s) - 1, s)
+                            )
+            else:
+                for bi in range(n):
+                    for c in comp_idx:
+                        ops.append(("bits", (blocks[c][bi][0] >> al) & 1, 1))
+        else:
+            (c,) = comp_idx
+            t = ("ac", 0 if c == 0 else 1)
+            eobrun = 0
+            buffered: list[int] = []
+
+            def flush_eob():
+                nonlocal eobrun, buffered
+                if eobrun:
+                    nb = eobrun.bit_length() - 1
+                    ops.append(("sym", t, nb << 4))
+                    if nb:
+                        ops.append(("bits", eobrun - (1 << nb), nb))
+                for b in buffered:
+                    ops.append(("bits", b, 1))
+                eobrun = 0
+                buffered = []
+
+            if ah == 0:
+                for bi in range(n):
+                    qc = blocks[c][bi]
+                    r = 0
+                    for k in range(ss, se + 1):
+                        v = qc[k]
+                        mag = abs(v) >> al
+                        if mag == 0:
+                            r += 1
+                            continue
+                        vis = mag if v > 0 else -mag
+                        flush_eob()
+                        while r > 15:
+                            ops.append(("sym", t, 0xF0))
+                            r -= 16
+                        s = csize(vis)
+                        ops.append(("sym", t, (r << 4) | s))
+                        ops.append(
+                            ("bits", vis if vis > 0 else vis + (1 << s) - 1, s)
+                        )
+                        r = 0
+                    if r:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                flush_eob()
+            else:
+                for bi in range(n):
+                    qc = blocks[c][bi]
+                    # per-position events: correction bit ('h'), zero-history
+                    # zero ('z'), newly-nonzero ('new' with sign)
+                    events: list[tuple] = []
+                    for k in range(ss, se + 1):
+                        v = qc[k]
+                        hist = abs(v) >> (al + 1)
+                        mag = abs(v) >> al
+                        if hist:
+                            events.append(("h", mag & 1))
+                        elif mag == 0:
+                            events.append(("z",))
+                        else:
+                            events.append(("new", 1 if v > 0 else 0))
+                    i = 0
+                    while i < len(events):
+                        # find next 'new'; if none, the rest is EOB territory
+                        j = i
+                        while j < len(events) and events[j][0] != "new":
+                            j += 1
+                        if j == len(events):
+                            break
+                        flush_eob()
+                        seg = events[i:j]
+                        r = sum(1 for e in seg if e[0] == "z")
+                        # ZRL every 16 zero-history positions, carrying the
+                        # correction bits encountered up to that crossing
+                        while r > 15:
+                            zcount = 0
+                            cut = 0
+                            for idx, e in enumerate(seg):
+                                if e[0] == "z":
+                                    zcount += 1
+                                    if zcount == 16:
+                                        cut = idx + 1
+                                        break
+                            ops.append(("sym", t, 0xF0))
+                            for e in seg[:cut]:
+                                if e[0] == "h":
+                                    ops.append(("bits", e[1], 1))
+                            seg = seg[cut:]
+                            r -= 16
+                        ops.append(("sym", t, (r << 4) | 1))
+                        ops.append(("bits", events[j][1], 1))
+                        for e in seg:
+                            if e[0] == "h":
+                                ops.append(("bits", e[1], 1))
+                        i = j + 1
+                    leftover = events[i:]
+                    if leftover:
+                        eobrun += 1
+                        buffered.extend(e[1] for e in leftover if e[0] == "h")
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                flush_eob()
+        scan_payloads.append(((comp_idx, ss, se, ah, al), ops))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    w, h = blocks_w * 8, blocks_h * 8
+    out = b"\xff\xd8" + seg(0xFFDB, bytes([0x00]) + bytes(_JPEG_QTAB))
+    if ncomp == 3:
+        out += seg(0xFFDB, bytes([0x01]) + bytes(_JPEG_QTAB_C))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += seg(0xFFC2, sof)
+
+    for (comp_idx, ss, se, ah, al), ops in scan_payloads:
+        # canonical tables for THIS scan's symbols, emitted just before it
+        syms: dict[tuple, list[int]] = {}
+        for op in ops:
+            if op[0] == "sym":
+                syms.setdefault(op[1], []).append(op[2])
+        tabs: dict[tuple, dict[int, tuple[int, int]]] = {}
+        for key, ss_ in syms.items():
+            bits_, vals_, tab = _jpeg_canonical(ss_)
+            tabs[key] = tab
+            tc = 0 if key[0] == "dc" else 1
+            out += seg(
+                0xFFC4, bytes([(tc << 4) | key[1]]) + bytes(bits_) + bytes(vals_)
+            )
+        bw = _JpegBitWriter()
+        for op in ops:
+            if op[0] == "sym":
+                code, ln = tabs[op[1]][op[2]]
+                bw.put(code, ln)
+            else:
+                bw.put(op[1], op[2])
+        bw.flush()
+        sos = bytes([len(comp_idx)])
+        for c in comp_idx:
+            tid = 0 if c == 0 else 1
+            sos += bytes([c + 1, (tid << 4) | tid])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, sos) + bytes(bw.out)
+    return out + b"\xff\xd9"
+
+
 class _JpegBitReader:
     """MSB-first bit reader over the entropy-coded segment with byte
     UNstuffing; a bare marker mid-segment or a truncated stream raises."""
@@ -2180,6 +2411,25 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _jpeg_idct_block(coef: list[int]) -> list[list[int]]:
+    """Fixed-point integer IDCT of one dequantized block (natural order)
+    → 8×8 clamped pixel rows; the shared arithmetic contract of every
+    JPEG oracle: px = clamp(128 + ((Σ coef·A[u][x]·A[v][y] + 2^25) >> 26))."""
+    out = [[0] * 8 for _ in range(8)]
+    for y in range(8):
+        for x in range(8):
+            t = 0
+            for u in range(8):
+                au = _JPEG_IDCT_A[u][x]
+                for v in range(8):
+                    c = coef[v * 8 + u]
+                    if c:
+                        t += c * au * _JPEG_IDCT_A[v][y]
+            px = 128 + ((t + (1 << 25)) >> 26)
+            out[y][x] = 0 if px < 0 else 255 if px > 255 else px
+    return out
+
+
 def _jpeg_ycbcr_to_rgb(Y: int, Cb: int, Cr: int) -> tuple[int, int, int]:
     """JFIF YCbCr → RGB in fixed point 2^16 (1.402→91881, 0.344136→22554,
     0.714136→46802, 1.772→116130) with floor rounding — exactly the
@@ -2189,6 +2439,225 @@ def _jpeg_ycbcr_to_rgb(Y: int, Cb: int, Cr: int) -> tuple[int, int, int]:
     b = Y + ((116130 * (Cb - 128) + 32768) >> 16)
     clamp = lambda v: 0 if v < 0 else 255 if v > 255 else v  # noqa: E731
     return clamp(r), clamp(g), clamp(b)
+
+
+def _jpeg_entropy_end(blob: bytes, start: int) -> int:
+    """End offset of an entropy-coded segment: the first 0xFF followed by
+    anything other than a stuffed 0x00 or an RSTn is the next marker."""
+    p = start
+    while p + 1 < len(blob):
+        if blob[p] != 0xFF:
+            p += 1
+            continue
+        nxt = blob[p + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            p += 2
+            continue
+        return p
+    return len(blob)
+
+
+def _decode_jpeg_progressive(
+    w: int,
+    h: int,
+    comps: list[tuple[int, int, int, int]],
+    qtabs: dict[int, list[int]],
+    prog_scans: list[tuple],
+    restart_interval: int,
+) -> tuple[int, int, list[list]]:
+    """Progressive JPEG (SOF2) reconstruction: every scan deposits bits of
+    the zigzag coefficients — DC scans first/refinement (T.81 G.1.2.1),
+    AC scans per component with spectral selection, EOB runs and
+    successive-approximation refinement (G.1.2.2-3) — and the final
+    coefficient array goes through the SAME dequant + integer IDCT +
+    upsample contract as baseline, so progressive output is pixel-exact
+    equal to a baseline encoding of the same quantized coefficients
+    (pinned by test: the transport changes, the arithmetic does not).
+
+    Restart intervals reset the DC predictors AND the EOB run (E.1.4).
+    Coefficients are stored in zigzag order per block; each component's
+    block grid is padded to whole MCUs (interleaved DC scans cover pad
+    blocks; non-interleaved scans cover ceil(plane/8) per T.81 A.2.2).
+    """
+    meta_of = {cid: (qid, sh, sv) for cid, qid, sh, sv in comps}
+    hmax = max(sh for _, _, sh, _ in comps)
+    vmax = max(sv for _, _, _, sv in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per component id: dict[(bx, by)] -> zigzag coef list; plus grids
+    grids: dict[int, tuple[int, int, int, int]] = {}  # cid -> (gw pad, gh pad, ndw, ndh)
+    coefs: dict[int, list[list[list[int]]]] = {}
+    for cid, qid, sh, sv in comps:
+        gw, gh = mcux * sh, mcuy * sv  # MCU-padded block grid
+        pw = (w * sh + hmax - 1) // hmax  # plane dims at component resolution
+        ph = (h * sv + vmax - 1) // vmax
+        ndw, ndh = (pw + 7) // 8, (ph + 7) // 8  # non-interleaved block counts
+        grids[cid] = (gw, gh, ndw, ndh)
+        coefs[cid] = [[[0] * 64 for _ in range(gw)] for _ in range(gh)]
+
+    for sc, ss, se, ah, al, huff, seg in prog_scans:
+        br = _JpegBitReader(seg)
+
+        def read_sym(tab):
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | br.bit()
+                if (length, code) in tab:
+                    return tab[(length, code)]
+            raise ValueError("invalid Huffman code")
+
+        if ss == 0:
+            # DC scan: may be interleaved; Se must be 0 (G.1.1.1.1)
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            preds = {cid: 0 for cid, _, _ in sc}
+            if len(sc) > 1 or len(comps) == 1:
+                n_units = mcux * mcuy
+            else:
+                cid0 = sc[0][0]
+                n_units = grids[cid0][2] * grids[cid0][3]
+            rst = 0
+            for unit in range(n_units):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    br.restart(rst & 7)
+                    rst += 1
+                    preds = {cid: 0 for cid, _, _ in sc}
+                for cid, td, _ in sc:
+                    _, sh, sv = meta_of[cid]
+                    if len(sc) > 1:
+                        mx, my = unit % mcux, unit // mcux
+                        blocks = [
+                            (mx * sh + vx, my * sv + vy)
+                            for vy in range(sv)
+                            for vx in range(sh)
+                        ]
+                    else:
+                        ndw = grids[cid][2]
+                        blocks = [(unit % ndw, unit // ndw)]
+                    for bx, by in blocks:
+                        zz = coefs[cid][by][bx]
+                        if ah == 0:
+                            s = read_sym(huff[(0, td)])
+                            diff = _jpeg_extend(br.bits(s), s) if s else 0
+                            preds[cid] += diff
+                            zz[0] = preds[cid] << al
+                        else:
+                            if br.bit():
+                                zz[0] |= 1 << al
+        else:
+            # AC scan: exactly one component, non-interleaved (G.1.1.1.1)
+            if len(sc) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            cid, _, ta = sc[0]
+            ac_tab = huff[(1, ta)]
+            ndw, ndh = grids[cid][2], grids[cid][3]
+            eobrun = 0
+            rst = 0
+            for unit in range(ndw * ndh):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    br.restart(rst & 7)
+                    rst += 1
+                    eobrun = 0
+                zz = coefs[cid][unit // ndw][unit % ndw]
+                if ah == 0:
+                    # first pass for this band (G.1.2.2)
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = read_sym(ac_tab)
+                        r, s = sym >> 4, sym & 0xF
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r) - 1 + (br.bits(r) if r else 0)
+                                break
+                            k += 16  # ZRL
+                        else:
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run overflows the band")
+                            zz[k] = _jpeg_extend(br.bits(s), s) << al
+                            k += 1
+                else:
+                    # refinement pass (G.1.2.3): one more bit of precision
+                    p1, m1 = 1 << al, -1 << al
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = read_sym(ac_tab)
+                            r, s = sym >> 4, sym & 0xF
+                            newval = 0
+                            if s == 0:
+                                if r < 15:
+                                    eobrun = (1 << r) + (br.bits(r) if r else 0)
+                                    break
+                                # r == 15: ZRL — skip 16 zero-history coefs
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "refinement scan size must be 1"
+                                    )
+                                newval = p1 if br.bit() else m1
+                            # advance past r zero-history positions, emitting
+                            # correction bits for nonzero-history ones passed
+                            while k <= se:
+                                if zz[k] != 0:
+                                    if br.bit() and (zz[k] & p1) == 0:
+                                        zz[k] += p1 if zz[k] >= 0 else m1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval and k <= se:
+                                zz[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        # correction bits for the rest of the band (G.1.2.3:
+                        # every block covered by the EOB run still refines
+                        # its already-nonzero coefficients)
+                        while k <= se:
+                            if zz[k] != 0 and br.bit() and (zz[k] & p1) == 0:
+                                zz[k] += p1 if zz[k] >= 0 else m1
+                            k += 1
+                        eobrun -= 1
+
+    # dequant + dezigzag + IDCT per block, then the shared replication
+    # upsample — identical arithmetic to the baseline path
+    planes = {}
+    for cid, qid, sh, sv in comps:
+        gw, gh = grids[cid][0], grids[cid][1]
+        q = qtabs[qid]
+        plane = [[0] * (gw * 8) for _ in range(gh * 8)]
+        for by in range(gh):
+            for bx in range(gw):
+                zz = coefs[cid][by][bx]
+                coef = [0] * 64
+                for i in range(64):
+                    coef[_JPEG_ZIGZAG[i]] = zz[i] * q[i]
+                blk = _jpeg_idct_block(coef)
+                for y in range(8):
+                    row = blk[y]
+                    for x in range(8):
+                        plane[by * 8 + y][bx * 8 + x] = row[x]
+        planes[cid] = plane
+    if len(comps) == 1:
+        return w, h, [row[:w] for row in planes[comps[0][0]][:h]]
+    order = [cid for cid, _, _, _ in comps]
+    samps = {cid: (sh, sv) for cid, _, sh, sv in comps}
+    rgb = [
+        [
+            _jpeg_ycbcr_to_rgb(
+                planes[order[0]][y * samps[order[0]][1] // vmax][x * samps[order[0]][0] // hmax],
+                planes[order[1]][y * samps[order[1]][1] // vmax][x * samps[order[1]][0] // hmax],
+                planes[order[2]][y * samps[order[2]][1] // vmax][x * samps[order[2]][0] // hmax],
+            )
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    return w, h, rgb
 
 
 def decode_jpeg(blob: bytes) -> tuple[int, int, list[list]]:
@@ -2216,8 +2685,13 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, list[list]]:
     the decoder; replication keeps every output pixel an integer function
     of the coefficient stream). Restart intervals (DRI + byte-aligned RSTn
     with modulo-8 sequence check and DC-predictor reset, T.81 E.1.4) are
-    honored. Progressive (SOF2), sampling factors > 2 and 16-bit quant
-    tables raise NotImplementedError.
+    honored. Progressive frames (SOF2) are decoded by the multi-scan
+    engine (`_decode_jpeg_progressive`): spectral selection, EOB runs and
+    full successive approximation (DC + AC refinement per T.81 G.1.2),
+    with the final coefficients going through the SAME dequant/IDCT/
+    upsample arithmetic — progressive output is pixel-identical to a
+    baseline encoding of the same coefficients. Sampling factors > 2 and
+    16-bit quant tables raise NotImplementedError.
     """
     import struct
 
@@ -2225,11 +2699,15 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, list[list]]:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     restart_interval = 0
+    progressive = False
     qtabs: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
     comps: list[tuple[int, int, int, int]] = []  # (component id, quant table id, h, v)
     scan: list[tuple[int, int, int]] = []  # (component id, dc table, ac table)
+    # progressive: one record per SOS — (scan comps, Ss, Se, Ah, Al,
+    # huffman-table snapshot, entropy bytes)
+    prog_scans: list[tuple] = []
     data = None
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
@@ -2247,7 +2725,8 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, list[list]]:
                     raise NotImplementedError("16-bit quantization tables not supported")
                 qtabs[payload[p] & 0xF] = list(payload[p + 1 : p + 65])
                 p += 65
-        elif marker == 0xFFC0:
+        elif marker in (0xFFC0, 0xFFC2):
+            progressive = marker == 0xFFC2
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8 or ncomp not in (1, 3):
                 raise NotImplementedError("only 8-bit 1- or 3-component baseline supported")
@@ -2262,8 +2741,8 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, list[list]]:
                     # out of scope until a fixture needs it
                     raise NotImplementedError("subsampled single-component frames not supported")
                 comps.append((cid, qid, sh, sv))
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
-            raise NotImplementedError("only baseline sequential (SOF0) supported")
+        elif marker in (0xFFC1, 0xFFC3):
+            raise NotImplementedError("only baseline (SOF0) and progressive (SOF2) supported")
         elif marker == 0xFFDD:
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xFFC4:
@@ -2277,6 +2756,24 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, list[list]]:
                 )
                 p += 17 + nv
         elif marker == 0xFFDA:
+            if progressive:
+                ns = payload[0]
+                sc = []
+                for si in range(ns):
+                    cid = payload[1 + 2 * si]
+                    tt = payload[2 + 2 * si]
+                    sc.append((cid, tt >> 4, tt & 0xF))
+                ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+                seg_start = pos + ln
+                seg_end = _jpeg_entropy_end(blob, seg_start)
+                # DHT may be redefined between scans — snapshot the tables
+                # visible at THIS scan's position
+                prog_scans.append(
+                    (sc, ss, se, ahal >> 4, ahal & 0xF, dict(huff),
+                     blob[seg_start:seg_end])
+                )
+                pos = seg_end
+                continue
             if payload[0] != len(comps):
                 raise NotImplementedError("scan must cover all frame components")
             for si in range(payload[0]):
@@ -2286,6 +2783,12 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, list[list]]:
             data = blob[pos + ln :]
             break
         pos += ln
+    if progressive:
+        if w is None or not prog_scans:
+            raise ValueError("missing SOF2/SOS")
+        return _decode_jpeg_progressive(
+            w, h, comps, qtabs, prog_scans, restart_interval
+        )
     if data is None or w is None or not scan:
         raise ValueError("missing SOF0/SOS")
     if data.endswith(b"\xff\xd9"):
@@ -2350,17 +2853,11 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, list[list]]:
                         coef[_JPEG_ZIGZAG[i]] = zz[i] * q[i]
                     plane = planes[ci]
                     bx, by = (mx * sh + vx) * 8, (my * sv + vy) * 8
+                    blk = _jpeg_idct_block(coef)
                     for y in range(8):
+                        row = blk[y]
                         for x in range(8):
-                            t = 0
-                            for u in range(8):
-                                au = _JPEG_IDCT_A[u][x]
-                                for v in range(8):
-                                    c = coef[v * 8 + u]
-                                    if c:
-                                        t += c * au * _JPEG_IDCT_A[v][y]
-                            px = 128 + ((t + (1 << 25)) >> 26)
-                            plane[by + y][bx + x] = 0 if px < 0 else 255 if px > 255 else px
+                            plane[by + y][bx + x] = row[x]
     if len(scan) == 1:
         return w, h, [row[:w] for row in planes[0][:h]]
     # sample-replication upsampling: component c at full-res (x, y) reads

@@ -1745,8 +1745,15 @@ def test_jpeg_rejects_unsupported_and_corrupt(spark):
 
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
+    # SOF2 (progressive) is now supported; SOF3 (lossless) is not
     with pytest.raises(NotImplementedError, match="SOF0"):
-        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05aaa")
+        decode_jpeg(b"\xff\xd8\xff\xc3\x00\x05aaa")
+    # a progressive frame with no scans is malformed, not silently empty
+    with pytest.raises(ValueError, match="SOF2/SOS"):
+        decode_jpeg(
+            b"\xff\xd8\xff\xc2\x00\x0b" + bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+            + b"\xff\xd9"
+        )
     blob = make_jpeg(3)
     with pytest.raises(ValueError, match="truncated"):
         decode_jpeg(blob[:-20])
@@ -2473,6 +2480,157 @@ def test_jpeg_golden_hand_authored_restart_stream():
     for y in range(8):
         for x in range(8):
             t = c0 * 2896 * 2896 + c1 * A1[x] * 2896 + c26 * A2[x] * A3[y]
+            want = 128 + ((t + (1 << 25)) >> 26)
+            want = 0 if want < 0 else 255 if want > 255 else want
+            assert px[y][x] == want, (x, y)
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Progressive (SOF2) decode must be pixel-identical to a baseline
+    encoding of the same quantized coefficients — the transport changes
+    (spectral selection, EOB runs, successive approximation), the
+    arithmetic does not. Gray + 4:4:4 color, default scan scripts."""
+    from query_engine_spark.llmdata.multimodal import (
+        decode_jpeg, encode_jpeg_blocks, encode_jpeg_progressive,
+        jpeg_color_qcoefs, jpeg_qcoefs, make_jpeg_color,
+    )
+
+    for mid, bw_, bh_ in [(0, 1, 1), (3, 2, 2), (7, 3, 2)]:
+        blocks = [jpeg_qcoefs(mid, bi) for bi in range(bw_ * bh_)]
+        assert decode_jpeg(encode_jpeg_progressive({0: blocks}, bw_, bh_)) == \
+            decode_jpeg(encode_jpeg_blocks(blocks, bw_, bh_))
+    for pat, bw_, bh_ in [(0, 1, 1), (2, 2, 2), (5, 3, 2)]:
+        blocks = {
+            c: [jpeg_color_qcoefs(pat, bi, c) for bi in range(bw_ * bh_)]
+            for c in range(3)
+        }
+        assert decode_jpeg(encode_jpeg_progressive(blocks, bw_, bh_)) == \
+            decode_jpeg(make_jpeg_color(pat, bw_, bh_))
+
+
+def test_jpeg_progressive_fuzz_random_scripts():
+    """Random sparse/large coefficients through random scan scripts
+    (random Al ladders, random spectral band splits) must reconstruct the
+    same pixels as the gray baseline / trivial single-pass script."""
+    import random
+
+    from query_engine_spark.llmdata.multimodal import (
+        decode_jpeg, encode_jpeg_blocks, encode_jpeg_progressive,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(60):
+        bw_, bh_ = rng.randint(1, 4), rng.randint(1, 3)
+        n = bw_ * bh_
+        ncomp = rng.choice([1, 3])
+        blocks = {}
+        for c in range(ncomp):
+            bl = []
+            for bi in range(n):
+                qc = [0] * 64
+                for _ in range(rng.randint(0, 12)):
+                    qc[rng.randrange(64)] = rng.choice(
+                        [1, -1, 2, -2, 3, -5, 7, -9, 15, -31, 63, -127, 255, -300]
+                    )
+                if rng.random() < 0.3:
+                    qc[0] = rng.randint(-200, 200)
+                bl.append(qc)
+            blocks[c] = bl
+        al_top = rng.choice([0, 1, 2, 3])
+        script = [(tuple(range(ncomp)), 0, 0, 0, al_top)]
+        for a in range(al_top - 1, -1, -1):
+            script.append((tuple(range(ncomp)), 0, 0, a + 1, a))
+        split = rng.randint(1, 62)
+        for c in range(ncomp):
+            ac_top = rng.choice([0, 1, 2])
+            script.append(((c,), 1, split, 0, ac_top))
+            script.append(((c,), split + 1, 63, 0, ac_top))
+            for a in range(ac_top - 1, -1, -1):
+                script.append(((c,), 1, 63, a + 1, a))
+        prog = decode_jpeg(encode_jpeg_progressive(blocks, bw_, bh_, scans=script))
+        if ncomp == 1:
+            ref = decode_jpeg(encode_jpeg_blocks(blocks[0], bw_, bh_))
+        else:
+            triv = [(tuple(range(3)), 0, 0, 0, 0)] + [
+                ((c,), 1, 63, 0, 0) for c in range(3)
+            ]
+            ref = decode_jpeg(encode_jpeg_progressive(blocks, bw_, bh_, scans=triv))
+        assert prog == ref, trial
+
+
+def test_jpeg_golden_hand_authored_progressive_stream():
+    """Successive-approximation conformance anchored OUTSIDE the
+    co-developed pair: a 4-scan progressive stream assembled byte-by-byte
+    from T.81 G.1.2 — DC first at Al=1 (arithmetic-shift point
+    transform), AC first at Al=1 (run/size + EOB), a one-bit DC
+    refinement, and an AC refinement scan whose wire format (newly-nonzero
+    (run,1) symbol + sign bit + interleaved correction bits + EOB) is
+    written out as literal bit-strings with hand-assigned multi-length
+    Huffman tables. Expected pixels computed independently from the spec
+    constants. Also exercises byte stuffing in progressive scans (two
+    scans pad to 0xFF and must be stuffed)."""
+    import struct
+
+    from query_engine_spark.llmdata.multimodal import decode_jpeg
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    q = [16] * 64
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    # scan-2 AC table: len2: 0x01 "00", 0x00 "01"; len3: 0x11 "100"
+    ac2_bits = [0, 2, 1] + [0] * 13
+    ac2_vals = [0x01, 0x00, 0x11]
+    # scan-4 AC table: len2: 0x21 "00", 0x00 "01"
+    ac4_bits = [0, 2] + [0] * 14
+    ac4_vals = [0x21, 0x00]
+
+    blob = (
+        b"\xff\xd8"
+        + seg(0xFFDB, bytes([0x00]) + bytes(q))
+        + seg(0xFFC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        # scan 1 — DC first, Al=1: DC=5 -> visible 5>>1=2, diff 2: cat 2
+        # ("011") + bits "10"; pad "111" -> 0x77
+        + seg(0xFFC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+        + bytes([0x77])
+        # scan 2 — AC first 1..63, Al=1: zz1=+3 -> +1 ("00"+"1"),
+        # zz3=-2 -> run1 -1 ("100"+"0"), EOB "01"; 9 bits -> 0x30 then a
+        # pad byte of all ones = 0xFF, byte-stuffed
+        + seg(0xFFC4, bytes([0x10]) + bytes(ac2_bits) + bytes(ac2_vals))
+        + seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+        + bytes([0x30, 0xFF, 0x00])
+        # scan 3 — DC refinement Ah=1,Al=0: one raw bit (5&1=1), padded ->
+        # 0xFF, stuffed
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+        + bytes([0xFF, 0x00])
+        # scan 4 — AC refinement 1..63 Ah=1,Al=0: zz5 newly +1 after two
+        # zero-history runs: sym 0x21 "00" + sign "1", then correction
+        # bits for zz1 (3&1=1) and zz3 (2&1=0), EOB "01"; 7 bits -> 0x33
+        + seg(0xFFC4, bytes([0x10]) + bytes(ac4_bits) + bytes(ac4_vals))
+        + seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+        + bytes([0x33])
+        + b"\xff\xd9"
+    )
+    w, h, px = decode_jpeg(blob)
+    assert (w, h) == (8, 8)
+
+    # final coefficients: DC=5, zz1=+3, zz3=-2, zz5=+1 (x16 quant);
+    # naturals: 0 -> (u0,v0), 1 -> (u1,v0), 16 -> (u0,v2), 2 -> (u2,v0)
+    A = [
+        [2896, 2896, 2896, 2896, 2896, 2896, 2896, 2896],
+        [4017, 3406, 2276, 799, -799, -2276, -3406, -4017],
+        [3784, 1567, -1567, -3784, -3784, -1567, 1567, 3784],
+    ]
+    for y in range(8):
+        for x in range(8):
+            t = (
+                80 * A[0][x] * A[0][y]
+                + 48 * A[1][x] * A[0][y]
+                - 32 * A[0][x] * A[2][y]
+                + 16 * A[2][x] * A[0][y]
+            )
             want = 128 + ((t + (1 << 25)) >> 26)
             want = 0 if want < 0 else 255 if want > 255 else want
             assert px[y][x] == want, (x, y)
