@@ -7087,10 +7087,11 @@ _STALE_VERIFICATION: set[str] = set()
 # never-verified + touched <= 50. Round 7's primary mission is the 48-query
 # r1/r2-era rotation cohort (7 r1 + 41 r2 rows, the least-recently-verified
 # pool) — with the new multimodal_jpeg_420 (never-verified, leads the window)
-# and the three touched rows below, 52 candidates compete for 50 slots, so
-# the final two r2-era rotation names by registry position slip to the
-# round-8 window (they keep their r2 record; the three-scale selfcheck sweep
-# covers them on current code this round).
+# and the four touched rows below, 53 candidates compete for 50 slots, so
+# the final three r2-era rotation names by registry position
+# (llm_hash_sample, llm_top_terms, llm_prepare_corpus) slip to the round-8
+# window (they keep their r2 record; the three-scale selfcheck sweep covers
+# them on current code this round).
 _ROUND7_TOUCHED = {
     # r6-verified, but round 7 replaces min-label connected components with
     # alternating large-star/small-star (dedup.py dedup_clusters) — the
@@ -7106,6 +7107,15 @@ _ROUND7_TOUCHED = {
     # Catalyst constraint propagation ever stops pushing the not-null
     # filters below the guard) — the scoring plan changes.
     "events_anomaly_static",
+    # r6-verified, but round 7 restructured the JPEG decoder substantially
+    # (generalized per-component sampling factors + MCU walk, factored
+    # _jpeg_idct_block, multi-scan marker loop for progressive, restart
+    # intervals): multimodal_jpeg re-verifies the GRAYSCALE path on the new
+    # code; the color path is covered by the never-verified
+    # multimodal_jpeg_420 leading the window (a superset of jpeg_color's
+    # machinery), and media_jpeg_perceptual_dedup / multimodal_jpeg_color
+    # keep their r6 record backed by the three-scale selfcheck sweep.
+    "multimodal_jpeg",
     # r6-verified, but round 7 re-keys the persisted dHash band index cache
     # by a content fingerprint instead of the sf-dir basename (ADVICE r6
     # medium: stale cross-session /tmp reuse) — the index build path changes.
