@@ -220,3 +220,53 @@ def test_streaming_media_perceptual_dedup_matches_batch(spark, tmp_path):
     assert len(want) >= 8
     # the index now covers both batches, hashed exactly once each
     assert spark.read.parquet(index_dir).count() == 16
+
+
+def test_streaming_media_dedup_survives_restart(spark, tmp_path):
+    """Checkpoint continuity for the media-ingest job: stop the query
+    after batch A, start a NEW query on the same checkpoint, feed batch B
+    — batch numbering must continue (B probes A through the __batch_id <
+    current filter) and the final matches equal the batch probe, exactly
+    as if the query had never restarted."""
+    from query_engine_spark.llmdata import multimodal as MM
+    from query_engine_spark.streaming.compose import (
+        media_ingest_matches,
+        media_ingest_start,
+    )
+
+    def maker(i: int) -> bytes:
+        return MM.make_bmp(i % 4, 24, 16)
+
+    in_dir, index_dir, matches_dir, ckpt = (
+        str(tmp_path / n) for n in ("in", "idx", "matches", "ckpt")
+    )
+    df_a = spark.createDataFrame(
+        [(i, bytearray(maker(i))) for i in range(6)], "media_id long, payload binary"
+    )
+    df_b = spark.createDataFrame(
+        [(i, bytearray(maker(i))) for i in range(6, 12)], "media_id long, payload binary"
+    )
+    df_a.coalesce(1).write.mode("append").parquet(in_dir)
+    q1 = media_ingest_start(spark, in_dir, index_dir, matches_dir, ckpt)
+    q1.processAllAvailable()
+    q1.stop()  # simulate driver restart between crawl batches
+
+    df_b.coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = media_ingest_start(spark, in_dir, index_dir, matches_dir, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {
+        (r["media_id"], r["match_id"], r["hamming"])
+        for r in media_ingest_matches(spark, matches_dir).collect()
+    }
+    want = {
+        (r["media_id"], r["match_id"], r["hamming"])
+        for r in MM.perceptual_probe_pairs(
+            MM.dhash_bands(df_b), MM.dhash_bands(df_a), max_hamming=3
+        ).collect()
+    }
+    assert got == want and len(want) >= 6
+    assert spark.read.parquet(index_dir).count() == 12
