@@ -801,6 +801,459 @@ def resample_wav(blob: bytes, out_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def _flac_crc8(data: bytes) -> int:
+    """FLAC frame-header CRC-8 (poly x^8+x^2+x+1 = 0x07, init 0)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    """FLAC frame CRC-16 (poly x^16+x^15+x^2+1 = 0x8005, init 0)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+# fixed-predictor residual: res[i] = s[i] - prediction(order) — the
+# binomial-coefficient predictors of FLAC §9.2.2 (and SHORTEN before it)
+_FLAC_FIXED_COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+class _FlacBitWriter:
+    """MSB-first bit writer, zero-padded to byte boundaries (no stuffing —
+    FLAC is not a marker format)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, val: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((val >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                self._acc = 0
+                self._n = 0
+
+    def unary(self, q: int) -> None:
+        for _ in range(q):
+            self.put(0, 1)
+        self.put(1, 1)
+
+    def align(self) -> None:
+        while self._n:
+            self.put(0, 1)
+
+
+class _FlacBitReader:
+    """MSB-first bit reader (no unstuffing); tracks byte position so frame
+    CRC-16 can be computed over the exact consumed span."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self._data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self._data):
+                raise ValueError("truncated FLAC stream")
+            self._acc = self._data[self.pos]
+            self.pos += 1
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sbits(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bit() == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self._n = 0
+
+
+def _flac_utf8_number(n: int) -> bytes:
+    """FLAC frame numbers use the UTF-8 code-point packing (extended to
+    36 bits)."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    marks = [(0x7FF, 0xC0, 1), (0xFFFF, 0xE0, 2), (0x1FFFFF, 0xF0, 3),
+             (0x3FFFFFF, 0xF8, 4), (0x7FFFFFFF, 0xFC, 5)]
+    for limit, lead, cont in marks:
+        if n <= limit:
+            out.append(lead | (n >> (6 * cont)))
+            for i in range(cont - 1, -1, -1):
+                out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+            return bytes(out)
+    raise ValueError("frame number too large")
+
+
+def _flac_read_utf8(br: "_FlacBitReader") -> int:
+    lead = br.bits(8)
+    if lead < 0x80:
+        return lead
+    cont = 0
+    mask = 0x40
+    while lead & mask:
+        cont += 1
+        mask >>= 1
+    if cont < 1 or cont > 6:
+        raise ValueError("bad UTF-8 coded frame number")
+    n = lead & (mask - 1)
+    for _ in range(cont):
+        b = br.bits(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("bad UTF-8 continuation in frame number")
+        n = (n << 6) | (b & 0x3F)
+    return n
+
+
+def make_flac(
+    media_id: int,
+    n_samples: int,
+    sample_rate: int = 8000,
+    *,
+    frame_size: int = 256,
+) -> bytes:
+    """Pack a REAL FLAC stream (the lossless codec speech corpora like
+    LibriSpeech actually ship): 16-bit mono, sample i =
+    ``((media_id*131 + i*17) % 65536) - 32768`` — the same integer
+    formula as `make_wav`, so the same oracle arithmetic predicts every
+    decoded sample. Fixed-blocksize frames; per frame the best FIXED
+    predictor (order 0–4 by least total residual magnitude) with warmup
+    samples, one rice partition with the cost-optimal parameter (escape
+    to verbatim-width residuals when rice loses — the sawtooth's wrap
+    residuals exercise it), UTF-8 frame numbers, CRC-8 header and CRC-16
+    frame checksums, and a STREAMINFO block carrying the MD5 of the
+    unencoded samples (decoder verifies)."""
+    samples = [((media_id * 131 + i * 17) % 65536) - 32768 for i in range(n_samples)]
+    return encode_flac(samples, sample_rate, frame_size=frame_size)
+
+
+def encode_flac(
+    samples: list[int], sample_rate: int = 8000, *, frame_size: int = 256
+) -> bytes:
+    """Encode arbitrary 16-bit mono samples as a valid FLAC stream — the
+    encoder half shared by the fixture generator and the fuzz tests (see
+    `make_flac` for the format features exercised)."""
+    import hashlib
+    import struct
+
+    n_samples = len(samples)
+    raw = b"".join(struct.pack("<h", s) for s in samples)
+
+    def frame_bytes(fno: int, block: list[int]) -> bytes:
+        bs = len(block)
+        # choose the fixed order with least total |residual|
+        best_order, best_res, best_cost = 0, block, None
+        for order, coef in _FLAC_FIXED_COEF.items():
+            if order >= bs:
+                continue
+            res = [
+                block[i] - sum(c * block[i - 1 - j] for j, c in enumerate(coef))
+                for i in range(order, bs)
+            ]
+            cost = sum(abs(r) for r in res)
+            if best_cost is None or cost < best_cost:
+                best_order, best_res, best_cost = order, res, cost
+        order, res = best_order, best_res
+
+        bw = _FlacBitWriter()
+        bw.put(0b11111111111110, 14)  # sync
+        bw.put(0, 1)  # reserved
+        bw.put(0, 1)  # fixed-blocksize stream
+        bw.put(0b0111, 4)  # block size: 16-bit value-1 follows
+        bw.put(0b0000, 4)  # sample rate: from STREAMINFO
+        bw.put(0b0000, 4)  # channel assignment: mono
+        bw.put(0b100, 3)  # sample size: 16 bits
+        bw.put(0, 1)  # reserved
+        for b in _flac_utf8_number(fno):
+            bw.put(b, 8)
+        bw.put(bs - 1, 16)
+        hdr = bytes(bw.out)
+        bw.put(_flac_crc8(hdr), 8)
+
+        # subframe: FIXED order (or CONSTANT when the block is flat)
+        if all(s == block[0] for s in block):
+            bw.put(0, 1)
+            bw.put(0b000000, 6)  # CONSTANT
+            bw.put(0, 1)
+            bw.put(block[0] & 0xFFFF, 16)
+        else:
+            bw.put(0, 1)
+            bw.put(0b001000 | order, 6)  # FIXED, order
+            bw.put(0, 1)  # no wasted bits
+            for s in block[:order]:
+                bw.put(s & 0xFFFF, 16)
+            # residual: 4-bit rice method, partition order 0
+            bw.put(0b00, 2)
+            bw.put(0, 4)
+            zig = [(r << 1) ^ (r >> 63) for r in res]  # arithmetic shift fold
+            best_p, best_bits = None, None
+            for p in range(15):
+                nbits = sum((u >> p) + 1 + p for u in zig)
+                if best_bits is None or nbits < best_bits:
+                    best_p, best_bits = p, nbits
+            width = max((abs(r).bit_length() + 1 for r in res), default=1)
+            if best_bits <= 5 + width * len(res):
+                bw.put(best_p, 4)
+                for u in zig:
+                    bw.unary(u >> best_p)
+                    bw.put(u & ((1 << best_p) - 1), best_p)
+            else:
+                bw.put(0b1111, 4)  # escape: raw residuals
+                bw.put(width, 5)
+                for r in res:
+                    bw.put(r & ((1 << width) - 1), width)
+        bw.align()
+        body = bytes(bw.out)
+        return body + struct.pack(">H", _flac_crc16(body))
+
+    frames = b"".join(
+        frame_bytes(fno, samples[i : i + frame_size])
+        for fno, i in enumerate(range(0, n_samples, frame_size))
+    )
+    si = _FlacBitWriter()
+    si.put(frame_size, 16)  # min block size
+    si.put(frame_size, 16)  # max block size
+    si.put(0, 24)  # min frame size unknown
+    si.put(0, 24)  # max frame size unknown
+    si.put(sample_rate, 20)
+    si.put(0, 3)  # channels - 1
+    si.put(15, 5)  # bits per sample - 1
+    si.put(n_samples, 36)
+    streaminfo = bytes(si.out) + hashlib.md5(raw).digest()
+    header = bytes([0x80, 0, 0, len(streaminfo)])  # last-block flag | type 0
+    return b"fLaC" + header + streaminfo + frames
+
+
+def decode_flac(blob: bytes) -> tuple[int, int, list[int]]:
+    """REAL FLAC decode → (sample_rate, n_samples, samples). Validates the
+    magic, walks metadata blocks (STREAMINFO mandatory), then per frame:
+    sync code, CRC-8 of the header, UTF-8 frame number, subframe types
+    CONSTANT / VERBATIM / FIXED 0–4 / LPC (quantized coefficients +
+    arithmetic shift — decoded even though the fixture encoder never
+    emits it), rice residuals in 2^po partitions for both the 4- and
+    5-bit parameter methods including the verbatim escape, CRC-16 of the
+    whole frame, and the STREAMINFO MD5 of the reassembled samples.
+    16-bit mono; stereo channel decorrelation raises NotImplementedError.
+    Every decoded sample is an exact integer function of the stream —
+    the hash-oracle property shared by the whole codec family."""
+    import hashlib
+    import struct
+
+    if blob[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (missing fLaC magic)")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(blob):
+            raise ValueError("truncated metadata")
+        last = blob[pos] & 0x80
+        btype = blob[pos] & 0x7F
+        (ln,) = struct.unpack(">I", b"\x00" + blob[pos + 1 : pos + 4])
+        if btype == 0:
+            streaminfo = blob[pos + 4 : pos + 4 + ln]
+        pos += 4 + ln
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) < 34:
+        raise ValueError("missing STREAMINFO")
+    sr = _FlacBitReader(streaminfo)
+    sr.bits(16)
+    sr.bits(16)
+    sr.bits(24)
+    sr.bits(24)
+    sample_rate = sr.bits(20)
+    nchan = sr.bits(3) + 1
+    bps = sr.bits(5) + 1
+    total = sr.bits(36)
+    md5_expect = streaminfo[18:34]
+    if nchan != 1:
+        raise NotImplementedError("stereo channel decorrelation not supported")
+    if bps != 16:
+        raise NotImplementedError("only 16-bit samples supported")
+
+    samples: list[int] = []
+    while len(samples) < total:
+        frame_start = pos
+        br = _FlacBitReader(blob, pos)
+        if br.bits(14) != 0b11111111111110:
+            raise ValueError("lost frame sync")
+        br.bits(1)
+        br.bits(1)
+        bs_code = br.bits(4)
+        sr_code = br.bits(4)
+        chan = br.bits(4)
+        size_code = br.bits(3)
+        br.bits(1)
+        if chan != 0:
+            raise NotImplementedError("stereo channel decorrelation not supported")
+        if size_code != 0b100:
+            raise NotImplementedError("only 16-bit samples supported")
+        _flac_read_utf8(br)
+        if bs_code == 0b0110:
+            bs = br.bits(8) + 1
+        elif bs_code == 0b0111:
+            bs = br.bits(16) + 1
+        elif bs_code == 0b0001:
+            bs = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            bs = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            bs = 256 << (bs_code - 8)
+        else:
+            raise ValueError("reserved block size code")
+        if sr_code == 0b1100:
+            br.bits(8)
+        elif sr_code in (0b1101, 0b1110):
+            br.bits(16)
+        header = blob[frame_start : br.pos]
+        if br.bits(8) != _flac_crc8(header):
+            raise ValueError("frame header CRC-8 mismatch")
+
+        if br.bits(1) != 0:
+            raise ValueError("subframe padding bit set")
+        stype = br.bits(6)
+        wasted = 0
+        if br.bit():
+            wasted = br.unary() + 1
+        depth = bps - wasted
+        block: list[int]
+        if stype == 0:
+            v = br.sbits(depth)
+            block = [v] * bs
+        elif stype == 1:
+            block = [br.sbits(depth) for _ in range(bs)]
+        elif 8 <= stype <= 12 or stype >= 32:
+            if stype >= 32:
+                order = stype - 31
+                warm = [br.sbits(depth) for _ in range(order)]
+                prec = br.bits(4) + 1
+                if prec == 16:
+                    raise ValueError("invalid LPC precision")
+                shift = br.sbits(5)
+                coef = [br.sbits(prec) for _ in range(order)]
+            else:
+                order = stype - 8
+                warm = [br.sbits(depth) for _ in range(order)]
+                coef = None
+            method = br.bits(2)
+            if method > 1:
+                raise ValueError("reserved residual method")
+            pbits = 4 if method == 0 else 5
+            po = br.bits(4)
+            res: list[int] = []
+            nparts = 1 << po
+            for part in range(nparts):
+                cnt = bs >> po
+                if part == 0:
+                    cnt -= order
+                p = br.bits(pbits)
+                if p == (1 << pbits) - 1:
+                    width = br.bits(5)
+                    res.extend(
+                        br.sbits(width) if width else 0 for _ in range(cnt)
+                    )
+                else:
+                    for _ in range(cnt):
+                        u = (br.unary() << p) | br.bits(p)
+                        res.append((u >> 1) ^ -(u & 1))
+            block = list(warm)
+            if coef is None:
+                fc = _FLAC_FIXED_COEF[order]
+                for i, r in enumerate(res):
+                    pred = sum(
+                        c * block[order + i - 1 - j] for j, c in enumerate(fc)
+                    )
+                    block.append(r + pred)
+            else:
+                for i, r in enumerate(res):
+                    acc = sum(
+                        coef[j] * block[order + i - 1 - j] for j in range(order)
+                    )
+                    block.append(r + (acc >> shift))
+        else:
+            raise ValueError("reserved subframe type")
+        if wasted:
+            block = [s << wasted for s in block]
+
+        br.align()
+        body = blob[frame_start : br.pos]
+        (crc16,) = struct.unpack(">H", blob[br.pos : br.pos + 2])
+        if crc16 != _flac_crc16(body):
+            raise ValueError("frame CRC-16 mismatch")
+        pos = br.pos + 2
+        samples.extend(block)
+
+    samples = samples[: total]
+    raw = b"".join(struct.pack("<h", s) for s in samples)
+    if md5_expect != b"\x00" * 16 and hashlib.md5(raw).digest() != md5_expect:
+        raise ValueError("STREAMINFO MD5 mismatch")
+    return sample_rate, total, samples
+
+
+_FLAC_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, "
+    "amp_sum long, peak int, first_sample int"
+)
+
+
+def flac_features(df: DataFrame) -> DataFrame:
+    """Distributed FLAC decode: full frame/subframe/rice/CRC/MD5
+    validation per payload in one Arrow mapInPandas pass (map-only, no
+    shuffle); the integer feature surface matches `wav_features`, so the
+    same oracle arithmetic verifies a COMPRESSED lossless stream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                rate, n, samples = decode_flac(bytes(blob))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": rate,
+                        "n_samples": n,
+                        "amp_sum": sum(abs(s) for s in samples),
+                        "peak": max(samples, default=0),
+                        "first_sample": samples[0] if samples else 0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "amp_sum", "peak", "first_sample",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _FLAC_SCHEMA)
+
+
 _WAV_SCHEMA = (
     "media_id long, sample_rate int, n_samples long, duration_ms long, "
     "amp_sum long, peak int, first_sample int"

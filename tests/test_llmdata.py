@@ -2634,3 +2634,143 @@ def test_jpeg_golden_hand_authored_progressive_stream():
             want = 128 + ((t + (1 << 25)) >> 26)
             want = 0 if want < 0 else 255 if want > 255 else want
             assert px[y][x] == want, (x, y)
+
+
+def test_flac_roundtrip_matches_formula():
+    """decode_flac(make_flac(...)) must reproduce the exact sample formula
+    across frame-size boundaries (warmup samples, partial last frame,
+    rice-vs-escape choices on the sawtooth's wrap residuals)."""
+    from query_engine_spark.llmdata.multimodal import decode_flac, make_flac
+
+    for mid, n, rate, fs in [(0, 600, 8000, 256), (3, 1000, 16000, 192),
+                             (7, 64, 8000, 256), (11, 777, 12000, 100)]:
+        r, cnt, samples = decode_flac(make_flac(mid, n, rate, frame_size=fs))
+        assert (r, cnt) == (rate, n)
+        assert samples == [((mid * 131 + i * 17) % 65536) - 32768 for i in range(n)]
+
+
+def test_flac_fuzz_random_signals():
+    """Arbitrary random signals (noise, near-constants, clipped ramps,
+    alternating extremes — worst-case residual widths) through random
+    frame sizes must roundtrip exactly: exercises every fixed-predictor
+    order, the CONSTANT subframe, rice parameter extremes and the
+    verbatim escape, plus CRC-8/CRC-16/MD5 verification on every frame."""
+    import random
+
+    from query_engine_spark.llmdata.multimodal import decode_flac, encode_flac
+
+    rng = random.Random(99)
+    for trial in range(40):
+        kind = rng.randrange(4)
+        n = rng.randint(16, 900)
+        if kind == 0:
+            samples = [rng.randint(-32768, 32767) for _ in range(n)]
+        elif kind == 1:
+            samples = [rng.randint(-5, 5)] * n
+        elif kind == 2:
+            base = rng.randint(-30000, 30000)
+            samples = [max(-32768, min(32767, base + 7 * i)) for i in range(n)]
+        else:
+            samples = [(-32768 if i % 2 else 32767) for i in range(n)]
+        fs = rng.choice([64, 100, 192, 256])
+        rate = rng.choice([8000, 16000, 44100])
+        r, cnt, got = decode_flac(encode_flac(samples, rate, frame_size=fs))
+        assert (r, cnt) == (rate, n) and got == samples, (trial, kind, n, fs)
+
+
+def test_flac_rejects_corruption_and_unsupported():
+    import hashlib
+    import struct
+
+    import pytest
+
+    from query_engine_spark.llmdata.multimodal import decode_flac, make_flac
+
+    blob = make_flac(3, 400, 8000)
+    with pytest.raises(ValueError, match="magic"):
+        decode_flac(b"xxxx" + blob[4:])
+    # flip a bit inside the first frame body: CRC-16 (or an upstream CRC-8
+    # / sync / MD5 check) must catch it
+    mut = bytearray(blob)
+    mut[60] ^= 0x10
+    with pytest.raises(ValueError):
+        decode_flac(bytes(mut))
+    # stereo STREAMINFO must raise NotImplementedError, not mis-decode
+    si = bytearray(blob)
+    # STREAMINFO starts at byte 8; channels-1 sits in bits 100..102 of the
+    # block — byte 12 holds rate low bits + channels; set channels-1 = 1
+    # (bit layout: [rate 20][chan 3][bps 5] across bytes 10-13)
+    b13 = si[8 + 12]
+    si[8 + 12] = (b13 & 0b11110001) | (1 << 1)  # chan-1 = 1
+    with pytest.raises(NotImplementedError, match="stereo"):
+        decode_flac(bytes(si))
+
+
+def test_flac_decodes_hand_built_lpc_subframe():
+    """The decoder's LPC path (quantized coefficients + arithmetic-shift
+    prediction) exercised by a hand-assembled stream the fixture encoder
+    never emits: order-2 LPC, precision 4, shift 1, coefs [2, -1] — i.e.
+    s[i] = res[i] + ((2*s[i-1] - s[i-2]) >> 1) — over 8 samples, with a
+    rice partition order of 1 (TWO partitions, also never emitted by the
+    encoder)."""
+    import hashlib
+    import struct
+
+    from query_engine_spark.llmdata.multimodal import (
+        _FlacBitWriter, _flac_crc8, _flac_crc16, decode_flac,
+    )
+
+    warm = [100, 110]
+    res = [3, -2, 0, 1, -1, 4]
+    samples = list(warm)
+    for r in res:
+        samples.append(r + ((2 * samples[-1] - samples[-2]) >> 1))
+
+    bw = _FlacBitWriter()
+    bw.put(0b11111111111110, 14)
+    bw.put(0, 2)
+    bw.put(0b0110, 4)  # 8-bit blocksize-1 follows
+    bw.put(0b0000, 4)
+    bw.put(0b0000, 4)
+    bw.put(0b100, 3)
+    bw.put(0, 1)
+    bw.put(0, 8)  # frame number 0
+    bw.put(7, 8)  # blocksize-1
+    hdr = bytes(bw.out)
+    bw.put(_flac_crc8(hdr), 8)
+    bw.put(0, 1)
+    bw.put(0b100001 | 0, 6)  # LPC, order 2 -> 0b100000 | (order-1)
+    bw.put(0, 1)
+    for s in warm:
+        bw.put(s & 0xFFFF, 16)
+    bw.put(3, 4)  # precision-1 -> 4 bits
+    bw.put(1 & 0x1F, 5)  # shift = 1
+    for c in (2, -1):
+        bw.put(c & 0xF, 4)
+    bw.put(0b00, 2)  # 4-bit rice
+    bw.put(1, 4)  # partition order 1 -> two partitions of 4 (first minus order)
+    # partition 1: 8/2 - 2 = 2 residuals; partition 2: 4 residuals
+    for chunk, p in ((res[:2], 2), (res[2:], 1)):
+        bw.put(p, 4)
+        for r in chunk:
+            u = (r << 1) ^ (r >> 63)
+            bw.unary(u >> p)
+            bw.put(u & ((1 << p) - 1), p)
+    bw.align()
+    body = bytes(bw.out)
+    frame = body + struct.pack(">H", _flac_crc16(body))
+
+    si = _FlacBitWriter()
+    si.put(8, 16)
+    si.put(8, 16)
+    si.put(0, 24)
+    si.put(0, 24)
+    si.put(8000, 20)
+    si.put(0, 3)
+    si.put(15, 5)
+    si.put(8, 36)
+    raw = b"".join(struct.pack("<h", s) for s in samples)
+    streaminfo = bytes(si.out) + hashlib.md5(raw).digest()
+    blob = b"fLaC" + bytes([0x80, 0, 0, len(streaminfo)]) + streaminfo + frame
+
+    assert decode_flac(blob) == (8000, 8, samples)
