@@ -953,41 +953,119 @@ def make_flac(
     return encode_flac(samples, sample_rate, frame_size=frame_size)
 
 
+def _flac_write_subframe(bw: "_FlacBitWriter", block: list[int], depth: int) -> None:
+    """One subframe at the given bit depth: CONSTANT when flat, else the
+    least-|residual| FIXED predictor with a single cost-optimal rice
+    partition (verbatim escape when rice loses)."""
+    if all(s == block[0] for s in block):
+        bw.put(0, 1)
+        bw.put(0b000000, 6)  # CONSTANT
+        bw.put(0, 1)
+        bw.put(block[0] & ((1 << depth) - 1), depth)
+        return
+    bs = len(block)
+    best_order, best_res, best_cost = 0, block, None
+    for order, coef in _FLAC_FIXED_COEF.items():
+        if order >= bs:
+            continue
+        res = [
+            block[i] - sum(c * block[i - 1 - j] for j, c in enumerate(coef))
+            for i in range(order, bs)
+        ]
+        cost = sum(abs(r) for r in res)
+        if best_cost is None or cost < best_cost:
+            best_order, best_res, best_cost = order, res, cost
+    order, res = best_order, best_res
+    bw.put(0, 1)
+    bw.put(0b001000 | order, 6)  # FIXED, order
+    bw.put(0, 1)  # no wasted bits
+    for s in block[:order]:
+        bw.put(s & ((1 << depth) - 1), depth)
+    # residual: 4-bit rice method, partition order 0
+    bw.put(0b00, 2)
+    bw.put(0, 4)
+    zig = [(r << 1) ^ (r >> 63) for r in res]  # arithmetic shift fold
+    best_p, best_bits = None, None
+    for p in range(15):
+        nbits = sum((u >> p) + 1 + p for u in zig)
+        if best_bits is None or nbits < best_bits:
+            best_p, best_bits = p, nbits
+    width = max((abs(r).bit_length() + 1 for r in res), default=1)
+    if best_bits <= 5 + width * len(res):
+        bw.put(best_p, 4)
+        for u in zig:
+            bw.unary(u >> best_p)
+            bw.put(u & ((1 << best_p) - 1), best_p)
+    else:
+        bw.put(0b1111, 4)  # escape: raw residuals
+        bw.put(width, 5)
+        for r in res:
+            bw.put(r & ((1 << width) - 1), width)
+
+
 def encode_flac(
-    samples: list[int], sample_rate: int = 8000, *, frame_size: int = 256
+    samples: list[int],
+    sample_rate: int = 8000,
+    *,
+    frame_size: int = 256,
+    channels: int = 1,
 ) -> bytes:
-    """Encode arbitrary 16-bit mono samples as a valid FLAC stream — the
+    """Encode arbitrary 16-bit samples as a valid FLAC stream — the
     encoder half shared by the fixture generator and the fuzz tests (see
-    `make_flac` for the format features exercised)."""
+    `make_flac` for the format features exercised). `channels=2` takes
+    interleaved [L0, R0, L1, R1, …] and picks the cheapest channel
+    assignment PER FRAME among independent, left/side, right/side and
+    mid/side (side = L−R at 17-bit depth, mid = (L+R)>>1 — the exact
+    libFLAC-compatible decorrelation), so a stereo stream exercises every
+    reconstruction path in the decoder."""
     import hashlib
     import struct
 
-    n_samples = len(samples)
+    if channels not in (1, 2):
+        raise ValueError("1 or 2 channels")
+    if len(samples) % channels:
+        raise ValueError("sample count must divide by channels")
+    n_samples = len(samples) // channels  # interchannel samples
     raw = b"".join(struct.pack("<h", s) for s in samples)
 
-    def frame_bytes(fno: int, block: list[int]) -> bytes:
-        bs = len(block)
-        # choose the fixed order with least total |residual|
-        best_order, best_res, best_cost = 0, block, None
+    def subframe_cost(block: list[int]) -> int:
+        best = None
         for order, coef in _FLAC_FIXED_COEF.items():
-            if order >= bs:
+            if order >= len(block):
                 continue
-            res = [
-                block[i] - sum(c * block[i - 1 - j] for j, c in enumerate(coef))
-                for i in range(order, bs)
-            ]
-            cost = sum(abs(r) for r in res)
-            if best_cost is None or cost < best_cost:
-                best_order, best_res, best_cost = order, res, cost
-        order, res = best_order, best_res
+            cost = sum(
+                abs(block[i] - sum(c * block[i - 1 - j] for j, c in enumerate(coef)))
+                for i in range(order, len(block))
+            )
+            if best is None or cost < best:
+                best = cost
+        return best if best is not None else 0
 
+    def frame_bytes(fno: int, inter: list[int]) -> bytes:
+        bs = len(inter) // channels
+        if channels == 1:
+            assign, chans = 0b0000, [(inter, 16)]
+        else:
+            left = inter[0::2]
+            right = inter[1::2]
+            side = [l - r for l, r in zip(left, right)]
+            mid = [(l + r) >> 1 for l, r in zip(left, right)]
+            options = [
+                (0b0001, [(left, 16), (right, 16)]),
+                (0b1000, [(left, 16), (side, 17)]),
+                (0b1001, [(side, 17), (right, 16)]),
+                (0b1010, [(mid, 16), (side, 17)]),
+            ]
+            assign, chans = min(
+                options, key=lambda o: sum(subframe_cost(c) for c, _ in o[1])
+            )
         bw = _FlacBitWriter()
         bw.put(0b11111111111110, 14)  # sync
         bw.put(0, 1)  # reserved
         bw.put(0, 1)  # fixed-blocksize stream
         bw.put(0b0111, 4)  # block size: 16-bit value-1 follows
         bw.put(0b0000, 4)  # sample rate: from STREAMINFO
-        bw.put(0b0000, 4)  # channel assignment: mono
+        bw.put(assign, 4)
         bw.put(0b100, 3)  # sample size: 16 bits
         bw.put(0, 1)  # reserved
         for b in _flac_utf8_number(fno):
@@ -995,45 +1073,14 @@ def encode_flac(
         bw.put(bs - 1, 16)
         hdr = bytes(bw.out)
         bw.put(_flac_crc8(hdr), 8)
-
-        # subframe: FIXED order (or CONSTANT when the block is flat)
-        if all(s == block[0] for s in block):
-            bw.put(0, 1)
-            bw.put(0b000000, 6)  # CONSTANT
-            bw.put(0, 1)
-            bw.put(block[0] & 0xFFFF, 16)
-        else:
-            bw.put(0, 1)
-            bw.put(0b001000 | order, 6)  # FIXED, order
-            bw.put(0, 1)  # no wasted bits
-            for s in block[:order]:
-                bw.put(s & 0xFFFF, 16)
-            # residual: 4-bit rice method, partition order 0
-            bw.put(0b00, 2)
-            bw.put(0, 4)
-            zig = [(r << 1) ^ (r >> 63) for r in res]  # arithmetic shift fold
-            best_p, best_bits = None, None
-            for p in range(15):
-                nbits = sum((u >> p) + 1 + p for u in zig)
-                if best_bits is None or nbits < best_bits:
-                    best_p, best_bits = p, nbits
-            width = max((abs(r).bit_length() + 1 for r in res), default=1)
-            if best_bits <= 5 + width * len(res):
-                bw.put(best_p, 4)
-                for u in zig:
-                    bw.unary(u >> best_p)
-                    bw.put(u & ((1 << best_p) - 1), best_p)
-            else:
-                bw.put(0b1111, 4)  # escape: raw residuals
-                bw.put(width, 5)
-                for r in res:
-                    bw.put(r & ((1 << width) - 1), width)
+        for block, depth in chans:
+            _flac_write_subframe(bw, block, depth)
         bw.align()
         body = bytes(bw.out)
         return body + struct.pack(">H", _flac_crc16(body))
 
     frames = b"".join(
-        frame_bytes(fno, samples[i : i + frame_size])
+        frame_bytes(fno, samples[i * channels : (i + frame_size) * channels])
         for fno, i in enumerate(range(0, n_samples, frame_size))
     )
     si = _FlacBitWriter()
@@ -1042,7 +1089,7 @@ def encode_flac(
     si.put(0, 24)  # min frame size unknown
     si.put(0, 24)  # max frame size unknown
     si.put(sample_rate, 20)
-    si.put(0, 3)  # channels - 1
+    si.put(channels - 1, 3)
     si.put(15, 5)  # bits per sample - 1
     si.put(n_samples, 36)
     streaminfo = bytes(si.out) + hashlib.md5(raw).digest()
@@ -1059,9 +1106,13 @@ def decode_flac(blob: bytes) -> tuple[int, int, list[int]]:
     emits it), rice residuals in 2^po partitions for both the 4- and
     5-bit parameter methods including the verbatim escape, CRC-16 of the
     whole frame, and the STREAMINFO MD5 of the reassembled samples.
-    16-bit mono; stereo channel decorrelation raises NotImplementedError.
-    Every decoded sample is an exact integer function of the stream —
-    the hash-oracle property shared by the whole codec family."""
+    16-bit mono and stereo: all four channel assignments — independent,
+    left/side, right/side, mid/side — with the side subframe at 17-bit
+    depth and the exact libFLAC reconstruction ((mid<<1 | side&1) ± side)
+    >> 1 for mid/side); stereo output is interleaved [L0, R0, …] and the
+    MD5 covers the interleaved bytes per the spec. Every decoded sample
+    is an exact integer function of the stream — the hash-oracle property
+    shared by the whole codec family."""
     import hashlib
     import struct
 
@@ -1092,56 +1143,19 @@ def decode_flac(blob: bytes) -> tuple[int, int, list[int]]:
     bps = sr.bits(5) + 1
     total = sr.bits(36)
     md5_expect = streaminfo[18:34]
-    if nchan != 1:
-        raise NotImplementedError("stereo channel decorrelation not supported")
+    if nchan not in (1, 2):
+        raise NotImplementedError("only mono and stereo supported")
     if bps != 16:
         raise NotImplementedError("only 16-bit samples supported")
 
-    samples: list[int] = []
-    while len(samples) < total:
-        frame_start = pos
-        br = _FlacBitReader(blob, pos)
-        if br.bits(14) != 0b11111111111110:
-            raise ValueError("lost frame sync")
-        br.bits(1)
-        br.bits(1)
-        bs_code = br.bits(4)
-        sr_code = br.bits(4)
-        chan = br.bits(4)
-        size_code = br.bits(3)
-        br.bits(1)
-        if chan != 0:
-            raise NotImplementedError("stereo channel decorrelation not supported")
-        if size_code != 0b100:
-            raise NotImplementedError("only 16-bit samples supported")
-        _flac_read_utf8(br)
-        if bs_code == 0b0110:
-            bs = br.bits(8) + 1
-        elif bs_code == 0b0111:
-            bs = br.bits(16) + 1
-        elif bs_code == 0b0001:
-            bs = 192
-        elif 0b0010 <= bs_code <= 0b0101:
-            bs = 576 << (bs_code - 2)
-        elif bs_code >= 0b1000:
-            bs = 256 << (bs_code - 8)
-        else:
-            raise ValueError("reserved block size code")
-        if sr_code == 0b1100:
-            br.bits(8)
-        elif sr_code in (0b1101, 0b1110):
-            br.bits(16)
-        header = blob[frame_start : br.pos]
-        if br.bits(8) != _flac_crc8(header):
-            raise ValueError("frame header CRC-8 mismatch")
-
+    def read_subframe(br: "_FlacBitReader", bs: int, depth: int) -> list[int]:
         if br.bits(1) != 0:
             raise ValueError("subframe padding bit set")
         stype = br.bits(6)
         wasted = 0
         if br.bit():
             wasted = br.unary() + 1
-        depth = bps - wasted
+        depth -= wasted
         block: list[int]
         if stype == 0:
             v = br.sbits(depth)
@@ -1167,8 +1181,7 @@ def decode_flac(blob: bytes) -> tuple[int, int, list[int]]:
             pbits = 4 if method == 0 else 5
             po = br.bits(4)
             res: list[int] = []
-            nparts = 1 << po
-            for part in range(nparts):
+            for part in range(1 << po):
                 cnt = bs >> po
                 if part == 0:
                     cnt -= order
@@ -1200,6 +1213,74 @@ def decode_flac(blob: bytes) -> tuple[int, int, list[int]]:
             raise ValueError("reserved subframe type")
         if wasted:
             block = [s << wasted for s in block]
+        return block
+
+    samples: list[int] = []
+    while len(samples) < total * nchan:
+        frame_start = pos
+        br = _FlacBitReader(blob, pos)
+        if br.bits(14) != 0b11111111111110:
+            raise ValueError("lost frame sync")
+        br.bits(1)
+        br.bits(1)
+        bs_code = br.bits(4)
+        sr_code = br.bits(4)
+        chan = br.bits(4)
+        size_code = br.bits(3)
+        br.bits(1)
+        if size_code != 0b100:
+            raise NotImplementedError("only 16-bit samples supported")
+        _flac_read_utf8(br)
+        if bs_code == 0b0110:
+            bs = br.bits(8) + 1
+        elif bs_code == 0b0111:
+            bs = br.bits(16) + 1
+        elif bs_code == 0b0001:
+            bs = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            bs = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            bs = 256 << (bs_code - 8)
+        else:
+            raise ValueError("reserved block size code")
+        if sr_code == 0b1100:
+            br.bits(8)
+        elif sr_code in (0b1101, 0b1110):
+            br.bits(16)
+        header = blob[frame_start : br.pos]
+        if br.bits(8) != _flac_crc8(header):
+            raise ValueError("frame header CRC-8 mismatch")
+
+        if chan == 0b0000:
+            if nchan != 1:
+                raise ValueError("mono frame in a stereo stream")
+            inter = read_subframe(br, bs, 16)
+        elif chan in (0b0001, 0b1000, 0b1001, 0b1010):
+            if nchan != 2:
+                raise ValueError("stereo frame in a mono stream")
+            # the side channel carries L−R and needs one extra bit of
+            # depth (FLAC spec: side-channel bps is bps+1)
+            d0 = 17 if chan == 0b1001 else 16
+            d1 = 16 if chan == 0b1001 else (17 if chan in (0b1000, 0b1010) else 16)
+            ch0 = read_subframe(br, bs, d0)
+            ch1 = read_subframe(br, bs, d1)
+            if chan == 0b0001:
+                left, right = ch0, ch1
+            elif chan == 0b1000:  # left/side
+                left = ch0
+                right = [l - s for l, s in zip(ch0, ch1)]
+            elif chan == 0b1001:  # side/right
+                right = ch1
+                left = [r + s for s, r in zip(ch0, ch1)]
+            else:  # mid/side: the exact libFLAC reconstruction
+                left, right = [], []
+                for m, s in zip(ch0, ch1):
+                    mm = (m << 1) | (s & 1)
+                    left.append((mm + s) >> 1)
+                    right.append((mm - s) >> 1)
+            inter = [v for pair in zip(left, right) for v in pair]
+        else:
+            raise NotImplementedError("multi-channel assignments beyond stereo")
 
         br.align()
         body = blob[frame_start : br.pos]
@@ -1207,9 +1288,9 @@ def decode_flac(blob: bytes) -> tuple[int, int, list[int]]:
         if crc16 != _flac_crc16(body):
             raise ValueError("frame CRC-16 mismatch")
         pos = br.pos + 2
-        samples.extend(block)
+        samples.extend(inter)
 
-    samples = samples[: total]
+    samples = samples[: total * nchan]
     raw = b"".join(struct.pack("<h", s) for s in samples)
     if md5_expect != b"\x00" * 16 and hashlib.md5(raw).digest() != md5_expect:
         raise ValueError("STREAMINFO MD5 mismatch")

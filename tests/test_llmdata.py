@@ -2695,15 +2695,50 @@ def test_flac_rejects_corruption_and_unsupported():
     mut[60] ^= 0x10
     with pytest.raises(ValueError):
         decode_flac(bytes(mut))
-    # stereo STREAMINFO must raise NotImplementedError, not mis-decode
+    # >2 channels must raise NotImplementedError, not mis-decode
     si = bytearray(blob)
-    # STREAMINFO starts at byte 8; channels-1 sits in bits 100..102 of the
-    # block — byte 12 holds rate low bits + channels; set channels-1 = 1
-    # (bit layout: [rate 20][chan 3][bps 5] across bytes 10-13)
+    # STREAMINFO starts at byte 8; bit layout [rate 20][chan 3][bps 5]
+    # across bytes 10-13 — set channels-1 = 2 (3 channels)
     b13 = si[8 + 12]
-    si[8 + 12] = (b13 & 0b11110001) | (1 << 1)  # chan-1 = 1
-    with pytest.raises(NotImplementedError, match="stereo"):
+    si[8 + 12] = (b13 & 0b11110001) | (2 << 1)
+    with pytest.raises(NotImplementedError, match="mono and stereo"):
         decode_flac(bytes(si))
+    # a mono frame inside a stream whose STREAMINFO claims stereo is a
+    # structural error, not silently accepted
+    si[8 + 12] = (b13 & 0b11110001) | (1 << 1)
+    with pytest.raises(ValueError, match="mono frame"):
+        decode_flac(bytes(si))
+
+
+def test_flac_stereo_all_channel_assignments():
+    """Stereo: interleaved roundtrip through all four channel assignments
+    (independent, left/side, side/right, mid/side — the encoder picks per
+    frame by residual cost, and the crafted signals make each win at
+    least once), with the side subframe at 17-bit depth and the exact
+    libFLAC mid/side reconstruction; MD5 covers the interleaved bytes."""
+    import random
+
+    from query_engine_spark.llmdata.multimodal import decode_flac, encode_flac
+
+    rng = random.Random(5)
+    n = 400
+    corr = [rng.randint(-2000, 2000) for _ in range(n)]
+    cases = [
+        [v for i in range(n) for v in (corr[i], corr[i] + rng.randint(-3, 3))],
+        [rng.randint(-32768, 32767) for _ in range(2 * n)],
+        [v for i in range(n) for v in (100, rng.randint(-30000, 30000))],
+        [v for i in range(n) for v in (rng.randint(-30000, 30000), -7)],
+    ]
+    seen = set()
+    for inter in cases:
+        blob = encode_flac(inter, 16000, frame_size=128, channels=2)
+        r, tot, got = decode_flac(blob)
+        assert (r, tot) == (16000, len(inter) // 2) and got == inter
+        i = blob.find(b"\xff\xf8", 4)
+        while i != -1:
+            seen.add(blob[i + 3] >> 4)
+            i = blob.find(b"\xff\xf8", i + 2)
+    assert seen == {0b0001, 0b1000, 0b1001, 0b1010}
 
 
 def test_flac_decodes_hand_built_lpc_subframe():
