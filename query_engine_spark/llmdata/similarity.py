@@ -360,6 +360,29 @@ def write_ivf_index(
     assigned.write.partitionBy("cent_id").mode("overwrite").parquet(path)
 
 
+def ivf_index_append(
+    new_embeddings: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """INCREMENTAL IVF maintenance — the embedding-store mirror of the
+    LSH/dHash index probes: a new crawl batch is assigned to cells against
+    the SAME broadcast centroids the index was built with (O(batch) work,
+    the existing index is neither read nor rewritten) and appended into
+    the cell-partitioned parquet layout. Queries via `ivf_topk_indexed`
+    see base + appended vectors identically to a full rebuild, and
+    dynamic partition pruning keeps scanning only the probed cells —
+    append adds files inside cell directories, it never changes the
+    partitioning scheme. (Centroids must be the index's own: assignment
+    against different centroids would scatter vectors into cells the
+    probe geometry doesn't match.)"""
+    assigned = assign_cells(new_embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    assigned.write.partitionBy("cent_id").mode("append").parquet(path)
+
+
 def ivf_topk_indexed(
     index: DataFrame,
     centroids: DataFrame,

@@ -2809,3 +2809,47 @@ def test_flac_decodes_hand_built_lpc_subframe():
     blob = b"fLaC" + bytes([0x80, 0, 0, len(streaminfo)]) + streaminfo + frame
 
     assert decode_flac(blob) == (8000, 8, samples)
+
+
+def test_ivf_index_append_matches_full_rebuild(spark, tmp_path):
+    """Incremental IVF maintenance: append a new batch into the
+    cell-partitioned layout (O(batch) assignment against the index's own
+    broadcast centroids; the existing index is never read) — indexed
+    search over base+appended must equal the on-the-fly search over the
+    full corpus, and the probe must still dynamic-partition-prune."""
+    import pyspark.sql.functions as F
+    from query_engine_spark.llmdata import similarity as S
+
+    base = spark.createDataFrame(
+        [(i, [float(i % 7 + 1), float((i * 3) % 5 + 1), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    batch = spark.createDataFrame(
+        [(i, [float(i % 7 + 1), float((i * 3) % 5 + 1), 1.0]) for i in range(50, 80)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 5.0, 1.0]), (1, [7.0, 1.0, 1.0]), (2, [3.0, 3.0, 1.0])],
+        "cent_id int, cent_vec array<float>",
+    )
+    qs = spark.createDataFrame(
+        [(1000, [6.5, 1.5, 1.0]), (1001, [2.0, 4.0, 1.0])],
+        "query_id long, query_vec array<float>",
+    )
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(base, cents, path)
+    S.ivf_index_append(batch, cents, path)
+
+    index = spark.read.parquet(path)
+    assert index.count() == 80  # nothing rewritten, everything present
+    out = S.ivf_topk_indexed(index, cents, qs, k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["sim"], r["rank"]) for r in out.collect()
+    )
+    want = sorted(
+        (r["query_id"], r["vec_id"], r["sim"], r["rank"])
+        for r in S.ivf_topk(base.unionByName(batch), cents, qs, k=5, nprobe=2).collect()
+    )
+    assert got == want and len(got) == 10
