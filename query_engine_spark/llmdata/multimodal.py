@@ -2217,6 +2217,385 @@ def gif_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, _GIF_SCHEMA)
 
 
+def _tiff_lzw_compress(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF6 §13): MSB-first bit packing, 9-bit start,
+    ClearCode 256 / EOI 257, and the EARLY width change — the code width
+    bumps when the next free code reaches 2^width − 1, one code earlier
+    than GIF's LSB-first late-change variant (the classic
+    cross-implementation incompatibility this pair of codecs pins)."""
+    out = bytearray()
+    acc = n = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n
+        acc = (acc << width) | code
+        n += width
+        while n >= 8:
+            n -= 8
+            out.append((acc >> n) & 0xFF)
+
+    CLEAR, EOI = 256, 257
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(CLEAR, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code == 4094:
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+        # the decoder appends a table entry on reading this final code (its
+        # table always lags one insert), so the encoder must count that
+        # phantom entry and widen EOI when it crosses the early-change line
+        # — otherwise EOI desyncs exactly when the final code lands on a
+        # width boundary
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    emit(EOI, width)
+    if n:
+        out.append((acc << (8 - n)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decompress(data: bytes, expected: int) -> bytes:
+    """Inverse of `_tiff_lzw_compress` (early change, MSB-first), with
+    KwKwK handling and clear-code resets; stops at EOI."""
+    out = bytearray()
+    acc = n = pos = 0
+
+    def read(width: int) -> int:
+        nonlocal acc, n, pos
+        while n < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW strip")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            n += 8
+        n -= width
+        return (acc >> n) & ((1 << width) - 1)
+
+    CLEAR, EOI = 256, 257
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code > 255:
+                raise ValueError("LZW: first code after clear must be literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW: code beyond table")
+        out += entry
+        # early change, decoder side: the decoder's table lags the
+        # encoder's by ONE insert (entry i materializes only when code i+1
+        # is read), so it must widen at 2^width − 2 — one entry before its
+        # own table says so (libtiff's dec_maxcode = (1<<bits)-2; using
+        # the encoder's −1 rule here desynchronizes after 253 codes)
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        prev = entry
+        if len(out) > expected:
+            raise ValueError("LZW output overruns the strip size")
+    return bytes(out)
+
+
+def _packbits_compress(data: bytes) -> bytes:
+    """PackBits (TIFF6 §9): runs of ≥3 identical bytes as (257-n, byte),
+    literals in ≤128-byte groups."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i + run
+        while j < len(data) and j - i < 128:
+            r2 = 1
+            while j + r2 < len(data) and data[j + r2] == data[j] and r2 < 128:
+                r2 += 1
+            if r2 >= 3:
+                break
+            j += r2
+        # clamp: a 2-byte step can overshoot the 128-literal cap, and a
+        # 128-length group's header byte would be 0x80 — the spec's no-op
+        j = min(j, i + 128)
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _packbits_decompress(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: noop per spec
+    if len(out) != expected:
+        raise ValueError("PackBits output size mismatch")
+    return bytes(out)
+
+
+def make_tiff(
+    media_id: int,
+    width: int,
+    height: int,
+    *,
+    compression: int = 1,
+    byte_order: str = "II",
+    rows_per_strip: int = 7,
+) -> bytes:
+    """Pack a deterministic single-IFD 8-bit grayscale TIFF — the
+    scanned-document corpus shape: pixel (x, y) =
+    ``(media_id*31 + y*7 + x*3) % 256`` (the same integer family as
+    BMP/GIF, so the same oracle arithmetic applies), MULTIPLE strips
+    (rows_per_strip deliberately not dividing typical heights, so strip
+    reassembly and per-strip byte counts are real), either byte order
+    ("II" little / "MM" big — both on the wire in real corpora), and
+    compression 1 (none), 32773 (PackBits) or 5 (TIFF-variant LZW:
+    MSB-first, EARLY width change — deliberately incompatible with GIF's
+    LZW so a shared implementation would fail one format or the other)."""
+    import struct
+
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte order must be II or MM")
+    e = "<" if byte_order == "II" else ">"
+    px = bytes(
+        (media_id * 31 + y * 7 + x * 3) % 256
+        for y in range(height)
+        for x in range(width)
+    )
+    strips_raw = [
+        px[r * width : (r + rows_per_strip) * width]
+        for r in range(0, height, rows_per_strip)
+    ]
+    if compression == 1:
+        strips = strips_raw
+    elif compression == 32773:
+        strips = [_packbits_compress(s) for s in strips_raw]
+    elif compression == 5:
+        strips = [_tiff_lzw_compress(s) for s in strips_raw]
+    else:
+        raise ValueError("unsupported compression for the fixture")
+
+    # layout: header(8) | strip data | offsets array | counts array | IFD
+    data_start = 8
+    offsets = []
+    off = data_start
+    for s in strips:
+        offsets.append(off)
+        off += len(s)
+    nstrips = len(strips)
+    arr_kind = "H" if nstrips <= 0xFFFF else "I"
+    # offsets/counts arrays live out-of-line when count > 1 (> 4 bytes)
+    off_arr_pos = off
+    off += 4 * nstrips
+    cnt_arr_pos = off
+    off += 4 * nstrips
+    ifd_pos = off
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        # value fits in 4 bytes; SHORT values sit in the low half per the
+        # byte order's packing rules
+        if typ == 3:
+            packed = struct.pack(e + "HH", value, 0)
+        else:
+            packed = struct.pack(e + "I", value)
+        return struct.pack(e + "HHI", tag, typ, count) + packed
+
+    entries = [
+        entry(256, 3, 1, width),  # ImageWidth
+        entry(257, 3, 1, height),  # ImageLength
+        entry(258, 3, 1, 8),  # BitsPerSample
+        entry(259, 3, 1, compression),
+        entry(262, 3, 1, 1),  # PhotometricInterpretation: BlackIsZero
+        entry(273, 4, nstrips, offsets[0] if nstrips == 1 else off_arr_pos),
+        entry(277, 3, 1, 1),  # SamplesPerPixel
+        entry(278, 3, 1, rows_per_strip),
+        entry(279, 4, nstrips, len(strips[0]) if nstrips == 1 else cnt_arr_pos),
+    ]
+    out = bytearray()
+    out += byte_order.encode() + struct.pack(e + "HI", 42, ifd_pos)
+    for s in strips:
+        out += s
+    for o in offsets:
+        out += struct.pack(e + "I", o)
+    for s in strips:
+        out += struct.pack(e + "I", len(s))
+    out += struct.pack(e + "H", len(entries))
+    for en in entries:
+        out += en
+    out += struct.pack(e + "I", 0)  # no next IFD
+    return bytes(out)
+
+
+def decode_tiff(blob: bytes) -> tuple[int, int, list[list[int]]]:
+    """REAL TIFF decode → (width, height, pixel rows). Walks the header
+    (both byte orders), the first IFD (typed entries, out-of-line value
+    arrays), reassembles the strips and decompresses per the Compression
+    tag — none, PackBits, or TIFF-variant LZW (MSB-first with the EARLY
+    width change; using GIF's late-change rule here desynchronizes the
+    code stream and fails loudly). 8-bit grayscale (BlackIsZero or
+    WhiteIsZero, the latter inverted on output so pixels always mean
+    intensity); RGB, palette, tiled layouts and other bit depths raise
+    NotImplementedError."""
+    import struct
+
+    if blob[:2] == b"II":
+        e = "<"
+    elif blob[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    (magic, ifd_pos) = struct.unpack_from(e + "HI", blob, 2)
+    if magic != 42:
+        raise ValueError("not a TIFF (magic != 42)")
+    (n_entries,) = struct.unpack_from(e + "H", blob, ifd_pos)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_entries):
+        tag, typ, count = struct.unpack_from(e + "HHI", blob, ifd_pos + 2 + 12 * i)
+        vpos = ifd_pos + 2 + 12 * i + 8
+        if typ == 3:  # SHORT
+            (val,) = struct.unpack_from(e + "H", blob, vpos)
+        else:  # LONG / offset
+            (val,) = struct.unpack_from(e + "I", blob, vpos)
+        tags[tag] = (typ, count, val)
+
+    def required(tag: int) -> tuple[int, int, int]:
+        if tag not in tags:
+            raise ValueError(f"missing required TIFF tag {tag}")
+        return tags[tag]
+
+    width = required(256)[2]
+    height = required(257)[2]
+    if tags.get(258, (3, 1, 1))[2] != 8:
+        raise NotImplementedError("only 8-bit samples supported")
+    if tags.get(277, (3, 1, 1))[2] != 1:
+        raise NotImplementedError("only single-sample (grayscale) supported")
+    photometric = tags.get(262, (3, 1, 1))[2]
+    if photometric not in (0, 1):
+        raise NotImplementedError("only grayscale photometric supported")
+    compression = tags.get(259, (3, 1, 1))[2]
+    rows_per_strip = tags.get(278, (3, 1, height))[2]
+
+    def read_longs(tag: int) -> list[int]:
+        typ, count, val = required(tag)
+        if count == 1:
+            return [val]
+        out = []
+        for i in range(count):
+            if typ == 3:
+                (v,) = struct.unpack_from(e + "H", blob, val + 2 * i)
+            else:
+                (v,) = struct.unpack_from(e + "I", blob, val + 4 * i)
+            out.append(v)
+        return out
+
+    offsets = read_longs(273)
+    counts = read_longs(279)
+    if len(offsets) != len(counts):
+        raise ValueError("StripOffsets/StripByteCounts length mismatch")
+    data = bytearray()
+    for si, (o, c) in enumerate(zip(offsets, counts)):
+        rows = min(rows_per_strip, height - si * rows_per_strip)
+        expected = rows * width
+        raw = blob[o : o + c]
+        if len(raw) != c:
+            raise ValueError("strip extends past end of file")
+        if compression == 1:
+            if len(raw) != expected:
+                raise ValueError("uncompressed strip size mismatch")
+            data += raw
+        elif compression == 32773:
+            data += _packbits_decompress(raw, expected)
+        elif compression == 5:
+            got = _tiff_lzw_decompress(raw, expected)
+            if len(got) != expected:
+                raise ValueError("LZW strip size mismatch")
+            data += got
+        else:
+            raise NotImplementedError(f"TIFF compression {compression} not supported")
+    if len(data) != width * height:
+        raise ValueError("strip reassembly size mismatch")
+    inv = photometric == 0
+    return width, height, [
+        [
+            (255 - data[y * width + x]) if inv else data[y * width + x]
+            for x in range(width)
+        ]
+        for y in range(height)
+    ]
+
+
+_TIFF_SCHEMA = "media_id long, width int, height int, px_sum long, top_left int"
+
+
+def tiff_features(df: DataFrame) -> DataFrame:
+    """Distributed TIFF decode (IFD walk, strip reassembly, PackBits/LZW)
+    in one Arrow mapInPandas pass — map-only, the scanned-document mirror
+    of `bmp_features`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_tiff(bytes(blob))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "px_sum": sum(v for row in px for v in row),
+                        "top_left": px[0][0] if px else 0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "px_sum", "top_left"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _TIFF_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Baseline JPEG (ITU-T T.81 / ISO 10918-1, SOF0 grayscale): REAL entropy
 # decode — marker parse, DHT canonical-Huffman tables, DC prediction,

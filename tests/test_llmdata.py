@@ -2853,3 +2853,116 @@ def test_ivf_index_append_matches_full_rebuild(spark, tmp_path):
         for r in S.ivf_topk(base.unionByName(batch), cents, qs, k=5, nprobe=2).collect()
     )
     assert got == want and len(got) == 10
+
+
+def test_tiff_roundtrip_all_compressions_and_byte_orders():
+    """decode_tiff(make_tiff(...)) across none/PackBits/LZW, II/MM byte
+    orders, and strip boundaries that do not divide the height — strip
+    reassembly, per-strip byte counts and out-of-line IFD value arrays
+    are all real."""
+    from query_engine_spark.llmdata.multimodal import decode_tiff, make_tiff
+
+    for mid, w, h in [(0, 20, 15), (3, 33, 22), (7, 8, 7), (11, 40, 29)]:
+        want = [[(mid * 31 + y * 7 + x * 3) % 256 for x in range(w)] for y in range(h)]
+        for comp in (1, 32773, 5):
+            for bo in ("II", "MM"):
+                assert decode_tiff(
+                    make_tiff(mid, w, h, compression=comp, byte_order=bo)
+                ) == (w, h, want), (mid, comp, bo)
+
+
+def test_tiff_lzw_and_packbits_fuzz():
+    """Random / low-entropy / constant payloads through the TIFF LZW
+    (MSB-first, EARLY width change — the decoder widens at 2^width−2
+    because its table lags the encoder's by one insert; the late-change
+    GIF rule desynchronizes after exactly 253 codes) and PackBits
+    (literal groups clamped to 128 — a 128-length header byte would be
+    the no-op marker)."""
+    import random
+
+    from query_engine_spark.llmdata.multimodal import (
+        _packbits_compress, _packbits_decompress,
+        _tiff_lzw_compress, _tiff_lzw_decompress,
+    )
+
+    rng = random.Random(1)
+    big = bytes(rng.randrange(256) for _ in range(30000))  # crosses 12-bit + clear
+    assert _tiff_lzw_decompress(_tiff_lzw_compress(big), len(big)) == big
+    for t in range(120):
+        n = rng.randint(0, 3000)
+        kind = rng.randrange(3)
+        if kind == 0:
+            d = bytes(rng.randrange(256) for _ in range(n))
+        elif kind == 1:
+            d = bytes(rng.randrange(4) for _ in range(n))
+        else:
+            d = bytes([rng.randrange(256)]) * n
+        assert _tiff_lzw_decompress(_tiff_lzw_compress(d), len(d)) == d, t
+        assert _packbits_decompress(_packbits_compress(d), len(d)) == d, t
+
+
+def test_tiff_golden_hand_derived_lzw_strip():
+    """TIFF-LZW conformance anchored outside the co-developed pair: the
+    code stream for b"aaaa" derived BY HAND from TIFF6 §13 — Clear(256),
+    literal 97, KwKwK code 258 ("aa", referencing the entry the decoder
+    has not materialized yet), literal 97, EOI(257), all at 9 bits,
+    zero-padded — written out as a literal bit string and checked in both
+    directions."""
+    from query_engine_spark.llmdata.multimodal import (
+        _tiff_lzw_compress, _tiff_lzw_decompress,
+    )
+
+    bits = (
+        "100000000"  # Clear = 256
+        "001100001"  # 'a' = 97
+        "100000010"  # 258: the just-defined "aa" (KwKwK on decode)
+        "001100001"  # 'a'
+        "100000001"  # EOI = 257
+    )
+    bits += "0" * (-len(bits) % 8)
+    golden = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    assert _tiff_lzw_compress(b"aaaa") == golden
+    assert _tiff_lzw_decompress(golden, 4) == b"aaaa"
+
+
+def test_tiff_rejects_corruption_and_unsupported():
+    import struct
+
+    import pytest
+
+    from query_engine_spark.llmdata.multimodal import decode_tiff, make_tiff
+
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"XX\x2a\x00rest")
+    blob = bytearray(make_tiff(3, 20, 15, compression=5))
+    blob[20] ^= 0xFF  # corrupt inside an LZW strip
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(blob))
+    # RGB (SamplesPerPixel 3) must raise, not mis-decode: patch tag 277
+    blob = bytearray(make_tiff(3, 20, 15))
+    ifd_pos = struct.unpack_from("<I", blob, 4)[0]
+    n = struct.unpack_from("<H", blob, ifd_pos)[0]
+    for i in range(n):
+        tag = struct.unpack_from("<H", blob, ifd_pos + 2 + 12 * i)[0]
+        if tag == 277:
+            struct.pack_into("<H", blob, ifd_pos + 2 + 12 * i + 8, 3)
+    with pytest.raises(NotImplementedError, match="single-sample"):
+        decode_tiff(bytes(blob))
+
+
+def test_tiff_white_is_zero_inverts():
+    """PhotometricInterpretation 0 (WhiteIsZero — common in fax-origin
+    scans) must invert so pixels always mean intensity."""
+    import struct
+
+    from query_engine_spark.llmdata.multimodal import decode_tiff, make_tiff
+
+    blob = bytearray(make_tiff(5, 12, 9))
+    ifd_pos = struct.unpack_from("<I", blob, 4)[0]
+    n = struct.unpack_from("<H", blob, ifd_pos)[0]
+    for i in range(n):
+        tag = struct.unpack_from("<H", blob, ifd_pos + 2 + 12 * i)[0]
+        if tag == 262:
+            struct.pack_into("<H", blob, ifd_pos + 2 + 12 * i + 8, 0)
+    w, h, px = decode_tiff(bytes(blob))
+    assert px[0][0] == 255 - (5 * 31) % 256
