@@ -1,0 +1,204 @@
+"""WARC ingestion — the web-crawl container every large text corpus
+starts from (Common Crawl ships WARC/1.0 with one gzip member per record).
+
+Spark-first shape: a crawl segment arrives as an opaque binary column
+(one WARC file, or a byte range of one, per row); `warc_documents`
+parses records, filters to HTTP responses, strips the HTTP envelope and
+emits (url, date, status, mime, text) rows — one Arrow `mapInPandas`
+pass, map-only, so a 100 TB crawl ingests at scan speed and the
+downstream curation pipeline (strip_boilerplate → dedup → quality →
+chunk → pack, llmdata/pipeline.py) starts from real crawl bytes.
+
+Parsing is strict where it matters for framing (version line,
+Content-Length, the CRLF CRLF record terminator — a mis-framed record
+would silently corrupt every later one) and tolerant where real crawls
+are messy (unknown record types skipped; non-UTF-8 bodies decoded with
+replacement; missing optional headers become NULLs).
+
+Reference scope: the reference engine has no crawl ingestion; this is
+part of the SURVEY §7 training-data surface. Format per ISO 28500 /
+the WARC 1.0 specification (public).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "make_warc",
+    "parse_warc",
+    "warc_documents",
+    "WARC_DOC_SCHEMA",
+]
+
+_CRLF = b"\r\n"
+
+
+def make_warc(records: list[dict], *, gzip_members: bool = True) -> bytes:
+    """Pack WARC/1.0 records. Each record dict: ``type`` (warcinfo /
+    request / response / revisit / …), optional ``target_uri``, ``date``,
+    ``record_id``, and for responses ``http_status``, ``content_type``
+    and ``body`` (bytes). With ``gzip_members`` each record becomes its
+    own gzip member, concatenated — the Common Crawl layout, which lets a
+    reader seek to a record boundary and inflate just one document."""
+    out = bytearray()
+    for i, rec in enumerate(records):
+        rtype = rec["type"]
+        if rtype == "response":
+            body = rec.get("body", b"")
+            status = rec.get("http_status", 200)
+            ctype = rec.get("content_type", "text/html")
+            http = (
+                f"HTTP/1.1 {status} OK\r\n"
+                f"Content-Type: {ctype}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode() + body
+            block = http
+            warc_ctype = "application/http; msgtype=response"
+        else:
+            block = rec.get("body", b"")
+            warc_ctype = rec.get("content_type", "application/warc-fields")
+        headers = [
+            b"WARC/1.0",
+            b"WARC-Type: " + rtype.encode(),
+            b"WARC-Record-ID: <urn:uuid:"
+            + rec.get("record_id", f"rec-{i:08d}").encode()
+            + b">",
+            b"WARC-Date: " + rec.get("date", "2026-01-01T00:00:00Z").encode(),
+            b"Content-Type: " + warc_ctype.encode(),
+            b"Content-Length: " + str(len(block)).encode(),
+        ]
+        if "target_uri" in rec:
+            headers.insert(3, b"WARC-Target-URI: " + rec["target_uri"].encode())
+        raw = _CRLF.join(headers) + _CRLF + _CRLF + block + _CRLF + _CRLF
+        if gzip_members:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            out += co.compress(raw) + co.flush()
+        else:
+            out += raw
+    return bytes(out)
+
+
+def _gunzip_members(blob: bytes) -> bytes:
+    """Inflate a concatenation of gzip members (the Common Crawl layout)
+    into one byte stream; a plain (non-gzip) blob passes through."""
+    if blob[:2] != b"\x1f\x8b":
+        return blob
+    out = bytearray()
+    rest = blob
+    while rest:
+        d = zlib.decompressobj(31)
+        out += d.decompress(rest)
+        out += d.flush()
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC")
+        rest = d.unused_data
+    return bytes(out)
+
+
+def parse_warc(blob: bytes) -> list[dict]:
+    """Parse a WARC file (gzip-member or plain) into records:
+    {headers: {name_lower: value}, block: bytes}. Framing is strict:
+    every record must open with a WARC/ version line, carry a
+    Content-Length, and close with CRLF CRLF — a framing error raises
+    rather than desynchronizing the remaining records (bodies may contain
+    anything, including things that look like WARC headers; only the
+    declared length is trusted)."""
+    data = _gunzip_members(blob)
+    pos = 0
+    records: list[dict] = []
+    while pos < len(data):
+        # tolerate stray inter-record CRLFs (seen in the wild)
+        while data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= len(data):
+            break
+        end = data.find(_CRLF + _CRLF, pos)
+        if end < 0:
+            raise ValueError("truncated WARC header block")
+        head = data[pos:end].split(_CRLF)
+        if not head[0].startswith(b"WARC/"):
+            raise ValueError("record does not start with a WARC/ version line")
+        headers: dict[str, str] = {}
+        for line in head[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode()] = v.strip().decode("utf-8", "replace")
+        if "content-length" not in headers:
+            raise ValueError("WARC record missing Content-Length")
+        ln = int(headers["content-length"])
+        block_start = end + 4
+        block = data[block_start : block_start + ln]
+        if len(block) != ln:
+            raise ValueError("WARC block shorter than Content-Length")
+        if data[block_start + ln : block_start + ln + 4] != _CRLF + _CRLF:
+            raise ValueError("WARC record not terminated by CRLF CRLF")
+        records.append({"headers": headers, "block": block})
+        pos = block_start + ln + 4
+    return records
+
+
+def _http_split(block: bytes) -> tuple[int | None, str | None, bytes]:
+    """(status, content-type, body) from an HTTP response payload."""
+    sep = block.find(_CRLF + _CRLF)
+    if sep < 0:
+        return None, None, block
+    head = block[:sep].split(_CRLF)
+    status: int | None = None
+    parts = head[0].split(b" ")
+    if len(parts) >= 2 and parts[0].startswith(b"HTTP/"):
+        try:
+            status = int(parts[1])
+        except ValueError:
+            status = None
+    ctype = None
+    for line in head[1:]:
+        k, _, v = line.partition(b":")
+        if k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("utf-8", "replace")
+    return status, ctype, block[sep + 4 :]
+
+
+WARC_DOC_SCHEMA = (
+    "warc_id long, url string, warc_date string, http_status int, "
+    "mime string, text string"
+)
+
+
+def warc_documents(df: DataFrame) -> DataFrame:
+    """Distributed crawl ingestion: (warc_id, payload) → one row per HTTP
+    *response* record (request/warcinfo/revisit records are the crawl's
+    bookkeeping, not documents), with the HTTP envelope stripped and the
+    body UTF-8-decoded with replacement. One Arrow mapInPandas pass —
+    map-only; feed the output straight into the curation pipeline."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for wid, blob in zip(pdf["warc_id"], pdf["payload"]):
+                for rec in parse_warc(bytes(blob)):
+                    h = rec["headers"]
+                    if h.get("warc-type") != "response":
+                        continue
+                    status, ctype, body = _http_split(rec["block"])
+                    rows.append(
+                        {
+                            "warc_id": wid,
+                            "url": h.get("warc-target-uri"),
+                            "warc_date": h.get("warc-date"),
+                            "http_status": status,
+                            "mime": ctype,
+                            "text": body.decode("utf-8", "replace"),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "warc_id", "url", "warc_date", "http_status", "mime", "text",
+                ],
+            )
+
+    return df.select("warc_id", "payload").mapInPandas(run, WARC_DOC_SCHEMA)
