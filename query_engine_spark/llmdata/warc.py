@@ -25,12 +25,14 @@ from __future__ import annotations
 import zlib
 from typing import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "make_warc",
     "parse_warc",
     "warc_documents",
+    "html_to_text",
+    "canonical_url",
     "WARC_DOC_SCHEMA",
 ]
 
@@ -202,3 +204,85 @@ def warc_documents(df: DataFrame) -> DataFrame:
             )
 
     return df.select("warc_id", "payload").mapInPandas(run, WARC_DOC_SCHEMA)
+
+
+def html_to_text(col: Column) -> Column:
+    """WET-style HTML → text as a PURE COLUMN EXPRESSION — the extraction
+    stage between `warc_documents` and the curation pipeline, kept
+    JVM-side (chained regexp_replace, whole-stage codegen) instead of a
+    Python HTML parser: at 100 TB the tag-stripping pass must run at scan
+    speed, and a deterministic regex pipeline is also DuckDB-expressible
+    for oracle verification (every pattern is RE2-safe: lazy quantifiers,
+    no backreferences).
+
+    Pipeline: drop comments and script/style blocks (lazy, DOTALL);
+    block-closing tags become newlines (paragraph structure survives for
+    the chunker); remaining tags become spaces; the common named
+    entities decode, with "&amp;" protected through a sentinel so its
+    output is NEVER rescanned ("&amp;lt;" ends as the displayed "&lt;",
+    not "<" — RE2 has no lookahead, so ordering alone cannot express
+    this); residual entities collapse to a space (documented lossy —
+    numeric decode needs chr(), which is not expressible
+    engine-portably); whitespace normalizes with newlines preserved."""
+    c = F.regexp_replace(col, r"(?is)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?is)<script\b.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b.*?</style\s*>", " ")
+    c = F.regexp_replace(
+        c, r"(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table|/blockquote)\b[^>]*>", "\n"
+    )
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    c = F.regexp_replace(c, r"&amp;", "\x01")
+    for pat, rep in (
+        (r"&nbsp;", " "),
+        (r"&lt;", "<"),
+        (r"&gt;", ">"),
+        (r"&quot;", "\""),
+        (r"&#39;", "'"),
+        (r"&apos;", "'"),
+    ):
+        c = F.regexp_replace(c, pat, rep)
+    c = F.regexp_replace(c, r"&#?[A-Za-z0-9]{1,8};", " ")
+    c = F.regexp_replace(c, "\x01", "&")
+    c = F.regexp_replace(c, r"[ \t\r\f]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{2,}", "\n")
+    # trim ALL whitespace (Spark's trim only strips 0x20 spaces)
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def canonical_url(col: Column) -> Column:
+    """URL canonicalization for crawl-level dedup, as pure column
+    expressions: lowercase scheme and host, strip the scheme's default
+    port, empty path becomes "/", the fragment drops, tracking parameters
+    (utm_*, fbclid, gclid) drop, and the remaining query parameters SORT —
+    so the same resource fetched via trivially-different URLs collapses to
+    one key before any content hashing. Strings without a scheme pass
+    through trimmed (relative links are not URLs to canonicalize)."""
+    scheme = F.lower(F.regexp_extract(col, r"^\s*([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(col, r"^\s*[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = F.when(
+        scheme == "http", F.regexp_replace(host, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(host, r":443$", "")
+    ).otherwise(host)
+    path = F.regexp_extract(
+        col, r"^\s*[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(col, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~p.startswith("fbclid=")
+        & ~p.startswith("gclid="),
+    )
+    qs = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.concat_ws("&", F.array_sort(params))),
+    ).otherwise(F.lit(""))
+    return F.when(scheme == "", F.trim(col)).otherwise(
+        F.concat(scheme, F.lit("://"), host, path, qs)
+    )

@@ -3055,3 +3055,114 @@ def test_warc_documents_distributed_extraction(spark):
         docs2.selectExpr("url as doc_id", "text"), id_col="doc_id"
     )
     assert kept.count() == 20
+
+
+def test_html_to_text_matches_python_reference(spark):
+    """html_to_text (pure column expressions, codegen) vs an independent
+    Python `re` implementation of the same contract, over crafted pages:
+    nested-looking scripts, comments containing tags, block structure,
+    entity edge cases (&amp;lt; must decode to &lt; — one level only),
+    residual numeric entities, messy whitespace."""
+    import re
+
+    from query_engine_spark.llmdata.warc import html_to_text
+
+    def ref(s):
+        s = re.sub(r"(?is)<!--.*?-->", " ", s)
+        s = re.sub(r"(?is)<script\b.*?</script\s*>", " ", s)
+        s = re.sub(r"(?is)<style\b.*?</style\s*>", " ", s)
+        s = re.sub(
+            r"(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table|/blockquote)\b[^>]*>",
+            "\n", s)
+        s = re.sub(r"(?s)<[^>]*>", " ", s)
+        s = s.replace("&amp;", "\x01")
+        for pat, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                         ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'")):
+            s = s.replace(pat, rep)
+        s = re.sub(r"&#?[A-Za-z0-9]{1,8};", " ", s)
+        s = s.replace("\x01", "&")
+        s = re.sub(r"[ \t\r\f]+", " ", s)
+        s = re.sub(r" ?\n ?", "\n", s)
+        s = re.sub(r"\n{2,}", "\n", s)
+        return s.strip()
+
+    pages = [
+        "<html><head><title>T</title><style>p { color: red }</style></head>"
+        "<body><h1>Head</h1><p>Para one.</p><p>Para&nbsp;two &amp;lt; ok</p>"
+        "<script>if (a < b) { document.write('<p>no</p>'); }</script>"
+        "<!-- comment with <div> inside -->"
+        "<ul><li>item 1</li><li>item &#8212; dash</li></ul></body></html>",
+        "plain text, no markup at all",
+        "<p>broken <b>nesting</i> still strips</p><br/>tail",
+        "entities: &quot;q&quot; &apos;a&apos; &#39;n&#39; &amp;amp; end",
+        "   <div>  lots\t\tof   <span> spaced </span>\r\n content </div>  ",
+    ]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(pages)], "i long, html string")
+    got = {r["i"]: r["t"] for r in df.select("i", html_to_text(F.col("html")).alias("t")).collect()}
+    for i, p in enumerate(pages):
+        assert got[i] == ref(p), (i, got[i], ref(p))
+    assert "document.write" not in got[0] and "color: red" not in got[0]
+    assert "Head\nPara one.\nPara two &lt; ok" in got[0]  # one-level decode only
+
+
+def test_canonical_url_collapses_trivial_variants(spark):
+    from query_engine_spark.llmdata.warc import canonical_url
+
+    cases = [
+        ("HTTP://Example.ORG:80/a/b?b=2&a=1#frag", "http://example.org/a/b?a=1&b=2"),
+        ("https://Example.org:443", "https://example.org/"),
+        ("https://example.org/x?utm_source=tw&q=1&utm_medium=m&fbclid=z",
+         "https://example.org/x?q=1"),
+        ("https://example.org/x?utm_source=only", "https://example.org/x"),
+        ("http://example.org:8080/p", "http://example.org:8080/p"),  # non-default port kept
+        ("ftp://Files.Example.org/pub", "ftp://files.example.org/pub"),
+        ("  not a url  ", "not a url"),  # schemeless passes through trimmed
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, u string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("u")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_warc_to_curation_pipeline_end_to_end(spark):
+    """The full crawl path in one lazy plan: WARC bytes → response docs →
+    html_to_text → canonical-url dedup → the declarative curation
+    pipeline — crawl container to training-ready text without leaving
+    Spark, map-only until the dedup shuffle."""
+    from query_engine_spark.llmdata.pipeline import translate_curation_pipeline
+    from query_engine_spark.llmdata.warc import (
+        canonical_url, html_to_text, make_warc, warc_documents,
+    )
+
+    def page(wid, i):
+        return (
+            f"<html><body><h1>Doc {wid}-{i}</h1>"
+            + "".join(f"<p>sentence {k} of page {wid} {i} filler words here</p>" for k in range(6))
+            + "</body></html>"
+        ).encode()
+
+    recs = []
+    for i in range(4):
+        url = f"HTTP://Site.Example:80/p/{i}?utm_source=x&id={i}"
+        recs.append({"type": "response", "target_uri": url, "body": page(0, i)})
+    # same page fetched via a trivially-different url: must dedup away
+    recs.append({"type": "response",
+                 "target_uri": "http://site.example/p/0?id=0", "body": page(0, 0)})
+    df = spark.createDataFrame(
+        [(0, bytearray(make_warc(recs)))], "warc_id long, payload binary"
+    )
+    docs = (
+        warc_documents(df)
+        .select(
+            canonical_url(F.col("url")).alias("doc_id"),
+            F.lit("site.example").alias("source"),
+            html_to_text(F.col("text")).alias("text"),
+        )
+        .dropDuplicates(["doc_id"])
+    )
+    run = translate_curation_pipeline([{"op": "dedup_exact"}])
+    out = run(docs).collect()
+    urls = sorted(r["doc_id"] for r in out)
+    assert urls == [f"http://site.example/p/{i}?id={i}" for i in range(4)]
+    assert all("sentence 3 of page" in r["text"] for r in out)
+    assert all("<p>" not in r["text"] for r in out)
