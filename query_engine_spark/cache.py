@@ -16,7 +16,13 @@ from pyspark.sql import DataFrame
 # entries are DataFrames (unpersist) or zero-arg cleanup callables
 _PERSISTED: list = []
 
-__all__ = ["tracked_persist", "tracked", "tracked_local_checkpoint", "clear_tracked_cache"]
+__all__ = [
+    "tracked_persist",
+    "tracked",
+    "tracked_local_checkpoint",
+    "local_checkpoint_with_free",
+    "clear_tracked_cache",
+]
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
@@ -34,12 +40,14 @@ def tracked(df: DataFrame) -> DataFrame:
     return df
 
 
-def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
-    """localCheckpoint() whose cached RDD blocks are freed by
-    clear_tracked_cache(). DataFrame.unpersist() cannot reach a checkpoint's
-    RDD blocks (they belong to the materialized RDD, not the Dataset), so the
-    newly-persistent RDD ids are diffed around the eager checkpoint and
-    unpersisted explicitly on cleanup."""
+def local_checkpoint_with_free(df: DataFrame):
+    """Eager localCheckpoint() returning (df, free_fn). DataFrame.unpersist()
+    cannot reach a checkpoint's RDD blocks (they belong to the materialized
+    RDD, not the Dataset), so the newly-persistent RDD ids are diffed around
+    the checkpoint and the free function unpersists exactly those. Callers
+    that free eagerly (iterative loops dropping the previous round) use this
+    directly; `tracked_local_checkpoint` registers the free for
+    clear_tracked_cache() instead."""
     jsc = df.sparkSession.sparkContext._jsc
     before = set(jsc.getPersistentRDDs().keySet().toArray())
     out = df.localCheckpoint()  # eager: the RDD is persistent on return
@@ -51,7 +59,14 @@ def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
         for r in rdds:
             r.unpersist()
 
-    _PERSISTED.append(_free)
+    return out, _free
+
+
+def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint() whose cached RDD blocks are freed by
+    clear_tracked_cache()."""
+    out, free = local_checkpoint_with_free(df)
+    _PERSISTED.append(free)
     return out
 
 

@@ -415,24 +415,8 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20, on_iteration=None) 
     cluster canonicalization; verified against the recursive-CTE oracle of
     `dedup_clusters` in the registry.)
     """
+    from query_engine_spark.cache import local_checkpoint_with_free as _ckpt
     from query_engine_spark.llmdata import tracked, tracked_local_checkpoint, tracked_persist
-
-    def _ckpt(df: DataFrame):
-        """Eager localCheckpoint returning (df, free_fn) so the loop can
-        free the PREVIOUS round's blocks as soon as the next round is
-        materialized (a long contraction otherwise accumulates every
-        round's blocks until clear_tracked_cache)."""
-        jsc = df.sparkSession.sparkContext._jsc
-        before = set(jsc.getPersistentRDDs().keySet().toArray())
-        out = df.localCheckpoint()
-        after = jsc.getPersistentRDDs()
-        rdds = [after.get(i) for i in after.keySet().toArray() if i not in before]
-
-        def _free(rdds=rdds):
-            for r in rdds:
-                r.unpersist()
-
-        return out, _free
 
     # ONE materialization of the upstream plan: `pairs` usually carries a
     # deep MinHash/banding tree, and both the node inventory and the edge

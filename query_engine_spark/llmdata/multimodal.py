@@ -901,7 +901,8 @@ def _flac_utf8_number(n: int) -> bytes:
         return bytes([n])
     out = []
     marks = [(0x7FF, 0xC0, 1), (0xFFFF, 0xE0, 2), (0x1FFFFF, 0xF0, 3),
-             (0x3FFFFFF, 0xF8, 4), (0x7FFFFFFF, 0xFC, 5)]
+             (0x3FFFFFF, 0xF8, 4), (0x7FFFFFFF, 0xFC, 5),
+             (0xFFFFFFFFF, 0xFE, 6)]  # 36-bit extended form (lead 0xFE)
     for limit, lead, cont in marks:
         if n <= limit:
             out.append(lead | (n >> (6 * cont)))
@@ -2426,8 +2427,8 @@ def make_tiff(
         offsets.append(off)
         off += len(s)
     nstrips = len(strips)
-    arr_kind = "H" if nstrips <= 0xFFFF else "I"
-    # offsets/counts arrays live out-of-line when count > 1 (> 4 bytes)
+    # offsets/counts arrays live out-of-line when count > 1 (> 4 bytes),
+    # always written as LONG
     off_arr_pos = off
     off += 4 * nstrips
     cnt_arr_pos = off

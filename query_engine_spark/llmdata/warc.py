@@ -231,6 +231,9 @@ def html_to_text(col: Column) -> Column:
         c, r"(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table|/blockquote)\b[^>]*>", "\n"
     )
     c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    # scrub any literal 0x01 first (malformed real-crawl bytes) so the
+    # sentinel below can never collide and fabricate an ampersand
+    c = F.regexp_replace(c, "\x01", " ")
     c = F.regexp_replace(c, r"&amp;", "\x01")
     for pat, rep in (
         (r"&nbsp;", " "),
@@ -258,9 +261,12 @@ def canonical_url(col: Column) -> Column:
     so the same resource fetched via trivially-different URLs collapses to
     one key before any content hashing. Strings without a scheme pass
     through trimmed (relative links are not URLs to canonicalize)."""
-    scheme = F.lower(F.regexp_extract(col, r"^\s*([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    # drop the fragment FIRST: a '?' inside the fragment must not
+    # resurrect fragment text as a query string
+    base = F.regexp_replace(col, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(base, r"^\s*([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.lower(
-        F.regexp_extract(col, r"^\s*[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+        F.regexp_extract(base, r"^\s*[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
     )
     host = F.when(
         scheme == "http", F.regexp_replace(host, r":80$", "")
@@ -268,10 +274,10 @@ def canonical_url(col: Column) -> Column:
         scheme == "https", F.regexp_replace(host, r":443$", "")
     ).otherwise(host)
     path = F.regexp_extract(
-        col, r"^\s*[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1
+        base, r"^\s*[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1
     )
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(col, r"\?([^#]*)", 1)
+    query = F.regexp_extract(base, r"\?([^#]*)", 1)
     params = F.filter(
         F.split(query, "&"),
         lambda p: (p != "")

@@ -85,7 +85,14 @@ def _index_cache_path(kind: str, sf_dir: str) -> str:
     import tempfile
 
     if _PROCESS_INDEX_ROOT is None:
+        import atexit
+        import shutil
+
         _PROCESS_INDEX_ROOT = tempfile.mkdtemp(prefix="spark_graft_idx_")
+        # per-process dirs must not accumulate across runs: remove the
+        # whole root at interpreter exit (best effort — a kill -9 leaves
+        # it, same as any temp dir)
+        atexit.register(shutil.rmtree, _PROCESS_INDEX_ROOT, ignore_errors=True)
     tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
     return os.path.join(_PROCESS_INDEX_ROOT, f"{kind}_{tag}")
 

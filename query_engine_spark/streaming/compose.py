@@ -40,6 +40,7 @@ __all__ = [
     "composed_ingest_result",
     "composed_batch_answer",
     "media_ingest_start",
+    "media_ingest_matches",
 ]
 
 

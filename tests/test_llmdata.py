@@ -2710,6 +2710,18 @@ def test_flac_rejects_corruption_and_unsupported():
         decode_flac(bytes(si))
 
 
+def test_flac_utf8_frame_numbers_full_36_bit_range():
+    """The extended UTF-8 frame-number packing must cover the full 36-bit
+    range both ways (the encoder previously stopped at 2^31 while the
+    decoder accepted 6 continuation bytes — code-review finding)."""
+    from query_engine_spark.llmdata.multimodal import (
+        _FlacBitReader, _flac_read_utf8, _flac_utf8_number,
+    )
+
+    for n in (0, 0x7F, 0x80, 0x7FF, 0x800, 2**21 - 1, 2**31, 2**35, (1 << 36) - 1):
+        assert _flac_read_utf8(_FlacBitReader(_flac_utf8_number(n))) == n, n
+
+
 def test_flac_stereo_all_channel_assignments():
     """Stereo: interleaved roundtrip through all four channel assignments
     (independent, left/side, side/right, mid/side — the encoder picks per
@@ -3075,6 +3087,7 @@ def test_html_to_text_matches_python_reference(spark):
             r"(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table|/blockquote)\b[^>]*>",
             "\n", s)
         s = re.sub(r"(?s)<[^>]*>", " ", s)
+        s = s.replace("\x01", " ")
         s = s.replace("&amp;", "\x01")
         for pat, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
                          ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'")):
@@ -3096,6 +3109,9 @@ def test_html_to_text_matches_python_reference(spark):
         "<p>broken <b>nesting</i> still strips</p><br/>tail",
         "entities: &quot;q&quot; &apos;a&apos; &#39;n&#39; &amp;amp; end",
         "   <div>  lots\t\tof   <span> spaced </span>\r\n content </div>  ",
+        # a literal 0x01 byte (malformed crawl bytes) must not collide with
+        # the &amp; sentinel and fabricate an ampersand (code-review finding)
+        "a\x01b &amp; c",
     ]
     df = spark.createDataFrame([(i, p) for i, p in enumerate(pages)], "i long, html string")
     got = {r["i"]: r["t"] for r in df.select("i", html_to_text(F.col("html")).alias("t")).collect()}
@@ -3117,6 +3133,9 @@ def test_canonical_url_collapses_trivial_variants(spark):
         ("http://example.org:8080/p", "http://example.org:8080/p"),  # non-default port kept
         ("ftp://Files.Example.org/pub", "ftp://files.example.org/pub"),
         ("  not a url  ", "not a url"),  # schemeless passes through trimmed
+        # a '?' INSIDE the fragment must not resurrect fragment text as a
+        # query string (code-review finding)
+        ("http://h/p#frag?x=1", "http://h/p"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, u string")
     got = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("u")).alias("c")).collect()}
