@@ -41,6 +41,7 @@ __all__ = [
     "composed_batch_answer",
     "media_ingest_start",
     "media_ingest_matches",
+    "media_index_compact",
 ]
 
 
@@ -186,6 +187,63 @@ def media_ingest_start(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def media_index_compact(
+    spark: SparkSession, index_dir: str, upto_batch: int, *, target_files: int = 1
+) -> None:
+    """Compact the band index's per-micro-batch partitions — the streaming
+    small-file problem: a long-running crawl leaves one tiny parquet
+    partition per batch, and the probe's scan cost becomes file-listing
+    bound. Rewrites every partition with __batch_id < `upto_batch` into a
+    single partition keyed `upto_batch - 1` with `target_files` files.
+
+    Correctness: the probe filters __batch_id < current, so folding old
+    partitions onto the HIGHEST compacted id changes no probe's visible
+    set (any batch >= upto_batch still sees every compacted row; rows
+    never move above a boundary a future probe could sit below). Safety:
+    only compact batches the streaming checkpoint has committed —
+    `upto_batch` must not exceed the last committed micro-batch + 1,
+    because a replayed batch dynamic-overwrites its ORIGINAL partition,
+    which must still exist to be idempotent. Committed batches never
+    replay, so compacting behind the checkpoint is safe; the write below
+    is itself a dynamic partition overwrite of exactly the partitions it
+    read."""
+    import pathlib
+    import shutil
+
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        index = spark.read.parquet(index_dir)
+    except AnalysisException:
+        return
+    old = index.filter(F.col("__batch_id") < F.lit(upto_batch))
+    if not old.take(1):
+        return
+    compacted = (
+        old.withColumn("__batch_id", F.lit(upto_batch - 1))
+        .repartition(target_files)
+        .localCheckpoint()  # materialize BEFORE overwriting what we read
+    )
+    try:
+        (
+            compacted.write.partitionBy("__batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(index_dir)
+        )
+    finally:
+        compacted.unpersist()
+    # dynamic overwrite only replaces the target partition; drop the other
+    # now-duplicated source partitions explicitly
+    for p in pathlib.Path(index_dir).glob("__batch_id=*"):
+        try:
+            bid = int(p.name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid < upto_batch - 1:
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def media_ingest_matches(spark: SparkSession, matches_dir: str) -> DataFrame:

@@ -270,3 +270,76 @@ def test_streaming_media_dedup_survives_restart(spark, tmp_path):
     }
     assert got == want and len(want) >= 6
     assert spark.read.parquet(index_dir).count() == 12
+
+
+def test_media_index_compact_preserves_probe_semantics(spark, tmp_path):
+    """Compacting the committed per-batch partitions of the band index
+    (the streaming small-file problem) must not change any future probe's
+    visible set: after folding batches 0..N-1 onto id N-1, a new batch's
+    matches equal the uncompacted run's, the row count is unchanged, and
+    the old tiny partitions are gone."""
+    import pathlib
+
+    from query_engine_spark.llmdata import multimodal as MM
+    from query_engine_spark.streaming.compose import (
+        media_index_compact,
+        media_ingest_matches,
+        media_ingest_start,
+    )
+
+    def maker(i: int) -> bytes:
+        return MM.make_bmp(i % 5, 20, 12)
+
+    in_dir, index_dir, matches_dir, ckpt = (
+        str(tmp_path / n) for n in ("in", "idx", "matches", "ckpt")
+    )
+    # three single-file micro-batches -> three index partitions (the
+    # source dir must exist before the stream starts)
+    spark.createDataFrame(
+        [(i, bytearray(maker(i))) for i in range(0, 4)],
+        "media_id long, payload binary",
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    q = media_ingest_start(spark, in_dir, index_dir, matches_dir, ckpt,
+                           max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+        for lo in (4, 8):
+            spark.createDataFrame(
+                [(i, bytearray(maker(i))) for i in range(lo, lo + 4)],
+                "media_id long, payload binary",
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+            q.processAllAvailable()
+        assert len(list(pathlib.Path(index_dir).glob("__batch_id=*"))) == 3
+
+        media_index_compact(spark, index_dir, upto_batch=3)
+        parts = sorted(p.name for p in pathlib.Path(index_dir).glob("__batch_id=*"))
+        assert parts == ["__batch_id=2"]
+        assert spark.read.parquet(index_dir).count() == 12
+
+        # batch 3 probes the compacted history identically
+        spark.createDataFrame(
+            [(i, bytearray(maker(i))) for i in range(12, 16)],
+            "media_id long, payload binary",
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["media_id"], r["match_id"])
+        for r in media_ingest_matches(spark, matches_dir).collect()
+        if r["media_id"] >= 12
+    }
+    hist = spark.createDataFrame(
+        [(i, bytearray(maker(i))) for i in range(12)], "media_id long, payload binary"
+    )
+    new = spark.createDataFrame(
+        [(i, bytearray(maker(i))) for i in range(12, 16)], "media_id long, payload binary"
+    )
+    want = {
+        (r["media_id"], r["match_id"])
+        for r in MM.perceptual_probe_pairs(
+            MM.dhash_bands(new), MM.dhash_bands(hist), max_hamming=3
+        ).collect()
+    }
+    assert got == want and len(want) >= 4
