@@ -343,3 +343,49 @@ def test_media_index_compact_preserves_probe_semantics(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) >= 4
+
+
+def test_streaming_media_dedup_jpeg_hasher(spark, tmp_path):
+    """The compressed-crawl variant: media_ingest_start with
+    hasher=jpeg_dhash_bands decodes baseline JPEGs inside foreachBatch and
+    probes on the decoded-pixel dHash — matches equal the batch probe of
+    the same hasher."""
+    from query_engine_spark.llmdata import multimodal as MM
+    from query_engine_spark.streaming.compose import (
+        media_ingest_matches,
+        media_ingest_start,
+    )
+
+    def maker(i: int) -> bytes:
+        return MM.make_jpeg(i % 4, 2, 2)
+
+    in_dir, index_dir, matches_dir, ckpt = (
+        str(tmp_path / n) for n in ("in", "idx", "matches", "ckpt")
+    )
+    df_a = spark.createDataFrame(
+        [(i, bytearray(maker(i))) for i in range(6)], "media_id long, payload binary"
+    )
+    df_b = spark.createDataFrame(
+        [(i, bytearray(maker(i))) for i in range(6, 12)], "media_id long, payload binary"
+    )
+    df_a.coalesce(1).write.mode("append").parquet(in_dir)
+    q = media_ingest_start(
+        spark, in_dir, index_dir, matches_dir, ckpt, hasher=MM.jpeg_dhash_bands
+    )
+    try:
+        q.processAllAvailable()
+        df_b.coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["media_id"], r["match_id"], r["hamming"])
+        for r in media_ingest_matches(spark, matches_dir).collect()
+    }
+    want = {
+        (r["media_id"], r["match_id"], r["hamming"])
+        for r in MM.perceptual_probe_pairs(
+            MM.jpeg_dhash_bands(df_b), MM.jpeg_dhash_bands(df_a), max_hamming=3
+        ).collect()
+    }
+    assert got == want and len(want) >= 6
