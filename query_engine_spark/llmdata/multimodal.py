@@ -801,6 +801,165 @@ def resample_wav(blob: bytes, out_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def _aiff_extended80(rate: int) -> bytes:
+    """IEEE-754 80-bit extended float (big-endian) for AIFF's COMM sample
+    rate — 1 sign + 15 exponent (bias 16383) + 64 mantissa bits with an
+    EXPLICIT integer bit: value = mantissa · 2^(exp − 16383 − 63)."""
+    if rate <= 0:
+        raise ValueError("rate must be positive")
+    e = rate.bit_length() - 1
+    mant = rate << (63 - e)  # normalize: top (integer) bit set
+    return (16383 + e).to_bytes(2, "big") + mant.to_bytes(8, "big")
+
+
+def _aiff_parse_extended80(b: bytes) -> int:
+    se = int.from_bytes(b[:2], "big")
+    if se & 0x8000:
+        raise ValueError("negative AIFF sample rate")
+    exp = se - 16383
+    mant = int.from_bytes(b[2:10], "big")
+    if mant == 0:
+        return 0
+    shift = exp - 63
+    return mant << shift if shift >= 0 else mant >> -shift
+
+
+def make_aiff(media_id: int, n_samples: int, sample_rate: int = 8000) -> bytes:
+    """Pack a deterministic AIFF (FORM/AIFF): COMM with the 80-bit
+    extended-float sample rate, SSND with big-endian 16-bit mono PCM —
+    sample i = the `make_wav` formula, so the same oracle arithmetic
+    applies. An ANNO chunk sits before COMM so offset-assuming readers
+    fail; chunks are word-aligned per EA-IFF-85."""
+    import struct
+
+    data = b"".join(
+        struct.pack(">h", ((media_id * 131 + i * 17) % 65536) - 32768)
+        for i in range(n_samples)
+    )
+    comm = struct.pack(">hIh", 1, n_samples, 16) + _aiff_extended80(sample_rate)
+    anno = b"probe fixture"
+    ssnd = struct.pack(">II", 0, 0) + data
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        out = cid + struct.pack(">I", len(payload)) + payload
+        if len(payload) & 1:
+            out += b"\x00"  # word alignment pad, excluded from the size
+        return out
+
+    body = b"AIFF" + chunk(b"ANNO", anno) + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def decode_aiff(blob: bytes) -> tuple[int, int, list[int]]:
+    """REAL AIFF decode → (sample_rate, n_samples, samples): FORM/AIFF
+    container walk with word-aligned chunks, COMM parsing including the
+    80-bit extended-float sample rate (explicit-integer-bit mantissa),
+    big-endian 16-bit mono PCM from SSND honoring its offset field.
+    Multi-channel and non-16-bit depths raise NotImplementedError."""
+    import struct
+
+    if blob[:4] != b"FORM" or blob[8:12] != b"AIFF":
+        raise ValueError("not an AIFF (missing FORM/AIFF)")
+    (form_len,) = struct.unpack(">I", blob[4:8])
+    end = 8 + form_len
+    pos = 12
+    comm = ssnd = None
+    while pos + 8 <= end:
+        cid = blob[pos : pos + 4]
+        (ln,) = struct.unpack(">I", blob[pos + 4 : pos + 8])
+        payload = blob[pos + 8 : pos + 8 + ln]
+        if len(payload) != ln:
+            raise ValueError("truncated AIFF chunk")
+        if cid == b"COMM":
+            comm = payload
+        elif cid == b"SSND":
+            ssnd = payload
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if comm is None or ssnd is None:
+        raise ValueError("missing COMM/SSND")
+    nchan, nframes, bits = struct.unpack(">hIh", comm[:8])
+    if nchan != 1:
+        raise NotImplementedError("multi-channel AIFF not supported")
+    if bits != 16:
+        raise NotImplementedError("only 16-bit AIFF supported")
+    rate = _aiff_parse_extended80(comm[8:18])
+    off, _blk = struct.unpack(">II", ssnd[:8])
+    data = ssnd[8 + off : 8 + off + 2 * nframes]
+    if len(data) != 2 * nframes:
+        raise ValueError("SSND shorter than COMM frame count")
+    samples = list(struct.unpack(f">{nframes}h", data))
+    return rate, nframes, samples
+
+
+def make_sphere(media_id: int, n_samples: int, sample_rate: int = 16000) -> bytes:
+    """Pack a NIST SPHERE file (the TIMIT-family speech-corpus header):
+    1024-byte ASCII header ("NIST_1A", size line, key -t value fields,
+    end_head) followed by little-endian 16-bit PCM — the `make_wav`
+    sample formula again."""
+    import struct
+
+    data = b"".join(
+        struct.pack("<h", ((media_id * 131 + i * 17) % 65536) - 32768)
+        for i in range(n_samples)
+    )
+    fields = (
+        "database_id -s5 probe\n"
+        f"sample_rate -i {sample_rate}\n"
+        "channel_count -i 1\n"
+        f"sample_count -i {n_samples}\n"
+        "sample_n_bytes -i 2\n"
+        "sample_byte_format -s2 01\n"
+        "sample_coding -s3 pcm\n"
+        "end_head\n"
+    )
+    head = "NIST_1A\n   1024\n" + fields
+    hb = head.encode()
+    if len(hb) > 1024:
+        raise ValueError("SPHERE header overflow")
+    return hb + b" " * (1024 - len(hb)) + data
+
+
+def decode_sphere(blob: bytes) -> tuple[int, int, list[int]]:
+    """REAL NIST SPHERE decode → (sample_rate, n_samples, samples): the
+    fixed ASCII header (magic, declared header size, typed key fields,
+    end_head terminator) then PCM at the declared byte order ("01" =
+    little-endian, "10" = big-endian). Non-PCM codings (ulaw/shorten
+    compression appear in real corpora) and multi-channel raise
+    NotImplementedError."""
+    import struct
+
+    if not blob.startswith(b"NIST_1A\n"):
+        raise ValueError("not a SPHERE file (missing NIST_1A)")
+    try:
+        hsize = int(blob[8:16].split(b"\n")[0].strip())
+    except ValueError:
+        raise ValueError("bad SPHERE header size") from None
+    head = blob[:hsize].decode("ascii", "replace")
+    if "end_head" not in head:
+        raise ValueError("SPHERE header missing end_head")
+    fields: dict[str, str] = {}
+    for line in head.splitlines()[2:]:
+        if line.strip() == "end_head":
+            break
+        parts = line.split(None, 2)
+        if len(parts) == 3:
+            fields[parts[0]] = parts[2]
+    if fields.get("sample_coding", "pcm") != "pcm":
+        raise NotImplementedError("only PCM SPHERE supported")
+    if int(fields.get("channel_count", "1")) != 1:
+        raise NotImplementedError("multi-channel SPHERE not supported")
+    if int(fields.get("sample_n_bytes", "2")) != 2:
+        raise NotImplementedError("only 16-bit SPHERE supported")
+    rate = int(fields["sample_rate"])
+    n = int(fields["sample_count"])
+    order = fields.get("sample_byte_format", "01")
+    fmt = "<" if order == "01" else ">"
+    data = blob[hsize : hsize + 2 * n]
+    if len(data) != 2 * n:
+        raise ValueError("SPHERE data shorter than sample_count")
+    return rate, n, list(struct.unpack(f"{fmt}{n}h", data))
+
+
 def _flac_crc8(data: bytes) -> int:
     """FLAC frame-header CRC-8 (poly x^8+x^2+x+1 = 0x07, init 0)."""
     crc = 0

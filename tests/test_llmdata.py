@@ -3185,3 +3185,47 @@ def test_warc_to_curation_pipeline_end_to_end(spark):
     assert urls == [f"http://site.example/p/{i}?id={i}" for i in range(4)]
     assert all("sentence 3 of page" in r["text"] for r in out)
     assert all("<p>" not in r["text"] for r in out)
+
+
+def test_aiff_and_sphere_roundtrip_and_rejection():
+    """AIFF (FORM walk, word-aligned chunks, 80-bit extended-float sample
+    rate with explicit integer bit, big-endian PCM, SSND offset) and NIST
+    SPHERE (TIMIT-family ASCII header, typed fields, either byte order):
+    roundtrip on the shared make_wav sample formula plus structural
+    rejection — these are the remaining speech-corpus container shapes
+    after WAV/mu-law/ADPCM/FLAC."""
+    import struct
+
+    import pytest
+
+    from query_engine_spark.llmdata.multimodal import (
+        _aiff_extended80, _aiff_parse_extended80,
+        decode_aiff, decode_sphere, make_aiff, make_sphere,
+    )
+
+    for r in (1, 8000, 11025, 16000, 22050, 44100, 48000, 96000, 192000):
+        assert _aiff_parse_extended80(_aiff_extended80(r)) == r, r
+    for mid, n, rate in [(0, 500, 8000), (3, 777, 44100), (9, 64, 16000)]:
+        want = [((mid * 131 + i * 17) % 65536) - 32768 for i in range(n)]
+        assert decode_aiff(make_aiff(mid, n, rate)) == (rate, n, want)
+        assert decode_sphere(make_sphere(mid, n, rate)) == (rate, n, want)
+
+    with pytest.raises(ValueError, match="FORM/AIFF"):
+        decode_aiff(b"RIFF" + make_aiff(1, 64)[4:])
+    with pytest.raises(ValueError, match="truncated AIFF"):
+        decode_aiff(make_aiff(1, 64)[:-10])
+    with pytest.raises(ValueError, match="NIST_1A"):
+        decode_sphere(b"garbage" + make_sphere(1, 64)[7:])
+    # big-endian SPHERE variant decodes through the declared byte format
+    blob = bytearray(make_sphere(2, 32, 8000))
+    head = bytes(blob[:1024]).replace(b"sample_byte_format -s2 01",
+                                      b"sample_byte_format -s2 10")
+    data = bytes(blob[1024:])
+    swapped = head + b"".join(data[i:i+2][::-1] for i in range(0, len(data), 2))
+    want = [((2 * 131 + i * 17) % 65536) - 32768 for i in range(32)]
+    assert decode_sphere(swapped) == (8000, 32, want)
+    # non-PCM coding is an honest boundary, not silent garbage
+    ulaw = bytes(blob[:1024]).replace(b"sample_coding -s3 pcm",
+                                      b"sample_coding -s4 ulaw")
+    with pytest.raises(NotImplementedError, match="PCM"):
+        decode_sphere(ulaw + data)
