@@ -960,6 +960,53 @@ def decode_sphere(blob: bytes) -> tuple[int, int, list[int]]:
     return rate, n, list(struct.unpack(f"{fmt}{n}h", data))
 
 
+_PCM_CONTAINER_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, "
+    "amp_sum long, peak int, first_sample int"
+)
+
+
+def _pcm_container_features(df: DataFrame, decode) -> DataFrame:
+    """Shared map-only Arrow pass for the PCM-container family
+    (AIFF/SPHERE/FLAC all expose (rate, n, samples)): the wav_features
+    integer surface, so one oracle form covers every container."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                rate, n, samples = decode(bytes(blob))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": rate,
+                        "n_samples": n,
+                        "amp_sum": sum(abs(s) for s in samples),
+                        "peak": max(samples, default=0),
+                        "first_sample": samples[0] if samples else 0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "amp_sum", "peak", "first_sample",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _PCM_CONTAINER_SCHEMA)
+
+
+def aiff_features(df: DataFrame) -> DataFrame:
+    """Distributed AIFF decode (chunk walk + 80-bit-float rate + BE PCM)."""
+    return _pcm_container_features(df, decode_aiff)
+
+
+def sphere_features(df: DataFrame) -> DataFrame:
+    """Distributed NIST SPHERE decode (TIMIT-family header + PCM)."""
+    return _pcm_container_features(df, decode_sphere)
+
+
 def _flac_crc8(data: bytes) -> int:
     """FLAC frame-header CRC-8 (poly x^8+x^2+x+1 = 0x07, init 0)."""
     crc = 0
@@ -1457,42 +1504,12 @@ def decode_flac(blob: bytes) -> tuple[int, int, list[int]]:
     return sample_rate, total, samples
 
 
-_FLAC_SCHEMA = (
-    "media_id long, sample_rate int, n_samples long, "
-    "amp_sum long, peak int, first_sample int"
-)
-
-
 def flac_features(df: DataFrame) -> DataFrame:
     """Distributed FLAC decode: full frame/subframe/rice/CRC/MD5
     validation per payload in one Arrow mapInPandas pass (map-only, no
     shuffle); the integer feature surface matches `wav_features`, so the
     same oracle arithmetic verifies a COMPRESSED lossless stream."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
-                rate, n, samples = decode_flac(bytes(blob))
-                rows.append(
-                    {
-                        "media_id": mid,
-                        "sample_rate": rate,
-                        "n_samples": n,
-                        "amp_sum": sum(abs(s) for s in samples),
-                        "peak": max(samples, default=0),
-                        "first_sample": samples[0] if samples else 0,
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "sample_rate", "n_samples",
-                    "amp_sum", "peak", "first_sample",
-                ],
-            )
-
-    return df.select("media_id", "payload").mapInPandas(run, _FLAC_SCHEMA)
+    return _pcm_container_features(df, decode_flac)
 
 
 _WAV_SCHEMA = (

@@ -3229,3 +3229,34 @@ def test_aiff_and_sphere_roundtrip_and_rejection():
                                       b"sample_coding -s4 ulaw")
     with pytest.raises(NotImplementedError, match="PCM"):
         decode_sphere(ulaw + data)
+
+
+def test_pcm_container_features_distributed(spark):
+    """aiff_features / sphere_features / flac_features share one map-only
+    Arrow pass and the wav_features integer surface — all three containers
+    of the same sample formula must agree feature-for-feature."""
+    from query_engine_spark.llmdata.multimodal import (
+        aiff_features, flac_features, make_aiff, make_flac, make_sphere,
+        sphere_features,
+    )
+
+    ids = [(i,) for i in range(6)]
+    outs = {}
+    for name, mk, feat in (
+        ("aiff", lambda i: make_aiff(i, 300 + i, 8000), aiff_features),
+        ("sphere", lambda i: make_sphere(i, 300 + i, 8000), sphere_features),
+        ("flac", lambda i: make_flac(i, 300 + i, 8000), flac_features),
+    ):
+        df = spark.createDataFrame(
+            [(i, bytearray(mk(i))) for (i,) in ids], "media_id long, payload binary"
+        )
+        out = feat(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, name  # map-only
+        outs[name] = {r["media_id"]: (r["sample_rate"], r["n_samples"],
+                                      r["amp_sum"], r["peak"], r["first_sample"])
+                      for r in out.collect()}
+    assert outs["aiff"] == outs["sphere"] == outs["flac"]
+    for i in range(6):
+        want_first = ((i * 131) % 65536) - 32768
+        assert outs["aiff"][i][4] == want_first
