@@ -3236,6 +3236,8 @@ def encode_jpeg_progressive(
     blocks_h: int,
     *,
     scans: list[tuple] | None = None,
+    luma_h: int = 1,
+    luma_v: int = 1,
 ) -> bytes:
     """Entropy-encode quantized coefficients as a PROGRESSIVE JPEG (SOF2,
     4:4:4 or grayscale): `blocks` maps component index (0=Y[, 1=Cb, 2=Cr])
@@ -3251,18 +3253,52 @@ def encode_jpeg_progressive(
     and ZRL segmented every 16 zero-history positions. Canonical Huffman
     tables are built per scan and emitted as DHT right before each SOS.
     The decoded result must be pixel-identical to a baseline encoding of
-    the same coefficients once every scan script reaches Al=0."""
+    the same coefficients once every scan script reaches Al=0.
+
+    With `luma_h`/`luma_v` (1-2) the frame is CHROMA-SUBSAMPLED
+    progressive — the real-photo shape (progressive 4:2:0): blocks_w/
+    blocks_h become the MCU grid, component 0 carries luma_h·luma_v
+    blocks per MCU keyed by the global Y-block raster index, chroma one
+    each; interleaved DC scans emit the T.81 A.2.3 MCU order while AC
+    scans (mandatorily single-component) walk each component's own block
+    grid."""
     import struct
 
     ncomp = len(blocks)
     if ncomp not in (1, 3):
         raise ValueError("1 or 3 components")
-    n = blocks_w * blocks_h
+    if (luma_h, luma_v) != (1, 1) and ncomp != 3:
+        raise ValueError("subsampling needs 3 components")
+    n = blocks_w * blocks_h  # MCUs
     for c, bl in blocks.items():
-        if len(bl) != n:
-            raise ValueError("blocks list must cover blocks_w*blocks_h")
+        want = n * (luma_h * luma_v if c == 0 else 1)
+        if len(bl) != want:
+            raise ValueError("blocks list must cover the component's grid")
     if scans is None:
         scans = _JPEG_DEFAULT_PROG_SCANS if ncomp == 3 else _JPEG_DEFAULT_PROG_SCANS_GRAY
+
+    def scan_block_order(comp_idx: tuple) -> list[tuple[int, int]]:
+        """(component, block index) sequence for a DC scan: interleaved
+        MCU order (T.81 A.2.3) for multi-component scans, the component's
+        own raster for single-component ones."""
+        if len(comp_idx) > 1:
+            order = []
+            for mi in range(n):
+                mx, my = mi % blocks_w, mi // blocks_w
+                for c in comp_idx:
+                    if c == 0:
+                        for vy in range(luma_v):
+                            for vx in range(luma_h):
+                                order.append((
+                                    0,
+                                    (my * luma_v + vy) * (luma_h * blocks_w)
+                                    + (mx * luma_h + vx),
+                                ))
+                    else:
+                        order.append((c, mi))
+            return order
+        c = comp_idx[0]
+        return [(c, b) for b in range(len(blocks[c]))]
 
     def csize(v: int) -> int:
         return 0 if v == 0 else abs(v).bit_length()
@@ -3271,23 +3307,22 @@ def encode_jpeg_progressive(
     for comp_idx, ss, se, ah, al in scans:
         ops: list[tuple] = []  # ("sym", table_key, sym) | ("bits", val, n)
         if ss == 0:
+            order = scan_block_order(tuple(comp_idx))
             if ah == 0:
                 preds = {c: 0 for c in comp_idx}
-                for bi in range(n):
-                    for c in comp_idx:
-                        vis = blocks[c][bi][0] >> al  # arithmetic shift (G.1.2.1)
-                        diff = vis - preds[c]
-                        preds[c] = vis
-                        s = csize(diff)
-                        ops.append(("sym", ("dc", 0 if c == 0 else 1), s))
-                        if s:
-                            ops.append(
-                                ("bits", diff if diff > 0 else diff + (1 << s) - 1, s)
-                            )
+                for c, bi in order:
+                    vis = blocks[c][bi][0] >> al  # arithmetic shift (G.1.2.1)
+                    diff = vis - preds[c]
+                    preds[c] = vis
+                    s = csize(diff)
+                    ops.append(("sym", ("dc", 0 if c == 0 else 1), s))
+                    if s:
+                        ops.append(
+                            ("bits", diff if diff > 0 else diff + (1 << s) - 1, s)
+                        )
             else:
-                for bi in range(n):
-                    for c in comp_idx:
-                        ops.append(("bits", (blocks[c][bi][0] >> al) & 1, 1))
+                for c, bi in order:
+                    ops.append(("bits", (blocks[c][bi][0] >> al) & 1, 1))
         else:
             (c,) = comp_idx
             t = ("ac", 0 if c == 0 else 1)
@@ -3307,8 +3342,7 @@ def encode_jpeg_progressive(
                 buffered = []
 
             if ah == 0:
-                for bi in range(n):
-                    qc = blocks[c][bi]
+                for qc in blocks[c]:
                     r = 0
                     for k in range(ss, se + 1):
                         v = qc[k]
@@ -3333,8 +3367,7 @@ def encode_jpeg_progressive(
                             flush_eob()
                 flush_eob()
             else:
-                for bi in range(n):
-                    qc = blocks[c][bi]
+                for qc in blocks[c]:
                     # per-position events: correction bit ('h'), zero-history
                     # zero ('z'), newly-nonzero ('new' with sign)
                     events: list[tuple] = []
@@ -3394,13 +3427,14 @@ def encode_jpeg_progressive(
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
-    w, h = blocks_w * 8, blocks_h * 8
+    w, h = blocks_w * 8 * luma_h, blocks_h * 8 * luma_v
     out = b"\xff\xd8" + seg(0xFFDB, bytes([0x00]) + bytes(_JPEG_QTAB))
     if ncomp == 3:
         out += seg(0xFFDB, bytes([0x01]) + bytes(_JPEG_QTAB_C))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+        samp = (luma_h << 4) | luma_v if c == 0 else 0x11
+        sof += bytes([c + 1, samp, 0 if c == 0 else 1])
     out += seg(0xFFC2, sof)
 
     for (comp_idx, ss, se, ah, al), ops in scan_payloads:

@@ -3260,3 +3260,35 @@ def test_pcm_container_features_distributed(spark):
     for i in range(6):
         want_first = ((i * 131) % 65536) - 32768
         assert outs["aiff"][i][4] == want_first
+
+
+def test_jpeg_progressive_subsampled_equals_baseline():
+    """Progressive 4:2:0 / 4:2:2 — the REAL-photo shape (progressive +
+    chroma subsampling together) — must decode pixel-identical to the
+    baseline encoding of the same coefficients: interleaved DC scans emit
+    the A.2.3 MCU order (four/two Y blocks keyed by global raster index),
+    AC scans walk each component's own grid, and the shared
+    sample-replication upsample runs after coefficient accumulation."""
+    from query_engine_spark.llmdata.multimodal import (
+        decode_jpeg, encode_jpeg_progressive, jpeg_color_qcoefs,
+        make_jpeg_420, make_jpeg_422,
+    )
+
+    for pat, mw, mh in [(0, 1, 1), (3, 2, 1), (7, 2, 2)]:
+        blocks = {
+            0: [jpeg_color_qcoefs(pat, bi, 0) for bi in range(4 * mw * mh)],
+            1: [jpeg_color_qcoefs(pat, mi, 1) for mi in range(mw * mh)],
+            2: [jpeg_color_qcoefs(pat, mi, 2) for mi in range(mw * mh)],
+        }
+        assert decode_jpeg(
+            encode_jpeg_progressive(blocks, mw, mh, luma_h=2, luma_v=2)
+        ) == decode_jpeg(make_jpeg_420(pat, mw, mh)), (pat, mw, mh)
+    for pat, mw, mh in [(1, 1, 1), (5, 2, 2)]:
+        blocks = {
+            0: [jpeg_color_qcoefs(pat, bi, 0) for bi in range(2 * mw * mh)],
+            1: [jpeg_color_qcoefs(pat, mi, 1) for mi in range(mw * mh)],
+            2: [jpeg_color_qcoefs(pat, mi, 2) for mi in range(mw * mh)],
+        }
+        assert decode_jpeg(
+            encode_jpeg_progressive(blocks, mw, mh, luma_h=2, luma_v=1)
+        ) == decode_jpeg(make_jpeg_422(pat, mw, mh)), (pat, mw, mh)
