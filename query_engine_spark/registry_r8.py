@@ -1,0 +1,479 @@
+"""Round-8 registry candidates — (Spark query, DuckDB oracle) pairs built
+and ORACLE-VALIDATED in round 7, held out of `registry.REGISTRY` only
+because the round-7 driver window was budgeted for the r1/r2 rotation
+cohort (see `_ROUND7_TOUCHED`). Registering in round 8 is mechanical:
+move each entry through `registry._register` (they will lead the window
+as never-verified queries).
+
+Validation today: `tests/test_r8_oracles.py` runs every candidate through
+the same compare as `tools/selfcheck.py` (sorted columns/rows, dtype
+checks, exact values) at sf0.001 — so the oracles carry no registration
+risk into round 8.
+
+Oracle strategy notes:
+- progressive / restart JPEG reuse the EXISTING baseline oracles verbatim
+  — the entropy transport changes, the decoded pixels do not (that is the
+  whole design of the fixed-point decoder contract).
+- 4:2:2 adapts the 4:2:0 oracle's geometry: Y grid 2·mw × mh, chroma
+  upsample map (gx div 2, gy).
+- the audio containers (FLAC mono/stereo, AIFF, SPHERE) share
+  `make_wav`'s sample formula, so ONE SQL form covers all four; the
+  stereo fixture interleaves the same formula stream, so its features
+  equal the mono form at 2n samples.
+- TIFF reuses the BMP/GIF pixel formula — compression (none / PackBits /
+  early-change LZW) and byte order are transport, cycled by doc_id so the
+  driver path exercises all six combinations.
+- WARC ingest's oracle rebuilds the EXPECTED extracted text by string
+  concatenation from the deterministic page template — predicting the
+  html_to_text output from first principles rather than replaying the
+  regex pipeline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from query_engine_spark.sources.testdata import load_table
+
+
+@dataclass(frozen=True)
+class CandidateSpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str
+    doc: str = ""
+
+
+CANDIDATES: dict[str, CandidateSpec] = {}
+
+
+def _candidate(name: str, oracle: str, doc: str = ""):
+    def deco(fn):
+        CANDIDATES[name] = CandidateSpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _pack_media(ids: DataFrame, maker) -> DataFrame:
+    from query_engine_spark.registry import _pack_media as rp
+
+    return rp(ids, maker)
+
+
+# ---------------------------------------------------------------------------
+# JPEG family: transport variants of verified oracles
+
+
+def _progressive_oracle() -> str:
+    from query_engine_spark.registry import _jpeg_color_oracle
+
+    return _jpeg_color_oracle()
+
+
+@_candidate(
+    "multimodal_jpeg_progressive",
+    _progressive_oracle(),
+    "PROGRESSIVE (SOF2) color JPEG decode: the default multi-scan script "
+    "(spectral selection, EOB runs, DC+AC successive approximation) over "
+    "the SAME jpeg_color_qcoefs coefficients as multimodal_jpeg_color — "
+    "the oracle is that query's verbatim, because progressive transport "
+    "must reconstruct identical pixels (llmdata/multimodal.py "
+    "encode_jpeg_progressive/_decode_jpeg_progressive)",
+)
+def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 48).select(F.col("doc_id").alias("media_id"))
+
+    def maker(i: int) -> bytes:
+        bw, bh = 2 + i % 2, 2 + (i // 2) % 2
+        blocks = {
+            c: [MM.jpeg_color_qcoefs(i, bi, c) for bi in range(bw * bh)]
+            for c in range(3)
+        }
+        return MM.encode_jpeg_progressive(blocks, bw, bh)
+
+    media = MM.attach_media_meta(_pack_media(ids, maker), media_type="image/jpeg")
+    return MM.jpeg_color_features(media)
+
+
+def _restart_oracle() -> str:
+    from query_engine_spark.registry import _jpeg_oracle
+
+    return _jpeg_oracle()
+
+
+@_candidate(
+    "multimodal_jpeg_restart",
+    _restart_oracle(),
+    "baseline grayscale JPEG with RESTART INTERVALS (DRI + RSTn markers, "
+    "modulo-8 sequence, DC-predictor resets) over the same jpeg_qcoefs "
+    "coefficients as multimodal_jpeg — markers are transport, so that "
+    "query's oracle applies verbatim",
+)
+def multimodal_jpeg_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 48).select(F.col("doc_id").alias("media_id"))
+
+    def maker(i: int) -> bytes:
+        bw, bh = 2 + i % 2, 2 + (i // 2) % 2
+        blocks = [MM.jpeg_qcoefs(i, bi) for bi in range(bw * bh)]
+        return MM.encode_jpeg_blocks(blocks, bw, bh, restart_interval=1 + i % 3)
+
+    media = MM.attach_media_meta(_pack_media(ids, maker), media_type="image/jpeg")
+    return MM.jpeg_features(media)
+
+
+def _jpeg_422_oracle() -> str:
+    """The 4:2:0 oracle's geometry adapted to 2×1 luma: Y-block grid
+    2·mw × mh, chroma at (gx div 2, gy), image mw·16 × mh·8."""
+    from query_engine_spark.llmdata.multimodal import (
+        _JPEG_IDCT_A,
+        _JPEG_QTAB,
+        _JPEG_QTAB_C,
+        _JPEG_ZIGZAG,
+    )
+
+    a_rows = ", ".join(
+        f"({u}, {x}, {_JPEG_IDCT_A[u][x]})" for u in range(8) for x in range(8)
+    )
+    used = [0, 1, 3, 8, 20, 40, 55]
+    cmap = ", ".join(
+        f"({i}, {_JPEG_ZIGZAG[i] % 8}, {_JPEG_ZIGZAG[i] // 8}, "
+        f"{_JPEG_QTAB[i]}, {_JPEG_QTAB_C[i]})"
+        for i in used
+    )
+    half, full = 1 << 25, 1 << 26
+    fd = (
+        f"((t + {half}) // {full}) - (CASE WHEN (t + {half}) % {full} != 0 "
+        f"AND t + {half} < 0 THEN 1 ELSE 0 END)"
+    )
+
+    def fd16(v: str) -> str:
+        return (
+            f"(({v} + 32768) // 65536) - (CASE WHEN ({v} + 32768) % 65536 != 0 "
+            f"AND {v} + 32768 < 0 THEN 1 ELSE 0 END)"
+        )
+
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, 1 + doc_id % 2 AS mw, 1 + (doc_id // 2) % 2 AS mh
+      FROM documents WHERE doc_id < 48),
+    cm(zi, cu, cv, q0, q1) AS (VALUES {cmap}),
+    a(au, ax, aval) AS (VALUES {a_rows}),
+    yb AS (
+      SELECT media_id, mw, mh, b.b AS bi
+      FROM m, generate_series(0, 7) AS b(b) WHERE b.b < 2 * mw * mh),
+    ycoefs AS (
+      SELECT media_id, mw, mh, bi, cm.cu, cm.cv,
+             (CASE WHEN cm.zi = 0 THEN ((media_id*7 + bi*5) % 13) - 6
+                   ELSE ((media_id*11 + bi*3 + cm.zi) % 9) - 4 END) * cm.q0 AS cq
+      FROM yb, cm),
+    yterms AS (
+      SELECT c.media_id, c.mw, c.mh, c.bi, px.x AS x, py.y AS y,
+             CAST(sum(c.cq * aa.aval * ab.aval) AS BIGINT) AS t
+      FROM ycoefs c, generate_series(0, 7) AS px(x), generate_series(0, 7) AS py(y)
+      JOIN a aa ON aa.au = c.cu AND aa.ax = px.x
+      JOIN a ab ON ab.au = c.cv AND ab.ax = py.y
+      GROUP BY 1, 2, 3, 4, 5, 6),
+    yplane AS (
+      SELECT media_id, mw, mh,
+             (bi % (2*mw)) * 8 + x AS gx, (bi // (2*mw)) * 8 + y AS gy,
+             greatest(0, least(255, 128 + {fd})) AS yy
+      FROM yterms),
+    cb AS (
+      SELECT media_id, mw, mh, b.b AS mi
+      FROM m, generate_series(0, 3) AS b(b) WHERE b.b < mw * mh),
+    ccoefs AS (
+      SELECT media_id, mw, mi, comp.c AS c, cm.cu, cm.cv,
+             (CASE WHEN cm.zi = 0 THEN ((media_id*7 + mi*5 + comp.c*17) % 13) - 6
+                   ELSE ((media_id*11 + mi*3 + comp.c*29 + cm.zi) % 9) - 4 END)
+             * cm.q1 AS cq
+      FROM cb, cm, generate_series(1, 2) AS comp(c)),
+    cterms AS (
+      SELECT co.media_id, co.mw, co.mi, co.c, px.x AS x, py.y AS y,
+             CAST(sum(co.cq * aa.aval * ab.aval) AS BIGINT) AS t
+      FROM ccoefs co, generate_series(0, 7) AS px(x), generate_series(0, 7) AS py(y)
+      JOIN a aa ON aa.au = co.cu AND aa.ax = px.x
+      JOIN a ab ON ab.au = co.cv AND ab.ax = py.y
+      GROUP BY 1, 2, 3, 4, 5, 6),
+    cplane AS (
+      SELECT media_id, (mi % mw) * 8 + x AS cx, (mi // mw) * 8 + y AS cy,
+             max(CASE WHEN c = 1 THEN p END) AS cbv,
+             max(CASE WHEN c = 2 THEN p END) AS crv
+      FROM (SELECT media_id, mw, mi, c, x, y,
+                   greatest(0, least(255, 128 + {fd})) AS p
+            FROM cterms)
+      GROUP BY 1, 2, 3),
+    rgb AS (
+      SELECT yp.media_id, yp.mw, yp.mh, yp.gx, yp.gy,
+             greatest(0, least(255, yy + ({fd16("91881 * (crv - 128)")}))) AS r,
+             greatest(0, least(255, yy - ({fd16("22554 * (cbv - 128) + 46802 * (crv - 128)")}))) AS g,
+             greatest(0, least(255, yy + ({fd16("116130 * (cbv - 128)")}))) AS b
+      FROM yplane yp JOIN cplane cp
+        ON cp.media_id = yp.media_id AND cp.cx = yp.gx // 2 AND cp.cy = yp.gy)
+    SELECT media_id, CAST(mw * 16 AS INT) AS width, CAST(mh * 8 AS INT) AS height,
+           CAST(sum(r) AS BIGINT) AS r_sum,
+           CAST(sum(g) AS BIGINT) AS g_sum,
+           CAST(sum(b) AS BIGINT) AS b_sum,
+           CAST(max(CASE WHEN gx = 0 AND gy = 0 THEN r END) AS INT) AS top_left_r
+    FROM rgb GROUP BY 1, 2, 3
+    """
+
+
+@_candidate(
+    "multimodal_jpeg_422",
+    _jpeg_422_oracle(),
+    "baseline 4:2:2 YCbCr JPEG (Y sampled 2x1 — two luma blocks + "
+    "half-horizontal chroma per 16x8 MCU) through the generalized MCU "
+    "walker; oracle = the 4:2:0 form with (gx div 2, gy) chroma map",
+)
+def multimodal_jpeg_422(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 48).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(ids, lambda i: MM.make_jpeg_422(i, 1 + i % 2, 1 + (i // 2) % 2)),
+        media_type="image/jpeg",
+    )
+    return MM.jpeg_color_features(media)
+
+
+# ---------------------------------------------------------------------------
+# audio containers: one SQL form, four transports
+
+
+def _pcm_first_sample_fix(n_expr: str, rate_expr: str, id_cap: int = 64) -> str:
+    """first_sample must be sample 0 exactly, not a max over matches —
+    compute it directly from the formula."""
+    return f"""
+    WITH m AS (SELECT doc_id AS media_id, {n_expr} AS n, {rate_expr} AS rate
+               FROM documents WHERE doc_id < {id_cap}),
+    s AS (
+      SELECT m.media_id, m.rate, m.n,
+             ((m.media_id*131 + i.i*17) % 65536) - 32768 AS v
+      FROM m, generate_series(0, 1999) AS i(i) WHERE i.i < m.n)
+    SELECT media_id, CAST(max(rate) AS INT) AS sample_rate,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(sum(abs(v)) AS BIGINT) AS amp_sum,
+           CAST(max(v) AS INT) AS peak,
+           CAST(((media_id*131) % 65536) - 32768 AS INT) AS first_sample
+    FROM s GROUP BY media_id
+    """
+
+
+@_candidate(
+    "multimodal_audio_flac",
+    _pcm_first_sample_fix("600 + doc_id % 7 * 100", "8000 + doc_id % 4 * 4000"),
+    "REAL FLAC decode (frames, fixed predictors, rice partitions, CRCs, "
+    "STREAMINFO MD5) of the make_wav sample formula — compression is "
+    "transport, so the WAV oracle arithmetic applies",
+)
+def multimodal_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(ids, lambda i: MM.make_flac(i, 600 + i % 7 * 100, 8000 + i % 4 * 4000)),
+        media_type="audio/flac",
+    )
+    return MM.flac_features(media)
+
+
+@_candidate(
+    "multimodal_audio_flac_stereo",
+    # n_samples reports INTERCHANNEL frames (the FLAC STREAMINFO contract)
+    # while amp_sum/peak/first cover the full interleaved stream (2n)
+    """
+    WITH m AS (SELECT doc_id AS media_id, 400 + doc_id % 5 * 100 AS n, 16000 AS rate
+               FROM documents WHERE doc_id < 64),
+    s AS (
+      SELECT m.media_id, m.rate, m.n,
+             ((m.media_id*131 + i.i*17) % 65536) - 32768 AS v
+      FROM m, generate_series(0, 1999) AS i(i) WHERE i.i < 2 * m.n)
+    SELECT media_id, CAST(max(rate) AS INT) AS sample_rate,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(sum(abs(v)) AS BIGINT) AS amp_sum,
+           CAST(max(v) AS INT) AS peak,
+           CAST(((media_id*131) % 65536) - 32768 AS INT) AS first_sample
+    FROM s GROUP BY media_id
+    """,
+    "REAL STEREO FLAC decode (per-frame cheapest of independent / "
+    "left-side / side-right / mid-side decorrelation, 17-bit side "
+    "subframes): the interleaved stream IS the mono formula stream at 2n "
+    "samples, so the same oracle covers it",
+)
+def multimodal_audio_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+
+    def maker(i: int) -> bytes:
+        n = 400 + i % 5 * 100
+        inter = [((i * 131 + k * 17) % 65536) - 32768 for k in range(2 * n)]
+        return MM.encode_flac(inter, 16000, frame_size=128, channels=2)
+
+    media = MM.attach_media_meta(
+        _pack_media(ids, maker), media_type="audio/flac"
+    )
+    return MM.flac_features(media)
+
+
+@_candidate(
+    "multimodal_audio_aiff",
+    _pcm_first_sample_fix("500 + doc_id % 6 * 80", "8000 + doc_id % 3 * 8000"),
+    "REAL AIFF decode (FORM walk, 80-bit extended-float rate, big-endian "
+    "PCM honoring the SSND offset) of the make_wav formula",
+)
+def multimodal_audio_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(ids, lambda i: MM.make_aiff(i, 500 + i % 6 * 80, 8000 + i % 3 * 8000)),
+        media_type="audio/aiff",
+    )
+    return MM.aiff_features(media)
+
+
+@_candidate(
+    "multimodal_audio_sphere",
+    _pcm_first_sample_fix("500 + doc_id % 6 * 80", "16000"),
+    "REAL NIST SPHERE decode (TIMIT-family ASCII header, typed fields, "
+    "declared byte order) of the make_wav formula",
+)
+def multimodal_audio_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(ids, lambda i: MM.make_sphere(i, 500 + i % 6 * 80, 16000)),
+        media_type="audio/x-nist",
+    )
+    return MM.sphere_features(media)
+
+
+# ---------------------------------------------------------------------------
+# TIFF: compression/byte-order transport over the BMP/GIF pixel formula
+
+
+@_candidate(
+    "multimodal_tiff",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 20 + doc_id % 5 AS width, 15 + doc_id % 4 AS height
+      FROM documents WHERE doc_id < 64),
+    px AS (
+      SELECT m.media_id, m.width, m.height,
+             (m.media_id*31 + y.y*7 + x.x*3) % 256 AS p
+      FROM m, generate_series(0, 18) AS y(y), generate_series(0, 24) AS x(x)
+      WHERE y.y < m.height AND x.x < m.width)
+    SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(sum(p) AS BIGINT) AS px_sum,
+           CAST(media_id*31 % 256 AS INT) AS top_left
+    FROM px GROUP BY media_id, width, height
+    """,
+    "REAL TIFF decode (typed IFD walk, ragged multi-strip reassembly, "
+    "none/PackBits/early-change-LZW cycled by doc_id%3, II/MM byte order "
+    "by doc_id%2) — compression and byte order are transport over the "
+    "BMP/GIF pixel formula",
+)
+def multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    comps = (1, 32773, 5)
+
+    def maker(i: int) -> bytes:
+        return MM.make_tiff(
+            i, 20 + i % 5, 15 + i % 4,
+            compression=comps[i % 3],
+            byte_order="II" if i % 2 == 0 else "MM",
+        )
+
+    media = MM.attach_media_meta(_pack_media(ids, maker), media_type="image/tiff")
+    return MM.tiff_features(media)
+
+
+# ---------------------------------------------------------------------------
+# WARC crawl ingest: oracle predicts the extracted text from the template
+
+
+@_candidate(
+    "llm_warc_ingest",
+    """
+    WITH w AS (SELECT doc_id AS warc_id FROM documents WHERE doc_id < 32),
+    pages AS (
+      SELECT w.warc_id, CAST(p.p AS INT) AS page
+      FROM w, generate_series(0, 2) AS p(p)),
+    expected AS (
+      SELECT warc_id,
+             'http://site' || (warc_id % 7) || '.example/d/' || page
+               || '?id=' || page AS url,
+             200 AS http_status,
+             'T Doc ' || warc_id || '-' || page || chr(10)
+               || 'alpha ' || (warc_id*13 + page*7) % 97 || ' beta' || chr(10)
+               || 'tail & done' AS text
+      FROM pages)
+    SELECT warc_id, url, CAST(http_status AS INT) AS http_status,
+           md5(text) AS text_fp
+    FROM expected
+    ORDER BY warc_id, url
+    """,
+    "WARC crawl ingestion end to end: gzip-member WARC fixtures -> "
+    "response records -> HTTP envelope strip -> html_to_text (column "
+    "expressions) -> canonical_url (tracking-param drop, default-port "
+    "strip, lowercase host). The oracle predicts the EXTRACTED text by "
+    "string concatenation from the deterministic page template — first "
+    "principles, not regex replay (llmdata/warc.py)",
+)
+def llm_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import warc as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 32).select(F.col("doc_id").alias("warc_id"))
+
+    def maker(i: int) -> bytes:
+        recs = [{"type": "warcinfo", "body": b"software: fixture\r\n"}]
+        for p in range(3):
+            url = f"HTTP://Site{i % 7}.Example:80/d/{p}?utm_source=x&id={p}"
+            body = (
+                f"<html><head><title>T</title></head><body><h1>Doc {i}-{p}</h1>"
+                f"<p>alpha {(i * 13 + p * 7) % 97} beta</p>"
+                f"<script>var x = 1;</script>"
+                f"<p>tail &amp; done</p></body></html>"
+            ).encode()
+            recs.append({"type": "request", "target_uri": url, "body": b"GET /\r\n"})
+            recs.append({
+                "type": "response", "target_uri": url,
+                "content_type": "text/html; charset=utf-8", "body": body,
+            })
+        return W.make_warc(recs)
+
+    from query_engine_spark.registry import _pack_media as rp
+
+    packed = rp(ids.withColumnRenamed("warc_id", "media_id"), maker).select(
+        F.col("media_id").alias("warc_id"), "payload"
+    )
+    return (
+        W.warc_documents(packed)
+        .select(
+            "warc_id",
+            W.canonical_url(F.col("url")).alias("url"),
+            "http_status",
+            F.md5(F.encode(W.html_to_text(F.col("text")), "utf-8")).alias("text_fp"),
+        )
+        .orderBy("warc_id", "url")
+    )
