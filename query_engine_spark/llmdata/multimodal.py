@@ -284,6 +284,76 @@ def decode_bmp(blob: bytes) -> tuple[int, int, int, int, int]:
     return width, height, 24, px_sum, top_left
 
 
+def make_bmp8(media_id: int, width: int, height: int) -> bytes:
+    """Pack a deterministic 8-bpp PALETTE BMP (the non-24-bpp boundary):
+    256-entry BGRA color table (entry i = (B=i·7%256, G=i·3%256, R=i)),
+    bottom-up index rows padded to 4-byte stride; pixel index (x, y) =
+    ``(media_id*31 + y*7 + x*3) % 256`` — the GIF/TIFF formula, so the
+    same oracle arithmetic predicts every decoded feature."""
+    import struct
+
+    stride = (width + 3) & ~3
+    palette = b"".join(
+        bytes(((i * 7) % 256, (i * 3) % 256, i, 0)) for i in range(256)
+    )
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        for x in range(width):
+            rows.append((media_id * 31 + y * 7 + x * 3) % 256)
+        rows += b"\x00" * (stride - width)
+    off = 14 + 40 + 1024
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 0,
+                      len(rows), 2835, 2835, 256, 0)
+    )
+    return header + palette + bytes(rows)
+
+
+def decode_bmp8(blob: bytes) -> tuple[int, int, int, int, int]:
+    """REAL 8-bpp palette-BMP decode → (width, height, idx_sum, rgb_sum,
+    top_left_idx): validates bpp/compression, reads biClrUsed (0 → 256)
+    BGRA palette entries, walks the bottom-up stride-padded index rows,
+    and folds indices through the palette — the BMP mirror of
+    `decode_gif`'s feature surface. 1/4/16-bpp raise."""
+    import struct
+
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(blob) < 54:
+        raise ValueError("truncated BMP header")
+    (off,) = struct.unpack_from("<I", blob, 10)
+    width, height = struct.unpack_from("<ii", blob, 18)
+    (bpp,) = struct.unpack_from("<H", blob, 28)
+    (compression,) = struct.unpack_from("<I", blob, 30)
+    (clr_used,) = struct.unpack_from("<I", blob, 46)
+    if bpp != 8 or height <= 0:
+        raise NotImplementedError("decode_bmp8 handles 8-bpp bottom-up only")
+    if compression != 0:
+        raise NotImplementedError("only uncompressed palette BMP supported")
+    if width <= 0:
+        raise ValueError(f"invalid BMP width {width}")
+    ncol = clr_used or 256
+    pal_start = 14 + 40
+    palette = blob[pal_start : pal_start + 4 * ncol]
+    if len(palette) < 4 * ncol:
+        raise ValueError("truncated BMP color table")
+    stride = (width + 3) & ~3
+    if len(blob) < off + stride * height:
+        raise ValueError("truncated BMP pixel data")
+    idx_sum = rgb_sum = 0
+    for stored_row in range(height):
+        row = blob[off + stored_row * stride : off + stored_row * stride + width]
+        for i in row:
+            if i >= ncol:
+                raise ValueError("palette index out of range")
+            idx_sum += i
+            rgb_sum += palette[4 * i] + palette[4 * i + 1] + palette[4 * i + 2]
+    top_left_idx = blob[off + (height - 1) * stride]
+    return width, height, idx_sum, rgb_sum, top_left_idx
+
+
 def resize_bmp(blob: bytes, out_w: int, out_h: int) -> bytes:
     """REAL nearest-neighbor resize: decode → integer-grid sample → re-encode.
 
@@ -2253,20 +2323,40 @@ def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
         prev = entry
 
 
-def make_gif(media_id: int, width: int, height: int) -> bytes:
-    """Pack a deterministic GIF89a: 256-entry global palette (entry i =
+def _gif_interlace_rows(height: int) -> list[int]:
+    """The GIF 4-pass interlace row order (89a spec appendix E): rows
+    0,8,16…, then 4,12…, then 2,6,10…, then 1,3,5…"""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
+def make_gif(
+    media_id: int,
+    width: int,
+    height: int,
+    *,
+    interlace: bool = False,
+    local_palette: bool = False,
+) -> bytes:
+    """Pack a deterministic GIF89a: 256-entry palette (entry i =
     (i, i·3 mod 256, i·7 mod 256)), one full-frame image, REAL LZW-coded
     pixel indices. Index of pixel (x, y) is ``(media_id*31 + y*7 + x*3) %
     256`` — same family as `make_bmp`, so the oracle predicts every decoded
-    feature by integer arithmetic."""
+    feature by integer arithmetic. With `interlace` the rows are stored in
+    the 4-pass order (flag 0x40); with `local_palette` the color table
+    moves from the screen descriptor to the image descriptor (flag 0x80) —
+    both real-corpus shapes."""
     import struct
 
     palette = bytes(
         v for i in range(256) for v in (i, (i * 3) % 256, (i * 7) % 256)
     )
+    rows = _gif_interlace_rows(height) if interlace else range(height)
     idx = bytes(
         (media_id * 31 + y * 7 + x * 3) % 256
-        for y in range(height)
+        for y in rows
         for x in range(width)
     )
     lzw = _lzw_compress(idx, 8)
@@ -2276,25 +2366,34 @@ def make_gif(media_id: int, width: int, height: int) -> bytes:
         blocks.append(len(sub))
         blocks += sub
     blocks.append(0)  # block terminator
+    screen_packed = 0x07 if local_palette else 0xF7  # GCT flag + size
+    img_packed = (0x40 if interlace else 0) | (0x87 if local_palette else 0)
     return (
         b"GIF89a"
-        + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 2^8 entries
-        + palette
-        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + struct.pack("<HHBBB", width, height, screen_packed, 0, 0)
+        + (b"" if local_palette else palette)
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, img_packed)
+        + (palette if local_palette else b"")
         + b"\x08"  # LZW min code size
         + bytes(blocks)
         + b"\x3b"
     )
 
 
-def decode_gif(blob: bytes) -> tuple[int, int, int, int, int]:
-    """REAL GIF decode → (width, height, idx_sum, rgb_sum, top_left_idx).
+def decode_gif_indices(blob: bytes) -> tuple[int, int, bytes, bytes]:
+    """REAL GIF decode → (width, height, palette, indices in NATURAL
+    top-to-bottom row order) — the full-pixel form `decode_gif` folds into
+    features; split out so tests can pin the de-interlace row map exactly
+    (the feature sums are order-invariant and would hide a broken
+    reorder).
 
     Parses the logical screen descriptor, global color table, extension
     blocks (skipped per spec), and the first image descriptor, then
     LZW-DECOMPRESSES the pixel indices (variable-width codes, clear/EOI,
-    KwKwK) and folds them through the palette. Interlaced images and local
-    color tables raise NotImplementedError; a truncated stream or an index
+    KwKwK) and folds them through the palette. Interlaced images are
+    de-interlaced through the 4-pass row map (top_left_idx reads NATURAL
+    row 0 after reordering); a local color table on the image descriptor
+    overrides the global one per spec. A truncated stream or an index
     count that disagrees with the descriptor raises ValueError."""
     import struct
 
@@ -2330,10 +2429,13 @@ def decode_gif(blob: bytes) -> tuple[int, int, int, int, int]:
             raise ValueError("truncated image descriptor")
         _, _, iw, ih, ipacked = struct.unpack_from("<HHHHB", blob, pos)
         pos += 9
-        if ipacked & 0x40:
-            raise NotImplementedError("interlaced GIF not supported")
-        if ipacked & 0x80:
-            raise NotImplementedError("local color table not supported")
+        interlaced = bool(ipacked & 0x40)
+        if ipacked & 0x80:  # local color table overrides the global one
+            n = 2 << (ipacked & 0x07)
+            palette = blob[pos : pos + 3 * n]
+            if len(palette) < 3 * n:
+                raise ValueError("truncated local color table")
+            pos += 3 * n
         break
     if iw <= 0 or ih <= 0:
         raise ValueError(f"invalid dimensions {iw}x{ih}")
@@ -2354,6 +2456,20 @@ def decode_gif(blob: bytes) -> tuple[int, int, int, int, int]:
     idx = _lzw_decompress(bytes(lzw), min_code_size)
     if len(idx) != iw * ih:
         raise ValueError(f"decoded {len(idx)} indices for {iw}x{ih} image")
+    if interlaced:
+        # stored row k of the stream is natural row order[k] — invert the
+        # 4-pass map so downstream sees natural top-to-bottom rows
+        natural = bytearray(iw * ih)
+        for k, y in enumerate(_gif_interlace_rows(ih)):
+            natural[y * iw : (y + 1) * iw] = idx[k * iw : (k + 1) * iw]
+        idx = bytes(natural)
+    return iw, ih, palette, idx
+
+
+def decode_gif(blob: bytes) -> tuple[int, int, int, int, int]:
+    """Feature fold of `decode_gif_indices`: (width, height, idx_sum,
+    rgb_sum, top_left_idx)."""
+    iw, ih, palette, idx = decode_gif_indices(blob)
     idx_sum = sum(idx)
     rgb_sum = sum(
         palette[3 * i] + palette[3 * i + 1] + palette[3 * i + 2] for i in idx

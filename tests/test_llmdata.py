@@ -3292,3 +3292,62 @@ def test_jpeg_progressive_subsampled_equals_baseline():
         assert decode_jpeg(
             encode_jpeg_progressive(blocks, mw, mh, luma_h=2, luma_v=1)
         ) == decode_jpeg(make_jpeg_422(pat, mw, mh)), (pat, mw, mh)
+
+
+def test_gif_interlace_and_local_palette():
+    """Interlaced GIF de-interlaces through the exact 4-pass row map —
+    pinned ROW-EXACT via decode_gif_indices, because the feature sums are
+    order-invariant and would hide a broken reorder — and a local color
+    table on the image descriptor overrides the global one. Both close
+    boundaries previously raising NotImplementedError."""
+    from query_engine_spark.llmdata.multimodal import (
+        _gif_interlace_rows, decode_gif, decode_gif_indices, make_gif,
+    )
+
+    # the spec row order itself (89a appendix E)
+    assert _gif_interlace_rows(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+
+    for mid, w, h in [(0, 28, 18), (3, 31, 21), (7, 10, 9), (5, 9, 1)]:
+        plain = decode_gif_indices(make_gif(mid, w, h))
+        for il in (False, True):
+            for lp in (False, True):
+                got = decode_gif_indices(
+                    make_gif(mid, w, h, interlace=il, local_palette=lp)
+                )
+                assert got == plain, (mid, w, h, il, lp)  # row-exact
+        # feature surface unchanged
+        assert decode_gif(make_gif(mid, w, h, interlace=True)) == decode_gif(
+            make_gif(mid, w, h)
+        )
+    # interlaced bytes genuinely differ on the wire (no-op guard)
+    assert make_gif(9, 16, 12) != make_gif(9, 16, 12, interlace=True)
+
+
+def test_bmp8_palette_roundtrip_and_rejection():
+    """8-bpp palette BMP (the non-24-bpp boundary): BGRA color table,
+    bottom-up stride-padded index rows, biClrUsed handling; indices out
+    of palette range raise."""
+    import pytest
+
+    from query_engine_spark.llmdata.multimodal import decode_bmp8, make_bmp8
+
+    for mid, w, h in [(0, 20, 15), (3, 33, 22), (7, 5, 4)]:
+        W, H, isum, rsum, tl = decode_bmp8(make_bmp8(mid, w, h))
+        want_i = sum((mid * 31 + y * 7 + x * 3) % 256 for y in range(h) for x in range(w))
+
+        def rgb(i):
+            return (i * 7) % 256 + (i * 3) % 256 + i
+
+        want_r = sum(rgb((mid * 31 + y * 7 + x * 3) % 256) for y in range(h) for x in range(w))
+        assert (W, H, isum, rsum, tl) == (w, h, want_i, want_r, (mid * 31) % 256)
+
+    with pytest.raises(NotImplementedError, match="8-bpp"):
+        from query_engine_spark.llmdata.multimodal import make_bmp
+
+        decode_bmp8(make_bmp(1, 8, 8))  # 24-bpp through the 8-bpp decoder
+    blob = bytearray(make_bmp8(1, 8, 8))
+    import struct
+
+    struct.pack_into("<I", blob, 46, 16)  # claim a 16-color table
+    with pytest.raises(ValueError, match="index out of range"):
+        decode_bmp8(bytes(blob))
