@@ -2050,33 +2050,20 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def make_png(media_id: int, width: int, height: int) -> bytes:
-    """Pack a deterministic 8-bit RGB PNG. Pixel byte c of pixel (x, y) is
-    ``(media_id*31 + y*7 + x*3 + c) % 256`` — the same formula as
-    `make_bmp`, so the same integer-arithmetic oracle applies. Rows cycle
-    through ALL FIVE filter types (None/Sub/Up/Average/Paeth), so a
-    decoder that skips unfiltering fails the oracle; IDAT is real zlib
-    DEFLATE."""
-    import struct
-    import zlib
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]  # (x0, y0, dx, dy) per pass, PNG spec §8.2
 
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data)) + typ + data
-            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
-        )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
-    bpp = 3
+def _png_filter_rows(rows: list[bytes], bpp: int, ft_of) -> bytearray:
+    """Filter a scanline sequence (one pass, or the whole non-interlaced
+    image): prev resets at the start — each Adam7 pass filters
+    independently per spec."""
     raw = bytearray()
-    prev = bytes(width * bpp)
-    for y in range(height):
-        row = bytes(
-            (media_id * 31 + y * 7 + x * 3 + c) % 256
-            for x in range(width)
-            for c in range(3)
-        )
-        ft = y % 5
+    prev = bytes(len(rows[0])) if rows else b""
+    for j, row in enumerate(rows):
+        ft = ft_of(j)
         raw.append(ft)
         for i, xv in enumerate(row):
             a = row[i - bpp] if i >= bpp else 0
@@ -2094,6 +2081,48 @@ def make_png(media_id: int, width: int, height: int) -> bytes:
                 f = (xv - _paeth(a, b, cc)) % 256
             raw.append(f)
         prev = row
+    return raw
+
+
+def make_png(
+    media_id: int, width: int, height: int, *, interlace: bool = False
+) -> bytes:
+    """Pack a deterministic 8-bit RGB PNG. Pixel byte c of pixel (x, y) is
+    ``(media_id*31 + y*7 + x*3 + c) % 256`` — the same formula as
+    `make_bmp`, so the same integer-arithmetic oracle applies. Rows cycle
+    through ALL FIVE filter types (None/Sub/Up/Average/Paeth), so a
+    decoder that skips unfiltering fails the oracle; IDAT is real zlib
+    DEFLATE. With `interlace` the image is ADAM7: seven passes, each an
+    independently-filtered sub-image (empty passes contribute nothing,
+    including their filter bytes)."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def px_row(y: int, xs) -> bytes:
+        return bytes(
+            (media_id * 31 + y * 7 + x * 3 + c) % 256 for x in xs for c in range(3)
+        )
+
+    bpp = 3
+    if not interlace:
+        rows = [px_row(y, range(width)) for y in range(height)]
+        raw = _png_filter_rows(rows, bpp, lambda j: j % 5)
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            ys = list(range(y0, height, dy))
+            xs = list(range(x0, width, dx))
+            if not ys or not xs:
+                continue
+            rows = [px_row(y, xs) for y in ys]
+            raw += _png_filter_rows(rows, bpp, lambda j: j % 5)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1 if interlace else 0)
     idat = zlib.compress(bytes(raw))
     return (
         b"\x89PNG\r\n\x1a\n"
@@ -2103,16 +2132,50 @@ def make_png(media_id: int, width: int, height: int) -> bytes:
     )
 
 
-def decode_png(blob: bytes) -> tuple[int, int, int, int]:
-    """REAL compressed-image decode → (width, height, px_sum, top_left).
+def _png_unfilter(raw: bytes, off: int, pw: int, ph: int, bpp: int) -> tuple[list[bytearray], int]:
+    """Unfilter `ph` scanlines of `pw` pixels starting at `off` (prev row
+    zero at the start — each Adam7 pass unfilters independently). Returns
+    (rows, new offset)."""
+    stride = pw * bpp
+    rows: list[bytearray] = []
+    prev = bytearray(stride)
+    for j in range(ph):
+        base = off + j * (1 + stride)
+        if base + 1 + stride > len(raw):
+            raise ValueError("inflated stream shorter than scanlines")
+        ft = raw[base]
+        frow = raw[base + 1 : base + 1 + stride]
+        row = bytearray(stride)
+        for i, fv in enumerate(frow):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                xv = fv
+            elif ft == 1:
+                xv = (fv + a) % 256
+            elif ft == 2:
+                xv = (fv + b) % 256
+            elif ft == 3:
+                xv = (fv + (a + b) // 2) % 256
+            elif ft == 4:
+                xv = (fv + _paeth(a, b, c)) % 256
+            else:
+                raise ValueError(f"unknown filter type {ft}")
+            row[i] = xv
+        rows.append(row)
+        prev = row
+    return rows, off + ph * (1 + stride)
 
-    Walks chunks (big-endian lengths, CRC-32 validated per the spec),
-    concatenates IDAT, inflates with stdlib zlib, and UNFILTERS every
-    scanline (None/Sub/Up/Average/Paeth — integer reconstruction per the
-    PNG spec). Supports 8-bit RGB non-interlaced; other color types /
-    depths raise NotImplementedError. A decoder bug in any filter's
-    reconstruction arithmetic shifts px_sum and fails the registry oracle.
-    """
+
+def decode_png_pixels(blob: bytes) -> tuple[int, int, list[bytearray]]:
+    """REAL PNG decode → (width, height, natural-order pixel rows of
+    width·3 bytes). Walks chunks (CRC-32 validated), inflates IDAT, and
+    unfilters — for ADAM7 streams each of the seven passes unfilters
+    independently and scatters to (x0 + i·dx, y0 + j·dy); empty passes
+    contribute no bytes. Split from `decode_png` so tests can pin the
+    de-interlace placement row-exact (the feature sums are
+    order-invariant)."""
     import struct
     import zlib
 
@@ -2140,46 +2203,43 @@ def decode_png(blob: bytes) -> tuple[int, int, int, int]:
     width, height, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     if depth != 8 or color != 2:
         raise NotImplementedError("only 8-bit RGB (color type 2) supported")
-    if comp != 0 or filt != 0 or interlace != 0:
-        raise NotImplementedError("only deflate/adaptive-filter/non-interlaced supported")
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise NotImplementedError("only deflate/adaptive-filter, interlace 0/1 supported")
     if width <= 0 or height <= 0:
         raise ValueError(f"invalid dimensions {width}x{height}")
     raw = zlib.decompress(idat)
     bpp = 3
-    stride = width * bpp
-    if len(raw) != height * (1 + stride):
-        raise ValueError(
-            f"inflated size {len(raw)} != expected {height * (1 + stride)}"
-        )
-    px_sum = 0
-    prev = bytearray(stride)
-    top_left = 0
-    for y in range(height):
-        ft = raw[y * (1 + stride)]
-        frow = raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
-        row = bytearray(stride)
-        for i, fv in enumerate(frow):
-            a = row[i - bpp] if i >= bpp else 0
-            b = prev[i]
-            c = prev[i - bpp] if i >= bpp else 0
-            if ft == 0:
-                xv = fv
-            elif ft == 1:
-                xv = (fv + a) % 256
-            elif ft == 2:
-                xv = (fv + b) % 256
-            elif ft == 3:
-                xv = (fv + (a + b) // 2) % 256
-            elif ft == 4:
-                xv = (fv + _paeth(a, b, c)) % 256
-            else:
-                raise ValueError(f"unknown filter type {ft} on row {y}")
-            row[i] = xv
-        px_sum += sum(row)
-        if y == 0:
-            top_left = row[0]
-        prev = row
-    return width, height, px_sum, top_left
+    if interlace == 0:
+        if len(raw) != height * (1 + width * bpp):
+            raise ValueError(
+                f"inflated size {len(raw)} != expected {height * (1 + width * bpp)}"
+            )
+        rows, _ = _png_unfilter(raw, 0, width, height, bpp)
+        return width, height, rows
+    out = [bytearray(width * bpp) for _ in range(height)]
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        ys = range(y0, height, dy)
+        xs = range(x0, width, dx)
+        pw, ph = len(xs), len(ys)
+        if pw == 0 or ph == 0:
+            continue
+        prows, off = _png_unfilter(raw, off, pw, ph, bpp)
+        for j, y in enumerate(ys):
+            prow = prows[j]
+            for i, x in enumerate(xs):
+                out[y][x * bpp : (x + 1) * bpp] = prow[i * bpp : (i + 1) * bpp]
+    if off != len(raw):
+        raise ValueError("ADAM7 stream has trailing bytes")
+    return width, height, out
+
+
+def decode_png(blob: bytes) -> tuple[int, int, int, int]:
+    """Feature fold of `decode_png_pixels`: (width, height, px_sum,
+    top_left). A decoder bug in any filter's reconstruction arithmetic
+    shifts px_sum and fails the registry oracle."""
+    width, height, rows = decode_png_pixels(blob)
+    return width, height, sum(sum(r) for r in rows), rows[0][0] if rows else 0
 
 
 _PNG_SCHEMA = "media_id long, width int, height int, px_sum long, top_left int"

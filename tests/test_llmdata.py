@@ -3351,3 +3351,22 @@ def test_bmp8_palette_roundtrip_and_rejection():
     struct.pack_into("<I", blob, 46, 16)  # claim a 16-color table
     with pytest.raises(ValueError, match="index out of range"):
         decode_bmp8(bytes(blob))
+
+
+def test_png_adam7_interlace_row_exact():
+    """ADAM7 PNG: seven independently-filtered passes scattered to
+    (x0 + i·dx, y0 + j·dy), empty passes contributing nothing — pinned
+    ROW-EXACT via decode_png_pixels against the non-interlaced encoding
+    of the same formula, across shapes that make several passes empty
+    (1x1, 3x9, 9x3). Every pass still cycles all five filter types."""
+    from query_engine_spark.llmdata.multimodal import (
+        decode_png, decode_png_pixels, make_png,
+    )
+
+    for mid, w, h in [(0, 24, 17), (3, 31, 22), (7, 8, 8), (5, 1, 1),
+                      (9, 3, 9), (11, 9, 3)]:
+        assert decode_png_pixels(make_png(mid, w, h, interlace=True)) == \
+            decode_png_pixels(make_png(mid, w, h)), (mid, w, h)
+        assert decode_png(make_png(mid, w, h, interlace=True)) == \
+            decode_png(make_png(mid, w, h))
+    assert make_png(4, 16, 12) != make_png(4, 16, 12, interlace=True)
