@@ -246,6 +246,118 @@ def multimodal_jpeg_422(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.jpeg_color_features(media)
 
 
+def _gif_oracle_ref() -> str:
+    from query_engine_spark.registry import REGISTRY
+
+    return REGISTRY["multimodal_gif"].oracle
+
+
+@_candidate(
+    "multimodal_gif_interlaced",
+    _gif_oracle_ref(),
+    "INTERLACED GIF with LOCAL color tables (alternating by doc_id): the "
+    "4-pass de-interlace and the LCT override are transport, so "
+    "multimodal_gif's oracle applies verbatim",
+)
+def multimodal_gif_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(
+            ids,
+            lambda i: MM.make_gif(
+                i, 28 + i % 5, 18 + i % 4,
+                interlace=True, local_palette=bool(i % 2),
+            ),
+        ),
+        media_type="image/gif",
+    )
+    return MM.gif_features(media)
+
+
+def _png_oracle_ref() -> str:
+    from query_engine_spark.registry import REGISTRY
+
+    return REGISTRY["multimodal_png"].oracle
+
+
+@_candidate(
+    "multimodal_png_adam7",
+    _png_oracle_ref(),
+    "ADAM7 interlaced PNG: seven independently-filtered passes are "
+    "transport, so multimodal_png's oracle applies verbatim",
+)
+def multimodal_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+    from query_engine_spark.registry import REGISTRY
+
+    # mirror multimodal_png's fixture dims exactly (oracle reuse)
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(
+            ids, lambda i: MM.make_png(i, 4 + i % 5, 3 + i % 4, interlace=True)
+        ),
+        media_type="image/png",
+    )
+    return MM.png_features(media)
+
+
+@_candidate(
+    "multimodal_bmp8",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 20 + doc_id % 5 AS width, 15 + doc_id % 4 AS height
+      FROM documents WHERE doc_id < 64),
+    px AS (
+      SELECT m.media_id, m.width, m.height,
+             (m.media_id*31 + y.y*7 + x.x*3) % 256 AS idx
+      FROM m, generate_series(0, 18) AS y(y), generate_series(0, 24) AS x(x)
+      WHERE y.y < m.height AND x.x < m.width)
+    SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(sum(idx) AS BIGINT) AS idx_sum,
+           CAST(sum((idx*7) % 256 + (idx*3) % 256 + idx) AS BIGINT) AS rgb_sum,
+           CAST(media_id*31 % 256 AS INT) AS top_left_idx
+    FROM px GROUP BY media_id, width, height
+    """,
+    "8-bpp PALETTE BMP (BGRA table, bottom-up stride rows) — the "
+    "non-24-bpp boundary; oracle predicts index and palette-RGB sums by "
+    "integer arithmetic like the GIF form",
+)
+def multimodal_bmp8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from typing import Iterator
+
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(ids, lambda i: MM.make_bmp8(i, 20 + i % 5, 15 + i % 4)),
+        media_type="image/bmp",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                w, h, isum, rsum, tl = MM.decode_bmp8(bytes(blob))
+                rows.append({
+                    "media_id": mid, "width": w, "height": h,
+                    "idx_sum": isum, "rgb_sum": rsum, "top_left_idx": tl,
+                })
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "idx_sum", "rgb_sum", "top_left_idx",
+            ])
+
+    return media.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id long, width int, height int, idx_sum long, rgb_sum long, top_left_idx int",
+    )
+
+
 # ---------------------------------------------------------------------------
 # audio containers: one SQL form, four transports
 
