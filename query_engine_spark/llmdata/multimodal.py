@@ -564,6 +564,114 @@ def mulaw_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, _MULAW_SCHEMA)
 
 
+def alaw_decode_byte(b: int) -> int:
+    """G.711 A-law → linear PCM, the canonical public-domain integer form
+    (Sun g711.c alaw2linear): XOR 0x55 to undo even-bit inversion, rebuild
+    the 4-bit mantissa, apply the segment shift with the segment-0/1
+    special cases, then the sign — A-law's sign bit SET means POSITIVE
+    (the opposite of mu-law). Stateless per byte, so a SQL oracle
+    reproduces every decoded sample with a CASE expression."""
+    inv = b ^ 0x55
+    t = (inv & 0x0F) << 4
+    seg = (inv & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if inv & 0x80 else -t
+
+
+def make_wav_alaw(media_id: int, n_samples: int, sample_rate: int = 8000) -> bytes:
+    """Pack a deterministic RIFF/WAVE G.711 A-law payload (format tag 6,
+    8-bit samples — the European telephony sibling of mu-law). Encoded
+    byte j is ``(media_id*11 + j*5) % 256`` (a different formula from the
+    mu-law fixture so a decoder wired to the wrong expansion cannot pass
+    both oracles by coincidence). Keeps the deliberate JUNK chunk so
+    offset-44 shortcuts fail."""
+    import struct
+
+    data = bytes((media_id * 11 + j * 5) % 256 for j in range(n_samples))
+    fmt = struct.pack("<HHIIHH", 6, 1, sample_rate, sample_rate, 1, 8)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"JUNK" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav_alaw(blob: bytes) -> tuple[int, int, list[int]]:
+    """REAL compressed-audio decode → (sample_rate, n_samples, samples):
+    the same JUNK-proof RIFF walk as `decode_wav_mulaw`, validating a
+    format-tag-6 mono 8-bit fmt chunk, then expanding every G.711 A-law
+    byte via `alaw_decode_byte`."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_size,) = struct.unpack_from("<I", blob, 4)
+    end = min(len(blob), 8 + riff_size)
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = blob[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", blob, pos + 4)
+        if pos + 8 + csize > end:
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            fmt = blob[pos + 8 : pos + 8 + csize]
+        elif cid == b"data":
+            data = blob[pos + 8 : pos + 8 + csize]
+        pos += 8 + csize + (csize & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag != 6:
+        raise NotImplementedError(
+            "decode_wav_alaw handles G.711 A-law (format tag 6) only; "
+            "mu-law (tag 7) decodes via decode_wav_mulaw, 16-bit PCM via "
+            "decode_wav"
+        )
+    if channels != 1 or bits != 8:
+        raise NotImplementedError("only mono 8-bit A-law supported")
+    return rate, len(data), [alaw_decode_byte(b) for b in data]
+
+
+def alaw_features(df: DataFrame) -> DataFrame:
+    """Distributed G.711 A-law decode: expand every payload in one Arrow
+    mapInPandas pass (map-only) — the same feature shape as
+    `mulaw_features` so the two telephony codecs share one oracle form."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                rate, n, samples = decode_wav_alaw(bytes(blob))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": rate,
+                        "n_samples": n,
+                        "amp_sum": sum(samples),
+                        "peak": max(samples),
+                        "first_sample": samples[0] if samples else 0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "amp_sum", "peak", "first_sample",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _MULAW_SCHEMA)
+
+
 # IMA ADPCM step-size and index-adjust tables (public spec data — the
 # DVI4/IMA algorithm of RFC 3551 §4.5.1 / the IMA Recommended Practices).
 _ADPCM_STEP = [
@@ -2033,6 +2141,341 @@ def avi_rle8_features(df: DataFrame, every_n: int = 1, max_frames: int = 8) -> D
             )
 
     return df.select("media_id", "payload").mapInPandas(run, _RLE8_SCHEMA)
+
+
+# --- real MP4/MOV demux (ISO BMFF, ISO/IEC 14496-12): the box grammar and
+# sample tables are pure spec arithmetic — ftyp/moov/trak/mdia/minf/stbl
+# walk, stsd sample-entry validation, stsc chunk-run expansion, stsz sizes,
+# stco/co64 ABSOLUTE file offsets. With an MJPEG ('jpeg') track every
+# sample IS a baseline JPEG, so the hash-verified decode_jpeg closes the
+# loop; transform-codec tracks (avc1/hvc1/mp4v) remain the honest boundary -
+
+
+def make_mp4_mjpeg(media_id: int, n_frames: int, fps: int = 10) -> bytes:
+    """Pack a deterministic MP4 with one MJPEG video track: frame f is the
+    baseline grayscale JPEG of fixture key ``media_id*131 + f*17`` (the
+    `make_jpeg` coefficient formula on a derived key, so the JPEG oracle
+    arithmetic predicts every decoded pixel per frame). Geometry mirrors
+    `multimodal_jpeg`: blocks_w = 2 + media_id % 2, blocks_h = 2 +
+    (media_id // 2) % 2.
+
+    Real sample-table shape on purpose: samples are grouped TWO per chunk
+    (odd counts leave a 1-sample trailing chunk, exercising the stsc
+    run-length grammar), stco offsets are absolute, and the mdat/moov
+    order flips with media_id parity — a demuxer that assumes either
+    layout or uniform chunking fails the oracle hash.
+    """
+    import struct
+
+    if n_frames <= 0:
+        raise ValueError(f"invalid n_frames {n_frames}")
+    bw = 2 + media_id % 2
+    bh = 2 + (media_id // 2) % 2
+    width, height = bw * 8, bh * 8
+    frames = [make_jpeg(media_id * 131 + f * 17, bw, bh) for f in range(n_frames)]
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def fullbox(typ: bytes, version: int, flags: int, payload: bytes) -> bytes:
+        return box(typ, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+    timescale = 600
+    delta = timescale // fps
+    duration = n_frames * delta
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+
+    # two samples per chunk, trailing 1-sample chunk when n_frames is odd
+    chunk_sizes: list[int] = []
+    i = 0
+    while i < n_frames:
+        take = min(2, n_frames - i)
+        chunk_sizes.append(take)
+        i += take
+
+    # VisualSampleEntry 'jpeg' (86 bytes): reserved/data-ref preamble,
+    # dims, 72 dpi fixed-point, frame_count 1, Pascal compressor name,
+    # depth 24, pre_defined -1
+    sample_entry = (
+        struct.pack(">I4s", 86, b"jpeg")
+        + b"\x00" * 6
+        + struct.pack(">H", 1)
+        + struct.pack(">HH", 0, 0)
+        + b"\x00" * 12
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + bytes([4]) + b"MJPG" + b"\x00" * 27
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = fullbox(b"stts", 0, 0, struct.pack(">III", 1, n_frames, delta))
+    # run-length encode chunk_sizes into stsc entries
+    runs: list[tuple[int, int]] = []  # (first_chunk 1-based, samples_per_chunk)
+    for ci, spc in enumerate(chunk_sizes):
+        if not runs or runs[-1][1] != spc:
+            runs.append((ci + 1, spc))
+    stsc = fullbox(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in runs),
+    )
+    stsz = fullbox(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n_frames)
+        + b"".join(struct.pack(">I", len(fr)) for fr in frames),
+    )
+
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = fullbox(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">iH", 0x10000, 0x0100) + b"\x00" * 10 + matrix
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = fullbox(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration) + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0) + matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = fullbox(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = fullbox(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    vmhd = fullbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dinf = box(b"dinf", fullbox(b"dref", 0, 0, struct.pack(">I", 1) + fullbox(b"url ", 0, 1, b"")))
+
+    def build_moov(chunk_offsets: list[int]) -> bytes:
+        stco = fullbox(
+            b"stco", 0, 0,
+            struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+        )
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = box(b"minf", vmhd + dinf + stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", tkhd + mdia)
+        return box(b"moov", mvhd + trak)
+
+    mdat = box(b"mdat", b"".join(frames))
+    # stco entries are fixed-width, so moov's length is layout-independent
+    moov_len = len(build_moov([0] * len(chunk_sizes)))
+    if media_id % 2 == 0:
+        data_start = len(ftyp) + 8  # [ftyp][mdat][moov]
+    else:
+        data_start = len(ftyp) + moov_len + 8  # [ftyp][moov][mdat]
+    offsets: list[int] = []
+    pos = data_start
+    fi = 0
+    for spc in chunk_sizes:
+        offsets.append(pos)
+        for _ in range(spc):
+            pos += len(frames[fi])
+            fi += 1
+    moov = build_moov(offsets)
+    assert len(moov) == moov_len
+    if media_id % 2 == 0:
+        return ftyp + mdat + moov
+    return ftyp + moov + mdat
+
+
+def _bmff_boxes(blob: bytes, pos: int, end: int):
+    """Yield (type, body_start, body_end) for each box in [pos, end),
+    handling size==1 (64-bit largesize) and size==0 (extends to end);
+    validates every declared size against the enclosing extent."""
+    import struct
+
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", blob, pos)
+        typ = blob[pos + 4 : pos + 8]
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError(f"truncated largesize box {typ!r}")
+            (largesize,) = struct.unpack_from(">Q", blob, pos + 8)
+            if largesize < 16:
+                raise ValueError(f"bad largesize {largesize} for box {typ!r}")
+            body, nxt = pos + 16, pos + largesize
+        elif size == 0:
+            body, nxt = pos + 8, end
+        else:
+            if size < 8:
+                raise ValueError(f"bad box size {size} for box {typ!r}")
+            body, nxt = pos + 8, pos + size
+        if nxt > end:
+            raise ValueError(f"truncated box {typ!r}: declares end {nxt}, extent {end}")
+        yield typ, body, nxt
+        pos = nxt
+
+
+def _bmff_find(blob: bytes, pos: int, end: int, typ: bytes) -> tuple[int, int] | None:
+    for t, body, bend in _bmff_boxes(blob, pos, end):
+        if t == typ:
+            return body, bend
+    return None
+
+
+def demux_mp4(blob: bytes) -> tuple[int, int, list[bytes]]:
+    """REAL ISO BMFF demux → (width, height, sample payloads) for the
+    first video track. Walks ftyp/moov/trak/mdia/minf/stbl, validates the
+    stsd sample entry (MJPEG 'jpeg' only — transform codecs raise),
+    expands the stsc chunk runs against stco/co64 absolute offsets and
+    stsz sizes, and slices every sample with strict bounds checks — a
+    mis-framed table raises instead of desynchronizing.
+    """
+    import struct
+
+    if len(blob) < 12:
+        raise ValueError("not an ISO BMFF payload")
+    top = list(_bmff_boxes(blob, 0, len(blob)))
+    if not top or top[0][0] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload (missing leading ftyp)")
+    moov = next(((b, e) for t, b, e in top if t == b"moov"), None)
+    if moov is None:
+        raise ValueError("missing moov box (fragmented/moof streams unsupported)")
+
+    for t, trak_body, trak_end in _bmff_boxes(blob, *moov):
+        if t != b"trak":
+            continue
+        mdia = _bmff_find(blob, trak_body, trak_end, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _bmff_find(blob, *mdia, b"hdlr")
+        if hdlr is None or blob[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        minf = _bmff_find(blob, *mdia, b"minf")
+        stbl = minf and _bmff_find(blob, *minf, b"stbl")
+        if not stbl:
+            raise ValueError("video trak missing minf/stbl")
+        return _parse_video_stbl(blob, *stbl)
+    raise ValueError("no video track found")
+
+
+def _parse_video_stbl(blob: bytes, sb: int, se: int) -> tuple[int, int, list[bytes]]:
+    import struct
+
+    boxes = {t: (b, e) for t, b, e in _bmff_boxes(blob, sb, se)}
+    for req in (b"stsd", b"stsz", b"stsc"):
+        if req not in boxes:
+            raise ValueError(f"stbl missing {req!r}")
+    co_key = b"stco" if b"stco" in boxes else b"co64"
+    if co_key not in boxes:
+        raise ValueError("stbl missing stco/co64")
+
+    # stsd: first sample entry decides the codec
+    db, de = boxes[b"stsd"]
+    (n_entries,) = struct.unpack_from(">I", blob, db + 4)
+    if n_entries < 1 or de - db < 8 + 16:
+        raise ValueError("empty/short stsd")
+    entry = db + 8
+    fmt = blob[entry + 4 : entry + 8]
+    if fmt in (b"avc1", b"hvc1", b"hev1", b"mp4v", b"av01", b"vp09"):
+        raise NotImplementedError(
+            f"MP4 sample entry {fmt.decode('latin1')!r}: transform video "
+            "codecs (H.264/HEVC/MPEG-4/AV1) need a codec library not in "
+            "this container; MJPEG ('jpeg') tracks decode via decode_jpeg"
+        )
+    if fmt != b"jpeg":
+        raise ValueError(f"unsupported video sample entry {fmt!r}")
+    width, height = struct.unpack_from(">HH", blob, entry + 32)
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid stsd dimensions {width}x{height}")
+
+    # stsz: uniform or per-sample sizes
+    zb, zend = boxes[b"stsz"]
+    sample_size, count = struct.unpack_from(">II", blob, zb + 4)
+    if sample_size:
+        sizes = [sample_size] * count
+    else:
+        if zb + 12 + 4 * count > zend:
+            raise ValueError("truncated stsz table")
+        sizes = list(struct.unpack_from(f">{count}I", blob, zb + 12))
+
+    # stco/co64: absolute chunk offsets
+    cb, cend = boxes[co_key]
+    (n_chunks,) = struct.unpack_from(">I", blob, cb + 4)
+    w = 4 if co_key == b"stco" else 8
+    if cb + 8 + w * n_chunks > cend:
+        raise ValueError(f"truncated {co_key!r} table")
+    offsets = list(struct.unpack_from(f">{n_chunks}{'I' if w == 4 else 'Q'}", blob, cb + 8))
+
+    # stsc: run-length (first_chunk, samples_per_chunk); expand per chunk
+    scb, scend = boxes[b"stsc"]
+    (n_runs,) = struct.unpack_from(">I", blob, scb + 4)
+    if scb + 8 + 12 * n_runs > scend:
+        raise ValueError("truncated stsc table")
+    runs = [struct.unpack_from(">III", blob, scb + 8 + 12 * r) for r in range(n_runs)]
+    if not runs or runs[0][0] != 1:
+        raise ValueError("stsc must start at chunk 1")
+    per_chunk: list[int] = []
+    for r, (fc, spc, _desc) in enumerate(runs):
+        last = runs[r + 1][0] - 1 if r + 1 < len(runs) else n_chunks
+        if fc > last:
+            raise ValueError(f"stsc run {r} first_chunk {fc} beyond {last}")
+        per_chunk.extend([spc] * (last - fc + 1))
+    if sum(per_chunk) != count:
+        raise ValueError(
+            f"sample tables disagree: stsc expands to {sum(per_chunk)} "
+            f"samples, stsz declares {count}"
+        )
+
+    frames: list[bytes] = []
+    k = 0
+    for ci, spc in enumerate(per_chunk):
+        off = offsets[ci]
+        for _ in range(spc):
+            if off + sizes[k] > len(blob):
+                raise ValueError(f"sample {k} extends past EOF")
+            frames.append(blob[off : off + sizes[k]])
+            off += sizes[k]
+            k += 1
+    return int(width), int(height), frames
+
+
+def mp4_frame_features(df: DataFrame, every_n: int = 1, max_frames: int = 8) -> DataFrame:
+    """Distributed MP4/MJPEG decode: demux the sample tables and
+    baseline-JPEG-decode every sampled frame in one Arrow mapInPandas pass
+    (map-only). Same sampling contract as `avi_frame_features`; each
+    decoded frame's dimensions are cross-checked against the stsd entry,
+    so a container/stream mismatch raises instead of mis-reporting."""
+
+    if every_n <= 0 or max_frames <= 0:
+        raise ValueError(f"invalid sampling every_n={every_n} max_frames={max_frames}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = demux_mp4(bytes(blob))
+                for j in range(min(max_frames, (len(frames) + every_n - 1) // every_n)):
+                    fi = j * every_n
+                    fw, fh, px = decode_jpeg(frames[fi])
+                    if (fw, fh) != (w, h):
+                        raise ValueError(
+                            f"frame {fi} decodes to {fw}x{fh}, stsd declares {w}x{h}"
+                        )
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": fi,
+                            "width": fw,
+                            "height": fh,
+                            "px_sum": sum(map(sum, px)),
+                            "top_left": px[0][0],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height", "px_sum", "top_left"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _AVI_SCHEMA)
 
 
 # --- real PNG decode: DEFLATE is in the Python STANDARD LIBRARY (zlib), so

@@ -476,6 +476,136 @@ def multimodal_audio_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.sphere_features(media)
 
 
+def _mp4_mjpeg_oracle() -> str:
+    """The grayscale-JPEG oracle arithmetic (registry._jpeg_oracle) with a
+    frame dimension: frame fi of media m decodes the coefficient formula at
+    derived key k = m*131 + fi*17, through the same literal IDCT basis
+    table and floor rounding. Sampling mirrors multimodal_video_frames:
+    every 2nd frame of 6, capped at 3 (fi in 0, 2, 4)."""
+    from query_engine_spark.llmdata.multimodal import (
+        _JPEG_IDCT_A,
+        _JPEG_QTAB,
+        _JPEG_ZIGZAG,
+    )
+
+    a_rows = ", ".join(
+        f"({u}, {x}, {_JPEG_IDCT_A[u][x]})" for u in range(8) for x in range(8)
+    )
+    used = [0, 1, 3, 8, 20, 40, 55]  # jpeg_qcoefs' nonzero zigzag indices
+    cmap = ", ".join(
+        f"({i}, {_JPEG_ZIGZAG[i] % 8}, {_JPEG_ZIGZAG[i] // 8}, {_JPEG_QTAB[i]})"
+        for i in used
+    )
+    half, full = 1 << 25, 1 << 26
+    fd = (
+        f"((t + {half}) // {full}) - (CASE WHEN (t + {half}) % {full} != 0 "
+        f"AND t + {half} < 0 THEN 1 ELSE 0 END)"
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, 2 + doc_id % 2 AS bw, 2 + (doc_id // 2) % 2 AS bh
+      FROM documents WHERE doc_id < 48),
+    mf AS (
+      SELECT media_id, bw, bh, f.f * 2 AS fi, media_id*131 + f.f*2*17 AS k
+      FROM m, generate_series(0, 2) AS f(f)),
+    blocks AS (
+      SELECT media_id, bw, bh, fi, k, b.b AS bi
+      FROM mf, generate_series(0, 8) AS b(b) WHERE b.b < bw * bh),
+    cm(zi, cu, cv, q) AS (VALUES {cmap}),
+    coefs AS (
+      SELECT media_id, bw, bh, fi, bi, cm.cu, cm.cv,
+             (CASE WHEN cm.zi = 0 THEN ((k*7 + bi*5) % 13) - 6
+                   ELSE ((k*11 + bi*3 + cm.zi) % 9) - 4 END) * cm.q AS cq
+      FROM blocks, cm),
+    a(au, ax, aval) AS (VALUES {a_rows}),
+    terms AS (
+      SELECT c.media_id, c.bw, c.bh, c.fi, c.bi, px.x AS x, py.y AS y,
+             CAST(sum(c.cq * aa.aval * ab.aval) AS BIGINT) AS t
+      FROM coefs c, generate_series(0, 7) AS px(x), generate_series(0, 7) AS py(y)
+      JOIN a aa ON aa.au = c.cu AND aa.ax = px.x
+      JOIN a ab ON ab.au = c.cv AND ab.ax = py.y
+      GROUP BY 1, 2, 3, 4, 5, 6, 7),
+    pix AS (
+      SELECT media_id, bw, bh, fi, bi, x, y,
+             greatest(0, least(255, 128 + {fd})) AS p
+      FROM terms)
+    SELECT media_id, CAST(fi AS INT) AS frame_idx,
+           CAST(bw * 8 AS INT) AS width, CAST(bh * 8 AS INT) AS height,
+           CAST(sum(p) AS BIGINT) AS px_sum,
+           CAST(max(CASE WHEN bi = 0 AND x = 0 AND y = 0 THEN p END) AS INT) AS top_left
+    FROM pix GROUP BY 1, 2, 3, 4
+    """
+
+
+@_candidate(
+    "multimodal_video_mp4",
+    _mp4_mjpeg_oracle(),
+    "REAL MP4/MOV demux + MJPEG decode: ISO BMFF box walk, stsd "
+    "sample-entry validation, stsc chunk-run expansion against stco "
+    "absolute offsets and stsz sizes (2-per-chunk layout with odd tails; "
+    "mdat/moov order flips by media parity), then the hash-verified "
+    "baseline-JPEG decode per sampled frame — the oracle predicts every "
+    "pixel of every sampled frame from the coefficient formula at the "
+    "per-frame derived key. Transform codecs (avc1/hvc1/mp4v) raise the "
+    "honest boundary (llmdata/multimodal.py make_mp4_mjpeg/demux_mp4/"
+    "mp4_frame_features)",
+)
+def multimodal_video_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 48).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(ids, lambda i: MM.make_mp4_mjpeg(i, 6)),
+        media_type="video/mp4",
+    )
+    return MM.mp4_frame_features(media, every_n=2, max_frames=3)
+
+
+@_candidate(
+    "multimodal_audio_alaw",
+    """
+    WITH m AS (SELECT doc_id AS media_id, 400 + (doc_id % 5) * 50 AS n
+               FROM documents WHERE doc_id < 64),
+    s AS (SELECT media_id, n, j.j AS j,
+                 xor((media_id*11 + j.j*5) % 256, 85) AS inv
+          FROM m, generate_series(0, 599) AS j(j) WHERE j.j < n),
+    mag AS (SELECT media_id, n, j, inv,
+              CASE WHEN (inv & 112) = 0 THEN ((inv & 15) << 4) + 8
+                   WHEN (inv & 112) = 16 THEN ((inv & 15) << 4) + 264
+                   ELSE (((inv & 15) << 4) + 264) << (((inv & 112) >> 4) - 1)
+              END AS t
+            FROM s),
+    d AS (SELECT media_id, n, j,
+                 CASE WHEN (inv & 128) != 0 THEN t ELSE -t END AS sample
+          FROM mag)
+    SELECT media_id, 8000 AS sample_rate,
+           CAST(any_value(n) AS BIGINT) AS n_samples,
+           CAST(sum(sample) AS BIGINT) AS amp_sum,
+           CAST(max(sample) AS INT) AS peak,
+           CAST(max(CASE WHEN j = 0 THEN sample END) AS INT) AS first_sample
+    FROM d GROUP BY 1
+    """,
+    "REAL G.711 A-law decode (format tag 6 — the European telephony "
+    "sibling of the hash-green mu-law query): XOR-0x55 even-bit "
+    "uninversion, mantissa rebuild, segment shift with the 0/1 special "
+    "cases, inverted sign convention. Stateless per byte, so the oracle "
+    "is a CASE expression; the fixture formula (11,5) differs from "
+    "mu-law's (13,7) so the two expansions cannot be confused "
+    "(llmdata/multimodal.py make_wav_alaw/decode_wav_alaw/alaw_features)",
+)
+def multimodal_audio_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(ids, lambda i: MM.make_wav_alaw(i, 400 + (i % 5) * 50)),
+        media_type="audio/PCMA",
+    )
+    return MM.alaw_features(media)
+
+
 # ---------------------------------------------------------------------------
 # TIFF: compression/byte-order transport over the BMP/GIF pixel formula
 

@@ -477,6 +477,103 @@ def test_avi_demux_real(spark):
     assert by_key[(3, 4)]["top_left"] == (3 * 31 + 4 * 97) % 256
 
 
+def test_mp4_demux_real(spark):
+    """demux_mp4 is a REAL ISO BMFF sample-table walker: recovers every
+    MJPEG sample through stsc/stsz/stco for both box layouts and odd
+    chunk tails, rejects mis-framed tables instead of desynchronizing,
+    and raises the honest boundary on transform-codec sample entries."""
+    import struct
+
+    import pytest
+
+    # even media_id -> [ftyp][mdat][moov]; odd -> [ftyp][moov][mdat]
+    for mid, n in ((4, 6), (5, 5)):
+        blob = MM.make_mp4_mjpeg(mid, n)
+        w, h, frames = MM.demux_mp4(blob)
+        bw, bh = 2 + mid % 2, 2 + (mid // 2) % 2
+        assert (w, h, len(frames)) == (bw * 8, bh * 8, n)
+        for f in (0, n - 1):
+            assert frames[f] == MM.make_jpeg(mid * 131 + f * 17, bw, bh)
+
+    with pytest.raises(ValueError):
+        MM.demux_mp4(b"RIFF not an mp4 payload")
+    with pytest.raises(ValueError):
+        MM.demux_mp4(MM.make_mp4_mjpeg(1, 3)[:-3])  # truncated trailing mdat
+
+    # stsc inflated to claim 3 samples/chunk: tables now disagree -> raise
+    buf = bytearray(MM.make_mp4_mjpeg(0, 4))
+    i = bytes(buf).find(b"stsc")
+    struct.pack_into(">I", buf, i + 16, 3)
+    with pytest.raises(ValueError, match="disagree"):
+        MM.demux_mp4(bytes(buf))
+
+    # an H.264 sample entry must raise the codec boundary, not mis-slice
+    buf = bytearray(MM.make_mp4_mjpeg(0, 3))
+    i = bytes(buf).find(b"stsd")
+    buf[i + 16 : i + 20] = b"avc1"
+    with pytest.raises(NotImplementedError, match="avc1"):
+        MM.demux_mp4(bytes(buf))
+
+    # distributed frame sampling: every 2nd frame, capped at 3
+    media = spark.createDataFrame(
+        [(i, MM.make_mp4_mjpeg(i, 6)) for i in range(8)],
+        "media_id long, payload binary",
+    )
+    out = MM.mp4_frame_features(media, every_n=2, max_frames=3).collect()
+    assert len(out) == 8 * 3
+    assert sorted({r["frame_idx"] for r in out}) == [0, 2, 4]
+    by_key = {(r["media_id"], r["frame_idx"]): r for r in out}
+    fw, fh, px = MM.decode_jpeg(MM.make_jpeg(3 * 131 + 4 * 17, 2 + 3 % 2, 2 + (3 // 2) % 2))
+    assert by_key[(3, 4)]["px_sum"] == sum(map(sum, px))
+    assert by_key[(3, 4)]["top_left"] == px[0][0]
+
+
+def test_mp4_golden_hand_authored_box_tree():
+    """Conformance anchor outside the co-developed make/demux pair: a
+    hand-built box tree using shapes the fixture encoder NEVER emits —
+    64-bit largesize mdat, co64 chunk offsets, a single 3-sample chunk,
+    uniform stsz (sample_size != 0), a free box, and a leading non-video
+    ('soun') trak the walker must skip. Offsets are computed by hand."""
+    import struct
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def fullbox(typ, version, flags, payload):
+        return box(typ, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"mp41")  # 20 bytes
+    free = box(b"free", b"\x00" * 8)  # 16 bytes
+    # largesize mdat: size=1 marker + 64-bit size 16+12=28; payload at 36+16=52
+    samples = b"AAAA" + b"BBBB" + b"CCCC"
+    mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(samples)) + samples
+    assert len(ftyp) == 20 and len(free) == 16 and len(mdat) == 28
+    data_off = 20 + 16 + 16  # ftyp + free + mdat header (incl. largesize)
+
+    entry = (
+        struct.pack(">I4s", 86, b"jpeg") + b"\x00" * 6 + struct.pack(">H", 1)
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12 + struct.pack(">HH", 16, 8)
+        + struct.pack(">II", 0x00480000, 0x00480000) + struct.pack(">I", 0)
+        + struct.pack(">H", 1) + bytes([4]) + b"MJPG" + b"\x00" * 27
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stsz = fullbox(b"stsz", 0, 0, struct.pack(">II", 4, 3))  # uniform, no table
+    stsc = fullbox(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 3, 1))
+    co64 = fullbox(b"co64", 0, 0, struct.pack(">IQ", 1, data_off))
+    stbl = box(b"stbl", stsd + stsz + stsc + co64)
+    minf = box(b"minf", stbl)
+    vide_hdlr = fullbox(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12)
+    soun_hdlr = fullbox(b"hdlr", 0, 0, struct.pack(">I", 0) + b"soun" + b"\x00" * 12)
+    soun_trak = box(b"trak", box(b"mdia", soun_hdlr))
+    vide_trak = box(b"trak", box(b"mdia", vide_hdlr + minf))
+    moov = box(b"moov", soun_trak + vide_trak)
+
+    w, h, frames = MM.demux_mp4(ftyp + free + mdat + moov)
+    assert (w, h) == (16, 8)
+    assert frames == [b"AAAA", b"BBBB", b"CCCC"]
+
+
 def test_media_repartition_is_in_plan(spark):
     # byte-based partition sizing must be the AQE REBALANCE hint (runtime
     # shuffle-stat sizing), not a driver-side byte-count collect
@@ -1876,6 +1973,36 @@ def test_mulaw_decode_matches_reference_values(spark):
 
     with pytest.raises(NotImplementedError, match="format tag 7"):
         decode_wav_mulaw(make_wav(1, 100))
+
+
+def test_alaw_decode_matches_reference_values(spark):
+    """G.711 A-law expansion pinned to the public table's landmark values
+    (note the INVERTED sign convention vs mu-law: sign bit set means
+    positive) and roundtripped through the WAV container (JUNK chunk
+    included); non-A-law tags raise with routing guidance."""
+    import pytest
+    from query_engine_spark.llmdata.multimodal import (
+        alaw_decode_byte, decode_wav_alaw, make_wav, make_wav_alaw,
+    )
+
+    # landmark values from the canonical table
+    assert alaw_decode_byte(0x55) == -8
+    assert alaw_decode_byte(0xD5) == 8
+    assert alaw_decode_byte(0x2A) == -32256
+    assert alaw_decode_byte(0xAA) == 32256
+    # symmetric: flipping the sign bit negates (no double-zero in A-law)
+    for b in range(0x00, 0x80):
+        assert alaw_decode_byte(b) == -alaw_decode_byte(b | 0x80)
+    # monotone in the uninverted (XOR 0x55) magnitude ordering
+    mags = [abs(alaw_decode_byte(b ^ 0x55)) for b in range(0x80)]
+    assert mags == sorted(mags)
+
+    rate, n, samples = decode_wav_alaw(make_wav_alaw(3, 450))
+    assert (rate, n) == (8000, 450)
+    assert samples == [alaw_decode_byte((3 * 11 + j * 5) % 256) for j in range(450)]
+
+    with pytest.raises(NotImplementedError, match="format tag 6"):
+        decode_wav_alaw(make_wav(1, 100))
 
 
 def test_jpeg_fuzz_random_coefficients_roundtrip(spark):
