@@ -11,11 +11,14 @@ Stage vocabulary (document-shaped until `chunk`, chunk-shaped until
 `pack`, `pack` is terminal):
 
   {"op": "strip_boilerplate", "k": 2, "min_pct": 5, "min_count": 2}
+  {"op": "pii_redact"}
   {"op": "dedup_exact"}
   {"op": "dedup_minhash", "threshold": 0.1, "keep": "best"}
   {"op": "langid_filter", "allow": ["en"]}
+  {"op": "token_filter", "min_tokens": 5, "max_tokens": 100000}
   {"op": "quality_filter", "min_quality": 0.5}
   {"op": "classifier_filter", "label_min_quality": 0.5, "min_score_q": 0}
+  {"op": "sample", "rate": 0.1, "strat_col": "source", "rates": {...}}
   {"op": "decontaminate", "k": 10, "seed": "split"}
   {"op": "chunk", "chunk_tokens": 32, "overlap": 4}
   {"op": "pack", "capacity": 128, "shards": 8}
@@ -58,11 +61,14 @@ __all__ = ["translate_curation_pipeline", "quality_score_col", "CURATION_OPS"]
 
 _DOC_OPS = (
     "strip_boilerplate",
+    "pii_redact",
     "dedup_exact",
     "dedup_minhash",
     "langid_filter",
+    "token_filter",
     "quality_filter",
     "classifier_filter",
+    "sample",
     "decontaminate",
 )
 CURATION_OPS = _DOC_OPS + ("chunk", "pack")
@@ -111,6 +117,20 @@ def translate_curation_pipeline(
                 f"stage {i}: dedup_minhash keep must be 'best' or 'first' "
                 f"(got {stage.get('keep')!r})"
             )
+        if op == "sample":
+            rate = stage.get("rate", 0.1)
+            if not (0.0 < rate <= 1.0):
+                raise ValueError(f"stage {i}: sample rate must be in (0, 1] (got {rate!r})")
+            for v in (stage.get("rates") or {}).values():
+                if not (0.0 <= v <= 1.0):
+                    raise ValueError(f"stage {i}: sample stratum rate {v!r} outside [0, 1]")
+        if op == "token_filter":
+            lo = stage.get("min_tokens", 1)
+            hi = stage.get("max_tokens")
+            if lo < 0 or (hi is not None and hi < lo):
+                raise ValueError(
+                    f"stage {i}: token_filter bounds min={lo!r} max={hi!r} are inverted"
+                )
         shape = {"chunk": "chunks", "pack": "packed"}.get(op, shape)
 
     def run(df: DataFrame) -> DataFrame:
@@ -208,6 +228,29 @@ def translate_curation_pipeline(
                     .distinct()
                 )
                 df = train.join(leaked, "doc_id", "left_anti")
+            elif op == "pii_redact":
+                # in-place text rewrite: emails → <EMAIL>, phones → <PHONE>,
+                # IPs → <IP> (the pre-tokenization scrub pass; pure column
+                # expressions, stays in whole-stage codegen)
+                df = df.withColumn("text", Tx.redact_pii(F.col("text")))
+            elif op == "token_filter":
+                n = F.size(Tx._tokens(F.col("text")))
+                cond = n >= stage.get("min_tokens", 1)
+                if stage.get("max_tokens") is not None:
+                    cond = cond & (n <= stage["max_tokens"])
+                df = df.filter(cond)
+            elif op == "sample":
+                # deterministic md5-bucket sampling (never rand(): not
+                # reproducible across retries/partitionings); map-only,
+                # pushes to the scan
+                df = Tx.hash_sample(
+                    df,
+                    stage.get("rate", 0.1),
+                    id_col=stage.get("id_col", "doc_id"),
+                    strat_col=stage.get("strat_col"),
+                    rates=stage.get("rates"),
+                    buckets=stage.get("buckets", 10_000),
+                )
             elif op == "langid_filter":
                 allow = list(stage.get("allow", ["en"]))
                 df = df.filter(Tx.langid(F.col("text")).isin(allow))

@@ -7128,6 +7128,14 @@ _ROUND7_TOUCHED = {
     # medium: stale cross-session /tmp reuse) — the index build path changes.
     "media_incremental_dedup",
 }
+# Post-cohort round-7 machinery note (window already at its 50-slot budget):
+# translate_curation_pipeline gained three ops (pii_redact, token_filter,
+# sample) late in round 7. The addition is purely additive — existing specs
+# hit identical branches and plans — and the three registered pipeline
+# queries (llm_curation_pipeline, _neardup, _decontam) were re-run green
+# through selfcheck at sf0.01 on the new code; the new ops themselves are
+# oracle-validated by the round-8 candidate llm_curation_pipeline_scrub
+# (registry_r8.py) at sf0.001 and sf0.01.
 
 # Stable alias so _driver_order and the scheduling tests survive the
 # per-round rename of the touched set.

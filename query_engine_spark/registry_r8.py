@@ -476,6 +476,67 @@ def multimodal_audio_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.sphere_features(media)
 
 
+@_candidate(
+    "llm_curation_pipeline_scrub",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact: u' || doc_id || '@example.com or +1 555 000 '
+                  || doc_id AS text
+      FROM documents),
+    red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS text
+      FROM aug),
+    tok AS (
+      SELECT doc_id, text,
+             len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS n
+      FROM red)
+    SELECT doc_id, md5(text) AS text_fp
+    FROM tok
+    WHERE n >= 40 AND n <= 90
+      AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 5000
+    """,
+    "curation pipeline with the three new scrub-stage ops: pii_redact "
+    "(in-place regex scrub of synthetic emails/phones appended per doc), "
+    "token_filter (post-redaction whitespace-token bounds, both ends "
+    "exercised), and sample (deterministic md5-bucket downsample — "
+    "reproducible across engines, unlike rand()). All three are pure "
+    "column expressions folded into ONE lazy map-only plan by "
+    "translate_curation_pipeline; the oracle chains the identical "
+    "regex/tokenize/bucket forms (llmdata/pipeline.py)",
+)
+def llm_curation_pipeline_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata.pipeline import translate_curation_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555 000 "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    run = translate_curation_pipeline(
+        [
+            {"op": "pii_redact"},
+            {"op": "token_filter", "min_tokens": 40, "max_tokens": 90},
+            {"op": "sample", "rate": 0.5},
+        ]
+    )
+    out = run(with_pii)
+    return out.select("doc_id", F.md5(F.encode(F.col("text"), "utf-8")).alias("text_fp"))
+
+
 def _mp4_mjpeg_oracle() -> str:
     """The grayscale-JPEG oracle arithmetic (registry._jpeg_oracle) with a
     frame dimension: frame fi of media m decodes the coefficient formula at

@@ -1802,6 +1802,54 @@ def test_curation_pipeline_neardup_and_classifier_stages(spark):
     assert out2.count() >= 1  # self-trained gate keeps the quality docs
 
 
+def test_curation_pipeline_scrub_stages(spark):
+    """pii_redact rewrites text in place (emails/phones/IPs), token_filter
+    applies post-redaction bounds at both ends, sample keeps the
+    deterministic md5-bucket subset; all three validate at translate
+    time and fold into one map-only plan (no exchange)."""
+    import pytest
+    from query_engine_spark.llmdata.pipeline import translate_curation_pipeline
+    from query_engine_spark.llmdata.textstats import hash_bucket
+
+    rows = [
+        (1, "a", "write to bob@example.com or call +1 555 123 4567 today " + "pad " * 10),
+        (2, "a", "server at 10.1.2.3 answered " + "word " * 40),
+        (3, "a", "too short"),
+        (4, "a", "x " * 200),  # over max_tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    run = translate_curation_pipeline(
+        [{"op": "pii_redact"}, {"op": "token_filter", "min_tokens": 12, "max_tokens": 60}]
+    )
+    out = {r.doc_id: r.text for r in run(df).collect()}
+    # 3 fails min, 4 fails max; 1 and 2 redacted
+    assert sorted(out) == [1, 2]
+    assert "<EMAIL>" in out[1] and "<PHONE>" in out[1] and "bob@" not in out[1]
+    assert "<IP>" in out[2] and "10.1.2.3" not in out[2]
+    # map-only: no Exchange in the plan
+    plan = run(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # sample: exactly the rows whose md5 bucket clears the rate, no others
+    run2 = translate_curation_pipeline([{"op": "sample", "rate": 0.5}])
+    big = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("source"), F.lit("t words").alias("text")
+    )
+    got = sorted(r.doc_id for r in run2(big).collect())
+    want = sorted(
+        r.doc_id
+        for r in big.withColumn("b", hash_bucket(F.col("doc_id"))).collect()
+        if r.b < 5000
+    )
+    assert got == want and 0 < len(got) < 200
+
+    with pytest.raises(ValueError, match="rate must be"):
+        translate_curation_pipeline([{"op": "sample", "rate": 1.5}])
+    with pytest.raises(ValueError, match="inverted"):
+        translate_curation_pipeline([{"op": "token_filter", "min_tokens": 9, "max_tokens": 3}])
+
+
 def test_jpeg_roundtrip_matches_coefficient_formula(spark):
     """decode_jpeg(make_jpeg(...)) must equal the pure-integer prediction
     from jpeg_qcoefs through the shared basis table — the exact contract
