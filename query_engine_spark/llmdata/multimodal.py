@@ -1867,8 +1867,8 @@ def demux_avi(blob: bytes) -> tuple[int, int, list[bytes]]:
         if cid == b"00dc":
             raise NotImplementedError(
                 "compressed AVI frames: BI_RLE8 streams decode via "
-                "decode_avi_rle8; other codecs need a codec library (not "
-                "in this container)"
+                "decode_avi_rle8, MJPEG ('MJPG') via demux_avi_mjpeg; "
+                "other codecs need a codec library (not in this container)"
             )
         frames.append(body)
     _, width, height, _, bpp, compression = struct.unpack_from("<IiiHHI", strf, 0)
@@ -2141,6 +2141,114 @@ def avi_rle8_features(df: DataFrame, every_n: int = 1, max_frames: int = 8) -> D
             )
 
     return df.select("media_id", "payload").mapInPandas(run, _RLE8_SCHEMA)
+
+
+def make_avi_mjpeg(media_id: int, n_frames: int, fps: int = 10) -> bytes:
+    """Pack a deterministic MJPEG-in-AVI: '00dc' chunks whose payloads are
+    COMPLETE baseline JPEGs (the legacy webcam/capture-card shape), strf
+    biCompression = 'MJPG'. Frame f carries the JPEG of fixture key
+    ``media_id*131 + f*17`` with the `multimodal_jpeg` block geometry —
+    the same per-frame content formula as `make_mp4_mjpeg`, so the MP4
+    oracle arithmetic applies verbatim (container is transport)."""
+    import struct
+
+    if n_frames <= 0:
+        raise ValueError(f"invalid n_frames {n_frames}")
+    bw = 2 + media_id % 2
+    bh = 2 + (media_id // 2) % 2
+    width, height = bw * 8, bh * 8
+    frames = [make_jpeg(media_id * 131 + f * 17, bw, bh) for f in range(n_frames)]
+    max_size = max(len(fr) for fr in frames)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    (mjpg,) = struct.unpack("<I", b"MJPG")
+    avih = struct.pack(
+        "<IIIIIIIIII16s",
+        1_000_000 // fps, max_size * fps, 0, 0x10, n_frames, 0, 1, max_size,
+        width, height, b"\x00" * 16,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI8s",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n_frames, max_size, -1, 0,
+        struct.pack("<hhhh", 0, 0, width, height),
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, mjpg, max_size, 2835, 2835, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", fr) for fr in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def demux_avi_mjpeg(blob: bytes) -> tuple[int, int, list[bytes]]:
+    """REAL MJPEG-in-AVI demux → (width, height, JPEG payloads): shared
+    RIFF tree walk, then a strf check that biCompression is the 'MJPG'
+    fourcc (24-bpp). Every frame must be a compressed '00dc' chunk — an
+    uncompressed '00db' inside an MJPG stream is malformed and raises;
+    other compression fourccs raise the honest transform-codec boundary."""
+    import struct
+
+    strf, tagged = _riff_walk(blob)
+    _, width, height, _, bpp, compression = struct.unpack_from("<IiiHHI", strf, 0)
+    (mjpg,) = struct.unpack("<I", b"MJPG")
+    if compression != mjpg:
+        raise NotImplementedError(
+            "demux_avi_mjpeg handles 'MJPG' streams only; BI_RGB demuxes "
+            "via demux_avi, BI_RLE8 via decode_avi_rle8, transform codecs "
+            "(cvid/DIVX/H26x) need a codec library"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid MJPEG frame dims {width}x{height}")
+    frames: list[bytes] = []
+    for cid, data in tagged:
+        if cid != b"00dc":
+            raise ValueError("MJPG stream contains an uncompressed frame chunk")
+        frames.append(data)
+    return width, height, frames
+
+
+def avi_mjpeg_frame_features(df: DataFrame, every_n: int = 1, max_frames: int = 8) -> DataFrame:
+    """Distributed MJPEG-in-AVI decode: demux + baseline-JPEG-decode every
+    sampled frame in one Arrow mapInPandas pass (map-only). Same sampling
+    contract and dimension cross-check as `mp4_frame_features`."""
+
+    if every_n <= 0 or max_frames <= 0:
+        raise ValueError(f"invalid sampling every_n={every_n} max_frames={max_frames}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = demux_avi_mjpeg(bytes(blob))
+                for j in range(min(max_frames, (len(frames) + every_n - 1) // every_n)):
+                    fi = j * every_n
+                    fw, fh, px = decode_jpeg(frames[fi])
+                    if (fw, fh) != (w, h):
+                        raise ValueError(
+                            f"frame {fi} decodes to {fw}x{fh}, strf declares {w}x{h}"
+                        )
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": fi,
+                            "width": fw,
+                            "height": fh,
+                            "px_sum": sum(map(sum, px)),
+                            "top_left": px[0][0],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height", "px_sum", "top_left"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _AVI_SCHEMA)
 
 
 # --- real MP4/MOV demux (ISO BMFF, ISO/IEC 14496-12): the box grammar and

@@ -624,6 +624,28 @@ def multimodal_video_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_candidate(
+    "multimodal_video_avi_mjpeg",
+    _mp4_mjpeg_oracle(),
+    "MJPEG-in-AVI demux + decode (the legacy webcam/capture-card shape): "
+    "'00dc' chunks carrying complete baseline JPEGs, strf biCompression "
+    "= 'MJPG'. The per-frame content formula matches make_mp4_mjpeg, so "
+    "the MP4 oracle applies VERBATIM — container is transport "
+    "(llmdata/multimodal.py make_avi_mjpeg/demux_avi_mjpeg/"
+    "avi_mjpeg_frame_features)",
+)
+def multimodal_video_avi_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 48).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(ids, lambda i: MM.make_avi_mjpeg(i, 6)),
+        media_type="video/x-msvideo",
+    )
+    return MM.avi_mjpeg_frame_features(media, every_n=2, max_frames=3)
+
+
+@_candidate(
     "multimodal_audio_alaw",
     """
     WITH m AS (SELECT doc_id AS media_id, 400 + (doc_id % 5) * 50 AS n

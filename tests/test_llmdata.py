@@ -528,6 +528,46 @@ def test_mp4_demux_real(spark):
     assert by_key[(3, 4)]["top_left"] == px[0][0]
 
 
+def test_avi_mjpeg_demux_real(spark):
+    """demux_avi_mjpeg recovers complete JPEG payloads from '00dc'
+    chunks, requires the 'MJPG' fourcc, rejects uncompressed frames
+    inside an MJPG stream, and routes other compressions to the honest
+    boundary; frame content matches the MP4 fixture formula exactly."""
+    import struct
+
+    import pytest
+
+    blob = MM.make_avi_mjpeg(5, 5)
+    w, h, frames = MM.demux_avi_mjpeg(blob)
+    bw, bh = 2 + 5 % 2, 2 + (5 // 2) % 2
+    assert (w, h, len(frames)) == (bw * 8, bh * 8, 5)
+    for f in (0, 4):
+        assert frames[f] == MM.make_jpeg(5 * 131 + f * 17, bw, bh)
+        # container is transport: identical payload to the MP4 fixture
+        assert frames[f] == MM.demux_mp4(MM.make_mp4_mjpeg(5, 5))[2][f]
+
+    # a raw-DIB AVI is not an MJPG stream
+    with pytest.raises(NotImplementedError, match="MJPG"):
+        MM.demux_avi_mjpeg(MM.make_avi(1, 4, 3, 2))
+    # an uncompressed '00db' chunk inside an MJPG stream is malformed
+    buf = bytearray(blob)
+    i = bytes(buf).find(b"00dc")
+    buf[i : i + 4] = b"00db"
+    with pytest.raises(ValueError, match="uncompressed"):
+        MM.demux_avi_mjpeg(bytes(buf))
+    # demux_avi routes MJPG streams here, not to silent failure
+    with pytest.raises(NotImplementedError, match="demux_avi_mjpeg"):
+        MM.demux_avi(blob)
+
+    media = spark.createDataFrame(
+        [(i, MM.make_avi_mjpeg(i, 6)) for i in range(6)],
+        "media_id long, payload binary",
+    )
+    out = MM.avi_mjpeg_frame_features(media, every_n=2, max_frames=3).collect()
+    assert len(out) == 6 * 3
+    assert sorted({r["frame_idx"] for r in out}) == [0, 2, 4]
+
+
 def test_mp4_golden_hand_authored_box_tree():
     """Conformance anchor outside the co-developed make/demux pair: a
     hand-built box tree using shapes the fixture encoder NEVER emits —
