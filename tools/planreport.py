@@ -24,10 +24,16 @@ def main() -> int:
     from query_engine_spark.session import get_spark
     from query_engine_spark import registry
 
+    from query_engine_spark import registry_r8
+
     spark = get_spark("planreport")
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, dict] = {}
-    for name, spec in registry.REGISTRY.items():
+    # registry queries + pre-validated next-round candidates (prefixed
+    # "r8:") so the zero-cartesian invariant covers code before it ships
+    inventory = dict(registry.REGISTRY)
+    inventory.update({f"r8:{n}": s for n, s in registry_r8.CANDIDATES.items()})
+    for name, spec in inventory.items():
         try:
             df = spec.fn(spark, sf_dir)
             buf = io.StringIO()
