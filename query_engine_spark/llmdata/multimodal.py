@@ -3373,16 +3373,132 @@ def make_tiff(
     return bytes(out)
 
 
-def decode_tiff(blob: bytes) -> tuple[int, int, list[list[int]]]:
-    """REAL TIFF decode → (width, height, pixel rows). Walks the header
-    (both byte orders), the first IFD (typed entries, out-of-line value
-    arrays), reassembles the strips and decompresses per the Compression
-    tag — none, PackBits, or TIFF-variant LZW (MSB-first with the EARLY
-    width change; using GIF's late-change rule here desynchronizes the
-    code stream and fails loudly). 8-bit grayscale (BlackIsZero or
-    WhiteIsZero, the latter inverted on output so pixels always mean
-    intensity); RGB, palette, tiled layouts and other bit depths raise
-    NotImplementedError."""
+def make_tiff_multipage(
+    media_id: int,
+    width: int,
+    height: int,
+    n_pages: int,
+    *,
+    byte_order: str = "II",
+    rows_per_strip: int = 7,
+) -> bytes:
+    """Pack a deterministic MULTI-PAGE TIFF (the scanned-document shape:
+    one IFD per page linked by the next-IFD pointer). Pixel (x, y) of
+    page p is ``(media_id*31 + p*97 + y*7 + x*3) % 256`` — the AVI frame
+    formula family, so one oracle form covers pages like frames. Each
+    page cycles its own Compression tag (none → PackBits → LZW by page
+    index): per-page tag independence is real in scanned corpora and
+    forces the decoder to re-read every IFD rather than assume page 0's."""
+    import struct
+
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte order must be II or MM")
+    if n_pages <= 0:
+        raise ValueError(f"invalid n_pages {n_pages}")
+    e = "<" if byte_order == "II" else ">"
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        if typ == 3:
+            packed = struct.pack(e + "HH", value, 0)
+        else:
+            packed = struct.pack(e + "I", value)
+        return struct.pack(e + "HHI", tag, typ, count) + packed
+
+    out = bytearray(b"\x00" * 8)  # header patched at the end
+    first_ifd = 0
+    prev_next_ptr: int | None = None
+    for p in range(n_pages):
+        compression = (1, 32773, 5)[p % 3]
+        px = bytes(
+            (media_id * 31 + p * 97 + y * 7 + x * 3) % 256
+            for y in range(height)
+            for x in range(width)
+        )
+        strips_raw = [
+            px[r * width : (r + rows_per_strip) * width]
+            for r in range(0, height, rows_per_strip)
+        ]
+        if compression == 1:
+            strips = strips_raw
+        elif compression == 32773:
+            strips = [_packbits_compress(s) for s in strips_raw]
+        else:
+            strips = [_tiff_lzw_compress(s) for s in strips_raw]
+        nstrips = len(strips)
+
+        off = len(out)
+        offsets = []
+        for s in strips:
+            offsets.append(off)
+            off += len(s)
+        off_arr_pos = off
+        off += 4 * nstrips
+        cnt_arr_pos = off
+        off += 4 * nstrips
+        ifd_pos = off
+
+        if p == 0:
+            first_ifd = ifd_pos
+        elif prev_next_ptr is not None:
+            struct.pack_into(e + "I", out, prev_next_ptr, ifd_pos)
+
+        entries = [
+            entry(256, 3, 1, width),
+            entry(257, 3, 1, height),
+            entry(258, 3, 1, 8),
+            entry(259, 3, 1, compression),
+            entry(262, 3, 1, 1),
+            entry(273, 4, nstrips, offsets[0] if nstrips == 1 else off_arr_pos),
+            entry(277, 3, 1, 1),
+            entry(278, 3, 1, rows_per_strip),
+            entry(279, 4, nstrips, len(strips[0]) if nstrips == 1 else cnt_arr_pos),
+        ]
+        for s in strips:
+            out += s
+        for o in offsets:
+            out += struct.pack(e + "I", o)
+        for s in strips:
+            out += struct.pack(e + "I", len(s))
+        out += struct.pack(e + "H", len(entries))
+        for en in entries:
+            out += en
+        prev_next_ptr = len(out)
+        out += struct.pack(e + "I", 0)  # next-IFD pointer (patched by p+1)
+    out[0:8] = byte_order.encode() + struct.pack(e + "HI", 42, first_ifd)
+    return bytes(out)
+
+
+def tiff_page_features(df: DataFrame) -> DataFrame:
+    """Distributed multi-page TIFF decode: walk every payload's IFD chain
+    in one Arrow mapInPandas pass (map-only) — one media row in, one row
+    per PAGE out, the `avi_frame_features` shape for documents."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                for p, (w, h, px) in enumerate(decode_tiff_pages(bytes(blob))):
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "page_idx": p,
+                            "width": w,
+                            "height": h,
+                            "px_sum": sum(map(sum, px)),
+                            "top_left": px[0][0],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "page_idx", "width", "height", "px_sum", "top_left"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, "media_id long, page_idx int, width int, height int, px_sum long, top_left int"
+    )
+
+
+def _tiff_parse_header(blob: bytes) -> tuple[str, int]:
     import struct
 
     if blob[:2] == b"II":
@@ -3394,6 +3510,55 @@ def decode_tiff(blob: bytes) -> tuple[int, int, list[list[int]]]:
     (magic, ifd_pos) = struct.unpack_from(e + "HI", blob, 2)
     if magic != 42:
         raise ValueError("not a TIFF (magic != 42)")
+    return e, ifd_pos
+
+
+def decode_tiff(blob: bytes) -> tuple[int, int, list[list[int]]]:
+    """REAL TIFF decode → (width, height, pixel rows) of the FIRST page.
+    Walks the header (both byte orders) and the first IFD (typed entries,
+    out-of-line value arrays), reassembles the strips and decompresses
+    per the Compression tag — none, PackBits, or TIFF-variant LZW
+    (MSB-first with the EARLY width change; using GIF's late-change rule
+    here desynchronizes the code stream and fails loudly). 8-bit
+    grayscale (BlackIsZero or WhiteIsZero, the latter inverted on output
+    so pixels always mean intensity); RGB, palette, tiled layouts and
+    other bit depths raise NotImplementedError. Multi-page chains decode
+    via `decode_tiff_pages`."""
+    e, ifd_pos = _tiff_parse_header(blob)
+    width, height, rows, _next = _tiff_decode_ifd(blob, e, ifd_pos)
+    return width, height, rows
+
+
+def decode_tiff_pages(blob: bytes, max_pages: int = 256) -> list[tuple[int, int, list[list[int]]]]:
+    """REAL multi-page TIFF decode (the document-scan shape: one IFD per
+    page linked by the next-IFD pointer) → [(width, height, rows), …].
+    Each page carries its own tags, so compression may differ page to
+    page. A pointer cycle or a chain past `max_pages` raises instead of
+    looping forever."""
+    e, ifd_pos = _tiff_parse_header(blob)
+    pages: list[tuple[int, int, list[list[int]]]] = []
+    seen: set[int] = set()
+    while ifd_pos:
+        if ifd_pos in seen:
+            raise ValueError(f"IFD chain cycles back to offset {ifd_pos}")
+        if len(pages) >= max_pages:
+            raise ValueError(f"IFD chain exceeds {max_pages} pages")
+        seen.add(ifd_pos)
+        width, height, rows, ifd_pos = _tiff_decode_ifd(blob, e, ifd_pos)
+        pages.append((width, height, rows))
+    if not pages:
+        raise ValueError("no IFD in chain")
+    return pages
+
+
+def _tiff_decode_ifd(
+    blob: bytes, e: str, ifd_pos: int
+) -> tuple[int, int, list[list[int]], int]:
+    """Decode ONE IFD's image → (width, height, rows, next_ifd_offset)."""
+    import struct
+
+    if ifd_pos + 2 > len(blob):
+        raise ValueError("IFD offset past end of file")
     (n_entries,) = struct.unpack_from(e + "H", blob, ifd_pos)
     tags: dict[int, tuple[int, int, int]] = {}
     for i in range(n_entries):
@@ -3461,6 +3626,10 @@ def decode_tiff(blob: bytes) -> tuple[int, int, list[list[int]]]:
             raise NotImplementedError(f"TIFF compression {compression} not supported")
     if len(data) != width * height:
         raise ValueError("strip reassembly size mismatch")
+    ifd_end = ifd_pos + 2 + 12 * n_entries
+    if ifd_end + 4 > len(blob):
+        raise ValueError("IFD missing next-IFD pointer")
+    (next_ifd,) = struct.unpack_from(e + "I", blob, ifd_end)
     inv = photometric == 0
     return width, height, [
         [
@@ -3468,7 +3637,7 @@ def decode_tiff(blob: bytes) -> tuple[int, int, list[list[int]]]:
             for x in range(width)
         ]
         for y in range(height)
-    ]
+    ], next_ifd
 
 
 _TIFF_SCHEMA = "media_id long, width int, height int, px_sum long, top_left int"

@@ -537,6 +537,49 @@ def llm_curation_pipeline_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.md5(F.encode(F.col("text"), "utf-8")).alias("text_fp"))
 
 
+@_candidate(
+    "multimodal_tiff_multipage",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 16 + doc_id % 5 AS w, 12 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 48),
+    px AS (
+      SELECT m.media_id, p.p AS p, m.w, m.h,
+             (m.media_id*31 + p.p*97 + y.y*7 + x.x*3) % 256 AS v
+      FROM m, generate_series(0, 2) AS p(p),
+           generate_series(0, 15) AS y(y), generate_series(0, 20) AS x(x)
+      WHERE y.y < m.h AND x.x < m.w)
+    SELECT media_id, CAST(p AS INT) AS page_idx,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST((media_id*31 + p*97) % 256 AS INT) AS top_left
+    FROM px GROUP BY media_id, p, w, h
+    """,
+    "REAL multi-page TIFF decode (the scanned-document corpus shape): one "
+    "IFD per page linked by the next-IFD pointer, each page with its OWN "
+    "Compression tag (none/PackBits/LZW cycling by page, so the walker "
+    "must re-read every IFD), both byte orders cycling by media parity, "
+    "cycle-guarded chain walk. One media row in, one row per page out — "
+    "the frame-features shape for documents (llmdata/multimodal.py "
+    "make_tiff_multipage/decode_tiff_pages/tiff_page_features)",
+)
+def multimodal_tiff_multipage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 48).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(
+            ids,
+            lambda i: MM.make_tiff_multipage(
+                i, 16 + i % 5, 12 + i % 4, 3, byte_order="II" if i % 2 == 0 else "MM"
+            ),
+        ),
+        media_type="image/tiff",
+    )
+    return MM.tiff_page_features(media)
+
+
 def _mp4_mjpeg_oracle() -> str:
     """The grayscale-JPEG oracle arithmetic (registry._jpeg_oracle) with a
     frame dimension: frame fi of media m decodes the coefficient formula at

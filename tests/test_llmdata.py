@@ -3152,6 +3152,46 @@ def test_tiff_golden_hand_derived_lzw_strip():
     assert _tiff_lzw_decompress(golden, 4) == b"aaaa"
 
 
+def test_tiff_multipage_chain(spark):
+    """decode_tiff_pages walks the next-IFD chain (per-page compression
+    tags, both byte orders), decode_tiff still reads only page 0, a
+    pointer cycle raises, and tiff_page_features emits one row per page
+    with the formula-predicted features."""
+    import struct
+
+    import pytest
+    from query_engine_spark.llmdata.multimodal import (
+        decode_tiff, decode_tiff_pages, make_tiff_multipage,
+    )
+
+    for bo in ("II", "MM"):
+        blob = make_tiff_multipage(9, 20, 15, 4, byte_order=bo)
+        pages = decode_tiff_pages(blob)
+        assert len(pages) == 4
+        for p, (w, h, rows) in enumerate(pages):
+            assert (w, h) == (20, 15)
+            assert rows[3][5] == (9 * 31 + p * 97 + 3 * 7 + 5 * 3) % 256
+        assert decode_tiff(blob)[2][0][0] == (9 * 31) % 256  # first page only
+
+    # cycle guard: point the last page's next-IFD pointer at the first IFD
+    buf = bytearray(make_tiff_multipage(1, 8, 6, 2))
+    (first,) = struct.unpack_from("<I", buf, 4)
+    struct.pack_into("<I", buf, len(buf) - 4, first)
+    with pytest.raises(ValueError, match="cycle"):
+        decode_tiff_pages(bytes(buf))
+
+    media = spark.createDataFrame(
+        [(i, make_tiff_multipage(i, 10, 8, 3)) for i in range(6)],
+        "media_id long, payload binary",
+    )
+    out = MM.tiff_page_features(media).collect()
+    assert len(out) == 6 * 3
+    by_key = {(r["media_id"], r["page_idx"]): r for r in out}
+    want = sum((4 * 31 + 2 * 97 + y * 7 + x * 3) % 256 for y in range(8) for x in range(10))
+    assert by_key[(4, 2)]["px_sum"] == want
+    assert by_key[(4, 2)]["top_left"] == (4 * 31 + 2 * 97) % 256
+
+
 def test_tiff_rejects_corruption_and_unsupported():
     import struct
 
