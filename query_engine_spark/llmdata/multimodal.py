@@ -979,6 +979,80 @@ def resample_wav(blob: bytes, out_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def make_wav_stereo(media_id: int, n_frames: int, sample_rate: int = 16000) -> bytes:
+    """Pack a deterministic RIFF/WAVE 16-bit STEREO PCM payload: the
+    interleaved L/R stream is `make_wav`'s sample formula at 2·n_frames
+    samples (the same contract as the stereo FLAC fixture, so the one
+    PCM-family oracle form covers it). block_align 4, byte_rate
+    rate·4 — a decoder that ignores the channel count halves the
+    duration and fails the oracle. Keeps the deliberate JUNK chunk."""
+    import struct
+
+    data = b"".join(
+        struct.pack("<h", ((media_id * 131 + i * 17) % 65536) - 32768)
+        for i in range(2 * n_frames)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 2, sample_rate, sample_rate * 4, 4, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"JUNK" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav_stereo(blob: bytes) -> tuple[int, int, list[int]]:
+    """REAL stereo PCM decode → (sample_rate, n_frames, interleaved
+    samples): the JUNK-proof RIFF walk, a format-tag-1 16-bit 2-channel
+    fmt chunk with block_align/byte_rate consistency checks, and signed
+    little-endian samples. n_frames counts INTERCHANNEL frames (the
+    stereo-FLAC convention) while the sample list is the full 2n
+    interleaved stream."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_size,) = struct.unpack_from("<I", blob, 4)
+    end = min(len(blob), 8 + riff_size)
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = blob[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", blob, pos + 4)
+        if pos + 8 + csize > end:
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            fmt = blob[pos + 8 : pos + 8 + csize]
+        elif cid == b"data":
+            data = blob[pos + 8 : pos + 8 + csize]
+        pos += 8 + csize + (csize & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, rate, byte_rate, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if tag != 1 or bits != 16 or channels != 2:
+        raise NotImplementedError(
+            "decode_wav_stereo handles 16-bit 2-channel PCM only; mono "
+            "decodes via decode_wav, >2 channels remain a boundary"
+        )
+    if rate <= 0 or block_align != 4 or byte_rate != rate * block_align:
+        raise ValueError("inconsistent fmt fields")
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: n * 2])) if n else []
+    if n % 2:
+        raise ValueError("odd sample count in a stereo stream")
+    return rate, n // 2, samples
+
+
+def wav_stereo_features(df: DataFrame) -> DataFrame:
+    """Distributed stereo-PCM decode on the shared PCM-container surface
+    (n_samples = frames, amp/peak/first over the interleaved stream)."""
+    return _pcm_container_features(df, decode_wav_stereo)
+
+
 def _aiff_extended80(rate: int) -> bytes:
     """IEEE-754 80-bit extended float (big-endian) for AIFF's COMM sample
     rate — 1 sign + 15 exponent (bias 16383) + 64 mantissa bits with an

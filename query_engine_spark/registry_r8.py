@@ -732,6 +732,43 @@ def multimodal_audio_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.alaw_features(media)
 
 
+@_candidate(
+    "multimodal_audio_wav_stereo",
+    # the stereo-FLAC oracle applies VERBATIM: same interleaved formula
+    # stream at 2n, same frames-vs-samples convention — container is
+    # transport
+    """
+    WITH m AS (SELECT doc_id AS media_id, 400 + doc_id % 5 * 100 AS n, 16000 AS rate
+               FROM documents WHERE doc_id < 64),
+    s AS (
+      SELECT m.media_id, m.rate, m.n,
+             ((m.media_id*131 + i.i*17) % 65536) - 32768 AS v
+      FROM m, generate_series(0, 1999) AS i(i) WHERE i.i < 2 * m.n)
+    SELECT media_id, CAST(max(rate) AS INT) AS sample_rate,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(sum(abs(v)) AS BIGINT) AS amp_sum,
+           CAST(max(v) AS INT) AS peak,
+           CAST(((media_id*131) % 65536) - 32768 AS INT) AS first_sample
+    FROM s GROUP BY media_id
+    """,
+    "REAL stereo PCM WAV decode: 2-channel 16-bit frames with block_align/"
+    "byte_rate consistency checks and the frames-vs-interleaved-samples "
+    "convention shared with stereo FLAC, whose oracle applies verbatim "
+    "(llmdata/multimodal.py make_wav_stereo/decode_wav_stereo/"
+    "wav_stereo_features)",
+)
+def multimodal_audio_wav_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(ids, lambda i: MM.make_wav_stereo(i, 400 + i % 5 * 100, 16000)),
+        media_type="audio/wav",
+    )
+    return MM.wav_stereo_features(media)
+
+
 # ---------------------------------------------------------------------------
 # TIFF: compression/byte-order transport over the BMP/GIF pixel formula
 

@@ -2093,6 +2093,30 @@ def test_alaw_decode_matches_reference_values(spark):
         decode_wav_alaw(make_wav(1, 100))
 
 
+def test_wav_stereo_decode(spark):
+    """Stereo PCM: frames-vs-interleaved-samples convention, strict fmt
+    consistency, JUNK-proof walk; mono payloads route to decode_wav."""
+    import struct
+
+    import pytest
+    from query_engine_spark.llmdata.multimodal import (
+        decode_wav_stereo, make_wav, make_wav_stereo,
+    )
+
+    rate, nf, samples = decode_wav_stereo(make_wav_stereo(3, 450))
+    assert (rate, nf, len(samples)) == (16000, 450, 900)
+    assert samples == [((3 * 131 + i * 17) % 65536) - 32768 for i in range(900)]
+
+    with pytest.raises(NotImplementedError, match="2-channel"):
+        decode_wav_stereo(make_wav(1, 100))
+    # inconsistent block_align must raise, not silently mis-frame
+    buf = bytearray(make_wav_stereo(1, 10))
+    i = bytes(buf).find(b"fmt ")
+    struct.pack_into("<H", buf, i + 8 + 12, 2)  # block_align 4 -> 2
+    with pytest.raises(ValueError, match="inconsistent"):
+        decode_wav_stereo(bytes(buf))
+
+
 def test_jpeg_fuzz_random_coefficients_roundtrip(spark):
     """500 random sparse coefficient sets through encode -> real entropy
     decode must equal the direct dequant+IDCT prediction — exercises DC
