@@ -2333,13 +2333,18 @@ def avi_mjpeg_frame_features(df: DataFrame, every_n: int = 1, max_frames: int = 
 # loop; transform-codec tracks (avc1/hvc1/mp4v) remain the honest boundary -
 
 
-def make_mp4_mjpeg(media_id: int, n_frames: int, fps: int = 10) -> bytes:
+def make_mp4_mjpeg(
+    media_id: int, n_frames: int, fps: int = 10, *, pattern: int | None = None
+) -> bytes:
     """Pack a deterministic MP4 with one MJPEG video track: frame f is the
-    baseline grayscale JPEG of fixture key ``media_id*131 + f*17`` (the
+    baseline grayscale JPEG of fixture key ``pat*131 + f*17`` (the
     `make_jpeg` coefficient formula on a derived key, so the JPEG oracle
-    arithmetic predicts every decoded pixel per frame). Geometry mirrors
-    `multimodal_jpeg`: blocks_w = 2 + media_id % 2, blocks_h = 2 +
-    (media_id // 2) % 2.
+    arithmetic predicts every decoded pixel per frame), where `pat`
+    defaults to media_id — pass `pattern` to plant CONTENT copies under
+    different ids (the video-dedup fixture: same frames, possibly clipped,
+    while the container layout still flips with media_id). Geometry
+    mirrors `multimodal_jpeg`: blocks_w = 2 + pat % 2, blocks_h = 2 +
+    (pat // 2) % 2.
 
     Real sample-table shape on purpose: samples are grouped TWO per chunk
     (odd counts leave a 1-sample trailing chunk, exercising the stsc
@@ -2351,10 +2356,11 @@ def make_mp4_mjpeg(media_id: int, n_frames: int, fps: int = 10) -> bytes:
 
     if n_frames <= 0:
         raise ValueError(f"invalid n_frames {n_frames}")
-    bw = 2 + media_id % 2
-    bh = 2 + (media_id // 2) % 2
+    pat = media_id if pattern is None else pattern
+    bw = 2 + pat % 2
+    bh = 2 + (pat // 2) % 2
     width, height = bw * 8, bh * 8
-    frames = [make_jpeg(media_id * 131 + f * 17, bw, bh) for f in range(n_frames)]
+    frames = [make_jpeg(pat * 131 + f * 17, bw, bh) for f in range(n_frames)]
 
     def box(typ: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", 8 + len(payload)) + typ + payload
@@ -5485,6 +5491,38 @@ def video_frame_hashes(df: DataFrame, *, every_n: int = 1, max_frames: int = 8) 
                     b0, b1, b2, b3 = _dhash_bands_of_pixels(
                         frames[fi], 0, width, height, stride
                     )
+                    rows.append(
+                        {"media_id": mid, "frame_idx": fi,
+                         "b0": b0, "b1": b1, "b2": b2, "b3": b3}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "b0", "b1", "b2", "b3"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _VIDEO_HASH_SCHEMA)
+
+
+def mp4_video_frame_hashes(
+    df: DataFrame, *, every_n: int = 1, max_frames: int = 8
+) -> DataFrame:
+    """Distributed COMPRESSED-video fingerprinting — the web-corpus
+    shape: demux each MP4's sample tables, baseline-JPEG-decode every
+    sampled frame, and dHash the grayscale output with the shared
+    kernel, all in one Arrow mapInPandas pass (map-only; frames and
+    pixels never leave the executor, only 8-byte hashes). Emits the same
+    (media_id, frame_idx, b0..b3) schema as `video_frame_hashes`, so
+    `video_dedup_pairs` runs unchanged on the output."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                _, _, frames = demux_mp4(bytes(blob))
+                for fi in range(0, len(frames), every_n):
+                    if fi // every_n >= max_frames:
+                        break
+                    _, _, px = decode_jpeg(frames[fi])
+                    b0, b1, b2, b3 = _dhash_bands_of_gray(px)
                     rows.append(
                         {"media_id": mid, "frame_idx": fi,
                          "b0": b0, "b1": b1, "b2": b2, "b3": b3}

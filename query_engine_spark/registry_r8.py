@@ -666,6 +666,122 @@ def multimodal_video_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.mp4_frame_features(media, every_n=2, max_frames=3)
 
 
+def _mp4_video_dedup_oracle() -> str:
+    """The full composition chain for compressed-video near-dup: per-frame
+    JPEG pixels by the integer IDCT (frame key pat*131 + fi*17), per-frame
+    grayscale dHash (9×8 grid, gradient bits, 4×16-bit bands), distinct
+    hash sets per video, containment join on the full 64-bit hash — the
+    `media_video_dedup` shape over a LOSSY compressed corpus. Ids 24-35
+    are planted copies of patterns 0-11 with DIFFERENT frame counts
+    (clipped copies) and different container layouts."""
+    from query_engine_spark.llmdata.multimodal import (
+        _JPEG_IDCT_A,
+        _JPEG_QTAB,
+        _JPEG_ZIGZAG,
+    )
+
+    a_rows = ", ".join(
+        f"({u}, {x}, {_JPEG_IDCT_A[u][x]})" for u in range(8) for x in range(8)
+    )
+    used = [0, 1, 3, 8, 20, 40, 55]
+    cmap = ", ".join(
+        f"({i}, {_JPEG_ZIGZAG[i] % 8}, {_JPEG_ZIGZAG[i] // 8}, {_JPEG_QTAB[i]})"
+        for i in used
+    )
+    half, full = 1 << 25, 1 << 26
+    fd = (
+        f"((t + {half}) // {full}) - (CASE WHEN (t + {half}) % {full} != 0 "
+        f"AND t + {half} < 0 THEN 1 ELSE 0 END)"
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id % 24 AS pat,
+             2 + (doc_id % 24) % 2 AS bw, 2 + ((doc_id % 24) // 2) % 2 AS bh,
+             4 + (doc_id % 5) % 3 AS nf
+      FROM documents WHERE doc_id < 36),
+    mf AS (
+      SELECT media_id, pat, bw, bh, f.f AS fi, pat*131 + f.f*17 AS k
+      FROM m, generate_series(0, 5) AS f(f) WHERE f.f < nf),
+    blocks AS (
+      SELECT media_id, bw, bh, fi, k, b.b AS bi
+      FROM mf, generate_series(0, 8) AS b(b) WHERE b.b < bw * bh),
+    cm(zi, cu, cv, q) AS (VALUES {cmap}),
+    coefs AS (
+      SELECT media_id, bw, bh, fi, bi, cm.cu, cm.cv,
+             (CASE WHEN cm.zi = 0 THEN ((k*7 + bi*5) % 13) - 6
+                   ELSE ((k*11 + bi*3 + cm.zi) % 9) - 4 END) * cm.q AS cq
+      FROM blocks, cm),
+    a(au, ax, aval) AS (VALUES {a_rows}),
+    terms AS (
+      SELECT c.media_id, c.bw, c.bh, c.fi, c.bi, px.x AS x, py.y AS y,
+             CAST(sum(c.cq * aa.aval * ab.aval) AS BIGINT) AS t
+      FROM coefs c, generate_series(0, 7) AS px(x), generate_series(0, 7) AS py(y)
+      JOIN a aa ON aa.au = c.cu AND aa.ax = px.x
+      JOIN a ab ON ab.au = c.cv AND ab.ax = py.y
+      GROUP BY 1, 2, 3, 4, 5, 6, 7),
+    pix AS (
+      SELECT media_id, bw, bh, fi,
+             (bi % bw) * 8 + x AS px_x, (bi // bw) * 8 + y AS px_y,
+             greatest(0, least(255, 128 + {fd})) AS p
+      FROM terms),
+    g AS (
+      SELECT p.media_id, p.fi, gy.gy AS gy, gx.gx AS gx, p.p AS gray
+      FROM pix p
+      JOIN generate_series(0, 7) AS gy(gy) ON p.px_y = (gy.gy * (p.bh * 8)) // 8
+      JOIN generate_series(0, 8) AS gx(gx) ON p.px_x = (gx.gx * (p.bw * 8)) // 9),
+    bits AS (
+      SELECT a2.media_id, a2.fi, a2.gy AS gy, a2.gx AS kk,
+             CASE WHEN a2.gray > b2.gray THEN 1 ELSE 0 END AS bit
+      FROM g a2 JOIN g b2 ON a2.media_id = b2.media_id AND a2.fi = b2.fi
+                         AND a2.gy = b2.gy AND b2.gx = a2.gx + 1),
+    bands AS (
+      SELECT media_id, fi, (gy*8 + kk) // 16 AS band_id,
+             CAST(sum(bit * (1 << ((gy*8 + kk) % 16))) AS BIGINT) AS val
+      FROM bits GROUP BY 1, 2, 3),
+    wide AS (
+      SELECT media_id, fi,
+             CAST(max(CASE WHEN band_id = 0 THEN val END) AS BIGINT) AS b0,
+             CAST(max(CASE WHEN band_id = 1 THEN val END) AS BIGINT) AS b1,
+             CAST(max(CASE WHEN band_id = 2 THEN val END) AS BIGINT) AS b2,
+             CAST(max(CASE WHEN band_id = 3 THEN val END) AS BIGINT) AS b3
+      FROM bands GROUP BY 1, 2),
+    sig AS (SELECT DISTINCT media_id, b0, b1, b2, b3 FROM wide)
+    SELECT a4.media_id AS media_a, b4.media_id AS media_b,
+           CAST(count(*) AS BIGINT) AS n_common
+    FROM sig a4 JOIN sig b4
+      ON a4.b0 = b4.b0 AND a4.b1 = b4.b1 AND a4.b2 = b4.b2 AND a4.b3 = b4.b3
+     AND a4.media_id < b4.media_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY media_a, media_b
+    """
+
+
+@_candidate(
+    "media_mp4_video_dedup",
+    _mp4_video_dedup_oracle(),
+    "PERCEPTUAL video near-dup over a COMPRESSED corpus — the web-crawl "
+    "video shape: MP4/MJPEG payloads (ids 24-35 planted as CLIPPED copies "
+    "of patterns 0-11, different frame counts AND different container "
+    "layouts) are demuxed via the sample tables, every frame Huffman-decoded "
+    "+ integer-IDCT'd and dHashed in one map-only Arrow pass, then the "
+    "frame-hash containment join of media_video_dedup — only 8-byte "
+    "hashes ever leave the executor. The oracle chains the verified "
+    "per-frame IDCT CTEs into the verified dHash/band/containment CTEs "
+    "(llmdata/multimodal.py mp4_video_frame_hashes + video_dedup_pairs)",
+)
+def media_mp4_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 36).select(F.col("doc_id").alias("media_id"))
+    media = _pack_media(
+        ids,
+        lambda i: MM.make_mp4_mjpeg(i, 4 + (i % 5) % 3, pattern=i % 24),
+    )
+    hashes = MM.mp4_video_frame_hashes(media, every_n=1, max_frames=8)
+    return MM.video_dedup_pairs(hashes, min_common=2).orderBy("media_a", "media_b")
+
+
 @_candidate(
     "multimodal_video_avi_mjpeg",
     _mp4_mjpeg_oracle(),

@@ -568,6 +568,31 @@ def test_avi_mjpeg_demux_real(spark):
     assert sorted({r["frame_idx"] for r in out}) == [0, 2, 4]
 
 
+def test_mp4_video_dedup_clipped_copy_detected(spark):
+    """A clipped MP4 copy (same pattern, fewer frames, DIFFERENT container
+    layout — odd vs even media_id flips mdat/moov order) shares its frame
+    dHashes with the full video -> containment pair; an unrelated pattern
+    with distinct geometry shares none."""
+    import pandas as pd
+    from query_engine_spark.llmdata.multimodal import (
+        make_mp4_mjpeg, mp4_video_frame_hashes, video_dedup_pairs,
+    )
+
+    media = spark.createDataFrame(pd.DataFrame({
+        "media_id": [2, 7, 11],
+        "payload": [
+            make_mp4_mjpeg(2, 6, pattern=2),    # full video, pattern 2
+            make_mp4_mjpeg(7, 3, pattern=2),    # clipped copy, other layout
+            make_mp4_mjpeg(11, 6, pattern=13),  # unrelated pattern
+        ],
+    }))
+    fh = mp4_video_frame_hashes(media)
+    pairs = {(r.media_a, r.media_b): r.n_common
+             for r in video_dedup_pairs(fh, min_common=2).collect()}
+    assert (2, 7) in pairs and pairs[(2, 7)] >= 2
+    assert not any(11 in p for p in pairs)
+
+
 def test_mp4_golden_hand_authored_box_tree():
     """Conformance anchor outside the co-developed make/demux pair: a
     hand-built box tree using shapes the fixture encoder NEVER emits —
