@@ -19,6 +19,7 @@ Stage vocabulary (document-shaped until `chunk`, chunk-shaped until
   {"op": "quality_filter", "min_quality": 0.5}
   {"op": "classifier_filter", "label_min_quality": 0.5, "min_score_q": 0}
   {"op": "sample", "rate": 0.1, "strat_col": "source", "rates": {...}}
+  {"op": "balance", "strat_col": "source"}
   {"op": "decontaminate", "k": 10, "seed": "split"}
   {"op": "chunk", "chunk_tokens": 32, "overlap": 4}
   {"op": "pack", "capacity": 128, "shards": 8}
@@ -69,6 +70,7 @@ _DOC_OPS = (
     "quality_filter",
     "classifier_filter",
     "sample",
+    "balance",
     "decontaminate",
 )
 CURATION_OPS = _DOC_OPS + ("chunk", "pack")
@@ -249,6 +251,16 @@ def translate_curation_pipeline(
                     id_col=stage.get("id_col", "doc_id"),
                     strat_col=stage.get("strat_col"),
                     rates=stage.get("rates"),
+                    buckets=stage.get("buckets", 10_000),
+                )
+            elif op == "balance":
+                # cap over-represented strata at ~the smallest stratum's
+                # size: stratum counts are a tiny broadcast aggregate over
+                # the STAGE INPUT, the keep-test pure int64 bucket math
+                df = Tx.balanced_sample(
+                    df,
+                    stage.get("strat_col", "source"),
+                    id_col=stage.get("id_col", "doc_id"),
                     buckets=stage.get("buckets", 10_000),
                 )
             elif op == "langid_filter":

@@ -666,6 +666,42 @@ def multimodal_video_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.mp4_frame_features(media, every_n=2, max_frames=3)
 
 
+@_candidate(
+    "llm_curation_pipeline_balance",
+    r"""
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    m AS (SELECT min(n) AS n_min FROM c),
+    bal AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d JOIN c USING (source) CROSS JOIN m
+      WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) * c.n
+            < m.n_min * 10000),
+    tok AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS n
+      FROM bal)
+    SELECT doc_id, source FROM tok WHERE n >= 40
+    """,
+    "curation pipeline with the balance stage: every source stratum capped "
+    "at ~the smallest stratum's size (counts computed over the STAGE "
+    "INPUT, broadcast back onto the scan; keep-test is exact int64 bucket "
+    "math — no float thresholds), composed with a downstream token_filter. "
+    "The oracle replays the count/min/bucket arithmetic then the token "
+    "bound (llmdata/pipeline.py + textstats.balanced_sample)",
+)
+def llm_curation_pipeline_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata.pipeline import translate_curation_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    run = translate_curation_pipeline(
+        [
+            {"op": "balance", "strat_col": "source"},
+            {"op": "token_filter", "min_tokens": 40},
+        ]
+    )
+    return run(docs.select("doc_id", "source", "text")).select("doc_id", "source")
+
+
 def _mp4_video_dedup_oracle() -> str:
     """The full composition chain for compressed-video near-dup: per-frame
     JPEG pixels by the integer IDCT (frame key pat*131 + fi*17), per-frame

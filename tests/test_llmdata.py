@@ -1914,6 +1914,19 @@ def test_curation_pipeline_scrub_stages(spark):
     with pytest.raises(ValueError, match="inverted"):
         translate_curation_pipeline([{"op": "token_filter", "min_tokens": 9, "max_tokens": 3}])
 
+    # balance: every stratum capped at ~the smallest stratum's size,
+    # chosen by the same deterministic buckets
+    run3 = translate_curation_pipeline([{"op": "balance", "strat_col": "source"}])
+    skew = spark.createDataFrame(
+        [(i, "big" if i < 160 else "small", "t") for i in range(200)],
+        "doc_id long, source string, text string",
+    )
+    got3 = run3(skew).groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in got3}
+    # small stratum (40 rows) survives ~whole; big (160) capped to ~40
+    assert by_src.get("small", 0) > 0
+    assert by_src.get("big", 0) <= 60  # ~40 expected, bucket noise allowed
+
 
 def test_jpeg_roundtrip_matches_coefficient_formula(spark):
     """decode_jpeg(make_jpeg(...)) must equal the pure-integer prediction
