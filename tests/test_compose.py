@@ -222,6 +222,57 @@ def test_streaming_media_perceptual_dedup_matches_batch(spark, tmp_path):
     assert spark.read.parquet(index_dir).count() == 16
 
 
+def test_streaming_media_dedup_jpeg_hasher_matches_batch(spark, tmp_path):
+    """The pluggable-hasher path the docstring promises for COMPRESSED
+    crawls: media_ingest_start(hasher=jpeg_dhash_bands) over a lossy JPEG
+    corpus must equal the batch probe of the same hasher's bands — the
+    streaming mirror of media_jpeg_perceptual_dedup's decode→dHash
+    composition (stream == batch on identical inputs)."""
+    from query_engine_spark.llmdata import multimodal as MM
+    from query_engine_spark.streaming.compose import (
+        media_ingest_matches,
+        media_ingest_start,
+    )
+
+    def maker(i: int) -> bytes:
+        return MM.make_jpeg(i % 6, 2, 2)
+
+    in_dir, index_dir, matches_dir, ckpt = (
+        str(tmp_path / n) for n in ("in", "idx", "matches", "ckpt")
+    )
+    df_a = spark.createDataFrame(
+        [(i, bytearray(maker(i))) for i in range(8)], "media_id long, payload binary"
+    )
+    df_b = spark.createDataFrame(
+        [(i, bytearray(maker(i))) for i in range(8, 16)], "media_id long, payload binary"
+    )
+    df_a.coalesce(1).write.mode("append").parquet(in_dir)
+    q = media_ingest_start(
+        spark, in_dir, index_dir, matches_dir, ckpt, hasher=MM.jpeg_dhash_bands
+    )
+    try:
+        q.processAllAvailable()
+        assert media_ingest_matches(spark, matches_dir).count() == 0
+        df_b.coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["media_id"], r["match_id"], r["hamming"])
+        for r in media_ingest_matches(spark, matches_dir).collect()
+    }
+    want = {
+        (r["media_id"], r["match_id"], r["hamming"])
+        for r in MM.perceptual_probe_pairs(
+            MM.jpeg_dhash_bands(df_b), MM.jpeg_dhash_bands(df_a), max_hamming=3
+        ).collect()
+    }
+    assert got == want
+    # i % 6 pattern reuse plants exact JPEG re-encodes across batches
+    assert len(want) >= 8
+
+
 def test_streaming_media_dedup_survives_restart(spark, tmp_path):
     """Checkpoint continuity for the media-ingest job: stop the query
     after batch A, start a NEW query on the same checkpoint, feed batch B
