@@ -2716,18 +2716,26 @@ def _png_filter_rows(rows: list[bytes], bpp: int, ft_of) -> bytearray:
 
 
 def make_png(
-    media_id: int, width: int, height: int, *, interlace: bool = False
+    media_id: int, width: int, height: int, *, interlace: bool = False,
+    color_type: int = 2,
 ) -> bytes:
-    """Pack a deterministic 8-bit RGB PNG. Pixel byte c of pixel (x, y) is
-    ``(media_id*31 + y*7 + x*3 + c) % 256`` — the same formula as
-    `make_bmp`, so the same integer-arithmetic oracle applies. Rows cycle
-    through ALL FIVE filter types (None/Sub/Up/Average/Paeth), so a
-    decoder that skips unfiltering fails the oracle; IDAT is real zlib
-    DEFLATE. With `interlace` the image is ADAM7: seven passes, each an
-    independently-filtered sub-image (empty passes contribute nothing,
-    including their filter bytes)."""
+    """Pack a deterministic 8-bit PNG. Color type 2 (RGB, default): pixel
+    byte c of pixel (x, y) is ``(media_id*31 + y*7 + x*3 + c) % 256`` —
+    the same formula as `make_bmp`, so the same integer-arithmetic oracle
+    applies. Color type 0 (GRAYSCALE) and 3 (PALETTE — with the GIF
+    fixture's 256-entry table ``(i, i*3%256, i*7%256)`` in a PLTE chunk)
+    store one byte per pixel, ``(media_id*31 + y*7 + x*3) % 256``, the
+    BMP8/GIF index formula. Rows cycle through ALL FIVE filter types
+    (None/Sub/Up/Average/Paeth), so a decoder that skips unfiltering
+    fails the oracle; IDAT is real zlib DEFLATE. With `interlace` the
+    image is ADAM7: seven passes, each an independently-filtered
+    sub-image (empty passes contribute nothing, including their filter
+    bytes) — orthogonal to the color type."""
     import struct
     import zlib
+
+    if color_type not in (0, 2, 3):
+        raise ValueError(f"unsupported fixture color type {color_type}")
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -2735,12 +2743,15 @@ def make_png(
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    def px_row(y: int, xs) -> bytes:
-        return bytes(
-            (media_id * 31 + y * 7 + x * 3 + c) % 256 for x in xs for c in range(3)
-        )
+    bpp = 3 if color_type == 2 else 1
 
-    bpp = 3
+    def px_row(y: int, xs) -> bytes:
+        if color_type == 2:
+            return bytes(
+                (media_id * 31 + y * 7 + x * 3 + c) % 256 for x in xs for c in range(3)
+            )
+        return bytes((media_id * 31 + y * 7 + x * 3) % 256 for x in xs)
+
     if not interlace:
         rows = [px_row(y, range(width)) for y in range(height)]
         raw = _png_filter_rows(rows, bpp, lambda j: j % 5)
@@ -2753,11 +2764,20 @@ def make_png(
                 continue
             rows = [px_row(y, xs) for y in ys]
             raw += _png_filter_rows(rows, bpp, lambda j: j % 5)
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1 if interlace else 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     idat = zlib.compress(bytes(raw))
+    plte = b""
+    if color_type == 3:
+        plte = chunk(
+            b"PLTE",
+            bytes(v for i in range(256) for v in (i, (i * 3) % 256, (i * 7) % 256)),
+        )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
@@ -2812,7 +2832,7 @@ def decode_png_pixels(blob: bytes) -> tuple[int, int, list[bytearray]]:
 
     if blob[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, b""
+    pos, ihdr, idat, plte = 8, None, b"", None
     while pos + 12 <= len(blob):
         (clen,) = struct.unpack_from(">I", blob, pos)
         typ = blob[pos + 4 : pos + 8]
@@ -2824,6 +2844,8 @@ def decode_png_pixels(blob: bytes) -> tuple[int, int, list[bytearray]]:
             raise ValueError(f"CRC mismatch in chunk {typ!r}")
         if typ == b"IHDR":
             ihdr = data
+        elif typ == b"PLTE":
+            plte = data
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -2832,37 +2854,57 @@ def decode_png_pixels(blob: bytes) -> tuple[int, int, list[bytearray]]:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     width, height, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or color != 2:
-        raise NotImplementedError("only 8-bit RGB (color type 2) supported")
+    if depth != 8 or color not in (0, 2, 3):
+        raise NotImplementedError(
+            "only 8-bit grayscale (0), RGB (2) or palette (3) supported; "
+            "16-bit depths and alpha types (4/6) remain boundaries"
+        )
     if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise NotImplementedError("only deflate/adaptive-filter, interlace 0/1 supported")
     if width <= 0 or height <= 0:
         raise ValueError(f"invalid dimensions {width}x{height}")
+    if color == 3:
+        if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
+            raise ValueError("palette PNG missing/invalid PLTE chunk")
     raw = zlib.decompress(idat)
-    bpp = 3
+    bpp = 3 if color == 2 else 1
     if interlace == 0:
         if len(raw) != height * (1 + width * bpp):
             raise ValueError(
                 f"inflated size {len(raw)} != expected {height * (1 + width * bpp)}"
             )
         rows, _ = _png_unfilter(raw, 0, width, height, bpp)
-        return width, height, rows
-    out = [bytearray(width * bpp) for _ in range(height)]
-    off = 0
-    for x0, y0, dx, dy in _ADAM7:
-        ys = range(y0, height, dy)
-        xs = range(x0, width, dx)
-        pw, ph = len(xs), len(ys)
-        if pw == 0 or ph == 0:
-            continue
-        prows, off = _png_unfilter(raw, off, pw, ph, bpp)
-        for j, y in enumerate(ys):
-            prow = prows[j]
-            for i, x in enumerate(xs):
-                out[y][x * bpp : (x + 1) * bpp] = prow[i * bpp : (i + 1) * bpp]
-    if off != len(raw):
-        raise ValueError("ADAM7 stream has trailing bytes")
-    return width, height, out
+    else:
+        out = [bytearray(width * bpp) for _ in range(height)]
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ys = range(y0, height, dy)
+            xs = range(x0, width, dx)
+            pw, ph = len(xs), len(ys)
+            if pw == 0 or ph == 0:
+                continue
+            prows, off = _png_unfilter(raw, off, pw, ph, bpp)
+            for j, y in enumerate(ys):
+                prow = prows[j]
+                for i, x in enumerate(xs):
+                    out[y][x * bpp : (x + 1) * bpp] = prow[i * bpp : (i + 1) * bpp]
+        if off != len(raw):
+            raise ValueError("ADAM7 stream has trailing bytes")
+        rows = out
+    if color == 3:
+        # fold indices through the palette (the GIF/BMP8 move): every
+        # out-of-range index is a hard error, not a clamp
+        n_pal = len(plte) // 3
+        folded = []
+        for r in rows:
+            fr = bytearray(width * 3)
+            for i, idx in enumerate(r):
+                if idx >= n_pal:
+                    raise ValueError(f"palette index {idx} >= table size {n_pal}")
+                fr[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
+            folded.append(fr)
+        rows = folded
+    return width, height, rows
 
 
 def decode_png(blob: bytes) -> tuple[int, int, int, int]:

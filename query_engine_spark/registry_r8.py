@@ -358,6 +358,85 @@ def multimodal_bmp8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_candidate(
+    "multimodal_png_gray",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 64),
+    px AS (
+      SELECT m.media_id, m.w, m.h,
+             (m.media_id*31 + y.y*7 + x.x*3) % 256 AS v
+      FROM m, generate_series(0, 5) AS y(y), generate_series(0, 7) AS x(x)
+      WHERE y.y < m.h AND x.x < m.w)
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(media_id*31 % 256 AS INT) AS top_left
+    FROM px GROUP BY media_id, w, h
+    """,
+    "REAL GRAYSCALE PNG decode (color type 0 — one byte per pixel through "
+    "the same five-filter unfiltering; odd media are ADAM7 interlaced, so "
+    "the driver path exercises the per-pass scatter at 1 byte/px too); "
+    "oracle = the BMP8/GIF index-formula arithmetic "
+    "(llmdata/multimodal.py make_png(color_type=0)/decode_png_pixels)",
+)
+def multimodal_png_gray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(
+            ids,
+            lambda i: MM.make_png(
+                i, 4 + i % 5, 3 + i % 4, color_type=0, interlace=bool(i % 2)
+            ),
+        ),
+        media_type="image/png",
+    )
+    return MM.png_features(media)
+
+
+@_candidate(
+    "multimodal_png_palette",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 64),
+    px AS (
+      SELECT m.media_id, m.w, m.h,
+             (m.media_id*31 + y.y*7 + x.x*3) % 256 AS i
+      FROM m, generate_series(0, 5) AS y(y), generate_series(0, 7) AS x(x)
+      WHERE y.y < m.h AND x.x < m.w)
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(i + (i*3) % 256 + (i*7) % 256) AS BIGINT) AS px_sum,
+           CAST(media_id*31 % 256 AS INT) AS top_left
+    FROM px GROUP BY media_id, w, h
+    """,
+    "REAL PALETTE PNG decode (color type 3 — the web-graphics shape: PLTE "
+    "table, 8-bit indices through the five-filter unfiltering, indices "
+    "FOLDED through the palette with out-of-range rejection; odd media "
+    "ADAM7 interlaced); the palette is the GIF fixture's (i, 3i, 7i) "
+    "table, so the oracle folds the index formula through the same "
+    "arithmetic (llmdata/multimodal.py make_png(color_type=3))",
+)
+def multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(
+            ids,
+            lambda i: MM.make_png(
+                i, 4 + i % 5, 3 + i % 4, color_type=3, interlace=bool(i % 2)
+            ),
+        ),
+        media_type="image/png",
+    )
+    return MM.png_features(media)
+
+
 # ---------------------------------------------------------------------------
 # audio containers: one SQL form, four transports
 

@@ -1098,15 +1098,18 @@ def test_png_decode_real(spark):
     bad[60] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         MM.decode_png(bytes(bad))
-    # unsupported color type (grayscale) -> honest NotImplementedError
-    gray = bytearray(MM.make_png(1, 4, 4))
-    # IHDR data starts at offset 16; color type is its 10th byte (16+9)
-    gray[16 + 9] = 0
-    # refresh IHDR CRC so we hit the color-type check, not the CRC check
-    ihdr = bytes(gray[12:16]) + bytes(gray[16:29])
-    struct.pack_into(">I", gray, 29, zlib.crc32(ihdr) & 0xFFFFFFFF)
-    with pytest.raises(NotImplementedError):
-        MM.decode_png(bytes(gray))
+    # unsupported color type (RGBA) -> honest NotImplementedError; an RGB
+    # stream RELABELED grayscale (now a supported type) fails the scanline
+    # size check instead of silently mis-decoding
+    for ct, exc in ((6, NotImplementedError), (0, ValueError)):
+        relab = bytearray(MM.make_png(1, 4, 4))
+        # IHDR data starts at offset 16; color type is its 10th byte (16+9)
+        relab[16 + 9] = ct
+        # refresh IHDR CRC so we hit the semantic check, not the CRC check
+        ihdr = bytes(relab[12:16]) + bytes(relab[16:29])
+        struct.pack_into(">I", relab, 29, zlib.crc32(ihdr) & 0xFFFFFFFF)
+        with pytest.raises(exc):
+            MM.decode_png(bytes(relab))
 
     # distributed: pack -> inflate+unfilter via Arrow mapInPandas
     media = spark.createDataFrame(
@@ -3212,6 +3215,49 @@ def test_tiff_golden_hand_derived_lzw_strip():
     golden = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
     assert _tiff_lzw_compress(b"aaaa") == golden
     assert _tiff_lzw_decompress(golden, 4) == b"aaaa"
+
+
+def test_png_gray_and_palette_color_types(spark):
+    """Color types 0 and 3 through the same unfiltering: grayscale rows
+    are 1 byte/px on the BMP8/GIF index formula; palette indices fold
+    through PLTE with out-of-range rejection; ADAM7 composes with both;
+    a palette PNG without PLTE raises."""
+    import struct
+    import zlib
+
+    import pytest
+    from query_engine_spark.llmdata.multimodal import decode_png_pixels, make_png
+
+    for il in (False, True):
+        w, h, rows = decode_png_pixels(make_png(7, 9, 6, color_type=0, interlace=il))
+        assert (w, h, len(rows[0])) == (9, 6, 9)
+        assert rows[5][8] == (7 * 31 + 5 * 7 + 8 * 3) % 256
+
+        w, h, rows = decode_png_pixels(make_png(7, 9, 6, color_type=3, interlace=il))
+        assert len(rows[0]) == 27
+        i0 = (7 * 31 + 2 * 7 + 4 * 3) % 256
+        assert rows[2][12:15] == bytes((i0, (i0 * 3) % 256, (i0 * 7) % 256))
+
+    # palette PNG with the PLTE chunk stripped must raise
+    blob = make_png(1, 5, 4, color_type=3)
+    pos, out = 8, bytearray(blob[:8])
+    while pos + 12 <= len(blob):
+        (clen,) = struct.unpack_from(">I", blob, pos)
+        typ = blob[pos + 4 : pos + 8]
+        if typ != b"PLTE":
+            out += blob[pos : pos + 12 + clen]
+        pos += 12 + clen
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png_pixels(bytes(out))
+
+    # alpha color types stay an honest boundary
+    bad = bytearray(make_png(1, 5, 4))
+    i = bytes(bad).find(b"IHDR")
+    bad[i + 4 + 9] = 6  # color type byte inside IHDR data
+    ihdr = bytes(bad[i + 4 : i + 4 + 13])
+    struct.pack_into(">I", bad, i + 4 + 13, zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    with pytest.raises(NotImplementedError, match="alpha"):
+        decode_png_pixels(bytes(bad))
 
 
 def test_tiff_multipage_chain(spark):
