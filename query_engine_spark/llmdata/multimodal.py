@@ -3113,6 +3113,198 @@ def make_gif(
     )
 
 
+def make_gif_animated(
+    media_id: int, width: int, height: int, n_frames: int, *, delay_cs: int = 10
+) -> bytes:
+    """Pack a deterministic ANIMATED GIF89a — the web-crawl shape: a
+    NETSCAPE2.0 looping application extension, then per frame a Graphic
+    Control Extension (disposal 1, no transparency) + a FULL-FRAME image
+    descriptor with REAL LZW-coded indices. Index (x, y) of frame f is
+    ``(media_id*31 + f*97 + y*7 + x*3) % 256`` — the AVI frame-formula
+    family, so one oracle form covers frames; palette is the shared
+    (i, 3i, 7i) table."""
+    import struct
+
+    if n_frames <= 0:
+        raise ValueError(f"invalid n_frames {n_frames}")
+    palette = bytes(
+        v for i in range(256) for v in (i, (i * 3) % 256, (i * 7) % 256)
+    )
+    out = bytearray(
+        b"GIF89a" + struct.pack("<HHBBB", width, height, 0xF7, 0, 0) + palette
+    )
+    # application extension: NETSCAPE2.0 infinite loop
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in range(n_frames):
+        out += b"\x21\xf9\x04" + bytes((0x04, delay_cs & 0xFF, delay_cs >> 8, 0)) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        idx = bytes(
+            (media_id * 31 + f * 97 + y * 7 + x * 3) % 256
+            for y in range(height)
+            for x in range(width)
+        )
+        lzw = _lzw_compress(idx, 8)
+        out += b"\x08"
+        for i in range(0, len(lzw), 255):
+            sub = lzw[i : i + 255]
+            out.append(len(sub))
+            out += sub
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(blob: bytes) -> tuple[int, int, bytes, list[bytes]]:
+    """REAL animated-GIF decode → (width, height, palette, [per-frame
+    indices in natural row order]). Walks every block to the trailer:
+    Graphic Control Extensions are PARSED (not blindly skipped) so the
+    compositing boundaries stay honest — transparency or
+    restore-to-previous disposal raise NotImplementedError; other
+    extensions (NETSCAPE looping, comments) are skipped per spec. Every
+    image descriptor must be FULL-FRAME (left 0, top 0, screen dims) —
+    partial-update frames require compositing state and raise; interlaced
+    frames de-interlace through the 4-pass map, and a per-frame local
+    color table raises (one palette per animation keeps the feature fold
+    exact — real multi-palette GIFs are the next boundary out)."""
+    import struct
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(blob) < 13:
+        raise ValueError("truncated logical screen descriptor")
+    sw, sh, packed, _, _ = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    if not packed & 0x80:
+        raise ValueError("animated fixture requires a global color table")
+    n = 2 << (packed & 0x07)
+    palette = blob[pos : pos + 3 * n]
+    if len(palette) < 3 * n:
+        raise ValueError("truncated global color table")
+    pos += 3 * n
+
+    frames: list[bytes] = []
+    transparent = False
+    disposal = 0
+    while True:
+        if pos >= len(blob):
+            raise ValueError("no trailer before end of data")
+        b0 = blob[pos]
+        pos += 1
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:  # extension
+            if pos >= len(blob):
+                raise ValueError("truncated extension block")
+            label = blob[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control: parse, don't skip
+                if pos + 6 > len(blob) or blob[pos] != 4:
+                    raise ValueError("malformed graphic control extension")
+                flags = blob[pos + 1]
+                disposal = (flags >> 2) & 0x07
+                transparent = bool(flags & 0x01)
+                pos += 5
+                if blob[pos] != 0:
+                    raise ValueError("graphic control missing terminator")
+                pos += 1
+            else:
+                while pos < len(blob) and blob[pos] != 0:
+                    pos += 1 + blob[pos]
+                pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected block 0x{b0:02x}")
+        if pos + 9 > len(blob):
+            raise ValueError("truncated image descriptor")
+        left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", blob, pos)
+        pos += 9
+        if transparent or disposal == 3:
+            raise NotImplementedError(
+                "animated GIF compositing (transparency / restore-previous "
+                "disposal) needs frame-state accumulation; full-frame "
+                "opaque animations decode here"
+            )
+        if (left, top, iw, ih) != (0, 0, sw, sh):
+            raise NotImplementedError(
+                f"partial-update frame at ({left},{top}) {iw}x{ih} inside "
+                f"{sw}x{sh}: compositing state is the honest boundary"
+            )
+        if ipacked & 0x80:
+            raise NotImplementedError("per-frame local color tables unsupported")
+        interlaced = bool(ipacked & 0x40)
+        min_code_size = blob[pos]
+        pos += 1
+        lzw = bytearray()
+        while True:
+            if pos >= len(blob):
+                raise ValueError("truncated image data sub-blocks")
+            nsub = blob[pos]
+            pos += 1
+            if nsub == 0:
+                break
+            lzw += blob[pos : pos + nsub]
+            pos += nsub
+        idx = _lzw_decompress(bytes(lzw), min_code_size)
+        if len(idx) != iw * ih:
+            raise ValueError(f"decoded {len(idx)} indices for {iw}x{ih} frame")
+        if interlaced:
+            natural = bytearray(iw * ih)
+            for k, y in enumerate(_gif_interlace_rows(ih)):
+                natural[y * iw : (y + 1) * iw] = idx[k * iw : (k + 1) * iw]
+            idx = bytes(natural)
+        frames.append(idx)
+        transparent = False
+        disposal = 0
+    if not frames:
+        raise ValueError("no image descriptor before trailer")
+    return sw, sh, palette, frames
+
+
+_GIF_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, "
+    "idx_sum long, rgb_sum long, top_left_idx int"
+)
+
+
+def gif_frame_features(df: DataFrame, every_n: int = 1, max_frames: int = 8) -> DataFrame:
+    """Distributed animated-GIF decode: LZW-decode every sampled frame of
+    every payload in one Arrow mapInPandas pass (map-only) — the RLE8
+    feature shape (index sum, palette-folded RGB sum, top-left index)."""
+
+    if every_n <= 0 or max_frames <= 0:
+        raise ValueError(f"invalid sampling every_n={every_n} max_frames={max_frames}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                w, h, pal, frames = decode_gif_frames(bytes(blob))
+                rgb = [pal[3 * i] + pal[3 * i + 1] + pal[3 * i + 2] for i in range(len(pal) // 3)]
+                for j in range(min(max_frames, (len(frames) + every_n - 1) // every_n)):
+                    fi = j * every_n
+                    fr = frames[fi]
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": fi,
+                            "width": w,
+                            "height": h,
+                            "idx_sum": sum(fr),
+                            "rgb_sum": sum(rgb[v] for v in fr),
+                            "top_left_idx": fr[0],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "idx_sum", "rgb_sum", "top_left_idx",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _GIF_FRAME_SCHEMA)
+
+
 def decode_gif_indices(blob: bytes) -> tuple[int, int, bytes, bytes]:
     """REAL GIF decode → (width, height, palette, indices in NATURAL
     top-to-bottom row order) — the full-pixel form `decode_gif` folds into

@@ -359,6 +359,45 @@ def multimodal_bmp8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_candidate(
+    "multimodal_gif_animated",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 10 + doc_id % 5 AS w, 8 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 48),
+    px AS (
+      SELECT m.media_id, f.f AS fi, m.w, m.h,
+             (m.media_id*31 + f.f*97 + y.y*7 + x.x*3) % 256 AS v
+      FROM m, generate_series(0, 2) AS f(f),
+           generate_series(0, 11) AS y(y), generate_series(0, 14) AS x(x)
+      WHERE y.y < m.h AND x.x < m.w)
+    SELECT media_id, CAST(fi AS INT) AS frame_idx,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(v) AS BIGINT) AS idx_sum,
+           CAST(sum(v + (v*3) % 256 + (v*7) % 256) AS BIGINT) AS rgb_sum,
+           CAST((media_id*31 + fi*97) % 256 AS INT) AS top_left_idx
+    FROM px GROUP BY media_id, fi, w, h
+    """,
+    "REAL ANIMATED-GIF decode — the web-crawl shape: NETSCAPE looping "
+    "extension skipped per spec, Graphic Control Extensions PARSED (not "
+    "skipped) so transparency / restore-previous disposal raise the "
+    "honest compositing boundary, every full-frame image descriptor "
+    "LZW-decoded, one row per frame with palette-folded features "
+    "(llmdata/multimodal.py make_gif_animated/decode_gif_frames/"
+    "gif_frame_features)",
+)
+def multimodal_gif_animated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 48).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(ids, lambda i: MM.make_gif_animated(i, 10 + i % 5, 8 + i % 4, 3)),
+        media_type="image/gif",
+    )
+    return MM.gif_frame_features(media)
+
+
+@_candidate(
     "multimodal_png_gray",
     """
     WITH m AS (

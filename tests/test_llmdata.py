@@ -3217,6 +3217,53 @@ def test_tiff_golden_hand_derived_lzw_strip():
     assert _tiff_lzw_decompress(golden, 4) == b"aaaa"
 
 
+def test_gif_animated_frames(spark):
+    """decode_gif_frames walks every image descriptor (NETSCAPE looping
+    extension skipped, GCEs parsed), de-interlaces per frame, and raises
+    the honest boundaries: transparency, restore-previous disposal,
+    partial-update frames; gif_frame_features emits one row per frame."""
+    import struct
+
+    import pytest
+    from query_engine_spark.llmdata.multimodal import (
+        decode_gif_frames, gif_frame_features, make_gif, make_gif_animated,
+    )
+
+    blob = make_gif_animated(9, 12, 8, 4)
+    w, h, pal, frames = decode_gif_frames(blob)
+    assert (w, h, len(frames)) == (12, 8, 4)
+    assert frames[3][7 * 12 + 11] == (9 * 31 + 3 * 97 + 7 * 7 + 11 * 3) % 256
+    # the single-image fixture decodes through the same walker (1 frame)
+    assert len(decode_gif_frames(make_gif(5, 10, 7, interlace=True))[3]) == 1
+
+    # fixed layout: header 13 + GCT 768 + NETSCAPE ext 19 -> first GCE at
+    # 800 (8 bytes), first image descriptor at 808 (find() would hit
+    # palette bytes that happen to equal the markers)
+    gce, desc = 800, 808
+    assert blob[gce : gce + 2] == b"\x21\xf9" and blob[desc] == 0x2C
+    # transparency flag -> compositing boundary
+    buf = bytearray(blob)
+    buf[gce + 3] |= 0x01
+    with pytest.raises(NotImplementedError, match="compositing"):
+        decode_gif_frames(bytes(buf))
+    # partial-update frame -> boundary (shrink the first descriptor width)
+    buf = bytearray(blob)
+    struct.pack_into("<H", buf, desc + 5, 6)
+    with pytest.raises(NotImplementedError, match="partial"):
+        decode_gif_frames(bytes(buf))
+
+    media = spark.createDataFrame(
+        [(i, make_gif_animated(i, 10, 8, 3)) for i in range(6)],
+        "media_id long, payload binary",
+    )
+    out = gif_frame_features(media).collect()
+    assert len(out) == 6 * 3
+    by_key = {(r["media_id"], r["frame_idx"]): r for r in out}
+    want_idx = sum((4 * 31 + 2 * 97 + y * 7 + x * 3) % 256 for y in range(8) for x in range(10))
+    assert by_key[(4, 2)]["idx_sum"] == want_idx
+    assert by_key[(4, 2)]["top_left_idx"] == (4 * 31 + 2 * 97) % 256
+
+
 def test_png_gray_and_palette_color_types(spark):
     """Color types 0 and 3 through the same unfiltering: grayscale rows
     are 1 byte/px on the BMP8/GIF index formula; palette indices fold
