@@ -2686,6 +2686,10 @@ _ADAM7 = [
     (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
 ]  # (x0, y0, dx, dy) per pass, PNG spec §8.2
 
+# bytes per pixel at depth 8 by color type: gray, RGB, palette index,
+# gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
 
 def _png_filter_rows(rows: list[bytes], bpp: int, ft_of) -> bytearray:
     """Filter a scanline sequence (one pass, or the whole non-interlaced
@@ -2734,7 +2738,7 @@ def make_png(
     import struct
     import zlib
 
-    if color_type not in (0, 2, 3):
+    if color_type not in (0, 2, 3, 4, 6):
         raise ValueError(f"unsupported fixture color type {color_type}")
 
     def chunk(typ: bytes, data: bytes) -> bytes:
@@ -2743,14 +2747,15 @@ def make_png(
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    bpp = 3 if color_type == 2 else 1
+    bpp = _PNG_CHANNELS[color_type]
 
     def px_row(y: int, xs) -> bytes:
-        if color_type == 2:
-            return bytes(
-                (media_id * 31 + y * 7 + x * 3 + c) % 256 for x in xs for c in range(3)
-            )
-        return bytes((media_id * 31 + y * 7 + x * 3) % 256 for x in xs)
+        # channel c of pixel (x, y) = (media_id*31 + y*7 + x*3 + c) % 256
+        # for every color type (alpha is just channel bpp-1, so the same
+        # oracle arithmetic covers 1/2/3/4-channel layouts)
+        return bytes(
+            (media_id * 31 + y * 7 + x * 3 + c) % 256 for x in xs for c in range(bpp)
+        )
 
     if not interlace:
         rows = [px_row(y, range(width)) for y in range(height)]
@@ -2854,10 +2859,10 @@ def decode_png_pixels(blob: bytes) -> tuple[int, int, list[bytearray]]:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     width, height, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or color not in (0, 2, 3):
+    if depth != 8 or color not in _PNG_CHANNELS:
         raise NotImplementedError(
-            "only 8-bit grayscale (0), RGB (2) or palette (3) supported; "
-            "16-bit depths and alpha types (4/6) remain boundaries"
+            "only 8-bit grayscale (0), RGB (2), palette (3), gray+alpha "
+            "(4) or RGBA (6) supported; 16-bit depths remain a boundary"
         )
     if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise NotImplementedError("only deflate/adaptive-filter, interlace 0/1 supported")
@@ -2867,7 +2872,7 @@ def decode_png_pixels(blob: bytes) -> tuple[int, int, list[bytearray]]:
         if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
             raise ValueError("palette PNG missing/invalid PLTE chunk")
     raw = zlib.decompress(idat)
-    bpp = 3 if color == 2 else 1
+    bpp = _PNG_CHANNELS[color]
     if interlace == 0:
         if len(raw) != height * (1 + width * bpp):
             raise ValueError(

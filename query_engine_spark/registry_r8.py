@@ -437,6 +437,46 @@ def multimodal_png_gray(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_candidate(
+    "multimodal_png_rgba",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 64),
+    px AS (
+      SELECT m.media_id, m.w, m.h,
+             (m.media_id*31 + y.y*7 + x.x*3 + c.c) % 256 AS v
+      FROM m, generate_series(0, 5) AS y(y), generate_series(0, 7) AS x(x),
+           generate_series(0, 3) AS c(c)
+      WHERE y.y < m.h AND x.x < m.w)
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(media_id*31 % 256 AS INT) AS top_left
+    FROM px GROUP BY media_id, w, h
+    """,
+    "REAL RGBA PNG decode (color type 6 — the screenshot/web-asset shape: "
+    "4 bytes per pixel through the same five-filter unfiltering, alpha as "
+    "channel 3 of the formula; odd media ADAM7 interlaced so the per-pass "
+    "scatter runs at 4 bytes/px) (llmdata/multimodal.py "
+    "make_png(color_type=6)/decode_png_pixels)",
+)
+def multimodal_png_rgba(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(
+            ids,
+            lambda i: MM.make_png(
+                i, 4 + i % 5, 3 + i % 4, color_type=6, interlace=bool(i % 2)
+            ),
+        ),
+        media_type="image/png",
+    )
+    return MM.png_features(media)
+
+
+@_candidate(
     "multimodal_png_palette",
     """
     WITH m AS (

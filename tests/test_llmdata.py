@@ -1098,13 +1098,13 @@ def test_png_decode_real(spark):
     bad[60] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         MM.decode_png(bytes(bad))
-    # unsupported color type (RGBA) -> honest NotImplementedError; an RGB
-    # stream RELABELED grayscale (now a supported type) fails the scanline
-    # size check instead of silently mis-decoding
-    for ct, exc in ((6, NotImplementedError), (0, ValueError)):
+    # 16-bit depth -> honest NotImplementedError; an RGB stream RELABELED
+    # grayscale (a supported type) fails the scanline size check instead
+    # of silently mis-decoding. IHDR data starts at offset 16: depth is
+    # its 9th byte, color type its 10th.
+    for off, val, exc in ((8, 16, NotImplementedError), (9, 0, ValueError)):
         relab = bytearray(MM.make_png(1, 4, 4))
-        # IHDR data starts at offset 16; color type is its 10th byte (16+9)
-        relab[16 + 9] = ct
+        relab[16 + off] = val
         # refresh IHDR CRC so we hit the semantic check, not the CRC check
         ihdr = bytes(relab[12:16]) + bytes(relab[16:29])
         struct.pack_into(">I", relab, 29, zlib.crc32(ihdr) & 0xFFFFFFFF)
@@ -3297,14 +3297,17 @@ def test_png_gray_and_palette_color_types(spark):
     with pytest.raises(ValueError, match="PLTE"):
         decode_png_pixels(bytes(out))
 
-    # alpha color types stay an honest boundary
-    bad = bytearray(make_png(1, 5, 4))
-    i = bytes(bad).find(b"IHDR")
-    bad[i + 4 + 9] = 6  # color type byte inside IHDR data
-    ihdr = bytes(bad[i + 4 : i + 4 + 13])
-    struct.pack_into(">I", bad, i + 4 + 13, zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
-    with pytest.raises(NotImplementedError, match="alpha"):
-        decode_png_pixels(bytes(bad))
+    # alpha types decode too: RGBA (4 bytes/px) and gray+alpha (2), the
+    # alpha channel just being channel bpp-1 of the same formula
+    for ct, nch in ((6, 4), (4, 2)):
+        for il in (False, True):
+            w, h, rows = decode_png_pixels(
+                make_png(7, 9, 6, color_type=ct, interlace=il)
+            )
+            assert len(rows[0]) == 9 * nch
+            assert rows[3][5 * nch + (nch - 1)] == (
+                7 * 31 + 3 * 7 + 5 * 3 + (nch - 1)
+            ) % 256
 
 
 def test_tiff_multipage_chain(spark):
