@@ -6996,27 +6996,10 @@ def llm_curation_pipeline_decontam(spark: SparkSession, sf_dir: str) -> DataFram
 # least-recently-verified first. The map below is transcribed from the
 # CORRECTNESS files: name -> last round a driver hash-match was recorded.
 _DRIVER_LAST_VERIFIED: dict[str, int] = {
-    # last driver-verified in CORRECTNESS_r01.json (7 rows)
-    **{n: 1 for n in (
-        "a2_tag_variations", "a3_count_views", "a4_degree_counts",
-        "a5_user_like_totals", "agg_cube", "agg_distinct_users",
-        "j2_replace_root",
-    )},
-    # last driver-verified in CORRECTNESS_r02.json (41 rows)
+    # last driver-verified in CORRECTNESS_r02.json (the 3 rotation names
+    # that slipped the 50-slot r7 window; front-run them in r8)
     **{n: 2 for n in (
-        "a7_admin_stats", "agg_pivot", "dedup_clusters", "dedup_exact",
-        "dedup_simhash", "embed_cosine_topk", "embed_srp_near_dup",
-        "f11_labels_remove", "f12_where_script_stmt", "f12_where_udf_tier",
-        "f1_item_kind", "f2_image_count", "f6_language",
-        "f7_list_semi_anti", "f8_duplicates_first", "f_count_cmp",
         "llm_hash_sample", "llm_prepare_corpus", "llm_top_terms",
-        "q18_large_orders", "q1_pricing_summary", "q3_shipping_priority",
-        "q5_local_supplier_volume", "s10_liked_by_likers", "s2_input_list",
-        "s3_input_tags", "s4_input_labels", "s5_input_feed", "s6_input_did",
-        "s7_input_post_prepend", "s8_archived_scan", "s9_liked_weighted",
-        "stream_windowed_counts", "text_bm25_search", "text_contamination",
-        "text_fingerprint", "text_langid", "text_quality",
-        "text_redact_pii", "text_tokens", "window_running_revenue",
     )},
     # last driver-verified in CORRECTNESS_r04.json (44 rows)
     **{n: 4 for n in (
@@ -7058,22 +7041,23 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "text_bm25_indexed", "text_strip_boilerplate", "text_tfidf_pairs",
         "text_winnowing",
     )},
-    # last driver-verified in CORRECTNESS_r06.json (50 rows)
+    # last driver-verified in CORRECTNESS_r06.json (50 rows, minus the 4
+    # re-verified in r7)
     **{n: 6 for n in (
         "a1_trending_tags", "a1_trending_windowed",
         "dedup_embedding_cosine", "dedup_minhash_lsh",
         "dedup_ngram_jaccard", "embed_ivf_indexed", "embed_ivf_topk",
-        "embed_kmeans", "embed_semdedup", "events_anomaly_static",
+        "embed_kmeans", "embed_semdedup",
         "f10_embed_prefix", "f12_where_script", "f13_videos_notnull",
         "f14_regex", "f15_profile_filters", "f9_non_duplicates",
         "hybrid_rrf_search", "j10_mutuals", "j10_two_hop",
         "j1_replace_parent", "j3_replace_record", "j4_direct_replies",
         "j5_all_replies", "j6_quote_posts",
-        "llm_curation_pipeline_decontam", "llm_curation_pipeline_neardup",
-        "media_incremental_dedup", "media_jpeg_perceptual_dedup",
+        "llm_curation_pipeline_decontam",
+        "media_jpeg_perceptual_dedup",
         "media_perceptual_dedup", "media_video_dedup",
         "multimodal_audio_adpcm", "multimodal_audio_mulaw",
-        "multimodal_jpeg", "multimodal_jpeg_color",
+        "multimodal_jpeg_color",
         "multimodal_video_frames", "multimodal_video_rle",
         "o1_sort_created_top", "o2_sort_hn", "o3_sort_counts",
         "o4_sort_random", "o5_sort_score_dedup", "o7_posts_per_user",
@@ -7081,65 +7065,67 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "sc_hn_normalized", "text_doc_segment_dedup", "text_dup_spans",
         "text_langid_ngram", "u_stash_pipeline",
     )},
+    # last driver-verified in CORRECTNESS_r07.json (50 rows: the r1/r2
+    # rotation cohort re-verified on final r7 code + the 4 r7-touched +
+    # the new multimodal_jpeg_420)
+    **{n: 7 for n in (
+        "a2_tag_variations", "a3_count_views", "a4_degree_counts",
+        "a5_user_like_totals", "a7_admin_stats", "agg_cube",
+        "agg_distinct_users", "agg_pivot", "dedup_clusters", "dedup_exact",
+        "dedup_simhash", "embed_cosine_topk", "embed_srp_near_dup",
+        "events_anomaly_static", "f11_labels_remove",
+        "f12_where_script_stmt", "f12_where_udf_tier", "f1_item_kind",
+        "f2_image_count", "f6_language", "f7_list_semi_anti",
+        "f8_duplicates_first", "f_count_cmp", "j2_replace_root",
+        "llm_curation_pipeline_neardup", "media_incremental_dedup",
+        "multimodal_jpeg", "multimodal_jpeg_420", "q18_large_orders",
+        "q1_pricing_summary", "q3_shipping_priority",
+        "q5_local_supplier_volume", "s10_liked_by_likers", "s2_input_list",
+        "s3_input_tags", "s4_input_labels", "s5_input_feed", "s6_input_did",
+        "s7_input_post_prepend", "s8_archived_scan", "s9_liked_weighted",
+        "stream_windowed_counts", "text_bm25_search", "text_contamination",
+        "text_fingerprint", "text_langid", "text_quality",
+        "text_redact_pii", "text_tokens", "window_running_revenue",
+    )},
 }
 
 # Rows whose oracle or machinery changed AFTER their last driver check, so the
 # recorded verification is stale — schedule them as if never verified.
 _STALE_VERIFICATION: set[str] = set()
 
-# Queries whose machinery round 7 changed after their last driver check —
+# Queries whose machinery round 8 changed after their last driver check —
 # re-verify them on the new code ahead of the least-recently-verified pool.
 #
 # The driver checks exactly 50 names, so this set is curated to keep
-# never-verified + touched <= 50. Round 7's primary mission is the 48-query
-# r1/r2-era rotation cohort (7 r1 + 41 r2 rows, the least-recently-verified
-# pool) — with the new multimodal_jpeg_420 (never-verified, leads the window)
-# and the four touched rows below, 53 candidates compete for 50 slots, so
-# the final three r2-era rotation names by registry position
-# (llm_hash_sample, llm_top_terms, llm_prepare_corpus) slip to the round-8
-# window (they keep their r2 record; the three-scale selfcheck sweep covers
-# them on current code this round).
-_ROUND7_TOUCHED = {
-    # r6-verified, but round 7 replaces min-label connected components with
-    # alternating large-star/small-star (dedup.py dedup_clusters) — the
-    # near-dup pipeline consumes CC downstream of LSH. Output contract
-    # (cluster = min reachable id) is unchanged; re-verify on the new code.
-    # (dedup_clusters itself is r2-era and already in the rotation cohort;
-    # the other CC consumers — llm_dedup_funnel, dedup_best_of_cluster,
-    # media_dedup — are r4/r5-era, outside this 50-slot window, and rely on
-    # the selfcheck sweep until their rotation turn.)
-    "llm_curation_pipeline_neardup",
-    # r6-verified, but round 7 adds the explicit NULL escape to the int64
-    # overflow guard (ADVICE r6: assert_true raises on NULL condition if
-    # Catalyst constraint propagation ever stops pushing the not-null
-    # filters below the guard) — the scoring plan changes.
-    "events_anomaly_static",
-    # r6-verified, but round 7 restructured the JPEG decoder substantially
-    # (generalized per-component sampling factors + MCU walk, factored
-    # _jpeg_idct_block, multi-scan marker loop for progressive, restart
-    # intervals): multimodal_jpeg re-verifies the GRAYSCALE path on the new
-    # code; the color path is covered by the never-verified
-    # multimodal_jpeg_420 leading the window (a superset of jpeg_color's
-    # machinery), and media_jpeg_perceptual_dedup / multimodal_jpeg_color
-    # keep their r6 record backed by the three-scale selfcheck sweep.
+# never-verified + touched <= 50. Round 8's window: the 24 registered
+# registry_r8 candidates + multimodal_gif_composited are never-verified and
+# lead automatically (25); the touched rows below re-pin the numpy-
+# vectorized codec kernels on already-registered queries (the candidates
+# exercise the SAME vectorized kernels on the progressive/4:2:2/ADAM7/FLAC
+# paths, so three representatives — one per kernel family — suffice); the
+# remaining slots go least-recently-verified first: the 3 slipped r2 names,
+# then r4-era rotation queries.
+_ROUND8_TOUCHED = {
+    # r7-verified, but round 8 vectorizes the 8x8 fixed-point IDCT +
+    # dequant/level-shift with numpy inside the existing Arrow pass
+    # (multimodal.py _jpeg_idct_block): grayscale JPEG re-pins the
+    # Huffman->IDCT->pixel contract on the vectorized kernel. The color /
+    # subsampled / progressive / restart paths share the same IDCT and are
+    # covered by the never-verified candidates leading this window.
     "multimodal_jpeg",
-    # r6-verified, but round 7 re-keys the persisted dHash band index cache
-    # by a content fingerprint instead of the sf-dir basename (ADVICE r6
-    # medium: stale cross-session /tmp reuse) — the index build path changes.
-    "media_incremental_dedup",
+    # r5-verified; round 8 vectorizes PNG per-row unfiltering (Sub/Up/
+    # Average/Paeth) — re-pin the baseline PNG decode. ADAM7/gray/palette/
+    # RGBA variants are among the never-verified candidates.
+    "multimodal_png",
+    # r5-verified; round 8 vectorizes the PCM sample loops (decode +
+    # feature extraction). FLAC/AIFF/SPHERE/A-law/stereo-WAV candidates
+    # cover the other audio paths on the same vectorized core.
+    "multimodal_audio",
 }
-# Post-cohort round-7 machinery note (window already at its 50-slot budget):
-# translate_curation_pipeline gained three ops (pii_redact, token_filter,
-# sample) late in round 7. The addition is purely additive — existing specs
-# hit identical branches and plans — and the three registered pipeline
-# queries (llm_curation_pipeline, _neardup, _decontam) were re-run green
-# through selfcheck at sf0.01 on the new code; the new ops themselves are
-# oracle-validated by the round-8 candidate llm_curation_pipeline_scrub
-# (registry_r8.py) at sf0.001 and sf0.01.
 
 # Stable alias so _driver_order and the scheduling tests survive the
 # per-round rename of the touched set.
-_ROUND_TOUCHED = _ROUND7_TOUCHED
+_ROUND_TOUCHED = _ROUND8_TOUCHED
 
 
 def _driver_order() -> list[str]:
@@ -7165,3 +7151,24 @@ def oracle_sql() -> dict[str, str]:
     return {
         name: REGISTRY[name].oracle for name in _driver_order() if REGISTRY[name].oracle is not None
     }
+
+
+def _absorb_r8_candidates(candidates) -> None:
+    """Round-8 registration of the registry_r8 candidates (built and
+    oracle-validated in round 7, held out of the r7 driver window by the
+    rotation budget). Called by registry_r8 at the END of its own module
+    body — a callback rather than a plain loop here so that the
+    registration sees the COMPLETE candidate dict regardless of which
+    module is imported first (registry_r8's decorators call back into this
+    module at its own import time, so an import-time loop here would see a
+    partially initialized CANDIDATES when registry_r8 leads the import)."""
+    for name, spec in candidates.items():
+        if name in REGISTRY:  # pragma: no cover - absorb runs once
+            raise ValueError(f"duplicate registration: {name}")
+        REGISTRY[name] = QuerySpec(fn=spec.fn, oracle=spec.oracle, doc=spec.doc)
+
+
+# Trigger registration when this module is the entry point; registry_r8's
+# module body ends with the _absorb_r8_candidates callback. (Import only —
+# no attribute access — so the partial-module case is harmless.)
+from query_engine_spark import registry_r8 as _r8  # noqa: E402,F401

@@ -1192,3 +1192,13 @@ def llm_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("warc_id", "url")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 registration: fold the now-complete candidate dict into the main
+# registry. This callback runs at the END of this module body so the main
+# registry always absorbs the full set, whichever module leads the import
+# (see registry._absorb_r8_candidates for the circular-import rationale).
+from query_engine_spark import registry as _registry  # noqa: E402
+
+_registry._absorb_r8_candidates(CANDIDATES)
