@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -93,6 +94,7 @@ __all__ = [
     "gif_features",
     "make_jpeg",
     "decode_jpeg",
+    "decode_jpeg_np",
     "jpeg_qcoefs",
     "jpeg_features",
     "make_jpeg_color",
@@ -452,10 +454,8 @@ def make_wav(media_id: int, n_samples: int, sample_rate: int = 8000) -> bytes:
     """
     import struct
 
-    data = b"".join(
-        struct.pack("<h", ((media_id * 131 + i * 17) % 65536) - 32768)
-        for i in range(n_samples)
-    )
+    i = np.arange(n_samples, dtype=np.int64)
+    data = (((media_id * 131 + i * 17) % 65536) - 32768).astype("<i2").tobytes()
     return _pack_wav_pcm(data, sample_rate)
 
 
@@ -526,7 +526,9 @@ def decode_wav_mulaw(blob: bytes) -> tuple[int, int, list[int]]:
         )
     if channels != 1 or bits != 8:
         raise NotImplementedError("only mono 8-bit mu-law supported")
-    return rate, len(data), [mulaw_decode_byte(b) for b in data]
+    # expansion is stateless per byte: one 256-entry LUT built from the
+    # canonical scalar form, applied vectorized (round 8)
+    return rate, len(data), _MULAW_LUT[np.frombuffer(data, dtype=np.uint8)].tolist()
 
 
 _MULAW_SCHEMA = (
@@ -581,6 +583,13 @@ def alaw_decode_byte(b: int) -> int:
     else:
         t = (t + 0x108) << (seg - 1)
     return t if inv & 0x80 else -t
+
+
+# G.711 expansion LUTs: both codecs are stateless per byte, so the whole
+# decode is one vectorized table lookup; the scalar functions above stay the
+# single source of truth (and the SQL oracles' CASE form)
+_MULAW_LUT = np.array([mulaw_decode_byte(b) for b in range(256)], dtype=np.int64)
+_ALAW_LUT = np.array([alaw_decode_byte(b) for b in range(256)], dtype=np.int64)
 
 
 def make_wav_alaw(media_id: int, n_samples: int, sample_rate: int = 8000) -> bytes:
@@ -638,7 +647,7 @@ def decode_wav_alaw(blob: bytes) -> tuple[int, int, list[int]]:
         )
     if channels != 1 or bits != 8:
         raise NotImplementedError("only mono 8-bit A-law supported")
-    return rate, len(data), [alaw_decode_byte(b) for b in data]
+    return rate, len(data), _ALAW_LUT[np.frombuffer(data, dtype=np.uint8)].tolist()
 
 
 def alaw_features(df: DataFrame) -> DataFrame:
@@ -967,9 +976,8 @@ def resample_wav(blob: bytes, out_rate: int) -> bytes:
             break
         pos += 8 + csize + (csize & 1)
     out_n = n * out_rate // rate
-    picks = b"".join(
-        data[2 * (j * n // out_n) : 2 * (j * n // out_n) + 2] for j in range(out_n)
-    )
+    arr = np.frombuffer(data[: n * 2], dtype="<i2")
+    picks = arr[(np.arange(out_n, dtype=np.int64) * n) // out_n].tobytes()
     block_align = 2
     fmt = struct.pack("<HHIIHH", 1, 1, out_rate, out_rate * block_align, block_align, 16)
     chunks = (
@@ -988,10 +996,8 @@ def make_wav_stereo(media_id: int, n_frames: int, sample_rate: int = 16000) -> b
     duration and fails the oracle. Keeps the deliberate JUNK chunk."""
     import struct
 
-    data = b"".join(
-        struct.pack("<h", ((media_id * 131 + i * 17) % 65536) - 32768)
-        for i in range(2 * n_frames)
-    )
+    i = np.arange(2 * n_frames, dtype=np.int64)
+    data = (((media_id * 131 + i * 17) % 65536) - 32768).astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 2, sample_rate, sample_rate * 4, 4, 16)
     chunks = (
         b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -2302,7 +2308,7 @@ def avi_mjpeg_frame_features(df: DataFrame, every_n: int = 1, max_frames: int = 
                 w, h, frames = demux_avi_mjpeg(bytes(blob))
                 for j in range(min(max_frames, (len(frames) + every_n - 1) // every_n)):
                     fi = j * every_n
-                    fw, fh, px = decode_jpeg(frames[fi])
+                    fw, fh, px = decode_jpeg_np(frames[fi])
                     if (fw, fh) != (w, h):
                         raise ValueError(
                             f"frame {fi} decodes to {fw}x{fh}, strf declares {w}x{h}"
@@ -2313,8 +2319,8 @@ def avi_mjpeg_frame_features(df: DataFrame, every_n: int = 1, max_frames: int = 
                             "frame_idx": fi,
                             "width": fw,
                             "height": fh,
-                            "px_sum": sum(map(sum, px)),
-                            "top_left": px[0][0],
+                            "px_sum": int(px.sum()),
+                            "top_left": int(px[0, 0]),
                         }
                     )
             yield pd.DataFrame(
@@ -2643,7 +2649,7 @@ def mp4_frame_features(df: DataFrame, every_n: int = 1, max_frames: int = 8) -> 
                 w, h, frames = demux_mp4(bytes(blob))
                 for j in range(min(max_frames, (len(frames) + every_n - 1) // every_n)):
                     fi = j * every_n
-                    fw, fh, px = decode_jpeg(frames[fi])
+                    fw, fh, px = decode_jpeg_np(frames[fi])
                     if (fw, fh) != (w, h):
                         raise ValueError(
                             f"frame {fi} decodes to {fw}x{fh}, stsd declares {w}x{h}"
@@ -2654,8 +2660,8 @@ def mp4_frame_features(df: DataFrame, every_n: int = 1, max_frames: int = 8) -> 
                             "frame_idx": fi,
                             "width": fw,
                             "height": fh,
-                            "px_sum": sum(map(sum, px)),
-                            "top_left": px[0][0],
+                            "px_sum": int(px.sum()),
+                            "top_left": int(px[0, 0]),
                         }
                     )
             yield pd.DataFrame(
@@ -2791,37 +2797,65 @@ def make_png(
 def _png_unfilter(raw: bytes, off: int, pw: int, ph: int, bpp: int) -> tuple[list[bytearray], int]:
     """Unfilter `ph` scanlines of `pw` pixels starting at `off` (prev row
     zero at the start — each Adam7 pass unfilters independently). Returns
-    (rows, new offset)."""
+    (rows, new offset).
+
+    Vectorized where the data dependence allows (round 8): None/Up are
+    whole-row numpy ops (uint8 addition wraps mod 256 natively), Sub is a
+    per-channel prefix sum mod 256 (row[x,c] = Σ f[x',c], the closed form
+    of the left-neighbor recurrence). Average and Paeth reconstruct from
+    the CURRENT row's already-decoded left neighbor, a genuinely
+    sequential recurrence — those rows keep the scalar loop (with the
+    predictor inlined), reading prev from a list for C-speed indexing."""
     stride = pw * bpp
+    end = off + ph * (1 + stride)
+    if end > len(raw):
+        raise ValueError("inflated stream shorter than scanlines")
+    buf = np.frombuffer(raw, dtype=np.uint8, count=ph * (1 + stride), offset=off)
+    buf = buf.reshape(ph, 1 + stride)
     rows: list[bytearray] = []
-    prev = bytearray(stride)
+    prev_np = np.zeros(stride, dtype=np.uint8)
+    prev_list = [0] * stride
     for j in range(ph):
-        base = off + j * (1 + stride)
-        if base + 1 + stride > len(raw):
-            raise ValueError("inflated stream shorter than scanlines")
-        ft = raw[base]
-        frow = raw[base + 1 : base + 1 + stride]
-        row = bytearray(stride)
-        for i, fv in enumerate(frow):
-            a = row[i - bpp] if i >= bpp else 0
-            b = prev[i]
-            c = prev[i - bpp] if i >= bpp else 0
-            if ft == 0:
-                xv = fv
-            elif ft == 1:
-                xv = (fv + a) % 256
-            elif ft == 2:
-                xv = (fv + b) % 256
-            elif ft == 3:
-                xv = (fv + (a + b) // 2) % 256
-            elif ft == 4:
-                xv = (fv + _paeth(a, b, c)) % 256
+        ft = int(buf[j, 0])
+        f = buf[j, 1:]
+        if ft == 0:
+            row_np = f.copy()
+        elif ft == 1:
+            acc = f.reshape(pw, bpp).astype(np.int64).cumsum(axis=0)
+            row_np = (acc % 256).astype(np.uint8).reshape(stride)
+        elif ft == 2:
+            row_np = f + prev_np  # uint8 wraps mod 256
+        elif ft in (3, 4):
+            frow = f.tolist()
+            prev = prev_list
+            row = [0] * stride
+            if ft == 3:
+                for i, fv in enumerate(frow):
+                    a = row[i - bpp] if i >= bpp else 0
+                    row[i] = (fv + (a + prev[i]) // 2) % 256
             else:
-                raise ValueError(f"unknown filter type {ft}")
-            row[i] = xv
-        rows.append(row)
-        prev = row
-    return rows, off + ph * (1 + stride)
+                for i, fv in enumerate(frow):
+                    a = row[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    row[i] = (fv + pred) % 256
+            row_np = np.asarray(row, dtype=np.uint8)
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+        rows.append(bytearray(row_np.tobytes()))
+        prev_np = row_np
+        prev_list = row_np.tolist()
+    return rows, end
 
 
 def decode_png_pixels(blob: bytes) -> tuple[int, int, list[bytearray]]:
@@ -2900,15 +2934,14 @@ def decode_png_pixels(blob: bytes) -> tuple[int, int, list[bytearray]]:
         # fold indices through the palette (the GIF/BMP8 move): every
         # out-of-range index is a hard error, not a clamp
         n_pal = len(plte) // 3
-        folded = []
-        for r in rows:
-            fr = bytearray(width * 3)
-            for i, idx in enumerate(r):
-                if idx >= n_pal:
-                    raise ValueError(f"palette index {idx} >= table size {n_pal}")
-                fr[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
-            folded.append(fr)
-        rows = folded
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(n_pal, 3)
+        idx = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(height, width)
+        if idx.size and int(idx.max()) >= n_pal:
+            raise ValueError(
+                f"palette index {int(idx.max())} >= table size {n_pal}"
+            )
+        folded = pal[idx].reshape(height, width * 3)
+        rows = [bytearray(folded[y].tobytes()) for y in range(height)]
     return width, height, rows
 
 
@@ -4022,6 +4055,11 @@ _JPEG_IDCT_A = [
     [799, -2276, 3406, -4017, 4017, -3406, 2276, -799],
 ]
 
+# numpy views of the spec tables for the vectorized decode kernels (the
+# literals above stay the single source of truth shared with the oracles)
+_JPEG_IDCT_A_ARR = np.array(_JPEG_IDCT_A, dtype=np.int64)  # A[u][x]
+_JPEG_ZIGZAG_ARR = np.array(_JPEG_ZIGZAG, dtype=np.int64)
+
 # fixture quantization tables (zigzag order): luma 16..27, chroma 20..29
 _JPEG_QTAB = [16 + (k % 12) for k in range(64)]
 _JPEG_QTAB_C = [20 + (k % 10) for k in range(64)]
@@ -4750,23 +4788,67 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _jpeg_idct_natural_np(C: "np.ndarray") -> "np.ndarray":
+    """Vectorized fixed-point integer IDCT of N dequantized blocks —
+    C is (N, 8, 8) int64 in natural order, C[n, v, u] — → (N, 8, 8)
+    clamped pixel rows; the shared arithmetic contract of every JPEG
+    oracle: px = clamp(128 + ((Σ coef·A[u][x]·A[v][y] + 2^25) >> 26)).
+
+    Bit-identical to the scalar loop this replaces (round 8, the 100-TB
+    CPU line item): the two int64 matmuls are exact — |coef| ≤ 255·2047 <
+    2^20, |A| ≤ 4017 < 2^12, so the inner contraction stays under 2^35
+    and the outer under 2^50 — and floor_divide reproduces the arithmetic
+    right shift's floor semantics for negative sums on any platform."""
+    D = np.matmul(C.transpose(0, 2, 1), _JPEG_IDCT_A_ARR)  # D[n,u,y] = Σ_v C[v,u]·A[v,y]
+    t = np.matmul(_JPEG_IDCT_A_ARR.T, D)  # t[n,x,y] = Σ_u A[u,x]·D[n,u,y]
+    px = 128 + np.floor_divide(t.transpose(0, 2, 1) + (1 << 25), 1 << 26)
+    return np.clip(px, 0, 255)
+
+
 def _jpeg_idct_block(coef: list[int]) -> list[list[int]]:
-    """Fixed-point integer IDCT of one dequantized block (natural order)
-    → 8×8 clamped pixel rows; the shared arithmetic contract of every
-    JPEG oracle: px = clamp(128 + ((Σ coef·A[u][x]·A[v][y] + 2^25) >> 26))."""
-    out = [[0] * 8 for _ in range(8)]
-    for y in range(8):
-        for x in range(8):
-            t = 0
-            for u in range(8):
-                au = _JPEG_IDCT_A[u][x]
-                for v in range(8):
-                    c = coef[v * 8 + u]
-                    if c:
-                        t += c * au * _JPEG_IDCT_A[v][y]
-            px = 128 + ((t + (1 << 25)) >> 26)
-            out[y][x] = 0 if px < 0 else 255 if px > 255 else px
-    return out
+    """Scalar-shaped wrapper of `_jpeg_idct_natural_np` (one dequantized
+    natural-order block → 8×8 clamped pixel rows) — kept as the contract
+    surface the conformance/property tests pin."""
+    C = np.asarray(coef, dtype=np.int64).reshape(1, 8, 8)
+    return _jpeg_idct_natural_np(C)[0].tolist()
+
+
+def _jpeg_plane_np(zz_blocks, q: list[int], gw: int, gh: int) -> "np.ndarray":
+    """Dequant + dezigzag + IDCT a component's whole block grid in one
+    vectorized pass: `zz_blocks` is gh·gw zigzag-order QUANTIZED
+    coefficient vectors in row-major (by, bx) order, `q` the 64-entry
+    quant table (zigzag order) → (gh·8, gw·8) int64 pixel plane."""
+    zz = np.asarray(zz_blocks, dtype=np.int64).reshape(gh * gw, 64)
+    deq = zz * np.asarray(q, dtype=np.int64)
+    nat = np.zeros_like(deq)
+    nat[:, _JPEG_ZIGZAG_ARR] = deq  # nat[zigzag[i]] = zz[i]·q[i]
+    blocks = _jpeg_idct_natural_np(nat.reshape(-1, 8, 8))
+    return blocks.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+
+
+def _jpeg_rgb_np(
+    planes: list["np.ndarray"],
+    samps: list[tuple[int, int]],
+    hmax: int,
+    vmax: int,
+    w: int,
+    h: int,
+) -> "np.ndarray":
+    """Vectorized sample-replication upsample + fixed-point YCbCr→RGB:
+    component c at full-res (x, y) reads its plane at (x·h_c div Hmax,
+    y·v_c div Vmax); then the same 2^16 fixed-point integers as
+    `_jpeg_ycbcr_to_rgb` (floor_divide == the scalar floor shifts) →
+    (h, w, 3) int64 clamped RGB."""
+    up = []
+    for plane, (sh, sv) in zip(planes, samps):
+        ys = (np.arange(h, dtype=np.int64) * sv) // vmax
+        xs = (np.arange(w, dtype=np.int64) * sh) // hmax
+        up.append(plane[ys[:, None], xs[None, :]])
+    Y, Cb, Cr = up
+    r = Y + np.floor_divide(91881 * (Cr - 128) + 32768, 1 << 16)
+    g = Y - np.floor_divide(22554 * (Cb - 128) + 46802 * (Cr - 128) + 32768, 1 << 16)
+    b = Y + np.floor_divide(116130 * (Cb - 128) + 32768, 1 << 16)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255)
 
 
 def _jpeg_ycbcr_to_rgb(Y: int, Cb: int, Cr: int) -> tuple[int, int, int]:
@@ -4962,45 +5044,27 @@ def _decode_jpeg_progressive(
                             k += 1
                         eobrun -= 1
 
-    # dequant + dezigzag + IDCT per block, then the shared replication
-    # upsample — identical arithmetic to the baseline path
+    # dequant + dezigzag + IDCT per block (one vectorized pass per
+    # component), then the shared replication upsample — identical
+    # arithmetic to the baseline path
     planes = {}
     for cid, qid, sh, sv in comps:
         gw, gh = grids[cid][0], grids[cid][1]
-        q = qtabs[qid]
-        plane = [[0] * (gw * 8) for _ in range(gh * 8)]
-        for by in range(gh):
-            for bx in range(gw):
-                zz = coefs[cid][by][bx]
-                coef = [0] * 64
-                for i in range(64):
-                    coef[_JPEG_ZIGZAG[i]] = zz[i] * q[i]
-                blk = _jpeg_idct_block(coef)
-                for y in range(8):
-                    row = blk[y]
-                    for x in range(8):
-                        plane[by * 8 + y][bx * 8 + x] = row[x]
-        planes[cid] = plane
+        flat = [zz for row in coefs[cid] for zz in row]  # row-major (by, bx)
+        planes[cid] = _jpeg_plane_np(flat, qtabs[qid], gw, gh)
     if len(comps) == 1:
-        return w, h, [row[:w] for row in planes[comps[0][0]][:h]]
+        return w, h, planes[comps[0][0]][:h, :w]
     order = [cid for cid, _, _, _ in comps]
-    samps = {cid: (sh, sv) for cid, _, sh, sv in comps}
-    rgb = [
-        [
-            _jpeg_ycbcr_to_rgb(
-                planes[order[0]][y * samps[order[0]][1] // vmax][x * samps[order[0]][0] // hmax],
-                planes[order[1]][y * samps[order[1]][1] // vmax][x * samps[order[1]][0] // hmax],
-                planes[order[2]][y * samps[order[2]][1] // vmax][x * samps[order[2]][0] // hmax],
-            )
-            for x in range(w)
-        ]
-        for y in range(h)
-    ]
-    return w, h, rgb
+    samps = [(sh, sv) for _, _, sh, sv in comps]
+    return w, h, _jpeg_rgb_np([planes[c] for c in order], samps, hmax, vmax, w, h)
 
 
-def decode_jpeg(blob: bytes) -> tuple[int, int, list[list]]:
-    """REAL baseline-JPEG decode → (width, height, pixel rows).
+def decode_jpeg_np(blob: bytes) -> tuple[int, int, "np.ndarray"]:
+    """REAL baseline-JPEG decode → (width, height, pixel array) — the
+    vectorized core: grayscale returns an (h, w) int64 array, color an
+    (h, w, 3) int64 RGB array. `decode_jpeg` wraps this with the
+    historical list-of-rows format; hot consumers (feature sums, dHash,
+    frame walks) read the array directly.
 
     Walks markers (SOI/DQT/SOF0/DHT/SOS/EOI), builds Huffman decode tables
     from the DHT segments, entropy-decodes every block (DC prediction,
@@ -5151,10 +5215,15 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, list[list]]:
     # padded to whole MCUs, and sampled via the replication map at the end
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = []
+    # per component: gh·gw zigzag-order quantized vectors in row-major
+    # (by, bx) order, IDCT'd in one vectorized pass after the entropy walk
+    zzgrids: list[list[list[int] | None]] = []
+    grids: list[tuple[int, int]] = []
     for cid, td, ta in scan:
         _, sh, sv = meta_of[cid]
-        planes.append([[0] * (mcux * sh * 8) for _ in range(mcuy * sv * 8)])
+        gw, gh = mcux * sh, mcuy * sv
+        grids.append((gw, gh))
+        zzgrids.append([None] * (gw * gh))
     preds = [0] * len(scan)
     for mcu in range(mcux * mcuy):
         if restart_interval and mcu and mcu % restart_interval == 0:
@@ -5165,8 +5234,8 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, list[list]]:
         mx, my = mcu % mcux, mcu // mcux
         for ci, (cid, td, ta) in enumerate(scan):
             qid, sh, sv = meta_of[cid]
-            q = qtabs[qid]
             dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+            gw = grids[ci][0]
             for vy in range(sv):
                 for vx in range(sh):
                     zz = [0] * 64
@@ -5187,34 +5256,26 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, list[list]]:
                         s = sym & 0xF
                         zz[k] = _jpeg_extend(br.bits(s), s)
                         k += 1
-                    coef = [0] * 64
-                    for i in range(64):
-                        coef[_JPEG_ZIGZAG[i]] = zz[i] * q[i]
-                    plane = planes[ci]
-                    bx, by = (mx * sh + vx) * 8, (my * sv + vy) * 8
-                    blk = _jpeg_idct_block(coef)
-                    for y in range(8):
-                        row = blk[y]
-                        for x in range(8):
-                            plane[by + y][bx + x] = row[x]
-    if len(scan) == 1:
-        return w, h, [row[:w] for row in planes[0][:h]]
-    # sample-replication upsampling: component c at full-res (x, y) reads
-    # its plane at (x·h_c div Hmax, y·v_c div Vmax) — for 4:4:4 this is the
-    # identity, for 4:2:0 chroma it is (x div 2, y div 2)
-    samps = [meta_of[cid][1:] for cid, _, _ in scan]
-    rgb = [
-        [
-            _jpeg_ycbcr_to_rgb(
-                planes[0][y * samps[0][1] // vmax][x * samps[0][0] // hmax],
-                planes[1][y * samps[1][1] // vmax][x * samps[1][0] // hmax],
-                planes[2][y * samps[2][1] // vmax][x * samps[2][0] // hmax],
-            )
-            for x in range(w)
-        ]
-        for y in range(h)
+                    zzgrids[ci][(my * sv + vy) * gw + (mx * sh + vx)] = zz
+    planes = [
+        _jpeg_plane_np(zzgrids[ci], qtabs[meta_of[cid][0]], gw, gh)
+        for ci, ((cid, _, _), (gw, gh)) in enumerate(zip(scan, grids))
     ]
-    return w, h, rgb
+    if len(scan) == 1:
+        return w, h, planes[0][:h, :w]
+    samps = [meta_of[cid][1:] for cid, _, _ in scan]
+    return w, h, _jpeg_rgb_np(planes, samps, hmax, vmax, w, h)
+
+
+def decode_jpeg(blob: bytes) -> tuple[int, int, list[list]]:
+    """`decode_jpeg_np` in the historical list format: grayscale rows of
+    ints, color rows of (r, g, b) tuples. The conversion is pure
+    representation — same integers — so every existing caller and oracle
+    contract is untouched; hot paths call the array form directly."""
+    w, h, arr = decode_jpeg_np(blob)
+    if arr.ndim == 2:
+        return w, h, arr.tolist()
+    return w, h, [list(map(tuple, row)) for row in arr.tolist()]
 
 
 _JPEG_SCHEMA = "media_id long, width int, height int, px_sum long, top_left int"
@@ -5235,16 +5296,17 @@ def jpeg_color_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["payload"]):
-                w, h, px = decode_jpeg(bytes(blob))
+                w, h, px = decode_jpeg_np(bytes(blob))
+                sums = px.sum(axis=(0, 1))
                 rows.append(
                     {
                         "media_id": mid,
                         "width": w,
                         "height": h,
-                        "r_sum": sum(p[0] for row in px for p in row),
-                        "g_sum": sum(p[1] for row in px for p in row),
-                        "b_sum": sum(p[2] for row in px for p in row),
-                        "top_left_r": px[0][0][0],
+                        "r_sum": int(sums[0]),
+                        "g_sum": int(sums[1]),
+                        "b_sum": int(sums[2]),
+                        "top_left_r": int(px[0, 0, 0]),
                     }
                 )
             yield pd.DataFrame(
@@ -5268,14 +5330,14 @@ def jpeg_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["payload"]):
-                w, h, px = decode_jpeg(bytes(blob))
+                w, h, px = decode_jpeg_np(bytes(blob))
                 rows.append(
                     {
                         "media_id": mid,
                         "width": w,
                         "height": h,
-                        "px_sum": sum(map(sum, px)),
-                        "top_left": px[0][0],
+                        "px_sum": int(px.sum()),
+                        "top_left": int(px[0, 0]),
                     }
                 )
             yield pd.DataFrame(
@@ -5435,7 +5497,7 @@ def jpeg_dhash_bands(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["payload"]):
-                _, _, px = decode_jpeg(bytes(blob))
+                _, _, px = decode_jpeg_np(bytes(blob))
                 b0, b1, b2, b3 = _dhash_bands_of_gray(px)
                 rows.append(
                     {"media_id": mid, "b0": b0, "b1": b1, "b2": b2, "b3": b3}
@@ -5760,7 +5822,7 @@ def mp4_video_frame_hashes(
                 for fi in range(0, len(frames), every_n):
                     if fi // every_n >= max_frames:
                         break
-                    _, _, px = decode_jpeg(frames[fi])
+                    _, _, px = decode_jpeg_np(frames[fi])
                     b0, b1, b2, b3 = _dhash_bands_of_gray(px)
                     rows.append(
                         {"media_id": mid, "frame_idx": fi,

@@ -41,7 +41,12 @@ def main() -> None:
          lambda df: MM.gif_frame_features(df, every_n=1, max_frames=8), 8),
     )
     for path, maker, feats, fpp in probes:
-        for label, n_media in (("warmup", 16), ("small", 128), ("large", 512)):
+        # xlarge (r8): 2048 payloads so decode CPU dominates the session
+        # constant (~0.2 s of scheduling noise swamps the 512-payload point
+        # once the vectorized kernels push per-frame cost down ~10x)
+        for label, n_media in (
+            ("warmup", 16), ("small", 128), ("large", 512), ("xlarge", 2048),
+        ):
             blobs = [(m, bytearray(maker(m))) for m in range(n_media)]
             in_bytes = sum(len(b) for _, b in blobs)
             df = (
@@ -67,8 +72,8 @@ def main() -> None:
             print(json.dumps({f"{path}_{label}": out[f"{path}_{label}"]}), flush=True)
     ratios = {
         path: round(
-            out[f"{path}_large"]["wall_sec"]
-            / max(out[f"{path}_small"]["wall_sec"], 1e-9),
+            out[f"{path}_xlarge"]["wall_sec"]
+            / max(out[f"{path}_large"]["wall_sec"], 1e-9),
             2,
         )
         for path, *_ in probes
