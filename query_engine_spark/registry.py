@@ -3449,6 +3449,75 @@ def multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.gif_features(media)
 
 
+@_register(
+    "multimodal_gif_composited",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 14 + doc_id % 4 AS w, 10 + doc_id % 3 AS h
+      FROM documents WHERE doc_id < 48),
+    rect AS (
+      -- frame 0: full-frame opaque base; f >= 1: (w//2)x(h//2) update rect
+      SELECT m.media_id, m.w, m.h, f.f,
+             CASE WHEN f.f = 0 THEN m.w ELSE m.w // 2 END AS rw,
+             CASE WHEN f.f = 0 THEN m.h ELSE m.h // 2 END AS rh,
+             CASE WHEN f.f = 0 THEN 0 ELSE (f.f*3) % (m.w - m.w//2 + 1) END AS rl,
+             CASE WHEN f.f = 0 THEN 0 ELSE (f.f*2) % (m.h - m.h//2 + 1) END AS rt
+      FROM m, generate_series(0, 3) AS f(f)),
+    ev AS (
+      -- paint events: frame f's opaque pixels land at seq 2f ...
+      SELECT r.media_id, 2*r.f AS seq, x.x AS x, y.y AS y,
+             (r.media_id*31 + r.f*97 + y.y*7 + x.x*3) % 255 AS v
+      FROM rect r, generate_series(0, 17) AS x(x), generate_series(0, 12) AS y(y)
+      WHERE x.x >= r.rl AND x.x < r.rl + r.rw
+        AND y.y >= r.rt AND y.y < r.rt + r.rh
+        AND (r.f = 0 OR (x.x + y.y + r.f) % 5 != 0)
+      UNION ALL
+      -- ... and a disposal-2 frame (even f >= 2) restores its rect to the
+      -- background index 3 at seq 2f+1, before the next frame's paint
+      SELECT r.media_id, 2*r.f + 1, x.x, y.y, 3
+      FROM rect r, generate_series(0, 17) AS x(x), generate_series(0, 12) AS y(y)
+      WHERE r.f > 0 AND r.f % 2 = 0
+        AND x.x >= r.rl AND x.x < r.rl + r.rw
+        AND y.y >= r.rt AND y.y < r.rt + r.rh),
+    state AS (
+      -- displayed frame g = per pixel, the latest event at seq <= 2g
+      SELECT g.media_id, g.f AS fi, g.w, g.h, e.x, e.y, max_by(e.v, e.seq) AS v
+      FROM rect g JOIN ev e ON e.media_id = g.media_id AND e.seq <= 2*g.f
+      GROUP BY g.media_id, g.f, g.w, g.h, e.x, e.y)
+    SELECT media_id, CAST(fi AS INT) AS frame_idx,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(v) AS BIGINT) AS idx_sum,
+           CAST(sum(v + (v*3) % 256 + (v*7) % 256) AS BIGINT) AS rgb_sum,
+           CAST(max(CASE WHEN x = 0 AND y = 0 THEN v END) AS INT) AS top_left_idx
+    FROM state GROUP BY media_id, fi, w, h
+    """,
+    "ANIMATED-GIF COMPOSITING — the r7 verdict's most user-frequent "
+    "remaining codec gap: partial-rect updates with TRANSPARENT pixels "
+    "(GCE transparent index honored per pixel) over a persistent canvas, "
+    "disposal 1 (no-dispose) and 2 (restore rect to the screen "
+    "descriptor's background color) alternating across frames. The "
+    "oracle replays the exact paint-event sequence in SQL: opaque pixels "
+    "of frame f paint at seq 2f, disposal-2 restores paint background at "
+    "seq 2f+1, and displayed frame g is per-pixel max_by(v, seq) over "
+    "seq <= 2g — so a wrong overlay order, a mishandled transparent "
+    "hole, or a disposal leak each shift the per-frame sums and fail the "
+    "hash (llmdata/multimodal.py make_gif_animated_composited/"
+    "decode_gif_frames_composited/gif_composited_features)",
+)
+def multimodal_gif_composited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 48).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(
+            ids, lambda i: MM.make_gif_animated_composited(i, 14 + i % 4, 10 + i % 3, 4)
+        ),
+        media_type="image/gif",
+    )
+    return MM.gif_composited_features(media)
+
+
 def _jpeg_oracle() -> str:
     """DuckDB SQL reproducing decode_jpeg's output from the coefficient
     formula: dezigzag + dequant + the SAME fixed-point integer IDCT

@@ -3241,10 +3241,10 @@ def test_gif_animated_frames(spark):
     # palette bytes that happen to equal the markers)
     gce, desc = 800, 808
     assert blob[gce : gce + 2] == b"\x21\xf9" and blob[desc] == 0x2C
-    # transparency flag -> compositing boundary
+    # transparency flag -> the fast path redirects to the composite engine
     buf = bytearray(blob)
     buf[gce + 3] |= 0x01
-    with pytest.raises(NotImplementedError, match="compositing"):
+    with pytest.raises(NotImplementedError, match="decode_gif_frames_composited"):
         decode_gif_frames(bytes(buf))
     # partial-update frame -> boundary (shrink the first descriptor width)
     buf = bytearray(blob)
@@ -3262,6 +3262,121 @@ def test_gif_animated_frames(spark):
     want_idx = sum((4 * 31 + 2 * 97 + y * 7 + x * 3) % 256 for y in range(8) for x in range(10))
     assert by_key[(4, 2)]["idx_sum"] == want_idx
     assert by_key[(4, 2)]["top_left_idx"] == (4 * 31 + 2 * 97) % 256
+
+
+def test_gif_composited_frames(spark):
+    """decode_gif_frames_composited composites transparency + partial
+    rects + disposal 0/1/2 over a persistent canvas (r7 verdict's top
+    codec gap): differential-tested against an independent scalar
+    compositor, pinned on hand-computed pixels, opaque-parity with the
+    fast path, and the remaining boundaries (restore-previous, local
+    color tables, out-of-screen rects) raise."""
+    import struct
+
+    import pytest
+    from query_engine_spark.llmdata.multimodal import (
+        decode_gif_frames,
+        decode_gif_frames_composited,
+        gif_composited_features,
+        make_gif_animated,
+        make_gif_animated_composited,
+    )
+
+    def reference(media_id, width, height, n_frames, bg=3, tid=255):
+        # independent scalar replay of the fixture's paint-event sequence
+        rw, rh = width // 2, height // 2
+        canvas = [[bg] * width for _ in range(height)]
+        out = []
+        for f in range(n_frames):
+            if f == 0:
+                left, top, iw, ih, transparent, disposal = 0, 0, width, height, False, 1
+            else:
+                left = (f * 3) % (width - rw + 1)
+                top = (f * 2) % (height - rh + 1)
+                iw, ih, transparent = rw, rh, True
+                disposal = 2 if f % 2 == 0 else 1
+            for v in range(ih):
+                for u in range(iw):
+                    x, y = left + u, top + v
+                    val = (
+                        tid
+                        if (f > 0 and (x + y + f) % 5 == 0)
+                        else (media_id * 31 + f * 97 + y * 7 + x * 3) % 255
+                    )
+                    if transparent and val == tid:
+                        continue
+                    canvas[y][x] = val
+            out.append(bytes(b for row in canvas for b in row))
+            if disposal == 2:
+                for v in range(ih):
+                    for u in range(iw):
+                        canvas[top + v][left + u] = bg
+        return out
+
+    for m in (0, 3, 9, 14):
+        w, h = 14 + m % 4, 10 + m % 3
+        blob = make_gif_animated_composited(m, w, h, 4)
+        sw, sh, pal, frames = decode_gif_frames_composited(blob)
+        assert (sw, sh) == (w, h) and len(frames) == 4
+        assert [bytes(fr) for fr in frames] == reference(m, w, h, 4)
+
+    # hand-pinned semantics on one small case (m=0: w=14, h=10, rect 7x5)
+    _, _, _, frames = decode_gif_frames_composited(
+        make_gif_animated_composited(0, 14, 10, 4)
+    )
+    # frame 1 rect at (3, 2): hole (x+y+1)%5==0 at (3,6) keeps frame 0's
+    # pixel; opaque (4,6) takes frame 1's value
+    assert frames[1][6 * 14 + 3] == (6 * 7 + 3 * 3) % 255  # hole -> base
+    assert frames[1][6 * 14 + 4] == (97 + 6 * 7 + 4 * 3) % 255
+    # frame 1 used disposal 1 (no-dispose): its paint persists under
+    # frame 2's rect only where frame 2 is transparent; frame 2 uses
+    # disposal 2, so frame 3 sees background inside frame 2's rect
+    # wherever frame 3 itself is transparent and frame 2's rect covered it
+    f2l, f2t = (2 * 3) % (14 - 7 + 1), (2 * 2) % (10 - 5 + 1)  # (6, 4)
+    f3l, f3t = (3 * 3) % 8, (3 * 2) % 6  # (1, 0)
+    # pixel (6,4): inside frame-2 rect (restored to bg after frame 2),
+    # outside frame-3 rect (x>=1+7? no: 6 < 8) -> inside frame-3 rect,
+    # (6+4+3)%5 != 0 -> frame 3 paints it
+    assert frames[3][4 * 14 + 6] == (3 * 97 + 4 * 7 + 6 * 3) % 255
+    # pixel (12,8): inside frame-2 rect (6..12, 4..8), outside frame-3
+    # rect (1..7, 0..4) -> restored to background 3
+    assert frames[3][8 * 14 + 12] == 3
+
+    # opaque full-frame animations compose to their raw frames
+    for m in range(3):
+        blob = make_gif_animated(m, 10 + m % 5, 8 + m % 4, 3)
+        a = decode_gif_frames(bytes(blob))
+        b = decode_gif_frames_composited(bytes(blob))
+        assert a[:3] == b[:3] and list(a[3]) == list(b[3])
+
+    # restore-to-previous disposal stays an honest boundary
+    blob = bytearray(make_gif_animated_composited(5, 14, 10, 2))
+    gce2 = blob.index(b"\x21\xf9", 810)  # second GCE (after frame 0's data)
+    blob[gce2 + 3] = (blob[gce2 + 3] & ~0x1C) | (3 << 2)
+    with pytest.raises(NotImplementedError, match="restore-to-previous"):
+        decode_gif_frames_composited(bytes(blob))
+    # a frame rect escaping the screen is a hard error
+    blob = bytearray(make_gif_animated_composited(5, 14, 10, 2))
+    desc2 = blob.index(b"\x2c", gce2)
+    struct.pack_into("<H", blob, desc2 + 1, 13)  # left 13 + width 7 > 14
+    with pytest.raises(ValueError, match="exceeds screen"):
+        decode_gif_frames_composited(bytes(blob))
+
+    # distributed fold: map-only plan, one row per displayed frame
+    media = spark.createDataFrame(
+        [(i, make_gif_animated_composited(i, 14 + i % 4, 10 + i % 3, 4)) for i in range(6)],
+        "media_id long, payload binary",
+    )
+    feats = gif_composited_features(media)
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    out = feats.collect()
+    assert len(out) == 6 * 4
+    ref = reference(4, 14 + 4 % 4, 10 + 4 % 3, 4)
+    got = {r["frame_idx"]: r for r in out if r["media_id"] == 4}
+    for fi in range(4):
+        assert got[fi]["idx_sum"] == sum(ref[fi])
+        assert got[fi]["top_left_idx"] == ref[fi][0]
 
 
 def test_png_gray_and_palette_color_types(spark):
