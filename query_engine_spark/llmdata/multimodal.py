@@ -4971,48 +4971,148 @@ def encode_jpeg_progressive(
 
 
 class _JpegBitReader:
-    """MSB-first bit reader over the entropy-coded segment with byte
-    UNstuffing; a bare marker mid-segment or a truncated stream raises."""
+    """MSB-first bit reader over the entropy-coded segment.
+
+    Round 8 (the post-IDCT-vectorization hot path): byte UNSTUFFING and
+    restart-marker splitting happen ONCE up front in a single C-speed
+    scan — the segment is cut at RSTn markers into destuffed spans — and
+    reads run through a shift-register window refilled a word at a time,
+    so `bits(n)` is one mask instead of n per-bit loop turns. Semantics
+    are unchanged: a bare non-RST marker mid-segment raises at
+    construction (it raised at first touch before), reading past the
+    data raises, and `restart(m)` still requires byte alignment with
+    only stuffed-0xFF padding before the expected modulo-8 marker."""
+
+    __slots__ = ("_segs", "_marks", "_seg_i", "_buf", "_len", "_pos", "_win", "_n")
 
     def __init__(self, data: bytes) -> None:
-        self._data = data
+        segs: list[bytes] = []
+        marks: list[int] = []
+        cur = bytearray()
+        i, n = 0, len(data)
+        while True:
+            j = data.find(b"\xff", i)
+            if j < 0:
+                cur += data[i:]
+                break
+            cur += data[i:j]
+            if j + 1 >= n:
+                raise ValueError("marker inside entropy-coded segment")
+            nxt = data[j + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+            elif 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                marks.append(nxt - 0xD0)
+                cur = bytearray()
+            else:
+                raise ValueError("marker inside entropy-coded segment")
+            i = j + 2
+        segs.append(bytes(cur))
+        self._segs = segs
+        self._marks = marks
+        self._seg_i = 0
+        self._buf = segs[0]
+        self._len = len(segs[0])
         self._pos = 0
-        self._acc = 0
+        self._win = 0
         self._n = 0
 
-    def bit(self) -> int:
-        if self._n == 0:
-            if self._pos >= len(self._data):
+    def _refill(self, need: int) -> None:
+        win, nb, pos = self._win & ((1 << self._n) - 1), self._n, self._pos
+        buf, ln = self._buf, self._len
+        while nb < need:
+            if pos >= ln:
                 raise ValueError("truncated entropy-coded segment")
-            b = self._data[self._pos]
-            self._pos += 1
-            if b == 0xFF:
-                if self._pos >= len(self._data) or self._data[self._pos] != 0x00:
-                    raise ValueError("marker inside entropy-coded segment")
-                self._pos += 1
-            self._acc = b
-            self._n = 8
+            take = min(4, ln - pos)
+            win = (win << (8 * take)) | int.from_bytes(buf[pos : pos + take], "big")
+            pos += take
+            nb += 8 * take
+        self._win, self._n, self._pos = win, nb, pos
+
+    def bit(self) -> int:
+        if self._n < 1:
+            self._refill(1)
         self._n -= 1
-        return (self._acc >> self._n) & 1
+        return (self._win >> self._n) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        if self._n < n:
+            self._refill(n)
+        self._n -= n
+        return (self._win >> self._n) & ((1 << n) - 1)
+
+    def peek16(self) -> int:
+        """Next 16 bits without consuming, zero-padded past the end of
+        the data — the Huffman-LUT probe. A padded probe can only match a
+        code whose real bits end before the pad (`skip` raises if a
+        matched length overruns the stream)."""
+        nb = self._n
+        if nb < 16:
+            win, pos = self._win & ((1 << nb) - 1), self._pos
+            buf, ln = self._buf, self._len
+            while nb < 16 and pos < ln:
+                take = min(2, ln - pos)
+                win = (win << (8 * take)) | int.from_bytes(buf[pos : pos + take], "big")
+                pos += take
+                nb += 8 * take
+            self._win, self._n, self._pos = win, nb, pos
+            if nb < 16:
+                return ((win & ((1 << nb) - 1)) << (16 - nb)) if nb else 0
+        return (self._win >> (nb - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        if n > self._n:
+            raise ValueError("truncated entropy-coded segment")
+        self._n -= n
 
     def restart(self, m: int) -> None:
         """Consume an RSTm marker at a restart-interval boundary: discard
-        the current byte's remaining pad bits, skip any stuffed 0xFF00
-        emitted while padding, and require the expected 0xFFD0+m (T.81
-        E.1.4 — markers are byte-aligned and the modulo-8 sequence number
-        catches lost intervals)."""
+        the current byte's remaining pad bits, allow only stuffed-0xFF
+        padding before the marker, and require the expected 0xFFD0+m
+        (T.81 E.1.4 — markers are byte-aligned and the modulo-8 sequence
+        number catches lost intervals)."""
+        self._win = 0
         self._n = 0
-        while self._data[self._pos : self._pos + 2] == b"\xff\x00":
-            self._pos += 2
-        if self._data[self._pos : self._pos + 2] != bytes([0xFF, 0xD0 + m]):
+        if self._buf[self._pos :].strip(b"\xff"):
             raise ValueError(f"expected RST{m} at restart boundary")
-        self._pos += 2
+        if self._seg_i >= len(self._marks) or self._marks[self._seg_i] != m:
+            raise ValueError(f"expected RST{m} at restart boundary")
+        self._seg_i += 1
+        self._buf = self._segs[self._seg_i]
+        self._len = len(self._buf)
+        self._pos = 0
+
+
+# 16-bit-peek Huffman decode LUTs, memoized per (BITS, HUFFVAL): entry c is
+# (symbol, code length) for the unique canonical code that prefixes the
+# 16-bit probe c, length 0 where no code matches. Built once per distinct
+# table per process (numpy slice fills + tolist for C-speed list indexing).
+_HUFF_LUT_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+
+
+def _jpeg_huff_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
+    key = (tuple(bits), tuple(vals))
+    lut = _HUFF_LUT_CACHE.get(key)
+    if lut is None:
+        sym = np.zeros(1 << 16, dtype=np.int32)
+        ln = np.zeros(1 << 16, dtype=np.uint8)
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                lo = code << (16 - length)
+                hi = (code + 1) << (16 - length)
+                sym[lo:hi] = vals[k]
+                ln[lo:hi] = length
+                code += 1
+                k += 1
+            code <<= 1
+        if k != len(vals):
+            raise ValueError("DHT: BITS total does not match HUFFVAL length")
+        lut = (sym.tolist(), ln.tolist())
+        _HUFF_LUT_CACHE[key] = lut
+    return lut
 
 
 def _jpeg_huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
@@ -5169,12 +5269,13 @@ def _decode_jpeg_progressive(
         br = _JpegBitReader(seg)
 
         def read_sym(tab):
-            code = 0
-            for length in range(1, 17):
-                code = (code << 1) | br.bit()
-                if (length, code) in tab:
-                    return tab[(length, code)]
-            raise ValueError("invalid Huffman code")
+            sym, ln = tab
+            c = br.peek16()
+            length = ln[c]
+            if length == 0:
+                raise ValueError("invalid Huffman code")
+            br.skip(length)
+            return sym[c]
 
         if ss == 0:
             # DC scan: may be interleaved; Se must be 0 (G.1.1.1.1)
@@ -5403,7 +5504,7 @@ def decode_jpeg_np(blob: bytes) -> tuple[int, int, "np.ndarray"]:
                 tc, th = payload[p] >> 4, payload[p] & 0xF
                 bits = list(payload[p + 1 : p + 17])
                 nv = sum(bits)
-                huff[(tc, th)] = _jpeg_huff_decode_table(
+                huff[(tc, th)] = _jpeg_huff_lut(
                     bits, list(payload[p + 17 : p + 17 + nv])
                 )
                 p += 17 + nv
@@ -5447,13 +5548,14 @@ def decode_jpeg_np(blob: bytes) -> tuple[int, int, "np.ndarray"]:
         data = data[:-2]
     br = _JpegBitReader(data)
 
-    def read_sym(tab: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.bit()
-            if (length, code) in tab:
-                return tab[(length, code)]
-        raise ValueError("invalid Huffman code")
+    def read_sym(tab: tuple[list[int], list[int]]) -> int:
+        sym, ln = tab
+        c = br.peek16()
+        length = ln[c]
+        if length == 0:
+            raise ValueError("invalid Huffman code")
+        br.skip(length)
+        return sym[c]
 
     meta_of = {cid: (qid, sh, sv) for cid, qid, sh, sv in comps}
     hmax = max(sh for _, _, sh, _ in comps)
