@@ -657,17 +657,29 @@ def ivfpq_topk(
     if dims % m:
         raise ValueError(f"dims={dims} must divide evenly into m={m} subspaces")
     dsub = dims // m
+    from query_engine_spark.cache import tracked_local_checkpoint
+
     q = embeddings.select(
         F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col), quant).alias("qv")
     )
-    cents = _kmeans_centroids(q, coarse_k, coarse_iters)
+    # MODEL-SIZED checkpoints between the training stages (r7 verdict ask):
+    # cents is coarse_k rows and cbooks m·ksub rows, but each carries
+    # 2·iters unrolled shuffle rounds of lineage that every downstream
+    # reference (residuals, codebook training, encoding, probes, LUTs)
+    # would otherwise re-embed — ~300 exchanges in one lazy plan at the
+    # registry's settings. Eagerly materializing kilobytes here bounds the
+    # plan depth a real cluster's optimizer must chew without touching any
+    # result (the checkpoint replays the exact computed rows).
+    cents = tracked_local_checkpoint(_kmeans_centroids(q, coarse_k, coarse_iters))
     assigned = assign_cells(q, cents, vec_col="qv", cent_vec_col="cv")
     res = assigned.join(F.broadcast(cents), "cent_id").select(
         "vec_id",
         "cent_id",
         F.zip_with("v", "cv", lambda x, y: x - y).alias("qv"),
     )
-    cbooks = _pq_train_q(res.select("vec_id", "qv"), m, ksub, pq_iters, dsub)
+    cbooks = tracked_local_checkpoint(
+        _pq_train_q(res.select("vec_id", "qv"), m, ksub, pq_iters, dsub)
+    )
     # carry cent_id THROUGH the assignment as part of the (struct) id so the
     # codes table needs no corpus-sized self-join to recover its cell
     packed = res.select(F.struct("vec_id", "cent_id").alias("vec_id"), "qv")
