@@ -5115,23 +5115,6 @@ def _jpeg_huff_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[in
     return lut
 
 
-def _jpeg_huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol from a DHT's BITS/HUFFVAL, canonical code
-    assignment per T.81 Annex C."""
-    table: dict[tuple[int, int], int] = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    if k != len(vals):
-        raise ValueError("DHT: BITS total does not match HUFFVAL length")
-    return table
-
-
 def _jpeg_extend(v: int, s: int) -> int:
     """T.81 EXTEND: map s received bits back to the signed value."""
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1

@@ -3898,3 +3898,122 @@ def test_png_adam7_interlace_row_exact():
         assert decode_png(make_png(mid, w, h, interlace=True)) == \
             decode_png(make_png(mid, w, h))
     assert make_png(4, 16, 12) != make_png(4, 16, 12, interlace=True)
+
+
+def test_jpeg_bit_reader_differential_fuzz():
+    """The round-8 windowed bit reader (up-front destuffing + restart
+    splitting + shift-register refills + the 16-bit Huffman peek LUT) is
+    differential-tested against a local restatement of the r7 per-byte
+    reference semantics on random stuffed streams: same bit sequence,
+    same restart acceptance, same rejection of bare markers and
+    truncation, and LUT symbol decode == bitwise canonical-prefix walk
+    for random DHT shapes."""
+    import random
+
+    import pytest
+    from query_engine_spark.llmdata.multimodal import (
+        _jpeg_huff_lut,
+        _JpegBitReader,
+    )
+
+    class RefReader:
+        # the pre-r8 per-byte semantics, restated independently
+        def __init__(self, data):
+            self.d, self.p, self.acc, self.n = data, 0, 0, 0
+
+        def bit(self):
+            if self.n == 0:
+                if self.p >= len(self.d):
+                    raise ValueError("truncated")
+                b = self.d[self.p]
+                self.p += 1
+                if b == 0xFF:
+                    if self.p >= len(self.d) or self.d[self.p] != 0x00:
+                        raise ValueError("marker")
+                    self.p += 1
+                self.acc, self.n = b, 8
+            self.n -= 1
+            return (self.acc >> self.n) & 1
+
+        def restart(self, m):
+            self.n = 0
+            while self.d[self.p : self.p + 2] == b"\xff\x00":
+                self.p += 2
+            if self.d[self.p : self.p + 2] != bytes([0xFF, 0xD0 + m]):
+                raise ValueError("bad restart")
+            self.p += 2
+
+    rng = random.Random(813)
+    for trial in range(200):
+        # random payload bits as stuffed bytes, with restart markers at
+        # byte boundaries between spans
+        spans = []
+        for _ in range(rng.randint(1, 4)):
+            raw = bytes(rng.randrange(256) for _ in range(rng.randint(1, 24)))
+            spans.append(raw.replace(b"\xff", b"\xff\x00"))
+        stream = bytearray(spans[0])
+        for si, sp in enumerate(spans[1:]):
+            stream += bytes([0xFF, 0xD0 + (si & 7)]) + sp
+        data = bytes(stream)
+        new, ref = _JpegBitReader(data), RefReader(data)
+        for si, sp in enumerate(spans):
+            # consume the span's payload bits (destuffed length) in
+            # random-sized reads
+            total = 8 * len(sp.replace(b"\xff\x00", b"\xff"))
+            got = 0
+            while got < total:
+                k = min(rng.randint(1, 16), total - got)
+                want = 0
+                for _ in range(k):
+                    want = (want << 1) | ref.bit()
+                assert new.bits(k) == want
+                got += k
+            if si + 1 < len(spans):
+                ref.restart(si & 7)
+                new.restart(si & 7)
+        # both exhausted: one more read must raise
+        with pytest.raises(ValueError):
+            new.bits(1)
+        with pytest.raises(ValueError):
+            ref.bit()
+
+    # bare non-RST marker rejected (reference raises at first touch, the
+    # new reader at construction — same streams rejected either way)
+    with pytest.raises(ValueError, match="marker"):
+        _JpegBitReader(b"\x12\xff\xc0\x34")
+    # wrong restart sequence number
+    r = _JpegBitReader(b"\xa5\xff\xd3\x5a")
+    r.bits(8)
+    with pytest.raises(ValueError, match="RST1"):
+        r.restart(1)
+
+    # LUT == bitwise canonical walk on random multi-length DHTs
+    for trial in range(50):
+        lengths = []
+        code_space = 0
+        bits = [0] * 16
+        # grow a valid canonical table greedily
+        for ln in range(1, 17):
+            room = (1 << ln) - code_space * 2 if ln > 1 else 2
+            code_space = code_space * 2 + 0
+            take = rng.randint(0, min(3, max(0, room - 1)))
+            bits[ln - 1] = take
+            code_space += take
+            lengths += [ln] * take
+        nv = sum(bits)
+        if nv == 0:
+            continue
+        vals = [rng.randrange(256) for _ in range(nv)]
+        sym, ln_arr = _jpeg_huff_lut(bits, vals)
+        # enumerate canonical codes and probe the LUT with each code
+        # placed at the top of a 16-bit word (padded with random bits)
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                pad = rng.randrange(1 << (16 - length))
+                probe = (code << (16 - length)) | pad
+                assert ln_arr[probe] == length
+                assert sym[probe] == vals[k]
+                code += 1
+                k += 1
+            code <<= 1
