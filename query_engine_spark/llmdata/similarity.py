@@ -751,10 +751,18 @@ def kmeans_lloyd(
     dedup_clusters does. Convergence-based stopping would need a
     driver-side delta check per round — deliberate non-goal here.
     """
+    from query_engine_spark.cache import tracked_local_checkpoint
+
     q = embeddings.select(
         F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col), quant).alias("qv")
     )
-    cents = _kmeans_centroids(q, k, iters)
+    # model-sized (k rows) but with 2·iters unrolled shuffle rounds of
+    # corpus lineage: consumers reference the assignment several times
+    # (SemDeDup's pair join references it on BOTH sides, and the training
+    # subtrees are too far apart for ReuseExchange — measured 56 exchanges
+    # / 0 reused at sf0.1). One eager kilobyte checkpoint runs training
+    # once and leaves every downstream reference a broadcast-sized scan.
+    cents = tracked_local_checkpoint(_kmeans_centroids(q, k, iters))
     final = assign_cells(q, cents, vec_col="qv", cent_vec_col="cv")
     return final.select("vec_id", "cent_id")
 
@@ -1000,19 +1008,54 @@ def semdedup(
         F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col), quant).alias("qv")
     ).withColumn("__nq", l2_norm(F.col("qv")))
     side = assigned.join(q, "vec_id")
-    a, b = side.alias("a"), side.alias("b")
-    sim = F.round(
-        dot(F.col("a.qv"), F.col("b.qv")) / (F.col("a.__nq") * F.col("b.__nq")), 6
+    # Within-cluster pairwise scoring as ONE numpy int64 matmul per
+    # cluster (round 8): the previous equi-self-join materialized
+    # Σ|cluster|² JVM rows and evaluated an INTERPRETED array-fold dot per
+    # pair — measured as the dominant cost of the whole query at sf0.1.
+    # applyInPandas ships each cluster's n rows once (never the pair
+    # space), the integer Gram matrix is exact in int64, and the doubles
+    # are bit-identical to the JVM expression they replace: __nq is
+    # COMPUTED IN SPARK and shipped through Arrow (float64 round-trips
+    # exactly), and x/y and a*b are single correctly-rounded IEEE ops in
+    # both engines. Only near-threshold pairs are emitted — the slack
+    # 2e-6 is strictly wider than the 5e-7 half-step any value needs to
+    # round UP to tau — and the EXACT decision, F.round(sim, 6) >= tau,
+    # stays a Spark expression on those survivors, so the rounding
+    # semantics (HALF_UP via BigDecimal) remain Spark's own.
+    import numpy as np
+    import pandas as pd
+
+    slack = tau - 2e-6
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        order = pdf["vec_id"].to_numpy().argsort(kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        M = np.stack(pdf["qv"].to_numpy()[order]).astype(np.int64)
+        nq = pdf["__nq"].to_numpy()[order]
+        out_ids: list = []
+        out_sims: list = []
+        # chunked rows bound memory on a pathological giant cluster (the
+        # docstring's salt-cap caveat still applies to the pair COUNT)
+        for lo in range(1, n, 1024):
+            hi = min(lo + 1024, n)
+            sims = (M[lo:hi] @ M.T) / (nq[lo:hi, None] * nq[None, :])
+            for r in range(lo, hi):
+                js = np.nonzero(sims[r - lo, :r] >= slack)[0]
+                if js.size:
+                    out_ids.extend([ids[r]] * js.size)
+                    out_sims.extend(sims[r - lo, js].tolist())
+        return pd.DataFrame({"vec_id": np.asarray(out_ids, dtype=np.int64),
+                             "sim": np.asarray(out_sims, dtype=np.float64)})
+
+    near = side.select("vec_id", "cent_id", "qv", "__nq").groupBy("cent_id").applyInPandas(
+        _score, "vec_id long, sim double"
     )
     dropped = (
-        a.join(
-            b,
-            (F.col("a.cent_id") == F.col("b.cent_id"))
-            & (F.col("a.vec_id") > F.col("b.vec_id")),
-        )
-        .filter(sim >= tau)
-        .select(F.col("a.vec_id").alias("vec_id"))
-        .distinct()
+        near.filter(F.round(F.col("sim"), 6) >= tau).select("vec_id").distinct()
     )
     return (
         assigned.join(dropped.withColumn("__dup", F.lit(True)), "vec_id", "left")
