@@ -93,6 +93,7 @@ __all__ = [
     "decode_gif",
     "gif_features",
     "make_gif_animated_composited",
+    "make_gif_animated_disposals",
     "decode_gif_frames_composited",
     "gif_composited_features",
     "make_jpeg",
@@ -3377,6 +3378,73 @@ def make_gif_animated_composited(
     return bytes(out)
 
 
+def make_gif_animated_disposals(
+    media_id: int,
+    width: int,
+    height: int,
+    n_frames: int,
+    *,
+    delay_cs: int = 10,
+    bg_index: int = 3,
+    transparent_index: int = 255,
+) -> bytes:
+    """The FULL disposal-method matrix over the composited fixture's
+    geometry: frame 0 is the opaque full-frame base, frames f >= 1 cycle
+    disposal 1 → 2 → 3 (no-dispose, restore-to-background,
+    restore-to-PREVIOUS) with transparency on — same rects, hole pattern
+    and value formula as `make_gif_animated_composited`, so the one
+    paint-event oracle family covers it with a per-event persistence
+    flag (an ephemeral disposal-3 paint is visible only in its own
+    displayed frame)."""
+    import struct
+
+    if n_frames <= 0:
+        raise ValueError(f"invalid n_frames {n_frames}")
+    if width < 2 or height < 2:
+        raise ValueError(
+            f"disposal fixture needs width/height >= 2, got {width}x{height}"
+        )
+    palette = bytes(v for i in range(256) for v in (i, (i * 3) % 256, (i * 7) % 256))
+    out = bytearray(
+        b"GIF89a" + struct.pack("<HHBBB", width, height, 0xF7, bg_index, 0) + palette
+    )
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    rw, rh = width // 2, height // 2
+    for f in range(n_frames):
+        if f == 0:
+            flags = 0x04  # disposal 1, no transparency
+            left, top, iw, ih = 0, 0, width, height
+            out += b"\x21\xf9\x04" + bytes(
+                (flags, delay_cs & 0xFF, delay_cs >> 8, 0)
+            ) + b"\x00"
+        else:
+            disposal = 1 + (f - 1) % 3
+            flags = (disposal << 2) | 0x01
+            left = (f * 3) % (width - rw + 1)
+            top = (f * 2) % (height - rh + 1)
+            iw, ih = rw, rh
+            out += b"\x21\xf9\x04" + bytes(
+                (flags, delay_cs & 0xFF, delay_cs >> 8, transparent_index)
+            ) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, iw, ih, 0)
+        idx = bytes(
+            transparent_index
+            if f > 0 and (x + y + f) % 5 == 0
+            else (media_id * 31 + f * 97 + y * 7 + x * 3) % 255
+            for y in range(top, top + ih)
+            for x in range(left, left + iw)
+        )
+        lzw = _lzw_compress(idx, 8)
+        out += b"\x08"
+        for i in range(0, len(lzw), 255):
+            sub = lzw[i : i + 255]
+            out.append(len(sub))
+            out += sub
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
 def decode_gif_frames_composited(blob: bytes) -> tuple[int, int, bytes, list[bytes]]:
     """REAL animated-GIF decode WITH COMPOSITING → (width, height,
     palette, [per-frame COMPOSITED indices in natural row order]) — the
@@ -3387,8 +3455,9 @@ def decode_gif_frames_composited(blob: bytes) -> tuple[int, int, bytes, list[byt
     transparent index), the DISPLAYED frame is the canvas after the
     paint, and the frame's disposal then runs — 0/1 leave the canvas
     (GIF89a §23 treats 0 as unspecified ≡ no-dispose), 2 restores the
-    frame's rect to the background color. Restore-to-previous (3) and
-    per-frame local color tables remain honest boundaries. Compositing
+    frame's rect to the background color, 3 (restore-to-previous) makes
+    the frame EPHEMERAL by reverting its rect to the pre-paint pixels.
+    Per-frame local color tables remain the honest boundary. Compositing
     on INDICES is exact because one global palette governs the
     animation — the same property the feature oracles rely on. The
     overlay itself is vectorized (boolean-mask scatter on a uint8
@@ -3450,11 +3519,8 @@ def decode_gif_frames_composited(blob: bytes) -> tuple[int, int, bytes, list[byt
             raise ValueError("truncated image descriptor")
         left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", blob, pos)
         pos += 9
-        if disposal == 3:
-            raise NotImplementedError(
-                "restore-to-previous disposal needs a saved-canvas stack; "
-                "disposal 0/1/2 composite here"
-            )
+        if disposal > 3:
+            raise ValueError(f"reserved disposal method {disposal}")
         if left + iw > sw or top + ih > sh:
             raise ValueError(
                 f"frame rect ({left},{top}) {iw}x{ih} exceeds screen {sw}x{sh}"
@@ -3486,6 +3552,11 @@ def decode_gif_frames_composited(blob: bytes) -> tuple[int, int, bytes, list[byt
         if int(arr.max(initial=0)) >= n:
             raise ValueError(f"palette index {int(arr.max())} >= table size {n}")
         region = canvas[top : top + ih, left : left + iw]
+        # disposal 3 (restore-to-previous): the frame is EPHEMERAL — the
+        # rect reverts to its pre-paint state after display, so only this
+        # frame's own output ever sees the paint (GIF89a §23; one saved
+        # rect suffices because the revert happens before the next paint)
+        saved = region.copy() if disposal == 3 else None
         if transparent:
             mask = arr != t_index
             region[mask] = arr[mask]
@@ -3494,6 +3565,8 @@ def decode_gif_frames_composited(blob: bytes) -> tuple[int, int, bytes, list[byt
         frames.append(canvas.tobytes())
         if disposal == 2:
             canvas[top : top + ih, left : left + iw] = bg_index
+        elif disposal == 3:
+            region[...] = saved
         transparent = False
         t_index = 0
         disposal = 0

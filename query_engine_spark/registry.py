@@ -3518,6 +3518,74 @@ def multimodal_gif_composited(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.gif_composited_features(media)
 
 
+@_register(
+    "multimodal_gif_disposals",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 14 + doc_id % 4 AS w, 10 + doc_id % 3 AS h
+      FROM documents WHERE doc_id < 48),
+    rect AS (
+      SELECT m.media_id, m.w, m.h, f.f,
+             CASE WHEN f.f = 0 THEN 1 ELSE 1 + (f.f - 1) % 3 END AS disp,
+             CASE WHEN f.f = 0 THEN m.w ELSE m.w // 2 END AS rw,
+             CASE WHEN f.f = 0 THEN m.h ELSE m.h // 2 END AS rh,
+             CASE WHEN f.f = 0 THEN 0 ELSE (f.f*3) % (m.w - m.w//2 + 1) END AS rl,
+             CASE WHEN f.f = 0 THEN 0 ELSE (f.f*2) % (m.h - m.h//2 + 1) END AS rt
+      FROM m, generate_series(0, 4) AS f(f)),
+    ev AS (
+      -- frame paints at seq 2f; a disposal-3 paint is EPHEMERAL: visible
+      -- only in its own displayed frame (persists = false)
+      SELECT r.media_id, r.f AS ef, 2*r.f AS seq, (r.disp != 3) AS persists,
+             x.x AS x, y.y AS y,
+             (r.media_id*31 + r.f*97 + y.y*7 + x.x*3) % 255 AS v
+      FROM rect r, generate_series(0, 17) AS x(x), generate_series(0, 12) AS y(y)
+      WHERE x.x >= r.rl AND x.x < r.rl + r.rw
+        AND y.y >= r.rt AND y.y < r.rt + r.rh
+        AND (r.f = 0 OR (x.x + y.y + r.f) % 5 != 0)
+      UNION ALL
+      -- disposal-2 frames restore their rect to background at seq 2f+1
+      SELECT r.media_id, r.f, 2*r.f + 1, TRUE, x.x, y.y, 3
+      FROM rect r, generate_series(0, 17) AS x(x), generate_series(0, 12) AS y(y)
+      WHERE r.disp = 2 AND r.f > 0
+        AND x.x >= r.rl AND x.x < r.rl + r.rw
+        AND y.y >= r.rt AND y.y < r.rt + r.rh),
+    state AS (
+      SELECT g.media_id, g.f AS fi, g.w, g.h, e.x, e.y, max_by(e.v, e.seq) AS v
+      FROM rect g JOIN ev e ON e.media_id = g.media_id AND e.seq <= 2*g.f
+       AND (e.persists OR e.ef = g.f)
+      GROUP BY g.media_id, g.f, g.w, g.h, e.x, e.y)
+    SELECT media_id, CAST(fi AS INT) AS frame_idx,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(v) AS BIGINT) AS idx_sum,
+           CAST(sum(v + (v*3) % 256 + (v*7) % 256) AS BIGINT) AS rgb_sum,
+           CAST(max(CASE WHEN x = 0 AND y = 0 THEN v END) AS INT) AS top_left_idx
+    FROM state GROUP BY media_id, fi, w, h
+    """,
+    "the FULL GIF89a disposal-method matrix: frames cycle no-dispose (1), "
+    "restore-to-background (2) and restore-to-PREVIOUS (3) with "
+    "transparency on — disposal 3 reverts its rect to the pre-paint "
+    "pixels after display, so its paint must appear in exactly one "
+    "output frame. The oracle extends the paint-event replay with a "
+    "persistence flag (an ephemeral event joins only its own display "
+    "frame); a disposal-3 leak into later frames or a missed revert "
+    "shifts the downstream sums and fails the hash "
+    "(llmdata/multimodal.py make_gif_animated_disposals/"
+    "decode_gif_frames_composited)",
+)
+def multimodal_gif_disposals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 48).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(
+            ids, lambda i: MM.make_gif_animated_disposals(i, 14 + i % 4, 10 + i % 3, 5)
+        ),
+        media_type="image/gif",
+    )
+    return MM.gif_composited_features(media)
+
+
 def _jpeg_oracle() -> str:
     """DuckDB SQL reproducing decode_jpeg's output from the coefficient
     formula: dezigzag + dequant + the SAME fixed-point integer IDCT

@@ -3349,11 +3349,55 @@ def test_gif_composited_frames(spark):
         b = decode_gif_frames_composited(bytes(blob))
         assert a[:3] == b[:3] and list(a[3]) == list(b[3])
 
-    # restore-to-previous disposal stays an honest boundary
+    # disposal 3 (restore-to-previous): the frame is ephemeral — its rect
+    # reverts after display, so frame f+1 must equal what it would be had
+    # frame f never painted. make_gif_animated_disposals cycles 1→2→3.
+    from query_engine_spark.llmdata.multimodal import make_gif_animated_disposals
+
+    def reference_disposals(media_id, width, height, n_frames, bg=3, tid=255):
+        rw, rh = width // 2, height // 2
+        canvas = [[bg] * width for _ in range(height)]
+        out = []
+        for f in range(n_frames):
+            if f == 0:
+                left, top, iw, ih, transparent, disposal = 0, 0, width, height, False, 1
+            else:
+                left = (f * 3) % (width - rw + 1)
+                top = (f * 2) % (height - rh + 1)
+                iw, ih, transparent = rw, rh, True
+                disposal = 1 + (f - 1) % 3
+            saved = [row[:] for row in canvas] if disposal == 3 else None
+            for v in range(ih):
+                for u in range(iw):
+                    x, y = left + u, top + v
+                    val = (
+                        tid
+                        if (f > 0 and (x + y + f) % 5 == 0)
+                        else (media_id * 31 + f * 97 + y * 7 + x * 3) % 255
+                    )
+                    if transparent and val == tid:
+                        continue
+                    canvas[y][x] = val
+            out.append(bytes(b for row in canvas for b in row))
+            if disposal == 2:
+                for v in range(ih):
+                    for u in range(iw):
+                        canvas[top + v][left + u] = bg
+            elif disposal == 3:
+                canvas = saved
+        return out
+
+    for m in (0, 7, 11):
+        w, h = 14 + m % 4, 10 + m % 3
+        _, _, _, frames = decode_gif_frames_composited(
+            make_gif_animated_disposals(m, w, h, 5)
+        )
+        assert [bytes(fr) for fr in frames] == reference_disposals(m, w, h, 5)
+    # a reserved disposal method (>3) is a hard error
     blob = bytearray(make_gif_animated_composited(5, 14, 10, 2))
     gce2 = blob.index(b"\x21\xf9", 810)  # second GCE (after frame 0's data)
-    blob[gce2 + 3] = (blob[gce2 + 3] & ~0x1C) | (3 << 2)
-    with pytest.raises(NotImplementedError, match="restore-to-previous"):
+    blob[gce2 + 3] = (blob[gce2 + 3] & ~0x1C) | (4 << 2)
+    with pytest.raises(ValueError, match="reserved disposal"):
         decode_gif_frames_composited(bytes(blob))
     # a frame rect escaping the screen is a hard error
     blob = bytearray(make_gif_animated_composited(5, 14, 10, 2))
