@@ -3042,6 +3042,11 @@ def _lzw_compress(data: bytes, min_code_size: int) -> bytes:
     return bytes(res)
 
 
+# fresh-table template per LZW root size, copied on init/clear instead of
+# re-constructing `clear` byte objects per frame (the decode hot loop)
+_LZW_BASE: dict[int, list[bytes]] = {}
+
+
 def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
     """GIF LZW decode, giflib-compatible: a per-read counter drives the
     width schedule (grow when counter passes 2^width — one count per code
@@ -3050,50 +3055,61 @@ def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
     entry being assigned), and a clear code resets everything."""
     clear = 1 << min_code_size
     eoi = clear + 1
+    base = _LZW_BASE.get(clear)
+    if base is None:
+        base = [bytes([i]) for i in range(clear)] + [b"", b""]
+        _LZW_BASE[clear] = base
     out = bytearray()
-    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = base.copy()
+    tlen = len(table)
+    dlen = len(data)
     counter = eoi + 1
     width = min_code_size + 1
+    mask = (1 << width) - 1
     acc = nbits = pos = 0
     prev: bytes | None = None
     while True:
         while nbits < width:
-            if pos >= len(data):
+            if pos >= dlen:
                 raise ValueError("LZW stream truncated before EOI")
             acc |= data[pos] << nbits
             pos += 1
             nbits += 8
-        code = acc & ((1 << width) - 1)
+        code = acc & mask
         acc >>= width
         nbits -= width
         if counter < 4097:
             counter += 1
-            if counter > (1 << width) and width < 12:
+            if counter > mask + 1 and width < 12:
                 width += 1
+                mask = (1 << width) - 1
         if code == clear:
-            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            table = base.copy()
+            tlen = len(table)
             counter = eoi + 1
             width = min_code_size + 1
+            mask = (1 << width) - 1
             prev = None
             continue
         if code == eoi:
             return bytes(out)
         if prev is None:
-            if code >= len(table):
+            if code >= tlen:
                 raise ValueError(f"LZW code {code} out of range after clear")
             entry = table[code]
         else:
-            if code < len(table):
+            if code < tlen:
                 entry = table[code]
-            elif code == len(table):
+            elif code == tlen:
                 entry = prev + prev[:1]  # KwKwK: the entry being assigned
             else:
-                raise ValueError(f"LZW code {code} out of range (table={len(table)})")
+                raise ValueError(f"LZW code {code} out of range (table={tlen})")
             # spec allows entries through code 4095; a deferred-clear
             # encoder (legal GIF89a) may reference 4095, so the table caps
             # at 4096 ENTRIES, not 4095 (our own encoder clears earlier)
-            if len(table) < 4096:
+            if tlen < 4096:
                 table.append(prev + entry[:1])
+                tlen += 1
         out += entry
         prev = entry
 
