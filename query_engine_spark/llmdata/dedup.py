@@ -24,7 +24,7 @@ conversion anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 from query_engine_spark.llmdata import tracked_persist
 
@@ -387,7 +387,13 @@ def simhash_candidate_pairs(
     return pairs
 
 
-def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20, on_iteration=None) -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame,
+    *,
+    max_iters: int = 20,
+    on_iteration=None,
+    local_threshold: int = 65536,
+) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster) with
     cluster = min id reachable. Alternating large-star/small-star edge
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -414,6 +420,17 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20, on_iteration=None) 
     whose id == cluster, drop the rest. (Reference semantics: near-dup
     cluster canonicalization; verified against the recursive-CTE oracle of
     `dedup_clusters` in the registry.)
+
+    Size-gated fast path (round 8): when the DISTINCT pair set fits the
+    driver (`local_threshold` rows — the gate is enforced with a
+    limit-probe collect, never an unbounded one), the components are
+    solved by an exact local union-find and returned as one small
+    DataFrame. A verified near-dup edge set is tiny relative to its
+    corpus, so at bench scales the star-contraction loop's driver
+    barriers (several Spark jobs per round pair) dominated the wall for
+    a few hundred edges; at real scale the edge set blows past the gate
+    and the distributed contraction engages unchanged. Identical output
+    contract either way: cluster = min reachable id.
     """
     from query_engine_spark.cache import local_checkpoint_with_free as _ckpt
     from query_engine_spark.llmdata import tracked, tracked_local_checkpoint, tracked_persist
@@ -429,6 +446,41 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20, on_iteration=None) 
             F.least(F.col("id_a"), F.col("id_b")).alias("v"),
         ).distinct()
     )
+    if local_threshold > 0:
+        probe = base.limit(local_threshold + 1).collect()
+        if len(probe) <= local_threshold:
+            # exact local union-find; second pass maps each component to
+            # its minimum member id (the distributed contract)
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            node_set = set()
+            for row in probe:
+                u, v = row[0], row[1]
+                node_set.add(u)
+                node_set.add(v)
+                if u != v:
+                    parent[find(u)] = find(v)
+            comp_min: dict = {}
+            for x in node_set:
+                r = find(x)
+                if r not in comp_min or x < comp_min[r]:
+                    comp_min[r] = x
+            id_type = base.schema["u"].dataType
+            schema = T.StructType(
+                [T.StructField("id", id_type), T.StructField("cluster", id_type)]
+            )
+            return pairs.sparkSession.createDataFrame(
+                [(x, comp_min[find(x)]) for x in sorted(node_set)], schema
+            )
+
     nodes = (
         base.select(F.col("u").alias("id"))
         .unionByName(base.select(F.col("v").alias("id")))

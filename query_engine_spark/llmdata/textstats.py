@@ -225,8 +225,11 @@ def bm25_search(
     frequencies and the average length are tiny aggregates (broadcast). Top
     docs by (score, id) — a fused top-N.
     """
-    toks = _tokens(F.col(text_col))
-    base = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"), F.size(toks).alias("dl"))
+    # project the token ARRAY below the explode: size(toks) in the same
+    # select as the explode is a post-Generate projection, so the regex
+    # tokenizer re-runs per TOKEN ROW (the round-8 classifier finding)
+    arr = df.select(F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("__toks"))
+    base = arr.select("id", F.explode("__toks").alias("t"), F.size("__toks").alias("dl"))
     # corpus scalars (N, avgdl) folded into the plan as ONE broadcast row —
     # no driver round-trips (round-1 verdict fix #5). avgdl averages docs
     # with >=1 token, matching the exploded table the old collect() saw.
@@ -290,9 +293,10 @@ def write_text_index(
     pruning — the bucket list is computable from the query string alone,
     before planning), so a search reads |query terms| buckets instead of
     re-tokenizing the corpus."""
-    toks = _tokens(F.col(text_col))
-    base = df.select(
-        F.col(id_col).alias("id"), F.explode(toks).alias("t"), F.size(toks).alias("dl")
+    # token array projected below the explode (see search_bm25)
+    arr = df.select(F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("__toks"))
+    base = arr.select(
+        "id", F.explode("__toks").alias("t"), F.size("__toks").alias("dl")
     ).filter(F.col("t") != "")
     tf = base.groupBy("id", "t").agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
     postings = tf.withColumn("bucket", _term_bucket(F.col("t"), n_buckets))
@@ -1387,8 +1391,16 @@ def train_hashed_classifier(
 
     Returns (bkt, w_q).
     """
-    toks = docs.select(
-        label.alias("__pos"), F.explode(_tokens(F.col(text_col))).alias("t")
+    # Materialize the label BELOW the explode: putting `label` in the same
+    # select as the explode makes it a post-Generate projection, so a
+    # heavy label expression (the quality-score column is dozens of string
+    # ops) re-evaluates PER TOKEN ROW — measured 12.3 s → 0.7 s at sf0.1
+    # for the curation classifier stage. Same family as the round-6
+    # HOF-lambda finding: expressions must cross a projection boundary
+    # BEFORE the row-multiplying operator.
+    labeled = docs.select(label.alias("__pos"), F.col(text_col).alias("__text"))
+    toks = labeled.select(
+        "__pos", F.explode(_tokens(F.col("__text"))).alias("t")
     ).filter(F.col("t") != "")
     counts = (
         toks.select("__pos", hash_bucket(F.col("t"), n_buckets).alias("bkt"))

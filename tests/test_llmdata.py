@@ -102,12 +102,40 @@ def test_ivf_recall_vs_exact(spark):
 
 
 def test_dedup_clusters(spark):
-    # pairs: {1-2, 2-3} chain + {7-8} → clusters {1,2,3}→1 and {7,8}→7
+    # pairs: {1-2, 2-3} chain + {7-8} → clusters {1,2,3}→1 and {7,8}→7;
+    # identical through the size-gated local union-find (default) and the
+    # distributed star contraction (local_threshold=0 forces it)
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
     )
     got = {r["id"]: r["cluster"] for r in D.dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    dist = {
+        r["id"]: r["cluster"]
+        for r in D.dedup_clusters(pairs, local_threshold=0).collect()
+    }
+    assert dist == got
+
+
+def test_dedup_clusters_local_vs_distributed_differential(spark):
+    # random sparse graphs: the two paths must agree exactly (the gate is
+    # a pure performance fork, never a semantic one)
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(10, 80))
+        ]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        local = {r["id"]: r["cluster"] for r in D.dedup_clusters(pairs).collect()}
+        dist = {
+            r["id"]: r["cluster"]
+            for r in D.dedup_clusters(pairs, local_threshold=0).collect()
+        }
+        assert local == dist, trial
 
 
 def test_dedup_clusters_frees_all_cached_blocks(spark):
@@ -122,7 +150,8 @@ def test_dedup_clusters_frees_all_cached_blocks(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long"  # diameter > 4
     )
-    out = D.dedup_clusters(pairs, max_iters=20)
+    # local_threshold=0: this test pins the DISTRIBUTED loop's cache hygiene
+    out = D.dedup_clusters(pairs, max_iters=20, local_threshold=0)
     assert out.count() == 12
     clear_llmdata_cache()
     after = set(jsc.getPersistentRDDs().keySet().toArray())
