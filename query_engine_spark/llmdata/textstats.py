@@ -551,43 +551,53 @@ def repetition_features(
     character fractions — proportional for near-uniform token lengths, and
     exactly integer-reproducible across engines (floor ppm, no float ratio).
 
-    Shape: one explode + one (doc_id, gram) hash-agg + one doc_id hash-agg
-    per n — all map-side combinable, sharded by document, no window, no
-    driver state. Documents whose normalized text is empty vanish (no
-    tokens); docs with < n words get 0 for that n's features.
+    Shape (fused, round 8): the three n-gram streams union into ONE
+    tagged (doc_id, n, g) relation, so the whole operator is one shuffle
+    on (doc_id, n, g) + one on (doc_id, n) + a conditional-agg pivot —
+    instead of the previous per-n pipeline (3 shuffles each) stitched by
+    two doc-keyed joins. Map-side combinable, sharded by document, no
+    window, no driver state; identical integers (the per-n arithmetic is
+    untouched, n is just another grouping key). Documents whose
+    normalized text is empty vanish (no tokens); docs with < n words get
+    0 for that n's features.
     """
     from query_engine_spark.llmdata.dedup import word_shingles
 
-    def per_n(n: int) -> DataFrame:
+    def grams_of(n: int) -> DataFrame:
         if n == 1:
-            grams = df.select(
+            return df.select(
                 F.col(id_col).alias("doc_id"),
+                F.lit(1).alias("n"),
                 F.explode(_tokens(F.col(text_col))).alias("g"),
             ).filter(F.col("g") != "")
-        else:
-            grams = df.select(
-                F.col(id_col).alias("doc_id"),
-                F.explode(word_shingles(F.col(text_col), n)).alias("g"),
-            )
-        cnts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
-        return cnts.groupBy("doc_id").agg(
-            F.expr(f"(max(cnt) * {quant}) div sum(cnt)").alias(f"top{n}_ppm"),
-            F.expr(
-                f"(coalesce(sum(cnt) filter (where cnt >= 2), 0) * {quant}) div sum(cnt)"
-            ).alias(f"dup{n}_ppm"),
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(n).alias("n"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("g"),
         )
 
-    out = per_n(1)
-    for n in (2, 3):
-        out = out.join(per_n(n), "doc_id", "left")
-    return out.select(
-        "doc_id",
-        "top1_ppm",
-        "dup1_ppm",
-        F.coalesce("top2_ppm", F.lit(0)).alias("top2_ppm"),
-        F.coalesce("dup2_ppm", F.lit(0)).alias("dup2_ppm"),
-        F.coalesce("top3_ppm", F.lit(0)).alias("top3_ppm"),
-        F.coalesce("dup3_ppm", F.lit(0)).alias("dup3_ppm"),
+    tagged = grams_of(1).unionByName(grams_of(2)).unionByName(grams_of(3))
+    cnts = tagged.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc_n = cnts.groupBy("doc_id", "n").agg(
+        F.expr(f"(max(cnt) * {quant}) div sum(cnt)").alias("top_ppm"),
+        F.expr(
+            f"(coalesce(sum(cnt) filter (where cnt >= 2), 0) * {quant}) div sum(cnt)"
+        ).alias("dup_ppm"),
+    )
+
+    # conditional-agg pivot: every doc in per_doc_n has an n=1 row (any
+    # tokenized doc does), so top1/dup1 are never null; missing n=2/3
+    # (docs with < n words) coalesce to 0 exactly as the old left joins
+    def pick(n: int, col: str):
+        return F.max(F.when(F.col("n") == n, F.col(col)))
+
+    return per_doc_n.groupBy("doc_id").agg(
+        pick(1, "top_ppm").alias("top1_ppm"),
+        pick(1, "dup_ppm").alias("dup1_ppm"),
+        F.coalesce(pick(2, "top_ppm"), F.lit(0)).alias("top2_ppm"),
+        F.coalesce(pick(2, "dup_ppm"), F.lit(0)).alias("dup2_ppm"),
+        F.coalesce(pick(3, "top_ppm"), F.lit(0)).alias("top3_ppm"),
+        F.coalesce(pick(3, "dup_ppm"), F.lit(0)).alias("dup3_ppm"),
     )
 
 
