@@ -39,6 +39,10 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_adc_topk",
+    "pq_pack_codes",
+    "pq_unpack_codes",
+    "write_pq_index",
+    "pq_adc_topk_indexed",
     "ivfpq_topk",
 ]
 
@@ -594,6 +598,139 @@ def pq_adc_topk(
         quantize_vec(F.col(query_vec_col), quant).alias("qv"),
     )
     qsub = _pq_subvectors(qs, m, dsub, id_col="query_id")
+    lut = qsub.join(F.broadcast(cbooks), "sub").select(
+        "query_id", "sub", "code", _l2_sq(F.col("sv"), F.col("cv")).alias("pd")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
+def pq_pack_codes(codes: DataFrame, m: int) -> DataFrame:
+    """Pack the long-format (vec_id, sub, code) table into ONE BINARY of
+    m bytes per vector — the storage boundary the PQ docstrings promise:
+    a dims·4-byte float vector compresses to m bytes (here 256 → 4), and
+    the packed column is what a 100 TB deployment persists and scans.
+    Byte s of the binary is subspace s's code (codes must be < 256 —
+    enforced). Pure engine-reproducible expressions: per-sub hex pairs
+    concatenated and unhexed, no UDF."""
+    parts = F.array_sort(F.collect_list(F.struct("sub", "code")))
+    return (
+        codes.groupBy("vec_id")
+        .agg(parts.alias("__sc"))
+        .select(
+            "vec_id",
+            F.unhex(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        "__sc",
+                        lambda e: F.lpad(
+                            F.hex(
+                                F.when(
+                                    (e["code"] >= 0) & (e["code"] < 256), e["code"]
+                                ).otherwise(
+                                    F.raise_error(
+                                        F.concat(
+                                            F.lit("pq code out of byte range: "),
+                                            e["code"].cast("string"),
+                                        )
+                                    )
+                                )
+                            ),
+                            2,
+                            "0",
+                        ),
+                    ),
+                )
+            ).alias("codes"),
+        )
+    )
+
+
+def pq_unpack_codes(packed: DataFrame, m: int) -> DataFrame:
+    """Inverse of `pq_pack_codes`: (vec_id, codes binary) → the long
+    (vec_id, sub, code) relation ADC search scans. substring-on-binary +
+    hex parse per subspace — map-only, codegen-friendly, exact."""
+    entries = F.array(*[
+        F.struct(
+            F.lit(s).alias("sub"),
+            F.conv(F.hex(F.substring(F.col("codes"), s + 1, 1)), 16, 10)
+            .cast("int")
+            .alias("code"),
+        )
+        for s in range(m)
+    ])
+    return packed.select("vec_id", F.explode(entries).alias("e")).select(
+        "vec_id", "e.sub", "e.code"
+    )
+
+
+def write_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    quant: int = 1000,
+) -> None:
+    """Materialize the PACKED PQ index: `{path}/codebooks` (m·ksub rows)
+    and `{path}/codes` with one m-byte binary per vector (`pq_pack_codes`)
+    plus `{path}/meta` pinning (m, ksub, dims, quant) so a reader cannot
+    probe with mismatched geometry. This is the persist-once-search-many
+    form of `pq_adc_topk`'s in-plan training: at 100 TB the codes table
+    is the only thing search ever scans (~dims·4/m-fold smaller than the
+    embedding column) and the codebooks broadcast."""
+    cbooks = pq_train(
+        embeddings, m, ksub, iters, id_col=id_col, vec_col=vec_col, dims=dims, quant=quant
+    )
+    cbooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark = embeddings.sparkSession
+    cbooks_r = spark.read.parquet(f"{path}/codebooks")
+    codes = pq_encode(
+        embeddings, cbooks_r, m, id_col=id_col, vec_col=vec_col, dims=dims, quant=quant
+    )
+    pq_pack_codes(codes, m).write.mode("overwrite").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(m, ksub, dims, quant)], "m int, ksub int, dims int, quant int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def pq_adc_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ADC top-k over a `write_pq_index` layout: unpack the m-byte codes
+    (map-only), build the per-query LUT against the broadcast codebooks,
+    join on (sub, code), one agg, one per-query top-k window — identical
+    arithmetic to `pq_adc_topk` (packing is transport, so the results are
+    row-identical to the in-plan form; the registry oracle is shared
+    verbatim). Geometry comes from the index's own meta row."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    m, ksub, dims, quant = meta["m"], meta["ksub"], meta["dims"], meta["quant"]
+    cbooks = spark.read.parquet(f"{path}/codebooks")
+    codes = pq_unpack_codes(spark.read.parquet(f"{path}/codes"), m)
+    qs = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        quantize_vec(F.col(query_vec_col), quant).alias("qv"),
+    )
+    qsub = _pq_subvectors(qs, m, dims // m, id_col="query_id")
     lut = qsub.join(F.broadcast(cbooks), "sub").select(
         "query_id", "sub", "code", _l2_sq(F.col("sv"), F.col("cv")).alias("pd")
     )

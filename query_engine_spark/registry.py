@@ -2802,6 +2802,7 @@ def embed_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Sim.ivf_topk_indexed(index, cents, queries, k=5, nprobe=2)
 
 
+
 @_register(
     "dedup_embedding_cosine",
     f"""
@@ -6638,6 +6639,32 @@ def embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return Sim.pq_adc_topk(emb, queries, k=5, m=4, ksub=4, iters=2)
+
+@_register(
+    "embed_pq_indexed",
+    _pq_oracle(),
+    "ADC search over the MATERIALIZED packed-codes PQ index "
+    "(write_pq_index → codebooks + ONE m-byte binary per vector + a "
+    "geometry meta row; pq_pack_codes/pq_unpack_codes are exact hex "
+    "transport, no UDF): the persist-once-search-many form the PQ "
+    "docstrings promise — at 100 TB the m-byte codes column is the only "
+    "thing search scans (~dims·4/m-fold smaller than the embeddings) and "
+    "the codebooks broadcast. Packing is transport, so results are "
+    "row-identical to embed_pq_topk and that query's unrolled-CTE "
+    "training oracle applies verbatim (llmdata/similarity.py "
+    "write_pq_index/pq_adc_topk_indexed)",
+)
+def embed_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = _index_cache_path("pq_index", sf_dir)
+    if not os.path.exists(os.path.join(path, "meta", "_SUCCESS")):
+        Sim.write_pq_index(emb, path, m=4, ksub=4, iters=2)
+    return Sim.pq_adc_topk_indexed(spark, path, queries, k=5)
 
 
 @_register(

@@ -4090,3 +4090,44 @@ def test_jpeg_bit_reader_differential_fuzz():
                 code += 1
                 k += 1
             code <<= 1
+
+
+def test_pq_packed_index_roundtrip_and_parity(spark, tmp_path):
+    """write_pq_index materializes codebooks + ONE m-byte binary per
+    vector; pack/unpack is an exact transport (roundtrip identical), the
+    indexed ADC search is row-identical to the in-plan pq_adc_topk, a
+    mismatched geometry cannot be probed (meta pins it), and an
+    out-of-byte-range code fails loudly at pack time."""
+    import pyspark.sql.functions as F
+    import pytest
+    from query_engine_spark.llmdata import similarity as S
+    from query_engine_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = str(tmp_path / "pq")
+    S.write_pq_index(emb, path, m=4, ksub=4, iters=2)
+
+    # packed layout: 4 bytes per vector, meta pins the geometry
+    packed = spark.read.parquet(f"{path}/codes")
+    assert packed.select(F.length("codes").alias("l")).distinct().collect()[0]["l"] == 4
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert (meta["m"], meta["ksub"], meta["dims"], meta["quant"]) == (4, 4, 64, 1000)
+
+    # pack/unpack roundtrip is exact
+    cb = spark.read.parquet(f"{path}/codebooks")
+    codes = S.pq_encode(emb, cb, 4)
+    rt = sorted(S.pq_unpack_codes(S.pq_pack_codes(codes, 4), 4).collect())
+    assert rt == sorted(codes.collect())
+
+    # indexed search == in-plan search, row for row
+    a = sorted(S.pq_adc_topk(emb, queries, k=5, m=4, ksub=4, iters=2).collect())
+    b = sorted(S.pq_adc_topk_indexed(spark, path, queries, k=5).collect())
+    assert a == b and len(a) > 0
+
+    # a code outside one byte fails loudly at pack time
+    bad = spark.createDataFrame([(1, 0, 256)], "vec_id long, sub int, code int")
+    with pytest.raises(Exception, match="out of byte range"):
+        S.pq_pack_codes(bad, 1).collect()
