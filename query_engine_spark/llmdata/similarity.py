@@ -42,6 +42,7 @@ __all__ = [
     "pq_pack_codes",
     "pq_unpack_codes",
     "write_pq_index",
+    "pq_index_append",
     "pq_adc_topk_indexed",
     "ivfpq_topk",
 ]
@@ -705,6 +706,32 @@ def write_pq_index(
     spark.createDataFrame(
         [(m, ksub, dims, quant)], "m int, ksub int, dims int, quant int"
     ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def pq_index_append(
+    new_embeddings: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """INCREMENTAL PQ maintenance — the packed-index mirror of
+    `ivf_index_append`: a new crawl batch is encoded against the index's
+    OWN persisted codebooks and geometry (O(batch) work; the existing
+    codes are neither read nor rewritten) and appended to the codes
+    table. Searches via `pq_adc_topk_indexed` see base + appended vectors
+    identically to a full rebuild over the union — the codebooks are
+    frozen, so append changes no existing code. (Retraining codebooks on
+    drifted data is a REBUILD, not an append: new codebooks would
+    invalidate every already-packed byte.)"""
+    spark = new_embeddings.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    m, ksub, dims, quant = meta["m"], meta["ksub"], meta["dims"], meta["quant"]
+    cbooks = spark.read.parquet(f"{path}/codebooks")
+    codes = pq_encode(
+        new_embeddings, cbooks, m, id_col=id_col, vec_col=vec_col, dims=dims, quant=quant
+    )
+    pq_pack_codes(codes, m).write.mode("append").parquet(f"{path}/codes")
 
 
 def pq_adc_topk_indexed(

@@ -4131,3 +4131,39 @@ def test_pq_packed_index_roundtrip_and_parity(spark, tmp_path):
     bad = spark.createDataFrame([(1, 0, 256)], "vec_id long, sub int, code int")
     with pytest.raises(Exception, match="out of byte range"):
         S.pq_pack_codes(bad, 1).collect()
+
+
+def test_pq_index_append_matches_full_rebuild(spark, tmp_path):
+    """pq_index_append encodes a new batch against the index's frozen
+    codebooks and appends packed codes; searching the appended index must
+    equal searching a full index built over the union WITH THE SAME
+    (base-trained) codebooks — and the base rows' codes are untouched."""
+    import pyspark.sql.functions as F
+    from query_engine_spark.llmdata import similarity as S
+    from query_engine_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = str(tmp_path / "pq")
+    S.write_pq_index(base, path, m=4, ksub=4, iters=2)
+    before = {r["vec_id"]: bytes(r["codes"]) for r in spark.read.parquet(f"{path}/codes").collect()}
+    S.pq_index_append(batch, path)
+    after = {r["vec_id"]: bytes(r["codes"]) for r in spark.read.parquet(f"{path}/codes").collect()}
+    # base codes untouched; batch rows added
+    assert all(after[k] == v for k, v in before.items())
+    assert set(after) == set(before) | {r["vec_id"] for r in batch.select("vec_id").collect()}
+    # appended search == union encoded against the same frozen codebooks
+    got = sorted(S.pq_adc_topk_indexed(spark, path, queries, k=5).collect())
+    cb = spark.read.parquet(f"{path}/codebooks")
+    union_codes = S.pq_encode(emb, cb, 4)
+    # simplest equivalent: write a fresh index with the SAME codebooks
+    path2 = str(tmp_path / "pq2")
+    cb.write.parquet(f"{path2}/codebooks")
+    S.pq_pack_codes(union_codes, 4).write.parquet(f"{path2}/codes")
+    spark.read.parquet(f"{path}/meta").write.parquet(f"{path2}/meta")
+    want = sorted(S.pq_adc_topk_indexed(spark, path2, queries, k=5).collect())
+    assert got == want and len(got) > 0
