@@ -94,6 +94,9 @@ __all__ = [
     "gif_features",
     "make_gif_animated_composited",
     "make_gif_animated_disposals",
+    "make_gif_animated_local_palettes",
+    "decode_gif_frames_composited_rgb",
+    "gif_composited_rgb_features",
     "decode_gif_frames_composited",
     "gif_composited_features",
     "make_jpeg",
@@ -3461,6 +3464,80 @@ def make_gif_animated_disposals(
     return bytes(out)
 
 
+def make_gif_animated_local_palettes(
+    media_id: int,
+    width: int,
+    height: int,
+    n_frames: int,
+    *,
+    delay_cs: int = 10,
+    bg_index: int = 3,
+    transparent_index: int = 255,
+) -> bytes:
+    """Composited fixture whose frames f >= 1 carry PER-FRAME LOCAL COLOR
+    TABLES (GIF89a §20 — the multi-palette web shape): local entry i of
+    frame f is ((i+f) % 256, (i·5+f) % 256, (i·11+f) % 256), a different
+    integer formula from the global (i, 3i, 7i) table, so an engine that
+    folds through the wrong palette shifts every channel sum. Geometry,
+    transparency holes, value formulas and the 1/2 disposal alternation
+    match `make_gif_animated_composited`."""
+    import struct
+
+    if n_frames <= 0:
+        raise ValueError(f"invalid n_frames {n_frames}")
+    if width < 2 or height < 2:
+        raise ValueError(
+            f"local-palette fixture needs width/height >= 2, got {width}x{height}"
+        )
+    palette = bytes(v for i in range(256) for v in (i, (i * 3) % 256, (i * 7) % 256))
+    out = bytearray(
+        b"GIF89a" + struct.pack("<HHBBB", width, height, 0xF7, bg_index, 0) + palette
+    )
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    rw, rh = width // 2, height // 2
+    for f in range(n_frames):
+        if f == 0:
+            flags = 0x04
+            left, top, iw, ih = 0, 0, width, height
+            ipacked = 0
+            out += b"\x21\xf9\x04" + bytes(
+                (flags, delay_cs & 0xFF, delay_cs >> 8, 0)
+            ) + b"\x00"
+        else:
+            disposal = 2 if f % 2 == 0 else 1
+            flags = (disposal << 2) | 0x01
+            left = (f * 3) % (width - rw + 1)
+            top = (f * 2) % (height - rh + 1)
+            iw, ih = rw, rh
+            ipacked = 0x87  # local color table, 256 entries
+            out += b"\x21\xf9\x04" + bytes(
+                (flags, delay_cs & 0xFF, delay_cs >> 8, transparent_index)
+            ) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, iw, ih, ipacked)
+        if ipacked & 0x80:
+            out += bytes(
+                v
+                for i in range(256)
+                for v in ((i + f) % 256, (i * 5 + f) % 256, (i * 11 + f) % 256)
+            )
+        idx = bytes(
+            transparent_index
+            if f > 0 and (x + y + f) % 5 == 0
+            else (media_id * 31 + f * 97 + y * 7 + x * 3) % 255
+            for y in range(top, top + ih)
+            for x in range(left, left + iw)
+        )
+        lzw = _lzw_compress(idx, 8)
+        out += b"\x08"
+        for i in range(0, len(lzw), 255):
+            sub = lzw[i : i + 255]
+            out.append(len(sub))
+            out += sub
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
 def decode_gif_frames_composited(blob: bytes) -> tuple[int, int, bytes, list[bytes]]:
     """REAL animated-GIF decode WITH COMPOSITING → (width, height,
     palette, [per-frame COMPOSITED indices in natural row order]) — the
@@ -3473,11 +3550,32 @@ def decode_gif_frames_composited(blob: bytes) -> tuple[int, int, bytes, list[byt
     (GIF89a §23 treats 0 as unspecified ≡ no-dispose), 2 restores the
     frame's rect to the background color, 3 (restore-to-previous) makes
     the frame EPHEMERAL by reverting its rect to the pre-paint pixels.
-    Per-frame local color tables remain the honest boundary. Compositing
-    on INDICES is exact because one global palette governs the
-    animation — the same property the feature oracles rely on. The
-    overlay itself is vectorized (boolean-mask scatter on a uint8
-    canvas)."""
+    Compositing on INDICES is exact because one global palette governs
+    the animation — the property the feature oracles rely on — so a
+    PER-FRAME LOCAL COLOR TABLE raises here: indices from different
+    palettes are not comparable, and the honest general form is the RGB
+    canvas of `decode_gif_frames_composited_rgb`. The overlay itself is
+    vectorized (boolean-mask scatter on a uint8 canvas)."""
+    w, h, palette, frames = _gif_composite(blob, rgb_mode=False)
+    return w, h, palette, frames
+
+
+def decode_gif_frames_composited_rgb(blob: bytes) -> tuple[int, int, list[bytes]]:
+    """The GENERAL compositing engine: per-frame LOCAL color tables fold
+    at paint time onto an RGB canvas → (width, height, [per-frame RGB
+    bytes, h·w·3 natural row order]). Same GCE semantics as the index
+    engine (transparency on the frame's OWN indices, disposal 0/1/2/3;
+    disposal-2 restores the rect to the GLOBAL palette's background
+    color, per spec the background index refers to the global table);
+    each image descriptor's pixels fold through its ACTIVE palette —
+    local when the descriptor carries one (GIF89a §20), global
+    otherwise — which is exactly why the canvas must hold RGB: the same
+    index means different colors frame to frame."""
+    w, h, _, frames = _gif_composite(blob, rgb_mode=True)
+    return w, h, frames
+
+
+def _gif_composite(blob: bytes, *, rgb_mode: bool):
     import struct
 
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
@@ -3496,7 +3594,13 @@ def decode_gif_frames_composited(blob: bytes) -> tuple[int, int, bytes, list[byt
     if bg_index >= n:
         raise ValueError(f"background index {bg_index} >= palette size {n}")
 
-    canvas = np.full((sh, sw), bg_index, dtype=np.uint8)
+    gpal = np.frombuffer(palette, dtype=np.uint8).reshape(n, 3)
+    if rgb_mode:
+        canvas = np.broadcast_to(gpal[bg_index], (sh, sw, 3)).copy()
+        bg_fill = gpal[bg_index]
+    else:
+        canvas = np.full((sh, sw), bg_index, dtype=np.uint8)
+        bg_fill = bg_index
     frames: list[bytes] = []
     transparent = False
     t_index = 0
@@ -3542,7 +3646,23 @@ def decode_gif_frames_composited(blob: bytes) -> tuple[int, int, bytes, list[byt
                 f"frame rect ({left},{top}) {iw}x{ih} exceeds screen {sw}x{sh}"
             )
         if ipacked & 0x80:
-            raise NotImplementedError("per-frame local color tables unsupported")
+            if not rgb_mode:
+                raise NotImplementedError(
+                    "per-frame local color tables need the RGB canvas — "
+                    "composite via decode_gif_frames_composited_rgb (index "
+                    "compositing is ill-defined across palettes)"
+                )
+            ln_loc = 2 << (ipacked & 0x07)
+            loc = blob[pos : pos + 3 * ln_loc]
+            if len(loc) < 3 * ln_loc:
+                raise ValueError("truncated local color table")
+            pos += 3 * ln_loc
+            active_pal, active_n = (
+                np.frombuffer(loc, dtype=np.uint8).reshape(ln_loc, 3),
+                ln_loc,
+            )
+        else:
+            active_pal, active_n = gpal, n
         interlaced = bool(ipacked & 0x40)
         min_code_size = blob[pos]
         pos += 1
@@ -3565,22 +3685,25 @@ def decode_gif_frames_composited(blob: bytes) -> tuple[int, int, bytes, list[byt
                 natural[y * iw : (y + 1) * iw] = idx[k * iw : (k + 1) * iw]
             idx = bytes(natural)
         arr = np.frombuffer(idx, dtype=np.uint8).reshape(ih, iw)
-        if int(arr.max(initial=0)) >= n:
-            raise ValueError(f"palette index {int(arr.max())} >= table size {n}")
+        if int(arr.max(initial=0)) >= active_n:
+            raise ValueError(
+                f"palette index {int(arr.max())} >= table size {active_n}"
+            )
         region = canvas[top : top + ih, left : left + iw]
         # disposal 3 (restore-to-previous): the frame is EPHEMERAL — the
         # rect reverts to its pre-paint state after display, so only this
         # frame's own output ever sees the paint (GIF89a §23; one saved
         # rect suffices because the revert happens before the next paint)
         saved = region.copy() if disposal == 3 else None
+        paint = active_pal[arr] if rgb_mode else arr
         if transparent:
             mask = arr != t_index
-            region[mask] = arr[mask]
+            region[mask] = paint[mask]
         else:
-            region[...] = arr
+            region[...] = paint
         frames.append(canvas.tobytes())
         if disposal == 2:
-            canvas[top : top + ih, left : left + iw] = bg_index
+            canvas[top : top + ih, left : left + iw] = bg_fill
         elif disposal == 3:
             region[...] = saved
         transparent = False
@@ -3634,6 +3757,54 @@ def gif_composited_features(
             )
 
     return df.select("media_id", "payload").mapInPandas(run, _GIF_FRAME_SCHEMA)
+
+
+_GIF_RGB_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, "
+    "rgb_sum long, top_left_rgb int"
+)
+
+
+def gif_composited_rgb_features(
+    df: DataFrame, every_n: int = 1, max_frames: int = 8
+) -> DataFrame:
+    """Distributed RGB-canvas compositing (per-frame local color tables):
+    one Arrow mapInPandas pass, one row per DISPLAYED frame with the
+    channel sum and the packed top-left pixel (r·65536 + g·256 + b);
+    hash-verified by the registry's `multimodal_gif_local_palettes`."""
+
+    if every_n <= 0 or max_frames <= 0:
+        raise ValueError(f"invalid sampling every_n={every_n} max_frames={max_frames}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = decode_gif_frames_composited_rgb(bytes(blob))
+                for j in range(min(max_frames, (len(frames) + every_n - 1) // every_n)):
+                    fi = j * every_n
+                    fr = np.frombuffer(frames[fi], dtype=np.uint8)
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": fi,
+                            "width": w,
+                            "height": h,
+                            "rgb_sum": int(fr.sum(dtype=np.int64)),
+                            "top_left_rgb": int(fr[0]) * 65536
+                            + int(fr[1]) * 256
+                            + int(fr[2]),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "rgb_sum", "top_left_rgb",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _GIF_RGB_FRAME_SCHEMA)
 
 
 _GIF_FRAME_SCHEMA = (

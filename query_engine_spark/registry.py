@@ -3587,6 +3587,84 @@ def multimodal_gif_disposals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.gif_composited_features(media)
 
 
+@_register(
+    "multimodal_gif_local_palettes",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 14 + doc_id % 4 AS w, 10 + doc_id % 3 AS h
+      FROM documents WHERE doc_id < 48),
+    rect AS (
+      SELECT m.media_id, m.w, m.h, f.f,
+             CASE WHEN f.f = 0 THEN m.w ELSE m.w // 2 END AS rw,
+             CASE WHEN f.f = 0 THEN m.h ELSE m.h // 2 END AS rh,
+             CASE WHEN f.f = 0 THEN 0 ELSE (f.f*3) % (m.w - m.w//2 + 1) END AS rl,
+             CASE WHEN f.f = 0 THEN 0 ELSE (f.f*2) % (m.h - m.h//2 + 1) END AS rt
+      FROM m, generate_series(0, 3) AS f(f)),
+    px AS (
+      -- opaque painted pixels with the frame's palette INDEX, once
+      SELECT r.media_id, r.f, x.x AS x, y.y AS y,
+             (r.media_id*31 + r.f*97 + y.y*7 + x.x*3) % 255 AS i
+      FROM rect r, generate_series(0, 17) AS x(x), generate_series(0, 12) AS y(y)
+      WHERE x.x >= r.rl AND x.x < r.rl + r.rw
+        AND y.y >= r.rt AND y.y < r.rt + r.rh
+        AND (r.f = 0 OR (x.x + y.y + r.f) % 5 != 0)),
+    ev AS (
+      -- fold the index through the frame's ACTIVE palette: the global
+      -- (i, 3i, 7i) table for the base frame, frame f's LOCAL
+      -- (i+f, 5i+f, 11i+f) table for f >= 1 — packed r*65536+g*256+b
+      SELECT media_id, 2*f AS seq, x, y,
+             CASE WHEN f = 0
+               THEN i*65536 + ((i*3) % 256)*256 + (i*7) % 256
+               ELSE ((i + f) % 256)*65536 + ((i*5 + f) % 256)*256
+                    + (i*11 + f) % 256
+             END AS rgb
+      FROM px
+      UNION ALL
+      -- disposal-2 restores paint the GLOBAL palette's background color
+      -- (index 3 -> (3, 9, 21)), per spec the bg index is global
+      SELECT r.media_id, 2*r.f + 1, x.x, y.y, 3*65536 + 9*256 + 21
+      FROM rect r, generate_series(0, 17) AS x(x), generate_series(0, 12) AS y(y)
+      WHERE r.f > 0 AND r.f % 2 = 0
+        AND x.x >= r.rl AND x.x < r.rl + r.rw
+        AND y.y >= r.rt AND y.y < r.rt + r.rh),
+    state AS (
+      SELECT g.media_id, g.f AS fi, g.w, g.h, e.x, e.y, max_by(e.rgb, e.seq) AS rgb
+      FROM rect g JOIN ev e ON e.media_id = g.media_id AND e.seq <= 2*g.f
+      GROUP BY g.media_id, g.f, g.w, g.h, e.x, e.y)
+    SELECT media_id, CAST(fi AS INT) AS frame_idx,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(rgb // 65536 + (rgb // 256) % 256 + rgb % 256) AS BIGINT) AS rgb_sum,
+           CAST(max(CASE WHEN x = 0 AND y = 0 THEN rgb END) AS INT) AS top_left_rgb
+    FROM state GROUP BY media_id, fi, w, h
+    """,
+    "PER-FRAME LOCAL COLOR TABLES over the RGB compositing canvas — the "
+    "multi-palette web shape and the last GIF compositing boundary: "
+    "indices from different palettes are not comparable, so each frame's "
+    "pixels fold through its ACTIVE table (local for f >= 1, global for "
+    "the base) at paint time onto an RGB canvas; transparency still masks "
+    "on the frame's own indices and disposal-2 restores the GLOBAL "
+    "background color. The paint-event oracle packs each painted pixel "
+    "as r*65536+g*256+b through the same palette formulas, so folding "
+    "through the wrong table or restoring a local background shifts the "
+    "channel sums and fails the hash (llmdata/multimodal.py "
+    "make_gif_animated_local_palettes/decode_gif_frames_composited_rgb/"
+    "gif_composited_rgb_features)",
+)
+def multimodal_gif_local_palettes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 48).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(
+            ids,
+            lambda i: MM.make_gif_animated_local_palettes(i, 14 + i % 4, 10 + i % 3, 4),
+        ),
+        media_type="image/gif",
+    )
+    return MM.gif_composited_rgb_features(media)
+
+
 def _jpeg_oracle() -> str:
     """DuckDB SQL reproducing decode_jpeg's output from the coefficient
     formula: dezigzag + dequant + the SAME fixed-point integer IDCT

@@ -4167,3 +4167,92 @@ def test_pq_index_append_matches_full_rebuild(spark, tmp_path):
     spark.read.parquet(f"{path}/meta").write.parquet(f"{path2}/meta")
     want = sorted(S.pq_adc_topk_indexed(spark, path2, queries, k=5).collect())
     assert got == want and len(got) > 0
+
+
+def test_gif_local_palette_rgb_compositing(spark):
+    """decode_gif_frames_composited_rgb folds each frame through its
+    ACTIVE palette (local when the descriptor carries one) onto an RGB
+    canvas: differential vs an independent scalar compositor; the index
+    engine redirects local-palette streams to the RGB form; global-only
+    animations agree between index-folded and RGB engines."""
+    import numpy as np
+    import pytest
+    from query_engine_spark.llmdata.multimodal import (
+        decode_gif_frames_composited,
+        decode_gif_frames_composited_rgb,
+        gif_composited_rgb_features,
+        make_gif_animated_composited,
+        make_gif_animated_local_palettes,
+    )
+
+    def reference_rgb(media_id, width, height, n_frames, bg=3, tid=255):
+        gpal = [(i, (i * 3) % 256, (i * 7) % 256) for i in range(256)]
+        rw, rh = width // 2, height // 2
+        canvas = [[gpal[bg]] * width for _ in range(height)]
+        canvas = [list(r) for r in canvas]
+        out = []
+        for f in range(n_frames):
+            if f == 0:
+                left, top, iw, ih, transparent, disposal = 0, 0, width, height, False, 1
+                pal = gpal
+            else:
+                left = (f * 3) % (width - rw + 1)
+                top = (f * 2) % (height - rh + 1)
+                iw, ih, transparent = rw, rh, True
+                disposal = 2 if f % 2 == 0 else 1
+                pal = [
+                    ((i + f) % 256, (i * 5 + f) % 256, (i * 11 + f) % 256)
+                    for i in range(256)
+                ]
+            for v in range(ih):
+                for u in range(iw):
+                    x, y = left + u, top + v
+                    idx = (
+                        tid
+                        if (f > 0 and (x + y + f) % 5 == 0)
+                        else (media_id * 31 + f * 97 + y * 7 + x * 3) % 255
+                    )
+                    if transparent and idx == tid:
+                        continue
+                    canvas[y][x] = pal[idx]
+            out.append(bytes(c for row in canvas for px in row for c in px))
+            if disposal == 2:
+                for v in range(ih):
+                    for u in range(iw):
+                        canvas[top + v][left + u] = gpal[bg]
+        return out
+
+    for m in (0, 5, 9):
+        w, h = 14 + m % 4, 10 + m % 3
+        blob = make_gif_animated_local_palettes(m, w, h, 4)
+        sw, sh, frames = decode_gif_frames_composited_rgb(blob)
+        assert (sw, sh) == (w, h)
+        assert [bytes(fr) for fr in frames] == reference_rgb(m, w, h, 4)
+        # the index engine refuses multi-palette streams with a redirect
+        with pytest.raises(NotImplementedError, match="composited_rgb"):
+            decode_gif_frames_composited(blob)
+
+    # global-only animations: RGB engine == palette fold of index engine
+    for m in range(3):
+        blob = make_gif_animated_composited(m, 14 + m % 4, 10 + m % 3, 4)
+        _, _, pal, fidx = decode_gif_frames_composited(blob)
+        _, _, frgb = decode_gif_frames_composited_rgb(blob)
+        p = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+        for a, b in zip(fidx, frgb):
+            assert p[np.frombuffer(a, dtype=np.uint8)].tobytes() == bytes(b)
+
+    # distributed fold: map-only plan
+    media = spark.createDataFrame(
+        [(i, make_gif_animated_local_palettes(i, 14, 10, 4)) for i in range(4)],
+        "media_id long, payload binary",
+    )
+    feats = gif_composited_rgb_features(media)
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    out = feats.collect()
+    assert len(out) == 4 * 4
+    ref0 = reference_rgb(2, 14, 10, 4)
+    got = {r["frame_idx"]: r for r in out if r["media_id"] == 2}
+    for fi in range(4):
+        assert got[fi]["rgb_sum"] == sum(ref0[fi])
+        assert got[fi]["top_left_rgb"] == ref0[fi][0] * 65536 + ref0[fi][1] * 256 + ref0[fi][2]
