@@ -89,6 +89,9 @@ __all__ = [
     "make_png",
     "decode_png",
     "png_features",
+    "make_png16",
+    "decode_png16",
+    "png16_features",
     "make_gif",
     "decode_gif",
     "gif_features",
@@ -2801,6 +2804,62 @@ def make_png(
     )
 
 
+def make_png16(
+    media_id: int, width: int, height: int, *, color_type: int = 2,
+    interlace: bool = False,
+) -> bytes:
+    """Pack a deterministic 16-BIT PNG (color type 2 RGB or 0 grayscale):
+    sample c of pixel (x, y) is ``(media_id*4099 + y*257 + x*101 + c*31)
+    % 65536``, stored big-endian per spec §7.1. Rows cycle all five
+    filters operating on BYTES with the doubled bpp offset (§9.2) — a
+    sample-wise unfilter reconstructs different bytes and fails the
+    oracle. ADAM7 composes exactly as at 8 bits."""
+    import struct
+    import zlib
+
+    if color_type not in (0, 2):
+        raise ValueError(f"16-bit fixture supports color types 0/2, got {color_type}")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ch = _PNG_CHANNELS[color_type]
+    bpp = ch * 2
+
+    def px_row(y: int, xs) -> bytes:
+        return b"".join(
+            struct.pack(
+                ">H", (media_id * 4099 + y * 257 + x * 101 + c * 31) % 65536
+            )
+            for x in xs
+            for c in range(ch)
+        )
+
+    if not interlace:
+        rows = [px_row(y, range(width)) for y in range(height)]
+        raw = _png_filter_rows(rows, bpp, lambda j: j % 5)
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            ys = list(range(y0, height, dy))
+            xs = list(range(x0, width, dx))
+            if not ys or not xs:
+                continue
+            raw += _png_filter_rows([px_row(y, xs) for y in ys], bpp, lambda j: j % 5)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 16, color_type, 0, 0, 1 if interlace else 0
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _png_unfilter(raw: bytes, off: int, pw: int, ph: int, bpp: int) -> tuple[list[bytearray], int]:
     """Unfilter `ph` scanlines of `pw` pixels starting at `off` (prev row
     zero at the start — each Adam7 pass unfilters independently). Returns
@@ -2900,10 +2959,17 @@ def decode_png_pixels(blob: bytes) -> tuple[int, int, list[bytearray]]:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     width, height, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or color not in _PNG_CHANNELS:
+    if color not in _PNG_CHANNELS:
         raise NotImplementedError(
-            "only 8-bit grayscale (0), RGB (2), palette (3), gray+alpha "
-            "(4) or RGBA (6) supported; 16-bit depths remain a boundary"
+            "only grayscale (0), RGB (2), palette (3), gray+alpha (4) or "
+            "RGBA (6) color types supported"
+        )
+    if depth not in (8, 16) or (depth == 16 and color == 3):
+        # 16-bit palette is invalid per spec §11.2.2 (palette depth <= 8);
+        # 1/2/4-bit packed depths remain the boundary
+        raise NotImplementedError(
+            "only 8-bit (all color types) and 16-bit (non-palette) depths "
+            "supported; 1/2/4-bit packed rows remain a boundary"
         )
     if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise NotImplementedError("only deflate/adaptive-filter, interlace 0/1 supported")
@@ -2913,7 +2979,10 @@ def decode_png_pixels(blob: bytes) -> tuple[int, int, list[bytearray]]:
         if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
             raise ValueError("palette PNG missing/invalid PLTE chunk")
     raw = zlib.decompress(idat)
-    bpp = _PNG_CHANNELS[color]
+    # PNG filters operate on BYTES with the left-neighbor offset equal to
+    # the FULL pixel width in bytes (spec §9.2's bpp) — so 16-bit samples
+    # flow through the same unfilter with bpp doubled
+    bpp = _PNG_CHANNELS[color] * (depth // 8)
     if interlace == 0:
         if len(raw) != height * (1 + width * bpp):
             raise ValueError(
@@ -2955,9 +3024,34 @@ def decode_png_pixels(blob: bytes) -> tuple[int, int, list[bytearray]]:
 def decode_png(blob: bytes) -> tuple[int, int, int, int]:
     """Feature fold of `decode_png_pixels`: (width, height, px_sum,
     top_left). A decoder bug in any filter's reconstruction arithmetic
-    shifts px_sum and fails the registry oracle."""
+    shifts px_sum and fails the registry oracle. (Byte-wise fold — for
+    16-bit payloads use `decode_png16`, which recombines the big-endian
+    sample pairs.)"""
     width, height, rows = decode_png_pixels(blob)
     return width, height, sum(sum(r) for r in rows), rows[0][0] if rows else 0
+
+
+def decode_png16(blob: bytes) -> tuple[int, int, int, int]:
+    """16-BIT PNG feature fold: (width, height, sample_sum, top_left
+    sample) — samples are the spec's big-endian 16-bit pairs ((hi<<8)|lo
+    per §7.1), recombined vectorized from the unfiltered byte rows. The
+    filters themselves ran byte-wise with the doubled bpp offset exactly
+    as the spec prescribes, so a decoder that unfilters on samples
+    instead of bytes (the classic 16-bit mistake) reconstructs different
+    bytes and fails the oracle hash."""
+    import struct
+
+    depth = blob[24] if len(blob) > 24 else 0  # IHDR bit depth byte
+    if depth != 16:
+        raise ValueError(f"decode_png16 expects a 16-bit PNG, got depth {depth}")
+    width, height, rows = decode_png_pixels(blob)
+    arr = np.frombuffer(b"".join(bytes(r) for r in rows), dtype=">u2")
+    return (
+        width,
+        height,
+        int(arr.sum(dtype=np.int64)),
+        int(arr[0]) if arr.size else 0,
+    )
 
 
 _PNG_SCHEMA = "media_id long, width int, height int, px_sum long, top_left int"
@@ -2973,6 +3067,33 @@ def png_features(df: DataFrame) -> DataFrame:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["payload"]):
                 w, h, px_sum, top_left = decode_png(bytes(blob))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "px_sum": px_sum,
+                        "top_left": top_left,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "px_sum", "top_left"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _PNG_SCHEMA)
+
+
+def png16_features(df: DataFrame) -> DataFrame:
+    """Distributed 16-BIT PNG decode (inflate + byte-wise unfilter with
+    doubled bpp + big-endian sample recombination) in one Arrow
+    mapInPandas pass — map-only like `png_features`; hash-verified by
+    the registry's `multimodal_png16`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px_sum, top_left = decode_png16(bytes(blob))
                 rows.append(
                     {
                         "media_id": mid,

@@ -3588,6 +3588,53 @@ def multimodal_gif_disposals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_png16",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 7 + doc_id % 4 AS w, 5 + doc_id % 3 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+      FROM documents WHERE doc_id < 64),
+    px AS (
+      SELECT m.media_id, m.w, m.h,
+             (m.media_id*4099 + y.y*257 + x.x*101 + c.c*31) % 65536 AS s
+      FROM m, generate_series(0, 10) AS y(y), generate_series(0, 10) AS x(x),
+           generate_series(0, 2) AS c(c)
+      WHERE y.y < m.h AND x.x < m.w AND c.c < m.ch)
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(s) AS BIGINT) AS px_sum,
+           CAST(media_id*4099 % 65536 AS INT) AS top_left
+    FROM px GROUP BY media_id, w, h
+    """,
+    "16-BIT PNG decode (spec depth 16: big-endian sample pairs, filters "
+    "still operating on BYTES with the pixel-width offset doubled per "
+    "§9.2 — the classic 16-bit decoder mistake is unfiltering on samples, "
+    "which reconstructs different bytes and fails this hash): even docs "
+    "RGB, odd docs grayscale, half ADAM7-interlaced, rows cycling all "
+    "five filters (llmdata/multimodal.py make_png16/decode_png16/"
+    "png16_features)",
+)
+def multimodal_png16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(
+            ids,
+            lambda i: MM.make_png16(
+                i,
+                7 + i % 4,
+                5 + i % 3,
+                color_type=2 if i % 2 == 0 else 0,
+                interlace=bool(i % 3 == 0),
+            ),
+        ),
+        media_type="image/png",
+    )
+    return MM.png16_features(media)
+
+
+@_register(
     "multimodal_gif_local_palettes",
     """
     WITH m AS (

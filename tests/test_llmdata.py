@@ -1127,11 +1127,16 @@ def test_png_decode_real(spark):
     bad[60] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         MM.decode_png(bytes(bad))
-    # 16-bit depth -> honest NotImplementedError; an RGB stream RELABELED
-    # grayscale (a supported type) fails the scanline size check instead
-    # of silently mis-decoding. IHDR data starts at offset 16: depth is
-    # its 9th byte, color type its 10th.
-    for off, val, exc in ((8, 16, NotImplementedError), (9, 0, ValueError)):
+    # packed 4-bit depth -> honest NotImplementedError (16-bit is REAL
+    # since round 8 — an 8-bit stream RELABELED depth 16 now fails the
+    # scanline size check, same as the grayscale relabel: both are
+    # supported headers whose byte counts no longer add up). IHDR data
+    # starts at offset 16: depth is its 9th byte, color type its 10th.
+    for off, val, exc in (
+        (8, 4, NotImplementedError),
+        (8, 16, ValueError),
+        (9, 0, ValueError),
+    ):
         relab = bytearray(MM.make_png(1, 4, 4))
         relab[16 + off] = val
         # refresh IHDR CRC so we hit the semantic check, not the CRC check
@@ -4256,3 +4261,49 @@ def test_gif_local_palette_rgb_compositing(spark):
     for fi in range(4):
         assert got[fi]["rgb_sum"] == sum(ref0[fi])
         assert got[fi]["top_left_rgb"] == ref0[fi][0] * 65536 + ref0[fi][1] * 256 + ref0[fi][2]
+
+
+def test_png16_depth_and_filters(spark):
+    """16-bit PNG: big-endian sample pairs recombined after BYTE-wise
+    unfiltering with the doubled bpp offset — formula-pinned feature
+    sums for gray/RGB × plain/ADAM7; 16-bit palette (invalid per spec)
+    and the 8-bit paths' behavior are unchanged."""
+    import pytest
+    from query_engine_spark.llmdata.multimodal import (
+        decode_png16, decode_png_pixels, make_png16, png16_features,
+    )
+
+    for m in (0, 3, 5):
+        for ct in (0, 2):
+            for il in (False, True):
+                w, h = 7 + m % 3, 5 + m % 2
+                gw, gh, s, tl = decode_png16(make_png16(m, w, h, color_type=ct, interlace=il))
+                ch = 1 if ct == 0 else 3
+                want = sum(
+                    (m * 4099 + y * 257 + x * 101 + c * 31) % 65536
+                    for y in range(h) for x in range(w) for c in range(ch)
+                )
+                assert (gw, gh, s, tl) == (w, h, want, (m * 4099) % 65536)
+
+    # row bytes: top-left sample is stored hi, lo
+    _, _, rows = decode_png_pixels(make_png16(9, 4, 3, color_type=0))
+    v = (9 * 4099) % 65536
+    assert rows[0][0] == v >> 8 and rows[0][1] == v & 0xFF
+
+    # 16-bit palette is invalid per spec — rejected at the header
+    blob = bytearray(make_png16(1, 4, 3, color_type=0))
+    blob[25] = 3  # IHDR color type byte
+    # (CRC now wrong too, which is also an acceptable rejection)
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_png_pixels(bytes(blob))
+
+    media = spark.createDataFrame(
+        [(i, make_png16(i, 6, 4)) for i in range(4)], "media_id long, payload binary"
+    )
+    feats = png16_features(media)
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    out = {r["media_id"]: r for r in feats.collect()}
+    want = sum((2 * 4099 + y * 257 + x * 101 + c * 31) % 65536
+               for y in range(4) for x in range(6) for c in range(3))
+    assert out[2]["px_sum"] == want
