@@ -64,6 +64,9 @@ __all__ = [
     "video_dedup_pairs",
     "bmp_resize",
     "make_wav",
+    "make_wav24",
+    "decode_wav24",
+    "wav24_features",
     "make_wav_tone",
     "decode_wav",
     "make_wav_mulaw",
@@ -1067,6 +1070,85 @@ def wav_stereo_features(df: DataFrame) -> DataFrame:
     """Distributed stereo-PCM decode on the shared PCM-container surface
     (n_samples = frames, amp/peak/first over the interleaved stream)."""
     return _pcm_container_features(df, decode_wav_stereo)
+
+
+def make_wav24(media_id: int, n_samples: int, sample_rate: int = 8000) -> bytes:
+    """Pack a deterministic RIFF/WAVE 24-BIT mono PCM payload (the studio/
+    mastering shape): sample i is ``((media_id*521 + i*73) % 2^24) − 2^23``,
+    stored 3 bytes little-endian two's complement (block_align 3 — an odd
+    stride, so the word-aligned chunk walk is exercised by the data chunk's
+    pad byte whenever 3·n is odd). Keeps the deliberate JUNK chunk."""
+    import struct
+
+    i = np.arange(n_samples, dtype=np.int64)
+    v = (media_id * 521 + i * 73) % (1 << 24) - (1 << 23)  # signed value
+    u = v % (1 << 24)  # its two's-complement bit pattern
+    b = np.empty((n_samples, 3), dtype=np.uint8)
+    b[:, 0] = u & 0xFF
+    b[:, 1] = (u >> 8) & 0xFF
+    b[:, 2] = (u >> 16) & 0xFF
+    data = b.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 3, 3, 24)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"JUNK" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav24(blob: bytes) -> tuple[int, int, list[int]]:
+    """REAL 24-bit PCM decode → (sample_rate, n_samples, samples): the
+    JUNK-proof RIFF walk, a format-tag-1 mono 24-bit fmt chunk
+    (block_align 3, byte_rate rate·3), then vectorized little-endian
+    three-byte reassembly with two's-complement sign extension — a
+    decoder that reads 16-bit words or forgets the sign bit shifts
+    amp_sum/peak and fails the oracle."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_size,) = struct.unpack_from("<I", blob, 4)
+    end = min(len(blob), 8 + riff_size)
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = blob[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", blob, pos + 4)
+        if pos + 8 + csize > end:
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            fmt = blob[pos + 8 : pos + 8 + csize]
+        elif cid == b"data":
+            data = blob[pos + 8 : pos + 8 + csize]
+        pos += 8 + csize + (csize & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, rate, byte_rate, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if tag != 1 or bits != 24 or channels != 1:
+        raise NotImplementedError(
+            "decode_wav24 handles 24-bit mono PCM (format tag 1) only; "
+            "16-bit decodes via decode_wav"
+        )
+    if rate <= 0 or block_align != 3 or byte_rate != rate * block_align:
+        raise ValueError("inconsistent fmt fields")
+    n = len(data) // 3
+    if n == 0:
+        return rate, 0, []
+    b = np.frombuffer(data[: n * 3], dtype=np.uint8).reshape(n, 3).astype(np.int64)
+    u = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+    v = u - ((u >> 23) & 1) * (1 << 24)  # two's-complement sign extension
+    return rate, n, v.tolist()
+
+
+def wav24_features(df: DataFrame) -> DataFrame:
+    """Distributed 24-bit PCM decode on the shared PCM-container surface;
+    hash-verified by the registry's `multimodal_audio_pcm24`."""
+    return _pcm_container_features(df, decode_wav24)
 
 
 def _aiff_extended80(rate: int) -> bytes:

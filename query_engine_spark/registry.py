@@ -3588,6 +3588,49 @@ def multimodal_gif_disposals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_audio_pcm24",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             8000 + (doc_id % 3) * 8000 AS rate,
+             500 + (doc_id % 5) * 111 AS n
+      FROM documents WHERE doc_id < 64
+    )
+    SELECT m.media_id,
+           CAST(m.rate AS INT) AS sample_rate,
+           CAST(m.n AS BIGINT) AS n_samples,
+           CAST(SUM(abs(((m.media_id*521 + i.i*73) % 16777216) - 8388608)) AS BIGINT) AS amp_sum,
+           CAST(MAX(((m.media_id*521 + i.i*73) % 16777216) - 8388608) AS INT) AS peak,
+           CAST(((m.media_id*521) % 16777216) - 8388608 AS INT) AS first_sample
+    FROM m, generate_series(0, 943) AS i(i)
+    WHERE i.i < m.n
+    GROUP BY m.media_id, m.rate, m.n
+    """,
+    "24-BIT mono PCM decode (the studio/mastering shape): 3-byte "
+    "little-endian two's-complement samples, block_align 3 — an odd "
+    "stride, so the data chunk's word-alignment pad byte is exercised "
+    "whenever 3·n is odd — reassembled vectorized with sign extension; a "
+    "16-bit-word read or a missed sign bit shifts amp_sum/peak and fails "
+    "the hash (llmdata/multimodal.py make_wav24/decode_wav24/"
+    "wav24_features; completes the PCM depth matrix: 8-bit G.711, 16-bit "
+    "mono/stereo, ADPCM, FLAC, 24-bit)",
+)
+def multimodal_audio_pcm24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(
+            ids,
+            lambda i: MM.make_wav24(i, 500 + (i % 5) * 111, 8000 + (i % 3) * 8000),
+        ),
+        media_type="audio/wav",
+    )
+    return MM.wav24_features(media)
+
+
+@_register(
     "multimodal_png16",
     """
     WITH m AS (

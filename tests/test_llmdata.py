@@ -4307,3 +4307,47 @@ def test_png16_depth_and_filters(spark):
     want = sum((2 * 4099 + y * 257 + x * 101 + c * 31) % 65536
                for y in range(4) for x in range(6) for c in range(3))
     assert out[2]["px_sum"] == want
+
+
+def test_wav24_decode(spark):
+    """24-bit PCM: 3-byte little-endian two's-complement reassembly with
+    sign extension, formula-pinned incl. n=0/1 and the odd-stride pad
+    byte; wrong-depth streams are rejected; map-only distributed fold."""
+    import struct
+
+    import pytest
+    from query_engine_spark.llmdata.multimodal import (
+        decode_wav24, make_wav, make_wav24, wav24_features,
+    )
+
+    for m in (0, 3, 11):
+        for n in (0, 1, 5, 701):
+            rate, gn, samples = decode_wav24(make_wav24(m, n))
+            assert (rate, gn) == (8000, n)
+            assert samples == [
+                ((m * 521 + i * 73) % (1 << 24)) - (1 << 23) for i in range(n)
+            ]
+    # full-scale negative round-trips exactly (sign bit alone)
+    b = bytearray(make_wav24(0, 1))
+    assert decode_wav24(bytes(b))[2] == [-(1 << 23)]
+    # a 16-bit stream is rejected, not misread
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_wav24(make_wav(1, 10))
+    # inconsistent block_align is a hard error
+    bad = bytearray(make_wav24(1, 10))
+    fpos = bad.index(b"fmt ") + 8
+    struct.pack_into("<H", bad, fpos + 12, 4)  # block_align 3 -> 4
+    with pytest.raises(ValueError, match="inconsistent"):
+        decode_wav24(bytes(bad))
+
+    media = spark.createDataFrame(
+        [(i, make_wav24(i, 101)) for i in range(5)], "media_id long, payload binary"
+    )
+    feats = wav24_features(media)
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    out = {r["media_id"]: r for r in feats.collect()}
+    vals = [((2 * 521 + i * 73) % (1 << 24)) - (1 << 23) for i in range(101)]
+    assert out[2]["amp_sum"] == sum(abs(v) for v in vals)
+    assert out[2]["peak"] == max(vals)
+    assert out[2]["first_sample"] == vals[0]
