@@ -4532,6 +4532,98 @@ def make_tiff_multipage(
     return bytes(out)
 
 
+def make_tiff_rgb(
+    media_id: int,
+    width: int,
+    height: int,
+    *,
+    compression: int = 1,
+    byte_order: str = "II",
+    rows_per_strip: int = 3,
+) -> bytes:
+    """Pack a deterministic CHUNKY RGB TIFF (PhotometricInterpretation 2,
+    SamplesPerPixel 3 — the color-scan corpus shape): channel c of pixel
+    (x, y) is ``(media_id*31 + y*7 + x*3 + c*11) % 256``, interleaved
+    R,G,B per pixel (PlanarConfiguration 1, the default). BitsPerSample
+    is a COUNT-3 SHORT array, which no longer fits the 4-byte IFD value
+    slot and therefore lives out-of-line — the tag-reading path a
+    grayscale-only parser never exercises. Compression and byte order
+    cycle exactly like `make_tiff`."""
+    import struct
+
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte order must be II or MM")
+    e = "<" if byte_order == "II" else ">"
+    px = bytes(
+        (media_id * 31 + y * 7 + x * 3 + c * 11) % 256
+        for y in range(height)
+        for x in range(width)
+        for c in range(3)
+    )
+    row_bytes = width * 3
+    strips_raw = [
+        px[r * row_bytes : (r + rows_per_strip) * row_bytes]
+        for r in range(0, height, rows_per_strip)
+    ]
+    if compression == 1:
+        strips = strips_raw
+    elif compression == 32773:
+        strips = [_packbits_compress(s) for s in strips_raw]
+    elif compression == 5:
+        strips = [_tiff_lzw_compress(s) for s in strips_raw]
+    else:
+        raise ValueError("unsupported compression for the fixture")
+
+    # layout: header(8) | strip data | bits array | offsets | counts | IFD
+    off = 8
+    offsets = []
+    for s in strips:
+        offsets.append(off)
+        off += len(s)
+    nstrips = len(strips)
+    bits_arr_pos = off  # 3 SHORTs (6 bytes) — always out-of-line
+    off += 6
+    off_arr_pos = off
+    off += 4 * nstrips
+    cnt_arr_pos = off
+    off += 4 * nstrips
+    ifd_pos = off
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        if typ == 3 and count == 1:
+            packed = struct.pack(e + "HH", value, 0)
+        else:
+            packed = struct.pack(e + "I", value)
+        return struct.pack(e + "HHI", tag, typ, count) + packed
+
+    entries = [
+        entry(256, 3, 1, width),
+        entry(257, 3, 1, height),
+        entry(258, 3, 3, bits_arr_pos),  # BitsPerSample: out-of-line [8,8,8]
+        entry(259, 3, 1, compression),
+        entry(262, 3, 1, 2),  # PhotometricInterpretation: RGB
+        entry(273, 4, nstrips, offsets[0] if nstrips == 1 else off_arr_pos),
+        entry(277, 3, 1, 3),  # SamplesPerPixel
+        entry(278, 3, 1, rows_per_strip),
+        entry(279, 4, nstrips, len(strips[0]) if nstrips == 1 else cnt_arr_pos),
+        entry(284, 3, 1, 1),  # PlanarConfiguration: chunky
+    ]
+    out = bytearray()
+    out += byte_order.encode() + struct.pack(e + "HI", 42, ifd_pos)
+    for s in strips:
+        out += s
+    out += struct.pack(e + "HHH", 8, 8, 8)
+    for o in offsets:
+        out += struct.pack(e + "I", o)
+    for s in strips:
+        out += struct.pack(e + "I", len(s))
+    out += struct.pack(e + "H", len(entries))
+    for en in entries:
+        out += en
+    out += struct.pack(e + "I", 0)
+    return bytes(out)
+
+
 def tiff_page_features(df: DataFrame) -> DataFrame:
     """Distributed multi-page TIFF decode: walk every payload's IFD chain
     in one Arrow mapInPandas pass (map-only) — one media row in, one row
@@ -4618,7 +4710,24 @@ def decode_tiff_pages(blob: bytes, max_pages: int = 256) -> list[tuple[int, int,
 def _tiff_decode_ifd(
     blob: bytes, e: str, ifd_pos: int
 ) -> tuple[int, int, list[list[int]], int]:
-    """Decode ONE IFD's image → (width, height, rows, next_ifd_offset)."""
+    """Decode ONE grayscale IFD's image → (width, height, rows,
+    next_ifd_offset) — the single-sample wrapper over
+    `_tiff_decode_ifd_any`; RGB pages decode via `decode_tiff_rgb`."""
+    width, height, spp, rows, next_ifd = _tiff_decode_ifd_any(blob, e, ifd_pos)
+    if spp != 1:
+        raise NotImplementedError(
+            "multi-sample page in a grayscale decode path — RGB decodes "
+            "via decode_tiff_rgb"
+        )
+    return width, height, rows, next_ifd
+
+
+def _tiff_decode_ifd_any(
+    blob: bytes, e: str, ifd_pos: int
+) -> tuple[int, int, int, list[list[int]], int]:
+    """Decode ONE IFD's image → (width, height, samples_per_pixel, rows,
+    next_ifd_offset). Rows carry width·spp samples (chunky interleave for
+    RGB — PlanarConfiguration 1, the only planar layout supported)."""
     import struct
 
     if ifd_pos + 2 > len(blob):
@@ -4628,9 +4737,9 @@ def _tiff_decode_ifd(
     for i in range(n_entries):
         tag, typ, count = struct.unpack_from(e + "HHI", blob, ifd_pos + 2 + 12 * i)
         vpos = ifd_pos + 2 + 12 * i + 8
-        if typ == 3:  # SHORT
+        if typ == 3 and count == 1:  # SHORT in the value slot
             (val,) = struct.unpack_from(e + "H", blob, vpos)
-        else:  # LONG / offset
+        else:  # LONG, or an offset to an out-of-line array
             (val,) = struct.unpack_from(e + "I", blob, vpos)
         tags[tag] = (typ, count, val)
 
@@ -4639,19 +4748,7 @@ def _tiff_decode_ifd(
             raise ValueError(f"missing required TIFF tag {tag}")
         return tags[tag]
 
-    width = required(256)[2]
-    height = required(257)[2]
-    if tags.get(258, (3, 1, 1))[2] != 8:
-        raise NotImplementedError("only 8-bit samples supported")
-    if tags.get(277, (3, 1, 1))[2] != 1:
-        raise NotImplementedError("only single-sample (grayscale) supported")
-    photometric = tags.get(262, (3, 1, 1))[2]
-    if photometric not in (0, 1):
-        raise NotImplementedError("only grayscale photometric supported")
-    compression = tags.get(259, (3, 1, 1))[2]
-    rows_per_strip = tags.get(278, (3, 1, height))[2]
-
-    def read_longs(tag: int) -> list[int]:
+    def read_array(tag: int) -> list[int]:
         typ, count, val = required(tag)
         if count == 1:
             return [val]
@@ -4664,14 +4761,40 @@ def _tiff_decode_ifd(
             out.append(v)
         return out
 
-    offsets = read_longs(273)
-    counts = read_longs(279)
+    width = required(256)[2]
+    height = required(257)[2]
+    spp = tags.get(277, (3, 1, 1))[2]
+    if spp not in (1, 3):
+        raise NotImplementedError(
+            f"SamplesPerPixel {spp} not supported (extra samples/alpha)"
+        )
+    photometric = tags.get(262, (3, 1, 1))[2]
+    if photometric not in (0, 1, 2):
+        raise NotImplementedError("only grayscale/RGB photometric supported")
+    if (photometric == 2) != (spp == 3):
+        raise NotImplementedError(
+            f"PhotometricInterpretation {photometric} with SamplesPerPixel "
+            f"{spp} — only single-sample grayscale or 3-sample RGB supported"
+        )
+    # BitsPerSample: count == spp; for RGB the 3 SHORTs are out-of-line
+    if 258 in tags:
+        bits = read_array(258)
+        if len(bits) != spp or any(b != 8 for b in bits):
+            raise NotImplementedError("only 8-bit samples supported")
+    if tags.get(284, (3, 1, 1))[2] != 1:
+        raise NotImplementedError("only chunky PlanarConfiguration supported")
+    compression = tags.get(259, (3, 1, 1))[2]
+    rows_per_strip = tags.get(278, (3, 1, height))[2]
+
+    offsets = read_array(273)
+    counts = read_array(279)
     if len(offsets) != len(counts):
         raise ValueError("StripOffsets/StripByteCounts length mismatch")
+    row_bytes = width * spp
     data = bytearray()
     for si, (o, c) in enumerate(zip(offsets, counts)):
         rows = min(rows_per_strip, height - si * rows_per_strip)
-        expected = rows * width
+        expected = rows * row_bytes
         raw = blob[o : o + c]
         if len(raw) != c:
             raise ValueError("strip extends past end of file")
@@ -4688,20 +4811,80 @@ def _tiff_decode_ifd(
             data += got
         else:
             raise NotImplementedError(f"TIFF compression {compression} not supported")
-    if len(data) != width * height:
+    if len(data) != row_bytes * height:
         raise ValueError("strip reassembly size mismatch")
     ifd_end = ifd_pos + 2 + 12 * n_entries
     if ifd_end + 4 > len(blob):
         raise ValueError("IFD missing next-IFD pointer")
     (next_ifd,) = struct.unpack_from(e + "I", blob, ifd_end)
     inv = photometric == 0
-    return width, height, [
+    return width, height, spp, [
         [
-            (255 - data[y * width + x]) if inv else data[y * width + x]
-            for x in range(width)
+            (255 - data[y * row_bytes + x]) if inv else data[y * row_bytes + x]
+            for x in range(row_bytes)
         ]
         for y in range(height)
     ], next_ifd
+
+
+def decode_tiff_rgb(blob: bytes) -> tuple[int, int, list[list[int]]]:
+    """REAL chunky-RGB TIFF decode → (width, height, rows of width·3
+    interleaved R,G,B samples) of the first page: the grayscale IFD walk
+    generalized to SamplesPerPixel 3 / Photometric 2, including the
+    out-of-line count-3 BitsPerSample array that never fits the IFD value
+    slot. Planar (PlanarConfiguration 2), alpha and palette layouts
+    raise."""
+    e, ifd_pos = _tiff_parse_header(blob)
+    width, height, spp, rows, _next = _tiff_decode_ifd_any(blob, e, ifd_pos)
+    if spp != 3:
+        raise NotImplementedError(
+            "single-sample page in an RGB decode path — grayscale decodes "
+            "via decode_tiff"
+        )
+    return width, height, rows
+
+
+_TIFF_RGB_SCHEMA = (
+    "media_id long, width int, height int, r_sum long, g_sum long, "
+    "b_sum long, px_sum long, top_left_r int"
+)
+
+
+def tiff_rgb_features(df: DataFrame) -> DataFrame:
+    """Distributed chunky-RGB TIFF decode in one Arrow mapInPandas pass
+    (map-only, like every decode chain): per-channel sums deinterleaved
+    vectorized from the sample rows — a swapped channel order or a
+    grayscale-stride walk shifts r_sum/g_sum/b_sum and fails the oracle
+    hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_tiff_rgb(bytes(blob))
+                arr = np.asarray(px, dtype=np.int64).reshape(h, w, 3)
+                ch = arr.sum(axis=(0, 1))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "r_sum": int(ch[0]),
+                        "g_sum": int(ch[1]),
+                        "b_sum": int(ch[2]),
+                        "px_sum": int(ch.sum()),
+                        "top_left_r": int(arr[0, 0, 0]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "r_sum", "g_sum",
+                    "b_sum", "px_sum", "top_left_r",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _TIFF_RGB_SCHEMA)
 
 
 _TIFF_SCHEMA = "media_id long, width int, height int, px_sum long, top_left int"

@@ -1,0 +1,113 @@
+"""Round-9 registry candidates — (Spark query, DuckDB oracle) pairs built
+and ORACLE-VALIDATED in round 8, held out of `registry.REGISTRY` so they
+do not displace the round-8 driver window (whose 50 slots were budgeted
+for the 30 never-verified r8 registrations + the rotation cohorts — see
+COVERAGE.md's round-8 delta). Registering in round 9 is mechanical:
+absorb CANDIDATES exactly as `registry._absorb_r8_candidates` did for the
+r8 set (they will lead the r9 window as never-verified queries).
+
+Validation today: `tests/test_r9_candidates.py` runs every candidate
+through the same compare as `tools/selfcheck.py` (sorted columns/rows,
+dtype checks, exact values) at sf0.001 AND sf0.01 — the two-scale
+parametrization the r7 verdict asked for, in CI from day one.
+
+These candidates close the most user-frequent remaining codec boundaries
+(each was a documented NotImplementedError with a specific message):
+- RGB TIFF (photometric 2, chunky SamplesPerPixel 3) — color scans; the
+  count-3 BitsPerSample array lives out-of-line, a tag path grayscale
+  parsers never exercise.
+- RLE8-compressed BMP (BI_RLE8) — the compressed half of the Windows
+  bitmap spec, sharing the frame codec AVI MRLE streams already use.
+- Packed sub-byte PNG (1/2/4-bit grayscale and palette) — favicon /
+  fax / screenshot shapes where eight or two pixels share a byte.
+- Multi-channel WAV (4-channel PCM16) — field-recorder and conference
+  corpora beyond the stereo boundary.
+- 24-bit FLAC — the studio-master depth, completing the FLAC depth
+  matrix alongside the 24-bit WAV path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from query_engine_spark.sources.testdata import load_table
+
+
+@dataclass(frozen=True)
+class CandidateSpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str
+    doc: str = ""
+
+
+CANDIDATES: dict[str, CandidateSpec] = {}
+
+
+def _candidate(name: str, oracle: str, doc: str = ""):
+    def deco(fn):
+        CANDIDATES[name] = CandidateSpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _pack_media(ids: DataFrame, maker) -> DataFrame:
+    from query_engine_spark.registry import _pack_media as rp
+
+    return rp(ids, maker)
+
+
+# ---------------------------------------------------------------------------
+# RGB TIFF: the color-scan corpus shape
+
+
+@_candidate(
+    "multimodal_tiff_rgb",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 9 + doc_id % 4 AS w, 8 + doc_id % 3 AS h
+      FROM documents WHERE doc_id < 64),
+    px AS (
+      SELECT m.media_id, m.w, m.h, c.c,
+             (m.media_id*31 + y.y*7 + x.x*3 + c.c*11) % 256 AS v
+      FROM m, generate_series(0, 12) AS y(y), generate_series(0, 12) AS x(x),
+           generate_series(0, 2) AS c(c)
+      WHERE y.y < m.h AND x.x < m.w)
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS r_sum,
+           CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS g_sum,
+           CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_sum,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(media_id*31 % 256 AS INT) AS top_left_r
+    FROM px GROUP BY media_id, w, h
+    """,
+    "CHUNKY RGB TIFF decode (PhotometricInterpretation 2, SamplesPerPixel "
+    "3 — the color-scan corpus shape): the count-3 BitsPerSample SHORT "
+    "array no longer fits the IFD value slot and lives OUT-OF-LINE, a tag "
+    "path grayscale-only parsers never exercise; compression cycles "
+    "none/PackBits/LZW and byte order II/MM by doc_id so all six "
+    "transports decode the same formula pixels (llmdata/multimodal.py "
+    "make_tiff_rgb/decode_tiff_rgb/tiff_rgb_features)",
+)
+def multimodal_tiff_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(
+            ids,
+            lambda i: MM.make_tiff_rgb(
+                i,
+                9 + i % 4,
+                8 + i % 3,
+                compression=(1, 32773, 5)[i % 3],
+                byte_order="II" if i % 2 == 0 else "MM",
+            ),
+        ),
+        media_type="image/tiff",
+    )
+    return MM.tiff_rgb_features(media)

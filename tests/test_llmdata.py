@@ -4351,3 +4351,33 @@ def test_wav24_decode(spark):
     assert out[2]["amp_sum"] == sum(abs(v) for v in vals)
     assert out[2]["peak"] == max(vals)
     assert out[2]["first_sample"] == vals[0]
+
+
+def test_tiff_rgb_roundtrip_and_boundaries():
+    """RGB TIFF: chunky interleave, out-of-line BitsPerSample, both byte
+    orders and all three compressions roundtrip exactly; cross-path
+    decodes raise instead of mis-decoding."""
+    import pytest
+
+    from query_engine_spark.llmdata.multimodal import (
+        decode_tiff,
+        decode_tiff_rgb,
+        make_tiff,
+        make_tiff_rgb,
+    )
+
+    for i, comp, order in ((0, 1, "II"), (1, 32773, "MM"), (2, 5, "II")):
+        w, h = 9 + i, 8 + i
+        blob = make_tiff_rgb(i, w, h, compression=comp, byte_order=order)
+        gw, gh, rows = decode_tiff_rgb(blob)
+        assert (gw, gh) == (w, h)
+        assert rows == [
+            [(i * 31 + y * 7 + x * 3 + c * 11) % 256 for x in range(w) for c in range(3)]
+            for y in range(h)
+        ]
+    rgb = make_tiff_rgb(3, 10, 9)
+    gray = make_tiff(3, 10, 9)
+    with pytest.raises(NotImplementedError, match="decode_tiff_rgb"):
+        decode_tiff(rgb)
+    with pytest.raises(NotImplementedError, match="decode_tiff"):
+        decode_tiff_rgb(gray)
