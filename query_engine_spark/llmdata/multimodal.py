@@ -369,6 +369,78 @@ def decode_bmp8(blob: bytes) -> tuple[int, int, int, int, int]:
     return width, height, idx_sum, rgb_sum, top_left_idx
 
 
+def make_bmp_rle8(media_id: int, width: int, height: int) -> bytes:
+    """Pack a deterministic RLE8-COMPRESSED palette BMP (biCompression 1,
+    BI_RLE8 — the compressed half of the Windows bitmap spec): pixel
+    index (x, y) = ``(media_id*31 + y*7 + (x//4)*5) % 256`` (horizontal
+    runs of 4 so the run encoder does real work — the AVI MRLE frame
+    formula at f=0), encoded by the SAME `encode_rle8_frame` the MRLE
+    fixtures use (runs + absolute mode + word-align pads + EOL/EOD
+    markers), with the `_rle8_palette` 256-entry BGRA table."""
+    import struct
+
+    rle = encode_rle8_frame(
+        [
+            [rle8_frame_index(media_id, 0, x, y) for x in range(width)]
+            for y in range(height)
+        ]
+    )
+    palette = b"".join(
+        bytes((b, g, r, 0)) for r, g, b in (_rle8_palette(i) for i in range(256))
+    )
+    off = 14 + 40 + 1024
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(rle), 0, 0, off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 8, 1, len(rle), 2835, 2835, 256, 0
+        )
+    )
+    return header + palette + rle
+
+
+def decode_bmp_rle8(blob: bytes) -> tuple[int, int, int, int, int]:
+    """REAL RLE8-compressed BMP decode → (width, height, idx_sum, rgb_sum,
+    top_left_idx), the `decode_bmp8` feature surface over a BI_RLE8 pixel
+    array: validates bpp/compression, reads the biClrUsed (0 → 256) BGRA
+    palette, and runs the `_rle8_decode_frame` state machine AVI MRLE
+    streams share — the byte stream is identical in both containers."""
+    import struct
+
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(blob) < 54:
+        raise ValueError("truncated BMP header")
+    (off,) = struct.unpack_from("<I", blob, 10)
+    width, height = struct.unpack_from("<ii", blob, 18)
+    (bpp,) = struct.unpack_from("<H", blob, 28)
+    (compression,) = struct.unpack_from("<I", blob, 30)
+    (img_size,) = struct.unpack_from("<I", blob, 34)
+    (clr_used,) = struct.unpack_from("<I", blob, 46)
+    if bpp != 8 or compression != 1:
+        raise NotImplementedError(
+            "decode_bmp_rle8 handles 8-bpp BI_RLE8 only (uncompressed "
+            "palette BMP decodes via decode_bmp8)"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid BMP dims {width}x{height}")
+    ncol = clr_used or 256
+    pal_start = 14 + 40
+    palette = blob[pal_start : pal_start + 4 * ncol]
+    if len(palette) < 4 * ncol:
+        raise ValueError("truncated BMP color table")
+    data = blob[off : off + img_size] if img_size else blob[off:]
+    rows = _rle8_decode_frame(data, width, height)
+    idx_sum = rgb_sum = 0
+    for row in rows:
+        for i in row:
+            if i >= ncol:
+                raise ValueError("palette index out of range")
+            idx_sum += i
+            rgb_sum += palette[4 * i] + palette[4 * i + 1] + palette[4 * i + 2]
+    return width, height, idx_sum, rgb_sum, rows[0][0]
+
+
 def resize_bmp(blob: bytes, out_w: int, out_h: int) -> bytes:
     """REAL nearest-neighbor resize: decode → integer-grid sample → re-encode.
 
@@ -2230,41 +2302,50 @@ def decode_avi_rle8(blob: bytes) -> tuple[int, int, list[list[list[int]]], list[
     for cid, data in tagged:
         if cid != b"00dc":
             raise ValueError("RLE8 stream contains a non-'00dc' frame chunk")
-        rows = [[0] * width for _ in range(height)]
-        pos = 0
-        x = 0
-        stored = 0  # bottom-up line counter
-        while True:
-            if pos + 2 > len(data):
-                raise ValueError("truncated RLE8 frame (no end-of-bitmap)")
-            b0, b1 = data[pos], data[pos + 1]
-            pos += 2
-            if b0 > 0:  # encoded run
-                if stored >= height or x + b0 > width:
-                    raise ValueError("RLE8 run overflows the frame")
-                y = height - 1 - stored
-                for _ in range(b0):
-                    rows[y][x] = b1
-                    x += 1
-            elif b1 == 0:  # end of line
-                stored += 1
-                x = 0
-            elif b1 == 1:  # end of bitmap
-                break
-            elif b1 == 2:
-                raise NotImplementedError("RLE8 delta escapes not supported")
-            else:  # absolute mode: b1 literal indices
-                if stored >= height or x + b1 > width:
-                    raise ValueError("RLE8 absolute run overflows the frame")
-                if pos + b1 > len(data):
-                    raise ValueError("truncated RLE8 absolute run")
-                y = height - 1 - stored
-                for k in range(b1):
-                    rows[y][x] = data[pos + k]
-                    x += 1
-                pos += b1 + (b1 & 1)  # word-align
-        frames.append(rows)
+        frames.append(_rle8_decode_frame(data, width, height))
     return width, height, frames, palette
+
+
+def _rle8_decode_frame(data: bytes, width: int, height: int) -> list[list[int]]:
+    """BI_RLE8 state machine shared by AVI MRLE frames and RLE8-compressed
+    BMP pixel arrays (the byte stream is identical in both containers):
+    encoded runs, absolute mode with word-alignment padding, end-of-line
+    and end-of-bitmap, bottom-up lines. Returns TOP-DOWN index rows;
+    delta escapes (0x00 0x02) raise."""
+    rows = [[0] * width for _ in range(height)]
+    pos = 0
+    x = 0
+    stored = 0  # bottom-up line counter
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("truncated RLE8 frame (no end-of-bitmap)")
+        b0, b1 = data[pos], data[pos + 1]
+        pos += 2
+        if b0 > 0:  # encoded run
+            if stored >= height or x + b0 > width:
+                raise ValueError("RLE8 run overflows the frame")
+            y = height - 1 - stored
+            for _ in range(b0):
+                rows[y][x] = b1
+                x += 1
+        elif b1 == 0:  # end of line
+            stored += 1
+            x = 0
+        elif b1 == 1:  # end of bitmap
+            break
+        elif b1 == 2:
+            raise NotImplementedError("RLE8 delta escapes not supported")
+        else:  # absolute mode: b1 literal indices
+            if stored >= height or x + b1 > width:
+                raise ValueError("RLE8 absolute run overflows the frame")
+            if pos + b1 > len(data):
+                raise ValueError("truncated RLE8 absolute run")
+            y = height - 1 - stored
+            for k in range(b1):
+                rows[y][x] = data[pos + k]
+                x += 1
+            pos += b1 + (b1 & 1)  # word-align
+    return rows
 
 
 _RLE8_SCHEMA = (

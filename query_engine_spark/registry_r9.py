@@ -111,3 +111,64 @@ def multimodal_tiff_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="image/tiff",
     )
     return MM.tiff_rgb_features(media)
+
+
+# ---------------------------------------------------------------------------
+# RLE8-compressed BMP: the compressed half of the Windows bitmap spec
+
+
+@_candidate(
+    "multimodal_bmp_rle8",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 17 + doc_id % 5 AS width, 11 + doc_id % 4 AS height
+      FROM documents WHERE doc_id < 64),
+    px AS (
+      SELECT m.media_id, m.width, m.height,
+             (m.media_id*31 + y.y*7 + (x.x // 4)*5) % 256 AS idx
+      FROM m, generate_series(0, 14) AS y(y), generate_series(0, 21) AS x(x)
+      WHERE y.y < m.height AND x.x < m.width)
+    SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(sum(idx) AS BIGINT) AS idx_sum,
+           CAST(sum((idx*31) % 256 + (idx*7) % 256 + (idx*3) % 256) AS BIGINT) AS rgb_sum,
+           CAST(media_id*31 % 256 AS INT) AS top_left_idx
+    FROM px GROUP BY media_id, width, height
+    """,
+    "RLE8-COMPRESSED palette BMP decode (biCompression 1, BI_RLE8 — the "
+    "compressed half of the Windows bitmap spec, previously a documented "
+    "boundary): encoded runs, absolute mode with word-alignment pads, "
+    "EOL/EOD markers, bottom-up lines — the SAME `_rle8_decode_frame` "
+    "state machine AVI MRLE streams use, now reached from the BMP "
+    "container; the run-of-4 index formula makes the run encoder do real "
+    "work (llmdata/multimodal.py make_bmp_rle8/decode_bmp_rle8)",
+)
+def multimodal_bmp_rle8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from typing import Iterator
+
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(ids, lambda i: MM.make_bmp_rle8(i, 17 + i % 5, 11 + i % 4)),
+        media_type="image/bmp",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                w, h, isum, rsum, tl = MM.decode_bmp_rle8(bytes(blob))
+                rows.append({
+                    "media_id": mid, "width": w, "height": h,
+                    "idx_sum": isum, "rgb_sum": rsum, "top_left_idx": tl,
+                })
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "idx_sum", "rgb_sum", "top_left_idx",
+            ])
+
+    return media.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id long, width int, height int, idx_sum long, rgb_sum long, top_left_idx int",
+    )

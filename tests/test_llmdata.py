@@ -4381,3 +4381,33 @@ def test_tiff_rgb_roundtrip_and_boundaries():
         decode_tiff(rgb)
     with pytest.raises(NotImplementedError, match="decode_tiff"):
         decode_tiff_rgb(gray)
+
+
+def test_bmp_rle8_roundtrip_and_shared_state_machine():
+    """BMP BI_RLE8 shares the AVI MRLE frame codec byte-for-byte: the
+    encoder's runs/absolute-mode/pads decode through `_rle8_decode_frame`
+    from the BMP container, and cross-path decodes raise."""
+    import pytest
+
+    from query_engine_spark.llmdata.multimodal import (
+        decode_bmp8,
+        decode_bmp_rle8,
+        make_bmp8,
+        make_bmp_rle8,
+        rle8_frame_index,
+    )
+
+    for i in (0, 4, 11):
+        w, h = 17 + i % 5, 11 + i % 4
+        gw, gh, isum, rsum, tl = decode_bmp_rle8(make_bmp_rle8(i, w, h))
+        idx = [[rle8_frame_index(i, 0, x, y) for x in range(w)] for y in range(h)]
+        assert (gw, gh) == (w, h)
+        assert isum == sum(map(sum, idx))
+        assert rsum == sum(
+            (v * 31) % 256 + (v * 7) % 256 + (v * 3) % 256 for r in idx for v in r
+        )
+        assert tl == idx[0][0]
+    with pytest.raises(NotImplementedError, match="decode_bmp8"):
+        decode_bmp_rle8(make_bmp8(2, 10, 8))
+    with pytest.raises(NotImplementedError, match="uncompressed"):
+        decode_bmp8(make_bmp_rle8(2, 10, 8))
