@@ -2967,6 +2967,81 @@ def make_png(
     )
 
 
+def make_png_packed(
+    media_id: int, width: int, height: int, *, depth: int,
+    color_type: int = 0, interlace: bool = False,
+) -> bytes:
+    """Pack a deterministic SUB-BYTE PNG (bit depth 1, 2 or 4 — the
+    favicon / fax / screenshot shapes where up to eight pixels share a
+    byte): pixel value (x, y) is ``(media_id*31 + y*7 + x*3) % 2^depth``,
+    packed MSB-first within each byte per spec §7.2, scanlines padded to
+    a byte boundary with zero bits. Filters still operate on BYTES with
+    bpp = 1 (§9.2's floor for sub-byte depths), rows cycling all five
+    types. Color type 0 stores the raw value; color type 3 indexes a
+    2^depth-entry PLTE using the GIF fixture formula (i, i·3%256,
+    i·7%256). ADAM7 packs each pass's scanlines independently — pad bits
+    reset at every pass row, the sub-byte detail a byte-slicing
+    de-interlacer gets wrong."""
+    import struct
+    import zlib
+
+    if depth not in (1, 2, 4):
+        raise ValueError(f"packed fixture supports depths 1/2/4, got {depth}")
+    if color_type not in (0, 3):
+        raise ValueError(
+            f"sub-byte depths apply to grayscale (0) or palette (3), got {color_type}"
+        )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    n_vals = 1 << depth
+
+    def px_row(y: int, xs) -> bytes:
+        out = bytearray()
+        acc = nb = 0
+        for x in xs:
+            acc = (acc << depth) | ((media_id * 31 + y * 7 + x * 3) % n_vals)
+            nb += depth
+            if nb == 8:
+                out.append(acc)
+                acc = nb = 0
+        if nb:
+            out.append(acc << (8 - nb))
+        return bytes(out)
+
+    if not interlace:
+        rows = [px_row(y, range(width)) for y in range(height)]
+        raw = _png_filter_rows(rows, 1, lambda j: j % 5)
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            ys = list(range(y0, height, dy))
+            xs = list(range(x0, width, dx))
+            if not ys or not xs:
+                continue
+            raw += _png_filter_rows([px_row(y, xs) for y in ys], 1, lambda j: j % 5)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, color_type, 0, 0, 1 if interlace else 0
+    )
+    plte = b""
+    if color_type == 3:
+        plte = chunk(
+            b"PLTE",
+            bytes(v for i in range(n_vals) for v in (i, (i * 3) % 256, (i * 7) % 256)),
+        )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + plte
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def make_png16(
     media_id: int, width: int, height: int, *, color_type: int = 2,
     interlace: bool = False,
@@ -3127,12 +3202,16 @@ def decode_png_pixels(blob: bytes) -> tuple[int, int, list[bytearray]]:
             "only grayscale (0), RGB (2), palette (3), gray+alpha (4) or "
             "RGBA (6) color types supported"
         )
-    if depth not in (8, 16) or (depth == 16 and color == 3):
+    if (
+        depth not in (1, 2, 4, 8, 16)
+        or (depth == 16 and color == 3)
+        or (depth < 8 and color not in (0, 3))
+    ):
         # 16-bit palette is invalid per spec §11.2.2 (palette depth <= 8);
-        # 1/2/4-bit packed depths remain the boundary
+        # sub-byte depths only exist for grayscale and palette (§11.2.2)
         raise NotImplementedError(
-            "only 8-bit (all color types) and 16-bit (non-palette) depths "
-            "supported; 1/2/4-bit packed rows remain a boundary"
+            "supported depths: 1/2/4 (grayscale/palette), 8 (all color "
+            "types), 16 (non-palette)"
         )
     if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise NotImplementedError("only deflate/adaptive-filter, interlace 0/1 supported")
@@ -3142,33 +3221,77 @@ def decode_png_pixels(blob: bytes) -> tuple[int, int, list[bytearray]]:
         if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
             raise ValueError("palette PNG missing/invalid PLTE chunk")
     raw = zlib.decompress(idat)
-    # PNG filters operate on BYTES with the left-neighbor offset equal to
-    # the FULL pixel width in bytes (spec §9.2's bpp) — so 16-bit samples
-    # flow through the same unfilter with bpp doubled
-    bpp = _PNG_CHANNELS[color] * (depth // 8)
-    if interlace == 0:
-        if len(raw) != height * (1 + width * bpp):
-            raise ValueError(
-                f"inflated size {len(raw)} != expected {height * (1 + width * bpp)}"
-            )
-        rows, _ = _png_unfilter(raw, 0, width, height, bpp)
+    if depth < 8:
+        # packed sub-byte rows: filters still operate on BYTES with bpp
+        # floored to 1 (§9.2), scanline = ceil(width·depth/8) bytes with
+        # zero pad bits; after unfiltering, unpack MSB-first to one VALUE
+        # byte per pixel so the palette fold / feature surface below is
+        # depth-agnostic
+        mask = (1 << depth) - 1
+        per_byte = 8 // depth
+
+        def unpack(prow: bytes, npx: int) -> bytearray:
+            vals = bytearray(npx)
+            for i in range(npx):
+                b = prow[i // per_byte]
+                shift = 8 - depth * (i % per_byte + 1)
+                vals[i] = (b >> shift) & mask
+            return vals
+
+        if interlace == 0:
+            sb = (width * depth + 7) // 8
+            if len(raw) != height * (1 + sb):
+                raise ValueError(
+                    f"inflated size {len(raw)} != expected {height * (1 + sb)}"
+                )
+            prows, _ = _png_unfilter(raw, 0, sb, height, 1)
+            rows = [unpack(pr, width) for pr in prows]
+        else:
+            out = [bytearray(width) for _ in range(height)]
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                ys = range(y0, height, dy)
+                xs = range(x0, width, dx)
+                pw, ph = len(xs), len(ys)
+                if pw == 0 or ph == 0:
+                    continue
+                pass_sb = (pw * depth + 7) // 8
+                prows, off = _png_unfilter(raw, off, pass_sb, ph, 1)
+                for j, y in enumerate(ys):
+                    vals = unpack(prows[j], pw)
+                    for i, x in enumerate(xs):
+                        out[y][x] = vals[i]
+            if off != len(raw):
+                raise ValueError("ADAM7 stream has trailing bytes")
+            rows = out
     else:
-        out = [bytearray(width * bpp) for _ in range(height)]
-        off = 0
-        for x0, y0, dx, dy in _ADAM7:
-            ys = range(y0, height, dy)
-            xs = range(x0, width, dx)
-            pw, ph = len(xs), len(ys)
-            if pw == 0 or ph == 0:
-                continue
-            prows, off = _png_unfilter(raw, off, pw, ph, bpp)
-            for j, y in enumerate(ys):
-                prow = prows[j]
-                for i, x in enumerate(xs):
-                    out[y][x * bpp : (x + 1) * bpp] = prow[i * bpp : (i + 1) * bpp]
-        if off != len(raw):
-            raise ValueError("ADAM7 stream has trailing bytes")
-        rows = out
+        # PNG filters operate on BYTES with the left-neighbor offset equal
+        # to the FULL pixel width in bytes (spec §9.2's bpp) — so 16-bit
+        # samples flow through the same unfilter with bpp doubled
+        bpp = _PNG_CHANNELS[color] * (depth // 8)
+        if interlace == 0:
+            if len(raw) != height * (1 + width * bpp):
+                raise ValueError(
+                    f"inflated size {len(raw)} != expected {height * (1 + width * bpp)}"
+                )
+            rows, _ = _png_unfilter(raw, 0, width, height, bpp)
+        else:
+            out = [bytearray(width * bpp) for _ in range(height)]
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                ys = range(y0, height, dy)
+                xs = range(x0, width, dx)
+                pw, ph = len(xs), len(ys)
+                if pw == 0 or ph == 0:
+                    continue
+                prows, off = _png_unfilter(raw, off, pw, ph, bpp)
+                for j, y in enumerate(ys):
+                    prow = prows[j]
+                    for i, x in enumerate(xs):
+                        out[y][x * bpp : (x + 1) * bpp] = prow[i * bpp : (i + 1) * bpp]
+            if off != len(raw):
+                raise ValueError("ADAM7 stream has trailing bytes")
+            rows = out
     if color == 3:
         # fold indices through the palette (the GIF/BMP8 move): every
         # out-of-range index is a hard error, not a clamp

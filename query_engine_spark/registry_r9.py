@@ -172,3 +172,58 @@ def multimodal_bmp_rle8(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "media_id long, width int, height int, idx_sum long, rgb_sum long, top_left_idx int",
     )
+
+
+# ---------------------------------------------------------------------------
+# Packed sub-byte PNG: favicon / fax / screenshot depths
+
+
+@_candidate(
+    "multimodal_png_packed",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 11 + doc_id % 5 AS w, 7 + doc_id % 4 AS h,
+             CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 16 END AS nv,
+             doc_id % 2 = 0 AS pal
+      FROM documents WHERE doc_id < 64),
+    px AS (
+      SELECT m.media_id, m.w, m.h, m.pal, m.nv,
+             (m.media_id*31 + y.y*7 + x.x*3) % m.nv AS v
+      FROM m, generate_series(0, 10) AS y(y), generate_series(0, 15) AS x(x)
+      WHERE y.y < m.h AND x.x < m.w)
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           -- palette rows fold to RGB (i, i*3, i*7): v <= 15 keeps every
+           -- channel under 256, so the folded byte sum is exactly 11*v
+           CAST(sum(CASE WHEN pal THEN 11*v ELSE v END) AS BIGINT) AS px_sum,
+           CAST(media_id*31 % nv AS INT) AS top_left
+    FROM px GROUP BY media_id, w, h, nv, pal
+    """,
+    "PACKED SUB-BYTE PNG decode (bit depths 1/2/4 — the favicon/fax/"
+    "screenshot shapes, previously a documented boundary): MSB-first "
+    "bit-packed scanlines padded to byte boundaries, filters operating "
+    "on bytes with bpp floored to 1 (spec §9.2), grayscale and "
+    "2^depth-entry palette layouts, a fifth of the corpus "
+    "ADAM7-interlaced (per-pass pad bits — the sub-byte detail a "
+    "byte-slicing de-interlacer gets wrong); depth/color/interlace cycle "
+    "by doc_id (llmdata/multimodal.py make_png_packed/decode_png_pixels)",
+)
+def multimodal_png_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(
+            ids,
+            lambda i: MM.make_png_packed(
+                i,
+                11 + i % 5,
+                7 + i % 4,
+                depth=(1, 2, 4)[i % 3],
+                color_type=3 if i % 2 == 0 else 0,
+                interlace=bool(i % 5 == 0),
+            ),
+        ),
+        media_type="image/png",
+    )
+    return MM.png_features(media)

@@ -4411,3 +4411,33 @@ def test_bmp_rle8_roundtrip_and_shared_state_machine():
         decode_bmp_rle8(make_bmp8(2, 10, 8))
     with pytest.raises(NotImplementedError, match="uncompressed"):
         decode_bmp8(make_bmp_rle8(2, 10, 8))
+
+
+def test_png_packed_roundtrip_all_depths():
+    """Sub-byte PNG: MSB-first packing, byte-wise filters at bpp=1, and
+    per-pass pad bits under ADAM7 reconstruct the formula pixels exactly
+    at every depth x color x interlace combination, including 1x1 and
+    the wide-short ADAM7 edge."""
+    from query_engine_spark.llmdata.multimodal import decode_png_pixels, make_png_packed
+
+    for depth in (1, 2, 4):
+        for ct in (0, 3):
+            for il in (False, True):
+                for (i, w, h) in ((3, 13, 9), (1, 1, 1), (2, 23, 2)):
+                    blob = make_png_packed(i, w, h, depth=depth, color_type=ct, interlace=il)
+                    gw, gh, rows = decode_png_pixels(blob)
+                    nv = 1 << depth
+                    v = lambda x, y: (i * 31 + y * 7 + x * 3) % nv
+                    if ct == 0:
+                        exp = [bytearray(v(x, y) for x in range(w)) for y in range(h)]
+                    else:
+                        exp = [
+                            bytearray(
+                                b
+                                for x in range(w)
+                                for b in (v(x, y), (v(x, y) * 3) % 256, (v(x, y) * 7) % 256)
+                            )
+                            for y in range(h)
+                        ]
+                    assert (gw, gh) == (w, h)
+                    assert rows == exp, (depth, ct, il, i, w, h)
