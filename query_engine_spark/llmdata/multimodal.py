@@ -1144,6 +1144,116 @@ def wav_stereo_features(df: DataFrame) -> DataFrame:
     return _pcm_container_features(df, decode_wav_stereo)
 
 
+def make_wav_multich(
+    media_id: int, n_frames: int, channels: int = 4, sample_rate: int = 16000
+) -> bytes:
+    """Pack a deterministic MULTI-CHANNEL (>2) RIFF/WAVE 16-bit PCM
+    payload — the field-recorder / conference-array corpus shape: the
+    interleaved stream is `make_wav`'s sample formula at
+    channels·n_frames samples (the stereo fixture's convention extended),
+    block_align 2·channels. Keeps the deliberate JUNK chunk."""
+    import struct
+
+    if channels < 1:
+        raise ValueError(f"invalid channel count {channels}")
+    i = np.arange(channels * n_frames, dtype=np.int64)
+    data = (((media_id * 131 + i * 17) % 65536) - 32768).astype("<i2").tobytes()
+    ba = 2 * channels
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * ba, ba, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"JUNK" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav_multich(blob: bytes) -> tuple[int, int, int, list[int]]:
+    """REAL multi-channel PCM decode → (sample_rate, channels, n_frames,
+    interleaved samples): the JUNK-proof RIFF walk generalized past the
+    stereo boundary — any channel count with a consistent
+    block_align = 2·channels and byte_rate; a sample count that does not
+    divide by the channel count is a hard error, not a truncation."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_size,) = struct.unpack_from("<I", blob, 4)
+    end = min(len(blob), 8 + riff_size)
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = blob[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", blob, pos + 4)
+        if pos + 8 + csize > end:
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            fmt = blob[pos + 8 : pos + 8 + csize]
+        elif cid == b"data":
+            data = blob[pos + 8 : pos + 8 + csize]
+        pos += 8 + csize + (csize & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, rate, byte_rate, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if tag != 1 or bits != 16:
+        raise NotImplementedError("decode_wav_multich handles 16-bit PCM only")
+    if channels < 1:
+        raise ValueError(f"invalid channel count {channels}")
+    if rate <= 0 or block_align != 2 * channels or byte_rate != rate * block_align:
+        raise ValueError("inconsistent fmt fields")
+    n = len(data) // 2
+    if n % channels:
+        raise ValueError("sample count does not divide by the channel count")
+    samples = list(struct.unpack(f"<{n}h", data[: n * 2])) if n else []
+    return rate, channels, n // channels, samples
+
+
+_WAV_MULTICH_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, n_frames long, "
+    "amp_sum long, peak int, first_sample int, ch0_amp_sum long"
+)
+
+
+def wav_multich_features(df: DataFrame) -> DataFrame:
+    """Distributed multi-channel PCM decode in one Arrow mapInPandas pass
+    (map-only): the PCM-container integer surface plus `ch0_amp_sum`
+    (channel 0's |sample| sum — stream indices k·channels), which pins
+    the de-interleave stride: a decoder that walks frames with the wrong
+    channel count keeps the whole-stream sums but shifts the per-channel
+    one and fails the oracle hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                rate, ch, n_frames, samples = decode_wav_multich(bytes(blob))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": rate,
+                        "n_channels": ch,
+                        "n_frames": n_frames,
+                        "amp_sum": sum(abs(s) for s in samples),
+                        "peak": max(samples, default=0),
+                        "first_sample": samples[0] if samples else 0,
+                        "ch0_amp_sum": sum(abs(s) for s in samples[::ch]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "n_frames",
+                    "amp_sum", "peak", "first_sample", "ch0_amp_sum",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _WAV_MULTICH_SCHEMA)
+
+
 def make_wav24(media_id: int, n_samples: int, sample_rate: int = 8000) -> bytes:
     """Pack a deterministic RIFF/WAVE 24-BIT mono PCM payload (the studio/
     mastering shape): sample i is ``((media_id*521 + i*73) % 2^24) − 2^23``,

@@ -227,3 +227,57 @@ def multimodal_png_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="image/png",
     )
     return MM.png_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Multi-channel WAV: past the stereo boundary
+
+
+@_candidate(
+    "multimodal_audio_multichannel",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 6 END AS ch,
+             8000 + (doc_id % 3) * 8000 AS rate,
+             200 + (doc_id % 5) * 53 AS nf
+      FROM documents WHERE doc_id < 64),
+    s AS (
+      SELECT m.media_id, m.ch, m.rate, m.nf, i.i,
+             ((m.media_id*131 + i.i*17) % 65536) - 32768 AS v
+      FROM m, generate_series(0, 2471) AS i(i)
+      WHERE i.i < m.ch * m.nf)
+    SELECT media_id, CAST(rate AS INT) AS sample_rate,
+           CAST(ch AS INT) AS n_channels, CAST(nf AS BIGINT) AS n_frames,
+           CAST(sum(abs(v)) AS BIGINT) AS amp_sum,
+           CAST(max(v) AS INT) AS peak,
+           CAST(((media_id*131) % 65536) - 32768 AS INT) AS first_sample,
+           CAST(sum(CASE WHEN i % ch = 0 THEN abs(v) END) AS BIGINT) AS ch0_amp_sum
+    FROM s GROUP BY media_id, rate, ch, nf
+    """,
+    "MULTI-CHANNEL (4ch/6ch) 16-bit PCM WAV decode — the field-recorder/"
+    "conference-array shape past the stereo boundary: block_align "
+    "2·channels consistency, frame-count division check, and a channel-0 "
+    "|sample| sum that pins the de-interleave stride (a wrong channel "
+    "count keeps the whole-stream sums but shifts ch0_amp_sum) "
+    "(llmdata/multimodal.py make_wav_multich/decode_wav_multich/"
+    "wav_multich_features)",
+)
+def multimodal_audio_multichannel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(
+            ids,
+            lambda i: MM.make_wav_multich(
+                i,
+                200 + (i % 5) * 53,
+                channels=4 if i % 2 == 0 else 6,
+                sample_rate=8000 + (i % 3) * 8000,
+            ),
+        ),
+        media_type="audio/wav",
+    )
+    return MM.wav_multich_features(media)

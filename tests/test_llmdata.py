@@ -4441,3 +4441,32 @@ def test_png_packed_roundtrip_all_depths():
                         ]
                     assert (gw, gh) == (w, h)
                     assert rows == exp, (depth, ct, il, i, w, h)
+
+
+def test_wav_multich_roundtrip_and_stride():
+    """Multi-channel WAV: the stereo walk generalized — frame counts,
+    interleave stride, and consistency checks hold at 4 and 6 channels;
+    a stream whose sample count does not divide by the channel count is
+    a hard error."""
+    import struct
+
+    import pytest
+
+    from query_engine_spark.llmdata.multimodal import (
+        decode_wav_multich,
+        make_wav_multich,
+    )
+
+    for ch in (1, 4, 6):
+        rate, got_ch, nf, samples = decode_wav_multich(make_wav_multich(7, 50, channels=ch, sample_rate=16000))
+        assert (rate, got_ch, nf) == (16000, ch, 50)
+        assert samples == [((7 * 131 + j * 17) % 65536) - 32768 for j in range(ch * 50)]
+        assert samples[::ch][1] == ((7 * 131 + ch * 17) % 65536) - 32768
+    blob = bytearray(make_wav_multich(3, 10, channels=4))
+    # shrink the data chunk by one frame-misaligned sample (2 bytes)
+    pos = blob.rfind(b"data")
+    (dsz,) = struct.unpack_from("<I", blob, pos + 4)
+    struct.pack_into("<I", blob, pos + 4, dsz - 2)
+    struct.pack_into("<I", blob, 4, len(blob) - 8 - 2)
+    with pytest.raises(ValueError, match="divide"):
+        decode_wav_multich(bytes(blob[:-2]))
