@@ -1692,6 +1692,35 @@ def make_flac(
     return encode_flac(samples, sample_rate, frame_size=frame_size)
 
 
+def _flac_pack_pcm(samples: list[int], bits: int) -> bytes:
+    """Little-endian two's-complement PCM bytes at 16 or 24 bits — the
+    layout the STREAMINFO MD5 covers (spec: the unencoded samples as
+    packed little-endian), shared by the encoder and the decoder's
+    verification so a packing bug cannot self-cancel across one side."""
+    import struct
+
+    if bits == 16:
+        return b"".join(struct.pack("<h", s) for s in samples)
+    return b"".join((s & 0xFFFFFF).to_bytes(3, "little") for s in samples)
+
+
+def make_flac24(
+    media_id: int,
+    n_samples: int,
+    sample_rate: int = 8000,
+    *,
+    frame_size: int = 256,
+) -> bytes:
+    """Pack a REAL 24-BIT mono FLAC stream (the studio-master depth):
+    sample i = ``((media_id*521 + i*73) % 16777216) - 8388608`` — the
+    same formula as `make_wav24`, so the 24-bit WAV oracle arithmetic
+    covers the compressed stream too. Same frame machinery as
+    `make_flac` at depth 24 (wider warmups/residuals, sample-size code
+    0b110, 3-byte MD5 layout)."""
+    samples = [((media_id * 521 + i * 73) % 16777216) - 8388608 for i in range(n_samples)]
+    return encode_flac(samples, sample_rate, frame_size=frame_size, bits=24)
+
+
 def _flac_write_subframe(bw: "_FlacBitWriter", block: list[int], depth: int) -> None:
     """One subframe at the given bit depth: CONSTANT when flat, else the
     least-|residual| FIXED predictor with a single cost-optimal rice
@@ -1748,6 +1777,7 @@ def encode_flac(
     *,
     frame_size: int = 256,
     channels: int = 1,
+    bits: int = 16,
 ) -> bytes:
     """Encode arbitrary 16-bit samples as a valid FLAC stream — the
     encoder half shared by the fixture generator and the fuzz tests (see
@@ -1762,10 +1792,12 @@ def encode_flac(
 
     if channels not in (1, 2):
         raise ValueError("1 or 2 channels")
+    if bits not in (16, 24):
+        raise ValueError("16- or 24-bit samples")
     if len(samples) % channels:
         raise ValueError("sample count must divide by channels")
     n_samples = len(samples) // channels  # interchannel samples
-    raw = b"".join(struct.pack("<h", s) for s in samples)
+    raw = _flac_pack_pcm(samples, bits)
 
     def subframe_cost(block: list[int]) -> int:
         best = None
@@ -1783,17 +1815,17 @@ def encode_flac(
     def frame_bytes(fno: int, inter: list[int]) -> bytes:
         bs = len(inter) // channels
         if channels == 1:
-            assign, chans = 0b0000, [(inter, 16)]
+            assign, chans = 0b0000, [(inter, bits)]
         else:
             left = inter[0::2]
             right = inter[1::2]
             side = [l - r for l, r in zip(left, right)]
             mid = [(l + r) >> 1 for l, r in zip(left, right)]
             options = [
-                (0b0001, [(left, 16), (right, 16)]),
-                (0b1000, [(left, 16), (side, 17)]),
-                (0b1001, [(side, 17), (right, 16)]),
-                (0b1010, [(mid, 16), (side, 17)]),
+                (0b0001, [(left, bits), (right, bits)]),
+                (0b1000, [(left, bits), (side, bits + 1)]),
+                (0b1001, [(side, bits + 1), (right, bits)]),
+                (0b1010, [(mid, bits), (side, bits + 1)]),
             ]
             assign, chans = min(
                 options, key=lambda o: sum(subframe_cost(c) for c, _ in o[1])
@@ -1805,7 +1837,7 @@ def encode_flac(
         bw.put(0b0111, 4)  # block size: 16-bit value-1 follows
         bw.put(0b0000, 4)  # sample rate: from STREAMINFO
         bw.put(assign, 4)
-        bw.put(0b100, 3)  # sample size: 16 bits
+        bw.put(0b100 if bits == 16 else 0b110, 3)  # sample size: 16/24 bits
         bw.put(0, 1)  # reserved
         for b in _flac_utf8_number(fno):
             bw.put(b, 8)
@@ -1829,7 +1861,7 @@ def encode_flac(
     si.put(0, 24)  # max frame size unknown
     si.put(sample_rate, 20)
     si.put(channels - 1, 3)
-    si.put(15, 5)  # bits per sample - 1
+    si.put(bits - 1, 5)  # bits per sample - 1
     si.put(n_samples, 36)
     streaminfo = bytes(si.out) + hashlib.md5(raw).digest()
     header = bytes([0x80, 0, 0, len(streaminfo)])  # last-block flag | type 0
@@ -1884,8 +1916,8 @@ def decode_flac(blob: bytes) -> tuple[int, int, list[int]]:
     md5_expect = streaminfo[18:34]
     if nchan not in (1, 2):
         raise NotImplementedError("only mono and stereo supported")
-    if bps != 16:
-        raise NotImplementedError("only 16-bit samples supported")
+    if bps not in (16, 24):
+        raise NotImplementedError("only 16- or 24-bit samples supported")
 
     def read_subframe(br: "_FlacBitReader", bs: int, depth: int) -> list[int]:
         if br.bits(1) != 0:
@@ -1967,8 +1999,10 @@ def decode_flac(blob: bytes) -> tuple[int, int, list[int]]:
         chan = br.bits(4)
         size_code = br.bits(3)
         br.bits(1)
-        if size_code != 0b100:
-            raise NotImplementedError("only 16-bit samples supported")
+        if size_code not in (0b100, 0b110):
+            raise NotImplementedError("only 16- or 24-bit samples supported")
+        if (16 if size_code == 0b100 else 24) != bps:
+            raise ValueError("frame sample size disagrees with STREAMINFO")
         _flac_read_utf8(br)
         if bs_code == 0b0110:
             bs = br.bits(8) + 1
@@ -1993,14 +2027,14 @@ def decode_flac(blob: bytes) -> tuple[int, int, list[int]]:
         if chan == 0b0000:
             if nchan != 1:
                 raise ValueError("mono frame in a stereo stream")
-            inter = read_subframe(br, bs, 16)
+            inter = read_subframe(br, bs, bps)
         elif chan in (0b0001, 0b1000, 0b1001, 0b1010):
             if nchan != 2:
                 raise ValueError("stereo frame in a mono stream")
             # the side channel carries L−R and needs one extra bit of
             # depth (FLAC spec: side-channel bps is bps+1)
-            d0 = 17 if chan == 0b1001 else 16
-            d1 = 16 if chan == 0b1001 else (17 if chan in (0b1000, 0b1010) else 16)
+            d0 = bps + 1 if chan == 0b1001 else bps
+            d1 = bps if chan == 0b1001 else (bps + 1 if chan in (0b1000, 0b1010) else bps)
             ch0 = read_subframe(br, bs, d0)
             ch1 = read_subframe(br, bs, d1)
             if chan == 0b0001:
@@ -2030,7 +2064,7 @@ def decode_flac(blob: bytes) -> tuple[int, int, list[int]]:
         samples.extend(inter)
 
     samples = samples[: total * nchan]
-    raw = b"".join(struct.pack("<h", s) for s in samples)
+    raw = _flac_pack_pcm(samples, bps)
     if md5_expect != b"\x00" * 16 and hashlib.md5(raw).digest() != md5_expect:
         raise ValueError("STREAMINFO MD5 mismatch")
     return sample_rate, total, samples

@@ -281,3 +281,54 @@ def multimodal_audio_multichannel(spark: SparkSession, sf_dir: str) -> DataFrame
         media_type="audio/wav",
     )
     return MM.wav_multich_features(media)
+
+
+# ---------------------------------------------------------------------------
+# 24-bit FLAC: the studio-master depth
+
+
+@_candidate(
+    "multimodal_audio_flac24",
+    # same fixture formula and geometry as multimodal_audio_pcm24 — the
+    # compressed stream must reconstruct identical samples, so the 24-bit
+    # WAV oracle covers it verbatim (the r8 "one SQL form per PCM family"
+    # device, extended to the lossless codec)
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             8000 + (doc_id % 3) * 8000 AS rate,
+             500 + (doc_id % 5) * 111 AS n
+      FROM documents WHERE doc_id < 64
+    )
+    SELECT m.media_id,
+           CAST(m.rate AS INT) AS sample_rate,
+           CAST(m.n AS BIGINT) AS n_samples,
+           CAST(SUM(abs(((m.media_id*521 + i.i*73) % 16777216) - 8388608)) AS BIGINT) AS amp_sum,
+           CAST(MAX(((m.media_id*521 + i.i*73) % 16777216) - 8388608) AS INT) AS peak,
+           CAST(((m.media_id*521) % 16777216) - 8388608 AS INT) AS first_sample
+    FROM m, generate_series(0, 943) AS i(i)
+    WHERE i.i < m.n
+    GROUP BY m.media_id, m.rate, m.n
+    """,
+    "24-BIT FLAC decode (the studio-master depth, previously a documented "
+    "boundary): sample-size code 0b110, 25-bit side subframes, wider "
+    "warmups/residuals through the same FIXED/rice machinery, and the "
+    "3-byte little-endian MD5 layout — shared `_flac_pack_pcm` so a "
+    "packing bug cannot self-cancel between encoder and verifier; the "
+    "fixture is `make_wav24`'s formula, so the 24-bit WAV oracle covers "
+    "the compressed stream verbatim (llmdata/multimodal.py "
+    "make_flac24/encode_flac/decode_flac)",
+)
+def multimodal_audio_flac24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(
+            ids,
+            lambda i: MM.make_flac24(i, 500 + (i % 5) * 111, 8000 + (i % 3) * 8000),
+        ),
+        media_type="audio/flac",
+    )
+    return MM.flac_features(media)

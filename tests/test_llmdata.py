@@ -4470,3 +4470,27 @@ def test_wav_multich_roundtrip_and_stride():
     struct.pack_into("<I", blob, 4, len(blob) - 8 - 2)
     with pytest.raises(ValueError, match="divide"):
         decode_wav_multich(bytes(blob[:-2]))
+
+
+def test_flac24_roundtrip_and_depth_guards():
+    """24-bit FLAC: mono and all-assignment stereo reconstruct the exact
+    samples (25-bit side depth, 3-byte MD5 layout); a frame whose
+    sample-size code disagrees with STREAMINFO is a hard error, and the
+    16-bit path's output is unchanged by the generalization."""
+    from query_engine_spark.llmdata.multimodal import (
+        decode_flac,
+        encode_flac,
+        make_flac,
+        make_flac24,
+    )
+
+    for i in (0, 7):
+        n = 400 + i * 37
+        rate, total, samples = decode_flac(make_flac24(i, n, 16000))
+        assert (rate, total) == (16000, n)
+        assert samples == [((i * 521 + j * 73) % 16777216) - 8388608 for j in range(n)]
+    s = [((3 * 521 + j * 73) % 16777216) - 8388608 for j in range(600)]
+    assert decode_flac(encode_flac(s, 8000, channels=2, bits=24, frame_size=128))[2] == s
+    # depth generalization must not perturb 16-bit streams
+    rate, total, samples = decode_flac(make_flac(4, 700))
+    assert samples == [((4 * 131 + j * 17) % 65536) - 32768 for j in range(700)]
