@@ -4494,3 +4494,172 @@ def test_flac24_roundtrip_and_depth_guards():
     # depth generalization must not perturb 16-bit streams
     rate, total, samples = decode_flac(make_flac(4, 700))
     assert samples == [((4 * 131 + j * 17) % 65536) - 32768 for j in range(700)]
+
+
+def test_tiff_rgb_golden_hand_authored_stream():
+    """RGB-TIFF conformance anchored outside the co-developed pair: a 2x2
+    little-endian chunky-RGB TIFF laid out BY HAND (header, one raw
+    strip, the out-of-line [8,8,8] BitsPerSample array, a 10-entry IFD)
+    with arbitrary pixel bytes — tag order, the count-3 array indirection
+    and the interleave all pinned against hand-derived rows."""
+    import struct
+
+    from query_engine_spark.llmdata.multimodal import decode_tiff_rgb
+
+    strip = bytes(
+        [10, 20, 30, 40, 50, 60,  # row 0: (10,20,30) (40,50,60)
+         70, 80, 90, 100, 110, 120]  # row 1
+    )
+    # layout: header(8) | strip(12) | bits@20(6) | IFD@26
+    ifd_entries = [
+        (256, 3, 1, 2), (257, 3, 1, 2),
+        (258, 3, 3, 20),            # out-of-line BitsPerSample
+        (259, 3, 1, 1), (262, 3, 1, 2),
+        (273, 4, 1, 8),             # single strip: offset inline
+        (277, 3, 1, 3), (278, 3, 1, 2),
+        (279, 4, 1, 12),
+        (284, 3, 1, 1),
+    ]
+    blob = bytearray(b"II" + struct.pack("<HI", 42, 26))
+    blob += strip
+    blob += struct.pack("<HHH", 8, 8, 8)
+    blob += struct.pack("<H", len(ifd_entries))
+    for tag, typ, count, val in ifd_entries:
+        if typ == 3 and count == 1:
+            blob += struct.pack("<HHIHH", tag, typ, count, val, 0)
+        else:
+            blob += struct.pack("<HHII", tag, typ, count, val)
+    blob += struct.pack("<I", 0)
+    w, h, rows = decode_tiff_rgb(bytes(blob))
+    assert (w, h) == (2, 2)
+    assert rows == [[10, 20, 30, 40, 50, 60], [70, 80, 90, 100, 110, 120]]
+
+
+def test_bmp_rle8_golden_hand_authored_stream():
+    """BI_RLE8 conformance anchored outside the co-developed pair: the
+    escape stream for a 6x2 bitmap written out BY HAND from the Windows
+    bitmap spec — bottom-up line order, an encoded run, an odd-length
+    absolute segment with its word-alignment pad, EOL and EOD markers —
+    against hand-derived top-down rows."""
+    import struct
+
+    from query_engine_spark.llmdata.multimodal import decode_bmp_rle8
+
+    rle = bytes(
+        [
+            3, 7,          # stored line 0 (image row 1): run of three 7s
+            0, 3, 1, 2, 3,  # absolute: indices 1,2,3 (odd count)
+            0,             # word-align pad
+            0, 0,          # end of line
+            6, 9,          # stored line 1 (image row 0): run of six 9s
+            0, 0,          # end of line
+            0, 1,          # end of bitmap
+        ]
+    )
+    palette = b"".join(
+        bytes((i % 256, (2 * i) % 256, (3 * i) % 256, 0)) for i in range(256)
+    )
+    off = 14 + 40 + 1024
+    blob = (
+        b"BM" + struct.pack("<IHHI", off + len(rle), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, 6, 2, 1, 8, 1, len(rle), 0, 0, 256, 0)
+        + palette + rle
+    )
+    w, h, idx_sum, rgb_sum, tl = decode_bmp_rle8(blob)
+    rows = [[9] * 6, [7, 7, 7, 1, 2, 3]]  # top-down, hand-derived
+    assert (w, h) == (6, 2)
+    assert idx_sum == sum(map(sum, rows)) == 81
+    # palette entry v sums to 6v at these small indices (no byte wrap)
+    assert rgb_sum == 6 * 81
+    assert tl == 9
+
+
+def test_png_packed_golden_hand_authored_stream():
+    """Sub-byte-PNG conformance anchored outside the co-developed pair: a
+    5x3 depth-2 grayscale PNG whose FILTERED scanlines are written BY
+    HAND (None / Sub at bpp=1 / Up, two packed bytes per line with pad
+    bits) — the unfilter+unpack pipeline must reproduce hand-derived
+    pixel values."""
+    import struct
+    import zlib
+
+    from query_engine_spark.llmdata.multimodal import decode_png_pixels
+
+    # scanline bytes (packed MSB-first, depth 2, width 5 -> 2 bytes):
+    # row0 pixels 1,2,3,0,2 -> 01 10 11 00 | 10 000000 -> 0x6C 0x80
+    # row1 pixels 3,3,1,2,0 -> 0xF6 0x00 ; row2 pixels 0,1,2,3,1 -> 0x1B 0x40
+    raw = bytes(
+        [
+            0, 0x6C, 0x80,                  # filter None
+            1, 0xF6, (0x00 - 0xF6) % 256,   # Sub: current row's left byte
+            2, (0x1B - 0xF6) % 256, 0x40,   # Up: previous row's byte
+        ]
+    )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 3, 2, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, rows = decode_png_pixels(blob)
+    assert (w, h) == (5, 3)
+    assert [list(r) for r in rows] == [
+        [1, 2, 3, 0, 2], [3, 3, 1, 2, 0], [0, 1, 2, 3, 1]
+    ]
+
+
+def test_flac24_golden_hand_authored_frame():
+    """24-bit-FLAC conformance anchored outside the co-developed pair: a
+    one-frame stream built BY HAND — STREAMINFO bit fields, frame header
+    with sample-size code 0b110, a CONSTANT subframe carrying 0x123456,
+    CRC-8/CRC-16 from the spec polynomials RESTATED LOCALLY (x^8+x^2+x+1
+    and x^16+x^15+x^2+1), and the 3-byte little-endian MD5 layout."""
+    import hashlib
+    import struct
+
+    from query_engine_spark.llmdata.multimodal import decode_flac
+
+    def crc8(data: bytes) -> int:  # poly 0x07, init 0
+        c = 0
+        for b in data:
+            c ^= b
+            for _ in range(8):
+                c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        return c
+
+    def crc16(data: bytes) -> int:  # poly 0x8005, init 0
+        c = 0
+        for b in data:
+            c ^= b << 8
+            for _ in range(8):
+                c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+        return c
+
+    v = 0x123456  # positive 24-bit constant sample
+    samples = [v] * 4
+    # STREAMINFO: min/max bs 4, frame sizes 0, rate 8000 (20b), chans-1 0
+    # (3b), bps-1 23 (5b), total 4 (36b) -> bit-packed by hand
+    si_bits = (
+        format(4, "016b") * 2 + "0" * 48
+        + format(8000, "020b") + "000" + format(23, "05b") + format(4, "036b")
+    )
+    si = bytes(int(si_bits[i : i + 8], 2) for i in range(0, len(si_bits), 8))
+    md5 = hashlib.md5(b"".join(s.to_bytes(3, "little") for s in samples)).digest()
+    meta = bytes([0x80, 0, 0, len(si) + 16]) + si + md5
+    # frame header: sync(14) 0 0 | bs_code 0110 sr_code 0000 | chan 0000
+    # size 110 res 0 | utf8 fno 0 | bs-1
+    hdr = bytes([0xFF, 0xF8, 0x60, 0x0C, 0x00, 0x03])
+    hdr += bytes([crc8(hdr)])
+    # subframe: pad 0, type 000000, wasted 0 -> 0x00, then 24-bit value
+    body = hdr + bytes([0x00]) + v.to_bytes(3, "big")
+    frame = body + struct.pack(">H", crc16(body))
+    rate, total, got = decode_flac(b"fLaC" + meta + frame)
+    assert (rate, total) == (8000, 4)
+    assert got == samples
