@@ -256,8 +256,37 @@ def make_bmp(media_id: int, width: int, height: int) -> bytes:
     return _pack_bmp(width, height, pixels)
 
 
-def _parse_bmp_header(blob: bytes) -> tuple[int, int, int, int]:
-    """Validate a 24-bpp BI_RGB bottom-up BMP → (off, width, height, stride)."""
+def make_bmp_topdown(media_id: int, width: int, height: int) -> bytes:
+    """Pack a deterministic TOP-DOWN 24-bpp BMP (NEGATIVE biHeight — the
+    screenshot/capture shape): same pixel formula as `make_bmp`, rows
+    stored in image order. A decoder that ignores the sign walks the
+    rows inverted and reads the wrong top_left byte."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    img_size = stride * height
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, -height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = bytearray()
+    pad = b"\x00" * (stride - width * 3)
+    for y in range(height):  # image order: top-down
+        rows += bytes(
+            (media_id * 31 + y * 7 + x * 3 + c) % 256
+            for x in range(width)
+            for c in range(3)
+        )
+        rows += pad
+    return header + dib + bytes(rows)
+
+
+def _parse_bmp_header(blob: bytes) -> tuple[int, int, int, int, bool]:
+    """Validate a 24-bpp BI_RGB BMP → (off, width, |height|, stride,
+    topdown). A NEGATIVE biHeight means top-down rows (file row 0 is
+    image row 0) per the BITMAPINFOHEADER spec — the screenshot/capture
+    shape; positive means the classic bottom-up layout."""
     import struct
 
     if blob[:2] != b"BM":
@@ -268,8 +297,10 @@ def _parse_bmp_header(blob: bytes) -> tuple[int, int, int, int]:
     width, height = struct.unpack_from("<ii", blob, 18)
     (bpp,) = struct.unpack_from("<H", blob, 28)
     (compression,) = struct.unpack_from("<I", blob, 30)
-    if bpp != 24 or height <= 0:
-        raise NotImplementedError("only 24-bpp bottom-up BMP supported")
+    if bpp != 24 or height == 0:
+        raise NotImplementedError("only 24-bpp BMP supported")
+    topdown = height < 0
+    height = abs(height)
     if compression != 0:
         raise NotImplementedError("only uncompressed (BI_RGB) BMP supported")
     if width <= 0:
@@ -279,7 +310,7 @@ def _parse_bmp_header(blob: bytes) -> tuple[int, int, int, int]:
         raise ValueError(
             f"truncated BMP: need {off + stride * height} bytes, have {len(blob)}"
         )
-    return off, width, height, stride
+    return off, width, height, stride, topdown
 
 
 def decode_bmp(blob: bytes) -> tuple[int, int, int, int, int]:
@@ -290,12 +321,12 @@ def decode_bmp(blob: bytes) -> tuple[int, int, int, int, int]:
     bottom-up storage puts in the LAST file row, so a parser that ignores
     row order or stride reads the wrong byte and fails the oracle.
     """
-    off, width, height, stride = _parse_bmp_header(blob)
+    off, width, height, stride, topdown = _parse_bmp_header(blob)
     px_sum = 0
     for stored_row in range(height):
         row = blob[off + stored_row * stride : off + stored_row * stride + width * 3]
         px_sum += sum(row)
-    top_left = blob[off + (height - 1) * stride]
+    top_left = blob[off if topdown else off + (height - 1) * stride]
     return width, height, 24, px_sum, top_left
 
 
@@ -451,10 +482,11 @@ def resize_bmp(blob: bytes, out_w: int, out_h: int) -> bytes:
     """
     if out_w <= 0 or out_h <= 0:
         raise ValueError(f"invalid target size {out_w}x{out_h}")
-    off, width, height, stride = _parse_bmp_header(blob)
+    off, width, height, stride, topdown = _parse_bmp_header(blob)
 
     def px(x: int, y: int) -> bytes:
-        start = off + (height - 1 - y) * stride + x * 3  # bottom-up rows
+        sy = y if topdown else height - 1 - y
+        start = off + sy * stride + x * 3
         return blob[start : start + 3]
 
     out = bytearray()
@@ -1144,6 +1176,44 @@ def wav_stereo_features(df: DataFrame) -> DataFrame:
     return _pcm_container_features(df, decode_wav_stereo)
 
 
+# KSDATAFORMAT_SUBTYPE_PCM: 00000001-0000-0010-8000-00aa00389b71 on the
+# wire (little-endian data1/2/3, big-endian tail per GUID layout)
+_KSDATAFORMAT_SUBTYPE_PCM = bytes(
+    (0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+     0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
+)
+
+
+def make_wav_extensible(
+    media_id: int, n_frames: int, channels: int = 4, sample_rate: int = 16000
+) -> bytes:
+    """Pack a WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) 16-bit PCM payload —
+    how real recorders ship >2-channel audio: the 40-byte fmt chunk
+    carries cbSize 22, validBitsPerSample, a speaker channel mask and
+    the PCM SubFormat GUID; samples are `make_wav_multich`'s interleaved
+    formula stream, so the multichannel oracle covers both containers."""
+    import struct
+
+    if channels < 1:
+        raise ValueError(f"invalid channel count {channels}")
+    i = np.arange(channels * n_frames, dtype=np.int64)
+    data = (((media_id * 131 + i * 17) % 65536) - 32768).astype("<i2").tobytes()
+    ba = 2 * channels
+    fmt = (
+        struct.pack(
+            "<HHIIHH", 0xFFFE, channels, sample_rate, sample_rate * ba, ba, 16
+        )
+        + struct.pack("<HHI", 22, 16, (1 << channels) - 1)
+        + _KSDATAFORMAT_SUBTYPE_PCM
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def make_wav_multich(
     media_id: int, n_frames: int, channels: int = 4, sample_rate: int = 16000
 ) -> bytes:
@@ -1199,7 +1269,28 @@ def decode_wav_multich(blob: bytes) -> tuple[int, int, int, list[int]]:
     tag, channels, rate, byte_rate, block_align, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
-    if tag != 1 or bits != 16:
+    if tag == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE (the modern >2-channel container): the
+        # real format lives in the 16-byte SubFormat GUID after
+        # cbSize/validBits/channelMask; only KSDATAFORMAT_SUBTYPE_PCM
+        # decodes here
+        if len(fmt) < 40:
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        (cb_size, valid_bits, _channel_mask) = struct.unpack_from("<HHI", fmt, 16)
+        if cb_size < 22:
+            raise ValueError(f"extensible cbSize {cb_size} < 22")
+        if fmt[24:40] != _KSDATAFORMAT_SUBTYPE_PCM:
+            raise NotImplementedError(
+                "only the PCM SubFormat GUID is supported in extensible WAV"
+            )
+        if valid_bits != bits:
+            raise NotImplementedError(
+                f"container bits {bits} != valid bits {valid_bits} "
+                "(padded sample layouts not supported)"
+            )
+    elif tag != 1:
+        raise NotImplementedError("decode_wav_multich handles PCM (tag 1/0xFFFE) only")
+    if bits != 16:
         raise NotImplementedError("decode_wav_multich handles 16-bit PCM only")
     if channels < 1:
         raise ValueError(f"invalid channel count {channels}")
@@ -6763,20 +6854,25 @@ def dhash_bmp_bands(blob: bytes, *, grid_w: int = 9, grid_h: int = 8) -> list[in
     keys of `perceptual_dedup_pairs` — instead of one int64, so no
     sign-bit edge case exists in either engine.
     """
-    off, width, height, stride = _parse_bmp_header(blob)
-    return _dhash_bands_of_pixels(blob, off, width, height, stride, grid_w=grid_w, grid_h=grid_h)
+    off, width, height, stride, topdown = _parse_bmp_header(blob)
+    return _dhash_bands_of_pixels(
+        blob, off, width, height, stride, grid_w=grid_w, grid_h=grid_h,
+        topdown=topdown,
+    )
 
 
 def _dhash_bands_of_pixels(
     buf: bytes, off: int, width: int, height: int, stride: int,
-    *, grid_w: int = 9, grid_h: int = 8,
+    *, grid_w: int = 9, grid_h: int = 8, topdown: bool = False,
 ) -> list[int]:
-    """Shared dHash kernel over a bottom-up stride-padded 24-bpp pixel
-    array (the BMP pixel layout — also exactly what demux_avi's raw
-    frames are, headerless)."""
+    """Shared dHash kernel over a stride-padded 24-bpp pixel array
+    (bottom-up by default — the BMP pixel layout, also exactly what
+    demux_avi's raw frames are, headerless; `topdown` for negative-
+    biHeight BMPs so the same perceptual hash covers both row orders)."""
 
     def gray(x: int, y: int) -> int:
-        s = off + (height - 1 - y) * stride + x * 3  # bottom-up rows
+        sy = y if topdown else height - 1 - y
+        s = off + sy * stride + x * 3
         return buf[s] + buf[s + 1] + buf[s + 2]
 
     bits: list[int] = []

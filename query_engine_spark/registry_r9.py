@@ -332,3 +332,100 @@ def multimodal_audio_flac24(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="audio/flac",
     )
     return MM.flac_features(media)
+
+
+# ---------------------------------------------------------------------------
+# WAVE_FORMAT_EXTENSIBLE: the modern multichannel WAV container
+
+
+@_candidate(
+    "multimodal_audio_wav_extensible",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 6 ELSE 8 END AS ch,
+             180 + (doc_id % 4) * 61 AS nf
+      FROM documents WHERE doc_id < 64),
+    s AS (
+      SELECT m.media_id, m.ch, m.nf, i.i,
+             ((m.media_id*131 + i.i*17) % 65536) - 32768 AS v
+      FROM m, generate_series(0, 2903) AS i(i)
+      WHERE i.i < m.ch * m.nf)
+    SELECT media_id, CAST(16000 AS INT) AS sample_rate,
+           CAST(ch AS INT) AS n_channels, CAST(nf AS BIGINT) AS n_frames,
+           CAST(sum(abs(v)) AS BIGINT) AS amp_sum,
+           CAST(max(v) AS INT) AS peak,
+           CAST(((media_id*131) % 65536) - 32768 AS INT) AS first_sample,
+           CAST(sum(CASE WHEN i % ch = 0 THEN abs(v) END) AS BIGINT) AS ch0_amp_sum
+    FROM s GROUP BY media_id, ch, nf
+    """,
+    "WAVE_FORMAT_EXTENSIBLE decode (tag 0xFFFE — how real recorders ship "
+    ">2-channel audio): the 40-byte fmt chunk's cbSize/validBits/"
+    "channel-mask fields and the KSDATAFORMAT_SUBTYPE_PCM GUID gate the "
+    "decode (a non-PCM GUID or padded validBits raises); samples are the "
+    "multichannel formula stream at 4/6/8 channels, so the same "
+    "stride-pinning surface verifies both containers "
+    "(llmdata/multimodal.py make_wav_extensible/decode_wav_multich)",
+)
+def multimodal_audio_wav_extensible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(
+            ids,
+            lambda i: MM.make_wav_extensible(
+                i, 180 + (i % 4) * 61, channels=(4, 6, 8)[i % 3]
+            ),
+        ),
+        media_type="audio/wav",
+    )
+    return MM.wav_multich_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Top-down BMP: negative biHeight, the screenshot/capture shape
+
+
+@_candidate(
+    "multimodal_bmp_topdown",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 4 + doc_id % 5 AS width, 3 + doc_id % 4 AS height
+      FROM documents WHERE doc_id < 64
+    )
+    SELECT m.media_id, CAST(m.width AS INT) AS width, CAST(m.height AS INT) AS height,
+           24 AS bpp,
+           CAST(SUM((m.media_id*31 + y.y*7 + x.x*3 + c.c) % 256) AS BIGINT) AS px_sum,
+           CAST(m.media_id*31 % 256 AS INT) AS top_left
+    FROM m, generate_series(0, 5) AS y(y), generate_series(0, 7) AS x(x),
+         generate_series(0, 2) AS c(c)
+    WHERE y.y < m.height AND x.x < m.width
+    GROUP BY m.media_id, m.width, m.height
+    """,
+    "TOP-DOWN BMP decode (NEGATIVE biHeight — the screenshot/capture "
+    "shape): even docs store rows top-down, odd docs bottom-up, one "
+    "corpus exercising both row orders through the same parser; the "
+    "y-dependent pixel formula means a decoder that ignores the height "
+    "sign reads an inverted top_left byte and fails the hash "
+    "(llmdata/multimodal.py make_bmp_topdown/_parse_bmp_header; the "
+    "resize and dHash kernels share the row-order flag)",
+)
+def multimodal_bmp_topdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(
+            ids,
+            lambda i: (
+                MM.make_bmp_topdown(i, 4 + i % 5, 3 + i % 4)
+                if i % 2 == 0
+                else MM.make_bmp(i, 4 + i % 5, 3 + i % 4)
+            ),
+        ),
+        media_type="image/bmp",
+    )
+    return MM.bmp_features(media)

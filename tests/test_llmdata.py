@@ -4663,3 +4663,38 @@ def test_flac24_golden_hand_authored_frame():
     rate, total, got = decode_flac(b"fLaC" + meta + frame)
     assert (rate, total) == (8000, 4)
     assert got == samples
+
+
+def test_wav_extensible_and_bmp_topdown():
+    """WAVE_FORMAT_EXTENSIBLE gates on the PCM GUID and valid-bits field;
+    top-down (negative biHeight) BMPs decode/resize/dHash identically to
+    their bottom-up twins (same image content, different storage)."""
+    import struct
+
+    import pytest
+
+    from query_engine_spark.llmdata import multimodal as MM
+
+    for ch in (4, 8):
+        rate, gch, nf, samples = MM.decode_wav_multich(
+            MM.make_wav_extensible(9, 40, channels=ch)
+        )
+        assert (rate, gch, nf) == (16000, ch, 40)
+        assert samples[: 2 * ch] == [
+            ((9 * 131 + j * 17) % 65536) - 32768 for j in range(2 * ch)
+        ]
+    blob = bytearray(MM.make_wav_extensible(1, 20))
+    guid_at = blob.find(MM._KSDATAFORMAT_SUBTYPE_PCM)
+    blob[guid_at] = 0x03  # IEEE-float GUID prefix
+    with pytest.raises(NotImplementedError, match="GUID"):
+        MM.decode_wav_multich(bytes(blob))
+    blob = bytearray(MM.make_wav_extensible(1, 20))
+    struct.pack_into("<H", blob, guid_at - 6, 12)  # validBits != container
+    with pytest.raises(NotImplementedError, match="valid bits"):
+        MM.decode_wav_multich(bytes(blob))
+
+    for i in (0, 6):
+        td, bu = MM.make_bmp_topdown(i, 10, 8), MM.make_bmp(i, 10, 8)
+        assert MM.decode_bmp(td) == MM.decode_bmp(bu)
+        assert MM.resize_bmp(td, 5, 4) == MM.resize_bmp(bu, 5, 4)
+        assert MM.dhash_bmp_bands(td) == MM.dhash_bmp_bands(bu)
