@@ -365,3 +365,21 @@ def test_jpeg_color_stage_map_only(spark):
     p = plan_of(spark, "multimodal_jpeg_color")
     assert "Exchange" not in p
     assert "Join" not in p
+
+
+def test_r9_candidate_decode_chains_map_only(spark):
+    """Every round-9 candidate is a decode chain: pack -> decode feature
+    fold in chained Arrow stages, ZERO exchanges and no joins — the
+    100 TB single-scan property, asserted before the candidates ship
+    into the registry."""
+    from query_engine_spark.registry_r9 import CANDIDATES
+
+    for name, spec in CANDIDATES.items():
+        df = spec.fn(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "Exchange" not in p, name
+        assert "Join" not in p, name
+        assert "CartesianProduct" not in p, name

@@ -24,15 +24,16 @@ def main() -> int:
     from query_engine_spark.session import get_spark
     from query_engine_spark import registry
 
-    from query_engine_spark import registry_r8
+    from query_engine_spark import registry_r9
 
     spark = get_spark("planreport")
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, dict] = {}
-    # registry queries + pre-validated next-round candidates (prefixed
-    # "r8:") so the zero-cartesian invariant covers code before it ships
+    # registry queries (the r8 candidates are registered by now) +
+    # pre-validated round-9 candidates (prefixed "r9:") so the
+    # zero-cartesian invariant covers code before it ships
     inventory = dict(registry.REGISTRY)
-    inventory.update({f"r8:{n}": s for n, s in registry_r8.CANDIDATES.items()})
+    inventory.update({f"r9:{n}": s for n, s in registry_r9.CANDIDATES.items()})
     for name, spec in inventory.items():
         try:
             df = spec.fn(spark, sf_dir)
