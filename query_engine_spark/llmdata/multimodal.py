@@ -3333,6 +3333,37 @@ def make_png16(
     )
 
 
+def png_insert_trns(blob: bytes, table: bytes) -> bytes:
+    """Splice a tRNS chunk into an existing PNG, after PLTE when present
+    (palette alpha table) else right after IHDR (gray/RGB color key) —
+    the chunk-order rule of spec §5.6. Reuses the verified encoders as
+    transport: the fixture generators compose this over
+    `make_png`/`make_png_packed` output."""
+    import struct
+    import zlib
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    chunk = (
+        struct.pack(">I", len(table)) + b"tRNS" + table
+        + struct.pack(">I", zlib.crc32(b"tRNS" + table) & 0xFFFFFFFF)
+    )
+    pos, insert_at = 8, None
+    while pos + 12 <= len(blob):
+        (clen,) = struct.unpack_from(">I", blob, pos)
+        typ = blob[pos + 4 : pos + 8]
+        if typ == b"IHDR" and insert_at is None:
+            insert_at = pos + 12 + clen
+        elif typ == b"PLTE":
+            insert_at = pos + 12 + clen
+        elif typ == b"IDAT":
+            break
+        pos += 12 + clen
+    if insert_at is None:
+        raise ValueError("no IHDR before IDAT")
+    return blob[:insert_at] + chunk + blob[insert_at:]
+
+
 def _png_unfilter(raw: bytes, off: int, pw: int, ph: int, bpp: int) -> tuple[list[bytearray], int]:
     """Unfilter `ph` scanlines of `pw` pixels starting at `off` (prev row
     zero at the start — each Adam7 pass unfilters independently). Returns
@@ -3397,20 +3428,22 @@ def _png_unfilter(raw: bytes, off: int, pw: int, ph: int, bpp: int) -> tuple[lis
     return rows, end
 
 
-def decode_png_pixels(blob: bytes) -> tuple[int, int, list[bytearray]]:
-    """REAL PNG decode → (width, height, natural-order pixel rows of
-    width·3 bytes). Walks chunks (CRC-32 validated), inflates IDAT, and
-    unfilters — for ADAM7 streams each of the seven passes unfilters
-    independently and scatters to (x0 + i·dx, y0 + j·dy); empty passes
-    contribute no bytes. Split from `decode_png` so tests can pin the
-    de-interlace placement row-exact (the feature sums are
-    order-invariant)."""
+def _decode_png_rows(
+    blob: bytes,
+) -> tuple[int, int, int, int, list[bytearray], bytes | None, bytes | None]:
+    """PNG decode core → (width, height, depth, color, rows, plte, trns):
+    chunk walk (CRC-32 validated), IDAT inflate, unfilter and — for
+    sub-byte depths — MSB-first unpack, WITHOUT the palette fold, so the
+    RGB (`decode_png_pixels`) and RGBA (`decode_png_rgba`) surfaces
+    share one transport. Rows are index bytes for color 3, sample bytes
+    otherwise; for ADAM7 streams each of the seven passes unfilters
+    independently and scatters to (x0 + i·dx, y0 + j·dy)."""
     import struct
     import zlib
 
     if blob[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat, plte = 8, None, b"", None
+    pos, ihdr, idat, plte, trns = 8, None, b"", None, None
     while pos + 12 <= len(blob):
         (clen,) = struct.unpack_from(">I", blob, pos)
         typ = blob[pos + 4 : pos + 8]
@@ -3424,6 +3457,8 @@ def decode_png_pixels(blob: bytes) -> tuple[int, int, list[bytearray]]:
             ihdr = data
         elif typ == b"PLTE":
             plte = data
+        elif typ == b"tRNS":
+            trns = data
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -3527,19 +3562,89 @@ def decode_png_pixels(blob: bytes) -> tuple[int, int, list[bytearray]]:
             if off != len(raw):
                 raise ValueError("ADAM7 stream has trailing bytes")
             rows = out
+    return width, height, depth, color, rows, plte, trns
+
+
+def _png_palette_index_array(
+    rows: list[bytearray], plte: bytes, width: int, height: int
+):
+    """Validated palette-index ndarray: every out-of-range index is a
+    hard error, not a clamp (the GIF/BMP8 move)."""
+    n_pal = len(plte) // 3
+    idx = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(height, width)
+    if idx.size and int(idx.max()) >= n_pal:
+        raise ValueError(f"palette index {int(idx.max())} >= table size {n_pal}")
+    return idx
+
+
+def decode_png_pixels(blob: bytes) -> tuple[int, int, list[bytearray]]:
+    """REAL PNG decode → (width, height, natural-order pixel rows —
+    width·3 bytes after the palette fold, raw samples otherwise). Split
+    from `decode_png` so tests can pin the de-interlace placement
+    row-exact (the feature sums are order-invariant). Streams carrying a
+    tRNS chunk raise here rather than silently decoding opaque — the
+    alpha-aware surface is `decode_png_rgba`."""
+    width, height, depth, color, rows, plte, trns = _decode_png_rows(blob)
+    if trns is not None:
+        raise NotImplementedError(
+            "stream carries a tRNS transparency chunk — decode_png_rgba "
+            "is the alpha-aware surface (decoding it opaque here would "
+            "be silently wrong)"
+        )
     if color == 3:
-        # fold indices through the palette (the GIF/BMP8 move): every
-        # out-of-range index is a hard error, not a clamp
-        n_pal = len(plte) // 3
-        pal = np.frombuffer(plte, dtype=np.uint8).reshape(n_pal, 3)
-        idx = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(height, width)
-        if idx.size and int(idx.max()) >= n_pal:
-            raise ValueError(
-                f"palette index {int(idx.max())} >= table size {n_pal}"
-            )
+        idx = _png_palette_index_array(rows, plte, width, height)
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(len(plte) // 3, 3)
         folded = pal[idx].reshape(height, width * 3)
         rows = [bytearray(folded[y].tobytes()) for y in range(height)]
     return width, height, rows
+
+
+def decode_png_rgba(blob: bytes) -> tuple[int, int, list[bytearray]]:
+    """tRNS-aware PNG decode → (width, height, RGBA rows of width·4
+    bytes) — the transparent-favicon/logo shape: palette streams read
+    the per-index alpha table (entries past its end are opaque 255 per
+    spec §11.3.2), 8-bit grayscale/RGB streams match the 2-byte-per-
+    sample color key to alpha 0. Sub-byte palette depths compose (the
+    unpacked indices key both tables); gray/RGB color keys at non-8-bit
+    depths and tRNS on the alpha color types (invalid per spec) raise."""
+    import struct
+
+    width, height, depth, color, rows, plte, trns = _decode_png_rows(blob)
+    if trns is None:
+        raise ValueError("no tRNS chunk — decode via decode_png_pixels")
+    if color == 3:
+        idx = _png_palette_index_array(rows, plte, width, height)
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(len(plte) // 3, 3)
+        alpha_tab = np.full(len(plte) // 3, 255, dtype=np.uint8)
+        if len(trns) > len(plte) // 3:
+            raise ValueError("tRNS table longer than the palette")
+        alpha_tab[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+        rgba = np.concatenate(
+            [pal[idx], alpha_tab[idx][..., None]], axis=2
+        ).reshape(height, width * 4)
+        return width, height, [bytearray(rgba[y].tobytes()) for y in range(height)]
+    if color in (4, 6):
+        raise ValueError("tRNS is invalid on alpha color types (spec §11.3.2)")
+    if depth != 8:
+        raise NotImplementedError(
+            "gray/RGB color keys only supported at depth 8"
+        )
+    ch = _PNG_CHANNELS[color]
+    if len(trns) != 2 * ch:
+        raise ValueError(f"tRNS color key must be {2 * ch} bytes for this type")
+    # 2 bytes per sample; at depth 8 the key value is the low byte
+    key = tuple(struct.unpack(">" + "H" * ch, trns))
+    if any(k > 255 for k in key):
+        raise ValueError("color key exceeds the 8-bit sample range")
+    arr = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(height, width, ch)
+    is_key = (arr == np.asarray(key, dtype=np.uint8)).all(axis=2)
+    alpha = np.where(is_key, 0, 255).astype(np.uint8)
+    if ch == 1:
+        rgba = np.concatenate([arr, arr, arr, alpha[..., None]], axis=2)
+    else:
+        rgba = np.concatenate([arr, alpha[..., None]], axis=2)
+    rgba = rgba.reshape(height, width * 4)
+    return width, height, [bytearray(rgba[y].tobytes()) for y in range(height)]
 
 
 def decode_png(blob: bytes) -> tuple[int, int, int, int]:
@@ -3573,6 +3678,50 @@ def decode_png16(blob: bytes) -> tuple[int, int, int, int]:
         int(arr.sum(dtype=np.int64)),
         int(arr[0]) if arr.size else 0,
     )
+
+
+_PNG_RGBA_SCHEMA = (
+    "media_id long, width int, height int, rgb_sum long, alpha_sum long, "
+    "transparent_count long, top_left_alpha int"
+)
+
+
+def png_rgba_features(df: DataFrame) -> DataFrame:
+    """Distributed tRNS-aware PNG decode in one Arrow mapInPandas pass
+    (map-only): color sums split from the alpha plane plus a
+    fully-transparent pixel count — the mask a curation pipeline needs
+    before treating a logo/favicon's background as content. An opaque
+    decode (the silent-wrong failure `decode_png_pixels` now refuses)
+    shifts alpha_sum/transparent_count and fails the oracle hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_png_rgba(bytes(blob))
+                arr = np.frombuffer(
+                    b"".join(bytes(r) for r in px), dtype=np.uint8
+                ).reshape(h, w, 4).astype(np.int64)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "rgb_sum": int(arr[:, :, :3].sum()),
+                        "alpha_sum": int(arr[:, :, 3].sum()),
+                        "transparent_count": int((arr[:, :, 3] == 0).sum()),
+                        "top_left_alpha": int(arr[0, 0, 3]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "rgb_sum", "alpha_sum",
+                    "transparent_count", "top_left_alpha",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _PNG_RGBA_SCHEMA)
 
 
 _PNG_SCHEMA = "media_id long, width int, height int, px_sum long, top_left int"

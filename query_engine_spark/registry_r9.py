@@ -429,3 +429,65 @@ def multimodal_bmp_topdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="image/bmp",
     )
     return MM.bmp_features(media)
+
+
+# ---------------------------------------------------------------------------
+# tRNS transparency: the transparent-favicon/logo shape
+
+
+@_candidate(
+    "multimodal_png_trns",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 9 + doc_id % 4 AS w, 7 + doc_id % 3 AS h,
+             CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 16 ELSE 256 END AS nv
+      FROM documents WHERE doc_id < 64),
+    px AS (
+      SELECT m.media_id, m.w, m.h, m.nv, m.nv // 2 + 1 AS t,
+             (m.media_id*31 + y.y*7 + x.x*3) % m.nv AS v
+      FROM m, generate_series(0, 8) AS y(y), generate_series(0, 12) AS x(x)
+      WHERE y.y < m.h AND x.x < m.w),
+    a AS (
+      SELECT media_id, w, h, nv, t, v,
+             v + (v*3) % 256 + (v*7) % 256 AS rgb,
+             CASE WHEN v < t THEN (v*29) % 256 ELSE 255 END AS alpha
+      FROM px)
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(rgb) AS BIGINT) AS rgb_sum,
+           CAST(sum(alpha) AS BIGINT) AS alpha_sum,
+           CAST(sum(CASE WHEN alpha = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS transparent_count,
+           CAST(max(CASE WHEN media_id*31 % nv < t
+                         THEN (media_id*31 % nv)*29 % 256 ELSE 255 END) AS INT)
+             AS top_left_alpha
+    FROM a GROUP BY media_id, w, h
+    """,
+    "PALETTE tRNS TRANSPARENCY decode (the transparent-favicon/logo "
+    "shape): the per-index alpha table covers only the first nv/2+1 "
+    "palette entries, so the spec's entries-past-the-table-are-opaque "
+    "rule (§11.3.2) is exercised on every payload; depths 2/4/8 cycle "
+    "so packed indices key the alpha table too. decode_png_pixels now "
+    "REFUSES tRNS streams instead of silently decoding them opaque — "
+    "decode_png_rgba is the alpha-aware surface "
+    "(llmdata/multimodal.py png_insert_trns/decode_png_rgba/"
+    "png_rgba_features)",
+)
+def multimodal_png_trns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+
+    def maker(i: int) -> bytes:
+        d = (2, 4, 8)[i % 3]
+        nv = 1 << d
+        base = (
+            MM.make_png(i, 9 + i % 4, 7 + i % 3, color_type=3)
+            if d == 8
+            else MM.make_png_packed(i, 9 + i % 4, 7 + i % 3, depth=d, color_type=3)
+        )
+        table = bytes((k * 29) % 256 for k in range(nv // 2 + 1))
+        return MM.png_insert_trns(base, table)
+
+    media = MM.attach_media_meta(_pack_media(ids, maker), media_type="image/png")
+    return MM.png_rgba_features(media)

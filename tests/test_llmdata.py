@@ -4698,3 +4698,40 @@ def test_wav_extensible_and_bmp_topdown():
         assert MM.decode_bmp(td) == MM.decode_bmp(bu)
         assert MM.resize_bmp(td, 5, 4) == MM.resize_bmp(bu, 5, 4)
         assert MM.dhash_bmp_bands(td) == MM.dhash_bmp_bands(bu)
+
+
+def test_png_trns_paths_and_refusals():
+    """tRNS: palette alpha tables (short table => opaque tail), 8-bit
+    gray/RGB color keys, and the refusal matrix — the RGB surface
+    refuses transparency streams instead of silently decoding them
+    opaque, the RGBA surface refuses streams without tRNS, and an
+    oversized table or an alpha-color-type tRNS is a hard error."""
+    import pytest
+
+    from query_engine_spark.llmdata import multimodal as MM
+
+    base = MM.make_png_packed(5, 9, 7, depth=4, color_type=3)
+    table = bytes((k * 29) % 256 for k in range(9))
+    blob = MM.png_insert_trns(base, table)
+    w, h, rows = MM.decode_png_rgba(blob)
+    v00 = (5 * 31) % 16
+    assert rows[0][:4] == bytearray(
+        [v00, (v00 * 3) % 256, (v00 * 7) % 256,
+         (v00 * 29) % 256 if v00 < 9 else 255]
+    )
+    with pytest.raises(NotImplementedError, match="decode_png_rgba"):
+        MM.decode_png_pixels(blob)
+    with pytest.raises(ValueError, match="no tRNS"):
+        MM.decode_png_rgba(base)
+    with pytest.raises(ValueError, match="longer than the palette"):
+        MM.decode_png_rgba(MM.png_insert_trns(base, bytes(17)))
+    with pytest.raises(ValueError, match="alpha color types"):
+        MM.decode_png_rgba(
+            MM.png_insert_trns(MM.make_png(2, 6, 5, color_type=6), bytes(2))
+        )
+    # gray color key: the (0,0) sample made transparent
+    key = (3 * 31) % 256
+    gw, gh, rows = MM.decode_png_rgba(
+        MM.png_insert_trns(MM.make_png(3, 8, 6, color_type=0), bytes([0, key]))
+    )
+    assert rows[0][3] == 0 and rows[0][0] == key
