@@ -5813,6 +5813,109 @@ def make_jpeg_color(pat: int, blocks_w: int = 2, blocks_h: int = 2) -> bytes:
     )
 
 
+def make_jpeg_cmyk(pat: int, blocks_w: int = 2, blocks_h: int = 2) -> bytes:
+    """Pack a deterministic baseline 4-component Adobe JPEG (the
+    scanned-document corpus shape): four interleaved 4:4:4 components per
+    MCU with quant/Huffman table ids [0, 1, 1, 0] (libjpeg's CMYK
+    convention — C/K on the luma tables, M/Y on chroma), per-component DC
+    predictors, and an APP14 'Adobe' segment whose transform byte
+    alternates 0 (inverted CMYK) and 2 (YCCK) by pattern parity.
+    Coefficients come from `jpeg_color_qcoefs` extended to comp 3, so the
+    SQL oracle replays all four IDCT plane chains exactly."""
+    import struct
+
+    w, h = blocks_w * 8, blocks_h * 8
+    tid_of = [0, 1, 1, 0]
+    dc_syms: dict[int, list[int]] = {0: [], 1: []}
+    ac_syms: dict[int, list[int]] = {0: [], 1: []}
+    per_mcu: list[list[tuple[int, list[tuple[int, int, int]]]]] = []
+    preds = [0, 0, 0, 0]
+    for bi in range(blocks_w * blocks_h):
+        mcu = []
+        for c in range(4):
+            tid = tid_of[c]
+            qc = jpeg_color_qcoefs(pat, bi, c)
+            diff = qc[0] - preds[c]
+            preds[c] = qc[0]
+            dc_syms[tid].append(_jpeg_csize(diff))
+            acs: list[tuple[int, int, int]] = []
+            run = 0
+            for k in range(1, 64):
+                v = qc[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    acs.append((0xF0, 0, 0))
+                    ac_syms[tid].append(0xF0)
+                    run -= 16
+                s = _jpeg_csize(v)
+                acs.append(((run << 4) | s, v, s))
+                ac_syms[tid].append((run << 4) | s)
+                run = 0
+            if run:
+                acs.append((0x00, 0, 0))
+                ac_syms[tid].append(0x00)
+            mcu.append((diff, acs))
+        per_mcu.append(mcu)
+    for tid in (0, 1):
+        if 0x00 not in ac_syms[tid]:
+            ac_syms[tid].append(0x00)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    tabs: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+    dht = b""
+    for tid in (0, 1):
+        db, dv, dt = _jpeg_canonical(dc_syms[tid])
+        ab, av, at = _jpeg_canonical(ac_syms[tid])
+        tabs[(0, tid)] = dt
+        tabs[(1, tid)] = at
+        dht += seg(0xFFC4, bytes([tid]) + bytes(db) + bytes(dv))
+        dht += seg(0xFFC4, bytes([0x10 | tid]) + bytes(ab) + bytes(av))
+
+    bw = _JpegBitWriter()
+    for mcu in per_mcu:
+        for c in range(4):
+            tid = tid_of[c]
+            diff, acs = mcu[c]
+            s = _jpeg_csize(diff)
+            code, ln = tabs[(0, tid)][s]
+            bw.put(code, ln)
+            if s:
+                bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            for sym, v, sz in acs:
+                code, ln = tabs[(1, tid)][sym]
+                bw.put(code, ln)
+                if sz:
+                    bw.put(v if v > 0 else v + (1 << sz) - 1, sz)
+    bw.flush()
+
+    transform = 0 if pat % 2 == 0 else 2
+    app14 = seg(
+        0xFFEE,
+        b"Adobe" + struct.pack(">HHHB", 100, 0, 0, transform),
+    )
+    sof_comps = b"".join(
+        bytes([1 + c, 0x11, tid_of[c]]) for c in range(4)
+    )
+    sos_comps = b"".join(
+        bytes([1 + c, (tid_of[c] << 4) | tid_of[c]]) for c in range(4)
+    )
+    return (
+        b"\xff\xd8"
+        + app14
+        + seg(0xFFDB, bytes([0x00]) + bytes(_JPEG_QTAB))
+        + seg(0xFFDB, bytes([0x01]) + bytes(_JPEG_QTAB_C))
+        + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 4) + sof_comps)
+        + dht
+        + seg(0xFFDA, bytes([4]) + sos_comps + bytes([0, 63, 0]))
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+
+
 def make_jpeg_420(pat: int, mcus_w: int = 1, mcus_h: int = 1) -> bytes:
     """Pack a deterministic baseline 4:2:0 YCbCr color JPEG — the dominant
     web-crawl shape: Y sampled 2×2 (sampling byte 0x22), Cb/Cr 1×1, so
@@ -6417,6 +6520,38 @@ def _jpeg_rgb_np(
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255)
 
 
+def _jpeg_cmyk_np(
+    planes: list["np.ndarray"],
+    samps: list[tuple[int, int]],
+    hmax: int,
+    vmax: int,
+    w: int,
+    h: int,
+    transform: int,
+) -> "np.ndarray":
+    """4-component assembly for Adobe CMYK JPEGs (scanned-document
+    corpora): sample-replication upsample of all four planes, then the
+    APP14-selected interpretation — transform 0 stores INVERTED CMYK
+    (Adobe writers emit 255−ink), transform 2 stores YCCK (inverted CMY
+    through the same 2^16 fixed-point YCbCr matrix as color, K inverted
+    directly). Returns (h, w, 4) int64 ink values in [0, 255]."""
+    up = []
+    for plane, (sh, sv) in zip(planes, samps):
+        ys = (np.arange(h, dtype=np.int64) * sv) // vmax
+        xs = (np.arange(w, dtype=np.int64) * sh) // hmax
+        up.append(plane[ys[:, None], xs[None, :]])
+    if transform == 0:
+        return 255 - np.stack(up, axis=-1)
+    if transform == 2:
+        Y, Cb, Cr, K = up
+        r = Y + np.floor_divide(91881 * (Cr - 128) + 32768, 1 << 16)
+        g = Y - np.floor_divide(22554 * (Cb - 128) + 46802 * (Cr - 128) + 32768, 1 << 16)
+        b = Y + np.floor_divide(116130 * (Cb - 128) + 32768, 1 << 16)
+        rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255)
+        return np.concatenate([255 - rgb, (255 - K)[..., None]], axis=-1)
+    raise NotImplementedError(f"Adobe APP14 color transform {transform} not supported")
+
+
 def _jpeg_ycbcr_to_rgb(Y: int, Cb: int, Cr: int) -> tuple[int, int, int]:
     """JFIF YCbCr → RGB in fixed point 2^16 (1.402→91881, 0.344136→22554,
     0.714136→46802, 1.772→116130) with floor rounding — exactly the
@@ -6670,6 +6805,7 @@ def decode_jpeg_np(blob: bytes) -> tuple[int, int, "np.ndarray"]:
     pos = 2
     restart_interval = 0
     progressive = False
+    adobe_transform: int | None = None
     qtabs: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
@@ -6698,8 +6834,8 @@ def decode_jpeg_np(blob: bytes) -> tuple[int, int, "np.ndarray"]:
         elif marker in (0xFFC0, 0xFFC2):
             progressive = marker == 0xFFC2
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
-            if prec != 8 or ncomp not in (1, 3):
-                raise NotImplementedError("only 8-bit 1- or 3-component baseline supported")
+            if prec != 8 or ncomp not in (1, 3, 4):
+                raise NotImplementedError("only 8-bit 1-, 3- or 4-component baseline supported")
             for ci in range(ncomp):
                 cid, samp, qid = payload[6 + 3 * ci : 9 + 3 * ci]
                 sh, sv = samp >> 4, samp & 0xF
@@ -6715,6 +6851,11 @@ def decode_jpeg_np(blob: bytes) -> tuple[int, int, "np.ndarray"]:
             raise NotImplementedError("only baseline (SOF0) and progressive (SOF2) supported")
         elif marker == 0xFFDD:
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xFFEE and payload.startswith(b"Adobe") and len(payload) >= 12:
+            # Adobe APP14: 'Adobe' + DCTEncodeVersion(2) + flags0(2) +
+            # flags1(2) + color transform byte — the only in-stream signal
+            # of CMYK (0) vs YCCK (2) component interpretation
+            adobe_transform = payload[11]
         elif marker == 0xFFC4:
             p = 0
             while p < len(payload):
@@ -6756,6 +6897,8 @@ def decode_jpeg_np(blob: bytes) -> tuple[int, int, "np.ndarray"]:
     if progressive:
         if w is None or not prog_scans:
             raise ValueError("missing SOF2/SOS")
+        if len(comps) == 4:
+            raise NotImplementedError("progressive 4-component (CMYK) JPEG not supported")
         return _decode_jpeg_progressive(
             w, h, comps, qtabs, prog_scans, restart_interval
         )
@@ -6832,6 +6975,15 @@ def decode_jpeg_np(blob: bytes) -> tuple[int, int, "np.ndarray"]:
     if len(scan) == 1:
         return w, h, planes[0][:h, :w]
     samps = [meta_of[cid][1:] for cid, _, _ in scan]
+    if len(scan) == 4:
+        if adobe_transform is None:
+            # without APP14 the component interpretation of a 4-channel
+            # scan is undefined (Adobe tech note #5116) — refuse rather
+            # than guess and silently emit wrong ink values
+            raise NotImplementedError(
+                "4-component JPEG without Adobe APP14: CMYK vs YCCK undefined"
+            )
+        return w, h, _jpeg_cmyk_np(planes, samps, hmax, vmax, w, h, adobe_transform)
     return w, h, _jpeg_rgb_np(planes, samps, hmax, vmax, w, h)
 
 
@@ -6888,6 +7040,48 @@ def jpeg_color_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, _JPEG_COLOR_SCHEMA)
 
 
+_JPEG_CMYK_SCHEMA = (
+    "media_id long, width int, height int, "
+    "c_sum long, m_sum long, y_sum long, k_sum long, top_left_k int"
+)
+
+
+def jpeg_cmyk_features(df: DataFrame) -> DataFrame:
+    """Distributed Adobe CMYK/YCCK JPEG decode (the scanned-document
+    corpus shape): four interleaved entropy planes + integer IDCT + the
+    APP14-selected ink interpretation per payload in one Arrow
+    mapInPandas pass (map-only); hash-verified by the
+    `multimodal_jpeg_cmyk` candidate."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_jpeg_np(bytes(blob))
+                sums = px.sum(axis=(0, 1))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "c_sum": int(sums[0]),
+                        "m_sum": int(sums[1]),
+                        "y_sum": int(sums[2]),
+                        "k_sum": int(sums[3]),
+                        "top_left_k": int(px[0, 0, 3]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "c_sum", "m_sum", "y_sum", "k_sum", "top_left_k",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _JPEG_CMYK_SCHEMA)
+
+
 def jpeg_features(df: DataFrame) -> DataFrame:
     """REAL lossy-codec decode stage: distributed baseline-JPEG entropy
     decode + integer IDCT via Arrow mapInPandas — map-only, same plan
@@ -6913,6 +7107,328 @@ def jpeg_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(run, _JPEG_SCHEMA)
+
+
+# --- EXIF (APP1) metadata: the camera-photo crawl shape. A real TIFF-IFD
+# parser (EXIF 2.3 §4.5.2 / TIFF 6.0 §2) over the bytes JPEG APP1 carries:
+# both byte orders, inline vs out-of-line values, the Exif sub-IFD pointer.
+# Orientation-aware decode applies the EXIF 1–8 flip/rotate matrix as an
+# exact integer pixel permutation on top of decode_jpeg_np ------------------
+
+
+_EXIF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4}  # BYTE, ASCII, SHORT, LONG
+
+
+def _exif_pack_ifd(
+    entries: list[tuple[int, int, list]],
+    endian: str,
+    ifd_offset: int,
+    next_ifd: int = 0,
+) -> bytes:
+    """Pack one IFD at `ifd_offset` (relative to the TIFF header): 12-byte
+    entries sorted by tag (TIFF 6.0 requires ascending tag order), values
+    ≤4 bytes inline, larger values out-of-line immediately after the
+    entry table. `entries` are (tag, type, values) with ASCII values given
+    as a str (NUL terminator appended here)."""
+    import struct
+
+    e = "<" if endian == "II" else ">"
+    packed: list[bytes] = []
+    overflow = b""
+    # entry table + next-IFD pointer precede the out-of-line value area
+    value_base = ifd_offset + 2 + 12 * len(entries) + 4
+    for tag, typ, values in sorted(entries):
+        if typ == 2:
+            data = values.encode("ascii") + b"\x00"
+            count = len(data)
+        else:
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            count = len(values)
+            data = b"".join(struct.pack(e + fmt, v) for v in values)
+        if len(data) <= 4:
+            field = data + b"\x00" * (4 - len(data))
+        else:
+            field = struct.pack(e + "I", value_base + len(overflow))
+            overflow += data
+        packed.append(struct.pack(e + "HHI", tag, typ, count) + field)
+    return (
+        struct.pack(e + "H", len(entries))
+        + b"".join(packed)
+        + struct.pack(e + "I", next_ifd)
+        + overflow
+    )
+
+
+def build_exif_app1(
+    *,
+    endian: str = "II",
+    make: str | None = None,
+    model: str | None = None,
+    orientation: int | None = None,
+    taken_at: str | None = None,
+    pixel_x: int | None = None,
+    pixel_y: int | None = None,
+) -> bytes:
+    """Build a real APP1 Exif segment (marker + length + "Exif\\0\\0" +
+    TIFF header + IFD0 [+ Exif sub-IFD]) in either byte order. IFD0
+    carries Make/Model (ASCII, out-of-line when >4 bytes), Orientation
+    (SHORT, inline) and the 0x8769 Exif-IFD pointer; the sub-IFD carries
+    DateTimeOriginal (ASCII) and PixelX/YDimension (LONG) — the fields a
+    crawl photo pipeline actually groups on."""
+    import struct
+
+    e = "<" if endian == "II" else ">"
+    ifd0: list[tuple[int, int, list]] = []
+    if make is not None:
+        ifd0.append((0x010F, 2, make))
+    if model is not None:
+        ifd0.append((0x0110, 2, model))
+    if orientation is not None:
+        ifd0.append((0x0112, 3, [orientation]))
+    sub: list[tuple[int, int, list]] = []
+    if taken_at is not None:
+        sub.append((0x9003, 2, taken_at))
+    if pixel_x is not None:
+        sub.append((0xA002, 4, [pixel_x]))
+    if pixel_y is not None:
+        sub.append((0xA003, 4, [pixel_y]))
+    if sub:
+        # two-pass: IFD0's size depends on its own entry count (the
+        # sub-IFD pointer entry included), so pack once with a dummy
+        # offset to learn the length, then with the real one
+        probe = _exif_pack_ifd(ifd0 + [(0x8769, 4, [0])], endian, 8)
+        sub_off = 8 + len(probe)
+        tiff = _exif_pack_ifd(ifd0 + [(0x8769, 4, [sub_off])], endian, 8)
+        tiff += _exif_pack_ifd(sub, endian, sub_off)
+    else:
+        tiff = _exif_pack_ifd(ifd0, endian, 8)
+    header = (b"II" + struct.pack("<HI", 42, 8)) if endian == "II" else (
+        b"MM" + struct.pack(">HI", 42, 8)
+    )
+    payload = b"Exif\x00\x00" + header + tiff
+    return struct.pack(">HH", 0xFFE1, len(payload) + 2) + payload
+
+
+def _exif_parse_ifd(tiff: bytes, off: int, e: str) -> dict[int, object]:
+    """Parse one IFD from the TIFF block starting at `off`; returns
+    tag → decoded value (ASCII NUL-stripped str, single numbers unboxed).
+    Offsets are relative to the TIFF header per TIFF 6.0 §2."""
+    import struct
+
+    out: dict[int, object] = {}
+    (n,) = struct.unpack_from(e + "H", tiff, off)
+    for i in range(n):
+        base = off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(e + "HHI", tiff, base)
+        if typ not in _EXIF_TYPE_SIZES:
+            continue  # RATIONAL etc. — not needed by any consumer here
+        size = _EXIF_TYPE_SIZES[typ] * count
+        if size <= 4:
+            data = tiff[base + 8 : base + 8 + size]
+        else:
+            (voff,) = struct.unpack_from(e + "I", tiff, base + 8)
+            data = tiff[voff : voff + size]
+        if len(data) != size:
+            raise ValueError("EXIF value runs past the APP1 segment")
+        if typ == 2:
+            out[tag] = data.split(b"\x00", 1)[0].decode("ascii", "replace")
+        else:
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            vals = list(struct.unpack(e + str(count) + fmt, data))
+            out[tag] = vals[0] if count == 1 else vals
+    return out
+
+
+def parse_exif(blob: bytes) -> dict[str, object] | None:
+    """Extract EXIF fields from a JPEG's APP1 segment, or None when the
+    stream carries no Exif APP1 (plain web JPEGs). Walks the marker
+    stream up to SOS, skipping unrelated APPn (JFIF APP0, XMP APP1 —
+    identified by payload prefix, exactly how real parsers disambiguate);
+    inside the segment parses the TIFF header (II/MM + magic 42), IFD0,
+    and the 0x8769 Exif sub-IFD."""
+    import struct
+
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = blob[pos + 1]
+        if marker in (0xDA, 0xD9):  # SOS/EOI: no APP1 seen
+            return None
+        (ln,) = struct.unpack_from(">H", blob, pos + 2)
+        payload = blob[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker != 0xE1 or not payload.startswith(b"Exif\x00\x00"):
+            continue
+        tiff = payload[6:]
+        order = tiff[:2]
+        if order == b"II":
+            e = "<"
+        elif order == b"MM":
+            e = ">"
+        else:
+            raise ValueError("bad TIFF byte order in APP1")
+        magic, ifd0_off = struct.unpack_from(e + "HI", tiff, 2)
+        if magic != 42:
+            raise ValueError("bad TIFF magic in APP1")
+        ifd0 = _exif_parse_ifd(tiff, ifd0_off, e)
+        sub: dict[int, object] = {}
+        if isinstance(ifd0.get(0x8769), int):
+            sub = _exif_parse_ifd(tiff, ifd0[0x8769], e)
+        return {
+            "make": ifd0.get(0x010F),
+            "model": ifd0.get(0x0110),
+            "orientation": ifd0.get(0x0112),
+            "taken_at": sub.get(0x9003),
+            "pixel_x": sub.get(0xA002),
+            "pixel_y": sub.get(0xA003),
+        }
+    return None
+
+
+def make_jpeg_exif(media_id: int, blocks_w: int = 2, blocks_h: int = 2) -> bytes:
+    """Deterministic EXIF-tagged JPEG fixture: the proven `make_jpeg`
+    stream with an APP1 spliced after SOI. Byte order alternates II/MM
+    (real corpora mix both), orientation cycles the full 1–8 matrix, and
+    every fifth stream carries NO APP1 at all — the absent-metadata
+    default path a crawl pipeline must survive."""
+    base = make_jpeg(media_id, blocks_w, blocks_h)
+    if media_id % 5 == 4:
+        return base
+    app1 = build_exif_app1(
+        endian="II" if media_id % 2 == 0 else "MM",
+        make=f"Cam{media_id % 5}",
+        model=f"Model-{media_id % 7}{'X' * (media_id % 3)}",
+        orientation=1 + media_id % 8,
+        taken_at=(
+            f"2023:{1 + media_id % 12:02d}:{1 + media_id % 28:02d} "
+            f"{media_id % 24:02d}:{media_id % 60:02d}:00"
+        ),
+        pixel_x=blocks_w * 8,
+        pixel_y=blocks_h * 8,
+    )
+    return base[:2] + app1 + base[2:]
+
+
+_EXIF_SCHEMA = (
+    "media_id long, make string, model string, orientation int, "
+    "taken_at string, pixel_x int, pixel_y int"
+)
+
+
+def exif_metadata(df: DataFrame) -> DataFrame:
+    """Distributed EXIF extraction (Arrow mapInPandas, map-only): one row
+    per media with the IFD0 + sub-IFD fields, NULLs when the stream has
+    no Exif APP1. The metadata-only crawl pass — groups photos by
+    camera/orientation/capture time WITHOUT decoding any pixels."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                meta = parse_exif(bytes(blob)) or {}
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "make": meta.get("make"),
+                        "model": meta.get("model"),
+                        "orientation": meta.get("orientation"),
+                        "taken_at": meta.get("taken_at"),
+                        "pixel_x": meta.get("pixel_x"),
+                        "pixel_y": meta.get("pixel_y"),
+                    }
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "make", "model", "orientation",
+                    "taken_at", "pixel_x", "pixel_y",
+                ],
+            )
+            for c in ("orientation", "pixel_x", "pixel_y"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return df.select("media_id", "payload").mapInPandas(run, _EXIF_SCHEMA)
+
+
+def apply_exif_orientation(px: "np.ndarray", orientation: int) -> "np.ndarray":
+    """Upright a decoded pixel array per the EXIF orientation matrix —
+    an exact integer permutation (no resampling): 1 normal, 2 mirror,
+    3 rotate 180, 4 vertical flip, 5 transpose, 6 rotate 90 CW,
+    7 transverse, 8 rotate 90 CCW. Works on (h, w) grayscale and
+    (h, w, c) color arrays alike."""
+    if orientation == 1:
+        return px
+    if orientation == 2:
+        return px[:, ::-1]
+    if orientation == 3:
+        return px[::-1, ::-1]
+    if orientation == 4:
+        return px[::-1, :]
+    if orientation == 5:
+        return np.swapaxes(px, 0, 1)
+    if orientation == 6:
+        # stored row 0 is the RIGHT edge of the upright image
+        return np.swapaxes(px, 0, 1)[:, ::-1]
+    if orientation == 7:
+        return np.swapaxes(px, 0, 1)[::-1, ::-1]
+    if orientation == 8:
+        return np.swapaxes(px, 0, 1)[::-1, :]
+    raise ValueError(f"EXIF orientation out of range: {orientation}")
+
+
+def decode_jpeg_oriented(blob: bytes) -> tuple[int, int, "np.ndarray"]:
+    """decode_jpeg_np + EXIF uprighting: returns (width, height, pixels)
+    of the UPRIGHT image (dimensions swap for orientations 5–8). Streams
+    without EXIF decode as orientation 1 — the universal viewer default."""
+    meta = parse_exif(blob)
+    o = (meta or {}).get("orientation") or 1
+    w, h, px = decode_jpeg_np(blob)
+    out = apply_exif_orientation(px, int(o))
+    return out.shape[1], out.shape[0], out
+
+
+_JPEG_ORIENTED_SCHEMA = (
+    "media_id long, width int, height int, px_sum long, pos_sum long, "
+    "top_left int"
+)
+
+
+def jpeg_oriented_features(df: DataFrame) -> DataFrame:
+    """Orientation-aware decode stage (Arrow mapInPandas, map-only).
+    `pos_sum` = Σ p(x,y)·(y·W + x) over the UPRIGHT image — a positional
+    checksum that moves whenever any pixel lands on the wrong coordinate,
+    so a flipped axis, missed transpose or dimension swap fails the hash
+    even though the plain px_sum is permutation-invariant."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_jpeg_oriented(bytes(blob))
+                pos = np.arange(h * w, dtype=np.int64).reshape(h, w)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "px_sum": int(px.sum()),
+                        "pos_sum": int((px * pos).sum()),
+                        "top_left": int(px[0, 0]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "px_sum", "pos_sum",
+                    "top_left",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _JPEG_ORIENTED_SCHEMA)
 
 
 # --- compressed TEXT ingestion (zlib is stdlib): web-scale corpora arrive

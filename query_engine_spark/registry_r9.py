@@ -491,3 +491,270 @@ def multimodal_png_trns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = MM.attach_media_meta(_pack_media(ids, maker), media_type="image/png")
     return MM.png_rgba_features(media)
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata + orientation: the camera-photo crawl shapes
+
+
+@_candidate(
+    "multimodal_exif_metadata",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE 'Cam' || CAST(doc_id % 5 AS VARCHAR) END AS make,
+           CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE 'Model-' || CAST(doc_id % 7 AS VARCHAR)
+                     || repeat('X', CAST(doc_id % 3 AS INT)) END AS model,
+           CAST(CASE WHEN doc_id % 5 = 4 THEN NULL
+                     ELSE 1 + doc_id % 8 END AS INT) AS orientation,
+           CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE '2023:' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+                     || ':' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                     || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+                     || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                     || ':00' END AS taken_at,
+           CAST(CASE WHEN doc_id % 5 = 4 THEN NULL
+                     ELSE (2 + doc_id % 2) * 8 END AS INT) AS pixel_x,
+           CAST(CASE WHEN doc_id % 5 = 4 THEN NULL
+                     ELSE (2 + (doc_id // 2) % 2) * 8 END AS INT) AS pixel_y
+    FROM documents WHERE doc_id < 64
+    """,
+    "EXIF METADATA EXTRACTION without pixel decode (the metadata-only "
+    "crawl pass real photo pipelines run first): a real TIFF-IFD parser "
+    "over JPEG APP1 — both byte orders (fixtures alternate II/MM), "
+    "inline vs out-of-line values (Make fits 4 bytes at Cam0..4; Model "
+    "and the datetime overflow), the 0x8769 Exif sub-IFD pointer, and "
+    "ASCII NUL stripping; every fifth stream has NO APP1 and must yield "
+    "NULLs (EXIF 2.3 / TIFF 6.0; llmdata/multimodal.py "
+    "build_exif_app1/parse_exif/exif_metadata)",
+)
+def multimodal_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(ids, lambda i: MM.make_jpeg_exif(i, 2 + i % 2, 2 + (i // 2) % 2)),
+        media_type="image/jpeg",
+    )
+    return MM.exif_metadata(media)
+
+
+def _jpeg_oriented_oracle() -> str:
+    """The grayscale-JPEG decoded-pixel oracle (dezigzag + dequant + the
+    literal fixed-point IDCT basis table with explicit floor division)
+    EXTENDED through the EXIF orientation coordinate map: every pixel is
+    re-addressed to its upright (ox, oy) and the positional checksum
+    sum(p * (oy*W' + ox)) is computed on the uprighted geometry — so a
+    flipped axis or missed transpose fails the hash even though the plain
+    px_sum is permutation-invariant."""
+    from query_engine_spark.llmdata.multimodal import (
+        _JPEG_IDCT_A,
+        _JPEG_QTAB,
+        _JPEG_ZIGZAG,
+    )
+
+    a_rows = ", ".join(
+        f"({u}, {x}, {_JPEG_IDCT_A[u][x]})" for u in range(8) for x in range(8)
+    )
+    used = [0, 1, 3, 8, 20, 40, 55]  # jpeg_qcoefs' nonzero zigzag indices
+    cmap = ", ".join(
+        f"({i}, {_JPEG_ZIGZAG[i] % 8}, {_JPEG_ZIGZAG[i] // 8}, {_JPEG_QTAB[i]})"
+        for i in used
+    )
+    half, full = 1 << 25, 1 << 26
+    fd = (
+        f"((t + {half}) // {full}) - (CASE WHEN (t + {half}) % {full} != 0 "
+        f"AND t + {half} < 0 THEN 1 ELSE 0 END)"
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, 2 + doc_id % 2 AS bw, 2 + (doc_id // 2) % 2 AS bh,
+             CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 1 + doc_id % 8 END AS o
+      FROM documents WHERE doc_id < 48),
+    blocks AS (
+      SELECT media_id, bw, bh, o, b.b AS bi
+      FROM m, generate_series(0, 8) AS b(b) WHERE b.b < bw * bh),
+    cm(zi, cu, cv, q) AS (VALUES {cmap}),
+    coefs AS (
+      SELECT media_id, bw, bh, o, bi, cm.cu, cm.cv,
+             (CASE WHEN cm.zi = 0 THEN ((media_id*7 + bi*5) % 13) - 6
+                   ELSE ((media_id*11 + bi*3 + cm.zi) % 9) - 4 END) * cm.q AS cq
+      FROM blocks, cm),
+    a(au, ax, aval) AS (VALUES {a_rows}),
+    terms AS (
+      SELECT c.media_id, c.bw, c.bh, c.o, c.bi, px.x AS x, py.y AS y,
+             CAST(sum(c.cq * aa.aval * ab.aval) AS BIGINT) AS t
+      FROM coefs c, generate_series(0, 7) AS px(x), generate_series(0, 7) AS py(y)
+      JOIN a aa ON aa.au = c.cu AND aa.ax = px.x
+      JOIN a ab ON ab.au = c.cv AND ab.ax = py.y
+      GROUP BY 1, 2, 3, 4, 5, 6, 7),
+    gpix AS (
+      SELECT media_id, bw * 8 AS w, bh * 8 AS h, o,
+             (bi % bw) * 8 + x AS gx, (bi // bw) * 8 + y AS gy,
+             greatest(0, least(255, 128 + {fd})) AS p
+      FROM terms),
+    opix AS (
+      SELECT media_id, p,
+             CASE WHEN o <= 4 THEN w ELSE h END AS ow,
+             CASE WHEN o <= 4 THEN h ELSE w END AS oh,
+             CASE o WHEN 1 THEN gx WHEN 2 THEN w-1-gx WHEN 3 THEN w-1-gx
+                    WHEN 4 THEN gx WHEN 5 THEN gy WHEN 6 THEN h-1-gy
+                    WHEN 7 THEN h-1-gy ELSE gy END AS ox,
+             CASE o WHEN 1 THEN gy WHEN 2 THEN gy WHEN 3 THEN h-1-gy
+                    WHEN 4 THEN h-1-gy WHEN 5 THEN gx WHEN 6 THEN gx
+                    WHEN 7 THEN w-1-gx ELSE w-1-gx END AS oy
+      FROM gpix)
+    SELECT media_id, CAST(max(ow) AS INT) AS width, CAST(max(oh) AS INT) AS height,
+           CAST(sum(p) AS BIGINT) AS px_sum,
+           CAST(sum(p * (oy * ow + ox)) AS BIGINT) AS pos_sum,
+           CAST(max(CASE WHEN ox = 0 AND oy = 0 THEN p END) AS INT) AS top_left
+    FROM opix GROUP BY media_id
+    """
+
+
+@_candidate(
+    "multimodal_jpeg_oriented",
+    _jpeg_oriented_oracle(),
+    "ORIENTATION-AWARE JPEG decode (what a crawl thumbnailer must do "
+    "before any visual dedup — phone photos are stored rotated): EXIF "
+    "APP1 parse + baseline decode + the full 1-8 flip/rotate matrix as "
+    "an exact integer pixel permutation; the oracle re-addresses every "
+    "IDCT-reconstructed pixel through the same coordinate map and a "
+    "positional checksum catches any wrong axis; streams without EXIF "
+    "(every fifth) decode as orientation 1 "
+    "(llmdata/multimodal.py apply_exif_orientation/decode_jpeg_oriented/"
+    "jpeg_oriented_features)",
+)
+def multimodal_jpeg_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 48).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(ids, lambda i: MM.make_jpeg_exif(i, 2 + i % 2, 2 + (i // 2) % 2)),
+        media_type="image/jpeg",
+    )
+    return MM.jpeg_oriented_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Adobe CMYK/YCCK JPEG: the scanned-document corpus shape
+
+
+def _jpeg_cmyk_oracle() -> str:
+    """Four IDCT plane chains (C/K on the luma quant table, M/Y on
+    chroma — libjpeg's CMYK table convention) + the APP14 transform
+    branch: inverted-CMYK for even patterns, YCCK (the same 2^16
+    fixed-point YCbCr matrix, then ink inversion) for odd — the
+    4-component half of the deterministic-decoder contract."""
+    from query_engine_spark.llmdata.multimodal import (
+        _JPEG_IDCT_A,
+        _JPEG_QTAB,
+        _JPEG_QTAB_C,
+        _JPEG_ZIGZAG,
+    )
+
+    a_rows = ", ".join(
+        f"({u}, {x}, {_JPEG_IDCT_A[u][x]})" for u in range(8) for x in range(8)
+    )
+    used = [0, 1, 3, 8, 20, 40, 55]
+    cmap = ", ".join(
+        f"({i}, {_JPEG_ZIGZAG[i] % 8}, {_JPEG_ZIGZAG[i] // 8}, "
+        f"{_JPEG_QTAB[i]}, {_JPEG_QTAB_C[i]})"
+        for i in used
+    )
+    half, full = 1 << 25, 1 << 26
+    fd = (
+        f"((t + {half}) // {full}) - (CASE WHEN (t + {half}) % {full} != 0 "
+        f"AND t + {half} < 0 THEN 1 ELSE 0 END)"
+    )
+
+    def fd16(v: str) -> str:
+        return (
+            f"(({v} + 32768) // 65536) - (CASE WHEN ({v} + 32768) % 65536 != 0 "
+            f"AND {v} + 32768 < 0 THEN 1 ELSE 0 END)"
+        )
+
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, 2 + doc_id % 2 AS bw, 2 + (doc_id // 2) % 2 AS bh
+      FROM documents WHERE doc_id < 48),
+    blocks AS (
+      SELECT media_id, bw, bh, b.b AS bi
+      FROM m, generate_series(0, 8) AS b(b) WHERE b.b < bw * bh),
+    cm(zi, cu, cv, q0, q1) AS (VALUES {cmap}),
+    coefs AS (
+      SELECT media_id, bw, bh, bi, comp.c AS c, cm.cu, cm.cv,
+             (CASE WHEN cm.zi = 0 THEN ((media_id*7 + bi*5 + comp.c*17) % 13) - 6
+                   ELSE ((media_id*11 + bi*3 + comp.c*29 + cm.zi) % 9) - 4 END)
+             * (CASE WHEN comp.c IN (0, 3) THEN cm.q0 ELSE cm.q1 END) AS cq
+      FROM blocks, cm, generate_series(0, 3) AS comp(c)),
+    a(au, ax, aval) AS (VALUES {a_rows}),
+    terms AS (
+      SELECT co.media_id, co.bw, co.bh, co.bi, co.c, px.x AS x, py.y AS y,
+             CAST(sum(co.cq * aa.aval * ab.aval) AS BIGINT) AS t
+      FROM coefs co, generate_series(0, 7) AS px(x), generate_series(0, 7) AS py(y)
+      JOIN a aa ON aa.au = co.cu AND aa.ax = px.x
+      JOIN a ab ON ab.au = co.cv AND ab.ax = py.y
+      GROUP BY 1, 2, 3, 4, 5, 6, 7),
+    plane AS (
+      SELECT media_id, bw, bh, bi, c, x, y,
+             greatest(0, least(255, 128 + {fd})) AS p
+      FROM terms),
+    quad AS (
+      SELECT media_id, bw, bh, bi, x, y,
+             max(CASE WHEN c = 0 THEN p END) AS p0,
+             max(CASE WHEN c = 1 THEN p END) AS p1,
+             max(CASE WHEN c = 2 THEN p END) AS p2,
+             max(CASE WHEN c = 3 THEN p END) AS p3
+      FROM plane GROUP BY 1, 2, 3, 4, 5, 6),
+    ink AS (
+      SELECT media_id, bw, bh, bi, x, y,
+             CASE WHEN media_id % 2 = 0 THEN 255 - p0
+                  ELSE 255 - greatest(0, least(255,
+                       p0 + ({fd16("91881 * (p2 - 128)")}))) END AS c_,
+             CASE WHEN media_id % 2 = 0 THEN 255 - p1
+                  ELSE 255 - greatest(0, least(255,
+                       p0 - ({fd16("22554 * (p1 - 128) + 46802 * (p2 - 128)")}))) END AS m_,
+             CASE WHEN media_id % 2 = 0 THEN 255 - p2
+                  ELSE 255 - greatest(0, least(255,
+                       p0 + ({fd16("116130 * (p1 - 128)")}))) END AS y_,
+             255 - p3 AS k_
+      FROM quad)
+    SELECT media_id, CAST(bw * 8 AS INT) AS width, CAST(bh * 8 AS INT) AS height,
+           CAST(sum(c_) AS BIGINT) AS c_sum,
+           CAST(sum(m_) AS BIGINT) AS m_sum,
+           CAST(sum(y_) AS BIGINT) AS y_sum,
+           CAST(sum(k_) AS BIGINT) AS k_sum,
+           CAST(max(CASE WHEN bi = 0 AND x = 0 AND y = 0 THEN k_ END) AS INT)
+             AS top_left_k
+    FROM ink GROUP BY 1, 2, 3
+    """
+
+
+@_candidate(
+    "multimodal_jpeg_cmyk",
+    _jpeg_cmyk_oracle(),
+    "ADOBE CMYK/YCCK JPEG decode (the scanned-document corpus shape — "
+    "print-press PDFs and office scans crawl in as 4-component JPEGs): "
+    "four interleaved 4:4:4 planes per MCU with libjpeg's [luma, chroma, "
+    "chroma, luma] table convention, an APP14 'Adobe' segment whose "
+    "transform byte selects inverted-CMYK (0) vs YCCK (2), and a REFUSAL "
+    "on 4-component streams without APP14 (interpretation undefined per "
+    "Adobe TN5116); the oracle replays all four IDCT chains plus both "
+    "transform branches, so a swapped K-channel table or a missed "
+    "inversion fails the hash (llmdata/multimodal.py "
+    "make_jpeg_cmyk/_jpeg_cmyk_np/jpeg_cmyk_features)",
+)
+def multimodal_jpeg_cmyk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 48).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(ids, lambda i: MM.make_jpeg_cmyk(i, 2 + i % 2, 2 + (i // 2) % 2)),
+        media_type="image/jpeg",
+    )
+    return MM.jpeg_cmyk_features(media)

@@ -4735,3 +4735,180 @@ def test_png_trns_paths_and_refusals():
         MM.png_insert_trns(MM.make_png(3, 8, 6, color_type=0), bytes([0, key]))
     )
     assert rows[0][3] == 0 and rows[0][0] == key
+
+
+def test_exif_golden_hand_authored_app1():
+    """EXIF conformance anchored outside the co-developed build/parse
+    pair: a big-endian APP1 laid out BY HAND (TIFF header at fixed
+    offsets, ascending-tag IFD0 with an inline SHORT Orientation, an
+    out-of-line ASCII Make, the 0x8769 sub-IFD pointer, and an
+    out-of-line DateTimeOriginal in the sub-IFD) spliced into a known
+    JPEG — every offset hand-computed from TIFF 6.0 §2."""
+    import struct
+
+    from query_engine_spark.llmdata.multimodal import make_jpeg, parse_exif
+
+    tiff = bytearray(b"MM" + struct.pack(">HI", 42, 8))
+    # IFD0 @8: 3 entries -> table spans 8..50, value area from 50
+    tiff += struct.pack(">H", 3)
+    tiff += struct.pack(">HHII", 0x010F, 2, 8, 50)          # Make, out-of-line @50
+    tiff += struct.pack(">HHIHH", 0x0112, 3, 1, 6, 0)       # Orientation=6 inline
+    tiff += struct.pack(">HHII", 0x8769, 4, 1, 58)          # Exif sub-IFD @58
+    tiff += struct.pack(">I", 0)                            # next IFD
+    tiff += b"Acme Co\x00"                                  # @50..58
+    # sub-IFD @58: 1 entry -> table spans 58..76, value area from 76
+    tiff += struct.pack(">H", 1)
+    tiff += struct.pack(">HHII", 0x9003, 2, 20, 76)         # DateTimeOriginal
+    tiff += struct.pack(">I", 0)
+    tiff += b"2021:12:31 23:59:58\x00"                      # @76..96
+    payload = b"Exif\x00\x00" + bytes(tiff)
+    app1 = struct.pack(">HH", 0xFFE1, len(payload) + 2) + payload
+    base = make_jpeg(3, 1, 1)
+    meta = parse_exif(base[:2] + app1 + base[2:])
+    assert meta == {
+        "make": "Acme Co",
+        "model": None,
+        "orientation": 6,
+        "taken_at": "2021:12:31 23:59:58",
+        "pixel_x": None,
+        "pixel_y": None,
+    }
+
+
+def test_exif_skips_xmp_app1_and_defaults_to_none():
+    """Real crawls carry XMP in APP1 too — the parser must disambiguate
+    by payload prefix (skip XMP, find a later Exif APP1) and return None
+    when no Exif APP1 exists at all."""
+    import struct
+
+    from query_engine_spark.llmdata.multimodal import (
+        build_exif_app1,
+        make_jpeg,
+        parse_exif,
+    )
+
+    base = make_jpeg(7, 1, 1)
+    xmp = b"http://ns.adobe.com/xap/1.0/\x00<x:xmpmeta/>"
+    app1_xmp = struct.pack(">HH", 0xFFE1, len(xmp) + 2) + xmp
+    assert parse_exif(base[:2] + app1_xmp + base[2:]) is None
+    assert parse_exif(base) is None
+    exif = build_exif_app1(endian="MM", model="Z9", orientation=3)
+    meta = parse_exif(base[:2] + app1_xmp + exif + base[2:])
+    assert meta is not None and meta["model"] == "Z9" and meta["orientation"] == 3
+    assert meta["make"] is None and meta["taken_at"] is None
+
+
+def test_exif_orientation_matrix_involutions():
+    """The 1-8 matrix is pinned by its group structure: 2/3/4/5/7 are
+    involutions, 6 and 8 are mutual inverses, 5-8 swap the axes, and
+    every transform is a permutation (sorted pixel multiset invariant)."""
+    import numpy as np
+
+    from query_engine_spark.llmdata.multimodal import apply_exif_orientation
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(5, 9)).astype(np.int64)
+    for o in (2, 3, 4):
+        assert (apply_exif_orientation(apply_exif_orientation(px, o), o) == px).all()
+    for o in (5, 7):
+        out = apply_exif_orientation(px, o)
+        assert out.shape == (9, 5)
+        assert (apply_exif_orientation(out, o) == px).all()
+    r90 = apply_exif_orientation(px, 6)
+    assert r90.shape == (9, 5)
+    assert (apply_exif_orientation(r90, 8) == px).all()
+    # orientation 6 on a marked corner: top-left of stored lands top-right
+    mark = np.zeros((3, 4), dtype=np.int64)
+    mark[0, 0] = 9
+    assert apply_exif_orientation(mark, 6)[0, 2] == 9
+    for o in range(1, 9):
+        out = apply_exif_orientation(px, o)
+        assert sorted(out.ravel().tolist()) == sorted(px.ravel().tolist())
+    # color arrays keep the channel axis untouched
+    rgb = rng.randint(0, 256, size=(4, 6, 3)).astype(np.int64)
+    out = apply_exif_orientation(rgb, 6)
+    assert out.shape == (6, 4, 3)
+
+
+def test_jpeg_cmyk_differential_vs_scalar_reference():
+    """CMYK/YCCK decode pinned against a LOCAL scalar restatement of the
+    oracle formulas (coefficient formula -> dequant -> the literal IDCT
+    basis -> APP14 transform branch) — independent of the numpy
+    vectorized path under test, for both transform parities and both
+    block geometries."""
+    import numpy as np
+
+    from query_engine_spark.llmdata.multimodal import (
+        _JPEG_IDCT_A,
+        _JPEG_QTAB,
+        _JPEG_QTAB_C,
+        _JPEG_ZIGZAG,
+        decode_jpeg_np,
+        make_jpeg_cmyk,
+    )
+
+    def ref(pat, bw, bh):
+        used = [0, 1, 3, 8, 20, 40, 55]
+        w, h = bw * 8, bh * 8
+        planes = np.zeros((4, h, w), dtype=np.int64)
+        for c in range(4):
+            for bi in range(bw * bh):
+                coef = np.zeros((8, 8), dtype=np.int64)
+                for zi in used:
+                    cu, cv = _JPEG_ZIGZAG[zi] % 8, _JPEG_ZIGZAG[zi] // 8
+                    q = _JPEG_QTAB[zi] if c in (0, 3) else _JPEG_QTAB_C[zi]
+                    base = (
+                        ((pat * 7 + bi * 5 + c * 17) % 13) - 6
+                        if zi == 0
+                        else ((pat * 11 + bi * 3 + c * 29 + zi) % 9) - 4
+                    )
+                    coef[cv, cu] = base * q
+                for y in range(8):
+                    for x in range(8):
+                        t = sum(
+                            int(coef[v, u]) * _JPEG_IDCT_A[u][x] * _JPEG_IDCT_A[v][y]
+                            for u in range(8)
+                            for v in range(8)
+                        )
+                        p = 128 + ((t + (1 << 25)) >> 26)
+                        planes[c, (bi // bw) * 8 + y, (bi % bw) * 8 + x] = min(
+                            255, max(0, p)
+                        )
+        if pat % 2 == 0:
+            return 255 - np.stack(planes, axis=-1)
+        Y, Cb, Cr, K = planes
+        r = Y + ((91881 * (Cr - 128) + 32768) >> 16)
+        g = Y - ((22554 * (Cb - 128) + 46802 * (Cr - 128) + 32768) >> 16)
+        b = Y + ((116130 * (Cb - 128) + 32768) >> 16)
+        rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255)
+        return np.concatenate([255 - rgb, (255 - K)[..., None]], axis=-1)
+
+    for pat in range(6):
+        bw, bh = 2 + pat % 2, 2 + (pat // 2) % 2
+        w, h, px = decode_jpeg_np(make_jpeg_cmyk(pat, bw, bh))
+        assert (w, h) == (bw * 8, bh * 8)
+        assert px.shape == (h, w, 4)
+        assert (px == ref(pat, bw, bh)).all(), pat
+
+
+def test_jpeg_cmyk_boundaries_refuse_loudly():
+    """4-component streams without APP14 (interpretation undefined per
+    Adobe TN5116), unknown transform bytes, and progressive 4-component
+    frames must all refuse with a specific message — never guess ink
+    semantics."""
+    import struct
+
+    import pytest
+
+    from query_engine_spark.llmdata.multimodal import decode_jpeg_np, make_jpeg_cmyk
+
+    blob = make_jpeg_cmyk(2, 2, 2)
+    ln = struct.unpack_from(">H", blob, 4)[0]
+    with pytest.raises(NotImplementedError, match="without Adobe APP14"):
+        decode_jpeg_np(blob[:2] + blob[4 + ln :])
+    # transform byte 1 (plain YCbCr) is meaningless for 4 components
+    mangled = bytearray(blob)
+    assert mangled[4 + ln - 1] in (0, 2)  # transform is APP14's last byte
+    mangled[4 + ln - 1] = 1
+    with pytest.raises(NotImplementedError, match="transform 1"):
+        decode_jpeg_np(bytes(mangled))
