@@ -1,0 +1,306 @@
+"""Archive-corpus ingestion: real-world training corpora arrive as ZIP
+archives and gzip-compressed ustar TAR files of member documents (data
+dumps, scraped site exports, academic corpus releases). These are the
+distributed pack/unpack stages:
+
+- ZIP per APPNOTE.TXT (PKWARE 6.3.x public spec): local file headers,
+  raw-DEFLATE (method 8) or STORED (method 0) members, CRC-32
+  verification, central directory + end-of-central-directory record.
+  The READER is central-directory-driven — it trusts the EOCD/CD chain,
+  not a linear local-header walk, exactly like production unzippers
+  (self-extracting and concatenated archives prepend junk bytes).
+- TAR per POSIX.1-1988 ustar: 512-byte headers with octal size fields
+  and the space-normalized header checksum, content padded to whole
+  blocks, two zero blocks as terminator; the archive byte stream is
+  gzip-wrapped (RFC 1952 via stdlib zlib, wbits=31).
+
+Spark shape (the 100-TB story): packing groups documents into
+bounded-size archives with ONE shuffle keyed on archive id
+(`groupBy(archive_id).applyInPandas`); member extraction is a pure
+map-only Arrow `mapInPandas` pass over archive payloads — each archive
+is self-contained, so the unpack parallelism is the archive count and
+no shuffle ever touches the member bytes.
+
+Semantic spec for what the engine must expose: /root/reference/src/main.rs
+(the reference's ingest surface); archive layouts from the public
+PKWARE APPNOTE and POSIX ustar specifications.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+_ZIP_LOCAL_SIG = 0x04034B50
+_ZIP_CDIR_SIG = 0x02014B50
+_ZIP_EOCD_SIG = 0x06054B50
+
+
+def build_zip(members: list[tuple[str, bytes]], *, level: int = 6) -> bytes:
+    """Pack (name, bytes) members into a ZIP: DEFLATE (method 8) when it
+    shrinks the member, STORED (method 0) otherwise — the mixed-method
+    layout real zips have. No ZIP64: >65535 members or >4 GiB offsets
+    raise (archives here are bounded-size by construction)."""
+    if len(members) > 0xFFFF:
+        raise NotImplementedError("ZIP64 (more than 65535 members) not supported")
+    out = bytearray()
+    cdir = bytearray()
+    for name, data in members:
+        raw = name.encode("utf-8")
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        comp = zlib.compressobj(level, zlib.DEFLATED, -15)
+        deflated = comp.compress(data) + comp.flush()
+        if len(deflated) < len(data):
+            method, payload = 8, deflated
+        else:
+            method, payload = 0, data
+        offset = len(out)
+        if offset > 0xFFFFFFFF - len(payload):
+            raise NotImplementedError("ZIP64 (4 GiB offsets) not supported")
+        header = struct.pack(
+            "<IHHHHHIIIHH",
+            _ZIP_LOCAL_SIG, 20, 0, method, 0, 0,
+            crc, len(payload), len(data), len(raw), 0,
+        )
+        out += header + raw + payload
+        cdir += struct.pack(
+            "<IHHHHHHIIIHHHHHII",
+            _ZIP_CDIR_SIG, 20, 20, 0, method, 0, 0,
+            crc, len(payload), len(data), len(raw), 0, 0, 0, 0, 0, offset,
+        ) + raw
+    cd_off = len(out)
+    out += cdir
+    out += struct.pack(
+        "<IHHHHIIH",
+        _ZIP_EOCD_SIG, 0, 0, len(members), len(members), len(cdir), cd_off, 0,
+    )
+    return bytes(out)
+
+
+def read_zip(blob: bytes) -> list[tuple[str, bytes]]:
+    """Extract ZIP members via the central directory (EOCD scanned from
+    the tail over the up-to-64 KiB comment window, per APPNOTE 4.3.16),
+    verifying each member's CRC-32 — a corrupted member raises instead
+    of shipping wrong training text."""
+    window = blob[-(0xFFFF + 22):]
+    eocd = window.rfind(struct.pack("<I", _ZIP_EOCD_SIG))
+    if eocd < 0:
+        raise ValueError("not a ZIP (no end-of-central-directory record)")
+    eocd += len(blob) - len(window)
+    (sig, _dn, _cdn, _n_disk, n_total, cd_size, cd_off, _clen) = struct.unpack_from(
+        "<IHHHHIIH", blob, eocd
+    )
+    # self-extracting / junk-prefixed archives: every stored offset is
+    # relative to the original archive start, so the actual prefix length
+    # is the EOCD position minus where the CD claims to end — add it to
+    # every offset (the standard unzip fixup)
+    shift = eocd - (cd_off + cd_size)
+    if shift < 0:
+        raise ValueError("central directory overlaps the EOCD record")
+    members: list[tuple[str, bytes]] = []
+    pos = cd_off + shift
+    for _ in range(n_total):
+        (sig, _vmade, _vneed, _flags, method, _t, _d, crc, csize, usize,
+         nlen, elen, clen, _disk, _iattr, _eattr, lho) = struct.unpack_from(
+            "<IHHHHHHIIIHHHHHII", blob, pos
+        )
+        if sig != _ZIP_CDIR_SIG:
+            raise ValueError("central directory signature mismatch")
+        name = blob[pos + 46 : pos + 46 + nlen].decode("utf-8")
+        pos += 46 + nlen + elen + clen
+        lho += shift
+        (lsig, _v, _f, lmethod, _lt, _ld, _lcrc, _lcs, _lus, lnlen, lelen) = (
+            struct.unpack_from("<IHHHHHIIIHH", blob, lho)
+        )
+        if lsig != _ZIP_LOCAL_SIG:
+            raise ValueError("local header signature mismatch")
+        data_off = lho + 30 + lnlen + lelen
+        payload = blob[data_off : data_off + csize]
+        if len(payload) != csize:
+            raise ValueError("member payload truncated")
+        if lmethod == 8:
+            try:
+                data = zlib.decompress(payload, -15)
+            except zlib.error as e:
+                raise ValueError(f"member {name!r}: inflate failed: {e}") from e
+        elif lmethod == 0:
+            data = payload
+        else:
+            raise NotImplementedError(f"ZIP compression method {lmethod} not supported")
+        if len(data) != usize:
+            raise ValueError(f"member {name!r}: size mismatch after inflate")
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"member {name!r}: CRC-32 mismatch")
+        members.append((name, data))
+    return members
+
+
+def _tar_header(name: str, size: int) -> bytes:
+    """One POSIX ustar header block: octal size, 'ustar\\0' magic, and
+    the checksum computed with the chksum field as eight spaces."""
+    raw = name.encode("utf-8")
+    if len(raw) > 100:
+        raise NotImplementedError("ustar name prefix splitting not supported")
+    hdr = bytearray(512)
+    hdr[0 : len(raw)] = raw
+    hdr[100:108] = b"0000644\x00"
+    hdr[108:116] = b"0000000\x00"
+    hdr[116:124] = b"0000000\x00"
+    hdr[124:136] = f"{size:011o}\x00".encode("ascii")
+    hdr[136:148] = b"00000000000\x00"
+    hdr[148:156] = b" " * 8
+    hdr[156] = ord("0")  # regular file
+    hdr[257:263] = b"ustar\x00"
+    hdr[263:265] = b"00"
+    chksum = sum(hdr)
+    hdr[148:156] = f"{chksum:06o}\x00 ".encode("ascii")
+    return bytes(hdr)
+
+
+def build_tar(members: list[tuple[str, bytes]]) -> bytes:
+    """Pack members into a POSIX ustar stream: header block + content
+    padded to 512, two zero blocks at the end."""
+    out = bytearray()
+    for name, data in members:
+        out += _tar_header(name, len(data))
+        out += data
+        pad = -len(data) % 512
+        out += b"\x00" * pad
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+def read_tar(blob: bytes) -> list[tuple[str, bytes]]:
+    """Walk ustar headers, verifying the space-normalized checksum and
+    the ustar magic; stops at the zero-block terminator. Only regular
+    files (typeflag '0'/NUL) are returned; links/dirs raise — a corpus
+    tar carrying anything else is malformed for this pipeline."""
+    members: list[tuple[str, bytes]] = []
+    pos = 0
+    while pos + 512 <= len(blob):
+        hdr = blob[pos : pos + 512]
+        if hdr == b"\x00" * 512:
+            break
+        if hdr[257:262] != b"ustar":
+            raise ValueError("missing ustar magic")
+        stored = int(hdr[148:156].rstrip(b"\x00 ").decode("ascii"), 8)
+        if sum(hdr[:148]) + 8 * 32 + sum(hdr[156:]) != stored:
+            raise ValueError("tar header checksum mismatch")
+        typeflag = hdr[156]
+        if typeflag not in (0, ord("0")):
+            raise ValueError(f"non-regular tar member (typeflag {typeflag!r})")
+        name = hdr[:100].rstrip(b"\x00").decode("utf-8")
+        size = int(hdr[124:136].rstrip(b"\x00 ").decode("ascii"), 8)
+        start = pos + 512
+        data = blob[start : start + size]
+        if len(data) != size:
+            raise ValueError("tar member truncated")
+        members.append((name, data))
+        pos = start + size + (-size % 512)
+    else:
+        raise ValueError("tar terminator missing")
+    return members
+
+
+def gzip_bytes(data: bytes, *, level: int = 6) -> bytes:
+    """RFC 1952 gzip wrap (stdlib zlib, wbits=31 — deterministic: no
+    mtime/filename in the header)."""
+    comp = zlib.compressobj(level, zlib.DEFLATED, 31)
+    return comp.compress(data) + comp.flush()
+
+
+def gunzip_bytes(blob: bytes) -> bytes:
+    """RFC 1952 gzip unwrap; trailing-garbage and multi-member streams
+    raise (corpus tarballs are single-member)."""
+    d = zlib.decompressobj(47)  # auto-detect zlib/gzip headers
+    try:
+        out = d.decompress(blob)
+    except zlib.error as e:
+        raise ValueError(f"gzip stream corrupt: {e}") from e
+    if not d.eof:
+        raise ValueError("truncated gzip stream")
+    if d.unused_data:
+        raise ValueError("trailing bytes after gzip stream")
+    return out + d.flush()
+
+
+def _member_name(doc_id: int) -> str:
+    return f"docs/doc{doc_id:08d}.txt"
+
+
+def _doc_id_of(name: str) -> int:
+    if not (name.startswith("docs/doc") and name.endswith(".txt")):
+        raise ValueError(f"unexpected member name {name!r}")
+    return int(name[len("docs/doc") : -len(".txt")])
+
+
+def pack_archives(
+    docs: DataFrame,
+    *,
+    fmt: str = "zip",
+    group_size: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Group documents into bounded archives — archive_id = doc_id //
+    group_size, members ordered by doc_id within the archive — and build
+    one ZIP (or gzipped ustar TAR) per group. ONE shuffle on archive_id;
+    the build itself is an Arrow applyInPandas over each group. Returns
+    (archive_id long, payload binary)."""
+    if fmt not in ("zip", "tar.gz"):
+        raise ValueError(f"unknown archive format {fmt!r}")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        members = [
+            (_member_name(int(i)), str(t).encode("utf-8"))
+            for i, t in zip(pdf[id_col], pdf[text_col])
+        ]
+        blob = build_zip(members) if fmt == "zip" else gzip_bytes(build_tar(members))
+        return pd.DataFrame(
+            {"archive_id": [int(pdf["archive_id"].iloc[0])], "payload": [blob]}
+        )
+
+    grouped = docs.select(
+        F.col(id_col), F.col(text_col),
+        (F.col(id_col) / group_size).cast("long").alias("archive_id"),
+    )
+    return grouped.groupBy("archive_id").applyInPandas(
+        build, "archive_id long, payload binary"
+    )
+
+
+_MEMBER_SCHEMA = "doc_id long, chars long, fp string"
+
+
+def archive_members(df: DataFrame, *, fmt: str = "zip") -> DataFrame:
+    """Extract archive members distributed (Arrow mapInPandas, map-only
+    — archives are self-contained, so no shuffle touches member bytes):
+    one row per member with the recovered text's char count and md5, the
+    losslessness fingerprint the ingest oracle hash-checks against the
+    ORIGINAL documents table."""
+    if fmt not in ("zip", "tar.gz"):
+        raise ValueError(f"unknown archive format {fmt!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf["payload"]:
+                b = bytes(blob)
+                members = read_zip(b) if fmt == "zip" else read_tar(gunzip_bytes(b))
+                for name, data in members:
+                    rows.append(
+                        {
+                            "doc_id": _doc_id_of(name),
+                            "chars": len(data.decode("utf-8")),
+                            "fp": hashlib.md5(data).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "chars", "fp"])
+
+    return df.select("payload").mapInPandas(run, _MEMBER_SCHEMA)

@@ -758,3 +758,55 @@ def multimodal_jpeg_cmyk(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="image/jpeg",
     )
     return MM.jpeg_cmyk_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Archive-corpus ingestion: ZIP and gzipped ustar TAR
+
+
+@_candidate(
+    "llm_zip_ingest",
+    """
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS chars, md5(text) AS fp
+    FROM documents WHERE doc_id < 256
+    """,
+    "ZIP-corpus ingestion roundtrip, hash-verified: documents are packed "
+    "distributed into bounded multi-member ZIP archives (one shuffle on "
+    "archive_id, 8 docs each; raw-DEFLATE or STORED per member by "
+    "compressibility, real local headers + central directory + EOCD per "
+    "PKWARE APPNOTE), then a map-only pass extracts every member via the "
+    "central directory with CRC-32 verification — the recovered text's "
+    "length + md5 must hash-match the oracle computed on the ORIGINAL "
+    "column, pinning losslessness of the whole pack->store->extract path "
+    "(llmdata/archives.py build_zip/read_zip/pack_archives/"
+    "archive_members)",
+)
+def llm_zip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import archives as AR
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 256)
+    packed = AR.pack_archives(docs, fmt="zip", group_size=8)
+    return AR.archive_members(packed, fmt="zip")
+
+
+@_candidate(
+    "llm_tar_ingest",
+    """
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS chars, md5(text) AS fp
+    FROM documents WHERE doc_id < 256
+    """,
+    "TAR.GZ-corpus ingestion roundtrip, hash-verified: documents are "
+    "packed distributed into gzip-compressed POSIX ustar archives (512-"
+    "byte headers with octal sizes and the space-normalized checksum, "
+    "RFC 1952 gzip wrap), then a map-only pass gunzips + walks headers "
+    "with checksum verification and recovers every member byte-exact "
+    "against the oracle on the ORIGINAL column — the academic-corpus "
+    "release shape (llmdata/archives.py build_tar/read_tar/gzip_bytes/"
+    "gunzip_bytes)",
+)
+def llm_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import archives as AR
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 256)
+    packed = AR.pack_archives(docs, fmt="tar.gz", group_size=8)
+    return AR.archive_members(packed, fmt="tar.gz")

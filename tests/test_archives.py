@@ -1,0 +1,185 @@
+"""Archive ingestion (llmdata/archives.py): ZIP per PKWARE APPNOTE and
+gzipped POSIX ustar TAR — golden hand-authored streams anchoring the
+readers outside the co-developed build/read pairs, corruption loudness,
+junk-prefix tolerance, and the Spark pack→extract roundtrip shape."""
+
+from __future__ import annotations
+
+import os
+import struct
+import sys
+import zlib
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from query_engine_spark.llmdata import archives as A
+
+
+def _sample_members():
+    return [
+        ("docs/doc00000000.txt", b""),  # empty member: 0-size edge
+        ("docs/doc00000001.txt", b"hello world " * 50),  # deflates
+        ("docs/doc00000002.txt", bytes(range(256)) * 2),  # repetitive binary: deflates
+        ("docs/doc00000003.txt", os.urandom(64)),  # incompressible: STORED
+    ]
+
+
+def test_zip_roundtrip_mixed_methods():
+    members = _sample_members()
+    blob = A.build_zip(members)
+    assert A.read_zip(blob) == members
+    # at least one member each way (mixed-method archive, like real zips)
+    methods = set()
+    pos = 0
+    sig = struct.pack("<I", 0x04034B50)
+    while True:
+        pos = blob.find(sig, pos)
+        if pos < 0:
+            break
+        methods.add(struct.unpack_from("<H", blob, pos + 8)[0])
+        pos += 4
+    assert methods == {0, 8}
+
+
+def test_zip_golden_hand_authored_archive():
+    """ZIP conformance anchored outside the co-developed pair: a
+    one-member STORED archive laid out BY HAND from APPNOTE 4.3 — local
+    header, central directory entry and EOCD with every offset and the
+    CRC-32 written as literals."""
+    name = b"a.txt"
+    data = b"Hi!"
+    crc = 0x799EC5DA  # zlib.crc32(b"Hi!"), pinned as a literal
+    local = (
+        struct.pack("<IHHHHHIIIHH", 0x04034B50, 20, 0, 0, 0, 0, crc, 3, 3, 5, 0)
+        + name
+        + data
+    )
+    cdir = (
+        struct.pack(
+            "<IHHHHHHIIIHHHHHII",
+            0x02014B50, 20, 20, 0, 0, 0, 0, crc, 3, 3, 5, 0, 0, 0, 0, 0, 0,
+        )
+        + name
+    )
+    eocd = struct.pack(
+        "<IHHHHIIH", 0x06054B50, 0, 0, 1, 1, len(cdir), len(local), 0
+    )
+    assert A.read_zip(local + cdir + eocd) == [("a.txt", b"Hi!")]
+
+
+def test_zip_junk_prefix_and_comment_suffix():
+    """Self-extracting archives prepend bytes; zips may carry an EOCD
+    comment. Both shift the EOCD position — the reader must apply the
+    standard offset fixup (prefix) and scan past the comment (suffix)."""
+    members = _sample_members()
+    blob = A.build_zip(members)
+    assert A.read_zip(b"#!/bin/sh junk prefix\n" + blob) == members
+    # a trailing comment: rewrite EOCD comment length and append bytes
+    comment = b"corpus release v1"
+    patched = blob[:-2] + struct.pack("<H", len(comment)) + comment
+    assert A.read_zip(patched) == members
+
+
+def test_zip_corruption_raises():
+    members = _sample_members()
+    blob = A.build_zip(members)
+    sig = struct.pack("<I", 0x04034B50)
+    # member 1 (deflated): flip a payload byte
+    first = blob.find(sig)
+    second = blob.find(sig, first + 4)
+    nlen = struct.unpack_from("<H", blob, second + 26)[0]
+    bad = bytearray(blob)
+    bad[second + 30 + nlen + 3] ^= 0x55
+    with pytest.raises(ValueError):
+        A.read_zip(bytes(bad))
+    # stored member: CRC catches the flip
+    offs = []
+    pos = 0
+    while True:
+        pos = blob.find(sig, pos)
+        if pos < 0:
+            break
+        offs.append(pos)
+        pos += 4
+    last = offs[-1]
+    nlen = struct.unpack_from("<H", blob, last + 26)[0]
+    bad = bytearray(blob)
+    bad[last + 30 + nlen] ^= 0x55
+    with pytest.raises(ValueError, match="CRC-32 mismatch"):
+        A.read_zip(bytes(bad))
+    with pytest.raises(NotImplementedError, match="65535"):
+        A.build_zip([(f"m{i}", b"") for i in range(70000)])
+
+
+def test_tar_golden_hand_authored_header():
+    """ustar conformance anchored outside the co-developed pair: a
+    header block laid out BY HAND per POSIX.1-1988 — octal size, magic,
+    and the checksum computed manually with the chksum field as eight
+    spaces — followed by padded content and the two-zero-block
+    terminator."""
+    hdr = bytearray(512)
+    hdr[0:5] = b"b.txt"
+    hdr[100:108] = b"0000644\x00"
+    hdr[108:116] = b"0000000\x00"
+    hdr[116:124] = b"0000000\x00"
+    hdr[124:136] = b"00000000003\x00"  # size 3
+    hdr[136:148] = b"00000000000\x00"
+    hdr[148:156] = b" " * 8
+    hdr[156] = ord("0")
+    hdr[257:263] = b"ustar\x00"
+    hdr[263:265] = b"00"
+    chksum = sum(hdr)
+    hdr[148:156] = f"{chksum:06o}\x00 ".encode("ascii")
+    blob = bytes(hdr) + b"Yo!" + b"\x00" * 509 + b"\x00" * 1024
+    assert A.read_tar(blob) == [("b.txt", b"Yo!")]
+
+
+def test_tar_gz_roundtrip_and_corruption():
+    members = _sample_members()
+    raw = A.build_tar(members)
+    assert A.read_tar(raw) == members
+    assert A.read_tar(A.gunzip_bytes(A.gzip_bytes(raw))) == members
+    tampered = bytearray(raw)
+    tampered[0] ^= 1
+    with pytest.raises(ValueError, match="checksum"):
+        A.read_tar(bytes(tampered))
+    with pytest.raises(ValueError, match="terminator"):
+        A.read_tar(raw[:-1024])
+    with pytest.raises(ValueError):
+        A.gunzip_bytes(A.gzip_bytes(raw)[:-4])
+    with pytest.raises(ValueError, match="trailing"):
+        A.gunzip_bytes(A.gzip_bytes(raw) + b"garbage")
+    # non-regular members (symlink typeflag) refuse
+    link = bytearray(A.build_tar([("c.txt", b"x")]))
+    link[156] = ord("2")
+    chk = sum(link[:148]) + 8 * 32 + sum(link[156:512])
+    link[148:156] = f"{chk:06o}\x00 ".encode("ascii")
+    with pytest.raises(ValueError, match="non-regular"):
+        A.read_tar(bytes(link))
+
+
+def test_spark_archive_roundtrip_and_plan(spark):
+    """The Spark shape: pack = exactly one shuffle keyed on archive_id;
+    extract = map-only over archive payloads (no exchange below the
+    member walk). Values checked member-exact against the inputs."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(20), "text": [f"text-{i} " * (i + 1) for i in range(20)]}
+        )
+    )
+    for fmt in ("zip", "tar.gz"):
+        packed = A.pack_archives(docs, fmt=fmt, group_size=8)
+        assert packed.count() == 3  # ceil(20 / 8)
+        got = A.archive_members(packed, fmt=fmt).orderBy("doc_id").toPandas()
+        assert list(got["doc_id"]) == list(range(20))
+        assert list(got["chars"]) == [len(f"text-{i} " * (i + 1)) for i in range(20)]
+        plan = A.archive_members(packed, fmt=fmt)._jdf.queryExecution().executedPlan().toString()
+        # one aggregate-side exchange from the groupBy; the member walk
+        # itself adds none beyond it
+        assert plan.count("Exchange") <= 1, plan
