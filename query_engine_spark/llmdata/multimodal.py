@@ -7954,3 +7954,180 @@ def video_dedup_pairs(
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
+
+
+# --- ID3v2 metadata (MP3 containers): the crawl-audio tagging shape.
+# Real web audio is overwhelmingly MP3 with an ID3v2 tag in front of the
+# MPEG frames; the metadata pass (group by artist/album/year, dedup by
+# title) never needs the audio decoded. This parses ID3v2.3 AND v2.4 —
+# whose frame-size fields differ (plain 32-bit vs SYNCSAFE 28-bit, the
+# classic cross-version parser bug) — with text encodings 0 (latin-1),
+# 1 (UTF-16 w/ BOM), 2 (UTF-16BE) and 3 (UTF-8, v2.4 only), per the
+# public id3.org specifications. The MPEG audio frames themselves remain
+# an honest boundary (no MP3 decoder in this environment) ----------------
+
+
+def _syncsafe(n: int) -> bytes:
+    """28-bit syncsafe big-endian: 7 bits per byte, high bit clear —
+    ID3v2's guard against false MPEG sync words inside the tag."""
+    if n >= 1 << 28:
+        raise ValueError("syncsafe overflow")
+    return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+
+
+def _unsyncsafe(b: bytes) -> int:
+    if any(x & 0x80 for x in b):
+        raise ValueError("non-syncsafe byte in syncsafe field")
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def build_id3(
+    frames: list[tuple[str, str, int]],
+    *,
+    version: int = 3,
+    audio: bytes = b"",
+) -> bytes:
+    """Build an ID3v2.3 or v2.4 tag followed by (undecoded) audio bytes.
+    `frames` are (frame_id, text, encoding) with encoding 0 latin-1,
+    1 UTF-16 with BOM, 2 UTF-16BE, 3 UTF-8 (v2.4 only). Frame sizes are
+    plain 32-bit in v2.3 and SYNCSAFE in v2.4, exactly as the specs
+    differ; 64 bytes of zero padding follow the frames (players expect
+    room for in-place retag)."""
+    import struct
+
+    if version not in (3, 4):
+        raise ValueError("only ID3v2.3 and v2.4 supported")
+    body = b""
+    for fid, text, enc in frames:
+        if enc == 0:
+            payload = bytes([0]) + text.encode("latin-1")
+        elif enc == 1:
+            payload = bytes([1]) + text.encode("utf-16")  # BOM included
+        elif enc == 2:
+            payload = bytes([2]) + text.encode("utf-16-be")
+        elif enc == 3:
+            if version != 4:
+                raise ValueError("UTF-8 text encoding is v2.4-only")
+            payload = bytes([3]) + text.encode("utf-8")
+        else:
+            raise ValueError(f"unknown text encoding {enc}")
+        size = (
+            _syncsafe(len(payload))
+            if version == 4
+            else struct.pack(">I", len(payload))
+        )
+        body += fid.encode("ascii") + size + b"\x00\x00" + payload
+    body += b"\x00" * 64
+    return b"ID3" + bytes([version, 0, 0]) + _syncsafe(len(body)) + body + audio
+
+
+def parse_id3(blob: bytes) -> dict[str, str] | None:
+    """Extract the text frames of a leading ID3v2.3/v2.4 tag, or None
+    when the stream has no ID3v2 header (bare MPEG streams exist). Frame
+    sizes are read per the tag's declared version; zero padding ends the
+    frame walk; unsynchronised tags (flag 0x80) raise — the remaining
+    honest boundary alongside the MPEG audio itself."""
+    if blob[:3] != b"ID3":
+        return None
+    version, _rev, flags = blob[3], blob[4], blob[5]
+    if version not in (3, 4):
+        raise NotImplementedError(f"ID3v2.{version} not supported (only 2.3/2.4)")
+    if flags & 0x80:
+        raise NotImplementedError("unsynchronised ID3v2 tags not supported")
+    if flags & 0x40:
+        raise NotImplementedError("ID3v2 extended headers not supported")
+    tag_size = _unsyncsafe(blob[6:10])
+    frames: dict[str, str] = {}
+    pos = 10
+    end = 10 + tag_size
+    while pos + 10 <= end:
+        fid = blob[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        import struct
+
+        if version == 4:
+            size = _unsyncsafe(blob[pos + 4 : pos + 8])
+        else:
+            (size,) = struct.unpack_from(">I", blob, pos + 4)
+        payload = blob[pos + 10 : pos + 10 + size]
+        if len(payload) != size:
+            raise ValueError("ID3 frame runs past the tag")
+        pos += 10 + size
+        if not fid.startswith(b"T") or not payload:
+            continue  # only text frames carry the fields this pass needs
+        enc, text = payload[0], payload[1:]
+        if enc == 0:
+            val = text.decode("latin-1")
+        elif enc == 1:
+            val = text.decode("utf-16")
+        elif enc == 2:
+            val = text.decode("utf-16-be")
+        elif enc == 3:
+            val = text.decode("utf-8")
+        else:
+            raise ValueError(f"unknown ID3 text encoding {enc}")
+        frames[fid.decode("ascii")] = val.rstrip("\x00")
+    return frames
+
+
+def make_mp3_id3(media_id: int) -> bytes:
+    """Deterministic ID3-tagged MP3-container fixture: version
+    alternates 2.3/2.4 (different frame-size formats), encodings cycle
+    latin-1 / UTF-16-BOM / (UTF-8 on v2.4, UTF-16BE on v2.3) — titles
+    carry a non-latin character on the UTF-16/UTF-8 rows so a parser
+    that silently latin-1s everything fails — and every sixth stream is
+    a bare MPEG stream with NO tag. The audio payload is a sync-word
+    stub (the MPEG frames are not decoded — metadata pass only)."""
+    audio = b"\xff\xfb\x90\x00" + bytes((media_id * 7 + k) % 256 for k in range(32))
+    if media_id % 6 == 5:
+        return audio
+    version = 3 if media_id % 2 == 0 else 4
+    enc = media_id % 3
+    if enc == 2:
+        enc = 3 if version == 4 else 2
+    mark = "♪" if enc != 0 else ""  # ♪ — not latin-1 encodable
+    year = 1990 + media_id % 30
+    date_frame = ("TYER", str(year)) if version == 3 else ("TDRC", f"{year}-07-04")
+    frames = [
+        ("TIT2", f"{mark}Track-{media_id % 100}", enc),
+        ("TPE1", f"Artist {media_id % 11}", enc),
+        ("TALB", f"Album {media_id % 13}", enc),
+        (date_frame[0], date_frame[1], enc),
+    ]
+    return build_id3(frames, version=version, audio=audio)
+
+
+_ID3_SCHEMA = (
+    "media_id long, title string, artist string, album string, year int"
+)
+
+
+def id3_metadata(df: DataFrame) -> DataFrame:
+    """Distributed ID3v2 extraction (Arrow mapInPandas, map-only): one
+    row per media with title/artist/album/year, NULLs for bare MPEG
+    streams. Year comes from TYER (v2.3) or the TDRC timestamp prefix
+    (v2.4) — the cross-version field rename real corpora mix freely."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                frames = parse_id3(bytes(blob)) or {}
+                y = frames.get("TYER") or frames.get("TDRC")
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "title": frames.get("TIT2"),
+                        "artist": frames.get("TPE1"),
+                        "album": frames.get("TALB"),
+                        "year": int(y[:4]) if y else None,
+                    }
+                )
+            out = pd.DataFrame(
+                rows, columns=["media_id", "title", "artist", "album", "year"]
+            )
+            out["year"] = out["year"].astype("Int32")
+            yield out
+
+    return df.select("media_id", "payload").mapInPandas(run, _ID3_SCHEMA)

@@ -810,3 +810,44 @@ def llm_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 256)
     packed = AR.pack_archives(docs, fmt="tar.gz", group_size=8)
     return AR.archive_members(packed, fmt="tar.gz")
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 metadata: the crawl-audio tagging shape
+
+
+@_candidate(
+    "multimodal_id3_metadata",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 6 = 5 THEN NULL
+                ELSE (CASE WHEN doc_id % 3 != 0 THEN '♪' ELSE '' END)
+                     || 'Track-' || CAST(doc_id % 100 AS VARCHAR) END AS title,
+           CASE WHEN doc_id % 6 = 5 THEN NULL
+                ELSE 'Artist ' || CAST(doc_id % 11 AS VARCHAR) END AS artist,
+           CASE WHEN doc_id % 6 = 5 THEN NULL
+                ELSE 'Album ' || CAST(doc_id % 13 AS VARCHAR) END AS album,
+           CAST(CASE WHEN doc_id % 6 = 5 THEN NULL
+                     ELSE 1990 + doc_id % 30 END AS INT) AS year
+    FROM documents WHERE doc_id < 128
+    """,
+    "ID3v2 METADATA EXTRACTION without audio decode (the crawl-audio "
+    "tagging pass — group by artist/album/year, dedup by title): parses "
+    "BOTH ID3v2.3 and v2.4, whose frame-size fields differ (plain 32-bit "
+    "vs syncsafe 28-bit — the classic cross-version parser bug), text "
+    "encodings latin-1 / UTF-16-BOM / UTF-16BE / UTF-8 with a non-latin "
+    "character planted on the wide-encoding rows so silent latin-1 "
+    "misdecoding fails the hash, TYER vs TDRC year fields, padding, and "
+    "bare MPEG streams yielding NULLs; the MPEG frames themselves stay "
+    "an honest boundary (llmdata/multimodal.py "
+    "build_id3/parse_id3/make_mp3_id3/id3_metadata)",
+)
+def multimodal_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 128).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(ids, MM.make_mp3_id3), media_type="audio/mpeg"
+    )
+    return MM.id3_metadata(media)

@@ -4912,3 +4912,52 @@ def test_jpeg_cmyk_boundaries_refuse_loudly():
     mangled[4 + ln - 1] = 1
     with pytest.raises(NotImplementedError, match="transform 1"):
         decode_jpeg_np(bytes(mangled))
+
+
+def test_id3_golden_hand_authored_tag():
+    """ID3v2 conformance anchored outside the co-developed pair: a v2.4
+    tag laid out BY HAND (syncsafe tag AND frame sizes written digit by
+    digit, a UTF-8 TIT2, a latin-1 TALB, explicit padding) followed by
+    raw audio bytes — per the public id3.org v2.4 structure spec."""
+    from query_engine_spark.llmdata.multimodal import parse_id3
+
+    tit2_payload = b"\x03N\xc3\xb8tes"            # UTF-8 "Nøtes"
+    talb_payload = b"\x00Kind of Blue"
+    frames = (
+        b"TIT2" + bytes([0, 0, 0, len(tit2_payload)]) + b"\x00\x00" + tit2_payload
+        + b"TALB" + bytes([0, 0, 0, len(talb_payload)]) + b"\x00\x00" + talb_payload
+    )
+    body = frames + b"\x00" * 10
+    assert len(body) < 128  # syncsafe low byte only
+    blob = b"ID3\x04\x00\x00" + bytes([0, 0, 0, len(body)]) + body + b"\xff\xfbAUDIO"
+    assert parse_id3(blob) == {"TIT2": "Nøtes", "TALB": "Kind of Blue"}
+
+
+def test_id3_v23_vs_v24_frame_sizes_and_boundaries():
+    """The cross-version trap: v2.3 frame sizes are PLAIN 32-bit, v2.4
+    are syncsafe. A 200-byte text frame encodes differently (0x000000C8
+    vs 0x00000148) — parse both through the version-keyed path. Unsync
+    and extended-header flags refuse; bare MPEG returns None."""
+    import pytest
+
+    from query_engine_spark.llmdata.multimodal import build_id3, parse_id3
+
+    long_text = "x" * 199  # 200-byte payload with the encoding byte
+    for version in (3, 4):
+        blob = build_id3([("TIT2", long_text, 0)], version=version)
+        assert parse_id3(blob)["TIT2"] == long_text
+        # the two encodings of the same tag differ at the size bytes
+    b3 = build_id3([("TIT2", long_text, 0)], version=3)
+    b4 = build_id3([("TIT2", long_text, 0)], version=4)
+    assert b3[14:18] == bytes([0, 0, 0, 200])
+    assert b4[14:18] == bytes([0, 0, 1, 72])  # 200 = (1<<7) + 72 syncsafe
+    assert parse_id3(b"\xff\xfb\x90\x00audio") is None
+    unsync = bytearray(build_id3([("TIT2", "t", 0)], version=4))
+    unsync[5] = 0x80
+    with pytest.raises(NotImplementedError, match="unsynchronised"):
+        parse_id3(bytes(unsync))
+    with pytest.raises(ValueError, match="v2.4-only"):
+        build_id3([("TIT2", "t", 3)], version=3)
+    v22 = b"ID3\x02\x00\x00" + bytes([0, 0, 0, 0])
+    with pytest.raises(NotImplementedError, match="2.3/2.4"):
+        parse_id3(v22)
