@@ -368,11 +368,17 @@ def test_jpeg_color_stage_map_only(spark):
 
 
 def test_r9_candidate_decode_chains_map_only(spark):
-    """Every round-9 candidate is a decode chain: pack -> decode feature
-    fold in chained Arrow stages, ZERO exchanges and no joins — the
-    100 TB single-scan property, asserted before the candidates ship
-    into the registry."""
+    """Every round-9 candidate holds its 100 TB plan shape, asserted
+    before shipping into the registry: decode/metadata chains are
+    pack -> feature fold in chained Arrow stages with ZERO exchanges;
+    the two archive-ingest roundtrips carry exactly ONE exchange (the
+    groupBy(archive_id) pack shuffle) and stay map-only below it. No
+    candidate ever joins or goes cartesian."""
     from query_engine_spark.registry_r9 import CANDIDATES
+
+    # pack_archives groups documents into bounded archives: one shuffle
+    # by design, the extraction below it map-only
+    ONE_SHUFFLE = {"llm_zip_ingest", "llm_tar_ingest"}
 
     for name, spec in CANDIDATES.items():
         df = spec.fn(spark, SF)
@@ -380,6 +386,12 @@ def test_r9_candidate_decode_chains_map_only(spark):
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         p = buf.getvalue()
-        assert "Exchange" not in p, name
+        if name in ONE_SHUFFLE:
+            # formatted explain prints each node twice (tree + details):
+            # count on the single-print executedPlan string instead
+            one = df._jdf.queryExecution().executedPlan().toString()
+            assert one.count("Exchange") == 1, name
+        else:
+            assert "Exchange" not in p, name
         assert "Join" not in p, name
         assert "CartesianProduct" not in p, name
