@@ -7976,6 +7976,8 @@ def _syncsafe(n: int) -> bytes:
 
 
 def _unsyncsafe(b: bytes) -> int:
+    if len(b) != 4:
+        raise ValueError("truncated syncsafe field")
     if any(x & 0x80 for x in b):
         raise ValueError("non-syncsafe byte in syncsafe field")
     return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
@@ -8029,6 +8031,8 @@ def parse_id3(blob: bytes) -> dict[str, str] | None:
     honest boundary alongside the MPEG audio itself."""
     if blob[:3] != b"ID3":
         return None
+    if len(blob) < 10:
+        raise ValueError("truncated ID3v2 header")
     version, _rev, flags = blob[3], blob[4], blob[5]
     if version not in (3, 4):
         raise NotImplementedError(f"ID3v2.{version} not supported (only 2.3/2.4)")

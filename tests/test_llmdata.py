@@ -4961,3 +4961,40 @@ def test_id3_v23_vs_v24_frame_sizes_and_boundaries():
     v22 = b"ID3\x02\x00\x00" + bytes([0, 0, 0, 0])
     with pytest.raises(NotImplementedError, match="2.3/2.4"):
         parse_id3(v22)
+
+
+def test_exif_and_id3_parsers_mutation_fuzz():
+    """Mutation fuzz over the metadata parsers (EXIF APP1 walk, ID3v2
+    frame walk): 400 mutated streams each — must return a dict/None or
+    raise ValueError/NotImplementedError/struct.error, never hang or
+    leak an unrelated exception type (IndexError on a truncated header
+    is a parser bug, not an acceptable failure)."""
+    import random
+    import struct
+
+    from query_engine_spark.llmdata.multimodal import (
+        make_jpeg_exif,
+        make_mp3_id3,
+        parse_exif,
+        parse_id3,
+    )
+
+    rng = random.Random(77)
+    for maker, parser in ((make_jpeg_exif, parse_exif), (make_mp3_id3, parse_id3)):
+        blob = maker(3)
+        for _ in range(400):
+            bad = bytearray(blob)
+            op = rng.randrange(3)
+            if op == 0:
+                bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+            elif op == 1:
+                bad = bad[: rng.randrange(len(bad))]
+            else:
+                bad += bytes(rng.randrange(256) for _ in range(rng.randrange(1, 9)))
+            try:
+                out = parser(bytes(bad))
+            except (ValueError, NotImplementedError, struct.error):
+                continue
+            except UnicodeDecodeError:
+                continue  # mutated text payload in a wide encoding
+            assert out is None or isinstance(out, dict)
