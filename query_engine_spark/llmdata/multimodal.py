@@ -7116,7 +7116,7 @@ def jpeg_features(df: DataFrame) -> DataFrame:
 # exact integer pixel permutation on top of decode_jpeg_np ------------------
 
 
-_EXIF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4}  # BYTE, ASCII, SHORT, LONG
+_EXIF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE, ASCII, SHORT, LONG, RATIONAL
 
 
 def _exif_pack_ifd(
@@ -7141,6 +7141,11 @@ def _exif_pack_ifd(
         if typ == 2:
             data = values.encode("ascii") + b"\x00"
             count = len(data)
+        elif typ == 5:
+            # RATIONAL: (numerator, denominator) u32 pairs — always >4
+            # bytes, so always out-of-line
+            count = len(values)
+            data = b"".join(struct.pack(e + "II", n, d) for n, d in values)
         else:
             fmt = {1: "B", 3: "H", 4: "I"}[typ]
             count = len(values)
@@ -7168,13 +7173,17 @@ def build_exif_app1(
     taken_at: str | None = None,
     pixel_x: int | None = None,
     pixel_y: int | None = None,
+    gps: tuple | None = None,
 ) -> bytes:
     """Build a real APP1 Exif segment (marker + length + "Exif\\0\\0" +
-    TIFF header + IFD0 [+ Exif sub-IFD]) in either byte order. IFD0
-    carries Make/Model (ASCII, out-of-line when >4 bytes), Orientation
-    (SHORT, inline) and the 0x8769 Exif-IFD pointer; the sub-IFD carries
-    DateTimeOriginal (ASCII) and PixelX/YDimension (LONG) — the fields a
-    crawl photo pipeline actually groups on."""
+    TIFF header + IFD0 [+ Exif and GPS sub-IFDs]) in either byte order.
+    IFD0 carries Make/Model (ASCII, out-of-line when >4 bytes),
+    Orientation (SHORT, inline), the 0x8769 Exif-IFD pointer and the
+    0x8825 GPS-IFD pointer; the Exif sub-IFD carries DateTimeOriginal
+    (ASCII) and PixelX/YDimension (LONG), the GPS sub-IFD the
+    lat/lon RATIONAL triplets with their N/S / E/W refs — the fields a
+    crawl photo pipeline actually groups and geo-filters on. `gps` is
+    (lat_ref, [(num, den)×3 dms], lon_ref, [(num, den)×3 dms])."""
     import struct
 
     e = "<" if endian == "II" else ">"
@@ -7192,14 +7201,36 @@ def build_exif_app1(
         sub.append((0xA002, 4, [pixel_x]))
     if pixel_y is not None:
         sub.append((0xA003, 4, [pixel_y]))
-    if sub:
+    gps_ifd: list[tuple[int, int, list]] = []
+    if gps is not None:
+        lat_ref, lat_dms, lon_ref, lon_dms = gps
+        gps_ifd = [
+            (0x0001, 2, lat_ref),
+            (0x0002, 5, list(lat_dms)),
+            (0x0003, 2, lon_ref),
+            (0x0004, 5, list(lon_dms)),
+        ]
+    tails = [(0x8769, sub)] if sub else []
+    if gps_ifd:
+        tails.append((0x8825, gps_ifd))
+    if tails:
         # two-pass: IFD0's size depends on its own entry count (the
-        # sub-IFD pointer entry included), so pack once with a dummy
-        # offset to learn the length, then with the real one
-        probe = _exif_pack_ifd(ifd0 + [(0x8769, 4, [0])], endian, 8)
-        sub_off = 8 + len(probe)
-        tiff = _exif_pack_ifd(ifd0 + [(0x8769, 4, [sub_off])], endian, 8)
-        tiff += _exif_pack_ifd(sub, endian, sub_off)
+        # sub-IFD pointer entries included) but a packed IFD's LENGTH
+        # never depends on where it sits, so pack once with dummy
+        # offsets to learn each length, then with the real ones
+        probe = _exif_pack_ifd(
+            ifd0 + [(tag, 4, [0]) for tag, _ in tails], endian, 8
+        )
+        offs: list[tuple[int, int, list]] = []
+        cur = 8 + len(probe)
+        for tag, entries in tails:
+            offs.append((tag, cur, entries))
+            cur += len(_exif_pack_ifd(entries, endian, cur))
+        tiff = _exif_pack_ifd(
+            ifd0 + [(tag, 4, [off]) for tag, off, _ in offs], endian, 8
+        )
+        for tag, off, entries in offs:
+            tiff += _exif_pack_ifd(entries, endian, off)
     else:
         tiff = _exif_pack_ifd(ifd0, endian, 8)
     header = (b"II" + struct.pack("<HI", 42, 8)) if endian == "II" else (
@@ -7232,11 +7263,35 @@ def _exif_parse_ifd(tiff: bytes, off: int, e: str) -> dict[int, object]:
             raise ValueError("EXIF value runs past the APP1 segment")
         if typ == 2:
             out[tag] = data.split(b"\x00", 1)[0].decode("ascii", "replace")
+        elif typ == 5:
+            pairs = struct.unpack(e + str(2 * count) + "I", data)
+            vals = [(pairs[2 * k], pairs[2 * k + 1]) for k in range(count)]
+            out[tag] = vals[0] if count == 1 else vals
         else:
             fmt = {1: "B", 3: "H", 4: "I"}[typ]
             vals = list(struct.unpack(e + str(count) + fmt, data))
             out[tag] = vals[0] if count == 1 else vals
     return out
+
+
+def _exif_gps_arcsec_e4(ref: object, dms: object, neg_ref: str) -> int | None:
+    """Exact integer GPS coordinate: (deg, min, sec) RATIONALs →
+    arcseconds × 10⁴, negated for the S/W hemisphere. Raises when a
+    rational does not divide exactly at the e4 grid — silently rounding
+    a coordinate is how geo-dedup pipelines mis-bucket photos."""
+    if ref is None or dms is None:
+        return None
+    if not (isinstance(dms, list) and len(dms) == 3):
+        raise ValueError("GPS coordinate must be a (deg, min, sec) triplet")
+    (dn, dd), (mn, md), (sn, sd) = dms
+    if 0 in (dd, md, sd):
+        raise ValueError("GPS rational with zero denominator")
+    total = dn * 36000000 * md * sd + mn * 600000 * dd * sd + sn * 10000 * dd * md
+    den = dd * md * sd
+    if total % den:
+        raise ValueError("GPS coordinate not exactly representable at e4 arcseconds")
+    sign = -1 if ref == neg_ref else 1
+    return sign * (total // den)
 
 
 def parse_exif(blob: bytes) -> dict[str, object] | None:
@@ -7277,6 +7332,9 @@ def parse_exif(blob: bytes) -> dict[str, object] | None:
         sub: dict[int, object] = {}
         if isinstance(ifd0.get(0x8769), int):
             sub = _exif_parse_ifd(tiff, ifd0[0x8769], e)
+        gps: dict[int, object] = {}
+        if isinstance(ifd0.get(0x8825), int):
+            gps = _exif_parse_ifd(tiff, ifd0[0x8825], e)
         return {
             "make": ifd0.get(0x010F),
             "model": ifd0.get(0x0110),
@@ -7284,6 +7342,12 @@ def parse_exif(blob: bytes) -> dict[str, object] | None:
             "taken_at": sub.get(0x9003),
             "pixel_x": sub.get(0xA002),
             "pixel_y": sub.get(0xA003),
+            "gps_lat_arcsec_e4": _exif_gps_arcsec_e4(
+                gps.get(0x0001), gps.get(0x0002), "S"
+            ),
+            "gps_lon_arcsec_e4": _exif_gps_arcsec_e4(
+                gps.get(0x0003), gps.get(0x0004), "W"
+            ),
         }
     return None
 
@@ -7297,6 +7361,19 @@ def make_jpeg_exif(media_id: int, blocks_w: int = 2, blocks_h: int = 2) -> bytes
     base = make_jpeg(media_id, blocks_w, blocks_h)
     if media_id % 5 == 4:
         return base
+    gps = None
+    if media_id % 3 == 0:
+        # every third tagged photo is geotagged; degree rationals use a
+        # non-1 denominator on every sixth stream so den≠1 reduction is
+        # exercised, seconds are centisecond rationals (den 100)
+        i = media_id
+        lat_d = (i % 90, 1) if i % 6 else (2 * (i % 90), 2)
+        gps = (
+            "N" if (i // 2) % 2 == 0 else "S",
+            [lat_d, ((i * 7) % 60, 1), ((i * 13) % 6000, 100)],
+            "E" if (i // 4) % 2 == 0 else "W",
+            [(i % 180, 1), ((i * 11) % 60, 1), ((i * 17) % 6000, 100)],
+        )
     app1 = build_exif_app1(
         endian="II" if media_id % 2 == 0 else "MM",
         make=f"Cam{media_id % 5}",
@@ -7306,6 +7383,7 @@ def make_jpeg_exif(media_id: int, blocks_w: int = 2, blocks_h: int = 2) -> bytes
             f"2023:{1 + media_id % 12:02d}:{1 + media_id % 28:02d} "
             f"{media_id % 24:02d}:{media_id % 60:02d}:00"
         ),
+        gps=gps,
         pixel_x=blocks_w * 8,
         pixel_y=blocks_h * 8,
     )
@@ -7314,7 +7392,8 @@ def make_jpeg_exif(media_id: int, blocks_w: int = 2, blocks_h: int = 2) -> bytes
 
 _EXIF_SCHEMA = (
     "media_id long, make string, model string, orientation int, "
-    "taken_at string, pixel_x int, pixel_y int"
+    "taken_at string, pixel_x int, pixel_y int, "
+    "gps_lat_arcsec_e4 long, gps_lon_arcsec_e4 long"
 )
 
 
@@ -7338,6 +7417,8 @@ def exif_metadata(df: DataFrame) -> DataFrame:
                         "taken_at": meta.get("taken_at"),
                         "pixel_x": meta.get("pixel_x"),
                         "pixel_y": meta.get("pixel_y"),
+                        "gps_lat_arcsec_e4": meta.get("gps_lat_arcsec_e4"),
+                        "gps_lon_arcsec_e4": meta.get("gps_lon_arcsec_e4"),
                     }
                 )
             out = pd.DataFrame(
@@ -7345,10 +7426,13 @@ def exif_metadata(df: DataFrame) -> DataFrame:
                 columns=[
                     "media_id", "make", "model", "orientation",
                     "taken_at", "pixel_x", "pixel_y",
+                    "gps_lat_arcsec_e4", "gps_lon_arcsec_e4",
                 ],
             )
             for c in ("orientation", "pixel_x", "pixel_y"):
                 out[c] = out[c].astype("Int32")
+            for c in ("gps_lat_arcsec_e4", "gps_lon_arcsec_e4"):
+                out[c] = out[c].astype("Int64")
             yield out
 
     return df.select("media_id", "payload").mapInPandas(run, _EXIF_SCHEMA)

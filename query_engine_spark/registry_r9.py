@@ -517,17 +517,34 @@ def multimodal_png_trns(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN doc_id % 5 = 4 THEN NULL
                      ELSE (2 + doc_id % 2) * 8 END AS INT) AS pixel_x,
            CAST(CASE WHEN doc_id % 5 = 4 THEN NULL
-                     ELSE (2 + (doc_id // 2) % 2) * 8 END AS INT) AS pixel_y
+                     ELSE (2 + (doc_id // 2) % 2) * 8 END AS INT) AS pixel_y,
+           CAST(CASE WHEN doc_id % 5 = 4 OR doc_id % 3 != 0 THEN NULL
+                     ELSE (CASE WHEN (doc_id // 2) % 2 = 0 THEN 1 ELSE -1 END)
+                          * ((doc_id % 90) * 36000000
+                             + ((doc_id * 7) % 60) * 600000
+                             + ((doc_id * 13) % 6000) * 100)
+                END AS BIGINT) AS gps_lat_arcsec_e4,
+           CAST(CASE WHEN doc_id % 5 = 4 OR doc_id % 3 != 0 THEN NULL
+                     ELSE (CASE WHEN (doc_id // 4) % 2 = 0 THEN 1 ELSE -1 END)
+                          * ((doc_id % 180) * 36000000
+                             + ((doc_id * 11) % 60) * 600000
+                             + ((doc_id * 17) % 6000) * 100)
+                END AS BIGINT) AS gps_lon_arcsec_e4
     FROM documents WHERE doc_id < 64
     """,
     "EXIF METADATA EXTRACTION without pixel decode (the metadata-only "
     "crawl pass real photo pipelines run first): a real TIFF-IFD parser "
     "over JPEG APP1 — both byte orders (fixtures alternate II/MM), "
     "inline vs out-of-line values (Make fits 4 bytes at Cam0..4; Model "
-    "and the datetime overflow), the 0x8769 Exif sub-IFD pointer, and "
-    "ASCII NUL stripping; every fifth stream has NO APP1 and must yield "
-    "NULLs (EXIF 2.3 / TIFF 6.0; llmdata/multimodal.py "
-    "build_exif_app1/parse_exif/exif_metadata)",
+    "and the datetime overflow), the 0x8769 Exif sub-IFD pointer, the "
+    "0x8825 GPS sub-IFD with RATIONAL (deg,min,sec) triplets reduced to "
+    "EXACT e4-arcsecond integers (den!=1 degree rationals on every sixth "
+    "geotagged stream; inexact rationals refuse rather than round — "
+    "geo-dedup must not mis-bucket), hemisphere sign from the N/S-E/W "
+    "refs, and ASCII NUL stripping; every fifth stream has NO APP1 and "
+    "must yield NULLs, non-geotagged streams NULL coordinates (EXIF 2.3 "
+    "/ TIFF 6.0; llmdata/multimodal.py "
+    "build_exif_app1/parse_exif/_exif_gps_arcsec_e4/exif_metadata)",
 )
 def multimodal_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_engine_spark.llmdata import multimodal as MM

@@ -4772,6 +4772,8 @@ def test_exif_golden_hand_authored_app1():
         "taken_at": "2021:12:31 23:59:58",
         "pixel_x": None,
         "pixel_y": None,
+        "gps_lat_arcsec_e4": None,
+        "gps_lon_arcsec_e4": None,
     }
 
 
@@ -4998,3 +5000,41 @@ def test_exif_and_id3_parsers_mutation_fuzz():
             except UnicodeDecodeError:
                 continue  # mutated text payload in a wide encoding
             assert out is None or isinstance(out, dict)
+
+
+def test_exif_gps_rationals_exact_and_refusing():
+    """GPS coordinates reduce RATIONAL (deg,min,sec) triplets to EXACT
+    e4-arcsecond integers: hemisphere refs flip the sign, non-1
+    denominators reduce exactly, and an inexact rational (1/3 second)
+    REFUSES rather than rounds — geo-dedup must never mis-bucket."""
+    import pytest
+
+    from query_engine_spark.llmdata.multimodal import (
+        build_exif_app1,
+        make_jpeg,
+        parse_exif,
+    )
+
+    base = make_jpeg(5, 1, 1)
+
+    def tagged(gps):
+        return base[:2] + build_exif_app1(endian="MM", gps=gps) + base[2:]
+
+    # 48°51'29.98" N, 2°17'40.20" E (den=2 degrees on the lat side)
+    meta = parse_exif(
+        tagged(("N", [(96, 2), (51, 1), (2998, 100)], "E",
+                [(2, 1), (17, 1), (4020, 100)]))
+    )
+    assert meta["gps_lat_arcsec_e4"] == 48 * 36000000 + 51 * 600000 + 2998 * 100
+    assert meta["gps_lon_arcsec_e4"] == 2 * 36000000 + 17 * 600000 + 4020 * 100
+    south = parse_exif(
+        tagged(("S", [(33, 1), (52, 1), (0, 1)], "W", [(151, 1), (12, 1), (0, 1)]))
+    )
+    assert south["gps_lat_arcsec_e4"] == -(33 * 36000000 + 52 * 600000)
+    assert south["gps_lon_arcsec_e4"] == -(151 * 36000000 + 12 * 600000)
+    with pytest.raises(ValueError, match="not exactly representable"):
+        parse_exif(tagged(("N", [(10, 1), (0, 1), (1, 3)], "E",
+                           [(0, 1), (0, 1), (0, 1)])))
+    with pytest.raises(ValueError, match="zero denominator"):
+        parse_exif(tagged(("N", [(10, 0), (0, 1), (0, 1)], "E",
+                           [(0, 1), (0, 1), (0, 1)])))
