@@ -1724,3 +1724,45 @@ def top_terms(
     return dense_rank_over(limited, [F.col("cnt").desc(), F.col("term")], "rank").select(
         "term", "cnt", "rank"
     )
+
+
+def nfc_normalize_features(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode NFC normalization pass (the first stage of every serious
+    text-cleaning pipeline: crawled HTML mixes precomposed and combining
+    sequences freely, and un-normalized text splits dedup hashes and
+    tokenizer merges for byte-identical-looking strings). Spark SQL has
+    no normalization builtin, so this is the documented exception to the
+    pure-Column rule: one Arrow `mapInPandas` pass (map-only, the same
+    plan shape as the codec stages) applying stdlib
+    `unicodedata.normalize("NFC", ...)`; the DuckDB oracle replays it
+    with `nfc_normalize()` (both implement UAX #15, cross-checked in
+    tests). Emits codepoint counts before/after, a changed flag, and the
+    md5 of the normalized text."""
+    import hashlib
+    import unicodedata
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    def run(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for pdf in batches:
+            norm = [unicodedata.normalize("NFC", str(t)) for t in pdf[text_col]]
+            yield _pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "chars_raw": [len(str(t)) for t in pdf[text_col]],
+                    "chars_nfc": [len(n) for n in norm],
+                    "changed": [
+                        int(n != str(t)) for n, t in zip(norm, pdf[text_col])
+                    ],
+                    "fp": [
+                        hashlib.md5(n.encode("utf-8")).hexdigest() for n in norm
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, chars_raw long, chars_nfc long, changed int, fp string"
+    )

@@ -868,3 +868,54 @@ def multimodal_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pack_media(ids, MM.make_mp3_id3), media_type="audio/mpeg"
     )
     return MM.id3_metadata(media)
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization: the first text-cleaning stage
+
+
+@_candidate(
+    "text_nfc_normalize",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 3 THEN text
+                  ELSE 'Cafe' || chr(769) || ' Noe' || chr(776) || 'l '
+                       || chr(8203) || text END AS raw
+      FROM documents WHERE doc_id < 512)
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS chars_raw,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS chars_nfc,
+           CAST(CASE WHEN nfc_normalize(raw) = raw THEN 0 ELSE 1 END AS INT)
+             AS changed,
+           md5(nfc_normalize(raw)) AS fp
+    FROM t
+    """,
+    "UNICODE NFC NORMALIZATION (the first stage of every serious "
+    "text-cleaning pipeline — crawled HTML mixes precomposed and "
+    "combining sequences, splitting dedup hashes and tokenizer merges "
+    "for visually identical strings): combining acute/diaeresis "
+    "sequences are planted on 3/4 of the corpus (plus a ZERO WIDTH "
+    "SPACE that NFC must PRESERVE — normalization is not cleaning), the "
+    "remaining quarter is already-NFC and must report changed=0; Spark "
+    "runs stdlib unicodedata in one map-only Arrow pass (the documented "
+    "exception to the pure-Column rule — Spark SQL has no normalization "
+    "builtin), DuckDB replays with nfc_normalize(), both UAX #15 "
+    "(llmdata/textstats.py nfc_normalize_features)",
+)
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import textstats as TS
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    # explicit escapes: DECOMPOSED combining marks (U+0301 acute, U+0308
+    # diaeresis) + a zero-width space — identical to the oracle's
+    # chr(769)/chr(776)/chr(8203) construction; a composed-form source
+    # literal here would silently test nothing
+    prefix = "Cafe\u0301 Noe\u0308l \u200b"
+    raw = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 3, F.col("text"))
+        .otherwise(F.concat(F.lit(prefix), F.col("text")))
+        .alias("text"),
+    )
+    return TS.nfc_normalize_features(raw)

@@ -5038,3 +5038,37 @@ def test_exif_gps_rationals_exact_and_refusing():
     with pytest.raises(ValueError, match="zero denominator"):
         parse_exif(tagged(("N", [(10, 0), (0, 1), (0, 1)], "E",
                            [(0, 1), (0, 1), (0, 1)])))
+
+
+def test_nfc_cross_engine_agreement():
+    """The NFC candidate's whole premise: Python unicodedata and DuckDB
+    nfc_normalize implement the same UAX #15. Cross-check on adversarial
+    sequences — canonical-ordering of multiple combining marks, Hangul
+    jamo composition, singleton decompositions (Angstrom sign), already-
+    composed text, and the ZWSP that must survive."""
+    import unicodedata
+
+    import duckdb
+
+    cases = [
+        "Café",                    # combining acute -> é
+        "q̣̇",                 # dot-above + dot-below: reorders
+        "q̣̇",                 # same marks, other source order
+        "각",            # Hangul jamo -> 각
+        "Å",                        # ANGSTROM SIGN -> Å (singleton)
+        "Å",                        # already-composed Å
+        "a​b",                      # ZWSP survives NFC
+        "Noël français",      # mixed composed/decomposed
+        "Ǻ",            # A + ring + acute -> Ǻ (partial)
+    ]
+    # guard against a formatter silently NFC-normalizing this source
+    # file: most cases must genuinely change under NFC or the test
+    # would be comparing engines on trivial inputs
+    assert sum(1 for s in cases if unicodedata.normalize("NFC", s) != s) >= 5
+    con = duckdb.connect()
+    try:
+        for s in cases:
+            (duck,) = con.execute("SELECT nfc_normalize(?)", [s]).fetchone()
+            assert duck == unicodedata.normalize("NFC", s), repr(s)
+    finally:
+        con.close()
