@@ -304,3 +304,29 @@ def archive_members(df: DataFrame, *, fmt: str = "zip") -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "chars", "fp"])
 
     return df.select("payload").mapInPandas(run, _MEMBER_SCHEMA)
+
+
+_DOC_SCHEMA = "doc_id long, text string"
+
+
+def archive_documents(df: DataFrame, *, fmt: str = "zip") -> DataFrame:
+    """Extract archive members as full documents — (doc_id, text) — the
+    corpus-landing form of `archive_members` (same map-only Arrow pass,
+    same CRC/checksum verification; this one ships the text to the sink
+    instead of a fingerprint). Used by the streaming crawl ingest."""
+    if fmt not in ("zip", "tar.gz"):
+        raise ValueError(f"unknown archive format {fmt!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf["payload"]:
+                b = bytes(blob)
+                members = read_zip(b) if fmt == "zip" else read_tar(gunzip_bytes(b))
+                for name, data in members:
+                    rows.append(
+                        {"doc_id": _doc_id_of(name), "text": data.decode("utf-8")}
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    return df.select("payload").mapInPandas(run, _DOC_SCHEMA)

@@ -280,3 +280,53 @@ def composed_batch_answer(
             "total",
         )
     )
+
+
+def archive_ingest_start(
+    spark: SparkSession,
+    input_dir: str,
+    docs_dir: str,
+    checkpoint_dir: str,
+    *,
+    fmt: str = "zip",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Crawl-archive ingest: ZIP / TAR.GZ drops land in `input_dir` as
+    (archive_id, payload) parquet; each micro-batch extracts every member
+    document distributed (the map-only `archive_documents` pass — CRC /
+    checksum verified, so a corrupt drop fails the batch loudly instead
+    of landing wrong text) and writes (doc_id, text) to the corpus sink.
+
+    Exactly-once across restarts without a transactional sink, the same
+    device as `media_ingest_start`: every write is a DYNAMIC partition
+    overwrite keyed by the micro-batch id, so a replayed batch overwrites
+    its own partitions with identical content. At 100 TB the sink is a
+    parquet table partitioned by ingest batch that compacts like any
+    other; per-batch cost is O(batch) — archives are self-contained, so
+    no history is ever re-read."""
+    from query_engine_spark.llmdata import archives as AR
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        (
+            AR.archive_documents(batch, fmt=fmt)
+            .withColumn("__batch_id", F.lit(batch_id))
+            .write.partitionBy("__batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(docs_dir)
+        )
+
+    reader = spark.readStream.schema("archive_id long, payload binary")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    src = reader.parquet(input_dir)
+    return (
+        src.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def archive_ingest_docs(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """Read the landed corpus back without the ingest bookkeeping."""
+    return spark.read.parquet(docs_dir).drop("__batch_id")

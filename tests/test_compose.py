@@ -440,3 +440,42 @@ def test_streaming_media_dedup_jpeg_hasher(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) >= 6
+
+
+def test_streaming_archive_ingest_matches_batch_and_restart(spark, tmp_path):
+    """Streaming archive ingest == batch extraction, across a driver
+    restart: crawl drop A (zips) lands, the query stops, drop B lands, a
+    NEW query on the same checkpoint continues — the final corpus equals
+    one batch `archive_documents` over all drops, each document exactly
+    once (dynamic partition overwrite keyed by micro-batch id)."""
+    from query_engine_spark.llmdata import archives as AR
+    from query_engine_spark.streaming.compose import (
+        archive_ingest_docs,
+        archive_ingest_start,
+    )
+
+    def drop(lo: int, hi: int):
+        rows = [(d, f"doc {d} payload " * (1 + d % 3)) for d in range(lo, hi)]
+        return AR.pack_archives(
+            spark.createDataFrame(rows, "doc_id long, text string"), fmt="zip",
+            group_size=4,
+        )
+
+    in_dir, docs_dir, ckpt = (str(tmp_path / n) for n in ("in", "docs", "ckpt"))
+    drop(0, 10).coalesce(1).write.mode("append").parquet(in_dir)
+    q1 = archive_ingest_start(spark, in_dir, docs_dir, ckpt)
+    q1.processAllAvailable()
+    q1.stop()  # simulate driver restart between crawl drops
+
+    drop(10, 25).coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = archive_ingest_start(spark, in_dir, docs_dir, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {(r["doc_id"], r["text"]) for r in archive_ingest_docs(spark, docs_dir).collect()}
+    want = {(d, f"doc {d} payload " * (1 + d % 3)) for d in range(25)}
+    assert got == want
+    # exactly-once: no duplicate doc rows across batch partitions
+    assert archive_ingest_docs(spark, docs_dir).count() == 25
