@@ -12,7 +12,10 @@ distributed pack/unpack stages:
 - TAR per POSIX.1-1988 ustar: 512-byte headers with octal size fields
   and the space-normalized header checksum, content padded to whole
   blocks, two zero blocks as terminator; the archive byte stream is
-  gzip-wrapped (RFC 1952 via stdlib zlib, wbits=31).
+  wrapped in gzip (RFC 1952 via stdlib zlib), bzip2, or xz — the three
+  codecs corpus releases actually ship under — with the reader
+  auto-detecting by magic bytes, so heterogeneous (mixed-codec) corpora
+  ingest through one path.
 
 Spark shape (the 100-TB story): packing groups documents into
 bounded-size archives with ONE shuffle keyed on archive id
@@ -229,6 +232,46 @@ def gunzip_bytes(blob: bytes) -> bytes:
     return out + d.flush()
 
 
+def compress_stream(data: bytes, codec: str, *, level: int = 6) -> bytes:
+    """Whole-stream compression for tarball wrapping: gz (RFC 1952),
+    bz2, or xz (both stdlib) — the three codecs corpus releases actually
+    ship under."""
+    if codec == "gz":
+        return gzip_bytes(data, level=level)
+    if codec == "bz2":
+        import bz2
+
+        return bz2.compress(data, compresslevel=max(1, level))
+    if codec == "xz":
+        import lzma
+
+        return lzma.compress(data, preset=level)
+    raise ValueError(f"unknown stream codec {codec!r}")
+
+
+def decompress_auto(blob: bytes) -> bytes:
+    """Codec auto-detection by magic bytes — how real tar readers pick
+    the decompressor: gzip 1F 8B, bzip2 'BZh', xz FD '7zXZ' 00. Unknown
+    magic raises rather than guessing."""
+    if blob[:2] == b"\x1f\x8b":
+        return gunzip_bytes(blob)
+    if blob[:3] == b"BZh":
+        import bz2
+
+        try:
+            return bz2.decompress(blob)
+        except (OSError, ValueError) as e:
+            raise ValueError(f"bzip2 stream corrupt: {e}") from e
+    if blob[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        try:
+            return lzma.decompress(blob)
+        except lzma.LZMAError as e:
+            raise ValueError(f"xz stream corrupt: {e}") from e
+    raise ValueError("unknown compression magic (expected gzip/bzip2/xz)")
+
+
 def _member_name(doc_id: int) -> str:
     return f"docs/doc{doc_id:08d}.txt"
 
@@ -249,22 +292,32 @@ def pack_archives(
 ) -> DataFrame:
     """Group documents into bounded archives — archive_id = doc_id //
     group_size, members ordered by doc_id within the archive — and build
-    one ZIP (or gzipped ustar TAR) per group. ONE shuffle on archive_id;
-    the build itself is an Arrow applyInPandas over each group. Returns
+    one ZIP (or compressed ustar TAR) per group. `fmt` is "zip",
+    "tar.gz", "tar.bz2", "tar.xz", or "tar.mixed" (codec cycles
+    gz/bz2/xz by archive_id — the heterogeneous-release corpus shape;
+    readers auto-detect by magic). ONE shuffle on archive_id; the build
+    itself is an Arrow applyInPandas over each group. Returns
     (archive_id long, payload binary)."""
-    if fmt not in ("zip", "tar.gz"):
+    if fmt not in ("zip", "tar.gz", "tar.bz2", "tar.xz", "tar.mixed"):
         raise ValueError(f"unknown archive format {fmt!r}")
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
+        aid = int(pdf["archive_id"].iloc[0])
         members = [
             (_member_name(int(i)), str(t).encode("utf-8"))
             for i, t in zip(pdf[id_col], pdf[text_col])
         ]
-        blob = build_zip(members) if fmt == "zip" else gzip_bytes(build_tar(members))
-        return pd.DataFrame(
-            {"archive_id": [int(pdf["archive_id"].iloc[0])], "payload": [blob]}
-        )
+        if fmt == "zip":
+            blob = build_zip(members)
+        else:
+            codec = (
+                ("gz", "bz2", "xz")[aid % 3]
+                if fmt == "tar.mixed"
+                else fmt.split(".", 1)[1]
+            )
+            blob = compress_stream(build_tar(members), codec)
+        return pd.DataFrame({"archive_id": [aid], "payload": [blob]})
 
     grouped = docs.select(
         F.col(id_col), F.col(text_col),
@@ -284,7 +337,7 @@ def archive_members(df: DataFrame, *, fmt: str = "zip") -> DataFrame:
     one row per member with the recovered text's char count and md5, the
     losslessness fingerprint the ingest oracle hash-checks against the
     ORIGINAL documents table."""
-    if fmt not in ("zip", "tar.gz"):
+    if fmt != "zip" and not fmt.startswith("tar"):
         raise ValueError(f"unknown archive format {fmt!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -292,7 +345,9 @@ def archive_members(df: DataFrame, *, fmt: str = "zip") -> DataFrame:
             rows = []
             for blob in pdf["payload"]:
                 b = bytes(blob)
-                members = read_zip(b) if fmt == "zip" else read_tar(gunzip_bytes(b))
+                # tar codec is auto-detected by magic, so one reader
+                # handles gz/bz2/xz and mixed-codec corpora alike
+                members = read_zip(b) if fmt == "zip" else read_tar(decompress_auto(b))
                 for name, data in members:
                     rows.append(
                         {
@@ -314,7 +369,7 @@ def archive_documents(df: DataFrame, *, fmt: str = "zip") -> DataFrame:
     corpus-landing form of `archive_members` (same map-only Arrow pass,
     same CRC/checksum verification; this one ships the text to the sink
     instead of a fingerprint). Used by the streaming crawl ingest."""
-    if fmt not in ("zip", "tar.gz"):
+    if fmt != "zip" and not fmt.startswith("tar"):
         raise ValueError(f"unknown archive format {fmt!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -322,7 +377,7 @@ def archive_documents(df: DataFrame, *, fmt: str = "zip") -> DataFrame:
             rows = []
             for blob in pdf["payload"]:
                 b = bytes(blob)
-                members = read_zip(b) if fmt == "zip" else read_tar(gunzip_bytes(b))
+                members = read_zip(b) if fmt == "zip" else read_tar(decompress_auto(b))
                 for name, data in members:
                     rows.append(
                         {"doc_id": _doc_id_of(name), "text": data.decode("utf-8")}

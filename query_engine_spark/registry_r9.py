@@ -919,3 +919,26 @@ def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return TS.nfc_normalize_features(raw)
+
+
+@_candidate(
+    "llm_tar_mixed_ingest",
+    """
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS chars, md5(text) AS fp
+    FROM documents WHERE doc_id < 256
+    """,
+    "MIXED-CODEC tarball ingestion, hash-verified: the same ustar "
+    "archives wrapped in gzip, bzip2 AND xz cycling by archive_id — the "
+    "heterogeneous-release corpus shape (one dataset, many eras of "
+    "tooling) — extracted through ONE reader that auto-detects the "
+    "codec by magic bytes (1F8B / BZh / FD'7zXZ'); unknown magic "
+    "refuses. Same one-shuffle pack / map-only extract plan as the "
+    "gzip-only path (llmdata/archives.py compress_stream/"
+    "decompress_auto)",
+)
+def llm_tar_mixed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import archives as AR
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 256)
+    packed = AR.pack_archives(docs, fmt="tar.mixed", group_size=8)
+    return AR.archive_members(packed, fmt="tar.mixed")

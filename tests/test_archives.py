@@ -219,3 +219,23 @@ def test_archive_parsers_mutation_fuzz():
             # reader's own integrity contract (CRC/checksum verified
             # inside read_*), so only name/metadata-harmless flips land here
             assert isinstance(out, list)
+
+
+def test_tar_codec_autodetect_and_mixed():
+    """bz2 and xz tarballs roundtrip through the SAME reader via magic
+    auto-detection; unknown magic refuses; compress_stream rejects
+    unknown codec names."""
+    members = _sample_members()
+    raw = A.build_tar(members)
+    for codec in ("gz", "bz2", "xz"):
+        assert A.read_tar(A.decompress_auto(A.compress_stream(raw, codec))) == members
+    with pytest.raises(ValueError, match="magic"):
+        A.decompress_auto(b"\x00\x01\x02junk")
+    with pytest.raises(ValueError, match="unknown stream codec"):
+        A.compress_stream(raw, "zstd")
+    # corrupt bz2/xz payloads raise ValueError, not codec-internal types
+    for codec in ("bz2", "xz"):
+        blob = bytearray(A.compress_stream(raw, codec))
+        blob[len(blob) // 2] ^= 0xFF
+        with pytest.raises(ValueError):
+            A.read_tar(A.decompress_auto(bytes(blob)))

@@ -378,7 +378,7 @@ def test_r9_candidate_decode_chains_map_only(spark):
 
     # pack_archives groups documents into bounded archives: one shuffle
     # by design, the extraction below it map-only
-    ONE_SHUFFLE = {"llm_zip_ingest", "llm_tar_ingest"}
+    ONE_SHUFFLE = {"llm_zip_ingest", "llm_tar_ingest", "llm_tar_mixed_ingest"}
 
     for name, spec in CANDIDATES.items():
         df = spec.fn(spark, SF)
