@@ -942,3 +942,51 @@ def llm_tar_mixed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 256)
     packed = AR.pack_archives(docs, fmt="tar.mixed", group_size=8)
     return AR.archive_members(packed, fmt="tar.mixed")
+
+
+# ---------------------------------------------------------------------------
+# JSONL corpus interchange: serialize -> parse roundtrip, all JVM-side
+
+
+@_candidate(
+    "llm_jsonl_roundtrip",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             '"' || chr(9) || chr(92) || ' e' || chr(769) || ' ' || text AS text
+      FROM documents WHERE doc_id < 512)
+    SELECT doc_id, source,
+           CAST(length(text) AS BIGINT) AS chars, md5(text) AS fp
+    FROM t
+    """,
+    "JSONL INTERCHANGE roundtrip, hash-verified: documents serialize to "
+    "newline-delimited JSON records (to_json over a struct — the "
+    "dominant LLM corpus exchange format) and parse back with an "
+    "EXPLICIT schema (from_json; schema-first because inference is a "
+    "full extra scan at 100 TB), entirely JVM-side builtin expressions "
+    "— zero Python, whole-stage codegen. The text is prefixed with the "
+    "characters JSON escaping actually mangles when buggy (quote, tab, "
+    "backslash, a combining mark) so an escaping divergence fails the "
+    "md5; the oracle computes on the pre-serialization column, pinning "
+    "serialize->parse losslessness",
+)
+def llm_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    # quote, tab, backslash, combining acute: the JSON-escaping stress set
+    prefix = '"\t\\ é '
+    staged = docs.select(
+        "doc_id", "source", F.concat(F.lit(prefix), F.col("text")).alias("text")
+    )
+    schema = "doc_id long, source string, text string"
+    lines = staged.select(
+        F.to_json(F.struct("doc_id", "source", "text")).alias("line")
+    )
+    parsed = lines.select(F.from_json("line", schema).alias("r")).select(
+        "r.doc_id", "r.source", "r.text"
+    )
+    return parsed.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("chars"),
+        F.md5(F.encode("text", "utf-8")).alias("fp"),
+    )
