@@ -990,3 +990,76 @@ def llm_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("chars"),
         F.md5(F.encode("text", "utf-8")).alias("fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PDF text extraction: the document-corpus shape
+
+
+@_candidate(
+    "multimodal_pdf_text",
+    """
+    WITH m AS (
+      SELECT doc_id, text, 1 + doc_id % 3 AS npages
+      FROM documents WHERE doc_id < 64),
+    pg AS (
+      SELECT m.doc_id, m.npages, k.k,
+             'Doc ' || CAST(m.doc_id AS VARCHAR) || ' page '
+               || CAST(k.k AS VARCHAR) || ': (quote) ' || chr(92) || ' test'
+             || chr(10) || substr(m.text, 1 + k.k * 7, 35)
+             || chr(10) || chr(9834) || ' unicode ' || CAST(m.doc_id AS VARCHAR)
+               AS pagetext
+      FROM m, generate_series(0, 2) AS k(k) WHERE k.k < m.npages),
+    joined AS (
+      SELECT doc_id, max(npages) AS npages,
+             string_agg(pagetext, chr(12) ORDER BY k) AS full_text
+      FROM pg GROUP BY doc_id)
+    SELECT doc_id AS media_id, CAST(npages AS INT) AS pages,
+           CAST(length(full_text) AS BIGINT) AS chars,
+           md5(full_text) AS fp
+    FROM joined
+    """,
+    "PDF TEXT EXTRACTION, hash-verified (the document half of a training "
+    "corpus — papers, reports, text-layer scans): real PDF 1.4 documents "
+    "are BUILT distributed (catalog/pages tree/FlateDecode content "
+    "streams/classic xref with correct byte offsets) and then EXTRACTED "
+    "distributed by a real parser — startxref/trailer discovery, xref "
+    "table, object fetch, pages-tree walk, Flate inflation, and a "
+    "content-stream tokenizer covering Tj, kerned TJ arrays (kern "
+    "numbers must not leak into text), literal strings with the full "
+    "escape grammar incl. balanced nested parens, and UTF-16BE hex "
+    "strings; every third line rides each transport. The oracle "
+    "reconstructs the page texts from the same formulas over the "
+    "ORIGINAL text column, so any parser slip changes the md5. "
+    "Encrypted PDFs / xref streams / non-Flate filters refuse loudly "
+    "(llmdata/pdftext.py build_pdf/extract_pdf_text/pdf_text_features)",
+)
+def multimodal_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from query_engine_spark.llmdata import pdftext as P
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i, t = int(i), str(t)
+                pages = [
+                    [
+                        f"Doc {i} page {k}: (quote) \\ test",
+                        t[k * 7 : k * 7 + 35],
+                        f"♪ unicode {i}",
+                    ]
+                    for k in range(1 + i % 3)
+                ]
+                payloads.append(P.build_pdf(pages, compress=i % 2 == 0))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        pack, "media_id long, payload binary"
+    )
+    return P.pdf_text_features(media)
