@@ -8219,3 +8219,178 @@ def id3_metadata(df: DataFrame) -> DataFrame:
             yield out
 
     return df.select("media_id", "payload").mapInPandas(run, _ID3_SCHEMA)
+
+
+# --- ICO containers (favicons): the highest-frequency icon shape in any
+# web crawl. One file carries N members, each either a full PNG stream or
+# a HEADERLESS 32-bpp DIB whose BITMAPINFOHEADER declares DOUBLE height
+# (XOR pixels + the legacy 1-bpp AND mask) — the two container quirks
+# that break naive parsers. Members reuse the verified PNG decoder; DIB
+# members are BGRA bottom-up. Public layout: the Windows ICO resource
+# format (ICONDIR / ICONDIRENTRY) ---------------------------------------
+
+
+def make_ico_dib(pat: int, w: int, h: int) -> bytes:
+    """One headerless 32-bpp BGRA DIB member: BITMAPINFOHEADER with
+    biHeight = 2*h, bottom-up XOR rows, all-zero AND mask padded to
+    32-bit rows. Pixel formula matches make_bmp/make_png (byte c of
+    (x, y) is (pat*31 + y*7 + x*3 + c) % 256, c in RGB order) plus
+    alpha (pat*13 + x + y) % 256."""
+    import struct
+
+    hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0, w * h * 4, 0, 0, 0, 0
+    )
+    xor = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        for x in range(w):
+            r = (pat * 31 + y * 7 + x * 3) % 256
+            g = (pat * 31 + y * 7 + x * 3 + 1) % 256
+            b = (pat * 31 + y * 7 + x * 3 + 2) % 256
+            a = (pat * 13 + x + y) % 256
+            xor += bytes((b, g, r, a))
+    and_stride = ((w + 31) // 32) * 4
+    mask = b"\x00" * (and_stride * h)
+    return hdr + bytes(xor) + mask
+
+
+def make_ico(media_id: int) -> bytes:
+    """Deterministic multi-member ICO: 1 + media_id % 3 members, mixing
+    PNG streams and headerless DIBs by parity; when a third member
+    exists it is 256 px wide — the ICONDIRENTRY width byte is 0 there
+    (0 means 256, the spec's famous quirk)."""
+    import struct
+
+    n = 1 + media_id % 3
+    members: list[bytes] = []
+    dims: list[tuple[int, int]] = []
+    for j in range(n):
+        pat = media_id + j
+        if j == 2:
+            w, h = 256, 2
+            members.append(make_ico_dib(pat, w, h))
+        else:
+            w, h = 4 + pat % 5, 3 + pat % 4
+            if pat % 2 == 0:
+                members.append(make_png(pat, w, h))
+            else:
+                members.append(make_ico_dib(pat, w, h))
+        dims.append((w, h))
+    out = bytearray(struct.pack("<HHH", 0, 1, n))
+    offset = 6 + 16 * n
+    for (w, h), body in zip(dims, members):
+        out += struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32, len(body), offset
+        )
+        offset += len(body)
+    for body in members:
+        out += body
+    return bytes(out)
+
+
+def decode_ico(blob: bytes) -> list[dict]:
+    """Parse an ICO: returns one dict per member with (width, height,
+    kind 'png'|'dib', rgb_sum, alpha_sum) — PNG members through the real
+    PNG decoder (alpha_sum None: color-type-2 members carry no alpha),
+    DIB members through the doubled-height XOR walk (alpha from the
+    BGRA fourth byte; the AND mask is skipped but must be present —
+    truncation raises). Entry dimension bytes are cross-checked against
+    the member's own header (0 meaning 256), a mismatch raises."""
+    import struct
+
+    if len(blob) < 6:
+        raise ValueError("truncated ICONDIR")
+    reserved, rtype, n = struct.unpack_from("<HHH", blob, 0)
+    if reserved != 0 or rtype != 1:
+        raise ValueError("not an ICO (bad ICONDIR)")
+    if len(blob) < 6 + 16 * n:
+        raise ValueError("truncated ICONDIRENTRY table")
+    out: list[dict] = []
+    for k in range(n):
+        (bw, bh, _pal, _res, _planes, _bpp, size, off) = struct.unpack_from(
+            "<BBBBHHII", blob, 6 + 16 * k
+        )
+        body = blob[off : off + size]
+        if len(body) != size:
+            raise ValueError("ICO member truncated")
+        entry_w, entry_h = bw or 256, bh or 256
+        if body[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h, rows = decode_png_pixels(body)
+            rgb = sum(sum(r) for r in rows)
+            alpha = None
+            kind = "png"
+        else:
+            if len(body) < 40:
+                raise ValueError("ICO DIB header truncated")
+            (bisize, w, h2, _pl, bpp, comp) = struct.unpack_from(
+                "<IiiHHI", body, 0
+            )
+            if bisize != 40:
+                raise NotImplementedError("only BITMAPINFOHEADER DIB members supported")
+            if bpp != 32 or comp != 0:
+                raise NotImplementedError("only uncompressed 32-bpp ICO DIBs supported")
+            if h2 % 2:
+                raise ValueError("ICO DIB height must be doubled (XOR + AND mask)")
+            h = h2 // 2
+            need = 40 + w * h * 4 + ((w + 31) // 32) * 4 * h
+            if len(body) < need:
+                raise ValueError("ICO DIB pixel data truncated")
+            rgb = 0
+            alpha = 0
+            p = 40
+            for yy in range(h):  # stored bottom-up
+                for x in range(w):
+                    b_, g_, r_, a_ = body[p], body[p + 1], body[p + 2], body[p + 3]
+                    rgb += r_ + g_ + b_
+                    alpha += a_
+                    p += 4
+            kind = "dib"
+        if (w, h) != (entry_w, entry_h):
+            raise ValueError(
+                f"ICONDIRENTRY {entry_w}x{entry_h} disagrees with member {w}x{h}"
+            )
+        out.append(
+            {"width": w, "height": h, "kind": kind, "rgb_sum": rgb, "alpha_sum": alpha}
+        )
+    return out
+
+
+_ICO_SCHEMA = (
+    "media_id long, n_images int, png_members int, dib_members int, "
+    "max_w int, max_h int, rgb_sum long, dib_alpha_sum long"
+)
+
+
+def ico_features(df: DataFrame) -> DataFrame:
+    """Distributed ICO decode (Arrow mapInPandas, map-only): per-file
+    member census + pixel sums — what a favicon-dedup pass actually
+    aggregates."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                members = decode_ico(bytes(blob))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_images": len(members),
+                        "png_members": sum(1 for m in members if m["kind"] == "png"),
+                        "dib_members": sum(1 for m in members if m["kind"] == "dib"),
+                        "max_w": max(m["width"] for m in members),
+                        "max_h": max(m["height"] for m in members),
+                        "rgb_sum": sum(m["rgb_sum"] for m in members),
+                        "dib_alpha_sum": sum(
+                            m["alpha_sum"] or 0 for m in members
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_images", "png_members", "dib_members",
+                    "max_w", "max_h", "rgb_sum", "dib_alpha_sum",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _ICO_SCHEMA)

@@ -1063,3 +1063,69 @@ def multimodal_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack, "media_id long, payload binary"
     )
     return P.pdf_text_features(media)
+
+
+# ---------------------------------------------------------------------------
+# ICO favicon containers
+
+
+@_candidate(
+    "multimodal_ico",
+    """
+    WITH m AS (
+      SELECT doc_id AS i, 1 + doc_id % 3 AS n FROM documents WHERE doc_id < 48),
+    mem AS (
+      SELECT m.i, j.j, m.i + j.j AS pat,
+             CASE WHEN j.j = 2 THEN 256 ELSE 4 + (m.i + j.j) % 5 END AS w,
+             CASE WHEN j.j = 2 THEN 2 ELSE 3 + (m.i + j.j) % 4 END AS h,
+             CASE WHEN j.j = 2 THEN 1
+                  WHEN (m.i + j.j) % 2 = 0 THEN 0 ELSE 1 END AS is_dib
+      FROM m, generate_series(0, 2) AS j(j) WHERE j.j < m.n),
+    rgb AS (
+      SELECT mem.i, mem.j,
+             CAST(sum((mem.pat*31 + y.y*7 + x.x*3 + c.c) % 256) AS BIGINT) AS rgb_sum
+      FROM mem, generate_series(0, 255) AS x(x), generate_series(0, 5) AS y(y),
+           generate_series(0, 2) AS c(c)
+      WHERE x.x < mem.w AND y.y < mem.h
+      GROUP BY 1, 2),
+    al AS (
+      SELECT mem.i, mem.j,
+             CAST(sum(CASE WHEN mem.is_dib = 1
+                           THEN (mem.pat*13 + x.x + y.y) % 256 ELSE 0 END) AS BIGINT)
+               AS a_sum
+      FROM mem, generate_series(0, 255) AS x(x), generate_series(0, 5) AS y(y)
+      WHERE x.x < mem.w AND y.y < mem.h
+      GROUP BY 1, 2)
+    SELECT mem.i AS media_id,
+           CAST(count(*) AS INT) AS n_images,
+           CAST(sum(CASE WHEN mem.is_dib = 0 THEN 1 ELSE 0 END) AS INT) AS png_members,
+           CAST(sum(mem.is_dib) AS INT) AS dib_members,
+           CAST(max(mem.w) AS INT) AS max_w,
+           CAST(max(mem.h) AS INT) AS max_h,
+           CAST(sum(rgb.rgb_sum) AS BIGINT) AS rgb_sum,
+           CAST(sum(al.a_sum) AS BIGINT) AS dib_alpha_sum
+    FROM mem
+    JOIN rgb ON rgb.i = mem.i AND rgb.j = mem.j
+    JOIN al ON al.i = mem.i AND al.j = mem.j
+    GROUP BY mem.i
+    """,
+    "ICO FAVICON CONTAINERS (the highest-frequency icon shape in any web "
+    "crawl): multi-member files mixing full PNG streams with HEADERLESS "
+    "32-bpp DIB members whose BITMAPINFOHEADER declares DOUBLE height "
+    "(XOR pixels + legacy AND mask) — the two quirks that break naive "
+    "parsers — plus the width-byte-0-means-256 entry rule, exercised by "
+    "every third member being 256 px wide; entry dims are cross-checked "
+    "against member headers and disagreements raise. PNG members ride "
+    "the verified PNG decoder; the oracle recomputes every member's "
+    "pixel sums from the shared formula "
+    "(llmdata/multimodal.py make_ico/decode_ico/ico_features)",
+)
+def multimodal_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 48).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(ids, MM.make_ico), media_type="image/x-icon"
+    )
+    return MM.ico_features(media)

@@ -5072,3 +5072,79 @@ def test_nfc_cross_engine_agreement():
             assert duck == unicodedata.normalize("NFC", s), repr(s)
     finally:
         con.close()
+
+
+def test_ico_golden_hand_authored_and_boundaries():
+    """ICO conformance anchored outside the co-developed pair: a
+    one-member 2x1 32-bpp DIB icon laid out BY HAND (ICONDIR, a 16-byte
+    ICONDIRENTRY, BITMAPINFOHEADER with DOUBLED height, bottom-up BGRA
+    XOR rows, the 4-byte AND mask row) — plus the loud boundaries:
+    entry/member dimension disagreement, non-32-bpp DIBs, odd heights,
+    truncation."""
+    import struct
+
+    import pytest
+
+    from query_engine_spark.llmdata.multimodal import decode_ico, make_ico
+
+    dib = (
+        struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 32, 0, 8, 0, 0, 0, 0)
+        + bytes([10, 20, 30, 40,  50, 60, 70, 80])  # one row: BGRA BGRA
+        + b"\x00\x00\x00\x00"                        # AND mask row
+    )
+    blob = (
+        struct.pack("<HHH", 0, 1, 1)
+        + struct.pack("<BBBBHHII", 2, 1, 0, 0, 1, 32, len(dib), 22)
+        + dib
+    )
+    got = decode_ico(blob)
+    assert got == [
+        {
+            "width": 2, "height": 1, "kind": "dib",
+            "rgb_sum": (30 + 20 + 10) + (70 + 60 + 50),
+            "alpha_sum": 40 + 80,
+        }
+    ]
+    # entry says 3x1, member says 2x1 -> refuse
+    bad = bytearray(blob)
+    bad[6] = 3
+    with pytest.raises(ValueError, match="disagrees"):
+        decode_ico(bytes(bad))
+    # 24-bpp DIB member -> honest boundary
+    bad = bytearray(blob)
+    struct.pack_into("<H", bad, 22 + 14, 24)
+    with pytest.raises(NotImplementedError, match="32-bpp"):
+        decode_ico(bytes(bad))
+    # undoubled height -> refuse
+    bad = bytearray(blob)
+    struct.pack_into("<i", bad, 22 + 8, 1)
+    with pytest.raises(ValueError, match="doubled"):
+        decode_ico(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_ico(blob[:-3])
+    with pytest.raises(ValueError, match="ICONDIR"):
+        decode_ico(b"\x00\x00\x02\x00\x01\x00")  # type 2 = cursor
+
+
+def test_ico_mutation_fuzz():
+    import random
+    import struct
+
+    from query_engine_spark.llmdata.multimodal import decode_ico, make_ico
+
+    rng = random.Random(5150)
+    blob = make_ico(5)
+    for _ in range(300):
+        bad = bytearray(blob)
+        op = rng.randrange(3)
+        if op == 0:
+            bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+        elif op == 1:
+            bad = bad[: rng.randrange(len(bad))]
+        else:
+            bad += bytes(rng.randrange(256) for _ in range(rng.randrange(1, 9)))
+        try:
+            out = decode_ico(bytes(bad))
+        except (ValueError, NotImplementedError, struct.error):
+            continue
+        assert isinstance(out, list)
