@@ -292,3 +292,148 @@ def canonical_url(col: Column) -> Column:
     return F.when(scheme == "", F.trim(col)).otherwise(
         F.concat(scheme, F.lit("://"), host, path, qs)
     )
+
+
+# --- crawl-frontier XML: sitemaps and RSS/Atom feeds (the seeding stage
+# of a crawl — the pipeline that turns a site's published URL inventory
+# into fetch tasks). Real XML parsing via stdlib ElementTree with the
+# namespace handling that actually trips parsers: sitemap.org and Atom
+# documents are namespace-qualified, RSS 2.0 is not -------------------------
+
+
+def parse_sitemap(blob: bytes) -> list[dict]:
+    """Parse a sitemap.org XML document: returns one dict per <url>
+    entry with loc/lastmod/changefreq/priority (None when absent).
+    Sitemap INDEX files (<sitemapindex>) return entries with
+    kind='sitemap' instead of kind='url' — the recursive-frontier shape.
+    Namespace-qualified per the spec; malformed XML raises ValueError."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(blob)
+    except ET.ParseError as e:
+        raise ValueError(f"malformed sitemap XML: {e}") from e
+    ns = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+    tag = root.tag
+    if tag == f"{ns}urlset":
+        child_tag, kind = f"{ns}url", "url"
+    elif tag == f"{ns}sitemapindex":
+        child_tag, kind = f"{ns}sitemap", "sitemap"
+    else:
+        raise ValueError(f"not a sitemap document (root {tag!r})")
+    out: list[dict] = []
+    for el in root.findall(child_tag):
+        loc = el.findtext(f"{ns}loc")
+        if loc is None:
+            raise ValueError("sitemap entry without <loc>")
+        out.append(
+            {
+                "kind": kind,
+                "loc": loc.strip(),
+                "lastmod": (el.findtext(f"{ns}lastmod") or "").strip() or None,
+                "changefreq": (el.findtext(f"{ns}changefreq") or "").strip() or None,
+                "priority": (el.findtext(f"{ns}priority") or "").strip() or None,
+            }
+        )
+    return out
+
+
+def parse_feed(blob: bytes) -> list[dict]:
+    """Parse an RSS 2.0 or Atom feed: one dict per item/entry with
+    (title, link, published). RSS is unqualified (<rss><channel><item>),
+    Atom is namespace-qualified with links as ATTRIBUTES
+    (<link href=.../>) — the asymmetry that breaks single-format
+    parsers. Unknown roots and malformed XML raise ValueError."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(blob)
+    except ET.ParseError as e:
+        raise ValueError(f"malformed feed XML: {e}") from e
+    out: list[dict] = []
+    if root.tag == "rss":
+        channel = root.find("channel")
+        if channel is None:
+            raise ValueError("RSS without <channel>")
+        for item in channel.findall("item"):
+            out.append(
+                {
+                    "title": (item.findtext("title") or "").strip() or None,
+                    "link": (item.findtext("link") or "").strip() or None,
+                    "published": (item.findtext("pubDate") or "").strip() or None,
+                }
+            )
+        return out
+    atom = "{http://www.w3.org/2005/Atom}"
+    if root.tag == f"{atom}feed":
+        for entry in root.findall(f"{atom}entry"):
+            link_el = entry.find(f"{atom}link")
+            out.append(
+                {
+                    "title": (entry.findtext(f"{atom}title") or "").strip() or None,
+                    "link": link_el.get("href") if link_el is not None else None,
+                    "published": (entry.findtext(f"{atom}published") or "").strip()
+                    or None,
+                }
+            )
+        return out
+    raise ValueError(f"not an RSS/Atom feed (root {root.tag!r})")
+
+
+def make_sitemap(site_id: int, n_urls: int) -> bytes:
+    """Deterministic sitemap fixture: every fourth document is a sitemap
+    INDEX pointing at child sitemaps; the rest are urlsets whose entries
+    carry lastmod/changefreq/priority on a modular schedule (absent on
+    some rows — real sitemaps omit optional fields constantly)."""
+    ns = "http://www.sitemaps.org/schemas/sitemap/0.9"
+    if site_id % 4 == 3:
+        parts = [f'<sitemapindex xmlns="{ns}">']
+        for k in range(n_urls):
+            parts.append(
+                f"<sitemap><loc>https://s{site_id}.example/maps/{k}.xml</loc>"
+                + (
+                    f"<lastmod>2024-0{1 + k % 9}-15</lastmod>"
+                    if k % 2 == 0
+                    else ""
+                )
+                + "</sitemap>"
+            )
+        parts.append("</sitemapindex>")
+    else:
+        parts = [f'<urlset xmlns="{ns}">']
+        freqs = ("daily", "weekly", "monthly")
+        for k in range(n_urls):
+            parts.append(
+                f"<url><loc>https://s{site_id}.example/p/{k}</loc>"
+                + (f"<lastmod>2024-0{1 + k % 9}-01</lastmod>" if k % 2 == 0 else "")
+                + (f"<changefreq>{freqs[k % 3]}</changefreq>" if k % 3 != 2 else "")
+                + (f"<priority>0.{1 + k % 9}</priority>" if k % 5 == 0 else "")
+                + "</url>"
+            )
+        parts.append("</urlset>")
+    return "".join(parts).encode("utf-8")
+
+
+_SITEMAP_SCHEMA = (
+    "site_id long, kind string, loc string, lastmod string, "
+    "changefreq string, priority string"
+)
+
+
+def sitemap_entries(df: DataFrame, *, id_col: str = "site_id") -> DataFrame:
+    """Distributed sitemap parsing (Arrow mapInPandas, map-only): one
+    row per sitemap entry — the crawl-frontier expansion pass."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for sid, blob in zip(pdf[id_col], pdf["payload"]):
+                for e in parse_sitemap(bytes(blob)):
+                    rows.append({"site_id": sid, **e})
+            yield pd.DataFrame(
+                rows,
+                columns=["site_id", "kind", "loc", "lastmod", "changefreq", "priority"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, _SITEMAP_SCHEMA)

@@ -1129,3 +1129,68 @@ def multimodal_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pack_media(ids, MM.make_ico), media_type="image/x-icon"
     )
     return MM.ico_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-frontier XML: sitemap expansion
+
+
+@_candidate(
+    "llm_sitemap_frontier",
+    """
+    WITH m AS (
+      SELECT doc_id AS i, 3 + doc_id % 4 AS n FROM documents WHERE doc_id < 96),
+    e AS (
+      SELECT m.i, k.k, m.i % 4 = 3 AS is_index
+      FROM m, generate_series(0, 6) AS k(k) WHERE k.k < m.n)
+    SELECT i AS site_id,
+           CASE WHEN is_index THEN 'sitemap' ELSE 'url' END AS kind,
+           CASE WHEN is_index
+                THEN 'https://s' || CAST(i AS VARCHAR) || '.example/maps/'
+                     || CAST(k AS VARCHAR) || '.xml'
+                ELSE 'https://s' || CAST(i AS VARCHAR) || '.example/p/'
+                     || CAST(k AS VARCHAR) END AS loc,
+           CASE WHEN k % 2 = 0
+                THEN '2024-0' || CAST(1 + k % 9 AS VARCHAR)
+                     || (CASE WHEN is_index THEN '-15' ELSE '-01' END)
+           END AS lastmod,
+           CASE WHEN NOT is_index AND k % 3 != 2
+                THEN (['daily', 'weekly', 'monthly'])[1 + k % 3]
+           END AS changefreq,
+           CASE WHEN NOT is_index AND k % 5 = 0
+                THEN '0.' || CAST(1 + k % 9 AS VARCHAR)
+           END AS priority
+    FROM e
+    """,
+    "CRAWL-FRONTIER SITEMAP EXPANSION (the seeding stage of a crawl: a "
+    "site's published URL inventory becomes fetch tasks): real "
+    "namespace-qualified sitemap.org XML parsed distributed with stdlib "
+    "ElementTree — urlsets AND sitemapindex documents (every fourth "
+    "site publishes an index, the recursive-frontier shape), optional "
+    "lastmod/changefreq/priority fields absent on modular schedules "
+    "exactly as real sitemaps omit them; malformed XML and unknown "
+    "roots refuse (llmdata/warc.py "
+    "make_sitemap/parse_sitemap/sitemap_entries)",
+)
+def llm_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from query_engine_spark.llmdata import warc as W
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 96)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "site_id": pdf["doc_id"],
+                    "payload": [
+                        W.make_sitemap(int(i), 3 + int(i) % 4) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.select("doc_id").mapInPandas(pack, "site_id long, payload binary")
+    return W.sitemap_entries(media)

@@ -5148,3 +5148,53 @@ def test_ico_mutation_fuzz():
         except (ValueError, NotImplementedError, struct.error):
             continue
         assert isinstance(out, list)
+
+
+def test_feed_and_sitemap_boundaries_and_fuzz():
+    """RSS/Atom + sitemap parsers: the asymmetry cases (Atom links are
+    ATTRIBUTES, RSS links are text; entity-escaped URLs round through
+    ElementTree) and mutation fuzz — XML parsers must refuse malformed
+    bytes with ValueError, never hang or leak ET internals."""
+    import random
+
+    import pytest
+
+    from query_engine_spark.llmdata.warc import (
+        make_sitemap,
+        parse_feed,
+        parse_sitemap,
+    )
+
+    # entity-escaped loc survives parsing unescaped (& -> &amp; in XML)
+    ns = "http://www.sitemaps.org/schemas/sitemap/0.9"
+    esc = (
+        f'<urlset xmlns="{ns}"><url>'
+        "<loc>https://x.example/p?a=1&amp;b=2</loc></url></urlset>"
+    ).encode()
+    assert parse_sitemap(esc)[0]["loc"] == "https://x.example/p?a=1&b=2"
+    with pytest.raises(ValueError, match="without <loc>"):
+        parse_sitemap(f'<urlset xmlns="{ns}"><url/></urlset>'.encode())
+    with pytest.raises(ValueError, match="not a sitemap"):
+        parse_sitemap(b"<rss/>")
+    with pytest.raises(ValueError, match="malformed"):
+        parse_sitemap(b"<urlset truncated")
+    with pytest.raises(ValueError, match="RSS without"):
+        parse_feed(b"<rss version='2.0'/>")
+
+    rng = random.Random(31)
+    for maker in (lambda: make_sitemap(7, 5), lambda: make_sitemap(3, 5)):
+        blob = maker()
+        for _ in range(200):
+            bad = bytearray(blob)
+            op = rng.randrange(3)
+            if op == 0:
+                bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+            elif op == 1:
+                bad = bad[: rng.randrange(len(bad))]
+            else:
+                bad += bytes(rng.randrange(32, 127) for _ in range(rng.randrange(1, 9)))
+            try:
+                out = parse_sitemap(bytes(bad))
+            except ValueError:
+                continue
+            assert isinstance(out, list)
