@@ -239,3 +239,70 @@ def test_tar_codec_autodetect_and_mixed():
         blob[len(blob) // 2] ^= 0xFF
         with pytest.raises(ValueError):
             A.read_tar(A.decompress_auto(bytes(blob)))
+
+
+def test_epub_spine_order_and_boundaries():
+    """EPUB: the spine is authoritative for reading order (chapters are
+    stored reversed in the zip and listed reversed in the manifest —
+    a zip-order reader scrambles the book); discovery-chain breaks
+    (wrong mimetype, missing container/rootfile/spine, dangling idref)
+    refuse with specific messages."""
+    import pytest
+
+    from query_engine_spark.llmdata import ebooks as E
+
+    chapters = [
+        ("Chapter 0", ["alpha one", "alpha two"]),
+        ("Chapter 1", ["beta one", "beta two"]),
+        ("Chapter 2", ["gamma"]),
+    ]
+    blob = E.make_epub(9, chapters)
+    texts = E.epub_chapters(blob)
+    assert texts == ["\n".join([t] + ps) for t, ps in chapters]
+    # zip member order really is reversed (the trap a naive reader hits)
+    names = [n for n, _ in A.read_zip(blob)]
+    assert names[3:] == ["OEBPS/ch2.xhtml", "OEBPS/ch1.xhtml", "OEBPS/ch0.xhtml"]
+
+    # consistent-but-wrong mimetype: rebuild the zip with a bad value
+    members = A.read_zip(blob)
+    bad = A.build_zip([("mimetype", b"application/zip")] + members[1:])
+    with pytest.raises(ValueError, match="mimetype"):
+        E.epub_chapters(bad)
+    bad = A.build_zip([m for m in members if m[0] != "META-INF/container.xml"])
+    with pytest.raises(ValueError, match="container.xml"):
+        E.epub_chapters(bad)
+    bad = A.build_zip([m for m in members if not m[0].endswith("ch1.xhtml")])
+    with pytest.raises(ValueError, match="not in the archive"):
+        E.epub_chapters(bad)
+    # spine idref pointing at a manifest id that does not exist
+    opf = dict(members)["OEBPS/content.opf"].replace(b'idref="c1"', b'idref="zz"')
+    bad = A.build_zip(
+        [(n, opf if n == "OEBPS/content.opf" else b) for n, b in members]
+    )
+    with pytest.raises(ValueError, match="not in the manifest"):
+        E.epub_chapters(bad)
+
+
+def test_epub_mutation_fuzz():
+    import random
+
+    from query_engine_spark.llmdata import ebooks as E
+
+    rng = random.Random(404)
+    blob = E.make_epub(2, [("T", ["one", "two"]), ("U", ["three"])])
+    for _ in range(300):
+        bad = bytearray(blob)
+        op = rng.randrange(3)
+        if op == 0:
+            bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+        elif op == 1:
+            bad = bad[: rng.randrange(len(bad))]
+        else:
+            bad += bytes(rng.randrange(256) for _ in range(rng.randrange(1, 9)))
+        try:
+            out = E.epub_chapters(bytes(bad))
+        except (ValueError, NotImplementedError, struct.error):
+            continue
+        except UnicodeDecodeError:
+            continue  # mutated member name bytes
+        assert isinstance(out, list)
