@@ -8394,3 +8394,150 @@ def ico_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(run, _ICO_SCHEMA)
+
+
+# --- subtitle files (SRT / WebVTT): the text half of ASR and video
+# training pairs — every captioned video corpus ships one of these two.
+# SRT: numbered blocks, comma-millisecond timestamps. WebVTT: a WEBVTT
+# header, dot-millisecond timestamps, optional cue ids, NOTE comment
+# blocks, and cue settings after the arrow — each a real-world parsing
+# hazard. Public layouts: the SubRip de-facto format and the W3C WebVTT
+# specification -----------------------------------------------------------
+
+
+def _sub_ts_ms(ts: str, *, sep: str) -> int:
+    """Parse HH:MM:SS{sep}mmm to milliseconds; VTT also allows MM:SS.mmm
+    (hours omitted)."""
+    parts = ts.strip().split(":")
+    if len(parts) == 2:
+        parts = ["00"] + parts
+    if len(parts) != 3:
+        raise ValueError(f"bad subtitle timestamp {ts!r}")
+    hh, mm, rest = parts
+    if sep not in rest:
+        raise ValueError(f"bad subtitle timestamp {ts!r}")
+    ss, mmm = rest.split(sep, 1)
+    if not (hh.isdigit() and mm.isdigit() and ss.isdigit() and mmm.isdigit()):
+        raise ValueError(f"bad subtitle timestamp {ts!r}")
+    if len(mmm) != 3:
+        raise ValueError(f"subtitle milliseconds must be 3 digits in {ts!r}")
+    return ((int(hh) * 60 + int(mm)) * 60 + int(ss)) * 1000 + int(mmm)
+
+
+def _sub_fmt_ts(ms: int, *, sep: str) -> str:
+    s, mmm = divmod(ms, 1000)
+    h, rem = divmod(s, 3600)
+    m, sec = divmod(rem, 60)
+    return f"{h:02d}:{m:02d}:{sec:02d}{sep}{mmm:03d}"
+
+
+def parse_subtitles(text: str) -> list[tuple[int, int, str]]:
+    """Parse SRT or WebVTT (auto-detected by the WEBVTT header) into
+    (start_ms, end_ms, cue_text) triples. VTT NOTE/STYLE blocks are
+    skipped, cue settings after the arrow ignored, optional cue ids
+    handled; SRT index lines are validated as integers. Cue text keeps
+    internal newlines. Malformed blocks raise ValueError."""
+    text = text.lstrip("﻿")  # real files carry BOMs constantly
+    lines = text.split("\n")
+    vtt = bool(lines) and lines[0].strip().startswith("WEBVTT")
+    sep = "." if vtt else ","
+    i = 1 if vtt else 0
+    cues: list[tuple[int, int, str]] = []
+    n = len(lines)
+    while i < n:
+        if not lines[i].strip():
+            i += 1
+            continue
+        if vtt and lines[i].strip().split(" ")[0] in ("NOTE", "STYLE", "REGION"):
+            while i < n and lines[i].strip():
+                i += 1
+            continue
+        header = lines[i].strip()
+        if "-->" not in header:
+            # SRT index line or VTT cue id — the arrow must follow
+            if not vtt and not header.isdigit():
+                raise ValueError(f"SRT cue index expected, got {header!r}")
+            i += 1
+            if i >= n or "-->" not in lines[i]:
+                raise ValueError("subtitle cue without a timing line")
+            header = lines[i].strip()
+        start_s, _, rest = header.partition("-->")
+        end_s = rest.strip().split(" ")[0]  # VTT cue settings follow
+        start, end = _sub_ts_ms(start_s, sep=sep), _sub_ts_ms(end_s, sep=sep)
+        if end < start:
+            raise ValueError(f"subtitle cue ends before it starts: {header!r}")
+        i += 1
+        body: list[str] = []
+        while i < n and lines[i].strip():
+            body.append(lines[i])
+            i += 1
+        if not body:
+            raise ValueError("subtitle cue without text")
+        cues.append((start, end, "\n".join(body)))
+    return cues
+
+
+def make_subtitles(media_id: int, n_cues: int) -> str:
+    """Deterministic subtitle fixture: VTT on odd ids (with a BOM, a
+    NOTE block, cue ids and cue settings — the full hazard set), SRT on
+    even ids. Cue k starts at k*2500 + (media_id%7)*111 ms and lasts
+    800 + (k*97 % 1200) ms; every second cue has a two-line body."""
+    vtt = media_id % 2 == 1
+    sep = "." if vtt else ","
+    out: list[str] = []
+    if vtt:
+        out.append("﻿WEBVTT")
+        out.append("")
+        out.append("NOTE generated fixture")
+        out.append("")
+    for k in range(n_cues):
+        start = k * 2500 + (media_id % 7) * 111
+        end = start + 800 + (k * 97 % 1200)
+        if vtt:
+            out.append(f"cue-{k}")
+            out.append(
+                f"{_sub_fmt_ts(start, sep=sep)} --> {_sub_fmt_ts(end, sep=sep)}"
+                " line:90% align:center"
+            )
+        else:
+            out.append(str(k + 1))
+            out.append(
+                f"{_sub_fmt_ts(start, sep=sep)} --> {_sub_fmt_ts(end, sep=sep)}"
+            )
+        out.append(f"Cue {k} of media {media_id}")
+        if k % 2 == 0:
+            out.append(f"subtitle text {k % 5}")
+        out.append("")
+    return "\n".join(out)
+
+
+_SUBTITLE_SCHEMA = "media_id long, cues int, total_ms long, chars long, fp string"
+
+
+def subtitle_stats(df: DataFrame) -> DataFrame:
+    """Distributed subtitle parsing (Arrow mapInPandas, map-only): per
+    file the cue count, summed cue duration, character count and md5 of
+    the form-feed-joined cue texts — what an ASR-pair curation pass
+    aggregates before aligning captions to audio."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                cues = parse_subtitles(bytes(payload).decode("utf-8"))
+                joined = "\f".join(c[2] for c in cues)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "cues": len(cues),
+                        "total_ms": sum(e - s for s, e, _ in cues),
+                        "chars": len(joined),
+                        "fp": hashlib.md5(joined.encode("utf-8")).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "cues", "total_ms", "chars", "fp"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _SUBTITLE_SCHEMA)

@@ -1263,3 +1263,50 @@ def llm_epub_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack, "book_id long, payload binary"
     )
     return E.epub_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Subtitles (SRT / WebVTT): the ASR-pair text shape
+
+
+@_candidate(
+    "multimodal_subtitles",
+    """
+    WITH m AS (
+      SELECT doc_id AS i, 3 + doc_id % 4 AS n FROM documents WHERE doc_id < 96),
+    cue AS (
+      SELECT m.i, m.n, k.k,
+             800 + (k.k * 97) % 1200 AS dur,
+             'Cue ' || CAST(k.k AS VARCHAR) || ' of media ' || CAST(m.i AS VARCHAR)
+             || CASE WHEN k.k % 2 = 0
+                     THEN chr(10) || 'subtitle text ' || CAST(k.k % 5 AS VARCHAR)
+                     ELSE '' END AS cuetext
+      FROM m, generate_series(0, 6) AS k(k) WHERE k.k < m.n),
+    j AS (
+      SELECT i, max(n) AS n, CAST(sum(dur) AS BIGINT) AS total_ms,
+             string_agg(cuetext, chr(12) ORDER BY k) AS full_text
+      FROM cue GROUP BY i)
+    SELECT i AS media_id, CAST(n AS INT) AS cues, total_ms,
+           CAST(length(full_text) AS BIGINT) AS chars, md5(full_text) AS fp
+    FROM j
+    """,
+    "SUBTITLE PARSING (SRT + WebVTT — the text half of every captioned "
+    "video / ASR training pair): format auto-detected by the WEBVTT "
+    "header, comma- vs dot-millisecond timestamps, BOMs, VTT NOTE "
+    "blocks, cue ids, and cue settings after the arrow all exercised "
+    "(odd media are full-hazard VTT, even are SRT); cue durations sum "
+    "exactly and the md5 is over the cue texts with internal newlines "
+    "preserved; backwards cues and malformed timestamps refuse "
+    "(llmdata/multimodal.py make_subtitles/parse_subtitles/"
+    "subtitle_stats)",
+)
+def multimodal_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 96).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(ids, lambda i: MM.make_subtitles(i, 3 + i % 4).encode("utf-8")),
+        media_type="text/vtt",
+    )
+    return MM.subtitle_stats(media)

@@ -5198,3 +5198,54 @@ def test_feed_and_sitemap_boundaries_and_fuzz():
             except ValueError:
                 continue
             assert isinstance(out, list)
+
+
+def test_subtitle_parser_hazards_and_fuzz():
+    """The hazards real subtitle files carry: BOM, NOTE/STYLE blocks,
+    cue ids, cue settings, hour-less VTT timestamps, multi-line bodies —
+    plus malformed timestamps, backwards cues, and mutation fuzz."""
+    import random
+
+    import pytest
+
+    from query_engine_spark.llmdata.multimodal import make_subtitles, parse_subtitles
+
+    vtt = (
+        "﻿WEBVTT\n\nNOTE a comment\nspanning lines\n\n"
+        "STYLE\n::cue { color: red }\n\n"
+        "intro\n00:05.000 --> 00:07.250 align:start\nHour-less stamp\n\n"
+        "00:00:10.000 --> 00:00:12.000\nTwo\nlines\n"
+    )
+    cues = parse_subtitles(vtt)
+    assert cues == [
+        (5000, 7250, "Hour-less stamp"),
+        (10000, 12000, "Two\nlines"),
+    ]
+    with pytest.raises(ValueError, match="ends before"):
+        parse_subtitles("1\n00:00:02,000 --> 00:00:01,000\nx\n")
+    with pytest.raises(ValueError, match="milliseconds must be 3 digits"):
+        parse_subtitles("1\n00:00:01,00 --> 00:00:02,000\nx\n")
+    with pytest.raises(ValueError, match="timestamp"):
+        parse_subtitles("1\n00:00:01 --> 00:00:02,000\nx\n")
+    with pytest.raises(ValueError, match="without text"):
+        parse_subtitles("1\n00:00:01,000 --> 00:00:02,000\n")
+    with pytest.raises(ValueError, match="index expected"):
+        parse_subtitles("not-a-number\n00:00:01,000 --> 00:00:02,000\nx\n")
+
+    rng = random.Random(86)
+    for seed_id in (2, 3):
+        text = make_subtitles(seed_id, 6)
+        for _ in range(200):
+            chars = list(text)
+            op = rng.randrange(3)
+            if op == 0:
+                chars[rng.randrange(len(chars))] = chr(rng.randrange(32, 127))
+            elif op == 1:
+                chars = chars[: rng.randrange(len(chars))]
+            else:
+                chars += [chr(rng.randrange(32, 127)) for _ in range(rng.randrange(1, 9))]
+            try:
+                out = parse_subtitles("".join(chars))
+            except ValueError:
+                continue
+            assert isinstance(out, list)
