@@ -437,3 +437,157 @@ def sitemap_entries(df: DataFrame, *, id_col: str = "site_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(run, _SITEMAP_SCHEMA)
+
+
+# --- robots.txt (RFC 9309): crawl politeness — the gate every fetch
+# passes before it happens. The subtle part real crawlers get wrong is
+# rule matching: within the selected user-agent group, the rule with the
+# LONGEST matching path prefix wins, Allow beating Disallow on ties; an
+# empty Disallow allows everything; groups merge for the same agent ------
+
+
+def parse_robots(text: str) -> dict:
+    """Parse robots.txt into {agent -> [(kind, path), ...]} plus
+    sitemap URLs and crawl delays. Comments strip at '#'; unknown
+    directives are ignored (the RFC requires tolerance); rules before
+    any User-agent line raise — that is a malformed file, and silently
+    attaching them to '*' changes crawl behavior."""
+    groups: dict[str, list[tuple[str, str]]] = {}
+    delays: dict[str, int] = {}
+    sitemaps: list[str] = []
+    current: list[str] = []
+    last_was_agent = False
+    for raw in text.split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, value = line.partition(":")
+        key, value = key.strip().lower(), value.strip()
+        if key == "user-agent":
+            agent = value.lower()
+            if last_was_agent:
+                current.append(agent)
+            else:
+                current = [agent]
+            for a in current:
+                groups.setdefault(a, [])
+            last_was_agent = True
+            continue
+        last_was_agent = False
+        if key == "sitemap":
+            sitemaps.append(value)
+            continue
+        if key in ("allow", "disallow"):
+            if not current:
+                raise ValueError("robots.txt rule before any User-agent line")
+            for a in current:
+                groups[a].append((key, value))
+        elif key == "crawl-delay":
+            if not current:
+                raise ValueError("robots.txt crawl-delay before any User-agent line")
+            if not value.isdigit():
+                raise ValueError(f"non-integer crawl-delay {value!r}")
+            for a in current:
+                delays[a] = int(value)
+        # other directives: tolerated and ignored per RFC 9309 §2.2.4
+    return {"groups": groups, "delays": delays, "sitemaps": sitemaps}
+
+
+def robots_allowed(rules: dict, agent: str, path: str) -> bool:
+    """RFC 9309 §2.2.2 matching: pick the most specific user-agent group
+    (exact agent else '*'; absent both -> allowed), then the rule with
+    the LONGEST path prefix match wins; Allow wins length ties; an empty
+    Disallow value matches nothing. No wildcard support — fixtures never
+    emit them, and silently mis-handling '*' in paths would be worse
+    than refusing."""
+    groups = rules["groups"]
+    rule_list = groups.get(agent.lower())
+    if rule_list is None:
+        rule_list = groups.get("*")
+    if rule_list is None:
+        return True
+    best_len = -1
+    best_allow = True
+    for kind, rule_path in rule_list:
+        if "*" in rule_path or rule_path.endswith("$"):
+            raise NotImplementedError(
+                "robots.txt wildcard patterns not supported"
+            )
+        if rule_path == "":
+            continue  # empty Disallow/Allow matches nothing
+        if path.startswith(rule_path):
+            L = len(rule_path)
+            allow = kind == "allow"
+            if L > best_len or (L == best_len and allow):
+                best_len, best_allow = L, allow
+    return True if best_len < 0 else best_allow
+
+
+def make_robots(site_id: int) -> str:
+    """Deterministic robots.txt fixture: a '*' group and a 'trainbot'
+    group with interleaved Allow/Disallow prefixes of DIFFERENT lengths
+    under the same subtree (so longest-match decides, not rule order),
+    a tie case (Allow and Disallow with equal-length prefixes), stacked
+    user-agent lines, comments, an empty Disallow, a crawl-delay and
+    sitemap lines."""
+    i = site_id
+    return "\n".join(
+        [
+            "# fixture robots",
+            "User-agent: *",
+            "Disallow: /private/",
+            f"Crawl-delay: {1 + i % 5}",
+            "",
+            "User-agent: trainbot",
+            "User-agent: otherbot",  # stacked agents share the group
+            "Disallow: /data/",
+            "Allow: /data/public/",
+            f"Disallow: /data/public/secret{i % 3}/",
+            "Allow: /tie/a",   # tie: equal length 6... '/tie/a' vs '/tie/b'
+            "Disallow: /tie/a",  # equal-length tie on the SAME prefix: Allow wins
+            "Disallow:",       # empty: matches nothing
+            "Unknown-directive: ignored",
+            f"Sitemap: https://s{i}.example/sitemap.xml",
+        ]
+    )
+
+
+_ROBOTS_SCHEMA = "site_id long, agent string, path string, allowed int"
+
+
+def robots_decisions(df: DataFrame, *, id_col: str = "site_id") -> DataFrame:
+    """Distributed crawl-gate evaluation (Arrow mapInPandas, map-only):
+    parse each site's robots.txt once and decide a probe set of
+    (agent, path) fetches — the admission stage of a crawl scheduler.
+    Probes cover the longest-match, tie, group-fallback and
+    group-override semantics so the oracle pins RFC 9309 matching, not
+    just line parsing."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for sid, payload in zip(pdf[id_col], pdf["payload"]):
+                sid = int(sid)
+                rules = parse_robots(bytes(payload).decode("utf-8"))
+                probes = [
+                    "/data/x",
+                    "/data/public/x",
+                    f"/data/public/secret{sid % 3}/x",
+                    f"/data/public/secret{(sid + 1) % 3}/x",
+                    "/tie/a",
+                    "/private/x",
+                ]
+                for agent in ("trainbot", "randombot"):
+                    for path in probes:
+                        rows.append(
+                            {
+                                "site_id": sid,
+                                "agent": agent,
+                                "path": path,
+                                "allowed": int(robots_allowed(rules, agent, path)),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=["site_id", "agent", "path", "allowed"])
+
+    return df.select(id_col, "payload").mapInPandas(run, _ROBOTS_SCHEMA)

@@ -1310,3 +1310,75 @@ def multimodal_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="text/vtt",
     )
     return MM.subtitle_stats(media)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt: the crawl admission gate
+
+
+@_candidate(
+    "llm_robots_rules",
+    """
+    WITH m AS (SELECT doc_id AS i FROM documents WHERE doc_id < 96),
+    probes AS (
+      SELECT i, p.p AS probe_kind FROM m, generate_series(0, 5) AS p(p)),
+    rows_ AS (
+      SELECT i, a.a AS agent_kind, probe_kind,
+             CASE probe_kind
+               WHEN 0 THEN '/data/x'
+               WHEN 1 THEN '/data/public/x'
+               WHEN 2 THEN '/data/public/secret' || CAST(i % 3 AS VARCHAR) || '/x'
+               WHEN 3 THEN '/data/public/secret' || CAST((i + 1) % 3 AS VARCHAR) || '/x'
+               WHEN 4 THEN '/tie/a'
+               ELSE '/private/x' END AS path
+      FROM probes, generate_series(0, 1) AS a(a))
+    SELECT i AS site_id,
+           CASE agent_kind WHEN 0 THEN 'trainbot' ELSE 'randombot' END AS agent,
+           path,
+           CAST(CASE
+             WHEN agent_kind = 0 THEN  -- trainbot group selected
+               CASE probe_kind
+                 WHEN 0 THEN 0   -- /data/ disallowed
+                 WHEN 1 THEN 1   -- /data/public/ allow outranks /data/
+                 WHEN 2 THEN 0   -- its own secret subtree: longest match
+                 WHEN 3 THEN 1   -- other site's secret prefix: no match
+                 WHEN 4 THEN 1   -- equal-length tie: Allow wins
+                 ELSE 1          -- /private/ only in the '*' group
+               END
+             ELSE               -- randombot falls back to '*'
+               CASE probe_kind WHEN 5 THEN 0 ELSE 1 END
+           END AS INT) AS allowed
+    FROM rows_
+    """,
+    "ROBOTS.TXT CRAWL GATE (RFC 9309 — the admission decision every "
+    "fetch passes first): grouped user-agent parsing with stacked agent "
+    "lines, comments, empty Disallow, crawl-delay and sitemap "
+    "directives tolerated per spec; the DECISION semantics are the "
+    "oracle-pinned part — longest-path-prefix wins over rule order, "
+    "Allow beats Disallow on equal-length ties, exact-agent groups "
+    "OVERRIDE '*' entirely (trainbot may fetch /private/ because its "
+    "group never mentions it), unknown agents fall back to '*' "
+    "(llmdata/warc.py parse_robots/robots_allowed/robots_decisions)",
+)
+def llm_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from query_engine_spark.llmdata import warc as W
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 96)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "site_id": pdf["doc_id"],
+                    "payload": [
+                        W.make_robots(int(i)).encode("utf-8") for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.select("doc_id").mapInPandas(pack, "site_id long, payload binary")
+    return W.robots_decisions(media)

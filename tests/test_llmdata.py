@@ -5249,3 +5249,39 @@ def test_subtitle_parser_hazards_and_fuzz():
             except ValueError:
                 continue
             assert isinstance(out, list)
+
+
+def test_robots_rfc9309_semantics():
+    """The decision semantics crawlers get wrong, pinned directly:
+    longest-match over rule order, Allow on ties, exact-group override
+    of '*', rule-before-agent malformation, wildcard refusal."""
+    import pytest
+
+    from query_engine_spark.llmdata.warc import (
+        make_robots,
+        parse_robots,
+        robots_allowed,
+    )
+
+    r = parse_robots(make_robots(7))
+    assert robots_allowed(r, "TrainBot", "/data/public/x") is True
+    assert robots_allowed(r, "trainbot", "/data/other") is False
+    assert robots_allowed(r, "trainbot", "/tie/a") is True
+    # exact group overrides '*' entirely: /private/ unmentioned there
+    assert robots_allowed(r, "trainbot", "/private/x") is True
+    assert robots_allowed(r, "nobody", "/private/x") is False
+    assert r["delays"]["*"] == 1 + 7 % 5
+    with pytest.raises(ValueError, match="before any User-agent"):
+        parse_robots("Disallow: /x\nUser-agent: *\n")
+    with pytest.raises(ValueError, match="crawl-delay"):
+        parse_robots("Crawl-delay: 3\n")
+    with pytest.raises(ValueError, match="non-integer"):
+        parse_robots("User-agent: *\nCrawl-delay: fast\n")
+    wild = parse_robots("User-agent: *\nDisallow: /a/*/b\n")
+    with pytest.raises(NotImplementedError, match="wildcard"):
+        robots_allowed(wild, "x", "/a/c/b")
+    # rule order must NOT matter: same rules reversed, same decisions
+    fwd = parse_robots("User-agent: *\nDisallow: /d/\nAllow: /d/pub/\n")
+    rev = parse_robots("User-agent: *\nAllow: /d/pub/\nDisallow: /d/\n")
+    for path in ("/d/x", "/d/pub/x", "/e"):
+        assert robots_allowed(fwd, "b", path) == robots_allowed(rev, "b", path)
