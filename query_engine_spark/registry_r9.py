@@ -1382,3 +1382,78 @@ def llm_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.select("doc_id").mapInPandas(pack, "site_id long, payload binary")
     return W.robots_decisions(media)
+
+
+# ---------------------------------------------------------------------------
+# MBOX email ingestion: the mailing-list corpus shape
+
+
+@_candidate(
+    "llm_mbox_ingest",
+    """
+    WITH m AS (
+      SELECT doc_id AS i, text, 2 + doc_id % 3 AS n
+      FROM documents WHERE doc_id < 64),
+    msg AS (
+      SELECT m.i, k.k,
+             'Msg ' || CAST(k.k AS VARCHAR) || ' of box ' || CAST(m.i AS VARCHAR)
+             || CASE WHEN k.k % 2 = 1 THEN ' ' || chr(233) ELSE '' END AS subject,
+             'dom' || CAST((m.i + k.k) % 7 AS VARCHAR) || '.example' AS from_domain,
+             'Body ' || CAST(k.k AS VARCHAR) || ' box ' || CAST(m.i AS VARCHAR)
+             || ' ' || chr(233) || '.' || chr(10)
+             || 'From the start line.' || chr(10)
+             || substr(m.text, 1 + k.k * 11, 30) || chr(10) AS body
+      FROM m, generate_series(0, 4) AS k(k) WHERE k.k < m.n)
+    SELECT i AS box_id, CAST(k AS INT) AS msg_idx, subject, from_domain,
+           CAST(length(body) AS BIGINT) AS chars, md5(body) AS fp
+    FROM msg
+    """,
+    "MBOX EMAIL INGESTION (mailing-list archives are a classic text "
+    "corpus): mboxrd framing with the '>From' quote dance — every body "
+    "deliberately contains a line starting 'From ' so a splitter "
+    "without the unquoting truncates messages mid-body and fails the "
+    "hash — plus MIME text-part selection (multipart/alternative "
+    "messages on odd indices carry an HTML part that must NOT be "
+    "picked), quoted-printable AND base64 transfer decoding (non-ASCII "
+    "planted in every body), and RFC 2047 encoded-word subjects "
+    "(llmdata/mail.py build_mbox/split_mbox/extract_message/"
+    "mbox_messages)",
+)
+def llm_mbox_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from query_engine_spark.llmdata import mail as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i, t = int(i), str(t)
+                msgs = []
+                for k in range(2 + i % 3):
+                    subject = f"Msg {k} of box {i}" + (" é" if k % 2 == 1 else "")
+                    body = (
+                        f"Body {k} box {i} é.\n"
+                        "From the start line.\n"
+                        + t[k * 11 : k * 11 + 30] + "\n"
+                    )
+                    msgs.append(
+                        M.build_message(
+                            from_addr=f"user{(i + k) % 5}@dom{(i + k) % 7}.example",
+                            subject=subject,
+                            body=body,
+                            html="the html twin" if k % 2 == 1 else None,
+                            cte="base64" if k % 3 == 0 else "quoted-printable",
+                        )
+                    )
+                payloads.append(M.build_mbox(msgs))
+            yield pd.DataFrame({"box_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        pack, "box_id long, payload binary"
+    )
+    return M.mbox_messages(media)

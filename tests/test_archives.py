@@ -306,3 +306,72 @@ def test_epub_mutation_fuzz():
         except UnicodeDecodeError:
             continue  # mutated member name bytes
         assert isinstance(out, list)
+
+
+def test_mbox_from_quoting_and_boundaries():
+    """The mboxrd quote dance: bodies containing 'From ' and already-
+    quoted '>From ' lines roundtrip exactly; a splitter without the
+    unquoting would truncate (pinned by message count); text-part
+    selection never picks HTML; missing text/plain refuses."""
+    import pytest
+
+    from query_engine_spark.llmdata import mail as M
+
+    tricky = "From a\n>From b\n>>From c\nplain\n"
+    box = M.build_mbox(
+        [
+            M.build_message(
+                from_addr="a@x.example", subject="s1", body=tricky
+            ),
+            M.build_message(
+                from_addr="b@y.example", subject="s2", body="short\n",
+                html="twin",
+            ),
+        ]
+    )
+    msgs = M.split_mbox(box)
+    assert len(msgs) == 2  # no mid-body splits despite three From-ish lines
+    assert M.extract_message(msgs[0])["text"] == tricky
+    assert M.extract_message(msgs[1])["text"] == "short\n"
+    with pytest.raises(ValueError, match="not an mbox"):
+        M.split_mbox(b"To: someone\n\nbody\n")
+    html_only = (
+        b"From: a@x.example\nSubject: h\nMIME-Version: 1.0\n"
+        b'Content-Type: text/html; charset="utf-8"\n\n<p>only html</p>\n'
+    )
+    with pytest.raises(ValueError, match="text/plain"):
+        M.extract_message(html_only)
+    with pytest.raises(ValueError, match="From address"):
+        M.extract_message(b"Subject: x\n\nno sender\n")
+
+
+def test_mbox_mutation_fuzz():
+    import random
+
+    from query_engine_spark.llmdata import mail as M
+
+    rng = random.Random(808)
+    box = M.build_mbox(
+        [
+            M.build_message(
+                from_addr=f"u{k}@d{k}.example", subject=f"s{k}",
+                body=f"Body {k}\nFrom here\n",
+                cte="base64" if k % 2 else "quoted-printable",
+            )
+            for k in range(3)
+        ]
+    )
+    for _ in range(300):
+        bad = bytearray(box)
+        op = rng.randrange(3)
+        if op == 0:
+            bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+        elif op == 1:
+            bad = bad[: rng.randrange(len(bad))]
+        else:
+            bad += bytes(rng.randrange(32, 127) for _ in range(rng.randrange(1, 9)))
+        try:
+            for raw in M.split_mbox(bytes(bad)):
+                M.extract_message(raw)
+        except (ValueError, NotImplementedError):
+            continue  # extract_message normalizes stdlib email errors
