@@ -1457,3 +1457,100 @@ def llm_mbox_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack, "box_id long, payload binary"
     )
     return M.mbox_messages(media)
+
+
+# ---------------------------------------------------------------------------
+# Training-export shard manifest
+
+
+@_candidate(
+    "llm_export_manifest",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16
+               AS shard
+      FROM documents)
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(length(text)) AS BIGINT) AS chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc,
+           CAST(sum(('0x' || substr(md5(text), 1, 10))::BIGINT) AS BIGINT)
+             AS content_sig
+    FROM t GROUP BY shard
+    """,
+    "TRAINING-EXPORT SHARD MANIFEST: the integrity record written next "
+    "to every sharded corpus export so downstream training can verify "
+    "it read every shard completely. Shard assignment is the md5-bucket "
+    "idiom (deterministic across engines/retries — rand() and Spark's "
+    "hash() are neither); per shard the manifest carries doc count, "
+    "char volume, id range, and an ORDER-INDEPENDENT content signature "
+    "(sum of 40-bit md5-prefix integers — commutative, so shard-internal "
+    "ordering is free to vary at write time; 40 bits keeps the int64 "
+    "sum overflow-free past 10M docs/shard). Pure codegen: one shuffle "
+    "on the 16 shard keys",
+)
+def llm_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata.textstats import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "text", hash_bucket(F.col("doc_id"), 16).alias("shard")
+    )
+    return t.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.length("text")).cast("long").alias("chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.encode("text", "utf-8")), 1, 10), 16, 10)
+            .cast("long")
+        ).cast("long").alias("content_sig"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CSV interchange roundtrip
+
+
+@_candidate(
+    "llm_csv_roundtrip",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             'quote "q" comma, ' || chr(10) || 'newline ' || text AS text
+      FROM documents WHERE doc_id < 512)
+    SELECT doc_id, source,
+           CAST(length(text) AS BIGINT) AS chars, md5(text) AS fp
+    FROM t
+    """,
+    "CSV INTERCHANGE roundtrip, hash-verified: rows serialize to RFC "
+    "4180 CSV records (to_csv over a struct) and parse back with an "
+    "explicit schema (from_csv), entirely JVM builtin expressions. The "
+    "text is prefixed with the characters CSV quoting actually mangles "
+    "when buggy — double quotes, the delimiter, an EMBEDDED NEWLINE — "
+    "so an escaping/quoting divergence fails the md5 against the "
+    "oracle computed on the pre-serialization column",
+)
+def llm_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    prefix = 'quote "q" comma, \n' + "newline "
+    staged = docs.select(
+        "doc_id", "source", F.concat(F.lit(prefix), F.col("text")).alias("text")
+    )
+    schema = "doc_id long, source string, text string"
+    lines = staged.select(
+        F.to_csv(F.struct("doc_id", "source", "text")).alias("line")
+    )
+    parsed = lines.select(
+        F.from_csv(
+            "line", schema, {"multiLine": "true"}
+        ).alias("r")
+    ).select("r.doc_id", "r.source", "r.text")
+    return parsed.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("chars"),
+        F.md5(F.encode("text", "utf-8")).alias("fp"),
+    )

@@ -378,7 +378,11 @@ def test_r9_candidate_decode_chains_map_only(spark):
 
     # pack_archives groups documents into bounded archives: one shuffle
     # by design, the extraction below it map-only
-    ONE_SHUFFLE = {"llm_zip_ingest", "llm_tar_ingest", "llm_tar_mixed_ingest"}
+    ONE_SHUFFLE = {
+        "llm_zip_ingest", "llm_tar_ingest", "llm_tar_mixed_ingest",
+        # groupBy(shard) over 16 keys — the manifest aggregation
+        "llm_export_manifest",
+    }
 
     for name, spec in CANDIDATES.items():
         df = spec.fn(spark, SF)
