@@ -1554,3 +1554,85 @@ def llm_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("chars"),
         F.md5(F.encode("text", "utf-8")).alias("fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Common-Crawl-style CDX index selection
+
+
+@_candidate(
+    "llm_cdx_select",
+    """
+    WITH d AS (
+      SELECT doc_id AS i,
+             'dom' || CAST(doc_id % 7 AS VARCHAR) AS dom,
+             20240000000000 + doc_id * 37 AS ts,
+             'sha1:' || md5(CAST(doc_id // 2 AS VARCHAR)) AS digest,
+             CASE WHEN doc_id % 5 = 4 THEN '404' ELSE '200' END AS status,
+             CASE WHEN doc_id % 7 = 6 THEN 'image/png' ELSE 'text/html' END AS mime
+      FROM documents WHERE doc_id < 512),
+    kept AS (SELECT * FROM d WHERE status = '200' AND mime = 'text/html')
+    SELECT digest,
+           CAST(min(ts) AS BIGINT) AS first_ts,
+           arg_min('example,' || dom || ')/p/' || CAST(i AS VARCHAR), ts) AS first_surt,
+           arg_min('https://' || dom || '.example/p/' || CAST(i AS VARCHAR), ts)
+             AS first_url,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM kept GROUP BY digest
+    """,
+    "CDX INDEX SELECTION (the lookup sidecar every WARC corpus ships — "
+    "selection happens on the index BEFORE any WARC byte range is "
+    "fetched): CDX-J lines (SURT key, 14-digit timestamp, JSON payload) "
+    "are built and then parsed back entirely with JVM expressions "
+    "(regexp split + from_json with an explicit schema), filtered to "
+    "status-200 text/html captures, and deduplicated BY CONTENT DIGEST "
+    "keeping the EARLIEST capture (min_by/arg_min cross-engine) — "
+    "consecutive docs share digests so the keep-earliest rule does real "
+    "work. Pure codegen + one shuffle on digest",
+)
+def llm_cdx_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    d = docs.select(
+        F.col("doc_id").alias("i"),
+        F.concat(F.lit("dom"), (F.col("doc_id") % 7).cast("string")).alias("dom"),
+        (F.lit(20240000000000) + F.col("doc_id") * 37).alias("ts"),
+        F.concat(
+            F.lit("sha1:"), F.md5((F.col("doc_id") / 2).cast("long").cast("string"))
+        ).alias("digest"),
+        F.when(F.col("doc_id") % 5 == 4, F.lit("404")).otherwise("200").alias("status"),
+        F.when(F.col("doc_id") % 7 == 6, F.lit("image/png"))
+        .otherwise("text/html")
+        .alias("mime"),
+    )
+    # serialize to real CDX-J lines...
+    lines = d.select(
+        F.concat(
+            F.lit("example,"), F.col("dom"), F.lit(")/p/"), F.col("i").cast("string"),
+            F.lit(" "), F.col("ts").cast("string"), F.lit(" "),
+            F.to_json(
+                F.struct(
+                    F.concat(
+                        F.lit("https://"), F.col("dom"), F.lit(".example/p/"),
+                        F.col("i").cast("string"),
+                    ).alias("url"),
+                    "mime", "status", "digest",
+                )
+            ),
+        ).alias("line")
+    )
+    # ...and parse them back: SURT key, timestamp, JSON payload
+    parsed = lines.select(
+        F.regexp_extract("line", r"^(\S+) (\d{14}) (.*)$", 1).alias("surt"),
+        F.regexp_extract("line", r"^(\S+) (\d{14}) (.*)$", 2).cast("long").alias("ts"),
+        F.from_json(
+            F.regexp_extract("line", r"^(\S+) (\d{14}) (.*)$", 3),
+            "url string, mime string, status string, digest string",
+        ).alias("r"),
+    ).select("surt", "ts", "r.url", "r.mime", "r.status", "r.digest")
+    kept = parsed.filter((F.col("status") == "200") & (F.col("mime") == "text/html"))
+    return kept.groupBy("digest").agg(
+        F.min("ts").alias("first_ts"),
+        F.min_by("surt", "ts").alias("first_surt"),
+        F.min_by("url", "ts").alias("first_url"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

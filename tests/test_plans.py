@@ -382,6 +382,8 @@ def test_r9_candidate_decode_chains_map_only(spark):
         "llm_zip_ingest", "llm_tar_ingest", "llm_tar_mixed_ingest",
         # groupBy(shard) over 16 keys — the manifest aggregation
         "llm_export_manifest",
+        # groupBy(digest) — the CDX keep-earliest dedup
+        "llm_cdx_select",
     }
 
     for name, spec in CANDIDATES.items():
