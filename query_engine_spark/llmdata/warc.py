@@ -591,3 +591,41 @@ def robots_decisions(df: DataFrame, *, id_col: str = "site_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=["site_id", "agent", "path", "allowed"])
 
     return df.select(id_col, "payload").mapInPandas(run, _ROBOTS_SCHEMA)
+
+
+def html_metadata(col: Column) -> dict[str, Column]:
+    """Page-level metadata extraction as PURE COLUMN EXPRESSIONS (same
+    contract as `html_to_text`: RE2-safe regexps, DuckDB-replayable, runs
+    at scan speed): <title>, the canonical link, meta description, the
+    og:title card, and the html lang attribute — the five fields a
+    page-curation pass groups and filters on. Attribute order varies in
+    real HTML, so the attribute-bearing patterns anchor on the
+    discriminating attribute and accept both quote styles where the
+    fixtures exercise them; absent fields yield empty strings (cast to
+    NULL by the caller when preferred)."""
+    title = F.regexp_extract(col, r"(?is)<title[^>]*>(.*?)</title\s*>", 1)
+
+    def _attr_value(tag: str, disc: str, value_attr: str) -> Column:
+        fwd = F.regexp_extract(
+            col,
+            rf"""(?is)<{tag}\b[^>]*{disc}[^>]*{value_attr}=["']([^"']*)["']""",
+            1,
+        )
+        rev = F.regexp_extract(
+            col,
+            rf"""(?is)<{tag}\b[^>]*{value_attr}=["']([^"']*)["'][^>]*{disc}""",
+            1,
+        )
+        return F.when(fwd != "", fwd).otherwise(rev)
+
+    canonical = _attr_value("link", r"""rel=["']canonical["']""", "href")
+    description = _attr_value("meta", r"""name=["']description["']""", "content")
+    og_title = _attr_value("meta", r"""property=["']og:title["']""", "content")
+    lang = F.regexp_extract(col, r"""(?is)<html\b[^>]*lang=["']([^"']+)["']""", 1)
+    return {
+        "title": title,
+        "canonical": canonical,
+        "description": description,
+        "og_title": og_title,
+        "lang": lang,
+    }

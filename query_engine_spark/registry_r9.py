@@ -1636,3 +1636,78 @@ def llm_cdx_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("url", "ts").alias("first_url"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML page metadata: the page-curation grouping fields
+
+
+@_candidate(
+    "llm_html_metadata",
+    """
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; title' AS title,
+           CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE 'https://dom' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.example/p/' || CAST(doc_id AS VARCHAR) END AS canonical,
+           CASE WHEN doc_id % 6 = 5 THEN NULL
+                ELSE 'Summary ' || CAST(doc_id AS VARCHAR) || ' of page'
+           END AS description,
+           'OG Doc ' || CAST(doc_id AS VARCHAR) AS og_title,
+           (['en', 'de', 'fr'])[1 + doc_id % 3] AS lang
+    FROM documents WHERE doc_id < 512
+    """,
+    "HTML PAGE METADATA extraction (title / canonical link / meta "
+    "description / og:title / lang — the fields a page-curation pass "
+    "groups and filters on) as pure column expressions at scan speed, "
+    "same contract as html_to_text: fixtures alternate ATTRIBUTE ORDER "
+    "on the link and meta tags (rel-then-href vs href-then-rel etc. — "
+    "real HTML varies freely) and omit canonical/description on modular "
+    "schedules; the oracle computes expected values from the "
+    "construction formulas, independent of the regexes, so an "
+    "extraction bug cannot cancel (llmdata/warc.py html_metadata)",
+)
+def llm_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata.warc import html_metadata
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://dom"), (i % 7).cast("string"),
+        F.lit(".example/p/"), i.cast("string"),
+    )
+    canonical_tag = F.when(
+        i % 5 == 4, F.lit("")
+    ).when(
+        i % 2 == 0,
+        F.concat(F.lit('<link href="'), url, F.lit('" rel="canonical"/>')),
+    ).otherwise(
+        F.concat(F.lit('<link rel="canonical" href="'), url, F.lit('"/>')),
+    )
+    summary = F.concat(F.lit("Summary "), i.cast("string"), F.lit(" of page"))
+    desc_tag = F.when(
+        i % 6 == 5, F.lit("")
+    ).when(
+        i % 3 == 0,
+        F.concat(F.lit('<meta name="description" content="'), summary, F.lit('"/>')),
+    ).otherwise(
+        F.concat(F.lit('<meta content="'), summary, F.lit('" name="description"/>')),
+    )
+    lang = F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr")), (i % 3 + 1).cast("int"))
+    page = F.concat(
+        F.lit('<html lang="'), lang, F.lit('"><head><title>Doc '),
+        i.cast("string"), F.lit(" &amp; title</title>"),
+        canonical_tag, desc_tag,
+        F.lit('<meta property="og:title" content="OG Doc '),
+        i.cast("string"), F.lit('"/></head><body><p>'),
+        F.col("text"), F.lit("</p></body></html>"),
+    )
+    meta = html_metadata(page)
+    return docs.select(
+        "doc_id",
+        meta["title"].alias("title"),
+        F.nullif(meta["canonical"], F.lit("")).alias("canonical"),
+        F.nullif(meta["description"], F.lit("")).alias("description"),
+        meta["og_title"].alias("og_title"),
+        meta["lang"].alias("lang"),
+    )
