@@ -8221,6 +8221,202 @@ def id3_metadata(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, _ID3_SCHEMA)
 
 
+# --- MPEG audio (MP3) frame walk: the duration/bitrate metadata pass a
+# crawl pipeline runs over every audio file BEFORE deciding what to
+# transcode. Parses the public ISO/IEC 11172-3 / 13818-3 frame-header
+# layout — 11-bit sync, version (MPEG1/2/2.5), layer (I/II/III), bitrate
+# and samplerate table indices, padding — and walks frame to frame by the
+# exact integer length formulas (Layer I's slot-of-4 rule vs II/III's,
+# MPEG2+Layer III's 576-sample granule halving the frame constant).
+# Duration and VBR detection need NO audio decode: total samples and
+# sample rate are exact integers from the headers alone. The frame
+# PAYLOADS (the actual MP3 audio) remain the honest decode boundary. ----
+
+
+# bitrate tables (kbps) for indices 1..14; index 0 = free-format
+# (refused), 15 = invalid. Keyed by (version==1, layer).
+_MPEG_BITRATES = {
+    (True, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (True, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (True, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (False, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (False, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)[:14],
+    (False, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)[:14],
+}
+# samplerate tables by version field value (3=MPEG1, 2=MPEG2, 0=MPEG2.5)
+_MPEG_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _mpeg_frame_geometry(version_bits: int, layer: int, kbps: int,
+                         sr: int, padding: int) -> tuple[int, int]:
+    """(frame byte length, samples per frame) — the exact integer
+    formulas of the public spec. Layer I counts 4-byte slots; MPEG2/2.5
+    Layer III has 576-sample granules (half the MPEG1 frame constant)."""
+    if layer == 1:
+        return ((12000 * kbps) // sr + padding) * 4, 384
+    if layer == 2:
+        return 144000 * kbps // sr + padding, 1152
+    if version_bits == 3:  # MPEG1 Layer III
+        return 144000 * kbps // sr + padding, 1152
+    return 72000 * kbps // sr + padding, 576  # MPEG2/2.5 Layer III
+
+
+def parse_mpeg_frames(blob: bytes) -> dict:
+    """Walk a (possibly ID3v2-prefixed, possibly ID3v1-suffixed) MPEG
+    audio stream frame by frame. Returns exact-integer metadata: frame
+    count, sample rate, channels, total samples, duration in ms, VBR
+    flag, and the summed frame byte length. Free-format streams
+    (bitrate index 0) raise NotImplementedError; desyncs, reserved
+    version/layer codes, and truncated final frames raise ValueError —
+    a metadata pass that silently under-counts frames poisons every
+    duration statistic downstream."""
+    pos = 0
+    if blob[:3] == b"ID3":
+        if len(blob) < 10:
+            raise ValueError("truncated ID3v2 header")
+        pos = 10 + _unsyncsafe(blob[6:10])
+        if pos > len(blob):
+            raise ValueError("ID3v2 tag runs past the stream")
+    frames = 0
+    sample_rate = None
+    channels = None
+    total_samples = 0
+    payload_bytes = 0
+    bitrates = set()
+    end = len(blob)
+    if end - pos >= 128 and blob[end - 128 : end - 125] == b"TAG":
+        end -= 128  # ID3v1 trailer
+    while pos < end:
+        if end - pos < 4:
+            raise ValueError("trailing bytes too short for an MPEG header")
+        h = int.from_bytes(blob[pos : pos + 4], "big")
+        if (h >> 21) & 0x7FF != 0x7FF:
+            raise ValueError(f"lost MPEG sync at byte {pos}")
+        version_bits = (h >> 19) & 3
+        if version_bits == 1:
+            raise ValueError("reserved MPEG version code")
+        layer_bits = (h >> 17) & 3
+        if layer_bits == 0:
+            raise ValueError("reserved MPEG layer code")
+        layer = 4 - layer_bits  # 3->I, 2->II, 1->III
+        br_idx = (h >> 12) & 0xF
+        if br_idx == 0:
+            raise NotImplementedError(
+                "free-format MPEG streams (bitrate index 0) not supported"
+            )
+        if br_idx == 15:
+            raise ValueError("invalid MPEG bitrate index 15")
+        sr_idx = (h >> 10) & 3
+        if sr_idx == 3:
+            raise ValueError("reserved MPEG samplerate index")
+        padding = (h >> 9) & 1
+        mode = (h >> 6) & 3
+        table = _MPEG_BITRATES[(version_bits == 3, layer)]
+        if br_idx > len(table):
+            raise ValueError(f"bitrate index {br_idx} out of table range")
+        kbps = table[br_idx - 1]
+        sr = _MPEG_RATES[version_bits][sr_idx]
+        ch = 1 if mode == 3 else 2
+        if sample_rate is None:
+            sample_rate, channels = sr, ch
+        elif (sr, ch) != (sample_rate, channels):
+            raise ValueError("sample rate / channel change mid-stream")
+        flen, spf = _mpeg_frame_geometry(version_bits, layer, kbps, sr, padding)
+        if pos + flen > end:
+            raise ValueError("truncated final MPEG frame")
+        frames += 1
+        total_samples += spf
+        payload_bytes += flen
+        bitrates.add(kbps)
+        pos += flen
+    if frames == 0:
+        raise ValueError("no MPEG frames in stream")
+    return {
+        "frames": frames,
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "total_samples": total_samples,
+        "dur_ms": total_samples * 1000 // sample_rate,
+        "vbr": len(bitrates) > 1,
+        "payload_bytes": payload_bytes,
+    }
+
+
+def make_mpeg_audio(media_id: int) -> bytes:
+    """Deterministic MPEG audio fixture: version cycles MPEG1/2/2.5,
+    layer is III except two residue classes exercising Layers I and II,
+    bitrate index cycles per frame on VBR rows (every 4th id) and is
+    fixed otherwise, padding alternates per frame, every 3rd stream
+    carries a leading ID3v2 tag and every 5th an ID3v1 trailer. Frame
+    payloads are deterministic junk — the walker must never read them."""
+    version_bits = (3, 2, 0)[media_id % 3]
+    if media_id % 7 == 3:
+        layer = 1
+    elif media_id % 7 == 5:
+        layer = 2
+    else:
+        layer = 3
+    layer_bits = 4 - layer
+    sr_idx = (media_id // 3) % 3
+    sr = _MPEG_RATES[version_bits][sr_idx]
+    vbr = media_id % 4 == 0
+    mode = 3 if media_id % 2 == 1 else 0
+    nframes = 6 + media_id % 5
+    out = bytearray()
+    if media_id % 3 == 1:
+        out += build_id3([("TIT2", f"Stream {media_id}", 0)], version=3)
+    table = _MPEG_BITRATES[(version_bits == 3, layer)]
+    for f in range(nframes):
+        br_idx = 1 + (media_id + (f if vbr else 0)) % 8
+        padding = (media_id + f) % 2
+        kbps = table[br_idx - 1]
+        h = (
+            (0x7FF << 21) | (version_bits << 19) | (layer_bits << 17)
+            | (1 << 16)  # no CRC
+            | (br_idx << 12) | (sr_idx << 10) | (padding << 9)
+            | (mode << 6)
+        )
+        flen, _ = _mpeg_frame_geometry(version_bits, layer, kbps, sr, padding)
+        frame = bytearray(h.to_bytes(4, "big"))
+        frame += bytes((media_id * 11 + f * 3 + k) % 256 for k in range(flen - 4))
+        out += frame
+    if media_id % 5 == 2:
+        out += b"TAG" + bytes(125)
+    return bytes(out)
+
+
+_MPEG_SCHEMA = (
+    "media_id long, frames int, sample_rate int, channels int,"
+    " total_samples long, dur_ms long, vbr boolean, payload_bytes long"
+)
+
+
+def mpeg_audio_meta(df: DataFrame) -> DataFrame:
+    """Distributed MPEG-audio metadata (Arrow mapInPandas, map-only):
+    one row per stream with the exact-integer frame-walk statistics."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                m = parse_mpeg_frames(bytes(blob))
+                m["media_id"] = mid
+                rows.append(m)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frames", "sample_rate", "channels",
+                    "total_samples", "dur_ms", "vbr", "payload_bytes",
+                ],
+            ).astype({"frames": "int32", "sample_rate": "int32", "channels": "int32"})
+
+    return df.select("media_id", "payload").mapInPandas(run, _MPEG_SCHEMA)
+
+
 # --- ICO containers (favicons): the highest-frequency icon shape in any
 # web crawl. One file carries N members, each either a full PNG stream or
 # a HEADERLESS 32-bpp DIB whose BITMAPINFOHEADER declares DOUBLE height

@@ -3,9 +3,15 @@
 the public PDF 1.4 specification (ISO 32000-1):
 
 - trailer/`startxref` discovery from the file tail, classic xref TABLE
-  parsing (PDF 1.5 cross-reference STREAMS and encrypted documents raise
-  honest boundaries),
+  parsing AND PDF 1.5+ cross-reference STREAMS (/Type /XRef: /W field
+  widths, /Index subsections, FlateDecode with the PNG row predictors
+  real generators emit), /Prev incremental-update chains with
+  newest-wins shadowing (encrypted documents and hybrid-reference
+  /XRefStm files raise honest boundaries),
 - indirect-object fetch by byte offset, dictionary + stream parsing,
+- OBJECT STREAMS (/Type /ObjStm): compressed non-stream objects fetched
+  through the header pair table, the storage shape PDF 1.5+ writers
+  use for catalogs/page dicts,
 - the Pages tree walk (/Root -> /Pages -> /Kids, nested page-tree nodes),
 - per-page /Contents streams (single or array), FlateDecode via stdlib
   zlib (the only filter generated PDFs actually use for text; others
@@ -150,6 +156,146 @@ def build_pdf(pages: list[list[str]], *, compress: bool = True) -> bytes:
         + b" /Root " + str(catalog).encode() + b" 0 R >>\n"
         b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
     )
+    return bytes(out)
+
+
+def _png_predict_up(rows: list[bytes]) -> bytes:
+    """Apply the PNG Up filter (type 2) to fixed-width rows — how real
+    PDF writers predictor-code xref streams (spec §7.4.4.4, LZW/Flate
+    predictor 12)."""
+    out = bytearray()
+    prev = bytes(len(rows[0])) if rows else b""
+    for row in rows:
+        out.append(2)
+        out += bytes((a - b) & 0xFF for a, b in zip(row, prev))
+        prev = row
+    return bytes(out)
+
+
+def build_pdf_15(pages: list[list[str]], *, predictor: bool = True) -> bytes:
+    """Build a real PDF 1.5: per-page FlateDecode content streams as
+    top-level objects, every NON-stream object (font, page dicts, pages
+    tree, catalog) packed into one compressed OBJECT STREAM — stored in
+    reverse numeric order so only header-pair-driven readers extract
+    them — and a CROSS-REFERENCE STREAM (/Type /XRef, /W [1 4 2], a
+    split /Index, FlateDecode, PNG Up predictor when `predictor`)
+    instead of a classic table. Page text is identical to `build_pdf`'s
+    for the same input: the 1.5 container is transport."""
+    npages = len(pages)
+    content_bodies: list[bytes] = []
+    for lines in pages:
+        parts = [b"BT /F1 12 Tf 72 720 Td"]
+        for k, line in enumerate(lines):
+            if k:
+                parts.append(b"0 -14 Td")
+            if k % 3 == 0:
+                parts.append(b"(" + _pdf_escape(line) + b") Tj")
+            elif k % 3 == 1:
+                mid = max(1, len(line) // 2)
+                parts.append(
+                    b"[ (" + _pdf_escape(line[:mid]) + b") -120 ("
+                    + _pdf_escape(line[mid:]) + b") ] TJ"
+                )
+            else:
+                parts.append(_pdf_utf16_hex(line) + b" Tj")
+        parts.append(b"ET")
+        data = zlib.compress(b" ".join(parts), 6)
+        content_bodies.append(
+            b"<< /Length " + str(len(data)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + data + b"\nendstream"
+        )
+
+    # object numbering: contents 1..P, then the ObjStm members, then the
+    # ObjStm itself, then the xref stream (always the last object)
+    font_id = npages + 1
+    page_ids = [npages + 2 + i for i in range(npages)]
+    pages_id = 2 * npages + 2
+    catalog_id = 2 * npages + 3
+    objstm_id = 2 * npages + 4
+    xref_id = 2 * npages + 5
+    size = xref_id + 1
+
+    members: list[tuple[int, bytes]] = [
+        (font_id, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        (pages_id,
+         b"<< /Type /Pages /Kids [ "
+         + b" ".join(str(p).encode() + b" 0 R" for p in page_ids)
+         + b" ] /Count " + str(npages).encode() + b" >>"),
+        (catalog_id,
+         b"<< /Type /Catalog /Pages " + str(pages_id).encode() + b" 0 R >>"),
+    ]
+    for i, pid in enumerate(page_ids):
+        members.append((
+            pid,
+            b"<< /Type /Page /Parent " + str(pages_id).encode() + b" 0 R"
+            b" /MediaBox [0 0 612 792]"
+            b" /Resources << /Font << /F1 " + str(font_id).encode()
+            + b" 0 R >> >>"
+            b" /Contents " + str(i + 1).encode() + b" 0 R >>",
+        ))
+    # reverse numeric order: a linear or number-ordered walk reads the
+    # wrong bytes; only the header pair table gives correct offsets
+    members.sort(key=lambda kv: -kv[0])
+    header = bytearray()
+    body = bytearray()
+    for onum, obody in members:
+        header += str(onum).encode() + b" " + str(len(body)).encode() + b" "
+        body += obody + b" "
+    first = len(header)
+    stm_raw = bytes(header) + bytes(body)
+    stm_z = zlib.compress(stm_raw, 6)
+    objstm_body = (
+        b"<< /Type /ObjStm /N " + str(len(members)).encode()
+        + b" /First " + str(first).encode()
+        + b" /Length " + str(len(stm_z)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + stm_z + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for i, cb in enumerate(content_bodies, start=1):
+        offsets[i] = len(out)
+        out += str(i).encode() + b" 0 obj\n" + cb + b"\nendobj\n"
+    offsets[objstm_id] = len(out)
+    out += str(objstm_id).encode() + b" 0 obj\n" + objstm_body + b"\nendobj\n"
+    xref_off = len(out)
+    offsets[xref_id] = xref_off
+
+    # entries in /W [1 4 2] layout; type 2 index = position in the
+    # stream's (reversed) storage order, NOT the object number order
+    member_index = {onum: i for i, (onum, _) in enumerate(members)}
+
+    def entry(num: int) -> bytes:
+        if num == 0:
+            return b"\x00" + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big")
+        if num in member_index:
+            return (
+                b"\x02" + objstm_id.to_bytes(4, "big")
+                + member_index[num].to_bytes(2, "big")
+            )
+        return b"\x01" + offsets[num].to_bytes(4, "big") + (0).to_bytes(2, "big")
+
+    split = size // 2
+    index = [0, split, split, size - split]
+    rows = [entry(n) for n in range(size)]
+    if predictor:
+        data = _png_predict_up(rows)
+        parms = b" /DecodeParms << /Predictor 12 /Columns 7 >>"
+    else:
+        data = b"".join(rows)
+        parms = b""
+    data_z = zlib.compress(data, 6)
+    out += (
+        str(xref_id).encode() + b" 0 obj\n"
+        b"<< /Type /XRef /Size " + str(size).encode()
+        + b" /Root " + str(catalog_id).encode() + b" 0 R"
+        b" /W [1 4 2] /Index [ "
+        + b" ".join(str(v).encode() for v in index)
+        + b" ] /Length " + str(len(data_z)).encode()
+        + b" /Filter /FlateDecode" + parms + b" >>\nstream\n"
+        + data_z + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
     return bytes(out)
 
 
@@ -319,6 +465,44 @@ def _pdf_text_of(raw: bytes) -> str:
     return raw.decode("latin-1")
 
 
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Undo PNG row predictors (PDF predictor >= 10; spec §7.4.4.4) on a
+    1-byte-per-sample stream of `columns`-wide rows: each row leads with
+    a filter byte (None/Sub/Up/Average/Paeth), left/up neighbors are the
+    adjacent bytes. Xref streams are small (one row per object), so the
+    scalar loop is not a throughput path."""
+    stride = columns + 1
+    if len(data) % stride:
+        raise ValueError("predictor data is not a whole number of rows")
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(0, len(data), stride):
+        ftype = data[r]
+        row = bytearray(data[r + 1 : r + stride])
+        for i in range(columns):
+            left = row[i - 1] if i else 0
+            up = prev[i]
+            if ftype == 0:
+                pass
+            elif ftype == 1:
+                row[i] = (row[i] + left) & 0xFF
+            elif ftype == 2:
+                row[i] = (row[i] + up) & 0xFF
+            elif ftype == 3:
+                row[i] = (row[i] + (left + up) // 2) & 0xFF
+            elif ftype == 4:
+                ul = prev[i - 1] if i else 0
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                row[i] = (row[i] + pred) & 0xFF
+            else:
+                raise ValueError(f"unknown PNG row filter {ftype}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 class _Pdf:
     def __init__(self, blob: bytes):
         self.buf = blob
@@ -330,21 +514,50 @@ class _Pdf:
             pass
         if m is None:
             raise ValueError("missing startxref")
-        self.offsets = self._parse_xref(int(m.group(1)))
-        lx = _Lexer(blob, blob.index(b"trailer", int(m.group(1))) + len(b"trailer"))
-        self.trailer = _parse_object(lx)
+        # object number -> byte offset (int), ("objstm", num, idx), or
+        # None (free/deleted — shadows older sections in /Prev chains)
+        self.offsets: dict[int, object] = {}
+        self.trailer: dict | None = None
+        self._objstm_cache: dict[int, dict[int, object]] = {}
+        self._objstm_loading: set[int] = set()
+        self._load_xref(int(m.group(1)), depth=0)
+        if not isinstance(self.trailer, dict):
+            raise ValueError("trailer is not a dictionary")
         if b"/Encrypt" in self.trailer:
             raise NotImplementedError("encrypted PDFs not supported")
 
-    def _parse_xref(self, off: int) -> dict[int, int]:
+    def _load_xref(self, off: int, depth: int) -> None:
+        """Load one xref section (classic table or 1.5+ stream) and
+        follow its /Prev chain; newer sections win (setdefault)."""
+        if depth > 32:
+            raise ValueError("xref /Prev chain too deep")
         buf = self.buf
-        if buf[off : off + 4] != b"xref":
-            # PDF 1.5+ cross-reference stream: an indirect object here
-            raise NotImplementedError(
-                "cross-reference streams (PDF 1.5+) not supported; classic xref tables only"
-            )
+        if buf[off : off + 4] == b"xref":
+            section = self._parse_xref_table(off)
+            lx = _Lexer(buf, buf.index(b"trailer", off) + len(b"trailer"))
+            trailer = _parse_object(lx)
+            if not isinstance(trailer, dict):
+                raise ValueError("trailer is not a dictionary")
+            if b"/XRefStm" in trailer:
+                raise NotImplementedError(
+                    "hybrid-reference files (/XRefStm) not supported"
+                )
+        else:
+            section, trailer = self._parse_xref_stream(off)
+        for num, ent in section.items():
+            self.offsets.setdefault(num, ent)
+        if self.trailer is None:
+            self.trailer = trailer
+        prev = trailer.get(b"/Prev")
+        if prev is not None:
+            if not isinstance(prev, int) or prev < 0:
+                raise ValueError("/Prev must be a byte offset")
+            self._load_xref(prev, depth + 1)
+
+    def _parse_xref_table(self, off: int) -> dict[int, object]:
+        buf = self.buf
         lx = _Lexer(buf, off + 4)
-        offsets: dict[int, int] = {}
+        offsets: dict[int, object] = {}
         while True:
             lx.skip_ws()
             if buf[lx.pos : lx.pos + 7] == b"trailer":
@@ -358,37 +571,177 @@ class _Pdf:
                     raise ValueError("truncated xref entry")
                 if ent[17:18] == b"n":
                     offsets[first + i] = int(ent[0:10])
+                else:
+                    offsets[first + i] = None  # free: shadows /Prev
                 lx.pos += 20 if ent[18:20] in (b" \n", b" \r", b"\r\n") else 19
 
+    def _parse_xref_stream(self, off: int) -> tuple[dict[int, object], dict]:
+        """PDF 1.5+ cross-reference stream (spec §7.5.8): /W field
+        widths, /Index subsections, binary entries of type 0 (free),
+        1 (byte offset), 2 (in an object stream)."""
+        m = re.match(rb"(\d+)\s+(\d+)\s+obj", self.buf[off : off + 64])
+        if m is None:
+            raise ValueError("startxref does not point at xref data")
+        lx = _Lexer(self.buf, off + m.end())
+        d = _parse_object(lx)
+        if not isinstance(d, dict) or d.get(b"/Type") != b"/XRef":
+            raise ValueError("startxref object is not a /Type /XRef stream")
+        lx.skip_ws()
+        data = self._stream_body(lx, d, allow_parms=True)
+        if data is None:
+            raise ValueError("/XRef object has no stream data")
+        w = d.get(b"/W")
+        if (
+            not isinstance(w, list) or len(w) != 3
+            or not all(isinstance(x, int) and 0 <= x <= 8 for x in w)
+        ):
+            raise ValueError("/W must be three small field widths")
+        size = d.get(b"/Size")
+        if not isinstance(size, int) or size <= 0:
+            raise ValueError("/Size must be a positive integer")
+        index = d.get(b"/Index", [0, size])
+        if (
+            not isinstance(index, list) or len(index) % 2
+            or not all(isinstance(x, int) and x >= 0 for x in index)
+        ):
+            raise ValueError("/Index must be pairs of non-negative ints")
+        stride = sum(w)
+        if stride == 0 or len(data) % stride:
+            raise ValueError("xref stream data does not tile its /W stride")
+        runs = [(index[i], index[i + 1]) for i in range(0, len(index), 2)]
+        if sum(c for _, c in runs) != len(data) // stride:
+            raise ValueError("/Index counts do not match the entry data")
+        section: dict[int, object] = {}
+        pos = 0
+
+        def field(width: int, default: int) -> int:
+            nonlocal pos
+            if width == 0:
+                return default
+            v = int.from_bytes(data[pos : pos + width], "big")
+            pos += width
+            return v
+
+        for start, count in runs:
+            for num in range(start, start + count):
+                etype = field(w[0], 1)  # width-0 type defaults to 1
+                f2 = field(w[1], 0)
+                f3 = field(w[2], 0)
+                if etype == 0:
+                    section[num] = None
+                elif etype == 1:
+                    section[num] = f2
+                elif etype == 2:
+                    section[num] = ("objstm", f2, f3)
+                else:
+                    raise ValueError(f"unknown xref entry type {etype}")
+        return section, d
+
+    def _stream_body(self, lx: _Lexer, val: dict, *, allow_parms: bool = False):
+        """If `lx` sits at a `stream` keyword, return its decoded bytes
+        (else None). FlateDecode, optionally through the PNG row
+        predictors of /DecodeParms — which only xref streams carry."""
+        if self.buf[lx.pos : lx.pos + 6] != b"stream":
+            return None
+        p = lx.pos + 6
+        if self.buf[p : p + 2] == b"\r\n":
+            p += 2
+        elif self.buf[p : p + 1] == b"\n":
+            p += 1
+        length = self.resolve(val.get(b"/Length"))
+        if not isinstance(length, (int, float)) or int(length) < 0:
+            raise ValueError("stream without a numeric /Length")
+        data = self.buf[p : p + int(length)]
+        filt = val.get(b"/Filter")
+        if filt == b"/FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:
+                raise ValueError(f"content stream corrupt: {e}") from e
+        elif filt is not None:
+            raise NotImplementedError(f"stream filter {filt!r} not supported")
+        parms = val.get(b"/DecodeParms")
+        if parms is not None:
+            if not allow_parms:
+                raise NotImplementedError(
+                    "/DecodeParms on content streams not supported"
+                )
+            parms = self.resolve(parms)
+            if not isinstance(parms, dict):
+                raise ValueError("/DecodeParms is not a dictionary")
+            pred = self.resolve(parms.get(b"/Predictor", 1))
+            if pred == 1:
+                pass
+            elif isinstance(pred, int) and pred >= 10:
+                cols = self.resolve(parms.get(b"/Columns", 1))
+                if not isinstance(cols, int) or cols <= 0:
+                    raise ValueError("/Columns must be a positive integer")
+                data = _png_unpredict(data, cols)
+            else:
+                raise NotImplementedError(f"predictor {pred!r} not supported")
+        return data
+
+    def _objstm(self, num: int) -> dict[int, object]:
+        """Parse object stream `num` (spec §7.5.7): N header pairs of
+        (object number, offset past /First), then the objects."""
+        cached = self._objstm_cache.get(num)
+        if cached is not None:
+            return cached
+        if num in self._objstm_loading:
+            raise ValueError("object-stream reference cycle")
+        self._objstm_loading.add(num)
+        try:
+            d, data = self.object(num)
+        finally:
+            self._objstm_loading.discard(num)
+        if not isinstance(d, dict) or d.get(b"/Type") != b"/ObjStm":
+            raise ValueError(f"object {num} is not an /ObjStm")
+        if data is None:
+            raise ValueError("/ObjStm without stream data")
+        if b"/Extends" in d:
+            raise NotImplementedError("/ObjStm /Extends chains not supported")
+        n = self.resolve(d.get(b"/N"))
+        first = self.resolve(d.get(b"/First"))
+        if not isinstance(n, int) or n < 0 or not isinstance(first, int) or first < 0:
+            raise ValueError("/ObjStm needs integer /N and /First")
+        lx = _Lexer(data, 0)
+        pairs = []
+        for _ in range(n):
+            onum = int(lx.token())
+            ooff = int(lx.token())
+            pairs.append((onum, ooff))
+        members: dict[int, object] = {}
+        for onum, ooff in pairs:
+            if first + ooff > len(data):
+                raise ValueError("/ObjStm member offset past stream end")
+            members[onum] = _parse_object(_Lexer(data, first + ooff))
+        self._objstm_cache[num] = members
+        return members
+
     def object(self, num: int):
-        off = self.offsets.get(num)
-        if off is None:
+        ent = self.offsets.get(num)
+        if ent is None:
             raise ValueError(f"object {num} not in xref")
+        if isinstance(ent, tuple):  # ("objstm", container, index)
+            # the header pair table is authoritative, not the entry index
+            _, snum, _idx = ent
+            members = self._objstm(snum)
+            if num not in members:
+                raise ValueError(
+                    f"object {num} not found in object stream {snum}"
+                )
+            return members[num], None
+        off = ent
         m = re.match(rb"(\d+)\s+(\d+)\s+obj", self.buf[off : off + 64])
         if m is None or int(m.group(1)) != num:
             raise ValueError(f"xref offset for object {num} does not point at it")
         lx = _Lexer(self.buf, off + m.end())
         val = _parse_object(lx)
         lx.skip_ws()
-        if self.buf[lx.pos : lx.pos + 6] == b"stream":
-            p = lx.pos + 6
-            if self.buf[p : p + 2] == b"\r\n":
-                p += 2
-            elif self.buf[p : p + 1] == b"\n":
-                p += 1
-            length = self.resolve(val.get(b"/Length"))
-            if not isinstance(length, (int, float)) or int(length) < 0:
-                raise ValueError("stream without a numeric /Length")
-            data = self.buf[p : p + int(length)]
-            filt = val.get(b"/Filter")
-            if filt == b"/FlateDecode":
-                try:
-                    data = zlib.decompress(data)
-                except zlib.error as e:
-                    raise ValueError(f"content stream corrupt: {e}") from e
-            elif filt is not None:
-                raise NotImplementedError(f"stream filter {filt!r} not supported")
-            return val, data
+        if isinstance(val, dict):
+            data = self._stream_body(lx, val)
+            if data is not None:
+                return val, data
         return val, None
 
     def resolve(self, v):
@@ -478,9 +831,10 @@ def _page_text(content: bytes) -> str:
 
 def extract_pdf_text(blob: bytes) -> list[str]:
     """Parse a PDF and return per-page extracted text (one string per
-    page, lines joined with newlines). Raises on encrypted documents,
-    xref streams, and non-Flate filters — honest boundaries with
-    specific messages; silent empty-string extraction is how corpora
+    page, lines joined with newlines). Handles both classic xref tables
+    and PDF 1.5+ xref/object streams; raises on encrypted documents,
+    hybrid-reference files, and non-Flate filters — honest boundaries
+    with specific messages; silent empty-string extraction is how corpora
     fill with blank documents. Truncated object data surfaces as
     ValueError (the parser indexes untrusted bytes; a bare IndexError
     at the API boundary would read as a bug, not a bad input)."""
@@ -506,7 +860,10 @@ def _extract_pdf_text(blob: bytes) -> list[str]:
             raise ValueError("pages-tree node is not a dictionary")
         typ = node.get(b"/Type")
         if typ == b"/Pages":
-            for kid in pdf.resolve(node.get(b"/Kids")):
+            kids = pdf.resolve(node.get(b"/Kids"))
+            if not isinstance(kids, list):
+                raise ValueError("/Pages node without a /Kids array")
+            for kid in kids:
                 walk(kid)
             return
         if typ != b"/Page":

@@ -871,6 +871,96 @@ def multimodal_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MPEG audio frame walk: duration/bitrate metadata without decoding
+
+
+@_candidate(
+    "multimodal_mp3_frames",
+    """
+    WITH m AS (
+      SELECT doc_id AS i,
+             doc_id % 3 AS vsel,
+             CASE WHEN doc_id % 7 = 3 THEN 1
+                  WHEN doc_id % 7 = 5 THEN 2 ELSE 3 END AS layer,
+             (doc_id // 3) % 3 AS sr_idx,
+             6 + doc_id % 5 AS nframes,
+             doc_id % 4 = 0 AS vbr
+      FROM documents WHERE doc_id < 96),
+    g AS (
+      SELECT m.*,
+             (CASE m.sr_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                            ELSE 32000 END)
+             // (CASE m.vsel WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END) AS sr,
+             CASE WHEN m.layer = 1 THEN 384
+                  WHEN m.layer = 2 THEN 1152
+                  WHEN m.vsel = 0 THEN 1152 ELSE 576 END AS spf
+      FROM m),
+    fr AS (
+      SELECT g.i, g.sr, g.spf, g.nframes, g.vbr, f.f,
+             1 + (g.i + CASE WHEN g.vbr THEN f.f ELSE 0 END) % 8 AS br_idx,
+             (g.i + f.f) % 2 AS pad, g.layer, g.vsel
+      FROM g, generate_series(0, 10) AS f(f) WHERE f.f < g.nframes),
+    kb AS (
+      SELECT fr.*,
+             CASE
+               WHEN fr.vsel = 0 AND fr.layer = 1 THEN 32 * fr.br_idx
+               WHEN (fr.vsel = 0 AND fr.layer = 2)
+                 OR (fr.vsel <> 0 AND fr.layer = 1) THEN
+                 CASE fr.br_idx WHEN 1 THEN 32 WHEN 2 THEN 48 WHEN 3 THEN 56
+                   WHEN 4 THEN 64 WHEN 5 THEN 80 WHEN 6 THEN 96
+                   WHEN 7 THEN 112 ELSE 128 END
+               WHEN fr.vsel = 0 AND fr.layer = 3 THEN
+                 CASE fr.br_idx WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+                   WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+                   WHEN 7 THEN 96 ELSE 112 END
+               ELSE 8 * fr.br_idx
+             END AS kbps
+      FROM fr),
+    fl AS (
+      SELECT kb.*,
+             CASE WHEN kb.layer = 1
+                    THEN ((12000 * kb.kbps) // kb.sr + kb.pad) * 4
+                  WHEN kb.layer = 2 OR kb.vsel = 0
+                    THEN (144000 * kb.kbps) // kb.sr + kb.pad
+                  ELSE (72000 * kb.kbps) // kb.sr + kb.pad
+             END AS flen
+      FROM kb)
+    SELECT i AS media_id,
+           CAST(max(nframes) AS INT) AS frames,
+           CAST(max(sr) AS INT) AS sample_rate,
+           CAST(CASE WHEN max(i) % 2 = 1 THEN 1 ELSE 2 END AS INT) AS channels,
+           CAST(max(nframes) * max(spf) AS BIGINT) AS total_samples,
+           CAST((max(nframes) * max(spf) * 1000) // max(sr) AS BIGINT) AS dur_ms,
+           bool_or(vbr) AS vbr,
+           CAST(sum(flen) AS BIGINT) AS payload_bytes
+    FROM fl GROUP BY i
+    """,
+    "MPEG AUDIO (MP3) FRAME WALK, hash-verified — the duration/bitrate "
+    "metadata pass a crawl runs over every audio file BEFORE deciding "
+    "what to transcode, and it needs NO audio decode: version cycles "
+    "MPEG1/2/2.5, layers I/II/III by residue class (exercising Layer "
+    "I's 4-byte-slot length rule and MPEG2 Layer III's 576-sample "
+    "granule), per-frame bitrate cycling on VBR rows, per-frame padding "
+    "bits, leading ID3v2 tags and trailing ID3v1 blocks skipped "
+    "exactly. The oracle restates every per-frame integer length "
+    "formula and bitrate table in SQL, so a one-byte slip in the frame "
+    "walk desyncs and fails loudly. The frame payloads (actual MP3 "
+    "audio) remain the honest decode boundary "
+    "(llmdata/multimodal.py parse_mpeg_frames/make_mpeg_audio/"
+    "mpeg_audio_meta)",
+)
+def multimodal_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 96).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(ids, MM.make_mpeg_audio), media_type="audio/mpeg"
+    )
+    return MM.mpeg_audio_meta(media)
+
+
+# ---------------------------------------------------------------------------
 # Unicode NFC normalization: the first text-cleaning stage
 
 
@@ -1031,8 +1121,9 @@ def llm_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "strings; every third line rides each transport. The oracle "
     "reconstructs the page texts from the same formulas over the "
     "ORIGINAL text column, so any parser slip changes the md5. "
-    "Encrypted PDFs / xref streams / non-Flate filters refuse loudly "
-    "(llmdata/pdftext.py build_pdf/extract_pdf_text/pdf_text_features)",
+    "Encrypted PDFs / hybrid-reference files / non-Flate filters refuse "
+    "loudly (llmdata/pdftext.py build_pdf/extract_pdf_text/"
+    "pdf_text_features)",
 )
 def multimodal_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from typing import Iterator
@@ -1057,6 +1148,79 @@ def multimodal_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for k in range(1 + i % 3)
                 ]
                 payloads.append(P.build_pdf(pages, compress=i % 2 == 0))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        pack, "media_id long, payload binary"
+    )
+    return P.pdf_text_features(media)
+
+
+# ---------------------------------------------------------------------------
+# PDF 1.5+: cross-reference streams + object streams — the format most
+# real-world PDFs use today
+
+
+@_candidate(
+    "multimodal_pdf_xrefstream",
+    """
+    WITH m AS (
+      SELECT doc_id, text, 1 + doc_id % 4 AS npages
+      FROM documents WHERE doc_id < 64),
+    pg AS (
+      SELECT m.doc_id, m.npages, k.k,
+             'PDF15 doc ' || CAST(m.doc_id AS VARCHAR) || ' pg '
+               || CAST(k.k AS VARCHAR)
+             || chr(10) || substr(m.text, 1 + k.k * 11, 29)
+             || chr(10) || 'fin (' || CAST(k.k AS VARCHAR) || ') '
+               || chr(9834) AS pagetext
+      FROM m, generate_series(0, 3) AS k(k) WHERE k.k < m.npages),
+    joined AS (
+      SELECT doc_id, max(npages) AS npages,
+             string_agg(pagetext, chr(12) ORDER BY k) AS full_text
+      FROM pg GROUP BY doc_id)
+    SELECT doc_id AS media_id, CAST(npages AS INT) AS pages,
+           CAST(length(full_text) AS BIGINT) AS chars,
+           md5(full_text) AS fp
+    FROM joined
+    """,
+    "PDF 1.5 XREF/OBJECT STREAMS, hash-verified — the container shape "
+    "MOST real-world PDFs use today (classic tables are the legacy "
+    "path): documents are built distributed as real PDF 1.5 files — "
+    "catalog/page dicts packed in reverse order inside a compressed "
+    "OBJECT STREAM (only header-pair-driven readers extract them), a "
+    "CROSS-REFERENCE STREAM with /W field widths, a split /Index, and "
+    "the PNG Up row predictor on even doc_ids (odd ids unpredicted, so "
+    "both decode paths are load-bearing) — then extracted by the same "
+    "parser as multimodal_pdf_text through the new xref-stream / ObjStm "
+    "/ predictor machinery; the oracle reconstructs the page text "
+    "formulas over the ORIGINAL text column. The 1.5 container is "
+    "transport: a correct reader extracts identical text "
+    "(llmdata/pdftext.py build_pdf_15/_parse_xref_stream/_objstm)",
+)
+def multimodal_pdf_xrefstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from query_engine_spark.llmdata import pdftext as P
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i, t = int(i), str(t)
+                pages = [
+                    [
+                        f"PDF15 doc {i} pg {k}",
+                        t[k * 11 : k * 11 + 29],
+                        f"fin ({k}) ♪",
+                    ]
+                    for k in range(1 + i % 4)
+                ]
+                payloads.append(P.build_pdf_15(pages, predictor=i % 2 == 0))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     media = docs.select("doc_id", "text").mapInPandas(

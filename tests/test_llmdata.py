@@ -5040,6 +5040,99 @@ def test_exif_gps_rationals_exact_and_refusing():
                            [(0, 1), (0, 1), (0, 1)])))
 
 
+def test_mpeg_golden_hand_authored_streams():
+    """MPEG frame-walk conformance anchored OUTSIDE the co-developed
+    make/parse pair: byte-literal headers with independently computed
+    lengths per the public ISO 11172-3/13818-3 formulas.
+    0xFFFB9000 = MPEG1 Layer III 128 kbps 44.1 kHz stereo:
+    144000*128//44100 = 417 bytes (+1 padded)."""
+    from query_engine_spark.llmdata.multimodal import parse_mpeg_frames
+
+    # two MPEG1-L3 frames (unpadded + padded) + an ID3v1 trailer
+    f1 = b"\xff\xfb\x90\x00" + bytes(417 - 4)
+    f2 = b"\xff\xfb\x92\x00" + bytes(418 - 4)
+    m = parse_mpeg_frames(f1 + f2 + b"TAG" + bytes(125))
+    assert m == {
+        "frames": 2, "sample_rate": 44100, "channels": 2,
+        "total_samples": 2304, "dur_ms": 2304000 // 44100, "vbr": False,
+        "payload_bytes": 835,
+    }
+    # one MPEG2.5 Layer III frame: 16 kbps, 8 kHz -> 72000*16//8000 = 144
+    # bytes, 576-sample granule (the halved-constant path)
+    m25 = parse_mpeg_frames(b"\xff\xe3\x28\x00" + bytes(144 - 4))
+    assert (m25["frames"], m25["sample_rate"], m25["total_samples"],
+            m25["dur_ms"], m25["payload_bytes"]) == (1, 8000, 576, 72, 144)
+    # one MPEG1 Layer I frame, mono: slot-of-4 rule,
+    # ((12000*128)//44100)*4 = 136 bytes, 384 samples
+    m1 = parse_mpeg_frames(b"\xff\xff\x40\xc0" + bytes(136 - 4))
+    assert (m1["frames"], m1["channels"], m1["total_samples"],
+            m1["payload_bytes"]) == (1, 1, 384, 136)
+
+
+def test_mpeg_walk_boundaries_refuse_loudly():
+    import pytest
+
+    from query_engine_spark.llmdata.multimodal import (
+        make_mpeg_audio,
+        parse_mpeg_frames,
+    )
+
+    with pytest.raises(NotImplementedError, match="free-format"):
+        parse_mpeg_frames(b"\xff\xfb\x00\x00" + bytes(100))
+    with pytest.raises(ValueError, match="bitrate index 15"):
+        parse_mpeg_frames(b"\xff\xfb\xf0\x00" + bytes(100))
+    with pytest.raises(ValueError, match="reserved MPEG version"):
+        parse_mpeg_frames(b"\xff\xeb\x90\x00" + bytes(100))
+    with pytest.raises(ValueError, match="reserved MPEG layer"):
+        parse_mpeg_frames(b"\xff\xf9\x90\x00" + bytes(100))
+    with pytest.raises(ValueError, match="reserved MPEG samplerate"):
+        parse_mpeg_frames(b"\xff\xfb\x9c\x00" + bytes(100))
+    with pytest.raises(ValueError, match="truncated final"):
+        parse_mpeg_frames(b"\xff\xfb\x90\x00" + bytes(100))
+    with pytest.raises(ValueError, match="lost MPEG sync"):
+        parse_mpeg_frames(
+            b"\xff\xfb\x90\x00" + bytes(417 - 4) + b"junk trailing bytes!"
+        )
+    # mid-stream samplerate change: frame 2 at 48 kHz
+    f1 = b"\xff\xfb\x90\x00" + bytes(417 - 4)
+    f2_48k = b"\xff\xfb\x94\x00" + bytes(144000 * 128 // 48000 - 4)
+    with pytest.raises(ValueError, match="mid-stream"):
+        parse_mpeg_frames(f1 + f2_48k)
+    # walker never reads payloads: same metadata for different audio
+    a = parse_mpeg_frames(make_mpeg_audio(7))
+    blob = bytearray(make_mpeg_audio(7))
+    blob[10] ^= 0xFF  # corrupt payload, not header
+    assert parse_mpeg_frames(bytes(blob)) == a
+
+
+def test_mpeg_walk_mutation_fuzz():
+    """400 mutated MPEG streams: dict or contract error, never a hang or
+    an unrelated exception type."""
+    import random
+
+    from query_engine_spark.llmdata.multimodal import (
+        make_mpeg_audio,
+        parse_mpeg_frames,
+    )
+
+    rng = random.Random(41)
+    blobs = [make_mpeg_audio(i) for i in (0, 1, 3, 5, 10)]
+    for _ in range(400):
+        bad = bytearray(rng.choice(blobs))
+        op = rng.randrange(3)
+        if op == 0:
+            bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+        elif op == 1:
+            bad = bad[: rng.randrange(len(bad))]
+        else:
+            bad += bytes(rng.randrange(256) for _ in range(rng.randrange(1, 9)))
+        try:
+            out = parse_mpeg_frames(bytes(bad))
+        except (ValueError, NotImplementedError):
+            continue
+        assert isinstance(out, dict) and out["frames"] >= 1
+
+
 def test_nfc_cross_engine_agreement():
     """The NFC candidate's whole premise: Python unicodedata and DuckDB
     nfc_normalize implement the same UAX #15. Cross-check on adversarial
