@@ -629,3 +629,70 @@ def html_metadata(col: Column) -> dict[str, Column]:
         "og_title": og_title,
         "lang": lang,
     }
+
+
+# --- outlink graph: the WAT-style link-extraction pass (Common Crawl
+# ships it as a separate product because the outlink graph drives crawl
+# scheduling, host reputation, and PageRank-style quality priors) -------
+
+
+_HREF_RE = r"""(?is)<a\b[^>]*?href\s*=\s*["']([^"']*)["']"""
+
+
+def outlink_edges(df: DataFrame, *, html_col: str = "html",
+                  url_col: str = "url") -> DataFrame:
+    """HOST-level outlink edges (src_host, dst_host, links) from raw
+    HTML at scan speed — regexp_extract_all for the hrefs, pure column
+    expressions for resolution, one groupBy shuffle for the counts.
+
+    Resolution is host-exact rather than path-exact: absolute links
+    carry their own host, protocol-relative (`//host/..`) take the page
+    scheme, and root-relative AND path-relative links stay on the page
+    host — which is exactly right for a host graph (path dot-segment
+    merging per RFC 3986 §5.2 would change no edge). Non-fetch schemes
+    (mailto:, javascript:, data:, tel:) and fragment-only links drop.
+    Hosts lowercase (DNS is case-insensitive); paths are not emitted.
+
+    The heavy regexp_extract_all is projected in its OWN select below
+    the explode (the explode-recompute trap: a sibling expression of
+    explode re-evaluates per output row)."""
+    url = F.col(url_col)
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    host = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    staged = df.select(
+        host.alias("src_host"),
+        scheme.alias("_scheme"),
+        F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), F.lit(1)).alias(
+            "_hrefs"
+        ),
+    )
+    links = staged.select(
+        "src_host", "_scheme", F.explode("_hrefs").alias("_link")
+    )
+    link = F.col("_link")
+    is_abs = link.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+    is_proto = link.startswith("//")
+    is_scheme_only = link.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")  # mailto: etc.
+    dst = (
+        F.when(
+            is_abs,
+            F.lower(
+                F.regexp_extract(
+                    link, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1
+                )
+            ),
+        )
+        .when(is_proto, F.lower(F.regexp_extract(link, r"^//([^/?#]+)", 1)))
+        .when(is_scheme_only | link.startswith("#") | (link == ""), F.lit(None))
+        .otherwise(F.col("src_host"))  # root- or path-relative: same host
+    )
+    return (
+        links.select("src_host", dst.alias("dst_host"))
+        .filter(F.col("dst_host").isNotNull() & (F.col("dst_host") != ""))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("links"))
+    )

@@ -1875,3 +1875,80 @@ def llm_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta["og_title"].alias("og_title"),
         meta["lang"].alias("lang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML outlink graph: the WAT-style link-extraction product
+
+
+@_candidate(
+    "llm_html_outlinks",
+    """
+    WITH m AS (
+      SELECT doc_id AS i,
+             'dom' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS src
+      FROM documents WHERE doc_id < 512),
+    e AS (
+      SELECT src, 'dom' || CAST((i + 1) % 7 AS VARCHAR) || '.example' AS dst,
+             CASE WHEN i % 3 = 0 THEN 2 ELSE 1 END AS n
+      FROM m
+      UNION ALL
+      SELECT src, src AS dst, 2 AS n FROM m
+      UNION ALL
+      SELECT src, 'dom' || CAST((i + 2) % 7 AS VARCHAR) || '.example' AS dst,
+             1 AS n
+      FROM m)
+    SELECT src AS src_host, dst AS dst_host, CAST(sum(n) AS BIGINT) AS links
+    FROM e GROUP BY src, dst
+    """,
+    "HTML OUTLINK GRAPH (the WAT-style link product Common Crawl ships "
+    "separately because it drives crawl scheduling, host reputation, "
+    "and PageRank priors): hrefs extracted at scan speed with "
+    "regexp_extract_all, resolved to HOST-level edges by pure column "
+    "expressions — absolute links keep their host (an UPPERCASE "
+    "scheme/host dup on every third page pins the lowercasing), "
+    "protocol-relative take the page scheme, root- AND path-relative "
+    "stay on the page host (host-exact without RFC 3986 dot-segment "
+    "merging, which can never change a host), mailto:/javascript:/"
+    "fragment-only links drop — then ONE groupBy shuffle counts edge "
+    "multiplicity. The oracle rebuilds the edge list from the "
+    "construction formulas, independent of the regexes. Quote styles, "
+    "attribute order, and whitespace around = all vary in the fixtures "
+    "(llmdata/warc.py outlink_edges)",
+)
+def llm_html_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata.warc import outlink_edges
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    i = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("https://dom"), s(i % 7), F.lit(".example/p/"), s(i)
+    )
+    dup_abs = F.when(
+        i % 3 == 0,
+        F.concat(
+            F.lit('<a href="HTTPS://DOM'), s((i + 1) % 7),
+            F.lit('.EXAMPLE/x2">dup</a>'),
+        ),
+    ).otherwise(F.lit(""))
+    page = F.concat(
+        F.lit("<html><body><p>intro</p>"),
+        # absolute, extra attributes before href
+        F.lit('<a class="nav" href="https://dom'), s((i + 1) % 7),
+        F.lit('.example/x/'), s(i), F.lit('">a</a>'),
+        dup_abs,
+        # root-relative, single quotes, whitespace around =
+        F.lit("<a href = '/local/"), s(i), F.lit("'>b</a>"),
+        # protocol-relative
+        F.lit('<a href="//dom'), s((i + 2) % 7), F.lit('.example/y">c</a>'),
+        # path-relative: counts toward the page host
+        F.lit('<a href="rel/path">r</a>'),
+        # dropped: non-fetch schemes and fragment-only
+        F.lit('<a href="mailto:x@y.example">m</a>'),
+        F.lit('<a href="javascript:void(0)">j</a>'),
+        F.lit('<a href="#frag">f</a>'),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(url.alias("url"), page.alias("html"))
+    return outlink_edges(pages)

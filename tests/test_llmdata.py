@@ -3749,6 +3749,49 @@ def test_canonical_url_collapses_trivial_variants(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_outlink_edges_resolution_semantics(spark):
+    """Host-level link resolution pinned case by case: absolute links
+    keep their (lowercased) host incl. ports, protocol-relative take the
+    page scheme, root- and path-relative stay on the page host, a colon
+    in the first relative segment reads as a scheme (RFC 3986's reason
+    for './'), and mailto/javascript/data/tel/fragment/empty all drop."""
+    from query_engine_spark.llmdata.warc import outlink_edges
+
+    html = (
+        '<a href="https://Other.Example:8443/x">abs</a>'
+        '<a href="//cdn.example/lib.js">proto</a>'
+        "<a href='/root/rel'>root</a>"
+        '<a href="sub/page.html">pathrel</a>'
+        '<a href="b:c">colonseg</a>'          # scheme-like: drops
+        '<a href="./b:c">dotted</a>'          # path-relative: same host
+        '<a href="mailto:a@b.c">m</a>'
+        '<a href="javascript:void(0)">j</a>'
+        '<a href="data:text/plain,x">d</a>'
+        '<a href="tel:+1555">t</a>'
+        '<a href="#top">f</a>'
+        '<a href="">e</a>'
+    )
+    df = spark.createDataFrame(
+        [("https://src.example/p/1", html)], "url string, html string"
+    )
+    got = {
+        (r["src_host"], r["dst_host"]): r["links"]
+        for r in outlink_edges(df).collect()
+    }
+    assert got == {
+        ("src.example", "other.example:8443"): 1,
+        ("src.example", "cdn.example"): 1,
+        # root-relative + path-relative + ./-dotted all stay on the host
+        ("src.example", "src.example"): 3,
+    }
+    # a page with no anchors contributes no rows (explode is inner)
+    empty = spark.createDataFrame(
+        [("https://a.example/", "<html><body>plain</body></html>")],
+        "url string, html string",
+    )
+    assert outlink_edges(empty).count() == 0
+
+
 def test_warc_to_curation_pipeline_end_to_end(spark):
     """The full crawl path in one lazy plan: WARC bytes → response docs →
     html_to_text → canonical-url dedup → the declarative curation

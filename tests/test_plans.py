@@ -384,6 +384,8 @@ def test_r9_candidate_decode_chains_map_only(spark):
         "llm_export_manifest",
         # groupBy(digest) — the CDX keep-earliest dedup
         "llm_cdx_select",
+        # groupBy(src_host, dst_host) — the outlink edge-count shuffle
+        "llm_html_outlinks",
     }
 
     for name, spec in CANDIDATES.items():
