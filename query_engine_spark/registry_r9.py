@@ -1952,3 +1952,116 @@ def llm_html_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = docs.select(url.alias("url"), page.alias("html"))
     return outlink_edges(pages)
+
+
+# ---------------------------------------------------------------------------
+# WebP lossless (VP8L): the dominant modern-web image format
+
+
+@_candidate(
+    "multimodal_webp",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 9 + doc_id % 4 AS w, 8 + doc_id % 3 AS h
+      FROM documents WHERE doc_id < 64),
+    px AS (
+      SELECT m.media_id, m.w, m.h, c.c,
+             (m.media_id*31 + y.y*7 + x.x*3 + c.c*11) % 256 AS v
+      FROM m, generate_series(0, 12) AS y(y), generate_series(0, 12) AS x(x),
+           generate_series(0, 2) AS c(c)
+      WHERE y.y < m.h AND x.x < m.w)
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS r_sum,
+           CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS g_sum,
+           CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_sum,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(media_id*31 % 256 AS INT) AS top_left_r
+    FROM px GROUP BY media_id, w, h
+    """,
+    "WebP LOSSLESS (VP8L) decode, hash-verified — the dominant "
+    "modern-web image format, previously the largest user-frequent "
+    "codec gap: a REAL decoder over the public RFC 9649 bitstream "
+    "(LSB-first reader, canonical prefix codes incl. the full "
+    "code-length-coded form with 17/18 runs, LZ77 with the 2D "
+    "plane-code distance map, the 0x1e35a7bd color cache, meta prefix "
+    "codes, and the SUBTRACT_GREEN / PREDICTOR (14 modes) / cross-COLOR "
+    "transforms applied in reverse stream order). Fixtures cycle the "
+    "transform/entropy variant by media_id so every decode path carries "
+    "formula pixels; three hand-authored golden bitstreams anchor the "
+    "wire format outside the co-developed pair, and the distance map is "
+    "pinned to the spec's published hex table. Lossy VP8 and extended "
+    "VP8X refuse loudly (llmdata/webp.py decode_webp/make_webp/"
+    "webp_features)",
+)
+def multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from query_engine_spark.llmdata import webp as WB
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                WB.make_webp(int(i), 9 + int(i) % 4, 8 + int(i) % 3)
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(pack, "media_id long, payload binary")
+    return WB.webp_features(media)
+
+
+@_candidate(
+    "multimodal_webp_palette",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 2 + doc_id % 30 AS k
+      FROM documents WHERE doc_id < 64),
+    px AS (
+      SELECT m.media_id, m.k, c.c,
+             CASE c.c
+               WHEN 0 THEN (((x.x*3 + y.y) % m.k)*37 + m.media_id) % 256
+               WHEN 1 THEN (((x.x*3 + y.y) % m.k)*11) % 256
+               ELSE (((x.x*3 + y.y) % m.k)*5 + 3) % 256
+             END AS v
+      FROM m, generate_series(0, 7) AS y(y), generate_series(0, 9) AS x(x),
+           generate_series(0, 2) AS c(c))
+    SELECT media_id, CAST(10 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS r_sum,
+           CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS g_sum,
+           CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_sum,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(media_id % 256 AS INT) AS top_left_r
+    FROM px GROUP BY media_id, k
+    """,
+    "WebP COLOR-INDEXING (palette) decode, hash-verified: the icon/logo "
+    "shape of the web's favorite lossless format — palette sizes cycle "
+    "2..31 so every sub-byte pixel-bundling width decodes (8, 4, and 2 "
+    "pixels per packed byte at <=2/<=4/<=16 colors, plain indices "
+    "above), with the delta-coded palette read through its own "
+    "sub-image entropy coder; indices out of palette range refuse. The "
+    "oracle recomputes every pixel from the index formula "
+    "(llmdata/webp.py make_webp_palette/decode_webp)",
+)
+def multimodal_webp_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from query_engine_spark.llmdata import webp as WB
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                WB.make_webp_palette(int(i), 10, 8, 2 + int(i) % 30)
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(pack, "media_id long, payload binary")
+    return WB.webp_features(media)

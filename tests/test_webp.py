@@ -1,0 +1,312 @@
+"""WebP lossless (llmdata/webp.py): the plane-code distance table pinned
+to the spec's published values, THREE hand-authored golden bitstreams
+assembled with a LOCAL bit packer (independent of the co-developed
+encoder — simple codes, the full code-length-coded form with 17/18 zero
+runs, and a 2D plane-code backward reference), the full
+encode/decode roundtrip matrix, boundaries, and mutation fuzz."""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from query_engine_spark.llmdata import webp as W
+
+
+def test_webp_plane_code_anchors():
+    """The 120-entry 2D distance map, pinned against the spec's published
+    table in its yoffset*16 + (8 - xoffset) hex form — the first sixteen
+    entries are 18 07 17 19 28 06 27 29 16 1a 26 2a 38 05 37 39."""
+    table = W._PLANE_CODES
+    assert len(table) == 120
+    assert len(set(table)) == 120
+    hexes = [dy * 16 + (8 - dx) for dx, dy in table]
+    assert hexes[:16] == [
+        0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29,
+        0x16, 0x1A, 0x26, 0x2A, 0x38, 0x05, 0x37, 0x39,
+    ]
+    # every entry strictly backward, within the 8-offset window
+    for dx, dy in table:
+        assert 0 <= dy <= 8 and -8 <= dx <= 8
+        assert dy > 0 or dx > 0
+    # distances clamp to >= 1 when dx + dy*xsize would go non-positive
+    assert W._plane_to_distance(4, 1) == 1  # (-1, 1) on a 1-wide image
+    assert W._plane_to_distance(121, 999) == 1  # direct code 121 -> 1
+
+
+class _Bits:
+    """LOCAL bit packer restating VP8L's LSB-first convention — the
+    goldens must not be assembled by the encoder under test."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def put(self, value: int, n: int) -> None:  # LSB-first field
+        for i in range(n):
+            self.bits.append((value >> i) & 1)
+
+    def put_code(self, code: int, length: int) -> None:  # MSB-first code
+        for j in range(length - 1, -1, -1):
+            self.bits.append((code >> j) & 1)
+
+    def bytes(self) -> bytes:
+        out = bytearray((len(self.bits) + 7) // 8)
+        for p, b in enumerate(self.bits):
+            if b:
+                out[p >> 3] |= 1 << (p & 7)
+        return bytes(out)
+
+
+def _riff(payload: bytes) -> bytes:
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def _simple_code_1(bits: _Bits, sym: int) -> None:
+    """Write a single-symbol simple code (zero bits per use)."""
+    bits.put(1, 1)  # simple
+    bits.put(0, 1)  # one symbol
+    if sym <= 1:
+        bits.put(0, 1)
+        bits.put(sym, 1)
+    else:
+        bits.put(1, 1)
+        bits.put(sym, 8)
+
+
+def test_webp_golden_simple_codes():
+    """2x2 image, all five codes in the simple form, greens 5/200."""
+    bits = _Bits()
+    bits.put(1, 14)  # width - 1
+    bits.put(1, 14)  # height - 1
+    bits.put(0, 1)  # alpha hint
+    bits.put(0, 3)  # version
+    bits.put(0, 1)  # no transforms
+    bits.put(0, 1)  # no color cache
+    bits.put(0, 1)  # no meta prefix codes
+    # green: simple, two symbols 5 and 200
+    bits.put(1, 1)
+    bits.put(1, 1)
+    bits.put(1, 1)  # first symbol in 8 bits
+    bits.put(5, 8)
+    bits.put(200, 8)
+    _simple_code_1(bits, 10)  # red
+    _simple_code_1(bits, 20)  # blue
+    _simple_code_1(bits, 255)  # alpha
+    _simple_code_1(bits, 0)  # distance (unused)
+    # pixels: greens 5, 200, 200, 5 -> canonical 1-bit codes 0/1
+    for b in (0, 1, 1, 0):
+        bits.put_code(b, 1)
+    w, h, px = W.decode_webp(_riff(b"\x2f" + bits.bytes()))
+    assert (w, h) == (2, 2)
+    assert px == [
+        W._argb(255, 10, 5, 20),
+        W._argb(255, 10, 200, 20),
+        W._argb(255, 10, 200, 20),
+        W._argb(255, 10, 5, 20),
+    ]
+
+
+def test_webp_golden_code_length_coded_green():
+    """1x3 image whose green code uses the FULL code-length-coded form:
+    zero runs via symbols 17 and 18 (with their 3- and 7-bit extras),
+    lengths [g7->1, g9->2, g11->2], the _CL_ORDER table, and canonical
+    assignment — every value here computed by hand."""
+    bits = _Bits()
+    bits.put(0, 14)  # width 1
+    bits.put(2, 14)  # height 3
+    bits.put(0, 1)
+    bits.put(0, 3)
+    bits.put(0, 1)  # no transforms
+    bits.put(0, 1)  # no cache
+    bits.put(0, 1)  # no meta
+    # green, full form
+    bits.put(0, 1)
+    # CL lengths: {17:3, 18:2, 0:2, 1:3, 2:2} -> order prefix of 5
+    bits.put(1, 4)  # num_code_lengths - 4 = 1 -> 5 entries
+    for cl_len in (3, 2, 2, 3, 2):  # order: 17, 18, 0, 1, 2
+        bits.put(cl_len, 3)
+    bits.put(0, 1)  # no max_symbol cutoff
+    # canonical CL codes: (2,0)=00 (2,2)=01 (2,18)=10 (3,1)=110 (3,17)=111
+    bits.put_code(0b111, 3)  # 17: run of zeros
+    bits.put(4, 3)  # 3 + 4 = 7 zeros (symbols 0..6)
+    bits.put_code(0b110, 3)  # 1: g7 -> length 1
+    bits.put_code(0b00, 2)  # 0: g8 zero
+    bits.put_code(0b01, 2)  # 2: g9 -> length 2
+    bits.put_code(0b00, 2)  # 0: g10 zero
+    bits.put_code(0b01, 2)  # 2: g11 -> length 2
+    bits.put_code(0b10, 2)  # 18: long zero run
+    bits.put(127, 7)  # 11 + 127 = 138 zeros (g12..g149)
+    bits.put_code(0b10, 2)  # 18 again
+    bits.put(119, 7)  # 11 + 119 = 130 zeros (g150..g279)
+    _simple_code_1(bits, 33)  # red
+    _simple_code_1(bits, 44)  # blue
+    _simple_code_1(bits, 255)  # alpha
+    _simple_code_1(bits, 0)  # distance
+    # canonical green codes: g7 -> 0 (1 bit), g9 -> 10, g11 -> 11
+    bits.put_code(0b0, 1)
+    bits.put_code(0b10, 2)
+    bits.put_code(0b11, 2)
+    w, h, px = W.decode_webp(_riff(b"\x2f" + bits.bytes()))
+    assert (w, h) == (1, 3)
+    assert [(p >> 8) & 255 for p in px] == [7, 9, 11]
+    assert all((p >> 16) & 255 == 33 and p & 255 == 44 for p in px)
+
+
+def test_webp_golden_plane_code_backref():
+    """4x2 image: four literals then one LZ77 copy of length 4 at 2D
+    plane code 1 = (0,1) = one row up. Green code carries a literal AND
+    the length-4 symbol (259), so the full form is required; the zero
+    runs around symbols 50 and 259 are hand-sized 18-runs."""
+    bits = _Bits()
+    bits.put(3, 14)  # width 4
+    bits.put(1, 14)  # height 2
+    bits.put(0, 1)
+    bits.put(0, 3)
+    bits.put(0, 1)  # no transforms
+    bits.put(0, 1)  # no cache
+    bits.put(0, 1)  # no meta
+    # green full form: lengths {50:1, 259:1}
+    bits.put(0, 1)
+    # CL lengths: {1:1, 18:1} -> order prefix [17,18,0,1] = 4 entries
+    bits.put(0, 4)
+    for cl_len in (0, 1, 0, 1):  # 17, 18, 0, 1
+        bits.put(cl_len, 3)
+    bits.put(0, 1)  # no cutoff
+    # canonical CL codes: (1,1)=0, (1,18)=1
+    bits.put_code(1, 1)  # 18: zeros
+    bits.put(39, 7)  # 11+39 = 50 zeros (g0..g49)
+    bits.put_code(0, 1)  # 1: g50 -> length 1
+    bits.put_code(1, 1)
+    bits.put(127, 7)  # 138 zeros (g51..g188)
+    bits.put_code(1, 1)
+    bits.put(59, 7)  # 70 zeros (g189..g258)
+    bits.put_code(0, 1)  # 1: g259 (length code 3 = copy length 4)
+    bits.put_code(1, 1)
+    bits.put(9, 7)  # 20 zeros (g260..g279)
+    _simple_code_1(bits, 60)  # red
+    _simple_code_1(bits, 70)  # blue
+    _simple_code_1(bits, 255)  # alpha
+    _simple_code_1(bits, 0)  # distance: symbol 0 -> code value 1
+    # canonical green: g50 -> 0, g259 -> 1
+    for _ in range(4):
+        bits.put_code(0, 1)  # four literals, green 50
+    bits.put_code(1, 1)  # length symbol: length 4, no extra bits
+    # distance symbol decodes with zero bits; code value 1 -> plane (0,1)
+    w, h, px = W.decode_webp(_riff(b"\x2f" + bits.bytes()))
+    assert (w, h) == (4, 2)
+    assert px == [W._argb(255, 60, 50, 70)] * 8
+
+
+def test_webp_roundtrip_matrix():
+    rng = random.Random(5)
+    w, h = 11, 6
+    px = [
+        W._argb(255, rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(w * h)
+    ]
+    variants = [
+        {},
+        {"subtract_green": True},
+        *({"predictor": m} for m in range(14)),
+        {"cross_color": (130, 77, 250)},
+        {"subtract_green": True, "predictor": 11},
+        {"lz77": True},
+        {"cache_bits": 5},
+        {"lz77": True, "cache_bits": 3, "subtract_green": True},
+        {"meta_bits": 2},
+        {"meta_bits": 3, "cache_bits": 2},
+    ]
+    for kw in variants:
+        got = W.decode_webp(W.encode_webp(w, h, px, **kw))
+        assert got == (w, h, px), kw
+    # palettes at every bundling width + unbundled, incl. non-divisible
+    # widths (partial last packed byte)
+    for ncolors in (2, 3, 4, 5, 16, 17, 40):
+        pal = [W._argb(255, j * 6 % 256, j, 255 - j) for j in range(ncolors)]
+        ppx = [pal[(x + 2 * y) % ncolors] for y in range(h) for x in range(w)]
+        got = W.decode_webp(W.encode_webp(w, h, ppx, palette=True))
+        assert got == (w, h, ppx), ncolors
+    # alpha-varying pixels survive
+    apx = [W._argb((x * 29 + y) % 256, x % 256, y % 256, 7) for y in range(h) for x in range(w)]
+    assert W.decode_webp(W.encode_webp(w, h, apx)) == (w, h, apx)
+
+
+def test_webp_boundaries_refuse_loudly():
+    blob = W.encode_webp(2, 2, [W._argb(255, 1, 2, 3)] * 4)
+    with pytest.raises(ValueError, match="RIFF/WEBP"):
+        W.decode_webp(b"not a webp at all....")
+    with pytest.raises(NotImplementedError, match="lossy"):
+        W.decode_webp(blob[:12] + b"VP8 " + blob[16:])
+    with pytest.raises(NotImplementedError, match="VP8X"):
+        W.decode_webp(blob[:12] + b"VP8X" + blob[16:])
+    with pytest.raises(ValueError, match="signature"):
+        W.decode_webp(blob[:20] + b"\x00" + blob[21:])
+    with pytest.raises(ValueError, match="truncated|chunk|past end"):
+        W.decode_webp(blob[:-3])
+    # palette + spatial transform combos refuse at both ends
+    with pytest.raises(ValueError, match="palette"):
+        W.encode_webp(2, 2, [W._argb(255, 1, 2, 3)] * 4, palette=True,
+                      subtract_green=True)
+
+
+def test_webp_mutation_fuzz():
+    """600 mutated WebP files: decode returns pixels or raises a
+    contract error — never hangs, never leaks an unrelated type."""
+    rng = random.Random(17)
+    blobs = [
+        W.make_webp(m, 9 + m % 4, 8 + m % 3) for m in range(6)
+    ] + [W.make_webp_palette(1, 8, 6, 11)]
+    for _ in range(600):
+        bad = bytearray(rng.choice(blobs))
+        op = rng.randrange(3)
+        if op == 0:
+            bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+        elif op == 1:
+            bad = bad[: rng.randrange(len(bad))]
+        else:
+            bad += bytes(rng.randrange(256) for _ in range(rng.randrange(1, 9)))
+        try:
+            w, h, px = W.decode_webp(bytes(bad))
+        except (ValueError, NotImplementedError):
+            continue
+        assert len(px) == w * h
+
+
+def test_webp_spark_stage_map_only(spark):
+    import pandas as pd
+
+    ids = spark.createDataFrame(pd.DataFrame({"media_id": range(8)}))
+
+    def pack(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        W.make_webp(int(i), 9 + int(i) % 4, 8 + int(i) % 3)
+                        for i in pdf["media_id"]
+                    ],
+                }
+            )
+
+    media = ids.mapInPandas(pack, "media_id long, payload binary")
+    feats = W.webp_features(media)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    for m in range(8):
+        w, h = 9 + m % 4, 8 + m % 3
+        want_r = sum(
+            (m * 31 + y * 7 + x * 3) % 256 for y in range(h) for x in range(w)
+        )
+        assert (rows[m]["width"], rows[m]["height"]) == (w, h)
+        assert rows[m]["r_sum"] == want_r
+        assert rows[m]["top_left_r"] == (m * 31) % 256
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

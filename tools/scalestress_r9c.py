@@ -34,9 +34,16 @@ def main() -> None:
             predictor=i % 2 == 0,
         )
 
+    from query_engine_spark.llmdata import webp as WB
+
     media_probes = (
         ("pdf15_xrefstream", make_pdf15_fixture, PD.pdf_text_features),
         ("mp3_frame_walk", MM.make_mpeg_audio, MM.mpeg_audio_meta),
+        (
+            "webp_lossless",
+            lambda i: WB.make_webp(i, 9 + i % 4, 8 + i % 3),
+            WB.webp_features,
+        ),
     )
 
     for path, maker, feats in media_probes:
