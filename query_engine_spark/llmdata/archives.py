@@ -42,17 +42,26 @@ from pyspark.sql import DataFrame, functions as F
 _ZIP_LOCAL_SIG = 0x04034B50
 _ZIP_CDIR_SIG = 0x02014B50
 _ZIP_EOCD_SIG = 0x06054B50
+_ZIP64_EOCD_SIG = 0x06064B50
+_ZIP64_LOCATOR_SIG = 0x07064B50
 
 
-def build_zip(members: list[tuple[str, bytes]], *, level: int = 6) -> bytes:
+def build_zip(
+    members: list[tuple[str, bytes]], *, level: int = 6, zip64: bool = False
+) -> bytes:
     """Pack (name, bytes) members into a ZIP: DEFLATE (method 8) when it
     shrinks the member, STORED (method 0) otherwise — the mixed-method
-    layout real zips have. No ZIP64: >65535 members or >4 GiB offsets
-    raise (archives here are bounded-size by construction)."""
-    if len(members) > 0xFFFF:
-        raise NotImplementedError("ZIP64 (more than 65535 members) not supported")
+    layout real zips have. ZIP64 (APPNOTE 4.3.14/4.5.3) engages when
+    `zip64` is forced (how big-data tools write every archive) or
+    automatically past the classic limits (>65535 members / 4 GiB
+    offsets — at crawl scale these are ordinary): sentinel 0xFFFFFFFF
+    fields, 0x0001 extended-information extras, and the ZIP64
+    end-of-central-directory record + locator before the classic EOCD."""
     out = bytearray()
     cdir = bytearray()
+    # >= : exactly 65535 members would collide with the reader's
+    # sentinel check, so it switches one early (spec-legal either way)
+    use64 = zip64 or len(members) >= 0xFFFF
     for name, data in members:
         raw = name.encode("utf-8")
         crc = zlib.crc32(data) & 0xFFFFFFFF
@@ -64,25 +73,73 @@ def build_zip(members: list[tuple[str, bytes]], *, level: int = 6) -> bytes:
             method, payload = 0, data
         offset = len(out)
         if offset > 0xFFFFFFFF - len(payload):
-            raise NotImplementedError("ZIP64 (4 GiB offsets) not supported")
-        header = struct.pack(
-            "<IHHHHHIIIHH",
-            _ZIP_LOCAL_SIG, 20, 0, method, 0, 0,
-            crc, len(payload), len(data), len(raw), 0,
-        )
-        out += header + raw + payload
-        cdir += struct.pack(
-            "<IHHHHHHIIIHHHHHII",
-            _ZIP_CDIR_SIG, 20, 20, 0, method, 0, 0,
-            crc, len(payload), len(data), len(raw), 0, 0, 0, 0, 0, offset,
-        ) + raw
+            use64 = True
+        if use64:
+            # local header: sentinel sizes + 0x0001 extra (usize, csize)
+            extra = struct.pack("<HHQQ", 0x0001, 16, len(data), len(payload))
+            header = struct.pack(
+                "<IHHHHHIIIHH",
+                _ZIP_LOCAL_SIG, 45, 0, method, 0, 0,
+                crc, 0xFFFFFFFF, 0xFFFFFFFF, len(raw), len(extra),
+            )
+            out += header + raw + extra + payload
+            cextra = struct.pack(
+                "<HHQQQ", 0x0001, 24, len(data), len(payload), offset
+            )
+            cdir += struct.pack(
+                "<IHHHHHHIIIHHHHHII",
+                _ZIP_CDIR_SIG, 45, 45, 0, method, 0, 0,
+                crc, 0xFFFFFFFF, 0xFFFFFFFF, len(raw), len(cextra),
+                0, 0, 0, 0, 0xFFFFFFFF,
+            ) + raw + cextra
+        else:
+            header = struct.pack(
+                "<IHHHHHIIIHH",
+                _ZIP_LOCAL_SIG, 20, 0, method, 0, 0,
+                crc, len(payload), len(data), len(raw), 0,
+            )
+            out += header + raw + payload
+            cdir += struct.pack(
+                "<IHHHHHHIIIHHHHHII",
+                _ZIP_CDIR_SIG, 20, 20, 0, method, 0, 0,
+                crc, len(payload), len(data), len(raw), 0, 0, 0, 0, 0, offset,
+            ) + raw
     cd_off = len(out)
     out += cdir
-    out += struct.pack(
-        "<IHHHHIIH",
-        _ZIP_EOCD_SIG, 0, 0, len(members), len(members), len(cdir), cd_off, 0,
-    )
+    if use64:
+        z64_off = len(out)
+        out += struct.pack(
+            "<IQHHIIQQQQ",
+            _ZIP64_EOCD_SIG, 44, 45, 45, 0, 0,
+            len(members), len(members), len(cdir), cd_off,
+        )
+        out += struct.pack("<IIQI", _ZIP64_LOCATOR_SIG, 0, z64_off, 1)
+        out += struct.pack(
+            "<IHHHHIIH",
+            _ZIP_EOCD_SIG, 0, 0,
+            min(len(members), 0xFFFF), min(len(members), 0xFFFF),
+            0xFFFFFFFF, 0xFFFFFFFF, 0,
+        )
+    else:
+        out += struct.pack(
+            "<IHHHHIIH",
+            _ZIP_EOCD_SIG, 0, 0, len(members), len(members), len(cdir), cd_off, 0,
+        )
     return bytes(out)
+
+
+def _zip64_extra(blob: bytes, pos: int, elen: int, wanted: int) -> list[int]:
+    """Pull `wanted` 8-byte values from the 0x0001 extended-information
+    extra field in the extra block at [pos, pos+elen)."""
+    end = pos + elen
+    while pos + 4 <= end:
+        (hid, hsize) = struct.unpack_from("<HH", blob, pos)
+        if hid == 0x0001:
+            if hsize < 8 * wanted or pos + 4 + hsize > end:
+                raise ValueError("ZIP64 extra field too short")
+            return list(struct.unpack_from(f"<{wanted}Q", blob, pos + 4))
+        pos += 4 + hsize
+    raise ValueError("sentinel size without a ZIP64 extra field")
 
 
 def read_zip(blob: bytes) -> list[tuple[str, bytes]]:
@@ -98,13 +155,40 @@ def read_zip(blob: bytes) -> list[tuple[str, bytes]]:
     (sig, _dn, _cdn, _n_disk, n_total, cd_size, cd_off, _clen) = struct.unpack_from(
         "<IHHHHIIH", blob, eocd
     )
-    # self-extracting / junk-prefixed archives: every stored offset is
-    # relative to the original archive start, so the actual prefix length
-    # is the EOCD position minus where the CD claims to end — add it to
-    # every offset (the standard unzip fixup)
-    shift = eocd - (cd_off + cd_size)
-    if shift < 0:
-        raise ValueError("central directory overlaps the EOCD record")
+    has_locator = (
+        eocd >= 20
+        and struct.unpack_from("<I", blob, eocd - 20)[0] == _ZIP64_LOCATOR_SIG
+    )
+    if has_locator:
+        # ZIP64 (APPNOTE 4.3.15): the locator precedes the classic EOCD;
+        # the ZIP64 EOCD record (fixed 56 bytes in every mainstream
+        # writer) adjoins the locator, which also recovers the
+        # junk-prefix shift from its stored self-offset
+        (_lsig, _ldisk, z64_stored, _ndisks) = struct.unpack_from(
+            "<IIQI", blob, eocd - 20
+        )
+        z64_pos = eocd - 20 - 56
+        if (
+            z64_pos < 0
+            or struct.unpack_from("<I", blob, z64_pos)[0] != _ZIP64_EOCD_SIG
+        ):
+            raise ValueError("ZIP64 locator without an adjoining ZIP64 EOCD")
+        shift = z64_pos - z64_stored
+        if shift < 0:
+            raise ValueError("ZIP64 EOCD offset past its own position")
+        (_sig64, _rsize, _vm, _vn, _d1, _d2, _nd, n_total, cd_size, cd_off) = (
+            struct.unpack_from("<IQHHIIQQQQ", blob, z64_pos)
+        )
+    else:
+        if 0xFFFFFFFF in (cd_size, cd_off) or n_total == 0xFFFF:
+            raise ValueError("ZIP64 sentinel fields without a ZIP64 locator")
+        # self-extracting / junk-prefixed archives: every stored offset is
+        # relative to the original archive start, so the actual prefix
+        # length is the EOCD position minus where the CD claims to end —
+        # add it to every offset (the standard unzip fixup)
+        shift = eocd - (cd_off + cd_size)
+        if shift < 0:
+            raise ValueError("central directory overlaps the EOCD record")
     members: list[tuple[str, bytes]] = []
     pos = cd_off + shift
     for _ in range(n_total):
@@ -115,6 +199,13 @@ def read_zip(blob: bytes) -> list[tuple[str, bytes]]:
         if sig != _ZIP_CDIR_SIG:
             raise ValueError("central directory signature mismatch")
         name = blob[pos + 46 : pos + 46 + nlen].decode("utf-8")
+        sentinels = [v == 0xFFFFFFFF for v in (usize, csize, lho)]
+        if any(sentinels):
+            vals = _zip64_extra(blob, pos + 46 + nlen, elen, sum(sentinels))
+            it = iter(vals)
+            usize = next(it) if sentinels[0] else usize
+            csize = next(it) if sentinels[1] else csize
+            lho = next(it) if sentinels[2] else lho
         pos += 46 + nlen + elen + clen
         lho += shift
         (lsig, _v, _f, lmethod, _lt, _ld, _lcrc, _lcs, _lus, lnlen, lelen) = (
@@ -293,12 +384,13 @@ def pack_archives(
     """Group documents into bounded archives — archive_id = doc_id //
     group_size, members ordered by doc_id within the archive — and build
     one ZIP (or compressed ustar TAR) per group. `fmt` is "zip",
-    "tar.gz", "tar.bz2", "tar.xz", or "tar.mixed" (codec cycles
-    gz/bz2/xz by archive_id — the heterogeneous-release corpus shape;
-    readers auto-detect by magic). ONE shuffle on archive_id; the build
-    itself is an Arrow applyInPandas over each group. Returns
+    "zip64" (forced ZIP64 structures — how big-data tools write every
+    archive), "tar.gz", "tar.bz2", "tar.xz", or "tar.mixed" (codec
+    cycles gz/bz2/xz by archive_id — the heterogeneous-release corpus
+    shape; readers auto-detect by magic). ONE shuffle on archive_id; the
+    build itself is an Arrow applyInPandas over each group. Returns
     (archive_id long, payload binary)."""
-    if fmt not in ("zip", "tar.gz", "tar.bz2", "tar.xz", "tar.mixed"):
+    if fmt not in ("zip", "zip64", "tar.gz", "tar.bz2", "tar.xz", "tar.mixed"):
         raise ValueError(f"unknown archive format {fmt!r}")
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -308,8 +400,8 @@ def pack_archives(
             (_member_name(int(i)), str(t).encode("utf-8"))
             for i, t in zip(pdf[id_col], pdf[text_col])
         ]
-        if fmt == "zip":
-            blob = build_zip(members)
+        if fmt in ("zip", "zip64"):
+            blob = build_zip(members, zip64=fmt == "zip64")
         else:
             codec = (
                 ("gz", "bz2", "xz")[aid % 3]
@@ -337,7 +429,7 @@ def archive_members(df: DataFrame, *, fmt: str = "zip") -> DataFrame:
     one row per member with the recovered text's char count and md5, the
     losslessness fingerprint the ingest oracle hash-checks against the
     ORIGINAL documents table."""
-    if fmt != "zip" and not fmt.startswith("tar"):
+    if fmt not in ("zip", "zip64") and not fmt.startswith("tar"):
         raise ValueError(f"unknown archive format {fmt!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -347,7 +439,10 @@ def archive_members(df: DataFrame, *, fmt: str = "zip") -> DataFrame:
                 b = bytes(blob)
                 # tar codec is auto-detected by magic, so one reader
                 # handles gz/bz2/xz and mixed-codec corpora alike
-                members = read_zip(b) if fmt == "zip" else read_tar(decompress_auto(b))
+                members = (
+                    read_zip(b) if fmt.startswith("zip")
+                    else read_tar(decompress_auto(b))
+                )
                 for name, data in members:
                     rows.append(
                         {
@@ -369,7 +464,7 @@ def archive_documents(df: DataFrame, *, fmt: str = "zip") -> DataFrame:
     corpus-landing form of `archive_members` (same map-only Arrow pass,
     same CRC/checksum verification; this one ships the text to the sink
     instead of a fingerprint). Used by the streaming crawl ingest."""
-    if fmt != "zip" and not fmt.startswith("tar"):
+    if fmt not in ("zip", "zip64") and not fmt.startswith("tar"):
         raise ValueError(f"unknown archive format {fmt!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -377,7 +472,10 @@ def archive_documents(df: DataFrame, *, fmt: str = "zip") -> DataFrame:
             rows = []
             for blob in pdf["payload"]:
                 b = bytes(blob)
-                members = read_zip(b) if fmt == "zip" else read_tar(decompress_auto(b))
+                members = (
+                    read_zip(b) if fmt.startswith("zip")
+                    else read_tar(decompress_auto(b))
+                )
                 for name, data in members:
                     rows.append(
                         {"doc_id": _doc_id_of(name), "text": data.decode("utf-8")}

@@ -807,6 +807,35 @@ def llm_zip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_candidate(
+    "llm_zip64_ingest",
+    """
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS chars, md5(text) AS fp
+    FROM documents WHERE doc_id >= 256 AND doc_id < 512
+    """,
+    "ZIP64-corpus ingestion roundtrip, hash-verified: the APPNOTE "
+    "4.3.14/4.5.3 large-archive format big-data dumps actually ship "
+    "(forced ZIP64 structures, as tools writing past 4 GiB do for every "
+    "archive) — sentinel 0xFFFFFFFF size/offset fields resolved through "
+    "0x0001 extended-information extras, the ZIP64 end-of-central-"
+    "directory record and its locator chained before the classic EOCD, "
+    "junk-prefix shift recovered from the locator's self-offset. The "
+    "reader also auto-handles >65535-member archives (tested at 65535 "
+    "and 70000 members); a hand-authored one-member ZIP64 golden pins "
+    "the layout outside the co-developed pair. Same one-shuffle pack / "
+    "map-only extract plan and the same losslessness oracle as the "
+    "classic path (llmdata/archives.py build_zip(zip64=True)/read_zip)",
+)
+def llm_zip64_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import archives as AR
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= 256) & (F.col("doc_id") < 512)
+    )
+    packed = AR.pack_archives(docs, fmt="zip64", group_size=8)
+    return AR.archive_members(packed, fmt="zip64")
+
+
+@_candidate(
     "llm_tar_ingest",
     """
     SELECT doc_id, CAST(length(text) AS BIGINT) AS chars, md5(text) AS fp

@@ -109,8 +109,64 @@ def test_zip_corruption_raises():
     bad[last + 30 + nlen] ^= 0x55
     with pytest.raises(ValueError, match="CRC-32 mismatch"):
         A.read_zip(bytes(bad))
-    with pytest.raises(NotImplementedError, match="65535"):
-        A.build_zip([(f"m{i}", b"") for i in range(70000)])
+
+
+def test_zip64_roundtrip_and_golden():
+    """ZIP64 (APPNOTE 4.3.14/4.5.3): forced-zip64 archives roundtrip
+    (incl. junk-prefixed), >65535 members auto-switch, and a
+    hand-authored one-member STORED ZIP64 archive — sentinel sizes,
+    0x0001 extras, ZIP64 EOCD + locator, every offset a literal —
+    anchors the layout outside the co-developed pair."""
+    members = _sample_members()
+    z = A.build_zip(members, zip64=True)
+    assert A.read_zip(z) == members
+    assert A.read_zip(b"#!junk\n" + z) == members
+    # classic output unchanged when under the limits
+    assert b"PK\x06\x06" not in A.build_zip(members)
+    assert b"PK\x06\x06" in z
+    # auto-switch at the member-count limit
+    big = [(f"m{i:06d}", b"x") for i in range(65535)]
+    got = A.read_zip(A.build_zip(big))
+    assert len(got) == 65535 and got[-1] == ("m065534", b"x")
+    # --- hand-authored golden ---
+    name = b"b.txt"
+    data = b"Yo!"
+    crc = zlib.crc32(data) & 0xFFFFFFFF
+    local = (
+        struct.pack(
+            "<IHHHHHIIIHH",
+            0x04034B50, 45, 0, 0, 0, 0, crc,
+            0xFFFFFFFF, 0xFFFFFFFF, 5, 20,
+        )
+        + name
+        + struct.pack("<HHQQ", 0x0001, 16, 3, 3)
+        + data
+    )
+    cdir = (
+        struct.pack(
+            "<IHHHHHHIIIHHHHHII",
+            0x02014B50, 45, 45, 0, 0, 0, 0, crc,
+            0xFFFFFFFF, 0xFFFFFFFF, 5, 28, 0, 0, 0, 0, 0xFFFFFFFF,
+        )
+        + name
+        + struct.pack("<HHQQQ", 0x0001, 24, 3, 3, 0)
+    )
+    z64_eocd = struct.pack(
+        "<IQHHIIQQQQ",
+        0x06064B50, 44, 45, 45, 0, 0, 1, 1, len(cdir), len(local),
+    )
+    locator = struct.pack(
+        "<IIQI", 0x07064B50, 0, len(local) + len(cdir), 1
+    )
+    eocd = struct.pack(
+        "<IHHHHIIH", 0x06054B50, 0, 0, 1, 1, 0xFFFFFFFF, 0xFFFFFFFF, 0
+    )
+    golden = local + cdir + z64_eocd + locator + eocd
+    assert A.read_zip(golden) == [("b.txt", b"Yo!")]
+    assert A.read_zip(b"PREFIX--" + golden) == [("b.txt", b"Yo!")]
+    # sentinel fields without a locator refuse
+    with pytest.raises(ValueError, match="locator"):
+        A.read_zip(local + cdir + eocd)
 
 
 def test_tar_golden_hand_authored_header():
@@ -197,6 +253,7 @@ def test_archive_parsers_mutation_fuzz():
     members = _sample_members()
     for build, read in (
         (A.build_zip, A.read_zip),
+        (lambda m: A.build_zip(m, zip64=True), A.read_zip),
         (lambda m: A.gzip_bytes(A.build_tar(m)), lambda b: A.read_tar(A.gunzip_bytes(b))),
     ):
         blob = build(members)

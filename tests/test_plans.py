@@ -386,6 +386,8 @@ def test_r9_candidate_decode_chains_map_only(spark):
         "llm_cdx_select",
         # groupBy(src_host, dst_host) — the outlink edge-count shuffle
         "llm_html_outlinks",
+        # groupBy(archive_id) — same pack shuffle as the classic zip path
+        "llm_zip64_ingest",
     }
 
     for name, spec in CANDIDATES.items():
