@@ -330,3 +330,57 @@ def archive_ingest_start(
 def archive_ingest_docs(spark: SparkSession, docs_dir: str) -> DataFrame:
     """Read the landed corpus back without the ingest bookkeeping."""
     return spark.read.parquet(docs_dir).drop("__batch_id")
+
+
+def outlink_ingest_start(
+    spark: SparkSession,
+    input_dir: str,
+    edges_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Crawl-page outlink ingest: (url, html) page drops land in
+    `input_dir` as parquet; each micro-batch runs the scan-speed
+    `outlink_edges` extraction (llmdata/warc.py) and writes PARTIAL
+    host-level edge counts to the edge sink, partitioned by micro-batch
+    id with dynamic partition overwrite — so a replayed batch overwrites
+    its own partitions with identical content (the same exactly-once
+    device as the media and archive ingests).
+
+    The accumulated graph is aggregate-on-read (`outlink_graph` sums the
+    partials), which is the scalable shape: per-batch cost is O(batch
+    pages), history is never re-read, and partial counts are associative
+    so compaction can fold any subset of batches at any time without
+    changing results."""
+    from query_engine_spark.llmdata.warc import outlink_edges
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        (
+            outlink_edges(batch)
+            .withColumn("__batch_id", F.lit(batch_id))
+            .write.partitionBy("__batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(edges_dir)
+        )
+
+    reader = spark.readStream.schema("url string, html string")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    src = reader.parquet(input_dir)
+    return (
+        src.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def outlink_graph(spark: SparkSession, edges_dir: str) -> DataFrame:
+    """The accumulated host graph: per-batch partial edge counts summed
+    across all landed ingest batches."""
+    return (
+        spark.read.parquet(edges_dir)
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum("links").cast("long").alias("links"))
+    )

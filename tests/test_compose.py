@@ -479,3 +479,53 @@ def test_streaming_archive_ingest_matches_batch_and_restart(spark, tmp_path):
     assert got == want
     # exactly-once: no duplicate doc rows across batch partitions
     assert archive_ingest_docs(spark, docs_dir).count() == 25
+
+
+def test_streaming_outlink_graph_matches_batch_and_restart(spark, tmp_path):
+    """Streaming outlink ingest == batch extraction over all pages,
+    across a driver restart, with the graph assembled by summing
+    per-batch PARTIAL edge counts — the same host pair seen in several
+    micro-batches must fold to one row with the total, and a replayed
+    batch must not double-count (dynamic partition overwrite)."""
+    from query_engine_spark.llmdata.warc import outlink_edges
+    from query_engine_spark.streaming.compose import (
+        outlink_graph,
+        outlink_ingest_start,
+    )
+
+    def pages(lo: int, hi: int):
+        rows = [
+            (
+                f"https://dom{d % 5}.example/p/{d}",
+                f'<a href="https://dom{(d + 1) % 5}.example/x">a</a>'
+                f"<a href='/self/{d}'>s</a>"
+                f'<a href="mailto:x@y.z">m</a>',
+            )
+            for d in range(lo, hi)
+        ]
+        return spark.createDataFrame(rows, "url string, html string")
+
+    in_dir, edges_dir, ckpt = (str(tmp_path / n) for n in ("in", "edges", "ckpt"))
+    pages(0, 12).coalesce(1).write.mode("append").parquet(in_dir)
+    q1 = outlink_ingest_start(spark, in_dir, edges_dir, ckpt)
+    q1.processAllAvailable()
+    q1.stop()  # driver restart between crawl drops
+
+    pages(12, 30).coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = outlink_ingest_start(spark, in_dir, edges_dir, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {
+        (r["src_host"], r["dst_host"]): r["links"]
+        for r in outlink_graph(spark, edges_dir).collect()
+    }
+    want = {
+        (r["src_host"], r["dst_host"]): r["links"]
+        for r in outlink_edges(pages(0, 30)).collect()
+    }
+    assert got == want
+    # the same host pair appears in BOTH drops: partials really folded
+    assert any(v > 1 for v in got.values())
