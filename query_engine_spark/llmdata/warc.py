@@ -696,3 +696,88 @@ def outlink_edges(df: DataFrame, *, html_col: str = "html",
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).cast("long").alias("links"))
     )
+
+
+# --- Bloom-filter crawl-frontier dedup: "have we already fetched this
+# URL" against a history of billions WITHOUT joining the frontier to the
+# history — the filter is a compact bitmap every executor can hold ------
+
+
+def _bloom_positions(col: Column, m_bits: int, k: int) -> list[Column]:
+    """k deterministic bit positions from DISJOINT 8-hex-digit windows
+    of md5 — the engine-portable hash family (same values in DuckDB via
+    ('0x' || substr(md5(u), ...))::BIGINT). k <= 4 (md5 has 32 hex
+    digits)."""
+    if not 1 <= k <= 4:
+        raise ValueError("k must be 1..4 (md5 yields four 8-digit windows)")
+    return [
+        F.conv(F.substring(F.md5(col), 1 + 8 * i, 8), 16, 10).cast("long")
+        % m_bits
+        for i in range(k)
+    ]
+
+
+def build_bloom(
+    history: DataFrame, *, url_col: str = "url", m_bits: int = 1 << 15,
+    k: int = 3,
+) -> DataFrame:
+    """Fold a URL history into Bloom-filter words: (word, mask) rows
+    with mask the bit_or of 32-bit lanes. ONE aggregation whose output
+    is bounded by m_bits/32 rows regardless of history size — the whole
+    point at 100 TB: the history is scanned once and reduced to a
+    broadcastable bitmap, never joined row-to-row against the
+    frontier."""
+    pos = _bloom_positions(F.col(url_col), m_bits, k)
+    stacked = history.select(
+        F.explode(F.array(*pos)).alias("_pos")
+    )
+    return (
+        stacked.select(
+            (F.col("_pos") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(1L, cast(_pos % 32 AS int))").alias("_m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_m").alias("mask"))
+    )
+
+
+def frontier_not_seen(
+    frontier: DataFrame, bloom: DataFrame, *, url_col: str = "url",
+    m_bits: int = 1 << 15, k: int = 3,
+) -> DataFrame:
+    """Frontier rows whose URL is NOT (probably) in the history: each of
+    the k bit positions probes the broadcast filter with its own
+    map-side join — the frontier itself never shuffles — and a candidate
+    survives unless ALL k bits are set. False positives (dropping a
+    never-fetched URL) are the documented Bloom trade; false negatives
+    cannot happen, so nothing is ever fetched twice."""
+    from pyspark.sql.functions import broadcast
+
+    pos = _bloom_positions(F.col(url_col), m_bits, k)
+    df = frontier
+    hit_cols = []
+    for i, p in enumerate(pos):
+        df = (
+            df.withColumn(f"_p{i}", p)
+            .withColumn(f"_w{i}", (F.col(f"_p{i}") / 32).cast("long"))
+            .withColumn(
+                f"_b{i}",
+                F.expr(f"shiftleft(1L, cast(_p{i} % 32 AS int))"),
+            )
+        )
+        b = bloom.select(
+            F.col("word").alias(f"_bw{i}"), F.col("mask").alias(f"_bm{i}")
+        )
+        df = df.join(broadcast(b), F.col(f"_w{i}") == F.col(f"_bw{i}"), "left")
+        hit_cols.append(
+            F.coalesce(
+                (F.col(f"_bm{i}").bitwiseAND(F.col(f"_b{i}")) != 0),
+                F.lit(False),
+            )
+        )
+    seen = hit_cols[0]
+    for h in hit_cols[1:]:
+        seen = seen & h
+    keep = df.filter(~seen)
+    drop = [c for c in keep.columns if c.startswith(("_p", "_w", "_b"))]
+    return keep.drop(*drop)

@@ -2094,3 +2094,64 @@ def multimodal_webp_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.select("doc_id").mapInPandas(pack, "media_id long, payload binary")
     return WB.webp_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter crawl-frontier dedup
+
+
+@_candidate(
+    "crawl_frontier_bloom",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://site' || CAST(doc_id % 31 AS VARCHAR)
+               || '.example/p/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+    pos AS (
+      SELECT ('0x' || substr(md5(u.url), 1 + 8*i.i, 8))::BIGINT % 16384 AS p
+      FROM u, generate_series(0, 2) AS i(i) WHERE u.doc_id < 256),
+    words AS (
+      SELECT p // 32 AS word,
+             bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS mask
+      FROM pos GROUP BY 1),
+    cpos AS (
+      SELECT u.doc_id, u.url,
+             ('0x' || substr(md5(u.url), 1 + 8*i.i, 8))::BIGINT % 16384 AS p
+      FROM u, generate_series(0, 2) AS i(i)),
+    hits AS (
+      SELECT doc_id, url,
+             count(*) FILTER (
+               WHERE w.mask IS NOT NULL
+                 AND (w.mask & (1::BIGINT << CAST(cpos.p % 32 AS INT))) <> 0
+             ) AS nhit
+      FROM cpos LEFT JOIN words w ON cpos.p // 32 = w.word
+      GROUP BY doc_id, url)
+    SELECT doc_id, url FROM hits WHERE nhit < 3
+    """,
+    "BLOOM-FILTER CRAWL-FRONTIER DEDUP, hash-verified: 'have we already "
+    "fetched this URL' against an arbitrarily large history WITHOUT "
+    "joining the frontier to it — the history folds ONCE into a "
+    "(word, bit_or mask) bitmap bounded by m_bits/32 rows (the only "
+    "shuffle), and each of the k=3 deterministic md5-window bit "
+    "positions probes that broadcast table map-side, so the frontier "
+    "itself never shuffles. A candidate drops only when ALL k bits are "
+    "set; false negatives are impossible (nothing is fetched twice), "
+    "false positives are the documented Bloom trade and the oracle "
+    "replays the EXACT same hash family — the same 8-hex-digit md5 "
+    "windows — so the decision, FPs included, is bit-identical across "
+    "engines (llmdata/warc.py build_bloom/frontier_not_seen)",
+)
+def crawl_frontier_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata.warc import build_bloom, frontier_not_seen
+
+    docs = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://site"), (i % 31).cast("string"),
+        F.lit(".example/p/"), i.cast("string"),
+    )
+    all_urls = docs.select("doc_id", url.alias("url"))
+    hist = all_urls.filter(F.col("doc_id") < 256).select("url")
+    bloom = build_bloom(hist, m_bits=16384, k=3)
+    return frontier_not_seen(all_urls, bloom, m_bits=16384, k=3)

@@ -5421,3 +5421,43 @@ def test_robots_rfc9309_semantics():
     rev = parse_robots("User-agent: *\nAllow: /d/pub/\nDisallow: /d/\n")
     for path in ("/d/x", "/d/pub/x", "/e"):
         assert robots_allowed(fwd, "b", path) == robots_allowed(rev, "b", path)
+
+
+def test_bloom_frontier_no_false_negatives_and_exact_fps(spark):
+    """The Bloom frontier's contract, checked against a LOCAL Python
+    restatement of the same hash family (8-hex-digit md5 windows): every
+    history URL is dropped (false negatives impossible), and the kept
+    set equals the local filter's decision EXACTLY — false positives
+    included — because the hash family is deterministic."""
+    import hashlib
+
+    from query_engine_spark.llmdata.warc import build_bloom, frontier_not_seen
+
+    m_bits, k = 2048, 3  # deliberately small so false positives occur
+
+    def positions(u: str):
+        h = hashlib.md5(u.encode()).hexdigest()
+        return [int(h[8 * i : 8 * i + 8], 16) % m_bits for i in range(k)]
+
+    hist_urls = [f"https://s{i % 7}.example/p/{i}" for i in range(300)]
+    cand = [(i, f"https://s{i % 7}.example/p/{i}") for i in range(900)]
+    bits = set()
+    for u in hist_urls:
+        bits.update(positions(u))
+    want_keep = {
+        i for i, u in cand if not all(p in bits for p in positions(u))
+    }
+    assert all(i >= 300 for i in want_keep)  # no false negatives locally
+    assert len(want_keep) < 600  # small m: some false positives happened
+
+    hist_df = spark.createDataFrame([(u,) for u in hist_urls], "url string")
+    cand_df = spark.createDataFrame(cand, "doc_id long, url string")
+    bloom = build_bloom(hist_df, m_bits=m_bits, k=k)
+    got = {
+        r["doc_id"]
+        for r in frontier_not_seen(cand_df, bloom, m_bits=m_bits, k=k).collect()
+    }
+    assert got == want_keep
+    # the filter itself is bounded by m_bits/32 words however large the
+    # history — the property that makes it broadcastable at 100 TB
+    assert bloom.count() <= m_bits // 32
