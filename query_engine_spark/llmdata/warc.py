@@ -414,6 +414,30 @@ def make_sitemap(site_id: int, n_urls: int) -> bytes:
     return "".join(parts).encode("utf-8")
 
 
+def make_sitemap_gated(site_id: int, n_urls: int) -> bytes:
+    """Sitemap urlset fixture whose paths INTERSECT the make_robots rule
+    set (the crawl-schedule composition needs a gate that actually
+    gates): entries cycle allowed /data/public/ pages, disallowed /data/
+    pages, per-site secret subtrees (blocked only when the secret index
+    matches the site's), and /private/ pages (blocked for '*' but NOT
+    for agents with their own group — RFC 9309 group override)."""
+    ns = "http://www.sitemaps.org/schemas/sitemap/0.9"
+    parts = [f'<urlset xmlns="{ns}">']
+    for k in range(n_urls):
+        sel = k % 4
+        if sel == 0:
+            path = f"/data/public/pg{k}"
+        elif sel == 1:
+            path = f"/data/pg{k}"
+        elif sel == 2:
+            path = f"/data/public/secret{(site_id + k) % 3}/pg{k}"
+        else:
+            path = f"/private/pg{k}"
+        parts.append(f"<url><loc>https://s{site_id}.example{path}</loc></url>")
+    parts.append("</urlset>")
+    return "".join(parts).encode("utf-8")
+
+
 _SITEMAP_SCHEMA = (
     "site_id long, kind string, loc string, lastmod string, "
     "changefreq string, priority string"
@@ -591,6 +615,50 @@ def robots_decisions(df: DataFrame, *, id_col: str = "site_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=["site_id", "agent", "path", "allowed"])
 
     return df.select(id_col, "payload").mapInPandas(run, _ROBOTS_SCHEMA)
+
+
+def robots_gate(
+    pages: DataFrame,
+    robots: DataFrame,
+    agent: str,
+    *,
+    id_col: str = "site_id",
+    path_col: str = "path",
+) -> DataFrame:
+    """Gate arbitrary frontier paths through each site's robots.txt: the
+    per-site robots payloads (small — one row per HOST) broadcast-join
+    onto the pages, then one Arrow pass evaluates RFC 9309 longest-match
+    per row, memoizing the parsed rule set per site within each batch so
+    a million pages of one host parse its robots once per partition.
+    Adds an `allowed` int column; the pages never shuffle."""
+    from pyspark.sql.functions import broadcast
+
+    joined = pages.join(
+        broadcast(robots.select(F.col(id_col), F.col("payload"))), id_col
+    )
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in joined.schema.fields
+        if f.name != "payload"
+    ) + ", allowed int"
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            memo: dict[int, dict] = {}
+            allowed = []
+            for sid, payload, path in zip(
+                pdf[id_col], pdf["payload"], pdf[path_col]
+            ):
+                sid = int(sid)
+                if sid not in memo:
+                    memo[sid] = parse_robots(bytes(payload).decode("utf-8"))
+                allowed.append(int(robots_allowed(memo[sid], agent, str(path))))
+            out = pdf.drop(columns=["payload"])
+            out["allowed"] = allowed
+            yield out
+
+    return joined.mapInPandas(run, schema)
 
 
 def html_metadata(col: Column) -> dict[str, Column]:

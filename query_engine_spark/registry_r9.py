@@ -2155,3 +2155,124 @@ def crawl_frontier_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = all_urls.filter(F.col("doc_id") < 256).select("url")
     bloom = build_bloom(hist, m_bits=16384, k=3)
     return frontier_not_seen(all_urls, bloom, m_bits=16384, k=3)
+
+
+# ---------------------------------------------------------------------------
+# crawl-schedule composition: frontier -> robots gate -> Bloom dedup
+
+
+@_candidate(
+    "crawl_schedule",
+    """
+    WITH s AS (SELECT doc_id AS sid FROM documents WHERE doc_id < 48),
+    f AS (
+      SELECT s.sid, k.k,
+        CASE k.k % 4
+          WHEN 0 THEN '/data/public/pg' || k.k
+          WHEN 1 THEN '/data/pg' || k.k
+          WHEN 2 THEN '/data/public/secret'
+                      || CAST((s.sid + k.k) % 3 AS VARCHAR) || '/pg' || k.k
+          ELSE '/private/pg' || k.k
+        END AS path
+      FROM s, generate_series(0, 7) AS k(k)),
+    fr AS (
+      SELECT sid, k,
+             'https://s' || CAST(sid AS VARCHAR) || '.example' || path AS loc,
+             CASE k % 4
+               WHEN 0 THEN 1
+               WHEN 1 THEN 0
+               WHEN 2 THEN CASE WHEN k % 3 = 0 THEN 0 ELSE 1 END
+               ELSE 1
+             END AS allowed
+      FROM f),
+    hist AS (SELECT loc FROM fr WHERE k < 3),
+    pos AS (
+      SELECT ('0x' || substr(md5(loc), 1 + 8*i.i, 8))::BIGINT % 16384 AS p
+      FROM hist, generate_series(0, 2) AS i(i)),
+    words AS (
+      SELECT p // 32 AS word,
+             bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS mask
+      FROM pos GROUP BY 1),
+    cpos AS (
+      SELECT fr.sid, fr.loc, fr.allowed,
+             ('0x' || substr(md5(fr.loc), 1 + 8*i.i, 8))::BIGINT % 16384 AS p
+      FROM fr, generate_series(0, 2) AS i(i)),
+    hits AS (
+      SELECT sid, loc, allowed,
+             count(*) FILTER (
+               WHERE w.mask IS NOT NULL
+                 AND (w.mask & (1::BIGINT << CAST(cpos.p % 32 AS INT))) <> 0
+             ) AS nhit
+      FROM cpos LEFT JOIN words w ON cpos.p // 32 = w.word
+      GROUP BY sid, loc, allowed)
+    SELECT sid AS site_id, loc FROM hits WHERE allowed = 1 AND nhit < 3
+    """,
+    "CRAWL-SCHEDULE COMPOSITION, hash-verified end-to-end: the three "
+    "crawl-suite stages in ONE lazy plan — sitemap frontier expansion "
+    "(real XML parse over gated-path urlsets whose entries intersect "
+    "the robots rule set), the RFC 9309 robots gate evaluated on "
+    "ARBITRARY frontier paths (per-site rules broadcast onto the pages, "
+    "longest-match per row with per-site memoized parsing — the "
+    "/private/ rows pin the group-override rule: blocked for '*' but "
+    "allowed for an agent with its own group), and Bloom-filter history "
+    "dedup (already-crawled URLs fold into the broadcast bitmap; the "
+    "frontier never shuffles). The oracle reconstructs the frontier and "
+    "every gate decision from the construction formulas and replays the "
+    "exact Bloom hash family (llmdata/warc.py make_sitemap_gated/"
+    "robots_gate/build_bloom/frontier_not_seen)",
+)
+def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from query_engine_spark.llmdata import warc as WC
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 48)
+    sites = docs.select(F.col("doc_id").alias("site_id"))
+
+    def pack_maps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "site_id": pdf["site_id"],
+                    "payload": [
+                        WC.make_sitemap_gated(int(s), 8) for s in pdf["site_id"]
+                    ],
+                }
+            )
+
+    def pack_robots(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "site_id": pdf["site_id"],
+                    "payload": [
+                        WC.make_robots(int(s)).encode("utf-8")
+                        for s in pdf["site_id"]
+                    ],
+                }
+            )
+
+    maps = sites.mapInPandas(pack_maps, "site_id long, payload binary")
+    frontier = (
+        WC.sitemap_entries(maps)
+        .filter(F.col("kind") == "url")
+        .select(
+            "site_id",
+            "loc",
+            F.regexp_extract("loc", r"^https://[^/]+(/.*)$", 1).alias("path"),
+        )
+    )
+    robots = sites.mapInPandas(pack_robots, "site_id long, payload binary")
+    gated = WC.robots_gate(frontier, robots, "trainbot").filter(
+        F.col("allowed") == 1
+    )
+    hist = frontier.filter(
+        F.regexp_extract("loc", r"pg(\d+)$", 1).cast("int") < 3
+    ).select(F.col("loc").alias("url"))
+    bloom = WC.build_bloom(hist, m_bits=16384, k=3)
+    fresh = WC.frontier_not_seen(
+        gated, bloom, url_col="loc", m_bits=16384, k=3
+    )
+    return fresh.select("site_id", "loc")

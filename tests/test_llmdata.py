@@ -5461,3 +5461,43 @@ def test_bloom_frontier_no_false_negatives_and_exact_fps(spark):
     # the filter itself is bounded by m_bits/32 words however large the
     # history — the property that makes it broadcastable at 100 TB
     assert bloom.count() <= m_bits // 32
+
+
+def test_robots_gate_arbitrary_paths(spark):
+    """robots_gate evaluates RFC 9309 longest-match on ARBITRARY
+    frontier paths (not the fixed probe set): allowed /data/public/,
+    blocked /data/, per-site secret subtrees, and the group-override
+    rule — /private/ blocks '*'-governed agents but NOT an agent with
+    its own group."""
+    from query_engine_spark.llmdata.warc import make_robots, robots_gate
+
+    robots = spark.createDataFrame(
+        [(7, make_robots(7).encode("utf-8"))], "site_id long, payload binary"
+    )
+    pages = spark.createDataFrame(
+        [
+            (7, "/data/public/anything/deep"),
+            (7, "/data/blocked"),
+            (7, "/data/public/secret1/x"),  # 7 % 3 == 1: blocked
+            (7, "/data/public/secret2/x"),  # other index: allowed
+            (7, "/private/x"),
+        ],
+        "site_id long, path string",
+    )
+    got = {
+        r["path"]: r["allowed"]
+        for r in robots_gate(pages, robots, "trainbot").collect()
+    }
+    assert got == {
+        "/data/public/anything/deep": 1,
+        "/data/blocked": 0,
+        "/data/public/secret1/x": 0,
+        "/data/public/secret2/x": 1,
+        "/private/x": 1,  # trainbot has its own group: '*' rules ignored
+    }
+    star = {
+        r["path"]: r["allowed"]
+        for r in robots_gate(pages, robots, "randombot").collect()
+    }
+    assert star["/private/x"] == 0  # '*' group blocks /private/
+    assert star["/data/blocked"] == 1  # '*' group has no /data rule

@@ -392,7 +392,7 @@ def test_r9_candidate_decode_chains_map_only(spark):
     # the Bloom frontier probes the broadcast filter with k map-side
     # joins: exactly ONE data shuffle (the filter-build aggregation),
     # broadcast-only joins, and the frontier itself never repartitions
-    BLOOM_PROBE = {"crawl_frontier_bloom"}
+    BLOOM_PROBE = {"crawl_frontier_bloom", "crawl_schedule"}
 
     for name, spec in CANDIDATES.items():
         df = spec.fn(spark, SF)
