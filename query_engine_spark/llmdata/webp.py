@@ -16,9 +16,14 @@ for fixtures:
   signed 3.5 fixed-point deltas), SUBTRACT_GREEN, and COLOR_INDEXING
   (delta-coded palette incl. sub-byte pixel bundling at <=16 colors).
 
-Combining COLOR_INDEXING with the spatial transforms is refused (real
-encoders never emit it — the packed-width interplay is unobservable in
-practice), as are VP8 lossy payloads and VP8X containers.
+ANIMATED WebP decodes too: the VP8X + ANIM/ANMF container walk with
+lossless frames composited over a persistent canvas (no-blend copies,
+alpha blending for the exact 0/255 alpha domain, dispose-to-background
+after display — the GIF-compositing event model). Remaining honest
+boundaries: VP8 lossy payloads, static VP8X features (ALPH/EXIF/ICC),
+fractional-alpha blending (the spec formula is real-valued and
+implementations round differently), and combining COLOR_INDEXING with
+the spatial transforms (real encoders never emit it).
 
 Spark shape: decode is one map-only Arrow `mapInPandas` pass over opaque
 payloads, the same single-scan plan as every other codec stage.
@@ -626,28 +631,9 @@ def _apply_inverse_transforms(
     return pixels
 
 
-def decode_webp(blob: bytes) -> tuple[int, int, list[int]]:
-    """Decode a lossless WebP file: returns (width, height, ARGB pixel
-    list, raster order). Lossy ("VP8 ") and extended ("VP8X": animation,
-    EXIF, lossy-with-alpha) containers raise honest boundaries."""
-    if len(blob) < 20 or blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
-        raise ValueError("not a WebP (missing RIFF/WEBP header)")
-    riff_len = int.from_bytes(blob[4:8], "little")
-    if riff_len + 8 > len(blob):
-        raise ValueError("RIFF size past end of file")
-    fourcc = blob[12:16]
-    if fourcc == b"VP8 ":
-        raise NotImplementedError("lossy WebP (VP8) not supported")
-    if fourcc == b"VP8X":
-        raise NotImplementedError(
-            "extended WebP (VP8X: animation/EXIF/lossy-alpha) not supported"
-        )
-    if fourcc != b"VP8L":
-        raise ValueError(f"unknown WebP chunk {fourcc!r}")
-    chunk_len = int.from_bytes(blob[16:20], "little")
-    payload = blob[20 : 20 + chunk_len]
-    if len(payload) != chunk_len:
-        raise ValueError("VP8L chunk truncated")
+def _decode_vp8l_payload(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode one VP8L chunk payload (signature byte + bitstream) —
+    shared by the static path and the per-frame animation path."""
     if not payload or payload[0] != 0x2F:
         raise ValueError("bad VP8L signature byte")
     br = _BitReader(payload[1:])
@@ -658,6 +644,33 @@ def decode_webp(blob: bytes) -> tuple[int, int, list[int]]:
         raise ValueError("unknown VP8L version")
     pixels, transforms = _decode_image(br, w, h, level0=True)
     return w, h, _apply_inverse_transforms(pixels, w, h, transforms)
+
+
+def decode_webp(blob: bytes) -> tuple[int, int, list[int]]:
+    """Decode a lossless WebP file: returns (width, height, ARGB pixel
+    list, raster order). Lossy ("VP8 ") payloads and non-animation VP8X
+    features raise honest boundaries; animated files decode through
+    `decode_webp_frames`."""
+    if len(blob) < 20 or blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        raise ValueError("not a WebP (missing RIFF/WEBP header)")
+    riff_len = int.from_bytes(blob[4:8], "little")
+    if riff_len + 8 > len(blob):
+        raise ValueError("RIFF size past end of file")
+    fourcc = blob[12:16]
+    if fourcc == b"VP8 ":
+        raise NotImplementedError("lossy WebP (VP8) not supported")
+    if fourcc == b"VP8X":
+        raise NotImplementedError(
+            "extended WebP (VP8X) static features not supported; animated"
+            " files decode through decode_webp_frames"
+        )
+    if fourcc != b"VP8L":
+        raise ValueError(f"unknown WebP chunk {fourcc!r}")
+    chunk_len = int.from_bytes(blob[16:20], "little")
+    payload = blob[20 : 20 + chunk_len]
+    if len(payload) != chunk_len:
+        raise ValueError("VP8L chunk truncated")
+    return _decode_vp8l_payload(payload)
 
 
 # --------------------------------------------------------------------------
@@ -909,7 +922,7 @@ def _encode_entropy_image(
             _write_code(bw, *group["g"][280 + t[1]])
 
 
-def encode_webp(
+def _encode_vp8l_payload(
     w: int,
     h: int,
     pixels: list[int],
@@ -922,12 +935,12 @@ def encode_webp(
     lz77: bool = False,
     meta_bits: int | None = None,
 ) -> bytes:
-    """Encode ARGB pixels as a real lossless WebP. Transforms are
-    applied in stream order (the decoder inverse-applies in reverse):
-    subtract-green, then one whole-image-tile predictor mode or
-    cross-color element; or a palette (alone, like real encoders).
-    `meta_bits` splits the image into 2^bits tiles with one prefix-code
-    group per tile ROW (exercising meta prefix codes)."""
+    """VP8L chunk payload (signature byte + bitstream) for ARGB pixels.
+    Transforms are applied in stream order (the decoder inverse-applies
+    in reverse): subtract-green, then one whole-image-tile predictor
+    mode or cross-color element; or a palette (alone, like real
+    encoders). `meta_bits` splits the image into 2^bits tiles with one
+    prefix-code group per tile ROW (exercising meta prefix codes)."""
     if len(pixels) != w * h:
         raise ValueError("pixel count does not match dimensions")
     if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
@@ -1050,12 +1063,24 @@ def encode_webp(
         bw, coded, xsize, cache_bits=cache_bits, lz77=lz77,
         level0=True, meta=meta,
     )
-    payload = b"\x2f" + bw.bytes()
-    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    return b"\x2f" + bw.bytes()
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    out = fourcc + len(payload).to_bytes(4, "little") + payload
     if len(payload) & 1:
-        chunk += b"\x00"
-    riff = b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
-    return riff
+        out += b"\x00"
+    return out
+
+
+def _riff(chunks: bytes) -> bytes:
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WEBP" + chunks
+
+
+def encode_webp(w: int, h: int, pixels: list[int], **kw) -> bytes:
+    """Encode ARGB pixels as a real (static) lossless WebP file. See
+    `_encode_vp8l_payload` for the transform/entropy options."""
+    return _riff(_chunk(b"VP8L", _encode_vp8l_payload(w, h, pixels, **kw)))
 
 
 # --------------------------------------------------------------------------
@@ -1157,3 +1182,265 @@ def webp_features(df: DataFrame) -> DataFrame:
             ).astype({"width": "int32", "height": "int32", "top_left_r": "int32"})
 
     return df.select("media_id", "payload").mapInPandas(run, _WEBP_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# animated WebP (VP8X + ANIM/ANMF with lossless frames): the sticker /
+# short-loop shape of the modern web, composited exactly like the
+# animated-GIF path
+
+
+def encode_webp_anim(
+    cw: int,
+    ch: int,
+    frames: list[dict],
+    *,
+    bg_argb: int = 0,
+    loop: int = 0,
+) -> bytes:
+    """Encode an animated lossless WebP: VP8X (animation flag, canvas
+    dims), ANIM (background color in the container's BGRA byte order,
+    loop count), then one ANMF per frame — frame offsets are stored
+    HALVED (the container stores x/2, y/2, so offsets must be even),
+    each carrying a VP8L subchunk. Frame dicts: x, y, w, h, pixels,
+    dur_ms, blend ("alpha" or "none"), dispose (bool), plus optional
+    VP8L encoder kwargs under "vp8l"."""
+    if not (1 <= cw <= 1 << 24 and 1 <= ch <= 1 << 24):
+        raise ValueError("canvas dimensions out of VP8X range")
+    body = _chunk(
+        b"VP8X",
+        bytes([0x02]) + b"\x00\x00\x00"
+        + (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little"),
+    )
+    a, r, g, b = _chans(bg_argb)
+    body += _chunk(
+        b"ANIM", bytes([b, g, r, a]) + loop.to_bytes(2, "little")
+    )
+    for f in frames:
+        if f["x"] % 2 or f["y"] % 2:
+            raise ValueError("ANMF frame offsets must be even (stored /2)")
+        if f["x"] + f["w"] > cw or f["y"] + f["h"] > ch:
+            raise ValueError("frame rect outside the canvas")
+        flags = (0 if f.get("blend", "alpha") == "alpha" else 2) | (
+            1 if f.get("dispose") else 0
+        )
+        payload = (
+            (f["x"] // 2).to_bytes(3, "little")
+            + (f["y"] // 2).to_bytes(3, "little")
+            + (f["w"] - 1).to_bytes(3, "little")
+            + (f["h"] - 1).to_bytes(3, "little")
+            + int(f.get("dur_ms", 40)).to_bytes(3, "little")
+            + bytes([flags])
+            + _chunk(
+                b"VP8L",
+                _encode_vp8l_payload(
+                    f["w"], f["h"], f["pixels"], **f.get("vp8l", {})
+                ),
+            )
+        )
+        body += _chunk(b"ANMF", payload)
+    return _riff(body)
+
+
+def decode_webp_frames(blob: bytes) -> tuple[int, int, list[dict]]:
+    """Decode an animated lossless WebP into COMPOSITED canvases:
+    (canvas_w, canvas_h, [ {dur_ms, canvas} ]) with one full-canvas ARGB
+    pixel list per displayed frame. The canvas starts transparent black;
+    "alpha" blending supports per-pixel alpha 0 (keep canvas) and 255
+    (replace) and REFUSES fractional alpha — the spec's blend formula is
+    real-valued and implementations round differently, so guessing would
+    silently diverge from every real decoder; "none" blending copies the
+    rect including alpha. Disposal fills the frame rect with the ANIM
+    background color AFTER the frame displays (the container-spec rule).
+    Lossy VP8 frames raise."""
+    if len(blob) < 20 or blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        raise ValueError("not a WebP (missing RIFF/WEBP header)")
+    if blob[12:16] != b"VP8X":
+        raise ValueError("not an extended WebP (no VP8X chunk)")
+    pos = 12
+    vp8x = None
+    bg = 0
+    frames_out: list[dict] = []
+    canvas: list[int] | None = None
+    cw = ch = 0
+    end = 8 + int.from_bytes(blob[4:8], "little")
+    if end > len(blob):
+        raise ValueError("RIFF size past end of file")
+    while pos + 8 <= end:
+        fourcc = blob[pos : pos + 4]
+        clen = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+        payload = blob[pos + 8 : pos + 8 + clen]
+        if len(payload) != clen:
+            raise ValueError(f"{fourcc!r} chunk truncated")
+        pos += 8 + clen + (clen & 1)
+        if fourcc == b"VP8X":
+            if clen != 10:
+                raise ValueError("VP8X payload must be 10 bytes")
+            vp8x = payload
+            if not payload[0] & 0x02:
+                raise NotImplementedError(
+                    "VP8X without the animation flag (static alpha/EXIF/ICC)"
+                    " not supported"
+                )
+            cw = int.from_bytes(payload[4:7], "little") + 1
+            ch = int.from_bytes(payload[7:10], "little") + 1
+            canvas = [0] * (cw * ch)
+        elif fourcc == b"ANIM":
+            if len(payload) < 6:
+                raise ValueError("ANIM payload too short")
+            b_, g_, r_, a_ = payload[0], payload[1], payload[2], payload[3]
+            bg = _argb(a_, r_, g_, b_)
+        elif fourcc == b"ANMF":
+            if vp8x is None or canvas is None:
+                raise ValueError("ANMF before VP8X")
+            if len(payload) < 16:
+                raise ValueError("ANMF header truncated")
+            fx = int.from_bytes(payload[0:3], "little") * 2
+            fy = int.from_bytes(payload[3:6], "little") * 2
+            fw = int.from_bytes(payload[6:9], "little") + 1
+            fh = int.from_bytes(payload[9:12], "little") + 1
+            dur = int.from_bytes(payload[12:15], "little")
+            flags = payload[15]
+            if fx + fw > cw or fy + fh > ch:
+                raise ValueError("frame rect outside the canvas")
+            sub_cc = payload[16:20]
+            sub_len = int.from_bytes(payload[20:24], "little")
+            sub = payload[24 : 24 + sub_len]
+            if sub_cc == b"VP8 ":
+                raise NotImplementedError("lossy VP8 animation frames not supported")
+            if sub_cc == b"ALPH":
+                raise NotImplementedError("ALPH (lossy alpha) frames not supported")
+            if sub_cc != b"VP8L":
+                raise ValueError(f"unexpected ANMF subchunk {sub_cc!r}")
+            if len(sub) != sub_len:
+                raise ValueError("ANMF frame data truncated")
+            dw, dh, px = _decode_vp8l_payload(sub)
+            if (dw, dh) != (fw, fh):
+                raise ValueError("ANMF header dims disagree with the VP8L frame")
+            blend_none = bool(flags & 2)
+            for yy in range(fh):
+                row = (fy + yy) * cw + fx
+                for xx in range(fw):
+                    p = px[yy * fw + xx]
+                    if blend_none:
+                        canvas[row + xx] = p
+                    else:
+                        alpha = (p >> 24) & 255
+                        if alpha == 255:
+                            canvas[row + xx] = p
+                        elif alpha != 0:
+                            raise NotImplementedError(
+                                "fractional-alpha blending is rounding-"
+                                "implementation-defined; only 0/255 supported"
+                            )
+            frames_out.append({"dur_ms": dur, "canvas": list(canvas)})
+            if flags & 1:  # dispose to background AFTER display
+                for yy in range(fh):
+                    row = (fy + yy) * cw + fx
+                    for xx in range(fw):
+                        canvas[row + xx] = bg
+        elif fourcc in (b"EXIF", b"XMP ", b"ICCP"):
+            raise NotImplementedError(f"VP8X metadata chunk {fourcc!r} not supported")
+        else:
+            raise ValueError(f"unknown WebP chunk {fourcc!r}")
+    if vp8x is None:
+        raise ValueError("missing VP8X chunk")
+    if not frames_out:
+        raise ValueError("animated WebP with no ANMF frames")
+    return cw, ch, frames_out
+
+
+def make_webp_animated(media_id: int) -> bytes:
+    """Deterministic animated-WebP fixture over the GIF-compositing
+    event model: frame 0 is a full-canvas opaque no-blend base; frames
+    1..3 are half-size alpha-blended rects at even offsets whose pixels
+    go TRANSPARENT on the (x+y+f) % 5 == 0 schedule (canvas must show
+    through), and even frames >= 2 dispose their rect to the opaque ANIM
+    background afterwards. Entropy variants cycle per frame."""
+    cw, ch = 14 + media_id % 4, 10 + media_id % 3
+    bg = _argb(255, 9, 13, 17)
+    frames = []
+    for f in range(4):
+        if f == 0:
+            fx = fy = 0
+            fw, fh = cw, ch
+        else:
+            fw, fh = cw // 2, ch // 2
+            fx = 2 * (f % ((cw - fw) // 2 + 1))
+            fy = 2 * (f % ((ch - fh) // 2 + 1))
+        px = []
+        for yy in range(fh):
+            for xx in range(fw):
+                gx, gy = fx + xx, fy + yy
+                if f > 0 and (gx + gy + f) % 5 == 0:
+                    px.append(0)  # transparent: canvas shows through
+                else:
+                    base = media_id * 31 + f * 97 + gy * 7 + gx * 3
+                    px.append(
+                        _argb(255, base % 256, (base + 11) % 256, (base + 22) % 256)
+                    )
+        variants = [
+            {},
+            {"subtract_green": True},
+            {"predictor": 2},
+            {"lz77": True, "cache_bits": 3},
+        ]
+        frames.append(
+            {
+                "x": fx, "y": fy, "w": fw, "h": fh, "pixels": px,
+                "dur_ms": 40 + 10 * f,
+                "blend": "none" if f == 0 else "alpha",
+                "dispose": f >= 2 and f % 2 == 0,
+                "vp8l": variants[(media_id + f) % 4],
+            }
+        )
+    return encode_webp_anim(cw, ch, frames, bg_argb=bg, loop=media_id % 3)
+
+
+_WEBP_ANIM_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, dur_ms int,"
+    " r_sum long, g_sum long, b_sum long, a_sum long"
+)
+
+
+def webp_anim_features(df: DataFrame) -> DataFrame:
+    """Distributed animated-WebP decode+composite (Arrow mapInPandas,
+    map-only): one row per DISPLAYED frame with full-canvas channel sums
+    — a wrong overlay, a transparent hole filled, or a disposal leak
+    shifts the sums and fails the hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                cw, ch, frames = decode_webp_frames(bytes(blob))
+                for fi, fr in enumerate(frames):
+                    r_sum = g_sum = b_sum = a_sum = 0
+                    for p in fr["canvas"]:
+                        a_sum += (p >> 24) & 255
+                        r_sum += (p >> 16) & 255
+                        g_sum += (p >> 8) & 255
+                        b_sum += p & 255
+                    rows.append(
+                        {
+                            "media_id": mid, "frame_idx": fi,
+                            "width": cw, "height": ch,
+                            "dur_ms": fr["dur_ms"],
+                            "r_sum": r_sum, "g_sum": g_sum,
+                            "b_sum": b_sum, "a_sum": a_sum,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height", "dur_ms",
+                    "r_sum", "g_sum", "b_sum", "a_sum",
+                ],
+            ).astype(
+                {
+                    "frame_idx": "int32", "width": "int32",
+                    "height": "int32", "dur_ms": "int32",
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _WEBP_ANIM_SCHEMA)

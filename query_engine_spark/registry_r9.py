@@ -2276,3 +2276,84 @@ def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated, bloom, url_col="loc", m_bits=16384, k=3
     )
     return fresh.select("site_id", "loc")
+
+
+@_candidate(
+    "multimodal_webp_animated",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 14 + doc_id % 4 AS cw, 10 + doc_id % 3 AS ch
+      FROM documents WHERE doc_id < 48),
+    rect AS (
+      SELECT m.media_id, m.cw, m.ch, f.f,
+             CASE WHEN f.f = 0 THEN m.cw ELSE m.cw // 2 END AS fw,
+             CASE WHEN f.f = 0 THEN m.ch ELSE m.ch // 2 END AS fh,
+             CASE WHEN f.f = 0 THEN 0
+                  ELSE 2 * (f.f % ((m.cw - m.cw // 2) // 2 + 1)) END AS fx,
+             CASE WHEN f.f = 0 THEN 0
+                  ELSE 2 * (f.f % ((m.ch - m.ch // 2) // 2 + 1)) END AS fy
+      FROM m, generate_series(0, 3) AS f(f)),
+    ev AS (
+      -- frame f's opaque pixels paint at seq 2f; transparent holes
+      -- ((x+y+f) % 5 = 0 on f >= 1) emit NO event, so the canvas shows
+      SELECT r.media_id, 2*r.f AS seq, x.x AS x, y.y AS y,
+             (r.media_id*31 + r.f*97 + y.y*7 + x.x*3) % 256 AS rv,
+             (r.media_id*31 + r.f*97 + y.y*7 + x.x*3 + 11) % 256 AS gv,
+             (r.media_id*31 + r.f*97 + y.y*7 + x.x*3 + 22) % 256 AS bv
+      FROM rect r, generate_series(0, 17) AS x(x), generate_series(0, 12) AS y(y)
+      WHERE x.x >= r.fx AND x.x < r.fx + r.fw
+        AND y.y >= r.fy AND y.y < r.fy + r.fh
+        AND (r.f = 0 OR (x.x + y.y + r.f) % 5 != 0)
+      UNION ALL
+      -- dispose-to-background (even f >= 2) fills the rect with the
+      -- ANIM background color at seq 2f+1, before the next display
+      SELECT r.media_id, 2*r.f + 1, x.x, y.y, 9, 13, 17
+      FROM rect r, generate_series(0, 17) AS x(x), generate_series(0, 12) AS y(y)
+      WHERE r.f >= 2 AND r.f % 2 = 0
+        AND x.x >= r.fx AND x.x < r.fx + r.fw
+        AND y.y >= r.fy AND y.y < r.fy + r.fh),
+    state AS (
+      SELECT g.media_id, g.f AS fi, g.cw, g.ch, e.x, e.y,
+             max_by(e.rv, e.seq) AS rv, max_by(e.gv, e.seq) AS gv,
+             max_by(e.bv, e.seq) AS bv
+      FROM rect g JOIN ev e ON e.media_id = g.media_id AND e.seq <= 2*g.f
+      GROUP BY g.media_id, g.f, g.cw, g.ch, e.x, e.y)
+    SELECT media_id, CAST(fi AS INT) AS frame_idx,
+           CAST(cw AS INT) AS width, CAST(ch AS INT) AS height,
+           CAST(40 + 10*fi AS INT) AS dur_ms,
+           CAST(sum(rv) AS BIGINT) AS r_sum,
+           CAST(sum(gv) AS BIGINT) AS g_sum,
+           CAST(sum(bv) AS BIGINT) AS b_sum,
+           CAST(255 * count(*) AS BIGINT) AS a_sum
+    FROM state GROUP BY media_id, fi, cw, ch
+    """,
+    "ANIMATED WebP COMPOSITING, hash-verified — the sticker/short-loop "
+    "shape of the modern web (VP8X + ANIM/ANMF with lossless frames): "
+    "a full-canvas no-blend base, then alpha-blended partial rects at "
+    "even (stored-halved) offsets whose per-pixel TRANSPARENT holes "
+    "must let the canvas show through, with even frames disposing "
+    "their rect to the opaque ANIM background AFTER display; per-frame "
+    "VP8L entropy variants cycle. The oracle replays the exact "
+    "paint-event sequence in SQL (paint at seq 2f, disposal at 2f+1, "
+    "displayed frame g = per-pixel max_by(v, seq <= 2g)) — a wrong "
+    "overlay order, a filled transparent hole, or a disposal leak "
+    "shifts the full-canvas channel sums. Fractional-alpha blending "
+    "and lossy VP8 frames refuse loudly (llmdata/webp.py "
+    "encode_webp_anim/decode_webp_frames/make_webp_animated)",
+)
+def multimodal_webp_animated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from query_engine_spark.llmdata import webp as WB
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 48)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [WB.make_webp_animated(int(i)) for i in pdf["doc_id"]]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(pack, "media_id long, payload binary")
+    return WB.webp_anim_features(media)

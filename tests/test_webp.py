@@ -310,3 +310,128 @@ def test_webp_spark_stage_map_only(spark):
         assert rows[m]["top_left_r"] == (m * 31) % 256
     plan = feats._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_webp_anim_golden_hand_assembled_container():
+    """Animated-container conformance anchored outside encode_webp_anim:
+    VP8X/ANIM/ANMF assembled byte-by-byte (halved offsets, minus-one
+    dims, the blend/dispose flag bits) around the HAND-AUTHORED
+    simple-code VP8L payload from the static golden — a 2x2 frame
+    pasted at (2, 0) on a 6x4 canvas over the transparent start."""
+    bits = _Bits()
+    bits.put(1, 14)
+    bits.put(1, 14)
+    bits.put(0, 1)
+    bits.put(0, 3)
+    bits.put(0, 1)
+    bits.put(0, 1)
+    bits.put(0, 1)
+    bits.put(1, 1)
+    bits.put(1, 1)
+    bits.put(1, 1)
+    bits.put(5, 8)
+    bits.put(200, 8)
+    _simple_code_1(bits, 10)
+    _simple_code_1(bits, 20)
+    _simple_code_1(bits, 255)
+    _simple_code_1(bits, 0)
+    for b in (0, 1, 1, 0):
+        bits.put_code(b, 1)
+    vp8l_payload = b"\x2f" + bits.bytes()
+
+    def chunk(cc, payload):
+        out = cc + len(payload).to_bytes(4, "little") + payload
+        return out + (b"\x00" if len(payload) & 1 else b"")
+
+    vp8x = chunk(
+        b"VP8X",
+        bytes([0x02]) + b"\x00\x00\x00"
+        + (5).to_bytes(3, "little") + (3).to_bytes(3, "little"),
+    )
+    anim = chunk(b"ANIM", bytes([17, 13, 9, 255]) + (0).to_bytes(2, "little"))
+    anmf = chunk(
+        b"ANMF",
+        (1).to_bytes(3, "little")      # x = 2, stored halved
+        + (0).to_bytes(3, "little")    # y = 0
+        + (1).to_bytes(3, "little")    # w - 1
+        + (1).to_bytes(3, "little")    # h - 1
+        + (70).to_bytes(3, "little")   # duration
+        + bytes([0x02])                # no-blend, no dispose
+        + chunk(b"VP8L", vp8l_payload),
+    )
+    body = vp8x + anim + anmf
+    blob = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" + body
+    cw, ch, frames = W.decode_webp_frames(blob)
+    assert (cw, ch) == (6, 4)
+    assert len(frames) == 1 and frames[0]["dur_ms"] == 70
+    canvas = frames[0]["canvas"]
+    want_px = [
+        W._argb(255, 10, 5, 20), W._argb(255, 10, 200, 20),
+        W._argb(255, 10, 200, 20), W._argb(255, 10, 5, 20),
+    ]
+    assert canvas[2] == want_px[0] and canvas[3] == want_px[1]
+    assert canvas[6 + 2] == want_px[2] and canvas[6 + 3] == want_px[3]
+    # everything outside the pasted rect stays transparent black
+    assert sum(1 for p in canvas if p == 0) == 20
+
+
+def test_webp_anim_boundaries_refuse_loudly():
+    blob = W.make_webp_animated(3)
+    # static decode of an animated file points at the frames decoder
+    with pytest.raises(NotImplementedError, match="decode_webp_frames"):
+        W.decode_webp(blob)
+    # lossy frame subchunk
+    bad = blob.replace(b"VP8L", b"VP8 ", 1)
+    with pytest.raises((NotImplementedError, ValueError)):
+        W.decode_webp_frames(bad)
+    # VP8X without the animation flag
+    i = blob.index(b"VP8X") + 8
+    static = blob[:i] + bytes([blob[i] & ~0x02]) + blob[i + 1:]
+    with pytest.raises(NotImplementedError, match="animation flag"):
+        W.decode_webp_frames(static)
+    # fractional alpha under the blend mode refuses
+    cw, ch = 4, 4
+    base = [W._argb(255, 1, 2, 3)] * 16
+    semi = [W._argb(128, 1, 2, 3)] * 4
+    frames = [
+        {"x": 0, "y": 0, "w": 4, "h": 4, "pixels": base, "blend": "none"},
+        {"x": 0, "y": 0, "w": 2, "h": 2, "pixels": semi, "blend": "alpha"},
+    ]
+    semi_blob = W.encode_webp_anim(cw, ch, frames)
+    with pytest.raises(NotImplementedError, match="fractional-alpha"):
+        W.decode_webp_frames(semi_blob)
+    # ...but the same frame under no-blend copies exactly
+    frames[1]["blend"] = "none"
+    _, _, out = W.decode_webp_frames(W.encode_webp_anim(cw, ch, frames))
+    assert out[1]["canvas"][0] == W._argb(128, 1, 2, 3)
+    # odd offsets refuse at encode (the container stores x/2)
+    with pytest.raises(ValueError, match="even"):
+        W.encode_webp_anim(
+            4, 4,
+            [{"x": 1, "y": 0, "w": 2, "h": 2, "pixels": semi, "blend": "none"}],
+        )
+    # frame rect outside the canvas refuses at both ends
+    with pytest.raises(ValueError, match="canvas"):
+        W.encode_webp_anim(
+            4, 4,
+            [{"x": 4, "y": 0, "w": 2, "h": 2, "pixels": semi, "blend": "none"}],
+        )
+
+
+def test_webp_anim_mutation_fuzz():
+    rng = random.Random(23)
+    blobs = [W.make_webp_animated(m) for m in range(4)]
+    for _ in range(400):
+        bad = bytearray(rng.choice(blobs))
+        op = rng.randrange(3)
+        if op == 0:
+            bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+        elif op == 1:
+            bad = bad[: rng.randrange(len(bad))]
+        else:
+            bad += bytes(rng.randrange(256) for _ in range(rng.randrange(1, 9)))
+        try:
+            cw, ch, frames = W.decode_webp_frames(bytes(bad))
+        except (ValueError, NotImplementedError):
+            continue
+        assert frames and all(len(f["canvas"]) == cw * ch for f in frames)
