@@ -2357,3 +2357,72 @@ def multimodal_webp_animated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.select("doc_id").mapInPandas(pack, "media_id long, payload binary")
     return WB.webp_anim_features(media)
+
+
+@_candidate(
+    "crawl_politeness_schedule",
+    """
+    WITH s AS (SELECT doc_id AS sid FROM documents WHERE doc_id < 48),
+    f AS (
+      SELECT s.sid, 1 + s.sid % 5 AS delay_s,
+             'https://s' || CAST(s.sid AS VARCHAR) || '.example/p/'
+               || CAST(k.k AS VARCHAR) AS url
+      FROM s, generate_series(0, 9) AS k(k)),
+    r AS (
+      SELECT sid, url, delay_s,
+             row_number() OVER (PARTITION BY sid ORDER BY url) AS rn
+      FROM f)
+    SELECT sid AS site_id, url, CAST(rn - 1 AS INT) AS slot,
+           CAST((rn - 1) * delay_s * 1000 AS BIGINT) AS offset_ms
+    FROM r
+    """,
+    "CRAWL POLITENESS SCHEDULING, hash-verified: each host's frontier "
+    "URLs are assigned deterministic fetch slots spaced by the host's "
+    "robots.txt Crawl-delay — the delay is REALLY parsed from each "
+    "site's robots payload (parse_robots delays, '*' group; a tiny "
+    "map-only pass whose output broadcasts onto the frontier), then ONE "
+    "window shuffle partitioned by host orders the URLs and "
+    "offset_ms = slot * delay * 1000. At 100 TB the shuffle keys on "
+    "host (the natural crawl unit) and the per-host state is a row "
+    "number — no driver-side scheduling loop (llmdata/warc.py "
+    "parse_robots; Window.partitionBy(site_id))",
+)
+def crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    from query_engine_spark.llmdata import warc as WC
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 48)
+    sites = docs.select(F.col("doc_id").alias("site_id"))
+
+    def delays(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ds = []
+            for s in pdf["site_id"]:
+                rules = WC.parse_robots(WC.make_robots(int(s)))
+                ds.append(int(rules["delays"].get("*", 1)))
+            yield pd.DataFrame({"site_id": pdf["site_id"], "delay_s": ds})
+
+    delay_df = sites.mapInPandas(delays, "site_id long, delay_s int")
+    ks = sites.select(
+        "site_id", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("k")
+    )
+    frontier = ks.select(
+        "site_id",
+        F.concat(
+            F.lit("https://s"), F.col("site_id").cast("string"),
+            F.lit(".example/p/"), F.col("k").cast("string"),
+        ).alias("url"),
+    )
+    joined = frontier.join(broadcast(delay_df), "site_id")
+    rn = F.row_number().over(Window.partitionBy("site_id").orderBy("url"))
+    return joined.select(
+        "site_id",
+        "url",
+        (rn - 1).cast("int").alias("slot"),
+        ((rn - 1).cast("long") * F.col("delay_s") * 1000).alias("offset_ms"),
+    )

@@ -384,3 +384,52 @@ def outlink_graph(spark: SparkSession, edges_dir: str) -> DataFrame:
         .groupBy("src_host", "dst_host")
         .agg(F.sum("links").cast("long").alias("links"))
     )
+
+
+def outlink_compact(
+    spark: SparkSession, edges_dir: str, upto_batch: int, *, target_files: int = 1
+) -> None:
+    """Compact the outlink edge sink's per-micro-batch partitions AND
+    pre-aggregate them: partial edge counts are associative, so every
+    partition with __batch_id < `upto_batch` folds into ONE summed
+    partition keyed `upto_batch - 1` — both the streaming small-file fix
+    and a read-cost cut (the aggregate-on-read `outlink_graph` then sums
+    far fewer rows). Same checkpoint-safety contract as
+    `media_index_compact`: only compact batches the streaming checkpoint
+    has committed, because a replayed batch dynamic-overwrites its
+    ORIGINAL partition."""
+    import pathlib
+    import shutil
+
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        edges = spark.read.parquet(edges_dir)
+    except AnalysisException:
+        return
+    old = edges.filter(F.col("__batch_id") < F.lit(upto_batch))
+    if not old.take(1):
+        return
+    compacted = (
+        old.groupBy("src_host", "dst_host")
+        .agg(F.sum("links").cast("long").alias("links"))
+        .withColumn("__batch_id", F.lit(upto_batch - 1))
+        .repartition(target_files)
+        .localCheckpoint()  # materialize BEFORE overwriting what we read
+    )
+    try:
+        (
+            compacted.write.partitionBy("__batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(edges_dir)
+        )
+    finally:
+        compacted.unpersist()
+    for p in pathlib.Path(edges_dir).glob("__batch_id=*"):
+        try:
+            bid = int(p.name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid < upto_batch - 1:
+            shutil.rmtree(p, ignore_errors=True)

@@ -529,3 +529,62 @@ def test_streaming_outlink_graph_matches_batch_and_restart(spark, tmp_path):
     assert got == want
     # the same host pair appears in BOTH drops: partials really folded
     assert any(v > 1 for v in got.values())
+
+
+def test_outlink_compact_preserves_graph(spark, tmp_path):
+    """Compacting the edge sink pre-aggregates old batch partials into
+    one partition without changing the visible graph, and a post-compact
+    drop keeps accumulating on top."""
+    import pathlib
+
+    from query_engine_spark.llmdata.warc import outlink_edges
+    from query_engine_spark.streaming.compose import (
+        outlink_compact,
+        outlink_graph,
+        outlink_ingest_start,
+    )
+
+    def pages(lo, hi):
+        rows = [
+            (
+                f"https://dom{d % 3}.example/p/{d}",
+                f'<a href="https://dom{(d + 1) % 3}.example/x">a</a>',
+            )
+            for d in range(lo, hi)
+        ]
+        return spark.createDataFrame(rows, "url string, html string")
+
+    in_dir, edges_dir, ckpt = (str(tmp_path / n) for n in ("in", "edges", "ckpt"))
+    pages(0, 9).coalesce(1).write.mode("append").parquet(in_dir)
+    q = outlink_ingest_start(spark, in_dir, edges_dir, ckpt, max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+        pages(9, 21).coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+        before = {
+            (r["src_host"], r["dst_host"]): r["links"]
+            for r in outlink_graph(spark, edges_dir).collect()
+        }
+        parts_before = len(list(pathlib.Path(edges_dir).glob("__batch_id=*")))
+        assert parts_before >= 2
+        outlink_compact(spark, edges_dir, upto_batch=2)
+        after = {
+            (r["src_host"], r["dst_host"]): r["links"]
+            for r in outlink_graph(spark, edges_dir).collect()
+        }
+        assert after == before
+        assert len(list(pathlib.Path(edges_dir).glob("__batch_id=*"))) == 1
+        # ingestion continues on top of the compacted history
+        pages(21, 27).coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {
+        (r["src_host"], r["dst_host"]): r["links"]
+        for r in outlink_graph(spark, edges_dir).collect()
+    }
+    want = {
+        (r["src_host"], r["dst_host"]): r["links"]
+        for r in outlink_edges(pages(0, 27)).collect()
+    }
+    assert final == want

@@ -389,10 +389,14 @@ def test_r9_candidate_decode_chains_map_only(spark):
         # groupBy(archive_id) — same pack shuffle as the classic zip path
         "llm_zip64_ingest",
     }
-    # the Bloom frontier probes the broadcast filter with k map-side
-    # joins: exactly ONE data shuffle (the filter-build aggregation),
-    # broadcast-only joins, and the frontier itself never repartitions
-    BLOOM_PROBE = {"crawl_frontier_bloom", "crawl_schedule"}
+    # broadcast-probe shapes: ONE data shuffle (the Bloom filter-build
+    # aggregation, or the politeness window partitioning), broadcast-only
+    # joins, the big side never repartitions. The shuffle subtree may
+    # print up to 3x in the plan string (once per probe join; reused at
+    # runtime)
+    BLOOM_PROBE = {
+        "crawl_frontier_bloom", "crawl_schedule", "crawl_politeness_schedule",
+    }
 
     for name, spec in CANDIDATES.items():
         df = spec.fn(spark, SF)
