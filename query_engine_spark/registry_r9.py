@@ -2426,3 +2426,86 @@ def crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rn - 1).cast("int").alias("slot"),
         ((rn - 1).cast("long") * F.col("delay_s") * 1000).alias("offset_ms"),
     )
+
+
+def _host_rank_oracle(iters: int = 3, scale: int = 10**12) -> str:
+    """The registry's unrolled fixed-point PageRank oracle
+    (registry._pagerank_oracle), parameterized over the outlink-fixture
+    edge set: hosts dom0..dom96, each page i linking (i*3+1)%97,
+    (i*7+2)%97 and itself (the root-relative link)."""
+    parts = [
+        f"""
+    WITH raw AS (
+      SELECT 'dom' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS u,
+             'dom' || CAST((doc_id * 3 + 1) % 97 AS VARCHAR) || '.example' AS v
+      FROM documents WHERE doc_id < 512
+      UNION ALL
+      SELECT 'dom' || CAST(doc_id % 97 AS VARCHAR) || '.example',
+             'dom' || CAST((doc_id * 7 + 2) % 97 AS VARCHAR) || '.example'
+      FROM documents WHERE doc_id < 512
+      UNION ALL
+      SELECT 'dom' || CAST(doc_id % 97 AS VARCHAR) || '.example',
+             'dom' || CAST(doc_id % 97 AS VARCHAR) || '.example'
+      FROM documents WHERE doc_id < 512),
+    e AS (SELECT DISTINCT u, v FROM raw),
+    nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    od AS (SELECT u AS node, count(*) AS outdeg FROM e GROUP BY u),
+    r0 AS (SELECT node, {scale} // n AS r FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f""",
+    c{i} AS (SELECT {p}.node, {p}.r // od.outdeg AS c FROM {p} JOIN od USING (node)),
+    i{i} AS (SELECT e.v AS node, CAST(sum(c.c) AS BIGINT) AS inm
+             FROM e JOIN c{i} c ON c.node = e.u GROUP BY e.v),
+    d{i} AS (SELECT CAST(coalesce(sum({p}.r), 0) AS BIGINT) AS dang
+             FROM {p} LEFT JOIN od USING (node) WHERE od.outdeg IS NULL),
+    r{i} AS (SELECT nodes.node,
+               CAST((15 * {scale}) // (100 * nn.n)
+               + (85 * (coalesce(i{i}.inm, 0) + d{i}.dang // nn.n)) // 100
+               AS BIGINT) AS r
+             FROM nodes LEFT JOIN i{i} USING (node) CROSS JOIN nn CROSS JOIN d{i})"""
+        )
+    parts.append(f"\n    SELECT node, r AS rank_q FROM r{iters}")
+    return "".join(parts)
+
+
+@_candidate(
+    "crawl_host_rank",
+    _host_rank_oracle(iters=3),
+    "HOST RANK over the crawl graph, hash-verified end-to-end: raw HTML "
+    "pages -> scan-speed outlink extraction (the WAT-style operator) -> "
+    "DISTINCT host edges (incl. the self-edges root-relative links "
+    "produce) -> 3 unrolled iterations of fixed-point integer PageRank "
+    "(d=0.85, dangling mass redistributed, bigint ranks + integer div — "
+    "bit-identical across engines). This is the crawl-quality prior a "
+    "scheduler feeds back into frontier ordering; the oracle rebuilds "
+    "the edge set from the page-construction formulas and replays the "
+    "same unrolled iteration (llmdata/warc.py outlink_edges; "
+    "operators/behavior.py pagerank)",
+)
+def crawl_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata.warc import outlink_edges
+    from query_engine_spark.operators import behavior as B
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    i = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("https://dom"), s(i % 97), F.lit(".example/p/"), s(i)
+    )
+    page = F.concat(
+        F.lit('<html><body><a href="https://dom'), s((i * 3 + 1) % 97),
+        F.lit('.example/x">a</a><a href="https://dom'), s((i * 7 + 2) % 97),
+        F.lit('.example/y">b</a>'),
+        F.lit("<a href='/self/"), s(i), F.lit("'>c</a></body></html>"),
+    )
+    pages = docs.select(url.alias("url"), page.alias("html"))
+    edges = (
+        outlink_edges(pages)
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        .distinct()
+    )
+    return B.pagerank(edges, iters=3)
