@@ -517,13 +517,42 @@ def parse_robots(text: str) -> dict:
     return {"groups": groups, "delays": delays, "sitemaps": sitemaps}
 
 
+def _robots_match(pattern: str, path: str) -> bool:
+    """RFC 9309 §2.2.3 path matching: '*' matches any octet sequence,
+    a trailing '$' anchors the end, and a pattern without wildcards is
+    a plain prefix. Leftmost placement of each '*'-separated literal is
+    sufficient for existence; the anchored tail is matched from the
+    end."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = pattern.split("*")
+    if not path.startswith(parts[0]):
+        return False
+    pos = len(parts[0])
+    if len(parts) == 1:
+        return pos == len(path) if anchored else True
+    for i, part in enumerate(parts[1:], 1):
+        if i == len(parts) - 1 and anchored:
+            return (
+                path.endswith(part) and len(path) - len(part) >= pos
+            )
+        if part == "":
+            continue  # consecutive or trailing '*'
+        idx = path.find(part, pos)
+        if idx < 0:
+            return False
+        pos = idx + len(part)
+    return True
+
+
 def robots_allowed(rules: dict, agent: str, path: str) -> bool:
     """RFC 9309 §2.2.2 matching: pick the most specific user-agent group
-    (exact agent else '*'; absent both -> allowed), then the rule with
-    the LONGEST path prefix match wins; Allow wins length ties; an empty
-    Disallow value matches nothing. No wildcard support — fixtures never
-    emit them, and silently mis-handling '*' in paths would be worse
-    than refusing."""
+    (exact agent else '*'; absent both -> allowed), then the MOST
+    SPECIFIC matching rule wins — specificity is the pattern's octet
+    length, wildcards included ('*' and trailing '$' patterns match per
+    §2.2.3); Allow wins length ties; an empty Disallow value matches
+    nothing."""
     groups = rules["groups"]
     rule_list = groups.get(agent.lower())
     if rule_list is None:
@@ -533,13 +562,9 @@ def robots_allowed(rules: dict, agent: str, path: str) -> bool:
     best_len = -1
     best_allow = True
     for kind, rule_path in rule_list:
-        if "*" in rule_path or rule_path.endswith("$"):
-            raise NotImplementedError(
-                "robots.txt wildcard patterns not supported"
-            )
         if rule_path == "":
             continue  # empty Disallow/Allow matches nothing
-        if path.startswith(rule_path):
+        if _robots_match(rule_path, path):
             L = len(rule_path)
             allow = kind == "allow"
             if L > best_len or (L == best_len and allow):
@@ -572,6 +597,27 @@ def make_robots(site_id: int) -> str:
             "Disallow:",       # empty: matches nothing
             "Unknown-directive: ignored",
             f"Sitemap: https://s{i}.example/sitemap.xml",
+        ]
+    )
+
+
+def make_robots_wild(site_id: int) -> str:
+    """robots.txt fixture exercising RFC 9309 §2.2.3 WILDCARDS — the
+    patterns real robots files lean on: a '$'-anchored extension block,
+    a broad '/pub*' allow overridden by a longer disallow beneath it,
+    and a '/*?session=' query-tracking block; the '*' group disallows
+    everything so the group-override rule stays load-bearing."""
+    return "\n".join(
+        [
+            "User-agent: *",
+            "Disallow: /",
+            "",
+            "User-agent: trainbot",
+            "Disallow: /*.pdf$",
+            "Allow: /pub*",
+            "Disallow: /pub/private*",
+            "Disallow: /*?session=",
+            f"# site {site_id}",
         ]
     )
 

@@ -2509,3 +2509,72 @@ def crawl_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return B.pagerank(edges, iters=3)
+
+
+@_candidate(
+    "llm_robots_wildcards",
+    """
+    WITH s AS (SELECT doc_id AS sid FROM documents WHERE doc_id < 64),
+    f AS (
+      SELECT s.sid, k.k,
+        CASE k.k % 5
+          WHEN 0 THEN '/pub/x' || k.k || '.html'
+          WHEN 1 THEN '/pub/private' || k.k
+          WHEN 2 THEN '/doc' || k.k || '.pdf'
+          WHEN 3 THEN '/doc' || k.k || '.pdfx'
+          ELSE '/page' || k.k || '?session=' || k.k
+        END AS path
+      FROM s, generate_series(0, 9) AS k(k))
+    SELECT sid AS site_id, path,
+           CASE k % 5 WHEN 0 THEN 1 WHEN 3 THEN 1 ELSE 0 END AS allowed
+    FROM f
+    """,
+    "robots.txt WILDCARD PATTERNS (RFC 9309 §2.2.3), hash-verified — "
+    "the patterns real robots files lean on, previously a hard refusal: "
+    "'$'-anchored extension blocks (/*.pdf$ blocks /doc.pdf but NOT "
+    "/doc.pdfx — the anchor is load-bearing), a broad /pub* allow "
+    "overridden by the LONGER /pub/private* disallow (specificity is "
+    "pattern octet length, wildcards included), and the /*?session= "
+    "query-tracking block. The matcher is differential-fuzzed against a "
+    "regex restatement (20k cases) and evaluated here through the "
+    "robots_gate broadcast pass; the oracle computes every decision "
+    "from the probe-construction formulas (llmdata/warc.py "
+    "_robots_match/make_robots_wild/robots_gate)",
+)
+def llm_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from query_engine_spark.llmdata import warc as WC
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    sites = docs.select(F.col("doc_id").alias("site_id"))
+
+    def pack_robots(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "site_id": pdf["site_id"],
+                    "payload": [
+                        WC.make_robots_wild(int(s)).encode("utf-8")
+                        for s in pdf["site_id"]
+                    ],
+                }
+            )
+
+    robots = sites.mapInPandas(pack_robots, "site_id long, payload binary")
+    ks = sites.select(
+        "site_id", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("k")
+    )
+    kk = F.col("k").cast("string")
+    path = (
+        F.when(F.col("k") % 5 == 0, F.concat(F.lit("/pub/x"), kk, F.lit(".html")))
+        .when(F.col("k") % 5 == 1, F.concat(F.lit("/pub/private"), kk))
+        .when(F.col("k") % 5 == 2, F.concat(F.lit("/doc"), kk, F.lit(".pdf")))
+        .when(F.col("k") % 5 == 3, F.concat(F.lit("/doc"), kk, F.lit(".pdfx")))
+        .otherwise(F.concat(F.lit("/page"), kk, F.lit("?session="), kk))
+    )
+    pages = ks.select("site_id", path.alias("path"))
+    gated = WC.robots_gate(pages, robots, "trainbot")
+    return gated.select("site_id", "path", "allowed")

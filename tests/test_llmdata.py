@@ -5390,7 +5390,10 @@ def test_subtitle_parser_hazards_and_fuzz():
 def test_robots_rfc9309_semantics():
     """The decision semantics crawlers get wrong, pinned directly:
     longest-match over rule order, Allow on ties, exact-group override
-    of '*', rule-before-agent malformation, wildcard refusal."""
+    of '*', rule-before-agent malformation, wildcard matching
+    (RFC 9309 §2.2.3: '*' spans, '$' anchors, specificity = pattern
+    octet length) with a differential fuzz against a regex
+    restatement."""
     import pytest
 
     from query_engine_spark.llmdata.warc import (
@@ -5413,9 +5416,47 @@ def test_robots_rfc9309_semantics():
         parse_robots("Crawl-delay: 3\n")
     with pytest.raises(ValueError, match="non-integer"):
         parse_robots("User-agent: *\nCrawl-delay: fast\n")
+    # wildcard matching (previously a refusal): '*' spans, '$' anchors
     wild = parse_robots("User-agent: *\nDisallow: /a/*/b\n")
-    with pytest.raises(NotImplementedError, match="wildcard"):
-        robots_allowed(wild, "x", "/a/c/b")
+    assert robots_allowed(wild, "x", "/a/c/b") is False
+    assert robots_allowed(wild, "x", "/a/b") is True
+    wr = parse_robots(
+        "User-agent: t\nDisallow: /*.pdf$\nAllow: /pub*\n"
+        "Disallow: /pub/private*\nDisallow: /*?session=\n"
+    )
+    assert robots_allowed(wr, "t", "/doc.pdf") is False
+    assert robots_allowed(wr, "t", "/doc.pdfx") is True  # '$' anchors
+    assert robots_allowed(wr, "t", "/pub/ok.html") is True
+    assert robots_allowed(wr, "t", "/pub/private/x") is False  # longer wins
+    assert robots_allowed(wr, "t", "/p?session=1") is False
+    # a '$'-anchored ALLOW beating a shorter disallow by length
+    tie = parse_robots("User-agent: t\nDisallow: /f\nAllow: /fish$\n")
+    assert robots_allowed(tie, "t", "/fish") is True
+    assert robots_allowed(tie, "t", "/fishy") is False
+    # differential fuzz: the matcher vs a regex restatement
+    import random
+    import re
+
+    from query_engine_spark.llmdata.warc import _robots_match
+
+    def ref(pattern, path):
+        anchored = pattern.endswith("$")
+        core = pattern[:-1] if anchored else pattern
+        rx = ("^" + ".*".join(re.escape(p) for p in core.split("*"))
+              + ("$" if anchored else ""))
+        return re.search(rx, path) is not None
+
+    rng = random.Random(7)
+    for _ in range(4000):
+        pattern = "/" + "".join(
+            rng.choice("/ab.?=x*") for _ in range(rng.randrange(0, 8))
+        )
+        if rng.random() < 0.4:
+            pattern += "$"
+        path = "/" + "".join(
+            rng.choice("/ab.?=x") for _ in range(rng.randrange(0, 12))
+        )
+        assert _robots_match(pattern, path) == ref(pattern, path), (pattern, path)
     # rule order must NOT matter: same rules reversed, same decisions
     fwd = parse_robots("User-agent: *\nDisallow: /d/\nAllow: /d/pub/\n")
     rev = parse_robots("User-agent: *\nAllow: /d/pub/\nDisallow: /d/\n")

@@ -401,6 +401,8 @@ def test_r9_candidate_decode_chains_map_only(spark):
     # heavy tail (same family as graph_pagerank in the registry); the
     # invariant that matters here is cartesian-freedom
     ITERATIVE = {"crawl_host_rank"}
+    # pure broadcast-join gates: ZERO data shuffles, BHJ only
+    BROADCAST_ONLY = {"llm_robots_wildcards"}
 
     for name, spec in CANDIDATES.items():
         df = spec.fn(spark, SF)
@@ -409,6 +411,13 @@ def test_r9_candidate_decode_chains_map_only(spark):
             df.explain("formatted")
         p = buf.getvalue()
         if name in ITERATIVE:
+            assert "CartesianProduct" not in p, name
+            continue
+        if name in BROADCAST_ONLY:
+            one = df._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in one, name
+            assert "BroadcastHashJoin" in one, name
+            assert "SortMergeJoin" not in one, name
             assert "CartesianProduct" not in p, name
             continue
         if name in BLOOM_PROBE:
