@@ -2578,3 +2578,80 @@ def llm_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = ks.select("site_id", path.alias("path"))
     gated = WC.robots_gate(pages, robots, "trainbot")
     return gated.select("site_id", "path", "allowed")
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD (schema.org) extraction: the structured-metadata curation signal
+
+
+@_candidate(
+    "llm_html_jsonld",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 6 = 5 THEN NULL
+                WHEN doc_id % 2 = 0 THEN 'Article' ELSE 'NewsArticle'
+           END AS ld_type,
+           CASE WHEN doc_id % 6 = 5 THEN NULL
+                ELSE 'Doc ' || chr(34) || CAST(doc_id AS VARCHAR) || chr(34)
+                     || ' news' END AS headline,
+           CASE WHEN doc_id % 6 = 5 THEN NULL
+                ELSE '2024-0' || CAST(1 + doc_id % 9 AS VARCHAR) || '-15'
+           END AS date_published,
+           CASE WHEN doc_id % 6 = 5 THEN NULL
+                ELSE CAST(100 + doc_id % 900 AS INT) END AS word_count
+    FROM documents WHERE doc_id < 512
+    """,
+    "JSON-LD (schema.org) EXTRACTION, hash-verified — the structured "
+    "metadata block modern pages embed and curation pipelines group on "
+    "(article type, headline, publish date, word count): the "
+    "<script type=application/ld+json> payload is pulled at scan speed "
+    "by regexp_extract and parsed with from_json under an EXPLICIT "
+    "schema — pure codegen end to end, zero Python. The fixture builds "
+    "the embedded JSON with to_json (so quotes in headlines are "
+    "escaped exactly as real emitters do, and the extractor must "
+    "unescape them back — the headline carries literal double quotes); "
+    "every sixth page has no block and yields NULLs "
+    "(pattern mirrors llm_html_metadata; from_json is the "
+    "llm_jsonl_roundtrip machinery)",
+)
+def llm_html_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    i = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    ld_json = F.to_json(
+        F.struct(
+            F.when(i % 2 == 0, F.lit("Article"))
+            .otherwise(F.lit("NewsArticle"))
+            .alias("@type"),
+            F.concat(F.lit('Doc "'), s(i), F.lit('" news')).alias("headline"),
+            F.concat(F.lit("2024-0"), s(1 + i % 9), F.lit("-15")).alias(
+                "datePublished"
+            ),
+            (100 + i % 900).cast("int").alias("wordCount"),
+        )
+    )
+    block = F.when(i % 6 == 5, F.lit("")).otherwise(
+        F.concat(
+            F.lit('<script type="application/ld+json">'), ld_json,
+            F.lit("</script>"),
+        )
+    )
+    page = F.concat(
+        F.lit("<html><head><title>t</title>"), block,
+        F.lit("</head><body><p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+    raw = F.regexp_extract(
+        page, r"""(?is)<script[^>]*type=["']application/ld\+json["'][^>]*>(.*?)</script>""", 1
+    )
+    schema = (
+        "`@type` string, headline string, datePublished string,"
+        " wordCount int"
+    )
+    parsed = F.from_json(F.nullif(raw, F.lit("")), schema)
+    return docs.select(
+        "doc_id",
+        parsed["@type"].alias("ld_type"),
+        parsed["headline"].alias("headline"),
+        parsed["datePublished"].alias("date_published"),
+        parsed["wordCount"].alias("word_count"),
+    )
