@@ -8417,6 +8417,225 @@ def mpeg_audio_meta(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, _MPEG_SCHEMA)
 
 
+# --- Netpbm (PNM): the dataset-interchange image family ML pipelines
+# pass around (P1/P2/P3 ASCII and P4/P5/P6 binary bitmaps/graymaps/
+# pixmaps, per the public netpbm format specs). Full decode: header
+# tokenizing with embedded '#' comments, P1's separator-free digit
+# packing, P4's MSB-first row-padded bits, and 2-byte BIG-ENDIAN samples
+# when maxval > 255. ------------------------------------------------------
+
+
+def make_pnm(media_id: int, w: int, h: int) -> bytes:
+    """Deterministic PNM fixture cycling all six formats by media_id,
+    with '#' comments planted between header tokens (real tools emit
+    them) and, for P2/P5 on every third stream, a 1000 maxval forcing
+    2-byte big-endian samples."""
+    variant = media_id % 6  # 0..5 -> P1..P6
+    maxval = 1000 if variant in (1, 4) and media_id % 3 == 0 else 255
+
+    def val(x: int, y: int, c: int = 0) -> int:
+        return (media_id * 31 + y * 7 + x * 3 + c * 11) % (maxval + 1)
+
+    header_comment = b"# fixture " + str(media_id).encode() + b"\n"
+    if variant == 0:  # P1: ASCII bitmap, separator-free digits allowed
+        rows = [
+            "".join(str(val(x, y) & 1) for x in range(w)) for y in range(h)
+        ]
+        return (
+            b"P1\n" + header_comment
+            + f"{w} {h}\n".encode() + "\n".join(rows).encode() + b"\n"
+        )
+    if variant == 1:  # P2: ASCII graymap
+        body = "\n".join(
+            " ".join(str(val(x, y)) for x in range(w)) for y in range(h)
+        )
+        return (
+            b"P2 " + header_comment
+            + f"{w}\n# mid-header comment\n{h} {maxval}\n".encode()
+            + body.encode() + b"\n"
+        )
+    if variant == 2:  # P3: ASCII pixmap
+        body = " ".join(
+            str(val(x, y, c))
+            for y in range(h) for x in range(w) for c in range(3)
+        )
+        return (
+            b"P3\n" + header_comment
+            + f"{w} {h} 255\n".encode() + body.encode() + b"\n"
+        )
+    if variant == 3:  # P4: packed bitmap, MSB-first, row-padded
+        out = bytearray(b"P4\n" + header_comment + f"{w} {h}\n".encode())
+        for y in range(h):
+            byte = 0
+            nbits = 0
+            for x in range(w):
+                byte = (byte << 1) | (val(x, y) & 1)
+                nbits += 1
+                if nbits == 8:
+                    out.append(byte)
+                    byte = nbits = 0
+            if nbits:
+                out.append(byte << (8 - nbits))
+        return bytes(out)
+    # P5 / P6: binary gray / RGB
+    chans = 1 if variant == 4 else 3
+    magic = b"P5" if variant == 4 else b"P6"
+    out = bytearray(
+        magic + b"\n" + header_comment + f"{w} {h} {maxval}\n".encode()
+    )
+    for y in range(h):
+        for x in range(w):
+            for c in range(chans):
+                v = val(x, y, c)
+                if maxval > 255:
+                    out += v.to_bytes(2, "big")
+                else:
+                    out.append(v)
+    return bytes(out)
+
+
+def _pnm_tokens(blob: bytes, pos: int, n: int) -> tuple[list[int], int]:
+    """Read n whitespace-separated ASCII integers starting at pos,
+    skipping '#' comments (which run to end of line)."""
+    vals: list[int] = []
+    cur = -1
+    while pos < len(blob) and len(vals) < n:
+        ch = blob[pos]
+        if ch == 0x23:  # '#'
+            if cur >= 0:
+                vals.append(cur)
+                cur = -1
+            while pos < len(blob) and blob[pos] not in b"\r\n":
+                pos += 1
+        elif 0x30 <= ch <= 0x39:
+            cur = (0 if cur < 0 else cur * 10) + (ch - 0x30)
+            pos += 1
+        elif ch in b" \t\r\n\x0b\x0c":
+            if cur >= 0:
+                vals.append(cur)
+                cur = -1
+            pos += 1
+        else:
+            raise ValueError(f"unexpected PNM header byte {ch:#x}")
+    if cur >= 0 and len(vals) < n:
+        vals.append(cur)
+    if len(vals) < n:
+        raise ValueError("truncated PNM header")
+    return vals, pos
+
+
+def decode_pnm(blob: bytes) -> tuple[int, int, int, int, list[int]]:
+    """Decode any of P1..P6: returns (width, height, channels, maxval,
+    flat samples in raster order, channel-interleaved). Bitmaps report
+    maxval 1 with 1 = BLACK per the PBM convention (not inverted)."""
+    if len(blob) < 2 or blob[0] != 0x50 or not 0x31 <= blob[1] <= 0x36:
+        raise ValueError("not a PNM (missing P1..P6 magic)")
+    variant = blob[1] - 0x30
+    chans = 3 if variant in (3, 6) else 1
+    bitmap = variant in (1, 4)
+    nhdr = 2 if bitmap else 3
+    hdr, pos = _pnm_tokens(blob, 2, nhdr)
+    w, h = hdr[0], hdr[1]
+    maxval = 1 if bitmap else hdr[2]
+    if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
+        raise ValueError("PNM dimensions out of range")
+    if not 1 <= maxval <= 65535:
+        raise ValueError("PNM maxval out of range")
+    n = w * h * chans
+    samples: list[int] = []
+    if variant in (1, 2, 3):
+        if variant == 1:
+            # P1 digits may be separator-free: read bit characters
+            while pos < len(blob) and len(samples) < n:
+                ch = blob[pos]
+                if ch in b"01":
+                    samples.append(ch - 0x30)
+                    pos += 1
+                elif ch == 0x23:
+                    while pos < len(blob) and blob[pos] not in b"\r\n":
+                        pos += 1
+                elif ch in b" \t\r\n\x0b\x0c":
+                    pos += 1
+                else:
+                    raise ValueError(f"unexpected P1 byte {ch:#x}")
+            if len(samples) < n:
+                raise ValueError("truncated P1 raster")
+        else:
+            samples, _ = _pnm_tokens(blob, pos, n)
+            if any(v > maxval for v in samples):
+                raise ValueError("PNM sample exceeds maxval")
+        return w, h, chans, maxval, samples
+    # binary rasters: exactly ONE whitespace byte after the header
+    pos += 0
+    if blob[pos - 1 : pos] not in (b" ", b"\t", b"\n", b"\r"):
+        if pos >= len(blob) or blob[pos] not in b" \t\r\n":
+            raise ValueError("missing whitespace before PNM raster")
+        pos += 1
+    if variant == 4:
+        stride = (w + 7) >> 3
+        if pos + stride * h > len(blob):
+            raise ValueError("truncated P4 raster")
+        for y in range(h):
+            row = blob[pos + y * stride : pos + (y + 1) * stride]
+            for x in range(w):
+                samples.append((row[x >> 3] >> (7 - (x & 7))) & 1)
+        return w, h, 1, 1, samples
+    bpsample = 2 if maxval > 255 else 1
+    need = n * bpsample
+    if pos + need > len(blob):
+        raise ValueError("truncated PNM raster")
+    raw = blob[pos : pos + need]
+    if bpsample == 1:
+        samples = list(raw)
+    else:
+        samples = [
+            (raw[i] << 8) | raw[i + 1] for i in range(0, need, 2)
+        ]
+    if any(v > maxval for v in samples):
+        raise ValueError("PNM sample exceeds maxval")
+    return w, h, chans, maxval, samples
+
+
+_PNM_SCHEMA = (
+    "media_id long, width int, height int, channels int, maxval int,"
+    " sample_sum long, top_left int"
+)
+
+
+def pnm_features(df: DataFrame) -> DataFrame:
+    """Distributed PNM decode (Arrow mapInPandas, map-only): dims,
+    channel count, maxval, total sample sum and the top-left sample."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                w, h, chans, maxval, samples = decode_pnm(bytes(blob))
+                rows.append(
+                    {
+                        "media_id": mid, "width": w, "height": h,
+                        "channels": chans, "maxval": maxval,
+                        "sample_sum": sum(samples),
+                        "top_left": samples[0],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "channels", "maxval",
+                    "sample_sum", "top_left",
+                ],
+            ).astype(
+                {
+                    "width": "int32", "height": "int32",
+                    "channels": "int32", "maxval": "int32",
+                    "top_left": "int32",
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _PNM_SCHEMA)
+
+
 # --- ICO containers (favicons): the highest-frequency icon shape in any
 # web crawl. One file carries N members, each either a full PNG stream or
 # a HEADERLESS 32-bpp DIB whose BITMAPINFOHEADER declares DOUBLE height

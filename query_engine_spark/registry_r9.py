@@ -2655,3 +2655,59 @@ def llm_html_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["datePublished"].alias("date_published"),
         parsed["wordCount"].alias("word_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Netpbm (PNM): the dataset-interchange image family
+
+
+@_candidate(
+    "multimodal_pnm",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id % 6 AS v,
+             7 + doc_id % 4 AS w, 5 + doc_id % 3 AS h
+      FROM documents WHERE doc_id < 96),
+    g AS (
+      SELECT m.*,
+             CASE WHEN m.v IN (0, 3) THEN 1
+                  WHEN m.v IN (1, 4) AND m.media_id % 3 = 0 THEN 1000
+                  ELSE 255 END AS maxval,
+             CASE WHEN m.v IN (2, 5) THEN 3 ELSE 1 END AS chans
+      FROM m),
+    px AS (
+      SELECT g.media_id, g.w, g.h, g.maxval, g.chans,
+             CASE WHEN g.v IN (0, 3)
+                  THEN (g.media_id*31 + y.y*7 + x.x*3) % 2
+                  ELSE (g.media_id*31 + y.y*7 + x.x*3 + c.c*11) % (g.maxval + 1)
+             END AS s,
+             x.x, y.y, c.c
+      FROM g, generate_series(0, 10) AS x(x), generate_series(0, 7) AS y(y),
+           generate_series(0, 2) AS c(c)
+      WHERE x.x < g.w AND y.y < g.h AND c.c < g.chans)
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(chans AS INT) AS channels, CAST(maxval AS INT) AS maxval,
+           CAST(sum(s) AS BIGINT) AS sample_sum,
+           CAST(max(CASE WHEN x = 0 AND y = 0 AND c = 0 THEN s END) AS INT)
+             AS top_left
+    FROM px GROUP BY media_id, w, h, chans, maxval
+    """,
+    "Netpbm (PNM) DECODE, hash-verified — the dataset-interchange image "
+    "family ML pipelines pass around: all six formats cycle by "
+    "media_id (P1 separator-free ASCII bitmaps, P2/P3 ASCII gray/RGB, "
+    "P4 MSB-first row-padded packed bits, P5/P6 binary — with a 1000 "
+    "maxval on every third gray stream forcing 2-byte BIG-ENDIAN "
+    "samples, the classic PNM reader mistake), '#' comments planted "
+    "between header tokens. The oracle recomputes every sample from "
+    "the construction formulas (llmdata/multimodal.py "
+    "make_pnm/decode_pnm/pnm_features)",
+)
+def multimodal_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 96).select(F.col("doc_id").alias("media_id"))
+    media = _pack_media(
+        ids, lambda i: MM.make_pnm(i, 7 + i % 4, 5 + i % 3)
+    )
+    return MM.pnm_features(media)

@@ -5542,3 +5542,64 @@ def test_robots_gate_arbitrary_paths(spark):
     }
     assert star["/private/x"] == 0  # '*' group blocks /private/
     assert star["/data/blocked"] == 1  # '*' group has no /data rule
+
+
+def test_pnm_golden_hand_authored_and_boundaries():
+    """PNM conformance anchored outside the co-developed pair: ASCII and
+    binary streams written as byte literals with comments, separator-free
+    P1 digits, a P4 row-padded bitmap, and a 2-byte big-endian P5 — each
+    against hand-computed samples. Boundaries refuse loudly."""
+    import pytest
+
+    from query_engine_spark.llmdata.multimodal import decode_pnm
+
+    # P1 with a comment and separator-free digits
+    p1 = b"P1\n# bitmap\n3 2\n011\n10 1\n"
+    assert decode_pnm(p1) == (3, 2, 1, 1, [0, 1, 1, 1, 0, 1])
+    # P2 with a mid-header comment
+    p2 = b"P2 # gray\n2 # dims\n2 7\n0 3\n7 5\n"
+    assert decode_pnm(p2) == (2, 2, 1, 7, [0, 3, 7, 5])
+    # P3 RGB ASCII
+    p3 = b"P3\n2 1 255\n1 2 3 250 251 252\n"
+    assert decode_pnm(p3) == (2, 1, 3, 255, [1, 2, 3, 250, 251, 252])
+    # P4: 3 columns -> one padded byte per row; bits MSB-first
+    p4 = b"P4\n3 2\n" + bytes([0b01100000, 0b10100000])
+    assert decode_pnm(p4) == (3, 2, 1, 1, [0, 1, 1, 1, 0, 1])
+    # P5 with maxval 1000: 2-byte big-endian samples
+    p5 = b"P5\n2 1 1000\n" + (999).to_bytes(2, "big") + (3).to_bytes(2, "big")
+    assert decode_pnm(p5) == (2, 1, 1, 1000, [999, 3])
+    # P6 binary RGB
+    p6 = b"P6\n1 2 255\n" + bytes([9, 8, 7, 1, 2, 3])
+    assert decode_pnm(p6) == (1, 2, 3, 255, [9, 8, 7, 1, 2, 3])
+    # boundaries
+    with pytest.raises(ValueError, match="magic"):
+        decode_pnm(b"P7\n1 1 255\n\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_pnm(b"P5\n4 4 255\n\x00\x00")
+    with pytest.raises(ValueError, match="exceeds maxval"):
+        decode_pnm(b"P2\n1 1 7\n9\n")
+    with pytest.raises(ValueError, match="maxval out of range"):
+        decode_pnm(b"P5\n1 1 0\n\x00")
+
+
+def test_pnm_mutation_fuzz():
+    import random
+
+    from query_engine_spark.llmdata.multimodal import decode_pnm, make_pnm
+
+    rng = random.Random(31)
+    blobs = [make_pnm(m, 7 + m % 4, 5 + m % 3) for m in range(6)]
+    for _ in range(400):
+        bad = bytearray(rng.choice(blobs))
+        op = rng.randrange(3)
+        if op == 0:
+            bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+        elif op == 1:
+            bad = bad[: rng.randrange(len(bad))]
+        else:
+            bad += bytes(rng.randrange(256) for _ in range(rng.randrange(1, 9)))
+        try:
+            w, h, ch, mv, s = decode_pnm(bytes(bad))
+        except (ValueError, NotImplementedError):
+            continue
+        assert len(s) == w * h * ch
