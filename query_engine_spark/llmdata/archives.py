@@ -234,12 +234,14 @@ def read_zip(blob: bytes) -> list[tuple[str, bytes]]:
     return members
 
 
-def _tar_header(name: str, size: int) -> bytes:
-    """One POSIX ustar header block: octal size, 'ustar\\0' magic, and
-    the checksum computed with the chksum field as eight spaces."""
+def _tar_header(name: str, size: int, *, typeflag: bytes = b"0",
+                gnu_magic: bool = False) -> bytes:
+    """One tar header block: octal size, the checksum computed with the
+    chksum field as eight spaces; 'ustar\\0'+'00' POSIX magic or the GNU
+    'ustar  \\0' variant for @LongLink entries."""
     raw = name.encode("utf-8")
     if len(raw) > 100:
-        raise NotImplementedError("ustar name prefix splitting not supported")
+        raise ValueError("header name field limited to 100 bytes")
     hdr = bytearray(512)
     hdr[0 : len(raw)] = raw
     hdr[100:108] = b"0000644\x00"
@@ -248,34 +250,94 @@ def _tar_header(name: str, size: int) -> bytes:
     hdr[124:136] = f"{size:011o}\x00".encode("ascii")
     hdr[136:148] = b"00000000000\x00"
     hdr[148:156] = b" " * 8
-    hdr[156] = ord("0")  # regular file
-    hdr[257:263] = b"ustar\x00"
-    hdr[263:265] = b"00"
+    hdr[156] = typeflag[0]
+    if gnu_magic:
+        hdr[257:265] = b"ustar  \x00"
+    else:
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
     chksum = sum(hdr)
     hdr[148:156] = f"{chksum:06o}\x00 ".encode("ascii")
     return bytes(hdr)
 
 
-def build_tar(members: list[tuple[str, bytes]]) -> bytes:
-    """Pack members into a POSIX ustar stream: header block + content
-    padded to 512, two zero blocks at the end."""
+def _pad512(data: bytes) -> bytes:
+    return data + b"\x00" * (-len(data) % 512)
+
+
+def build_tar(
+    members: list[tuple[str, bytes]], *, longname_style: str = "gnu"
+) -> bytes:
+    """Pack members into a tar stream: header block + content padded to
+    512, two zero blocks at the end. Names past ustar's 100-byte field
+    get a long-name record first — GNU style (a '././@LongLink' entry
+    with typeflag 'L' whose content is the full name) or PAX style (an
+    'x' extended header carrying a `path=` record) — the two mechanisms
+    real corpus tarballs actually use."""
+    if longname_style not in ("gnu", "pax"):
+        raise ValueError(f"unknown longname style {longname_style!r}")
     out = bytearray()
     for name, data in members:
-        out += _tar_header(name, len(data))
-        out += data
-        pad = -len(data) % 512
-        out += b"\x00" * pad
+        raw = name.encode("utf-8")
+        if len(raw) > 100:
+            if longname_style == "gnu":
+                payload = raw + b"\x00"
+                out += _tar_header(
+                    "././@LongLink", len(payload), typeflag=b"L",
+                    gnu_magic=True,
+                )
+                out += _pad512(payload)
+            else:
+                body = f" path={name}\n"
+                # the length prefix counts ITSELF: fixed-point iterate
+                ln = len(body.encode("utf-8"))
+                while len(str(ln)) + len(body.encode("utf-8")) != ln:
+                    ln = len(str(ln)) + len(body.encode("utf-8"))
+                rec = (str(ln) + body).encode("utf-8")
+                out += _tar_header("./PaxHeaders/" + name[:86], len(rec),
+                                   typeflag=b"x")
+                out += _pad512(rec)
+            header_name = raw[:100].decode("utf-8", "ignore")
+        else:
+            header_name = name
+        out += _tar_header(header_name, len(data))
+        out += _pad512(data)
     out += b"\x00" * 1024
     return bytes(out)
 
 
+def _parse_pax_records(data: bytes) -> dict[str, str]:
+    """PAX extended-header records: '<len> <key>=<value>\\n' repeated,
+    with <len> counting the WHOLE record including its own digits."""
+    out: dict[str, str] = {}
+    pos = 0
+    while pos < len(data):
+        sp = data.index(b" ", pos)
+        ln = int(data[pos:sp].decode("ascii"))
+        if ln <= 0 or pos + ln > len(data):
+            raise ValueError("PAX record length out of bounds")
+        rec = data[sp + 1 : pos + ln]
+        if not rec.endswith(b"\n"):
+            raise ValueError("PAX record missing newline terminator")
+        key, _, value = rec[:-1].decode("utf-8").partition("=")
+        if not key:
+            raise ValueError("PAX record without a key")
+        out[key] = value
+        pos += ln
+    return out
+
+
 def read_tar(blob: bytes) -> list[tuple[str, bytes]]:
     """Walk ustar headers, verifying the space-normalized checksum and
-    the ustar magic; stops at the zero-block terminator. Only regular
+    the ustar magic (POSIX and GNU variants); stops at the zero-block
+    terminator. GNU '@LongLink' ('L') entries and PAX extended headers
+    ('x', `path=` record) override the following member's name — the
+    two long-name mechanisms real corpus tarballs use. Only regular
     files (typeflag '0'/NUL) are returned; links/dirs raise — a corpus
     tar carrying anything else is malformed for this pipeline."""
     members: list[tuple[str, bytes]] = []
     pos = 0
+    pending_name: str | None = None
     while pos + 512 <= len(blob):
         hdr = blob[pos : pos + 512]
         if hdr == b"\x00" * 512:
@@ -286,16 +348,32 @@ def read_tar(blob: bytes) -> list[tuple[str, bytes]]:
         if sum(hdr[:148]) + 8 * 32 + sum(hdr[156:]) != stored:
             raise ValueError("tar header checksum mismatch")
         typeflag = hdr[156]
-        if typeflag not in (0, ord("0")):
-            raise ValueError(f"non-regular tar member (typeflag {typeflag!r})")
-        name = hdr[:100].rstrip(b"\x00").decode("utf-8")
         size = int(hdr[124:136].rstrip(b"\x00 ").decode("ascii"), 8)
         start = pos + 512
         data = blob[start : start + size]
         if len(data) != size:
             raise ValueError("tar member truncated")
-        members.append((name, data))
         pos = start + size + (-size % 512)
+        if typeflag == ord("L"):  # GNU longname: applies to the NEXT entry
+            if pending_name is not None:
+                raise ValueError("stacked long-name records")
+            pending_name = data.rstrip(b"\x00").decode("utf-8")
+            continue
+        if typeflag == ord("x"):  # PAX extended header for the NEXT entry
+            if pending_name is not None:
+                raise ValueError("stacked long-name records")
+            recs = _parse_pax_records(data)
+            pending_name = recs.get("path")
+            continue
+        if typeflag == ord("g"):
+            raise NotImplementedError(
+                "PAX global extended headers not supported"
+            )
+        if typeflag not in (0, ord("0")):
+            raise ValueError(f"non-regular tar member (typeflag {typeflag!r})")
+        name = pending_name or hdr[:100].rstrip(b"\x00").decode("utf-8")
+        pending_name = None
+        members.append((name, data))
     else:
         raise ValueError("tar terminator missing")
     return members
@@ -363,14 +441,19 @@ def decompress_auto(blob: bytes) -> bytes:
     raise ValueError("unknown compression magic (expected gzip/bzip2/xz)")
 
 
-def _member_name(doc_id: int) -> str:
+def _member_name(doc_id: int, *, deep: bool = False) -> str:
+    if deep:
+        # >100-byte member paths (the long-name tarball shape): the
+        # depth prefix forces GNU/PAX long-name records
+        return "docs/" + "shard-level/" * 9 + f"doc{doc_id:08d}.txt"
     return f"docs/doc{doc_id:08d}.txt"
 
 
 def _doc_id_of(name: str) -> int:
-    if not (name.startswith("docs/doc") and name.endswith(".txt")):
+    base = name.rsplit("/", 1)[-1]
+    if not (base.startswith("doc") and base.endswith(".txt")):
         raise ValueError(f"unexpected member name {name!r}")
-    return int(name[len("docs/doc") : -len(".txt")])
+    return int(base[len("doc") : -len(".txt")])
 
 
 def pack_archives(
@@ -380,6 +463,7 @@ def pack_archives(
     group_size: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    deep_names: bool = False,
 ) -> DataFrame:
     """Group documents into bounded archives — archive_id = doc_id //
     group_size, members ordered by doc_id within the archive — and build
@@ -387,9 +471,11 @@ def pack_archives(
     "zip64" (forced ZIP64 structures — how big-data tools write every
     archive), "tar.gz", "tar.bz2", "tar.xz", or "tar.mixed" (codec
     cycles gz/bz2/xz by archive_id — the heterogeneous-release corpus
-    shape; readers auto-detect by magic). ONE shuffle on archive_id; the
-    build itself is an Arrow applyInPandas over each group. Returns
-    (archive_id long, payload binary)."""
+    shape; readers auto-detect by magic). `deep_names` gives members
+    >100-byte paths, forcing GNU @LongLink records (even archives) or
+    PAX extended headers (odd archives) on the tar paths. ONE shuffle on
+    archive_id; the build itself is an Arrow applyInPandas over each
+    group. Returns (archive_id long, payload binary)."""
     if fmt not in ("zip", "zip64", "tar.gz", "tar.bz2", "tar.xz", "tar.mixed"):
         raise ValueError(f"unknown archive format {fmt!r}")
 
@@ -397,7 +483,7 @@ def pack_archives(
         pdf = pdf.sort_values(id_col)
         aid = int(pdf["archive_id"].iloc[0])
         members = [
-            (_member_name(int(i)), str(t).encode("utf-8"))
+            (_member_name(int(i), deep=deep_names), str(t).encode("utf-8"))
             for i, t in zip(pdf[id_col], pdf[text_col])
         ]
         if fmt in ("zip", "zip64"):
@@ -408,7 +494,10 @@ def pack_archives(
                 if fmt == "tar.mixed"
                 else fmt.split(".", 1)[1]
             )
-            blob = compress_stream(build_tar(members), codec)
+            style = ("gnu", "pax")[aid % 2] if deep_names else "gnu"
+            blob = compress_stream(
+                build_tar(members, longname_style=style), codec
+            )
         return pd.DataFrame({"archive_id": [aid], "payload": [blob]})
 
     grouped = docs.select(

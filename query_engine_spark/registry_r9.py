@@ -2711,3 +2711,30 @@ def multimodal_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids, lambda i: MM.make_pnm(i, 7 + i % 4, 5 + i % 3)
     )
     return MM.pnm_features(media)
+
+
+@_candidate(
+    "llm_tar_longnames",
+    """
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS chars, md5(text) AS fp
+    FROM documents WHERE doc_id >= 64 AND doc_id < 320
+    """,
+    "LONG-NAME TARBALL ingestion, hash-verified: member paths past "
+    "ustar's 100-byte name field — routine in real corpus releases — "
+    "carried by GNU '@LongLink' typeflag-L records on even archives and "
+    "PAX 'x' extended headers (path= records with the self-counting "
+    "length prefix) on odd ones, so BOTH real-world mechanisms decode "
+    "through one reader. Conformance is anchored EXTERNALLY: stdlib "
+    "tarfile reads our output and we read tarfile's, in both formats "
+    "(tests/test_archives.py). Same one-shuffle pack / map-only extract "
+    "plan and losslessness oracle as the other archive paths "
+    "(llmdata/archives.py build_tar(longname_style)/read_tar)",
+)
+def llm_tar_longnames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import archives as AR
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= 64) & (F.col("doc_id") < 320)
+    )
+    packed = AR.pack_archives(docs, fmt="tar.gz", group_size=8, deep_names=True)
+    return AR.archive_members(packed, fmt="tar.gz")

@@ -432,3 +432,47 @@ def test_mbox_mutation_fuzz():
                 M.extract_message(raw)
         except (ValueError, NotImplementedError):
             continue  # extract_message normalizes stdlib email errors
+
+
+def test_tar_longnames_roundtrip_and_stdlib_cross_validation():
+    """GNU '@LongLink' and PAX 'x' long-name records, conformance
+    anchored OUTSIDE the co-developed pair in both directions: stdlib
+    tarfile reads our output, and we read stdlib tarfile's GNU_FORMAT
+    and PAX_FORMAT output — for >100-byte member paths."""
+    import io
+    import tarfile
+
+    long_name = "docs/" + "verydeep/" * 14 + "doc00000042.txt"
+    assert len(long_name) > 100
+    members = [
+        ("docs/short.txt", b"abc"),
+        (long_name, b"hello world " * 10),
+        ("docs/other.txt", b"x"),
+    ]
+    for style in ("gnu", "pax"):
+        t = A.build_tar(members, longname_style=style)
+        assert A.read_tar(t) == members, style
+        with tarfile.open(fileobj=io.BytesIO(t)) as tf:
+            assert tf.extractfile(long_name).read() == b"hello world " * 10
+    for fmt, label in ((tarfile.GNU_FORMAT, "gnu"), (tarfile.PAX_FORMAT, "pax")):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
+            for n, d in members:
+                ti = tarfile.TarInfo(n)
+                ti.size = len(d)
+                tf.addfile(ti, io.BytesIO(d))
+        assert A.read_tar(buf.getvalue()) == members, label
+    # stacked long-name records are malformed: prepend a complete
+    # @LongLink record (header + padded name content) before another
+    t = A.build_tar([(long_name, b"z")], longname_style="gnu")
+    with pytest.raises(ValueError, match="stacked"):
+        A.read_tar(t[:1024] + t)
+    # a PAX global header refuses loudly
+    g = bytearray(A.build_tar([("docs/a.txt", b"y")]))
+    # flip the first header's typeflag to 'g' and re-checksum
+    g[156] = ord("g")
+    g[148:156] = b" " * 8
+    chk = sum(g[:512])
+    g[148:156] = f"{chk:06o}\x00 ".encode("ascii")
+    with pytest.raises(NotImplementedError, match="global"):
+        A.read_tar(bytes(g))

@@ -380,6 +380,7 @@ def test_r9_candidate_decode_chains_map_only(spark):
     # by design, the extraction below it map-only
     ONE_SHUFFLE = {
         "llm_zip_ingest", "llm_tar_ingest", "llm_tar_mixed_ingest",
+        "llm_tar_longnames",
         # groupBy(shard) over 16 keys — the manifest aggregation
         "llm_export_manifest",
         # groupBy(digest) — the CDX keep-earliest dedup
