@@ -8636,6 +8636,138 @@ def pnm_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, _PNM_SCHEMA)
 
 
+# --- SVG (structural metadata): the web's vector-image format. A crawl
+# pipeline needs dimensions, element census, and embedded text WITHOUT
+# rasterizing (no renderer in scope — and the curation signals live in
+# the structure anyway). Namespaced XML via stdlib ElementTree, the same
+# engine as the sitemap/feed parsers. --------------------------------------
+
+
+_SVG_NS = "http://www.w3.org/2000/svg"
+
+
+def make_svg(media_id: int) -> bytes:
+    """Deterministic SVG fixture: viewBox + explicit px dimensions, a
+    cycling census of path/rect/circle elements, <text> runs with
+    formula strings, a <title>, and a comment — the shapes a real
+    export carries."""
+    w, h = 100 + media_id % 40, 80 + media_id % 30
+    n_paths = 1 + media_id % 4
+    n_rects = media_id % 3
+    n_texts = 1 + media_id % 2
+    parts = [
+        f'<svg xmlns="{_SVG_NS}" width="{w}px" height="{h}" '
+        f'viewBox="0 0 {w} {h}">',
+        f"<title>Icon {media_id}</title>",
+        "<!-- fixture -->",
+        "<g>",
+    ]
+    for k in range(n_paths):
+        parts.append(f'<path d="M{k} {k} L{k + 9} {k + 3} Z"/>')
+    for k in range(n_rects):
+        parts.append(f'<rect x="{k}" y="{k}" width="8" height="5"/>')
+    parts.append("</g>")
+    for k in range(n_texts):
+        parts.append(f'<text x="4" y="{10 + k}">label {media_id}-{k}</text>')
+    parts.append("</svg>")
+    return "".join(parts).encode("utf-8")
+
+
+def parse_svg(blob: bytes) -> dict:
+    """Structural SVG metadata: px dimensions (the width/height
+    attributes with an optional px suffix; absent -> the viewBox), an
+    element census, and the concatenated <text> content. Non-SVG roots
+    and non-pixel units (em/%/pt — resolution needs a renderer context)
+    raise."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(blob.decode("utf-8"))
+    except (ET.ParseError, UnicodeDecodeError) as e:
+        raise ValueError(f"not well-formed SVG XML: {e}") from e
+    if root.tag != f"{{{_SVG_NS}}}svg":
+        raise ValueError(f"root element is not svg ({root.tag!r})")
+
+    def px(value: str | None) -> int | None:
+        if value is None:
+            return None
+        v = value[:-2] if value.endswith("px") else value
+        if not v.isdigit():
+            raise NotImplementedError(
+                f"non-pixel SVG length {value!r} not supported"
+            )
+        return int(v)
+
+    w = px(root.get("width"))
+    h = px(root.get("height"))
+    if (w is None or h is None) and root.get("viewBox"):
+        vb = root.get("viewBox").replace(",", " ").split()
+        if len(vb) != 4:
+            raise ValueError("viewBox must have four numbers")
+        if w is None:
+            w = int(float(vb[2]))
+        if h is None:
+            h = int(float(vb[3]))
+    if w is None or h is None:
+        raise ValueError("SVG without resolvable dimensions")
+    census: dict[str, int] = {}
+    texts: list[str] = []
+    for el in root.iter():
+        tag = el.tag.rsplit("}", 1)[-1]
+        census[tag] = census.get(tag, 0) + 1
+        if tag == "text" and el.text:
+            texts.append(el.text)
+    title = root.find(f"{{{_SVG_NS}}}title")
+    return {
+        "width": w,
+        "height": h,
+        "n_paths": census.get("path", 0),
+        "n_rects": census.get("rect", 0),
+        "n_texts": census.get("text", 0),
+        "text": "\n".join(texts),
+        "title": title.text if title is not None else None,
+    }
+
+
+_SVG_SCHEMA = (
+    "media_id long, width int, height int, n_paths int, n_rects int,"
+    " n_texts int, text_chars long, title string"
+)
+
+
+def svg_features(df: DataFrame) -> DataFrame:
+    """Distributed SVG metadata (Arrow mapInPandas, map-only)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                m = parse_svg(bytes(blob))
+                rows.append(
+                    {
+                        "media_id": mid, "width": m["width"],
+                        "height": m["height"], "n_paths": m["n_paths"],
+                        "n_rects": m["n_rects"], "n_texts": m["n_texts"],
+                        "text_chars": len(m["text"]),
+                        "title": m["title"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_paths", "n_rects",
+                    "n_texts", "text_chars", "title",
+                ],
+            ).astype(
+                {
+                    "width": "int32", "height": "int32", "n_paths": "int32",
+                    "n_rects": "int32", "n_texts": "int32",
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _SVG_SCHEMA)
+
+
 # --- ICO containers (favicons): the highest-frequency icon shape in any
 # web crawl. One file carries N members, each either a full PNG stream or
 # a HEADERLESS 32-bpp DIB whose BITMAPINFOHEADER declares DOUBLE height

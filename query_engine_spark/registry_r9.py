@@ -2738,3 +2738,43 @@ def llm_tar_longnames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = AR.pack_archives(docs, fmt="tar.gz", group_size=8, deep_names=True)
     return AR.archive_members(packed, fmt="tar.gz")
+
+
+# ---------------------------------------------------------------------------
+# SVG structural metadata
+
+
+@_candidate(
+    "multimodal_svg",
+    """
+    WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 256)
+    SELECT media_id,
+           CAST(100 + media_id % 40 AS INT) AS width,
+           CAST(80 + media_id % 30 AS INT) AS height,
+           CAST(1 + media_id % 4 AS INT) AS n_paths,
+           CAST(media_id % 3 AS INT) AS n_rects,
+           CAST(1 + media_id % 2 AS INT) AS n_texts,
+           CAST((1 + media_id % 2)
+                * (8 + length(CAST(media_id AS VARCHAR)))
+                + (media_id % 2) AS BIGINT) AS text_chars,
+           'Icon ' || CAST(media_id AS VARCHAR) AS title
+    FROM m
+    """,
+    "SVG STRUCTURAL METADATA, hash-verified — the web's vector-image "
+    "format, parsed not rasterized (the curation signals are in the "
+    "structure: px dimensions with viewBox fallback, an element census "
+    "of paths/rects/texts, embedded text length, the <title>): "
+    "namespaced ElementTree over deterministic fixtures with comments "
+    "and nested <g> groups; non-pixel units (em/%/pt) refuse — "
+    "resolving them honestly needs a renderer context. text_chars = "
+    "n_texts * len('label {id}-k') + newline joins, recomputed by the "
+    "oracle from the construction formulas (llmdata/multimodal.py "
+    "make_svg/parse_svg/svg_features)",
+)
+def multimodal_svg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 256).select(F.col("doc_id").alias("media_id"))
+    media = _pack_media(ids, MM.make_svg)
+    return MM.svg_features(media)

@@ -5603,3 +5603,43 @@ def test_pnm_mutation_fuzz():
         except (ValueError, NotImplementedError):
             continue
         assert len(s) == w * h * ch
+
+
+def test_svg_parse_boundaries_and_fuzz():
+    """SVG structural parsing: viewBox fallback when width/height are
+    absent, comma-separated viewBox, non-pixel units refusing, non-SVG
+    roots refusing, and 300-case mutation fuzz."""
+    import random
+
+    import pytest
+
+    from query_engine_spark.llmdata.multimodal import make_svg, parse_svg
+
+    ns = "http://www.w3.org/2000/svg"
+    vb_only = f'<svg xmlns="{ns}" viewBox="0,0,64,32"><path d="M0 0"/></svg>'
+    m = parse_svg(vb_only.encode())
+    assert (m["width"], m["height"], m["n_paths"]) == (64, 32, 1)
+    with pytest.raises(NotImplementedError, match="non-pixel"):
+        parse_svg(f'<svg xmlns="{ns}" width="10em" height="4"/>'.encode())
+    with pytest.raises(ValueError, match="root element"):
+        parse_svg(b"<html><body>nope</body></html>")
+    with pytest.raises(ValueError, match="dimensions"):
+        parse_svg(f'<svg xmlns="{ns}"><rect/></svg>'.encode())
+    with pytest.raises(ValueError, match="well-formed"):
+        parse_svg(b"<svg unclosed")
+    rng = random.Random(13)
+    blobs = [make_svg(i) for i in range(4)]
+    for _ in range(300):
+        bad = bytearray(rng.choice(blobs))
+        op = rng.randrange(3)
+        if op == 0:
+            bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+        elif op == 1:
+            bad = bad[: rng.randrange(len(bad))]
+        else:
+            bad += bytes(rng.randrange(256) for _ in range(rng.randrange(1, 9)))
+        try:
+            out = parse_svg(bytes(bad))
+        except (ValueError, NotImplementedError):
+            continue
+        assert isinstance(out, dict) and out["width"] >= 0
