@@ -1514,6 +1514,68 @@ def decode_aiff(blob: bytes) -> tuple[int, int, list[int]]:
     return rate, nframes, samples
 
 
+def make_au(media_id: int, n_samples: int, sample_rate: int = 8000) -> bytes:
+    """Pack a Sun/NeXT AU file (the legacy speech-corpus container):
+    ".snd" magic, big-endian header (data offset past an annotation
+    text, size — the 0xFFFFFFFF unknown-size sentinel on every third
+    stream, as pipe-written files have — encoding 3 = 16-bit linear
+    PCM big-endian, rate, channels), then the make_wav sample
+    formula."""
+    import struct
+
+    data = b"".join(
+        struct.pack(">h", ((media_id * 131 + i * 17) % 65536) - 32768)
+        for i in range(n_samples)
+    )
+    note = f"fixture {media_id}".encode("ascii") + b"\x00"
+    note += b"\x00" * (-len(note) % 8)
+    size = 0xFFFFFFFF if media_id % 3 == 0 else len(data)
+    return (
+        b".snd"
+        + struct.pack(">IIIII", 24 + len(note), size, 3, sample_rate, 1)
+        + note
+        + data
+    )
+
+
+def decode_au(blob: bytes) -> tuple[int, int, list[int]]:
+    """REAL Sun/NeXT AU decode → (sample_rate, n_samples, samples):
+    big-endian header with annotation-aware data offset, the unknown-
+    size sentinel, encoding 3 (16-bit linear PCM BE) and encoding 1
+    (G.711 mu-law, expanded through the same table as the WAV path).
+    Other encodings (linear-8/24/32, float, ADPCM variants) raise."""
+    import struct
+
+    if blob[:4] != b".snd":
+        raise ValueError("not an AU file (missing .snd magic)")
+    if len(blob) < 24:
+        raise ValueError("truncated AU header")
+    off, size, enc, rate, nchan = struct.unpack(">IIIII", blob[4:24])
+    if off < 24 or off > len(blob):
+        raise ValueError("AU data offset out of range")
+    if nchan != 1:
+        raise NotImplementedError("multi-channel AU not supported")
+    data = blob[off:]
+    if size != 0xFFFFFFFF:
+        if size > len(data):
+            raise ValueError("AU data shorter than declared size")
+        data = data[:size]
+    if enc == 3:
+        n = len(data) // 2
+        samples = list(struct.unpack(f">{n}h", data[: 2 * n]))
+    elif enc == 1:
+        samples = [mulaw_decode_byte(b) for b in data]
+    else:
+        raise NotImplementedError(f"AU encoding {enc} not supported")
+    return rate, len(samples), samples
+
+
+def au_features(df: DataFrame) -> DataFrame:
+    """Distributed AU decode (map-only Arrow pass, the shared
+    PCM-container integer surface)."""
+    return _pcm_container_features(df, decode_au)
+
+
 def make_sphere(media_id: int, n_samples: int, sample_rate: int = 16000) -> bytes:
     """Pack a NIST SPHERE file (the TIMIT-family speech-corpus header):
     1024-byte ASCII header ("NIST_1A", size line, key -t value fields,

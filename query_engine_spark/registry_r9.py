@@ -2778,3 +2778,46 @@ def multimodal_svg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = docs.filter(F.col("doc_id") < 256).select(F.col("doc_id").alias("media_id"))
     media = _pack_media(ids, MM.make_svg)
     return MM.svg_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Sun/NeXT AU audio: the legacy speech-corpus container
+
+
+@_candidate(
+    "multimodal_audio_au",
+    """
+    WITH m AS (SELECT doc_id AS media_id, 400 + doc_id % 5 * 60 AS n,
+                      8000 + doc_id % 3 * 4000 AS rate
+               FROM documents WHERE doc_id < 64),
+    s AS (
+      SELECT m.media_id, m.rate, m.n,
+             ((m.media_id*131 + i.i*17) % 65536) - 32768 AS v
+      FROM m, generate_series(0, 699) AS i(i) WHERE i.i < m.n)
+    SELECT media_id, CAST(max(rate) AS INT) AS sample_rate,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(sum(abs(v)) AS BIGINT) AS amp_sum,
+           CAST(max(v) AS INT) AS peak,
+           CAST(((media_id*131) % 65536) - 32768 AS INT) AS first_sample
+    FROM s GROUP BY media_id
+    """,
+    "Sun/NeXT AU decode, hash-verified — the legacy speech-corpus "
+    "container (completes the PCM matrix alongside WAV/AIFF/SPHERE/"
+    "FLAC): big-endian header with annotation-aware data offsets and "
+    "the 0xFFFFFFFF unknown-size sentinel pipe-written files carry "
+    "(every third fixture), 16-bit linear PCM BE; mu-law AU expands "
+    "through the same G.711 table as the WAV path (unit-tested); other "
+    "encodings refuse. Same shared PCM-container fold and oracle "
+    "arithmetic as the sibling formats (llmdata/multimodal.py "
+    "make_au/decode_au/au_features)",
+)
+def multimodal_audio_au(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
+    media = MM.attach_media_meta(
+        _pack_media(ids, lambda i: MM.make_au(i, 400 + i % 5 * 60, 8000 + i % 3 * 4000)),
+        media_type="audio/basic",
+    )
+    return MM.au_features(media)

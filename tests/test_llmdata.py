@@ -5643,3 +5643,45 @@ def test_svg_parse_boundaries_and_fuzz():
         except (ValueError, NotImplementedError):
             continue
         assert isinstance(out, dict) and out["width"] >= 0
+
+
+def test_au_mulaw_and_boundaries():
+    """AU: the mu-law encoding path expands through the same G.711 table
+    as WAV (cross-container agreement pinned sample-for-sample), and the
+    boundaries refuse loudly."""
+    import struct
+
+    import pytest
+
+    from query_engine_spark.llmdata.multimodal import (
+        decode_au,
+        make_au,
+        mulaw_decode_byte,
+    )
+
+    codes = bytes(range(48)) + bytes([0x7F, 0xFF, 0x80, 0x00])
+    au = (
+        b".snd" + struct.pack(">IIIII", 24, len(codes), 1, 8000, 1) + codes
+    )
+    rate, n, samples = decode_au(au)
+    assert (rate, n) == (8000, len(codes))
+    assert samples == [mulaw_decode_byte(b) for b in codes]
+    # annotation-aware offset: junk between header and data is skipped
+    au2 = (
+        b".snd" + struct.pack(">IIIII", 32, len(codes), 1, 8000, 1)
+        + b"notes\x00\x00\x00" + codes
+    )
+    assert decode_au(au2)[2] == samples
+    with pytest.raises(ValueError, match="magic"):
+        decode_au(b"RIFFnot an au")
+    with pytest.raises(ValueError, match="offset"):
+        decode_au(b".snd" + struct.pack(">IIIII", 12, 0, 3, 8000, 1))
+    with pytest.raises(NotImplementedError, match="multi-channel"):
+        decode_au(b".snd" + struct.pack(">IIIII", 24, 4, 3, 8000, 2) + bytes(4))
+    with pytest.raises(NotImplementedError, match="encoding 6"):
+        decode_au(b".snd" + struct.pack(">IIIII", 24, 4, 6, 8000, 1) + bytes(4))
+    with pytest.raises(ValueError, match="shorter"):
+        decode_au(b".snd" + struct.pack(">IIIII", 24, 99, 3, 8000, 1) + bytes(4))
+    # unknown-size sentinel reads to end of file
+    blob = make_au(3, 100)
+    assert decode_au(blob)[1] == 100
