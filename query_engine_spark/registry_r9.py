@@ -9,21 +9,26 @@ r8 set (they will lead the r9 window as never-verified queries).
 Validation today: `tests/test_r9_candidates.py` runs every candidate
 through the same compare as `tools/selfcheck.py` (sorted columns/rows,
 dtype checks, exact values) at sf0.001 AND sf0.01 — the two-scale
-parametrization the r7 verdict asked for, in CI from day one.
+parametrization the r7 verdict asked for, in CI from day one — and the
+whole set has additionally been swept at sf0.1 in-session (three-scale
+coverage; see COVERAGE.md round-8 continuation addenda).
 
-These candidates close the most user-frequent remaining codec boundaries
-(each was a documented NotImplementedError with a specific message):
-- RGB TIFF (photometric 2, chunky SamplesPerPixel 3) — color scans; the
-  count-3 BitsPerSample array lives out-of-line, a tag path grayscale
-  parsers never exercise.
-- RLE8-compressed BMP (BI_RLE8) — the compressed half of the Windows
-  bitmap spec, sharing the frame codec AVI MRLE streams already use.
-- Packed sub-byte PNG (1/2/4-bit grayscale and palette) — favicon /
-  fax / screenshot shapes where eight or two pixels share a byte.
-- Multi-channel WAV (4-channel PCM16) — field-recorder and conference
-  corpora beyond the stereo boundary.
-- 24-bit FLAC — the studio-master depth, completing the FLAC depth
-  matrix alongside the 24-bit WAV path.
+The FORTY-FIVE candidates fall into four families, each closing
+previously documented boundaries or adding first-class pipeline ops:
+- CODECS: RGB/multi-page TIFF tags, RLE8 + top-down BMP, packed/tRNS
+  PNG, multichannel/extensible WAV, 24-bit FLAC, EXIF (+GPS,
+  orientation) and Adobe CMYK JPEG, ID3v2 and the MPEG-audio frame
+  walk, ICO, SRT/VTT, Netpbm P1-P6, SVG structural metadata, Sun AU,
+  WebP lossless/palette/ANIMATED (llmdata/webp.py — full VP8L), and
+  PDF 1.4 text + PDF 1.5 xref/object streams.
+- CONTAINERS/INTERCHANGE: ZIP + ZIP64, TAR gz/bz2/xz/mixed + GNU/PAX
+  long names, EPUB, MBOX, JSONL + CSV roundtrips, export manifests,
+  CDX selection.
+- CRAWL SUITE: WARC ingest (registered in r8), sitemap frontier,
+  robots gating incl. RFC 9309 wildcards, HTML metadata + JSON-LD +
+  outlink graph, Bloom-filter frontier dedup, politeness scheduling,
+  host rank, and the end-to-end crawl_schedule composition.
+- TEXT: Unicode NFC normalization.
 """
 
 from __future__ import annotations
