@@ -588,3 +588,57 @@ def test_outlink_compact_preserves_graph(spark, tmp_path):
         for r in outlink_edges(pages(0, 27)).collect()
     }
     assert final == want
+
+
+def test_streaming_crawl_lifecycle_end_to_end(spark, tmp_path):
+    """The whole streaming crawl loop in one test: page drops stream in,
+    the host graph accumulates as batch partials, compaction folds them
+    mid-stream, and host rank computed over the ACCUMULATED graph is
+    bit-identical to pagerank over the batch edge set — the quality
+    prior a scheduler would feed back into frontier ordering."""
+    from query_engine_spark.llmdata.warc import outlink_edges
+    from query_engine_spark.operators import behavior as B
+    from query_engine_spark.streaming.compose import (
+        outlink_compact,
+        outlink_graph,
+        outlink_ingest_start,
+    )
+    from pyspark.sql import functions as F
+
+    def pages(lo, hi):
+        rows = [
+            (
+                f"https://h{d % 11}.example/p/{d}",
+                f'<a href="https://h{(d * 3 + 1) % 11}.example/x">a</a>'
+                f'<a href="https://h{(d * 7 + 2) % 11}.example/y">b</a>',
+            )
+            for d in range(lo, hi)
+        ]
+        return spark.createDataFrame(rows, "url string, html string")
+
+    in_dir, edges_dir, ckpt = (str(tmp_path / n) for n in ("in", "edges", "ckpt"))
+    pages(0, 40).coalesce(1).write.mode("append").parquet(in_dir)
+    q = outlink_ingest_start(spark, in_dir, edges_dir, ckpt, max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+        pages(40, 90).coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+        outlink_compact(spark, edges_dir, upto_batch=2)
+        pages(90, 120).coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    stream_edges = (
+        outlink_graph(spark, edges_dir)
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        .distinct()
+    )
+    batch_edges = (
+        outlink_edges(pages(0, 120))
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        .distinct()
+    )
+    got = {(r["node"], r["rank_q"]) for r in B.pagerank(stream_edges, iters=3).collect()}
+    want = {(r["node"], r["rank_q"]) for r in B.pagerank(batch_edges, iters=3).collect()}
+    assert got == want and len(got) == 11
