@@ -2826,3 +2826,77 @@ def multimodal_audio_au(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_type="audio/basic",
     )
     return MM.au_features(media)
+
+
+# ---------------------------------------------------------------------------
+# media-type sniffing: the triage stage before any decoder runs
+
+
+@_candidate(
+    "media_type_sniff",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 10
+             WHEN 0 THEN 'image/jpeg'    WHEN 1 THEN 'image/png'
+             WHEN 2 THEN 'image/gif'     WHEN 3 THEN 'image/webp'
+             WHEN 4 THEN 'audio/wav'     WHEN 5 THEN 'application/pdf'
+             WHEN 6 THEN 'application/zip' WHEN 7 THEN 'audio/mpeg'
+             WHEN 8 THEN 'image/tiff'    ELSE 'unknown'
+           END AS mtype
+    FROM documents WHERE doc_id < 512
+    """,
+    "MEDIA-TYPE SNIFFING, hash-verified — the triage stage every crawl "
+    "media pipeline runs before any decoder: magic-byte classification "
+    "as a PURE COLUMN EXPRESSION over the first 16 bytes (codegen, scan "
+    "speed, zero Python, nothing decoded), distinguishing the RIFF "
+    "family (WAV/WebP/AVI) and ISO-BMFF by inner tags, with unknown "
+    "magic classified honestly rather than guessed. The corpus mixes "
+    "REAL fixture payloads from nine other codec families plus a "
+    "deterministic junk class; the oracle knows each row's type from "
+    "the construction residue (llmdata/multimodal.py sniff_media_type)",
+)
+def media_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from query_engine_spark.llmdata import archives as AR
+    from query_engine_spark.llmdata import multimodal as MM
+    from query_engine_spark.llmdata import pdftext as PD
+    from query_engine_spark.llmdata import webp as WB
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                sel = i % 10
+                if sel == 0:
+                    b = MM.make_jpeg(i, 1, 1)
+                elif sel == 1:
+                    b = MM.make_png(i, 4, 3)
+                elif sel == 2:
+                    b = MM.make_gif(i, 4, 3)
+                elif sel == 3:
+                    b = WB.make_webp(i, 4, 3)
+                elif sel == 4:
+                    b = MM.make_wav(i, 32)
+                elif sel == 5:
+                    b = PD.build_pdf([["x"]])
+                elif sel == 6:
+                    b = AR.build_zip([("a.txt", b"x")])
+                elif sel == 7:
+                    b = MM.make_mpeg_audio(i)
+                elif sel == 8:
+                    b = MM.make_tiff(i, 4, 3)
+                else:
+                    b = bytes((i * 7 + k) % 251 + 1 for k in range(24))
+                payloads.append(b)
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(pack, "media_id long, payload binary")
+    return media.select(
+        "media_id", MM.sniff_media_type(F.col("payload")).alias("mtype")
+    )

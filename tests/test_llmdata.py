@@ -5685,3 +5685,54 @@ def test_au_mulaw_and_boundaries():
     # unknown-size sentinel reads to end of file
     blob = make_au(3, 100)
     assert decode_au(blob)[1] == 100
+
+
+def test_media_type_sniffer_families(spark):
+    """Magic-byte triage pinned per family, incl. the RIFF three-way split
+    (WAV vs WebP vs AVI share the outer magic), ISO-BMFF ftyp at offset
+    4, MPEG sync vs ID3, ELF/PE binaries, and unknown fallthrough."""
+    from query_engine_spark.llmdata.multimodal import sniff_media_type
+
+    import pyspark.sql.functions as F
+
+    cases = [
+        (b"\xff\xd8\xff\xe0junk", "image/jpeg"),
+        (b"\x89PNG\r\n\x1a\n....", "image/png"),
+        (b"GIF87a..", "image/gif"),
+        (b"GIF89a..", "image/gif"),
+        (b"RIFF\x10\x00\x00\x00WEBPVP8L", "image/webp"),
+        (b"RIFF\x10\x00\x00\x00WAVEfmt ", "audio/wav"),
+        (b"RIFF\x10\x00\x00\x00AVI LIST", "video/avi"),
+        (b"%PDF-1.5\n", "application/pdf"),
+        (b"PK\x03\x04....", "application/zip"),
+        (b"\x1f\x8b\x08\x00", "application/gzip"),
+        (b"BZh91AY", "application/x-bzip2"),
+        (b"\xfd7zXZ\x00data", "application/x-xz"),
+        (b"ID3\x04\x00\x00", "audio/mpeg"),
+        (b"\xff\xfb\x90\x00", "audio/mpeg"),
+        (b"\xff\xe3\x28\x00", "audio/mpeg"),  # MPEG2.5 sync
+        (b"fLaC\x00\x00\x00\x22", "audio/flac"),
+        (b".snd\x00\x00\x00\x18", "audio/basic"),
+        (b"FORMxxxxAIFF", "audio/aiff"),
+        (b"BM\x36\x00\x00\x00", "image/bmp"),
+        (b"II*\x00....", "image/tiff"),
+        (b"MM\x00*....", "image/tiff"),
+        (b"\x00\x00\x00\x18ftypmp42", "video/mp4"),
+        (b"<?xml version", "image/svg+xml"),
+        (b"<svg xmlns=", "image/svg+xml"),
+        (b"\x7fELF\x02\x01", "application/x-elf"),
+        (b"MZ\x90\x00", "application/x-msdownload"),
+        (b"NIST_1A\n", "audio/x-nist"),
+        (b"total junk here", "unknown"),
+        (b"", "unknown"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, (b, _) in enumerate(cases)],
+        "i long, payload binary",
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", sniff_media_type(F.col("payload")).alias("t")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0][:8], got[i], want)
