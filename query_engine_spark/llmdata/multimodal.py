@@ -1514,6 +1514,174 @@ def decode_aiff(blob: bytes) -> tuple[int, int, list[int]]:
     return rate, nframes, samples
 
 
+def make_woff(media_id: int) -> bytes:
+    """Pack a minimal REAL WOFF 1.0 font (W3C spec): an sfnt with
+    head/maxp/name tables — formulaic glyph count, units-per-em, and a
+    family name with a non-latin char exercising the UTF-16BE name
+    record — wrapped in the WOFF container with per-table zlib
+    compression whenever it shrinks the table."""
+    import struct
+    import zlib
+
+    num_glyphs = 10 + media_id % 90
+    upem = 1000 + (media_id % 4) * 24
+    family = f"Fixture\u2009Sans {media_id % 13}"
+    head = struct.pack(
+        ">IIIIHHQQhhhhHHhhh",
+        0x00010000, 0, 0x5F0F3CF5 and 0, 0x5F0F3CF5,  # version, rev, cksum adj, magic
+        0, upem, 0, 0, 0, 0, 0, 0, 0, 2, 0, 0, 0,
+    )
+    maxp = struct.pack(">IH", 0x00005000, num_glyphs)
+    fam16 = family.encode("utf-16-be")
+    # name table: format 0, ONE record (platform 3, encoding 1, name 1)
+    name = struct.pack(">HHH", 0, 1, 18) + struct.pack(
+        ">HHHHHH", 3, 1, 0x409, 1, len(fam16), 0
+    ) + fam16
+    tables = [(b"head", head), (b"maxp", maxp), (b"name", name)]
+    tables.sort(key=lambda kv: kv[0])
+    # sfnt sizes for totalSfntSize: 12 + 16*n + padded tables
+    total_sfnt = 12 + 16 * len(tables) + sum(
+        (len(d) + 3) & ~3 for _, d in tables
+    )
+    dir_entries = bytearray()
+    body = bytearray()
+    data_start = 44 + 20 * len(tables)
+    for tag, data in tables:
+        comp = zlib.compress(data, 9)
+        use = comp if len(comp) < len(data) else data
+        off = data_start + len(body)
+        dir_entries += tag + struct.pack(
+            ">IIII", off, len(use), len(data), zlib.crc32(data) & 0xFFFFFFFF
+        )
+        body += use + b"\x00" * (-len(use) % 4)
+    total = 44 + len(dir_entries) + len(body)
+    hdr = struct.pack(
+        ">IIIHHIHHIIIII",
+        0x774F4646, 0x00010000, total, len(tables), 0,
+        total_sfnt, 1, 0, 0, 0, 0, 0, 0,
+    )
+    return hdr + bytes(dir_entries) + bytes(body)
+
+
+def parse_woff(blob: bytes) -> dict:
+    """REAL WOFF 1.0 parse: container header, table directory with
+    per-table zlib inflation (compLength < origLength means deflated),
+    then the sfnt tables a curation pass needs — maxp's glyph count,
+    head's units-per-em (magic-checked), and the name table's family
+    (nameID 1; UTF-16BE on platform 3, latin-1 on platform 1). WOFF2
+    ('wOF2') raises — its brotli transform is absent in this
+    environment."""
+    import struct
+    import zlib
+
+    if blob[:4] == b"wOF2":
+        raise NotImplementedError(
+            "WOFF2 requires brotli (not in this environment)"
+        )
+    if blob[:4] != b"wOFF":
+        raise ValueError("not a WOFF font (missing wOFF signature)")
+    if len(blob) < 44:
+        raise ValueError("truncated WOFF header")
+    flavor, _total, num_tables = struct.unpack(">IIH", blob[4:14])
+    if flavor == 0x4F54544F:
+        kind = "cff"
+    elif flavor == 0x00010000:
+        kind = "truetype"
+    else:
+        raise ValueError(f"unknown sfnt flavor {flavor:#x}")
+    tables: dict[bytes, bytes] = {}
+    for t in range(num_tables):
+        e = 44 + 20 * t
+        if e + 20 > len(blob):
+            raise ValueError("truncated WOFF table directory")
+        tag = blob[e : e + 4]
+        off, comp_len, orig_len, _cksum = struct.unpack(
+            ">IIII", blob[e + 4 : e + 20]
+        )
+        raw = blob[off : off + comp_len]
+        if len(raw) != comp_len:
+            raise ValueError(f"table {tag!r} runs past the file")
+        if comp_len < orig_len:
+            try:
+                data = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise ValueError(f"table {tag!r} inflate failed: {exc}") from exc
+        elif comp_len == orig_len:
+            data = raw
+        else:
+            raise ValueError(f"table {tag!r} compLength exceeds origLength")
+        if len(data) != orig_len:
+            raise ValueError(f"table {tag!r} origLength mismatch")
+        tables[tag] = data
+    maxp = tables.get(b"maxp")
+    if maxp is None or len(maxp) < 6:
+        raise ValueError("missing/short maxp table")
+    num_glyphs = struct.unpack(">H", maxp[4:6])[0]
+    head = tables.get(b"head")
+    if head is None or len(head) < 20:
+        raise ValueError("missing/short head table")
+    if struct.unpack(">I", head[12:16])[0] != 0x5F0F3CF5:
+        raise ValueError("head table magic mismatch")
+    upem = struct.unpack(">H", head[18:20])[0]
+    family = None
+    name = tables.get(b"name")
+    if name is not None and len(name) >= 6:
+        _fmt, count, str_off = struct.unpack(">HHH", name[:6])
+        for r in range(count):
+            e = 6 + 12 * r
+            if e + 12 > len(name):
+                raise ValueError("truncated name record")
+            plat, _enc, _lang, nid, ln, off = struct.unpack(
+                ">HHHHHH", name[e : e + 12]
+            )
+            if nid == 1:
+                raw = name[str_off + off : str_off + off + ln]
+                if len(raw) != ln:
+                    raise ValueError("name string past table end")
+                family = (
+                    raw.decode("utf-16-be") if plat in (0, 3)
+                    else raw.decode("latin-1")
+                )
+                break
+    return {
+        "kind": kind,
+        "n_tables": num_tables,
+        "num_glyphs": num_glyphs,
+        "units_per_em": upem,
+        "family": family,
+    }
+
+
+_WOFF_SCHEMA = (
+    "media_id long, kind string, n_tables int, num_glyphs int,"
+    " units_per_em int, family string"
+)
+
+
+def woff_features(df: DataFrame) -> DataFrame:
+    """Distributed WOFF metadata (Arrow mapInPandas, map-only)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                m = parse_woff(bytes(blob))
+                m["media_id"] = mid
+                rows.append(m)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "n_tables", "num_glyphs",
+                    "units_per_em", "family",
+                ],
+            ).astype(
+                {"n_tables": "int32", "num_glyphs": "int32",
+                 "units_per_em": "int32"}
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _WOFF_SCHEMA)
+
+
 def sniff_media_type(payload: "Column") -> "Column":
     """Magic-byte media-type triage as a PURE COLUMN EXPRESSION — the
     first stage of any crawl media pipeline: route each opaque payload

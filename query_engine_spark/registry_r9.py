@@ -2900,3 +2900,39 @@ def media_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select(
         "media_id", MM.sniff_media_type(F.col("payload")).alias("mtype")
     )
+
+
+# ---------------------------------------------------------------------------
+# WOFF web fonts: the font asset class of every page crawl
+
+
+@_candidate(
+    "multimodal_woff",
+    """
+    SELECT doc_id AS media_id,
+           'truetype' AS kind,
+           CAST(3 AS INT) AS n_tables,
+           CAST(10 + doc_id % 90 AS INT) AS num_glyphs,
+           CAST(1000 + (doc_id % 4) * 24 AS INT) AS units_per_em,
+           'Fixture' || chr(8201) || 'Sans ' || CAST(doc_id % 13 AS VARCHAR)
+             AS family
+    FROM documents WHERE doc_id < 256
+    """,
+    "WOFF 1.0 WEB FONTS, hash-verified — the font asset class of every "
+    "page crawl, parsed for curation metadata without rendering: the "
+    "W3C container header, the table directory with per-table zlib "
+    "inflation (compLength < origLength means deflated), maxp's glyph "
+    "count, head's magic-checked units-per-em, and the name table's "
+    "family (UTF-16BE on platform 3 — the fixture family carries a "
+    "THIN SPACE U+2009, written as an explicit escape on both engines "
+    "per the repo's NFC-hazard convention, so a latin-1-everything "
+    "parser fails the hash). WOFF2 refuses (brotli absent here) "
+    "(llmdata/multimodal.py make_woff/parse_woff/woff_features)",
+)
+def multimodal_woff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 256).select(F.col("doc_id").alias("media_id"))
+    media = _pack_media(ids, MM.make_woff)
+    return MM.woff_features(media)

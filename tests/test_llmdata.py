@@ -5736,3 +5736,79 @@ def test_media_type_sniffer_families(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, cases[i][0][:8], got[i], want)
+
+
+def test_woff_golden_and_boundaries():
+    """WOFF conformance outside the co-developed pair: a hand-assembled
+    one-table container (uncompressed head table, every offset a
+    literal), per-table inflate on a deflated maxp, and loud refusals
+    for WOFF2 / bad flavors / compLength > origLength."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from query_engine_spark.llmdata.multimodal import make_woff, parse_woff
+
+    head = struct.pack(
+        ">IIIIHHQQhhhhHHhhh",
+        0x00010000, 0, 0, 0x5F0F3CF5, 0, 2048,
+        0, 0, 0, 0, 0, 0, 0, 2, 0, 0, 0,
+    )
+    maxp = struct.pack(">IH", 0x00005000, 77)
+    maxp_z = zlib.compress(maxp, 9)
+    use_z = len(maxp_z) < len(maxp)
+    maxp_stored = maxp_z if use_z else maxp
+    data_start = 44 + 40
+    dirent = (
+        b"head" + struct.pack(">IIII", data_start, len(head), len(head), 0)
+        + b"maxp" + struct.pack(
+            ">IIII", data_start + len(head), len(maxp_stored), len(maxp), 0
+        )
+    )
+    hdr = struct.pack(
+        ">IIIHHIHHIIIII",
+        0x774F4646, 0x00010000, data_start + len(head) + len(maxp_stored),
+        2, 0, 0, 1, 0, 0, 0, 0, 0, 0,
+    )
+    golden = hdr + dirent + head + maxp_stored
+    m = parse_woff(golden)
+    assert (m["kind"], m["num_glyphs"], m["units_per_em"], m["family"]) == (
+        "truetype", 77, 2048, None
+    )
+    with pytest.raises(NotImplementedError, match="brotli"):
+        parse_woff(b"wOF2" + golden[4:])
+    with pytest.raises(ValueError, match="wOFF"):
+        parse_woff(b"OTTO" + golden[4:])
+    blob = bytearray(make_woff(5))
+    # corrupt a compressed table's bytes: inflate fails loudly
+    tag_at = blob.index(b"name")
+    off = struct.unpack(">I", blob[tag_at + 4 : tag_at + 8])[0]
+    comp_len, orig_len = struct.unpack(">II", blob[tag_at + 8 : tag_at + 16])
+    if comp_len < orig_len:
+        blob[off + 2] ^= 0xFF
+        with pytest.raises(ValueError, match="inflate"):
+            parse_woff(bytes(blob))
+
+
+def test_woff_mutation_fuzz():
+    import random
+
+    from query_engine_spark.llmdata.multimodal import make_woff, parse_woff
+
+    rng = random.Random(53)
+    blobs = [make_woff(i) for i in range(4)]
+    for _ in range(400):
+        bad = bytearray(rng.choice(blobs))
+        op = rng.randrange(3)
+        if op == 0:
+            bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+        elif op == 1:
+            bad = bad[: rng.randrange(len(bad))]
+        else:
+            bad += bytes(rng.randrange(256) for _ in range(rng.randrange(1, 9)))
+        try:
+            out = parse_woff(bytes(bad))
+        except (ValueError, NotImplementedError, UnicodeDecodeError):
+            continue
+        assert isinstance(out, dict) and out["n_tables"] >= 0
