@@ -44,6 +44,11 @@ def main() -> None:
             lambda i: WB.make_webp(i, 9 + i % 4, 8 + i % 3),
             WB.webp_features,
         ),
+        ("webp_animated", WB.make_webp_animated, WB.webp_anim_features),
+        ("pnm", lambda i: MM.make_pnm(i, 7 + i % 4, 5 + i % 3), MM.pnm_features),
+        ("svg_meta", MM.make_svg, MM.svg_features),
+        ("au_audio", lambda i: MM.make_au(i, 400 + i % 5 * 60), MM.au_features),
+        ("woff_fonts", MM.make_woff, MM.woff_features),
     )
 
     for path, maker, feats in media_probes:
