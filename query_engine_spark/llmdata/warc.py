@@ -895,3 +895,76 @@ def frontier_not_seen(
     keep = df.filter(~seen)
     drop = [c for c in keep.columns if c.startswith(("_p", "_w", "_b"))]
     return keep.drop(*drop)
+
+
+# --- image-text pair mining: the CLIP-style multimodal dataset shape —
+# every <img> with its alt text, resolved to fetchable URLs ---------------
+
+
+_IMG_RE = r"(?is)<img\b[^>]*>"
+
+
+def image_refs(df: DataFrame, *, html_col: str = "html",
+               url_col: str = "url") -> DataFrame:
+    """(page_url, img_url, alt) rows from raw HTML at scan speed — the
+    seeding stage of an image-text-pair dataset: img tags extracted with
+    regexp_extract_all, src and alt pulled per tag in EITHER attribute
+    order, srcs resolved like outlinks (absolute kept, protocol-relative
+    take the page scheme, root-/path-relative join the page host and
+    directory), data: URIs and srcless tags dropped. Tags without alt
+    keep an empty string — downstream filters decide whether captionless
+    images survive, not the extractor.
+
+    The tag array is projected in its OWN select below the explode
+    (the explode-recompute trap)."""
+    url = F.col(url_col)
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    host = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    # the page's directory for path-relative srcs: strip the last segment
+    basedir = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+        r"[^/]*$", "",
+    )
+    basedir = F.when(basedir == "", F.lit("/")).otherwise(basedir)
+    staged = df.select(
+        url.alias("page_url"),
+        scheme.alias("_scheme"),
+        host.alias("_host"),
+        basedir.alias("_dir"),
+        F.regexp_extract_all(F.col(html_col), F.lit(_IMG_RE), F.lit(0)).alias(
+            "_tags"
+        ),
+    )
+    tags = staged.select(
+        "page_url", "_scheme", "_host", "_dir",
+        F.explode("_tags").alias("_tag"),
+    )
+    tag = F.col("_tag")
+    src = F.regexp_extract(tag, r"""(?is)\bsrc\s*=\s*["']([^"']*)["']""", 1)
+    alt = F.regexp_extract(tag, r"""(?is)\balt\s*=\s*["']([^"']*)["']""", 1)
+    is_abs = src.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+    is_proto = src.startswith("//")
+    is_data = src.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")  # data:, blob:, ...
+    resolved = (
+        F.when(is_abs, src)
+        .when(is_proto, F.concat(F.col("_scheme"), F.lit(":"), src))
+        .when(src.startswith("/"),
+              F.concat(F.col("_scheme"), F.lit("://"), F.col("_host"), src))
+        .when(is_data | (src == ""), F.lit(None))
+        .otherwise(
+            F.concat(
+                F.col("_scheme"), F.lit("://"), F.col("_host"),
+                F.col("_dir"), src,
+            )
+        )
+    )
+    return (
+        tags.select(
+            "page_url", resolved.alias("img_url"), alt.alias("alt")
+        )
+        .filter(F.col("img_url").isNotNull())
+    )

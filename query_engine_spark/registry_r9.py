@@ -2936,3 +2936,163 @@ def multimodal_woff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = docs.filter(F.col("doc_id") < 256).select(F.col("doc_id").alias("media_id"))
     media = _pack_media(ids, MM.make_woff)
     return MM.woff_features(media)
+
+
+# ---------------------------------------------------------------------------
+# image-text pair mining: the CLIP-style multimodal dataset seed
+
+
+@_candidate(
+    "llm_html_image_pairs",
+    """
+    WITH m AS (
+      SELECT doc_id AS i,
+             'https://dom' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example/a/page' || CAST(doc_id AS VARCHAR) || '.html'
+               AS page_url
+      FROM documents WHERE doc_id < 512),
+    e AS (
+      SELECT page_url,
+             'https://img' || CAST((i + 1) % 9 AS VARCHAR)
+               || '.example/pic/' || CAST(i AS VARCHAR) || '.webp' AS img_url,
+             'photo ' || CAST(i AS VARCHAR) || ' of a scene' AS alt
+      FROM m
+      UNION ALL
+      SELECT page_url,
+             'https://dom' || CAST(i % 7 AS VARCHAR) || '.example/thumb/'
+               || CAST(i AS VARCHAR) || '.jpg',
+             'thumb ' || CAST(i AS VARCHAR)
+      FROM m
+      UNION ALL
+      SELECT page_url,
+             'https://dom' || CAST(i % 7 AS VARCHAR) || '.example/a/p/'
+               || CAST(i AS VARCHAR) || '.png',
+             ''
+      FROM m WHERE i % 2 = 0)
+    SELECT page_url, img_url, alt FROM e
+    """,
+    "IMAGE-TEXT PAIR MINING, hash-verified — the seeding stage of a "
+    "CLIP-style multimodal dataset: every <img> with its alt text, "
+    "extracted at scan speed (regexp_extract_all over the tags, src/alt "
+    "pulled in EITHER attribute order and quote style), srcs resolved "
+    "like outlinks PLUS the path-relative case against the page "
+    "DIRECTORY (/a/p/... — outlink host-granularity is not enough when "
+    "the fetch needs the full URL); data: URIs and srcless tags drop, "
+    "captionless images keep an empty alt for downstream filters to "
+    "judge. The oracle rebuilds every (page, img, alt) row from the "
+    "construction formulas (llmdata/warc.py image_refs)",
+)
+def llm_html_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata.warc import image_refs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 512)
+    i = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("https://dom"), s(i % 7), F.lit(".example/a/page"), s(i),
+        F.lit(".html"),
+    )
+    third = F.when(
+        i % 2 == 0,
+        F.concat(F.lit('<img src="p/'), s(i), F.lit('.png">')),
+    ).otherwise(F.lit(""))
+    page = F.concat(
+        F.lit("<html><body>"),
+        F.lit('<img src="https://img'), s((i + 1) % 9),
+        F.lit(".example/pic/"), s(i),
+        F.lit('.webp" alt="photo '), s(i), F.lit(' of a scene"/>'),
+        F.lit("<img alt='thumb "), s(i), F.lit("' src='/thumb/"), s(i),
+        F.lit(".jpg'>"),
+        third,
+        F.lit('<img src="data:image/png;base64,AAAA" alt="inline">'),
+        F.lit('<img class="lazy">'),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(url.alias("url"), page.alias("html"))
+    return image_refs(pages)
+
+
+@_candidate(
+    "multimodal_image_text_pairs",
+    """
+    WITH m AS (
+      SELECT doc_id AS i, 9 + doc_id % 4 AS w, 8 + doc_id % 3 AS h
+      FROM documents WHERE doc_id < 64),
+    px AS (
+      SELECT m.i, m.w, m.h,
+             (m.i*31 + y.y*7 + x.x*3 + c.c*11) % 256 AS v
+      FROM m, generate_series(0, 12) AS y(y), generate_series(0, 12) AS x(x),
+           generate_series(0, 2) AS c(c)
+      WHERE y.y < m.h AND x.x < m.w)
+    SELECT 'https://img' || CAST((i + 1) % 9 AS VARCHAR) || '.example/pic/'
+             || CAST(i AS VARCHAR) || '.webp' AS img_url,
+           'photo ' || CAST(i AS VARCHAR) || ' of a scene' AS alt,
+           CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+           CAST(sum(v) AS BIGINT) AS px_sum
+    FROM px GROUP BY i
+    """,
+    "IMAGE-TEXT PAIR ASSEMBLY, hash-verified end-to-end — the "
+    "multimodal-dataset capstone: pages yield (img_url, alt) captions "
+    "at scan speed (image_refs), a media table of REAL WebP payloads "
+    "keyed by the same URLs decodes through the full VP8L path, and "
+    "ONE broadcast join assembles the training pair record (caption + "
+    "decoded pixel features) — the caption side never shuffles. The "
+    "oracle recomputes both sides from the construction formulas, so a "
+    "slip in extraction, resolution, decode, or the join key fails the "
+    "hash (llmdata/warc.py image_refs + llmdata/webp.py webp_features)",
+)
+def multimodal_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.functions import broadcast
+
+    from query_engine_spark.llmdata import webp as WB
+    from query_engine_spark.llmdata.warc import image_refs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    i = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    page_url = F.concat(
+        F.lit("https://dom"), s(i % 7), F.lit(".example/a/page"), s(i),
+        F.lit(".html"),
+    )
+    img_url = F.concat(
+        F.lit("https://img"), s((i + 1) % 9), F.lit(".example/pic/"), s(i),
+        F.lit(".webp"),
+    )
+    page = F.concat(
+        F.lit('<html><body><img src="https://img'), s((i + 1) % 9),
+        F.lit(".example/pic/"), s(i),
+        F.lit('.webp" alt="photo '), s(i), F.lit(' of a scene"/>'),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(page_url.alias("url"), page.alias("html"))
+    refs = image_refs(pages)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "img_url": [
+                        f"https://img{(x + 1) % 9}.example/pic/{x}.webp"
+                        for x in ids
+                    ],
+                    "payload": [
+                        WB.make_webp(x, 9 + x % 4, 8 + x % 3) for x in ids
+                    ],
+                }
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        pack, "media_id long, img_url string, payload binary"
+    )
+    feats = WB.webp_features(media.select("media_id", "payload")).join(
+        broadcast(media.select("media_id", "img_url")), "media_id"
+    )
+    return refs.join(
+        broadcast(feats.select("img_url", "width", "height", "px_sum")),
+        "img_url",
+    ).select("img_url", "alt", "width", "height", "px_sum")

@@ -402,8 +402,8 @@ def test_r9_candidate_decode_chains_map_only(spark):
     # heavy tail (same family as graph_pagerank in the registry); the
     # invariant that matters here is cartesian-freedom
     ITERATIVE = {"crawl_host_rank"}
-    # pure broadcast-join gates: ZERO data shuffles, BHJ only
-    BROADCAST_ONLY = {"llm_robots_wildcards"}
+    # pure broadcast-join gates/assemblies: ZERO data shuffles, BHJ only
+    BROADCAST_ONLY = {"llm_robots_wildcards", "multimodal_image_text_pairs"}
 
     for name, spec in CANDIDATES.items():
         df = spec.fn(spark, SF)
