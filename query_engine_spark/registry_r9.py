@@ -13,12 +13,13 @@ parametrization the r7 verdict asked for, in CI from day one — and the
 whole set has additionally been swept at sf0.1 in-session (three-scale
 coverage; see COVERAGE.md round-8 continuation addenda).
 
-The FORTY-FIVE candidates fall into four families, each closing
+The FORTY-NINE candidates fall into four families, each closing
 previously documented boundaries or adding first-class pipeline ops:
 - CODECS: RGB/multi-page TIFF tags, RLE8 + top-down BMP, packed/tRNS
   PNG, multichannel/extensible WAV, 24-bit FLAC, EXIF (+GPS,
   orientation) and Adobe CMYK JPEG, ID3v2 and the MPEG-audio frame
   walk, ICO, SRT/VTT, Netpbm P1-P6, SVG structural metadata, Sun AU,
+  WOFF fonts, magic-byte media-type sniffing,
   WebP lossless/palette/ANIMATED (llmdata/webp.py — full VP8L), and
   PDF 1.4 text + PDF 1.5 xref/object streams.
 - CONTAINERS/INTERCHANGE: ZIP + ZIP64, TAR gz/bz2/xz/mixed + GNU/PAX
@@ -27,7 +28,8 @@ previously documented boundaries or adding first-class pipeline ops:
 - CRAWL SUITE: WARC ingest (registered in r8), sitemap frontier,
   robots gating incl. RFC 9309 wildcards, HTML metadata + JSON-LD +
   outlink graph, Bloom-filter frontier dedup, politeness scheduling,
-  host rank, and the end-to-end crawl_schedule composition.
+  host rank, the end-to-end crawl_schedule composition, and the
+  CLIP-style image-text pair mining + assembly path.
 - TEXT: Unicode NFC normalization.
 """
 
