@@ -294,8 +294,13 @@ def build_tar(
                 while len(str(ln)) + len(body.encode("utf-8")) != ln:
                     ln = len(str(ln)) + len(body.encode("utf-8"))
                 rec = (str(ln) + body).encode("utf-8")
-                out += _tar_header("./PaxHeaders/" + name[:86], len(rec),
-                                   typeflag=b"x")
+                # the x-entry's own name is advisory; truncate by BYTES
+                # (a char slice can overflow 100 bytes on non-ASCII)
+                pax_name = ("./PaxHeaders/" + name).encode("utf-8")[:100]
+                out += _tar_header(
+                    pax_name.decode("utf-8", "ignore"), len(rec),
+                    typeflag=b"x",
+                )
                 out += _pad512(rec)
             header_name = raw[:100].decode("utf-8", "ignore")
         else:

@@ -1528,7 +1528,7 @@ def make_woff(media_id: int) -> bytes:
     family = f"Fixture\u2009Sans {media_id % 13}"
     head = struct.pack(
         ">IIIIHHQQhhhhHHhhh",
-        0x00010000, 0, 0x5F0F3CF5 and 0, 0x5F0F3CF5,  # version, rev, cksum adj, magic
+        0x00010000, 0, 0, 0x5F0F3CF5,  # version, rev, cksum adj, magic
         0, upem, 0, 0, 0, 0, 0, 0, 0, 2, 0, 0, 0,
     )
     maxp = struct.pack(">IH", 0x00005000, num_glyphs)
@@ -1721,8 +1721,9 @@ def sniff_media_type(payload: "Column") -> "Column":
         .when(hx.startswith("49492A00") | hx.startswith("4D4D002A"),
               F.lit("image/tiff"))
         .when(ftyp, F.lit("video/mp4"))
-        .when(hx.startswith("3C3F786D6C") | hx.startswith("3C737667"),
-              F.lit("image/svg+xml"))
+        .when(hx.startswith("3C737667"), F.lit("image/svg+xml"))
+        # '<?xml' alone is only evidence of XML, not of SVG
+        .when(hx.startswith("3C3F786D6C"), F.lit("application/xml"))
         .when(hx.startswith("7F454C46"), F.lit("application/x-elf"))
         .when(hx.startswith("4D5A"), F.lit("application/x-msdownload"))
         .when(hx.startswith("4E4953545F3141"), F.lit("audio/x-nist"))

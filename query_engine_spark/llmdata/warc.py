@@ -676,11 +676,16 @@ def robots_gate(
     onto the pages, then one Arrow pass evaluates RFC 9309 longest-match
     per row, memoizing the parsed rule set per site within each batch so
     a million pages of one host parse its robots once per partition.
-    Adds an `allowed` int column; the pages never shuffle."""
+    Adds an `allowed` int column; the pages never shuffle. Sites with NO
+    robots row (the fetch 404'd) keep every page and gate it ALLOWED —
+    RFC 9309's absent-robots rule — via a LEFT join, never by dropping
+    frontier rows."""
     from pyspark.sql.functions import broadcast
 
     joined = pages.join(
-        broadcast(robots.select(F.col(id_col), F.col("payload"))), id_col
+        broadcast(robots.select(F.col(id_col), F.col("payload"))),
+        id_col,
+        "left",
     )
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in joined.schema.fields
@@ -696,6 +701,9 @@ def robots_gate(
             for sid, payload, path in zip(
                 pdf[id_col], pdf["payload"], pdf[path_col]
             ):
+                if payload is None:
+                    allowed.append(1)  # no robots.txt: everything allowed
+                    continue
                 sid = int(sid)
                 if sid not in memo:
                     memo[sid] = parse_robots(bytes(payload).decode("utf-8"))
@@ -760,10 +768,11 @@ def outlink_edges(df: DataFrame, *, html_col: str = "html",
     expressions for resolution, one groupBy shuffle for the counts.
 
     Resolution is host-exact rather than path-exact: absolute links
-    carry their own host, protocol-relative (`//host/..`) take the page
-    scheme, and root-relative AND path-relative links stay on the page
-    host — which is exactly right for a host graph (path dot-segment
-    merging per RFC 3986 §5.2 would change no edge). Non-fetch schemes
+    carry their own host, protocol-relative (`//host/..`) carry theirs
+    (the scheme is irrelevant at host granularity), and root-relative
+    AND path-relative links stay on the page host — which is exactly
+    right for a host graph (path dot-segment merging per RFC 3986 §5.2
+    would change no edge). Non-fetch schemes
     (mailto:, javascript:, data:, tel:) and fragment-only links drop.
     Hosts lowercase (DNS is case-insensitive); paths are not emitted.
 
@@ -771,21 +780,17 @@ def outlink_edges(df: DataFrame, *, html_col: str = "html",
     the explode (the explode-recompute trap: a sibling expression of
     explode re-evaluates per output row)."""
     url = F.col(url_col)
-    scheme = F.lower(
-        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
-    )
     host = F.lower(
         F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
     )
     staged = df.select(
         host.alias("src_host"),
-        scheme.alias("_scheme"),
         F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), F.lit(1)).alias(
             "_hrefs"
         ),
     )
     links = staged.select(
-        "src_host", "_scheme", F.explode("_hrefs").alias("_link")
+        "src_host", F.explode("_hrefs").alias("_link")
     )
     link = F.col("_link")
     is_abs = link.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
@@ -870,31 +875,30 @@ def frontier_not_seen(
     pos = _bloom_positions(F.col(url_col), m_bits, k)
     df = frontier
     hit_cols = []
+    gen_cols = []  # exact generated names — never touch caller columns
     for i, p in enumerate(pos):
+        pc, wc, bc = f"__bloom_p{i}", f"__bloom_w{i}", f"__bloom_b{i}"
+        jw, jm = f"__bloom_jw{i}", f"__bloom_jm{i}"
+        gen_cols += [pc, wc, bc, jw, jm]
         df = (
-            df.withColumn(f"_p{i}", p)
-            .withColumn(f"_w{i}", (F.col(f"_p{i}") / 32).cast("long"))
-            .withColumn(
-                f"_b{i}",
-                F.expr(f"shiftleft(1L, cast(_p{i} % 32 AS int))"),
-            )
+            df.withColumn(pc, p)
+            .withColumn(wc, (F.col(pc) / 32).cast("long"))
+            .withColumn(bc, F.expr(f"shiftleft(1L, cast({pc} % 32 AS int))"))
         )
         b = bloom.select(
-            F.col("word").alias(f"_bw{i}"), F.col("mask").alias(f"_bm{i}")
+            F.col("word").alias(jw), F.col("mask").alias(jm)
         )
-        df = df.join(broadcast(b), F.col(f"_w{i}") == F.col(f"_bw{i}"), "left")
+        df = df.join(broadcast(b), F.col(wc) == F.col(jw), "left")
         hit_cols.append(
             F.coalesce(
-                (F.col(f"_bm{i}").bitwiseAND(F.col(f"_b{i}")) != 0),
+                (F.col(jm).bitwiseAND(F.col(bc)) != 0),
                 F.lit(False),
             )
         )
     seen = hit_cols[0]
     for h in hit_cols[1:]:
         seen = seen & h
-    keep = df.filter(~seen)
-    drop = [c for c in keep.columns if c.startswith(("_p", "_w", "_b"))]
-    return keep.drop(*drop)
+    return df.filter(~seen).drop(*gen_cols)
 
 
 # --- image-text pair mining: the CLIP-style multimodal dataset shape —

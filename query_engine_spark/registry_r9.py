@@ -3078,10 +3078,6 @@ def multimodal_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": ids,
-                    "img_url": [
-                        f"https://img{(x + 1) % 9}.example/pic/{x}.webp"
-                        for x in ids
-                    ],
                     "payload": [
                         WB.make_webp(x, 9 + x % 4, 8 + x % 3) for x in ids
                     ],
@@ -3089,12 +3085,19 @@ def multimodal_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = docs.select("doc_id").mapInPandas(
-        pack, "media_id long, img_url string, payload binary"
+        pack, "media_id long, payload binary"
     )
-    feats = WB.webp_features(media.select("media_id", "payload")).join(
-        broadcast(media.select("media_id", "img_url")), "media_id"
+    feats = WB.webp_features(media)
+    # the url is a pure formula of media_id: rebuild it as a column
+    # expression instead of referencing the (expensive) pack twice
+    mid = F.col("media_id")
+    feat_url = F.concat(
+        F.lit("https://img"), ((mid + 1) % 9).cast("string"),
+        F.lit(".example/pic/"), mid.cast("string"), F.lit(".webp"),
     )
-    return refs.join(
-        broadcast(feats.select("img_url", "width", "height", "px_sum")),
-        "img_url",
-    ).select("img_url", "alt", "width", "height", "px_sum")
+    keyed = feats.select(
+        feat_url.alias("img_url"), "width", "height", "px_sum"
+    )
+    return refs.join(broadcast(keyed), "img_url").select(
+        "img_url", "alt", "width", "height", "px_sum"
+    )

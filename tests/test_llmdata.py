@@ -5718,7 +5718,7 @@ def test_media_type_sniffer_families(spark):
         (b"II*\x00....", "image/tiff"),
         (b"MM\x00*....", "image/tiff"),
         (b"\x00\x00\x00\x18ftypmp42", "video/mp4"),
-        (b"<?xml version", "image/svg+xml"),
+        (b"<?xml version", "application/xml"),
         (b"<svg xmlns=", "image/svg+xml"),
         (b"\x7fELF\x02\x01", "application/x-elf"),
         (b"MZ\x90\x00", "application/x-msdownload"),
@@ -5812,3 +5812,45 @@ def test_woff_mutation_fuzz():
         except (ValueError, NotImplementedError, UnicodeDecodeError):
             continue
         assert isinstance(out, dict) and out["n_tables"] >= 0
+
+
+def test_robots_gate_missing_robots_allows(spark):
+    """A site with NO robots row (fetch 404'd) must keep its frontier
+    rows and gate them ALLOWED (RFC 9309 absent-robots rule) — a
+    code-review finding: the join was inner and silently deleted them."""
+    from query_engine_spark.llmdata.warc import make_robots, robots_gate
+
+    robots = spark.createDataFrame(
+        [(1, make_robots(1).encode("utf-8"))], "site_id long, payload binary"
+    )
+    pages = spark.createDataFrame(
+        [(1, "/data/x"), (7, "/data/x"), (7, "/private/deep")],
+        "site_id long, path string",
+    )
+    got = {
+        (r["site_id"], r["path"]): r["allowed"]
+        for r in robots_gate(pages, robots, "trainbot").collect()
+    }
+    assert got == {
+        (1, "/data/x"): 0,        # gated by site 1's rules
+        (7, "/data/x"): 1,        # no robots: allowed, NOT dropped
+        (7, "/private/deep"): 1,
+    }
+
+
+def test_bloom_frontier_preserves_caller_underscore_columns(spark):
+    """frontier_not_seen must not clobber or drop caller columns that
+    happen to start with underscore prefixes (code-review finding: the
+    old cleanup matched _p/_w/_b by prefix)."""
+    from query_engine_spark.llmdata.warc import build_bloom, frontier_not_seen
+
+    hist = spark.createDataFrame([("https://a/1",)], "url string")
+    bloom = build_bloom(hist, m_bits=1024, k=2)
+    cand = spark.createDataFrame(
+        [(1, "https://a/1", 9, 8, 7), (2, "https://a/2", 5, 4, 3)],
+        "doc_id long, url string, _priority int, _weight int, _bucket int",
+    )
+    out = frontier_not_seen(cand, bloom, m_bits=1024, k=2)
+    rows = {r["doc_id"]: (r["_priority"], r["_weight"], r["_bucket"])
+            for r in out.collect()}
+    assert rows == {2: (5, 4, 3)}  # url 1 filtered; caller columns intact
