@@ -476,3 +476,48 @@ def test_tar_longnames_roundtrip_and_stdlib_cross_validation():
     g[148:156] = f"{chk:06o}\x00 ".encode("ascii")
     with pytest.raises(NotImplementedError, match="global"):
         A.read_tar(bytes(g))
+
+
+def test_tar_longname_property_roundtrip():
+    """Property: arbitrary member names (unicode, any length up to the
+    fixture bound) roundtrip through BOTH long-name styles and remain
+    stdlib-readable — incl. names whose byte length exceeds their char
+    length (the PAX byte-truncation regression class)."""
+    import io
+    import tarfile
+
+    from hypothesis import given, settings, strategies as st
+
+    name_chars = st.sampled_from(list("abzé日/_.-"))
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(name_chars, min_size=1, max_size=160),
+                st.binary(max_size=64),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        st.sampled_from(["gnu", "pax"]),
+    )
+    @settings(max_examples=80, deadline=None)
+    def prop(raw_members, style):
+        # tar member names must not start/end with '/', collide, or be
+        # '.'-like; normalize into validity while keeping the byte-vs-
+        # char length property intact
+        members = []
+        seen = set()
+        for i, (n, d) in enumerate(raw_members):
+            n = f"m{i}_" + n.strip("/").replace("//", "/")
+            if not n or n in seen:
+                return
+            seen.add(n)
+            members.append((n, d))
+        t = A.build_tar(members, longname_style=style)
+        assert A.read_tar(t) == members
+        with tarfile.open(fileobj=io.BytesIO(t)) as tf:
+            for n, d in members:
+                assert tf.extractfile(n).read() == d
+
+    prop()

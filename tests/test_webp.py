@@ -435,3 +435,62 @@ def test_webp_anim_mutation_fuzz():
         except (ValueError, NotImplementedError):
             continue
         assert frames and all(len(f["canvas"]) == cw * ch for f in frames)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _webp_images(draw):
+    w = draw(st.integers(1, 14))
+    h = draw(st.integers(1, 12))
+    px = [
+        W._argb(
+            draw(st.integers(0, 255)), draw(st.integers(0, 255)),
+            draw(st.integers(0, 255)), draw(st.integers(0, 255)),
+        )
+        for _ in range(w * h)
+    ]
+    variant = draw(
+        st.sampled_from(
+            [
+                {},
+                {"subtract_green": True},
+                {"cross_color": (130, 77, 250)},
+                {"lz77": True},
+                {"cache_bits": 4},
+                {"lz77": True, "cache_bits": 2, "subtract_green": True},
+                {"meta_bits": 2},
+            ]
+        )
+    )
+    if draw(st.booleans()):
+        variant = dict(variant)
+        variant["predictor"] = draw(st.integers(0, 13))
+        variant.pop("meta_bits", None)
+    return w, h, px, variant
+
+
+@given(_webp_images())
+@settings(max_examples=120, deadline=None)
+def test_webp_roundtrip_property(img):
+    """Property: decode(encode(x)) == x for ARBITRARY ARGB images across
+    every transform/entropy variant — beyond the fixed-seed matrix; the
+    co-developed pair must agree on every pixel pattern hypothesis can
+    invent (the wire format itself is anchored by the hand goldens)."""
+    w, h, px, kw = img
+    assert W.decode_webp(W.encode_webp(w, h, px, **kw)) == (w, h, px)
+
+
+@given(st.integers(1, 4096))
+@settings(max_examples=300, deadline=None)
+def test_webp_prefix_value_coding_inverse(v):
+    """PrefixEncode/PrefixDecode are exact inverses over the whole
+    length/distance value domain (1..4096)."""
+    code, extra_bits, extra_val = W._prefix_encode_value(v)
+    assert 0 <= code < 40
+    assert extra_val < (1 << extra_bits) if extra_bits else extra_val == 0
+    bw = W._BitWriter()
+    bw.write(extra_val, extra_bits)
+    br = W._BitReader(bw.bytes() or b"\x00")
+    assert W._prefix_decode_value(code, br) == v
