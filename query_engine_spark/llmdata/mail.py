@@ -70,12 +70,24 @@ def split_mbox(blob: bytes) -> list[bytes]:
     that is not an mbox."""
     if not blob.startswith(b"From "):
         raise ValueError("not an mbox (missing leading 'From ' envelope)")
+    # the framing adds exactly one line-terminator (when the message
+    # lacked one) plus one separator newline; reversing must remove
+    # exactly that much — rstrip-ALL would eat blank lines a message
+    # legitimately ends with (code-review finding). Normalize the EOF
+    # form first so the final message splits like a mid-file one.
+    if blob.endswith(b"\n"):
+        blob = blob[:-1]
     messages: list[bytes] = []
     cur: list[bytes] | None = None
+
+    def _emit(parts: list[bytes]) -> None:
+        joined = b"\n".join(parts)
+        messages.append(joined[:-1] if joined.endswith(b"\n") else joined)
+
     for line in blob.split(b"\n"):
         if line.startswith(b"From "):
             if cur is not None:
-                messages.append(b"\n".join(cur).rstrip(b"\n") + b"\n")
+                _emit(cur)
             cur = []
             continue
         stripped = line.lstrip(b">")
@@ -84,7 +96,7 @@ def split_mbox(blob: bytes) -> list[bytes]:
         assert cur is not None
         cur.append(line)
     if cur is not None:
-        messages.append(b"\n".join(cur).rstrip(b"\n") + b"\n")
+        _emit(cur)
     return messages
 
 
@@ -97,8 +109,11 @@ def extract_message(raw: bytes) -> dict:
 
     # stdlib email leaks its own exception types on malformed headers,
     # unknown charsets and broken transfer encodings — normalize all of
-    # them to ValueError: an executor must reject one weird message, not
-    # crash the ingest job on it
+    # them to ValueError so callers see ONE contract exception type.
+    # Failures are intentionally LOUD at the job level (the repo-wide
+    # corrupt-input posture: a bad message fails the batch rather than
+    # silently landing wrong text); a skip-and-flag wrapper belongs in
+    # the caller that wants lossy ingest, not here
     try:
         msg = email.message_from_bytes(raw, policy=email.policy.default)
         subject = msg["Subject"]

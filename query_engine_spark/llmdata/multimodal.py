@@ -6799,6 +6799,26 @@ def _jpeg_rgb_np(
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255)
 
 
+def _jpeg_rgb_direct_np(
+    planes: list["np.ndarray"],
+    samps: list[tuple[int, int]],
+    hmax: int,
+    vmax: int,
+    w: int,
+    h: int,
+) -> "np.ndarray":
+    """Upsample-only assembly for Adobe APP14 transform-0 3-component
+    scans: the channels are ALREADY RGB (Photoshop's 'no color
+    transform'), so applying the YCbCr matrix would silently garble
+    them (code-review finding)."""
+    up = []
+    for plane, (sh, sv) in zip(planes, samps):
+        ys = (np.arange(h, dtype=np.int64) * sv) // vmax
+        xs = (np.arange(w, dtype=np.int64) * sh) // hmax
+        up.append(plane[ys[:, None], xs[None, :]])
+    return np.clip(np.stack(up, axis=-1), 0, 255)
+
+
 def _jpeg_cmyk_np(
     planes: list["np.ndarray"],
     samps: list[tuple[int, int]],
@@ -7263,6 +7283,10 @@ def decode_jpeg_np(blob: bytes) -> tuple[int, int, "np.ndarray"]:
                 "4-component JPEG without Adobe APP14: CMYK vs YCCK undefined"
             )
         return w, h, _jpeg_cmyk_np(planes, samps, hmax, vmax, w, h, adobe_transform)
+    if adobe_transform == 0:
+        # Adobe APP14 transform 0 on a 3-component scan: straight RGB
+        # (a standard Photoshop output) — no YCbCr matrix
+        return w, h, _jpeg_rgb_direct_np(planes, samps, hmax, vmax, w, h)
     return w, h, _jpeg_rgb_np(planes, samps, hmax, vmax, w, h)
 
 
@@ -8369,6 +8393,9 @@ def build_id3(
         elif enc == 1:
             payload = bytes([1]) + text.encode("utf-16")  # BOM included
         elif enc == 2:
+            if version != 4:
+                # id3v2.3 defines only $00/$01; $02 (UTF-16BE) is v2.4
+                raise ValueError("UTF-16BE text encoding is v2.4-only")
             payload = bytes([2]) + text.encode("utf-16-be")
         elif enc == 3:
             if version != 4:
@@ -8452,7 +8479,10 @@ def make_mp3_id3(media_id: int) -> bytes:
     version = 3 if media_id % 2 == 0 else 4
     enc = media_id % 3
     if enc == 2:
-        enc = 3 if version == 4 else 2
+        # v2.3 defines only latin-1/UCS-2-BOM (code-review finding: the
+        # old fixture emitted spec-invalid $02 frames in v2.3 tags);
+        # v2.4 rows alternate its two extra encodings, UTF-16BE / UTF-8
+        enc = (2 if media_id % 4 < 2 else 3) if version == 4 else 1
     mark = "♪" if enc != 0 else ""  # ♪ — not latin-1 encodable
     year = 1990 + media_id % 30
     date_frame = ("TYER", str(year)) if version == 3 else ("TDRC", f"{year}-07-04")
@@ -9264,6 +9294,10 @@ def parse_subtitles(text: str) -> list[tuple[int, int, str]]:
     handled; SRT index lines are validated as integers. Cue text keeps
     internal newlines. Malformed blocks raise ValueError."""
     text = text.lstrip("﻿")  # real files carry BOMs constantly
+    # CRLF is the DOMINANT encoding of real SRT files (and old players
+    # wrote bare CR): normalize before any line logic, or cue text and
+    # blank-line detection silently keep \r bytes
+    text = text.replace("\r\n", "\n").replace("\r", "\n")
     lines = text.split("\n")
     vtt = bool(lines) and lines[0].strip().startswith("WEBVTT")
     sep = "." if vtt else ","

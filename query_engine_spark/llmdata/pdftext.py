@@ -820,12 +820,13 @@ def _page_text(content: bytes) -> str:
             )
         elif tok in (b"Td", b"TD", b"T*"):
             if cur:
-                lines.extend(cur)
+                lines.append("".join(cur))
                 cur = []
             stack.clear()
         else:
             stack.append(tok)
-    lines.extend(cur)
+    if cur:
+        lines.append("".join(cur))
     return "\n".join(lines)
 
 

@@ -728,22 +728,28 @@ def html_metadata(col: Column) -> dict[str, Column]:
     title = F.regexp_extract(col, r"(?is)<title[^>]*>(.*?)</title\s*>", 1)
 
     def _attr_value(tag: str, disc: str, value_attr: str) -> Column:
-        fwd = F.regexp_extract(
-            col,
-            rf"""(?is)<{tag}\b[^>]*{disc}[^>]*{value_attr}=["']([^"']*)["']""",
-            1,
-        )
-        rev = F.regexp_extract(
-            col,
-            rf"""(?is)<{tag}\b[^>]*{value_attr}=["']([^"']*)["'][^>]*{disc}""",
-            1,
-        )
-        return F.when(fwd != "", fwd).otherwise(rev)
+        # per-quote patterns: a double-quoted value may contain
+        # apostrophes (John's ...) and a single-quoted one may contain
+        # double quotes — the mixed class ["']...["'] truncated both
+        # (code-review finding). The quote right after '=' picks the
+        # pattern, so the wrong-quote pattern cannot fire.
+        out = F.lit("")
+        for pat in (
+            rf'(?is)<{tag}\b[^>]*{disc}[^>]*{value_attr}="([^"]*)"',
+            rf"(?is)<{tag}\b[^>]*{disc}[^>]*{value_attr}='([^']*)'",
+            rf'(?is)<{tag}\b[^>]*{value_attr}="([^"]*)"[^>]*{disc}',
+            rf"(?is)<{tag}\b[^>]*{value_attr}='([^']*)'[^>]*{disc}",
+        ):
+            got = F.regexp_extract(col, pat, 1)
+            out = F.when(out != "", out).otherwise(got)
+        return out
 
     canonical = _attr_value("link", r"""rel=["']canonical["']""", "href")
     description = _attr_value("meta", r"""name=["']description["']""", "content")
     og_title = _attr_value("meta", r"""property=["']og:title["']""", "content")
-    lang = F.regexp_extract(col, r"""(?is)<html\b[^>]*lang=["']([^"']+)["']""", 1)
+    lang_dq = F.regexp_extract(col, r'(?is)<html\b[^>]*lang="([^"]+)"', 1)
+    lang_sq = F.regexp_extract(col, r"""(?is)<html\b[^>]*lang='([^']+)'""", 1)
+    lang = F.when(lang_dq != "", lang_dq).otherwise(lang_sq)
     return {
         "title": title,
         "canonical": canonical,
@@ -758,7 +764,7 @@ def html_metadata(col: Column) -> dict[str, Column]:
 # scheduling, host reputation, and PageRank-style quality priors) -------
 
 
-_HREF_RE = r"""(?is)<a\b[^>]*?href\s*=\s*["']([^"']*)["']"""
+_A_TAG_RE = r"(?is)<a\b[^>]*>"
 
 
 def outlink_edges(df: DataFrame, *, html_col: str = "html",
@@ -785,12 +791,24 @@ def outlink_edges(df: DataFrame, *, html_col: str = "html",
     )
     staged = df.select(
         host.alias("src_host"),
-        F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), F.lit(1)).alias(
-            "_hrefs"
+        F.regexp_extract_all(F.col(html_col), F.lit(_A_TAG_RE), F.lit(0)).alias(
+            "_atags"
         ),
     )
     links = staged.select(
-        "src_host", F.explode("_hrefs").alias("_link")
+        "src_host", F.explode("_atags").alias("_tag")
+    )
+    # per-quote href pull: the quote after '=' picks the pattern, so
+    # values containing the OTHER quote char survive intact
+    href_dq = F.regexp_extract(
+        F.col("_tag"), r'(?is)\bhref\s*=\s*"([^"]*)"', 1
+    )
+    href_sq = F.regexp_extract(
+        F.col("_tag"), r"""(?is)\bhref\s*=\s*'([^']*)'""", 1
+    )
+    links = links.select(
+        "src_host",
+        F.when(href_dq != "", href_dq).otherwise(href_sq).alias("_link"),
     )
     link = F.col("_link")
     is_abs = link.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
@@ -948,8 +966,16 @@ def image_refs(df: DataFrame, *, html_col: str = "html",
         F.explode("_tags").alias("_tag"),
     )
     tag = F.col("_tag")
-    src = F.regexp_extract(tag, r"""(?is)\bsrc\s*=\s*["']([^"']*)["']""", 1)
-    alt = F.regexp_extract(tag, r"""(?is)\balt\s*=\s*["']([^"']*)["']""", 1)
+
+    def _attr(name: str) -> Column:
+        dq = F.regexp_extract(
+            tag, rf'(?is)\b{name}\s*=\s*"([^"]*)"', 1
+        )
+        sq = F.regexp_extract(tag, rf"(?is)\b{name}\s*=\s*'([^']*)'", 1)
+        return F.when(dq != "", dq).otherwise(sq)
+
+    src = _attr("src")
+    alt = _attr("alt")
     is_abs = src.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
     is_proto = src.startswith("//")
     is_data = src.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")  # data:, blob:, ...
