@@ -1682,6 +1682,190 @@ def woff_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, _WOFF_SCHEMA)
 
 
+def encode_qoi(w: int, h: int, pixels: list[tuple[int, int, int, int]],
+               *, channels: int = 4) -> bytes:
+    """Encode RGBA pixels as QOI (the public 'Quite OK Image' spec —
+    the exact-roundtrip format modern ML tooling uses for fast lossless
+    interchange): greedy RUN / INDEX / DIFF / LUMA / RGB(A) ops over the
+    running previous-pixel + 64-slot index state."""
+    import struct
+
+    out = bytearray(b"qoif" + struct.pack(">IIBB", w, h, channels, 0))
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for px in pixels:
+        if px == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        r, g, b, a = px
+        hx = (r * 3 + g * 5 + b * 7 + a * 11) % 64
+        if index[hx] == px:
+            out.append(hx)
+        else:
+            index[hx] = px
+            pr, pg, pb, pa = prev
+            if a == pa:
+                dr = (r - pr + 128) % 256 - 128
+                dg = (g - pg + 128) % 256 - 128
+                db = (b - pb + 128) % 256 - 128
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+                elif (
+                    -32 <= dg <= 31
+                    and -8 <= dr - dg <= 7
+                    and -8 <= db - dg <= 7
+                ):
+                    out.append(0x80 | (dg + 32))
+                    out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                else:
+                    out += bytes([0xFE, r, g, b])
+            else:
+                out += bytes([0xFF, r, g, b, a])
+        prev = px
+    if run:
+        out.append(0xC0 | (run - 1))
+    # the INDEX op path above skips the table write when it hits; every
+    # decoded pixel must land in the table, so mirror the decoder: runs
+    # and index hits reuse entries already present — consistent by
+    # construction since only new pixels rewrite their slot
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def decode_qoi(blob: bytes) -> tuple[int, int, int, list[tuple[int, int, int, int]]]:
+    """Decode QOI → (width, height, channels, RGBA pixels): the five op
+    kinds over running state, wraparound DIFF/LUMA arithmetic, the
+    64-slot hash index updated on EVERY emitted pixel, and the 8-byte
+    end marker verified. Truncation and bad headers raise."""
+    import struct
+
+    if blob[:4] != b"qoif":
+        raise ValueError("not a QOI image (missing qoif magic)")
+    if len(blob) < 14 + 8:
+        raise ValueError("truncated QOI header")
+    w, h, channels, colorspace = struct.unpack(">IIBB", blob[4:14])
+    if channels not in (3, 4):
+        raise ValueError(f"QOI channels must be 3 or 4, got {channels}")
+    if colorspace not in (0, 1):
+        raise ValueError(f"QOI colorspace must be 0 or 1, got {colorspace}")
+    if not (1 <= w <= 1 << 16 and 1 <= h <= 1 << 16):
+        raise ValueError("QOI dimensions out of range")
+    if blob[-8:] != b"\x00" * 7 + b"\x01":
+        raise ValueError("QOI end marker missing")
+    data = blob[14:-8]
+    npix = w * h
+    pixels: list[tuple[int, int, int, int]] = []
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos = 0
+    n = len(data)
+    while len(pixels) < npix:
+        if pos >= n:
+            raise ValueError("QOI stream truncated before all pixels")
+        op = data[pos]
+        pos += 1
+        if op == 0xFE:  # RGB
+            if pos + 3 > n:
+                raise ValueError("truncated QOI_OP_RGB")
+            r, g, b = data[pos], data[pos + 1], data[pos + 2]
+            pos += 3
+        elif op == 0xFF:  # RGBA
+            if pos + 4 > n:
+                raise ValueError("truncated QOI_OP_RGBA")
+            r, g, b, a = data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
+            pos += 4
+        elif op >> 6 == 0:  # INDEX
+            r, g, b, a = index[op & 0x3F]
+        elif op >> 6 == 1:  # DIFF (wraparound, bias 2)
+            r = (r + ((op >> 4) & 3) - 2) % 256
+            g = (g + ((op >> 2) & 3) - 2) % 256
+            b = (b + (op & 3) - 2) % 256
+        elif op >> 6 == 2:  # LUMA (bias 32 / 8)
+            if pos >= n:
+                raise ValueError("truncated QOI_OP_LUMA")
+            dg = (op & 0x3F) - 32
+            b2 = data[pos]
+            pos += 1
+            r = (r + dg + ((b2 >> 4) & 0xF) - 8) % 256
+            g = (g + dg) % 256
+            b = (b + dg + (b2 & 0xF) - 8) % 256
+        else:  # RUN (bias -1; 62 max — 63/64 collide with RGB/RGBA)
+            run = (op & 0x3F) + 1
+            if len(pixels) + run > npix:
+                raise ValueError("QOI run past image end")
+            pixels.extend([(r, g, b, a)] * run)
+            index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+            continue
+        px = (r, g, b, a)
+        pixels.append(px)
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = px
+    if pos != n:
+        raise ValueError("trailing bytes after the last QOI pixel")
+    return w, h, channels, pixels
+
+
+def make_qoi(media_id: int, w: int, h: int) -> bytes:
+    """Deterministic QOI fixture over the shared pixel formula, with
+    runs (flat patches), index revisits, and small deltas so all five
+    op kinds appear; every 4th stream uses alpha (channels 4 fixture
+    semantics — QOI pixels are always decoded RGBA)."""
+    px = []
+    for y in range(h):
+        for x in range(w):
+            if (x // 3 + y) % 4 == 0:
+                base = media_id * 31 % 256
+                px.append((base, (base + 11) % 256, (base + 22) % 256, 255))
+            else:
+                base = (media_id * 31 + y * 7 + x * 3) % 256
+                alpha = (media_id + x) % 256 if media_id % 4 == 0 else 255
+                px.append((base, (base + 11) % 256, (base + 22) % 256, alpha))
+    return encode_qoi(w, h, px, channels=4 if media_id % 4 == 0 else 3)
+
+
+_QOI_SCHEMA = (
+    "media_id long, width int, height int, channels int,"
+    " r_sum long, g_sum long, b_sum long, a_sum long"
+)
+
+
+def qoi_features(df: DataFrame) -> DataFrame:
+    """Distributed QOI decode (Arrow mapInPandas, map-only): per-channel
+    sums over the decoded RGBA pixels."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                w, h, chans, px = decode_qoi(bytes(blob))
+                rs = sum(p[0] for p in px)
+                gs = sum(p[1] for p in px)
+                bs = sum(p[2] for p in px)
+                as_ = sum(p[3] for p in px)
+                rows.append(
+                    {
+                        "media_id": mid, "width": w, "height": h,
+                        "channels": chans, "r_sum": rs, "g_sum": gs,
+                        "b_sum": bs, "a_sum": as_,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "r_sum", "g_sum", "b_sum", "a_sum",
+                ],
+            ).astype({"width": "int32", "height": "int32", "channels": "int32"})
+
+    return df.select("media_id", "payload").mapInPandas(run, _QOI_SCHEMA)
+
+
 def sniff_media_type(payload: "Column") -> "Column":
     """Magic-byte media-type triage as a PURE COLUMN EXPRESSION — the
     first stage of any crawl media pipeline: route each opaque payload

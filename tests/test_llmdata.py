@@ -5926,3 +5926,70 @@ def test_jpeg_adobe_rgb_transform0(spark):
     # and bounds
     assert rgb_direct.shape == (h, w, 3)
     assert int(rgb_direct.min()) >= 0 and int(rgb_direct.max()) <= 255
+
+
+def test_qoi_golden_and_boundaries():
+    """QOI conformance anchored outside the co-developed pair: a
+    hand-assembled stream exercising RGB, RUN, DIFF, LUMA and INDEX ops
+    with hand-computed pixel state, plus loud boundaries."""
+    import struct
+
+    import pytest
+
+    from query_engine_spark.llmdata.multimodal import decode_qoi, encode_qoi
+
+    # hand stream: 2x3 = 6 pixels
+    # RGB(10,20,30); RUN 2; DIFF(+1,-1,0); LUMA(dg=+9, dr-dg=-3, db-dg=+2);
+    # INDEX(hash of the first pixel)
+    hx = (10 * 3 + 20 * 5 + 30 * 7 + 255 * 11) % 64
+    data = bytes(
+        [0xFE, 10, 20, 30]          # px0 = (10,20,30,255)
+        + [0xC0 | 1]                 # px1..2 run of 2
+        + [0x40 | (3 << 4) | (1 << 2) | 2]  # DIFF +1,-1,0 -> (11,19,30)
+        + [0x80 | (9 + 32), ((-3 + 8) << 4) | (2 + 8)]  # LUMA
+        + [hx]                       # INDEX back to (10,20,30,255)
+    )
+    blob = (
+        b"qoif" + struct.pack(">IIBB", 2, 3, 3, 0) + data
+        + b"\x00" * 7 + b"\x01"
+    )
+    w, h, ch, px = decode_qoi(blob)
+    assert (w, h, ch) == (2, 3, 3)
+    luma = ((11 + 9 - 3) % 256, (19 + 9) % 256, (30 + 9 + 2) % 256, 255)
+    assert px == [
+        (10, 20, 30, 255), (10, 20, 30, 255), (10, 20, 30, 255),
+        (11, 19, 30, 255), luma, (10, 20, 30, 255),
+    ]
+    # boundaries
+    with pytest.raises(ValueError, match="magic"):
+        decode_qoi(b"qoix" + blob[4:])
+    with pytest.raises(ValueError, match="end marker"):
+        decode_qoi(blob[:-1])
+    with pytest.raises(ValueError, match="truncated|trailing|past"):
+        decode_qoi(blob[:14] + data[:-2] + b"\x00" * 7 + b"\x01")
+    ok = encode_qoi(1, 1, [(1, 2, 3, 255)])
+    with pytest.raises(ValueError, match="channels"):
+        decode_qoi(ok[:12] + b"\x05" + ok[13:])
+
+
+def test_qoi_mutation_fuzz():
+    import random
+
+    from query_engine_spark.llmdata.multimodal import decode_qoi, make_qoi
+
+    rng = random.Random(61)
+    blobs = [make_qoi(m, 9 + m % 4, 8 + m % 3) for m in range(5)]
+    for _ in range(400):
+        bad = bytearray(rng.choice(blobs))
+        op = rng.randrange(3)
+        if op == 0:
+            bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+        elif op == 1:
+            bad = bad[: rng.randrange(len(bad))]
+        else:
+            bad += bytes(rng.randrange(256) for _ in range(rng.randrange(1, 9)))
+        try:
+            w, h, ch, px = decode_qoi(bytes(bad))
+        except (ValueError, NotImplementedError):
+            continue
+        assert len(px) == w * h
