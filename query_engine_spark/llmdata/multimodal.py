@@ -1682,6 +1682,126 @@ def woff_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, _WOFF_SCHEMA)
 
 
+def make_fits(media_id: int, w: int, h: int, *, bitpix: int = 16) -> bytes:
+    """Pack a FITS image (the astronomy-corpus raster, per the public
+    NASA FITS 4.0 standard): 80-char header cards in 2880-byte blocks
+    (SIMPLE/BITPIX/NAXIS/NAXIS1/NAXIS2/BZERO on 16-bit/END), then
+    big-endian pixel data padded to a 2880 multiple. Pixels follow the
+    shared integer formula."""
+    import struct
+
+    if bitpix not in (8, 16, 32):
+        raise ValueError("fixture bitpix must be 8, 16 or 32")
+
+    def card(key: str, value: str) -> bytes:
+        return f"{key:<8}= {value:>20}".ljust(80).encode("ascii")
+
+    cards = [
+        card("SIMPLE", "T"),
+        card("BITPIX", str(bitpix)),
+        card("NAXIS", "2"),
+        card("NAXIS1", str(w)),
+        card("NAXIS2", str(h)),
+        b"COMMENT   fixture".ljust(80),
+        b"END".ljust(80),
+    ]
+    head = b"".join(cards)
+    head += b" " * (-len(head) % 2880)
+    mod = 1 << bitpix
+    half = mod // 2
+    fmt = {8: ">B", 16: ">h", 32: ">i"}[bitpix]
+    data = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = (media_id * 131 + y * 17 + x * 5) % mod
+            if bitpix > 8:
+                v -= half  # signed storage, the FITS convention
+            data += struct.pack(fmt, v)
+    data += b"\x00" * (-len(data) % 2880)
+    return head + bytes(data)
+
+
+def decode_fits(blob: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode a single-HDU 2D FITS image → (width, height, bitpix,
+    pixels in raster order, signed as stored). Floating BITPIX (-32/-64)
+    refuses — cross-engine float hashing is the repo's no-go; NAXIS != 2
+    and extensions refuse as out of the raster-corpus scope."""
+    import struct
+
+    if len(blob) < 2880:
+        raise ValueError("truncated FITS header block")
+    cards: dict[str, str] = {}
+    pos = 0
+    ended = False
+    while not ended:
+        if pos + 2880 > len(blob):
+            raise ValueError("FITS header without END card")
+        block = blob[pos : pos + 2880]
+        for i in range(0, 2880, 80):
+            card = block[i : i + 80].decode("ascii", "replace")
+            key = card[:8].strip()
+            if key == "END":
+                ended = True
+                break
+            if "=" in card[8:10]:
+                cards[key] = card[10:].split("/")[0].strip()
+        pos += 2880
+    if cards.get("SIMPLE") != "T":
+        raise ValueError("not a standard FITS file (SIMPLE != T)")
+    bitpix = int(cards.get("BITPIX", "0"))
+    if bitpix < 0:
+        raise NotImplementedError(
+            "floating-point FITS (BITPIX < 0) not supported"
+        )
+    if bitpix not in (8, 16, 32, 64):
+        raise ValueError(f"invalid BITPIX {bitpix}")
+    if int(cards.get("NAXIS", "0")) != 2:
+        raise NotImplementedError("only NAXIS=2 image HDUs supported")
+    w = int(cards["NAXIS1"])
+    h = int(cards["NAXIS2"])
+    if not (1 <= w <= 1 << 16 and 1 <= h <= 1 << 16):
+        raise ValueError("FITS dimensions out of range")
+    n = w * h
+    size = bitpix // 8
+    data = blob[pos : pos + n * size]
+    if len(data) != n * size:
+        raise ValueError("FITS data shorter than NAXIS1*NAXIS2")
+    fmt = {8: f">{n}B", 16: f">{n}h", 32: f">{n}i", 64: f">{n}q"}[bitpix]
+    return w, h, bitpix, list(struct.unpack(fmt, data))
+
+
+_FITS_SCHEMA = (
+    "media_id long, width int, height int, bitpix int,"
+    " px_sum long, px_min long, px_max long"
+)
+
+
+def fits_features(df: DataFrame) -> DataFrame:
+    """Distributed FITS decode (Arrow mapInPandas, map-only)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                w, h, bp, px = decode_fits(bytes(blob))
+                rows.append(
+                    {
+                        "media_id": mid, "width": w, "height": h,
+                        "bitpix": bp, "px_sum": sum(px),
+                        "px_min": min(px), "px_max": max(px),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "bitpix",
+                    "px_sum", "px_min", "px_max",
+                ],
+            ).astype({"width": "int32", "height": "int32", "bitpix": "int32"})
+
+    return df.select("media_id", "payload").mapInPandas(run, _FITS_SCHEMA)
+
+
 def encode_qoi(w: int, h: int, pixels: list[tuple[int, int, int, int]],
                *, channels: int = 4) -> bytes:
     """Encode RGBA pixels as QOI (the public 'Quite OK Image' spec —

@@ -88,3 +88,54 @@ def multimodal_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = docs.filter(F.col("doc_id") < 96).select(F.col("doc_id").alias("media_id"))
     media = _pack_media(ids, lambda i: MM.make_qoi(i, 9 + i % 4, 8 + i % 3))
     return MM.qoi_features(media)
+
+
+# ---------------------------------------------------------------------------
+# FITS: the astronomy-corpus raster
+
+
+@_candidate(
+    "multimodal_fits",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             ([8, 16, 32])[1 + doc_id % 3] AS bp,
+             11 + doc_id % 5 AS w, 9 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 96),
+    px AS (
+      SELECT m.media_id, m.w, m.h, m.bp,
+             (m.media_id * 131 + y.y * 17 + x.x * 5)
+               % (1::BIGINT << m.bp)
+               - CASE WHEN m.bp > 8 THEN (1::BIGINT << (m.bp - 1)) ELSE 0 END
+               AS v
+      FROM m, generate_series(0, 15) AS x(x), generate_series(0, 12) AS y(y)
+      WHERE x.x < m.w AND y.y < m.h)
+    SELECT media_id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+           CAST(max(bp) AS INT) AS bitpix,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(min(v) AS BIGINT) AS px_min,
+           CAST(max(v) AS BIGINT) AS px_max
+    FROM px GROUP BY media_id
+    """,
+    "FITS DECODE, hash-verified — the astronomy-corpus raster (NASA "
+    "FITS 4.0, public): 80-char header cards in 2880-byte blocks, "
+    "big-endian signed pixel data at BITPIX 8/16/32 cycling by id, "
+    "2880-padding walked exactly. Floating BITPIX refuses (cross-engine "
+    "float hashing is the repo's no-go), as do extensions and "
+    "NAXIS != 2. The oracle recomputes every signed pixel from the "
+    "construction formula (llmdata/multimodal.py "
+    "make_fits/decode_fits/fits_features)",
+)
+def multimodal_fits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_engine_spark.llmdata import multimodal as MM
+    from query_engine_spark.registry_r9 import _pack_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.filter(F.col("doc_id") < 96).select(F.col("doc_id").alias("media_id"))
+    media = _pack_media(
+        ids,
+        lambda i: MM.make_fits(
+            i, 11 + i % 5, 9 + i % 4, bitpix=(8, 16, 32)[i % 3]
+        ),
+    )
+    return MM.fits_features(media)

@@ -5993,3 +5993,61 @@ def test_qoi_mutation_fuzz():
         except (ValueError, NotImplementedError):
             continue
         assert len(px) == w * h
+
+
+def test_fits_golden_and_boundaries():
+    """FITS conformance outside the co-developed pair: a hand-assembled
+    2x2 BITPIX-16 HDU (cards as byte literals, hand-computed BE pixel
+    bytes), plus loud boundaries for floats, extensions, and
+    truncation."""
+    import struct
+
+    import pytest
+
+    from query_engine_spark.llmdata.multimodal import decode_fits, make_fits
+
+    def card(s: str) -> bytes:
+        return s.ljust(80).encode("ascii")
+
+    head = b"".join(
+        [
+            card("SIMPLE  =                    T"),
+            card("BITPIX  =                   16"),
+            card("NAXIS   =                    2"),
+            card("NAXIS1  =                    2"),
+            card("NAXIS2  =                    2"),
+            card("END"),
+        ]
+    )
+    head += b" " * (-len(head) % 2880)
+    data = struct.pack(">4h", -5, 0, 300, -32768)
+    data += b"\x00" * (-len(data) % 2880)
+    w, h, bp, px = decode_fits(head + data)
+    assert (w, h, bp, px) == (2, 2, 16, [-5, 0, 300, -32768])
+    with pytest.raises(NotImplementedError, match="floating"):
+        decode_fits(head.replace(b"=                   16", b"=                  -32", 1) + data)
+    with pytest.raises(NotImplementedError, match="NAXIS"):
+        decode_fits(head.replace(b"NAXIS   =                    2", b"NAXIS   =                    3", 1) + data)
+    with pytest.raises(ValueError, match="shorter"):
+        decode_fits(head + data[:4])
+    with pytest.raises(ValueError, match="SIMPLE"):
+        decode_fits(head.replace(b"   T", b"   F", 1) + data)
+    # fuzz
+    import random
+
+    rng = random.Random(71)
+    blobs = [make_fits(m, 11 + m % 5, 9 + m % 4, bitpix=(8, 16, 32)[m % 3]) for m in range(3)]
+    for _ in range(300):
+        bad = bytearray(rng.choice(blobs))
+        op = rng.randrange(3)
+        if op == 0:
+            bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+        elif op == 1:
+            bad = bad[: rng.randrange(len(bad))]
+        else:
+            bad += bytes(rng.randrange(256) for _ in range(rng.randrange(1, 9)))
+        try:
+            w, h, bp, px = decode_fits(bytes(bad))
+        except (ValueError, NotImplementedError):
+            continue
+        assert len(px) == w * h
