@@ -7328,31 +7328,25 @@ def llm_curation_pipeline_decontam(spark: SparkSession, sf_dir: str) -> DataFram
 # least-recently-verified first. The map below is transcribed from the
 # CORRECTNESS files: name -> last round a driver hash-match was recorded.
 _DRIVER_LAST_VERIFIED: dict[str, int] = {
-    # last driver-verified in CORRECTNESS_r02.json (the 3 rotation names
-    # that slipped the 50-slot r7 window; front-run them in r8)
-    **{n: 2 for n in (
-        "llm_hash_sample", "llm_prepare_corpus", "llm_top_terms",
-    )},
-    # last driver-verified in CORRECTNESS_r04.json (44 rows)
+    # Transcribed per-round from CORRECTNESS_r0N.json: name -> last round a
+    # driver hash-match (or designed rows-only pass) was recorded. Every
+    # registry query has now been driver-verified at least once; the r8
+    # window was 50/50 hash-green (the 3 r2-era slipped names among them).
     **{n: 4 for n in (
-        "agg_rollup", "asof_join_directions", "asof_join_events",
-        "dedup_best_of_cluster", "embed_dim_stats", "embed_label_centroids",
-        "embed_label_cohesion", "events_ema", "events_transition_matrix",
-        "funnel_events", "graph_triangles", "group_quantiles_bucketed",
-        "group_quantiles_events", "hopping_window_events", "j10_community",
-        "j10_top_moots", "kmv_distinct_users", "llm_balanced_sample",
-        "llm_bpe_pair_counts", "llm_chunk_docs", "llm_curation_flags",
-        "llm_decontaminate", "llm_dedup_funnel", "llm_doc_lm_score",
-        "llm_domain_mix", "llm_ngram_lm", "llm_pack_chunks",
-        "llm_quality_calibrated", "llm_split_assign", "llm_stupid_backoff",
-        "media_dedup", "q16_supplier_variety", "q17_small_quantity",
-        "q19_disjunctive", "q22_no_order_customers", "q4_order_priority",
-        "q7_nation_volume", "range_join_events", "retention_cohorts",
+        "asof_join_directions", "asof_join_events",
+        "dedup_best_of_cluster", "embed_dim_stats",
+        "embed_label_cohesion", "events_ema",
+        "events_transition_matrix", "funnel_events", "graph_triangles",
+        "group_quantiles_bucketed", "group_quantiles_events",
+        "hopping_window_events", "kmv_distinct_users",
+        "llm_balanced_sample", "llm_bpe_pair_counts", "llm_chunk_docs",
+        "llm_curation_flags", "llm_decontaminate", "llm_dedup_funnel",
+        "llm_doc_lm_score", "llm_domain_mix", "llm_ngram_lm",
+        "llm_pack_chunks", "llm_quality_calibrated",
+        "llm_stupid_backoff", "range_join_events", "retention_cohorts",
         "stream_interval_join_pairs", "text_repetition_features",
-        "text_strip_dup_spans", "text_top_terms_per_lang",
-        "window_revenue_deciles",
+        "text_top_terms_per_lang",
     )},
-    # last driver-verified in CORRECTNESS_r05.json (46 rows)
     **{n: 5 for n in (
         "dedup_containment", "dedup_incremental", "embed_ivfpq_topk",
         "embed_pq_topk", "events_anomaly_zscore", "events_countmin",
@@ -7361,35 +7355,31 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "llm_bpe_apply", "llm_bpe_train", "llm_compressed_ingest",
         "llm_curation_pipeline", "llm_dsir_weights",
         "llm_quality_classifier", "llm_weighted_sample",
-        "media_audio_dedup", "multimodal_audio",
-        "multimodal_audio_resample", "multimodal_features",
-        "multimodal_gif", "multimodal_png", "multimodal_resize",
-        "pipeline_flagship", "q10_returned_items", "q11_important_value",
-        "q12_priority_lines", "q13_customer_distribution",
-        "q14_promo_revenue", "q15_top_supplier", "q20_promotion_suppliers",
+        "media_audio_dedup", "multimodal_audio_resample",
+        "multimodal_features", "multimodal_gif", "multimodal_resize",
+        "pipeline_flagship", "q10_returned_items",
+        "q11_important_value", "q12_priority_lines",
+        "q13_customer_distribution", "q14_promo_revenue",
+        "q15_top_supplier", "q20_promotion_suppliers",
         "q21_waiting_suppliers", "q2_min_cost_supplier",
         "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
         "rollup_gapfill_events", "s1_firehose", "sessionize_events",
-        "text_bm25_indexed", "text_strip_boilerplate", "text_tfidf_pairs",
-        "text_winnowing",
+        "text_bm25_indexed", "text_strip_boilerplate",
+        "text_tfidf_pairs", "text_winnowing",
     )},
-    # last driver-verified in CORRECTNESS_r06.json (50 rows, minus the 4
-    # re-verified in r7)
     **{n: 6 for n in (
         "a1_trending_tags", "a1_trending_windowed",
         "dedup_embedding_cosine", "dedup_minhash_lsh",
         "dedup_ngram_jaccard", "embed_ivf_indexed", "embed_ivf_topk",
-        "embed_kmeans", "embed_semdedup",
-        "f10_embed_prefix", "f12_where_script", "f13_videos_notnull",
-        "f14_regex", "f15_profile_filters", "f9_non_duplicates",
-        "hybrid_rrf_search", "j10_mutuals", "j10_two_hop",
-        "j1_replace_parent", "j3_replace_record", "j4_direct_replies",
-        "j5_all_replies", "j6_quote_posts",
-        "llm_curation_pipeline_decontam",
-        "media_jpeg_perceptual_dedup",
-        "media_perceptual_dedup", "media_video_dedup",
-        "multimodal_audio_adpcm", "multimodal_audio_mulaw",
-        "multimodal_jpeg_color",
+        "embed_kmeans", "embed_semdedup", "f10_embed_prefix",
+        "f12_where_script", "f13_videos_notnull", "f14_regex",
+        "f15_profile_filters", "f9_non_duplicates", "hybrid_rrf_search",
+        "j10_mutuals", "j10_two_hop", "j1_replace_parent",
+        "j3_replace_record", "j4_direct_replies", "j5_all_replies",
+        "j6_quote_posts", "llm_curation_pipeline_decontam",
+        "media_jpeg_perceptual_dedup", "media_perceptual_dedup",
+        "media_video_dedup", "multimodal_audio_adpcm",
+        "multimodal_audio_mulaw", "multimodal_jpeg_color",
         "multimodal_video_frames", "multimodal_video_rle",
         "o1_sort_created_top", "o2_sort_hn", "o3_sort_counts",
         "o4_sort_random", "o5_sort_score_dedup", "o7_posts_per_user",
@@ -7397,27 +7387,51 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "sc_hn_normalized", "text_doc_segment_dedup", "text_dup_spans",
         "text_langid_ngram", "u_stash_pipeline",
     )},
-    # last driver-verified in CORRECTNESS_r07.json (50 rows: the r1/r2
-    # rotation cohort re-verified on final r7 code + the 4 r7-touched +
-    # the new multimodal_jpeg_420)
     **{n: 7 for n in (
         "a2_tag_variations", "a3_count_views", "a4_degree_counts",
         "a5_user_like_totals", "a7_admin_stats", "agg_cube",
-        "agg_distinct_users", "agg_pivot", "dedup_clusters", "dedup_exact",
-        "dedup_simhash", "embed_cosine_topk", "embed_srp_near_dup",
-        "events_anomaly_static", "f11_labels_remove",
-        "f12_where_script_stmt", "f12_where_udf_tier", "f1_item_kind",
-        "f2_image_count", "f6_language", "f7_list_semi_anti",
-        "f8_duplicates_first", "f_count_cmp", "j2_replace_root",
+        "agg_distinct_users", "agg_pivot", "dedup_clusters",
+        "dedup_exact", "dedup_simhash", "embed_cosine_topk",
+        "embed_srp_near_dup", "events_anomaly_static",
+        "f11_labels_remove", "f12_where_script_stmt",
+        "f12_where_udf_tier", "f1_item_kind", "f2_image_count",
+        "f6_language", "f7_list_semi_anti", "f8_duplicates_first",
+        "f_count_cmp", "j2_replace_root",
         "llm_curation_pipeline_neardup", "media_incremental_dedup",
-        "multimodal_jpeg", "multimodal_jpeg_420", "q18_large_orders",
-        "q1_pricing_summary", "q3_shipping_priority",
-        "q5_local_supplier_volume", "s10_liked_by_likers", "s2_input_list",
-        "s3_input_tags", "s4_input_labels", "s5_input_feed", "s6_input_did",
-        "s7_input_post_prepend", "s8_archived_scan", "s9_liked_weighted",
-        "stream_windowed_counts", "text_bm25_search", "text_contamination",
-        "text_fingerprint", "text_langid", "text_quality",
-        "text_redact_pii", "text_tokens", "window_running_revenue",
+        "multimodal_jpeg_420", "q18_large_orders", "q1_pricing_summary",
+        "q3_shipping_priority", "q5_local_supplier_volume",
+        "s10_liked_by_likers", "s2_input_list", "s3_input_tags",
+        "s4_input_labels", "s5_input_feed", "s6_input_did",
+        "s7_input_post_prepend", "s8_archived_scan",
+        "s9_liked_weighted", "stream_windowed_counts",
+        "text_bm25_search", "text_contamination", "text_fingerprint",
+        "text_langid", "text_quality", "text_redact_pii", "text_tokens",
+        "window_running_revenue",
+    )},
+    **{n: 8 for n in (
+        "agg_rollup", "embed_label_centroids", "embed_pq_indexed",
+        "j10_community", "j10_top_moots",
+        "llm_curation_pipeline_balance", "llm_curation_pipeline_scrub",
+        "llm_hash_sample", "llm_prepare_corpus", "llm_split_assign",
+        "llm_top_terms", "llm_warc_ingest", "media_dedup",
+        "media_mp4_video_dedup", "multimodal_audio",
+        "multimodal_audio_aiff", "multimodal_audio_alaw",
+        "multimodal_audio_flac", "multimodal_audio_flac_stereo",
+        "multimodal_audio_pcm24", "multimodal_audio_sphere",
+        "multimodal_audio_wav_stereo", "multimodal_bmp8",
+        "multimodal_gif_animated", "multimodal_gif_composited",
+        "multimodal_gif_disposals", "multimodal_gif_interlaced",
+        "multimodal_gif_local_palettes", "multimodal_jpeg",
+        "multimodal_jpeg_422", "multimodal_jpeg_progressive",
+        "multimodal_jpeg_restart", "multimodal_png", "multimodal_png16",
+        "multimodal_png_adam7", "multimodal_png_gray",
+        "multimodal_png_palette", "multimodal_png_rgba",
+        "multimodal_tiff", "multimodal_tiff_multipage",
+        "multimodal_video_avi_mjpeg", "multimodal_video_mp4",
+        "q16_supplier_variety", "q17_small_quantity", "q19_disjunctive",
+        "q22_no_order_customers", "q4_order_priority",
+        "q7_nation_volume", "text_strip_dup_spans",
+        "window_revenue_deciles",
     )},
 }
 
@@ -7425,39 +7439,36 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
 # recorded verification is stale — schedule them as if never verified.
 _STALE_VERIFICATION: set[str] = set()
 
-# Queries whose machinery round 8 changed after their last driver check —
-# re-verify them on the new code ahead of the least-recently-verified pool.
-#
-# The driver checks exactly 50 names, so this set is curated to keep
-# never-verified + touched <= 50. Round 8's window: the 24 registered
-# registry_r8 candidates + multimodal_gif_composited are never-verified and
-# lead automatically (25); the touched rows below re-pin the numpy-
-# vectorized codec kernels on already-registered queries (the candidates
-# exercise the SAME vectorized kernels on the progressive/4:2:2/ADAM7/FLAC
-# paths, so three representatives — one per kernel family — suffice); the
-# remaining slots go least-recently-verified first: the 3 slipped r2 names,
-# then r4-era rotation queries.
-_ROUND8_TOUCHED = {
-    # r7-verified, but round 8 vectorizes the 8x8 fixed-point IDCT +
-    # dequant/level-shift with numpy inside the existing Arrow pass
-    # (multimodal.py _jpeg_idct_block): grayscale JPEG re-pins the
-    # Huffman->IDCT->pixel contract on the vectorized kernel. The color /
-    # subsampled / progressive / restart paths share the same IDCT and are
-    # covered by the never-verified candidates leading this window.
-    "multimodal_jpeg",
-    # r5-verified; round 8 vectorizes PNG per-row unfiltering (Sub/Up/
-    # Average/Paeth) — re-pin the baseline PNG decode. ADAM7/gray/palette/
-    # RGBA variants are among the never-verified candidates.
-    "multimodal_png",
-    # r5-verified; round 8 vectorizes the PCM sample loops (decode +
-    # feature extraction). FLAC/AIFF/SPHERE/A-law/stereo-WAV candidates
-    # cover the other audio paths on the same vectorized core.
-    "multimodal_audio",
+# Queries whose machinery round 9 changed after their last driver check —
+# or (this round) whose round-8 PLAN REWRITES the driver has never
+# hash-checked: the r8 window re-pinned only the vectorized codec kernels,
+# so the five registered queries below still carry r4-r6 driver hashes
+# against code whose plans r8 rewrote (the SemDeDup Gram matmul, the
+# classifier/BM25 explode-recompute kills, the fused repetition features,
+# the union-find fast path). Window math for round 9: 44 registered r9
+# candidates + multimodal_webp_lossy are never-verified and lead (45);
+# these five re-verifications fill the window to exactly 50.
+_ROUND9_TOUCHED = {
+    # r6-verified; r8 replaced the within-cluster pair self-join with a
+    # per-cluster exact int64 Gram matmul (similarity.semdedup).
+    "embed_semdedup",
+    # r5-verified; r8 killed the per-token-row quality-label recompute in
+    # the training aggregate (textstats.train_hashed_classifier).
+    "llm_quality_classifier",
+    # r7-verified; r8 killed size(_tokens(text)) re-running the tokenizer
+    # per token row (textstats.bm25_search).
+    "text_bm25_search",
+    # r4-verified; r8 fused the three n-gram passes into one tagged-union
+    # aggregation (textstats.repetition_features).
+    "text_repetition_features",
+    # r7-verified; r8 added the size-gated exact local union-find fast
+    # path with the bounded limit-probe (dedup.dedup_clusters).
+    "dedup_clusters",
 }
 
 # Stable alias so _driver_order and the scheduling tests survive the
 # per-round rename of the touched set.
-_ROUND_TOUCHED = _ROUND8_TOUCHED
+_ROUND_TOUCHED = _ROUND9_TOUCHED
 
 
 def _driver_order() -> list[str]:
@@ -7504,3 +7515,20 @@ def _absorb_r8_candidates(candidates) -> None:
 # module body ends with the _absorb_r8_candidates callback. (Import only —
 # no attribute access — so the partial-module case is harmless.)
 from query_engine_spark import registry_r8 as _r8  # noqa: E402,F401
+
+
+def _absorb_r9_candidates(candidates) -> None:
+    """Round-9 registration of the registry_r9 candidates (built and
+    oracle-validated across round 8's windows, held out of the r8 driver
+    window by the rotation budget; the five least-user-frequent moved to
+    the registry_r10 pool to buy the window's re-verification slots —
+    see COVERAGE.md round-9 delta). Same end-of-module callback shape as
+    _absorb_r8_candidates so registration sees the COMPLETE candidate
+    dict regardless of import order."""
+    for name, spec in candidates.items():
+        if name in REGISTRY:  # pragma: no cover - absorb runs once
+            raise ValueError(f"duplicate registration: {name}")
+        REGISTRY[name] = QuerySpec(fn=spec.fn, oracle=spec.oracle, doc=spec.doc)
+
+
+from query_engine_spark import registry_r9 as _r9  # noqa: E402,F401

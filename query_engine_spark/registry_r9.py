@@ -1466,53 +1466,6 @@ def llm_epub_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Subtitles (SRT / WebVTT): the ASR-pair text shape
-
-
-@_candidate(
-    "multimodal_subtitles",
-    """
-    WITH m AS (
-      SELECT doc_id AS i, 3 + doc_id % 4 AS n FROM documents WHERE doc_id < 96),
-    cue AS (
-      SELECT m.i, m.n, k.k,
-             800 + (k.k * 97) % 1200 AS dur,
-             'Cue ' || CAST(k.k AS VARCHAR) || ' of media ' || CAST(m.i AS VARCHAR)
-             || CASE WHEN k.k % 2 = 0
-                     THEN chr(10) || 'subtitle text ' || CAST(k.k % 5 AS VARCHAR)
-                     ELSE '' END AS cuetext
-      FROM m, generate_series(0, 6) AS k(k) WHERE k.k < m.n),
-    j AS (
-      SELECT i, max(n) AS n, CAST(sum(dur) AS BIGINT) AS total_ms,
-             string_agg(cuetext, chr(12) ORDER BY k) AS full_text
-      FROM cue GROUP BY i)
-    SELECT i AS media_id, CAST(n AS INT) AS cues, total_ms,
-           CAST(length(full_text) AS BIGINT) AS chars, md5(full_text) AS fp
-    FROM j
-    """,
-    "SUBTITLE PARSING (SRT + WebVTT — the text half of every captioned "
-    "video / ASR training pair): format auto-detected by the WEBVTT "
-    "header, comma- vs dot-millisecond timestamps, BOMs, VTT NOTE "
-    "blocks, cue ids, and cue settings after the arrow all exercised "
-    "(odd media are full-hazard VTT, even are SRT); cue durations sum "
-    "exactly and the md5 is over the cue texts with internal newlines "
-    "preserved; backwards cues and malformed timestamps refuse "
-    "(llmdata/multimodal.py make_subtitles/parse_subtitles/"
-    "subtitle_stats)",
-)
-def multimodal_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from query_engine_spark.llmdata import multimodal as MM
-
-    docs = load_table(spark, sf_dir, "documents")
-    ids = docs.filter(F.col("doc_id") < 96).select(F.col("doc_id").alias("media_id"))
-    media = MM.attach_media_meta(
-        _pack_media(ids, lambda i: MM.make_subtitles(i, 3 + i % 4).encode("utf-8")),
-        media_type="text/vtt",
-    )
-    return MM.subtitle_stats(media)
-
-
-# ---------------------------------------------------------------------------
 # robots.txt: the crawl admission gate
 
 
@@ -2664,62 +2617,6 @@ def llm_html_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Netpbm (PNM): the dataset-interchange image family
-
-
-@_candidate(
-    "multimodal_pnm",
-    """
-    WITH m AS (
-      SELECT doc_id AS media_id, doc_id % 6 AS v,
-             7 + doc_id % 4 AS w, 5 + doc_id % 3 AS h
-      FROM documents WHERE doc_id < 96),
-    g AS (
-      SELECT m.*,
-             CASE WHEN m.v IN (0, 3) THEN 1
-                  WHEN m.v IN (1, 4) AND m.media_id % 3 = 0 THEN 1000
-                  ELSE 255 END AS maxval,
-             CASE WHEN m.v IN (2, 5) THEN 3 ELSE 1 END AS chans
-      FROM m),
-    px AS (
-      SELECT g.media_id, g.w, g.h, g.maxval, g.chans,
-             CASE WHEN g.v IN (0, 3)
-                  THEN (g.media_id*31 + y.y*7 + x.x*3) % 2
-                  ELSE (g.media_id*31 + y.y*7 + x.x*3 + c.c*11) % (g.maxval + 1)
-             END AS s,
-             x.x, y.y, c.c
-      FROM g, generate_series(0, 10) AS x(x), generate_series(0, 7) AS y(y),
-           generate_series(0, 2) AS c(c)
-      WHERE x.x < g.w AND y.y < g.h AND c.c < g.chans)
-    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-           CAST(chans AS INT) AS channels, CAST(maxval AS INT) AS maxval,
-           CAST(sum(s) AS BIGINT) AS sample_sum,
-           CAST(max(CASE WHEN x = 0 AND y = 0 AND c = 0 THEN s END) AS INT)
-             AS top_left
-    FROM px GROUP BY media_id, w, h, chans, maxval
-    """,
-    "Netpbm (PNM) DECODE, hash-verified — the dataset-interchange image "
-    "family ML pipelines pass around: all six formats cycle by "
-    "media_id (P1 separator-free ASCII bitmaps, P2/P3 ASCII gray/RGB, "
-    "P4 MSB-first row-padded packed bits, P5/P6 binary — with a 1000 "
-    "maxval on every third gray stream forcing 2-byte BIG-ENDIAN "
-    "samples, the classic PNM reader mistake), '#' comments planted "
-    "between header tokens. The oracle recomputes every sample from "
-    "the construction formulas (llmdata/multimodal.py "
-    "make_pnm/decode_pnm/pnm_features)",
-)
-def multimodal_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from query_engine_spark.llmdata import multimodal as MM
-
-    docs = load_table(spark, sf_dir, "documents")
-    ids = docs.filter(F.col("doc_id") < 96).select(F.col("doc_id").alias("media_id"))
-    media = _pack_media(
-        ids, lambda i: MM.make_pnm(i, 7 + i % 4, 5 + i % 3)
-    )
-    return MM.pnm_features(media)
-
-
 @_candidate(
     "llm_tar_longnames",
     """
@@ -2745,89 +2642,6 @@ def llm_tar_longnames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = AR.pack_archives(docs, fmt="tar.gz", group_size=8, deep_names=True)
     return AR.archive_members(packed, fmt="tar.gz")
-
-
-# ---------------------------------------------------------------------------
-# SVG structural metadata
-
-
-@_candidate(
-    "multimodal_svg",
-    """
-    WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 256)
-    SELECT media_id,
-           CAST(100 + media_id % 40 AS INT) AS width,
-           CAST(80 + media_id % 30 AS INT) AS height,
-           CAST(1 + media_id % 4 AS INT) AS n_paths,
-           CAST(media_id % 3 AS INT) AS n_rects,
-           CAST(1 + media_id % 2 AS INT) AS n_texts,
-           CAST((1 + media_id % 2)
-                * (8 + length(CAST(media_id AS VARCHAR)))
-                + (media_id % 2) AS BIGINT) AS text_chars,
-           'Icon ' || CAST(media_id AS VARCHAR) AS title
-    FROM m
-    """,
-    "SVG STRUCTURAL METADATA, hash-verified — the web's vector-image "
-    "format, parsed not rasterized (the curation signals are in the "
-    "structure: px dimensions with viewBox fallback, an element census "
-    "of paths/rects/texts, embedded text length, the <title>): "
-    "namespaced ElementTree over deterministic fixtures with comments "
-    "and nested <g> groups; non-pixel units (em/%/pt) refuse — "
-    "resolving them honestly needs a renderer context. text_chars = "
-    "n_texts * len('label {id}-k') + newline joins, recomputed by the "
-    "oracle from the construction formulas (llmdata/multimodal.py "
-    "make_svg/parse_svg/svg_features)",
-)
-def multimodal_svg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from query_engine_spark.llmdata import multimodal as MM
-
-    docs = load_table(spark, sf_dir, "documents")
-    ids = docs.filter(F.col("doc_id") < 256).select(F.col("doc_id").alias("media_id"))
-    media = _pack_media(ids, MM.make_svg)
-    return MM.svg_features(media)
-
-
-# ---------------------------------------------------------------------------
-# Sun/NeXT AU audio: the legacy speech-corpus container
-
-
-@_candidate(
-    "multimodal_audio_au",
-    """
-    WITH m AS (SELECT doc_id AS media_id, 400 + doc_id % 5 * 60 AS n,
-                      8000 + doc_id % 3 * 4000 AS rate
-               FROM documents WHERE doc_id < 64),
-    s AS (
-      SELECT m.media_id, m.rate, m.n,
-             ((m.media_id*131 + i.i*17) % 65536) - 32768 AS v
-      FROM m, generate_series(0, 699) AS i(i) WHERE i.i < m.n)
-    SELECT media_id, CAST(max(rate) AS INT) AS sample_rate,
-           CAST(max(n) AS BIGINT) AS n_samples,
-           CAST(sum(abs(v)) AS BIGINT) AS amp_sum,
-           CAST(max(v) AS INT) AS peak,
-           CAST(((media_id*131) % 65536) - 32768 AS INT) AS first_sample
-    FROM s GROUP BY media_id
-    """,
-    "Sun/NeXT AU decode, hash-verified — the legacy speech-corpus "
-    "container (completes the PCM matrix alongside WAV/AIFF/SPHERE/"
-    "FLAC): big-endian header with annotation-aware data offsets and "
-    "the 0xFFFFFFFF unknown-size sentinel pipe-written files carry "
-    "(every third fixture), 16-bit linear PCM BE; mu-law AU expands "
-    "through the same G.711 table as the WAV path (unit-tested); other "
-    "encodings refuse. Same shared PCM-container fold and oracle "
-    "arithmetic as the sibling formats (llmdata/multimodal.py "
-    "make_au/decode_au/au_features)",
-)
-def multimodal_audio_au(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from query_engine_spark.llmdata import multimodal as MM
-
-    docs = load_table(spark, sf_dir, "documents")
-    ids = docs.filter(F.col("doc_id") < 64).select(F.col("doc_id").alias("media_id"))
-    media = MM.attach_media_meta(
-        _pack_media(ids, lambda i: MM.make_au(i, 400 + i % 5 * 60, 8000 + i % 3 * 4000)),
-        media_type="audio/basic",
-    )
-    return MM.au_features(media)
 
 
 # ---------------------------------------------------------------------------
@@ -2902,42 +2716,6 @@ def media_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select(
         "media_id", MM.sniff_media_type(F.col("payload")).alias("mtype")
     )
-
-
-# ---------------------------------------------------------------------------
-# WOFF web fonts: the font asset class of every page crawl
-
-
-@_candidate(
-    "multimodal_woff",
-    """
-    SELECT doc_id AS media_id,
-           'truetype' AS kind,
-           CAST(3 AS INT) AS n_tables,
-           CAST(10 + doc_id % 90 AS INT) AS num_glyphs,
-           CAST(1000 + (doc_id % 4) * 24 AS INT) AS units_per_em,
-           'Fixture' || chr(8201) || 'Sans ' || CAST(doc_id % 13 AS VARCHAR)
-             AS family
-    FROM documents WHERE doc_id < 256
-    """,
-    "WOFF 1.0 WEB FONTS, hash-verified — the font asset class of every "
-    "page crawl, parsed for curation metadata without rendering: the "
-    "W3C container header, the table directory with per-table zlib "
-    "inflation (compLength < origLength means deflated), maxp's glyph "
-    "count, head's magic-checked units-per-em, and the name table's "
-    "family (UTF-16BE on platform 3 — the fixture family carries a "
-    "THIN SPACE U+2009, written as an explicit escape on both engines "
-    "per the repo's NFC-hazard convention, so a latin-1-everything "
-    "parser fails the hash). WOFF2 refuses (brotli absent here) "
-    "(llmdata/multimodal.py make_woff/parse_woff/woff_features)",
-)
-def multimodal_woff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from query_engine_spark.llmdata import multimodal as MM
-
-    docs = load_table(spark, sf_dir, "documents")
-    ids = docs.filter(F.col("doc_id") < 256).select(F.col("doc_id").alias("media_id"))
-    media = _pack_media(ids, MM.make_woff)
-    return MM.woff_features(media)
 
 
 # ---------------------------------------------------------------------------
@@ -3101,3 +2879,13 @@ def multimodal_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refs.join(broadcast(keyed), "img_url").select(
         "img_url", "alt", "width", "height", "px_sum"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 registration: fold the now-complete candidate dict into the main
+# registry. This callback runs at the END of this module body so the main
+# registry always absorbs the full set, whichever module leads the import
+# (see registry._absorb_r9_candidates for the circular-import rationale).
+from query_engine_spark import registry as _registry  # noqa: E402
+
+_registry._absorb_r9_candidates(CANDIDATES)

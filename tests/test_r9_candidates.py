@@ -1,11 +1,12 @@
-"""Round-9 candidates validated against their DuckDB oracles at TWO
-scales — the same compare as tools/selfcheck.py (sorted columns/rows,
-dtype checks, exact values), parametrized over sf0.001 AND sf0.01 from
-day one (the two-scale shape the r7 verdict asked for; the r8 cohort got
-it retroactively). The candidates are deliberately NOT in
-registry.REGISTRY yet: registration happens in round 9 so they lead that
-round's driver window instead of displacing round 8's (see
-registry_r9's module docstring)."""
+"""Round-9 registered cohort validated against their DuckDB oracles at
+TWO scales — the same compare as tools/selfcheck.py (sorted columns/rows,
+dtype checks, exact values), parametrized over sf0.001 AND sf0.01. The
+candidates were built and held out through round 8 and are now absorbed
+into registry.REGISTRY (round 9), so the names are read from
+registry_r9.CANDIDATES but executed through REGISTRY — pinning both the
+specs and the registration plumbing (the same shape as test_r8_oracles).
+The five least-user-frequent candidates moved to the registry_r10 pool
+to free driver-window slots (COVERAGE.md round-9 delta)."""
 
 from __future__ import annotations
 
@@ -25,11 +26,9 @@ SF_DIRS = [
 ]
 
 
-def test_candidates_not_yet_registered():
-    # Held out until round 9 — absorbing early would displace the round-8
-    # driver window the rotation plan budgeted (COVERAGE.md round-8 delta).
-    overlap = [n for n in CANDIDATES if n in REGISTRY]
-    assert not overlap, f"r9 candidates must stay out of REGISTRY until r9: {overlap}"
+def test_candidates_registered():
+    missing = [n for n in CANDIDATES if n not in REGISTRY]
+    assert not missing, f"candidates not absorbed into REGISTRY: {missing}"
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS, ids=[os.path.basename(d) for d in SF_DIRS])
@@ -37,7 +36,7 @@ def test_candidates_not_yet_registered():
 def test_r9_candidate_matches_oracle(spark, name, sf_dir):
     from tools.selfcheck import compare, load_duck
 
-    spec = CANDIDATES[name]
+    spec = REGISTRY[name]
     spark_pdf = spec.fn(spark, sf_dir).toPandas()
     con = load_duck(sf_dir)
     try:
