@@ -161,17 +161,26 @@ def read_zip(blob: bytes) -> list[tuple[str, bytes]]:
     )
     if has_locator:
         # ZIP64 (APPNOTE 4.3.15): the locator precedes the classic EOCD;
-        # the ZIP64 EOCD record (fixed 56 bytes in every mainstream
-        # writer) adjoins the locator, which also recovers the
-        # junk-prefix shift from its stored self-offset
+        # the ZIP64 EOCD record ends where the locator begins, but its
+        # LENGTH is not fixed — v2 records and records with an extensible
+        # data sector (4.3.14.4) run past the 56-byte minimum, so the
+        # record is found by scanning backward for its signature and
+        # validated against its own size-of-record field (which counts
+        # everything after the 12-byte sig+size prefix). The record also
+        # recovers the junk-prefix shift from its stored self-offset.
         (_lsig, _ldisk, z64_stored, _ndisks) = struct.unpack_from(
             "<IIQI", blob, eocd - 20
         )
-        z64_pos = eocd - 20 - 56
-        if (
-            z64_pos < 0
-            or struct.unpack_from("<I", blob, z64_pos)[0] != _ZIP64_EOCD_SIG
-        ):
+        sig64 = struct.pack("<I", _ZIP64_EOCD_SIG)
+        z64_pos = blob.rfind(sig64, 0, eocd - 20)
+        while z64_pos >= 0:
+            rsize = struct.unpack_from("<Q", blob, z64_pos + 4)[0]
+            if z64_pos + 12 + rsize == eocd - 20 and rsize >= 44:
+                break  # record ends exactly at the locator
+            # signature bytes inside an extensible data sector: keep
+            # scanning backward for the real record start
+            z64_pos = blob.rfind(sig64, 0, z64_pos)
+        if z64_pos < 0:
             raise ValueError("ZIP64 locator without an adjoining ZIP64 EOCD")
         shift = z64_pos - z64_stored
         if shift < 0:

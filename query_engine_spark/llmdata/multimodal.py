@@ -2015,8 +2015,19 @@ def sniff_media_type(payload: "Column") -> "Column":
         .when(hx.startswith("1F8B"), F.lit("application/gzip"))
         .when(hx.startswith("425A68"), F.lit("application/x-bzip2"))
         .when(hx.startswith("FD377A585A00"), F.lit("application/x-xz"))
-        # ID3-tagged, or a bare MPEG sync word (11 set bits: FF Ex/Fx)
-        .when(hx.startswith("494433") | hx.rlike("^FF[EF]"),
+        # ID3-tagged, or a bare MPEG sync word — but a two-byte sync probe
+        # alone also matches UTF-16 BOMs (FF FE text) and 0xFF-heavy junk,
+        # so the candidate header's FIELDS are validated: version != 01
+        # (reserved), layer != 00 (reserved), bitrate index not 0 (free
+        # format) or F (invalid, and what 0xFF fill bytes carry),
+        # sample-rate index != 3 (reserved). FF FE is additionally
+        # excluded outright: structurally it is MPEG1 Layer I with CRC,
+        # but in a crawl it is overwhelmingly a UTF-16LE BOM (FF FF stays
+        # — Layer I without CRC — since fill bytes already fail the
+        # bitrate check). Second byte E[2-7]: MPEG2.5 with a real layer;
+        # F[2-7A-DF]: MPEG1/2 with a real layer, minus FE.
+        .when(hx.startswith("494433")
+              | hx.rlike("^FF(E[2-7]|F[2-7A-DF])[1-9A-E][0-9AB]"),
               F.lit("audio/mpeg"))
         .when(hx.startswith("664C6143"), F.lit("audio/flac"))
         .when(hx.startswith("2E736E64"), F.lit("audio/basic"))
@@ -8892,6 +8903,8 @@ def parse_mpeg_frames(blob: bytes) -> dict:
         if len(blob) < 10:
             raise ValueError("truncated ID3v2 header")
         pos = 10 + _unsyncsafe(blob[6:10])
+        if blob[5] & 0x10:
+            pos += 10  # ID3v2.4 footer (flag bit 4): 10 bytes past the size
         if pos > len(blob):
             raise ValueError("ID3v2 tag runs past the stream")
     frames = 0

@@ -260,20 +260,26 @@ class _SingleSymbol(_Huffman):
 
 def _plane_code_table() -> list[tuple[int, int]]:
     """The spec's 120-entry (dx, dy) map, generated by its ordering rule:
-    all offsets with dy in 0..8, |dx| <= 8, strictly-backward (dy > 0 or
-    dx > 0), sorted by euclidean distance, ties by larger dy, then
-    positive dx before negative. The first entries pin to the spec's
-    published table (see test_webp_plane_code_anchors — (0,1)->0x18,
-    (1,0)->0x07 in the spec's yoffset*16 + 8 - xoffset hex form)."""
+    all offsets with dy in 0..7 and dx in -7..8, strictly-backward
+    (dy > 0 or dx > 0), sorted by euclidean distance, ties by larger dy,
+    then positive dx before negative. The candidate box is EXACTLY the
+    published table's span — dy never reaches 8 and dx never reaches -8
+    (a wider box admits e.g. (0, 8) at distance 64, displacing the real
+    code 97 = (8, 0); that bug shipped until round 9 and was invisible to
+    the roundtrip suite because the in-repo encoder only emits codes
+    7/24/25). The box holds exactly 120 offsets, so no truncation is
+    involved; all 120 entries pin to the spec's published table in
+    test_webp_plane_code_anchors, in the spec's yoffset*16 + 8 - xoffset
+    hex form ((0,1)->0x18, (1,0)->0x07, ..., (8,7)->0x70)."""
     cand = []
-    for dy in range(0, 9):
-        for dx in range(-8, 9):
+    for dy in range(0, 8):
+        for dx in range(-7, 9):
             if dy == 0 and dx <= 0:
                 continue
-            if dy > 0 or dx > 0:
-                cand.append((dx, dy))
+            cand.append((dx, dy))
     cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -p[0]))
-    return cand[:120]
+    assert len(cand) == 120
+    return cand
 
 
 _PLANE_CODES = _plane_code_table()

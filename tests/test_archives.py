@@ -169,6 +169,32 @@ def test_zip64_roundtrip_and_golden():
         A.read_zip(local + cdir + eocd)
 
 
+def test_zip64_extensible_data_sector():
+    """APPNOTE 4.3.14.4: the ZIP64 EOCD record may carry an extensible
+    data sector, so its length exceeds the 56-byte minimum — readers
+    must locate the record by its own size-of-record field, not by a
+    fixed locator-adjacency offset (the pre-round-9 bug rejected such
+    spec-legal archives). The adversarial variant plants the record
+    SIGNATURE inside the sector, exercising the backward rescan."""
+    members = _sample_members()
+    z = bytearray(A.build_zip(members, zip64=True))
+    eocd = z.rfind(struct.pack("<I", 0x06054B50))
+    z64_pos = z.rfind(struct.pack("<I", 0x06064B50), 0, eocd - 20)
+    assert z64_pos == eocd - 20 - 56  # the writer emits the minimal record
+    for sector in (b"\x07" * 24, b"ab" + struct.pack("<I", 0x06064B50) + b"cd"):
+        zz = bytearray(z)
+        rsize = struct.unpack_from("<Q", zz, z64_pos + 4)[0]
+        struct.pack_into("<Q", zz, z64_pos + 4, rsize + len(sector))
+        zz[eocd - 20 : eocd - 20] = sector  # insert before the locator
+        assert A.read_zip(bytes(zz)) == members
+        assert A.read_zip(b"#!junk\n" + bytes(zz)) == members
+    # a record whose size field does not reach the locator still refuses
+    zz = bytearray(z)
+    struct.pack_into("<Q", zz, z64_pos + 4, 60)
+    with pytest.raises(ValueError, match="locator without an adjoining"):
+        A.read_zip(bytes(zz))
+
+
 def test_tar_golden_hand_authored_header():
     """ustar conformance anchored outside the co-developed pair: a
     header block laid out BY HAND per POSIX.1-1988 — octal size, magic,

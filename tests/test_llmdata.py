@@ -5110,6 +5110,20 @@ def test_mpeg_golden_hand_authored_streams():
     m1 = parse_mpeg_frames(b"\xff\xff\x40\xc0" + bytes(136 - 4))
     assert (m1["frames"], m1["channels"], m1["total_samples"],
             m1["payload_bytes"]) == (1, 1, 384, 136)
+    # ID3v2.4 tag WITH a footer (header flag 0x10): the footer's 10 bytes
+    # sit PAST the syncsafe size, so a skip of 10+size alone lands on the
+    # footer's '3DI' bytes and desyncs (the pre-round-9 bug)
+    tag_body = bytes(20)  # padding-only tag body, syncsafe size 20
+    footered = (
+        b"ID3\x04\x00\x10" + bytes([0, 0, 0, 20]) + tag_body
+        + b"3DI\x04\x00\x10" + bytes([0, 0, 0, 20])  # the footer itself
+        + f1
+    )
+    mf = parse_mpeg_frames(footered)
+    assert (mf["frames"], mf["sample_rate"]) == (1, 44100)
+    # the same tag without the footer flag still parses (no double skip)
+    plain = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + tag_body + f1
+    assert parse_mpeg_frames(plain)["frames"] == 1
 
 
 def test_mpeg_walk_boundaries_refuse_loudly():
@@ -5711,6 +5725,16 @@ def test_media_type_sniffer_families(spark):
         (b"ID3\x04\x00\x00", "audio/mpeg"),
         (b"\xff\xfb\x90\x00", "audio/mpeg"),
         (b"\xff\xe3\x28\x00", "audio/mpeg"),  # MPEG2.5 sync
+        # a bare two-byte sync probe would claim all four of these:
+        (b"\xff\xfeT\x00e\x00x\x00t\x00", "unknown"),  # UTF-16LE BOM text
+        ("\ufeffBom text".encode("utf-16-le"), "unknown"),  # FF FE BOM + text
+        (b"\xff\xff\xff\xff\xff\xff", "unknown"),  # 0xFF fill (bitrate F)
+        (b"\xff\xff\x40\xc0", "audio/mpeg"),  # FF FF IS valid Layer I
+        (b"\xff\xfb\x00\x00", "unknown"),  # free-format bitrate index 0
+        (b"\xff\xfb\xf0\x00", "unknown"),  # invalid bitrate index F
+        (b"\xff\xfb\x9c\x00", "unknown"),  # reserved sample-rate index 3
+        (b"\xff\xe1\x90\x00", "unknown"),  # reserved layer 00
+        (b"\xff\xe9\x90\x00", "unknown"),  # reserved version 01
         (b"fLaC\x00\x00\x00\x22", "audio/flac"),
         (b".snd\x00\x00\x00\x18", "audio/basic"),
         (b"FORMxxxxAIFF", "audio/aiff"),

@@ -19,21 +19,39 @@ from query_engine_spark.llmdata import webp as W
 
 
 def test_webp_plane_code_anchors():
-    """The 120-entry 2D distance map, pinned against the spec's published
-    table in its yoffset*16 + (8 - xoffset) hex form — the first sixteen
-    entries are 18 07 17 19 28 06 27 29 16 1a 26 2a 38 05 37 39."""
+    """The 120-entry 2D distance map, pinned IN FULL against the spec's
+    published table in its yoffset*16 + (8 - xoffset) hex form. The full
+    pin exists because the generator once admitted dy=8 / dx=-8
+    candidates, corrupting codes 97-120 (e.g. code 97 decoded (0, 8)
+    instead of the spec's (8, 0)) while the first-16 anchor and the
+    roundtrip suite stayed green — the in-repo encoder never emits codes
+    >= 97. The literal below is the spec's table restated entry by
+    entry, not generator output re-derived at test time."""
     table = W._PLANE_CODES
     assert len(table) == 120
     assert len(set(table)) == 120
     hexes = [dy * 16 + (8 - dx) for dx, dy in table]
-    assert hexes[:16] == [
-        0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29,
-        0x16, 0x1A, 0x26, 0x2A, 0x38, 0x05, 0x37, 0x39,
+    assert hexes == [
+        0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29, 0x16, 0x1A,
+        0x26, 0x2A, 0x38, 0x05, 0x37, 0x39, 0x15, 0x1B, 0x36, 0x3A,
+        0x25, 0x2B, 0x48, 0x04, 0x47, 0x49, 0x14, 0x1C, 0x35, 0x3B,
+        0x46, 0x4A, 0x24, 0x2C, 0x58, 0x45, 0x4B, 0x34, 0x3C, 0x03,
+        0x57, 0x59, 0x13, 0x1D, 0x56, 0x5A, 0x23, 0x2D, 0x44, 0x4C,
+        0x55, 0x5B, 0x33, 0x3D, 0x68, 0x02, 0x67, 0x69, 0x12, 0x1E,
+        0x66, 0x6A, 0x22, 0x2E, 0x54, 0x5C, 0x43, 0x4D, 0x65, 0x6B,
+        0x32, 0x3E, 0x78, 0x01, 0x77, 0x79, 0x53, 0x5D, 0x11, 0x1F,
+        0x64, 0x6C, 0x42, 0x4E, 0x76, 0x7A, 0x21, 0x2F, 0x75, 0x7B,
+        0x31, 0x3F, 0x63, 0x6D, 0x52, 0x5E, 0x00, 0x74, 0x7C, 0x41,
+        0x4F, 0x10, 0x20, 0x62, 0x6E, 0x30, 0x73, 0x7D, 0x51, 0x5F,
+        0x40, 0x72, 0x7E, 0x61, 0x6F, 0x50, 0x71, 0x7F, 0x60, 0x70,
     ]
-    # every entry strictly backward, within the 8-offset window
+    # the spec's window: dy 0..7, dx -7..8, every entry strictly backward
     for dx, dy in table:
-        assert 0 <= dy <= 8 and -8 <= dx <= 8
+        assert 0 <= dy <= 7 and -7 <= dx <= 8
         assert dy > 0 or dx > 0
+    # code 97 is the spec's (8, 0) — the entry the pre-round-9 generator
+    # displaced with (0, 8)
+    assert table[96] == (8, 0)
     # distances clamp to >= 1 when dx + dy*xsize would go non-positive
     assert W._plane_to_distance(4, 1) == 1  # (-1, 1) on a 1-wide image
     assert W._plane_to_distance(121, 999) == 1  # direct code 121 -> 1
