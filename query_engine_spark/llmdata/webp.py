@@ -20,10 +20,15 @@ ANIMATED WebP decodes too: the VP8X + ANIM/ANMF container walk with
 lossless frames composited over a persistent canvas (no-blend copies,
 alpha blending for the exact 0/255 alpha domain, dispose-to-background
 after display — the GIF-compositing event model). Remaining honest
-boundaries: VP8 lossy payloads, static VP8X features (ALPH/EXIF/ICC),
-fractional-alpha blending (the spec formula is real-valued and
-implementations round differently), and combining COLOR_INDEXING with
-the spatial transforms (real encoders never emit it).
+boundaries: VP8 lossy PIXEL decode (the header layer — frame tag, start
+code, dimensions — is real; the entropy-coded data is undecodable
+without RFC 6386's literal probability tables, ~3000 published constants
+unavailable in this offline build: see the VP8-section note below),
+static VP8X features (ALPH/EXIF/ICC), fractional-alpha blending (the
+spec formula is real-valued and implementations round differently), and
+combining COLOR_INDEXING with the spatial transforms (real encoders
+never emit it). `webp_meta` gives the scan-speed kind/dims/frame-count
+census over a mixed lossy/lossless/animated corpus without decoding.
 
 Spark shape: decode is one map-only Arrow `mapInPandas` pass over opaque
 payloads, the same single-scan plan as every other codec stage.
@@ -664,11 +669,18 @@ def decode_webp(blob: bytes) -> tuple[int, int, list[int]]:
         raise ValueError("RIFF size past end of file")
     fourcc = blob[12:16]
     if fourcc == b"VP8 ":
-        raise NotImplementedError("lossy WebP (VP8) not supported")
+        raise NotImplementedError(
+            "lossy WebP (VP8) pixel decode not supported: the bitstream"
+            " needs RFC 6386's literal probability tables (default"
+            " coefficient probs §13.5, update probs §13.4, keyframe"
+            " B-mode probs §11.4), unavailable in this build — header"
+            " metadata parses via webp_meta/parse_vp8_meta"
+        )
     if fourcc == b"VP8X":
         raise NotImplementedError(
             "extended WebP (VP8X) static features not supported; animated"
-            " files decode through decode_webp_frames"
+            " files decode through decode_webp_frames, canvas metadata"
+            " through webp_meta"
         )
     if fourcc != b"VP8L":
         raise ValueError(f"unknown WebP chunk {fourcc!r}")
@@ -1450,3 +1462,166 @@ def webp_anim_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(run, _WEBP_ANIM_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# VP8 lossy WebP: the HEADER layer (RFC 6386 §9.1), parsed for crawl
+# metadata at scan speed. Pixel decode of lossy VP8 remains an honest
+# boundary in THIS build for a specific, documented reason: the bitstream
+# is undecodable without RFC 6386's literal probability tables — the
+# 4x8x3x11 default coefficient probabilities (§13.5), the equally-sized
+# coefficient-update probabilities (§13.4), and the 10x10x9 keyframe
+# B-mode probabilities (§11.4) — ~3000 constants that exist only as
+# published tables and cannot be transcribed in this offline environment
+# (any invented values would bool-decode real files into garbage rather
+# than failing). The structural layer BEFORE the entropy-coded data is
+# fully public arithmetic and is implemented for real: the 3-byte frame
+# tag (frame type / version / show_frame / 19-bit first-partition size),
+# the 0x9D012A keyframe start code, and the 14-bit width/height with
+# their 2-bit upscaling codes — enough for the dimension/type statistics
+# a crawl curation pass wants without decoding anything.
+
+
+def parse_vp8_meta(payload: bytes) -> dict:
+    """Parse the uncompressed header of a VP8 (lossy) keyframe payload:
+    frame tag + start code + dimensions per RFC 6386 §9.1. Interframes
+    (frame type 1) are rejected — a standalone 'VP8 ' chunk must hold a
+    keyframe. The first-partition size is bounds-checked against the
+    chunk so a truncated stream raises instead of reporting metadata
+    from garbage."""
+    if len(payload) < 10:
+        raise ValueError("VP8 payload shorter than the keyframe header")
+    tag = int.from_bytes(payload[0:3], "little")
+    frame_type = tag & 1
+    version = (tag >> 1) & 7
+    show_frame = (tag >> 4) & 1
+    part0_size = tag >> 5
+    if frame_type != 0:
+        raise ValueError("standalone VP8 chunk holds an interframe")
+    if payload[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("bad VP8 keyframe start code")
+    hor = int.from_bytes(payload[6:8], "little")
+    ver = int.from_bytes(payload[8:10], "little")
+    if 10 + part0_size > len(payload):
+        raise ValueError("VP8 first partition runs past the chunk")
+    return {
+        "version": version,
+        "show_frame": show_frame,
+        "part0_size": part0_size,
+        "width": hor & 0x3FFF,
+        "xscale": hor >> 14,
+        "height": ver & 0x3FFF,
+        "yscale": ver >> 14,
+    }
+
+
+def make_webp_lossy(media_id: int, w: int, h: int) -> bytes:
+    """Deterministic lossy-WebP fixture: a spec-layout VP8 keyframe
+    HEADER (frame tag, start code, dimensions) followed by a deterministic
+    filler first partition — the entropy-coded partitions are opaque to
+    this build (see the module boundary note), so the fixture carries
+    unparsed filler where a real encoder would put bool-coded data. The
+    header fields are real and formula-known; decode_webp refuses the
+    payload with the table-boundary message."""
+    version = media_id % 4
+    part0 = bytes((media_id * 7 + k) % 251 for k in range(11 + media_id % 5))
+    tag = (len(part0) << 5) | (1 << 4) | (version << 1) | 0
+    hdr = (
+        tag.to_bytes(3, "little")
+        + b"\x9d\x01\x2a"
+        + (((media_id % 4) << 14) | w).to_bytes(2, "little")
+        + (((media_id % 3) << 14) | h).to_bytes(2, "little")
+    )
+    return _riff(_chunk(b"VP8 ", hdr + part0))
+
+
+def webp_meta(blob: bytes) -> dict:
+    """Container-level WebP metadata WITHOUT pixel decode — the triage
+    statistics (kind, dimensions, frame count) a 100 TB crawl pass
+    computes at scan speed: 'VP8 ' keyframe headers (real RFC 6386 §9.1
+    arithmetic), 'VP8L' 14-bit header dims, and 'VP8X' canvas dims
+    (24-bit minus-one fields) with the ANMF frame count. Returns
+    kind/width/height/n_frames/lossy_version (-1 for non-lossy)."""
+    if len(blob) < 20 or blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        raise ValueError("not a WebP (missing RIFF/WEBP header)")
+    fourcc = blob[12:16]
+    size = int.from_bytes(blob[16:20], "little")
+    payload = blob[20 : 20 + size]
+    if len(payload) != size:
+        raise ValueError(f"{fourcc!r} chunk truncated")
+    if fourcc == b"VP8 ":
+        m = parse_vp8_meta(payload)
+        return {
+            "kind": "vp8",
+            "width": m["width"],
+            "height": m["height"],
+            "n_frames": 1,
+            "lossy_version": m["version"],
+        }
+    if fourcc == b"VP8L":
+        if not payload or payload[0] != 0x2F:
+            raise ValueError("bad VP8L signature byte")
+        br = _BitReader(payload[1:])
+        return {
+            "kind": "vp8l",
+            "width": br.read(14) + 1,
+            "height": br.read(14) + 1,
+            "n_frames": 1,
+            "lossy_version": -1,
+        }
+    if fourcc == b"VP8X":
+        if size != 10:
+            raise ValueError("VP8X chunk must be 10 bytes")
+        cw = int.from_bytes(payload[4:7], "little") + 1
+        ch = int.from_bytes(payload[7:10], "little") + 1
+        n_frames = 0
+        pos = 20 + size + (size & 1)
+        while pos + 8 <= len(blob):
+            cc = blob[pos : pos + 4]
+            clen = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+            if pos + 8 + clen > len(blob):
+                raise ValueError(f"{cc!r} chunk truncated")
+            if cc == b"ANMF":
+                n_frames += 1
+            pos += 8 + clen + (clen & 1)
+        return {
+            "kind": "vp8x",
+            "width": cw,
+            "height": ch,
+            "n_frames": n_frames,
+            "lossy_version": -1,
+        }
+    raise ValueError(f"unknown WebP chunk {fourcc!r}")
+
+
+_WEBP_META_SCHEMA = (
+    "media_id long, kind string, width int, height int, n_frames int,"
+    " lossy_version int"
+)
+
+
+def webp_meta_features(df: DataFrame) -> DataFrame:
+    """Distributed WebP metadata triage (Arrow mapInPandas, map-only):
+    one row per file with kind/dims/frame-count — the scan-speed census
+    over a mixed lossy/lossless/animated crawl corpus."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                m = webp_meta(bytes(blob))
+                rows.append({"media_id": mid, **m})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "width", "height", "n_frames",
+                    "lossy_version",
+                ],
+            ).astype(
+                {
+                    "width": "int32", "height": "int32",
+                    "n_frames": "int32", "lossy_version": "int32",
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, _WEBP_META_SCHEMA)

@@ -7320,6 +7320,67 @@ def llm_curation_pipeline_decontam(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@_register(
+    "multimodal_webp_lossy_meta",
+    """
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS sel
+               FROM documents WHERE doc_id < 192)
+    SELECT media_id,
+           CASE sel WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l' ELSE 'vp8x' END
+             AS kind,
+           CAST(CASE sel WHEN 0 THEN 16 + media_id % 13
+                         WHEN 1 THEN 9 + media_id % 4
+                         ELSE 14 + media_id % 4 END AS INT) AS width,
+           CAST(CASE sel WHEN 0 THEN 16 + media_id % 9
+                         WHEN 1 THEN 8 + media_id % 3
+                         ELSE 10 + media_id % 3 END AS INT) AS height,
+           CAST(CASE sel WHEN 2 THEN 4 ELSE 1 END AS INT) AS n_frames,
+           CAST(CASE sel WHEN 0 THEN media_id % 4 ELSE -1 END AS INT)
+             AS lossy_version
+    FROM m
+    """,
+    "WebP metadata census over a MIXED lossy/lossless/animated corpus, "
+    "hash-verified — the scan-speed triage a 100 TB crawl pass runs "
+    "before any decode: 'VP8 ' lossy files parse the REAL RFC 6386 §9.1 "
+    "keyframe header (3-byte frame tag with the 19-bit first-partition "
+    "size, 0x9D012A start code, 14-bit dims + 2-bit scale codes — "
+    "bounds-checked so truncation raises), 'VP8L' files the 14-bit "
+    "header dims, 'VP8X' files the 24-bit-minus-one canvas dims plus an "
+    "ANMF frame count. Pixel decode of lossy VP8 stays the documented "
+    "boundary: the entropy-coded data needs RFC 6386's literal "
+    "probability tables (~3000 published constants: default coefficient "
+    "probs 4x8x3x11 §13.5, update probs §13.4, keyframe B-mode probs "
+    "10x10x9 §11.4) which are unavailable offline — invented values "
+    "would bool-decode real files into garbage rather than failing "
+    "(llmdata/webp.py parse_vp8_meta/webp_meta/make_webp_lossy)",
+)
+def multimodal_webp_lossy_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from query_engine_spark.llmdata import webp as WB
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 192)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                sel = i % 3
+                if sel == 0:
+                    payloads.append(WB.make_webp_lossy(i, 16 + i % 13, 16 + i % 9))
+                elif sel == 1:
+                    payloads.append(WB.make_webp(i, 9 + i % 4, 8 + i % 3))
+                else:
+                    payloads.append(WB.make_webp_animated(i))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(pack, "media_id long, payload binary")
+    return WB.webp_meta_features(media)
+
+
 # Driver verification history. The CORRECTNESS_r01–r04 artifacts prove the
 # driver hash-checks exactly the FIRST 50 names of _driver_order() each round
 # (the r3 and r4 sample sets are identical and equal order[:50]). The order

@@ -512,3 +512,70 @@ def test_webp_prefix_value_coding_inverse(v):
     bw.write(extra_val, extra_bits)
     br = W._BitReader(bw.bytes() or b"\x00")
     assert W._prefix_decode_value(code, br) == v
+
+
+def test_vp8_lossy_header_layer():
+    """RFC 6386 §9.1 keyframe header: frame tag bit layout (type /
+    version / show_frame / 19-bit first-partition size), the 0x9D012A
+    start code, and 14-bit dims with 2-bit scale codes — the real
+    structural layer under the documented probability-table boundary."""
+    import pytest
+
+    b = W.make_webp_lossy(5, 33, 21)
+    assert b[12:16] == b"VP8 "
+    payload = b[20 : 20 + int.from_bytes(b[16:20], "little")]
+    m = W.parse_vp8_meta(payload)
+    assert (m["width"], m["height"]) == (33, 21)
+    assert m["version"] == 5 % 4 and m["show_frame"] == 1
+    assert (m["xscale"], m["yscale"]) == (5 % 4, 5 % 3)
+    assert m["part0_size"] == 11 + 5 % 5
+    # hand-built header, every field a literal: type 0, version 2,
+    # show 1, part0 3 bytes -> tag = 3<<5 | 1<<4 | 2<<1 = 0x74
+    hand = bytes([0x74, 0, 0]) + b"\x9d\x01\x2a" + bytes(
+        [0x0F, 0x40, 0x0B, 0x80]  # w=15 xscale=1, h=11 yscale=2
+    ) + b"xyz"
+    m2 = W.parse_vp8_meta(hand)
+    assert (m2["width"], m2["xscale"], m2["height"], m2["yscale"]) == (
+        15, 1, 11, 2,
+    )
+    assert (m2["version"], m2["show_frame"], m2["part0_size"]) == (2, 1, 3)
+    # boundaries refuse loudly
+    with pytest.raises(ValueError, match="interframe"):
+        W.parse_vp8_meta(bytes([0x75, 0, 0]) + hand[3:])
+    with pytest.raises(ValueError, match="start code"):
+        W.parse_vp8_meta(bytes([0x74, 0, 0]) + b"\x9d\x01\x2b" + hand[6:])
+    with pytest.raises(ValueError, match="runs past"):
+        W.parse_vp8_meta(hand[:-1])
+    with pytest.raises(ValueError, match="shorter than"):
+        W.parse_vp8_meta(hand[:9])
+    # pixel decode names the exact boundary (the probability tables)
+    with pytest.raises(NotImplementedError, match="probability tables"):
+        W.decode_webp(b)
+
+
+def test_webp_meta_census_all_kinds():
+    """webp_meta: the scan-speed kind/dims/frames census agrees with the
+    decoders on files the decoders CAN read, and reads lossy headers
+    they cannot."""
+    import pytest
+
+    assert W.webp_meta(W.make_webp_lossy(7, 40, 30)) == {
+        "kind": "vp8", "width": 40, "height": 30, "n_frames": 1,
+        "lossy_version": 3,
+    }
+    lossless = W.make_webp(3, 6, 5)
+    w, h, _ = W.decode_webp(lossless)
+    assert W.webp_meta(lossless) == {
+        "kind": "vp8l", "width": w, "height": h, "n_frames": 1,
+        "lossy_version": -1,
+    }
+    anim = W.make_webp_animated(7)
+    cw, ch, frames = W.decode_webp_frames(anim)
+    m = W.webp_meta(anim)
+    assert (m["kind"], m["width"], m["height"], m["n_frames"]) == (
+        "vp8x", cw, ch, len(frames),
+    )
+    with pytest.raises(ValueError, match="not a WebP"):
+        W.webp_meta(b"RIFF....WAVE")
+    with pytest.raises(ValueError, match="truncated"):
+        W.webp_meta(W.make_webp_lossy(7, 40, 30)[:-3])
