@@ -9718,3 +9718,79 @@ def subtitle_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(run, _SUBTITLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# sniff -> decoder dispatch: the triage stage COMPOSED with decoding — the
+# shape a real crawl media pipeline runs (classify every payload at scan
+# speed in codegen, then route each to its family decoder in one Arrow pass)
+
+
+_DISPATCH_SCHEMA = (
+    "media_id long, mtype string, width int, height int, n_samples long,"
+    " content_sum long"
+)
+
+
+def decode_dispatch_features(df: DataFrame) -> DataFrame:
+    """Route a MIXED media corpus through its family decoders by the
+    SNIFFED type (not by any out-of-band label): expects (media_id,
+    payload, mtype) where mtype came from `sniff_media_type` — the
+    codegen triage — and runs ONE map-only Arrow pass that dispatches
+    each payload to the right decoder. Output is the unified census
+    shape: dims + content sum for images, sample count + amplitude sum
+    for audio, NULLs for types this build has no pixel decoder for
+    (unknown, and e.g. lossy WebP — honest NULL, never a guess).
+    A payload whose sniffed type MISROUTES fails loudly inside the
+    family decoder rather than producing numbers from garbage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from query_engine_spark.llmdata import webp as WB
+
+        for pdf in batches:
+            rows = []
+            for mid, blob, mt in zip(pdf["media_id"], pdf["payload"], pdf["mtype"]):
+                blob = bytes(blob)
+                w = h = ns = cs = None
+                if mt == "image/jpeg":
+                    w, h, px_rows = decode_jpeg(blob)
+                    cs = sum(sum(r) for r in px_rows)
+                elif mt == "image/png":
+                    w, h, cs, _tl = decode_png(blob)
+                elif mt == "image/gif":
+                    w, h, _idx_sum, cs, _tl = decode_gif(blob)
+                elif mt == "image/webp":
+                    w, h, px = WB.decode_webp(blob)
+                    cs = sum(
+                        ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
+                        for p in px
+                    )
+                elif mt == "audio/wav":
+                    _rate, ns, _dur, cs, _peak, _first = decode_wav(blob)
+                elif mt == "image/tiff":
+                    w, h, px_rows = decode_tiff(blob)
+                    cs = sum(sum(r) for r in px_rows)
+                elif mt == "image/bmp":
+                    w, h, _bpp, cs, _tl = decode_bmp(blob)
+                rows.append(
+                    {
+                        "media_id": mid, "mtype": mt, "width": w,
+                        "height": h, "n_samples": ns, "content_sum": cs,
+                    }
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "mtype", "width", "height", "n_samples",
+                    "content_sum",
+                ],
+            )
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            out["n_samples"] = out["n_samples"].astype("Int64")
+            out["content_sum"] = out["content_sum"].astype("Int64")
+            yield out
+
+    return df.select("media_id", "payload", "mtype").mapInPandas(
+        run, _DISPATCH_SCHEMA
+    )

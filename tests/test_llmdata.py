@@ -6075,3 +6075,22 @@ def test_fits_golden_and_boundaries():
         except (ValueError, NotImplementedError):
             continue
         assert len(px) == w * h
+
+
+def test_decode_dispatch_misroute_fails_loudly(spark):
+    """The dispatch stage's contract: a payload routed to the wrong
+    family decoder raises inside that decoder (magic/structure checks)
+    instead of producing numbers from garbage."""
+    import pytest
+
+    from query_engine_spark.llmdata.multimodal import (
+        decode_dispatch_features,
+        make_png,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(make_png(1, 4, 3)), "image/jpeg")],
+        "media_id long, payload binary, mtype string",
+    )
+    with pytest.raises(Exception, match="SOI|JPEG|marker"):
+        decode_dispatch_features(df).collect()
