@@ -546,10 +546,18 @@ def _decode_image(br: _BitReader, w: int, h: int, *, level0: bool):
             if len(pixels) + length > npix:
                 raise ValueError("LZ77 copy past image end")
             base = len(pixels) - dist
-            for k in range(length):
-                px = pixels[base + k]
-                pixels.append(px)
-                if cache is not None:
+            # bulk the copy: a non-overlapping run is one slice; an
+            # overlapping run is the dist-sized pattern replicated
+            # cyclically — exactly the per-pixel LZ77 semantics
+            # (bit-parity-tested against the scalar loop)
+            if dist >= length:
+                chunk = pixels[base : base + length]
+            else:
+                pattern = pixels[base:]
+                chunk = (pattern * (length // dist + 1))[:length]
+            pixels.extend(chunk)
+            if cache is not None:
+                for px in chunk:
                     cache[
                         (0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)
                     ] = px

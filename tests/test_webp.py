@@ -579,3 +579,85 @@ def test_webp_meta_census_all_kinds():
         W.webp_meta(b"RIFF....WAVE")
     with pytest.raises(ValueError, match="truncated"):
         W.webp_meta(W.make_webp_lossy(7, 40, 30)[:-3])
+
+def test_webp_golden_overlapping_lz77_copy():
+    """8x1 image: ONE literal then a copy of LENGTH 7 at DISTANCE 1 (the
+    RLE-via-LZ77 overlap real encoders emit for flat areas) — the copy
+    source extends as the copy appends, so a bulk slice reading only
+    pre-copy pixels would truncate. Stream assembled with the LOCAL
+    packer: distance prefix value 2 = plane code 2 = (1, 0) = dist 1;
+    length prefix value 7 = green symbol 261 + one 0 extra bit. Pins the
+    chunked-replication rewrite of the copy loop against hand-derived
+    wire bits."""
+    bits = _Bits()
+    bits.put(7, 14)  # width 8
+    bits.put(0, 14)  # height 1
+    bits.put(0, 1)
+    bits.put(0, 3)
+    bits.put(0, 1)  # no transforms
+    bits.put(0, 1)  # no cache
+    bits.put(0, 1)  # no meta
+    # green full form: lengths {50:1, 261:1}
+    bits.put(0, 1)
+    bits.put(0, 4)  # 4 CL entries: order 17, 18, 0, 1
+    for cl_len in (0, 1, 0, 1):
+        bits.put(cl_len, 3)
+    bits.put(0, 1)  # no cutoff
+    # canonical CL codes: (1,1)=0, (1,18)=1
+    bits.put_code(1, 1)  # 18: zeros
+    bits.put(39, 7)  # 11+39 = 50 zeros (g0..g49)
+    bits.put_code(0, 1)  # g50 -> length 1
+    bits.put_code(1, 1)
+    bits.put(127, 7)  # 138 zeros (g51..g188)
+    bits.put_code(1, 1)
+    bits.put(61, 7)  # 11+61 = 72 zeros (g189..g260)
+    bits.put_code(0, 1)  # g261 -> length 1 (copy-length prefix code 5)
+    bits.put_code(1, 1)
+    bits.put(7, 7)  # 11+7 = 18 zeros (g262..g279)
+    _simple_code_1(bits, 60)  # red
+    _simple_code_1(bits, 70)  # blue
+    _simple_code_1(bits, 255)  # alpha
+    _simple_code_1(bits, 1)  # distance: symbol 1 -> prefix value 2
+    # body: one literal (green 50), then the length-7 copy
+    bits.put_code(0, 1)  # g50 literal
+    bits.put_code(1, 1)  # g261: length code 5, base 7
+    bits.put(0, 1)  # length extra bit -> 7
+    # distance symbol decodes with zero bits (single-symbol code);
+    # prefix value 2 -> plane code 2 = (1, 0) -> distance 1
+    w, h, px = W.decode_webp(_riff(b"\x2f" + bits.bytes()))
+    assert (w, h) == (8, 1)
+    assert px == [W._argb(255, 60, 50, 70)] * 8
+
+
+def test_webp_lz77_overlap_roundtrip_and_cache_parity():
+    """Overlapping and non-overlapping copies through the encode/decode
+    pair, with and without the color cache — the cache must see every
+    COPIED pixel (a bulk copy that skips cache updates desyncs any later
+    cache hit). Differential: the chunked copy equals a local scalar
+    restatement of the per-pixel loop on random traces."""
+    rng = random.Random(11)
+    w, h = 16, 9
+    # flat rows + repeats: encoder emits long, often overlapping copies
+    px = [
+        W._argb(255, (y * 13) % 256, (y * 29) % 256, ((x // 11) * 9) % 256)
+        for y in range(h)
+        for x in range(w)
+    ]
+    for kw in ({"lz77": True}, {"lz77": True, "cache_bits": 4}):
+        assert W.decode_webp(W.encode_webp(w, h, px, **kw)) == (w, h, px), kw
+    # local scalar restatement of the overlap semantics
+    for _ in range(200):
+        n_prev = rng.randrange(1, 40)
+        prev = [rng.randrange(1 << 32) for _ in range(n_prev)]
+        dist = rng.randrange(1, n_prev + 1)
+        length = rng.randrange(1, 50)
+        base = len(prev) - dist
+        scalar = list(prev)
+        for k in range(length):
+            scalar.append(scalar[base + k])
+        if dist >= length:
+            chunk = prev[base : base + length]
+        else:
+            pattern = prev[base:]
+            chunk = (pattern * (length // dist + 1))[:length]
+        assert prev + chunk == scalar, (n_prev, dist, length)
