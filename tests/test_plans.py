@@ -441,3 +441,24 @@ def test_r9_candidate_decode_chains_map_only(spark):
             assert "Exchange" not in p, name
             assert "Join" not in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_webp_lossy_meta_plan_map_only(spark):
+    """The WebP metadata census (round-9 registry addition) must stay a
+    pack -> sniff/parse chain of Arrow stages with zero exchanges — at
+    100 TB the triage pass is scan-bound or it is useless."""
+    import contextlib
+    import io
+    import os
+
+    from query_engine_spark.registry import REGISTRY
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    df = REGISTRY["multimodal_webp_lossy_meta"].fn(spark, sf)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
