@@ -2094,9 +2094,12 @@ def decode_au(blob: bytes) -> tuple[int, int, list[int]]:
         data = data[:size]
     if enc == 3:
         n = len(data) // 2
-        samples = list(struct.unpack(f">{n}h", data[: 2 * n]))
+        arr = np.frombuffer(data, dtype=">i2", count=n)
+        samples = [int(v) for v in arr]
     elif enc == 1:
-        samples = [mulaw_decode_byte(b) for b in data]
+        # the same 256-entry G.711 LUT the WAV path vectorizes with
+        arr = _MULAW_LUT[np.frombuffer(data, dtype=np.uint8)]
+        samples = [int(v) for v in arr]
     else:
         raise NotImplementedError(f"AU encoding {enc} not supported")
     return rate, len(samples), samples
@@ -9201,25 +9204,25 @@ def decode_pnm(blob: bytes) -> tuple[int, int, int, int, list[int]]:
         stride = (w + 7) >> 3
         if pos + stride * h > len(blob):
             raise ValueError("truncated P4 raster")
-        for y in range(h):
-            row = blob[pos + y * stride : pos + (y + 1) * stride]
-            for x in range(w):
-                samples.append((row[x >> 3] >> (7 - (x & 7))) & 1)
+        # vectorized MSB-first bit unpack per padded row (bit-parity
+        # with the per-pixel shift loop; row padding bits dropped)
+        rows = np.frombuffer(
+            blob, dtype=np.uint8, count=stride * h, offset=pos
+        ).reshape(h, stride)
+        bits = np.unpackbits(rows, axis=1)[:, :w]
+        samples = [int(v) for v in bits.reshape(-1)]
         return w, h, 1, 1, samples
     bpsample = 2 if maxval > 255 else 1
     need = n * bpsample
     if pos + need > len(blob):
         raise ValueError("truncated PNM raster")
-    raw = blob[pos : pos + need]
     if bpsample == 1:
-        samples = list(raw)
+        arr = np.frombuffer(blob, dtype=np.uint8, count=need, offset=pos)
     else:
-        samples = [
-            (raw[i] << 8) | raw[i + 1] for i in range(0, need, 2)
-        ]
-    if any(v > maxval for v in samples):
+        arr = np.frombuffer(blob, dtype=">u2", count=n, offset=pos)
+    if int(arr.max(initial=0)) > maxval:
         raise ValueError("PNM sample exceeds maxval")
-    return w, h, chans, maxval, samples
+    return w, h, chans, maxval, [int(v) for v in arr]
 
 
 _PNM_SCHEMA = (
