@@ -661,3 +661,34 @@ def test_webp_lz77_overlap_roundtrip_and_cache_parity():
             pattern = prev[base:]
             chunk = (pattern * (length // dist + 1))[:length]
         assert prev + chunk == scalar, (n_prev, dist, length)
+
+
+def test_webp_meta_mutation_fuzz():
+    """400-case bit-flip / truncation / trailing-bytes fuzz over the
+    metadata census parsers (parse_vp8_meta / webp_meta): every mutation
+    either parses to a well-typed dict or raises a contract error —
+    never crashes with an internal exception type."""
+    rng = random.Random(99)
+    bases = [
+        W.make_webp_lossy(5, 33, 21),
+        W.make_webp(3, 6, 5),
+        W.make_webp_animated(7),
+    ]
+    allowed = (ValueError, NotImplementedError)
+    for trial in range(400):
+        blob = bytearray(rng.choice(bases))
+        mode = trial % 3
+        if mode == 0 and len(blob) > 1:  # bit flip
+            p = rng.randrange(len(blob))
+            blob[p] ^= 1 << rng.randrange(8)
+        elif mode == 1:  # truncate
+            blob = blob[: rng.randrange(len(blob))]
+        else:  # trailing junk
+            blob += bytes(rng.randrange(1, 9))
+        try:
+            m = W.webp_meta(bytes(blob))
+        except allowed:
+            continue
+        assert isinstance(m, dict) and set(m) == {
+            "kind", "width", "height", "n_frames", "lossy_version",
+        }, m
