@@ -433,3 +433,54 @@ def outlink_compact(
             continue
         if bid < upto_batch - 1:
             shutil.rmtree(p, ignore_errors=True)
+
+
+def media_triage_ingest_start(
+    spark: SparkSession,
+    input_dir: str,
+    census_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Crawl-media TRIAGE ingest — the streaming form of the batch
+    `media_decode_dispatch` shape: mixed media drops land in `input_dir`
+    as (media_id, payload) parquet; each micro-batch sniffs every payload
+    with the codegen magic-byte triage (`sniff_media_type`, a pure column
+    expression) and routes it through the family decoders in one map-only
+    Arrow pass (`decode_dispatch_features`), landing the unified census
+    (dims + content sum / sample count / honest NULLs for unknown types).
+
+    Exactly-once across restarts without a transactional sink, the same
+    device as the sibling ingests: every write is a DYNAMIC partition
+    overwrite keyed by the micro-batch id, so a replayed batch overwrites
+    its own partitions with identical content. Per-batch cost is O(batch)
+    — triage never consults history; at 100 TB the census is a parquet
+    table partitioned by ingest batch that compacts like any other."""
+    from query_engine_spark.llmdata import multimodal as MM
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        sniffed = batch.withColumn("mtype", MM.sniff_media_type(F.col("payload")))
+        (
+            MM.decode_dispatch_features(sniffed)
+            .withColumn("__batch_id", F.lit(batch_id))
+            .write.partitionBy("__batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(census_dir)
+        )
+
+    reader = spark.readStream.schema("media_id long, payload binary")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    src = reader.parquet(input_dir)
+    return (
+        src.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def media_triage_census(spark: SparkSession, census_dir: str) -> DataFrame:
+    """Read the landed census back without the ingest bookkeeping."""
+    return spark.read.parquet(census_dir).drop("__batch_id")

@@ -642,3 +642,59 @@ def test_streaming_crawl_lifecycle_end_to_end(spark, tmp_path):
     got = {(r["node"], r["rank_q"]) for r in B.pagerank(stream_edges, iters=3).collect()}
     want = {(r["node"], r["rank_q"]) for r in B.pagerank(batch_edges, iters=3).collect()}
     assert got == want and len(got) == 11
+
+
+def test_streaming_media_triage_matches_batch_and_restart(spark, tmp_path):
+    """Streaming sniff->dispatch triage == the batch dispatch over all
+    drops, across a driver restart: mixed media drop A lands, the query
+    stops, drop B lands, a NEW query on the same checkpoint continues —
+    the final census equals one batch sniff+dispatch pass over
+    everything, each payload exactly once."""
+    import pyspark.sql.functions as F
+
+    from query_engine_spark.llmdata import multimodal as MM
+    from query_engine_spark.llmdata import webp as WB
+    from query_engine_spark.streaming.compose import (
+        media_triage_census,
+        media_triage_ingest_start,
+    )
+
+    def payload(i: int) -> bytes:
+        sel = i % 5
+        if sel == 0:
+            return MM.make_png(i, 4 + i % 5, 3 + i % 4)
+        if sel == 1:
+            return MM.make_gif(i, 28 + i % 5, 18 + i % 4)
+        if sel == 2:
+            return WB.make_webp(i, 9 + i % 4, 8 + i % 3)
+        if sel == 3:
+            return MM.make_wav(i, 600 + (i % 7) * 100)
+        return bytes((i * 7 + k) % 251 + 1 for k in range(24))
+
+    def drop(lo: int, hi: int):
+        return spark.createDataFrame(
+            [(i, bytearray(payload(i))) for i in range(lo, hi)],
+            "media_id long, payload binary",
+        )
+
+    in_dir, census_dir, ckpt = (str(tmp_path / n) for n in ("in", "census", "ckpt"))
+    drop(0, 12).coalesce(1).write.mode("append").parquet(in_dir)
+    q1 = media_triage_ingest_start(spark, in_dir, census_dir, ckpt)
+    q1.processAllAvailable()
+    q1.stop()  # driver restart between crawl drops
+
+    drop(12, 30).coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = media_triage_ingest_start(spark, in_dir, census_dir, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    batch_form = MM.decode_dispatch_features(
+        drop(0, 30).withColumn("mtype", MM.sniff_media_type(F.col("payload")))
+    )
+    key = lambda r: (r["media_id"], r["mtype"], r["width"], r["height"],
+                     r["n_samples"], r["content_sum"])
+    got = sorted(key(r) for r in media_triage_census(spark, census_dir).collect())
+    want = sorted(key(r) for r in batch_form.collect())
+    assert got == want and len(got) == 30
