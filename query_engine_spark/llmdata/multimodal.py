@@ -2095,11 +2095,10 @@ def decode_au(blob: bytes) -> tuple[int, int, list[int]]:
     if enc == 3:
         n = len(data) // 2
         arr = np.frombuffer(data, dtype=">i2", count=n)
-        samples = [int(v) for v in arr]
+        samples = arr.astype(np.int64).tolist()
     elif enc == 1:
         # the same 256-entry G.711 LUT the WAV path vectorizes with
-        arr = _MULAW_LUT[np.frombuffer(data, dtype=np.uint8)]
-        samples = [int(v) for v in arr]
+        samples = _MULAW_LUT[np.frombuffer(data, dtype=np.uint8)].tolist()
     else:
         raise NotImplementedError(f"AU encoding {enc} not supported")
     return rate, len(samples), samples
@@ -9210,7 +9209,7 @@ def decode_pnm(blob: bytes) -> tuple[int, int, int, int, list[int]]:
             blob, dtype=np.uint8, count=stride * h, offset=pos
         ).reshape(h, stride)
         bits = np.unpackbits(rows, axis=1)[:, :w]
-        samples = [int(v) for v in bits.reshape(-1)]
+        samples = bits.reshape(-1).astype(np.int64).tolist()
         return w, h, 1, 1, samples
     bpsample = 2 if maxval > 255 else 1
     need = n * bpsample
@@ -9222,7 +9221,7 @@ def decode_pnm(blob: bytes) -> tuple[int, int, int, int, list[int]]:
         arr = np.frombuffer(blob, dtype=">u2", count=n, offset=pos)
     if int(arr.max(initial=0)) > maxval:
         raise ValueError("PNM sample exceeds maxval")
-    return w, h, chans, maxval, [int(v) for v in arr]
+    return w, h, chans, maxval, arr.astype(np.int64).tolist()
 
 
 _PNM_SCHEMA = (
@@ -9763,11 +9762,20 @@ def decode_dispatch_features(df: DataFrame) -> DataFrame:
                 elif mt == "image/gif":
                     w, h, _idx_sum, cs, _tl = decode_gif(blob)
                 elif mt == "image/webp":
-                    w, h, px = WB.decode_webp(blob)
-                    cs = sum(
-                        ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
-                        for p in px
-                    )
+                    # the sniff cannot see the inner fourcc: lossy VP8
+                    # and extended VP8X files sniff as image/webp too,
+                    # and their PIXEL decode is a documented boundary —
+                    # emit the header-layer dims with honest NULL content
+                    # instead of poisoning the batch
+                    try:
+                        w, h, px = WB.decode_webp(blob)
+                        cs = sum(
+                            ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
+                            for p in px
+                        )
+                    except NotImplementedError:
+                        meta = WB.webp_meta(blob)
+                        w, h = meta["width"], meta["height"]
                 elif mt == "audio/wav":
                     _rate, ns, _dur, cs, _peak, _first = decode_wav(blob)
                 elif mt == "image/tiff":

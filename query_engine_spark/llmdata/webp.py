@@ -1584,10 +1584,14 @@ def webp_meta(blob: bytes) -> dict:
         ch = int.from_bytes(payload[7:10], "little") + 1
         n_frames = 0
         pos = 20 + size + (size & 1)
-        while pos + 8 <= len(blob):
+        # bound the walk by the RIFF-declared payload end, not by
+        # len(blob): crawl files routinely carry trailing padding past
+        # the RIFF payload (decode_webp_frames uses the same bound)
+        riff_end = min(len(blob), 8 + int.from_bytes(blob[4:8], "little"))
+        while pos + 8 <= riff_end:
             cc = blob[pos : pos + 4]
             clen = int.from_bytes(blob[pos + 4 : pos + 8], "little")
-            if pos + 8 + clen > len(blob):
+            if pos + 8 + clen > riff_end:
                 raise ValueError(f"{cc!r} chunk truncated")
             if cc == b"ANMF":
                 n_frames += 1

@@ -6094,3 +6094,24 @@ def test_decode_dispatch_misroute_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="SOI|JPEG|marker"):
         decode_dispatch_features(df).collect()
+
+
+def test_decode_dispatch_lossy_webp_honest_nulls(spark):
+    """Review finding (r9 pass 1): lossy VP8 and animated VP8X files
+    sniff as image/webp but have no pixel decoder — the dispatch must
+    emit their HEADER dims with NULL content instead of poisoning the
+    batch (one such file in a crawl drop would wedge the streaming
+    triage ingest on checkpoint replay)."""
+    from query_engine_spark.llmdata import webp as WB
+    from query_engine_spark.llmdata.multimodal import decode_dispatch_features
+
+    rows = [
+        (1, bytearray(WB.make_webp_lossy(5, 33, 21)), "image/webp"),
+        (2, bytearray(WB.make_webp_animated(7)), "image/webp"),
+        (3, bytearray(WB.make_webp(3, 6, 5)), "image/webp"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary, mtype string")
+    got = {r["media_id"]: r for r in decode_dispatch_features(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["content_sum"]) == (33, 21, None)
+    assert (got[2]["width"], got[2]["height"], got[2]["content_sum"]) == (17, 11, None)
+    assert got[3]["content_sum"] is not None  # lossless still decodes

@@ -692,3 +692,19 @@ def test_webp_meta_mutation_fuzz():
         assert isinstance(m, dict) and set(m) == {
             "kind", "width", "height", "n_frames", "lossy_version",
         }, m
+
+
+def test_webp_meta_tolerates_trailing_bytes():
+    """Review finding (r9 pass 1): the VP8X ANMF walk must stop at the
+    RIFF-declared payload end — crawl files carry trailing padding that
+    decode_webp_frames already tolerates, and junk past the payload must
+    neither raise nor miscount frames."""
+    anim = W.make_webp_animated(7)
+    clean = W.webp_meta(anim)
+    padded = anim + b"\xde\xad\xbe\xef" + b"\xff" * 8
+    assert W.webp_meta(padded) == clean
+    cw, ch, frames = W.decode_webp_frames(padded)
+    assert (cw, ch, len(frames)) == (clean["width"], clean["height"], clean["n_frames"])
+    # static kinds tolerate trailing bytes too
+    assert W.webp_meta(W.make_webp_lossy(7, 40, 30) + b"junk")["width"] == 40
+    assert W.webp_meta(W.make_webp(3, 6, 5) + b"\x00\x00")["kind"] == "vp8l"
