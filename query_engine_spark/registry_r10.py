@@ -383,8 +383,8 @@ def multimodal_woff(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_candidate(
     "media_decode_dispatch",
     """
-    WITH ids AS (SELECT doc_id AS media_id, doc_id % 8 AS sel
-                 FROM documents WHERE doc_id < 256),
+    WITH ids AS (SELECT doc_id AS media_id, doc_id % 10 AS sel
+                 FROM documents WHERE doc_id < 320),
     -- JPEG rows (sel 0): the verified coefficient-formula IDCT replay
     jm AS (
       SELECT media_id, 2 + media_id % 2 AS bw, 2 + (media_id // 2) % 2 AS bh
@@ -500,17 +500,30 @@ def multimodal_woff(spark: SparkSession, sf_dir: str) -> DataFrame:
            generate_series(0, 2) AS c(c)
       WHERE i.sel = 6 AND y.y < 3 + i.media_id % 4 AND x.x < 4 + i.media_id % 5
       GROUP BY 1, 2, 3, 4),
-    -- junk rows (sel 7): sniffed unknown, everything NULL
+    -- lossy VP8 (sel 7) and animated VP8X (sel 8): sniff as
+    -- image/webp, pixel decode is the documented boundary -> header
+    -- dims with honest NULL content
+    webp_nodecode_rows AS (
+      SELECT media_id, 'image/webp' AS mtype,
+             CAST(CASE WHEN sel = 7 THEN 16 + media_id % 13
+                       ELSE 14 + media_id % 4 END AS INT) AS width,
+             CAST(CASE WHEN sel = 7 THEN 16 + media_id % 9
+                       ELSE 10 + media_id % 3 END AS INT) AS height,
+             CAST(NULL AS BIGINT) AS n_samples,
+             CAST(NULL AS BIGINT) AS content_sum
+      FROM ids WHERE sel IN (7, 8)),
+    -- junk rows (sel 9): sniffed unknown, everything NULL
     junk_rows AS (
       SELECT media_id, 'unknown' AS mtype, CAST(NULL AS INT) AS width,
              CAST(NULL AS INT) AS height, CAST(NULL AS BIGINT) AS n_samples,
              CAST(NULL AS BIGINT) AS content_sum
-      FROM ids WHERE sel = 7)
+      FROM ids WHERE sel = 9)
     SELECT * FROM jpeg_rows UNION ALL SELECT * FROM png_rows
     UNION ALL SELECT * FROM gif_rows UNION ALL SELECT * FROM webp_rows
     UNION ALL SELECT media_id, mtype, width, height, n_samples, content_sum
       FROM wav_rows
     UNION ALL SELECT * FROM tiff_rows UNION ALL SELECT * FROM bmp_rows
+    UNION ALL SELECT * FROM webp_nodecode_rows
     UNION ALL SELECT * FROM junk_rows
     """,
     "SNIFF -> DECODER DISPATCH, hash-verified — the composed ingest "
@@ -536,14 +549,14 @@ def media_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_engine_spark.llmdata import multimodal as MM
     from query_engine_spark.llmdata import webp as WB
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 256)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 320)
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for i in pdf["doc_id"]:
                 i = int(i)
-                sel = i % 8
+                sel = i % 10
                 if sel == 0:
                     b = MM.make_jpeg(i, 2 + i % 2, 2 + (i // 2) % 2)
                 elif sel == 1:
@@ -558,6 +571,10 @@ def media_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                     b = MM.make_tiff(i, 9 + i % 4, 8 + i % 3)
                 elif sel == 6:
                     b = MM.make_bmp(i, 4 + i % 5, 3 + i % 4)
+                elif sel == 7:
+                    b = WB.make_webp_lossy(i, 16 + i % 13, 16 + i % 9)
+                elif sel == 8:
+                    b = WB.make_webp_animated(i)
                 else:
                     b = bytes((i * 7 + k) % 251 + 1 for k in range(24))
                 payloads.append(b)
