@@ -8905,8 +8905,11 @@ def parse_mpeg_frames(blob: bytes) -> dict:
         if len(blob) < 10:
             raise ValueError("truncated ID3v2 header")
         pos = 10 + _unsyncsafe(blob[6:10])
-        if blob[5] & 0x10:
-            pos += 10  # ID3v2.4 footer (flag bit 4): 10 bytes past the size
+        if blob[3] == 4 and blob[5] & 0x10:
+            # ID3v2.4 footer (flag bit 4): 10 bytes past the size. The
+            # flag exists only in v2.4 — in v2.3 bit 4 is undefined, so
+            # honoring it there would skip real audio bytes
+            pos += 10
         if pos > len(blob):
             raise ValueError("ID3v2 tag runs past the stream")
     frames = 0

@@ -1552,6 +1552,11 @@ def webp_meta(blob: bytes) -> dict:
     kind/width/height/n_frames/lossy_version (-1 for non-lossy)."""
     if len(blob) < 20 or blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
         raise ValueError("not a WebP (missing RIFF/WEBP header)")
+    riff_end = 8 + int.from_bytes(blob[4:8], "little")
+    if riff_end > len(blob):
+        # a partially-downloaded crawl file: the census must refuse, not
+        # undercount (same contract as decode_webp/decode_webp_frames)
+        raise ValueError("RIFF size past end of file")
     fourcc = blob[12:16]
     size = int.from_bytes(blob[16:20], "little")
     payload = blob[20 : 20 + size]
@@ -1586,8 +1591,8 @@ def webp_meta(blob: bytes) -> dict:
         pos = 20 + size + (size & 1)
         # bound the walk by the RIFF-declared payload end, not by
         # len(blob): crawl files routinely carry trailing padding past
-        # the RIFF payload (decode_webp_frames uses the same bound)
-        riff_end = min(len(blob), 8 + int.from_bytes(blob[4:8], "little"))
+        # the RIFF payload (decode_webp_frames uses the same bound; a
+        # SHORT file already refused above, so riff_end <= len(blob))
         while pos + 8 <= riff_end:
             cc = blob[pos : pos + 4]
             clen = int.from_bytes(blob[pos + 4 : pos + 8], "little")

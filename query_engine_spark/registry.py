@@ -7507,7 +7507,7 @@ _STALE_VERIFICATION: set[str] = set()
 # against code whose plans r8 rewrote (the SemDeDup Gram matmul, the
 # classifier/BM25 explode-recompute kills, the fused repetition features,
 # the union-find fast path). Window math for round 9: 44 registered r9
-# candidates + multimodal_webp_lossy are never-verified and lead (45);
+# candidates + multimodal_webp_lossy_meta are never-verified and lead (45);
 # these five re-verifications fill the window to exactly 50.
 _ROUND9_TOUCHED = {
     # r6-verified; r8 replaced the within-cluster pair self-join with a

@@ -1,11 +1,14 @@
 """Round-10 registry candidates — (Spark query, DuckDB oracle) pairs
-built and oracle-validated in round 8's continuation windows, held out
-of BOTH `registry.REGISTRY` and `registry_r9.CANDIDATES`: the round-9
-driver window is exactly budgeted by the 49 r9 candidates (see
-COVERAGE.md), so work beyond that budget starts the round-10 pool here,
-the same device the r8->r9 handoff used. Registering in round 10 is
-mechanical: absorb CANDIDATES exactly as `registry._absorb_r8_candidates`
-did.
+held out of `registry.REGISTRY` until round 10: QOI and FITS (built in
+round 8's continuation windows), the five least-user-frequent round-9
+candidates moved here in round 9 to buy driver-window re-verification
+slots (subtitles / PNM / SVG / AU / WOFF), and the round-9-built
+sniff->decoder dispatch stage. The round-9 window is exactly full (45
+never-verified incl. `multimodal_webp_lossy_meta` + the 5
+`_ROUND9_TOUCHED` re-verifications = 50 — see COVERAGE.md's round-9
+delta and round-10 budget), so this pool waits its turn, the same
+holding-module device as r8->r9. Registering in round 10 is mechanical:
+absorb CANDIDATES exactly as `registry._absorb_r9_candidates` did.
 
 Validation: `tests/test_r10_candidates.py` pins the non-registration and
 runs every candidate through the selfcheck compare at sf0.001 AND
@@ -374,6 +377,37 @@ def multimodal_woff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.woff_features(media)
 
 
+def _jpeg_sql_parts() -> tuple[str, str, str]:
+    """The dispatch oracle's JPEG fragment built from the SAME Python
+    literals the decoder uses (_JPEG_IDCT_A/_JPEG_QTAB/_JPEG_ZIGZAG),
+    exactly as registry._jpeg_oracle() does — hand-copied constants
+    would silently diverge if the shared literals or the rounding
+    contract ever changed (review pass-2 finding)."""
+    from query_engine_spark.llmdata.multimodal import (
+        _JPEG_IDCT_A,
+        _JPEG_QTAB,
+        _JPEG_ZIGZAG,
+    )
+
+    a_rows = ", ".join(
+        f"({u}, {x}, {_JPEG_IDCT_A[u][x]})" for u in range(8) for x in range(8)
+    )
+    used = [0, 1, 3, 8, 20, 40, 55]  # jpeg_qcoefs' nonzero zigzag indices
+    cm_rows = ", ".join(
+        f"({i}, {_JPEG_ZIGZAG[i] % 8}, {_JPEG_ZIGZAG[i] // 8}, {_JPEG_QTAB[i]})"
+        for i in used
+    )
+    half, full = 1 << 25, 1 << 26
+    fdiv = (
+        f"((t + {half}) // {full}) - (CASE WHEN (t + {half}) % {full} != 0 "
+        f"AND t + {half} < 0 THEN 1 ELSE 0 END)"
+    )
+    return a_rows, cm_rows, fdiv
+
+
+_JPEG_A_ROWS, _JPEG_CM_ROWS, _JPEG_FDIV = _jpeg_sql_parts()
+
+
 # ---------------------------------------------------------------------------
 # sniff -> decoder dispatch: the composed triage + decode stage (built in
 # round 9 per the r8 verdict's "extend media_type_sniff into the ingest
@@ -392,27 +426,13 @@ def multimodal_woff(spark: SparkSession, sf_dir: str) -> DataFrame:
     jblocks AS (
       SELECT media_id, bw, bh, b.b AS bi
       FROM jm, generate_series(0, 8) AS b(b) WHERE b.b < bw * bh),
-    cm(zi, cu, cv, q) AS (VALUES (0, 0, 0, 16), (1, 1, 0, 17), (3, 0, 2, 19),
-      (8, 1, 2, 24), (20, 0, 5, 24), (40, 5, 3, 20), (55, 6, 5, 23)),
+    cm(zi, cu, cv, q) AS (VALUES """ + _JPEG_CM_ROWS + """),
     jcoefs AS (
       SELECT media_id, bw, bh, bi, cm.cu, cm.cv,
              (CASE WHEN cm.zi = 0 THEN ((media_id*7 + bi*5) % 13) - 6
                    ELSE ((media_id*11 + bi*3 + cm.zi) % 9) - 4 END) * cm.q AS cq
       FROM jblocks, cm),
-    a(au, ax, aval) AS (VALUES (0, 0, 2896), (0, 1, 2896), (0, 2, 2896),
-      (0, 3, 2896), (0, 4, 2896), (0, 5, 2896), (0, 6, 2896), (0, 7, 2896),
-      (1, 0, 4017), (1, 1, 3406), (1, 2, 2276), (1, 3, 799), (1, 4, -799),
-      (1, 5, -2276), (1, 6, -3406), (1, 7, -4017), (2, 0, 3784), (2, 1, 1567),
-      (2, 2, -1567), (2, 3, -3784), (2, 4, -3784), (2, 5, -1567), (2, 6, 1567),
-      (2, 7, 3784), (3, 0, 3406), (3, 1, -799), (3, 2, -4017), (3, 3, -2276),
-      (3, 4, 2276), (3, 5, 4017), (3, 6, 799), (3, 7, -3406), (4, 0, 2896),
-      (4, 1, -2896), (4, 2, -2896), (4, 3, 2896), (4, 4, 2896), (4, 5, -2896),
-      (4, 6, -2896), (4, 7, 2896), (5, 0, 2276), (5, 1, -4017), (5, 2, 799),
-      (5, 3, 3406), (5, 4, -3406), (5, 5, -799), (5, 6, 4017), (5, 7, -2276),
-      (6, 0, 1567), (6, 1, -3784), (6, 2, 3784), (6, 3, -1567), (6, 4, -1567),
-      (6, 5, 3784), (6, 6, -3784), (6, 7, 1567), (7, 0, 799), (7, 1, -2276),
-      (7, 2, 3406), (7, 3, -4017), (7, 4, 4017), (7, 5, -3406), (7, 6, 2276),
-      (7, 7, -799)),
+    a(au, ax, aval) AS (VALUES """ + _JPEG_A_ROWS + """),
     jterms AS (
       SELECT c.media_id, c.bw, c.bh, c.bi, px.x AS x, py.y AS y,
              CAST(sum(c.cq * aa.aval * ab.aval) AS BIGINT) AS t
@@ -422,9 +442,7 @@ def multimodal_woff(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2, 3, 4, 5, 6),
     jpix AS (
       SELECT media_id, bw, bh,
-             greatest(0, least(255, 128 + ((t + 33554432) // 67108864)
-               - (CASE WHEN (t + 33554432) % 67108864 != 0
-                       AND t + 33554432 < 0 THEN 1 ELSE 0 END))) AS p
+             greatest(0, least(255, 128 + """ + _JPEG_FDIV + """)) AS p
       FROM jterms),
     jpeg_rows AS (
       SELECT media_id, 'image/jpeg' AS mtype, CAST(bw * 8 AS INT) AS width,

@@ -1,8 +1,9 @@
 """Round-10 candidates (registry_r10.py): validated against their DuckDB
 oracles at TWO scales through the selfcheck compare, and pinned OUT of
-both the registry and the round-9 candidate pool — round 9's driver
-window is exactly budgeted by the 49 r9 candidates, so this pool waits
-its turn (the same holding-module device as r8->r9)."""
+both the registry and the (now-registered) round-9 candidate set —
+round 9's driver window is exactly full (45 never-verified + 5
+touched), so this pool waits its turn (the same holding-module device
+as r8->r9)."""
 
 from __future__ import annotations
 

@@ -46,3 +46,23 @@ def test_r9_candidate_matches_oracle(spark, name, sf_dir):
     problems = compare(spark_pdf, duck_pdf)
     assert not problems, (name, problems)
     assert len(spark_pdf) > 0, name
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=[os.path.basename(d) for d in SF_DIRS])
+def test_webp_lossy_meta_matches_oracle(spark, sf_dir):
+    """`multimodal_webp_lossy_meta` was registered directly (not via a
+    candidate module), so it needs its own two-scale oracle pin — review
+    pass-2 finding: without this, a census regression would surface only
+    at the driver window."""
+    from tools.selfcheck import compare, load_duck
+
+    spec = REGISTRY["multimodal_webp_lossy_meta"]
+    spark_pdf = spec.fn(spark, sf_dir).toPandas()
+    con = load_duck(sf_dir)
+    try:
+        duck_pdf = con.execute(spec.oracle).fetchdf()
+    finally:
+        con.close()
+    problems = compare(spark_pdf, duck_pdf)
+    assert not problems, problems
+    assert len(spark_pdf) > 0

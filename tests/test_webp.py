@@ -577,8 +577,13 @@ def test_webp_meta_census_all_kinds():
     )
     with pytest.raises(ValueError, match="not a WebP"):
         W.webp_meta(b"RIFF....WAVE")
-    with pytest.raises(ValueError, match="truncated"):
+    with pytest.raises(ValueError, match="RIFF size past end"):
         W.webp_meta(W.make_webp_lossy(7, 40, 30)[:-3])
+    # a truncated ANIMATION must refuse, not undercount frames — review
+    # pass-2 finding: a min(len, riff_end) clamp silently censused a
+    # partially-downloaded file with fewer ANMF chunks
+    with pytest.raises(ValueError, match="RIFF size past end"):
+        W.webp_meta(anim[: len(anim) - 10])
 
 def test_webp_golden_overlapping_lz77_copy():
     """8x1 image: ONE literal then a copy of LENGTH 7 at DISTANCE 1 (the
