@@ -209,13 +209,31 @@ def media_index_compact(
     replay, so compacting behind the checkpoint is safe; the write below
     is itself a dynamic partition overwrite of exactly the partitions it
     read."""
+    _compact_batch_partitions(spark, index_dir, upto_batch, target_files)
+
+
+def media_triage_compact(
+    spark: SparkSession, census_dir: str, upto_batch: int, *, target_files: int = 1
+) -> None:
+    """Compact the triage census's per-micro-batch partitions — the same
+    small-file device as `media_index_compact` (census consumers drop
+    __batch_id entirely, so folding old partitions onto the highest
+    compacted id is trivially read-equivalent; the replay-idempotence
+    constraint is identical: only compact batches the checkpoint has
+    committed)."""
+    _compact_batch_partitions(spark, census_dir, upto_batch, target_files)
+
+
+def _compact_batch_partitions(
+    spark: SparkSession, data_dir: str, upto_batch: int, target_files: int
+) -> None:
     import pathlib
     import shutil
 
     from pyspark.sql.utils import AnalysisException
 
     try:
-        index = spark.read.parquet(index_dir)
+        index = spark.read.parquet(data_dir)
     except AnalysisException:
         return
     old = index.filter(F.col("__batch_id") < F.lit(upto_batch))
@@ -231,13 +249,13 @@ def media_index_compact(
             compacted.write.partitionBy("__batch_id")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
-            .parquet(index_dir)
+            .parquet(data_dir)
         )
     finally:
         compacted.unpersist()
     # dynamic overwrite only replaces the target partition; drop the other
     # now-duplicated source partitions explicitly
-    for p in pathlib.Path(index_dir).glob("__batch_id=*"):
+    for p in pathlib.Path(data_dir).glob("__batch_id=*"):
         try:
             bid = int(p.name.split("=", 1)[1])
         except ValueError:

@@ -698,3 +698,55 @@ def test_streaming_media_triage_matches_batch_and_restart(spark, tmp_path):
     got = sorted(key(r) for r in media_triage_census(spark, census_dir).collect())
     want = sorted(key(r) for r in batch_form.collect())
     assert got == want and len(got) == 30
+
+
+def test_media_triage_compact_preserves_census(spark, tmp_path):
+    """Census compaction: folding the committed per-batch partitions into
+    one changes nothing a reader sees (same rows), shrinks the partition
+    count, and a later micro-batch still lands beside the compacted
+    history."""
+    import pathlib
+
+    import pyspark.sql.functions as F
+
+    from query_engine_spark.llmdata import multimodal as MM
+    from query_engine_spark.streaming.compose import (
+        media_triage_census,
+        media_triage_compact,
+        media_triage_ingest_start,
+    )
+
+    def drop(lo: int, hi: int):
+        return spark.createDataFrame(
+            [(i, bytearray(MM.make_png(i, 4 + i % 5, 3 + i % 4))) for i in range(lo, hi)],
+            "media_id long, payload binary",
+        )
+
+    in_dir, census_dir, ckpt = (str(tmp_path / n) for n in ("in", "census", "ckpt"))
+    for lo, hi in ((0, 6), (6, 12), (12, 18)):
+        drop(lo, hi).coalesce(1).write.mode("append").parquet(in_dir)
+        q = media_triage_ingest_start(
+            spark, in_dir, census_dir, ckpt, max_files_per_trigger=1
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    before = sorted(
+        (r["media_id"], r["content_sum"])
+        for r in media_triage_census(spark, census_dir).collect()
+    )
+    n_parts = len(list(pathlib.Path(census_dir).glob("__batch_id=*")))
+    assert n_parts >= 3
+    media_triage_compact(spark, census_dir, upto_batch=3)
+    after = sorted(
+        (r["media_id"], r["content_sum"])
+        for r in media_triage_census(spark, census_dir).collect()
+    )
+    assert after == before
+    assert len(list(pathlib.Path(census_dir).glob("__batch_id=*"))) == 1
+    # a later batch lands beside the compacted history
+    drop(18, 24).coalesce(1).write.mode("append").parquet(in_dir)
+    q = media_triage_ingest_start(spark, in_dir, census_dir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    assert media_triage_census(spark, census_dir).count() == 24
