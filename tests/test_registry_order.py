@@ -88,3 +88,35 @@ def test_last_verified_map_matches_correctness_artifacts():
         for n in set(derived) | set(R._DRIVER_LAST_VERIFIED)
         if derived.get(n) != R._DRIVER_LAST_VERIFIED.get(n)
     }
+
+
+def test_candidate_absorption_survives_either_import_order():
+    """The r8/r9 candidate modules register via an END-OF-MODULE callback
+    into registry.REGISTRY precisely so that whichever module leads the
+    import, the registry absorbs the COMPLETE candidate dict (an
+    import-time loop in registry.py would see a partially-built dict
+    when the candidate module leads). Pin both orders in fresh
+    interpreters."""
+    import subprocess
+    import sys
+
+    prog_tail = (
+        "from query_engine_spark import registry as R;"
+        "from query_engine_spark import registry_r8 as r8;"
+        "from query_engine_spark import registry_r9 as r9;"
+        "missing8 = [n for n in r8.CANDIDATES if n not in R.REGISTRY];"
+        "missing9 = [n for n in r9.CANDIDATES if n not in R.REGISTRY];"
+        "assert not missing8 and not missing9, (missing8, missing9);"
+        "print(len(R.REGISTRY))"
+    )
+    for lead in (
+        "from query_engine_spark import registry;",
+        "from query_engine_spark import registry_r9;",
+        "from query_engine_spark import registry_r8;",
+    ):
+        out = subprocess.run(
+            [sys.executable, "-c", lead + prog_tail],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert out.returncode == 0, (lead, out.stderr[-800:])
+        assert out.stdout.strip() == "264", (lead, out.stdout)
