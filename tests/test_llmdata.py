@@ -6115,3 +6115,41 @@ def test_decode_dispatch_lossy_webp_honest_nulls(spark):
     assert (got[1]["width"], got[1]["height"], got[1]["content_sum"]) == (33, 21, None)
     assert (got[2]["width"], got[2]["height"], got[2]["content_sum"]) == (17, 11, None)
     assert got[3]["content_sum"] is not None  # lossless still decodes
+
+
+def test_media_type_sniffer_total_on_arbitrary_bytes(spark):
+    """Totality: the sniffer is a pure column expression that must
+    classify ANY byte string (including empty, sub-16-byte, and
+    0xFF-heavy inputs) into a known label without throwing — it runs at
+    scan position over completely untrusted crawl bytes."""
+    import random
+
+    from query_engine_spark.llmdata.multimodal import sniff_media_type
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(7)
+    rows = [(0, bytearray(b""))]
+    for i in range(1, 400):
+        n = rng.randrange(0, 40)
+        rows.append((i, bytearray(rng.randrange(256) for _ in range(n))))
+    # adversarial prefixes: every magic's first 2-4 bytes + junk tails
+    for j, prefix in enumerate(
+        (b"\xff", b"\xff\xd8", b"RIFF", b"RIFF\x00\x00\x00\x00", b"PK",
+         b"ID3", b"\x89P", b"GIF8", b"II", b"MM", b"BM", b"fL", b".s",
+         b"\x00\x00\x00", b"<?", b"<s", b"\x7fE", b"MZ", b"\xff\xfb"),
+        start=400,
+    ):
+        rows.append((j, bytearray(prefix)))
+    df = spark.createDataFrame(rows, "i long, payload binary")
+    got = df.select(sniff_media_type(F.col("payload")).alias("t")).collect()
+    known = {
+        "image/jpeg", "image/png", "image/gif", "image/webp", "audio/wav",
+        "video/avi", "application/pdf", "application/zip",
+        "application/gzip", "application/x-bzip2", "application/x-xz",
+        "audio/mpeg", "audio/flac", "audio/basic", "audio/aiff",
+        "image/bmp", "image/tiff", "video/mp4", "image/svg+xml",
+        "application/xml", "application/x-elf", "application/x-msdownload",
+        "audio/x-nist", "unknown",
+    }
+    assert all(r["t"] in known for r in got)

@@ -1,0 +1,67 @@
+"""Regenerate registry._DRIVER_LAST_VERIFIED from the CORRECTNESS_r0N.json
+artifacts — the mechanical start-of-round step (round 9 did this by hand
+with an ad-hoc script; this tool makes the transcription reproducible and
+guarantees agreement with the drift test in tests/test_registry_order.py,
+which derives the same map with the same rule).
+
+Prints the dict body ready to paste into registry.py. Rule: a name's
+round is the LAST round with a full hash-green row, or (for the designed
+rows-only queries) a rows>0 'no_oracle' row.
+
+Usage: PYTHONPATH=/root/repo python tools/ledger_transcribe.py [repo_root]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+import textwrap
+
+ROWS_ONLY_OK = ("o4_sort_random", "f12_where_udf_tier", "multimodal_features")
+
+
+def derive(root: str) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json"))):
+        rnd = int(re.search(r"r0(\d+)", path).group(1))
+        for name, row in json.load(open(path)).items():
+            ok = (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ) or (
+                row.get("err") == "no_oracle"
+                and (row.get("spark_rows") or 0) > 0
+                and name in ROWS_ONLY_OK
+            )
+            if ok:
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+def main() -> int:
+    root = sys.argv[1] if len(sys.argv) > 1 else os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    derived = derive(root)
+    by_round: dict[int, list[str]] = {}
+    for n, r in derived.items():
+        by_round.setdefault(r, []).append(n)
+    for r in sorted(by_round):
+        names = sorted(by_round[r])
+        body = ", ".join(f'"{n}"' for n in names)
+        wrapped = textwrap.fill(
+            body, width=72, initial_indent="        ",
+            subsequent_indent="        ",
+        )
+        print(f"    **{{n: {r} for n in (\n{wrapped},\n    )}},")
+    print(f"# {len(derived)} names, max round {max(by_round)}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
