@@ -1,19 +1,20 @@
 """Round-9 registry candidates — (Spark query, DuckDB oracle) pairs built
-and ORACLE-VALIDATED in round 8, held out of `registry.REGISTRY` so they
-do not displace the round-8 driver window (whose 50 slots were budgeted
-for the 30 never-verified r8 registrations + the rotation cohorts — see
-COVERAGE.md's round-8 delta). Registering in round 9 is mechanical:
-absorb CANDIDATES exactly as `registry._absorb_r8_candidates` did for the
-r8 set (they will lead the r9 window as never-verified queries).
+and ORACLE-VALIDATED in round 8, held out of `registry.REGISTRY` through
+round 8 so they did not displace that round's driver window, and
+ABSORBED in round 9 via the end-of-module `_absorb_r9_candidates`
+callback (they lead the r9 window as never-verified queries). Of the 49
+originally built here, the five least-user-frequent (subtitles / PNM /
+SVG / AU / WOFF) moved to `registry_r10.py` in round 9 to free
+driver-window slots for the `_ROUND9_TOUCHED` re-verifications — 44
+remain in this module (see COVERAGE.md's round-9 delta).
 
-Validation today: `tests/test_r9_candidates.py` runs every candidate
-through the same compare as `tools/selfcheck.py` (sorted columns/rows,
-dtype checks, exact values) at sf0.001 AND sf0.01 — the two-scale
-parametrization the r7 verdict asked for, in CI from day one — and the
-whole set has additionally been swept at sf0.1 in-session (three-scale
-coverage; see COVERAGE.md round-8 continuation addenda).
+Validation: `tests/test_r9_candidates.py` runs every candidate through
+the same compare as `tools/selfcheck.py` (sorted columns/rows, dtype
+checks, exact values) at sf0.001 AND sf0.01, now through REGISTRY so
+the registration plumbing is pinned too; the whole set is additionally
+swept at sf0.1 by the per-round three-scale selfcheck ritual.
 
-The FORTY-NINE candidates fall into four families, each closing
+The candidates fall into four families, each closing
 previously documented boundaries or adding first-class pipeline ops:
 - CODECS: RGB/multi-page TIFF tags, RLE8 + top-down BMP, packed/tRNS
   PNG, multichannel/extensible WAV, 24-bit FLAC, EXIF (+GPS,
