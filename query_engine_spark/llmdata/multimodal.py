@@ -9513,15 +9513,12 @@ def decode_ico(blob: bytes) -> list[dict]:
             need = 40 + w * h * 4 + ((w + 31) // 32) * 4 * h
             if len(body) < need:
                 raise ValueError("ICO DIB pixel data truncated")
-            rgb = 0
-            alpha = 0
-            p = 40
-            for yy in range(h):  # stored bottom-up
-                for x in range(w):
-                    b_, g_, r_, a_ = body[p], body[p + 1], body[p + 2], body[p + 3]
-                    rgb += r_ + g_ + b_
-                    alpha += a_
-                    p += 4
+            # vectorized BGRA fold (row order is irrelevant to the sums)
+            px = np.frombuffer(
+                body, dtype=np.uint8, count=w * h * 4, offset=40
+            ).reshape(-1, 4).astype(np.int64)
+            rgb = int(px[:, 0].sum() + px[:, 1].sum() + px[:, 2].sum())
+            alpha = int(px[:, 3].sum())
             kind = "dib"
         if (w, h) != (entry_w, entry_h):
             raise ValueError(
