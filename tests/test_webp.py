@@ -713,3 +713,35 @@ def test_webp_meta_tolerates_trailing_bytes():
     # static kinds tolerate trailing bytes too
     assert W.webp_meta(W.make_webp_lossy(7, 40, 30) + b"junk")["width"] == 40
     assert W.webp_meta(W.make_webp(3, 6, 5) + b"\x00\x00")["kind"] == "vp8l"
+
+
+def test_webp_lz77_randomized_roundtrip_fuzz():
+    """120-trial randomized encode/decode roundtrip biased toward
+    copy-heavy content (flat runs, repeated rows, tiled patterns) across
+    the lz77/cache variant grid — regression depth for the bulk-copy
+    rewrite beyond the fixed-seed matrix. Every trial must roundtrip
+    pixel-exact."""
+    rng = random.Random(2024)
+    for trial in range(120):
+        w = rng.randrange(1, 24)
+        h = rng.randrange(1, 16)
+        style = trial % 4
+        px = []
+        for y in range(h):
+            for x in range(w):
+                if style == 0:  # flat runs -> overlapping copies
+                    v = (y * 3) % 7
+                elif style == 1:  # repeated rows -> row-distance copies
+                    v = (x * 11 + (y % 2) * 5) % 256
+                elif style == 2:  # tiled pattern
+                    v = ((x % 4) * 16 + (y % 3) * 7) % 256
+                else:  # noise (few copies)
+                    v = rng.randrange(256)
+                px.append(W._argb(255, v, (v * 3) % 256, (v * 7) % 256))
+        kw = {"lz77": True}
+        if trial % 3 == 1:
+            kw["cache_bits"] = rng.randrange(1, 7)
+        if trial % 5 == 2:
+            kw["subtract_green"] = True
+        got = W.decode_webp(W.encode_webp(w, h, px, **kw))
+        assert got == (w, h, px), (trial, w, h, kw)
