@@ -7389,10 +7389,12 @@ def multimodal_webp_lossy_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # least-recently-verified first. The map below is transcribed from the
 # CORRECTNESS files: name -> last round a driver hash-match was recorded.
 _DRIVER_LAST_VERIFIED: dict[str, int] = {
-    # Transcribed per-round from CORRECTNESS_r0N.json: name -> last round a
-    # driver hash-match (or designed rows-only pass) was recorded. Every
-    # registry query has now been driver-verified at least once; the r8
-    # window was 50/50 hash-green (the 3 r2-era slipped names among them).
+    # Transcribed per-round by tools/ledger_transcribe.py from the
+    # CORRECTNESS_r*.json artifacts: name -> last round a driver
+    # hash-match (or designed rows-only pass) was recorded. The r9
+    # window was 50/50 hash-green (the 44 registered registry_r9
+    # candidates + multimodal_webp_lossy_meta + the 5 _ROUND9_TOUCHED
+    # re-verifications).
     **{n: 4 for n in (
         "asof_join_directions", "asof_join_events",
         "dedup_best_of_cluster", "embed_dim_stats",
@@ -7405,8 +7407,7 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "llm_doc_lm_score", "llm_domain_mix", "llm_ngram_lm",
         "llm_pack_chunks", "llm_quality_calibrated",
         "llm_stupid_backoff", "range_join_events", "retention_cohorts",
-        "stream_interval_join_pairs", "text_repetition_features",
-        "text_top_terms_per_lang",
+        "stream_interval_join_pairs", "text_top_terms_per_lang",
     )},
     **{n: 5 for n in (
         "dedup_containment", "dedup_incremental", "embed_ivfpq_topk",
@@ -7415,49 +7416,47 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "events_zorder_box", "graph_pagerank", "kmv_set_ops_events",
         "llm_bpe_apply", "llm_bpe_train", "llm_compressed_ingest",
         "llm_curation_pipeline", "llm_dsir_weights",
-        "llm_quality_classifier", "llm_weighted_sample",
-        "media_audio_dedup", "multimodal_audio_resample",
-        "multimodal_features", "multimodal_gif", "multimodal_resize",
-        "pipeline_flagship", "q10_returned_items",
-        "q11_important_value", "q12_priority_lines",
-        "q13_customer_distribution", "q14_promo_revenue",
-        "q15_top_supplier", "q20_promotion_suppliers",
-        "q21_waiting_suppliers", "q2_min_cost_supplier",
-        "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
-        "rollup_gapfill_events", "s1_firehose", "sessionize_events",
-        "text_bm25_indexed", "text_strip_boilerplate",
-        "text_tfidf_pairs", "text_winnowing",
+        "llm_weighted_sample", "media_audio_dedup",
+        "multimodal_audio_resample", "multimodal_features",
+        "multimodal_gif", "multimodal_resize", "pipeline_flagship",
+        "q10_returned_items", "q11_important_value",
+        "q12_priority_lines", "q13_customer_distribution",
+        "q14_promo_revenue", "q15_top_supplier",
+        "q20_promotion_suppliers", "q21_waiting_suppliers",
+        "q2_min_cost_supplier", "q6_forecast_revenue",
+        "q8_market_share", "q9_product_profit", "rollup_gapfill_events",
+        "s1_firehose", "sessionize_events", "text_bm25_indexed",
+        "text_strip_boilerplate", "text_tfidf_pairs", "text_winnowing",
     )},
     **{n: 6 for n in (
         "a1_trending_tags", "a1_trending_windowed",
         "dedup_embedding_cosine", "dedup_minhash_lsh",
         "dedup_ngram_jaccard", "embed_ivf_indexed", "embed_ivf_topk",
-        "embed_kmeans", "embed_semdedup", "f10_embed_prefix",
-        "f12_where_script", "f13_videos_notnull", "f14_regex",
-        "f15_profile_filters", "f9_non_duplicates", "hybrid_rrf_search",
-        "j10_mutuals", "j10_two_hop", "j1_replace_parent",
-        "j3_replace_record", "j4_direct_replies", "j5_all_replies",
-        "j6_quote_posts", "llm_curation_pipeline_decontam",
-        "media_jpeg_perceptual_dedup", "media_perceptual_dedup",
-        "media_video_dedup", "multimodal_audio_adpcm",
-        "multimodal_audio_mulaw", "multimodal_jpeg_color",
-        "multimodal_video_frames", "multimodal_video_rle",
-        "o1_sort_created_top", "o2_sort_hn", "o3_sort_counts",
-        "o4_sort_random", "o5_sort_score_dedup", "o7_posts_per_user",
-        "profile_pipeline", "sc1_script_score", "sc4_created_at_score",
-        "sc_hn_normalized", "text_doc_segment_dedup", "text_dup_spans",
-        "text_langid_ngram", "u_stash_pipeline",
+        "embed_kmeans", "f10_embed_prefix", "f12_where_script",
+        "f13_videos_notnull", "f14_regex", "f15_profile_filters",
+        "f9_non_duplicates", "hybrid_rrf_search", "j10_mutuals",
+        "j10_two_hop", "j1_replace_parent", "j3_replace_record",
+        "j4_direct_replies", "j5_all_replies", "j6_quote_posts",
+        "llm_curation_pipeline_decontam", "media_jpeg_perceptual_dedup",
+        "media_perceptual_dedup", "media_video_dedup",
+        "multimodal_audio_adpcm", "multimodal_audio_mulaw",
+        "multimodal_jpeg_color", "multimodal_video_frames",
+        "multimodal_video_rle", "o1_sort_created_top", "o2_sort_hn",
+        "o3_sort_counts", "o4_sort_random", "o5_sort_score_dedup",
+        "o7_posts_per_user", "profile_pipeline", "sc1_script_score",
+        "sc4_created_at_score", "sc_hn_normalized",
+        "text_doc_segment_dedup", "text_dup_spans", "text_langid_ngram",
+        "u_stash_pipeline",
     )},
     **{n: 7 for n in (
         "a2_tag_variations", "a3_count_views", "a4_degree_counts",
         "a5_user_like_totals", "a7_admin_stats", "agg_cube",
-        "agg_distinct_users", "agg_pivot", "dedup_clusters",
-        "dedup_exact", "dedup_simhash", "embed_cosine_topk",
-        "embed_srp_near_dup", "events_anomaly_static",
-        "f11_labels_remove", "f12_where_script_stmt",
-        "f12_where_udf_tier", "f1_item_kind", "f2_image_count",
-        "f6_language", "f7_list_semi_anti", "f8_duplicates_first",
-        "f_count_cmp", "j2_replace_root",
+        "agg_distinct_users", "agg_pivot", "dedup_exact",
+        "dedup_simhash", "embed_cosine_topk", "embed_srp_near_dup",
+        "events_anomaly_static", "f11_labels_remove",
+        "f12_where_script_stmt", "f12_where_udf_tier", "f1_item_kind",
+        "f2_image_count", "f6_language", "f7_list_semi_anti",
+        "f8_duplicates_first", "f_count_cmp", "j2_replace_root",
         "llm_curation_pipeline_neardup", "media_incremental_dedup",
         "multimodal_jpeg_420", "q18_large_orders", "q1_pricing_summary",
         "q3_shipping_priority", "q5_local_supplier_volume",
@@ -7465,8 +7464,8 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "s4_input_labels", "s5_input_feed", "s6_input_did",
         "s7_input_post_prepend", "s8_archived_scan",
         "s9_liked_weighted", "stream_windowed_counts",
-        "text_bm25_search", "text_contamination", "text_fingerprint",
-        "text_langid", "text_quality", "text_redact_pii", "text_tokens",
+        "text_contamination", "text_fingerprint", "text_langid",
+        "text_quality", "text_redact_pii", "text_tokens",
         "window_running_revenue",
     )},
     **{n: 8 for n in (
@@ -7494,42 +7493,58 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "q7_nation_volume", "text_strip_dup_spans",
         "window_revenue_deciles",
     )},
+    **{n: 9 for n in (
+        "crawl_frontier_bloom", "crawl_host_rank",
+        "crawl_politeness_schedule", "crawl_schedule", "dedup_clusters",
+        "embed_semdedup", "llm_cdx_select", "llm_csv_roundtrip",
+        "llm_epub_ingest", "llm_export_manifest",
+        "llm_html_image_pairs", "llm_html_jsonld", "llm_html_metadata",
+        "llm_html_outlinks", "llm_jsonl_roundtrip", "llm_mbox_ingest",
+        "llm_quality_classifier", "llm_robots_rules",
+        "llm_robots_wildcards", "llm_sitemap_frontier",
+        "llm_tar_ingest", "llm_tar_longnames", "llm_tar_mixed_ingest",
+        "llm_zip64_ingest", "llm_zip_ingest", "media_type_sniff",
+        "multimodal_audio_flac24", "multimodal_audio_multichannel",
+        "multimodal_audio_wav_extensible", "multimodal_bmp_rle8",
+        "multimodal_bmp_topdown", "multimodal_exif_metadata",
+        "multimodal_ico", "multimodal_id3_metadata",
+        "multimodal_image_text_pairs", "multimodal_jpeg_cmyk",
+        "multimodal_jpeg_oriented", "multimodal_mp3_frames",
+        "multimodal_pdf_text", "multimodal_pdf_xrefstream",
+        "multimodal_png_packed", "multimodal_png_trns",
+        "multimodal_tiff_rgb", "multimodal_webp",
+        "multimodal_webp_animated", "multimodal_webp_lossy_meta",
+        "multimodal_webp_palette", "text_bm25_search",
+        "text_nfc_normalize", "text_repetition_features",
+    )},
 }
 
 # Rows whose oracle or machinery changed AFTER their last driver check, so the
 # recorded verification is stale — schedule them as if never verified.
 _STALE_VERIFICATION: set[str] = set()
 
-# Queries whose machinery round 9 changed after their last driver check —
-# or (this round) whose round-8 PLAN REWRITES the driver has never
-# hash-checked: the r8 window re-pinned only the vectorized codec kernels,
-# so the five registered queries below still carry r4-r6 driver hashes
-# against code whose plans r8 rewrote (the SemDeDup Gram matmul, the
-# classifier/BM25 explode-recompute kills, the fused repetition features,
-# the union-find fast path). Window math for round 9: 44 registered r9
-# candidates + multimodal_webp_lossy_meta are never-verified and lead (45);
-# these five re-verifications fill the window to exactly 50.
-_ROUND9_TOUCHED = {
-    # r6-verified; r8 replaced the within-cluster pair self-join with a
-    # per-cluster exact int64 Gram matmul (similarity.semdedup).
-    "embed_semdedup",
-    # r5-verified; r8 killed the per-token-row quality-label recompute in
-    # the training aggregate (textstats.train_hashed_classifier).
-    "llm_quality_classifier",
-    # r7-verified; r8 killed size(_tokens(text)) re-running the tokenizer
-    # per token row (textstats.bm25_search).
-    "text_bm25_search",
-    # r4-verified; r8 fused the three n-gram passes into one tagged-union
-    # aggregation (textstats.repetition_features).
-    "text_repetition_features",
-    # r7-verified; r8 added the size-gated exact local union-find fast
-    # path with the bounded limit-probe (dedup.dedup_clusters).
-    "dedup_clusters",
+# Queries whose machinery round 10 changed after their last driver check.
+# Window math for round 10 (COVERAGE.md's dated budget): the 8 registered
+# registry_r10 candidates are never-verified and lead; the touched slots
+# below re-verify r9-hashed queries whose machinery this round's ADVICE
+# fixes rewrote; the remaining ~41 rotation slots clear ALL 29 r4-era
+# checks plus the first r5-era names by registry position. (The other
+# ADVICE fix — decode_dispatch_features' numpy JPEG fold + honest-NULL
+# variant handling — is already in the window via the never-verified
+# `media_decode_dispatch` candidate plus the streaming compose pytest
+# suite; `media_type_sniff` only shares the untouched sniff_media_type
+# column expression, so its r9 hash stays live.)
+_ROUND10_TOUCHED = {
+    # r9-verified; r10 rewrote the ZIP64-EOCD locator path (ADVICE low):
+    # the stored offset/implied position are tried first and fixed fields
+    # are sanity-checked before the backward signature scan is trusted
+    # (llmdata/archives.py).
+    "llm_zip64_ingest",
 }
 
 # Stable alias so _driver_order and the scheduling tests survive the
 # per-round rename of the touched set.
-_ROUND_TOUCHED = _ROUND9_TOUCHED
+_ROUND_TOUCHED = _ROUND10_TOUCHED
 
 
 def _driver_order() -> list[str]:
@@ -7593,3 +7608,20 @@ def _absorb_r9_candidates(candidates) -> None:
 
 
 from query_engine_spark import registry_r9 as _r9  # noqa: E402,F401
+
+
+def _absorb_r10_candidates(candidates) -> None:
+    """Round-10 registration of the registry_r10 candidates (QOI and FITS
+    built in round 8's continuation windows, the five least-user-frequent
+    r9 candidates moved to the pool in round 9 to buy re-verification
+    slots, and the round-9-built sniff->decoder dispatch stage). Same
+    end-of-module callback shape as _absorb_r8/_r9_candidates so the
+    registration sees the COMPLETE candidate dict regardless of import
+    order."""
+    for name, spec in candidates.items():
+        if name in REGISTRY:  # pragma: no cover - absorb runs once
+            raise ValueError(f"duplicate registration: {name}")
+        REGISTRY[name] = QuerySpec(fn=spec.fn, oracle=spec.oracle, doc=spec.doc)
+
+
+from query_engine_spark import registry_r10 as _r10  # noqa: E402,F401

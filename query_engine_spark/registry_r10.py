@@ -1,16 +1,15 @@
-"""Round-10 registry candidates — (Spark query, DuckDB oracle) pairs
-held out of `registry.REGISTRY` until round 10: QOI and FITS (built in
-round 8's continuation windows), the five least-user-frequent round-9
-candidates moved here in round 9 to buy driver-window re-verification
-slots (subtitles / PNM / SVG / AU / WOFF), and the round-9-built
-sniff->decoder dispatch stage. The round-9 window is exactly full (45
-never-verified incl. `multimodal_webp_lossy_meta` + the 5
-`_ROUND9_TOUCHED` re-verifications = 50 — see COVERAGE.md's round-9
-delta and round-10 budget), so this pool waits its turn, the same
-holding-module device as r8->r9. Registering in round 10 is mechanical:
-absorb CANDIDATES exactly as `registry._absorb_r9_candidates` did.
+"""Round-10 registry queries — (Spark query, DuckDB oracle) pairs
+REGISTERED into `registry.REGISTRY` in round 10 (they lead the driver
+window as never-verified): QOI and FITS (built in round 8's
+continuation windows), the five least-user-frequent round-9 candidates
+moved here in round 9 to buy driver-window re-verification slots
+(subtitles / PNM / SVG / AU / WOFF), and the round-9-built
+sniff->decoder dispatch stage. Registration happens through the
+end-of-module `_absorb_r10_candidates` callback, the same import-order-
+safe shape as registry_r8/_r9 (see registry._absorb_r8_candidates for
+the circular-import rationale).
 
-Validation: `tests/test_r10_candidates.py` pins the non-registration and
+Validation: `tests/test_r10_candidates.py` pins the registration and
 runs every candidate through the selfcheck compare at sf0.001 AND
 sf0.01 (the two-scale CI shape from day one).
 """
@@ -601,3 +600,13 @@ def media_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.select("doc_id").mapInPandas(pack, "media_id long, payload binary")
     sniffed = media.withColumn("mtype", MM.sniff_media_type(F.col("payload")))
     return MM.decode_dispatch_features(sniffed)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 registration: fold the now-complete candidate dict into the main
+# registry. This callback runs at the END of this module body so the main
+# registry always absorbs the full set, whichever module leads the import
+# (see registry._absorb_r10_candidates for the circular-import rationale).
+from query_engine_spark import registry as _registry  # noqa: E402
+
+_registry._absorb_r10_candidates(CANDIDATES)

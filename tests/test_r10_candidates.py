@@ -1,9 +1,8 @@
-"""Round-10 candidates (registry_r10.py): validated against their DuckDB
-oracles at TWO scales through the selfcheck compare, and pinned OUT of
-both the registry and the (now-registered) round-9 candidate set —
-round 9's driver window is exactly full (45 never-verified + 5
-touched), so this pool waits its turn (the same holding-module device
-as r8->r9)."""
+"""Round-10 queries (registry_r10.py): validated against their DuckDB
+oracles at TWO scales through the selfcheck compare, and — as of round
+10 — REGISTERED into the main registry via the end-of-module callback
+(the same import-order-safe device as registry_r8/_r9), leading the
+round-10 driver window as never-verified."""
 
 from __future__ import annotations
 
@@ -24,9 +23,11 @@ SF_DIRS = [
 ]
 
 
-def test_r10_candidates_held_out():
-    overlap = [n for n in CANDIDATES if n in REGISTRY or n in R9]
-    assert not overlap, f"r10 candidates must stay out until r10: {overlap}"
+def test_r10_candidates_registered():
+    missing = [n for n in CANDIDATES if n not in REGISTRY]
+    assert not missing, f"r10 candidates must be registered in r10: {missing}"
+    overlap = [n for n in CANDIDATES if n in R9]
+    assert not overlap, f"r10 candidates must not shadow r9 names: {overlap}"
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS, ids=[os.path.basename(d) for d in SF_DIRS])

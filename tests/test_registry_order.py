@@ -62,11 +62,14 @@ def test_last_verified_map_matches_correctness_artifacts():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ledger_max = max(R._DRIVER_LAST_VERIFIED.values())
     derived: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json"))):
-        rnd = int(re.search(r"r0(\d+)", path).group(1))
+    # CORRECTNESS_r*.json with r(\d+), NOT r0* / r0(\d+): the narrower
+    # pattern silently skipped two-digit rounds (r10+), so the drift test
+    # would keep passing against a stale ledger (ADVICE r9).
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
         if rnd > ledger_max:
             pytest.skip(
-                f"CORRECTNESS_r0{rnd}.json is newer than the ledger (max r0"
+                f"CORRECTNESS_r{rnd}.json is newer than the ledger (max r"
                 f"{ledger_max}): transcribe its green rows into "
                 "_DRIVER_LAST_VERIFIED (registry.py), clear _STALE/"
                 "_ROUND{N}_TOUCHED for the new round, then this test "
@@ -104,13 +107,17 @@ def test_candidate_absorption_survives_either_import_order():
         "from query_engine_spark import registry as R;"
         "from query_engine_spark import registry_r8 as r8;"
         "from query_engine_spark import registry_r9 as r9;"
+        "from query_engine_spark import registry_r10 as r10;"
         "missing8 = [n for n in r8.CANDIDATES if n not in R.REGISTRY];"
         "missing9 = [n for n in r9.CANDIDATES if n not in R.REGISTRY];"
-        "assert not missing8 and not missing9, (missing8, missing9);"
+        "missing10 = [n for n in r10.CANDIDATES if n not in R.REGISTRY];"
+        "assert not missing8 and not missing9 and not missing10,"
+        " (missing8, missing9, missing10);"
         "print(len(R.REGISTRY))"
     )
     for lead in (
         "from query_engine_spark import registry;",
+        "from query_engine_spark import registry_r10;",
         "from query_engine_spark import registry_r9;",
         "from query_engine_spark import registry_r8;",
     ):
@@ -119,4 +126,4 @@ def test_candidate_absorption_survives_either_import_order():
             capture_output=True, text=True, timeout=120,
         )
         assert out.returncode == 0, (lead, out.stderr[-800:])
-        assert out.stdout.strip() == "264", (lead, out.stdout)
+        assert out.stdout.strip() == "272", (lead, out.stdout)

@@ -25,8 +25,11 @@ ROWS_ONLY_OK = ("o4_sort_random", "f12_where_udf_tier", "multimodal_features")
 
 def derive(root: str) -> dict[str, int]:
     out: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json"))):
-        rnd = int(re.search(r"r0(\d+)", path).group(1))
+    # Glob r*.json and parse r(\d+): the earlier r0* glob / r0(\d+) regex
+    # silently skipped two-digit rounds (r10+), freezing the ledger while
+    # the drift test kept passing against stale evidence (ADVICE r9).
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
         for name, row in json.load(open(path)).items():
             ok = (
                 row.get("err") is None
