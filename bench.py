@@ -1,8 +1,13 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints the full JSON record:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+followed by ONE SHORT summary JSON line as the FINAL stdout line
+(metric/value/first_pass/calibration_sec/best_ever_total/sf) — the
+driver keeps only the output tail, which truncated inside the full
+record's per-query dicts and left BENCH_r{5..9}.json with
+"parsed": null; the short final line always parses whole.
 
 `value` is the total of per-query MINIMUM wall-clock over N passes
 (default 3, $SPARK_GRAFT_BENCH_N) — single-run numbers on a busy host swing
@@ -226,6 +231,21 @@ def main() -> int:
             f.write(json.dumps({"ts": int(time.time()), **hist_rec}) + "\n")
     except OSError:
         pass
+    # FINAL stdout line: a SHORT summary the driver's tail capture can
+    # always parse whole — the full record above truncates inside the
+    # per-query dicts when only the output tail is kept, which left the
+    # official BENCH artifact with "parsed": null for five straight
+    # rounds (r9 verdict). BENCH_HISTORY.jsonl keeps the full record.
+    print(json.dumps({
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "first_pass": result["first_pass"],
+        "calibration_sec": result["calibration_sec"],
+        "best_ever_total": result["best_ever_total"],
+        "n_queries": len(best),
+        "sf": sf,
+    }))
     return 0
 
 

@@ -172,16 +172,45 @@ def read_zip(blob: bytes) -> list[tuple[str, bytes]]:
             "<IIQI", blob, eocd - 20
         )
         sig64 = struct.pack("<I", _ZIP64_EOCD_SIG)
-        z64_pos = blob.rfind(sig64, 0, eocd - 20)
-        while z64_pos >= 0:
-            rsize = struct.unpack_from("<Q", blob, z64_pos + 4)[0]
-            if z64_pos + 12 + rsize == eocd - 20 and rsize >= 44:
-                break  # record ends exactly at the locator
-            # signature bytes inside an extensible data sector: keep
-            # scanning backward for the real record start
-            z64_pos = blob.rfind(sig64, 0, z64_pos)
-        if z64_pos < 0:
-            raise ValueError("ZIP64 locator without an adjoining ZIP64 EOCD")
+
+        def _z64_record_ok(p: int) -> bool:
+            """True iff a structurally consistent ZIP64 EOCD record at
+            `p` ends exactly at the locator. Size-of-record alone is not
+            enough (ADVICE r9): adversarial bytes inside a real record's
+            extensible data sector can spell sig+matching-size, but they
+            won't ALSO carry a ZIP64 version-needed, coherent disk
+            numbers, per-disk == total entry counts, and agreement with
+            the classic EOCD's non-sentinel fields."""
+            if p < 0 or p + 56 > eocd - 20 or blob[p : p + 4] != sig64:
+                return False
+            (_s, rsize, _vmade, vneed, d_this, d_cd, n_disk, n_tot,
+             z_size, z_off) = struct.unpack_from("<IQHHIIQQQQ", blob, p)
+            if rsize < 44 or p + 12 + rsize != eocd - 20:
+                return False
+            if vneed < 45 or d_this != d_cd or n_disk != n_tot:
+                return False
+            if n_total != 0xFFFF and n_total != n_tot:
+                return False
+            if cd_size != 0xFFFFFFFF and cd_size != z_size:
+                return False
+            if cd_off != 0xFFFFFFFF and cd_off != z_off:
+                return False
+            return True
+
+        if _z64_record_ok(z64_stored):
+            # unprefixed archive: the locator's stored offset is the
+            # record position itself (shift 0) — trust it before any scan
+            z64_pos = z64_stored
+        else:
+            # junk-prefixed archive: scan backward for the real record
+            # start, accepting only fully validated candidates
+            z64_pos = blob.rfind(sig64, 0, eocd - 20)
+            while z64_pos >= 0 and not _z64_record_ok(z64_pos):
+                z64_pos = blob.rfind(sig64, 0, z64_pos)
+            if z64_pos < 0:
+                raise ValueError(
+                    "ZIP64 locator without an adjoining ZIP64 EOCD"
+                )
         shift = z64_pos - z64_stored
         if shift < 0:
             raise ValueError("ZIP64 EOCD offset past its own position")

@@ -1,35 +1,43 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
-The container has no image/audio codec LIBRARIES, but far less needs one
-than it first appears: the uncompressed containers need only their format
-specs, and PNG's compression is DEFLATE — which is in the Python STANDARD
-library (zlib). All three modalities have REAL pure-Python parsers running
-distributed inside Arrow-batched `mapInPandas`:
+The container ships no image/audio codec LIBRARIES, yet almost nothing
+here needed one: every decoder below is pure Python + numpy over the
+public format specs (with DEFLATE from the stdlib's zlib), running
+distributed inside Arrow-batched `mapInPandas`. As of round 9 the real,
+hash-verified decode surface covers:
 
-- image: 24-bpp BMP decode + nearest-neighbor resize (`decode_bmp`,
-  `resize_bmp` — magic, little-endian header fields, bottom-up rows,
-  4-byte stride) AND compressed 8-bit RGB PNG decode (`decode_png` —
-  CRC-validated chunk walk, stdlib inflate, Sub/Up/Average/Paeth
-  scanline unfiltering);
-- audio: RIFF/WAVE 16-bit PCM decode + duration-preserving resample
-  (`decode_wav`, `resample_wav` — word-aligned chunk walking, fmt
-  validation, signed samples);
-- video: RIFF/AVI demux + every-Nth frame sampling (`demux_avi` —
-  recursive LIST walking, strf validation, raw '00db' DIB frames).
+- image: BMP (24-bpp, 8-bit palette, RLE8, top-down), PNG (every core
+  chunk path — all five filters, palette/gray/RGBA/16-bit, ADAM7
+  interlace, packed sub-byte depths, tRNS), GIF (LZW, interlace, local
+  palettes, full animated compositing incl. the disposal matrix), JPEG
+  (baseline AND progressive entropy decode, integer IDCT, restart
+  markers, 4:2:0/4:2:2 subsampling, CMYK, EXIF orientation), TIFF
+  (gray + RGB, PackBits/LZW, multipage), ICO, QOI, PNM (P1-P6), FITS,
+  SVG structure, WOFF metadata; lossless WebP incl. animation lives in
+  webp.py;
+- audio: WAV (PCM16/24, stereo, extensible, mu-law/A-law, ADPCM),
+  AIFF, SPHERE, AU, FLAC (16/24-bit, stereo) + resampling; MP3 frame
+  walk + ID3v2 metadata (header layer);
+- video: AVI demux (raw DIB and MJPEG frames), MP4/ISO-BMFF box walk +
+  sample tables, RLE video, frame sampling / perceptual hashing.
 
-What genuinely still needs an external codec: JPEG (DCT), MP3/AAC, and
-compressed video frames — those stay honest stubs.
+The honest boundaries that remain — each raises NotImplementedError
+with a specific message rather than guessing: VP8 LOSSY WebP pixel
+decode (needs RFC 6386's literal probability tables, absent in this
+offline build — header census only), MP3/AAC audio PAYLOAD decode
+(frame metadata only), H.264/H.265 and other inter-coded video
+bitstreams, encrypted PDFs (pdftext.py), WOFF2 (no brotli), and GIF
+fractional-alpha blends outside the spec's binary-transparency model.
 
-Each is hash-verified end-to-end by a registry oracle that predicts the
-decoded features with integer arithmetic. The plumbing — schemas, batch
-signatures, partition shaping, metadata model — is shared with the
-compressed-format stubs, so swapping in Pillow/torchaudio/PyAV is a
-one-function change; nothing about the distributed plan changes.
+Each decoder is hash-verified end-to-end by a registry oracle that
+predicts the decoded features with integer arithmetic; hot kernels
+(JPEG IDCT/upsample, PNG unfilter, LZW, G.711, VP8L copies) are
+numpy-vectorized with bit-parity pins against the scalar forms.
 
 Scale notes: media rows are large (MBs) — `media_repartition` sizes
-partitions by *bytes*, not rows, so an executor never materializes more than
-`target_mb` of media per Arrow batch (`maxRecordsPerBatch` should be set low
-for these frames in a real deployment).
+partitions by *bytes*, not rows, so an executor never materializes more
+than `target_mb` of media per Arrow batch (`maxRecordsPerBatch` should
+be set low for these frames in a real deployment).
 """
 
 from __future__ import annotations
@@ -1685,9 +1693,11 @@ def woff_features(df: DataFrame) -> DataFrame:
 def make_fits(media_id: int, w: int, h: int, *, bitpix: int = 16) -> bytes:
     """Pack a FITS image (the astronomy-corpus raster, per the public
     NASA FITS 4.0 standard): 80-char header cards in 2880-byte blocks
-    (SIMPLE/BITPIX/NAXIS/NAXIS1/NAXIS2/BZERO on 16-bit/END), then
-    big-endian pixel data padded to a 2880 multiple. Pixels follow the
-    shared integer formula."""
+    (SIMPLE/BITPIX/NAXIS/NAXIS1/NAXIS2/END), then big-endian pixel
+    data padded to a 2880 multiple — signed storage, no BZERO/BSCALE
+    (spec-legal; the decoder additionally applies integral BZERO/BSCALE
+    when a file carries them). Pixels follow the shared integer
+    formula."""
     import struct
 
     if bitpix not in (8, 16, 32):
@@ -1723,7 +1733,10 @@ def make_fits(media_id: int, w: int, h: int, *, bitpix: int = 16) -> bytes:
 
 def decode_fits(blob: bytes) -> tuple[int, int, int, list[int]]:
     """Decode a single-HDU 2D FITS image → (width, height, bitpix,
-    pixels in raster order, signed as stored). Floating BITPIX (-32/-64)
+    PHYSICAL pixel values in raster order): integral BZERO/BSCALE are
+    applied per the standard (real unsigned-16 astronomy files store
+    BZERO=32768 — r10 review finding: ignoring it silently returned raw
+    signed values), non-integral ones refuse. Floating BITPIX (-32/-64)
     refuses — cross-engine float hashing is the repo's no-go; NAXIS != 2
     and extensions refuse as out of the raster-corpus scope."""
     import struct
@@ -1761,13 +1774,33 @@ def decode_fits(blob: bytes) -> tuple[int, int, int, list[int]]:
     h = int(cards["NAXIS2"])
     if not (1 <= w <= 1 << 16 and 1 <= h <= 1 << 16):
         raise ValueError("FITS dimensions out of range")
+    # physical = BZERO + BSCALE * stored (FITS 4.0 §4.4.2.5); the
+    # unsigned-int convention stores BZERO = 2^(bitpix-1), BSCALE = 1.
+    # Integral values keep the decode exact; fractional scaling would
+    # produce floats (the repo's cross-engine hashing no-go) — refuse.
+    def _int_card(key: str, default: int) -> int:
+        raw = cards.get(key)
+        if raw is None:
+            return default
+        val = float(raw)
+        if val != int(val):
+            raise NotImplementedError(
+                f"non-integral {key} ({raw}) not supported"
+            )
+        return int(val)
+
+    bzero = _int_card("BZERO", 0)
+    bscale = _int_card("BSCALE", 1)
     n = w * h
     size = bitpix // 8
     data = blob[pos : pos + n * size]
     if len(data) != n * size:
         raise ValueError("FITS data shorter than NAXIS1*NAXIS2")
     fmt = {8: f">{n}B", 16: f">{n}h", 32: f">{n}i", 64: f">{n}q"}[bitpix]
-    return w, h, bitpix, list(struct.unpack(fmt, data))
+    stored = struct.unpack(fmt, data)
+    if bzero == 0 and bscale == 1:
+        return w, h, bitpix, list(stored)
+    return w, h, bitpix, [bzero + bscale * v for v in stored]
 
 
 _FITS_SCHEMA = (
@@ -9743,8 +9776,15 @@ def decode_dispatch_features(df: DataFrame) -> DataFrame:
     shape: dims + content sum for images, sample count + amplitude sum
     for audio, NULLs for types this build has no pixel decoder for
     (unknown, and e.g. lossy WebP — honest NULL, never a guess).
-    A payload whose sniffed type MISROUTES fails loudly inside the
-    family decoder rather than producing numbers from garbage."""
+    A payload whose sniffed type MISROUTES fails loudly (ValueError)
+    inside the family decoder rather than producing numbers from
+    garbage; a CORRECTLY sniffed payload whose in-family variant this
+    census pass doesn't fold (color JPEG handled natively; but e.g.
+    stereo/mu-law WAV, RGB TIFF, palette BMP, 16-bit PNG) emits honest
+    NULL content instead of raising — NotImplementedError is a variant
+    boundary in every family decoder here, and letting it propagate
+    would wedge the checkpointed streaming triage ingest on a replayed
+    batch forever (the lossy-WebP rule, generalized to all families)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from query_engine_spark.llmdata import webp as WB
@@ -9754,35 +9794,43 @@ def decode_dispatch_features(df: DataFrame) -> DataFrame:
             for mid, blob, mt in zip(pdf["media_id"], pdf["payload"], pdf["mtype"]):
                 blob = bytes(blob)
                 w = h = ns = cs = None
-                if mt == "image/jpeg":
-                    w, h, px_rows = decode_jpeg(blob)
-                    cs = sum(sum(r) for r in px_rows)
-                elif mt == "image/png":
-                    w, h, cs, _tl = decode_png(blob)
-                elif mt == "image/gif":
-                    w, h, _idx_sum, cs, _tl = decode_gif(blob)
-                elif mt == "image/webp":
-                    # the sniff cannot see the inner fourcc: lossy VP8
-                    # and extended VP8X files sniff as image/webp too,
-                    # and their PIXEL decode is a documented boundary —
-                    # emit the header-layer dims with honest NULL content
-                    # instead of poisoning the batch
-                    try:
-                        w, h, px = WB.decode_webp(blob)
-                        cs = sum(
-                            ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
-                            for p in px
-                        )
-                    except NotImplementedError:
-                        meta = WB.webp_meta(blob)
-                        w, h = meta["width"], meta["height"]
-                elif mt == "audio/wav":
-                    _rate, ns, _dur, cs, _peak, _first = decode_wav(blob)
-                elif mt == "image/tiff":
-                    w, h, px_rows = decode_tiff(blob)
-                    cs = sum(sum(r) for r in px_rows)
-                elif mt == "image/bmp":
-                    w, h, _bpp, cs, _tl = decode_bmp(blob)
+                try:
+                    if mt == "image/jpeg":
+                        # numpy decode: grayscale AND color fold to one
+                        # int sum (the list-of-rows fold TypeErrors on
+                        # color JPEGs' (r,g,b)-tuple rows)
+                        w, h, px = decode_jpeg_np(blob)
+                        cs = int(px.sum())
+                    elif mt == "image/png":
+                        w, h, cs, _tl = decode_png(blob)
+                    elif mt == "image/gif":
+                        w, h, _idx_sum, cs, _tl = decode_gif(blob)
+                    elif mt == "image/webp":
+                        # the sniff cannot see the inner fourcc: lossy
+                        # VP8 and extended VP8X files sniff as
+                        # image/webp too, and their PIXEL decode is a
+                        # documented boundary — emit the header-layer
+                        # dims with honest NULL content
+                        try:
+                            w, h, px = WB.decode_webp(blob)
+                            cs = sum(
+                                ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
+                                for p in px
+                            )
+                        except NotImplementedError:
+                            meta = WB.webp_meta(blob)
+                            w, h = meta["width"], meta["height"]
+                    elif mt == "audio/wav":
+                        _rate, ns, _dur, cs, _peak, _first = decode_wav(blob)
+                    elif mt == "image/tiff":
+                        w, h, px_rows = decode_tiff(blob)
+                        cs = sum(sum(r) for r in px_rows)
+                    elif mt == "image/bmp":
+                        w, h, _bpp, cs, _tl = decode_bmp(blob)
+                except NotImplementedError:
+                    # decodable family, unsupported variant: honest NULL
+                    # census row (ValueError = misroute still raises)
+                    w = h = ns = cs = None
                 rows.append(
                     {
                         "media_id": mid, "mtype": mt, "width": w,

@@ -195,6 +195,33 @@ def test_zip64_extensible_data_sector():
         A.read_zip(bytes(zz))
 
 
+def test_zip64_fake_record_inside_extensible_sector():
+    """ADVICE r9 (low): size-of-record adjacency alone can be forged —
+    adversarial bytes inside a real record's extensible data sector that
+    spell sig+matching-size must not mislocate the record start. The
+    reader now trusts the locator's stored offset first (shift 0 — the
+    unprefixed case never scans at all) and requires fixed-field
+    coherence (ZIP64 version-needed, matching disk numbers, per-disk ==
+    total entry counts, classic-EOCD agreement) before accepting any
+    backward-scan candidate, so the fake below — a full record image
+    with a size field ending exactly at the locator but incoherent
+    counts — is rejected on both the unprefixed and junk-prefixed
+    paths."""
+    members = _sample_members()
+    z = bytearray(A.build_zip(members, zip64=True))
+    eocd = z.rfind(struct.pack("<I", 0x06054B50))
+    z64_pos = z.rfind(struct.pack("<I", 0x06064B50), 0, eocd - 20)
+    fake = struct.pack(
+        "<IQHHIIQQQQ", 0x06064B50, 44, 45, 45, 0, 0, 7, 9, 1, 1
+    )
+    assert len(fake) == 56
+    rsize = struct.unpack_from("<Q", z, z64_pos + 4)[0]
+    struct.pack_into("<Q", z, z64_pos + 4, rsize + len(fake))
+    z[eocd - 20 : eocd - 20] = fake  # extensible data sector = the fake
+    assert A.read_zip(bytes(z)) == members
+    assert A.read_zip(b"#!junk\n" + bytes(z)) == members
+
+
 def test_tar_golden_hand_authored_header():
     """ustar conformance anchored outside the co-developed pair: a
     header block laid out BY HAND per POSIX.1-1988 — octal size, magic,

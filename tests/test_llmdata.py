@@ -6056,6 +6056,29 @@ def test_fits_golden_and_boundaries():
         decode_fits(head + data[:4])
     with pytest.raises(ValueError, match="SIMPLE"):
         decode_fits(head.replace(b"   T", b"   F", 1) + data)
+    # BZERO/BSCALE (r10 review finding): the unsigned-16 convention
+    # (BZERO=32768, BSCALE=1) must yield PHYSICAL values — ignoring it
+    # silently returned raw signed pixels; non-integral BSCALE refuses
+    zhead = b"".join(
+        [
+            card("SIMPLE  =                    T"),
+            card("BITPIX  =                   16"),
+            card("NAXIS   =                    2"),
+            card("NAXIS1  =                    2"),
+            card("NAXIS2  =                    2"),
+            card("BZERO   =              32768.0"),
+            card("BSCALE  =                  1.0"),
+            card("END"),
+        ]
+    )
+    zhead += b" " * (-len(zhead) % 2880)
+    w, h, bp, px = decode_fits(zhead + data)
+    assert px == [32763, 32768, 33068, 0]
+    with pytest.raises(NotImplementedError, match="BSCALE"):
+        decode_fits(
+            zhead.replace(b"=                  1.0", b"=                  0.5", 1)
+            + data
+        )
     # fuzz
     import random
 
@@ -6115,6 +6138,42 @@ def test_decode_dispatch_lossy_webp_honest_nulls(spark):
     assert (got[1]["width"], got[1]["height"], got[1]["content_sum"]) == (33, 21, None)
     assert (got[2]["width"], got[2]["height"], got[2]["content_sum"]) == (17, 11, None)
     assert got[3]["content_sum"] is not None  # lossless still decodes
+
+
+def test_decode_dispatch_in_family_variants_honest_nulls(spark):
+    """ADVICE r9 (medium): a CORRECTLY sniffed payload whose in-family
+    variant the census fold doesn't cover must not crash the Arrow pass
+    — a color JPEG folds natively via decode_jpeg_np (the list-row fold
+    TypeError'd on its (r,g,b)-tuple rows), and stereo WAV / RGB TIFF /
+    palette BMP emit honest-NULL census rows (their family decoders
+    raise NotImplementedError, which previously propagated and would
+    wedge the checkpointed streaming triage ingest on batch replay)."""
+    from query_engine_spark.llmdata.multimodal import (
+        decode_dispatch_features,
+        decode_jpeg_np,
+        make_bmp8,
+        make_jpeg_color,
+        make_tiff_rgb,
+        make_wav_stereo,
+    )
+
+    cj = make_jpeg_color(3, 2, 2)
+    rows = [
+        (1, bytearray(cj), "image/jpeg"),
+        (2, bytearray(make_wav_stereo(3, 100)), "audio/wav"),
+        (3, bytearray(make_tiff_rgb(3, 5, 4)), "image/tiff"),
+        (4, bytearray(make_bmp8(3, 5, 4)), "image/bmp"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary, mtype string")
+    got = {r["media_id"]: r for r in decode_dispatch_features(df).collect()}
+    w, h, px = decode_jpeg_np(cj)
+    assert (got[1]["width"], got[1]["height"]) == (w, h)
+    assert got[1]["content_sum"] == int(px.sum())
+    for mid in (2, 3, 4):
+        r = got[mid]
+        assert (r["width"], r["height"], r["n_samples"], r["content_sum"]) == (
+            None, None, None, None,
+        ), r
 
 
 def test_media_type_sniffer_total_on_arbitrary_bytes(spark):
