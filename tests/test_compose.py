@@ -700,6 +700,49 @@ def test_streaming_media_triage_matches_batch_and_restart(spark, tmp_path):
     assert got == want and len(got) == 30
 
 
+def test_media_triage_survives_in_family_variant_poison(spark, tmp_path):
+    """ADVICE r9 (medium), streaming form: ONE decodable-family-but-
+    unsupported-variant payload in a crawl drop (a stereo WAV, a color
+    JPEG, an RGB TIFF) must not wedge the checkpointed triage ingest —
+    before the fix the family decoder's NotImplementedError (or the
+    color JPEG's TypeError) escaped foreachBatch, the batch never
+    committed, and the restart replayed the same poison forever. Now the
+    census lands honest-NULL rows for the variants, real values for the
+    color JPEG, and the stream keeps going."""
+    from query_engine_spark.llmdata import multimodal as MM
+    from query_engine_spark.streaming.compose import (
+        media_triage_census,
+        media_triage_ingest_start,
+    )
+
+    rows = [
+        (0, bytearray(MM.make_png(0, 4, 3))),          # healthy
+        (1, bytearray(MM.make_wav_stereo(1, 80))),     # variant -> NULLs
+        (2, bytearray(MM.make_jpeg_color(2, 2, 2))),   # folds natively now
+        (3, bytearray(MM.make_tiff_rgb(3, 5, 4))),     # variant -> NULLs
+    ]
+    in_dir, census_dir, ckpt = (str(tmp_path / n) for n in ("in", "census", "ckpt"))
+    spark.createDataFrame(rows, "media_id long, payload binary").coalesce(
+        1
+    ).write.mode("append").parquet(in_dir)
+    q = media_triage_ingest_start(spark, in_dir, census_dir, ckpt)
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+    got = {r["media_id"]: r for r in media_triage_census(spark, census_dir).collect()}
+    assert len(got) == 4
+    assert got[0]["mtype"] == "image/png" and got[0]["content_sum"] is not None
+    assert got[2]["mtype"] == "image/jpeg" and got[2]["content_sum"] is not None
+    for mid, mt in ((1, "audio/wav"), (3, "image/tiff")):
+        r = got[mid]
+        assert r["mtype"] == mt
+        assert (r["width"], r["height"], r["n_samples"], r["content_sum"]) == (
+            None, None, None, None,
+        )
+
+
 def test_media_triage_compact_preserves_census(spark, tmp_path):
     """Census compaction: folding the committed per-batch partitions into
     one changes nothing a reader sees (same rows), shrinks the partition

@@ -24,16 +24,12 @@ def main() -> int:
     from query_engine_spark.session import get_spark
     from query_engine_spark import registry
 
-    from query_engine_spark import registry_r10
-
     spark = get_spark("planreport")
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, dict] = {}
-    # registry queries (the r9 candidates are registered by now) +
-    # pre-validated round-10 pool candidates (prefixed "r10:") so the
-    # zero-cartesian invariant covers code before it ships
+    # the full registry — as of round 10 the registry_r10 pool is
+    # registered, so no held-out candidate prefix remains
     inventory = dict(registry.REGISTRY)
-    inventory.update({f"r10:{n}": s for n, s in registry_r10.CANDIDATES.items()})
     for name, spec in inventory.items():
         try:
             df = spec.fn(spark, sf_dir)
