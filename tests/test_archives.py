@@ -222,6 +222,45 @@ def test_zip64_fake_record_inside_extensible_sector():
     assert A.read_zip(b"#!junk\n" + bytes(z)) == members
 
 
+def test_zip64_extensible_sector_adversarial_fuzz():
+    """Randomized form of the forged-record pin: 80 trials of random
+    junk prefixes x random extensible data sectors seeded with fake
+    ZIP64-EOCD signatures at random offsets — fake size fields chosen to
+    END EXACTLY AT THE LOCATOR half the time (the adjacency the old scan
+    trusted), random fixed fields. The reader must extract the true
+    members every time; a mislocated record start would either raise or
+    ship wrong names/content, both caught by the equality."""
+    import random
+
+    members = _sample_members()
+    base = A.build_zip(members, zip64=True)
+    rng = random.Random(4171)
+    for trial in range(80):
+        z = bytearray(base)
+        eocd = z.rfind(struct.pack("<I", 0x06054B50))
+        z64_pos = z.rfind(struct.pack("<I", 0x06064B50), 0, eocd - 20)
+        sector = bytearray(rng.randrange(24, 200))
+        for i in range(len(sector)):
+            sector[i] = rng.randrange(256)
+        # plant 1-2 fake signatures; half get a size field that makes the
+        # fake record end exactly at the (new) locator position
+        for _ in range(rng.randrange(1, 3)):
+            off = rng.randrange(0, max(1, len(sector) - 12))
+            sector[off : off + 4] = struct.pack("<I", 0x06064B50)
+            if rng.random() < 0.5:
+                want = len(sector) - off - 12
+                sector[off + 4 : off + 12] = struct.pack("<Q", max(want, 0))
+        rsize = struct.unpack_from("<Q", z, z64_pos + 4)[0]
+        struct.pack_into("<Q", z, z64_pos + 4, rsize + len(sector))
+        z[eocd - 20 : eocd - 20] = bytes(sector)
+        prefix = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 40)))
+        if prefix:
+            # a junk prefix must not itself start with a local-header sig
+            # (that would legitimately change archive semantics)
+            prefix = b"#" + prefix[1:]
+        assert A.read_zip(prefix + bytes(z)) == members, trial
+
+
 def test_tar_golden_hand_authored_header():
     """ustar conformance anchored outside the co-developed pair: a
     header block laid out BY HAND per POSIX.1-1988 — octal size, magic,

@@ -1,4 +1,4 @@
-"""Regenerate registry._DRIVER_LAST_VERIFIED from the CORRECTNESS_r0N.json
+"""Regenerate registry._DRIVER_LAST_VERIFIED from the CORRECTNESS_r*.json
 artifacts — the mechanical start-of-round step (round 9 did this by hand
 with an ad-hoc script; this tool makes the transcription reproducible and
 guarantees agreement with the drift test in tests/test_registry_order.py,
