@@ -64,6 +64,11 @@ def build_zip(
     use64 = zip64 or len(members) >= 0xFFFF
     for name, data in members:
         raw = name.encode("utf-8")
+        # APPNOTE appendix D: names are cp437 UNLESS general-purpose flag
+        # bit 11 declares UTF-8 — standard readers (zipfile, Info-ZIP)
+        # honor the flag, so writing UTF-8 bytes without it mojibakes
+        # every non-ASCII name downstream (stdlib-conformance finding)
+        flags = 0x0800 if not name.isascii() else 0
         crc = zlib.crc32(data) & 0xFFFFFFFF
         comp = zlib.compressobj(level, zlib.DEFLATED, -15)
         deflated = comp.compress(data) + comp.flush()
@@ -79,7 +84,7 @@ def build_zip(
             extra = struct.pack("<HHQQ", 0x0001, 16, len(data), len(payload))
             header = struct.pack(
                 "<IHHHHHIIIHH",
-                _ZIP_LOCAL_SIG, 45, 0, method, 0, 0,
+                _ZIP_LOCAL_SIG, 45, flags, method, 0, 0,
                 crc, 0xFFFFFFFF, 0xFFFFFFFF, len(raw), len(extra),
             )
             out += header + raw + extra + payload
@@ -88,20 +93,20 @@ def build_zip(
             )
             cdir += struct.pack(
                 "<IHHHHHHIIIHHHHHII",
-                _ZIP_CDIR_SIG, 45, 45, 0, method, 0, 0,
+                _ZIP_CDIR_SIG, 45, 45, flags, method, 0, 0,
                 crc, 0xFFFFFFFF, 0xFFFFFFFF, len(raw), len(cextra),
                 0, 0, 0, 0, 0xFFFFFFFF,
             ) + raw + cextra
         else:
             header = struct.pack(
                 "<IHHHHHIIIHH",
-                _ZIP_LOCAL_SIG, 20, 0, method, 0, 0,
+                _ZIP_LOCAL_SIG, 20, flags, method, 0, 0,
                 crc, len(payload), len(data), len(raw), 0,
             )
             out += header + raw + payload
             cdir += struct.pack(
                 "<IHHHHHHIIIHHHHHII",
-                _ZIP_CDIR_SIG, 20, 20, 0, method, 0, 0,
+                _ZIP_CDIR_SIG, 20, 20, flags, method, 0, 0,
                 crc, len(payload), len(data), len(raw), 0, 0, 0, 0, 0, offset,
             ) + raw
     cd_off = len(out)
@@ -236,7 +241,10 @@ def read_zip(blob: bytes) -> list[tuple[str, bytes]]:
         )
         if sig != _ZIP_CDIR_SIG:
             raise ValueError("central directory signature mismatch")
-        name = blob[pos + 46 : pos + 46 + nlen].decode("utf-8")
+        raw_name = blob[pos + 46 : pos + 46 + nlen]
+        # APPNOTE appendix D: UTF-8 only when flag bit 11 is set; the
+        # default is cp437 (total — every byte maps), matching zipfile
+        name = raw_name.decode("utf-8" if _flags & 0x0800 else "cp437")
         sentinels = [v == 0xFFFFFFFF for v in (usize, csize, lho)]
         if any(sentinels):
             vals = _zip64_extra(blob, pos + 46 + nlen, elen, sum(sentinels))

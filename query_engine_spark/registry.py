@@ -7535,11 +7535,21 @@ _STALE_VERIFICATION: set[str] = set()
 # suite; `media_type_sniff` only shares the untouched sniff_media_type
 # column expression, so its r9 hash stays live.)
 _ROUND10_TOUCHED = {
-    # r9-verified; r10 rewrote the ZIP64-EOCD locator path (ADVICE low):
-    # the stored offset/implied position are tried first and fixed fields
-    # are sanity-checked before the backward signature scan is trusted
-    # (llmdata/archives.py).
+    # r9-verified; r10 rewrote the ZIP64-EOCD locator path (ADVICE low:
+    # stored offset tried first, fixed-field coherence required before
+    # trusting the backward signature scan) and the member-name encoding
+    # (APPNOTE appendix D: writer sets flag bit 11 for non-ASCII names,
+    # reader decodes cp437 unless the flag is set — the stdlib-
+    # conformance finding; zipfile mojibake'd our UTF-8 names before).
+    # These queries run build_zip/read_zip (llmdata/archives.py); the
+    # EPUB chain rides read_zip through llmdata/ebooks.py. (ASCII-named
+    # fixtures make the emitted bytes identical, but the reader's
+    # name-decode branch changed, so their r9 hashes are re-earned.)
+    # media_type_sniff only consumes build_zip MAGIC BYTES (unchanged
+    # for its ASCII fixture) and stays on its r9 hash.
     "llm_zip64_ingest",
+    "llm_zip_ingest",
+    "llm_epub_ingest",
 }
 
 # Stable alias so _driver_order and the scheduling tests survive the
