@@ -85,6 +85,49 @@ def test_we_read_zipfile_forced_zip64():
     assert A.read_zip(buf.getvalue()) == _MEMBERS
 
 
+def test_we_read_zipfile_with_archive_comment():
+    """An EOCD trailed by an archive comment moves the record off the
+    file tail — the up-to-64KiB backward comment window (APPNOTE 4.3.16)
+    must still find it. zipfile is the independent comment writer."""
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for n, d in _MEMBERS:
+            zf.writestr(n, d)
+        zf.comment = b"corpus export manifest v3 " * 40
+    assert A.read_zip(buf.getvalue()) == _MEMBERS
+
+
+def test_we_read_zipfile_streamed_with_data_descriptors():
+    """zipfile writing through a NON-SEEKABLE stream sets general-purpose
+    flag bit 3 and emits post-payload data descriptors with zeroed local
+    header sizes — the wire shape of piped exports. A central-directory-
+    driven reader (sizes from the CD, data offset from the local header)
+    is immune; a local-header-walking reader would misread every
+    member."""
+    import zipfile
+
+    class _NoSeek:
+        def __init__(self):
+            self.buf = bytearray()
+
+        def write(self, b):
+            self.buf += b
+            return len(b)
+
+        def flush(self):
+            pass
+
+    ns = _NoSeek()
+    with zipfile.ZipFile(ns, "w", zipfile.ZIP_DEFLATED) as zf:
+        for n, d in _MEMBERS:
+            zf.writestr(n, d)
+    blob = bytes(ns.buf)
+    assert blob[6] & 0x08, "zipfile should have set the descriptor flag"
+    assert A.read_zip(blob) == _MEMBERS
+
+
 def test_zip_crossed_roundtrip_through_both_engines():
     """ours -> zipfile re-write -> ours: content survives a full trip
     through the foreign implementation."""
