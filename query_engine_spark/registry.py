@@ -7391,24 +7391,12 @@ def multimodal_webp_lossy_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_LAST_VERIFIED: dict[str, int] = {
     # Transcribed per-round by tools/ledger_transcribe.py from the
     # CORRECTNESS_r*.json artifacts: name -> last round a driver
-    # hash-match (or designed rows-only pass) was recorded. The r9
-    # window was 50/50 hash-green (the 44 registered registry_r9
-    # candidates + multimodal_webp_lossy_meta + the 5 _ROUND9_TOUCHED
-    # re-verifications).
-    **{n: 4 for n in (
-        "asof_join_directions", "asof_join_events",
-        "dedup_best_of_cluster", "embed_dim_stats",
-        "embed_label_cohesion", "events_ema",
-        "events_transition_matrix", "funnel_events", "graph_triangles",
-        "group_quantiles_bucketed", "group_quantiles_events",
-        "hopping_window_events", "kmv_distinct_users",
-        "llm_balanced_sample", "llm_bpe_pair_counts", "llm_chunk_docs",
-        "llm_curation_flags", "llm_decontaminate", "llm_dedup_funnel",
-        "llm_doc_lm_score", "llm_domain_mix", "llm_ngram_lm",
-        "llm_pack_chunks", "llm_quality_calibrated",
-        "llm_stupid_backoff", "range_join_events", "retention_cohorts",
-        "stream_interval_join_pairs", "text_top_terms_per_lang",
-    )},
+    # hash-match (or designed rows-only pass) was recorded. Post-r10:
+    # the r10 window (50/50 hash-green) covered the 8 registered
+    # registry_r10 pool queries, the 3 _ROUND10_TOUCHED ZIP-path
+    # re-verifications, all 29 r4-era checks, and the first 10 r5-era
+    # rotation slots; cohorts now 33 r5 / 45 r6 / 47 r7 / 50 r8 /
+    # 47 r9 / 50 r10 = 272.
     **{n: 5 for n in (
         "dedup_containment", "dedup_incremental", "embed_ivfpq_topk",
         "embed_pq_topk", "events_anomaly_zscore", "events_countmin",
@@ -7419,13 +7407,9 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "llm_weighted_sample", "media_audio_dedup",
         "multimodal_audio_resample", "multimodal_features",
         "multimodal_gif", "multimodal_resize", "pipeline_flagship",
-        "q10_returned_items", "q11_important_value",
-        "q12_priority_lines", "q13_customer_distribution",
-        "q14_promo_revenue", "q15_top_supplier",
-        "q20_promotion_suppliers", "q21_waiting_suppliers",
-        "q2_min_cost_supplier", "q6_forecast_revenue",
-        "q8_market_share", "q9_product_profit", "rollup_gapfill_events",
-        "s1_firehose", "sessionize_events", "text_bm25_indexed",
+        "q12_priority_lines", "q20_promotion_suppliers",
+        "q21_waiting_suppliers", "rollup_gapfill_events",
+        "sessionize_events", "text_bm25_indexed",
         "text_strip_boilerplate", "text_tfidf_pairs", "text_winnowing",
     )},
     **{n: 6 for n in (
@@ -7497,14 +7481,14 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "crawl_frontier_bloom", "crawl_host_rank",
         "crawl_politeness_schedule", "crawl_schedule", "dedup_clusters",
         "embed_semdedup", "llm_cdx_select", "llm_csv_roundtrip",
-        "llm_epub_ingest", "llm_export_manifest",
-        "llm_html_image_pairs", "llm_html_jsonld", "llm_html_metadata",
-        "llm_html_outlinks", "llm_jsonl_roundtrip", "llm_mbox_ingest",
+        "llm_export_manifest", "llm_html_image_pairs",
+        "llm_html_jsonld", "llm_html_metadata", "llm_html_outlinks",
+        "llm_jsonl_roundtrip", "llm_mbox_ingest",
         "llm_quality_classifier", "llm_robots_rules",
         "llm_robots_wildcards", "llm_sitemap_frontier",
         "llm_tar_ingest", "llm_tar_longnames", "llm_tar_mixed_ingest",
-        "llm_zip64_ingest", "llm_zip_ingest", "media_type_sniff",
-        "multimodal_audio_flac24", "multimodal_audio_multichannel",
+        "media_type_sniff", "multimodal_audio_flac24",
+        "multimodal_audio_multichannel",
         "multimodal_audio_wav_extensible", "multimodal_bmp_rle8",
         "multimodal_bmp_topdown", "multimodal_exif_metadata",
         "multimodal_ico", "multimodal_id3_metadata",
@@ -7516,6 +7500,28 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "multimodal_webp_animated", "multimodal_webp_lossy_meta",
         "multimodal_webp_palette", "text_bm25_search",
         "text_nfc_normalize", "text_repetition_features",
+    )},
+    **{n: 10 for n in (
+        "asof_join_directions", "asof_join_events",
+        "dedup_best_of_cluster", "embed_dim_stats",
+        "embed_label_cohesion", "events_ema",
+        "events_transition_matrix", "funnel_events", "graph_triangles",
+        "group_quantiles_bucketed", "group_quantiles_events",
+        "hopping_window_events", "kmv_distinct_users",
+        "llm_balanced_sample", "llm_bpe_pair_counts", "llm_chunk_docs",
+        "llm_curation_flags", "llm_decontaminate", "llm_dedup_funnel",
+        "llm_doc_lm_score", "llm_domain_mix", "llm_epub_ingest",
+        "llm_ngram_lm", "llm_pack_chunks", "llm_quality_calibrated",
+        "llm_stupid_backoff", "llm_zip64_ingest", "llm_zip_ingest",
+        "media_decode_dispatch", "multimodal_audio_au",
+        "multimodal_fits", "multimodal_pnm", "multimodal_qoi",
+        "multimodal_subtitles", "multimodal_svg", "multimodal_woff",
+        "q10_returned_items", "q11_important_value",
+        "q13_customer_distribution", "q14_promo_revenue",
+        "q15_top_supplier", "q2_min_cost_supplier",
+        "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
+        "range_join_events", "retention_cohorts", "s1_firehose",
+        "stream_interval_join_pairs", "text_top_terms_per_lang",
     )},
 }
 

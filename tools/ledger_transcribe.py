@@ -20,7 +20,11 @@ import re
 import sys
 import textwrap
 
-ROWS_ONLY_OK = ("o4_sort_random", "f12_where_udf_tier", "multimodal_features")
+# Exactly the queries designed WITHOUT a SQL oracle (rows-only driver
+# check). multimodal_features was removed r11: it has carried a real
+# oracle since r5, and keeping it here could mask a silently lost oracle
+# (tests/test_registry_order.py pins that every non-listed query HAS one).
+ROWS_ONLY_OK = ("o4_sort_random", "f12_where_udf_tier")
 
 
 def derive(root: str) -> dict[str, int]:
