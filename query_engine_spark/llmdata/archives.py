@@ -202,6 +202,20 @@ def read_zip(blob: bytes) -> list[tuple[str, bytes]]:
                 return False
             return True
 
+        def _z64_record_adjacent(p: int) -> bool:
+            """Relaxed acceptance: signature at `p` and a size-of-record
+            field ending exactly at the locator. Used only as a last
+            resort for NONCONFORMING writers (e.g. version-needed < 45 in
+            the ZIP64 EOCD, mismatched disk fields) at the locator's own
+            stored offset — a position the writer explicitly pointed at,
+            not one found by scanning, so the adversarial
+            sig-inside-data-sector shape the full check guards against
+            (ADVICE r9) cannot arise here."""
+            if p < 0 or p + 56 > eocd - 20 or blob[p : p + 4] != sig64:
+                return False
+            (_s, rsize) = struct.unpack_from("<IQ", blob, p)
+            return rsize >= 44 and p + 12 + rsize == eocd - 20
+
         if _z64_record_ok(z64_stored):
             # unprefixed archive: the locator's stored offset is the
             # record position itself (shift 0) — trust it before any scan
@@ -212,7 +226,19 @@ def read_zip(blob: bytes) -> list[tuple[str, bytes]]:
             z64_pos = blob.rfind(sig64, 0, eocd - 20)
             while z64_pos >= 0 and not _z64_record_ok(z64_pos):
                 z64_pos = blob.rfind(sig64, 0, z64_pos)
+            if z64_pos < 0 and _z64_record_adjacent(z64_stored):
+                # nonconforming writer: no candidate anywhere passes full
+                # coherence, but the stored offset itself carries the
+                # signature and ends exactly at the locator (ADVICE r10)
+                z64_pos = z64_stored
             if z64_pos < 0:
+                # distinct errors to aid triage (ADVICE r10): a signature
+                # that exists but fails coherence is a different failure
+                # from no signature at all
+                if blob.rfind(sig64, 0, eocd - 20) >= 0:
+                    raise ValueError(
+                        "ZIP64 EOCD candidate(s) failed coherence checks"
+                    )
                 raise ValueError(
                     "ZIP64 locator without an adjoining ZIP64 EOCD"
                 )

@@ -9766,8 +9766,10 @@ _DISPATCH_SCHEMA = (
     " content_sum long"
 )
 
+_DISPATCH_QUARANTINE_SCHEMA = _DISPATCH_SCHEMA + ", corrupt boolean"
 
-def decode_dispatch_features(df: DataFrame) -> DataFrame:
+
+def decode_dispatch_features(df: DataFrame, *, quarantine: bool = False) -> DataFrame:
     """Route a MIXED media corpus through its family decoders by the
     SNIFFED type (not by any out-of-band label): expects (media_id,
     payload, mtype) where mtype came from `sniff_media_type` — the
@@ -9784,7 +9786,21 @@ def decode_dispatch_features(df: DataFrame) -> DataFrame:
     NULL content instead of raising — NotImplementedError is a variant
     boundary in every family decoder here, and letting it propagate
     would wedge the checkpointed streaming triage ingest on a replayed
-    batch forever (the lossy-WebP rule, generalized to all families)."""
+    batch forever (the lossy-WebP rule, generalized to all families).
+
+    `quarantine=True` is the STREAMING-triage posture (ADVICE r10): a
+    corrupt-but-correctly-sniffed payload (CRC mismatch, truncated or
+    structurally invalid stream — the decoders' ValueError) lands a
+    NULL census row flagged `corrupt=true` instead of escaping the
+    Arrow pass, because in a checkpointed foreachBatch ingest the
+    replayed poison batch would otherwise wedge the stream forever —
+    the exact failure mode the NotImplementedError handling fixed,
+    triggered by corruption instead of an unsupported variant. The
+    BATCH census keeps the fail-loud default: a batch job surfaces the
+    bad payload (or sniff misroute) immediately and a rerun is cheap,
+    and silently NULLing there would let a sniff regression masquerade
+    as corruption. Variant-boundary rows carry corrupt=false — "this
+    build can't decode it" is not "the bytes are bad"."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from query_engine_spark.llmdata import webp as WB
@@ -9794,6 +9810,7 @@ def decode_dispatch_features(df: DataFrame) -> DataFrame:
             for mid, blob, mt in zip(pdf["media_id"], pdf["payload"], pdf["mtype"]):
                 blob = bytes(blob)
                 w = h = ns = cs = None
+                corrupt = False
                 try:
                     if mt == "image/jpeg":
                         # numpy decode: grayscale AND color fold to one
@@ -9829,21 +9846,27 @@ def decode_dispatch_features(df: DataFrame) -> DataFrame:
                         w, h, _bpp, cs, _tl = decode_bmp(blob)
                 except NotImplementedError:
                     # decodable family, unsupported variant: honest NULL
-                    # census row (ValueError = misroute still raises)
+                    # census row, NOT corruption
                     w = h = ns = cs = None
-                rows.append(
-                    {
-                        "media_id": mid, "mtype": mt, "width": w,
-                        "height": h, "n_samples": ns, "content_sum": cs,
-                    }
-                )
-            out = pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "mtype", "width", "height", "n_samples",
-                    "content_sum",
-                ],
-            )
+                except ValueError:
+                    # corrupt or misrouted bytes: quarantine-flag in the
+                    # streaming posture, fail loud in the batch census
+                    if not quarantine:
+                        raise
+                    w = h = ns = cs = None
+                    corrupt = True
+                row = {
+                    "media_id": mid, "mtype": mt, "width": w,
+                    "height": h, "n_samples": ns, "content_sum": cs,
+                }
+                if quarantine:
+                    row["corrupt"] = corrupt
+                rows.append(row)
+            cols = [
+                "media_id", "mtype", "width", "height", "n_samples",
+                "content_sum",
+            ] + (["corrupt"] if quarantine else [])
+            out = pd.DataFrame(rows, columns=cols)
             out["width"] = out["width"].astype("Int32")
             out["height"] = out["height"].astype("Int32")
             out["n_samples"] = out["n_samples"].astype("Int64")
@@ -9851,5 +9874,5 @@ def decode_dispatch_features(df: DataFrame) -> DataFrame:
             yield out
 
     return df.select("media_id", "payload", "mtype").mapInPandas(
-        run, _DISPATCH_SCHEMA
+        run, _DISPATCH_QUARANTINE_SCHEMA if quarantine else _DISPATCH_SCHEMA
     )

@@ -468,6 +468,13 @@ def media_triage_ingest_start(
     expression) and routes it through the family decoders in one map-only
     Arrow pass (`decode_dispatch_features`), landing the unified census
     (dims + content sum / sample count / honest NULLs for unknown types).
+    The dispatch runs in QUARANTINE mode (ADVICE r10): a corrupt-but-
+    correctly-sniffed payload (CRC mismatch, truncated stream) lands a
+    NULL row flagged `corrupt=true` instead of raising — a propagated
+    error in foreachBatch never commits the batch, and the checkpoint
+    restart replays the same poison forever. Unsupported in-family
+    variants stay corrupt=false (a boundary, not bad bytes); the BATCH
+    `media_decode_dispatch` census keeps the fail-loud default.
 
     Exactly-once across restarts without a transactional sink, the same
     device as the sibling ingests: every write is a DYNAMIC partition
@@ -480,7 +487,7 @@ def media_triage_ingest_start(
     def _process(batch: DataFrame, batch_id: int) -> None:
         sniffed = batch.withColumn("mtype", MM.sniff_media_type(F.col("payload")))
         (
-            MM.decode_dispatch_features(sniffed)
+            MM.decode_dispatch_features(sniffed, quarantine=True)
             .withColumn("__batch_id", F.lit(batch_id))
             .write.partitionBy("__batch_id")
             .option("partitionOverwriteMode", "dynamic")

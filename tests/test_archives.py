@@ -188,11 +188,48 @@ def test_zip64_extensible_data_sector():
         zz[eocd - 20 : eocd - 20] = sector  # insert before the locator
         assert A.read_zip(bytes(zz)) == members
         assert A.read_zip(b"#!junk\n" + bytes(zz)) == members
-    # a record whose size field does not reach the locator still refuses
+    # a record whose size field does not reach the locator still refuses —
+    # with the r11 distinct triage error (a signature EXISTS but fails
+    # coherence, different failure from no signature at all)
     zz = bytearray(z)
     struct.pack_into("<Q", zz, z64_pos + 4, 60)
+    with pytest.raises(ValueError, match="failed coherence checks"):
+        A.read_zip(bytes(zz))
+    # no signature anywhere keeps the original error
+    zz = bytearray(z)
+    zz[z64_pos : z64_pos + 4] = b"\x00\x00\x00\x00"
     with pytest.raises(ValueError, match="locator without an adjoining"):
         A.read_zip(bytes(zz))
+
+
+def test_zip64_nonconforming_writer_fallback():
+    """ADVICE r10 (low): full fixed-field coherence (ZIP64
+    version-needed >= 45, matching disk fields, classic-EOCD agreement)
+    rejected archives from NONCONFORMING but real writers. The reader
+    now falls back to the locator's stored offset when no candidate
+    anywhere passes full coherence, provided the stored position carries
+    the signature and its size field ends exactly at the locator — a
+    position the writer itself pointed at, so the forged-sig-in-sector
+    attack the strict check targets cannot arise. Junk-prefixed
+    nonconforming archives stay rejected (the stored offset no longer
+    points at the record and nothing can be safely trusted), with the
+    distinct coherence error."""
+    members = _sample_members()
+    base = A.build_zip(members, zip64=True)
+    eocd = base.rfind(struct.pack("<I", 0x06054B50))
+    z64_pos = base.rfind(struct.pack("<I", 0x06064B50), 0, eocd - 20)
+    # vneed (offset 14 into the record: sig 4 + rsize 8 + vmade 2) -> 20
+    low_vneed = bytearray(base)
+    struct.pack_into("<H", low_vneed, z64_pos + 14, 20)
+    assert A.read_zip(bytes(low_vneed)) == members
+    # mismatched disk-number fields (d_this=1 vs d_cd=0) also rescued
+    bad_disks = bytearray(base)
+    struct.pack_into("<I", bad_disks, z64_pos + 16, 1)
+    assert A.read_zip(bytes(bad_disks)) == members
+    # junk-prefixed nonconforming archive: stored offset misses the
+    # record, no coherent candidate -> distinct triage error
+    with pytest.raises(ValueError, match="failed coherence checks"):
+        A.read_zip(b"#!junk\n" + bytes(low_vneed))
 
 
 def test_zip64_fake_record_inside_extensible_sector():

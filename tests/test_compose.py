@@ -743,6 +743,53 @@ def test_media_triage_survives_in_family_variant_poison(spark, tmp_path):
         )
 
 
+def test_media_triage_survives_corrupt_payload_poison(spark, tmp_path):
+    """ADVICE r10 (low), streaming form: ONE corrupt-but-correctly-
+    sniffed payload (CRC-flipped PNG, truncated WAV) in a crawl drop
+    must not wedge the checkpointed triage ingest — the family
+    decoder's ValueError previously escaped foreachBatch, the batch
+    never committed, and the restart replayed the same poison forever
+    (the same wedge the NotImplementedError fix closed, triggered by
+    corruption instead of an unsupported variant). Quarantine mode
+    lands corrupt=true NULL rows, healthy and variant rows flow with
+    corrupt=false, and the stream keeps going."""
+    from query_engine_spark.llmdata import multimodal as MM
+    from query_engine_spark.streaming.compose import (
+        media_triage_census,
+        media_triage_ingest_start,
+    )
+
+    bad_png = bytearray(MM.make_png(1, 4, 3))
+    bad_png[-20] ^= 0x55  # chunk CRC mismatch
+    rows = [
+        (0, bytearray(MM.make_png(0, 4, 3))),            # healthy
+        (1, bad_png),                                    # corrupt -> flag
+        (2, bytearray(MM.make_wav(2, 600))[:40]),        # truncated -> flag
+        (3, bytearray(MM.make_wav_stereo(3, 80))),       # variant -> NULLs
+    ]
+    in_dir, census_dir, ckpt = (str(tmp_path / n) for n in ("in", "census", "ckpt"))
+    spark.createDataFrame(rows, "media_id long, payload binary").coalesce(
+        1
+    ).write.mode("append").parquet(in_dir)
+    q = media_triage_ingest_start(spark, in_dir, census_dir, ckpt)
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+    got = {r["media_id"]: r for r in media_triage_census(spark, census_dir).collect()}
+    assert len(got) == 4
+    assert got[0]["corrupt"] is False and got[0]["content_sum"] is not None
+    for mid, mt in ((1, "image/png"), (2, "audio/wav")):
+        r = got[mid]
+        assert r["mtype"] == mt and r["corrupt"] is True
+        assert (r["width"], r["height"], r["n_samples"], r["content_sum"]) == (
+            None, None, None, None,
+        ), r
+    # unsupported variant is a boundary, not corruption
+    assert got[3]["corrupt"] is False and got[3]["content_sum"] is None
+
+
 def test_media_triage_compact_preserves_census(spark, tmp_path):
     """Census compaction: folding the committed per-batch partitions into
     one changes nothing a reader sees (same rows), shrinks the partition

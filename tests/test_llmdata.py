@@ -6176,6 +6176,55 @@ def test_decode_dispatch_in_family_variants_honest_nulls(spark):
         ), r
 
 
+def test_decode_dispatch_quarantine_flags_corrupt_payloads(spark):
+    """ADVICE r10 (low): a corrupt-but-correctly-sniffed payload (CRC
+    mismatch, truncated stream -> ValueError) must not escape the Arrow
+    pass in the STREAMING posture — quarantine=True lands a NULL census
+    row flagged corrupt=true, while healthy rows and variant-boundary
+    rows (NotImplementedError) carry corrupt=false. The BATCH census
+    default stays fail-loud: the same corrupt payload raises."""
+    import pytest
+
+    from query_engine_spark.llmdata.multimodal import (
+        decode_dispatch_features,
+        make_png,
+        make_wav,
+        make_wav_stereo,
+    )
+
+    bad_png = bytearray(make_png(1, 4, 3))
+    bad_png[-20] ^= 0x55  # CRC mismatch in a chunk
+    trunc_wav = bytearray(make_wav(2, 600))[:40]  # truncated RIFF body
+    rows = [
+        (1, bad_png, "image/png"),
+        (2, trunc_wav, "audio/wav"),
+        (3, bytearray(make_png(3, 4, 3)), "image/png"),       # healthy
+        (4, bytearray(make_wav_stereo(4, 80)), "audio/wav"),  # variant
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary, mtype string")
+    got = {
+        r["media_id"]: r
+        for r in decode_dispatch_features(df, quarantine=True).collect()
+    }
+    for mid in (1, 2):
+        r = got[mid]
+        assert r["corrupt"] is True
+        assert (r["width"], r["height"], r["n_samples"], r["content_sum"]) == (
+            None, None, None, None,
+        ), r
+    assert got[3]["corrupt"] is False and got[3]["content_sum"] is not None
+    # variant boundary is NOT corruption
+    assert got[4]["corrupt"] is False and got[4]["content_sum"] is None
+    # batch census keeps the fail-loud default on the same bytes
+    with pytest.raises(Exception, match="CRC|truncated"):
+        decode_dispatch_features(
+            spark.createDataFrame(
+                [(1, bad_png, "image/png")],
+                "media_id long, payload binary, mtype string",
+            )
+        ).collect()
+
+
 def test_media_type_sniffer_total_on_arbitrary_bytes(spark):
     """Totality: the sniffer is a pure column expression that must
     classify ANY byte string (including empty, sub-16-byte, and
