@@ -7529,38 +7529,32 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
 # recorded verification is stale — schedule them as if never verified.
 _STALE_VERIFICATION: set[str] = set()
 
-# Queries whose machinery round 10 changed after their last driver check.
-# Window math for round 10 (COVERAGE.md's dated budget): the 8 registered
-# registry_r10 candidates are never-verified and lead; the touched slots
-# below re-verify r9-hashed queries whose machinery this round's ADVICE
-# fixes rewrote; the remaining ~41 rotation slots clear ALL 29 r4-era
-# checks plus the first r5-era names by registry position. (The other
-# ADVICE fix — decode_dispatch_features' numpy JPEG fold + honest-NULL
-# variant handling — is already in the window via the never-verified
-# `media_decode_dispatch` candidate plus the streaming compose pytest
-# suite; `media_type_sniff` only shares the untouched sniff_media_type
-# column expression, so its r9 hash stays live.)
-_ROUND10_TOUCHED = {
-    # r9-verified; r10 rewrote the ZIP64-EOCD locator path (ADVICE low:
-    # stored offset tried first, fixed-field coherence required before
-    # trusting the backward signature scan) and the member-name encoding
-    # (APPNOTE appendix D: writer sets flag bit 11 for non-ASCII names,
-    # reader decodes cp437 unless the flag is set — the stdlib-
-    # conformance finding; zipfile mojibake'd our UTF-8 names before).
-    # These queries run build_zip/read_zip (llmdata/archives.py); the
-    # EPUB chain rides read_zip through llmdata/ebooks.py. (ASCII-named
-    # fixtures make the emitted bytes identical, but the reader's
-    # name-decode branch changed, so their r9 hashes are re-earned.)
-    # media_type_sniff only consumes build_zip MAGIC BYTES (unchanged
-    # for its ASCII fixture) and stays on its r9 hash.
+# Queries whose machinery round 11 changed after their last driver check.
+# Window math for round 11 (COVERAGE.md's dated budget): no candidate
+# pool (production held at zero); the 2 touched slots below re-verify
+# r10-hashed queries whose machinery this round's ADVICE fixes rewrote;
+# the remaining 48 rotation slots clear ALL 33 r5-era checks plus the
+# first 15 r6-era names by registry position.
+_ROUND11_TOUCHED = {
+    # r10-verified; r11 added the nonconforming-writer fallback to
+    # read_zip's ZIP64-EOCD locator branch (ADVICE r10 low: stored-offset
+    # adjacency accepted when no candidate passes full coherence, plus a
+    # distinct triage error). Only the `if has_locator:` branch changed,
+    # so the classic-ZIP chains (llm_zip_ingest, llm_epub_ingest,
+    # media_type_sniff) never traverse the new code and keep their r10
+    # hashes; the forced-ZIP64 query re-earns its hash.
     "llm_zip64_ingest",
-    "llm_zip_ingest",
-    "llm_epub_ingest",
+    # r10-verified; r11 restructured decode_dispatch_features' row
+    # building for the quarantine posture (ADVICE r10 low: streaming
+    # triage flags corrupt payloads instead of wedging the checkpoint).
+    # The batch query runs quarantine=False — same schema and values —
+    # but the function body changed, so the hash is re-earned.
+    "media_decode_dispatch",
 }
 
 # Stable alias so _driver_order and the scheduling tests survive the
 # per-round rename of the touched set.
-_ROUND_TOUCHED = _ROUND10_TOUCHED
+_ROUND_TOUCHED = _ROUND11_TOUCHED
 
 
 def _driver_order() -> list[str]:
