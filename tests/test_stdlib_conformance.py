@@ -308,3 +308,186 @@ def test_we_read_aifc_written_pcm16():
     rate, n, samples = MM.decode_aiff(buf.getvalue())
     assert (rate, n) == (11025, len(_SAMPLES))
     assert samples == _SAMPLES
+
+
+# ---------------------------------------------------------------------------
+# MBOX vs mailbox — the r11 sweep extension (the r10 ZIP sweep found a
+# real wire-format bug, so the pattern earns its keep). Our framing is
+# mboxrd (quotes ^>*From, unquotes one level of ^>+From); stdlib's is
+# mboxo (quotes only ^From, never unquotes). The two dialects agree on
+# BOUNDARIES always and on content whenever the original body carries no
+# pre-quoted ">+From " lines — the divergence on such lines is a format
+# ambiguity both dialects document, not a reader bug, and is pinned
+# explicitly below so a refactor can't silently change which side we are.
+
+
+_MAIL_BODIES = [
+    "plain body\nFrom here it escalates\nend",
+    "no hazards at all",
+    "ends with blank lines\n\n\n",
+    "From the very first line",
+    "",
+]
+
+
+def _mail_messages():
+    from query_engine_spark.llmdata import mail as M
+
+    return [
+        M.build_message(
+            from_addr=f"user{i}@host{i}.example",
+            subject=f"subject {i}",
+            body=b,
+            html="alt" if i % 2 else None,
+        )
+        for i, b in enumerate(_MAIL_BODIES)
+    ]
+
+
+def test_mailbox_reads_our_mbox(tmp_path):
+    """stdlib mailbox.mbox over our build_mbox output: same message
+    count, same subjects, and per-message bytes that (after reversing
+    OUR mboxrd quoting) equal what our own split_mbox recovers — the
+    boundary detection is the cross-validated part; a body line the
+    framing failed to quote would split one message into two here."""
+    import mailbox
+
+    from query_engine_spark.llmdata import mail as M
+
+    msgs = _mail_messages()
+    path = tmp_path / "ours.mbox"
+    path.write_bytes(M.build_mbox(msgs))
+    mb = mailbox.mbox(str(path))
+    try:
+        assert len(mb) == len(msgs)
+        for k, raw in zip(sorted(mb.keys()), msgs):
+            got = mb[k]
+            want = M.extract_message(raw)
+            assert str(got["Subject"]) == want["subject"]
+            # stdlib returns the still-quoted wire form; our unquote rule
+            # over it must reproduce the original message bytes
+            unquoted = b"\n".join(
+                line[1:]
+                if line.startswith(b">") and line.lstrip(b">").startswith(b"From ")
+                else line
+                for line in mb.get_bytes(k).split(b"\n")
+            )
+            assert unquoted.rstrip(b"\n") == raw.rstrip(b"\n")
+    finally:
+        mb.close()
+
+
+def test_we_read_mailbox_written_mbox(tmp_path):
+    """Our split_mbox + extract_message over a file stdlib mailbox wrote:
+    same count, and subject/domain/text agree with stdlib email parsing
+    of the originals. Bodies avoid pre-quoted '>From ' lines — stdlib
+    writes mboxo (which leaves them bare) while we read mboxrd (which
+    would unquote them): the documented dialect divergence, pinned in
+    its own test below."""
+    import email
+    import mailbox
+
+    from query_engine_spark.llmdata import mail as M
+
+    msgs = [m for m, b in zip(_mail_messages(), _MAIL_BODIES) if ">From" not in b]
+    path = tmp_path / "stdlib.mbox"
+    mb = mailbox.mbox(str(path))
+    try:
+        for raw in msgs:
+            mb.add(email.message_from_bytes(raw))
+        mb.flush()
+    finally:
+        mb.close()
+    parts = M.split_mbox(path.read_bytes())
+    assert len(parts) == len(msgs)
+    for part, raw in zip(parts, msgs):
+        got = M.extract_message(part)
+        want = M.extract_message(raw)
+        assert got["subject"] == want["subject"]
+        assert got["from_domain"] == want["from_domain"]
+        # trailing-newline count is a frame-boundary ambiguity in EVERY
+        # mbox dialect (the writer must end the message with \n before
+        # the next 'From ' line, so 'body' and 'body\n' are the same
+        # wire bytes) — normalize exactly that, nothing else
+        assert got["text"].rstrip("\n") == want["text"].rstrip("\n")
+        assert got["text"].rstrip("\n") != ""  or want["text"].rstrip("\n") == ""
+
+
+def test_mboxo_vs_mboxrd_divergence_pinned():
+    """The ONE case the dialects disagree on: a body line that already
+    starts with '>From ' survives stdlib's mboxo writer unquoted, so our
+    mboxrd reader strips one '>' level. Pin the behavior (and that our
+    own writer+reader pair roundtrips the same body losslessly) so a
+    future change to either side is a conscious one."""
+    from query_engine_spark.llmdata import mail as M
+
+    raw = M.build_message(
+        from_addr="z@q.example", subject="quoting", body=">From before\nok"
+    )
+    # our own mboxrd pair is lossless on exactly this shape (the MIME
+    # layer itself appends the final \n — set_content's canonical form)
+    back = M.split_mbox(M.build_mbox([raw]))
+    assert len(back) == 1
+    assert M.extract_message(back[0])["text"] == ">From before\nok\n"
+    # the mboxo wire form (line left bare by stdlib's writer) loses one
+    # '>' through an mboxrd reader — the known cross-dialect hazard
+    # (the trailing \n also folds into the frame boundary, as everywhere)
+    mboxo = b"From x Thu Jan  1 00:00:00 2024\n" + raw + b"\n"
+    got = M.extract_message(M.split_mbox(mboxo)[0])["text"]
+    assert got.rstrip("\n") == "From before\nok"
+
+
+# ---------------------------------------------------------------------------
+# TAR vs tarfile over ARBITRARY names (hypothesis) — the directed
+# GNU/PAX cross-reads live in test_archives.py; this walks the name
+# alphabet the same way the ZIP property that caught flag-bit-11 does.
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+# no control chars (NUL is illegal in names; tarfile normalizes \r\n),
+# no trailing '/' (tarfile classifies those as directories, ours are
+# regular-file corpora by contract)
+_TAR_NAME = st.text(
+    alphabet=st.characters(codec="utf-8", blacklist_categories=("Cs", "Cc")),
+    min_size=1,
+    max_size=140,  # crosses the 100-byte ustar field -> long-name records
+).filter(lambda n: not n.endswith("/"))
+_TAR_MEMBER = st.tuples(_TAR_NAME, st.binary(max_size=600))
+
+
+@given(
+    st.lists(_TAR_MEMBER, min_size=1, max_size=6, unique_by=lambda m: m[0]),
+    st.sampled_from(["gnu", "pax"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_tar_roundtrip_and_tarfile_crossread_arbitrary_names(members, style):
+    import tarfile
+
+    blob = A.build_tar(members, longname_style=style)
+    assert A.read_tar(blob) == members
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        got = [
+            (m.name, tf.extractfile(m).read())
+            for m in tf.getmembers()
+            if m.isfile()
+        ]
+    assert got == members
+
+
+@given(
+    st.lists(_TAR_MEMBER, min_size=1, max_size=6, unique_by=lambda m: m[0]),
+    st.sampled_from(["gnu", "pax"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_we_read_tarfile_written_arbitrary_names(members, style):
+    import tarfile
+
+    fmt = tarfile.GNU_FORMAT if style == "gnu" else tarfile.PAX_FORMAT
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
+        for name, data in members:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+    assert A.read_tar(buf.getvalue()) == members
