@@ -491,3 +491,286 @@ def test_we_read_tarfile_written_arbitrary_names(members, style):
             ti.size = len(data)
             tf.addfile(ti, io.BytesIO(data))
     assert A.read_tar(buf.getvalue()) == members
+
+
+# ---------------------------------------------------------------------------
+# HTML regex extraction vs html.parser — the metadata/outlink/image-ref
+# pulls are INDEPENDENTLY implemented (RE2-safe column expressions, by
+# design: they must run at scan speed and be DuckDB-replayable), so a
+# real parser is the right external anchor. The reference extractors
+# below use stdlib HTMLParser event callbacks — no regexes — over
+# well-formed fixtures that vary attribute order, quote style, tag case
+# and whitespace; agreement means the regex layer reads the same
+# structure a spec parser does on the HTML shapes the pipeline ingests.
+
+
+class _MetaRef:
+    """html.parser-backed reference for html_metadata's five fields."""
+
+    def __init__(self, html: str) -> None:
+        from html.parser import HTMLParser
+
+        fields = {"title": "", "canonical": "", "description": "",
+                  "og_title": "", "lang": ""}
+
+        class P(HTMLParser):
+            in_title = False
+
+            def handle_starttag(self, tag, attrs):
+                a = dict(attrs)
+                if tag == "title":
+                    self.in_title = True
+                elif tag == "html" and a.get("lang") and not fields["lang"]:
+                    fields["lang"] = a["lang"]
+                elif tag == "link" and a.get("rel") == "canonical":
+                    if not fields["canonical"]:
+                        fields["canonical"] = a.get("href") or ""
+                elif tag == "meta":
+                    if a.get("name") == "description" and not fields["description"]:
+                        fields["description"] = a.get("content") or ""
+                    if a.get("property") == "og:title" and not fields["og_title"]:
+                        fields["og_title"] = a.get("content") or ""
+
+            def handle_endtag(self, tag):
+                if tag == "title":
+                    self.in_title = False
+
+            def handle_data(self, data):
+                if self.in_title:
+                    fields["title"] += data
+
+        p = P(convert_charrefs=False)  # the regex layer reads raw bytes
+        p.feed(html)
+        self.fields = fields
+
+
+_HTML_PAGES = [
+    # attribute orders swapped, both quote styles, case variance
+    """<html lang="en"><head><title>Alpha Page</title>
+    <link rel="canonical" href="https://a.example/x">
+    <meta name="description" content="first page, with commas">
+    <meta property="og:title" content="Alpha OG"></head>
+    <body><p>hi</p></body></html>""",
+    """<HTML LANG='fr-CA'><HEAD><TITLE>Page Beta</TITLE>
+    <link href='https://b.example/y?q=1' rel='canonical'>
+    <meta content='desc with "quotes" inside' name='description'>
+    <meta content="OG's title" property="og:title"></HEAD></HTML>""",
+    """<html><head><title>No Meta At All</title></head><body></body></html>""",
+    """<html lang="de">
+    <head><meta property="og:title" content="Nur OG"><title>Gamma</title>
+    <link rel="canonical" href="http://c.example/"></head></html>""",
+]
+
+
+def test_html_metadata_vs_html_parser(spark):
+    from pyspark.sql import functions as F
+
+    from query_engine_spark.llmdata import warc as W
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(_HTML_PAGES)], "page_id int, html string"
+    )
+    cols = W.html_metadata(F.col("html"))
+    got = {
+        r["page_id"]: r
+        for r in df.select("page_id", *(c.alias(k) for k, c in cols.items()))
+        .collect()
+    }
+    for i, html in enumerate(_HTML_PAGES):
+        want = _MetaRef(html).fields
+        for k in ("title", "canonical", "description", "og_title", "lang"):
+            assert got[i][k] == want[k], (i, k, got[i][k], want[k])
+
+
+class _LinkRef:
+    """html.parser-backed reference for outlink_edges' host resolution."""
+
+    def __init__(self, pages: list[tuple[str, str]]) -> None:
+        import re as _re
+        from collections import Counter
+        from html.parser import HTMLParser
+
+        edges: Counter = Counter()
+        for url, html in pages:
+            src_host = _re.match(
+                r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", url
+            ).group(1).lower()
+            hrefs: list[str] = []
+
+            class P(HTMLParser):
+                def handle_starttag(self, tag, attrs):
+                    if tag == "a":
+                        a = dict(attrs)
+                        if "href" in a and a["href"] is not None:
+                            hrefs.append(a["href"])
+
+            p = P(convert_charrefs=False)
+            p.feed(html)
+            for link in hrefs:
+                if _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", link):
+                    dst = _re.match(
+                        r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", link
+                    ).group(1).lower()
+                elif link.startswith("//"):
+                    m = _re.match(r"^//([^/?#]+)", link)
+                    dst = m.group(1).lower() if m else None
+                elif (_re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", link)
+                      or link.startswith("#") or link == ""):
+                    dst = None
+                else:
+                    dst = src_host
+                if dst:
+                    edges[(src_host, dst)] += 1
+        self.edges = dict(edges)
+
+
+_LINK_PAGES = [
+    ("https://news.example/a", """<html><body>
+      <a href="https://other.example/story">abs</a>
+      <a href='//cdn.example/img'>proto-rel</a>
+      <a href="/local/path">root-rel</a>
+      <a href="sibling.html">path-rel</a>
+      <a href="mailto:x@y.z">mail</a>
+      <a href="#frag">frag</a>
+      <a href="">empty</a>
+      <A HREF="HTTPS://Other.Example/dup">case</A>
+      <a name="anchor-no-href">no href</a>
+    </body></html>"""),
+    ("http://blog.example/p?x=1", """<html><body>
+      <a href='https://news.example/'>back</a>
+      <a href="javascript:void(0)">js</a>
+      <a href="post2.html">rel</a>
+    </body></html>"""),
+]
+
+
+def test_outlink_edges_vs_html_parser(spark):
+    from query_engine_spark.llmdata import warc as W
+
+    df = spark.createDataFrame(
+        [(u, h) for u, h in _LINK_PAGES], "url string, html string"
+    )
+    got = {
+        (r["src_host"], r["dst_host"]): r["links"]
+        for r in W.outlink_edges(df).collect()
+    }
+    assert got == _LinkRef(_LINK_PAGES).edges
+
+
+def test_image_refs_vs_html_parser(spark):
+    from html.parser import HTMLParser
+
+    from query_engine_spark.llmdata import warc as W
+
+    pages = [
+        ("https://shop.example/cat/page.html", """<html><body>
+          <img src="https://cdn.example/a.jpg" alt="first">
+          <img alt='second "quoted"' src='/images/b.png'>
+          <img src="c.gif">
+          <img src="//cdn2.example/d.webp" alt="">
+          <img src="data:image/gif;base64,R0lGOD" alt="inline">
+          <IMG SRC="../up.jpg" ALT="dots">
+        </body></html>"""),
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    got = sorted(
+        (r["page_url"], r["img_url"], r["alt"])
+        for r in W.image_refs(df).collect()
+    )
+
+    # reference: html.parser events + RFC-3986-lite resolution (same
+    # host-granularity contract the extractor documents)
+    import re as _re
+
+    url, html = pages[0]
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)", url)
+    scheme, host, path = m.group(1).lower(), m.group(2).lower(), m.group(3)
+    basedir = _re.sub(r"[^/]*$", "", path) or "/"
+    tags: list[dict] = []
+
+    class P(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            if tag == "img":
+                tags.append(dict(attrs))
+
+    p = P(convert_charrefs=False)
+    p.feed(html)
+    want = []
+    for a in tags:
+        src, alt = a.get("src"), a.get("alt") or ""
+        if not src:
+            continue
+        if _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", src):
+            resolved = src
+        elif src.startswith("//"):
+            resolved = f"{scheme}:{src}"
+        elif src.startswith("/"):
+            resolved = f"{scheme}://{host}{src}"
+        elif _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", src):
+            continue  # data:, blob:
+        else:
+            resolved = f"{scheme}://{host}{basedir}{src}"
+        want.append((url, resolved, alt))
+    assert got == sorted(want)
+
+
+def test_html_to_text_vs_html_parser(spark):
+    """Tag-stripping cross-check: the SIGNIFICANT TEXT (whitespace-
+    normalized, space-joined) our regex pipeline keeps equals what
+    html.parser's data events yield outside script/style/comments, over
+    fixtures confined to the entities both sides decode. Whitespace
+    STRUCTURE differs by design (the regex layer inserts newlines at
+    block boundaries for the chunker), so the comparison collapses it —
+    a leaked tag, eaten word, or mis-decoded entity still fails."""
+    from html.parser import HTMLParser
+
+    from pyspark.sql import functions as F
+
+    from query_engine_spark.llmdata import warc as W
+
+    pages = [
+        """<html><head><title>T</title><script>var x = "<p>no</p>";</script>
+        <style>p { color: red }</style></head>
+        <body><h1>Header One</h1><p>alpha &amp; beta &lt;tag&gt; done</p>
+        <!-- a comment with <p>markup</p> inside -->
+        <ul><li>one</li><li>two</li></ul>
+        <div>closing&nbsp;words</div></body></html>""",
+        """<p>plain &quot;quoted&quot; and &#39;apos&#39; text</p>""",
+    ]
+
+    def ref_text(html: str) -> str:
+        chunks: list[str] = []
+        skip = {"script", "style"}
+
+        class P(HTMLParser):
+            depth = 0
+
+            def handle_starttag(self, tag, attrs):
+                if tag in skip:
+                    self.depth += 1
+
+            def handle_endtag(self, tag):
+                if tag in skip and self.depth:
+                    self.depth -= 1
+
+            def handle_data(self, data):
+                if not self.depth:
+                    chunks.append(data)
+
+        p = P(convert_charrefs=True)  # stdlib decodes the entities
+        p.feed(html)
+        return " ".join(" ".join(chunks).split())
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(pages)], "i int, html string"
+    )
+    got = {
+        r["i"]: " ".join(r["txt"].split())
+        for r in df.select(
+            "i", W.html_to_text(F.col("html")).alias("txt")
+        ).collect()
+    }
+    for i, html in enumerate(pages):
+        want = ref_text(html).replace("\xa0", " ")  # &nbsp; -> plain space
+        want = " ".join(want.split())
+        assert got[i] == want, (i, got[i], want)
