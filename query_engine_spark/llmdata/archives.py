@@ -178,6 +178,20 @@ def read_zip(blob: bytes) -> list[tuple[str, bytes]]:
         )
         sig64 = struct.pack("<I", _ZIP64_EOCD_SIG)
 
+        def _z64_record_adjacent(p: int) -> bool:
+            """Structural floor both acceptance tiers share: signature at
+            `p` and a size-of-record field ending exactly at the locator.
+            Alone it is also the last-resort acceptance for NONCONFORMING
+            writers (e.g. version-needed < 45 in the ZIP64 EOCD,
+            mismatched disk fields) at the locator's own stored offset —
+            a position the writer explicitly pointed at, not one found by
+            scanning, so the adversarial sig-inside-data-sector shape the
+            full check guards against (ADVICE r9) cannot arise there."""
+            if p < 0 or p + 56 > eocd - 20 or blob[p : p + 4] != sig64:
+                return False
+            (_s, rsize) = struct.unpack_from("<IQ", blob, p)
+            return rsize >= 44 and p + 12 + rsize == eocd - 20
+
         def _z64_record_ok(p: int) -> bool:
             """True iff a structurally consistent ZIP64 EOCD record at
             `p` ends exactly at the locator. Size-of-record alone is not
@@ -186,12 +200,10 @@ def read_zip(blob: bytes) -> list[tuple[str, bytes]]:
             won't ALSO carry a ZIP64 version-needed, coherent disk
             numbers, per-disk == total entry counts, and agreement with
             the classic EOCD's non-sentinel fields."""
-            if p < 0 or p + 56 > eocd - 20 or blob[p : p + 4] != sig64:
+            if not _z64_record_adjacent(p):
                 return False
-            (_s, rsize, _vmade, vneed, d_this, d_cd, n_disk, n_tot,
+            (_s, _rsize, _vmade, vneed, d_this, d_cd, n_disk, n_tot,
              z_size, z_off) = struct.unpack_from("<IQHHIIQQQQ", blob, p)
-            if rsize < 44 or p + 12 + rsize != eocd - 20:
-                return False
             if vneed < 45 or d_this != d_cd or n_disk != n_tot:
                 return False
             if n_total != 0xFFFF and n_total != n_tot:
@@ -202,20 +214,6 @@ def read_zip(blob: bytes) -> list[tuple[str, bytes]]:
                 return False
             return True
 
-        def _z64_record_adjacent(p: int) -> bool:
-            """Relaxed acceptance: signature at `p` and a size-of-record
-            field ending exactly at the locator. Used only as a last
-            resort for NONCONFORMING writers (e.g. version-needed < 45 in
-            the ZIP64 EOCD, mismatched disk fields) at the locator's own
-            stored offset — a position the writer explicitly pointed at,
-            not one found by scanning, so the adversarial
-            sig-inside-data-sector shape the full check guards against
-            (ADVICE r9) cannot arise here."""
-            if p < 0 or p + 56 > eocd - 20 or blob[p : p + 4] != sig64:
-                return False
-            (_s, rsize) = struct.unpack_from("<IQ", blob, p)
-            return rsize >= 44 and p + 12 + rsize == eocd - 20
-
         if _z64_record_ok(z64_stored):
             # unprefixed archive: the locator's stored offset is the
             # record position itself (shift 0) — trust it before any scan
@@ -223,7 +221,7 @@ def read_zip(blob: bytes) -> list[tuple[str, bytes]]:
         else:
             # junk-prefixed archive: scan backward for the real record
             # start, accepting only fully validated candidates
-            z64_pos = blob.rfind(sig64, 0, eocd - 20)
+            any_sig = z64_pos = blob.rfind(sig64, 0, eocd - 20)
             while z64_pos >= 0 and not _z64_record_ok(z64_pos):
                 z64_pos = blob.rfind(sig64, 0, z64_pos)
             if z64_pos < 0 and _z64_record_adjacent(z64_stored):
@@ -233,9 +231,10 @@ def read_zip(blob: bytes) -> list[tuple[str, bytes]]:
                 z64_pos = z64_stored
             if z64_pos < 0:
                 # distinct errors to aid triage (ADVICE r10): a signature
-                # that exists but fails coherence is a different failure
-                # from no signature at all
-                if blob.rfind(sig64, 0, eocd - 20) >= 0:
+                # that exists (any_sig, from the scan above — no second
+                # whole-blob pass) but fails coherence is a different
+                # failure from no signature at all
+                if any_sig >= 0:
                     raise ValueError(
                         "ZIP64 EOCD candidate(s) failed coherence checks"
                     )

@@ -9848,9 +9848,17 @@ def decode_dispatch_features(df: DataFrame, *, quarantine: bool = False) -> Data
                     # decodable family, unsupported variant: honest NULL
                     # census row, NOT corruption
                     w = h = ns = cs = None
-                except ValueError:
+                except Exception:
                     # corrupt or misrouted bytes: quarantine-flag in the
-                    # streaming posture, fail loud in the batch census
+                    # streaming posture, fail loud in the batch census.
+                    # Broad by design (review r11): the decoders raise
+                    # ValueError on the failures they DETECT, but a
+                    # truncated GIF lands IndexError, a bit-flipped JPEG
+                    # KeyError, a short TIFF struct.error — any of them
+                    # escaping foreachBatch wedges the checkpointed
+                    # stream on the replayed poison batch forever, which
+                    # is the exact failure quarantine mode exists to
+                    # absorb
                     if not quarantine:
                         raise
                     w = h = ns = cs = None

@@ -7540,9 +7540,10 @@ _ROUND11_TOUCHED = {
     # read_zip's ZIP64-EOCD locator branch (ADVICE r10 low: stored-offset
     # adjacency accepted when no candidate passes full coherence, plus a
     # distinct triage error). Only the `if has_locator:` branch changed,
-    # so the classic-ZIP chains (llm_zip_ingest, llm_epub_ingest,
-    # media_type_sniff) never traverse the new code and keep their r10
-    # hashes; the forced-ZIP64 query re-earns its hash.
+    # so the classic-ZIP chains never traverse the new code and keep
+    # their last driver hashes (llm_zip_ingest/llm_epub_ingest r10;
+    # media_type_sniff r9 — it consumes only build_zip magic bytes);
+    # the forced-ZIP64 query re-earns its hash.
     "llm_zip64_ingest",
     # r10-verified; r11 restructured decode_dispatch_features' row
     # building for the quarantine posture (ADVICE r10 low: streaming

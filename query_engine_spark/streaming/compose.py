@@ -233,7 +233,11 @@ def _compact_batch_partitions(
     from pyspark.sql.utils import AnalysisException
 
     try:
-        index = spark.read.parquet(data_dir)
+        # mergeSchema: compaction REWRITES history — sampling one footer
+        # while the directory holds mixed schemas (the r11 census gained
+        # `corrupt`) could silently bake the narrower schema into the
+        # rewritten files, destroying the column for old rows
+        index = spark.read.option("mergeSchema", "true").parquet(data_dir)
     except AnalysisException:
         return
     old = index.filter(F.col("__batch_id") < F.lit(upto_batch))
@@ -507,5 +511,16 @@ def media_triage_ingest_start(
 
 
 def media_triage_census(spark: SparkSession, census_dir: str) -> DataFrame:
-    """Read the landed census back without the ingest bookkeeping."""
-    return spark.read.parquet(census_dir).drop("__batch_id")
+    """Read the landed census back without the ingest bookkeeping.
+
+    mergeSchema: the census schema gained `corrupt` when quarantine mode
+    landed (r11) — a directory holding pre-upgrade 6-column partitions
+    next to new 7-column ones must read DETERMINISTICALLY as the union
+    (plain spark.read samples one footer, so whether `corrupt` exists
+    would depend on which file it picked). Pre-upgrade rows surface
+    corrupt=NULL — honest "predates the flag", not an asserted false."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(census_dir)
+        .drop("__batch_id")
+    )

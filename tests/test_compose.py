@@ -766,6 +766,9 @@ def test_media_triage_survives_corrupt_payload_poison(spark, tmp_path):
         (1, bad_png),                                    # corrupt -> flag
         (2, bytearray(MM.make_wav(2, 600))[:40]),        # truncated -> flag
         (3, bytearray(MM.make_wav_stereo(3, 80))),       # variant -> NULLs
+        # review r11: non-ValueError corruption (mid-LZW truncation
+        # raises IndexError) must quarantine identically
+        (4, bytearray(MM.make_gif(2, 6, 5))[:791]),
     ]
     in_dir, census_dir, ckpt = (str(tmp_path / n) for n in ("in", "census", "ckpt"))
     spark.createDataFrame(rows, "media_id long, payload binary").coalesce(
@@ -778,9 +781,9 @@ def test_media_triage_survives_corrupt_payload_poison(spark, tmp_path):
     finally:
         q.stop()
     got = {r["media_id"]: r for r in media_triage_census(spark, census_dir).collect()}
-    assert len(got) == 4
+    assert len(got) == 5
     assert got[0]["corrupt"] is False and got[0]["content_sum"] is not None
-    for mid, mt in ((1, "image/png"), (2, "audio/wav")):
+    for mid, mt in ((1, "image/png"), (2, "audio/wav"), (4, "image/gif")):
         r = got[mid]
         assert r["mtype"] == mt and r["corrupt"] is True
         assert (r["width"], r["height"], r["n_samples"], r["content_sum"]) == (
@@ -788,6 +791,59 @@ def test_media_triage_survives_corrupt_payload_poison(spark, tmp_path):
         ), r
     # unsupported variant is a boundary, not corruption
     assert got[3]["corrupt"] is False and got[3]["content_sum"] is None
+
+
+def test_media_triage_census_reads_pre_upgrade_partitions(spark, tmp_path):
+    """Schema evolution (review r11): a census directory holding a
+    PRE-quarantine 6-column partition (written before `corrupt` existed)
+    next to a post-upgrade 7-column one must read deterministically as
+    the union — plain spark.read samples ONE footer, so whether the
+    column existed depended on which file it picked. Old rows surface
+    corrupt=NULL (predates the flag), new rows carry real flags; the
+    compaction path preserves the column when rewriting mixed history."""
+    import pyspark.sql.functions as F
+
+    from query_engine_spark.llmdata import multimodal as MM
+    from query_engine_spark.streaming.compose import (
+        media_triage_census,
+        media_triage_compact,
+        media_triage_ingest_start,
+    )
+
+    census_dir = str(tmp_path / "census")
+    # simulate the pre-upgrade release: a landed batch WITHOUT `corrupt`
+    old = MM.decode_dispatch_features(
+        spark.createDataFrame(
+            [(100, bytearray(MM.make_png(0, 4, 3)))],
+            "media_id long, payload binary",
+        ).withColumn("mtype", MM.sniff_media_type(F.col("payload")))
+    ).withColumn("__batch_id", F.lit(5))  # NOT 0: the stream's first
+    # micro-batch is id 0 and a colliding partition would be dynamically
+    # overwritten — the real pre-upgrade shape is older ids next to new
+    old.write.partitionBy("__batch_id").mode("append").parquet(census_dir)
+    # post-upgrade stream lands a quarantine-schema batch beside it
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(200, bytearray(MM.make_png(1, 5, 4)))], "media_id long, payload binary"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    q = media_triage_ingest_start(spark, in_dir, census_dir, ckpt)
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+    census = media_triage_census(spark, census_dir)
+    assert "corrupt" in census.columns
+    got = {r["media_id"]: r for r in census.collect()}
+    assert len(got) == 2
+    assert got[100]["corrupt"] is None and got[100]["content_sum"] is not None
+    assert got[200]["corrupt"] is False and got[200]["content_sum"] is not None
+    # compacting the mixed history keeps the union schema and the rows
+    media_triage_compact(spark, census_dir, upto_batch=2)
+    after = {r["media_id"]: r for r in media_triage_census(spark, census_dir).collect()}
+    assert {k: (v["corrupt"], v["content_sum"]) for k, v in after.items()} == {
+        k: (v["corrupt"], v["content_sum"]) for k, v in got.items()
+    }
 
 
 def test_media_triage_compact_preserves_census(spark, tmp_path):

@@ -6192,21 +6192,32 @@ def test_decode_dispatch_quarantine_flags_corrupt_payloads(spark):
         make_wav_stereo,
     )
 
+    from query_engine_spark.llmdata.multimodal import make_gif, make_jpeg
+
     bad_png = bytearray(make_png(1, 4, 3))
     bad_png[-20] ^= 0x55  # CRC mismatch in a chunk
     trunc_wav = bytearray(make_wav(2, 600))[:40]  # truncated RIFF body
+    # review r11: corruption is NOT always a ValueError — a GIF truncated
+    # mid-LZW raises IndexError, and a JPEG with a flipped header byte
+    # IndexError too (both verified raw); quarantine must absorb any
+    # decoder exception identically, not just the detected-ValueError set
+    trunc_gif = bytearray(make_gif(2, 6, 5))[:791]
+    bad_jpeg = bytearray(make_jpeg(6, 16, 16))
+    bad_jpeg[113] ^= 0xFF
     rows = [
         (1, bad_png, "image/png"),
         (2, trunc_wav, "audio/wav"),
         (3, bytearray(make_png(3, 4, 3)), "image/png"),       # healthy
         (4, bytearray(make_wav_stereo(4, 80)), "audio/wav"),  # variant
+        (5, trunc_gif, "image/gif"),
+        (6, bad_jpeg, "image/jpeg"),
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary, mtype string")
     got = {
         r["media_id"]: r
         for r in decode_dispatch_features(df, quarantine=True).collect()
     }
-    for mid in (1, 2):
+    for mid in (1, 2, 5, 6):
         r = got[mid]
         assert r["corrupt"] is True
         assert (r["width"], r["height"], r["n_samples"], r["content_sum"]) == (
