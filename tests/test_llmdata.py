@@ -6236,6 +6236,58 @@ def test_decode_dispatch_quarantine_flags_corrupt_payloads(spark):
         ).collect()
 
 
+def test_decode_dispatch_quarantine_total_on_mangled_media(spark):
+    """Totality of the streaming posture: 240 seeded-random MANGLED
+    payloads (real fixtures truncated at random offsets or bit-flipped
+    at random positions — the corpus shapes a crawl actually yields),
+    routed by the REAL sniffer, must produce exactly one census row each
+    under quarantine=True and never escape the Arrow pass. This is the
+    generalization of the reviewer's three reproducers: whatever
+    exception type a mangled payload provokes in whatever family
+    decoder, the checkpointed stream must survive it."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from query_engine_spark.llmdata import webp as WB
+    from query_engine_spark.llmdata.multimodal import (
+        decode_dispatch_features,
+        make_bmp,
+        make_gif,
+        make_jpeg,
+        make_png,
+        make_tiff,
+        make_wav,
+        sniff_media_type,
+    )
+
+    rng = random.Random(1142)
+    makers = [
+        lambda i: make_png(i, 4 + i % 5, 3 + i % 4),
+        lambda i: make_gif(i, 20 + i % 5, 12 + i % 4),
+        lambda i: make_jpeg(i, 16, 16),
+        lambda i: make_tiff(i, 6 + i % 3, 5 + i % 3),
+        lambda i: make_bmp(i, 6 + i % 3, 5),
+        lambda i: make_wav(i, 400 + (i % 5) * 100),
+        lambda i: WB.make_webp(i, 8 + i % 3, 7 + i % 3),
+    ]
+    rows = []
+    for i in range(240):
+        blob = bytearray(makers[i % len(makers)](i))
+        if i % 2:
+            blob = blob[: rng.randrange(8, len(blob) + 1)]  # truncate
+        else:
+            for _ in range(rng.randrange(1, 4)):  # bit-flip
+                blob[rng.randrange(len(blob))] ^= 1 << rng.randrange(8)
+        rows.append((i, blob))
+    df = spark.createDataFrame(rows, "media_id long, payload binary").withColumn(
+        "mtype", sniff_media_type(F.col("payload"))
+    )
+    got = decode_dispatch_features(df, quarantine=True).collect()
+    assert len(got) == 240
+    assert all(r["corrupt"] in (True, False) for r in got)
+
+
 def test_media_type_sniffer_total_on_arbitrary_bytes(spark):
     """Totality: the sniffer is a pure column expression that must
     classify ANY byte string (including empty, sub-16-byte, and
