@@ -6236,6 +6236,51 @@ def test_decode_dispatch_quarantine_flags_corrupt_payloads(spark):
         ).collect()
 
 
+def test_decode_dispatch_quarantine_values_equal_batch_on_healthy_corpus(spark):
+    """The two postures are the SAME census, not two censuses: on a
+    healthy mixed corpus (every family incl. the undecodable-lossy-WebP
+    NULL path and unknown bytes), quarantine=True must produce exactly
+    the batch rows plus corrupt=false — a divergence would mean the
+    streaming triage and the registered batch query disagree about the
+    data."""
+    from pyspark.sql import functions as F
+
+    from query_engine_spark.llmdata import webp as WB
+    from query_engine_spark.llmdata.multimodal import (
+        decode_dispatch_features,
+        make_bmp,
+        make_gif,
+        make_jpeg_color,
+        make_png,
+        make_tiff,
+        make_wav,
+        make_wav_stereo,
+        sniff_media_type,
+    )
+
+    rows = [
+        (0, bytearray(make_png(0, 4, 3))),
+        (1, bytearray(make_gif(1, 20, 12))),
+        (2, bytearray(make_jpeg_color(2, 2, 2))),
+        (3, bytearray(make_tiff(3, 6, 5))),
+        (4, bytearray(make_bmp(4, 6, 5))),
+        (5, bytearray(make_wav(5, 500))),
+        (6, bytearray(make_wav_stereo(6, 80))),        # variant -> NULLs
+        (7, bytearray(WB.make_webp(7, 8, 7))),
+        (8, bytearray(WB.make_webp_lossy(8, 20, 16))),  # header-only NULLs
+        (9, bytes(range(1, 25))),                       # unknown
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary").withColumn(
+        "mtype", sniff_media_type(F.col("payload"))
+    )
+    key = lambda r: (r["media_id"], r["mtype"], r["width"], r["height"],
+                     r["n_samples"], r["content_sum"])
+    batch = sorted(key(r) for r in decode_dispatch_features(df).collect())
+    quar = decode_dispatch_features(df, quarantine=True).collect()
+    assert sorted(key(r) for r in quar) == batch
+    assert all(r["corrupt"] is False for r in quar)
+
+
 def test_decode_dispatch_quarantine_total_on_mangled_media(spark):
     """Totality of the streaming posture: 240 seeded-random MANGLED
     payloads (real fixtures truncated at random offsets or bit-flipped
