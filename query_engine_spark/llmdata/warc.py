@@ -93,8 +93,14 @@ def _gunzip_members(blob: bytes) -> bytes:
     rest = blob
     while rest:
         d = zlib.decompressobj(31)
-        out += d.decompress(rest)
-        out += d.flush()
+        try:
+            out += d.decompress(rest)
+            out += d.flush()
+        except zlib.error as e:
+            # normalize to the ONE contract exception type (the mbox
+            # rule): a corrupt member is a bad-input fact, not a zlib
+            # implementation detail leaking to callers (r11 fuzz find)
+            raise ValueError(f"corrupt gzip member in WARC: {e}") from e
         if not d.eof:
             raise ValueError("truncated gzip member in WARC")
         rest = d.unused_data
@@ -127,7 +133,15 @@ def parse_warc(blob: bytes) -> list[dict]:
         headers: dict[str, str] = {}
         for line in head[1:]:
             k, _, v = line.partition(b":")
-            headers[k.strip().lower().decode()] = v.strip().decode("utf-8", "replace")
+            try:
+                # names are ASCII per ISO 28500 §5.1 — a non-UTF-8 name
+                # is a framing fact worth the contract ValueError, not a
+                # UnicodeDecodeError leak (r11 fuzz find); VALUES keep
+                # the lossy replace (they carry real-world bytes)
+                name = k.strip().lower().decode()
+            except UnicodeDecodeError as e:
+                raise ValueError(f"undecodable WARC header name: {e}") from e
+            headers[name] = v.strip().decode("utf-8", "replace")
         if "content-length" not in headers:
             raise ValueError("WARC record missing Content-Length")
         ln = int(headers["content-length"])

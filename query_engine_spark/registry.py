@@ -7531,11 +7531,17 @@ _STALE_VERIFICATION: set[str] = set()
 
 # Queries whose machinery round 11 changed after their last driver check.
 # Window math for round 11 (COVERAGE.md's dated budget): no candidate
-# pool (production held at zero); the 2 touched slots below re-verify
-# r10-hashed queries whose machinery this round's ADVICE fixes rewrote;
-# the remaining 48 rotation slots clear ALL 33 r5-era checks plus the
-# first 15 r6-era names by registry position.
+# pool (production held at zero); the 3 touched slots below re-verify
+# queries whose machinery this round's ADVICE/review/fuzz fixes rewrote;
+# the remaining 47 rotation slots clear ALL 33 r5-era checks plus the
+# first 14 r6-era names by registry position.
 _ROUND11_TOUCHED = {
+    # r8-verified; r11's WARC mutation fuzz found two contract-exception
+    # leaks in parse_warc (zlib.error from corrupt gzip members,
+    # UnicodeDecodeError from bit-flipped header names) — both normalized
+    # to ValueError. The happy path now runs through the new try blocks
+    # (values identical on healthy data), so the hash is re-earned.
+    "llm_warc_ingest",
     # r10-verified; r11 added the nonconforming-writer fallback to
     # read_zip's ZIP64-EOCD locator branch (ADVICE r10 low: stored-offset
     # adjacency accepted when no candidate passes full coherence, plus a

@@ -3644,6 +3644,39 @@ def test_warc_rejects_misframed_records():
         parse_warc(make_warc(_warc_fixture_records(1, 1))[:-5])
 
 
+def test_warc_mutation_fuzz():
+    """The parser-hardening pattern applied to WARC (r11 — it found two
+    real contract leaks on arrival): 1000 mutations (bit flips,
+    truncations, trailing bytes) over gzip-member AND plain layouts must
+    either parse or raise the ONE contract exception type. Before the
+    fix, corrupt gzip members leaked zlib.error out of _gunzip_members
+    and bit-flipped header NAMES leaked UnicodeDecodeError from the
+    strict decode — both now normalize to ValueError at the boundary
+    (the mbox rule)."""
+    import random
+
+    from query_engine_spark.llmdata.warc import make_warc, parse_warc
+
+    for gz in (True, False):
+        base = make_warc(_warc_fixture_records(7, 3), gzip_members=gz)
+        rng = random.Random(4242)
+        for _ in range(500):
+            bad = bytearray(base)
+            op = rng.randrange(3)
+            if op == 0:
+                bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+            elif op == 1:
+                bad = bad[: rng.randrange(len(bad))]
+            else:
+                bad += bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(1, 9))
+                )
+            try:
+                parse_warc(bytes(bad))
+            except ValueError:
+                continue
+
+
 def test_warc_documents_distributed_extraction(spark):
     """The crawl-ingest entry: one row per HTTP response with the
     envelope stripped; request/warcinfo/revisit records skipped; the
