@@ -382,6 +382,17 @@ def build_tar(
     return bytes(out)
 
 
+def _decoded(raw: bytes, what: str, codec: str = "utf-8") -> str:
+    """Strict decode normalized to the contract exception type: corrupt
+    bytes in a header field are a bad-input fact, not a
+    UnicodeDecodeError leak (r11 fuzz find — same class as parse_warc's
+    header-name leak; the mbox rule)."""
+    try:
+        return raw.decode(codec)
+    except UnicodeDecodeError as e:
+        raise ValueError(f"undecodable {what}: {e}") from e
+
+
 def _parse_pax_records(data: bytes) -> dict[str, str]:
     """PAX extended-header records: '<len> <key>=<value>\\n' repeated,
     with <len> counting the WHOLE record including its own digits."""
@@ -389,13 +400,13 @@ def _parse_pax_records(data: bytes) -> dict[str, str]:
     pos = 0
     while pos < len(data):
         sp = data.index(b" ", pos)
-        ln = int(data[pos:sp].decode("ascii"))
+        ln = int(_decoded(data[pos:sp], "PAX record length", "ascii"))
         if ln <= 0 or pos + ln > len(data):
             raise ValueError("PAX record length out of bounds")
         rec = data[sp + 1 : pos + ln]
         if not rec.endswith(b"\n"):
             raise ValueError("PAX record missing newline terminator")
-        key, _, value = rec[:-1].decode("utf-8").partition("=")
+        key, _, value = _decoded(rec[:-1], "PAX record").partition("=")
         if not key:
             raise ValueError("PAX record without a key")
         out[key] = value
@@ -420,11 +431,11 @@ def read_tar(blob: bytes) -> list[tuple[str, bytes]]:
             break
         if hdr[257:262] != b"ustar":
             raise ValueError("missing ustar magic")
-        stored = int(hdr[148:156].rstrip(b"\x00 ").decode("ascii"), 8)
+        stored = int(_decoded(hdr[148:156].rstrip(b"\x00 "), "tar checksum field", "ascii"), 8)
         if sum(hdr[:148]) + 8 * 32 + sum(hdr[156:]) != stored:
             raise ValueError("tar header checksum mismatch")
         typeflag = hdr[156]
-        size = int(hdr[124:136].rstrip(b"\x00 ").decode("ascii"), 8)
+        size = int(_decoded(hdr[124:136].rstrip(b"\x00 "), "tar size field", "ascii"), 8)
         start = pos + 512
         data = blob[start : start + size]
         if len(data) != size:
@@ -433,7 +444,7 @@ def read_tar(blob: bytes) -> list[tuple[str, bytes]]:
         if typeflag == ord("L"):  # GNU longname: applies to the NEXT entry
             if pending_name is not None:
                 raise ValueError("stacked long-name records")
-            pending_name = data.rstrip(b"\x00").decode("utf-8")
+            pending_name = _decoded(data.rstrip(b"\x00"), "GNU long name")
             continue
         if typeflag == ord("x"):  # PAX extended header for the NEXT entry
             if pending_name is not None:
@@ -447,7 +458,7 @@ def read_tar(blob: bytes) -> list[tuple[str, bytes]]:
             )
         if typeflag not in (0, ord("0")):
             raise ValueError(f"non-regular tar member (typeflag {typeflag!r})")
-        name = pending_name or hdr[:100].rstrip(b"\x00").decode("utf-8")
+        name = pending_name or _decoded(hdr[:100].rstrip(b"\x00"), "tar member name")
         pending_name = None
         members.append((name, data))
     else:

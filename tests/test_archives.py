@@ -380,10 +380,18 @@ def test_archive_parsers_mutation_fuzz():
 
     rng = random.Random(1234)
     members = _sample_members()
+    # PLAIN tar paths included deliberately (r11): the gzip wrapper
+    # absorbs most mutations before the TAR layer is reached, which hid
+    # UnicodeDecodeError leaks from read_tar's strict header-field
+    # decodes (checksum/size octal, GNU long name, member name) — now
+    # normalized to ValueError via _decoded (the parse_warc fix's class)
+    long_members = members + [("deep/" + "n" * 120 + "-é.txt", b"long" * 64)]
     for build, read in (
         (A.build_zip, A.read_zip),
         (lambda m: A.build_zip(m, zip64=True), A.read_zip),
         (lambda m: A.gzip_bytes(A.build_tar(m)), lambda b: A.read_tar(A.gunzip_bytes(b))),
+        (lambda m: A.build_tar(long_members, longname_style="gnu"), A.read_tar),
+        (lambda m: A.build_tar(long_members, longname_style="pax"), A.read_tar),
     ):
         blob = build(members)
         for _ in range(200):
