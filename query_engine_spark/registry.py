@@ -7531,10 +7531,12 @@ _STALE_VERIFICATION: set[str] = set()
 
 # Queries whose machinery round 11 changed after their last driver check.
 # Window math for round 11 (COVERAGE.md's dated budget): no candidate
-# pool (production held at zero); the 3 touched slots below re-verify
+# pool (production held at zero); the 6 touched slots below re-verify
 # queries whose machinery this round's ADVICE/review/fuzz fixes rewrote;
-# the remaining 47 rotation slots clear ALL 33 r5-era checks plus the
-# first 14 r6-era names by registry position.
+# the remaining 44 rotation slots clear ALL 33 r5-era checks plus the
+# first 11 r6-era names by registry position. (llm_compressed_ingest
+# also rides read_tar but is r5-era — it re-verifies in the rotation
+# slots regardless.)
 _ROUND11_TOUCHED = {
     # r8-verified; r11's WARC mutation fuzz found two contract-exception
     # leaks in parse_warc (zlib.error from corrupt gzip members,
@@ -7542,6 +7544,14 @@ _ROUND11_TOUCHED = {
     # to ValueError. The happy path now runs through the new try blocks
     # (values identical on healthy data), so the hash is re-earned.
     "llm_warc_ingest",
+    # r9-verified; the same fuzz class applied to plain TAR found the
+    # same leak in read_tar's strict header-field decodes (checksum/size
+    # octal, GNU long name, member name) — normalized via _decoded. The
+    # per-member happy path runs through the wrapper, so the three TAR
+    # chains re-earn their hashes.
+    "llm_tar_ingest",
+    "llm_tar_longnames",
+    "llm_tar_mixed_ingest",
     # r10-verified; r11 added the nonconforming-writer fallback to
     # read_zip's ZIP64-EOCD locator branch (ADVICE r10 low: stored-offset
     # adjacency accepted when no candidate passes full coherence, plus a
