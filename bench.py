@@ -200,9 +200,13 @@ def main() -> int:
                     continue  # a crash mid-append can truncate the last line
                 if rec.get("sf") != sf:
                     continue
-                if rec.get("ts", 0) < since_ts:
+                same_action = rec.get("action") == ACTION
+                if same_action and rec.get("ts", 0) < since_ts:
+                    # the cutoff resets only the REGRESSION GATE; the
+                    # legacy count-era fold is a continuity record and
+                    # keeps every epoch (review r11)
                     continue
-                fold = best_ever if rec.get("action") == ACTION else legacy_best
+                fold = best_ever if same_action else legacy_best
                 for q, t in rec.get("queries", {}).items():
                     if q in best_ever:
                         fold[q] = min(fold.get(q, t), t)

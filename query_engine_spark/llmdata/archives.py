@@ -268,8 +268,14 @@ def read_zip(blob: bytes) -> list[tuple[str, bytes]]:
             raise ValueError("central directory signature mismatch")
         raw_name = blob[pos + 46 : pos + 46 + nlen]
         # APPNOTE appendix D: UTF-8 only when flag bit 11 is set; the
-        # default is cp437 (total — every byte maps), matching zipfile
-        name = raw_name.decode("utf-8" if _flags & 0x0800 else "cp437")
+        # default is cp437 (total — every byte maps), matching zipfile.
+        # The UTF-8 path can reject corrupt name bytes — normalize to the
+        # contract ValueError like every other header field (review r11:
+        # the _decoded fix class initially missed this one)
+        name = _decoded(
+            raw_name, "ZIP member name",
+            "utf-8" if _flags & 0x0800 else "cp437",
+        )
         sentinels = [v == 0xFFFFFFFF for v in (usize, csize, lho)]
         if any(sentinels):
             vals = _zip64_extra(blob, pos + 46 + nlen, elen, sum(sentinels))

@@ -7531,12 +7531,13 @@ _STALE_VERIFICATION: set[str] = set()
 
 # Queries whose machinery round 11 changed after their last driver check.
 # Window math for round 11 (COVERAGE.md's dated budget): no candidate
-# pool (production held at zero); the 6 touched slots below re-verify
+# pool (production held at zero); the 8 touched slots below re-verify
 # queries whose machinery this round's ADVICE/review/fuzz fixes rewrote;
-# the remaining 44 rotation slots clear ALL 33 r5-era checks plus the
-# first 11 r6-era names by registry position. (llm_compressed_ingest
+# the remaining 42 rotation slots clear ALL 33 r5-era checks plus the
+# first 9 r6-era names by registry position. (llm_compressed_ingest
 # also rides read_tar but is r5-era — it re-verifies in the rotation
-# slots regardless.)
+# slots regardless. media_type_sniff consumes only build_zip MAGIC
+# BYTES — unchanged — and keeps its r9 hash.)
 _ROUND11_TOUCHED = {
     # r8-verified; r11's WARC mutation fuzz found two contract-exception
     # leaks in parse_warc (zlib.error from corrupt gzip members,
@@ -7553,13 +7554,15 @@ _ROUND11_TOUCHED = {
     "llm_tar_longnames",
     "llm_tar_mixed_ingest",
     # r10-verified; r11 added the nonconforming-writer fallback to
-    # read_zip's ZIP64-EOCD locator branch (ADVICE r10 low: stored-offset
-    # adjacency accepted when no candidate passes full coherence, plus a
-    # distinct triage error). Only the `if has_locator:` branch changed,
-    # so the classic-ZIP chains never traverse the new code and keep
-    # their last driver hashes (llm_zip_ingest/llm_epub_ingest r10;
-    # media_type_sniff r9 — it consumes only build_zip magic bytes);
-    # the forced-ZIP64 query re-earns its hash.
+    # read_zip's ZIP64-EOCD locator branch (ADVICE r10 low) AND — the
+    # second review pass — normalized read_zip's member-NAME decode via
+    # _decoded (the UTF-8-flagged path could leak UnicodeDecodeError on
+    # corrupt name bytes). The name decode runs per member on every
+    # archive, so ALL read_zip chains re-earn their hashes (the first
+    # recut kept zip/epub on r10 hashes because only the locator branch
+    # had changed; the name-decode fix voids that reasoning).
+    "llm_zip_ingest",
+    "llm_epub_ingest",
     "llm_zip64_ingest",
     # r10-verified; r11 restructured decode_dispatch_features' row
     # building for the quarantine posture (ADVICE r10 low: streaming

@@ -23,6 +23,11 @@ def _sample_members():
         ("docs/doc00000001.txt", b"hello world " * 50),  # deflates
         ("docs/doc00000002.txt", bytes(range(256)) * 2),  # repetitive binary: deflates
         ("docs/doc00000003.txt", os.urandom(64)),  # incompressible: STORED
+        # non-ASCII name sets flag bit 11 -> the strict UTF-8 name-decode
+        # path runs under the mutation fuzz (review r11: the _decoded
+        # normalization initially missed read_zip's member name, and the
+        # ASCII-only corpus could never reach the leak)
+        ("docs/résumé-ü.txt", b"utf-8 named member"),
     ]
 
 
@@ -232,6 +237,25 @@ def test_zip64_nonconforming_writer_fallback():
         A.read_zip(b"#!junk\n" + bytes(low_vneed))
 
 
+def test_zip_corrupt_utf8_name_raises_contract_valueerror():
+    """Review r11: a UTF-8-flagged member name (flag bit 11) with
+    corrupted name bytes must raise the contract ValueError, not leak
+    UnicodeDecodeError — the _decoded normalization applied to every
+    other header field initially missed read_zip's name decode, and the
+    fuzz corpus's ASCII-only names (cp437 decode is total) could never
+    reach it."""
+    blob = bytearray(A.build_zip([("docs/é.txt", b"payload")]))
+    # corrupt the name's UTF-8 continuation byte in the CENTRAL directory
+    # (the copy read_zip decodes) — find the second occurrence
+    raw = "docs/é.txt".encode("utf-8")
+    local = blob.find(raw)
+    cd = blob.find(raw, local + 1)
+    assert cd > local > 0
+    blob[cd + raw.index(b"\xa9")] = 0xFF  # invalid continuation
+    with pytest.raises(ValueError, match="undecodable ZIP member name"):
+        A.read_zip(bytes(blob))
+
+
 def test_zip64_fake_record_inside_extensible_sector():
     """ADVICE r9 (low): size-of-record adjacency alone can be forged —
     adversarial bytes inside a real record's extensible data sector that
@@ -386,14 +410,15 @@ def test_archive_parsers_mutation_fuzz():
     # decodes (checksum/size octal, GNU long name, member name) — now
     # normalized to ValueError via _decoded (the parse_warc fix's class)
     long_members = members + [("deep/" + "n" * 120 + "-é.txt", b"long" * 64)]
-    for build, read in (
-        (A.build_zip, A.read_zip),
-        (lambda m: A.build_zip(m, zip64=True), A.read_zip),
-        (lambda m: A.gzip_bytes(A.build_tar(m)), lambda b: A.read_tar(A.gunzip_bytes(b))),
-        (lambda m: A.build_tar(long_members, longname_style="gnu"), A.read_tar),
-        (lambda m: A.build_tar(long_members, longname_style="pax"), A.read_tar),
+    for corpus, build, read in (
+        (members, A.build_zip, A.read_zip),
+        (members, lambda m: A.build_zip(m, zip64=True), A.read_zip),
+        (members, lambda m: A.gzip_bytes(A.build_tar(m)),
+         lambda b: A.read_tar(A.gunzip_bytes(b))),
+        (long_members, lambda m: A.build_tar(m, longname_style="gnu"), A.read_tar),
+        (long_members, lambda m: A.build_tar(m, longname_style="pax"), A.read_tar),
     ):
-        blob = build(members)
+        blob = build(corpus)
         for _ in range(200):
             bad = bytearray(blob)
             op = rng.randrange(3)
@@ -496,9 +521,10 @@ def test_epub_mutation_fuzz():
         try:
             out = E.epub_chapters(bytes(bad))
         except (ValueError, NotImplementedError, struct.error):
+            # the UnicodeDecodeError allowance that used to sit here is
+            # GONE (r11): read_zip now normalizes corrupt member-name
+            # bytes to the contract ValueError like every other field
             continue
-        except UnicodeDecodeError:
-            continue  # mutated member name bytes
         assert isinstance(out, list)
 
 
