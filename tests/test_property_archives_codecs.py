@@ -89,3 +89,57 @@ def test_qoi_run_heavy_roundtrip(px):
     w2, h2, chans, out = MM.decode_qoi(blob)
     assert (w2, h2, chans) == (w, 1, 3)
     assert out == expanded
+
+
+# mbox framing over ARBITRARY bodies (r11): the directed tests pin the
+# known hazards (From-quoting, blank-line tails); hypothesis walks body
+# shapes the fixtures never spell — leading/nested '>'*From lines,
+# whitespace-only lines, unicode — through the full
+# build_message -> build_mbox -> split_mbox -> extract_message chain.
+# Trailing-newline count is a frame-boundary ambiguity in every mbox
+# dialect (the writer must end each message with \n), so exactly that is
+# normalized; everything else must roundtrip byte-for-byte.
+
+_BODY_LINE = st.one_of(
+    st.text(
+        alphabet=st.characters(codec="utf-8", blacklist_categories=("Cs", "Cc")),
+        max_size=40,
+    ),
+    st.builds(
+        lambda q, rest: ">" * q + "From " + rest,
+        st.integers(0, 3),
+        st.text(alphabet=st.characters(codec="ascii", min_codepoint=32), max_size=20),
+    ),
+)
+
+
+@given(
+    st.lists(
+        st.lists(_BODY_LINE, min_size=0, max_size=8).map("\n".join),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=120, deadline=None)
+def test_mbox_roundtrip_arbitrary_bodies(bodies):
+    from query_engine_spark.llmdata import mail as M
+
+    msgs = [
+        M.build_message(
+            from_addr=f"u{i}@example.org",
+            subject=f"s{i}",
+            body=b,
+            cte="quoted-printable" if i % 2 else "base64",
+        )
+        for i, b in enumerate(bodies)
+    ]
+    parts = M.split_mbox(M.build_mbox(msgs))
+    assert len(parts) == len(msgs)
+    for part, raw, body in zip(parts, msgs, bodies):
+        got = M.extract_message(part)
+        want = M.extract_message(raw)
+        assert got["subject"] == want["subject"]
+        assert got["from_domain"] == want["from_domain"]
+        assert got["text"].rstrip("\n") == want["text"].rstrip("\n")
+        # and the MIME layer itself preserved the drawn body
+        assert want["text"].rstrip("\n") == body.rstrip("\n")
