@@ -774,3 +774,120 @@ def test_html_to_text_vs_html_parser(spark):
         want = ref_text(html).replace("\xa0", " ")  # &nbsp; -> plain space
         want = " ".join(want.split())
         assert got[i] == want, (i, got[i], want)
+
+
+# ---------------------------------------------------------------------------
+# gzip wrap vs stdlib gzip module — gzip_bytes/gunzip_bytes are zlib-
+# based but the FRAMING choices (no mtime/filename header, single-member
+# strictness) are ours; the gzip module is the independent wire anchor.
+
+
+def test_gzip_module_reads_our_gzip_and_back():
+    import gzip
+
+    payload = b"corpus member bytes " * 200 + bytes(range(256))
+    ours = A.gzip_bytes(payload)
+    assert gzip.decompress(ours) == payload
+    # stdlib-written stream (carries mtime/OS header fields ours omits)
+    theirs = gzip.compress(payload, 7)
+    assert A.gunzip_bytes(theirs) == payload
+    # gzip module with filename metadata (FNAME flag) — the header shape
+    # real tools (gzip(1)) emit
+    buf = io.BytesIO()
+    with gzip.GzipFile(filename="corpus.tar", mode="wb", fileobj=buf) as gf:
+        gf.write(payload)
+    assert A.gunzip_bytes(buf.getvalue()) == payload
+
+
+# ---------------------------------------------------------------------------
+# Randomized html_metadata check (r11): the 4 directed html.parser
+# fixtures vary attribute order / quote style / case by hand; this
+# generates hundreds of WELL-FORMED metadata heads (random field
+# subsets, orders, quote choices, inter-attribute whitespace, tag case)
+# with the expected fields known BY CONSTRUCTION — an oracle the
+# generator carries, which is what the html.parser reference would
+# compute on these shapes (the directed tests pin that equivalence).
+# Generation stays inside the extractors' documented contract: values
+# avoid the quote character used around them and '>'/newlines inside
+# tags (a scan-speed regex layer cannot parse those; a spec parser can —
+# that boundary is a design fact, not a drift to hunt).
+
+
+def _meta_page(rng) -> tuple:
+    def q(v: str) -> str:
+        c = "'" if rng.random() < 0.5 else '"'
+        return c + v + c
+
+    def maybe_case(t: str) -> str:
+        return t.upper() if rng.random() < 0.3 else t
+
+    ws = lambda: " " * rng.randint(1, 3)
+    fields = {}
+    parts = []
+    if rng.random() < 0.8:
+        fields["lang"] = f"l{rng.randint(0, 9)}-X{rng.randint(0, 9)}"
+        html_tag = f"<{maybe_case('html')}{ws()}lang={q(fields['lang'])}>"
+    else:
+        fields["lang"] = ""
+        html_tag = f"<{maybe_case('html')}>"
+    if rng.random() < 0.8:
+        fields["title"] = f"Title {rng.randint(0, 999)} with words"
+        parts.append(
+            f"<{maybe_case('title')}>{fields['title']}</{maybe_case('title')}>"
+        )
+    else:
+        fields["title"] = ""
+    if rng.random() < 0.8:
+        fields["canonical"] = f"https://h{rng.randint(0, 99)}.example/p/{rng.randint(0, 999)}"
+        attrs = [f"rel={q('canonical')}", f"href={q(fields['canonical'])}"]
+        if rng.random() < 0.5:
+            attrs.reverse()
+        parts.append(f"<{maybe_case('link')}{ws()}{ws().join(attrs)}>")
+    else:
+        fields["canonical"] = ""
+    if rng.random() < 0.8:
+        fields["description"] = f"desc {rng.randint(0, 999)}, punct; and words"
+        attrs = [f"name={q('description')}", f"content={q(fields['description'])}"]
+        if rng.random() < 0.5:
+            attrs.reverse()
+        parts.append(f"<{maybe_case('meta')}{ws()}{ws().join(attrs)}>")
+    else:
+        fields["description"] = ""
+    if rng.random() < 0.8:
+        fields["og_title"] = f"OG {rng.randint(0, 999)} title"
+        attrs = [f"property={q('og:title')}", f"content={q(fields['og_title'])}"]
+        if rng.random() < 0.5:
+            attrs.reverse()
+        parts.append(f"<{maybe_case('meta')}{ws()}{ws().join(attrs)}>")
+    else:
+        fields["og_title"] = ""
+    rng.shuffle(parts)
+    head = "".join(parts)
+    return (
+        f"{html_tag}<head>{head}</head><body><p>body</p></body></html>",
+        fields,
+    )
+
+
+def test_html_metadata_randomized_vs_reference(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from query_engine_spark.llmdata import warc as W
+
+    rng = random.Random(1111)
+    pages = [_meta_page(rng) for _ in range(240)]
+    df = spark.createDataFrame(
+        [(i, p) for i, (p, _) in enumerate(pages)], "page_id int, html string"
+    )
+    cols = W.html_metadata(F.col("html"))
+    got = {
+        r["page_id"]: r
+        for r in df.select(
+            "page_id", *(c.alias(k) for k, c in cols.items())
+        ).collect()
+    }
+    for i, (_page, want) in enumerate(pages):
+        for k in ("title", "canonical", "description", "og_title", "lang"):
+            assert got[i][k] == want[k], (i, k, got[i][k], want[k], _page)
