@@ -891,3 +891,90 @@ def test_html_metadata_randomized_vs_reference(spark):
     for i, (_page, want) in enumerate(pages):
         for k in ("title", "canonical", "description", "og_title", "lang"):
             assert got[i][k] == want[k], (i, k, got[i][k], want[k], _page)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt vs urllib.robotparser (r11): the crawl-gating engine
+# (parse_robots/robots_allowed) is independently implemented to RFC 9309
+# — longest-match precedence with the allow tiebreak on equal-length
+# rules (§2.2.2). stdlib urllib.robotparser evaluates rules FIRST-MATCH-
+# IN-FILE-ORDER, a documented pre-RFC behavior, so the two agree
+# everywhere except order/tie shapes — where OURS is the compliant one.
+# The differential below checks ours against a 12-line RFC reference
+# evaluator on every generated case, counts stdlib agreement, and pins
+# the two divergence shapes directedly so a refactor can't silently
+# flip which side we are.
+
+
+def _rfc_allowed(rules, agent: str, path: str) -> bool:
+    group = rules["groups"].get(agent.lower()) or rules["groups"].get("*")
+    if not group:
+        return True
+    best = None  # (match_len, kind)
+    for kind, pat in group:
+        if pat == "" or path.startswith(pat):
+            ln = len(pat)
+            if best is None or ln > best[0] or (
+                ln == best[0] and kind == "allow"
+            ):
+                best = (ln, kind)
+    return best is None or best[1] == "allow"
+
+
+def test_robots_vs_urllib_robotparser_differential():
+    import random
+    import urllib.robotparser as RP
+
+    from query_engine_spark.llmdata import warc as W
+
+    rng = random.Random(99)
+    stdlib_agree = total = 0
+    for _ in range(300):
+        paths = [f"/{a}/" for a in ("img", "api", "private", "pub", "data")]
+        paths += ["/", "/tmp"]
+        lines = []
+        agents = ["*"] + [f"bot{k}" for k in range(rng.randrange(0, 3))]
+        rng.shuffle(agents)
+        for ag in agents:
+            lines.append(f"User-agent: {ag}")
+            for _ in range(rng.randrange(1, 4)):
+                kind = rng.choice(["Allow", "Disallow"])
+                p = rng.choice(paths) + rng.choice(["", "x", "deep/y"])
+                lines.append(f"{kind}: {p}")
+        txt = "\n".join(lines) + "\n"
+        rp = RP.RobotFileParser()
+        rp.parse(txt.split("\n"))
+        rules = W.parse_robots(txt)
+        for agent in ("bot0", "somebody"):
+            for probe in ("/", "/img/", "/img/x", "/api/deep/y",
+                          "/private/x", "/tmp", "/other"):
+                total += 1
+                ours = W.robots_allowed(rules, agent, probe)
+                # the hard invariant: ours == the RFC evaluator, always
+                assert ours == _rfc_allowed(rules, agent, probe), (
+                    txt, agent, probe,
+                )
+                stdlib_agree += ours == rp.can_fetch(agent, probe)
+    # stdlib agrees except on the order/tie shapes — overwhelming but
+    # not total agreement is the EXPECTED signature; total disagreement
+    # (or total agreement) would mean one side changed semantics
+    assert stdlib_agree / total > 0.98, (stdlib_agree, total)
+    assert stdlib_agree < total, "stdlib became RFC-ordered? re-check tiebreak pins"
+
+
+def test_robots_rfc_precedence_where_stdlib_diverges():
+    """The two divergence shapes, pinned directedly per RFC 9309 §2.2.2:
+    (a) equal-length allow/disallow tie -> ALLOW wins (stdlib takes
+    whichever appears first); (b) longest match wins regardless of file
+    order (stdlib stops at the first matching rule)."""
+    from query_engine_spark.llmdata import warc as W
+
+    tie = W.parse_robots(
+        "User-agent: *\nDisallow: /private/x\nAllow: /private/x\n"
+    )
+    assert W.robots_allowed(tie, "anybot", "/private/x") is True
+    order = W.parse_robots(
+        "User-agent: *\nAllow: /api/\nDisallow: /api/deep/y\n"
+    )
+    assert W.robots_allowed(order, "anybot", "/api/deep/y") is False
+    assert W.robots_allowed(order, "anybot", "/api/other") is True
