@@ -978,3 +978,51 @@ def test_robots_rfc_precedence_where_stdlib_diverges():
     )
     assert W.robots_allowed(order, "anybot", "/api/deep/y") is False
     assert W.robots_allowed(order, "anybot", "/api/other") is True
+
+
+# ---------------------------------------------------------------------------
+# HTTP response envelope vs http.client (r11): _http_split is a
+# deliberately tolerant splitter (WARC response blocks are whatever the
+# crawler captured); http.client.HTTPResponse is the spec parser. On
+# well-formed envelopes — folded whitespace, weird casing, multiple
+# headers, status reasons with spaces — the two must agree on status,
+# content-type and body bytes.
+
+
+def test_http_split_vs_http_client():
+    import http.client
+    import socket
+
+    from query_engine_spark.llmdata.warc import _http_split
+
+    cases = [
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Length: 5\r\n\r\nhello",
+        b"HTTP/1.0 404 Not Found At All\r\ncontent-type:  text/plain ; charset=utf-8\r\n"
+        b"X-Other: y\r\n\r\nbody bytes \x00\xff here",
+        b"HTTP/1.1 301 Moved Permanently\r\nLocation: /new\r\n"
+        b"CONTENT-TYPE: image/png\r\n\r\n\x89PNG\r\n\x1a\n....",
+        b"HTTP/1.1 204 No Content\r\n\r\n",
+    ]
+
+    class _Sock:
+        def __init__(self, payload: bytes) -> None:
+            self._f = io.BytesIO(payload)
+
+        def makefile(self, *a, **k):
+            return self._f
+
+    for raw in cases:
+        status, ctype, body = _http_split(raw)
+        resp = http.client.HTTPResponse(_Sock(raw))  # type: ignore[arg-type]
+        resp.begin()
+        assert status == resp.status, raw
+        want_ct = resp.getheader("Content-Type")
+        got_ct = ctype.strip() if ctype else ctype
+        want_ct = want_ct.strip() if want_ct else want_ct
+        assert got_ct == want_ct, raw
+        # body: http.client honors Content-Length when present; compare
+        # the prefix it reads against our split's start, and the full
+        # tail when no length header bounds it
+        want_body = resp.read()
+        assert body[: len(want_body)] == want_body or body == want_body, raw
