@@ -206,6 +206,18 @@ def read_zip(blob: bytes) -> list[tuple[str, bytes]]:
              z_size, z_off) = struct.unpack_from("<IQHHIIQQQQ", blob, p)
             if vneed < 45 or d_this != d_cd or n_disk != n_tot:
                 return False
+            return _z64_classic_agree(p)
+
+        def _z64_classic_agree(p: int) -> bool:
+            """The classic-EOCD non-sentinel agreement checks alone —
+            the part of _z64_record_ok real nonconforming writers still
+            satisfy (they diverge on vneed/disk fields, never on entry
+            counts or CD geometry; ADVICE r11), so the last-resort
+            fallback acceptance requires it too: a record at the stored
+            offset whose counts CONTRADICT the classic EOCD is a parser
+            differential vs stricter readers, not a sloppy writer."""
+            (_s, _rsize, _vmade, _vneed, _d_this, _d_cd, _n_disk, n_tot,
+             z_size, z_off) = struct.unpack_from("<IQHHIIQQQQ", blob, p)
             if n_total != 0xFFFF and n_total != n_tot:
                 return False
             if cd_size != 0xFFFFFFFF and cd_size != z_size:
@@ -224,10 +236,18 @@ def read_zip(blob: bytes) -> list[tuple[str, bytes]]:
             any_sig = z64_pos = blob.rfind(sig64, 0, eocd - 20)
             while z64_pos >= 0 and not _z64_record_ok(z64_pos):
                 z64_pos = blob.rfind(sig64, 0, z64_pos)
-            if z64_pos < 0 and _z64_record_adjacent(z64_stored):
+            if (
+                z64_pos < 0
+                and _z64_record_adjacent(z64_stored)
+                and _z64_classic_agree(z64_stored)
+            ):
                 # nonconforming writer: no candidate anywhere passes full
                 # coherence, but the stored offset itself carries the
-                # signature and ends exactly at the locator (ADVICE r10)
+                # signature, ends exactly at the locator (ADVICE r10),
+                # AND agrees with the classic EOCD's non-sentinel entry
+                # counts / CD geometry (ADVICE r11) — only the vneed/disk
+                # coherence the sloppy writers actually get wrong is
+                # waived here
                 z64_pos = z64_stored
             if z64_pos < 0:
                 # distinct errors to aid triage (ADVICE r10): a signature

@@ -42,12 +42,29 @@ be set low for these frames in a real deployment).
 
 from __future__ import annotations
 
+import struct as _struct
+import zlib as _zlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
+
+# The exception classes bad BYTES can actually land from the family
+# decoders (ADVICE r11: a bare `except Exception` in the quarantine
+# posture would also absorb a future decoder regression's NameError/
+# AttributeError/TypeError, silently flagging healthy payloads corrupt):
+# the decoders raise ValueError on failures they DETECT; a truncated GIF
+# lands IndexError, a bit-flipped JPEG KeyError, a short TIFF
+# struct.error, a corrupt PNG/WebP deflate zlib.error, a short stdlib
+# read EOFError. The 240-payload corruption fuzz (tests/test_llmdata.py)
+# pins this set's totality on mangled real fixtures; membership is
+# pinned by test so programmer errors propagate even under quarantine.
+DISPATCH_CORRUPTION_EXC = (
+    ValueError, KeyError, IndexError, _struct.error, EOFError,
+    _zlib.error,
+)
 
 __all__ = [
     "MEDIA_META_TYPE",
@@ -9848,17 +9865,16 @@ def decode_dispatch_features(df: DataFrame, *, quarantine: bool = False) -> Data
                     # decodable family, unsupported variant: honest NULL
                     # census row, NOT corruption
                     w = h = ns = cs = None
-                except Exception:
+                except DISPATCH_CORRUPTION_EXC:
                     # corrupt or misrouted bytes: quarantine-flag in the
                     # streaming posture, fail loud in the batch census.
-                    # Broad by design (review r11): the decoders raise
-                    # ValueError on the failures they DETECT, but a
-                    # truncated GIF lands IndexError, a bit-flipped JPEG
-                    # KeyError, a short TIFF struct.error — any of them
-                    # escaping foreachBatch wedges the checkpointed
-                    # stream on the replayed poison batch forever, which
-                    # is the exact failure quarantine mode exists to
-                    # absorb
+                    # Any of these escaping foreachBatch wedges the
+                    # checkpointed stream on the replayed poison batch
+                    # forever, which is the exact failure quarantine
+                    # mode exists to absorb — but ONLY the corruption
+                    # set is absorbed (DISPATCH_CORRUPTION_EXC, module
+                    # top), so a decoder regression stays loud in both
+                    # postures.
                     if not quarantine:
                         raise
                     w = h = ns = cs = None

@@ -134,11 +134,13 @@ def parse_warc(blob: bytes) -> list[dict]:
         for line in head[1:]:
             k, _, v = line.partition(b":")
             try:
-                # names are ASCII per ISO 28500 §5.1 — a non-UTF-8 name
+                # names are ASCII per ISO 28500 §5.1 — a non-ASCII name
                 # is a framing fact worth the contract ValueError, not a
-                # UnicodeDecodeError leak (r11 fuzz find); VALUES keep
+                # UnicodeDecodeError leak (r11 fuzz find; ADVICE r11:
+                # decode ascii, not utf-8, so a non-ASCII-but-valid-UTF-8
+                # name is rejected per the stated contract); VALUES keep
                 # the lossy replace (they carry real-world bytes)
-                name = k.strip().lower().decode()
+                name = k.strip().lower().decode("ascii")
             except UnicodeDecodeError as e:
                 raise ValueError(f"undecodable WARC header name: {e}") from e
             headers[name] = v.strip().decode("utf-8", "replace")

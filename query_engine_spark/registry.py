@@ -7391,34 +7391,16 @@ def multimodal_webp_lossy_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_LAST_VERIFIED: dict[str, int] = {
     # Transcribed per-round by tools/ledger_transcribe.py from the
     # CORRECTNESS_r*.json artifacts: name -> last round a driver
-    # hash-match (or designed rows-only pass) was recorded. Post-r10:
-    # the r10 window (50/50 hash-green) covered the 8 registered
-    # registry_r10 pool queries, the 3 _ROUND10_TOUCHED ZIP-path
-    # re-verifications, all 29 r4-era checks, and the first 10 r5-era
-    # rotation slots; cohorts now 33 r5 / 45 r6 / 47 r7 / 50 r8 /
-    # 47 r9 / 50 r10 = 272.
-    **{n: 5 for n in (
-        "dedup_containment", "dedup_incremental", "embed_ivfpq_topk",
-        "embed_pq_topk", "events_anomaly_zscore", "events_countmin",
-        "events_cusum_drift", "events_ohlc", "events_salted_counts",
-        "events_zorder_box", "graph_pagerank", "kmv_set_ops_events",
-        "llm_bpe_apply", "llm_bpe_train", "llm_compressed_ingest",
-        "llm_curation_pipeline", "llm_dsir_weights",
-        "llm_weighted_sample", "media_audio_dedup",
-        "multimodal_audio_resample", "multimodal_features",
-        "multimodal_gif", "multimodal_resize", "pipeline_flagship",
-        "q12_priority_lines", "q20_promotion_suppliers",
-        "q21_waiting_suppliers", "rollup_gapfill_events",
-        "sessionize_events", "text_bm25_indexed",
-        "text_strip_boilerplate", "text_tfidf_pairs", "text_winnowing",
-    )},
+    # hash-match (or designed rows-only pass) was recorded. Post-r11:
+    # the r11 window (50/50 hash-green) covered the 8 touched
+    # archive/WARC/dispatch re-verifications, all 33 r5-era rotation
+    # slots, and 9 r6-era slots; cohorts now 36 r6 / 47 r7 / 49 r8 /
+    # 44 r9 / 46 r10 / 50 r11 = 272.
     **{n: 6 for n in (
         "a1_trending_tags", "a1_trending_windowed",
         "dedup_embedding_cosine", "dedup_minhash_lsh",
         "dedup_ngram_jaccard", "embed_ivf_indexed", "embed_ivf_topk",
-        "embed_kmeans", "f10_embed_prefix", "f12_where_script",
-        "f13_videos_notnull", "f14_regex", "f15_profile_filters",
-        "f9_non_duplicates", "hybrid_rrf_search", "j10_mutuals",
+        "embed_kmeans", "hybrid_rrf_search", "j10_mutuals",
         "j10_two_hop", "j1_replace_parent", "j3_replace_record",
         "j4_direct_replies", "j5_all_replies", "j6_quote_posts",
         "llm_curation_pipeline_decontam", "media_jpeg_perceptual_dedup",
@@ -7427,8 +7409,7 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "multimodal_jpeg_color", "multimodal_video_frames",
         "multimodal_video_rle", "o1_sort_created_top", "o2_sort_hn",
         "o3_sort_counts", "o4_sort_random", "o5_sort_score_dedup",
-        "o7_posts_per_user", "profile_pipeline", "sc1_script_score",
-        "sc4_created_at_score", "sc_hn_normalized",
+        "o7_posts_per_user", "profile_pipeline",
         "text_doc_segment_dedup", "text_dup_spans", "text_langid_ngram",
         "u_stash_pipeline",
     )},
@@ -7457,22 +7438,22 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "j10_community", "j10_top_moots",
         "llm_curation_pipeline_balance", "llm_curation_pipeline_scrub",
         "llm_hash_sample", "llm_prepare_corpus", "llm_split_assign",
-        "llm_top_terms", "llm_warc_ingest", "media_dedup",
-        "media_mp4_video_dedup", "multimodal_audio",
-        "multimodal_audio_aiff", "multimodal_audio_alaw",
-        "multimodal_audio_flac", "multimodal_audio_flac_stereo",
-        "multimodal_audio_pcm24", "multimodal_audio_sphere",
-        "multimodal_audio_wav_stereo", "multimodal_bmp8",
-        "multimodal_gif_animated", "multimodal_gif_composited",
-        "multimodal_gif_disposals", "multimodal_gif_interlaced",
-        "multimodal_gif_local_palettes", "multimodal_jpeg",
-        "multimodal_jpeg_422", "multimodal_jpeg_progressive",
-        "multimodal_jpeg_restart", "multimodal_png", "multimodal_png16",
-        "multimodal_png_adam7", "multimodal_png_gray",
-        "multimodal_png_palette", "multimodal_png_rgba",
-        "multimodal_tiff", "multimodal_tiff_multipage",
-        "multimodal_video_avi_mjpeg", "multimodal_video_mp4",
-        "q16_supplier_variety", "q17_small_quantity", "q19_disjunctive",
+        "llm_top_terms", "media_dedup", "media_mp4_video_dedup",
+        "multimodal_audio", "multimodal_audio_aiff",
+        "multimodal_audio_alaw", "multimodal_audio_flac",
+        "multimodal_audio_flac_stereo", "multimodal_audio_pcm24",
+        "multimodal_audio_sphere", "multimodal_audio_wav_stereo",
+        "multimodal_bmp8", "multimodal_gif_animated",
+        "multimodal_gif_composited", "multimodal_gif_disposals",
+        "multimodal_gif_interlaced", "multimodal_gif_local_palettes",
+        "multimodal_jpeg", "multimodal_jpeg_422",
+        "multimodal_jpeg_progressive", "multimodal_jpeg_restart",
+        "multimodal_png", "multimodal_png16", "multimodal_png_adam7",
+        "multimodal_png_gray", "multimodal_png_palette",
+        "multimodal_png_rgba", "multimodal_tiff",
+        "multimodal_tiff_multipage", "multimodal_video_avi_mjpeg",
+        "multimodal_video_mp4", "q16_supplier_variety",
+        "q17_small_quantity", "q19_disjunctive",
         "q22_no_order_customers", "q4_order_priority",
         "q7_nation_volume", "text_strip_dup_spans",
         "window_revenue_deciles",
@@ -7486,7 +7467,6 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "llm_jsonl_roundtrip", "llm_mbox_ingest",
         "llm_quality_classifier", "llm_robots_rules",
         "llm_robots_wildcards", "llm_sitemap_frontier",
-        "llm_tar_ingest", "llm_tar_longnames", "llm_tar_mixed_ingest",
         "media_type_sniff", "multimodal_audio_flac24",
         "multimodal_audio_multichannel",
         "multimodal_audio_wav_extensible", "multimodal_bmp_rle8",
@@ -7510,18 +7490,36 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "hopping_window_events", "kmv_distinct_users",
         "llm_balanced_sample", "llm_bpe_pair_counts", "llm_chunk_docs",
         "llm_curation_flags", "llm_decontaminate", "llm_dedup_funnel",
-        "llm_doc_lm_score", "llm_domain_mix", "llm_epub_ingest",
-        "llm_ngram_lm", "llm_pack_chunks", "llm_quality_calibrated",
-        "llm_stupid_backoff", "llm_zip64_ingest", "llm_zip_ingest",
-        "media_decode_dispatch", "multimodal_audio_au",
-        "multimodal_fits", "multimodal_pnm", "multimodal_qoi",
-        "multimodal_subtitles", "multimodal_svg", "multimodal_woff",
-        "q10_returned_items", "q11_important_value",
-        "q13_customer_distribution", "q14_promo_revenue",
-        "q15_top_supplier", "q2_min_cost_supplier",
+        "llm_doc_lm_score", "llm_domain_mix", "llm_ngram_lm",
+        "llm_pack_chunks", "llm_quality_calibrated",
+        "llm_stupid_backoff", "multimodal_audio_au", "multimodal_fits",
+        "multimodal_pnm", "multimodal_qoi", "multimodal_subtitles",
+        "multimodal_svg", "multimodal_woff", "q10_returned_items",
+        "q11_important_value", "q13_customer_distribution",
+        "q14_promo_revenue", "q15_top_supplier", "q2_min_cost_supplier",
         "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
         "range_join_events", "retention_cohorts", "s1_firehose",
         "stream_interval_join_pairs", "text_top_terms_per_lang",
+    )},
+    **{n: 11 for n in (
+        "dedup_containment", "dedup_incremental", "embed_ivfpq_topk",
+        "embed_pq_topk", "events_anomaly_zscore", "events_countmin",
+        "events_cusum_drift", "events_ohlc", "events_salted_counts",
+        "events_zorder_box", "f10_embed_prefix", "f12_where_script",
+        "f13_videos_notnull", "f14_regex", "f15_profile_filters",
+        "f9_non_duplicates", "graph_pagerank", "kmv_set_ops_events",
+        "llm_bpe_apply", "llm_bpe_train", "llm_compressed_ingest",
+        "llm_curation_pipeline", "llm_dsir_weights", "llm_epub_ingest",
+        "llm_tar_ingest", "llm_tar_longnames", "llm_tar_mixed_ingest",
+        "llm_warc_ingest", "llm_weighted_sample", "llm_zip64_ingest",
+        "llm_zip_ingest", "media_audio_dedup", "media_decode_dispatch",
+        "multimodal_audio_resample", "multimodal_features",
+        "multimodal_gif", "multimodal_resize", "pipeline_flagship",
+        "q12_priority_lines", "q20_promotion_suppliers",
+        "q21_waiting_suppliers", "rollup_gapfill_events",
+        "sc1_script_score", "sc4_created_at_score", "sc_hn_normalized",
+        "sessionize_events", "text_bm25_indexed",
+        "text_strip_boilerplate", "text_tfidf_pairs", "text_winnowing",
     )},
 }
 
@@ -7529,52 +7527,42 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
 # recorded verification is stale — schedule them as if never verified.
 _STALE_VERIFICATION: set[str] = set()
 
-# Queries whose machinery round 11 changed after their last driver check.
-# Window math for round 11 (COVERAGE.md's dated budget): no candidate
-# pool (production held at zero); the 8 touched slots below re-verify
-# queries whose machinery this round's ADVICE/review/fuzz fixes rewrote;
-# the remaining 42 rotation slots clear ALL 33 r5-era checks plus the
-# first 9 r6-era names by registry position. (llm_compressed_ingest
-# also rides read_tar but is r5-era — it re-verifies in the rotation
-# slots regardless. media_type_sniff consumes only build_zip MAGIC
-# BYTES — unchanged — and keeps its r9 hash.)
-_ROUND11_TOUCHED = {
-    # r8-verified; r11's WARC mutation fuzz found two contract-exception
-    # leaks in parse_warc (zlib.error from corrupt gzip members,
-    # UnicodeDecodeError from bit-flipped header names) — both normalized
-    # to ValueError. The happy path now runs through the new try blocks
-    # (values identical on healthy data), so the hash is re-earned.
+# Queries whose machinery round 12 changed after their last driver check.
+# Window math for round 12 (COVERAGE.md's dated budget): no candidate
+# pool (production held at zero, third round running); the 5 touched
+# slots below re-verify queries whose machinery this round's ADVICE-r11
+# fixes rewrote; the remaining 45 rotation slots clear ALL 36 r6-era
+# checks plus the first 9 r7-era names by registry position — draining
+# the r6 cohort exactly as the r11 verdict scheduled. (bench.py's
+# SINCE_TS default fix touches no query machinery.)
+_ROUND12_TOUCHED = {
+    # r11-verified; ADVICE r11 (low): parse_warc's header-NAME decode
+    # claimed ASCII per ISO 28500 §5.1 but used the UTF-8 default — now
+    # strict ascii. The decode runs per header on every record's happy
+    # path, so the hash is re-earned.
     "llm_warc_ingest",
-    # r9-verified; the same fuzz class applied to plain TAR found the
-    # same leak in read_tar's strict header-field decodes (checksum/size
-    # octal, GNU long name, member name) — normalized via _decoded. The
-    # per-member happy path runs through the wrapper, so the three TAR
-    # chains re-earn their hashes.
-    "llm_tar_ingest",
-    "llm_tar_longnames",
-    "llm_tar_mixed_ingest",
-    # r10-verified; r11 added the nonconforming-writer fallback to
-    # read_zip's ZIP64-EOCD locator branch (ADVICE r10 low) AND — the
-    # second review pass — normalized read_zip's member-NAME decode via
-    # _decoded (the UTF-8-flagged path could leak UnicodeDecodeError on
-    # corrupt name bytes). The name decode runs per member on every
-    # archive, so ALL read_zip chains re-earn their hashes (the first
-    # recut kept zip/epub on r10 hashes because only the locator branch
-    # had changed; the name-decode fix voids that reasoning).
+    # r11-verified; ADVICE r11 (low): the ZIP64 nonconforming-writer
+    # fallback now ALSO requires agreement with the classic EOCD's
+    # non-sentinel fields (_z64_classic_agree). The fallback branch
+    # itself never runs on conforming archives, but the restructure
+    # relocated the happy path's classic-agreement checks out of
+    # _z64_record_ok into the shared helper, so the three read_zip
+    # chains re-earn their hashes (conservative, per the r11 precedent:
+    # function body changed, values identical).
     "llm_zip_ingest",
     "llm_epub_ingest",
     "llm_zip64_ingest",
-    # r10-verified; r11 restructured decode_dispatch_features' row
-    # building for the quarantine posture (ADVICE r10 low: streaming
-    # triage flags corrupt payloads instead of wedging the checkpoint).
-    # The batch query runs quarantine=False — same schema and values —
-    # but the function body changed, so the hash is re-earned.
+    # r11-verified; ADVICE r11 (low): quarantine's bare `except
+    # Exception` narrowed to the named corruption set
+    # (DISPATCH_CORRUPTION_EXC, module top). The batch query runs
+    # quarantine=False and healthy payloads never raise, but the
+    # function body changed, so the hash is re-earned.
     "media_decode_dispatch",
 }
 
 # Stable alias so _driver_order and the scheduling tests survive the
 # per-round rename of the touched set.
-_ROUND_TOUCHED = _ROUND11_TOUCHED
+_ROUND_TOUCHED = _ROUND12_TOUCHED
 
 
 def _driver_order() -> list[str]:

@@ -235,6 +235,18 @@ def test_zip64_nonconforming_writer_fallback():
     # record, no coherent candidate -> distinct triage error
     with pytest.raises(ValueError, match="failed coherence checks"):
         A.read_zip(b"#!junk\n" + bytes(low_vneed))
+    # ADVICE r11 (low): the fallback still requires agreement with the
+    # classic EOCD's NON-SENTINEL fields (entry counts / CD geometry) —
+    # real nonconforming writers diverge on vneed/disk fields, never on
+    # those, so a stored-offset record whose total entry count
+    # contradicts the classic EOCD is a parser differential vs stricter
+    # readers and stays rejected (n_tot at record offset 32; the classic
+    # EOCD's 16-bit count is non-sentinel for this small archive)
+    bad_counts = bytearray(low_vneed)
+    struct.pack_into("<Q", bad_counts, z64_pos + 24, len(members) + 7)
+    struct.pack_into("<Q", bad_counts, z64_pos + 32, len(members) + 7)
+    with pytest.raises(ValueError, match="failed coherence checks"):
+        A.read_zip(bytes(bad_counts))
 
 
 def test_zip_corrupt_utf8_name_raises_contract_valueerror():

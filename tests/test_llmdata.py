@@ -3677,6 +3677,47 @@ def test_warc_mutation_fuzz():
                 continue
 
 
+def test_warc_header_name_ascii_contract():
+    """ADVICE r11 (low): header NAMES are ASCII per ISO 28500 §5.1, but
+    the r11 fix decoded them with the UTF-8 default, silently accepting
+    a non-ASCII valid-UTF-8 name instead of rejecting it. The decode is
+    now strict ASCII: é (b'\\xc3\\xa9', valid UTF-8) in a name must land
+    the contract ValueError, and the plain-ASCII path is unchanged."""
+    import pytest
+
+    from query_engine_spark.llmdata.warc import parse_warc
+
+    bad = (
+        b"WARC/1.0\r\n"
+        b"WARC-Typ\xc3\xa9: response\r\n"
+        b"Content-Length: 0\r\n\r\n\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="undecodable WARC header name"):
+        parse_warc(bad)
+    ok = b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    assert parse_warc(ok)[0]["warc-type"] == "warcinfo"
+
+
+def test_dispatch_corruption_set_excludes_programmer_errors():
+    """ADVICE r11 (low): quarantine mode's absorb set is now the NAMED
+    corruption classes, not bare Exception — a future decoder
+    regression's NameError/AttributeError/TypeError propagates (loudly)
+    even in the streaming posture instead of silently flagging healthy
+    payloads corrupt. Membership is pinned here; TOTALITY of the set on
+    actually-mangled bytes is pinned by the 240-payload fuzz above."""
+    import struct
+    import zlib
+
+    from query_engine_spark.llmdata.multimodal import DISPATCH_CORRUPTION_EXC
+
+    for exc in (ValueError, KeyError, IndexError, struct.error, EOFError,
+                zlib.error):
+        assert issubclass(exc, DISPATCH_CORRUPTION_EXC), exc
+    for exc in (TypeError, NameError, AttributeError, ZeroDivisionError,
+                MemoryError, RecursionError):
+        assert not issubclass(exc, DISPATCH_CORRUPTION_EXC), exc
+
+
 def test_warc_documents_distributed_extraction(spark):
     """The crawl-ingest entry: one row per HTTP response with the
     envelope stripped; request/warcinfo/revisit records skipped; the
