@@ -36,6 +36,13 @@ import struct
 import zlib
 from collections.abc import Iterator
 
+from query_engine_spark.llmdata.bounds import (
+    MAX_INFLATE_BYTES,
+    bounded_bz2,
+    bounded_inflate,
+    bounded_xz,
+)
+
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
@@ -315,10 +322,12 @@ def read_zip(blob: bytes) -> list[tuple[str, bytes]]:
         if len(payload) != csize:
             raise ValueError("member payload truncated")
         if lmethod == 8:
-            try:
-                data = zlib.decompress(payload, -15)
-            except zlib.error as e:
-                raise ValueError(f"member {name!r}: inflate failed: {e}") from e
+            # bounded by the CD-declared uncompressed size (r12 fuzz
+            # find: the unbounded inflate ran BEFORE the usize equality
+            # check, so a small bomb member could balloon first)
+            data = bounded_inflate(
+                payload, wbits=-15, expected=usize, what=f"member {name!r}"
+            )
         elif lmethod == 0:
             data = payload
         else:
@@ -501,12 +510,19 @@ def gzip_bytes(data: bytes, *, level: int = 6) -> bytes:
 
 def gunzip_bytes(blob: bytes) -> bytes:
     """RFC 1952 gzip unwrap; trailing-garbage and multi-member streams
-    raise (corpus tarballs are single-member)."""
+    raise (corpus tarballs are single-member). Output is capped at
+    MAX_INFLATE_BYTES (r12: a ~1000:1 gzip bomb must not OOM the
+    executor before the tar layer ever sees a header)."""
     d = zlib.decompressobj(47)  # auto-detect zlib/gzip headers
+    cap = MAX_INFLATE_BYTES
     try:
-        out = d.decompress(blob)
+        out = d.decompress(blob, cap + 1)
+        while d.unconsumed_tail and len(out) <= cap:
+            out += d.decompress(d.unconsumed_tail, cap + 1 - len(out))
     except zlib.error as e:
         raise ValueError(f"gzip stream corrupt: {e}") from e
+    if len(out) > cap:
+        raise ValueError(f"gzip stream exceeds {cap}-byte decompression cap")
     if not d.eof:
         raise ValueError("truncated gzip stream")
     if d.unused_data:
@@ -538,19 +554,10 @@ def decompress_auto(blob: bytes) -> bytes:
     if blob[:2] == b"\x1f\x8b":
         return gunzip_bytes(blob)
     if blob[:3] == b"BZh":
-        import bz2
-
-        try:
-            return bz2.decompress(blob)
-        except (OSError, ValueError) as e:
-            raise ValueError(f"bzip2 stream corrupt: {e}") from e
+        # bounded: bzip2's worst case is ~10^6:1 — a 46 KB bomb is 46 GB
+        return bounded_bz2(blob)
     if blob[:6] == b"\xfd7zXZ\x00":
-        import lzma
-
-        try:
-            return lzma.decompress(blob)
-        except lzma.LZMAError as e:
-            raise ValueError(f"xz stream corrupt: {e}") from e
+        return bounded_xz(blob)
     raise ValueError("unknown compression magic (expected gzip/bzip2/xz)")
 
 

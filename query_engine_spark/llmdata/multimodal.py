@@ -51,6 +51,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from query_engine_spark.llmdata.bounds import check_dims as _bounds_check_dims
+
 # The exception classes bad BYTES can actually land from the family
 # decoders (ADVICE r11: a bare `except Exception` in the quarantine
 # posture would also absorb a future decoder regression's NameError/
@@ -1627,10 +1629,10 @@ def parse_woff(blob: bytes) -> dict:
         if len(raw) != comp_len:
             raise ValueError(f"table {tag!r} runs past the file")
         if comp_len < orig_len:
-            try:
-                data = zlib.decompress(raw)
-            except zlib.error as exc:
-                raise ValueError(f"table {tag!r} inflate failed: {exc}") from exc
+            from query_engine_spark.llmdata.bounds import bounded_inflate
+
+            # bounded by the directory-declared origLength (r12)
+            data = bounded_inflate(raw, expected=orig_len, what=f"table {tag!r}")
         elif comp_len == orig_len:
             data = raw
         else:
@@ -1927,6 +1929,9 @@ def decode_qoi(blob: bytes) -> tuple[int, int, int, list[tuple[int, int, int, in
         raise ValueError(f"QOI colorspace must be 0 or 1, got {colorspace}")
     if not (1 <= w <= 1 << 16 and 1 <= h <= 1 << 16):
         raise ValueError("QOI dimensions out of range")
+    # r12 bomb sweep: run-ops expand 62:1, so the decode loop below can
+    # materialize the full declared canvas from a small file — cap it
+    _bounds_check_dims(w, h, "QOI")
     if blob[-8:] != b"\x00" * 7 + b"\x01":
         raise ValueError("QOI end marker missing")
     data = blob[14:-8]
@@ -2650,6 +2655,16 @@ def decode_flac(blob: bytes) -> tuple[int, int, list[int]]:
     nchan = sr.bits(3) + 1
     bps = sr.bits(5) + 1
     total = sr.bits(36)
+    # r12 bomb sweep: the frame loop below accumulates until the DECLARED
+    # total (36 bits → up to 68G samples), and a ~20-byte constant-
+    # subframe frame legally decodes to 65535 samples (~80,000:1 as list
+    # ints) — cap the declared total before the loop. 1<<26 samples is
+    # ~25 minutes of 44.1 kHz mono, far past every census fixture.
+    if total * nchan > (1 << 26):
+        raise NotImplementedError(
+            f"FLAC declares {total} samples x {nchan}ch — exceeds the "
+            f"{1 << 26}-sample decode cap"
+        )
     md5_expect = streaminfo[18:34]
     if nchan not in (1, 2):
         raise NotImplementedError("only mono and stereo supported")
@@ -3192,7 +3207,13 @@ def _rle8_decode_frame(data: bytes, width: int, height: int) -> list[list[int]]:
     BMP pixel arrays (the byte stream is identical in both containers):
     encoded runs, absolute mode with word-alignment padding, end-of-line
     and end-of-bitmap, bottom-up lines. Returns TOP-DOWN index rows;
-    delta escapes (0x00 0x02) raise."""
+    delta escapes (0x00 0x02) raise. Dims are capped BEFORE the canvas
+    allocation (r12 fuzz find: RLE8 legally early-terminates, so input
+    length can never bound the canvas — a bit-flipped BITMAPINFOHEADER
+    drove this comprehension to 21.5 GB RSS)."""
+    from query_engine_spark.llmdata.bounds import check_dims
+
+    check_dims(width, height, "RLE8 frame")
     rows = [[0] * width for _ in range(height)]
     pos = 0
     x = 0
@@ -4131,12 +4152,28 @@ def _decode_png_rows(
         )
     if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise NotImplementedError("only deflate/adaptive-filter, interlace 0/1 supported")
-    if width <= 0 or height <= 0:
-        raise ValueError(f"invalid dimensions {width}x{height}")
+    from query_engine_spark.llmdata.bounds import bounded_inflate, check_dims
+
+    check_dims(width, height, "PNG")
     if color == 3:
         if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
             raise ValueError("palette PNG missing/invalid PLTE chunk")
-    raw = zlib.decompress(idat)
+    # expected inflated size is fully determined by the (now capped)
+    # header: per-scanline 1 filter byte + ceil(width·depth·channels/8)
+    # data bytes, Adam7 passes summed separately — bound the inflate by
+    # it (r12 fuzz find: the unbounded inflate ran before the size
+    # equality checks, so a ~1000:1 IDAT bomb ballooned first)
+    bits_pp = depth * _PNG_CHANNELS[color]
+    if interlace == 0:
+        expected = height * (1 + (width * bits_pp + 7) // 8)
+    else:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = len(range(x0, width, dx))
+            ph = len(range(y0, height, dy))
+            if pw and ph:
+                expected += ph * (1 + (pw * bits_pp + 7) // 8)
+    raw = bounded_inflate(idat, expected=expected, what="PNG IDAT")
     if depth < 8:
         # packed sub-byte rows: filters still operate on BYTES with bpp
         # floored to 1 (§9.2), scanline = ceil(width·depth/8) bytes with
@@ -4487,12 +4524,17 @@ def _lzw_compress(data: bytes, min_code_size: int) -> bytes:
 _LZW_BASE: dict[int, list[bytes]] = {}
 
 
-def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+def _lzw_decompress(
+    data: bytes, min_code_size: int, max_out: int | None = None
+) -> bytes:
     """GIF LZW decode, giflib-compatible: a per-read counter drives the
     width schedule (grow when counter passes 2^width — one count per code
     READ, matching the encoder's one check per code EMITTED), table entries
     are assigned one behind the reads (the KwKwK case is a reference to the
-    entry being assigned), and a clear code resets everything."""
+    entry being assigned), and a clear code resets everything. `max_out`
+    (the frame's pixel count) bounds the output as it is produced (r12:
+    LZW expands up to ~4096:1, so a small crafted stream could balloon
+    long before the caller's exact-length check ran)."""
     clear = 1 << min_code_size
     eoi = clear + 1
     base = _LZW_BASE.get(clear)
@@ -4551,6 +4593,10 @@ def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
                 table.append(prev + entry[:1])
                 tlen += 1
         out += entry
+        if max_out is not None and len(out) > max_out:
+            raise ValueError(
+                f"LZW output exceeds the frame's {max_out}-pixel size"
+            )
         prev = entry
 
 
@@ -4742,7 +4788,8 @@ def decode_gif_frames(blob: bytes) -> tuple[int, int, bytes, list[bytes]]:
                 break
             lzw += blob[pos : pos + nsub]
             pos += nsub
-        idx = _lzw_decompress(bytes(lzw), min_code_size)
+        _bounds_check_dims(iw, ih, "GIF frame")
+        idx = _lzw_decompress(bytes(lzw), min_code_size, max_out=iw * ih)
         if len(idx) != iw * ih:
             raise ValueError(f"decoded {len(idx)} indices for {iw}x{ih} frame")
         if interlaced:
@@ -5113,7 +5160,8 @@ def _gif_composite(blob: bytes, *, rgb_mode: bool):
                 break
             lzw += blob[pos : pos + nsub]
             pos += nsub
-        idx = _lzw_decompress(bytes(lzw), min_code_size)
+        _bounds_check_dims(iw, ih, "GIF frame")
+        idx = _lzw_decompress(bytes(lzw), min_code_size, max_out=iw * ih)
         if len(idx) != iw * ih:
             raise ValueError(f"decoded {len(idx)} indices for {iw}x{ih} frame")
         if interlaced:
@@ -5362,7 +5410,8 @@ def decode_gif_indices(blob: bytes) -> tuple[int, int, bytes, bytes]:
             break
         lzw += blob[pos : pos + n]
         pos += n
-    idx = _lzw_decompress(bytes(lzw), min_code_size)
+    _bounds_check_dims(iw, ih, "GIF image")
+    idx = _lzw_decompress(bytes(lzw), min_code_size, max_out=iw * ih)
     if len(idx) != iw * ih:
         raise ValueError(f"decoded {len(idx)} indices for {iw}x{ih} image")
     if interlaced:
@@ -7502,6 +7551,10 @@ def decode_jpeg_np(blob: bytes) -> tuple[int, int, "np.ndarray"]:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8 or ncomp not in (1, 3, 4):
                 raise NotImplementedError("only 8-bit 1-, 3- or 4-component baseline supported")
+            # cap BEFORE the zzgrid allocation below — the per-component
+            # coefficient grids are keyed on these declared dims and run
+            # ~0.5 GB/component at the 16-bit maximum (r12 bomb sweep)
+            _bounds_check_dims(w, h, "JPEG")
             for ci in range(ncomp):
                 cid, samp, qid = payload[6 + 3 * ci : 9 + 3 * ci]
                 sh, sv = samp >> 4, samp & 0xF
@@ -8214,21 +8267,28 @@ def text_compress(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
 
 def text_decompress(df: DataFrame) -> DataFrame:
     """Inflate zlib text payloads distributed — (media_id, payload) →
-    (media_id, text). Raises on corrupt streams (zlib.error surfaces as a
-    task failure, not silent truncation). Registry `llm_compressed_ingest`
+    (media_id, text). Raises ValueError on corrupt streams (a loud task
+    failure, not silent truncation). Registry `llm_compressed_ingest`
     hash-verifies the full compress→decompress roundtrip against the
-    original column."""
-    import zlib
+    original column. Each payload's inflated size is capped at
+    MAX_INFLATE_BYTES (r12: a ~1000:1 zlib bomb row must not OOM the
+    executor mid-partition)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from query_engine_spark.llmdata.bounds import bounded_inflate
+
+        def one(b) -> str | None:
+            if b is None:
+                return None
+            return bounded_inflate(
+                bytes(b), what="compressed text payload"
+            ).decode("utf-8")
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "text": [
-                        None if b is None else zlib.decompress(bytes(b)).decode("utf-8")
-                        for b in pdf["payload"]
-                    ],
+                    "text": [one(b) for b in pdf["payload"]],
                 }
             )
 

@@ -654,10 +654,12 @@ class _Pdf:
         data = self.buf[p : p + int(length)]
         filt = val.get(b"/Filter")
         if filt == b"/FlateDecode":
-            try:
-                data = zlib.decompress(data)
-            except zlib.error as e:
-                raise ValueError(f"content stream corrupt: {e}") from e
+            # bounded (r12): /Length declares the COMPRESSED size, so
+            # nothing in the file bounds the inflated output — without a
+            # cap a small FlateDecode bomb (~1000:1) OOMs the executor
+            from query_engine_spark.llmdata.bounds import bounded_inflate
+
+            data = bounded_inflate(data, what="content stream")
         elif filt is not None:
             raise NotImplementedError(f"stream filter {filt!r} not supported")
         parms = val.get(b"/DecodeParms")

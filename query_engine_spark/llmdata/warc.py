@@ -86,21 +86,33 @@ def make_warc(records: list[dict], *, gzip_members: bool = True) -> bytes:
 
 def _gunzip_members(blob: bytes) -> bytes:
     """Inflate a concatenation of gzip members (the Common Crawl layout)
-    into one byte stream; a plain (non-gzip) blob passes through."""
+    into one byte stream; a plain (non-gzip) blob passes through. Total
+    output is capped at MAX_INFLATE_BYTES (r12: one bomb member in a
+    crawl file must not OOM the executor — gzip expands ~1000:1)."""
     if blob[:2] != b"\x1f\x8b":
         return blob
+    from query_engine_spark.llmdata.bounds import MAX_INFLATE_BYTES
+
+    cap = MAX_INFLATE_BYTES
     out = bytearray()
     rest = blob
     while rest:
         d = zlib.decompressobj(31)
         try:
-            out += d.decompress(rest)
-            out += d.flush()
+            out += d.decompress(rest, cap + 1 - len(out))
+            while d.unconsumed_tail and len(out) <= cap:
+                out += d.decompress(d.unconsumed_tail, cap + 1 - len(out))
+            if len(out) <= cap:
+                out += d.flush()
         except zlib.error as e:
             # normalize to the ONE contract exception type (the mbox
             # rule): a corrupt member is a bad-input fact, not a zlib
             # implementation detail leaking to callers (r11 fuzz find)
             raise ValueError(f"corrupt gzip member in WARC: {e}") from e
+        if len(out) > cap:
+            raise ValueError(
+                f"WARC gzip members exceed {cap}-byte decompression cap"
+            )
         if not d.eof:
             raise ValueError("truncated gzip member in WARC")
         rest = d.unused_data

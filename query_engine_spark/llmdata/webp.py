@@ -661,6 +661,11 @@ def _decode_vp8l_payload(payload: bytes) -> tuple[int, int, list[int]]:
     br.read_bit()  # alpha-is-used hint
     if br.read(3) != 0:
         raise ValueError("unknown VP8L version")
+    # cap before _decode_image's pixel-list allocation (r12 bomb sweep:
+    # 14-bit dims allow a 268M-pixel declared canvas from a tiny file)
+    from query_engine_spark.llmdata.bounds import check_dims
+
+    check_dims(w, h, "VP8L")
     pixels, transforms = _decode_image(br, w, h, level0=True)
     return w, h, _apply_inverse_transforms(pixels, w, h, transforms)
 
@@ -1310,6 +1315,11 @@ def decode_webp_frames(blob: bytes) -> tuple[int, int, list[dict]]:
                 )
             cw = int.from_bytes(payload[4:7], "little") + 1
             ch = int.from_bytes(payload[7:10], "little") + 1
+            # cap before the canvas allocation (r12 bomb sweep: VP8X
+            # dims are 24-bit, so a declared canvas can reach 2^48 px)
+            from query_engine_spark.llmdata.bounds import check_dims
+
+            check_dims(cw, ch, "VP8X canvas")
             canvas = [0] * (cw * ch)
         elif fourcc == b"ANIM":
             if len(payload) < 6:

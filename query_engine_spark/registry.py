@@ -7529,35 +7529,66 @@ _STALE_VERIFICATION: set[str] = set()
 
 # Queries whose machinery round 12 changed after their last driver check.
 # Window math for round 12 (COVERAGE.md's dated budget): no candidate
-# pool (production held at zero, third round running); the 5 touched
-# slots below re-verify queries whose machinery this round's ADVICE-r11
-# fixes rewrote; the remaining 45 rotation slots clear ALL 36 r6-era
-# checks plus the first 9 r7-era names by registry position — draining
-# the r6 cohort exactly as the r11 verdict scheduled. (bench.py's
-# SINCE_TS default fix touches no query machinery.)
+# pool (production held at zero, third round running), but the round's
+# fuzz ritual found a SYSTEMIC resource-bound class (decompression/pixel
+# bombs: a bit-flipped BITMAPINFOHEADER measured 21.5 GB RSS in
+# decode_avi_rle8) whose fix — llmdata/bounds.py caps applied across
+# PNG/GIF/JPEG/QOI/FLAC/WebP/RLE8 decoders, ZIP/TAR.GZ/BZ2/XZ/WARC/PDF/
+# WOFF/text inflates — puts new code on the HAPPY PATH of 51 registry
+# queries (transitive call analysis, docstring-stripped; the r11
+# precedent: happy-path code change → re-earn). 50 fill the ENTIRE
+# window below; the r6/r7 rotation the r11 verdict scheduled slips to
+# r13 IN FULL (36 r6-era + 47 r7-era names, every one covered by this
+# round's three-scale 272/272 selfcheck — the r7-note overflow rule).
+# Also touched by the four ADVICE-r11 fixes, all subsumed here:
+# parse_warc strict-ascii header names (llm_warc_ingest), ZIP64
+# fallback classic-EOCD agreement via the relocated _z64_classic_agree
+# on the happy path (zip/zip64/epub chains), and the dispatch
+# quarantine narrowed to DISPATCH_CORRUPTION_EXC (media_decode_dispatch
+# — batch runs quarantine=False, but the function body changed).
+# DELIBERATE HOLD-OUT (the 51st would push media_decode_dispatch —
+# whose change is unique to it — out of the window): multimodal_jpeg_422
+# is excluded; its ONLY new code is the SOF-stage _bounds_check_dims
+# line in decode_jpeg_np, shared verbatim with in-window siblings
+# multimodal_jpeg_420/_color/_progressive/_restart/_cmyk, and it is
+# covered by the three-scale sweep. Exonerated by execution reasoning
+# (not touched): multimodal_features + media_perceptual_dedup +
+# media_incremental_dedup + multimodal_resize (24-bpp BMP decode
+# unchanged), media_type_sniff (magic bytes only),
+# multimodal_webp_lossy_meta (header layer only), WAV/mu-law/A-law/
+# ADPCM/AIFF/SPHERE/AU audio chains (length-bounded, unchanged),
+# TIFF chains (strip LZW was already expected-bounded).
 _ROUND12_TOUCHED = {
-    # r11-verified; ADVICE r11 (low): parse_warc's header-NAME decode
-    # claimed ASCII per ISO 28500 §5.1 but used the UTF-8 default — now
-    # strict ascii. The decode runs per header on every record's happy
-    # path, so the hash is re-earned.
-    "llm_warc_ingest",
-    # r11-verified; ADVICE r11 (low): the ZIP64 nonconforming-writer
-    # fallback now ALSO requires agreement with the classic EOCD's
-    # non-sentinel fields (_z64_classic_agree). The fallback branch
-    # itself never runs on conforming archives, but the restructure
-    # relocated the happy path's classic-agreement checks out of
-    # _z64_record_ok into the shared helper, so the three read_zip
-    # chains re-earn their hashes (conservative, per the r11 precedent:
-    # function body changed, values identical).
-    "llm_zip_ingest",
-    "llm_epub_ingest",
-    "llm_zip64_ingest",
-    # r11-verified; ADVICE r11 (low): quarantine's bare `except
-    # Exception` narrowed to the named corruption set
-    # (DISPATCH_CORRUPTION_EXC, module top). The batch query runs
-    # quarantine=False and healthy payloads never raise, but the
-    # function body changed, so the hash is re-earned.
-    "media_decode_dispatch",
+    # r6-era riders of the changed decode paths
+    "media_jpeg_perceptual_dedup", "media_video_dedup",
+    "multimodal_jpeg_color", "multimodal_video_frames",
+    "multimodal_video_rle",
+    # r7
+    "multimodal_jpeg_420",
+    # r8
+    "media_mp4_video_dedup", "multimodal_audio_flac",
+    "multimodal_audio_flac_stereo", "multimodal_gif_animated",
+    "multimodal_gif_composited", "multimodal_gif_disposals",
+    "multimodal_gif_interlaced", "multimodal_gif_local_palettes",
+    "multimodal_jpeg", "multimodal_jpeg_progressive",
+    "multimodal_jpeg_restart", "multimodal_png", "multimodal_png16",
+    "multimodal_png_adam7", "multimodal_png_gray",
+    "multimodal_png_palette", "multimodal_png_rgba",
+    "multimodal_video_avi_mjpeg", "multimodal_video_mp4",
+    # r9
+    "multimodal_audio_flac24", "multimodal_bmp_rle8", "multimodal_ico",
+    "multimodal_image_text_pairs", "multimodal_jpeg_cmyk",
+    "multimodal_jpeg_oriented", "multimodal_pdf_text",
+    "multimodal_pdf_xrefstream", "multimodal_png_packed",
+    "multimodal_png_trns", "multimodal_webp", "multimodal_webp_animated",
+    "multimodal_webp_palette",
+    # r10
+    "multimodal_qoi", "multimodal_woff",
+    # r11
+    "llm_compressed_ingest", "llm_epub_ingest", "llm_tar_ingest",
+    "llm_tar_longnames", "llm_tar_mixed_ingest", "llm_warc_ingest",
+    "llm_zip64_ingest", "llm_zip_ingest", "media_decode_dispatch",
+    "multimodal_gif",
 }
 
 # Stable alias so _driver_order and the scheduling tests survive the

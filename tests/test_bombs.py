@@ -1,0 +1,291 @@
+"""Decompression-bomb and pixel-bomb regression suite (r12).
+
+The r11 mutation fuzz asserted exception CONTRACTS; this suite asserts
+RESOURCE BOUNDS — the class it missed. Reproducer that started it: a
+bit-flipped BITMAPINFOHEADER drove decode_avi_rle8's canvas comprehension
+to 21.5 GB RSS (one adversarial crawl payload = one OOM'd executor).
+Every test here must complete fast and small: the fix is that the
+contract error fires BEFORE the allocation, not after.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from query_engine_spark.llmdata import archives as A
+from query_engine_spark.llmdata import bounds as B
+from query_engine_spark.llmdata import multimodal as M
+from query_engine_spark.llmdata import warc as W
+from query_engine_spark.llmdata import webp as WB
+
+
+# --- unit: the shared guards ------------------------------------------------
+
+
+def test_bounded_inflate_roundtrip_and_bounds():
+    data = b"payload " * 1000
+    z = zlib.compress(data)
+    assert B.bounded_inflate(z, expected=len(data)) == data
+    assert B.bounded_inflate(z) == data  # cap-only path
+    # over-declared-size: structurally invalid, ValueError
+    with pytest.raises(ValueError, match="exceeds declared size"):
+        B.bounded_inflate(z, expected=100)
+    # over-cap with no declared size
+    bomb = zlib.compress(b"\x00" * (1 << 20), 9)  # ~1000:1
+    with pytest.raises(ValueError, match="decompression cap"):
+        B.bounded_inflate(bomb, cap=1 << 16)
+    # corrupt stream normalizes to ValueError
+    with pytest.raises(ValueError, match="inflate failed"):
+        B.bounded_inflate(b"\x00not zlib")
+    # raw-deflate wbits passthrough
+    raw = zlib.compressobj(wbits=-15)
+    rz = raw.compress(data) + raw.flush()
+    assert B.bounded_inflate(rz, wbits=-15, expected=len(data)) == data
+
+
+def test_bounded_bz2_and_xz_bounds():
+    import bz2
+    import lzma
+
+    data = b"x" * (1 << 18)
+    assert B.bounded_bz2(bz2.compress(data)) == data
+    assert B.bounded_xz(lzma.compress(data)) == data
+    with pytest.raises(ValueError, match="decompression cap"):
+        B.bounded_bz2(bz2.compress(b"\x00" * (1 << 20)), cap=1 << 16)
+    with pytest.raises(ValueError, match="decompression cap"):
+        B.bounded_xz(lzma.compress(b"\x00" * (1 << 20)), cap=1 << 16)
+    with pytest.raises(ValueError, match="corrupt"):
+        B.bounded_bz2(b"BZh9 garbage")
+    with pytest.raises(ValueError, match="corrupt"):
+        B.bounded_xz(b"\xfd7zXZ\x00 garbage")
+    with pytest.raises(ValueError, match="truncated"):
+        B.bounded_bz2(bz2.compress(data)[:-4])
+
+
+def test_check_dims_contract():
+    B.check_dims(4096, 4096, "x")  # exactly at the cap: allowed
+    with pytest.raises(ValueError, match="invalid"):
+        B.check_dims(0, 5, "x")
+    with pytest.raises(ValueError, match="invalid"):
+        B.check_dims(5, -1, "x")
+    # over-cap is a CAPACITY boundary (honest-NULL in the census), not
+    # corruption
+    with pytest.raises(NotImplementedError, match="decode cap"):
+        B.check_dims(4097, 4096, "x")
+
+
+# --- pixel bombs: declared dims capped before allocation --------------------
+
+
+def test_avi_rle8_dims_bomb_refused():
+    """The r12 reproducer class: huge strf dims must refuse BEFORE the
+    canvas comprehension (measured 21.5 GB RSS before the fix)."""
+    avi = bytearray(M.make_avi_rle8(2, 8, 6, 3))
+    i = avi.find(b"strf")
+    struct.pack_into("<ii", avi, i + 8 + 4, 46000, 46000)
+    with pytest.raises(NotImplementedError, match="decode cap"):
+        M.decode_avi_rle8(bytes(avi))
+
+
+def test_bmp_rle8_dims_bomb_refused():
+    blob = bytearray(M.make_bmp_rle8(1, 8, 6))
+    struct.pack_into("<ii", blob, 18, 46000, 46000)
+    with pytest.raises(NotImplementedError, match="decode cap"):
+        M.decode_bmp_rle8(bytes(blob))
+
+
+def test_gif_dims_bomb_refused_and_lzw_output_bounded():
+    gif = bytearray(M.make_gif(1, 8, 6))
+    desc = 13 + 768  # header + logical screen descriptor + 256-entry GCT
+    assert gif[desc] == 0x2C
+    struct.pack_into("<HH", gif, 6, 46000, 46000)
+    struct.pack_into("<HHHH", gif, desc + 1, 0, 0, 46000, 46000)
+    with pytest.raises(NotImplementedError, match="decode cap"):
+        M.decode_gif(bytes(gif))
+    # LZW expands up to ~4096:1 — a frame declaring tiny dims over a real
+    # pixel stream must stop at the declared size, not decode it all
+    small = bytearray(M.make_gif(1, 8, 6))
+    struct.pack_into("<HH", small, 6, 2, 2)
+    struct.pack_into("<HHHH", small, desc + 1, 0, 0, 2, 2)
+    with pytest.raises(ValueError, match="LZW output exceeds"):
+        M.decode_gif(bytes(small))
+
+
+def test_png_dims_bomb_and_idat_overinflate_refused():
+    png = bytearray(M.make_png(1, 8, 6))
+    ih = png.find(b"IHDR")
+    struct.pack_into(">II", png, ih + 4, 30000, 30000)
+    crc = zlib.crc32(png[ih : ih + 4 + 13]) & 0xFFFFFFFF
+    struct.pack_into(">I", png, ih + 17, crc)
+    with pytest.raises(NotImplementedError, match="decode cap"):
+        M.decode_png(bytes(png))
+    # honest dims but an IDAT that inflates PAST the header-derived size:
+    # the bounded inflate must refuse (the old code inflated fully, then
+    # compared sizes — the allocation had already happened)
+    over = zlib.compress(b"\x00" * 100_000)
+    body = struct.pack(">I", len(over)) + b"IDAT" + over
+    body += struct.pack(">I", zlib.crc32(body[4:]))
+    base = M.make_png(1, 8, 6)
+    ihdr_end = base.find(b"IDAT") - 4
+    iend = base.rfind(b"IEND") - 4
+    crafted = base[:ihdr_end] + bytes(body) + base[iend:]
+    with pytest.raises(ValueError, match="exceeds declared size"):
+        M.decode_png(crafted)
+
+
+def test_jpeg_dims_bomb_refused():
+    jp = bytearray(M.make_jpeg(1, 16, 16))
+    i = jp.find(b"\xff\xc0")
+    struct.pack_into(">HH", jp, i + 5, 46000, 46000)
+    with pytest.raises(NotImplementedError, match="decode cap"):
+        M.decode_jpeg_np(bytes(jp))
+
+
+def test_qoi_dims_bomb_refused():
+    qoi = (
+        b"qoif" + struct.pack(">IIBB", 1 << 16, 1 << 16, 3, 0)
+        + b"\xfd" * 64 + b"\x00" * 7 + b"\x01"
+    )
+    with pytest.raises(NotImplementedError, match="decode cap"):
+        M.decode_qoi(qoi)
+
+
+def test_vp8l_dims_bomb_refused():
+    # valid VP8L header declaring the 14-bit maximum (16384x16384 =
+    # 268M px) with a junk bitstream: the cap must fire before any
+    # canvas/prefix-code work touches the declared size
+    bits = 16383 | (16383 << 14)
+    vp8l = bytes([0x2F]) + struct.pack("<I", bits) + b"\x00" * 50
+    riff = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8l)) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    )
+    with pytest.raises(NotImplementedError, match="decode cap"):
+        WB.decode_webp(riff)
+
+
+def test_vp8x_canvas_bomb_refused():
+    # animated container declaring a 24-bit canvas (2^48 px)
+    vp8x = bytes([0x02, 0, 0, 0]) + (0xFFFFFF).to_bytes(3, "little") * 2
+    riff = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 10) + b"WEBP"
+        + b"VP8X" + struct.pack("<I", 10) + vp8x
+    )
+    with pytest.raises(NotImplementedError, match="decode cap"):
+        WB.decode_webp_frames(riff)
+
+
+def test_flac_declared_total_bomb_refused():
+    fl = bytearray(M.make_flac(1, 2000))
+    si = 8  # fLaC + 4-byte block header
+    v = int.from_bytes(fl[si + 10 : si + 18], "big")
+    v |= (1 << 36) - 1  # total_samples := max
+    fl[si + 10 : si + 18] = v.to_bytes(8, "big")
+    with pytest.raises(NotImplementedError, match="decode cap"):
+        M.decode_flac(bytes(fl))
+
+
+# --- inflate bombs: compressed streams bounded ------------------------------
+
+
+def test_zip_member_inflate_bomb_refused():
+    """A member whose deflate stream inflates past its declared usize
+    must refuse after at most usize+1 bytes — the old path inflated the
+    whole bomb, then compared sizes."""
+    z = bytearray(A.build_zip([("a.bin", b"tiny")]))
+    c = zlib.compressobj(9, zlib.DEFLATED, -15)
+    bomb = c.compress(b"\x00" * 200_000) + c.flush()
+    # splice: keep headers but replace the stored payload is fiddly —
+    # craft a minimal zip instead with mismatched sizes
+    crc = zlib.crc32(b"\x00" * 200_000) & 0xFFFFFFFF
+    name = b"a.bin"
+    lfh = (
+        struct.pack("<IHHHHHIIIHH", A._ZIP_LOCAL_SIG, 20, 0, 8, 0, 0,
+                    crc, len(bomb), 4, len(name), 0) + name + bomb
+    )
+    cd = (
+        struct.pack("<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, 0, 8, 0, 0,
+                    crc, len(bomb), 4, len(name), 0, 0, 0, 0, 0, 0)
+        + name
+    )
+    eocd = struct.pack(
+        "<IHHHHIIH", 0x06054B50, 0, 0, 1, 1, len(cd), len(lfh), 0
+    )
+    blob = lfh + cd + eocd
+    with pytest.raises(ValueError, match="exceeds declared size"):
+        A.read_zip(blob)
+    assert bytes(z)  # the unrelated fixture is untouched
+
+
+def test_gunzip_bytes_cap(monkeypatch):
+    monkeypatch.setattr(A, "MAX_INFLATE_BYTES", 1 << 16)
+    bomb = A.gzip_bytes(b"\x00" * (1 << 20), level=9)
+    with pytest.raises(ValueError, match="decompression cap"):
+        A.gunzip_bytes(bomb)
+    # under the cap still round-trips
+    assert A.gunzip_bytes(A.gzip_bytes(b"ok" * 100)) == b"ok" * 100
+
+
+def test_warc_gzip_members_cap(monkeypatch):
+    monkeypatch.setattr(B, "MAX_INFLATE_BYTES", 1 << 16)
+    bomb = A.gzip_bytes(b"\x00" * (1 << 20), level=9)
+    with pytest.raises(ValueError, match="decompression cap"):
+        W.parse_warc(bomb)
+
+
+def test_decompress_auto_routes_through_bounded():
+    import bz2
+    import lzma
+
+    # bz2's worst case is ~10^6:1 — this 8 MB plaintext compresses to
+    # ~50 bytes; with the default 256 MiB cap it still round-trips, and
+    # the bounded path is pinned by the unit tests above
+    data = b"\x00" * (1 << 23)
+    assert A.decompress_auto(bz2.compress(data)) == data
+    assert A.decompress_auto(lzma.compress(data)) == data
+    assert A.decompress_auto(A.gzip_bytes(data)) == data
+
+
+# --- mutation fuzz: the walkers the r11 recipe had not visited --------------
+
+
+def _mutate(rng, base: bytes) -> bytes:
+    bad = bytearray(base)
+    op = rng.randrange(3)
+    if op == 0 and bad:
+        bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+    elif op == 1:
+        bad = bad[: rng.randrange(len(bad))]
+    else:
+        bad += bytes(rng.randrange(256) for _ in range(rng.randrange(1, 9)))
+    return bytes(bad)
+
+
+@pytest.mark.parametrize(
+    "maker,decoder",
+    [
+        (lambda: M.make_avi(1, 8, 6, 3), M.demux_avi),
+        (lambda: M.make_avi_rle8(2, 8, 6, 3), M.decode_avi_rle8),
+        (lambda: M.make_avi_mjpeg(3, 3), M.demux_avi_mjpeg),
+        (lambda: M.make_mp4_mjpeg(4, 3), M.demux_mp4),
+    ],
+    ids=["avi", "avi_rle8", "avi_mjpeg", "mp4"],
+)
+def test_video_walker_mutation_fuzz(maker, decoder):
+    """The r11 parser-hardening recipe aimed at the MP4/AVI box/chunk
+    walkers (r11 verdict ask #4): 500 mutations must parse or raise the
+    strict contract types — no leaks, no hangs, no blow-ups (the RLE8
+    dims cap inside _rle8_decode_frame is what makes this terminate)."""
+    import random
+
+    base = maker()
+    rng = random.Random(1207)
+    for _ in range(500):
+        bad = _mutate(rng, base)
+        try:
+            decoder(bad)
+        except (ValueError, NotImplementedError):
+            continue

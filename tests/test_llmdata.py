@@ -3695,7 +3695,7 @@ def test_warc_header_name_ascii_contract():
     with pytest.raises(ValueError, match="undecodable WARC header name"):
         parse_warc(bad)
     ok = b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
-    assert parse_warc(ok)[0]["warc-type"] == "warcinfo"
+    assert parse_warc(ok)[0]["headers"]["warc-type"] == "warcinfo"
 
 
 def test_dispatch_corruption_set_excludes_programmer_errors():
