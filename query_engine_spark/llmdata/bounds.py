@@ -100,7 +100,62 @@ def bounded_inflate(
             + (f"declared size {expected}" if expected is not None
                and expected < cap else f"{cap}-byte decompression cap")
         )
+    if not d.eof:
+        # one-shot zlib.decompress raised on truncated streams; the
+        # decompressobj path returns the partial output instead, and
+        # call sites without a size check (PDF streams, compressed text
+        # rows) would silently keep it (r12 review find) — restore the
+        # fail-loud contract. Trailing bytes after stream end stay
+        # tolerated, matching the one-shot semantics call sites had.
+        raise ValueError(f"{what}: truncated compressed stream")
     return out
+
+
+def reject_xml_dtd(data: bytes | str, what: str) -> None:
+    """Refuse XML carrying a document type declaration BEFORE it reaches
+    xml.etree (r12 review find: expat expands internal entities, so a
+    nested billion-laughs DTD inflates to 10^10 chars in memory; stdlib
+    ElementTree has no switch to forbid it). Entity declarations are only
+    legal inside the DTD, so rejecting '<!DOCTYPE' closes the whole
+    class. Real-corpus sitemaps/feeds/SVG/OPF essentially never carry an
+    internal DTD subset — and a document that does gets an honest
+    ValueError, the same contract as any other malformed input."""
+    probe = data.encode("utf-8", "ignore") if isinstance(data, str) else data
+    if b"<!DOCTYPE" in probe:
+        raise ValueError(
+            f"{what}: document type declarations are not accepted "
+            "(entity-expansion guard)"
+        )
+
+
+def _bounded_multistream(mk_decompressor, err_types, data: bytes,
+                         cap: int, what: str) -> bytes:
+    """Concatenated-stream decompress under the cap — stdlib
+    bz2.decompress/lzma.decompress read MULTI-stream inputs (pbzip2/
+    multi-block xz are real corpus shapes), so the bounded replacements
+    must too (r12 review find, fourth pass: the first single-stream
+    version raised 'trailing bytes' on them). Trailing garbage that is
+    not another stream raises through err_types → ValueError, exactly
+    like the stdlib one-shot calls the call sites used to make."""
+    out = bytearray()
+    rest = data
+    while True:
+        d = mk_decompressor()
+        try:
+            out += d.decompress(rest, cap + 1 - len(out))
+            while not d.eof and not d.needs_input and len(out) <= cap:
+                out += d.decompress(b"", cap + 1 - len(out))
+        except err_types as e:
+            raise ValueError(f"{what} corrupt: {e}") from e
+        if len(out) > cap:
+            raise ValueError(
+                f"{what}: exceeds {cap}-byte decompression cap"
+            )
+        if not d.eof:
+            raise ValueError(f"{what} truncated")
+        rest = d.unused_data
+        if not rest:
+            return bytes(out)
 
 
 def bounded_bz2(data: bytes, *, cap: int = MAX_INFLATE_BYTES,
@@ -108,32 +163,14 @@ def bounded_bz2(data: bytes, *, cap: int = MAX_INFLATE_BYTES,
     """bz2 decompress under the cap — bzip2's worst-case expansion is
     ~10^6:1 (a 46 KB bomb decompresses to 46 GB), so the whole-stream
     stdlib call is never safe on untrusted bytes."""
-    d = bz2.BZ2Decompressor()
-    try:
-        out = d.decompress(data, cap + 1)
-    except (OSError, ValueError) as e:
-        raise ValueError(f"{what} corrupt: {e}") from e
-    if len(out) > cap:
-        raise ValueError(f"{what}: exceeds {cap}-byte decompression cap")
-    if not d.eof:
-        raise ValueError(f"{what} truncated")
-    if d.unused_data:
-        raise ValueError(f"{what}: trailing bytes")
-    return out
+    return _bounded_multistream(
+        bz2.BZ2Decompressor, (OSError, ValueError), data, cap, what
+    )
 
 
 def bounded_xz(data: bytes, *, cap: int = MAX_INFLATE_BYTES,
                what: str = "xz stream") -> bytes:
     """lzma decompress under the cap (same shape as bounded_bz2)."""
-    d = lzma.LZMADecompressor()
-    try:
-        out = d.decompress(data, cap + 1)
-    except lzma.LZMAError as e:
-        raise ValueError(f"{what} corrupt: {e}") from e
-    if len(out) > cap:
-        raise ValueError(f"{what}: exceeds {cap}-byte decompression cap")
-    if not d.eof:
-        raise ValueError(f"{what} truncated")
-    if d.unused_data:
-        raise ValueError(f"{what}: trailing bytes")
-    return out
+    return _bounded_multistream(
+        lzma.LZMADecompressor, (lzma.LZMAError,), data, cap, what
+    )

@@ -91,6 +91,9 @@ def _xhtml_chapter_text(blob: bytes) -> str:
     needed, unlike crawl HTML)."""
     import xml.etree.ElementTree as ET
 
+    from query_engine_spark.llmdata.bounds import reject_xml_dtd
+
+    reject_xml_dtd(blob, "chapter XHTML")
     try:
         root = ET.fromstring(blob)
     except ET.ParseError as e:
@@ -118,6 +121,9 @@ def epub_chapters(blob: bytes) -> list[str]:
     container = members.get("META-INF/container.xml")
     if container is None:
         raise ValueError("EPUB without META-INF/container.xml")
+    from query_engine_spark.llmdata.bounds import reject_xml_dtd
+
+    reject_xml_dtd(container, "container.xml")
     try:
         croot = ET.fromstring(container)
     except ET.ParseError as e:
@@ -131,6 +137,7 @@ def epub_chapters(blob: bytes) -> list[str]:
     opf_blob = members.get(opf_path)
     if opf_blob is None:
         raise ValueError(f"rootfile {opf_path!r} not in the archive")
+    reject_xml_dtd(opf_blob, "OPF")
     try:
         opf = ET.fromstring(opf_blob)
     except ET.ParseError as e:

@@ -5067,6 +5067,10 @@ def _gif_composite(blob: bytes, *, rgb_mode: bool):
     if len(blob) < 13:
         raise ValueError("truncated logical screen descriptor")
     sw, sh, packed, bg_index, _ = struct.unpack_from("<HHBBB", blob, 6)
+    # the compositing canvas below is allocated at SCREEN dims ((sh, sw,
+    # 3) ndarray — 12.9 GB at the 16-bit maximum), which the per-frame
+    # check cannot bound (r12 review find, second pass)
+    _bounds_check_dims(sw, sh, "GIF canvas")
     pos = 13
     if not packed & 0x80:
         raise ValueError("animated fixture requires a global color table")
@@ -9422,6 +9426,9 @@ def parse_svg(blob: bytes) -> dict:
     raise."""
     import xml.etree.ElementTree as ET
 
+    from query_engine_spark.llmdata.bounds import reject_xml_dtd
+
+    reject_xml_dtd(blob, "SVG")
     try:
         root = ET.fromstring(blob.decode("utf-8"))
     except (ET.ParseError, UnicodeDecodeError) as e:

@@ -337,6 +337,9 @@ def parse_sitemap(blob: bytes) -> list[dict]:
     Namespace-qualified per the spec; malformed XML raises ValueError."""
     import xml.etree.ElementTree as ET
 
+    from query_engine_spark.llmdata.bounds import reject_xml_dtd
+
+    reject_xml_dtd(blob, "sitemap")
     try:
         root = ET.fromstring(blob)
     except ET.ParseError as e:
@@ -374,6 +377,9 @@ def parse_feed(blob: bytes) -> list[dict]:
     parsers. Unknown roots and malformed XML raise ValueError."""
     import xml.etree.ElementTree as ET
 
+    from query_engine_spark.llmdata.bounds import reject_xml_dtd
+
+    reject_xml_dtd(blob, "feed")
     try:
         root = ET.fromstring(blob)
     except ET.ParseError as e:

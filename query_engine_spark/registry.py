@@ -7546,12 +7546,22 @@ _STALE_VERIFICATION: set[str] = set()
 # on the happy path (zip/zip64/epub chains), and the dispatch
 # quarantine narrowed to DISPATCH_CORRUPTION_EXC (media_decode_dispatch
 # — batch runs quarantine=False, but the function body changed).
-# DELIBERATE HOLD-OUT (the 51st would push media_decode_dispatch —
-# whose change is unique to it — out of the window): multimodal_jpeg_422
-# is excluded; its ONLY new code is the SOF-stage _bounds_check_dims
-# line in decode_jpeg_np, shared verbatim with in-window siblings
-# multimodal_jpeg_420/_color/_progressive/_restart/_cmyk, and it is
-# covered by the three-scale sweep. Exonerated by execution reasoning
+# The review ritual's second/third passes added three more touched
+# riders: the GIF compositing canvas cap (riders already in-window) and
+# the XML entity-expansion guard (reject_xml_dtd before every
+# ET.fromstring — riders llm_sitemap_frontier, crawl_schedule,
+# multimodal_svg below, plus the already-touched epub chain).
+# DELIBERATE HOLD-OUTS to keep every UNIQUE new code path in the
+# 50-slot window (each hold-out's only new line is shared VERBATIM with
+# a named in-window sibling, and all are covered by the three-scale
+# sweep): multimodal_jpeg_422 and multimodal_jpeg_restart (the SOF-stage
+# _bounds_check_dims line in decode_jpeg_np — siblings multimodal_jpeg/
+# _jpeg_420/_jpeg_color/_jpeg_progressive/_jpeg_cmyk in-window),
+# multimodal_png_palette (the bounded IDAT inflate in _decode_png_rows —
+# siblings multimodal_png/_png_gray/_png_adam7/_png16 in-window),
+# multimodal_audio_flac_stereo (the declared-total cap in decode_flac —
+# siblings multimodal_audio_flac/_flac24 in-window).
+# Exonerated by execution reasoning
 # (not touched): multimodal_features + media_perceptual_dedup +
 # media_incremental_dedup + multimodal_resize (24-bpp BMP decode
 # unchanged), media_type_sniff (magic bytes only),
@@ -7567,23 +7577,24 @@ _ROUND12_TOUCHED = {
     "multimodal_jpeg_420",
     # r8
     "media_mp4_video_dedup", "multimodal_audio_flac",
-    "multimodal_audio_flac_stereo", "multimodal_gif_animated",
+    "multimodal_gif_animated",
     "multimodal_gif_composited", "multimodal_gif_disposals",
     "multimodal_gif_interlaced", "multimodal_gif_local_palettes",
     "multimodal_jpeg", "multimodal_jpeg_progressive",
-    "multimodal_jpeg_restart", "multimodal_png", "multimodal_png16",
+    "multimodal_png", "multimodal_png16",
     "multimodal_png_adam7", "multimodal_png_gray",
-    "multimodal_png_palette", "multimodal_png_rgba",
+    "multimodal_png_rgba",
     "multimodal_video_avi_mjpeg", "multimodal_video_mp4",
     # r9
     "multimodal_audio_flac24", "multimodal_bmp_rle8", "multimodal_ico",
+    "llm_sitemap_frontier", "crawl_schedule",
     "multimodal_image_text_pairs", "multimodal_jpeg_cmyk",
     "multimodal_jpeg_oriented", "multimodal_pdf_text",
     "multimodal_pdf_xrefstream", "multimodal_png_packed",
     "multimodal_png_trns", "multimodal_webp", "multimodal_webp_animated",
     "multimodal_webp_palette",
     # r10
-    "multimodal_qoi", "multimodal_woff",
+    "multimodal_qoi", "multimodal_woff", "multimodal_svg",
     # r11
     "llm_compressed_ingest", "llm_epub_ingest", "llm_tar_ingest",
     "llm_tar_longnames", "llm_tar_mixed_ingest", "llm_warc_ingest",

@@ -44,6 +44,14 @@ def test_bounded_inflate_roundtrip_and_bounds():
     raw = zlib.compressobj(wbits=-15)
     rz = raw.compress(data) + raw.flush()
     assert B.bounded_inflate(rz, wbits=-15, expected=len(data)) == data
+    # r12 review find: the decompressobj path returned PARTIAL output on
+    # a truncated stream where one-shot zlib.decompress raised — call
+    # sites without a size check (PDF streams, compressed text rows)
+    # would have silently kept it. Truncation must raise; trailing bytes
+    # after stream end stay tolerated (one-shot semantics).
+    with pytest.raises(ValueError, match="truncated compressed stream"):
+        B.bounded_inflate(z[:-5])
+    assert B.bounded_inflate(z + b"trailing-junk") == data
 
 
 def test_bounded_bz2_and_xz_bounds():
@@ -63,6 +71,19 @@ def test_bounded_bz2_and_xz_bounds():
         B.bounded_xz(b"\xfd7zXZ\x00 garbage")
     with pytest.raises(ValueError, match="truncated"):
         B.bounded_bz2(bz2.compress(data)[:-4])
+    # multi-stream inputs (pbzip2 / multi-block xz shapes) decompress
+    # like the stdlib one-shots did; the cap spans the concatenation
+    two = bz2.compress(b"first|") + bz2.compress(b"second")
+    assert B.bounded_bz2(two) == b"first|second"
+    two_xz = lzma.compress(b"first|") + lzma.compress(b"second")
+    assert B.bounded_xz(two_xz) == b"first|second"
+    with pytest.raises(ValueError, match="decompression cap"):
+        B.bounded_bz2(
+            bz2.compress(b"\x00" * 60000) + bz2.compress(b"\x00" * 60000),
+            cap=1 << 16,
+        )
+    with pytest.raises(ValueError, match="corrupt"):
+        B.bounded_bz2(bz2.compress(b"ok") + b"trailing garbage")
 
 
 def test_check_dims_contract():
@@ -134,6 +155,31 @@ def test_png_dims_bomb_and_idat_overinflate_refused():
     crafted = base[:ihdr_end] + bytes(body) + base[iend:]
     with pytest.raises(ValueError, match="exceeds declared size"):
         M.decode_png(crafted)
+
+
+def test_png_expected_size_formula_exact_across_matrix():
+    """The bounded IDAT inflate derives its limit from the header
+    (per-scanline filter byte + ceil(w·depth·channels/8), Adam7 passes
+    summed separately, empty passes skipped) — if that formula were off
+    by one byte for ANY supported depth/color/interlace combination,
+    LEGITIMATE files of that shape would refuse to decode. Exercise the
+    full matrix including odd dims and empty-pass shapes."""
+    for depth, ct in [(1, 0), (2, 0), (4, 0), (1, 3), (2, 3), (4, 3)]:
+        for il in (False, True):
+            for w, h in [(1, 1), (2, 1), (1, 2), (3, 2), (9, 6), (8, 8),
+                         (7, 5), (16, 1), (1, 16)]:
+                blob = M.make_png_packed(
+                    5, w, h, depth=depth, color_type=ct, interlace=il
+                )
+                got = M.decode_png_pixels(blob)
+                assert (got[0], got[1]) == (w, h), (depth, ct, il, w, h)
+    for il in (False, True):
+        for ct in (0, 2, 3, 4, 6):
+            for w, h in [(1, 1), (3, 2), (9, 6), (7, 5)]:
+                got = M.decode_png_pixels(
+                    M.make_png(5, w, h, color_type=ct, interlace=il)
+                )
+                assert (got[0], got[1]) == (w, h), (ct, il, w, h)
 
 
 def test_jpeg_dims_bomb_refused():
@@ -234,6 +280,39 @@ def test_warc_gzip_members_cap(monkeypatch):
     bomb = A.gzip_bytes(b"\x00" * (1 << 20), level=9)
     with pytest.raises(ValueError, match="decompression cap"):
         W.parse_warc(bomb)
+
+
+def test_xml_dtd_rejected_everywhere():
+    """r12 review find (third pass): stdlib ElementTree expands internal
+    entities, so a nested billion-laughs DTD inflates to 10^10 chars —
+    every ET.fromstring site now rejects '<!DOCTYPE' up front with the
+    contract ValueError (defusedxml's default posture, without the
+    dependency)."""
+    from query_engine_spark.llmdata import ebooks as EB
+
+    laughs = (
+        b'<?xml version="1.0"?><!DOCTYPE a [<!ENTITY e0 "x">'
+        b'<!ENTITY e1 "&e0;&e0;&e0;&e0;&e0;&e0;&e0;&e0;&e0;&e0;">]>'
+    )
+    with pytest.raises(ValueError, match="entity-expansion guard"):
+        W.parse_sitemap(laughs + b"<urlset>&e1;</urlset>")
+    with pytest.raises(ValueError, match="entity-expansion guard"):
+        W.parse_feed(laughs + b"<rss>&e1;</rss>")
+    with pytest.raises(ValueError, match="entity-expansion guard"):
+        M.parse_svg(laughs + b"<svg>&e1;</svg>")
+    # EPUB: a DTD inside container.xml must refuse (chapter/OPF guards
+    # share the same helper)
+    base = EB.make_epub(7, [("One", ["alpha", "beta"]), ("Two", ["gamma"])])
+    members = dict(A.read_zip(base))
+    members["META-INF/container.xml"] = (
+        laughs + members["META-INF/container.xml"].split(b"?>", 1)[1]
+    )
+    crafted = A.build_zip(list(members.items()))
+    with pytest.raises(ValueError, match="entity-expansion guard"):
+        EB.epub_chapters(crafted)
+    # healthy payloads keep decoding
+    assert EB.epub_chapters(base)
+    assert M.parse_svg(M.make_svg(3))["width"] > 0
 
 
 def test_decompress_auto_routes_through_bounded():
