@@ -252,13 +252,29 @@ def html_to_text(col: Column) -> Column:
     this); residual entities collapse to a space (documented lossy —
     numeric decode needs chr(), which is not expressible
     engine-portably); whitespace normalizes with newlines preserved."""
-    c = F.regexp_replace(col, r"(?is)<!--.*?-->", " ")
+    # CPU-bomb guard (r12 review find, same class as llmdata/bounds.py —
+    # the resource is CPU): each lazy-body pattern below, failing at an
+    # UNCLOSED opener, scans to end-of-input and then retries at every
+    # later opener — O(N²) on a crafted page of repeated '<!--'/'<script'
+    # openers with no closer (measured: 384 KB of openers ≈ 58 s in the
+    # JVM regex engine; a 1 MB page ≈ minutes of one executor core).
+    # Appending one CLOSED sentinel of each kind makes an unclosed
+    # opener match ONCE to the sentinel — the swallow-to-EOF semantics
+    # browsers apply to unclosed comments/scripts — and the sentinels
+    # strip themselves when unused, so conforming pages are unchanged.
+    c = F.concat(col, F.lit("<!----><script></script><style></style>"))
+    c = F.regexp_replace(c, r"(?is)<!--.*?-->", " ")
     c = F.regexp_replace(c, r"(?is)<script\b.*?</script\s*>", " ")
     c = F.regexp_replace(c, r"(?is)<style\b.*?</style\s*>", " ")
+    # tag-interior classes exclude '<' as well as '>' (r12 CPU-bomb
+    # guard): with [^>]* a '>'-less tail costs O(tail) at EVERY '<',
+    # O(N²) on a '<'-flood; [^<>]* bounds each attempt at the next '<'
+    # (an unclosed tag swallowing everything to the next tag open is
+    # also what html.parser does). Same class swap across this module.
     c = F.regexp_replace(
-        c, r"(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table|/blockquote)\b[^>]*>", "\n"
+        c, r"(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table|/blockquote)\b[^<>]*>", "\n"
     )
-    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    c = F.regexp_replace(c, r"(?s)<[^<>]*>", " ")
     # scrub any literal 0x01 first (malformed real-crawl bytes) so the
     # sentinel below can never collide and fabricate an ampersand
     c = F.regexp_replace(c, "\x01", " ")
@@ -759,7 +775,14 @@ def html_metadata(col: Column) -> dict[str, Column]:
     discriminating attribute and accept both quote styles where the
     fixtures exercise them; absent fields yield empty strings (cast to
     NULL by the caller when preferred)."""
-    title = F.regexp_extract(col, r"(?is)<title[^>]*>(.*?)</title\s*>", 1)
+    # [^<>] + the bounded body are CPU-bomb guards (r12: an unclosed
+    # <title> retried the to-end scan at every later opener, O(N²); no
+    # real <title> approaches 2 KB, so the bound is a capacity line in
+    # the bounds.py spirit, not a behavior change — a crafted page of
+    # 110k bare openers now costs ~2 s, not minutes)
+    title = F.regexp_extract(
+        col, r"(?is)<title[^<>]*>(.{0,2048}?)</title\s*>", 1
+    )
 
     def _attr_value(tag: str, disc: str, value_attr: str) -> Column:
         # per-quote patterns: a double-quoted value may contain
@@ -768,11 +791,16 @@ def html_metadata(col: Column) -> dict[str, Column]:
         # (code-review finding). The quote right after '=' picks the
         # pattern, so the wrong-quote pattern cannot fire.
         out = F.lit("")
+        # [^<>]* not [^>]*: the r12 CPU-bomb guard — with [^>]*, a page
+        # of repeated '<meta ' openers and no '>' anywhere makes every
+        # opener scan to end-of-input (measured quadratic: 48 KB 1.7 s,
+        # 96 KB 5.0 s, 192 KB 15.5 s, 384 KB 57.7 s in the JVM engine);
+        # excluding '<' bounds each attempt at the next tag open.
         for pat in (
-            rf'(?is)<{tag}\b[^>]*{disc}[^>]*{value_attr}="([^"]*)"',
-            rf"(?is)<{tag}\b[^>]*{disc}[^>]*{value_attr}='([^']*)'",
-            rf'(?is)<{tag}\b[^>]*{value_attr}="([^"]*)"[^>]*{disc}',
-            rf"(?is)<{tag}\b[^>]*{value_attr}='([^']*)'[^>]*{disc}",
+            rf'(?is)<{tag}\b[^<>]*{disc}[^<>]*{value_attr}="([^"]*)"',
+            rf"(?is)<{tag}\b[^<>]*{disc}[^<>]*{value_attr}='([^']*)'",
+            rf'(?is)<{tag}\b[^<>]*{value_attr}="([^"]*)"[^<>]*{disc}',
+            rf"(?is)<{tag}\b[^<>]*{value_attr}='([^']*)'[^<>]*{disc}",
         ):
             got = F.regexp_extract(col, pat, 1)
             out = F.when(out != "", out).otherwise(got)
@@ -781,8 +809,8 @@ def html_metadata(col: Column) -> dict[str, Column]:
     canonical = _attr_value("link", r"""rel=["']canonical["']""", "href")
     description = _attr_value("meta", r"""name=["']description["']""", "content")
     og_title = _attr_value("meta", r"""property=["']og:title["']""", "content")
-    lang_dq = F.regexp_extract(col, r'(?is)<html\b[^>]*lang="([^"]+)"', 1)
-    lang_sq = F.regexp_extract(col, r"""(?is)<html\b[^>]*lang='([^']+)'""", 1)
+    lang_dq = F.regexp_extract(col, r'(?is)<html\b[^<>]*lang="([^"]+)"', 1)
+    lang_sq = F.regexp_extract(col, r"""(?is)<html\b[^<>]*lang='([^']+)'""", 1)
     lang = F.when(lang_dq != "", lang_dq).otherwise(lang_sq)
     return {
         "title": title,
@@ -798,7 +826,7 @@ def html_metadata(col: Column) -> dict[str, Column]:
 # scheduling, host reputation, and PageRank-style quality priors) -------
 
 
-_A_TAG_RE = r"(?is)<a\b[^>]*>"
+_A_TAG_RE = r"(?is)<a\b[^<>]*>"  # [^<>]: r12 CPU-bomb guard (see html_metadata)
 
 
 def outlink_edges(df: DataFrame, *, html_col: str = "html",
@@ -957,7 +985,7 @@ def frontier_not_seen(
 # every <img> with its alt text, resolved to fetchable URLs ---------------
 
 
-_IMG_RE = r"(?is)<img\b[^>]*>"
+_IMG_RE = r"(?is)<img\b[^<>]*>"  # [^<>]: r12 CPU-bomb guard (see html_metadata)
 
 
 def image_refs(df: DataFrame, *, html_col: str = "html",

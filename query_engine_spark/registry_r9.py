@@ -2601,8 +2601,15 @@ def llm_html_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("<html><head><title>t</title>"), block,
         F.lit("</head><body><p>"), F.col("text"), F.lit("</p></body></html>"),
     )
+    # [^<>] attr segments + the 64 KB body bound are the r12 CPU-bomb
+    # guards (warc.py html_metadata has the measurements): an unclosed
+    # typed opener inside untrusted document text otherwise retries a
+    # to-end scan at every later opener, O(N²); real JSON-LD blocks sit
+    # far under 64 KB, so the bound is a capacity line, not behavior.
     raw = F.regexp_extract(
-        page, r"""(?is)<script[^>]*type=["']application/ld\+json["'][^>]*>(.*?)</script>""", 1
+        page,
+        r"""(?is)<script[^<>]*type=["']application/ld\+json["'][^<>]*>(.{0,65536}?)</script>""",
+        1,
     )
     schema = (
         "`@type` string, headline string, datePublished string,"

@@ -410,3 +410,79 @@ def test_audio_fits_mutation_fuzz(maker, decoder):
             decoder(bytes(bad))
         except allowed:
             continue
+
+
+# --- CPU bombs: catastrophic regex scans in the HTML extractors -------------
+
+
+def test_html_extractors_cpu_bomb_bounded(spark):
+    """r12 review find, the CPU variant of the bomb class: the HTML
+    attribute patterns used [^>]* segments, so a crafted page of
+    repeated UNCLOSED openers ('<meta ' * N, no '>' anywhere) made the
+    JVM regex engine rescan to end-of-input at every opener — measured
+    quadratic (48 KB 1.7 s, 96 KB 5.0 s, 192 KB 15.5 s, 384 KB 57.7 s
+    for ONE of html_metadata's 13 patterns; a 768 KB page ≈ 50 min for
+    the full extractor). Fixes: [^<>] tag-interior classes (an attempt
+    now ends at the next tag open), closed SENTINELS appended before
+    the comment/script/style strips (an unclosed opener matches once,
+    swallow-to-EOF, instead of failing at every opener), and bounded
+    title/JSON-LD bodies. This pins the wall-clock: every flood must
+    finish far under the old quadratic cost — and the conforming-page
+    results stay byte-identical (conformance + oracle suites)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from query_engine_spark.llmdata import warc as W
+
+    floods = {
+        "meta_flood": "<meta " * 128000,      # 768 KB, no '>' anywhere
+        "script_flood": "<script " * 96000,   # unclosed script openers
+        "comment_flood": "<!--x" * 150000,    # unclosed comments
+        "lt_flood": "<" * 786432,             # bare '<' flood
+        "title_flood": "<title>" * 110000,    # unclosed titles
+    }
+    for name, page in floods.items():
+        df = spark.createDataFrame(
+            [(page, "https://h.example/p")], "html string, url string"
+        )
+        t0 = time.time()
+        meta = W.html_metadata(F.col("html"))
+        df.select(*[v.alias(k) for k, v in meta.items()]).collect()
+        df.select(W.html_to_text(F.col("html")).alias("t")).collect()
+        W.outlink_edges(df).count()
+        wall = time.time() - t0
+        # post-fix measurements: 0.9-5.7 s per flood on local[32]; the
+        # old code took 100-3000+ s — 60 s discriminates with margin
+        assert wall < 60, f"{name}: {wall:.1f}s — quadratic scan is back"
+
+
+def test_html_sentinel_and_bounds_semantics(spark):
+    """The guards must not change conforming pages: sentinels strip
+    themselves, an UNCLOSED script swallows to EOF (what browsers do —
+    previously its body text leaked through the tag-strip), and a
+    >2 KB title lands empty (capacity line) while ordinary titles and
+    titles with '>' in attrs keep extracting."""
+    from pyspark.sql import functions as F
+
+    from query_engine_spark.llmdata import warc as W
+
+    rows = [
+        ("<html><body><p>keep me</p></body></html>",),
+        ("<html><body>before<script>var x=1;</body></html>",),
+        ("<title>" + "x" * 4096 + "</title>",),
+        ("<title>ok title</title>",),
+    ]
+    df = spark.createDataFrame(rows, "html string")
+    texts = [
+        r["t"] for r in
+        df.select(W.html_to_text(F.col("html")).alias("t")).collect()
+    ]
+    assert texts[0] == "keep me"          # sentinels leave no residue
+    assert texts[1] == "before"           # unclosed script swallows to EOF
+    titles = [
+        r["title"] for r in
+        df.select(W.html_metadata(F.col("html"))["title"].alias("title")).collect()
+    ]
+    assert titles[2] == ""                # over-cap title: empty, not a stall
+    assert titles[3] == "ok title"
