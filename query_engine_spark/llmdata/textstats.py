@@ -382,10 +382,19 @@ def contamination_pairs(
 
 
 # PII-ish patterns (emails, international-ish phone numbers, IPv4) — the
-# redaction pass a training-data pipeline runs before tokenization
+# redaction pass a training-data pipeline runs before tokenization.
+# Quantifiers are BOUNDED (r12 CPU-bomb guard, same class as the HTML
+# extractor fix): with unbounded `+`, the JVM engine's failed attempt at
+# every offset of a long class-run costs O(run) — a 256 KB base64 blob
+# (ordinary crawl text, not even adversarial) stalled redact_pii for
+# >6 min, O(N²). Bounds cap each attempt at a constant and are the
+# standards' own limits (RFC 5321: local-part ≤64, domain ≤255; E.164 +
+# separators stays far under 32), so conforming values never notice;
+# a >64-char "local part" is not an address. RE2-safe (DuckDB oracles
+# restate these verbatim — keep registry.py text_redact_pii in sync).
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
-    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>"),
+    ("[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\\.[A-Za-z]{2,24}", "<EMAIL>"),
+    ("\\+?[0-9][0-9()\\- ]{7,30}[0-9]", "<PHONE>"),
     ("\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
 )
 

@@ -3195,8 +3195,8 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_replace(
              regexp_replace(
                regexp_replace(text || ' contact: u' || doc_id || '@example.com or +1 555 000 ' || doc_id,
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'),
+                 '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}', '<EMAIL>', 'g'),
+               '\+?[0-9][0-9()\- ]{7,30}[0-9]', '<PHONE>', 'g'),
              '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
     FROM documents
     """,
@@ -7595,17 +7595,28 @@ _STALE_VERIFICATION: set[str] = set()
 # ADPCM/AIFF/SPHERE/AU audio chains (length-bounded, unchanged),
 # TIFF chains (strip LZW was already expected-bounded).
 _ROUND12_TOUCHED = {
-    # r6-era riders of the changed decode paths
+    # r6-era riders of the changed decode paths (multimodal_video_rle:
+    # moved to hold-out for text_redact_pii — its one new line is the
+    # _rle8_decode_frame check_dims call, shared VERBATIM with in-window
+    # multimodal_bmp_rle8 AND media_video_dedup, and the whole r6 cohort
+    # leads the r13 window anyway)
     "media_jpeg_perceptual_dedup", "media_video_dedup",
     "multimodal_jpeg_color", "multimodal_video_frames",
-    "multimodal_video_rle",
-    # r7
-    "multimodal_jpeg_420",
-    # r8
+    # r7 (text_redact_pii: the r12 CPU-bomb fix BOUNDED the PII regex
+    # quantifiers in pattern AND oracle — an oracle change always
+    # re-earns, the recorded hash was against the old oracle)
+    "multimodal_jpeg_420", "text_redact_pii",
+    # r8 (multimodal_gif_interlaced: moved to hold-out for
+    # llm_curation_pipeline_scrub — its new lines are decode_gif_frames'
+    # check_dims + LZW max_out, shared VERBATIM with in-window
+    # multimodal_gif_animated and multimodal_gif; the scrub pipeline's
+    # PII oracle changed with the bounded-quantifier fix and an oracle
+    # change always re-earns)
+    "llm_curation_pipeline_scrub",
     "media_mp4_video_dedup", "multimodal_audio_flac",
     "multimodal_gif_animated",
     "multimodal_gif_composited", "multimodal_gif_disposals",
-    "multimodal_gif_interlaced", "multimodal_gif_local_palettes",
+    "multimodal_gif_local_palettes",
     "multimodal_jpeg", "multimodal_jpeg_progressive",
     "multimodal_png", "multimodal_png16",
     "multimodal_png_adam7", "multimodal_png_gray",

@@ -486,3 +486,40 @@ def test_html_sentinel_and_bounds_semantics(spark):
     ]
     assert titles[2] == ""                # over-cap title: empty, not a stall
     assert titles[3] == "ok title"
+
+
+def test_pii_redaction_cpu_bomb_bounded(spark):
+    """r12 CPU-bomb sweep, continued: the unbounded PII quantifiers
+    (`[..]+@`, `[0-9()\\- ]{7,}`) made the JVM engine's FAILED attempt
+    at every offset of a long class-run cost O(run) — a 256 KB base64
+    blob (ordinary crawl text) stalled redact_pii for >6 minutes, O(N²).
+    The RFC-bounded quantifiers (local ≤64, domain ≤255, phone ≤30+2)
+    cap each attempt at a constant: a 1 MB run now redacts in ~1 s.
+    Real PII still redacts (semantics pinned below + the three-scale
+    oracle on text_redact_pii / llm_curation_pipeline_scrub, whose
+    DuckDB oracles restate the bounded patterns verbatim)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from query_engine_spark.llmdata.textstats import redact_pii
+
+    floods = {
+        "alnum_1m": "a" * 1048576,       # base64-blob shape, no '@'
+        "digits_1m": "1" * 1048576,
+        "digit_paren": "(1" * 262144,
+    }
+    for name, s in floods.items():
+        df = spark.createDataFrame([(s,)], "text string")
+        t0 = time.time()
+        df.select(redact_pii(F.col("text")).alias("t")).select(
+            F.length("t")
+        ).collect()
+        wall = time.time() - t0
+        # post-fix ~0.2-1.1 s; the old pattern took >360 s at a QUARTER
+        # of this size — 60 s discriminates with margin
+        assert wall < 60, f"{name}: {wall:.1f}s — quadratic PII scan is back"
+    got = spark.createDataFrame(
+        [("mail a@b.co or +1 555 000 4242 at 10.0.0.1",)], "text string"
+    ).select(redact_pii(F.col("text")).alias("t")).collect()[0]["t"]
+    assert got == "mail <EMAIL> or <PHONE> at <IP>"
