@@ -143,9 +143,29 @@ def _tokenize(script: str) -> list[_Tok]:
 
 
 class _Parser:
+    # real feed scripts nest a handful of levels; without caps a
+    # crafted '((((…' / 'if x { if x { …' script blows the recursive
+    # descent into RecursionError instead of the ScriptTranslationError
+    # contract (r12 review find, the recursion member of the
+    # resource-bomb class — scripts are author-supplied config, still
+    # untrusted). 64 nesting levels × ≤8 parser frames each stays far
+    # inside CPython's default 1000-frame stack; the token cap in
+    # _parse bounds the TRANSLATOR's recursion too (a '1+1+1+…' chain
+    # parses ITERATIVELY but builds a left-deep AST the translator
+    # walks recursively — chain depth ≤ tokens/2).
+    MAX_DEPTH = 64
+
     def __init__(self, toks: list[_Tok]):
         self.toks = toks
         self.i = 0
+        self.depth = 0
+
+    def _descend(self) -> None:
+        self.depth += 1
+        if self.depth > self.MAX_DEPTH:
+            raise ScriptTranslationError(
+                f"script nesting exceeds the {self.MAX_DEPTH}-level cap"
+            )
 
     def peek(self) -> _Tok | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -238,6 +258,7 @@ class _Parser:
         return self.or_expr()
 
     def if_expr(self) -> tuple:
+        self._descend()
         self.next()  # if
         cond = self.or_expr()
         self.eat_op("{")
@@ -252,6 +273,7 @@ class _Parser:
                 self.eat_op("{")
                 els = self.block(until_brace=True)
                 self.eat_op("}")
+        self.depth -= 1
         return ("if", cond, then, els)
 
     def or_expr(self) -> tuple:
@@ -292,7 +314,10 @@ class _Parser:
     def unary(self) -> tuple:
         if self.at_op("!", "-"):
             op = self.next().text
-            return ("un", op, self.unary())
+            self._descend()
+            node = ("un", op, self.unary())
+            self.depth -= 1
+            return node
         return self.primary()
 
     def primary(self) -> tuple:
@@ -310,14 +335,27 @@ class _Parser:
         if t.kind == "ident":
             return ("var", t.text)
         if t.kind == "op" and t.text == "(":
+            self._descend()
             node = self.expr()
+            self.depth -= 1
             self.eat_op(")")
             return node
         raise ScriptTranslationError(f"unexpected token {t.text!r} at {t.pos}")
 
 
 def _parse(script: str) -> tuple:
-    p = _Parser(_tokenize(script))
+    toks = _tokenize(script)
+    # token cap (r12): bounds the TRANSLATOR's recursion as well as the
+    # parser's — a '1+1+1+…' chain parses iteratively but builds a
+    # left-deep AST that _block_to_sql/_eval walk recursively (chain
+    # depth ≈ tokens/2, so 1000 tokens keeps every walker under ~500
+    # frames). Real feed scripts are tens of tokens; this is a capacity
+    # line, not a grammar change.
+    if len(toks) > 1000:
+        raise ScriptTranslationError(
+            f"script has {len(toks)} tokens — exceeds the 1000-token cap"
+        )
+    p = _Parser(toks)
     node = p.block(until_brace=False)
     if p.peek() is not None:
         raise ScriptTranslationError(f"unexpected token {p.peek().text!r} at {p.peek().pos}")

@@ -2966,8 +2966,17 @@ def _riff_walk(blob: bytes) -> tuple[bytes, list[tuple[bytes, bytes]]]:
     strf: bytes | None = None
     frames: list[tuple[bytes, bytes]] = []
 
-    def walk(pos: int, end: int) -> None:
+    def walk(pos: int, end: int, depth: int = 0) -> None:
         nonlocal strf
+        # real AVIs nest LIST chunks ~3 deep (RIFF>hdrl>strl, RIFF>movi);
+        # without a cap a crafted 60 KB blob of nested LIST headers blows
+        # this recursion into RecursionError — an exception OUTSIDE the
+        # media-decoder corruption contract, so it would escape even the
+        # streaming quarantine (r12 review find, the recursion member of
+        # the resource-bomb class; the mutation fuzz can't reach it since
+        # random flips never create deep nesting)
+        if depth > 64:
+            raise ValueError("RIFF LIST nesting exceeds the 64-level cap")
         while pos + 8 <= end:
             cid = blob[pos : pos + 4]
             (csize,) = struct.unpack_from("<I", blob, pos + 4)
@@ -2975,7 +2984,7 @@ def _riff_walk(blob: bytes) -> tuple[bytes, list[tuple[bytes, bytes]]]:
             if body_end > end:
                 raise ValueError(f"truncated chunk {cid!r}: declares {csize} bytes")
             if cid == b"LIST":
-                walk(body_start + 4, body_end)  # skip the 4-byte list type
+                walk(body_start + 4, body_end, depth + 1)  # skip the list type
             elif cid == b"strf":
                 strf = blob[body_start:body_end]
             elif cid in (b"00db", b"00dc"):

@@ -354,8 +354,19 @@ class _Lexer:
         return b[p:q]
 
 
-def _parse_object(lx: _Lexer):
+# Real PDFs nest objects a handful of levels (ISO 32000 Annex C notes
+# historical readers capped implementation limits around 28); 128 is a
+# generous capacity line. Without it, a crafted '[[[[…' blows the
+# recursive descent into RecursionError — an uncontracted exception the
+# mutation fuzz can't reach (random flips never create deep nesting) —
+# r12 review find, the recursion member of the resource-bomb class.
+_MAX_OBJECT_DEPTH = 128
+
+
+def _parse_object(lx: _Lexer, depth: int = 0):
     """Parse one PDF object (dict/array/name/number/string/ref/bool)."""
+    if depth > _MAX_OBJECT_DEPTH:
+        raise ValueError("PDF object nesting exceeds the 128-level cap")
     tok = lx.token()
     if tok == b"<<":
         d: dict[bytes, object] = {}
@@ -367,7 +378,7 @@ def _parse_object(lx: _Lexer):
             key = lx.token()
             if not key.startswith(b"/"):
                 raise ValueError("dictionary key must be a name")
-            d[key] = _parse_object(lx)
+            d[key] = _parse_object(lx, depth + 1)
     if tok == b"[":
         arr: list[object] = []
         while True:
@@ -375,7 +386,7 @@ def _parse_object(lx: _Lexer):
             if lx.buf[lx.pos] == ord("]"):
                 lx.pos += 1
                 return arr
-            arr.append(_parse_object(lx))
+            arr.append(_parse_object(lx, depth + 1))
     if tok == b"(":
         lx.pos -= 1
         s, lx.pos = _parse_literal_string(lx.buf, lx.pos)
@@ -857,7 +868,14 @@ def _extract_pdf_text(blob: bytes) -> list[str]:
     pages_obj = pdf.resolve(root.get(b"/Pages"))
     texts: list[str] = []
 
-    def walk(node) -> None:
+    def walk(node, depth: int = 0) -> None:
+        # real pages trees are a few levels deep; the cap turns both a
+        # crafted deep /Kids chain (RecursionError, outside the parser
+        # contract) AND a /Kids CYCLE (an ancestor reference would
+        # otherwise recurse until the stack blows) into the contract
+        # ValueError (r12 review find, recursion-bomb class)
+        if depth > 256:
+            raise ValueError("pages tree exceeds the 256-level cap")
         node = pdf.resolve(node)
         if not isinstance(node, dict):
             raise ValueError("pages-tree node is not a dictionary")
@@ -867,7 +885,7 @@ def _extract_pdf_text(blob: bytes) -> list[str]:
             if not isinstance(kids, list):
                 raise ValueError("/Pages node without a /Kids array")
             for kid in kids:
-                walk(kid)
+                walk(kid, depth + 1)
             return
         if typ != b"/Page":
             raise ValueError(f"unexpected pages-tree node {typ!r}")

@@ -7604,18 +7604,26 @@ _ROUND12_TOUCHED = {
     "multimodal_jpeg_color", "multimodal_video_frames",
     # r7 (text_redact_pii: the r12 CPU-bomb fix BOUNDED the PII regex
     # quantifiers in pattern AND oracle — an oracle change always
-    # re-earns, the recorded hash was against the old oracle)
-    "multimodal_jpeg_420", "text_redact_pii",
+    # re-earns, the recorded hash was against the old oracle;
+    # f12_where_script_stmt: in-window representative of the script
+    # parser's new recursion/token caps — every script query rides the
+    # SAME _parse/_Parser lines, so the other riders (f12_where_script,
+    # f12_where_udf_tier, sc1_script_score, the blocks.py script
+    # blocks) hold out on shared-verbatim-line logic)
+    "multimodal_jpeg_420", "text_redact_pii", "f12_where_script_stmt",
     # r8 (multimodal_gif_interlaced: moved to hold-out for
     # llm_curation_pipeline_scrub — its new lines are decode_gif_frames'
     # check_dims + LZW max_out, shared VERBATIM with in-window
     # multimodal_gif_animated and multimodal_gif; the scrub pipeline's
     # PII oracle changed with the bounded-quantifier fix and an oracle
     # change always re-earns)
+    # (multimodal_gif_disposals: moved to hold-out for
+    # f12_where_script_stmt — rides _gif_composite's new lines shared
+    # VERBATIM with in-window multimodal_gif_composited/_animated)
     "llm_curation_pipeline_scrub",
     "media_mp4_video_dedup", "multimodal_audio_flac",
     "multimodal_gif_animated",
-    "multimodal_gif_composited", "multimodal_gif_disposals",
+    "multimodal_gif_composited",
     "multimodal_gif_local_palettes",
     "multimodal_jpeg", "multimodal_jpeg_progressive",
     "multimodal_png", "multimodal_png16",

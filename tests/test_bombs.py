@@ -523,3 +523,119 @@ def test_pii_redaction_cpu_bomb_bounded(spark):
         [("mail a@b.co or +1 555 000 4242 at 10.0.0.1",)], "text string"
     ).select(redact_pii(F.col("text")).alias("t")).collect()[0]["t"]
     assert got == "mail <EMAIL> or <PHONE> at <IP>"
+
+
+def test_pdf_nesting_bomb_contract_valueerror():
+    """r12: the recursion member of the resource-bomb class — a crafted
+    '[[[[…' / '<</A<</A…' PDF object blew the recursive descent into
+    RecursionError (uncontracted; unreachable by the mutation fuzz since
+    random flips never create deep nesting). The 128-level cap turns it
+    into the contract ValueError; real PDFs nest a handful of levels
+    (ISO 32000 Annex C's historical limit is ~28), and the full
+    extractor keeps working on its fixtures (pytest test_pdftext)."""
+    from query_engine_spark.llmdata import pdftext as P
+
+    for depth in (2_000, 100_000):
+        for blob in (
+            b"[" * depth + b"]" * depth,
+            b"<</A" * depth + b">>" * depth,
+        ):
+            with pytest.raises(ValueError, match="nesting exceeds"):
+                P._parse_object(P._Lexer(blob, 0))
+    # shallow structures are untouched (64 levels < the 128 cap)
+    ok = b"[" * 64 + b"1" + b"]" * 64
+    assert P._parse_object(P._Lexer(ok, 0)) is not None
+
+
+def test_avi_list_nesting_bomb_contract_valueerror():
+    """r12 recursion-bomb class, AVI member: a 60 KB blob of nested
+    LIST chunk headers blew _riff_walk into RecursionError — OUTSIDE
+    the media-decoder corruption contract, so it would escape even the
+    streaming quarantine. The 64-level cap lands the contract
+    ValueError; real AVIs nest ~3 levels (RIFF>hdrl>strl)."""
+    import struct as st
+
+    body = b"JUNK" + st.pack("<I", 0)
+    for _ in range(5000):
+        payload = b"hdrl" + body
+        body = b"LIST" + st.pack("<I", len(payload)) + payload
+    blob = b"RIFF" + st.pack("<I", 4 + len(body)) + b"AVI " + body
+    for decoder in (M.demux_avi, M.decode_avi_rle8, M.demux_avi_mjpeg):
+        with pytest.raises(ValueError, match="nesting exceeds"):
+            decoder(blob)
+
+
+def test_pdf_pages_tree_bomb_and_cycle_contract_valueerror():
+    """r12 recursion-bomb class, PDF pages tree: a deep /Kids chain
+    blew the page walker into RecursionError, and a /Kids CYCLE (a kid
+    referencing its ancestor) recursed until the stack died. The
+    256-level cap turns both into the contract ValueError."""
+    from query_engine_spark.llmdata import pdftext as P
+
+    def obj(n, body):
+        return f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+
+    # a pages tree where node i's kid is node i+1, 400 levels deep,
+    # then a final self-cycle — the cap fires long before the cycle
+    parts = [b"%PDF-1.4\n"]
+    offsets = {}
+    pos = len(parts[0])
+    n_nodes = 400
+    bodies = []
+    for i in range(n_nodes):
+        kid = i + 4 if i + 1 < n_nodes else 3  # last points BACK to the root
+        bodies.append(
+            (i + 3, f"<< /Type /Pages /Kids [{kid} 0 R] /Count 1 >>".encode())
+        )
+    catalog = (1, b"<< /Type /Catalog /Pages 3 0 R >>")
+    for num, body in [catalog] + bodies:
+        blob = obj(num, body)
+        offsets[num] = pos
+        parts.append(blob)
+        pos += len(blob)
+    xref_at = pos
+    maxn = max(offsets) + 1
+    xref = [f"xref\n0 {maxn}\n".encode(), b"0000000000 65535 f \n"]
+    for n in range(1, maxn):
+        xref.append(
+            f"{offsets.get(n, 0):010d} 00000 {'n' if n in offsets else 'f'} \n".encode()
+        )
+    trailer = (
+        b"trailer\n<< /Size "
+        + str(maxn).encode()
+        + b" /Root 1 0 R >>\nstartxref\n"
+        + str(xref_at).encode()
+        + b"\n%%EOF"
+    )
+    pdf = b"".join(parts) + b"".join(xref) + trailer
+    from query_engine_spark.llmdata.pdftext import extract_pdf_text
+
+    with pytest.raises(ValueError, match="exceeds the 256-level cap"):
+        extract_pdf_text(pdf)
+
+
+def test_script_nesting_and_token_caps(spark):
+    """r12 recursion-bomb class, the Rhai translator: author-supplied
+    scripts are untrusted config — '((((…', 'if x { if x { …', '!!!…'
+    and '1+1+1+…' (a left-deep AST the SQL/UDF emitters walk
+    recursively) all blew recursive descent into RecursionError. The
+    64-level depth guard and 1000-token cap land the contract
+    ScriptTranslationError; real scripts are tens of tokens."""
+    from query_engine_spark.functions.scripting import (
+        ScriptTranslationError,
+        translate_script,
+    )
+
+    attacks = [
+        "(" * 5000 + "1" + ")" * 5000,       # token cap
+        "1" + "+1" * 5000,                   # token cap (translator depth)
+        "(" * 300 + "1" + ")" * 300,         # depth cap (under token cap)
+        "if true { " * 120 + "1" + " }" * 120,
+        "!" * 200 + "true",
+    ]
+    for s in attacks:
+        with pytest.raises(ScriptTranslationError):
+            translate_script(s)
+    # conforming scripts are untouched, incl. 32-deep parens
+    assert translate_script("(" * 32 + "1" + ")" * 32) is not None
+    assert translate_script("if true { 1 } else { 2 }") is not None
