@@ -268,9 +268,15 @@ def html_to_text(col: Column) -> Column:
     c = F.regexp_replace(c, r"(?is)<style\b.*?</style\s*>", " ")
     # tag-interior classes exclude '<' as well as '>' (r12 CPU-bomb
     # guard): with [^>]* a '>'-less tail costs O(tail) at EVERY '<',
-    # O(N²) on a '<'-flood; [^<>]* bounds each attempt at the next '<'
-    # (an unclosed tag swallowing everything to the next tag open is
-    # also what html.parser does). Same class swap across this module.
+    # O(N²) on a '<'-flood; [^<>]* bounds each attempt at the next '<'.
+    # DOCUMENTED DIVERGENCE (pinned in test_stdlib_conformance): on
+    # INVALID html with an unescaped '<' before a letter in body text
+    # ('x<y ok</p>'), html.parser/browsers tokenize '<y ok</p' as one
+    # tag (swallowing to the next '>'); the linear pattern instead
+    # keeps '<y ok' as text and strips only the real '</p>'. Keeping
+    # the words is the better failure mode for a training-data text
+    # extractor, and the browser-exact swallow is exactly the
+    # quadratic scan being removed. Same class swap across this module.
     c = F.regexp_replace(
         c, r"(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table|/blockquote)\b[^<>]*>", "\n"
     )

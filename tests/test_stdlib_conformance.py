@@ -1026,3 +1026,54 @@ def test_http_split_vs_http_client():
         # tail when no length header bounds it
         want_body = resp.read()
         assert body[: len(want_body)] == want_body or body == want_body, raw
+
+
+def test_html_to_text_unescaped_lt_divergence_pinned(spark):
+    """DOCUMENTED DIVERGENCE (r12, the mboxo/mboxrd precedent): on
+    INVALID html carrying an unescaped '<' before a letter in body text,
+    html.parser (and the HTML5 tokenizer) treats '<y ok</p' as one tag
+    and swallows to the next '>' — which is exactly the quadratic
+    rescan the r12 CPU-bomb fix removed ([^<>] tag interiors). Our
+    linear extractor instead KEEPS the '<y ok' text and strips only the
+    real '</p>' — the better failure mode for a training-data text
+    extractor (content is retained, not silently dropped). This pins
+    BOTH sides of the divergence so a future 'fix' toward either
+    behavior is a conscious choice; escaped input ('&lt;') and
+    space/digit-led '<' (text per the HTML5 spec too) agree on both."""
+    from html.parser import HTMLParser
+
+    from pyspark.sql import functions as F
+
+    from query_engine_spark.llmdata.warc import html_to_text
+
+    page = "<p>x<y ok</p>more</p>"
+
+    class Collect(HTMLParser):
+        def __init__(self):
+            super().__init__()
+            self.data = []
+
+        def handle_data(self, d):
+            self.data.append(d)
+
+    ref = Collect()
+    ref.feed(page)
+    ref.close()
+    # html.parser: '<y ok</p' is a TAG — the words are dropped
+    assert "".join(ref.data) == "xmore"
+    got = (
+        spark.createDataFrame([(page,)], "html string")
+        .select(html_to_text(F.col("html")).alias("t"))
+        .collect()[0]["t"]
+    )
+    # ours: the words survive (with the stray '<'), the real tags strip
+    # ('</p>' is a block closer, so it lands as the paragraph newline)
+    assert got == "x<y ok\nmore"
+    # agreement cases: escaped '<', and '< ' / '<3' (text per HTML5 too)
+    agree = "<p>a &lt;b&gt; c < d or i<3 u</p>"
+    got2 = (
+        spark.createDataFrame([(agree,)], "html string")
+        .select(html_to_text(F.col("html")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert got2 == "a <b> c < d or i<3 u"
