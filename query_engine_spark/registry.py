@@ -7391,11 +7391,11 @@ def multimodal_webp_lossy_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_LAST_VERIFIED: dict[str, int] = {
     # Transcribed per-round by tools/ledger_transcribe.py from the
     # CORRECTNESS_r*.json artifacts: name -> last round a driver
-    # hash-match (or designed rows-only pass) was recorded. Post-r11:
-    # the r11 window (50/50 hash-green) covered the 8 touched
-    # archive/WARC/dispatch re-verifications, all 33 r5-era rotation
-    # slots, and 9 r6-era slots; cohorts now 36 r6 / 47 r7 / 49 r8 /
-    # 44 r9 / 46 r10 / 50 r11 = 272.
+    # hash-match (or designed rows-only pass) was recorded. Post-r12:
+    # the r12 window (50/50 hash-green) was all-touched (the resource-
+    # bound hardening riders + the two changed PII oracles); cohorts
+    # now 32 r6 / 44 r7 / 34 r8 / 26 r9 / 45 r10 / 41 r11 / 50 r12
+    # = 272, matching the r12 verdict's artifact-derived arithmetic.
     **{n: 6 for n in (
         "a1_trending_tags", "a1_trending_windowed",
         "dedup_embedding_cosine", "dedup_minhash_lsh",
@@ -7403,10 +7403,8 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "embed_kmeans", "hybrid_rrf_search", "j10_mutuals",
         "j10_two_hop", "j1_replace_parent", "j3_replace_record",
         "j4_direct_replies", "j5_all_replies", "j6_quote_posts",
-        "llm_curation_pipeline_decontam", "media_jpeg_perceptual_dedup",
-        "media_perceptual_dedup", "media_video_dedup",
+        "llm_curation_pipeline_decontam", "media_perceptual_dedup",
         "multimodal_audio_adpcm", "multimodal_audio_mulaw",
-        "multimodal_jpeg_color", "multimodal_video_frames",
         "multimodal_video_rle", "o1_sort_created_top", "o2_sort_hn",
         "o3_sort_counts", "o4_sort_random", "o5_sort_score_dedup",
         "o7_posts_per_user", "profile_pipeline",
@@ -7419,40 +7417,32 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "agg_distinct_users", "agg_pivot", "dedup_exact",
         "dedup_simhash", "embed_cosine_topk", "embed_srp_near_dup",
         "events_anomaly_static", "f11_labels_remove",
-        "f12_where_script_stmt", "f12_where_udf_tier", "f1_item_kind",
-        "f2_image_count", "f6_language", "f7_list_semi_anti",
-        "f8_duplicates_first", "f_count_cmp", "j2_replace_root",
+        "f12_where_udf_tier", "f1_item_kind", "f2_image_count",
+        "f6_language", "f7_list_semi_anti", "f8_duplicates_first",
+        "f_count_cmp", "j2_replace_root",
         "llm_curation_pipeline_neardup", "media_incremental_dedup",
-        "multimodal_jpeg_420", "q18_large_orders", "q1_pricing_summary",
+        "q18_large_orders", "q1_pricing_summary",
         "q3_shipping_priority", "q5_local_supplier_volume",
         "s10_liked_by_likers", "s2_input_list", "s3_input_tags",
         "s4_input_labels", "s5_input_feed", "s6_input_did",
         "s7_input_post_prepend", "s8_archived_scan",
         "s9_liked_weighted", "stream_windowed_counts",
         "text_contamination", "text_fingerprint", "text_langid",
-        "text_quality", "text_redact_pii", "text_tokens",
-        "window_running_revenue",
+        "text_quality", "text_tokens", "window_running_revenue",
     )},
     **{n: 8 for n in (
         "agg_rollup", "embed_label_centroids", "embed_pq_indexed",
         "j10_community", "j10_top_moots",
-        "llm_curation_pipeline_balance", "llm_curation_pipeline_scrub",
-        "llm_hash_sample", "llm_prepare_corpus", "llm_split_assign",
-        "llm_top_terms", "media_dedup", "media_mp4_video_dedup",
-        "multimodal_audio", "multimodal_audio_aiff",
-        "multimodal_audio_alaw", "multimodal_audio_flac",
-        "multimodal_audio_flac_stereo", "multimodal_audio_pcm24",
-        "multimodal_audio_sphere", "multimodal_audio_wav_stereo",
-        "multimodal_bmp8", "multimodal_gif_animated",
-        "multimodal_gif_composited", "multimodal_gif_disposals",
-        "multimodal_gif_interlaced", "multimodal_gif_local_palettes",
-        "multimodal_jpeg", "multimodal_jpeg_422",
-        "multimodal_jpeg_progressive", "multimodal_jpeg_restart",
-        "multimodal_png", "multimodal_png16", "multimodal_png_adam7",
-        "multimodal_png_gray", "multimodal_png_palette",
-        "multimodal_png_rgba", "multimodal_tiff",
-        "multimodal_tiff_multipage", "multimodal_video_avi_mjpeg",
-        "multimodal_video_mp4", "q16_supplier_variety",
+        "llm_curation_pipeline_balance", "llm_hash_sample",
+        "llm_prepare_corpus", "llm_split_assign", "llm_top_terms",
+        "media_dedup", "multimodal_audio", "multimodal_audio_aiff",
+        "multimodal_audio_alaw", "multimodal_audio_flac_stereo",
+        "multimodal_audio_pcm24", "multimodal_audio_sphere",
+        "multimodal_audio_wav_stereo", "multimodal_bmp8",
+        "multimodal_gif_disposals", "multimodal_gif_interlaced",
+        "multimodal_jpeg_422", "multimodal_jpeg_restart",
+        "multimodal_png_palette", "multimodal_tiff",
+        "multimodal_tiff_multipage", "q16_supplier_variety",
         "q17_small_quantity", "q19_disjunctive",
         "q22_no_order_customers", "q4_order_priority",
         "q7_nation_volume", "text_strip_dup_spans",
@@ -7460,25 +7450,16 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
     )},
     **{n: 9 for n in (
         "crawl_frontier_bloom", "crawl_host_rank",
-        "crawl_politeness_schedule", "crawl_schedule", "dedup_clusters",
-        "embed_semdedup", "llm_cdx_select", "llm_csv_roundtrip",
-        "llm_export_manifest", "llm_html_image_pairs",
-        "llm_html_jsonld", "llm_html_metadata", "llm_html_outlinks",
-        "llm_jsonl_roundtrip", "llm_mbox_ingest",
-        "llm_quality_classifier", "llm_robots_rules",
-        "llm_robots_wildcards", "llm_sitemap_frontier",
-        "media_type_sniff", "multimodal_audio_flac24",
+        "crawl_politeness_schedule", "dedup_clusters", "embed_semdedup",
+        "llm_cdx_select", "llm_csv_roundtrip", "llm_export_manifest",
+        "llm_html_image_pairs", "llm_jsonl_roundtrip",
+        "llm_mbox_ingest", "llm_quality_classifier", "llm_robots_rules",
+        "llm_robots_wildcards", "media_type_sniff",
         "multimodal_audio_multichannel",
-        "multimodal_audio_wav_extensible", "multimodal_bmp_rle8",
-        "multimodal_bmp_topdown", "multimodal_exif_metadata",
-        "multimodal_ico", "multimodal_id3_metadata",
-        "multimodal_image_text_pairs", "multimodal_jpeg_cmyk",
-        "multimodal_jpeg_oriented", "multimodal_mp3_frames",
-        "multimodal_pdf_text", "multimodal_pdf_xrefstream",
-        "multimodal_png_packed", "multimodal_png_trns",
-        "multimodal_tiff_rgb", "multimodal_webp",
-        "multimodal_webp_animated", "multimodal_webp_lossy_meta",
-        "multimodal_webp_palette", "text_bm25_search",
+        "multimodal_audio_wav_extensible", "multimodal_bmp_topdown",
+        "multimodal_exif_metadata", "multimodal_id3_metadata",
+        "multimodal_mp3_frames", "multimodal_tiff_rgb",
+        "multimodal_webp_lossy_meta", "text_bm25_search",
         "text_nfc_normalize", "text_repetition_features",
     )},
     **{n: 10 for n in (
@@ -7493,10 +7474,10 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "llm_doc_lm_score", "llm_domain_mix", "llm_ngram_lm",
         "llm_pack_chunks", "llm_quality_calibrated",
         "llm_stupid_backoff", "multimodal_audio_au", "multimodal_fits",
-        "multimodal_pnm", "multimodal_qoi", "multimodal_subtitles",
-        "multimodal_svg", "multimodal_woff", "q10_returned_items",
-        "q11_important_value", "q13_customer_distribution",
-        "q14_promo_revenue", "q15_top_supplier", "q2_min_cost_supplier",
+        "multimodal_pnm", "multimodal_subtitles", "multimodal_svg",
+        "multimodal_woff", "q10_returned_items", "q11_important_value",
+        "q13_customer_distribution", "q14_promo_revenue",
+        "q15_top_supplier", "q2_min_cost_supplier",
         "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
         "range_join_events", "retention_cohorts", "s1_firehose",
         "stream_interval_join_pairs", "text_top_terms_per_lang",
@@ -7508,150 +7489,61 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "events_zorder_box", "f10_embed_prefix", "f12_where_script",
         "f13_videos_notnull", "f14_regex", "f15_profile_filters",
         "f9_non_duplicates", "graph_pagerank", "kmv_set_ops_events",
-        "llm_bpe_apply", "llm_bpe_train", "llm_compressed_ingest",
-        "llm_curation_pipeline", "llm_dsir_weights", "llm_epub_ingest",
-        "llm_tar_ingest", "llm_tar_longnames", "llm_tar_mixed_ingest",
-        "llm_warc_ingest", "llm_weighted_sample", "llm_zip64_ingest",
-        "llm_zip_ingest", "media_audio_dedup", "media_decode_dispatch",
-        "multimodal_audio_resample", "multimodal_features",
-        "multimodal_gif", "multimodal_resize", "pipeline_flagship",
+        "llm_bpe_apply", "llm_bpe_train", "llm_curation_pipeline",
+        "llm_dsir_weights", "llm_weighted_sample", "media_audio_dedup",
+        "media_decode_dispatch", "multimodal_audio_resample",
+        "multimodal_features", "multimodal_resize", "pipeline_flagship",
         "q12_priority_lines", "q20_promotion_suppliers",
         "q21_waiting_suppliers", "rollup_gapfill_events",
         "sc1_script_score", "sc4_created_at_score", "sc_hn_normalized",
         "sessionize_events", "text_bm25_indexed",
         "text_strip_boilerplate", "text_tfidf_pairs", "text_winnowing",
     )},
+    **{n: 12 for n in (
+        "crawl_schedule", "f12_where_script_stmt",
+        "llm_compressed_ingest", "llm_curation_pipeline_scrub",
+        "llm_epub_ingest", "llm_html_jsonld", "llm_html_metadata",
+        "llm_html_outlinks", "llm_sitemap_frontier", "llm_tar_ingest",
+        "llm_tar_longnames", "llm_tar_mixed_ingest", "llm_warc_ingest",
+        "llm_zip64_ingest", "llm_zip_ingest",
+        "media_jpeg_perceptual_dedup", "media_mp4_video_dedup",
+        "media_video_dedup", "multimodal_audio_flac",
+        "multimodal_audio_flac24", "multimodal_bmp_rle8",
+        "multimodal_gif", "multimodal_gif_animated",
+        "multimodal_gif_composited", "multimodal_gif_local_palettes",
+        "multimodal_ico", "multimodal_image_text_pairs",
+        "multimodal_jpeg", "multimodal_jpeg_420",
+        "multimodal_jpeg_cmyk", "multimodal_jpeg_color",
+        "multimodal_jpeg_oriented", "multimodal_jpeg_progressive",
+        "multimodal_pdf_text", "multimodal_pdf_xrefstream",
+        "multimodal_png", "multimodal_png16", "multimodal_png_adam7",
+        "multimodal_png_gray", "multimodal_png_packed",
+        "multimodal_png_rgba", "multimodal_png_trns", "multimodal_qoi",
+        "multimodal_video_avi_mjpeg", "multimodal_video_frames",
+        "multimodal_video_mp4", "multimodal_webp",
+        "multimodal_webp_animated", "multimodal_webp_palette",
+        "text_redact_pii",
+    )},
 }
+
 
 # Rows whose oracle or machinery changed AFTER their last driver check, so the
 # recorded verification is stale — schedule them as if never verified.
 _STALE_VERIFICATION: set[str] = set()
 
-# Queries whose machinery round 12 changed after their last driver check.
-# Window math for round 12 (COVERAGE.md's dated budget): no candidate
-# pool (production held at zero, third round running), but the round's
-# fuzz ritual found a SYSTEMIC resource-bound class (decompression/pixel
-# bombs: a bit-flipped BITMAPINFOHEADER measured 21.5 GB RSS in
-# decode_avi_rle8) whose fix — llmdata/bounds.py caps applied across
-# PNG/GIF/JPEG/QOI/FLAC/WebP/RLE8 decoders, ZIP/TAR.GZ/BZ2/XZ/WARC/PDF/
-# WOFF/text inflates — puts new code on the HAPPY PATH of 51 registry
-# queries (transitive call analysis, docstring-stripped; the r11
-# precedent: happy-path code change → re-earn). 50 fill the ENTIRE
-# window below; the r6/r7 rotation the r11 verdict scheduled slips to
-# r13 IN FULL (36 r6-era + 47 r7-era names, every one covered by this
-# round's three-scale 272/272 selfcheck — the r7-note overflow rule).
-# Also touched by the four ADVICE-r11 fixes, all subsumed here:
-# parse_warc strict-ascii header names (llm_warc_ingest), ZIP64
-# fallback classic-EOCD agreement via the relocated _z64_classic_agree
-# on the happy path (zip/zip64/epub chains), and the dispatch
-# quarantine narrowed to DISPATCH_CORRUPTION_EXC (media_decode_dispatch
-# — batch runs quarantine=False, but the function body changed).
-# The review ritual's second/third passes added three more touched
-# riders: the GIF compositing canvas cap (riders already in-window) and
-# the XML entity-expansion guard (reject_xml_dtd before every
-# ET.fromstring — riders llm_sitemap_frontier, crawl_schedule,
-# multimodal_svg below, plus the already-touched epub chain).
-# The round's SECOND resource-bound find (the CPU variant): the HTML
-# extractors' [^>]*/lazy-body regexes were quadratic on crafted pages
-# of unclosed openers (measured 384 KB ≈ 58 s/pattern in the JVM
-# engine; warc.py html_metadata has the numbers). Fixes — [^<>]
-# tag-interior classes, swallow-to-EOF sentinels before the comment/
-# script/style strips, bounded title/JSON-LD bodies — sit on the happy
-# path of the HTML family, so llm_html_metadata + llm_html_outlinks +
-# llm_html_jsonld join the touched set (the only riders of their
-# respective change sites not already represented in-window:
-# llm_warc_ingest carries html_to_text and multimodal_image_text_pairs
-# carries image_refs). That made 53 touched for 50 slots; the three
-# moved to hold-out (NOT in the set below, like the other hold-outs)
-# are the three most defensible AND the freshest hashes (r10/r11-era):
-# media_decode_dispatch (its only r12 change is the quarantine
-# absorb-set narrowing inside an except clause that NEVER fires on the
-# healthy driver corpus — the batch query runs quarantine=False and
-# raises through; posture pinned by the 240-payload fuzz +
-# DISPATCH_CORRUPTION_EXC membership test), multimodal_svg (its only
-# new line is the reject_xml_dtd guard, shared VERBATIM with in-window
-# llm_sitemap_frontier/crawl_schedule and the epub chain),
-# multimodal_woff (its new line calls bounded_inflate(expected=...),
-# the same shared guard the in-window PNG-IDAT and ZIP-member chains
-# hash-verify; exact-roundtrip unit tests pin the call site).
-# DELIBERATE HOLD-OUTS to keep every UNIQUE new code path in the
-# 50-slot window (each hold-out's only new line is shared VERBATIM with
-# a named in-window sibling, and all are covered by the three-scale
-# sweep): multimodal_jpeg_422 and multimodal_jpeg_restart (the SOF-stage
-# _bounds_check_dims line in decode_jpeg_np — siblings multimodal_jpeg/
-# _jpeg_420/_jpeg_color/_jpeg_progressive/_jpeg_cmyk in-window),
-# multimodal_png_palette (the bounded IDAT inflate in _decode_png_rows —
-# siblings multimodal_png/_png_gray/_png_adam7/_png16 in-window),
-# multimodal_audio_flac_stereo (the declared-total cap in decode_flac —
-# siblings multimodal_audio_flac/_flac24 in-window),
-# crawl_host_rank (outlink_edges' [^<>] _A_TAG_RE, shared VERBATIM with
-# in-window llm_html_outlinks) and llm_html_image_pairs (image_refs'
-# _IMG_RE, shared with in-window multimodal_image_text_pairs).
-# Exonerated by execution reasoning
-# (not touched): multimodal_features + media_perceptual_dedup +
-# media_incremental_dedup + multimodal_resize (24-bpp BMP decode
-# unchanged), media_type_sniff (magic bytes only),
-# multimodal_webp_lossy_meta (header layer only), WAV/mu-law/A-law/
-# ADPCM/AIFF/SPHERE/AU audio chains (length-bounded, unchanged),
-# TIFF chains (strip LZW was already expected-bounded).
-_ROUND12_TOUCHED = {
-    # r6-era riders of the changed decode paths (multimodal_video_rle:
-    # moved to hold-out for text_redact_pii — its one new line is the
-    # _rle8_decode_frame check_dims call, shared VERBATIM with in-window
-    # multimodal_bmp_rle8 AND media_video_dedup, and the whole r6 cohort
-    # leads the r13 window anyway)
-    "media_jpeg_perceptual_dedup", "media_video_dedup",
-    "multimodal_jpeg_color", "multimodal_video_frames",
-    # r7 (text_redact_pii: the r12 CPU-bomb fix BOUNDED the PII regex
-    # quantifiers in pattern AND oracle — an oracle change always
-    # re-earns, the recorded hash was against the old oracle;
-    # f12_where_script_stmt: in-window representative of the script
-    # parser's new recursion/token caps — every script query rides the
-    # SAME _parse/_Parser lines, so the other riders (f12_where_script,
-    # f12_where_udf_tier, sc1_script_score, the blocks.py script
-    # blocks) hold out on shared-verbatim-line logic)
-    "multimodal_jpeg_420", "text_redact_pii", "f12_where_script_stmt",
-    # r8 (multimodal_gif_interlaced: moved to hold-out for
-    # llm_curation_pipeline_scrub — its new lines are decode_gif_frames'
-    # check_dims + LZW max_out, shared VERBATIM with in-window
-    # multimodal_gif_animated and multimodal_gif; the scrub pipeline's
-    # PII oracle changed with the bounded-quantifier fix and an oracle
-    # change always re-earns)
-    # (multimodal_gif_disposals: moved to hold-out for
-    # f12_where_script_stmt — rides _gif_composite's new lines shared
-    # VERBATIM with in-window multimodal_gif_composited/_animated)
-    "llm_curation_pipeline_scrub",
-    "media_mp4_video_dedup", "multimodal_audio_flac",
-    "multimodal_gif_animated",
-    "multimodal_gif_composited",
-    "multimodal_gif_local_palettes",
-    "multimodal_jpeg", "multimodal_jpeg_progressive",
-    "multimodal_png", "multimodal_png16",
-    "multimodal_png_adam7", "multimodal_png_gray",
-    "multimodal_png_rgba",
-    "multimodal_video_avi_mjpeg", "multimodal_video_mp4",
-    # r9
-    "multimodal_audio_flac24", "multimodal_bmp_rle8", "multimodal_ico",
-    "llm_sitemap_frontier", "crawl_schedule",
-    "llm_html_metadata", "llm_html_outlinks", "llm_html_jsonld",
-    "multimodal_image_text_pairs", "multimodal_jpeg_cmyk",
-    "multimodal_jpeg_oriented", "multimodal_pdf_text",
-    "multimodal_pdf_xrefstream", "multimodal_png_packed",
-    "multimodal_png_trns", "multimodal_webp", "multimodal_webp_animated",
-    "multimodal_webp_palette",
-    # r10 (multimodal_woff + multimodal_svg: moved to hold-out for the
-    # three HTML riders — see the comment above)
-    "multimodal_qoi",
-    # r11 (media_decode_dispatch: moved to hold-out, same trade)
-    "llm_compressed_ingest", "llm_epub_ingest", "llm_tar_ingest",
-    "llm_tar_longnames", "llm_tar_mixed_ingest", "llm_warc_ingest",
-    "llm_zip64_ingest", "llm_zip_ingest",
-    "multimodal_gif",
-}
+# Queries whose machinery round 13 changed after their last driver check.
+# Round 13 is the rotation round the r11/r12 verdicts scheduled: the
+# window drains the ENTIRE 32-query r6-era cohort plus the stalest
+# r7-era names, so the touched set is held deliberately small (the r12
+# verdict's budget: <= ~15 slots). Touched this round (each the
+# minimal rider set of an ADVICE-r12 fix; riders that are already
+# r6-era cost no extra slot because the cohort leads the window):
+# (filled in as round-13 fixes land)
+_ROUND13_TOUCHED: set[str] = set()
 
 # Stable alias so _driver_order and the scheduling tests survive the
 # per-round rename of the touched set.
-_ROUND_TOUCHED = _ROUND12_TOUCHED
+_ROUND_TOUCHED = _ROUND13_TOUCHED
 
 
 def _driver_order() -> list[str]:
