@@ -235,7 +235,14 @@ class _Parser:
             self.next()
             cond = self.expr()
             self.eat_op("{")
+            # descend around the body parse so while-in-while nesting is
+            # bounded by MAX_DEPTH like if/paren/unary — without this the
+            # path was only indirectly bounded by the token cap, and the
+            # guard would silently stop protecting it if that cap ever
+            # rose (ADVICE r12)
+            self._descend()
             body = self.block(until_brace=True)
+            self.depth -= 1
             self.eat_op("}")
             return ("while", cond, body), True
         # assignment: ident '=' (but not '==')

@@ -757,8 +757,19 @@ class _Pdf:
                 return val, data
         return val, None
 
+    # Refs resolving to refs is legal but shallow in real PDFs; a crafted
+    # cycle ('2 0 obj 3 0 R' <-> '3 0 obj 2 0 R') would otherwise spin
+    # resolve() forever with NO exception — the one non-termination shape
+    # the r12 recursion caps missed (ADVICE r12). 32 hops is far beyond
+    # any conforming chain.
+    _MAX_REF_HOPS = 32
+
     def resolve(self, v):
+        hops = 0
         while isinstance(v, tuple) and v and v[0] == "ref":
+            hops += 1
+            if hops > self._MAX_REF_HOPS:
+                raise ValueError("indirect reference cycle")
             v, _ = self.object(v[1])
         return v
 

@@ -390,10 +390,20 @@ def contamination_pairs(
 # >6 min, O(N²). Bounds cap each attempt at a constant and are the
 # standards' own limits (RFC 5321: local-part ≤64, domain ≤255; E.164 +
 # separators stays far under 32), so conforming values never notice;
-# a >64-char "local part" is not an address. RE2-safe (DuckDB oracles
+# a >64-char "local part" is not an address. The LOCAL bound is 320,
+# not RFC 5321's 64: at {1,64} a 100-char address-like token matched
+# only its LAST 64 chars, leaving a name-bearing 36-char prefix
+# unredacted — for a privacy pass, partial-leak is the worst failure
+# mode (ADVICE r12). 320 swallows any plausible over-long token WHOLE
+# (over-redaction stance); beyond 320 the run is machine junk (base64/
+# hash) where a partial match leaks nothing name-bearing, and the
+# attempt cost stays constant-bounded (measured: 1 MB flood 4.4 s at
+# 64 vs 4.8 s at 320 — overhead-dominated). A long digit run likewise
+# redacts as MULTIPLE <PHONE> tokens (covering, ≤8-digit tail) — pinned
+# in tests/test_bombs.py. RE2-safe (DuckDB oracles
 # restate these verbatim — keep registry.py text_redact_pii in sync).
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
-    ("[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\\.[A-Za-z]{2,24}", "<EMAIL>"),
+    ("[A-Za-z0-9._%+-]{1,320}@[A-Za-z0-9.-]{1,255}\\.[A-Za-z]{2,24}", "<EMAIL>"),
     ("\\+?[0-9][0-9()\\- ]{7,30}[0-9]", "<PHONE>"),
     ("\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
 )

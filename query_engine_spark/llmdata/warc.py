@@ -234,6 +234,54 @@ def warc_documents(df: DataFrame) -> DataFrame:
     return df.select("warc_id", "payload").mapInPandas(run, WARC_DOC_SCHEMA)
 
 
+# --- quoted-angle protection (ADVICE r12) -------------------------------
+# Valid HTML5 allows raw '<' / '>' inside QUOTED attribute values
+# (onclick comparisons, alt text, data-* payloads). The linear [^<>]
+# tag interiors below (the r12 CPU-bomb guard) cannot cross them, so
+# such tags leaked fragments into extracted text and the attribute
+# extractors silently missed them. The quote-aware interior ADVICE
+# sketched — <(?:[^<>"']|"[^"]*"|'[^']*')*> — is linear in RE2 (the
+# DuckDB side) but NOT in Spark's java.util.regex: each starred
+# alternation iteration recurses one JVM stack frame, so a page of k
+# openers before one long unclosed-quote tail costs O(k·tail) AND a
+# ~32 KB tail StackOverflowErrors the executor outright (measured this
+# round; probes in tests/test_bombs.py). Instead the specials are
+# PROTECTED first: a linear pre-pass rewrites '<'/'>' inside quoted
+# attribute values to the sentinels below, the [^<>] extractors run
+# unchanged, and every captured output restores the sentinels. Each
+# pass handles one '<' and one '>' per value; two passes cover real
+# attribute JS/text, beyond which the tag falls back to the previous
+# fragment behavior (a capacity line in the bounds.py spirit).
+# Linearity of the pre-pass: attempts anchor at '="' / ="'" and the
+# scan [^"<>]* stops at the next quote — which includes the NEXT
+# attempt's own anchor quote — so total work is O(page).
+
+_LT_SENT = "\x02"
+_GT_SENT = "\x03"
+_PROTECT_PASSES = 2
+
+
+def protect_quoted_angles(col: Column) -> Column:
+    """Rewrite raw '<' / '>' inside quoted attribute values to sentinel
+    bytes so the linear [^<>] tag patterns can cross them. Literal
+    \\x02/\\x03 input bytes (malformed real-crawl junk) are scrubbed to
+    spaces first so restoration can never fabricate an angle bracket."""
+    c = F.regexp_replace(col, "[\x02\x03]", " ")
+    for _ in range(_PROTECT_PASSES):
+        c = F.regexp_replace(c, '(="[^"<>]*)<', "$1\x02")
+        c = F.regexp_replace(c, '(="[^"<>]*)>', "$1\x03")
+        c = F.regexp_replace(c, "(='[^'<>]*)<", "$1\x02")
+        c = F.regexp_replace(c, "(='[^'<>]*)>", "$1\x03")
+    return c
+
+
+def restore_angles(col: Column) -> Column:
+    """Undo protect_quoted_angles in an extracted value or text."""
+    return F.regexp_replace(
+        F.regexp_replace(col, "\x02", "<"), "\x03", ">"
+    )
+
+
 def html_to_text(col: Column) -> Column:
     """WET-style HTML → text as a PURE COLUMN EXPRESSION — the extraction
     stage between `warc_documents` and the curation pipeline, kept
@@ -266,6 +314,11 @@ def html_to_text(col: Column) -> Column:
     c = F.regexp_replace(c, r"(?is)<!--.*?-->", " ")
     c = F.regexp_replace(c, r"(?is)<script\b.*?</script\s*>", " ")
     c = F.regexp_replace(c, r"(?is)<style\b.*?</style\s*>", " ")
+    # protect AFTER the script/style strips (their bodies die anyway,
+    # and protecting first could sentinel an appended closing tag after
+    # a crafted unclosed quote, resurrecting the unclosed-opener scan);
+    # restored at the end so body text keeps its literal angles
+    c = protect_quoted_angles(c)
     # tag-interior classes exclude '<' as well as '>' (r12 CPU-bomb
     # guard): with [^>]* a '>'-less tail costs O(tail) at EVERY '<',
     # O(N²) on a '<'-flood; [^<>]* bounds each attempt at the next '<'.
@@ -296,6 +349,7 @@ def html_to_text(col: Column) -> Column:
         c = F.regexp_replace(c, pat, rep)
     c = F.regexp_replace(c, r"&#?[A-Za-z0-9]{1,8};", " ")
     c = F.regexp_replace(c, "\x01", "&")
+    c = restore_angles(c)
     c = F.regexp_replace(c, r"[ \t\r\f]+", " ")
     c = F.regexp_replace(c, r" ?\n ?", "\n")
     c = F.regexp_replace(c, r"\n{2,}", "\n")
@@ -786,9 +840,14 @@ def html_metadata(col: Column) -> dict[str, Column]:
     # real <title> approaches 2 KB, so the bound is a capacity line in
     # the bounds.py spirit, not a behavior change — a crafted page of
     # 110k bare openers now costs ~2 s, not minutes)
-    title = F.regexp_extract(
+    # quoted-angle protection (ADVICE r12): tags whose attribute values
+    # carry raw '<'/'>' ('<meta name="description" content="a<b">') are
+    # invisible to the [^<>] interiors below; protect once, extract,
+    # restore in every captured value
+    col = protect_quoted_angles(col)
+    title = restore_angles(F.regexp_extract(
         col, r"(?is)<title[^<>]*>(.{0,2048}?)</title\s*>", 1
-    )
+    ))
 
     def _attr_value(tag: str, disc: str, value_attr: str) -> Column:
         # per-quote patterns: a double-quoted value may contain
@@ -808,7 +867,7 @@ def html_metadata(col: Column) -> dict[str, Column]:
             rf'(?is)<{tag}\b[^<>]*{value_attr}="([^"]*)"[^<>]*{disc}',
             rf"(?is)<{tag}\b[^<>]*{value_attr}='([^']*)'[^<>]*{disc}",
         ):
-            got = F.regexp_extract(col, pat, 1)
+            got = restore_angles(F.regexp_extract(col, pat, 1))
             out = F.when(out != "", out).otherwise(got)
         return out
 
@@ -817,7 +876,7 @@ def html_metadata(col: Column) -> dict[str, Column]:
     og_title = _attr_value("meta", r"""property=["']og:title["']""", "content")
     lang_dq = F.regexp_extract(col, r'(?is)<html\b[^<>]*lang="([^"]+)"', 1)
     lang_sq = F.regexp_extract(col, r"""(?is)<html\b[^<>]*lang='([^']+)'""", 1)
-    lang = F.when(lang_dq != "", lang_dq).otherwise(lang_sq)
+    lang = restore_angles(F.when(lang_dq != "", lang_dq).otherwise(lang_sq))
     return {
         "title": title,
         "canonical": canonical,
@@ -859,9 +918,12 @@ def outlink_edges(df: DataFrame, *, html_col: str = "html",
     )
     staged = df.select(
         host.alias("src_host"),
-        F.regexp_extract_all(F.col(html_col), F.lit(_A_TAG_RE), F.lit(0)).alias(
-            "_atags"
-        ),
+        # quoted-angle protection (ADVICE r12): an <a> tag whose OTHER
+        # attributes carry raw '<'/'>' in quoted values would otherwise
+        # never match the linear _A_TAG_RE
+        F.regexp_extract_all(
+            protect_quoted_angles(F.col(html_col)), F.lit(_A_TAG_RE), F.lit(0)
+        ).alias("_atags"),
     )
     links = staged.select(
         "src_host", F.explode("_atags").alias("_tag")
@@ -876,7 +938,9 @@ def outlink_edges(df: DataFrame, *, html_col: str = "html",
     )
     links = links.select(
         "src_host",
-        F.when(href_dq != "", href_dq).otherwise(href_sq).alias("_link"),
+        restore_angles(
+            F.when(href_dq != "", href_dq).otherwise(href_sq)
+        ).alias("_link"),
     )
     link = F.col("_link")
     is_abs = link.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
@@ -1025,9 +1089,11 @@ def image_refs(df: DataFrame, *, html_col: str = "html",
         scheme.alias("_scheme"),
         host.alias("_host"),
         basedir.alias("_dir"),
-        F.regexp_extract_all(F.col(html_col), F.lit(_IMG_RE), F.lit(0)).alias(
-            "_tags"
-        ),
+        # quoted-angle protection (ADVICE r12): alt text like "a<b" would
+        # otherwise hide the whole tag from the linear _IMG_RE
+        F.regexp_extract_all(
+            protect_quoted_angles(F.col(html_col)), F.lit(_IMG_RE), F.lit(0)
+        ).alias("_tags"),
     )
     tags = staged.select(
         "page_url", "_scheme", "_host", "_dir",
@@ -1040,7 +1106,7 @@ def image_refs(df: DataFrame, *, html_col: str = "html",
             tag, rf'(?is)\b{name}\s*=\s*"([^"]*)"', 1
         )
         sq = F.regexp_extract(tag, rf"(?is)\b{name}\s*=\s*'([^']*)'", 1)
-        return F.when(dq != "", dq).otherwise(sq)
+        return restore_angles(F.when(dq != "", dq).otherwise(sq))
 
     src = _attr("src")
     alt = _attr("alt")

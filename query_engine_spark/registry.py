@@ -3195,7 +3195,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_replace(
              regexp_replace(
                regexp_replace(text || ' contact: u' || doc_id || '@example.com or +1 555 000 ' || doc_id,
-                 '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}', '<EMAIL>', 'g'),
+                 '[A-Za-z0-9._%+-]{1,320}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}', '<EMAIL>', 'g'),
                '\+?[0-9][0-9()\- ]{7,30}[0-9]', '<PHONE>', 'g'),
              '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
     FROM documents
@@ -7538,8 +7538,28 @@ _STALE_VERIFICATION: set[str] = set()
 # verdict's budget: <= ~15 slots). Touched this round (each the
 # minimal rider set of an ADVICE-r12 fix; riders that are already
 # r6-era cost no extra slot because the cohort leads the window):
-# (filled in as round-13 fixes land)
-_ROUND13_TOUCHED: set[str] = set()
+#  - pdftext.resolve hop cap (the raw indirect-reference cycle, the
+#    non-termination shape the r12 caps missed): resolve() is on the
+#    happy path of every PDF parse -> both PDF queries re-earn.
+#  - scripting while-body _descend (uniform MAX_DEPTH coverage): the
+#    new lines execute only for scripts containing `while` — exactly
+#    one registry query (f12_where_udf_tier, rows-only by design).
+#  - PII email local bound 64 -> 320 (whole-token over-redaction
+#    instead of prefix-leaking partial match): pattern AND both DuckDB
+#    oracles changed — an oracle change always re-earns.
+#  - quoted-angle protection (warc.protect_quoted_angles + restores):
+#    on the happy path of every HTML extractor — all seven HTML-family
+#    riders re-earn. ADVICE's quote-aware interior was REJECTED on
+#    measurement (quadratic + executor StackOverflowError in the JVM
+#    backtracking engine; tests/test_bombs.py pins the probes).
+_ROUND13_TOUCHED: set[str] = {
+    "multimodal_pdf_text", "multimodal_pdf_xrefstream",
+    "f12_where_udf_tier",
+    "text_redact_pii", "llm_curation_pipeline_scrub",
+    "llm_warc_ingest", "llm_html_metadata", "llm_html_outlinks",
+    "llm_html_jsonld", "llm_html_image_pairs",
+    "multimodal_image_text_pairs", "crawl_host_rank",
+}
 
 # Stable alias so _driver_order and the scheduling tests survive the
 # per-round rename of the touched set.

@@ -647,7 +647,7 @@ def multimodal_audio_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
              regexp_replace(
                regexp_replace(
                  regexp_replace(text,
-                   '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}', '<EMAIL>', 'g'),
+                   '[A-Za-z0-9._%+-]{1,320}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}', '<EMAIL>', 'g'),
                  '\+?[0-9][0-9()\- ]{7,30}[0-9]', '<PHONE>', 'g'),
                '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS text
       FROM aug),

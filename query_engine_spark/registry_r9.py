@@ -2606,11 +2606,19 @@ def llm_html_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
     # typed opener inside untrusted document text otherwise retries a
     # to-end scan at every later opener, O(N²); real JSON-LD blocks sit
     # far under 64 KB, so the bound is a capacity line, not behavior.
-    raw = F.regexp_extract(
-        page,
+    # quoted-angle protection (ADVICE r12): a script tag whose OTHER
+    # attributes carry '<'/'>' in quoted values must still match the
+    # linear [^<>] interiors; the captured JSON restores the sentinels
+    from query_engine_spark.llmdata.warc import (
+        protect_quoted_angles,
+        restore_angles,
+    )
+
+    raw = restore_angles(F.regexp_extract(
+        protect_quoted_angles(page),
         r"""(?is)<script[^<>]*type=["']application/ld\+json["'][^<>]*>(.{0,65536}?)</script>""",
         1,
-    )
+    ))
     schema = (
         "`@type` string, headline string, datePublished string,"
         " wordCount int"

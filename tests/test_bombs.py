@@ -493,7 +493,8 @@ def test_pii_redaction_cpu_bomb_bounded(spark):
     (`[..]+@`, `[0-9()\\- ]{7,}`) made the JVM engine's FAILED attempt
     at every offset of a long class-run cost O(run) — a 256 KB base64
     blob (ordinary crawl text) stalled redact_pii for >6 minutes, O(N²).
-    The RFC-bounded quantifiers (local ≤64, domain ≤255, phone ≤30+2)
+    The RFC-bounded quantifiers (local ≤320 — see the ADVICE-r12 note
+    on PII_PATTERNS, domain ≤255, phone ≤30+2)
     cap each attempt at a constant: a 1 MB run now redacts in ~1 s.
     Real PII still redacts (semantics pinned below + the three-scale
     oracle on text_redact_pii / llm_curation_pipeline_scrub, whose
@@ -523,6 +524,25 @@ def test_pii_redaction_cpu_bomb_bounded(spark):
         [("mail a@b.co or +1 555 000 4242 at 10.0.0.1",)], "text string"
     ).select(redact_pii(F.col("text")).alias("t")).collect()[0]["t"]
     assert got == "mail <EMAIL> or <PHONE> at <IP>"
+    # ADVICE r12 partial-leak fix, pinned: at {1,64} a 100-char local
+    # part matched only its LAST 64 chars, leaking a name-bearing
+    # 36-char prefix; at {1,320} the over-long token redacts WHOLE
+    # (over-redaction, the safe failure mode for a privacy pass)
+    long_local = "john.smith." + "x" * 89 + "@example.com tail"
+    got = spark.createDataFrame(
+        [(long_local,)], "text string"
+    ).select(redact_pii(F.col("text")).alias("t")).collect()[0]["t"]
+    assert got == "<EMAIL> tail", got
+    # documented: a long DIGIT run covers as MULTIPLE <PHONE> tokens
+    # with at most an 8-char non-number tail — covering, not leaking
+    got = spark.createDataFrame(
+        [("9" * 100,)], "text string"
+    ).select(redact_pii(F.col("text")).alias("t")).collect()[0]["t"]
+    import re as _re
+
+    assert set(_re.findall(r"<PHONE>|9+", got)) <= {"<PHONE>"} or all(
+        len(run) <= 8 for run in _re.findall(r"9+", got)
+    ), got
 
 
 def test_pdf_nesting_bomb_contract_valueerror():
@@ -631,6 +651,10 @@ def test_script_nesting_and_token_caps(spark):
         "1" + "+1" * 5000,                   # token cap (translator depth)
         "(" * 300 + "1" + ")" * 300,         # depth cap (under token cap)
         "if true { " * 120 + "1" + " }" * 120,
+        # while-in-while previously skipped _descend and was bounded only
+        # indirectly by the token cap (ADVICE r12): 120 levels is ~481
+        # tokens, UNDER the token cap, so only the depth guard stops it
+        "while true { " * 120 + "1" + " }" * 120,
         "!" * 200 + "true",
     ]
     for s in attacks:
@@ -639,3 +663,165 @@ def test_script_nesting_and_token_caps(spark):
     # conforming scripts are untouched, incl. 32-deep parens
     assert translate_script("(" * 32 + "1" + ")" * 32) is not None
     assert translate_script("if true { 1 } else { 2 }") is not None
+    # a conforming 32-deep while nest still PARSES (runs on the UDF tier)
+    from query_engine_spark.functions.scripting import _parse
+
+    assert _parse("while true { " * 32 + "1" + " }" * 32) is not None
+
+
+def test_pdf_indirect_ref_cycle_contract_valueerror():
+    """ADVICE r12: the non-termination shape the r12 caps missed — a raw
+    indirect-reference cycle ('2 0 obj 3 0 R' <-> '3 0 obj 2 0 R'
+    reachable from /Pages) spun Pdf.resolve's while loop FOREVER with no
+    exception, wedging an executor more thoroughly than any
+    RecursionError. The hop cap lands the contract ValueError."""
+
+    def obj(n, body):
+        return f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+
+    parts = [b"%PDF-1.4\n"]
+    offsets = {}
+    pos = len(parts[0])
+    bodies = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"3 0 R"),
+        (3, b"2 0 R"),
+    ]
+    for num, body in bodies:
+        blob = obj(num, body)
+        offsets[num] = pos
+        parts.append(blob)
+        pos += len(blob)
+    xref_at = pos
+    maxn = max(offsets) + 1
+    xref = [f"xref\n0 {maxn}\n".encode(), b"0000000000 65535 f \n"]
+    for n in range(1, maxn):
+        xref.append(f"{offsets[n]:010d} 00000 n \n".encode())
+    trailer = (
+        b"trailer\n<< /Size " + str(maxn).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode() + b"\n%%EOF"
+    )
+    pdf = b"".join(parts) + b"".join(xref) + trailer
+    from query_engine_spark.llmdata.pdftext import extract_pdf_text
+
+    with pytest.raises(ValueError, match="indirect reference cycle"):
+        extract_pdf_text(pdf)
+
+    # a LEGAL shallow ref-to-ref chain still resolves (cap is 32 hops)
+    from query_engine_spark.llmdata.pdftext import _Pdf
+
+    chain = [(1, b"<< /Type /Catalog /Pages 2 0 R >>")]
+    for i in range(2, 10):
+        chain.append((i, f"{i + 1} 0 R".encode()))
+    chain.append((10, b"42"))
+    parts = [b"%PDF-1.4\n"]
+    offsets = {}
+    pos = len(parts[0])
+    for num, body in chain:
+        blob = obj(num, body)
+        offsets[num] = pos
+        parts.append(blob)
+        pos += len(blob)
+    xref_at = pos
+    maxn = max(offsets) + 1
+    xref = [f"xref\n0 {maxn}\n".encode(), b"0000000000 65535 f \n"]
+    for n in range(1, maxn):
+        xref.append(f"{offsets[n]:010d} 00000 n \n".encode())
+    trailer = (
+        b"trailer\n<< /Size " + str(maxn).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode() + b"\n%%EOF"
+    )
+    p = _Pdf(b"".join(parts) + b"".join(xref) + trailer)
+    assert p.resolve(("ref", 2)) == 42
+
+
+def test_quoted_angle_protection_valid_html5(spark):
+    """ADVICE r12: valid HTML5 allows raw '<'/'>' inside QUOTED attribute
+    values (onclick comparisons, alt text); the linear [^<>] interiors
+    could not cross them, leaking tag fragments into text and hiding
+    tags from the attribute extractors. The sentinel pre-pass
+    (warc.protect_quoted_angles) fixes the class while keeping every
+    extractor linear — ADVICE's quote-aware interior
+    <(?:[^<>"']|"[^"]*"|'[^']*')*> was measured this round to be
+    QUADRATIC in Spark's backtracking engine and to StackOverflowError
+    the executor on a 32 KB unclosed-quote tail, so it was rejected."""
+    from pyspark.sql import functions as F
+
+    from query_engine_spark.llmdata.warc import (
+        html_metadata,
+        html_to_text,
+        image_refs,
+        outlink_edges,
+    )
+
+    def txt(s):
+        return spark.createDataFrame([(s,)], "html string").select(
+            html_to_text(F.col("html")).alias("t")
+        ).collect()[0]["t"]
+
+    # the ADVICE reproducer: tag with '<' in a quoted title now strips
+    assert txt('<p>x <a title="a<b" href="/z">link</a></p>') == "x link"
+    # onclick JS comparisons — the dominant real-world shape
+    assert txt('<div onclick="if(a<b && c>d){go()}">CLICK</div> tail') == "CLICK\ntail"
+
+    m = html_metadata(F.col("html"))
+    row = spark.createDataFrame(
+        [('<html lang="en"><head><title>T</title>'
+          '<meta name="description" content="if a<b then x>y"/>'
+          "</head><body>hi</body></html>",)], "html string"
+    ).select(m["description"].alias("d"), m["lang"].alias("l")).collect()[0]
+    assert row["d"] == "if a<b then x>y" and row["l"] == "en"
+
+    links = outlink_edges(
+        spark.createDataFrame(
+            [("https://s.example/p",
+              '<a title="a<b" href="https://other.example/z">go</a>')],
+            "url string, html string",
+        ), html_col="html", url_col="url",
+    ).collect()
+    assert [(r["src_host"], r["dst_host"]) for r in links] == [
+        ("s.example", "other.example")
+    ]
+
+    imgs = image_refs(
+        spark.createDataFrame(
+            [("https://s.example/p", '<img src="/i.png" alt="w<h and a>b">')],
+            "url string, html string",
+        ), html_col="html", url_col="url",
+    ).collect()
+    assert imgs[0]["alt"] == "w<h and a>b"
+
+    # capacity line, pinned: two passes protect up to TWO of each angle
+    # per value; a third falls back to the previous fragment behavior
+    assert txt('<div data-x="a<b<c">T</div> z') == "T\nz"
+    assert txt('<div data-x="a<b<c<d">T</div> z') == '<div data-x="a<b<c T\nz'
+    # divergence, pinned: an UNCLOSED attribute quote puts the rest of
+    # the input in the HTML5 tokenizer's in-quote state — the tail stays
+    # text (keep-the-words stance; the old pattern cut the tag at '>')
+    assert txt('<p class="oops >text</p> w') == '<p class="oops >text</p> w'
+
+
+def test_quoted_angle_protection_stays_linear(spark):
+    """CPU probes for the sentinel pre-pass itself and the full
+    html_to_text chain with protection wired in: '="'-anchored floods,
+    '<' floods, and the opener+unclosed-tail shape that kills the
+    quote-aware interior all stay sub-second per 256 KB (the r12 bomb
+    measured ~58 s at 384 KB)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from query_engine_spark.llmdata.warc import html_to_text
+
+    floods = {
+        "eq_quote": '="a' * 87381,
+        "lt": "<" * 262144,
+        "opener_tail": '<a "' * 32768 + "a" * 131072,
+        "mixed_tags": '<div data-x="1<2">' * 14563,
+    }
+    for name, s in floods.items():
+        df = spark.createDataFrame([(s,)], "html string")
+        t0 = time.time()
+        df.select(F.length(html_to_text(F.col("html"))).alias("n")).collect()
+        wall = time.time() - t0
+        assert wall < 30, f"{name}: {wall:.1f}s — quadratic HTML scan is back"
