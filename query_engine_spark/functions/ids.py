@@ -108,9 +108,13 @@ def at_uri_to_post_id_col(uri: Column) -> Column:
     """at_uri_to_post_id (main.rs:4127-4149): at://<did>/<collection>/<rkey>
     → "<post|list>:<rkey>_<did_key>"; unsupported collections/dids → NULL."""
     parts = F.split(uri, "/")
-    hostname = F.element_at(parts, 3)
-    collection_raw = F.element_at(parts, 4)
-    rkey = F.element_at(parts, 5)
+    # try_element_at: under ANSI (Spark 4 default) element_at THROWS on
+    # a too-short split — a malformed URI must yield NULL per this
+    # function's contract, not crash the query (r13 hardening, same
+    # class as the scripting scope's empty-langs fix)
+    hostname = F.try_element_at(parts, F.lit(3))
+    collection_raw = F.try_element_at(parts, F.lit(4))
+    rkey = F.try_element_at(parts, F.lit(5))
     collection = (
         F.when(collection_raw == "app.bsky.feed.post", F.lit("post"))
         .when(collection_raw == "app.bsky.graph.list", F.lit("list"))

@@ -82,7 +82,12 @@ RHAI_SCOPE_COLUMNS: dict[str, str] = {
     "repostCount": "repost_count",
     "quoteCount": "quote_count",
     "imageCount": "image_count",
-    "lang": "coalesce(element_at(langs, 1), '')",
+    # try_element_at, not element_at: under Spark 4's default ANSI mode
+    # element_at THROWS on an empty array, so a single empty-langs post
+    # would crash every lang-referencing script query instead of seeing
+    # the documented '' (r13 tier-differential find — the reference
+    # scope pushes "" when langs is empty, main.rs:2596-2624)
+    "lang": "coalesce(try_element_at(langs, 1), '')",
     "tsMillis": "unix_millis(ts)",
     "ageSeconds": "(__now_epoch__ - unix_seconds(ts))",
     "score": "score",
@@ -404,7 +409,12 @@ def _to_sql(node: tuple, env: dict[str, tuple[str, str | None]], now_epoch_expr:
     kind = node[0]
     if kind == "num":
         if isinstance(node[1], float):
-            return repr(node[1]), "f"
+            # CAST to DOUBLE: a bare `0.1` literal parses as DECIMAL in
+            # Spark SQL, making `0.1 + 0.2 == 0.3` TRUE — Rhai floats
+            # are f64 (and the interpreter tier agrees), so decimal
+            # arithmetic is the wrong semantics (r13 tier-differential
+            # find; pinned in test_scripting_differential)
+            return f"CAST({node[1]!r} AS DOUBLE)", "f"
         return str(node[1]), "i"
     if kind == "str":
         return "'" + node[1].replace("'", "''") + "'", "s"
@@ -426,8 +436,25 @@ def _to_sql(node: tuple, env: dict[str, tuple[str, str | None]], now_epoch_expr:
         a, ta = _to_sql(node[2], env, now_epoch_expr)
         b, tb = _to_sql(node[3], env, now_epoch_expr)
         op = node[1]
+        # a KNOWN string on one side of a comparison or arithmetic op
+        # with a known non-string other side is a type error — raise at
+        # translation instead of letting Spark's implicit casts produce
+        # NULLs the interpreter tier would never produce (r13
+        # tier-differential hardening)
+        if ("s" in (ta, tb)) and not (ta == tb == "s") and None not in (ta, tb):
+            raise ScriptTranslationError(
+                f"operator {op!r} mixes string and non-string operands"
+            )
         if op in ("&&", "||", "==", "!=", "<", "<=", ">", ">="):
             return f"({a} {_SQL_OPS.get(op, op)} {b})", "b"
+        if op == "+" and ta == tb == "s":
+            # Rhai string concatenation (both-string only; the
+            # interpreter tier mirrors this — mixed raises)
+            return f"concat({a}, {b})", "s"
+        if ta == "s" or tb == "s":
+            raise ScriptTranslationError(
+                f"operator {op!r} is not defined on strings"
+            )
         if op == "/":
             if ta == "i" and tb == "i":
                 # Rhai i64 division truncates (main.rs:2602-2621 scope is i64)
@@ -484,17 +511,69 @@ def _is_int(v) -> bool:
     return isinstance(v, int) and not isinstance(v, bool)
 
 
-def _eval(node: tuple, env: dict):
+class _Env:
+    """Rhai-style lexical scope chain. A `let` declares in the CURRENT
+    block's scope; an assignment mutates the nearest enclosing
+    declaration (and errors when none exists, like Rhai's 'variable not
+    found'). The previous flat-dict implementation leaked block-local
+    `let`s into the enclosing scope, so a branch-local shadow of a
+    scope column survived the block and changed later reads — a real
+    row-value divergence vs the SQL tier (which block-scopes bindings)
+    found by the r13 tier differential and pinned in
+    test_scripting_differential."""
+
+    __slots__ = ("vars", "parent")
+
+    def __init__(self, vars: dict | None = None, parent: "_Env | None" = None):
+        self.vars = vars if vars is not None else {}
+        self.parent = parent
+
+    def get(self, name: str):
+        e = self
+        while e is not None:
+            if name in e.vars:
+                return e.vars[name]
+            e = e.parent
+        raise ScriptTranslationError(f"unknown identifier {name!r}")
+
+    def let(self, name: str, value) -> None:
+        self.vars[name] = value
+
+    def assign(self, name: str, value) -> None:
+        e = self
+        while e is not None:
+            if name in e.vars:
+                e.vars[name] = value
+                return
+            e = e.parent
+        raise ScriptRuntimeError(f"assignment to undeclared variable {name!r}")
+
+
+def _arith_guard(op: str, a, b) -> None:
+    """Rhai arithmetic is defined on numbers (and `+` on two strings,
+    handled by the caller): a string or bool operand anywhere else is a
+    script type error — raise the contract error instead of leaking
+    Python's own operator semantics ('a'*3, True+1)."""
+    if isinstance(a, str) or isinstance(b, str):
+        raise ScriptRuntimeError(
+            f"operator {op!r} on string and non-string operands"
+        )
+    if isinstance(a, bool) or isinstance(b, bool):
+        raise ScriptRuntimeError(f"operator {op!r} on boolean operands")
+
+
+def _eval(node: tuple, env: "_Env"):
     kind = node[0]
     if kind in ("num", "str", "bool"):
         return node[1]
     if kind == "var":
-        if node[1] in env:
-            return env[node[1]]
-        raise ScriptTranslationError(f"unknown identifier {node[1]!r}")
+        return env.get(node[1])
     if kind == "un":
         v = _eval(node[2], env)
-        return (not v) if node[1] == "!" else (-v)
+        if node[1] == "!":
+            return not v
+        _arith_guard("-", v, 0)
+        return -v
     if kind == "bin":
         op = node[1]
         a = _eval(node[2], env)
@@ -504,15 +583,21 @@ def _eval(node: tuple, env: dict):
             return bool(a) or bool(_eval(node[3], env))
         b = _eval(node[3], env)
         if op == "+":
+            if isinstance(a, str) and isinstance(b, str):
+                return a + b
+            _arith_guard(op, a, b)
             return a + b
         if op == "-":
+            _arith_guard(op, a, b)
             return a - b
         if op == "*":
+            _arith_guard(op, a, b)
             return a * b
         if op == "/":
             # Rhai/Rust semantics: i64 ÷ i64 truncates toward zero and
             # ERRORS on zero (the reference unwrap()s → query fails);
             # f64 ÷ 0 is ±inf/nan (module docstring)
+            _arith_guard(op, a, b)
             if _is_int(a) and _is_int(b):
                 if b == 0:
                     raise ScriptRuntimeError("integer division by zero")
@@ -523,6 +608,7 @@ def _eval(node: tuple, env: dict):
             return a / b
         if op == "%":
             # Rust remainder: sign of the dividend (both i64 and f64)
+            _arith_guard(op, a, b)
             if _is_int(a) and _is_int(b):
                 if b == 0:
                     raise ScriptRuntimeError("integer modulo by zero")
@@ -533,34 +619,50 @@ def _eval(node: tuple, env: dict):
             return a == b
         if op == "!=":
             return a != b
-        if op == "<":
-            return a < b
-        if op == "<=":
-            return a <= b
-        if op == ">":
-            return a > b
-        if op == ">=":
+        if op in ("<", "<=", ">", ">="):
+            # ordering is defined within numbers or within strings;
+            # mixed (or bool) operands are a script type error, not
+            # Python's TypeError escaping the sandbox
+            if isinstance(a, str) != isinstance(b, str):
+                raise ScriptRuntimeError(
+                    f"operator {op!r} on string and non-string operands"
+                )
+            if isinstance(a, bool) or isinstance(b, bool):
+                raise ScriptRuntimeError(f"operator {op!r} on boolean operands")
+            if op == "<":
+                return a < b
+            if op == "<=":
+                return a <= b
+            if op == ">":
+                return a > b
             return a >= b
     if kind == "if":
+        # each branch is its own lexical scope (child _Env): its `let`s
+        # die with the branch, assignments to enclosing vars propagate
         if _eval(node[1], env):
-            return _eval_block(node[2], env)
+            return _eval_block(node[2], _Env(parent=env))
         if node[3] is not None:
-            return _eval_block(node[3], env)
+            return _eval_block(node[3], _Env(parent=env))
         return None
     raise ScriptTranslationError(f"unsupported node {kind}")
 
 
-def _eval_stmt(node: tuple, env: dict):
+def _eval_stmt(node: tuple, env: "_Env"):
     kind = node[0]
-    if kind == "let" or kind == "assign":
-        env[node[1]] = _eval(node[2], env)
+    if kind == "let":
+        env.let(node[1], _eval(node[2], env))
+        return None
+    if kind == "assign":
+        env.assign(node[1], _eval(node[2], env))
         return None
     if kind == "return":
         raise _Return(_eval(node[1], env))
     if kind == "while":
         n = 0
         while _eval(node[1], env):
-            _eval_block(node[2], env)
+            # fresh scope per iteration: loop-body `let`s do not
+            # persist across iterations (Rhai block scoping)
+            _eval_block(node[2], _Env(parent=env))
             n += 1
             if n > _MAX_LOOP_ITERS:
                 raise ScriptTranslationError("while loop exceeded iteration cap")
@@ -568,7 +670,7 @@ def _eval_stmt(node: tuple, env: dict):
     return _eval(node, env)
 
 
-def _eval_block(block: tuple, env: dict):
+def _eval_block(block: tuple, env: "_Env"):
     _, stmts, final = block
     out = None
     for s in stmts:
@@ -588,7 +690,7 @@ def _udf_column(ast: tuple, now_epoch_expr: str, *, boolean: bool) -> Column:
     def _run_rows(batch: pd.DataFrame) -> list:
         results = []
         for row in batch.itertuples(index=False):
-            env = dict(zip(names, row))
+            env = _Env(dict(zip(names, row)))
             try:
                 v = _eval_block(ast, env)
             except _Return as r:

@@ -7552,6 +7552,14 @@ _STALE_VERIFICATION: set[str] = set()
 #    riders re-earn. ADVICE's quote-aware interior was REJECTED on
 #    measurement (quadratic + executor StackOverflowError in the JVM
 #    backtracking engine; tests/test_bombs.py pins the probes).
+#  - tier-differential fixes (float literals emit CAST AS DOUBLE; _Env
+#    scope chain in the interpreter; string concat + type guards both
+#    tiers; try_element_at in the lang scope expr): _to_sql/_eval are
+#    on the happy path of every translate_script call — riders are the
+#    five script-bearing queries (sc4_created_at_score does not call
+#    translate_script; sc_hn_normalized's pipeline has no script
+#    block; ids.py's try_element_at is connector-only, no registry
+#    rider).
 _ROUND13_TOUCHED: set[str] = {
     "multimodal_pdf_text", "multimodal_pdf_xrefstream",
     "f12_where_udf_tier",
@@ -7559,6 +7567,8 @@ _ROUND13_TOUCHED: set[str] = {
     "llm_warc_ingest", "llm_html_metadata", "llm_html_outlinks",
     "llm_html_jsonld", "llm_html_image_pairs",
     "multimodal_image_text_pairs", "crawl_host_rank",
+    "f12_where_script", "f12_where_script_stmt", "sc1_script_score",
+    "pipeline_flagship",
 }
 
 # Stable alias so _driver_order and the scheduling tests survive the
