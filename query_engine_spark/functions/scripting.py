@@ -470,7 +470,14 @@ def _to_sql(node: tuple, env: dict[str, tuple[str, str | None]], now_epoch_expr:
         c, _tc = _to_sql(node[1], env, now_epoch_expr)
         t, tt = _block_to_sql_typed(node[2], dict(env), now_epoch_expr)
         e, te = _block_to_sql_typed(node[3], dict(env), now_epoch_expr)
-        return f"(CASE WHEN {c} THEN {t} ELSE {e} END)", _unify(tt, te)
+        ty = _unify(tt, te)
+        if ty is None and None not in (tt, te):
+            # branches with KNOWN incompatible types (str vs num, bool
+            # vs num): Spark's CASE WHEN would silently coerce both to
+            # string — the interpreter tier stays dynamically typed
+            # like Rhai, so this shape belongs there (r13 review pass)
+            raise _NeedsUdf(f"if branches have incompatible types ({tt} vs {te})")
+        return f"(CASE WHEN {c} THEN {t} ELSE {e} END)", ty
     if kind in ("assign", "while", "return"):
         raise _NeedsUdf(f"{kind} statement")
     raise ScriptTranslationError(f"unsupported node {kind}")

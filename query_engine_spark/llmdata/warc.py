@@ -266,19 +266,19 @@ def protect_quoted_angles(col: Column) -> Column:
     bytes so the linear [^<>] tag patterns can cross them. Literal
     \\x02/\\x03 input bytes (malformed real-crawl junk) are scrubbed to
     spaces first so restoration can never fabricate an angle bracket."""
-    c = F.regexp_replace(col, "[\x02\x03]", " ")
+    c = F.regexp_replace(col, f"[{_LT_SENT}{_GT_SENT}]", " ")
     for _ in range(_PROTECT_PASSES):
-        c = F.regexp_replace(c, '(="[^"<>]*)<', "$1\x02")
-        c = F.regexp_replace(c, '(="[^"<>]*)>', "$1\x03")
-        c = F.regexp_replace(c, "(='[^'<>]*)<", "$1\x02")
-        c = F.regexp_replace(c, "(='[^'<>]*)>", "$1\x03")
+        c = F.regexp_replace(c, '(="[^"<>]*)<', "$1" + _LT_SENT)
+        c = F.regexp_replace(c, '(="[^"<>]*)>', "$1" + _GT_SENT)
+        c = F.regexp_replace(c, "(='[^'<>]*)<", "$1" + _LT_SENT)
+        c = F.regexp_replace(c, "(='[^'<>]*)>", "$1" + _GT_SENT)
     return c
 
 
 def restore_angles(col: Column) -> Column:
     """Undo protect_quoted_angles in an extracted value or text."""
     return F.regexp_replace(
-        F.regexp_replace(col, "\x02", "<"), "\x03", ">"
+        F.regexp_replace(col, _LT_SENT, "<"), _GT_SENT, ">"
     )
 
 
