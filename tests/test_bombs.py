@@ -825,3 +825,40 @@ def test_quoted_angle_protection_stays_linear(spark):
         df.select(F.length(html_to_text(F.col("html"))).alias("n")).collect()
         wall = time.time() - t0
         assert wall < 30, f"{name}: {wall:.1f}s — quadratic HTML scan is back"
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical_url is a fixed point on its own output — re-canonicalizing
+    a canonical URL changes nothing (4k adversarial + realistic URLs
+    probed in-session r13; 1k pinned). An idempotency break would mean
+    crawl-level dedup keys depend on HOW MANY times a URL passed through
+    the pipeline — silent dedup misses at scale."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from query_engine_spark.llmdata.warc import canonical_url
+
+    rng = random.Random(42)
+    chars = string.ascii_letters + string.digits + ":/?#&=._-~%+@!$'()*,;[] \t"
+    urls = []
+    for i in range(1000):
+        if rng.random() < 0.5:
+            host = f"{'WWW.' if i % 7 == 0 else ''}Site{i % 13}.Example"
+            urls.append(
+                rng.choice(["http", "HTTPS", "ftp"]) + "://" + host
+                + rng.choice(["", ":80", ":443", ":8080"])
+                + rng.choice(["", "/", "/a/b", "/a//b/", "/%7Euser"])
+                + rng.choice(["", "?utm_source=x", "?b=2&a=1", "??", "?a=&b"])
+                + rng.choice(["", "#top", "#?fake=1"])
+            )
+        else:
+            urls.append("".join(rng.choice(chars) for _ in range(rng.randint(0, 40))))
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select("u", canonical_url(F.col("u")).alias("c1"))
+    twice = once.select("u", "c1", canonical_url(F.col("c1")).alias("c2"))
+    bad = twice.filter(
+        (F.col("c1") != F.col("c2")) | F.col("c1").isNull()
+    ).collect()
+    assert not bad, bad[:5]

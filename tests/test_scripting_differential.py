@@ -269,3 +269,31 @@ def test_fuzz_sql_vs_udf_tier(spark, block):
         scripts.append(g.script())
     for i in range(0, len(scripts), 50):
         _compare_chunk(spark, df, scripts[i:i + 50])
+
+
+def test_parser_random_soup_contract():
+    """Random printable byte soup must either parse or raise the contract
+    ScriptTranslationError — never RecursionError, never any other
+    exception type, never a hang (extends the r12 nesting/token caps
+    with unstructured input; 20k soups probed in-session r13, 5k pinned)."""
+    import random
+    import string
+
+    from query_engine_spark.functions.scripting import (
+        ScriptTranslationError,
+        _parse,
+    )
+
+    ok = err = 0
+    for i in range(5000):
+        rng = random.Random(i)
+        s = "".join(
+            rng.choice(string.printable) for _ in range(rng.randint(0, 120))
+        )
+        try:
+            _parse(s)
+            ok += 1
+        except ScriptTranslationError:
+            err += 1
+    # both outcomes must occur (a generator bug could make this vacuous)
+    assert ok > 50 and err > 1000
