@@ -556,6 +556,21 @@ class _Env:
         raise ScriptRuntimeError(f"assignment to undeclared variable {name!r}")
 
 
+_I64_MIN, _I64_MAX = -(2**63), 2**63 - 1
+
+
+def _check_i64(op: str, v: int) -> int:
+    """Rhai integers are CHECKED i64 (overflow is a runtime error the
+    reference's unwrap() turns into a query failure) — Python's
+    unbounded ints must not silently diverge past 2^63. Found by the
+    r13 imperative-grammar differential: an accumulator loop walked a
+    bigint past float range and crashed the pandas UDF with a raw
+    OverflowError instead of the contract error."""
+    if v < _I64_MIN or v > _I64_MAX:
+        raise ScriptRuntimeError(f"integer overflow in {op!r}")
+    return v
+
+
 def _arith_guard(op: str, a, b) -> None:
     """Rhai arithmetic is defined on numbers (and `+` on two strings,
     handled by the caller): a string or bool operand anywhere else is a
@@ -580,7 +595,7 @@ def _eval(node: tuple, env: "_Env"):
         if node[1] == "!":
             return not v
         _arith_guard("-", v, 0)
-        return -v
+        return _check_i64("-", -v) if _is_int(v) else -v
     if kind == "bin":
         op = node[1]
         a = _eval(node[2], env)
@@ -593,13 +608,16 @@ def _eval(node: tuple, env: "_Env"):
             if isinstance(a, str) and isinstance(b, str):
                 return a + b
             _arith_guard(op, a, b)
-            return a + b
+            v = a + b
+            return _check_i64(op, v) if _is_int(v) else v
         if op == "-":
             _arith_guard(op, a, b)
-            return a - b
+            v = a - b
+            return _check_i64(op, v) if _is_int(v) else v
         if op == "*":
             _arith_guard(op, a, b)
-            return a * b
+            v = a * b
+            return _check_i64(op, v) if _is_int(v) else v
         if op == "/":
             # Rhai/Rust semantics: i64 ÷ i64 truncates toward zero and
             # ERRORS on zero (the reference unwrap()s → query fails);
@@ -609,7 +627,8 @@ def _eval(node: tuple, env: "_Env"):
                 if b == 0:
                     raise ScriptRuntimeError("integer division by zero")
                 q = abs(a) // abs(b)
-                return q if (a >= 0) == (b >= 0) else -q
+                # i64::MIN / -1 overflows in checked i64 (Rust panics)
+                return _check_i64(op, q if (a >= 0) == (b >= 0) else -q)
             if b == 0:
                 return float("nan") if a == 0 else math.copysign(math.inf, a) * math.copysign(1.0, b)
             return a / b

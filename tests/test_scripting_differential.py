@@ -297,3 +297,202 @@ def test_parser_random_soup_contract():
             err += 1
     # both outcomes must occur (a generator bug could make this vacuous)
     assert ok > 50 and err > 1000
+
+
+# ---------------------------------------------------------------------------
+# Imperative-grammar differential: the UDF tier vs a test-local REFERENCE
+# interpreter. while/assign/return scripts never reach the SQL tier, so
+# the fuzz above cannot see them — this reference is written with
+# deliberately different machinery (explicit scope STACK of dicts, an
+# iterative statement walker) so a shared bug is unlikely to cancel.
+
+
+class _RefReturn(Exception):
+    def __init__(self, v):
+        self.v = v
+
+
+def _ref_eval_block(block, scopes):
+    _, stmts, final = block
+    out = None
+    for s in stmts:
+        out = _ref_stmt(s, scopes)
+    if final is not None:
+        out = _ref_expr(final, scopes)
+    return out
+
+
+def _ref_stmt(node, scopes):
+    k = node[0]
+    if k == "let":
+        scopes[-1][node[1]] = _ref_expr(node[2], scopes)
+        return None
+    if k == "assign":
+        v = _ref_expr(node[2], scopes)
+        for sc in reversed(scopes):
+            if node[1] in sc:
+                sc[node[1]] = v
+                return None
+        raise AssertionError(f"assign to undeclared {node[1]}")
+    if k == "return":
+        raise _RefReturn(_ref_expr(node[1], scopes))
+    if k == "while":
+        n = 0
+        while _ref_expr(node[1], scopes):
+            _ref_eval_block(node[2], scopes + [{}])
+            n += 1
+            assert n < 10_000, "reference loop runaway"
+        return None
+    return _ref_expr(node, scopes)
+
+
+def _ref_expr(node, scopes):
+    k = node[0]
+    if k in ("num", "str", "bool"):
+        return node[1]
+    if k == "var":
+        for sc in reversed(scopes):
+            if node[1] in sc:
+                return sc[node[1]]
+        raise AssertionError(f"unknown {node[1]}")
+    if k == "un":
+        v = _ref_expr(node[2], scopes)
+        return (not v) if node[1] == "!" else -v
+    if k == "if":
+        if _ref_expr(node[1], scopes):
+            return _ref_eval_block(node[2], scopes + [{}])
+        if node[3] is not None:
+            return _ref_eval_block(node[3], scopes + [{}])
+        return None
+    if k == "bin":
+        op = node[1]
+        a = _ref_expr(node[2], scopes)
+        if op == "&&":
+            return bool(a) and bool(_ref_expr(node[3], scopes))
+        if op == "||":
+            return bool(a) or bool(_ref_expr(node[3], scopes))
+        b = _ref_expr(node[3], scopes)
+        if op == "/":
+            if isinstance(a, int) and isinstance(b, int):
+                q = abs(a) // abs(b)
+                return q if (a >= 0) == (b >= 0) else -q
+            return a / b
+        if op == "%":
+            if isinstance(a, int) and isinstance(b, int):
+                r = abs(a) % abs(b)
+                return r if a >= 0 else -r
+            import math as _m
+
+            return _m.fmod(a, b)
+        return {
+            "+": lambda: a + b, "-": lambda: a - b, "*": lambda: a * b,
+            "==": lambda: a == b, "!=": lambda: a != b,
+            "<": lambda: a < b, "<=": lambda: a <= b,
+            ">": lambda: a > b, ">=": lambda: a >= b,
+        }[op]()
+    raise AssertionError(f"node {k}")
+
+
+class _ImpGen(_Gen):
+    """Imperative-script generator: terminating while loops (counter
+    initialized from a %-bounded int, strictly decremented by a literal),
+    reassignment of declared vars, and early returns — the UDF-tier-only
+    grammar."""
+
+    def imperative_script(self):
+        rng = self.rng
+        stmts = ["let acc = 0;"]
+        # acc deliberately NOT added to self.lets: an update expression
+        # referencing acc compounds per iteration (acc = acc + acc*x) and
+        # walks past i64 — which is its own DIRECTED contract test below,
+        # not a value-differential case
+        init, _ = self.expr("i", 2)
+        step = rng.randint(1, 3)
+        body = [f"let n = ({init}) % 37;"]
+        upd, _ = self.expr("i", 2)
+        inner = f"acc = acc + ({upd});"
+        if rng.random() < 0.3:
+            # while-in-while: inner loop over a fresh bounded counter
+            body.append(
+                f"while n > 0 {{ let m = n % 5; "
+                f"while m > 0 {{ {inner} m = m - 1; }} n = n - {step}; }}"
+            )
+        else:
+            body.append(f"while n > 0 {{ {inner} n = n - {step}; }}")
+        stmts.extend(body)
+        if rng.random() < 0.4:
+            cond, _ = self.expr("b", 2)
+            ret, _ = self.expr("i", 2)
+            stmts.append(f"if {cond} {{ return ({ret}) - acc; }}")
+        stmts.append("acc")
+        return " ".join(stmts)
+
+
+def test_fuzz_udf_tier_vs_reference_interpreter(spark):
+    """500 generated IMPERATIVE scripts (while/assign/return — the
+    grammar only the sandboxed UDF tier runs): the pandas-UDF
+    interpreter must agree exactly with the test-local reference
+    interpreter on every row."""
+    df = _posts_df(spark)
+    names = list(S.RHAI_SCOPE_COLUMNS)
+    rows = df.select(
+        *[F.expr(S.RHAI_SCOPE_COLUMNS[n].replace("__now_epoch__", NOW)).alias(n)
+          for n in names]
+    ).toPandas()
+
+    scripts = []
+    for seed in range(500):
+        g = _ImpGen(random.Random(20000 + seed))
+        scripts.append(g.imperative_script())
+
+    for i in range(0, len(scripts), 50):
+        chunk = scripts[i:i + 50]
+        cols = []
+        asts = []
+        for k, script in enumerate(chunk):
+            ast = S._parse(script)
+            asts.append(ast)
+            cols.append(S._udf_column(ast, NOW, boolean=False).alias(f"u_{k}"))
+        got = df.select(*cols).toPandas()
+        for k, (script, ast) in enumerate(zip(chunk, asts)):
+            for r in range(len(rows)):
+                scope = {n: rows.iloc[r][n] for n in names}
+                # numpy → python scalars, like the reference's Rhai scope
+                scope = {
+                    n: (v.item() if hasattr(v, "item") else v)
+                    for n, v in scope.items()
+                }
+                try:
+                    want = _ref_eval_block(ast, [scope])
+                except _RefReturn as ret:
+                    want = ret.v
+                have = got.iloc[r][f"u_{k}"]
+                assert float(want) == have, (
+                    f"divergence on {script!r} row {r}: ref={want} udf={have}"
+                )
+
+
+def test_interpreter_checked_i64_overflow(spark):
+    """Found by the imperative fuzz above: an accumulator loop compounding
+    past 2^63 produced silent Python bigints (Rhai's checked i64 errors)
+    and finally crashed the pandas UDF with a raw OverflowError at
+    float(). The interpreter now raises the contract ScriptRuntimeError
+    at the first out-of-i64 result."""
+    df = _posts_df(spark).limit(1)
+    script = (
+        "let acc = 2; let n = 70; "
+        "while n > 0 { acc = acc * 2; n = n - 1; } acc"
+    )
+    ast = S._parse(script)
+    with pytest.raises(Exception) as exc:
+        df.select(S._udf_column(ast, NOW, boolean=False).alias("r")).collect()
+    assert "integer overflow" in str(exc.value)
+    # under-i64 loops still compute exactly
+    ok = (
+        "let acc = 1; let n = 62; "
+        "while n > 0 { acc = acc * 2; n = n - 1; } acc"
+    )
+    got = df.select(
+        S._udf_column(S._parse(ok), NOW, boolean=False).alias("r")
+    ).collect()[0]["r"]
+    assert got == float(2 ** 62)
