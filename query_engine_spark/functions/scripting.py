@@ -335,7 +335,18 @@ class _Parser:
     def primary(self) -> tuple:
         t = self.next()
         if t.kind == "num":
-            return ("num", float(t.text) if "." in t.text else int(t.text))
+            if "." in t.text:
+                return ("num", float(t.text))
+            v = int(t.text)
+            # Rhai integers are i64: an over-range literal is a parse
+            # error there, and the SQL tier would otherwise emit an
+            # invalid bigint literal while the interpreter silently
+            # carried a Python bigint (r13 self-review corner)
+            if v > 2**63 - 1:
+                raise ScriptTranslationError(
+                    f"integer literal out of i64 range at {t.pos}"
+                )
+            return ("num", v)
         if t.kind == "str":
             body = t.text[1:-1].replace('\\"', '"').replace("\\\\", "\\")
             return ("str", body)

@@ -496,3 +496,9 @@ def test_interpreter_checked_i64_overflow(spark):
         S._udf_column(S._parse(ok), NOW, boolean=False).alias("r")
     ).collect()[0]["r"]
     assert got == float(2 ** 62)
+
+
+def test_over_i64_literal_rejected_at_parse():
+    with pytest.raises(S.ScriptTranslationError, match="i64 range"):
+        S._parse("9223372036854775808")
+    assert S._parse("9223372036854775807") is not None
