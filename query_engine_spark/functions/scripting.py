@@ -37,10 +37,19 @@ Spark's `%` on bigints already truncates like Rust). Mixed or float operands
 use f64 arithmetic. Error semantics: the reference `unwrap()`s the eval
 result (main.rs:1965, 2174) — the interpreter tier likewise RAISES on
 integer division/modulo by zero and on a non-bool result in a boolean
-(`where`) context, instead of null-masking rows. Known divergences, accepted:
+(`where`) context, instead of null-masking rows. Cross-type comparisons
+match Rhai 1.x on BOTH tiers (r14, ADVICE r13): a type pair with no
+registered comparison (string vs number, bool vs number, any bool ordering,
+unit) makes `==` false, `!=` true and `<`/`<=`/`>`/`>=` false — never an
+error — while int/float compare numerically and strings byte-lexicographic
+like Rust. Known divergences, accepted:
 the SQL tier yields NULL (row dropped / score null) where Rhai would error
-the whole query (int div-by-zero), and the score context coerces int results
-to double where strict Rhai `eval::<f64>` would error on an INT.
+the whole query (int div-by-zero); the score context coerces int results
+to double where strict Rhai `eval::<f64>` would error on an INT; and
+arithmetic on a string or bool operand (a Rhai RUNTIME error the reference
+unwrap()s into a query failure) raises at TRANSLATION time on the SQL tier
+vs at evaluation time on the interpreter tier — both fail the query, only
+the timing differs.
 """
 
 from __future__ import annotations
@@ -442,29 +451,52 @@ def _to_sql(node: tuple, env: dict[str, tuple[str, str | None]], now_epoch_expr:
         inner, ty = _to_sql(node[2], env, now_epoch_expr)
         if node[1] == "!":
             return f"(NOT {inner})", "b"
+        if ty in ("s", "b"):
+            # interpreter tier raises the same shape at runtime
+            # (_arith_guard); Rhai has no unary '-' on these types
+            raise ScriptTranslationError(
+                "unary '-' is not defined on "
+                + ("strings" if ty == "s" else "booleans")
+            )
         return f"(- {inner})", ty
     if kind == "bin":
         a, ta = _to_sql(node[2], env, now_epoch_expr)
         b, tb = _to_sql(node[3], env, now_epoch_expr)
         op = node[1]
-        # a KNOWN string on one side of a comparison or arithmetic op
-        # with a known non-string other side is a type error — raise at
-        # translation instead of letting Spark's implicit casts produce
-        # NULLs the interpreter tier would never produce (r13
-        # tier-differential hardening)
-        if ("s" in (ta, tb)) and not (ta == tb == "s") and None not in (ta, tb):
-            raise ScriptTranslationError(
-                f"operator {op!r} mixes string and non-string operands"
-            )
-        if op in ("&&", "||", "==", "!=", "<", "<=", ">", ">="):
+        if op in ("&&", "||"):
             return f"({a} {_SQL_OPS.get(op, op)} {b})", "b"
+        if op in ("==", "!=", "<", "<=", ">", ">="):
+            # Rhai 1.x cross-type comparison semantics (ADVICE r13): a
+            # type pair with no registered comparison operator makes
+            # `==` FALSE, `!=` TRUE and ordering FALSE — never an error
+            # (the r13 guard raised ScriptTranslationError here,
+            # hard-failing the SQL tier on scripts the reference runs
+            # fine, e.g. `lang == 5 || likeCount > 3`). Registered
+            # pairs: int/float compare numerically, strings compare
+            # lexicographically (byte order, same as Rust), bool has
+            # ==/!= but NO ordering. The interpreter tier mirrors this
+            # (_rhai_eq / the ordering branch of _eval).
+            comparable = (
+                {ta, tb} <= {"i", "f"}
+                or ta == tb == "s"
+                or (ta == tb == "b" and op in ("==", "!="))
+            )
+            if comparable or None in (ta, tb):
+                return f"({a} {_SQL_OPS.get(op, op)} {b})", "b"
+            return ("true" if op == "!=" else "false"), "b"
         if op == "+" and ta == tb == "s":
-            # Rhai string concatenation (both-string only; the
-            # interpreter tier mirrors this — mixed raises)
+            # Rhai string concatenation (both-string only; mixed-type
+            # arithmetic raises on both tiers — translation-time here,
+            # runtime in the interpreter; either way the query fails,
+            # matching the reference's unwrap() on a Rhai type error)
             return f"concat({a}, {b})", "s"
-        if ta == "s" or tb == "s":
+        if "s" in (ta, tb):
             raise ScriptTranslationError(
                 f"operator {op!r} is not defined on strings"
+            )
+        if "b" in (ta, tb):
+            raise ScriptTranslationError(
+                f"operator {op!r} is not defined on booleans"
             )
         if op == "/":
             if ta == "i" and tb == "i":
@@ -527,6 +559,28 @@ _MAX_LOOP_ITERS = 100_000
 
 def _is_int(v) -> bool:
     return isinstance(v, int) and not isinstance(v, bool)
+
+
+def _is_num(v) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def _rhai_eq(a, b) -> bool:
+    """Rhai 1.x equality: int/float compare numerically, same-type
+    values compare natively, and a type pair with NO registered `==`
+    (string vs number, bool vs number, unit vs anything) is FALSE —
+    never an error. `!=` is its exact negation (ADVICE r13: the
+    previous guard raised here, diverging from the reference AND from
+    the SQL tier's static emission)."""
+    if _is_num(a) and _is_num(b):
+        return a == b
+    if isinstance(a, bool) and isinstance(b, bool):
+        return a == b
+    if isinstance(a, str) and isinstance(b, str):
+        return a == b
+    if a is None and b is None:
+        return True  # Rhai unit: () == ()
+    return False
 
 
 class _Env:
@@ -653,19 +707,21 @@ def _eval(node: tuple, env: "_Env"):
                 return r if a >= 0 else -r
             return math.fmod(a, b) if b != 0 else float("nan")
         if op == "==":
-            return a == b
+            return _rhai_eq(a, b)
         if op == "!=":
-            return a != b
+            return not _rhai_eq(a, b)
         if op in ("<", "<=", ">", ">="):
-            # ordering is defined within numbers or within strings;
-            # mixed (or bool) operands are a script type error, not
-            # Python's TypeError escaping the sandbox
-            if isinstance(a, str) != isinstance(b, str):
-                raise ScriptRuntimeError(
-                    f"operator {op!r} on string and non-string operands"
-                )
-            if isinstance(a, bool) or isinstance(b, bool):
-                raise ScriptRuntimeError(f"operator {op!r} on boolean operands")
+            # Rhai ordering is registered within numbers and within
+            # strings only; any other pair (string vs number, any bool,
+            # unit) defaults to FALSE — never an error and never
+            # Python's TypeError escaping the sandbox (ADVICE r13: the
+            # previous raise diverged from the reference's
+            # default-false; the SQL tier emits the same literal)
+            if not (
+                (_is_num(a) and _is_num(b))
+                or (isinstance(a, str) and isinstance(b, str))
+            ):
+                return False
             if op == "<":
                 return a < b
             if op == "<=":

@@ -7391,41 +7391,25 @@ def multimodal_webp_lossy_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_LAST_VERIFIED: dict[str, int] = {
     # Transcribed per-round by tools/ledger_transcribe.py from the
     # CORRECTNESS_r*.json artifacts: name -> last round a driver
-    # hash-match (or designed rows-only pass) was recorded. Post-r12:
-    # the r12 window (50/50 hash-green) was all-touched (the resource-
-    # bound hardening riders + the two changed PII oracles); cohorts
-    # now 32 r6 / 44 r7 / 34 r8 / 26 r9 / 45 r10 / 41 r11 / 50 r12
-    # = 272, matching the r12 verdict's artifact-derived arithmetic.
-    **{n: 6 for n in (
-        "a1_trending_tags", "a1_trending_windowed",
-        "dedup_embedding_cosine", "dedup_minhash_lsh",
-        "dedup_ngram_jaccard", "embed_ivf_indexed", "embed_ivf_topk",
-        "embed_kmeans", "hybrid_rrf_search", "j10_mutuals",
-        "j10_two_hop", "j1_replace_parent", "j3_replace_record",
-        "j4_direct_replies", "j5_all_replies", "j6_quote_posts",
-        "llm_curation_pipeline_decontam", "media_perceptual_dedup",
-        "multimodal_audio_adpcm", "multimodal_audio_mulaw",
-        "multimodal_video_rle", "o1_sort_created_top", "o2_sort_hn",
-        "o3_sort_counts", "o4_sort_random", "o5_sort_score_dedup",
-        "o7_posts_per_user", "profile_pipeline",
-        "text_doc_segment_dedup", "text_dup_spans", "text_langid_ngram",
-        "u_stash_pipeline",
-    )},
+    # hash-match (or designed rows-only pass) was recorded. Post-r13:
+    # the r13 window (48 hash-green + 2 designed rows-only, 50/50)
+    # drained the ENTIRE 32-name r6-era cohort plus 16 touched riders
+    # and 2 r7-era rotation slots; cohorts now 41 r7 / 34 r8 / 24 r9 /
+    # 45 r10 / 38 r11 / 40 r12 / 50 r13 = 272, matching the r13
+    # verdict's artifact-derived arithmetic digit for digit.
     **{n: 7 for n in (
         "a2_tag_variations", "a3_count_views", "a4_degree_counts",
         "a5_user_like_totals", "a7_admin_stats", "agg_cube",
         "agg_distinct_users", "agg_pivot", "dedup_exact",
         "dedup_simhash", "embed_cosine_topk", "embed_srp_near_dup",
-        "events_anomaly_static", "f11_labels_remove",
-        "f12_where_udf_tier", "f1_item_kind", "f2_image_count",
-        "f6_language", "f7_list_semi_anti", "f8_duplicates_first",
-        "f_count_cmp", "j2_replace_root",
+        "events_anomaly_static", "f11_labels_remove", "f1_item_kind",
+        "f2_image_count", "f6_language", "f7_list_semi_anti",
+        "f8_duplicates_first", "f_count_cmp", "j2_replace_root",
         "llm_curation_pipeline_neardup", "media_incremental_dedup",
         "q18_large_orders", "q1_pricing_summary",
         "q3_shipping_priority", "q5_local_supplier_volume",
-        "s10_liked_by_likers", "s2_input_list", "s3_input_tags",
-        "s4_input_labels", "s5_input_feed", "s6_input_did",
-        "s7_input_post_prepend", "s8_archived_scan",
+        "s10_liked_by_likers", "s3_input_tags", "s4_input_labels",
+        "s5_input_feed", "s7_input_post_prepend", "s8_archived_scan",
         "s9_liked_weighted", "stream_windowed_counts",
         "text_contamination", "text_fingerprint", "text_langid",
         "text_quality", "text_tokens", "window_running_revenue",
@@ -7449,11 +7433,11 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "window_revenue_deciles",
     )},
     **{n: 9 for n in (
-        "crawl_frontier_bloom", "crawl_host_rank",
-        "crawl_politeness_schedule", "dedup_clusters", "embed_semdedup",
-        "llm_cdx_select", "llm_csv_roundtrip", "llm_export_manifest",
-        "llm_html_image_pairs", "llm_jsonl_roundtrip",
-        "llm_mbox_ingest", "llm_quality_classifier", "llm_robots_rules",
+        "crawl_frontier_bloom", "crawl_politeness_schedule",
+        "dedup_clusters", "embed_semdedup", "llm_cdx_select",
+        "llm_csv_roundtrip", "llm_export_manifest",
+        "llm_jsonl_roundtrip", "llm_mbox_ingest",
+        "llm_quality_classifier", "llm_robots_rules",
         "llm_robots_wildcards", "media_type_sniff",
         "multimodal_audio_multichannel",
         "multimodal_audio_wav_extensible", "multimodal_bmp_topdown",
@@ -7486,43 +7470,58 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "dedup_containment", "dedup_incremental", "embed_ivfpq_topk",
         "embed_pq_topk", "events_anomaly_zscore", "events_countmin",
         "events_cusum_drift", "events_ohlc", "events_salted_counts",
-        "events_zorder_box", "f10_embed_prefix", "f12_where_script",
-        "f13_videos_notnull", "f14_regex", "f15_profile_filters",
-        "f9_non_duplicates", "graph_pagerank", "kmv_set_ops_events",
-        "llm_bpe_apply", "llm_bpe_train", "llm_curation_pipeline",
-        "llm_dsir_weights", "llm_weighted_sample", "media_audio_dedup",
+        "events_zorder_box", "f10_embed_prefix", "f13_videos_notnull",
+        "f14_regex", "f15_profile_filters", "f9_non_duplicates",
+        "graph_pagerank", "kmv_set_ops_events", "llm_bpe_apply",
+        "llm_bpe_train", "llm_curation_pipeline", "llm_dsir_weights",
+        "llm_weighted_sample", "media_audio_dedup",
         "media_decode_dispatch", "multimodal_audio_resample",
-        "multimodal_features", "multimodal_resize", "pipeline_flagship",
+        "multimodal_features", "multimodal_resize",
         "q12_priority_lines", "q20_promotion_suppliers",
         "q21_waiting_suppliers", "rollup_gapfill_events",
-        "sc1_script_score", "sc4_created_at_score", "sc_hn_normalized",
-        "sessionize_events", "text_bm25_indexed",
-        "text_strip_boilerplate", "text_tfidf_pairs", "text_winnowing",
+        "sc4_created_at_score", "sc_hn_normalized", "sessionize_events",
+        "text_bm25_indexed", "text_strip_boilerplate",
+        "text_tfidf_pairs", "text_winnowing",
     )},
     **{n: 12 for n in (
-        "crawl_schedule", "f12_where_script_stmt",
-        "llm_compressed_ingest", "llm_curation_pipeline_scrub",
-        "llm_epub_ingest", "llm_html_jsonld", "llm_html_metadata",
-        "llm_html_outlinks", "llm_sitemap_frontier", "llm_tar_ingest",
-        "llm_tar_longnames", "llm_tar_mixed_ingest", "llm_warc_ingest",
-        "llm_zip64_ingest", "llm_zip_ingest",
+        "crawl_schedule", "llm_compressed_ingest", "llm_epub_ingest",
+        "llm_sitemap_frontier", "llm_tar_ingest", "llm_tar_longnames",
+        "llm_tar_mixed_ingest", "llm_zip64_ingest", "llm_zip_ingest",
         "media_jpeg_perceptual_dedup", "media_mp4_video_dedup",
         "media_video_dedup", "multimodal_audio_flac",
         "multimodal_audio_flac24", "multimodal_bmp_rle8",
         "multimodal_gif", "multimodal_gif_animated",
         "multimodal_gif_composited", "multimodal_gif_local_palettes",
-        "multimodal_ico", "multimodal_image_text_pairs",
-        "multimodal_jpeg", "multimodal_jpeg_420",
+        "multimodal_ico", "multimodal_jpeg", "multimodal_jpeg_420",
         "multimodal_jpeg_cmyk", "multimodal_jpeg_color",
         "multimodal_jpeg_oriented", "multimodal_jpeg_progressive",
-        "multimodal_pdf_text", "multimodal_pdf_xrefstream",
         "multimodal_png", "multimodal_png16", "multimodal_png_adam7",
         "multimodal_png_gray", "multimodal_png_packed",
         "multimodal_png_rgba", "multimodal_png_trns", "multimodal_qoi",
         "multimodal_video_avi_mjpeg", "multimodal_video_frames",
         "multimodal_video_mp4", "multimodal_webp",
         "multimodal_webp_animated", "multimodal_webp_palette",
-        "text_redact_pii",
+    )},
+    **{n: 13 for n in (
+        "a1_trending_tags", "a1_trending_windowed", "crawl_host_rank",
+        "dedup_embedding_cosine", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "embed_ivf_indexed", "embed_ivf_topk",
+        "embed_kmeans", "f12_where_script", "f12_where_script_stmt",
+        "f12_where_udf_tier", "hybrid_rrf_search", "j10_mutuals",
+        "j10_two_hop", "j1_replace_parent", "j3_replace_record",
+        "j4_direct_replies", "j5_all_replies", "j6_quote_posts",
+        "llm_curation_pipeline_decontam", "llm_curation_pipeline_scrub",
+        "llm_html_image_pairs", "llm_html_jsonld", "llm_html_metadata",
+        "llm_html_outlinks", "llm_warc_ingest",
+        "media_perceptual_dedup", "multimodal_audio_adpcm",
+        "multimodal_audio_mulaw", "multimodal_image_text_pairs",
+        "multimodal_pdf_text", "multimodal_pdf_xrefstream",
+        "multimodal_video_rle", "o1_sort_created_top", "o2_sort_hn",
+        "o3_sort_counts", "o4_sort_random", "o5_sort_score_dedup",
+        "o7_posts_per_user", "pipeline_flagship", "profile_pipeline",
+        "s2_input_list", "s6_input_did", "sc1_script_score",
+        "text_doc_segment_dedup", "text_dup_spans", "text_langid_ngram",
+        "text_redact_pii", "u_stash_pipeline",
     )},
 }
 
@@ -7531,49 +7530,28 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
 # recorded verification is stale — schedule them as if never verified.
 _STALE_VERIFICATION: set[str] = set()
 
-# Queries whose machinery round 13 changed after their last driver check.
-# Round 13 is the rotation round the r11/r12 verdicts scheduled: the
-# window drains the ENTIRE 32-query r6-era cohort plus the stalest
-# r7-era names, so the touched set is held deliberately small (the r12
-# verdict's budget: <= ~15 slots). Touched this round (each the
-# minimal rider set of an ADVICE-r12 fix; riders that are already
-# r6-era cost no extra slot because the cohort leads the window):
-#  - pdftext.resolve hop cap (the raw indirect-reference cycle, the
-#    non-termination shape the r12 caps missed): resolve() is on the
-#    happy path of every PDF parse -> both PDF queries re-earn.
-#  - scripting while-body _descend (uniform MAX_DEPTH coverage): the
-#    new lines execute only for scripts containing `while` — exactly
-#    one registry query (f12_where_udf_tier, rows-only by design).
-#  - PII email local bound 64 -> 320 (whole-token over-redaction
-#    instead of prefix-leaking partial match): pattern AND both DuckDB
-#    oracles changed — an oracle change always re-earns.
-#  - quoted-angle protection (warc.protect_quoted_angles + restores):
-#    on the happy path of every HTML extractor — all seven HTML-family
-#    riders re-earn. ADVICE's quote-aware interior was REJECTED on
-#    measurement (quadratic + executor StackOverflowError in the JVM
-#    backtracking engine; tests/test_bombs.py pins the probes).
-#  - tier-differential fixes (float literals emit CAST AS DOUBLE; _Env
-#    scope chain in the interpreter; string concat + type guards both
-#    tiers; try_element_at in the lang scope expr): _to_sql/_eval are
-#    on the happy path of every translate_script call — riders are the
-#    five script-bearing queries (sc4_created_at_score does not call
-#    translate_script; sc_hn_normalized's pipeline has no script
-#    block; ids.py's try_element_at is connector-only, no registry
-#    rider).
-_ROUND13_TOUCHED: set[str] = {
-    "multimodal_pdf_text", "multimodal_pdf_xrefstream",
-    "f12_where_udf_tier",
-    "text_redact_pii", "llm_curation_pipeline_scrub",
-    "llm_warc_ingest", "llm_html_metadata", "llm_html_outlinks",
-    "llm_html_jsonld", "llm_html_image_pairs",
-    "multimodal_image_text_pairs", "crawl_host_rank",
-    "f12_where_script", "f12_where_script_stmt", "sc1_script_score",
-    "pipeline_flagship",
+# Queries whose machinery round 14 changed after their last driver check.
+# Round 14 is the r7-drain round the r13 verdict scheduled: ALL 41
+# r7-era names fit one 50-slot window, which caps touches at 9. The
+# only code churn is the ADVICE-r13 closure in scripting.py (Rhai
+# cross-type comparison semantics: `==` false / `!=` true / ordering
+# false on unregistered type pairs, BOTH tiers, replacing the r13
+# guard's hard error): _to_sql/_eval are on the happy path of every
+# translate_script call, so the riders are the five script-bearing
+# queries — 41 + 5 = 46, four slots of r8-era rotation to spare. The
+# ADVICE-r13 warc item (text-level '="' false positive) was PINNED as
+# an accepted divergence in tests/test_bombs.py (the route ADVICE
+# itself sanctions) because the fix rides all seven HTML-family
+# queries and does not fit this window; it is scheduled for r15, where
+# the 34-name r8-era cohort leaves ~16 spare slots.
+_ROUND14_TOUCHED: set[str] = {
+    "f12_where_script", "f12_where_script_stmt", "f12_where_udf_tier",
+    "sc1_script_score", "pipeline_flagship",
 }
 
 # Stable alias so _driver_order and the scheduling tests survive the
 # per-round rename of the touched set.
-_ROUND_TOUCHED = _ROUND13_TOUCHED
+_ROUND_TOUCHED = _ROUND14_TOUCHED
 
 
 def _driver_order() -> list[str]:

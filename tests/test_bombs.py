@@ -799,6 +799,29 @@ def test_quoted_angle_protection_valid_html5(spark):
     # the input in the HTML5 tokenizer's in-quote state — the tail stays
     # text (keep-the-words stance; the old pattern cut the tag at '>')
     assert txt('<p class="oops >text</p> w') == '<p class="oops >text</p> w'
+    # divergence, pinned (ADVICE r13 low, accepted): the protect pass
+    # anchors at '="' ANYWHERE, not only inside a tag, so BODY TEXT
+    # containing a bare '="' with no closing quote before the next tag
+    # sentinels that real tag — its markup leaks into extracted text and
+    # it is hidden from the attribute extractors (a browser, never in an
+    # attribute state here, would parse <b>/<a> as real tags). The fix
+    # (require a '<\\w[^<>"\']*' tag-context prefix on the anchor, still
+    # linear) rides all seven HTML-family registry queries, which does
+    # not fit the r14 driver-window budget (41 r7-era rotation slots +
+    # 5 scripting riders); scheduled for r15 alongside its rotation
+    # cohort. Until then these two shapes pin the CURRENT behavior so
+    # any silent change is caught:
+    assert txt('wrote x=" then <b>bold</b> end') == (
+        'wrote x=" then <b>bold</b> end'  # markup leaks, words kept
+    )
+    links = outlink_edges(
+        spark.createDataFrame(
+            [("https://s.example/p",
+              'x=" junk <a href="https://other.example/z">go</a>')],
+            "url string, html string",
+        ), html_col="html", url_col="url",
+    ).collect()
+    assert links == []  # real outlink hidden by the text-level anchor
 
 
 def test_quoted_angle_protection_stays_linear(spark):

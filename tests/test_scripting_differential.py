@@ -21,6 +21,15 @@ below:
   3. string `+` concatenated on the interpreter but emitted numeric
      `+` (AnalysisException) on the SQL tier; now both tiers do
      both-string concat and raise on mixed operands.
+
+Round-14 (ADVICE r13): cross-type COMPARISONS no longer raise — Rhai
+1.x defaults an unregistered comparison pair (string vs number, bool vs
+number, any bool ordering, unit) to `==` false / `!=` true / ordering
+false, so a script like `lang == 5 || likeCount > 3` that runs in the
+reference must run on BOTH tiers. The generator now emits mixed-type
+comparison pairs (the r13 well-typed generator could not see this
+class), the test-local reference interpreter implements the same Rhai
+default, and the directed cases pin the ADVICE examples.
 """
 
 from __future__ import annotations
@@ -90,10 +99,25 @@ class _Gen:
                 a, _ = self.expr(nt, depth - 1)
                 b, _ = self.expr(self.rng.choice(["i", "f"]), depth - 1)
                 return f"({a}) {op} ({b})", None
-            if pick < 0.92:
+            if pick < 0.9:
                 op = self.rng.choice(["==", "!=", "<", "<=", ">", ">="])
                 a, _ = self.expr("s", depth - 1)
                 b, _ = self.expr("s", depth - 1)
+                return f"({a}) {op} ({b})", None
+            if pick < 0.96:
+                # cross-type / bool comparison: Rhai defaults an
+                # unregistered pair to ==false / !=true / ordering
+                # false on both tiers (r14; the r13 generator was
+                # well-typed so could never exercise this class)
+                op = self.rng.choice(["==", "!=", "<", "<=", ">", ">="])
+                ta, tb = self.rng.choice([
+                    ("s", "i"), ("s", "f"), ("b", "i"),
+                    ("b", "f"), ("b", "s"), ("b", "b"),
+                ])
+                if self.rng.random() < 0.5:
+                    ta, tb = tb, ta
+                a, _ = self.expr(ta, depth - 1)
+                b, _ = self.expr(tb, depth - 1)
                 return f"({a}) {op} ({b})", None
             return self.if_expr("b", depth)
         if ty == "s":
@@ -229,6 +253,18 @@ DIRECTED = [
     # nested if/else with lets in both branches
     ("let va = if score > 0.0 { let t = score * 2.0; t } "
      "else { let t = score - 1.0; t }; va + 0.5", "f"),
+    # r14 (ADVICE r13): cross-type comparisons follow Rhai's
+    # default-false/true — never an error on either tier
+    ("lang == 5 || likeCount > 3", "b"),   # the ADVICE example
+    ("lang != 5", "b"),                     # unregistered != -> true
+    ("lang < 5", "b"),                      # unregistered ordering -> false
+    ('5.0 >= "abc"', "b"),
+    ("(likeCount > 3) == 1", "b"),          # bool vs int == -> false
+    ("(likeCount > 3) != likeCount", "b"),  # bool vs int != -> true
+    ("(likeCount > 0) < true", "b"),        # bool ordering -> false
+    ("(score > 0.0) == (likeCount > 3)", "b"),  # bool==bool is REAL
+    ('lang >= ""', "b"),                    # string ordering is REAL
+    ('"en" < lang + "x"', "b"),
 ]
 
 
@@ -384,9 +420,26 @@ def _ref_expr(node, scopes):
             import math as _m
 
             return _m.fmod(a, b)
+        if op in ("==", "!=", "<", "<=", ">", ">="):
+            # Rhai default comparisons, written with different machinery
+            # from scripting._rhai_eq (type() categories, not isinstance
+            # chains) so a shared bug is unlikely to cancel
+            def cat(v):
+                if type(v) is bool:
+                    return "bool"
+                if type(v) is str:
+                    return "str"
+                if v is None:
+                    return "unit"
+                return "num"
+            ca, cb = cat(a), cat(b)
+            if op in ("==", "!="):
+                eq = (a == b) if ca == cb else False
+                return eq if op == "==" else not eq
+            if ca != cb or ca not in ("num", "str"):
+                return False
         return {
             "+": lambda: a + b, "-": lambda: a - b, "*": lambda: a * b,
-            "==": lambda: a == b, "!=": lambda: a != b,
             "<": lambda: a < b, "<=": lambda: a <= b,
             ">": lambda: a > b, ">=": lambda: a >= b,
         }[op]()
