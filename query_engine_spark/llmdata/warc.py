@@ -249,12 +249,20 @@ def warc_documents(df: DataFrame) -> DataFrame:
 # PROTECTED first: a linear pre-pass rewrites '<'/'>' inside quoted
 # attribute values to the sentinels below, the [^<>] extractors run
 # unchanged, and every captured output restores the sentinels. Each
-# pass handles one '<' and one '>' per value; two passes cover real
-# attribute JS/text, beyond which the tag falls back to the previous
-# fragment behavior (a capacity line in the bounds.py spirit).
-# Linearity of the pre-pass: attempts anchor at '="' / ="'" and the
-# scan [^"<>]* stops at the next quote — which includes the NEXT
-# attempt's own anchor quote — so total work is O(page).
+# pass handles one '<' and one '>' per value IN ANY ORDER: the
+# '<'-scan class excludes only the quote and '<' (so it crosses a raw
+# '>' still awaiting its own pass) and the '>'-scan likewise crosses a
+# raw '<' — without the crossing, a value like "c>d c>d a<b" exhausted
+# both passes on '>' before the '<'-scan could reach its target, so the
+# documented two-of-each capacity held only in favorable orders (r14
+# generated-page differential find; pinned in test_html_differential).
+# Two passes cover real attribute JS/text, beyond which the tag falls
+# back to the previous fragment behavior (a capacity line in the
+# bounds.py spirit).
+# Linearity of the pre-pass: attempts anchor at '="' / ="'" and each
+# scan class excludes the quote, so it stops at the next quote — which
+# includes the NEXT attempt's own anchor quote — so total work is
+# O(page).
 
 _LT_SENT = "\x02"
 _GT_SENT = "\x03"
@@ -268,11 +276,27 @@ def protect_quoted_angles(col: Column) -> Column:
     spaces first so restoration can never fabricate an angle bracket."""
     c = F.regexp_replace(col, f"[{_LT_SENT}{_GT_SENT}]", " ")
     for _ in range(_PROTECT_PASSES):
-        c = F.regexp_replace(c, '(="[^"<>]*)<', "$1" + _LT_SENT)
-        c = F.regexp_replace(c, '(="[^"<>]*)>', "$1" + _GT_SENT)
-        c = F.regexp_replace(c, "(='[^'<>]*)<", "$1" + _LT_SENT)
-        c = F.regexp_replace(c, "(='[^'<>]*)>", "$1" + _GT_SENT)
+        c = F.regexp_replace(c, '(="[^"<]*)<', "$1" + _LT_SENT)
+        c = F.regexp_replace(c, '(="[^">]*)>', "$1" + _GT_SENT)
+        c = F.regexp_replace(c, "(='[^'<]*)<", "$1" + _LT_SENT)
+        c = F.regexp_replace(c, "(='[^'>]*)>", "$1" + _GT_SENT)
     return c
+
+
+def strip_nontext_blocks(col: Column) -> Column:
+    """Drop HTML comments and script/style blocks — shared by
+    html_to_text AND the attribute extractors (r14 generated-page
+    differential find: commented-out or script-embedded markup was
+    extracted as if live — a '<a href>' inside '<!-- -->' minted
+    phantom outlink edges; html.parser/browsers treat script/style as
+    CDATA and comments as non-events). The appended CLOSED sentinels
+    keep the lazy bodies linear on unclosed openers (r12 CPU-bomb
+    guard, measured in html_to_text's comment block) and strip
+    themselves when unused."""
+    c = F.concat(col, F.lit("<!----><script></script><style></style>"))
+    c = F.regexp_replace(c, r"(?is)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?is)<script\b.*?</script\s*>", " ")
+    return F.regexp_replace(c, r"(?is)<style\b.*?</style\s*>", " ")
 
 
 def restore_angles(col: Column) -> Column:
@@ -310,10 +334,9 @@ def html_to_text(col: Column) -> Column:
     # opener match ONCE to the sentinel — the swallow-to-EOF semantics
     # browsers apply to unclosed comments/scripts — and the sentinels
     # strip themselves when unused, so conforming pages are unchanged.
-    c = F.concat(col, F.lit("<!----><script></script><style></style>"))
-    c = F.regexp_replace(c, r"(?is)<!--.*?-->", " ")
-    c = F.regexp_replace(c, r"(?is)<script\b.*?</script\s*>", " ")
-    c = F.regexp_replace(c, r"(?is)<style\b.*?</style\s*>", " ")
+    # (Shared with the attribute extractors since r14 — see
+    # strip_nontext_blocks.)
+    c = strip_nontext_blocks(col)
     # protect AFTER the script/style strips (their bodies die anyway,
     # and protecting first could sentinel an appended closing tag after
     # a crafted unclosed quote, resurrecting the unclosed-opener scan);
@@ -840,11 +863,14 @@ def html_metadata(col: Column) -> dict[str, Column]:
     # real <title> approaches 2 KB, so the bound is a capacity line in
     # the bounds.py spirit, not a behavior change — a crafted page of
     # 110k bare openers now costs ~2 s, not minutes)
-    # quoted-angle protection (ADVICE r12): tags whose attribute values
-    # carry raw '<'/'>' ('<meta name="description" content="a<b">') are
-    # invisible to the [^<>] interiors below; protect once, extract,
-    # restore in every captured value
-    col = protect_quoted_angles(col)
+    # comments/script/style drop FIRST (r14 differential find: a
+    # commented-out '<meta name="description">' was extracted as live —
+    # a browser never sees it), then quoted-angle protection (ADVICE
+    # r12): tags whose attribute values carry raw '<'/'>'
+    # ('<meta name="description" content="a<b">') are invisible to the
+    # [^<>] interiors below; protect once, extract, restore in every
+    # captured value
+    col = protect_quoted_angles(strip_nontext_blocks(col))
     title = restore_angles(F.regexp_extract(
         col, r"(?is)<title[^<>]*>(.{0,2048}?)</title\s*>", 1
     ))
@@ -918,11 +944,14 @@ def outlink_edges(df: DataFrame, *, html_col: str = "html",
     )
     staged = df.select(
         host.alias("src_host"),
+        # comments/script/style drop first (r14 differential find: a
+        # commented-out '<a href>' minted phantom host edges), then
         # quoted-angle protection (ADVICE r12): an <a> tag whose OTHER
         # attributes carry raw '<'/'>' in quoted values would otherwise
         # never match the linear _A_TAG_RE
         F.regexp_extract_all(
-            protect_quoted_angles(F.col(html_col)), F.lit(_A_TAG_RE), F.lit(0)
+            protect_quoted_angles(strip_nontext_blocks(F.col(html_col))),
+            F.lit(_A_TAG_RE), F.lit(0)
         ).alias("_atags"),
     )
     links = staged.select(
@@ -1089,10 +1118,13 @@ def image_refs(df: DataFrame, *, html_col: str = "html",
         scheme.alias("_scheme"),
         host.alias("_host"),
         basedir.alias("_dir"),
+        # comments/script/style drop first (r14 differential find:
+        # commented-out '<img>' tags were extracted as live), then
         # quoted-angle protection (ADVICE r12): alt text like "a<b" would
         # otherwise hide the whole tag from the linear _IMG_RE
         F.regexp_extract_all(
-            protect_quoted_angles(F.col(html_col)), F.lit(_IMG_RE), F.lit(0)
+            protect_quoted_angles(strip_nontext_blocks(F.col(html_col))),
+            F.lit(_IMG_RE), F.lit(0)
         ).alias("_tags"),
     )
     tags = staged.select(

@@ -7532,21 +7532,44 @@ _STALE_VERIFICATION: set[str] = set()
 
 # Queries whose machinery round 14 changed after their last driver check.
 # Round 14 is the r7-drain round the r13 verdict scheduled: ALL 41
-# r7-era names fit one 50-slot window, which caps touches at 9. The
-# only code churn is the ADVICE-r13 closure in scripting.py (Rhai
-# cross-type comparison semantics: `==` false / `!=` true / ordering
-# false on unregistered type pairs, BOTH tiers, replacing the r13
-# guard's hard error): _to_sql/_eval are on the happy path of every
-# translate_script call, so the riders are the five script-bearing
-# queries — 41 + 5 = 46, four slots of r8-era rotation to spare. The
-# ADVICE-r13 warc item (text-level '="' false positive) was PINNED as
-# an accepted divergence in tests/test_bombs.py (the route ADVICE
-# itself sanctions) because the fix rides all seven HTML-family
-# queries and does not fit this window; it is scheduled for r15, where
-# the 34-name r8-era cohort leaves ~16 spare slots.
+# r7-era names fit one 50-slot window, which caps touches at 9 — and
+# the round used exactly 9 (41 + 9 = 50, zero spare). Two change
+# sites:
+#  - scripting.py (ADVICE-r13 closure): Rhai cross-type comparison
+#    semantics (`==` false / `!=` true / ordering false on
+#    unregistered type pairs, BOTH tiers, replacing the r13 guard's
+#    hard error). _to_sql/_eval are on the happy path of every
+#    translate_script call -> the five script-bearing queries ride.
+#  - warc.py (two r14 generated-page differential finds, verdict ask
+#    #3): (a) the attribute extractors read commented-out and
+#    script-embedded markup as live — html_metadata / outlink_edges /
+#    image_refs now share html_to_text's strip_nontext_blocks
+#    pre-pass; (b) protect_quoted_angles' scan classes made the
+#    two-of-each-angle capacity ORDER-dependent ("c>d c>d a<b" leaked
+#    the tag) — the '<'-scan now crosses raw '>'s and vice versa.
+#    Riders held to FOUR of the seven HTML-family queries via the
+#    established overflow device (hold out names whose ONLY new lines
+#    are shared VERBATIM with a named in-window sibling, preferring
+#    the freshest hashes — all seven are r13-fresh): held out are
+#    llm_warc_ingest (html_to_text's changes are the shared
+#    strip_nontext_blocks emission + the protect class change, both
+#    verbatim in in-window llm_html_metadata/llm_html_outlinks),
+#    llm_html_jsonld (rides ONLY the protect class change, verbatim in
+#    in-window llm_html_metadata) and multimodal_image_text_pairs
+#    (rides image_refs, every new line verbatim in in-window
+#    llm_html_image_pairs). All three hold-outs were selfchecked at
+#    sf0.01 AND sf0.1 this round and are covered by the three-scale
+#    full-registry sweep.
+# The ADVICE-r13 warc LOW (text-level '="' false positive) was PINNED
+# as an accepted divergence in tests/test_bombs.py (the route ADVICE
+# itself sanctions) because its fix (tag-context anchor scoping) rides
+# ALL seven HTML queries at once; scheduled for r15, where the 34-name
+# r8-era cohort leaves ~16 spare slots.
 _ROUND14_TOUCHED: set[str] = {
     "f12_where_script", "f12_where_script_stmt", "f12_where_udf_tier",
     "sc1_script_score", "pipeline_flagship",
+    "llm_html_metadata", "llm_html_outlinks", "llm_html_image_pairs",
+    "crawl_host_rank",
 }
 
 # Stable alias so _driver_order and the scheduling tests survive the

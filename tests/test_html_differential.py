@@ -1,0 +1,489 @@
+"""Generated-page differential: the regex HTML extractors vs stdlib
+html.parser (r13 verdict ask #3). html_metadata / outlink_edges /
+image_refs / html_to_text are RE2-safe column expressions by design
+(scan speed, DuckDB-replayable), so a DOM-based parser is the right
+independent reference — the existing test_stdlib_conformance fixtures
+are hand-written; this file GENERATES conforming pages (random
+attribute order/quote style/tag case/whitespace, entities from the
+decoded set, comments and script/style blocks carrying embedded
+markup, quoted attribute values with raw angles up to the documented
+<=2-of-each capacity) and demands exact agreement page by page.
+
+Round-14 finds, fixed in llmdata/warc.py and pinned in the directed
+cases below:
+  1. the extractors read COMMENTED-OUT and SCRIPT-EMBEDDED markup as
+     live — '<a href>' inside '<!-- -->' or inside a document.write
+     string minted phantom outlink edges, and a commented-out
+     '<meta name="description">' could win the metadata pull;
+     html.parser (comments are non-events, script/style are CDATA) and
+     browsers never see them. Now all three attribute extractors share
+     html_to_text's strip_nontext_blocks pre-pass (closed-sentinel
+     linearity preserved).
+  2. protect_quoted_angles' per-pass scan classes excluded BOTH angle
+     kinds, so the '<'-scan could not cross a raw '>' still awaiting
+     its own pass: a value like "c>d c>d a<b" exhausted both passes on
+     '>' and leaked the tag — the documented two-of-each capacity held
+     only in favorable orders. The '<'-scan now excludes only the
+     quote and '<' (and the '>'-scan mirrors), making the capacity
+     order-independent; linearity still bounds every scan at the next
+     quote.
+
+The generator stays inside the documented contract: no bare '="' in
+body text and no unclosed quotes (pinned fallback shapes in
+test_bombs.py), <=2 raw angles of each kind per attribute value (the
+capacity line), titles under the 2 KB bound, entities from the decoded
+set only in text positions, quoted attributes only.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+from collections import Counter
+from html.parser import HTMLParser
+
+from pyspark.sql import functions as F
+
+from query_engine_spark.llmdata import warc as W
+
+WORDS = ["alpha", "beta", "gamma", "delta", "omega", "lorem", "ipsum",
+         "data", "crawl", "page", "text", "word", "quick", "brown", "fox",
+         "jumps", "over", "lazy", "dog", "zebra"]
+ENTS = ["&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;", "&apos;"]
+PUNCT = [".", ",", "!", "?", ":", ";", "(", ")"]
+HOSTS = ["other.example", "cdn.example", "news.example", "shop.example"]
+
+
+class _PageGen:
+    """Conforming-page generator (contract documented in the module
+    docstring)."""
+
+    def __init__(self, rng: random.Random):
+        self.rng = rng
+
+    def words(self, lo=1, hi=6, ents=True):
+        r = self.rng
+        toks = []
+        for _ in range(r.randint(lo, hi)):
+            t = r.choice(WORDS)
+            if ents and r.random() < 0.15:
+                t = r.choice(ENTS)
+            elif r.random() < 0.2:
+                t += r.choice(PUNCT)
+            toks.append(t)
+        return " ".join(toks)
+
+    def attr_value(self, angles=True):
+        r = self.rng
+        v = self.words(1, 4, ents=False)
+        if angles and r.random() < 0.35:
+            # raw angles inside a QUOTED value, any order, <=2 each
+            parts = [v] + ["a<b"] * r.randint(0, 2) + ["c>d"] * r.randint(0, 2)
+            r.shuffle(parts)
+            v = " ".join(parts)
+        return v
+
+    def tagcase(self, t):
+        r = self.rng
+        if r.random() < 0.2:
+            return t.upper()
+        if r.random() < 0.1:
+            return t.capitalize()
+        return t
+
+    def q(self, v, force=None):
+        style = force or self.rng.choice(['"', "'"])
+        if style == '"' and '"' in v:
+            style = "'"
+        if style == "'" and "'" in v:
+            style = '"'
+        return style + v + style
+
+    def ws(self):
+        return self.rng.choice([" ", "  ", " \n ", "\t"])
+
+    def extra_attrs(self, n=2):
+        r = self.rng
+        out = []
+        for _ in range(r.randint(0, n)):
+            name = r.choice(["class", "id", "data-x", "data-y", "style"])
+            out.append(f"{name}={self.q(self.attr_value())}")
+        return out
+
+    def tag(self, name, attrs, selfclose=False):
+        parts = [self.tagcase(name)] + attrs
+        inner = self.ws().join(parts)
+        return "<" + inner + ("/>" if selfclose and self.rng.random() < 0.5 else ">")
+
+    def head(self):
+        r = self.rng
+        bits = []
+        if r.random() < 0.85:
+            bits.append(
+                self.tag("title", []) + self.words(1, 5)
+                + "</" + self.tagcase("title") + r.choice(["", " "]) + ">")
+        if r.random() < 0.8:
+            bits.append(self.tag("meta", [
+                "name=" + self.q("description"),
+                "content=" + self.q(self.attr_value()),
+            ] + self.extra_attrs(1), selfclose=True))
+        if r.random() < 0.6:
+            bits.append(self.tag("meta", [
+                "property=" + self.q("og:title"),
+                "content=" + self.q(self.attr_value()),
+            ], selfclose=True))
+        if r.random() < 0.6:
+            bits.append(self.tag("link", [
+                "rel=" + self.q("canonical"),
+                "href=" + self.q("http://c.example/" + r.choice(WORDS)),
+            ], selfclose=True))
+        r.shuffle(bits)
+        if r.random() < 0.3:
+            bits.insert(r.randint(0, len(bits)),
+                        "<!-- head comment with <fake tag=1> inside -->")
+        html_attrs = self.extra_attrs(1)
+        if r.random() < 0.7:
+            html_attrs.append(
+                "lang=" + self.q(r.choice(["en", "fr-CA", "de", "pt-br"])))
+        r.shuffle(html_attrs)
+        return (self.tag("html", html_attrs) + self.tag("head", [])
+                + " ".join(bits) + "</head>")
+
+    def link(self):
+        r = self.rng
+        kind = r.random()
+        if kind < 0.3:
+            return (r.choice(["http", "https", "HTTP"]) + "://"
+                    + r.choice(HOSTS) + "/" + r.choice(WORDS))
+        if kind < 0.4:
+            return "//" + r.choice(HOSTS) + "/p"
+        if kind < 0.5:
+            return "/" + r.choice(WORDS)
+        if kind < 0.6:
+            return r.choice(WORDS) + ".html"
+        if kind < 0.7:
+            return r.choice(["mailto:x@y.example", "javascript:void(0)",
+                             "tel:+15551234567", "data:text/plain,hi"])
+        if kind < 0.8:
+            return "#frag"
+        if kind < 0.9:
+            return ""
+        return "https://" + r.choice(HOSTS) + ":8443/q?a=1&b=2"
+
+    def body(self):
+        r = self.rng
+        bits = []
+        for _ in range(r.randint(2, 8)):
+            k = r.random()
+            if k < 0.3:
+                blk = r.choice(["p", "div", "li", "h1", "h2", "blockquote"])
+                inline = ""
+                if r.random() < 0.4:
+                    it = r.choice(["b", "i", "span", "em"])
+                    inline = (self.tag(it, self.extra_attrs(1))
+                              + self.words(1, 3) + f"</{it}>")
+                bits.append(self.tag(blk, self.extra_attrs())
+                            + self.words(1, 6) + " " + inline
+                            + f"</{self.tagcase(blk)}>")
+            elif k < 0.45:
+                bits.append(self.tag("a", ["href=" + self.q(self.link())]
+                                     + self.extra_attrs())
+                            + self.words(1, 3) + "</a>")
+            elif k < 0.6:
+                attrs = ["src=" + self.q(self.link() or "/i.png", force='"')]
+                if r.random() < 0.7:
+                    attrs.append("alt=" + self.q(self.attr_value()))
+                bits.append(self.tag("img", attrs + self.extra_attrs(1),
+                                     selfclose=True))
+            elif k < 0.7:
+                # comments carrying markup a browser never parses —
+                # find #1's shape
+                bits.append("<!-- " + self.words(1, 4, ents=False)
+                            + r.choice(["", " <p>fake</p>", " <a href='x'>",
+                                        " <meta name='description'"
+                                        " content='FAKE'>",
+                                        " <img src='/fake.png' alt='nope'>",
+                                        " <a href='http://fake.example/z'>"
+                                        "dead</a>"])
+                            + " -->")
+            elif k < 0.8:
+                t = r.choice(["script", "style"])
+                body = r.choice([
+                    "var x = 1;", "p { color: red }",
+                    'if (a<b && c>d) { go("x"); }',
+                    "// <p>markup in code</p>",
+                    "document.write(\"<a href='http://fake.example/w'>y"
+                    "</a>\");",
+                    "var h = \"<img src='/fake2.png' alt='no'>\";",
+                ])
+                bits.append(self.tag(t, self.extra_attrs(1)) + body + f"</{t}>")
+            else:
+                bits.append(self.words(2, 8))
+            if r.random() < 0.3:
+                bits.append(r.choice(["<br>", "<br/>", "<BR >"]))
+        return "<body>" + " ".join(bits) + "</body></html>"
+
+    def page(self):
+        return self.head() + self.body()
+
+
+# --- html.parser references (event callbacks, no regexes over tags) --------
+
+
+def _ref_metadata(html):
+    fields = {"title": "", "canonical": "", "description": "",
+              "og_title": "", "lang": ""}
+
+    class P(HTMLParser):
+        in_title = False
+
+        def handle_starttag(self, tag, attrs):
+            a = dict(attrs)
+            if tag == "title":
+                self.in_title = True
+            elif tag == "html" and a.get("lang") and not fields["lang"]:
+                fields["lang"] = a["lang"]
+            elif tag == "link" and a.get("rel") == "canonical":
+                if not fields["canonical"]:
+                    fields["canonical"] = a.get("href") or ""
+            elif tag == "meta":
+                if a.get("name") == "description" and not fields["description"]:
+                    fields["description"] = a.get("content") or ""
+                if a.get("property") == "og:title" and not fields["og_title"]:
+                    fields["og_title"] = a.get("content") or ""
+
+        def handle_endtag(self, tag):
+            if tag == "title":
+                self.in_title = False
+
+        def handle_data(self, data):
+            if self.in_title:
+                fields["title"] += data
+
+        # convert_charrefs=False routes entities to their own events —
+        # the regex layer keeps them raw, so re-encode them raw here
+        def handle_entityref(self, name):
+            if self.in_title:
+                fields["title"] += f"&{name};"
+
+        def handle_charref(self, name):
+            if self.in_title:
+                fields["title"] += f"&#{name};"
+
+    p = P(convert_charrefs=False)
+    p.feed(html)
+    return fields
+
+
+def _host_of(u):
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", u)
+    return m.group(1).lower() if m else None
+
+
+def _ref_outlinks(url, html):
+    src = _host_of(url)
+    hrefs = []
+
+    class P(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            if tag == "a":
+                a = dict(attrs)
+                if a.get("href") is not None:
+                    hrefs.append(a["href"])
+
+    p = P(convert_charrefs=False)
+    p.feed(html)
+    edges = Counter()
+    for h in hrefs:
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", h):
+            dst = _host_of(h)
+        elif h.startswith("//"):
+            m = re.match(r"^//([^/?#]+)", h)
+            dst = m.group(1).lower() if m else None
+        elif re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", h) or h.startswith("#") or h == "":
+            dst = None
+        else:
+            dst = src
+        if dst:
+            edges[(src, dst)] += 1
+    return edges
+
+
+def _ref_images(url, html):
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)", url)
+    scheme, host, path = m.group(1).lower(), m.group(2).lower(), m.group(3)
+    basedir = re.sub(r"[^/]*$", "", path) or "/"
+    tags = []
+
+    class P(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            if tag == "img":
+                tags.append(dict(attrs))
+
+    p = P(convert_charrefs=False)
+    p.feed(html)
+    out = []
+    for a in tags:
+        src, alt = a.get("src"), a.get("alt") or ""
+        if not src:
+            continue
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", src):
+            resolved = src
+        elif src.startswith("//"):
+            resolved = f"{scheme}:{src}"
+        elif src.startswith("/"):
+            resolved = f"{scheme}://{host}{src}"
+        elif re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", src):
+            continue
+        else:
+            resolved = f"{scheme}://{host}{basedir}{src}"
+        out.append((resolved, alt))
+    return sorted(out)
+
+
+def _ref_text(html):
+    chunks = []
+    skip = {"script", "style"}
+
+    class P(HTMLParser):
+        depth = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in skip:
+                self.depth += 1
+
+        def handle_endtag(self, tag):
+            if tag in skip and self.depth:
+                self.depth -= 1
+
+        def handle_data(self, data):
+            if not self.depth:
+                chunks.append(data)
+
+    p = P(convert_charrefs=True)
+    p.feed(html)
+    return " ".join(" ".join(chunks).replace("\xa0", " ").split())
+
+
+def _run_differential(spark, pages):
+    """pages: list of (i, url, html). Returns dict of divergence lists."""
+    df = spark.createDataFrame(pages, "i int, url string, html string")
+    div = {"meta": [], "links": [], "imgs": [], "text": []}
+
+    m = W.html_metadata(F.col("html"))
+    got_meta = {r["i"]: r for r in df.select(
+        "i", m["title"].alias("title"), m["canonical"].alias("canonical"),
+        m["description"].alias("description"),
+        m["og_title"].alias("og_title"), m["lang"].alias("lang")).collect()}
+    for i, url, html in pages:
+        want = _ref_metadata(html)
+        have = {k: got_meta[i][k] for k in want}
+        if want != have:
+            div["meta"].append((i, {k: (want[k], have[k])
+                                    for k in want if want[k] != have[k]}))
+
+    # per-page outlinks: a synthetic per-page host keys edges to pages
+    df2 = df.withColumn("url2", F.concat(
+        F.lit("https://pg"), F.col("i").cast("string"),
+        F.lit(".example/x/y.html")))
+    got_pl = {}
+    for r in W.outlink_edges(df2, html_col="html", url_col="url2").collect():
+        i = int(r["src_host"][2:].split(".")[0])
+        got_pl.setdefault(i, Counter())[
+            (r["src_host"], r["dst_host"])] = r["links"]
+    for i, url, html in pages:
+        want = _ref_outlinks(f"https://pg{i}.example/x/y.html", html)
+        have = got_pl.get(i, Counter())
+        if want != have:
+            div["links"].append((i, {k: (want.get(k, 0), have.get(k, 0))
+                                     for k in set(want) | set(have)
+                                     if want.get(k, 0) != have.get(k, 0)}))
+
+    by_url = {url: i for i, url, _ in pages}
+    got_pi = {}
+    for r in W.image_refs(df, html_col="html", url_col="url").collect():
+        got_pi.setdefault(by_url[r["page_url"]], []).append(
+            (r["img_url"], r["alt"]))
+    for i, url, html in pages:
+        want = _ref_images(url, html)
+        have = sorted(got_pi.get(i, []))
+        if want != have:
+            div["imgs"].append((i, want, have))
+
+    got_text = {r["i"]: " ".join(r["t"].split()) for r in df.select(
+        "i", W.html_to_text(F.col("html")).alias("t")).collect()}
+    for i, url, html in pages:
+        want = _ref_text(html)
+        if got_text[i] != want:
+            div["text"].append((i, want, got_text[i]))
+    return div
+
+
+def test_html_differential_generated_pages(spark):
+    """1200 generated conforming pages: all four extractors agree
+    exactly with the html.parser references (the r13 probe at 200 pages
+    surfaced both r14 finds; 1200 pinned here, 600 more probed
+    in-session post-fix with zero divergences)."""
+    pages = []
+    for seed in range(1200):
+        g = _PageGen(random.Random(1000 + seed))
+        pages.append((seed, f"https://site{seed % 17}.example/"
+                            f"dir{seed % 5}/p{seed}.html", g.page()))
+    div = _run_differential(spark, pages)
+    bad = {k: v[:4] for k, v in div.items() if v}
+    assert not bad, f"extractor divergences: {bad}"
+
+
+def test_html_differential_directed_finds(spark):
+    """The two r14 find classes as directed reproducers."""
+    def txt(s):
+        return spark.createDataFrame([(s,)], "html string").select(
+            W.html_to_text(F.col("html")).alias("t")).collect()[0]["t"]
+
+    # find #1: commented-out / script-embedded markup is NOT live
+    pages = [
+        ("https://s.example/p",
+         "<!-- <a href='http://fake.example/z'>dead</a> -->"
+         "<a href='https://real.example/x'>go</a>"
+         "<script>document.write(\"<a href='http://fake2.example/w'>y"
+         "</a>\");</script>"),
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    edges = {(r["src_host"], r["dst_host"]): r["links"]
+             for r in W.outlink_edges(df).collect()}
+    assert edges == {("s.example", "real.example"): 1}
+
+    meta = W.html_metadata(F.col("html"))
+    row = spark.createDataFrame(
+        [("<html><head><!-- <meta name='description' content='FAKE'> -->"
+          '<meta name="description" content="real desc"/></head>'
+          "<body><!-- <img src='/fake.png' alt='x'> -->"
+          '<img src="/real.png" alt="y"></body></html>',)],
+        "html string",
+    ).select(meta["description"].alias("d")).collect()[0]
+    assert row["d"] == "real desc"
+
+    imgs = W.image_refs(
+        spark.createDataFrame(
+            [("https://s.example/p",
+              "<!-- <img src='/fake.png' alt='x'> -->"
+              '<img src="/real.png" alt="y">'
+              "<script>var h = \"<img src='/fake2.png'>\";</script>")],
+            "url string, html string",
+        )).collect()
+    assert [(r["img_url"], r["alt"]) for r in imgs] == [
+        ("https://s.example/real.png", "y")]
+
+    # find #2: mixed-ORDER raw angles in one quoted value, <=2 of each —
+    # previously the '<'-scan could not cross the unprotected '>'s and
+    # the tag leaked into text / vanished from the extractors
+    assert txt('<div data-x="c>d c>d a<b">T</div> z') == "T\nz"
+    assert txt("<div data-x='a<b c>d c>d'>T</div> z") == "T\nz"
+    row = spark.createDataFrame(
+        [('<meta name="description" content="c>d c>d a<b ok"/>',)],
+        "html string",
+    ).select(meta["d"] if False else W.html_metadata(F.col("html"))[
+        "description"].alias("d")).collect()[0]
+    assert row["d"] == "c>d c>d a<b ok"
+    # capacity line unchanged: a THIRD angle of one kind still falls back
+    assert txt('<div data-x="a<b<c<d">T</div> z') == '<div data-x="a<b<c T\nz'
