@@ -487,3 +487,40 @@ def test_html_differential_directed_finds(spark):
     assert row["d"] == "c>d c>d a<b ok"
     # capacity line unchanged: a THIRD angle of one kind still falls back
     assert txt('<div data-x="a<b<c<d">T</div> z') == '<div data-x="a<b<c T\nz'
+
+
+def test_html_known_divergences_pinned(spark):
+    """Documented divergences vs html.parser/browsers, probed r14 and
+    left UNFIXED on the window budget — pinned so a silent change is
+    caught, and scheduled for r15 alongside the HTML rotation cohort
+    (see the _ROUND14_TOUCHED comment in registry.py):
+
+    1. UNQUOTED attribute values (valid HTML5 when free of whitespace/
+       quotes/angles/'='/backtick — common in minified and legacy
+       pages) are invisible to all three attribute extractors: every
+       value pull requires a quote. Fix shape: a third per-attribute
+       pattern with the spec's unquoted-value class, still RE2-safe.
+    2. MULTI-INSTANCE metadata resolves by pattern priority
+       (disc-before-value double-quoted first, scanned over the WHOLE
+       page), not document order: with an attr-reversed first tag and
+       a canonical second, the second wins where a browser/crawler
+       takes the first. The generator therefore emits at most one
+       instance of each field per page.
+    """
+    df = spark.createDataFrame(
+        [("https://s.example/p",
+          "<a href=https://other.example/x>go</a>"
+          "<img src=/pic.png alt=word>"
+          "<meta name=description content=short>")],
+        "url string, html string")
+    assert W.outlink_edges(df).collect() == []          # browser: 1 edge
+    assert W.image_refs(df).collect() == []             # browser: 1 image
+    m = W.html_metadata(F.col("html"))
+    assert df.select(m["description"].alias("d")).collect()[0]["d"] == ""
+
+    page = ("<meta content='X first' name='description'>"
+            '<meta name="description" content="Y second">')
+    got = spark.createDataFrame([(page,)], "html string").select(
+        W.html_metadata(F.col("html"))["description"].alias("d")
+    ).collect()[0]["d"]
+    assert got == "Y second"  # document order (a browser/crawler): X first
