@@ -555,3 +555,45 @@ def test_over_i64_literal_rejected_at_parse():
     with pytest.raises(S.ScriptTranslationError, match="i64 range"):
         S._parse("9223372036854775808")
     assert S._parse("9223372036854775807") is not None
+
+
+def test_cross_type_comparison_table(spark):
+    """Exhaustive Rhai-default conformance (r14, ADVICE r13): every
+    type-pair x comparison-operator combination, asserted on BOTH tiers
+    against the documented semantics — registered pairs (num/num, str/
+    str, bool/bool equality) compare for real; every unregistered pair
+    is `==` false / `!=` true / ordering false, never an error."""
+    df = _posts_df(spark).limit(4)
+    # representative typed operand EXPRESSIONS (static types the SQL
+    # tier can see): i / f / s / b
+    operands = {
+        "i": "likeCount",
+        "f": "score",
+        "s": "lang",
+        "b": "(likeCount >= 0)",
+    }
+    registered = {
+        ("i", "i"), ("i", "f"), ("f", "i"), ("f", "f"), ("s", "s"),
+    }
+    ops = ["==", "!=", "<", "<=", ">", ">="]
+    scripts = []
+    expect_real = []  # None = Rhai default literal; True = real compare
+    for ta, ea in operands.items():
+        for tb, eb in operands.items():
+            for op in ops:
+                pair_cmp = (ta, tb) in registered or (
+                    ta == tb == "b" and op in ("==", "!="))
+                scripts.append((f"({ea}) {op} ({eb})", "b"))
+                expect_real.append(pair_cmp)
+    # both tiers agree exactly on every combination
+    for i in range(0, len(scripts), 48):
+        _compare_chunk(spark, df, scripts[i:i + 48])
+    # and the UNREGISTERED pairs land on the Rhai defaults specifically
+    for (script, _), real in zip(scripts, expect_real):
+        if real:
+            continue
+        ast = S._parse(script)
+        sql, ty = S._block_to_sql_typed(ast, {}, NOW)
+        op = script.split(") ")[1].split(" (")[0]
+        want = "true" if op == "!=" else "false"
+        assert sql == want and ty == "b", (script, sql)
