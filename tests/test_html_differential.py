@@ -524,3 +524,24 @@ def test_html_known_divergences_pinned(spark):
         W.html_metadata(F.col("html"))["description"].alias("d")
     ).collect()[0]["d"]
     assert got == "Y second"  # document order (a browser/crawler): X first
+
+    # 3. WHITESPACE AROUND '=' (valid HTML5, html.parser handles it) is
+    #    accepted by the outlink/image pulls (`\s*=\s*`) but NOT by any
+    #    html_metadata field or the protect anchor — an internal
+    #    inconsistency. Part of the r15 bundle (the attr-hop anchor
+    #    design handles it uniformly).
+    m2 = W.html_metadata(F.col("html"))
+    r = spark.createDataFrame(
+        [('<html lang = "en"><head>'
+          '<meta name = "description" content = "spaced desc">'
+          '<link rel = "canonical" href = "http://c.example/x">'
+          "</head>",)], "html string",
+    ).select(m2["description"].alias("d"), m2["canonical"].alias("c"),
+             m2["lang"].alias("l")).collect()[0]
+    assert (r["d"], r["c"], r["l"]) == ("", "", "")  # browser: all present
+    df3 = spark.createDataFrame(
+        [("https://s.example/p",
+          '<a href = "https://sp.example/g">S</a>')],
+        "url string, html string")
+    assert [(e["dst_host"], e["links"])
+            for e in W.outlink_edges(df3).collect()] == [("sp.example", 1)]
