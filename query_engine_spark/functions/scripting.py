@@ -46,10 +46,11 @@ like Rust. Known divergences, accepted:
 the SQL tier yields NULL (row dropped / score null) where Rhai would error
 the whole query (int div-by-zero); the score context coerces int results
 to double where strict Rhai `eval::<f64>` would error on an INT; and
-arithmetic on a string or bool operand (a Rhai RUNTIME error the reference
-unwrap()s into a query failure) raises at TRANSLATION time on the SQL tier
-vs at evaluation time on the interpreter tier — both fail the query, only
-the timing differs.
+arithmetic on a string or bool operand, and a non-bool operand in a boolean
+context (`&&`/`||`/`!`, `if`/`while` conditions — Rhai has no truthiness;
+both are RUNTIME errors the reference unwrap()s into a query failure) raise
+at TRANSLATION time on the SQL tier vs at evaluation time on the interpreter
+tier — both fail the query, only the timing differs.
 """
 
 from __future__ import annotations
@@ -450,6 +451,13 @@ def _to_sql(node: tuple, env: dict[str, tuple[str, str | None]], now_epoch_expr:
     if kind == "un":
         inner, ty = _to_sql(node[2], env, now_epoch_expr)
         if node[1] == "!":
+            if ty in ("i", "f", "s"):
+                # Rhai '!' is bool-only (a number/string operand is a
+                # runtime error the reference unwrap()s); the
+                # interpreter raises the same shape at evaluation time
+                raise ScriptTranslationError(
+                    "operator '!' requires a boolean operand"
+                )
             return f"(NOT {inner})", "b"
         if ty in ("s", "b"):
             # interpreter tier raises the same shape at runtime
@@ -464,6 +472,15 @@ def _to_sql(node: tuple, env: dict[str, tuple[str, str | None]], now_epoch_expr:
         b, tb = _to_sql(node[3], env, now_epoch_expr)
         op = node[1]
         if op in ("&&", "||"):
+            if ta in ("i", "f", "s") or tb in ("i", "f", "s"):
+                # Rhai logical ops are bool-only — a number/string
+                # operand is a runtime error, NOT truthiness (r14
+                # review find: the old guard covered strings only by
+                # accident and the interpreter applied Python
+                # truthiness; both tiers now fail the query)
+                raise ScriptTranslationError(
+                    f"operator {op!r} requires boolean operands"
+                )
             return f"({a} {_SQL_OPS.get(op, op)} {b})", "b"
         if op in ("==", "!=", "<", "<=", ">", ">="):
             # Rhai 1.x cross-type comparison semantics (ADVICE r13): a
@@ -511,6 +528,10 @@ def _to_sql(node: tuple, env: dict[str, tuple[str, str | None]], now_epoch_expr:
         if node[3] is None:
             raise _NeedsUdf("if without else in expression position")
         c, _tc = _to_sql(node[1], env, now_epoch_expr)
+        if _tc in ("i", "f", "s"):
+            # Rhai `if` conditions are bool-only (runtime error
+            # otherwise); the interpreter raises the same shape
+            raise ScriptTranslationError("if condition must be boolean")
         t, tt = _block_to_sql_typed(node[2], dict(env), now_epoch_expr)
         e, te = _block_to_sql_typed(node[3], dict(env), now_epoch_expr)
         ty = _unify(tt, te)
@@ -563,6 +584,16 @@ def _is_int(v) -> bool:
 
 def _is_num(v) -> bool:
     return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def _bool_guard(ctx: str, v):
+    """Rhai boolean contexts (&&, ||, !, if/while conditions) are
+    bool-only — a number/string/unit lands a runtime error, never
+    Python truthiness (r14 review find; the SQL tier raises the same
+    shape at translation time)."""
+    if not isinstance(v, bool):
+        raise ScriptRuntimeError(f"{ctx} requires a boolean operand")
+    return v
 
 
 def _rhai_eq(a, b) -> bool:
@@ -658,16 +689,22 @@ def _eval(node: tuple, env: "_Env"):
     if kind == "un":
         v = _eval(node[2], env)
         if node[1] == "!":
-            return not v
+            return not _bool_guard("operator '!'", v)
         _arith_guard("-", v, 0)
         return _check_i64("-", -v) if _is_int(v) else -v
     if kind == "bin":
         op = node[1]
         a = _eval(node[2], env)
         if op == "&&":
-            return bool(a) and bool(_eval(node[3], env))
+            # short-circuit preserved: the right side only evaluates
+            # (and only type-checks) when the left side is true
+            if not _bool_guard("operator '&&'", a):
+                return False
+            return _bool_guard("operator '&&'", _eval(node[3], env))
         if op == "||":
-            return bool(a) or bool(_eval(node[3], env))
+            if _bool_guard("operator '||'", a):
+                return True
+            return _bool_guard("operator '||'", _eval(node[3], env))
         b = _eval(node[3], env)
         if op == "+":
             if isinstance(a, str) and isinstance(b, str):
@@ -732,7 +769,7 @@ def _eval(node: tuple, env: "_Env"):
     if kind == "if":
         # each branch is its own lexical scope (child _Env): its `let`s
         # die with the branch, assignments to enclosing vars propagate
-        if _eval(node[1], env):
+        if _bool_guard("if condition", _eval(node[1], env)):
             return _eval_block(node[2], _Env(parent=env))
         if node[3] is not None:
             return _eval_block(node[3], _Env(parent=env))
@@ -752,7 +789,7 @@ def _eval_stmt(node: tuple, env: "_Env"):
         raise _Return(_eval(node[1], env))
     if kind == "while":
         n = 0
-        while _eval(node[1], env):
+        while _bool_guard("while condition", _eval(node[1], env)):
             # fresh scope per iteration: loop-body `let`s do not
             # persist across iterations (Rhai block scoping)
             _eval_block(node[2], _Env(parent=env))

@@ -557,6 +557,49 @@ def test_over_i64_literal_rejected_at_parse():
     assert S._parse("9223372036854775807") is not None
 
 
+def test_boolean_contexts_are_bool_only(spark):
+    """r14 review find (follow-on to the ADVICE closure): Rhai has NO
+    truthiness — a number/string operand in `&&`/`||`/`!` or an
+    `if`/`while` condition is a runtime error the reference unwrap()s.
+    The old code raised for strings in logical ops only by accident of
+    the comparison guard and the interpreter applied Python truthiness.
+    Both tiers now fail the query (translation-time vs runtime — the
+    documented timing divergence)."""
+    df = _posts_df(spark).limit(2)
+    bad = [
+        "lang && true",               # string in &&
+        "likeCount || false",         # int in ||
+        "!likeCount",                 # int in !
+        "if likeCount { 1 } else { 2 }",   # int if-condition
+        "true && score",              # float on the right
+    ]
+    for script in bad:
+        ast = S._parse(script)
+        with pytest.raises(S.ScriptTranslationError):
+            S._block_to_sql_typed(ast, {}, NOW)
+        with pytest.raises(Exception) as exc:
+            df.select(
+                S._udf_column(ast, NOW, boolean=False).alias("v")
+            ).collect()
+        assert "boolean operand" in str(exc.value)
+    # while-condition guard (imperative grammar, interpreter only)
+    loop = "let n = 1; while n { n = 0; } n"
+    with pytest.raises(Exception) as exc:
+        df.select(
+            S._udf_column(S._parse(loop), NOW, boolean=False).alias("v")
+        ).collect()
+    assert "boolean operand" in str(exc.value)
+    # short-circuit still skips the right side entirely (Rhai semantics):
+    # false && <type error> is False, true || <type error> is True
+    good = [("false && (lang && true)", False),
+            ("true || !likeCount", True)]
+    for script, want in good:
+        got = df.select(
+            S._udf_column(S._parse(script), NOW, boolean=True).alias("v")
+        ).collect()[0]["v"]
+        assert got == want, (script, got)
+
+
 def test_cross_type_comparison_table(spark):
     """Exhaustive Rhai-default conformance (r14, ADVICE r13): every
     type-pair x comparison-operator combination, asserted on BOTH tiers
