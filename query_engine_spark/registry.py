@@ -7391,29 +7391,12 @@ def multimodal_webp_lossy_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_LAST_VERIFIED: dict[str, int] = {
     # Transcribed per-round by tools/ledger_transcribe.py from the
     # CORRECTNESS_r*.json artifacts: name -> last round a driver
-    # hash-match (or designed rows-only pass) was recorded. Post-r13:
-    # the r13 window (48 hash-green + 2 designed rows-only, 50/50)
-    # drained the ENTIRE 32-name r6-era cohort plus 16 touched riders
-    # and 2 r7-era rotation slots; cohorts now 41 r7 / 34 r8 / 24 r9 /
-    # 45 r10 / 38 r11 / 40 r12 / 50 r13 = 272, matching the r13
-    # verdict's artifact-derived arithmetic digit for digit.
-    **{n: 7 for n in (
-        "a2_tag_variations", "a3_count_views", "a4_degree_counts",
-        "a5_user_like_totals", "a7_admin_stats", "agg_cube",
-        "agg_distinct_users", "agg_pivot", "dedup_exact",
-        "dedup_simhash", "embed_cosine_topk", "embed_srp_near_dup",
-        "events_anomaly_static", "f11_labels_remove", "f1_item_kind",
-        "f2_image_count", "f6_language", "f7_list_semi_anti",
-        "f8_duplicates_first", "f_count_cmp", "j2_replace_root",
-        "llm_curation_pipeline_neardup", "media_incremental_dedup",
-        "q18_large_orders", "q1_pricing_summary",
-        "q3_shipping_priority", "q5_local_supplier_volume",
-        "s10_liked_by_likers", "s3_input_tags", "s4_input_labels",
-        "s5_input_feed", "s7_input_post_prepend", "s8_archived_scan",
-        "s9_liked_weighted", "stream_windowed_counts",
-        "text_contamination", "text_fingerprint", "text_langid",
-        "text_quality", "text_tokens", "window_running_revenue",
-    )},
+    # hash-match (or designed rows-only pass) was recorded. Post-r14:
+    # the r14 window (49 hash-green + the designed rows-only
+    # f12_where_udf_tier, 50/50) drained the ENTIRE 41-name r7-era
+    # cohort plus 9 touched riders; cohorts now 34 r8 / 24 r9 /
+    # 45 r10 / 38 r11 / 40 r12 / 41 r13 / 50 r14 = 272, matching the
+    # r14 verdict's artifact-derived arithmetic digit for digit.
     **{n: 8 for n in (
         "agg_rollup", "embed_label_centroids", "embed_pq_indexed",
         "j10_community", "j10_top_moots",
@@ -7503,25 +7486,44 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "multimodal_webp_animated", "multimodal_webp_palette",
     )},
     **{n: 13 for n in (
-        "a1_trending_tags", "a1_trending_windowed", "crawl_host_rank",
+        "a1_trending_tags", "a1_trending_windowed",
         "dedup_embedding_cosine", "dedup_minhash_lsh",
         "dedup_ngram_jaccard", "embed_ivf_indexed", "embed_ivf_topk",
-        "embed_kmeans", "f12_where_script", "f12_where_script_stmt",
-        "f12_where_udf_tier", "hybrid_rrf_search", "j10_mutuals",
+        "embed_kmeans", "hybrid_rrf_search", "j10_mutuals",
         "j10_two_hop", "j1_replace_parent", "j3_replace_record",
         "j4_direct_replies", "j5_all_replies", "j6_quote_posts",
         "llm_curation_pipeline_decontam", "llm_curation_pipeline_scrub",
-        "llm_html_image_pairs", "llm_html_jsonld", "llm_html_metadata",
-        "llm_html_outlinks", "llm_warc_ingest",
-        "media_perceptual_dedup", "multimodal_audio_adpcm",
-        "multimodal_audio_mulaw", "multimodal_image_text_pairs",
-        "multimodal_pdf_text", "multimodal_pdf_xrefstream",
-        "multimodal_video_rle", "o1_sort_created_top", "o2_sort_hn",
-        "o3_sort_counts", "o4_sort_random", "o5_sort_score_dedup",
-        "o7_posts_per_user", "pipeline_flagship", "profile_pipeline",
-        "s2_input_list", "s6_input_did", "sc1_script_score",
+        "llm_html_jsonld", "llm_warc_ingest", "media_perceptual_dedup",
+        "multimodal_audio_adpcm", "multimodal_audio_mulaw",
+        "multimodal_image_text_pairs", "multimodal_pdf_text",
+        "multimodal_pdf_xrefstream", "multimodal_video_rle",
+        "o1_sort_created_top", "o2_sort_hn", "o3_sort_counts",
+        "o4_sort_random", "o5_sort_score_dedup", "o7_posts_per_user",
+        "profile_pipeline", "s2_input_list", "s6_input_did",
         "text_doc_segment_dedup", "text_dup_spans", "text_langid_ngram",
         "text_redact_pii", "u_stash_pipeline",
+    )},
+    **{n: 14 for n in (
+        "a2_tag_variations", "a3_count_views", "a4_degree_counts",
+        "a5_user_like_totals", "a7_admin_stats", "agg_cube",
+        "agg_distinct_users", "agg_pivot", "crawl_host_rank",
+        "dedup_exact", "dedup_simhash", "embed_cosine_topk",
+        "embed_srp_near_dup", "events_anomaly_static",
+        "f11_labels_remove", "f12_where_script",
+        "f12_where_script_stmt", "f12_where_udf_tier", "f1_item_kind",
+        "f2_image_count", "f6_language", "f7_list_semi_anti",
+        "f8_duplicates_first", "f_count_cmp", "j2_replace_root",
+        "llm_curation_pipeline_neardup", "llm_html_image_pairs",
+        "llm_html_metadata", "llm_html_outlinks",
+        "media_incremental_dedup", "pipeline_flagship",
+        "q18_large_orders", "q1_pricing_summary",
+        "q3_shipping_priority", "q5_local_supplier_volume",
+        "s10_liked_by_likers", "s3_input_tags", "s4_input_labels",
+        "s5_input_feed", "s7_input_post_prepend", "s8_archived_scan",
+        "s9_liked_weighted", "sc1_script_score",
+        "stream_windowed_counts", "text_contamination",
+        "text_fingerprint", "text_langid", "text_quality",
+        "text_tokens", "window_running_revenue",
     )},
 }
 
@@ -7530,51 +7532,33 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
 # recorded verification is stale — schedule them as if never verified.
 _STALE_VERIFICATION: set[str] = set()
 
-# Queries whose machinery round 14 changed after their last driver check.
-# Round 14 is the r7-drain round the r13 verdict scheduled: ALL 41
-# r7-era names fit one 50-slot window, which caps touches at 9 — and
-# the round used exactly 9 (41 + 9 = 50, zero spare). Two change
-# sites:
-#  - scripting.py (ADVICE-r13 closure): Rhai cross-type comparison
-#    semantics (`==` false / `!=` true / ordering false on
-#    unregistered type pairs, BOTH tiers, replacing the r13 guard's
-#    hard error). _to_sql/_eval are on the happy path of every
-#    translate_script call -> the five script-bearing queries ride.
-#  - warc.py (two r14 generated-page differential finds, verdict ask
-#    #3): (a) the attribute extractors read commented-out and
-#    script-embedded markup as live — html_metadata / outlink_edges /
-#    image_refs now share html_to_text's strip_nontext_blocks
-#    pre-pass; (b) protect_quoted_angles' scan classes made the
-#    two-of-each-angle capacity ORDER-dependent ("c>d c>d a<b" leaked
-#    the tag) — the '<'-scan now crosses raw '>'s and vice versa.
-#    Riders held to FOUR of the seven HTML-family queries via the
-#    established overflow device (hold out names whose ONLY new lines
-#    are shared VERBATIM with a named in-window sibling, preferring
-#    the freshest hashes — all seven are r13-fresh): held out are
-#    llm_warc_ingest (html_to_text's changes are the shared
-#    strip_nontext_blocks emission + the protect class change, both
-#    verbatim in in-window llm_html_metadata/llm_html_outlinks),
-#    llm_html_jsonld (rides ONLY the protect class change, verbatim in
-#    in-window llm_html_metadata) and multimodal_image_text_pairs
-#    (rides image_refs, every new line verbatim in in-window
-#    llm_html_image_pairs). All three hold-outs were selfchecked at
-#    sf0.01 AND sf0.1 this round and are covered by the three-scale
-#    full-registry sweep.
-# The ADVICE-r13 warc LOW (text-level '="' false positive) was PINNED
-# as an accepted divergence in tests/test_bombs.py (the route ADVICE
-# itself sanctions) because its fix (tag-context anchor scoping) rides
-# ALL seven HTML queries at once; scheduled for r15, where the 34-name
-# r8-era cohort leaves ~16 spare slots.
-_ROUND14_TOUCHED: set[str] = {
+# Queries whose machinery round 15 changed after their last driver check.
+# Round 15 executes the r14 verdict's staged plan: (a) the pre-validated
+# HTML fix bundle (tools/r15_html_candidate.py — protect_quoted_angles
+# v3b tag-context anchors, spaced '=', unquoted attribute values) lands
+# in warc.py, so ALL SEVEN HTML-family queries ride (the three r14
+# shared-verbatim hold-outs included — the bundle rewrites the protect
+# pass they all share); (b) the ADVICE-r14 scripting closures (same-type
+# bool/unit ordering now errors like Rhai 1.x ErrorFunctionNotFound on
+# both tiers; statically non-bool operands in &&/||/!/if fall back to
+# the UDF tier instead of hard-failing translation, so Rhai's
+# short-circuit decides at runtime) touch _to_sql/_eval's happy path,
+# so the five script-bearing queries ride. 12 touched + the full
+# 34-name r8-era cohort + 4 stalest-r9 spare = one exact 50-slot
+# window; nothing older than r9 survives the round.
+_ROUND15_TOUCHED: set[str] = {
+    # (a) warc.py HTML fix bundle
+    "llm_html_metadata", "llm_html_outlinks", "llm_html_jsonld",
+    "llm_html_image_pairs", "llm_warc_ingest", "crawl_host_rank",
+    "multimodal_image_text_pairs",
+    # (b) scripting.py ADVICE-r14 closures
     "f12_where_script", "f12_where_script_stmt", "f12_where_udf_tier",
     "sc1_script_score", "pipeline_flagship",
-    "llm_html_metadata", "llm_html_outlinks", "llm_html_image_pairs",
-    "crawl_host_rank",
 }
 
 # Stable alias so _driver_order and the scheduling tests survive the
 # per-round rename of the touched set.
-_ROUND_TOUCHED = _ROUND14_TOUCHED
+_ROUND_TOUCHED = _ROUND15_TOUCHED
 
 
 def _driver_order() -> list[str]:
