@@ -248,25 +248,47 @@ def warc_documents(df: DataFrame) -> DataFrame:
 # round; probes in tests/test_bombs.py). Instead the specials are
 # PROTECTED first: a linear pre-pass rewrites '<'/'>' inside quoted
 # attribute values to the sentinels below, the [^<>] extractors run
-# unchanged, and every captured output restores the sentinels. Each
-# pass handles one '<' and one '>' per value IN ANY ORDER: the
-# '<'-scan class excludes only the quote and '<' (so it crosses a raw
-# '>' still awaiting its own pass) and the '>'-scan likewise crosses a
-# raw '<' — without the crossing, a value like "c>d c>d a<b" exhausted
-# both passes on '>' before the '<'-scan could reach its target, so the
-# documented two-of-each capacity held only in favorable orders (r14
-# generated-page differential find; pinned in test_html_differential).
-# Two passes cover real attribute JS/text, beyond which the tag falls
-# back to the previous fragment behavior (a capacity line in the
-# bounds.py spirit).
-# Linearity of the pre-pass: attempts anchor at '="' / ="'" and each
-# scan class excludes the quote, so it stops at the next quote — which
-# includes the NEXT attempt's own anchor quote — so total work is
-# O(page).
+# unchanged, and every captured output restores the sentinels.
+#
+# r15 v3b anchors: each scan is prefixed with the lazy tag-open
+# `<\w[^<>]*?` so only an '="' / ="'" INSIDE an open tag can protect —
+# a body-text '="' (always preceded by its tag's closing '>') used to
+# sentinel the NEXT real tag's '<' and hide it from every extractor
+# (r14 pinned divergence, now fixed). The prefix crosses earlier
+# quoted attributes (quotes are not in its class) but never a '>', so
+# body text can't reach in-tag anchors. The two naive alternatives
+# were probed and rejected in tools/r15_html_candidate.py: a
+# first-attribute-only prefix fails multi-attribute tags, and an
+# attr-hop marking design scans values that protection hasn't reached
+# yet. Each pass still handles one '<' and one '>' per TAG in any
+# order: the '<'-scan body class excludes only the quote and '<' (so
+# it crosses a raw '>' still awaiting its own pass) and vice versa —
+# without the crossing, "c>d c>d a<b" exhausted the passes on '>'
+# before the '<'-scan reached its target (r14 find). Four passes →
+# capacity FOUR of each angle kind per tag (the old limit was two per
+# value), beyond which the tag falls back to the previous fragment
+# behavior (a capacity line in the bounds.py spirit).
+# Linearity: attempts anchor at '="' / ="'", the lazy prefix is a
+# single-char-class star (iterative in java.util.regex, no
+# alternation-under-star stack risk), and each value scan stops at
+# the next quote — which includes the NEXT attempt's own anchor quote
+# — so total work is O(page) per pass.
+#
+# Ordering capacity (ADVICE r14, documented divergence): the
+# strip_nontext_blocks pre-pass used by the attribute extractors runs
+# BEFORE this protection, so a literal '<!--', '<script' or '<style'
+# INSIDE a quoted attribute value (not a comment/CDATA start for
+# html.parser or browsers) is taken as a real block opener and
+# swallows page content to the next terminator or the appended
+# sentinel, hiding subsequent metadata/links/images on that page.
+# Running protection first is NOT safe either: an '="' inside real
+# script text would sentinel the '</script>' terminator and break the
+# strip. Pinned in tests/test_bombs.py next to the other accepted
+# capacity shapes; the differential generator's contract excludes
+# quoted block-opener literals for this reason.
 
 _LT_SENT = "\x02"
 _GT_SENT = "\x03"
-_PROTECT_PASSES = 2
 
 
 def protect_quoted_angles(col: Column) -> Column:
@@ -275,26 +297,49 @@ def protect_quoted_angles(col: Column) -> Column:
     \\x02/\\x03 input bytes (malformed real-crawl junk) are scrubbed to
     spaces first so restoration can never fabricate an angle bracket."""
     c = F.regexp_replace(col, f"[{_LT_SENT}{_GT_SENT}]", " ")
-    for _ in range(_PROTECT_PASSES):
-        c = F.regexp_replace(c, '(="[^"<]*)<', "$1" + _LT_SENT)
-        c = F.regexp_replace(c, '(="[^">]*)>', "$1" + _GT_SENT)
-        c = F.regexp_replace(c, "(='[^'<]*)<", "$1" + _LT_SENT)
-        c = F.regexp_replace(c, "(='[^'>]*)>", "$1" + _GT_SENT)
+    # r15 v3b: the lazy tag-open prefix <\w[^<>]*? cannot cross a
+    # '>', so a BODY-TEXT '="' (always after a closed tag) can
+    # never protect real markup; in-tag anchors keep working
+    # across earlier attributes (the prefix crosses quotes).
+    # Single-char-class lazy star: iterative in java.util.regex,
+    # no alternation-under-star stack risk. One angle of each
+    # kind per TAG per pass -> capacity 4 of each kind per tag.
+    for _ in range(4):
+        c = F.regexp_replace(c, '(<\\w[^<>]*?=\\s*"[^"<]*)<', "$1" + _LT_SENT)
+        c = F.regexp_replace(c, '(<\\w[^<>]*?=\\s*"[^">]*)>', "$1" + _GT_SENT)
+        c = F.regexp_replace(c, "(<\\w[^<>]*?=\\s*'[^'<]*)<", "$1" + _LT_SENT)
+        c = F.regexp_replace(c, "(<\\w[^<>]*?=\\s*'[^'>]*)>", "$1" + _GT_SENT)
     return c
 
 
 def strip_nontext_blocks(col: Column) -> Column:
-    """Drop HTML comments and script/style blocks — shared by
-    html_to_text AND the attribute extractors (r14 generated-page
-    differential find: commented-out or script-embedded markup was
-    extracted as if live — a '<a href>' inside '<!-- -->' minted
-    phantom outlink edges; html.parser/browsers treat script/style as
-    CDATA and comments as non-events). The appended CLOSED sentinels
-    keep the lazy bodies linear on unclosed openers (r12 CPU-bomb
-    guard, measured in html_to_text's comment block) and strip
-    themselves when unused."""
-    c = F.concat(col, F.lit("<!----><script></script><style></style>"))
+    """Drop HTML comments, CDATA marked sections, and script/style
+    blocks — shared by html_to_text AND the attribute extractors (r14
+    generated-page differential find: commented-out or script-embedded
+    markup was extracted as if live — a '<a href>' inside '<!-- -->'
+    minted phantom outlink edges; html.parser/browsers treat
+    script/style as CDATA and comments as non-events). The appended
+    CLOSED sentinels keep the lazy bodies linear on unclosed openers
+    (r12 CPU-bomb guard, measured in html_to_text's comment block) and
+    strip themselves when unused.
+
+    Bare '<![CDATA[ .. ]]>' in body (XHTML-authored pages served as
+    text/html): r15 real-page-corpus find — the content was kept as
+    text and markup inside it extracted as LIVE. html.parser consumes
+    the whole marked section as a non-event (SGML semantics), which is
+    what we match. A browser's HTML tokenizer instead takes '<![' as a
+    bogus comment ending at the FIRST '>', a third behavior that
+    surfaces only on malformed-XHTML shapes; the html.parser side is
+    the differential reference and the safer strip (never extracts
+    CDATA-wrapped markup as live, which is the bug class that
+    matters)."""
+    c = F.concat(
+        col, F.lit("<!----><![CDATA[]]><script></script><style></style>")
+    )
     c = F.regexp_replace(c, r"(?is)<!--.*?-->", " ")
+    # html.parser's marked-section close is ]\s*]\s*> and the keyword
+    # is case-insensitive (_markupbase.parse_marked_section)
+    c = F.regexp_replace(c, r"(?is)<!\[CDATA\[.*?\]\s*\]\s*>", " ")
     c = F.regexp_replace(c, r"(?is)<script\b.*?</script\s*>", " ")
     return F.regexp_replace(c, r"(?is)<style\b.*?</style\s*>", " ")
 
@@ -888,21 +933,25 @@ def html_metadata(col: Column) -> dict[str, Column]:
         # 96 KB 5.0 s, 192 KB 15.5 s, 384 KB 57.7 s in the JVM engine);
         # excluding '<' bounds each attempt at the next tag open.
         for pat in (
-            rf'(?is)<{tag}\b[^<>]*{disc}[^<>]*{value_attr}="([^"]*)"',
-            rf"(?is)<{tag}\b[^<>]*{disc}[^<>]*{value_attr}='([^']*)'",
-            rf'(?is)<{tag}\b[^<>]*{value_attr}="([^"]*)"[^<>]*{disc}',
-            rf"(?is)<{tag}\b[^<>]*{value_attr}='([^']*)'[^<>]*{disc}",
+            rf'(?is)<{tag}\b[^<>]*{disc}[^<>]*{value_attr}\s*=\s*"([^"]*)"',
+            rf"(?is)<{tag}\b[^<>]*{disc}[^<>]*{value_attr}\s*=\s*'([^']*)'",
+            rf'(?is)<{tag}\b[^<>]*{value_attr}\s*=\s*"([^"]*)"[^<>]*{disc}',
+            rf"(?is)<{tag}\b[^<>]*{value_attr}\s*=\s*'([^']*)'[^<>]*{disc}",
+            rf'(?is)<{tag}\b[^<>]*{disc}[^<>]*{value_attr}\s*=\s*([^\s\x22\x27<>=\x60]+)',
+            rf'(?is)<{tag}\b[^<>]*{value_attr}\s*=\s*([^\s\x22\x27<>=\x60]+)[^<>]*{disc}',
         ):
             got = restore_angles(F.regexp_extract(col, pat, 1))
             out = F.when(out != "", out).otherwise(got)
         return out
 
-    canonical = _attr_value("link", r"""rel=["']canonical["']""", "href")
-    description = _attr_value("meta", r"""name=["']description["']""", "content")
-    og_title = _attr_value("meta", r"""property=["']og:title["']""", "content")
-    lang_dq = F.regexp_extract(col, r'(?is)<html\b[^<>]*lang="([^"]+)"', 1)
-    lang_sq = F.regexp_extract(col, r"""(?is)<html\b[^<>]*lang='([^']+)'""", 1)
-    lang = restore_angles(F.when(lang_dq != "", lang_dq).otherwise(lang_sq))
+    canonical = _attr_value("link", r"""rel\s*=\s*["']?canonical["']?""", "href")
+    description = _attr_value("meta", r"""name\s*=\s*["']?description["']?""", "content")
+    og_title = _attr_value("meta", r"""property\s*=\s*["']og:title["']""", "content")
+    lang_dq = F.regexp_extract(col, r'(?is)<html\b[^<>]*lang\s*=\s*"([^"]+)"', 1)
+    lang_sq = F.regexp_extract(col, r"""(?is)<html\b[^<>]*lang\s*=\s*'([^']+)'""", 1)
+    lang_uq = F.regexp_extract(col, r'(?is)<html\b[^<>]*lang\s*=\s*([^\s\x22\x27<>=\x60]+)', 1)
+    lang = restore_angles(F.when(lang_dq != "", lang_dq).otherwise(
+        F.when(lang_sq != "", lang_sq).otherwise(lang_uq)))
     return {
         "title": title,
         "canonical": canonical,
@@ -965,10 +1014,14 @@ def outlink_edges(df: DataFrame, *, html_col: str = "html",
     href_sq = F.regexp_extract(
         F.col("_tag"), r"""(?is)\bhref\s*=\s*'([^']*)'""", 1
     )
+    href_uq = F.regexp_extract(
+        F.col("_tag"), r'(?is)\bhref\s*=\s*([^\s\x22\x27<>=\x60]+)', 1
+    )
     links = links.select(
         "src_host",
         restore_angles(
-            F.when(href_dq != "", href_dq).otherwise(href_sq)
+            F.when(href_dq != "", href_dq).otherwise(
+                F.when(href_sq != "", href_sq).otherwise(href_uq))
         ).alias("_link"),
     )
     link = F.col("_link")
@@ -1138,7 +1191,9 @@ def image_refs(df: DataFrame, *, html_col: str = "html",
             tag, rf'(?is)\b{name}\s*=\s*"([^"]*)"', 1
         )
         sq = F.regexp_extract(tag, rf"(?is)\b{name}\s*=\s*'([^']*)'", 1)
-        return restore_angles(F.when(dq != "", dq).otherwise(sq))
+        uq = F.regexp_extract(tag, rf'(?is)\b{name}\s*=\s*([^\s\x22\x27<>=\x60]+)', 1)
+        return restore_angles(F.when(dq != "", dq).otherwise(
+            F.when(sq != "", sq).otherwise(uq)))
 
     src = _attr("src")
     alt = _attr("alt")

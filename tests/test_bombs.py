@@ -791,29 +791,21 @@ def test_quoted_angle_protection_valid_html5(spark):
     ).collect()
     assert imgs[0]["alt"] == "w<h and a>b"
 
-    # capacity line, pinned: two passes protect up to TWO of each angle
-    # per value; a third falls back to the previous fragment behavior
+    # capacity line, pinned (r15 v3b): four passes protect up to FOUR of
+    # each angle kind per TAG; a fifth falls back to the previous
+    # fragment behavior
     assert txt('<div data-x="a<b<c">T</div> z') == "T\nz"
-    assert txt('<div data-x="a<b<c<d">T</div> z') == '<div data-x="a<b<c T\nz'
+    assert txt('<div data-x="a<b<c<d<e">T</div> z') == "T\nz"
+    assert txt('<div data-x="a<b<c<d<e<f">T</div> z') == (
+        '<div data-x="a<b<c<d<e T\nz')
     # divergence, pinned: an UNCLOSED attribute quote puts the rest of
     # the input in the HTML5 tokenizer's in-quote state — the tail stays
     # text (keep-the-words stance; the old pattern cut the tag at '>')
     assert txt('<p class="oops >text</p> w') == '<p class="oops >text</p> w'
-    # divergence, pinned (ADVICE r13 low, accepted): the protect pass
-    # anchors at '="' ANYWHERE, not only inside a tag, so BODY TEXT
-    # containing a bare '="' with no closing quote before the next tag
-    # sentinels that real tag — its markup leaks into extracted text and
-    # it is hidden from the attribute extractors (a browser, never in an
-    # attribute state here, would parse <b>/<a> as real tags). The fix
-    # (require a '<\\w[^<>"\']*' tag-context prefix on the anchor, still
-    # linear) rides all seven HTML-family registry queries, which does
-    # not fit the r14 driver-window budget (41 r7-era rotation slots +
-    # 5 scripting riders); scheduled for r15 alongside its rotation
-    # cohort. Until then these two shapes pin the CURRENT behavior so
-    # any silent change is caught:
-    assert txt('wrote x=" then <b>bold</b> end') == (
-        'wrote x=" then <b>bold</b> end'  # markup leaks, words kept
-    )
+    # FIXED r15 (was the ADVICE r13 pinned divergence): body-text '="'
+    # can no longer sentinel a following real tag — the v3b anchors
+    # require a tag-open prefix that cannot cross a '>'
+    assert txt('wrote x=" then <b>bold</b> end') == 'wrote x=" then bold end'
     links = outlink_edges(
         spark.createDataFrame(
             [("https://s.example/p",
@@ -821,7 +813,27 @@ def test_quoted_angle_protection_valid_html5(spark):
             "url string, html string",
         ), html_col="html", url_col="url",
     ).collect()
-    assert links == []  # real outlink hidden by the text-level anchor
+    assert [(r["src_host"], r["dst_host"]) for r in links] == [
+        ("s.example", "other.example")
+    ]
+    # capacity, pinned (ADVICE r14 low, accepted): strip_nontext_blocks
+    # runs BEFORE angle protection in the attribute extractors, so a
+    # literal '<!--' / '<script' / '<style' INSIDE a quoted attribute
+    # value (not a comment/CDATA start for a browser) opens a strip
+    # block and swallows content to the next terminator or the appended
+    # closed sentinel — subsequent real links/metadata on the page are
+    # hidden. Protect-first is NOT safe either (an '="' in real script
+    # text would sentinel the '</script>' terminator and break the
+    # strip); documented at warc.strip_nontext_blocks.
+    links = outlink_edges(
+        spark.createDataFrame(
+            [("https://s.example/p",
+              '<a data-x="see <!-- docs" href="https://a.example/1">A</a>'
+              '<a href="https://b.example/2">B</a>')],
+            "url string, html string",
+        ), html_col="html", url_col="url",
+    ).collect()
+    assert links == []  # browser: both edges survive
 
 
 def test_quoted_angle_protection_stays_linear(spark):

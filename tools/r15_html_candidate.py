@@ -315,15 +315,23 @@ def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     live = open(
         os.path.join(repo, "query_engine_spark/llmdata/warc.py")).read()
-    candidate = build_candidate(live)
-    with tempfile.NamedTemporaryFile(
-            "w", suffix="_warc_r15.py", delete=False) as f:
-        f.write(candidate)
-        path = f.name
-    spec = importlib.util.spec_from_file_location("warc_r15", path)
-    W15 = importlib.util.module_from_spec(spec)
-    sys.modules["warc_r15"] = W15
-    spec.loader.exec_module(W15)
+    path = None
+    if "r15 v3b" in live:
+        # Bundle landed (round 15): validate the LIVE module — this tool
+        # stays as an out-of-band extended-grammar sweep; the standing
+        # in-repo coverage is tests/test_html_differential.py's _PageGen,
+        # which folded this grammar in.
+        from query_engine_spark.llmdata import warc as W15
+    else:
+        candidate = build_candidate(live)
+        with tempfile.NamedTemporaryFile(
+                "w", suffix="_warc_r15.py", delete=False) as f:
+            f.write(candidate)
+            path = f.name
+        spec = importlib.util.spec_from_file_location("warc_r15", path)
+        W15 = importlib.util.module_from_spec(spec)
+        sys.modules["warc_r15"] = W15
+        spec.loader.exec_module(W15)
 
     from pyspark.sql import SparkSession
 
@@ -348,7 +356,8 @@ def main() -> int:
         for item in v[:4]:
             print(" ", k, repr(item)[:400])
     spark.stop()
-    os.unlink(path)
+    if path:
+        os.unlink(path)
     if bad:
         print(f"DIVERGENCES: {bad}")
         return 1
