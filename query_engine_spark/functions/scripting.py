@@ -37,20 +37,41 @@ Spark's `%` on bigints already truncates like Rust). Mixed or float operands
 use f64 arithmetic. Error semantics: the reference `unwrap()`s the eval
 result (main.rs:1965, 2174) — the interpreter tier likewise RAISES on
 integer division/modulo by zero and on a non-bool result in a boolean
-(`where`) context, instead of null-masking rows. Cross-type comparisons
-match Rhai 1.x on BOTH tiers (r14, ADVICE r13): a type pair with no
-registered comparison (string vs number, bool vs number, any bool ordering,
-unit) makes `==` false, `!=` true and `<`/`<=`/`>`/`>=` false — never an
-error — while int/float compare numerically and strings byte-lexicographic
-like Rust. Known divergences, accepted:
-the SQL tier yields NULL (row dropped / score null) where Rhai would error
-the whole query (int div-by-zero); the score context coerces int results
-to double where strict Rhai `eval::<f64>` would error on an INT; and
-arithmetic on a string or bool operand, and a non-bool operand in a boolean
-context (`&&`/`||`/`!`, `if`/`while` conditions — Rhai has no truthiness;
-both are RUNTIME errors the reference unwrap()s into a query failure) raise
-at TRANSLATION time on the SQL tier vs at evaluation time on the interpreter
-tier — both fail the query, only the timing differs.
+(`where`) context, instead of null-masking rows. Comparisons match Rhai
+1.x on BOTH tiers: a CROSS-type pair with no registered comparison
+(string vs number, bool vs number, unit vs anything else — builtin.rs's
+default fallback is gated on type1 != type2) makes `==` false, `!=` true
+and `<`/`<=`/`>`/`>=` false, never an error (r14, ADVICE r13); a
+SAME-type pair with no registered ordering (`true < false`, `() < ()`)
+misses that gate and is a RUNTIME ErrorFunctionNotFound the reference
+unwrap()s into a query failure (r15, ADVICE r14) — int/float compare
+numerically, strings byte-lexicographic like Rust, bool and unit have
+`==`/`!=` only.
+
+Ill-typed operand shapes — arithmetic on a string/bool/unit operand, a
+non-bool operand in a boolean context (`&&`/`||`/`!`, `if`/`while`
+conditions — Rhai has no truthiness), bool/unit ordering — are RUNTIME
+errors in Rhai, which means short-circuit can make them dynamically
+dead: `false && (lang && true)` runs fine in the reference. The SQL
+tier therefore routes every statically-detected shape of this class to
+the interpreter tier via _NeedsUdf (r15, ADVICE r14 — it previously
+hard-failed translation, rejecting scripts the reference accepts);
+the interpreter preserves short-circuit and raises exactly when the
+ill-typed operand evaluates. With ``allow_udf=False`` such scripts
+still fail fast at translation with the needs-udf-tier message.
+
+Known divergences, accepted:
+the SQL tier yields NULL (row dropped / score null) where Rhai would
+error the whole query (int div-by-zero); the score context coerces int
+results to double where strict Rhai `eval::<f64>` would error on an
+INT; and when a cross-type comparison folds to its Rhai default
+literal, the SQL tier DISCARDS the operand subexpressions, so a
+VALUE-dependent runtime error inside a discarded operand (int
+div/mod-by-zero, i64 overflow — `(1/0) == "x"`) is silently skipped
+where the interpreter/reference evaluates the operands first and
+errors (ADVICE r14 low; static type errors inside operands are NOT
+affected — they raise _NeedsUdf before the fold). All three are
+value-level corners of the documented div-by-zero/overflow class.
 """
 
 from __future__ import annotations
@@ -452,19 +473,20 @@ def _to_sql(node: tuple, env: dict[str, tuple[str, str | None]], now_epoch_expr:
         inner, ty = _to_sql(node[2], env, now_epoch_expr)
         if node[1] == "!":
             if ty in ("i", "f", "s"):
-                # Rhai '!' is bool-only (a number/string operand is a
-                # runtime error the reference unwrap()s); the
-                # interpreter raises the same shape at evaluation time
-                raise ScriptTranslationError(
-                    "operator '!' requires a boolean operand"
-                )
+                # Rhai '!' is bool-only — a number/string operand is a
+                # RUNTIME error, so it must not hard-fail translation:
+                # under short-circuit the operand may be dynamically
+                # dead (`false && !likeCount` runs fine in Rhai). Route
+                # to the interpreter tier, whose _bool_guard raises the
+                # reference's error exactly when evaluated (ADVICE r14)
+                raise _NeedsUdf("operator '!' on a non-boolean operand")
             return f"(NOT {inner})", "b"
         if ty in ("s", "b"):
-            # interpreter tier raises the same shape at runtime
-            # (_arith_guard); Rhai has no unary '-' on these types
-            raise ScriptTranslationError(
-                "unary '-' is not defined on "
-                + ("strings" if ty == "s" else "booleans")
+            # runtime error in Rhai (no unary '-' on these types) —
+            # interpreter tier decides (_arith_guard), same reasoning
+            raise _NeedsUdf(
+                "unary '-' on "
+                + ("a string" if ty == "s" else "a boolean")
             )
         return f"(- {inner})", ty
     if kind == "bin":
@@ -474,12 +496,15 @@ def _to_sql(node: tuple, env: dict[str, tuple[str, str | None]], now_epoch_expr:
         if op in ("&&", "||"):
             if ta in ("i", "f", "s") or tb in ("i", "f", "s"):
                 # Rhai logical ops are bool-only — a number/string
-                # operand is a runtime error, NOT truthiness (r14
-                # review find: the old guard covered strings only by
-                # accident and the interpreter applied Python
-                # truthiness; both tiers now fail the query)
-                raise ScriptTranslationError(
-                    f"operator {op!r} requires boolean operands"
+                # operand is a RUNTIME error, not truthiness (r14
+                # review find). Runtime, though, means short-circuit
+                # can skip it: `false && (lang && true)` runs fine in
+                # the reference, so a translation-time hard error here
+                # failed scripts Rhai accepts (ADVICE r14). The
+                # interpreter tier preserves short-circuit and raises
+                # only when the ill-typed operand actually evaluates.
+                raise _NeedsUdf(
+                    f"operator {op!r} on a non-boolean operand"
                 )
             return f"({a} {_SQL_OPS.get(op, op)} {b})", "b"
         if op in ("==", "!=", "<", "<=", ">", ">="):
@@ -493,6 +518,16 @@ def _to_sql(node: tuple, env: dict[str, tuple[str, str | None]], now_epoch_expr:
             # lexicographically (byte order, same as Rust), bool has
             # ==/!= but NO ordering. The interpreter tier mirrors this
             # (_rhai_eq / the ordering branch of _eval).
+            if ta == tb == "b" and op not in ("==", "!="):
+                # SAME-type pair with no registered ordering: Rhai
+                # 1.x's default-comparison fallback in builtin.rs is
+                # gated on type1 != type2, so `true < false` raises
+                # ErrorFunctionNotFound at RUNTIME (ADVICE r14 — the
+                # r14 code wrongly folded it to false like the
+                # cross-type default). Runtime error → interpreter
+                # tier decides (short-circuit may skip it); its
+                # ordering branch raises the same shape.
+                raise _NeedsUdf(f"ordering {op!r} on two booleans")
             comparable = (
                 {ta, tb} <= {"i", "f"}
                 or ta == tb == "s"
@@ -502,18 +537,18 @@ def _to_sql(node: tuple, env: dict[str, tuple[str, str | None]], now_epoch_expr:
                 return f"({a} {_SQL_OPS.get(op, op)} {b})", "b"
             return ("true" if op == "!=" else "false"), "b"
         if op == "+" and ta == tb == "s":
-            # Rhai string concatenation (both-string only; mixed-type
-            # arithmetic raises on both tiers — translation-time here,
-            # runtime in the interpreter; either way the query fails,
-            # matching the reference's unwrap() on a Rhai type error)
+            # Rhai string concatenation (both-string only)
             return f"concat({a}, {b})", "s"
-        if "s" in (ta, tb):
-            raise ScriptTranslationError(
-                f"operator {op!r} is not defined on strings"
-            )
-        if "b" in (ta, tb):
-            raise ScriptTranslationError(
-                f"operator {op!r} is not defined on booleans"
+        if "s" in (ta, tb) or "b" in (ta, tb):
+            # mixed-type arithmetic is a RUNTIME type error in Rhai —
+            # like the boolean contexts above, the operand may be
+            # dynamically dead under short-circuit, so route to the
+            # interpreter tier (_arith_guard raises when evaluated)
+            # instead of hard-failing translation (ADVICE r14)
+            raise _NeedsUdf(
+                f"operator {op!r} on a "
+                + ("string" if "s" in (ta, tb) else "boolean")
+                + " operand"
             )
         if op == "/":
             if ta == "i" and tb == "i":
@@ -529,9 +564,11 @@ def _to_sql(node: tuple, env: dict[str, tuple[str, str | None]], now_epoch_expr:
             raise _NeedsUdf("if without else in expression position")
         c, _tc = _to_sql(node[1], env, now_epoch_expr)
         if _tc in ("i", "f", "s"):
-            # Rhai `if` conditions are bool-only (runtime error
-            # otherwise); the interpreter raises the same shape
-            raise ScriptTranslationError("if condition must be boolean")
+            # Rhai `if` conditions are bool-only — a non-bool condition
+            # is a RUNTIME error; interpreter tier decides (ADVICE r14;
+            # an if-condition cannot itself be short-circuit-dead, but
+            # the whole `if` can sit inside a dead operand)
+            raise _NeedsUdf("non-boolean if condition")
         t, tt = _block_to_sql_typed(node[2], dict(env), now_epoch_expr)
         e, te = _block_to_sql_typed(node[3], dict(env), now_epoch_expr)
         ty = _unify(tt, te)
@@ -669,15 +706,19 @@ def _check_i64(op: str, v: int) -> int:
 
 def _arith_guard(op: str, a, b) -> None:
     """Rhai arithmetic is defined on numbers (and `+` on two strings,
-    handled by the caller): a string or bool operand anywhere else is a
-    script type error — raise the contract error instead of leaking
-    Python's own operator semantics ('a'*3, True+1)."""
+    handled by the caller): a string, bool, or unit operand anywhere
+    else is a script type error — raise the contract error instead of
+    leaking Python's own operator semantics ('a'*3, True+1) or a raw
+    TypeError (None+1 — a unit reaches arithmetic via an if-without-
+    else value, r15 directed probe)."""
     if isinstance(a, str) or isinstance(b, str):
         raise ScriptRuntimeError(
             f"operator {op!r} on string and non-string operands"
         )
     if isinstance(a, bool) or isinstance(b, bool):
         raise ScriptRuntimeError(f"operator {op!r} on boolean operands")
+    if a is None or b is None:
+        raise ScriptRuntimeError(f"operator {op!r} on a unit operand")
 
 
 def _eval(node: tuple, env: "_Env"):
@@ -749,15 +790,28 @@ def _eval(node: tuple, env: "_Env"):
             return not _rhai_eq(a, b)
         if op in ("<", "<=", ">", ">="):
             # Rhai ordering is registered within numbers and within
-            # strings only; any other pair (string vs number, any bool,
-            # unit) defaults to FALSE — never an error and never
-            # Python's TypeError escaping the sandbox (ADVICE r13: the
-            # previous raise diverged from the reference's
-            # default-false; the SQL tier emits the same literal)
+            # strings only. A CROSS-type pair (string vs number, bool
+            # vs number, unit vs anything else) hits builtin.rs's
+            # default-comparison fallback — gated on type1 != type2 —
+            # and is FALSE, never an error (ADVICE r13). A SAME-type
+            # pair with no registered ordering (bool-bool, unit-unit)
+            # misses the gate and raises ErrorFunctionNotFound, which
+            # the reference unwrap()s into a query failure (ADVICE
+            # r14 — previously folded to false like the cross-type
+            # default). Never Python's TypeError escaping the sandbox.
             if not (
                 (_is_num(a) and _is_num(b))
                 or (isinstance(a, str) and isinstance(b, str))
             ):
+                same_type = (
+                    (isinstance(a, bool) and isinstance(b, bool))
+                    or (a is None and b is None)
+                )
+                if same_type:
+                    tn = "bool" if isinstance(a, bool) else "()"
+                    raise ScriptRuntimeError(
+                        f"function not found: {op!r} ({tn}, {tn})"
+                    )
                 return False
             if op == "<":
                 return a < b
@@ -795,7 +849,12 @@ def _eval_stmt(node: tuple, env: "_Env"):
             _eval_block(node[2], _Env(parent=env))
             n += 1
             if n > _MAX_LOOP_ITERS:
-                raise ScriptTranslationError("while loop exceeded iteration cap")
+                # a runtime resource bound (fires during evaluation in
+                # the pandas UDF), not a grammar error — r15: was
+                # mistyped as ScriptTranslationError
+                raise ScriptRuntimeError(
+                    f"while loop exceeded the {_MAX_LOOP_ITERS}-iteration cap"
+                )
         return None
     return _eval(node, env)
 

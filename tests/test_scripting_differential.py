@@ -24,12 +24,25 @@ below:
 
 Round-14 (ADVICE r13): cross-type COMPARISONS no longer raise — Rhai
 1.x defaults an unregistered comparison pair (string vs number, bool vs
-number, any bool ordering, unit) to `==` false / `!=` true / ordering
+number, unit vs anything else) to `==` false / `!=` true / ordering
 false, so a script like `lang == 5 || likeCount > 3` that runs in the
 reference must run on BOTH tiers. The generator now emits mixed-type
 comparison pairs (the r13 well-typed generator could not see this
 class), the test-local reference interpreter implements the same Rhai
 default, and the directed cases pin the ADVICE examples.
+
+Round-15 (ADVICE r14): two corrections to the above.
+  1. Rhai's default-comparison fallback is gated on type1 != type2, so
+     a SAME-type pair with no registered ordering (`true < false`,
+     `() < ()`) raises ErrorFunctionNotFound at runtime — the r14 code
+     wrongly folded it to false on both tiers. Both tiers now raise
+     (the generator emits only ==/!= for bool-bool pairs).
+  2. Statically-detected ill-typed operands (non-bool in boolean
+     contexts, arithmetic on string/bool/unit, bool ordering) are
+     RUNTIME errors in Rhai, so short-circuit can skip them — the SQL
+     tier now raises _NeedsUdf instead of ScriptTranslationError, and
+     the interpreter tier (short-circuit preserved) is the semantics
+     authority for them.
 """
 
 from __future__ import annotations
@@ -106,14 +119,19 @@ class _Gen:
                 return f"({a}) {op} ({b})", None
             if pick < 0.96:
                 # cross-type / bool comparison: Rhai defaults an
-                # unregistered pair to ==false / !=true / ordering
-                # false on both tiers (r14; the r13 generator was
-                # well-typed so could never exercise this class)
-                op = self.rng.choice(["==", "!=", "<", "<=", ">", ">="])
+                # unregistered CROSS-type pair to ==false / !=true /
+                # ordering false on both tiers (r14; the r13 generator
+                # was well-typed so could never exercise this class).
+                # bool-bool is restricted to ==/!= — same-type
+                # unregistered ORDERING is a runtime error (r15,
+                # ADVICE r14), covered by the directed cases
                 ta, tb = self.rng.choice([
                     ("s", "i"), ("s", "f"), ("b", "i"),
                     ("b", "f"), ("b", "s"), ("b", "b"),
                 ])
+                op = self.rng.choice(
+                    ["==", "!="] if (ta, tb) == ("b", "b")
+                    else ["==", "!=", "<", "<=", ">", ">="])
                 if self.rng.random() < 0.5:
                     ta, tb = tb, ta
                 a, _ = self.expr(ta, depth - 1)
@@ -261,7 +279,6 @@ DIRECTED = [
     ('5.0 >= "abc"', "b"),
     ("(likeCount > 3) == 1", "b"),          # bool vs int == -> false
     ("(likeCount > 3) != likeCount", "b"),  # bool vs int != -> true
-    ("(likeCount > 0) < true", "b"),        # bool ordering -> false
     ("(score > 0.0) == (likeCount > 3)", "b"),  # bool==bool is REAL
     ('lang >= ""', "b"),                    # string ordering is REAL
     ('"en" < lang + "x"', "b"),
@@ -436,6 +453,11 @@ def _ref_expr(node, scopes):
             if op in ("==", "!="):
                 eq = (a == b) if ca == cb else False
                 return eq if op == "==" else not eq
+            if ca == cb and ca in ("bool", "unit"):
+                # same-type unregistered ordering errors in Rhai (r15);
+                # the r15 generator never emits this shape — loud fail
+                # here means a generator regression, not a semantics q
+                raise AssertionError(f"unregistered ordering {op} on {ca}")
             if ca != cb or ca not in ("num", "str"):
                 return False
         return {
@@ -551,6 +573,43 @@ def test_interpreter_checked_i64_overflow(spark):
     assert got == float(2 ** 62)
 
 
+def test_while_iteration_budget_contract(spark):
+    """r15 verdict ask #5 (directed iteration-budget cases): a runaway
+    `while` must land the contract ScriptRuntimeError at the 100k-
+    iteration cap — never a hang, never a raw Python error, and (r15
+    fix) never a TRANSLATION error type from inside evaluation. Bounded
+    loops just under the cap still complete exactly."""
+    df = _posts_df(spark).limit(1)
+    runaways = [
+        "let n = 0; while true { n = n + 1; } n",
+        # condition stays true because the decrement is in a dead branch
+        "let n = 5; while n > 0 { if false { n = n - 1 } else { } } n",
+        # nested: the INNER loop is the runaway
+        "let n = 1; let k = 0; while n > 0 { while true { k = k + 1; } "
+        "n = n - 1; } k",
+    ]
+    for script in runaways:
+        with pytest.raises(Exception) as exc:
+            df.select(
+                S._udf_column(S._parse(script), NOW, boolean=False).alias("v")
+            ).collect()
+        assert "iteration cap" in str(exc.value), script
+    # the exception type is the runtime contract error (was mistyped as
+    # ScriptTranslationError pre-r15), visible when evaluating directly
+    env = S._Env({n: 0 for n in S.RHAI_SCOPE_COLUMNS})
+    with pytest.raises(S.ScriptRuntimeError, match="iteration cap"):
+        S._eval_block(S._parse(runaways[0]), env)
+    # a loop just UNDER the cap completes with the exact count
+    under = (
+        "let n = 99999; let k = 0; "
+        "while n > 0 { k = k + 1; n = n - 1; } k"
+    )
+    got = df.select(
+        S._udf_column(S._parse(under), NOW, boolean=False).alias("v")
+    ).collect()[0]["v"]
+    assert got == 99999.0
+
+
 def test_over_i64_literal_rejected_at_parse():
     with pytest.raises(S.ScriptTranslationError, match="i64 range"):
         S._parse("9223372036854775808")
@@ -558,13 +617,13 @@ def test_over_i64_literal_rejected_at_parse():
 
 
 def test_boolean_contexts_are_bool_only(spark):
-    """r14 review find (follow-on to the ADVICE closure): Rhai has NO
-    truthiness — a number/string operand in `&&`/`||`/`!` or an
-    `if`/`while` condition is a runtime error the reference unwrap()s.
-    The old code raised for strings in logical ops only by accident of
-    the comparison guard and the interpreter applied Python truthiness.
-    Both tiers now fail the query (translation-time vs runtime — the
-    documented timing divergence)."""
+    """r14 review find + r15 ADVICE closure: Rhai has NO truthiness — a
+    number/string operand in `&&`/`||`/`!` or an `if`/`while` condition
+    is a RUNTIME error the reference unwrap()s. The SQL tier routes
+    every statically-detected shape to the interpreter tier (_NeedsUdf
+    — r14 hard-failed translation, rejecting dynamically-dead operands
+    the reference runs fine); the interpreter raises exactly when the
+    operand evaluates, preserving short-circuit."""
     df = _posts_df(spark).limit(2)
     bad = [
         "lang && true",               # string in &&
@@ -575,8 +634,13 @@ def test_boolean_contexts_are_bool_only(spark):
     ]
     for script in bad:
         ast = S._parse(script)
-        with pytest.raises(S.ScriptTranslationError):
+        # SQL tier: needs the interpreter (NOT a translation hard-fail)
+        with pytest.raises(S._NeedsUdf):
             S._block_to_sql_typed(ast, {}, NOW)
+        # ...so translate_script without the opt-in still fails fast
+        with pytest.raises(S.ScriptTranslationError, match="allow_udf"):
+            S.translate_script(script, now_epoch_expr=NOW)
+        # interpreter tier: the reference's runtime error on evaluation
         with pytest.raises(Exception) as exc:
             df.select(
                 S._udf_column(ast, NOW, boolean=False).alias("v")
@@ -590,22 +654,35 @@ def test_boolean_contexts_are_bool_only(spark):
         ).collect()
     assert "boolean operand" in str(exc.value)
     # short-circuit still skips the right side entirely (Rhai semantics):
-    # false && <type error> is False, true || <type error> is True
+    # false && <type error> is False, true || <type error> is True —
+    # and with allow_udf=True, translate_script now RUNS these scripts
+    # end-to-end like the reference does (the r14 behavior failed them
+    # at translation; ADVICE r14's exact example is the first)
     good = [("false && (lang && true)", False),
-            ("true || !likeCount", True)]
+            ("true || !likeCount", True),
+            ("false && (true < false)", False),   # dead bool ordering
+            ('false && ("a" - 1 > 0)', False)]    # dead string arith
     for script, want in good:
         got = df.select(
             S._udf_column(S._parse(script), NOW, boolean=True).alias("v")
         ).collect()[0]["v"]
         assert got == want, (script, got)
+        got2 = df.select(
+            S.translate_script(script, now_epoch_expr=NOW, allow_udf=True,
+                               boolean=True).alias("v")
+        ).collect()[0]["v"]
+        assert got2 == want, (script, got2)
 
 
 def test_cross_type_comparison_table(spark):
-    """Exhaustive Rhai-default conformance (r14, ADVICE r13): every
-    type-pair x comparison-operator combination, asserted on BOTH tiers
-    against the documented semantics — registered pairs (num/num, str/
-    str, bool/bool equality) compare for real; every unregistered pair
-    is `==` false / `!=` true / ordering false, never an error."""
+    """Exhaustive Rhai conformance (r14 ADVICE r13; corrected r15 per
+    ADVICE r14): every type-pair x comparison-operator combination,
+    asserted on BOTH tiers against the documented semantics —
+    registered pairs (num/num, str/str, bool/bool equality) compare
+    for real; every CROSS-type pair is `==` false / `!=` true /
+    ordering false (builtin.rs's type1 != type2 default); SAME-type
+    bool ordering raises at runtime (ErrorFunctionNotFound in the
+    reference — the r14 table wrongly pinned it folding to false)."""
     df = _posts_df(spark).limit(4)
     # representative typed operand EXPRESSIONS (static types the SQL
     # tier can see): i / f / s / b
@@ -621,17 +698,22 @@ def test_cross_type_comparison_table(spark):
     ops = ["==", "!=", "<", "<=", ">", ">="]
     scripts = []
     expect_real = []  # None = Rhai default literal; True = real compare
+    errors = []       # same-type unregistered ordering: runtime error
     for ta, ea in operands.items():
         for tb, eb in operands.items():
             for op in ops:
+                script = f"({ea}) {op} ({eb})"
+                if ta == tb == "b" and op not in ("==", "!="):
+                    errors.append(script)
+                    continue
                 pair_cmp = (ta, tb) in registered or (
                     ta == tb == "b" and op in ("==", "!="))
-                scripts.append((f"({ea}) {op} ({eb})", "b"))
+                scripts.append((script, "b"))
                 expect_real.append(pair_cmp)
-    # both tiers agree exactly on every combination
+    # both tiers agree exactly on every runnable combination
     for i in range(0, len(scripts), 48):
         _compare_chunk(spark, df, scripts[i:i + 48])
-    # and the UNREGISTERED pairs land on the Rhai defaults specifically
+    # the UNREGISTERED cross-type pairs land on the Rhai defaults
     for (script, _), real in zip(scripts, expect_real):
         if real:
             continue
@@ -640,3 +722,38 @@ def test_cross_type_comparison_table(spark):
         op = script.split(") ")[1].split(" (")[0]
         want = "true" if op == "!=" else "false"
         assert sql == want and ty == "b", (script, sql)
+    # the (b,b) ordering cells error on BOTH tiers: _NeedsUdf at SQL
+    # translation (runtime error class -> interpreter decides), the
+    # reference's function-not-found shape when evaluated
+    for script in errors:
+        ast = S._parse(script)
+        with pytest.raises(S._NeedsUdf):
+            S._block_to_sql_typed(ast, {}, NOW)
+        with pytest.raises(Exception) as exc:
+            df.select(
+                S._udf_column(ast, NOW, boolean=True).alias("v")
+            ).collect()
+        assert "function not found" in str(exc.value)
+    # unit-unit ordering errors too; unit-unit equality is REGISTERED
+    # (Rhai: () == () is true) — interpreter-only shapes (unit needs
+    # an if-without-else, which the SQL tier cannot express)
+    udf = S._udf_column(
+        S._parse("let u = if false { 1 }; let v = if false { 2 }; u == v"),
+        NOW, boolean=True)
+    assert df.select(udf.alias("v")).collect()[0]["v"] is True
+    with pytest.raises(Exception) as exc:
+        df.select(S._udf_column(
+            S._parse("let u = if false { 1 }; let v = if false { 2 }; u < v"),
+            NOW, boolean=True).alias("v")).collect()
+    assert "function not found" in str(exc.value)
+    # unit vs non-unit stays the cross-type default (false), and a unit
+    # operand in ARITHMETIC raises the contract error, not a raw
+    # TypeError escaping the sandbox (r15 directed probe)
+    assert df.select(S._udf_column(
+        S._parse("let u = if false { 1 }; u < 1"), NOW,
+        boolean=True).alias("v")).collect()[0]["v"] is False
+    with pytest.raises(Exception) as exc:
+        df.select(S._udf_column(
+            S._parse("let u = if false { 1 }; u + 1"), NOW,
+            boolean=False).alias("v")).collect()
+    assert "unit operand" in str(exc.value)
