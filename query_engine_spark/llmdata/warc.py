@@ -290,6 +290,18 @@ def warc_documents(df: DataFrame) -> DataFrame:
 _LT_SENT = "\x02"
 _GT_SENT = "\x03"
 
+# One early-exit probe gating the 16-replace protect chain: exactly the
+# four scan bodies below, alternated under the shared tag-open prefix.
+# A page with NO raw angle inside a quoted attribute value (the vast
+# majority — raw in-value angles are rare even in real crawls) pays one
+# rlike scan instead of 16 full-page regexp_replace passes; when the
+# probe misses, NONE of the four replaces could fire, so skipping the
+# chain is exact, not approximate (r15 scalestress find: the ungated
+# v3b chain cost −48…−81% bulk extractor throughput).
+_PROTECT_NEEDED = (
+    "(?s)<\\w[^<>]*?=\\s*(\"[^\"<]*<|\"[^\">]*>|'[^'<]*<|'[^'>]*>)"
+)
+
 
 def protect_quoted_angles(col: Column) -> Column:
     """Rewrite raw '<' / '>' inside quoted attribute values to sentinel
@@ -304,12 +316,32 @@ def protect_quoted_angles(col: Column) -> Column:
     # Single-char-class lazy star: iterative in java.util.regex,
     # no alternation-under-star stack risk. One angle of each
     # kind per TAG per pass -> capacity 4 of each kind per tag.
+    # Both quote styles fold into ONE pattern per angle kind (the
+    # alternation sits after the common prefix, NOT under a star — no
+    # stack risk): 2 full-page replaces per ROUND instead of 4 (r15
+    # scalestress). One angle of each kind per TAG per round regardless
+    # of which quote style carries it — the documented four-per-tag
+    # capacity is per tag, not per quote style. Rounds gate
+    # PROGRESSIVELY on the same needs-protection probe: a page with one
+    # angle per tag (the dominant real shape — onclick comparisons)
+    # pays one round + two probes; only the adversarial multi-angle
+    # tail walks all four rounds.
+    def _round(x: Column) -> Column:
+        x = F.regexp_replace(
+            x, "(<\\w[^<>]*?=\\s*(?:\"[^\"<]*|'[^'<]*))<", "$1" + _LT_SENT)
+        return F.regexp_replace(
+            x, "(<\\w[^<>]*?=\\s*(?:\"[^\">]*|'[^'>]*))>", "$1" + _GT_SENT)
+
+    # ONE gate level only (r15 scalestress): a when() level repeats its
+    # input subtree in condition/branch/otherwise, and the big extractor
+    # projections fall out of whole-stage codegen (expression size), so
+    # interpreted evaluation recomputes each repeat — gating midway on
+    # the 2-round result was measured SLOWER than running all 4 rounds.
+    # Here the repeated input is only `c` (one cheap scrub replace).
+    p = c
     for _ in range(4):
-        c = F.regexp_replace(c, '(<\\w[^<>]*?=\\s*"[^"<]*)<', "$1" + _LT_SENT)
-        c = F.regexp_replace(c, '(<\\w[^<>]*?=\\s*"[^">]*)>', "$1" + _GT_SENT)
-        c = F.regexp_replace(c, "(<\\w[^<>]*?=\\s*'[^'<]*)<", "$1" + _LT_SENT)
-        c = F.regexp_replace(c, "(<\\w[^<>]*?=\\s*'[^'>]*)>", "$1" + _GT_SENT)
-    return c
+        p = _round(p)
+    return F.when(c.rlike(_PROTECT_NEEDED), p).otherwise(c)
 
 
 def strip_nontext_blocks(col: Column) -> Column:
@@ -333,15 +365,30 @@ def strip_nontext_blocks(col: Column) -> Column:
     the differential reference and the safer strip (never extracts
     CDATA-wrapped markup as live, which is the bug class that
     matters)."""
-    c = F.concat(
-        col, F.lit("<!----><![CDATA[]]><script></script><style></style>")
-    )
-    c = F.regexp_replace(c, r"(?is)<!--.*?-->", " ")
-    # html.parser's marked-section close is ]\s*]\s*> and the keyword
-    # is case-insensitive (_markupbase.parse_marked_section)
-    c = F.regexp_replace(c, r"(?is)<!\[CDATA\[.*?\]\s*\]\s*>", " ")
-    c = F.regexp_replace(c, r"(?is)<script\b.*?</script\s*>", " ")
-    return F.regexp_replace(c, r"(?is)<style\b.*?</style\s*>", " ")
+    def _chain(x: Column, cdata: bool) -> Column:
+        sent = "<!----><![CDATA[]]><script></script><style></style>" \
+            if cdata else "<!----><script></script><style></style>"
+        x = F.concat(x, F.lit(sent))
+        x = F.regexp_replace(x, r"(?is)<!--.*?-->", " ")
+        if cdata:
+            # html.parser's marked-section close is ]\s*]\s*> and the
+            # keyword is case-insensitive (_markupbase.parse_marked_section)
+            x = F.regexp_replace(x, r"(?is)<!\[CDATA\[.*?\]\s*\]\s*>", " ")
+        x = F.regexp_replace(x, r"(?is)<script\b.*?</script\s*>", " ")
+        return F.regexp_replace(x, r"(?is)<style\b.*?</style\s*>", " ")
+
+    # gates (r15 scalestress): a page with no block opener at all skips
+    # the concat + replaces for one literal-alternation rlike, and the
+    # CDATA replace (rare opener) only runs on pages that carry one.
+    # Exact for every consumer: when a probe misses, the skipped
+    # replaces would only consume the appended sentinels (a few
+    # trailing spaces' difference — regexp_extract callers are
+    # position-independent and html_to_text trims)
+    return F.when(
+        col.rlike(r"(?i)<!\[CDATA\["), _chain(col, cdata=True)
+    ).otherwise(F.when(
+        col.rlike(r"(?i)<!--|<script|<style"), _chain(col, cdata=False)
+    ).otherwise(col))
 
 
 def restore_angles(col: Column) -> Column:
@@ -349,6 +396,22 @@ def restore_angles(col: Column) -> Column:
     return F.regexp_replace(
         F.regexp_replace(col, _LT_SENT, "<"), _GT_SENT, ">"
     )
+
+
+# Composite attribute-VALUE token: double-quoted, single-quoted, or the
+# HTML5 unquoted class — ONE page scan per arrangement instead of one
+# per quote style (r15 scalestress: each extra pattern is a full-page
+# regexp_extract). The extracted token keeps its quotes; strip them
+# with _strip_value_quotes (cheap — runs on the short token).
+_VAL_TOKEN = "(\"[^\"]*\"|'[^']*'|[^\\s\\x22\\x27<>=\\x60]+)"
+
+
+def _strip_value_quotes(tok: Column) -> Column:
+    """Drop the surrounding quotes of a _VAL_TOKEN match (unquoted
+    tokens cannot start with a quote — the class excludes both)."""
+    return F.when(
+        tok.rlike("^[\"']"), tok.substr(F.lit(2), F.length(tok) - 2)
+    ).otherwise(tok)
 
 
 def html_to_text(col: Column) -> Column:
@@ -921,11 +984,14 @@ def html_metadata(col: Column) -> dict[str, Column]:
     ))
 
     def _attr_value(tag: str, disc: str, value_attr: str) -> Column:
-        # per-quote patterns: a double-quoted value may contain
-        # apostrophes (John's ...) and a single-quoted one may contain
-        # double quotes — the mixed class ["']...["'] truncated both
-        # (code-review finding). The quote right after '=' picks the
-        # pattern, so the wrong-quote pattern cannot fire.
+        # ONE composite value token per arrangement (r15 scalestress:
+        # six per-quote-style patterns = six full-page scans per field;
+        # the quoted-or-unquoted alternation folds them to TWO, with a
+        # cheap quote strip on the short extracted token). A double-
+        # quoted value may contain apostrophes and vice versa — the
+        # quote right after '=' picks the alternative, so the wrong-
+        # quote branch cannot fire (the r13 mixed-class truncation bug
+        # stays fixed); the unquoted branch is the HTML5 class.
         out = F.lit("")
         # [^<>]* not [^>]*: the r12 CPU-bomb guard — with [^>]*, a page
         # of repeated '<meta ' openers and no '>' anywhere makes every
@@ -933,25 +999,22 @@ def html_metadata(col: Column) -> dict[str, Column]:
         # 96 KB 5.0 s, 192 KB 15.5 s, 384 KB 57.7 s in the JVM engine);
         # excluding '<' bounds each attempt at the next tag open.
         for pat in (
-            rf'(?is)<{tag}\b[^<>]*{disc}[^<>]*{value_attr}\s*=\s*"([^"]*)"',
-            rf"(?is)<{tag}\b[^<>]*{disc}[^<>]*{value_attr}\s*=\s*'([^']*)'",
-            rf'(?is)<{tag}\b[^<>]*{value_attr}\s*=\s*"([^"]*)"[^<>]*{disc}',
-            rf"(?is)<{tag}\b[^<>]*{value_attr}\s*=\s*'([^']*)'[^<>]*{disc}",
-            rf'(?is)<{tag}\b[^<>]*{disc}[^<>]*{value_attr}\s*=\s*([^\s\x22\x27<>=\x60]+)',
-            rf'(?is)<{tag}\b[^<>]*{value_attr}\s*=\s*([^\s\x22\x27<>=\x60]+)[^<>]*{disc}',
+            rf'(?is)<{tag}\b[^<>]*{disc}[^<>]*{value_attr}\s*=\s*{_VAL_TOKEN}',
+            rf'(?is)<{tag}\b[^<>]*{value_attr}\s*=\s*{_VAL_TOKEN}[^<>]*{disc}',
         ):
-            got = restore_angles(F.regexp_extract(col, pat, 1))
+            got = restore_angles(_strip_value_quotes(
+                F.regexp_extract(col, pat, 1)))
             out = F.when(out != "", out).otherwise(got)
         return out
 
     canonical = _attr_value("link", r"""rel\s*=\s*["']?canonical["']?""", "href")
     description = _attr_value("meta", r"""name\s*=\s*["']?description["']?""", "content")
     og_title = _attr_value("meta", r"""property\s*=\s*["']og:title["']""", "content")
-    lang_dq = F.regexp_extract(col, r'(?is)<html\b[^<>]*lang\s*=\s*"([^"]+)"', 1)
-    lang_sq = F.regexp_extract(col, r"""(?is)<html\b[^<>]*lang\s*=\s*'([^']+)'""", 1)
-    lang_uq = F.regexp_extract(col, r'(?is)<html\b[^<>]*lang\s*=\s*([^\s\x22\x27<>=\x60]+)', 1)
-    lang = restore_angles(F.when(lang_dq != "", lang_dq).otherwise(
-        F.when(lang_sq != "", lang_sq).otherwise(lang_uq)))
+    lang_tok = F.regexp_extract(
+        col,
+        r'(?is)<html\b[^<>]*lang\s*=\s*("[^"]+"|' + "'[^']+'"
+        r"|[^\s\x22\x27<>=\x60]+)", 1)
+    lang = restore_angles(_strip_value_quotes(lang_tok))
     return {
         "title": title,
         "canonical": canonical,
@@ -1008,21 +1071,12 @@ def outlink_edges(df: DataFrame, *, html_col: str = "html",
     )
     # per-quote href pull: the quote after '=' picks the pattern, so
     # values containing the OTHER quote char survive intact
-    href_dq = F.regexp_extract(
-        F.col("_tag"), r'(?is)\bhref\s*=\s*"([^"]*)"', 1
-    )
-    href_sq = F.regexp_extract(
-        F.col("_tag"), r"""(?is)\bhref\s*=\s*'([^']*)'""", 1
-    )
-    href_uq = F.regexp_extract(
-        F.col("_tag"), r'(?is)\bhref\s*=\s*([^\s\x22\x27<>=\x60]+)', 1
+    href_tok = F.regexp_extract(
+        F.col("_tag"), rf"(?is)\bhref\s*=\s*{_VAL_TOKEN}", 1
     )
     links = links.select(
         "src_host",
-        restore_angles(
-            F.when(href_dq != "", href_dq).otherwise(
-                F.when(href_sq != "", href_sq).otherwise(href_uq))
-        ).alias("_link"),
+        restore_angles(_strip_value_quotes(href_tok)).alias("_link"),
     )
     link = F.col("_link")
     is_abs = link.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
@@ -1187,13 +1241,10 @@ def image_refs(df: DataFrame, *, html_col: str = "html",
     tag = F.col("_tag")
 
     def _attr(name: str) -> Column:
-        dq = F.regexp_extract(
-            tag, rf'(?is)\b{name}\s*=\s*"([^"]*)"', 1
+        tok = F.regexp_extract(
+            tag, rf"(?is)\b{name}\s*=\s*{_VAL_TOKEN}", 1
         )
-        sq = F.regexp_extract(tag, rf"(?is)\b{name}\s*=\s*'([^']*)'", 1)
-        uq = F.regexp_extract(tag, rf'(?is)\b{name}\s*=\s*([^\s\x22\x27<>=\x60]+)', 1)
-        return restore_angles(F.when(dq != "", dq).otherwise(
-            F.when(sq != "", sq).otherwise(uq)))
+        return restore_angles(_strip_value_quotes(tok))
 
     src = _attr("src")
     alt = _attr("alt")
