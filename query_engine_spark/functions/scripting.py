@@ -641,6 +641,14 @@ def _rhai_eq(a, b) -> bool:
     previous guard raised here, diverging from the reference AND from
     the SQL tier's static emission)."""
     if _is_num(a) and _is_num(b):
+        if _is_int(a) != _is_int(b):
+            # Rhai's mixed INT/FLOAT builtin compares after promoting
+            # the int with `as f64` (and Spark's bigint-vs-double
+            # comparison casts the same way) — Python instead compares
+            # exactly, diverging above 2^53 (r15 review find:
+            # 9007199254740993 == 9007199254740992.0 is true in the
+            # reference and on the SQL tier, false in exact Python)
+            return float(a) == float(b)
         return a == b
     if isinstance(a, bool) and isinstance(b, bool):
         return a == b
@@ -813,6 +821,11 @@ def _eval(node: tuple, env: "_Env"):
                         f"function not found: {op!r} ({tn}, {tn})"
                     )
                 return False
+            if _is_num(a) and _is_num(b) and (_is_int(a) != _is_int(b)):
+                # mixed INT/FLOAT ordering promotes the int to f64 like
+                # Rhai's builtin (and Spark's bigint-vs-double cast) —
+                # see _rhai_eq (r15 review find)
+                a, b = float(a), float(b)
             if op == "<":
                 return a < b
             if op == "<=":

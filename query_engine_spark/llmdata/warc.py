@@ -321,11 +321,7 @@ def protect_quoted_angles(col: Column) -> Column:
     # stack risk): 2 full-page replaces per ROUND instead of 4 (r15
     # scalestress). One angle of each kind per TAG per round regardless
     # of which quote style carries it — the documented four-per-tag
-    # capacity is per tag, not per quote style. Rounds gate
-    # PROGRESSIVELY on the same needs-protection probe: a page with one
-    # angle per tag (the dominant real shape — onclick comparisons)
-    # pays one round + two probes; only the adversarial multi-angle
-    # tail walks all four rounds.
+    # capacity is per tag, not per quote style.
     def _round(x: Column) -> Column:
         x = F.regexp_replace(
             x, "(<\\w[^<>]*?=\\s*(?:\"[^\"<]*|'[^'<]*))<", "$1" + _LT_SENT)
@@ -983,7 +979,8 @@ def html_metadata(col: Column) -> dict[str, Column]:
         col, r"(?is)<title[^<>]*>(.{0,2048}?)</title\s*>", 1
     ))
 
-    def _attr_value(tag: str, disc: str, value_attr: str) -> Column:
+    def _attr_value(tag: str, disc: str, value_attr: str,
+                    disc_end: str | None = None) -> Column:
         # ONE composite value token per arrangement (r15 scalestress:
         # six per-quote-style patterns = six full-page scans per field;
         # the quoted-or-unquoted alternation folds them to TWO, with a
@@ -1000,15 +997,34 @@ def html_metadata(col: Column) -> dict[str, Column]:
         # excluding '<' bounds each attempt at the next tag open.
         for pat in (
             rf'(?is)<{tag}\b[^<>]*{disc}[^<>]*{value_attr}\s*=\s*{_VAL_TOKEN}',
-            rf'(?is)<{tag}\b[^<>]*{value_attr}\s*=\s*{_VAL_TOKEN}[^<>]*{disc}',
+            rf'(?is)<{tag}\b[^<>]*{value_attr}\s*=\s*{_VAL_TOKEN}[^<>]*'
+            + (disc_end or disc),
         ):
             got = restore_angles(_strip_value_quotes(
                 F.regexp_extract(col, pat, 1)))
             out = F.when(out != "", out).otherwise(got)
         return out
 
-    canonical = _attr_value("link", r"""rel\s*=\s*["']?canonical["']?""", "href")
-    description = _attr_value("meta", r"""name\s*=\s*["']?description["']?""", "content")
+    # Discriminators accept quoted OR unquoted values, but the unquoted
+    # branch must consume a TERMINATOR so the discriminator is an
+    # exact-value match, not a prefix match: with the optional-quote
+    # form ["']?canonical["']? both optional quotes could match empty
+    # mid-token, so rel="canonicalized" / name="descriptions" falsely
+    # satisfied the discriminator (r15 review find — the differential
+    # generator never emits prefix-extended values, so only a directed
+    # case can see it; html.parser compares attribute values exactly).
+    # The terminator class differs per arrangement: mid-tag (disc
+    # before the value attribute) it is [\s/] — consuming '>' there
+    # would let the following [^<>]* escape the tag and pull a value
+    # from BODY TEXT; tag-final (disc after the value) it is [\s/>],
+    # where consuming '>' simply ends the match.
+    canonical = _attr_value(
+        "link", r"""rel\s*=\s*(?:["']canonical["']|canonical[\s/])""", "href",
+        disc_end=r"""rel\s*=\s*(?:["']canonical["']|canonical[\s/>])""")
+    description = _attr_value(
+        "meta",
+        r"""name\s*=\s*(?:["']description["']|description[\s/])""", "content",
+        disc_end=r"""name\s*=\s*(?:["']description["']|description[\s/>])""")
     og_title = _attr_value("meta", r"""property\s*=\s*["']og:title["']""", "content")
     lang_tok = F.regexp_extract(
         col,

@@ -576,6 +576,34 @@ def test_html_differential_directed_finds(spark):
                       m3["lang"].alias("l")).collect()[0]
     assert (r4["d"], r4["l"]) == ("short", "fr")
 
+    # r15 review find: discriminators are exact-VALUE matches, not
+    # prefix matches — rel="canonicalized" / name="descriptions" must
+    # NOT satisfy them (html.parser compares attribute values exactly),
+    # while unquoted exact values in every position (mid-tag, tag-final,
+    # self-closing) must.
+    r5 = spark.createDataFrame(
+        [('<link rel="canonicalized" href="http://evil.example/x">'
+          '<meta name="descriptions" content="not a description">'
+          '<meta name=description2 content="nope">',)],
+        "html string",
+    ).select(m3["canonical"].alias("c"), m3["description"].alias("d")
+             ).collect()[0]
+    assert (r5["c"], r5["d"]) == ("", "")
+    r6 = spark.createDataFrame(
+        [('<link rel=canonical href="http://c.example/mid">'
+          '<meta content="tag final" name=description>',)],
+        "html string",
+    ).select(m3["canonical"].alias("c"), m3["description"].alias("d")
+             ).collect()[0]
+    assert (r6["c"], r6["d"]) == ("http://c.example/mid", "tag final")
+    # the mid-tag unquoted disc must not consume '>' and escape the tag
+    # into body text ('href=' after the closed link tag is NOT a link)
+    r7 = spark.createDataFrame(
+        [('<link rel=canonical>no href="http://body.example/t" here',)],
+        "html string",
+    ).select(m3["canonical"].alias("c")).collect()[0]
+    assert r7["c"] == ""
+
 
 REAL_PAGE_CORPUS = [
     # nested tables with links/images in cells

@@ -282,6 +282,14 @@ DIRECTED = [
     ("(score > 0.0) == (likeCount > 3)", "b"),  # bool==bool is REAL
     ('lang >= ""', "b"),                    # string ordering is REAL
     ('"en" < lang + "x"', "b"),
+    # r15 review find: mixed INT/FLOAT comparison promotes the int to
+    # f64 like Rhai's builtin (and Spark's bigint-vs-double cast) —
+    # exact-Python comparison diverged above 2^53. 2^53+1 promotes to
+    # 2^53, so == is TRUE and > is FALSE on both tiers.
+    ("9007199254740993 == 9007199254740992.0", "b"),
+    ("9007199254740993 > 9007199254740992.0", "b"),
+    ("9007199254740993.0 != 9007199254740992", "b"),
+    ("9007199254740991 < 9007199254740992.0", "b"),  # under 2^53: exact
 ]
 
 
@@ -450,6 +458,12 @@ def _ref_expr(node, scopes):
                     return "unit"
                 return "num"
             ca, cb = cat(a), cat(b)
+            # Rhai promotes mixed INT/FLOAT comparison operands with
+            # `as f64` (r15 review find) — different machinery from
+            # scripting's isinstance split: promote whenever the pair
+            # is numeric and heterogeneous by type()
+            if ca == cb == "num" and type(a) is not type(b):
+                a, b = a * 1.0, b * 1.0
             if op in ("==", "!="):
                 eq = (a == b) if ca == cb else False
                 return eq if op == "==" else not eq
