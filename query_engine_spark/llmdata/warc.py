@@ -484,6 +484,65 @@ def html_to_text(col: Column) -> Column:
     return F.regexp_replace(c, r"^\s+|\s+$", "")
 
 
+def remove_url_dot_segments(col: Column) -> Column:
+    """RFC 3986 §5.2.4 dot-segment removal on the PATH portion of a
+    full URL (r15 urljoin cross-check probe: '../'/'./' segments were
+    kept verbatim, so the same image reached the corpus under multiple
+    URLs — browsers and the spec collapse them during reference
+    resolution). Pure column expressions: the path is collapsed by
+    bounded iterative replaces — each round removes all non-nested
+    '/./' segments and one nesting level of 'segment/../' pairs; TEN
+    rounds cover any real path (a crafted 11-deep '../' chain keeps
+    its residue — a capacity line in the bounds.py spirit, never
+    wrong-host). The segment class spells out "not exactly '.' or
+    '..'" without lookahead (RE2-safe, oracle-replayable): up to two
+    leading dots followed by a non-dot char, or three-plus dots.
+    Query and fragment are split off first and never touched."""
+    head = F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    path = F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    tail = F.regexp_replace(col, r"^[^?#]*", "")
+    # The spec's stack algorithm as ONE higher-order fold over the
+    # path segments, not iterative regex rounds (r15 spot-measure:
+    # expression size is a codegen-compilation budget — an iterative
+    # replace chain pushed the extractor projection past janino's
+    # method limit and the WHOLE whole-stage unit fell back to
+    # interpreted, −50% on image_refs; aggregate() is CodegenFallback,
+    # so the unit stays compiled and only the rare gated rows pay an
+    # interpreted array fold). '.' drops, '..' pops (never the root ''
+    # segment — a leading-slash path splits to ['', seg, ...]), and a
+    # trailing '.'/'..' re-appends the empty segment so the collapsed
+    # path keeps its directory slash like §5.2.4's output buffer. The
+    # lambda captures NO outer expressions (the r6 HOF-recompute trap).
+    segs = F.split(path, "/")
+    stack = F.aggregate(
+        segs,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: (
+            F.when(x == ".", acc)
+            .when(
+                x == "..",
+                F.when(F.size(acc) > 1, F.slice(acc, 1, F.size(acc) - 1))
+                .otherwise(acc),
+            )
+            .otherwise(F.concat(acc, F.array(x)))
+        ),
+    )
+    joined = F.array_join(stack, "/")
+    p = F.when(
+        F.try_element_at(segs, F.lit(-1)).isin(".", ".."),
+        F.concat(joined, F.lit("/")),
+    ).otherwise(joined)
+    # Gate: a URL with no dot segment at all — virtually every real
+    # src — pays one short-string probe; without one the fold is the
+    # identity (split/join round-trips and nothing drops or pops), so
+    # the skip is exact. The probe over-matches '/../' inside a query
+    # string — harmless, the fold never touches the tail. null-safe:
+    # NULL url -> NULL (concat/when propagate).
+    return F.when(
+        col.rlike(r"/\.\.?/|/\.\.?$"), F.concat(head, p, tail)
+    ).otherwise(col)
+
+
 def canonical_url(col: Column) -> Column:
     """URL canonicalization for crawl-level dedup, as pure column
     expressions: lowercase scheme and host, strip the scheme's default
@@ -1215,11 +1274,15 @@ def image_refs(df: DataFrame, *, html_col: str = "html",
     """(page_url, img_url, alt) rows from raw HTML at scan speed — the
     seeding stage of an image-text-pair dataset: img tags extracted with
     regexp_extract_all, src and alt pulled per tag in EITHER attribute
-    order, srcs resolved like outlinks (absolute kept, protocol-relative
-    take the page scheme, root-/path-relative join the page host and
-    directory), data: URIs and srcless tags dropped. Tags without alt
-    keep an empty string — downstream filters decide whether captionless
-    images survive, not the extractor.
+    order, srcs resolved per RFC 3986 §5.3 (r15: protocol-relative take
+    the page scheme, root-relative the page host, path-relative merge
+    onto the page directory, query-/fragment-only keep the page path,
+    and dot segments COLLAPSE like a browser — remove_url_dot_segments;
+    previously '../x' was glued onto the directory verbatim, so the
+    same image reached the corpus under multiple URLs and defeated
+    URL-level dedup). data: URIs and srcless tags drop. Tags without
+    alt keep an empty string — downstream filters decide whether
+    captionless images survive, not the extractor.
 
     The tag array is projected in its OWN select below the explode
     (the explode-recompute trap)."""
@@ -1241,6 +1304,12 @@ def image_refs(df: DataFrame, *, html_col: str = "html",
         scheme.alias("_scheme"),
         host.alias("_host"),
         basedir.alias("_dir"),
+        # full page path + query, for query-/fragment-only refs (RFC
+        # 3986 §5.3: they keep the page path, not the directory)
+        F.regexp_extract(
+            url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1
+        ).alias("_path"),
+        F.regexp_extract(url, r"^[^?#]*(\?[^#]*)", 1).alias("_query"),
         # comments/script/style drop first (r14 differential find:
         # commented-out '<img>' tags were extracted as live), then
         # quoted-angle protection (ADVICE r12): alt text like "a<b" would
@@ -1251,7 +1320,7 @@ def image_refs(df: DataFrame, *, html_col: str = "html",
         ).alias("_tags"),
     )
     tags = staged.select(
-        "page_url", "_scheme", "_host", "_dir",
+        "page_url", "_scheme", "_host", "_dir", "_path", "_query",
         F.explode("_tags").alias("_tag"),
     )
     tag = F.col("_tag")
@@ -1267,11 +1336,21 @@ def image_refs(df: DataFrame, *, html_col: str = "html",
     is_abs = src.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
     is_proto = src.startswith("//")
     is_data = src.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")  # data:, blob:, ...
-    resolved = (
+    # RFC 3986 §5.3 reference resolution (r15 urljoin cross-check
+    # probe): query-only refs replace the page query but KEEP the page
+    # path (not the directory), fragment-only refs keep path AND query
+    # — the old code joined both onto the directory like a filename.
+    raw = (
         F.when(is_abs, src)
         .when(is_proto, F.concat(F.col("_scheme"), F.lit(":"), src))
         .when(src.startswith("/"),
               F.concat(F.col("_scheme"), F.lit("://"), F.col("_host"), src))
+        .when(src.startswith("?"),
+              F.concat(F.col("_scheme"), F.lit("://"), F.col("_host"),
+                       F.col("_path"), src))
+        .when(src.startswith("#"),
+              F.concat(F.col("_scheme"), F.lit("://"), F.col("_host"),
+                       F.col("_path"), F.col("_query"), src))
         .when(is_data | (src == ""), F.lit(None))
         .otherwise(
             F.concat(
@@ -1280,9 +1359,21 @@ def image_refs(df: DataFrame, *, html_col: str = "html",
             )
         )
     )
+    # the dot-segment collapse goes in its OWN projection over a
+    # materialized _raw column: inlining it over the raw when-chain
+    # repeats that chain at every reference and the combined expression
+    # exceeds janino's method-size budget — codegen fails to compile
+    # and the WHOLE projection drops to interpreted evaluation
+    # (r15 spot-measure: −50% on image_refs). Multi-use of a non-cheap
+    # alias keeps CollapseProject from merging the two selects.
+    staged_out = tags.select(
+        "page_url", raw.alias("_raw"), alt.alias("alt")
+    )
     return (
-        tags.select(
-            "page_url", resolved.alias("img_url"), alt.alias("alt")
+        staged_out.select(
+            "page_url",
+            remove_url_dot_segments(F.col("_raw")).alias("img_url"),
+            "alt",
         )
         .filter(F.col("img_url").isNotNull())
     )

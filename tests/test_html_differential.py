@@ -202,8 +202,20 @@ class _PageGen:
         if kind < 0.7:
             return r.choice(["mailto:x@y.example", "javascript:void(0)",
                              "tel:+15551234567", "data:text/plain,hi"])
-        if kind < 0.8:
+        if kind < 0.75:
             return "#frag"
+        if kind < 0.85:
+            # r15: dot-segment and query-only relative refs — RFC 3986
+            # §5.2.4/§5.3 resolution (the extractor collapses like a
+            # browser; the reference uses urljoin + the spec algorithm)
+            return r.choice([
+                "../" + r.choice(WORDS) + ".png",
+                "./" + r.choice(WORDS),
+                r.choice(WORDS) + "/../" + r.choice(WORDS) + ".png",
+                "../../" + r.choice(WORDS),
+                "?x=9&y=" + r.choice(WORDS),
+                "/" + r.choice(WORDS) + "/./" + r.choice(WORDS),
+            ])
         if kind < 0.9:
             return ""
         return "https://" + r.choice(HOSTS) + ":8443/q?a=1&b=2"
@@ -356,10 +368,56 @@ def _ref_outlinks(url, html):
     return edges
 
 
+def _spec_remove_dot_segments(path):
+    """RFC 3986 §5.2.4, the spec's buffer algorithm verbatim —
+    deliberately different machinery from warc.py's bounded iterative
+    regex passes, so a shared bug cannot cancel."""
+    out = []
+    buf = path
+    while buf:
+        if buf.startswith("../"):
+            buf = buf[3:]
+        elif buf.startswith("./"):
+            buf = buf[2:]
+        elif buf.startswith("/./"):
+            buf = "/" + buf[3:]
+        elif buf == "/.":
+            buf = "/"
+        elif buf.startswith("/../"):
+            buf = "/" + buf[4:]
+            if out:
+                out.pop()
+        elif buf == "/..":
+            buf = "/"
+            if out:
+                out.pop()
+        elif buf in (".", ".."):
+            buf = ""
+        else:
+            m = re.match(r"^/?[^/]*", buf)
+            out.append(m.group(0))
+            buf = buf[len(m.group(0)):]
+    return "".join(out)
+
+
+def _ref_resolve(page_url, ref):
+    """urljoin for the RFC 3986 §5.3 merge + the spec algorithm for
+    dot-segment removal applied to the result's path (urljoin leaves
+    ABSOLUTE refs untouched; browsers still collapse their dot
+    segments when parsing). The r15 generator avoids urljoin's known
+    stdlib quirk (empty path segments 'a//b' are collapsed where the
+    WHATWG parser keeps them)."""
+    from urllib.parse import urljoin
+
+    resolved = urljoin(page_url, ref)
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)([^?#]*)(.*)$",
+                 resolved)
+    if not m:
+        return resolved
+    return m.group(1) + _spec_remove_dot_segments(m.group(2)) + m.group(3)
+
+
 def _ref_images(url, html):
-    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)", url)
-    scheme, host, path = m.group(1).lower(), m.group(2).lower(), m.group(3)
-    basedir = re.sub(r"[^/]*$", "", path) or "/"
     tags = []
 
     class P(HTMLParser):
@@ -374,17 +432,9 @@ def _ref_images(url, html):
         src, alt = a.get("src"), a.get("alt") or ""
         if not src:
             continue
-        if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", src):
-            resolved = src
-        elif src.startswith("//"):
-            resolved = f"{scheme}:{src}"
-        elif src.startswith("/"):
-            resolved = f"{scheme}://{host}{src}"
-        elif re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", src):
-            continue
-        else:
-            resolved = f"{scheme}://{host}{basedir}{src}"
-        out.append((resolved, alt))
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:(?!//)", src):
+            continue  # data:, blob:, mailto: — opaque schemes drop
+        out.append((_ref_resolve(url, src), alt))
     return sorted(out)
 
 
@@ -671,6 +721,35 @@ def test_html_differential_real_page_corpus(spark):
     div = _run_differential(spark, pages)
     bad = {k: v[:4] for k, v in div.items() if v}
     assert not bad, f"real-page divergences: {bad}"
+
+
+def test_img_url_resolution_matrix(spark):
+    """RFC 3986 reference-resolution matrix (r15 urljoin cross-check
+    probe — the old resolver glued '../'/'./'/'?q'/'#f' onto the page
+    DIRECTORY verbatim; browsers and the spec collapse dot segments
+    and keep the page PATH for same-document refs): every shape class
+    asserted against urljoin + the spec §5.2.4 buffer algorithm."""
+    page = "https://h.example/a/b/page.html"
+    srcs = ["/abs.png", "rel.png", "../up.png", "../../up2.png",
+            "./here.png", "sub/dir.png", "//cdn.example/c.png",
+            "https://x.example/z.png", "#frag", "?q=1", "img.png?x=1#f",
+            "..", ".", "../", "a/../b.png", "/../weird.png",
+            "https://x.example/a/../n.png", "../q.png?d=../e",
+            "../../../../deep.png"]
+    rows = [(page, f'<img src="{s}" alt="a{i}">') for i, s in enumerate(srcs)]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {r["alt"]: r["img_url"] for r in W.image_refs(df).collect()}
+    for i, s in enumerate(srcs):
+        assert got.get(f"a{i}") == _ref_resolve(page, s), (s, got.get(f"a{i}"))
+    # the higher-order fold handles unbounded nesting exactly (a
+    # 60-deep '../' chain over 40 dirs pops to the root and never
+    # crosses into the host — the path split runs first)
+    deep = "x/" * 40 + "../" * 60 + "end.png"
+    r = W.image_refs(spark.createDataFrame(
+        [(page, f'<img src="{deep}" alt="deep">')],
+        "url string, html string")).collect()[0]["img_url"]
+    assert r == _ref_resolve(page, deep)
+    assert r == "https://h.example/end.png"
 
 
 def test_html_known_divergences_pinned(spark):
