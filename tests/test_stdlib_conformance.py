@@ -695,22 +695,21 @@ def test_image_refs_vs_html_parser(spark):
 
     p = P(convert_charrefs=False)
     p.feed(html)
+    # r15: resolution is RFC 3986 — urljoin IS the stdlib reference now
+    # ('../up.jpg' collapses; the old hand-rolled reference glued it
+    # onto the directory verbatim). scheme/host/basedir stay above to
+    # document the pre-r15 contract this section replaced.
+    from urllib.parse import urljoin
+
+    del scheme, host, basedir
     want = []
     for a in tags:
         src, alt = a.get("src"), a.get("alt") or ""
         if not src:
             continue
-        if _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", src):
-            resolved = src
-        elif src.startswith("//"):
-            resolved = f"{scheme}:{src}"
-        elif src.startswith("/"):
-            resolved = f"{scheme}://{host}{src}"
-        elif _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", src):
-            continue  # data:, blob:
-        else:
-            resolved = f"{scheme}://{host}{basedir}{src}"
-        want.append((url, resolved, alt))
+        if _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:(?!//)", src):
+            continue  # data:, blob: — opaque schemes drop
+        want.append((url, urljoin(url, src), alt))
     assert got == sorted(want)
 
 
