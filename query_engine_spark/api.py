@@ -91,6 +91,11 @@ def generate_feed_skeleton(
     rows = sorted(rows, key=lambda r: r[ORD])
 
     debug: dict[str, Any] = {"time": int((time.monotonic() - t0) * 1000), "timing": {}, "counts": {}, "scores": {}}
+    if ctx.script_tiers:
+        # which tier each where/score script landed on (r16): a config
+        # that silently routed to the 10-100× interpreter tier shows up
+        # here with its routing reason instead of only as latency
+        debug["script_tiers"] = {k: dict(v) for k, v in ctx.script_tiers.items()}
     if debug_counts:
         # per-block working-set counts (main.rs:2493-2506); one evaluation per prefix
         for i, block in enumerate(blocks):

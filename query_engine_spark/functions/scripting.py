@@ -48,17 +48,27 @@ unwrap()s into a query failure (r15, ADVICE r14) — int/float compare
 numerically, strings byte-lexicographic like Rust, bool and unit have
 `==`/`!=` only.
 
-Ill-typed operand shapes — arithmetic on a string/bool/unit operand, a
-non-bool operand in a boolean context (`&&`/`||`/`!`, `if`/`while`
-conditions — Rhai has no truthiness), bool/unit ordering — are RUNTIME
-errors in Rhai, which means short-circuit can make them dynamically
-dead: `false && (lang && true)` runs fine in the reference. The SQL
-tier therefore routes every statically-detected shape of this class to
-the interpreter tier via _NeedsUdf (r15, ADVICE r14 — it previously
-hard-failed translation, rejecting scripts the reference accepts);
-the interpreter preserves short-circuit and raises exactly when the
-ill-typed operand evaluates. With ``allow_udf=False`` such scripts
-still fail fast at translation with the needs-udf-tier message.
+String `+` is NOT an ill-typed shape: rhai::Engine::new() includes the
+standard MoreStringPackage, which registers `+` between a string and
+any standard type (add_append/add_prepend) — `lang + 1` is "en1",
+`1 + lang` is "1en", unit appends nothing (r16, ADVICE r15: both tiers
+previously mis-asserted this errors). The SQL tier emits concat+cast
+for int/bool operands (display-identical); a float or unknown-typed
+operand routes to the interpreter tier, whose _rhai_str/_rhai_float_str
+reproduce Rhai's Display ("true", FloatWrapper notation).
+
+Ill-typed operand shapes — arithmetic OTHER than string `+` on a
+string/bool/unit operand, a non-bool operand in a boolean context
+(`&&`/`||`/`!`, `if`/`while` conditions — Rhai has no truthiness),
+bool/unit ordering — are RUNTIME errors in Rhai, which means
+short-circuit can make them dynamically dead: `false && (lang && true)`
+runs fine in the reference. The SQL tier therefore routes every
+statically-detected shape of this class to the interpreter tier via
+_NeedsUdf (r15, ADVICE r14 — it previously hard-failed translation,
+rejecting scripts the reference accepts); the interpreter preserves
+short-circuit and raises exactly when the ill-typed operand evaluates.
+With ``allow_udf=False`` such scripts still fail fast at translation
+with the needs-udf-tier message.
 
 Known divergences, accepted:
 the SQL tier yields NULL (row dropped / score null) where Rhai would
@@ -76,8 +86,10 @@ value-level corners of the documented div-by-zero/overflow class.
 
 from __future__ import annotations
 
+import decimal
 import math
 import re
+import struct
 from dataclasses import dataclass
 
 import pandas as pd
@@ -88,6 +100,7 @@ __all__ = [
     "ScriptTranslationError",
     "ScriptRuntimeError",
     "translate_script",
+    "translate_script_with_tier",
     "RHAI_SCOPE_COLUMNS",
 ]
 
@@ -536,15 +549,35 @@ def _to_sql(node: tuple, env: dict[str, tuple[str, str | None]], now_epoch_expr:
             if comparable or None in (ta, tb):
                 return f"({a} {_SQL_OPS.get(op, op)} {b})", "b"
             return ("true" if op == "!=" else "false"), "b"
-        if op == "+" and ta == tb == "s":
-            # Rhai string concatenation (both-string only)
-            return f"concat({a}, {b})", "s"
+        if op == "+" and "s" in (ta, tb):
+            # Rhai's standard MoreStringPackage registers `+` between a
+            # string and ANY standard type (add_append/add_prepend in
+            # string_basic.rs — part of rhai::Engine::new(),
+            # main.rs:1954), so `lang + 1` is "en1", NOT a type error
+            # (ADVICE r15: the previous code asserted mixed arithmetic
+            # with a string operand errors — true for -,*,/,% and for
+            # bool/unit operands, wrong for `+`). int and bool render
+            # identically in Rhai Display and Spark CAST(.. AS STRING)
+            # ("1", "true"), so those emit as concat+cast; a FLOAT
+            # operand diverges in display corners (Spark "1.0E20" vs
+            # Rust "1e20"), and an unknown-typed operand may be a float
+            # at runtime — both route to the interpreter tier, whose
+            # _rhai_str implements FloatWrapper's display algorithm.
+            if ta == tb == "s":
+                return f"concat({a}, {b})", "s"
+            other = tb if ta == "s" else ta
+            if other in ("i", "b"):
+                sa = a if ta == "s" else f"CAST({a} AS STRING)"
+                sb = b if tb == "s" else f"CAST({b} AS STRING)"
+                return f"concat({sa}, {sb})", "s"
+            raise _NeedsUdf("string '+' with a float/unknown-typed operand")
         if "s" in (ta, tb) or "b" in (ta, tb):
-            # mixed-type arithmetic is a RUNTIME type error in Rhai —
-            # like the boolean contexts above, the operand may be
-            # dynamically dead under short-circuit, so route to the
-            # interpreter tier (_arith_guard raises when evaluated)
-            # instead of hard-failing translation (ADVICE r14)
+            # mixed-type arithmetic (other than string `+`, above) is a
+            # RUNTIME type error in Rhai — like the boolean contexts
+            # above, the operand may be dynamically dead under
+            # short-circuit, so route to the interpreter tier
+            # (_arith_guard raises when evaluated) instead of
+            # hard-failing translation (ADVICE r14)
             raise _NeedsUdf(
                 f"operator {op!r} on a "
                 + ("string" if "s" in (ta, tb) else "boolean")
@@ -659,6 +692,63 @@ def _rhai_eq(a, b) -> bool:
     return False
 
 
+# Rhai's FloatWrapper display gates "natural" notation on f32-typed
+# constants MAX/MIN_NATURAL_FLOAT_FOR_DISPLAY = 1e13 / 1e-13 converted
+# to f64 — the f32 rounding is part of the observable threshold.
+_NAT_MAX = struct.unpack("f", struct.pack("f", 10_000_000_000_000.0))[0]
+_NAT_MIN = struct.unpack("f", struct.pack("f", 0.000_000_000_000_1))[0]
+
+
+def _rhai_float_str(x: float) -> str:
+    """Rhai FloatWrapper<f64> Display (types/float.rs): zero prints
+    "0.0" (sign dropped — abs-gated); magnitudes outside the natural
+    window (f32-rounded 1e-13..1e13) print via Rust's `{:e}` LowerExp
+    (shortest digits, normalized mantissa, bare exponent — "1e20", not
+    Python's "1e+20" or Spark's "1.0E20"); inside it, Rust `{}`
+    positional shortest-round-trip digits with ".0" appended to whole
+    numbers. Python's repr supplies the same shortest digit string
+    (both are round-trip-minimal, which is unique per f64); only the
+    notation is re-shaped. NaN prints "NaN" (Rust Display; rhai's
+    append-".0" quirk for NaN is not reproduced — documented
+    best-effort: no offline Rhai to differentiate against)."""
+    if math.isnan(x):
+        return "NaN"
+    if math.isinf(x):
+        return "inf" if x > 0 else "-inf"
+    a = abs(x)
+    if a == 0.0:
+        return "0.0"
+    r = repr(x)
+    if _NAT_MIN <= a <= _NAT_MAX:
+        if "e" in r:  # repr went scientific below 1e-4; Rust doesn't
+            r = format(decimal.Decimal(r), "f")
+        if "." not in r:
+            r += ".0"
+        return r
+    # Rust {:e}: mantissa = shortest digits normalized to one leading
+    # digit, exponent bare (no '+', no padding)
+    sign, digits, exp = decimal.Decimal(r).as_tuple()
+    e = exp + len(digits) - 1
+    ds = "".join(map(str, digits)).rstrip("0") or "0"
+    mant = ds[0] + ("." + ds[1:] if len(ds) > 1 else "")
+    return ("-" if sign else "") + f"{mant}e{e}"
+
+
+def _rhai_str(v) -> str:
+    """Rhai `to_string` over the script value domain, as used by the
+    MoreStringPackage's string `+` append/prepend (ADVICE r15): bool
+    renders "true"/"false" (not Python's "True"), unit appends nothing
+    (add_append_unit returns the string unchanged), floats go through
+    FloatWrapper's display algorithm."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if v is None:
+        return ""
+    if isinstance(v, float):
+        return _rhai_float_str(v)
+    return str(v) if not isinstance(v, str) else v
+
+
 class _Env:
     """Rhai-style lexical scope chain. A `let` declares in the CURRENT
     block's scope; an assignment mutates the nearest enclosing
@@ -713,12 +803,13 @@ def _check_i64(op: str, v: int) -> int:
 
 
 def _arith_guard(op: str, a, b) -> None:
-    """Rhai arithmetic is defined on numbers (and `+` on two strings,
-    handled by the caller): a string, bool, or unit operand anywhere
-    else is a script type error — raise the contract error instead of
-    leaking Python's own operator semantics ('a'*3, True+1) or a raw
-    TypeError (None+1 — a unit reaches arithmetic via an if-without-
-    else value, r15 directed probe)."""
+    """Rhai arithmetic is defined on numbers (and `+` with ANY string
+    operand — MoreStringPackage append/prepend, handled by the caller
+    before this guard, ADVICE r15): a string, bool, or unit operand
+    anywhere else is a script type error — raise the contract error
+    instead of leaking Python's own operator semantics ('a'*3, True+1)
+    or a raw TypeError (None+1 — a unit reaches arithmetic via an
+    if-without-else value, r15 directed probe)."""
     if isinstance(a, str) or isinstance(b, str):
         raise ScriptRuntimeError(
             f"operator {op!r} on string and non-string operands"
@@ -756,8 +847,13 @@ def _eval(node: tuple, env: "_Env"):
             return _bool_guard("operator '||'", _eval(node[3], env))
         b = _eval(node[3], env)
         if op == "+":
-            if isinstance(a, str) and isinstance(b, str):
-                return a + b
+            if isinstance(a, str) or isinstance(b, str):
+                # MoreStringPackage add_append/add_prepend: `+` between
+                # a string and ANY standard type to_string-s the other
+                # operand — "en" + 1 is "en1", 1 + "en" is "1en", unit
+                # appends nothing (ADVICE r15). Only -,*,/,% with a
+                # string operand remain runtime type errors.
+                return _rhai_str(a) + _rhai_str(b)
             _arith_guard(op, a, b)
             v = a + b
             return _check_i64(op, v) if _is_int(v) else v
@@ -942,6 +1038,34 @@ def _udf_column(ast: tuple, now_epoch_expr: str, *, boolean: bool) -> Column:
     return run(scope)
 
 
+def translate_script_with_tier(
+    script: str,
+    *,
+    now_epoch_expr: str = "unix_seconds(current_timestamp())",
+    allow_udf: bool = False,
+    boolean: bool = False,
+) -> tuple[Column, str, str | None]:
+    """``translate_script`` plus tier observability: returns
+    ``(column, tier, reason)`` where tier is ``"sql"`` (Catalyst
+    expression, codegen fast path) or ``"udf"`` (sandboxed interpreter,
+    the documented 10-100× slow path), and reason is the _NeedsUdf
+    routing message for the UDF tier (None on the SQL tier). Since the
+    r15 ADVICE closures route statically ill-typed shapes to the UDF
+    tier instead of hard-failing, a buggy or hostile feed config can
+    silently land a whole query on the slow tier — the blocks
+    translator records this per block and the serving layer surfaces it
+    in the debug payload (r16, verdict r15 ask #5)."""
+    ast = _parse(script)
+    try:
+        return F.expr(_block_to_sql(ast, {}, now_epoch_expr)), "sql", None
+    except _NeedsUdf as why:
+        if not allow_udf:
+            raise ScriptTranslationError(
+                f"script needs the sandboxed UDF tier ({why}); pass allow_udf=True to opt in"
+            ) from None
+        return _udf_column(ast, now_epoch_expr, boolean=boolean), "udf", str(why)
+
+
 def translate_script(
     script: str,
     *,
@@ -958,12 +1082,9 @@ def translate_script(
     UDF tier yields a boolean predicate (the SQL tier's type is already
     whatever the expression produces, like the reference's eval).
     """
-    ast = _parse(script)
-    try:
-        return F.expr(_block_to_sql(ast, {}, now_epoch_expr))
-    except _NeedsUdf as why:
-        if not allow_udf:
-            raise ScriptTranslationError(
-                f"script needs the sandboxed UDF tier ({why}); pass allow_udf=True to opt in"
-            ) from None
-        return _udf_column(ast, now_epoch_expr, boolean=boolean)
+    return translate_script_with_tier(
+        script,
+        now_epoch_expr=now_epoch_expr,
+        allow_udf=allow_udf,
+        boolean=boolean,
+    )[0]

@@ -489,15 +489,16 @@ def remove_url_dot_segments(col: Column) -> Column:
     full URL (r15 urljoin cross-check probe: '../'/'./' segments were
     kept verbatim, so the same image reached the corpus under multiple
     URLs — browsers and the spec collapse them during reference
-    resolution). Pure column expressions: the path is collapsed by
-    bounded iterative replaces — each round removes all non-nested
-    '/./' segments and one nesting level of 'segment/../' pairs; TEN
-    rounds cover any real path (a crafted 11-deep '../' chain keeps
-    its residue — a capacity line in the bounds.py spirit, never
-    wrong-host). The segment class spells out "not exactly '.' or
-    '..'" without lookahead (RE2-safe, oracle-replayable): up to two
-    leading dots followed by a non-dot char, or three-plus dots.
-    Query and fragment are split off first and never touched."""
+    resolution). The spec's output-buffer algorithm runs as ONE
+    higher-order aggregate() fold over the '/'-split path segments —
+    '.' drops, '..' pops, a trailing dot segment re-appends the
+    directory slash — so collapse depth is unbounded (no residue
+    capacity line; an N-deep '../' chain collapses exactly). Query and
+    fragment are split off first and never touched. A gate regex skips
+    the fold entirely for the overwhelmingly common no-dot-segment
+    URL; r16 (ADVICE r15): the gate covers every path-terminator
+    context — '/', '?', '#', or end — so 'src="..?v=1"' and "/a/.#f"
+    collapse too."""
     head = F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     path = F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     tail = F.regexp_replace(col, r"^[^?#]*", "")
@@ -535,11 +536,14 @@ def remove_url_dot_segments(col: Column) -> Column:
     # Gate: a URL with no dot segment at all — virtually every real
     # src — pays one short-string probe; without one the fold is the
     # identity (split/join round-trips and nothing drops or pops), so
-    # the skip is exact. The probe over-matches '/../' inside a query
-    # string — harmless, the fold never touches the tail. null-safe:
-    # NULL url -> NULL (concat/when propagate).
+    # the skip is exact. A dot segment ends at any path terminator —
+    # '/', '?', '#', or end-of-string (the r15 gate missed the '?'/'#'
+    # contexts, so "..?v=1" / ".#f" skipped the collapse — ADVICE
+    # r15). The probe over-matches '/../' inside a query string —
+    # harmless, the fold never touches the tail. null-safe: NULL url
+    # -> NULL (concat/when propagate).
     return F.when(
-        col.rlike(r"/\.\.?/|/\.\.?$"), F.concat(head, p, tail)
+        col.rlike(r"/\.\.?([/?#]|$)"), F.concat(head, p, tail)
     ).otherwise(col)
 
 

@@ -56,7 +56,7 @@ from query_engine_spark.operators import joins as J
 from query_engine_spark.operators import scoring as Sc
 from query_engine_spark.operators import sorts as So
 from query_engine_spark.operators.ordering import ORD, stamp_ord
-from query_engine_spark.functions.scripting import translate_script
+from query_engine_spark.functions.scripting import translate_script_with_tier
 
 from query_engine_spark.errors import PipelineError
 
@@ -98,6 +98,23 @@ class PipelineContext:
     # opt-in for the sandboxed pandas-UDF script tier (scripting.py): scripts
     # beyond the SQL grammar (reassignment, while, return) run interpreted
     allow_udf_scripts: bool = False
+    # script-tier observability (r16, verdict r15): which tier each
+    # where/score script block landed on — "sql" (codegen fast path) or
+    # "udf" (sandboxed interpreter, 10-100× slow path, with its routing
+    # reason). Populated at translate time, keyed by block id (or a
+    # positional `where#N`/`score#N` when the block has no id); surfaced
+    # by api.generate_feed_skeleton in the debug payload so a config
+    # that silently lands on the slow tier is visible, not inferred.
+    script_tiers: dict[str, dict[str, str]] = field(default_factory=dict)
+
+    def note_script_tier(
+        self, block: dict[str, Any], kind: str, tier: str, reason: str | None
+    ) -> None:
+        key = str(block.get("id") or f"{kind}#{len(self.script_tiers)}")
+        entry = {"kind": kind, "tier": tier}
+        if reason:
+            entry["reason"] = reason
+        self.script_tiers[key] = entry
 
     def resolve_list(self, block: dict[str, Any]) -> DataFrame:
         """fetch_list (main.rs:3046-3140): Bluesky list membership, a graph
@@ -367,6 +384,9 @@ def translate_pipeline(blocks: list[dict[str, Any]], ctx: PipelineContext) -> Da
     n_regex = sum(1 for b in blocks if b.get("type") == "regex")
     if n_regex > MAX_REGEX_BLOCKS:
         raise PipelineError(f"Too many regex blocks ({n_regex} > {MAX_REGEX_BLOCKS})")
+    # fresh tier log per translation — a reused ctx must not leak the
+    # previous query's script-tier entries into this one's debug payload
+    ctx.script_tiers.clear()
 
     posts = ctx.posts
     if ctx.now is None:
@@ -675,12 +695,13 @@ def _filter_block(block, ctx, ws, scores, now_epoch_expr, seq):
         ws.map(lambda df: df.filter(~Fi.has_any_label(wanted)))
         return
     if subject == "where":
-        pred = translate_script(
+        pred, tier, why = translate_script_with_tier(
             block["value"],
             now_epoch_expr=now_epoch_expr,
             allow_udf=ctx.allow_udf_scripts,
             boolean=True,
         )
+        ctx.note_script_tier(block, "where", tier, why)
         ws.map(lambda df: Fi.apply_filter(scores.join_onto(df), pred, keep=keep).drop("score"))
         return
     if subject == "videos":
@@ -694,10 +715,11 @@ def _score_block(block, ctx, ws, scores, now_epoch_expr, now_us):
         raise PipelineError("only scoreType=add exists (main.rs:2151-2162)")
     cur = ws.data()
     if "value" in block:
-        col = translate_script(
+        col, tier, why = translate_script_with_tier(
             block["value"], now_epoch_expr=now_epoch_expr, allow_udf=ctx.allow_udf_scripts
-        ).cast("double")
-        batch = scores.join_onto(cur).withColumn("__batch_score", col)
+        )
+        ctx.note_script_tier(block, "score", tier, why)
+        batch = scores.join_onto(cur).withColumn("__batch_score", col.cast("double"))
     else:
         from_ = block.get("from", "likes")
         if from_ in ("like_count", "likes"):

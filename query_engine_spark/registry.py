@@ -7391,34 +7391,16 @@ def multimodal_webp_lossy_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_LAST_VERIFIED: dict[str, int] = {
     # Transcribed per-round by tools/ledger_transcribe.py from the
     # CORRECTNESS_r*.json artifacts: name -> last round a driver
-    # hash-match (or designed rows-only pass) was recorded. Post-r14:
-    # the r14 window (49 hash-green + the designed rows-only
-    # f12_where_udf_tier, 50/50) drained the ENTIRE 41-name r7-era
-    # cohort plus 9 touched riders; cohorts now 34 r8 / 24 r9 /
-    # 45 r10 / 38 r11 / 40 r12 / 41 r13 / 50 r14 = 272, matching the
-    # r14 verdict's artifact-derived arithmetic digit for digit.
-    **{n: 8 for n in (
-        "agg_rollup", "embed_label_centroids", "embed_pq_indexed",
-        "j10_community", "j10_top_moots",
-        "llm_curation_pipeline_balance", "llm_hash_sample",
-        "llm_prepare_corpus", "llm_split_assign", "llm_top_terms",
-        "media_dedup", "multimodal_audio", "multimodal_audio_aiff",
-        "multimodal_audio_alaw", "multimodal_audio_flac_stereo",
-        "multimodal_audio_pcm24", "multimodal_audio_sphere",
-        "multimodal_audio_wav_stereo", "multimodal_bmp8",
-        "multimodal_gif_disposals", "multimodal_gif_interlaced",
-        "multimodal_jpeg_422", "multimodal_jpeg_restart",
-        "multimodal_png_palette", "multimodal_tiff",
-        "multimodal_tiff_multipage", "q16_supplier_variety",
-        "q17_small_quantity", "q19_disjunctive",
-        "q22_no_order_customers", "q4_order_priority",
-        "q7_nation_volume", "text_strip_dup_spans",
-        "window_revenue_deciles",
-    )},
+    # hash-match (or designed rows-only pass) was recorded. Post-r15:
+    # the r15 window (49 hash-green + the designed rows-only
+    # f12_where_udf_tier, 50/50) drained the ENTIRE 34-name r8-era
+    # cohort plus the 4 stalest r9 names and 12 touched riders;
+    # cohorts now 20 r9 / 45 r10 / 38 r11 / 40 r12 / 38 r13 /
+    # 41 r14 / 50 r15 = 272, matching the r15 verdict's
+    # artifact-derived arithmetic digit for digit.
     **{n: 9 for n in (
         "crawl_frontier_bloom", "crawl_politeness_schedule",
-        "dedup_clusters", "embed_semdedup", "llm_cdx_select",
-        "llm_csv_roundtrip", "llm_export_manifest",
+        "llm_cdx_select", "llm_csv_roundtrip", "llm_export_manifest",
         "llm_jsonl_roundtrip", "llm_mbox_ingest",
         "llm_quality_classifier", "llm_robots_rules",
         "llm_robots_wildcards", "media_type_sniff",
@@ -7426,8 +7408,7 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "multimodal_audio_wav_extensible", "multimodal_bmp_topdown",
         "multimodal_exif_metadata", "multimodal_id3_metadata",
         "multimodal_mp3_frames", "multimodal_tiff_rgb",
-        "multimodal_webp_lossy_meta", "text_bm25_search",
-        "text_nfc_normalize", "text_repetition_features",
+        "multimodal_webp_lossy_meta", "text_nfc_normalize",
     )},
     **{n: 10 for n in (
         "asof_join_directions", "asof_join_events",
@@ -7493,9 +7474,8 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "j10_two_hop", "j1_replace_parent", "j3_replace_record",
         "j4_direct_replies", "j5_all_replies", "j6_quote_posts",
         "llm_curation_pipeline_decontam", "llm_curation_pipeline_scrub",
-        "llm_html_jsonld", "llm_warc_ingest", "media_perceptual_dedup",
-        "multimodal_audio_adpcm", "multimodal_audio_mulaw",
-        "multimodal_image_text_pairs", "multimodal_pdf_text",
+        "media_perceptual_dedup", "multimodal_audio_adpcm",
+        "multimodal_audio_mulaw", "multimodal_pdf_text",
         "multimodal_pdf_xrefstream", "multimodal_video_rle",
         "o1_sort_created_top", "o2_sort_hn", "o3_sort_counts",
         "o4_sort_random", "o5_sort_score_dedup", "o7_posts_per_user",
@@ -7506,24 +7486,43 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
     **{n: 14 for n in (
         "a2_tag_variations", "a3_count_views", "a4_degree_counts",
         "a5_user_like_totals", "a7_admin_stats", "agg_cube",
-        "agg_distinct_users", "agg_pivot", "crawl_host_rank",
-        "dedup_exact", "dedup_simhash", "embed_cosine_topk",
-        "embed_srp_near_dup", "events_anomaly_static",
-        "f11_labels_remove", "f12_where_script",
-        "f12_where_script_stmt", "f12_where_udf_tier", "f1_item_kind",
+        "agg_distinct_users", "agg_pivot", "dedup_exact",
+        "dedup_simhash", "embed_cosine_topk", "embed_srp_near_dup",
+        "events_anomaly_static", "f11_labels_remove", "f1_item_kind",
         "f2_image_count", "f6_language", "f7_list_semi_anti",
         "f8_duplicates_first", "f_count_cmp", "j2_replace_root",
-        "llm_curation_pipeline_neardup", "llm_html_image_pairs",
-        "llm_html_metadata", "llm_html_outlinks",
-        "media_incremental_dedup", "pipeline_flagship",
+        "llm_curation_pipeline_neardup", "media_incremental_dedup",
         "q18_large_orders", "q1_pricing_summary",
         "q3_shipping_priority", "q5_local_supplier_volume",
         "s10_liked_by_likers", "s3_input_tags", "s4_input_labels",
         "s5_input_feed", "s7_input_post_prepend", "s8_archived_scan",
-        "s9_liked_weighted", "sc1_script_score",
-        "stream_windowed_counts", "text_contamination",
-        "text_fingerprint", "text_langid", "text_quality",
-        "text_tokens", "window_running_revenue",
+        "s9_liked_weighted", "stream_windowed_counts",
+        "text_contamination", "text_fingerprint", "text_langid",
+        "text_quality", "text_tokens", "window_running_revenue",
+    )},
+    **{n: 15 for n in (
+        "agg_rollup", "crawl_host_rank", "dedup_clusters",
+        "embed_label_centroids", "embed_pq_indexed", "embed_semdedup",
+        "f12_where_script", "f12_where_script_stmt",
+        "f12_where_udf_tier", "j10_community", "j10_top_moots",
+        "llm_curation_pipeline_balance", "llm_hash_sample",
+        "llm_html_image_pairs", "llm_html_jsonld", "llm_html_metadata",
+        "llm_html_outlinks", "llm_prepare_corpus", "llm_split_assign",
+        "llm_top_terms", "llm_warc_ingest", "media_dedup",
+        "multimodal_audio", "multimodal_audio_aiff",
+        "multimodal_audio_alaw", "multimodal_audio_flac_stereo",
+        "multimodal_audio_pcm24", "multimodal_audio_sphere",
+        "multimodal_audio_wav_stereo", "multimodal_bmp8",
+        "multimodal_gif_disposals", "multimodal_gif_interlaced",
+        "multimodal_image_text_pairs", "multimodal_jpeg_422",
+        "multimodal_jpeg_restart", "multimodal_png_palette",
+        "multimodal_tiff", "multimodal_tiff_multipage",
+        "pipeline_flagship", "q16_supplier_variety",
+        "q17_small_quantity", "q19_disjunctive",
+        "q22_no_order_customers", "q4_order_priority",
+        "q7_nation_volume", "sc1_script_score", "text_bm25_search",
+        "text_repetition_features", "text_strip_dup_spans",
+        "window_revenue_deciles",
     )},
 }
 
@@ -7532,33 +7531,28 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
 # recorded verification is stale — schedule them as if never verified.
 _STALE_VERIFICATION: set[str] = set()
 
-# Queries whose machinery round 15 changed after their last driver check.
-# Round 15 executes the r14 verdict's staged plan: (a) the pre-validated
-# HTML fix bundle (tools/r15_html_candidate.py — protect_quoted_angles
-# v3b tag-context anchors, spaced '=', unquoted attribute values) lands
-# in warc.py, so ALL SEVEN HTML-family queries ride (the three r14
-# shared-verbatim hold-outs included — the bundle rewrites the protect
-# pass they all share); (b) the ADVICE-r14 scripting closures (same-type
-# bool/unit ordering now errors like Rhai 1.x ErrorFunctionNotFound on
-# both tiers; statically non-bool operands in &&/||/!/if fall back to
-# the UDF tier instead of hard-failing translation, so Rhai's
-# short-circuit decides at runtime) touch _to_sql/_eval's happy path,
-# so the five script-bearing queries ride. 12 touched + the full
-# 34-name r8-era cohort + 4 stalest-r9 spare = one exact 50-slot
-# window; nothing older than r9 survives the round.
-_ROUND15_TOUCHED: set[str] = {
-    # (a) warc.py HTML fix bundle
-    "llm_html_metadata", "llm_html_outlinks", "llm_html_jsonld",
-    "llm_html_image_pairs", "llm_warc_ingest", "crawl_host_rank",
-    "multimodal_image_text_pairs",
-    # (b) scripting.py ADVICE-r14 closures
+# Queries whose machinery round 16 changed after their last driver check.
+# Round 16 lands the ADVICE-r15 closures: (a) scripting.py — string `+`
+# with exactly one string operand now concatenates like Rhai's
+# MoreStringPackage add_append/add_prepend (both tiers), instead of the
+# incorrectly-asserted runtime type error, so the five script-bearing
+# queries ride; (b) warc.py — remove_url_dot_segments' gate widened to
+# /\.\.?([/?#]|$) (a dot segment immediately followed by '?' or '#' was
+# skipping the RFC 3986 collapse), which rides the image-src resolver
+# shared by the HTML family. Touched names ride at the window head,
+# displacing the NEWEST r10-era tail names per the r15 verdict — the
+# 20-name r9-era remainder keeps its slots.
+_ROUND16_TOUCHED: set[str] = {
+    # (a) scripting.py string-+ concat closure
     "f12_where_script", "f12_where_script_stmt", "f12_where_udf_tier",
     "sc1_script_score", "pipeline_flagship",
+    # (b) warc.py dot-segment gate widening (image-src resolver riders)
+    "llm_html_image_pairs", "multimodal_image_text_pairs",
 }
 
 # Stable alias so _driver_order and the scheduling tests survive the
 # per-round rename of the touched set.
-_ROUND_TOUCHED = _ROUND15_TOUCHED
+_ROUND_TOUCHED = _ROUND16_TOUCHED
 
 
 def _driver_order() -> list[str]:

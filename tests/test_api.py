@@ -37,6 +37,40 @@ def test_feed_skeleton_response_shape(spark, posts):
     assert "time" in resp["debug"]
 
 
+def test_feed_skeleton_script_tier_visibility(spark, posts):
+    """r16 (verdict r15 ask #5): the debug payload names which tier each
+    where/score script block ran on. Since the r15 closures route
+    statically ill-typed shapes to the interpreter tier instead of
+    hard-failing, a buggy config can silently land on the 10-100× slow
+    path — the serving layer must expose that, with the routing reason."""
+    ctx = PipelineContext(spark=spark, posts=posts, now=NOW, allow_udf_scripts=True)
+    blocks = [
+        {"type": "input", "inputType": "firehose", "id": "in"},
+        {"type": "keep", "subject": "where", "value": "likeCount >= 0", "id": "w_sql"},
+        {"type": "score", "scoreType": "add", "value": "likeCount * 2", "id": "s_sql"},
+        # imperative script: only the interpreter tier can run it
+        {"type": "keep", "subject": "where",
+         "value": "let n = likeCount; let ok = false; while n > 0 { ok = true; n = n - 100; } ok || likeCount == 0",
+         "id": "w_udf"},
+    ]
+    resp = generate_feed_skeleton(ctx, blocks)
+    tiers = resp["debug"]["script_tiers"]
+    assert tiers["w_sql"] == {"kind": "where", "tier": "sql"}
+    assert tiers["s_sql"] == {"kind": "score", "tier": "sql"}
+    assert tiers["w_udf"]["tier"] == "udf" and tiers["w_udf"]["kind"] == "where"
+    assert "while" in tiers["w_udf"]["reason"]
+    # a reused ctx starts each translation with a FRESH log
+    resp2 = generate_feed_skeleton(
+        ctx, [{"type": "input", "inputType": "firehose"},
+              {"type": "keep", "subject": "where", "value": "true", "id": "only"}])
+    assert set(resp2["debug"]["script_tiers"]) == {"only"}
+    # blocks without ids get positional keys
+    resp3 = generate_feed_skeleton(
+        ctx, [{"type": "input", "inputType": "firehose"},
+              {"type": "keep", "subject": "where", "value": "likeCount > 1"}])
+    assert set(resp3["debug"]["script_tiers"]) == {"where#0"}
+
+
 def test_feed_skeleton_uri_conversion(spark, posts):
     # ids shaped like the reference's "post:<rkey>_<didkey>" convert to at://
     shaped = posts.withColumn("id", F.concat(F.lit("post:3k"), F.col("key").cast("string"), F.lit("_plc_u1")))

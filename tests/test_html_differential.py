@@ -215,6 +215,12 @@ class _PageGen:
                 "../../" + r.choice(WORDS),
                 "?x=9&y=" + r.choice(WORDS),
                 "/" + r.choice(WORDS) + "/./" + r.choice(WORDS),
+                # r16 (ADVICE r15): dot segment terminated by '?'/'#'
+                # rather than '/' — the gate regex must still collapse
+                "..?v=" + r.choice(WORDS),
+                ".#" + r.choice(WORDS),
+                r.choice(WORDS) + "/..#s",
+                "/" + r.choice(WORDS) + "/.?q=1",
             ])
         if kind < 0.9:
             return ""
@@ -735,7 +741,11 @@ def test_img_url_resolution_matrix(spark):
             "https://x.example/z.png", "#frag", "?q=1", "img.png?x=1#f",
             "..", ".", "../", "a/../b.png", "/../weird.png",
             "https://x.example/a/../n.png", "../q.png?d=../e",
-            "../../../../deep.png"]
+            "../../../../deep.png",
+            # r16 (ADVICE r15): dot segment terminated by '?'/'#' — the
+            # r15 gate regex required '/' or end after the dots, so
+            # these skipped the collapse the fold performs correctly
+            "..?v=1", ".#f", "c/..#s", "/d/.?q=1", "..#x", ".?only"]
     rows = [(page, f'<img src="{s}" alt="a{i}">') for i, s in enumerate(srcs)]
     df = spark.createDataFrame(rows, "url string, html string")
     got = {r["alt"]: r["img_url"] for r in W.image_refs(df).collect()}

@@ -140,11 +140,24 @@ class _Gen:
             return self.if_expr("b", depth)
         if ty == "s":
             pick = self.rng.random()
-            if pick < 0.5:
+            if pick < 0.4:
                 a, _ = self.expr("s", depth - 1)
                 b, _ = self.expr("s", depth - 1)
                 return f"({a}) + ({b})", None
-            if pick < 0.7:
+            if pick < 0.6:
+                # r16 (ADVICE r15): string `+` with a non-string operand
+                # is MoreStringPackage append/prepend, not a type error.
+                # int and bool render identically on both tiers, so the
+                # fuzz can exercise them freely; float display diverges
+                # between Spark CAST and Rhai, so float operands stay in
+                # the directed interpreter-tier cases only.
+                ot = self.rng.choice(["i", "b"])
+                a, _ = self.expr("s", depth - 1)
+                b, _ = self.expr(ot, depth - 1)
+                if self.rng.random() < 0.5:
+                    return f"({a}) + ({b})", None
+                return f"({b}) + ({a})", None
+            if pick < 0.75:
                 return self.if_expr("s", depth)
             return self.terminal("s")
         # numeric
@@ -290,6 +303,16 @@ DIRECTED = [
     ("9007199254740993 > 9007199254740992.0", "b"),
     ("9007199254740993.0 != 9007199254740992", "b"),
     ("9007199254740991 < 9007199254740992.0", "b"),  # under 2^53: exact
+    # r16 (ADVICE r15): string `+` with int/bool operands is
+    # MoreStringPackage append/prepend on BOTH tiers — the ADVICE
+    # example `lang + 1` plus prepend, bool rendering, and chains
+    ('lang + 1 == lang + "1"', "b"),
+    ('1 + lang == "1" + lang', "b"),
+    ('likeCount + lang != ""', "b"),
+    ('("n=" + likeCount) + ("," + replyCount) != ""', "b"),
+    ('(lang + (likeCount > 3)) == (lang + (likeCount > 3))', "b"),
+    ('((likeCount > 3) + lang) != "x"', "b"),
+    ('let s = "c:" + quoteCount; s + 0 == s + "0"', "b"),
 ]
 
 
@@ -474,6 +497,20 @@ def _ref_expr(node, scopes):
                 raise AssertionError(f"unregistered ordering {op} on {ca}")
             if ca != cb or ca not in ("num", "str"):
                 return False
+        if op == "+" and (type(a) is str or type(b) is str):
+            # MoreStringPackage append/prepend (r16, ADVICE r15) —
+            # deliberately different machinery from scripting._rhai_str
+            # (a format-table over type(), no isinstance chain). The
+            # generator restricts mixed `+` to int/bool operands, so a
+            # float here is a generator regression, not a semantics case.
+            def conv(v):
+                assert type(v) is not float, "float+string: generator regression"
+                if type(v) is bool:
+                    return "%s" % str(v).lower()
+                if v is None:
+                    return ""
+                return "%s" % v
+            return conv(a) + conv(b)
         return {
             "+": lambda: a + b, "-": lambda: a - b, "*": lambda: a * b,
             "<": lambda: a < b, "<=": lambda: a <= b,
@@ -686,6 +723,63 @@ def test_boolean_contexts_are_bool_only(spark):
                                boolean=True).alias("v")
         ).collect()[0]["v"]
         assert got2 == want, (script, got2)
+
+
+def test_string_plus_mixed_types(spark):
+    """r16 (ADVICE r15): `+` between a string and ANY standard type is
+    Rhai MoreStringPackage append/prepend — `lang + 1` is "en1", never
+    a type error (the r15 code asserted it errors; wrong for `+`).
+    int/bool operands stay on the SQL tier (concat + CAST renders
+    identically); float operands route to the interpreter tier, whose
+    _rhai_float_str reproduces FloatWrapper's display (whole floats
+    keep ".0", magnitudes outside f32-rounded 1e±13 go scientific
+    WITHOUT Python's '+' — "1e14", not "1e+14" or Spark's "1.0E14");
+    unit appends nothing. -,*,/,% with a string operand still error."""
+    df = _posts_df(spark).limit(2)
+    # SQL-tier emission: int/bool operands produce concat+cast, not
+    # _NeedsUdf (the ADVICE example is the first)
+    for script, frag in [
+        ("lang + 1", "concat"),
+        ("1 + lang", "concat"),
+        ("lang + (likeCount > 3)", "concat"),
+    ]:
+        sql, ty = S._block_to_sql_typed(S._parse(script), {}, NOW)
+        assert frag in sql and ty == "s", (script, sql)
+    # float / unknown-typed operands: interpreter tier decides
+    for script in ['("x" + score) != ""', '(score + "x") != ""']:
+        with pytest.raises(S._NeedsUdf):
+            S._block_to_sql_typed(S._parse(script), {}, NOW)
+    # interpreter display conformance (FloatWrapper notation + unit)
+    cases = [
+        ('("x" + 1.5) == "x1.5"', True),
+        ('("x" + 2.0) == "x2.0"', True),          # whole float keeps .0
+        ('("x" + (3.0 / 0.0)) == "xinf"', True),
+        ('("x" + ((0.0 - 3.0) / 0.0)) == "x-inf"', True),
+        ('("x" + (0.0 / 0.0)) == "xNaN"', True),
+        ('("x" + 100000000000000.0) == "x1e14"', True),   # {:e}, no '+'
+        ('("x" + 0.00001) == "x0.00001"', True),  # no sci below 1e-4
+        ('("x" + (if false { 1 })) == "x"', True),        # unit appends ""
+        ('((if false { 1 }) + "x") == "x"', True),        # unit prepends ""
+        ('("a" + true) == "atrue"', True),                # not "aTrue"
+    ]
+    for script, want in cases:
+        got = df.select(
+            S._udf_column(S._parse(script), NOW, boolean=True).alias("v")
+        ).collect()[0]["v"]
+        assert got is want, (script, got)
+    # end-to-end through translate_script's fallback
+    got = df.select(S.translate_script(
+        '("x" + score * 0.0) == "x0.0" || score != 0.0',
+        now_epoch_expr=NOW, allow_udf=True, boolean=True).alias("v")
+    ).collect()[0]["v"]
+    assert got is True
+    # the other arithmetic ops on a string operand remain type errors
+    for script in ['lang - 1', 'lang * 2', '"a" / 2', '"a" % 2']:
+        with pytest.raises(Exception) as exc:
+            df.select(
+                S._udf_column(S._parse(script), NOW, boolean=False).alias("v")
+            ).collect()
+        assert "string" in str(exc.value)
 
 
 def test_cross_type_comparison_table(spark):
