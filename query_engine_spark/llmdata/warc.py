@@ -274,21 +274,129 @@ def warc_documents(df: DataFrame) -> DataFrame:
 # the next quote — which includes the NEXT attempt's own anchor quote
 # — so total work is O(page) per pass.
 #
-# Ordering capacity (ADVICE r14, documented divergence): the
-# strip_nontext_blocks pre-pass used by the attribute extractors runs
-# BEFORE this protection, so a literal '<!--', '<script' or '<style'
-# INSIDE a quoted attribute value (not a comment/CDATA start for
-# html.parser or browsers) is taken as a real block opener and
-# swallows page content to the next terminator or the appended
-# sentinel, hiding subsequent metadata/links/images on that page.
-# Running protection first is NOT safe either: an '="' inside real
+# Block-opener ordering (ADVICE r14; FIXED r16): strip_nontext_blocks
+# runs BEFORE the full angle protection, so a literal '<!--',
+# '<script', '<style' or '<![CDATA[' INSIDE a quoted attribute value
+# (plain attribute text for html.parser/browsers — inline-JS handlers
+# carrying document.write / innerHTML strings are the real-crawl
+# carrier) used to open a strip block and swallow page content.
+# Running the FULL protection first is not safe (an '="' inside real
 # script text would sentinel the '</script>' terminator and break the
-# strip. Pinned in tests/test_bombs.py next to the other accepted
-# capacity shapes; the differential generator's contract excludes
-# quoted block-opener literals for this reason.
+# strip — probed and rejected r14/r15), but a RESTRICTED pre-pass is:
+# protect_quoted_block_openers sentinels ONLY the '<' of an opener
+# literal inside a v3b-anchored quoted value, and sentineling an
+# OPENER can never break strip termination — the strip's lazy bodies
+# depend on their terminators, never on opener literals inside, and
+# terminator literals in script text keep ending blocks exactly where
+# a browser would. Incidence measured before the fix
+# (tools/r16_capacity_incidence.py): ~56% of pages whose handler
+# attribute carries a block-opener literal lost content. Remaining
+# capacity line: an opener PRECEDED in the same value by a raw
+# non-opener '<' stays unprotected (the linear value scan stops at the
+# first '<'; crossing it exactly needs lookahead, which the RE2 oracle
+# contract forbids) — fallback is the pre-r16 behavior.
 
 _LT_SENT = "\x02"
 _GT_SENT = "\x03"
+# Opener '<' sentinel — distinct from _LT_SENT because the full
+# protect pass scrubs \x02/\x03 at ITS start, which would destroy
+# earlier pre-pass marks; the pre-pass scrubs \x04/\x05 itself, and
+# every restore_angles consumer runs the pre-pass upstream, so they
+# can never fabricate an angle from raw crawl bytes.
+_OPENER_SENT = "\x04"
+# In-value '>' sentinel for the pre-pass's unblocking round (\x05):
+# restored to '>' like _GT_SENT, but laid down BEFORE the strip, so
+# its scan class must make hiding a strip terminator impossible.
+_PRE_GT_SENT = "\x05"
+
+# Gate probe: exactly the pre-pass scan below. When it misses, no
+# replace could fire — skipping the rounds is exact. Virtually every
+# real page misses (block-opener literals inside quoted attribute
+# values are the rare tail of inline-handler content).
+# Over-approximating on purpose (a probe miss must imply no round
+# could fire, never the reverse): an opener or own-tag terminator
+# literal within a bounded same-quote-free span after an attribute
+# quote — the span crosses '<'/'>' that the rounds clear progressively
+_OPENER_IN_VALUE = (
+    "(?is)=\\s*(\"[^\"]{0,4096}|'[^']{0,4096})"
+    "<(!--|!\\[cdata\\[|script\\b|style\\b|/script\\s*>|/style\\s*>)"
+)
+
+
+def protect_quoted_block_openers(col: Column) -> Column:
+    """Sentinel the '<' of a block-opener literal ('<!--', '<script',
+    '<style', '<![CDATA[') inside a quoted attribute value, BEFORE
+    strip_nontext_blocks runs — a browser treats such a literal as
+    attribute text, never as a comment/script/style start (r16, the
+    last pinned HTML swallow-content shape).
+
+    The anchor differs from v3b's on purpose: the tag-open prefix is
+    <[a-z][^>]{0,2048}? — it CROSSES a raw '<' (an earlier attribute's
+    'a<b' value must not hide a later handler's opener; the HTML5
+    tokenizer is in-tag there too, so crossing is browser-faithful)
+    but never a '>', so body text after a closed tag still cannot
+    anchor. Crossing '<' forfeits v3b's self-limiting attempt bound,
+    so the prefix is BOUNDED at 2048 chars instead — linear at
+    ≤2048/anchor on '>'-less anchor floods (probed in test_bombs),
+    with a capacity line: an opener sitting more than 2 KB into its
+    tag falls back to pre-r16 behavior. '<' followed by a non-letter
+    is text to the tokenizer ('x<6'), so the anchor requires a letter.
+
+    Strip safety (why this pre-pass is sound where full
+    protect-before-strip is not, probed r14/r15): it rewrites OPENER
+    literals only — strip_nontext_blocks' lazy bodies depend on their
+    TERMINATORS ('-->', ']]>', '</script>', '</style>'), which contain
+    no opener, so a real block always still ends exactly where a
+    browser ends it; a sentineled in-value opener merely stops being a
+    false START. Three rounds → capacity three opener-bearing values
+    per tag; the remaining documented corner is a raw non-opener '<'
+    earlier in the SAME value with no later =-quote re-anchor (the
+    value scan stops at it; crossing exactly needs lookahead, which
+    the RE2 oracle contract forbids). restore_angles maps the sentinel
+    back in every captured output."""
+    c = F.regexp_replace(col, f"[{_OPENER_SENT}{_PRE_GT_SENT}]", " ")
+    p = c
+    for _ in range(3):
+        # unblocking round: an in-value raw '>' ('data-x="c>d"') blocks
+        # the opener round's tag-open prefix from reaching LATER
+        # attributes of the same tag. v3b-anchored and self-limiting
+        # ([^<>]*? prefix), and the value scan class additionally
+        # excludes '/', '-' and ']' so the '>' of every strip
+        # terminator ('</script>', '</style>', '-->', ']]>') is
+        # unreachable by construction — sentineling such a '>' from an
+        # anchor inside script/comment data was exactly why the full
+        # protect-before-strip design was rejected (r14/r15).
+        p = F.regexp_replace(
+            p,
+            "(?is)(<[a-z][^<>]*?=\\s*"
+            "(?:\"[^\">/\\-\\]]*|'[^'>/\\-\\]]*))>",
+            "$1" + _PRE_GT_SENT,
+        )
+        p = F.regexp_replace(
+            p,
+            "(?is)(<[a-z][^>]{0,2048}?=\\s*(?:\"[^\"<]*|'[^'<]*))"
+            "<(!--|!\\[CDATA\\[|script\\b|style\\b)",
+            "$1" + _OPENER_SENT + "$2",
+        )
+        # terminator literal inside an attribute OF THE BLOCK'S OWN
+        # OPENING TAG ('<style onload="el.innerHTML=\'...</style>\'">'):
+        # the tokenizer is in-tag there, so a browser never ends the
+        # block at it — but the strip's lazy body, searching from the
+        # tag START, would. Sentinel it so the strip ends at the first
+        # DATA terminator like a browser. Restricted to script/style
+        # TAG anchors on purpose: under any other anchor a raw
+        # terminator literal must stay live, because if a real block is
+        # still open there, the browser IS in script/style data and
+        # ends it exactly there (everything between being data, not
+        # attributes).
+        p = F.regexp_replace(
+            p,
+            "(?is)(<(?:script|style)\\b[^>]{0,2048}?"
+            "=\\s*(?:\"[^\"<]*|'[^'<]*))"
+            "<(/(?:script|style)\\s*>)",
+            "$1" + _OPENER_SENT + "$2",
+        )
+    return F.when(c.rlike(_OPENER_IN_VALUE), p).otherwise(c)
 
 # One early-exit probe gating the 16-replace protect chain: exactly the
 # four scan bodies below, alternated under the shared tag-open prefix.
@@ -387,10 +495,41 @@ def strip_nontext_blocks(col: Column) -> Column:
     ).otherwise(col))
 
 
+def _bind_once(expr: Column, body) -> Column:
+    """dedup.bind_once re-exported lazily (no import cycle): evaluate
+    `expr` once per row as a lambda variable and pass it to `body`."""
+    from query_engine_spark.llmdata.dedup import bind_once
+
+    return bind_once(expr, body)
+
+
+def protected_html(col: Column) -> Column:
+    """The full opener-pre-pass → strip → angle-protect pipeline with
+    each stage BOUND ONCE per row (r16): every stage's gate when()
+    textually repeats its input subtree (3×/5×/3×), so composing the
+    three stages naively multiplies to ~45 textual instances of the
+    innermost work — fine under whole-stage codegen's subexpression
+    elimination, but the extractors embed this under CodegenFallback
+    HOFs (and past janino's method budget), where every textual repeat
+    re-evaluates. Binding each stage's output to a lambda variable
+    makes the repeats O(1) references, so per-row work is exactly one
+    pre-pass + one strip + one protect regardless of evaluation mode
+    (tools/r16_extractor_ab.py is the measurement)."""
+    return _bind_once(
+        protect_quoted_block_openers(col),
+        lambda p1: _bind_once(
+            strip_nontext_blocks(p1),
+            lambda p2: protect_quoted_angles(p2),
+        ),
+    )
+
+
 def restore_angles(col: Column) -> Column:
-    """Undo protect_quoted_angles in an extracted value or text."""
+    """Undo protect_quoted_angles AND protect_quoted_block_openers in
+    an extracted value or text (every consumer runs both upstream)."""
     return F.regexp_replace(
-        F.regexp_replace(col, _LT_SENT, "<"), _GT_SENT, ">"
+        F.regexp_replace(col, f"[{_LT_SENT}{_OPENER_SENT}]", "<"),
+        f"[{_GT_SENT}{_PRE_GT_SENT}]", ">",
     )
 
 
@@ -440,12 +579,14 @@ def html_to_text(col: Column) -> Column:
     # strip themselves when unused, so conforming pages are unchanged.
     # (Shared with the attribute extractors since r14 — see
     # strip_nontext_blocks.)
-    c = strip_nontext_blocks(col)
+    # opener pre-pass BEFORE the strip (r16: a quoted-attribute
+    # '<script'/'<!--' literal is attribute text, not a block start),
     # protect AFTER the script/style strips (their bodies die anyway,
-    # and protecting first could sentinel an appended closing tag after
-    # a crafted unclosed quote, resurrecting the unclosed-opener scan);
-    # restored at the end so body text keeps its literal angles
-    c = protect_quoted_angles(c)
+    # and full protection first could sentinel an appended closing tag
+    # after a crafted unclosed quote, resurrecting the unclosed-opener
+    # scan); restored at the end so body text keeps its literal
+    # angles. protected_html binds each stage once per row.
+    c = protected_html(col)
     # tag-interior classes exclude '<' as well as '>' (r12 CPU-bomb
     # guard): with [^>]* a '>'-less tail costs O(tail) at EVERY '<',
     # O(N²) on a '<'-flood; [^<>]* bounds each attempt at the next '<'.
@@ -1037,70 +1178,85 @@ def html_metadata(col: Column) -> dict[str, Column]:
     # ('<meta name="description" content="a<b">') are invisible to the
     # [^<>] interiors below; protect once, extract, restore in every
     # captured value
-    col = protect_quoted_angles(strip_nontext_blocks(col))
-    title = restore_angles(F.regexp_extract(
+    # The whole gated pre-pass/strip/protect pipeline is bound ONCE per
+    # row via a lambda variable (dedup.bind_once) and every field reads
+    # the bound value: the nested gates textually repeat their input
+    # subtrees (each when() level repeats, multiplying to dozens of
+    # chain instances across five fields), and the HOF-bearing fields
+    # are CodegenFallback, where no subexpression elimination reaches —
+    # ungated, the r16 A/B measured the five-field projection paying
+    # the chain per field (tools/r16_extractor_ab.py).
+    prot = protected_html(col)
+
+    def _fields(col: Column) -> Column:
+        return F.struct(
+            _meta_title(col).alias("title"),
+            _meta_attr_value(col, "link", "rel", "canonical", "href")
+            .alias("canonical"),
+            _meta_attr_value(col, "meta", "name", "description", "content")
+            .alias("description"),
+            _meta_attr_value(col, "meta", "property", "og:title", "content")
+            .alias("og_title"),
+            _meta_lang(col).alias("lang"),
+        )
+
+    m = _bind_once(prot, _fields)
+    return {k: m.getField(k)
+            for k in ("title", "canonical", "description", "og_title",
+                      "lang")}
+
+
+def _meta_title(col: Column) -> Column:
+    return restore_angles(F.regexp_extract(
         col, r"(?is)<title[^<>]*>(.{0,2048}?)</title\s*>", 1
     ))
 
-    def _attr_value(tag: str, disc: str, value_attr: str,
-                    disc_end: str | None = None) -> Column:
-        # ONE composite value token per arrangement (r15 scalestress:
-        # six per-quote-style patterns = six full-page scans per field;
-        # the quoted-or-unquoted alternation folds them to TWO, with a
-        # cheap quote strip on the short extracted token). A double-
-        # quoted value may contain apostrophes and vice versa — the
-        # quote right after '=' picks the alternative, so the wrong-
-        # quote branch cannot fire (the r13 mixed-class truncation bug
-        # stays fixed); the unquoted branch is the HTML5 class.
-        out = F.lit("")
-        # [^<>]* not [^>]*: the r12 CPU-bomb guard — with [^>]*, a page
-        # of repeated '<meta ' openers and no '>' anywhere makes every
-        # opener scan to end-of-input (measured quadratic: 48 KB 1.7 s,
-        # 96 KB 5.0 s, 192 KB 15.5 s, 384 KB 57.7 s in the JVM engine);
-        # excluding '<' bounds each attempt at the next tag open.
-        for pat in (
-            rf'(?is)<{tag}\b[^<>]*{disc}[^<>]*{value_attr}\s*=\s*{_VAL_TOKEN}',
-            rf'(?is)<{tag}\b[^<>]*{value_attr}\s*=\s*{_VAL_TOKEN}[^<>]*'
-            + (disc_end or disc),
-        ):
-            got = restore_angles(_strip_value_quotes(
-                F.regexp_extract(col, pat, 1)))
-            out = F.when(out != "", out).otherwise(got)
-        return out
 
-    # Discriminators accept quoted OR unquoted values, but the unquoted
-    # branch must consume a TERMINATOR so the discriminator is an
-    # exact-value match, not a prefix match: with the optional-quote
-    # form ["']?canonical["']? both optional quotes could match empty
-    # mid-token, so rel="canonicalized" / name="descriptions" falsely
-    # satisfied the discriminator (r15 review find — the differential
-    # generator never emits prefix-extended values, so only a directed
-    # case can see it; html.parser compares attribute values exactly).
-    # The terminator class differs per arrangement: mid-tag (disc
-    # before the value attribute) it is [\s/] — consuming '>' there
-    # would let the following [^<>]* escape the tag and pull a value
-    # from BODY TEXT; tag-final (disc after the value) it is [\s/>],
-    # where consuming '>' simply ends the match.
-    canonical = _attr_value(
-        "link", r"""rel\s*=\s*(?:["']canonical["']|canonical[\s/])""", "href",
-        disc_end=r"""rel\s*=\s*(?:["']canonical["']|canonical[\s/>])""")
-    description = _attr_value(
-        "meta",
-        r"""name\s*=\s*(?:["']description["']|description[\s/])""", "content",
-        disc_end=r"""name\s*=\s*(?:["']description["']|description[\s/>])""")
-    og_title = _attr_value("meta", r"""property\s*=\s*["']og:title["']""", "content")
+def _meta_lang(col: Column) -> Column:
     lang_tok = F.regexp_extract(
         col,
         r'(?is)<html\b[^<>]*lang\s*=\s*("[^"]+"|' + "'[^']+'"
         r"|[^\s\x22\x27<>=\x60]+)", 1)
-    lang = restore_angles(_strip_value_quotes(lang_tok))
-    return {
-        "title": title,
-        "canonical": canonical,
-        "description": description,
-        "og_title": og_title,
-        "lang": lang,
-    }
+    return restore_angles(_strip_value_quotes(lang_tok))
+
+
+def _meta_attr_value(col: Column, tag: str, disc_attr: str,
+                     disc_value: str, value_attr: str) -> Column:
+    # r16 (the last two pinned metadata shapes, both FIXED): ONE
+    # full-page scan finds every discriminator-bearing tag in
+    # DOCUMENT ORDER regardless of attribute arrangement; the value
+    # attribute is then pulled from each SHORT tag token and the
+    # first NON-EMPTY value wins — exactly html.parser/browser
+    # resolution (first instance with a value; an empty instance
+    # does not shadow a later real one). The old two-arrangement
+    # whole-page extraction resolved by PATTERN PRIORITY instead
+    # (an attr-reversed first instance lost to a canonical second),
+    # and og:title's discriminator accepted quoted values only
+    # (property=og:title is legal HTML5 — ':' is in the unquoted
+    # class). Discriminator value match is EXACT (r15 review find):
+    # quoted form closes its quote; unquoted form ends at
+    # whitespace or the tag's own '>' — '/' stays IN the value
+    # like html.parser's [^>\s]* class, so rel=canonical/> no
+    # longer matches at all (it is "canonical/" to a parser).
+    # [^<>]* interiors are the r12 CPU-bomb guard; requiring the
+    # closing '>' matches html.parser, which drops unterminated
+    # start tags at EOF. slice(8) bounds the per-page transform
+    # work (bounds.py-spirit capacity: a page whose first EIGHT
+    # discriminator tags are all value-less falls back to empty).
+    tag_pat = (
+        rf"(?is)<{tag}\b[^<>]*\b{disc_attr}\s*=\s*"
+        rf"(?:[\"']{disc_value}[\"'][^<>]*|{disc_value}\s[^<>]*"
+        rf"|{disc_value})>"
+    )
+    tags = F.slice(
+        F.regexp_extract_all(col, F.lit(tag_pat), F.lit(0)), 1, 8)
+    val_pat = rf"(?is)\b{value_attr}\s*=\s*{_VAL_TOKEN}"
+    # the lambda captures NO outer expressions (the r6
+    # HOF-recompute trap); each extract runs on a tag-length token
+    vals = F.transform(tags, lambda t: restore_angles(
+        _strip_value_quotes(F.regexp_extract(t, val_pat, 1))))
+    nonempty = F.filter(vals, lambda v: v != "")
+    return F.coalesce(F.try_element_at(nonempty, F.lit(1)), F.lit(""))
 
 
 # --- outlink graph: the WAT-style link-extraction pass (Common Crawl
@@ -1140,9 +1296,14 @@ def outlink_edges(df: DataFrame, *, html_col: str = "html",
         # quoted-angle protection (ADVICE r12): an <a> tag whose OTHER
         # attributes carry raw '<'/'>' in quoted values would otherwise
         # never match the linear _A_TAG_RE
-        F.regexp_extract_all(
-            protect_quoted_angles(strip_nontext_blocks(F.col(html_col))),
-            F.lit(_A_TAG_RE), F.lit(0)
+        # bind_once (r16): the gated pre-pass/strip/protect gates
+        # textually repeat their input subtrees; binding the pipeline
+        # to a lambda variable guarantees ONE evaluation per row even
+        # where subexpression elimination cannot reach (CodegenFallback
+        # contexts) — see tools/r16_extractor_ab.py
+        _bind_once(
+            protected_html(F.col(html_col)),
+            lambda p: F.regexp_extract_all(p, F.lit(_A_TAG_RE), F.lit(0)),
         ).alias("_atags"),
     )
     links = staged.select(
@@ -1318,9 +1479,11 @@ def image_refs(df: DataFrame, *, html_col: str = "html",
         # commented-out '<img>' tags were extracted as live), then
         # quoted-angle protection (ADVICE r12): alt text like "a<b" would
         # otherwise hide the whole tag from the linear _IMG_RE
-        F.regexp_extract_all(
-            protect_quoted_angles(strip_nontext_blocks(F.col(html_col))),
-            F.lit(_IMG_RE), F.lit(0)
+        # bind_once (r16): one evaluation of the gated pipeline per row
+        # (see outlink_edges / tools/r16_extractor_ab.py)
+        _bind_once(
+            protected_html(F.col(html_col)),
+            lambda p: F.regexp_extract_all(p, F.lit(_IMG_RE), F.lit(0)),
         ).alias("_tags"),
     )
     tags = staged.select(

@@ -7532,22 +7532,28 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
 _STALE_VERIFICATION: set[str] = set()
 
 # Queries whose machinery round 16 changed after their last driver check.
-# Round 16 lands the ADVICE-r15 closures: (a) scripting.py — string `+`
-# with exactly one string operand now concatenates like Rhai's
+# Round 16 lands (a) the ADVICE-r15 scripting closure: string `+` with
+# exactly one string operand now concatenates like Rhai's
 # MoreStringPackage add_append/add_prepend (both tiers), instead of the
-# incorrectly-asserted runtime type error, so the five script-bearing
-# queries ride; (b) warc.py — remove_url_dot_segments' gate widened to
-# /\.\.?([/?#]|$) (a dot segment immediately followed by '?' or '#' was
-# skipping the RFC 3986 collapse), which rides the image-src resolver
-# shared by the HTML family. Touched names ride at the window head,
-# displacing the NEWEST r10-era tail names per the r15 verdict — the
-# 20-name r9-era remainder keeps its slots.
+# incorrectly-asserted runtime type error — the five script-bearing
+# queries ride; (b) the r15-verdict HTML capacity fix bundle in warc.py
+# (measured nonzero incidence → FIX): quoted-attribute block-opener
+# literals no longer swallow content (protect_quoted_block_openers),
+# metadata resolves multi-instance fields in document order with
+# unquoted discriminators, the dot-segment gate covers '?'/'#'
+# terminators (ADVICE r15), and the protect/strip/extract pipeline is
+# stage-bound via bind_once — ALL SEVEN HTML-family queries ride.
+# Touched names ride at the window head, displacing the NEWEST r10-era
+# tail names per the r15 verdict — the 20-name r9-era remainder keeps
+# its slots.
 _ROUND16_TOUCHED: set[str] = {
     # (a) scripting.py string-+ concat closure
     "f12_where_script", "f12_where_script_stmt", "f12_where_udf_tier",
     "sc1_script_score", "pipeline_flagship",
-    # (b) warc.py dot-segment gate widening (image-src resolver riders)
-    "llm_html_image_pairs", "multimodal_image_text_pairs",
+    # (b) warc.py HTML fix bundle (shared protect/strip/extract chain)
+    "llm_html_metadata", "llm_html_outlinks", "llm_html_jsonld",
+    "llm_html_image_pairs", "llm_warc_ingest", "crawl_host_rank",
+    "multimodal_image_text_pairs",
 }
 
 # Stable alias so _driver_order and the scheduling tests survive the

@@ -2610,12 +2610,21 @@ def llm_html_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
     # attributes carry '<'/'>' in quoted values must still match the
     # linear [^<>] interiors; the captured JSON restores the sentinels
     from query_engine_spark.llmdata.warc import (
+        _bind_once,
         protect_quoted_angles,
+        protect_quoted_block_openers,
         restore_angles,
     )
 
+    # opener pre-pass (r16): every restore_angles consumer runs it
+    # upstream so the \x04/\x05 sentinels can never fabricate angles
+    # from raw crawl bytes (it scrubs the literals first); here it is
+    # value-neutral for the fixtures and keeps the restore contract
+    # uniform. No strip stage (the script payload IS the target), so
+    # protected_html does not apply; the two stages bind once each.
     raw = restore_angles(F.regexp_extract(
-        protect_quoted_angles(page),
+        _bind_once(protect_quoted_block_openers(page),
+                   lambda p: protect_quoted_angles(p)),
         r"""(?is)<script[^<>]*type=["']application/ld\+json["'][^<>]*>(.{0,65536}?)</script>""",
         1,
     ))

@@ -816,15 +816,10 @@ def test_quoted_angle_protection_valid_html5(spark):
     assert [(r["src_host"], r["dst_host"]) for r in links] == [
         ("s.example", "other.example")
     ]
-    # capacity, pinned (ADVICE r14 low, accepted): strip_nontext_blocks
-    # runs BEFORE angle protection in the attribute extractors, so a
-    # literal '<!--' / '<script' / '<style' INSIDE a quoted attribute
-    # value (not a comment/CDATA start for a browser) opens a strip
-    # block and swallows content to the next terminator or the appended
-    # closed sentinel — subsequent real links/metadata on the page are
-    # hidden. Protect-first is NOT safe either (an '="' in real script
-    # text would sentinel the '</script>' terminator and break the
-    # strip); documented at warc.strip_nontext_blocks.
+    # FIXED r16 (was the ADVICE r14 pinned swallow): a literal '<!--' /
+    # '<script' / '<style' INSIDE a quoted attribute value is attribute
+    # text, not a block start — protect_quoted_block_openers sentinels
+    # it before the strip, so both edges survive like a browser
     links = outlink_edges(
         spark.createDataFrame(
             [("https://s.example/p",
@@ -833,7 +828,36 @@ def test_quoted_angle_protection_valid_html5(spark):
             "url string, html string",
         ), html_col="html", url_col="url",
     ).collect()
-    assert links == []  # browser: both edges survive
+    assert sorted((r["src_host"], r["dst_host"]) for r in links) == [
+        ("s.example", "a.example"), ("s.example", "b.example")
+    ]
+    # the attribute value itself restores its literal opener text
+    imgs2 = image_refs(
+        spark.createDataFrame(
+            [("https://s.example/p",
+              '<img src="/i.png" alt="see <!-- docs and <script too">')],
+            "url string, html string",
+        ), html_col="html", url_col="url",
+    ).collect()
+    assert imgs2[0]["alt"] == "see <!-- docs and <script too"
+    # remaining capacity, pinned (r16): TWO opener-bearing handler
+    # values on the SAME tag — the first value's unsentinelable '>'
+    # (slash-preceded, the strip-terminator guard) blocks the second
+    # anchor, so the second opener still swallows. Measured solo
+    # incidence ~0 outside crafted pages (r16_capacity_incidence.py:
+    # the realistic single-handler shape is 0/1215-diverged).
+    links3 = outlink_edges(
+        spark.createDataFrame(
+            [("https://s.example/p",
+              '<a onclick="w(\'<script src=/a.js><\\/script>\')"'
+              ' onload="w(\'<script src=/b.js><\\/script>\')"'
+              ' href="https://a.example/1">A</a>'
+              '<a href="https://b.example/2">B</a>')],
+            "url string, html string",
+        ), html_col="html", url_col="url",
+    ).collect()
+    assert links3 == []  # browser keeps both; the second value's
+    # unprotected opener swallows from mid-tag (before the href) on
 
 
 def test_quoted_angle_protection_stays_linear(spark):
@@ -853,6 +877,12 @@ def test_quoted_angle_protection_stays_linear(spark):
         "lt": "<" * 262144,
         "opener_tail": '<a "' * 32768 + "a" * 131072,
         "mixed_tags": '<div data-x="1<2">' * 14563,
+        # r16 pre-pass probes: the opener rounds' bounded prefix
+        # ([^>]{0,2048}?) must stay linear on '>'-less anchor floods,
+        # and the '='-anchored gate probe on quote-free '=' floods
+        "anchor_flood": "<a x" * 52428,
+        "eq_opener_tail": '="' + "a" * 200000 + "<script x",
+        "handler_flood": '<p onclick="w(\'<script>\')">' * 9709,
     }
     for name, s in floods.items():
         df = spark.createDataFrame([(s,)], "html string")

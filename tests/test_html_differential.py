@@ -136,12 +136,34 @@ class _PageGen:
     def ws(self):
         return self.rng.choice([" ", "  ", " \n ", "\t"])
 
+    # r16: inline-handler values are IN the grammar, including the
+    # block-opener-literal tail (document.write / innerHTML strings
+    # that embed '<script'/'<style'/'<!--' as TEXT — a browser never
+    # treats them as block starts; protect_quoted_block_openers makes
+    # the extractors agree). Contract exclusion that remains: a raw
+    # NON-opener '<' BEFORE the first opener in the same value (the
+    # linear value scan cannot cross it without lookahead — documented
+    # capacity, pinned in test_bombs.py). Values are single-quote-only
+    # so they wrap in double quotes entity-free.
+    HANDLER_JS = [
+        "return confirm('Sure?');",
+        "ga('send','pv');",
+        "window.open(this.href); return false;",
+        "if (a<b && c>d) { t('x'); }",
+        "document.write('<script src=/ads.js><\\/script>');",
+        "el.innerHTML = '<style>.x{display:none}</style>';",
+        "var t = '<!--[if IE]>x<![endif]-->';",
+    ]
+
     def extra_attrs(self, n=2):
         r = self.rng
         out = []
         for _ in range(r.randint(0, n)):
             name = r.choice(["class", "id", "data-x", "data-y", "style"])
             out.append(name + self.eq() + self.q_or_unq(self.attr_value()))
+        if r.random() < 0.1:
+            out.append(r.choice(["onclick", "onmouseover", "onsubmit"])
+                       + self.eq() + '"' + r.choice(self.HANDLER_JS) + '"')
         return out
 
     def tag(self, name, attrs, selfclose=False):
@@ -156,25 +178,39 @@ class _PageGen:
             bits.append(
                 self.tag("title", []) + self.words(1, 5)
                 + "</" + self.tagcase("title") + r.choice(["", " "]) + ">")
-        if r.random() < 0.8:
-            bits.append(self.tag("meta", [
-                "name" + self.eq() + self.q_or_unq("description"),
-                "content" + self.eq() + self.q(self.attr_value()),
-            ] + self.extra_attrs(1), selfclose=True))
-        if r.random() < 0.6:
-            bits.append(self.tag("meta", [
-                # og:title stays quoted: ':' is fine unquoted but the
-                # property discriminator accepts quoted only (the
-                # value pull takes unquoted; see warc.html_metadata)
-                "property" + self.eq() + self.q("og:title"),
-                "content" + self.eq() + self.q(self.attr_value()),
-            ], selfclose=True))
-        if r.random() < 0.6:
-            bits.append(self.tag("link", [
-                "rel" + self.eq() + self.q_or_unq("canonical"),
-                "href" + self.eq() + self.q_or_unq(
-                    "http://c.example/" + r.choice(WORDS)),
-            ], selfclose=True))
+        # r16: multi-instance metadata and unquoted og:title are IN the
+        # grammar now (document-order first-non-empty resolution is
+        # implemented, so the old at-most-one-instance contract and the
+        # quoted-only og:title restriction are both lifted); attribute
+        # order varies per instance so pattern-priority regressions
+        # cannot hide
+        for _ in range(1 + (r.random() < 0.25)):
+            if r.random() < 0.8:
+                attrs = [
+                    "name" + self.eq() + self.q_or_unq("description"),
+                    "content" + self.eq() + self.q(self.attr_value()),
+                ]
+                if r.random() < 0.4:
+                    attrs.reverse()
+                bits.append(self.tag("meta", attrs + self.extra_attrs(1),
+                                     selfclose=True))
+            if r.random() < 0.6:
+                attrs = [
+                    "property" + self.eq() + self.q_or_unq("og:title"),
+                    "content" + self.eq() + self.q(self.attr_value()),
+                ]
+                if r.random() < 0.4:
+                    attrs.reverse()
+                bits.append(self.tag("meta", attrs, selfclose=True))
+            if r.random() < 0.6:
+                attrs = [
+                    "rel" + self.eq() + self.q_or_unq("canonical"),
+                    "href" + self.eq() + self.q_or_unq(
+                        "http://c.example/" + r.choice(WORDS)),
+                ]
+                if r.random() < 0.4:
+                    attrs.reverse()
+                bits.append(self.tag("link", attrs, selfclose=True))
         r.shuffle(bits)
         if r.random() < 0.3:
             bits.insert(r.randint(0, len(bits)),
@@ -763,34 +799,55 @@ def test_img_url_resolution_matrix(spark):
 
 
 def test_html_known_divergences_pinned(spark):
-    """Documented divergences vs html.parser/browsers that remain AFTER
-    the r15 fix bundle (unquoted values, spaced '=', and the text-level
-    '="' anchor are now FIXED — directed reproducers live in
-    test_html_differential_directed_finds):
+    """The r14-era pinned metadata divergences are FIXED by the r16
+    bundle (tools/r16_capacity_incidence.py measured all three pinned
+    shapes at nonzero real-crawl-shaped incidence, so the r15 verdict's
+    fix-or-accept decision came out FIX):
 
-    1. MULTI-INSTANCE metadata resolves by pattern priority
-       (disc-before-value double-quoted first, scanned over the WHOLE
-       page), not document order: with an attr-reversed first tag and
-       a canonical second, the second wins where a browser/crawler
-       takes the first. The generator therefore emits at most one
-       instance of each field per page. Fix shape (if ever needed):
-       extract the first <meta ...> TAG then pull within it — costs a
-       second regex layer on every field; not worth it while the
-       differential grammar can simply pin the contract.
-    2. og:title's property discriminator accepts QUOTED values only
-       (property=og:title unquoted is legal HTML5 — ':' is allowed in
-       the unquoted class — but rare in the wild; the name=/rel=
-       discriminators accept unquoted).
+    1. MULTI-INSTANCE metadata now resolves in DOCUMENT ORDER, first
+       instance with a NON-EMPTY value — html.parser/browser semantics
+       — via one tag-find scan + short-token value pulls (the old
+       two-arrangement whole-page extraction resolved by pattern
+       priority, so an attr-reversed first instance lost to a
+       canonical second).
+    2. og:title's property discriminator now accepts unquoted values
+       (property=og:title is legal HTML5), with the exact-value
+       terminator contract: '/' stays IN an unquoted value like
+       html.parser's [^>\\s]* class, so rel=canonical/> matches
+       nothing on either side.
     """
     page = ("<meta content='X first' name='description'>"
             '<meta name="description" content="Y second">')
-    got = spark.createDataFrame([(page,)], "html string").select(
-        W.html_metadata(F.col("html"))["description"].alias("d")
-    ).collect()[0]["d"]
-    assert got == "Y second"  # document order (a browser/crawler): X first
-
     m = W.html_metadata(F.col("html"))
+    got = spark.createDataFrame([(page,)], "html string").select(
+        m["description"].alias("d")).collect()[0]["d"]
+    assert got == "X first"  # document order, like a browser/crawler
+
     got2 = spark.createDataFrame(
         [('<meta property=og:title content="OG unquoted disc">',)],
         "html string").select(m["og_title"].alias("o")).collect()[0]["o"]
-    assert got2 == ""  # browser: "OG unquoted disc"
+    assert got2 == "OG unquoted disc"
+
+    # empty first instance does not shadow a later real one (the
+    # html.parser reference's `or ""` + falsy-guard resolution)
+    got3 = spark.createDataFrame(
+        [('<meta property="og:title" content="">'
+          '<meta property="og:title" content="REAL">',)],
+        "html string").select(m["og_title"].alias("o")).collect()[0]["o"]
+    assert got3 == "REAL"
+
+    # unquoted disc followed by '/' is part of the VALUE (html.parser
+    # [^>\s]*): "canonical/" is not "canonical" on either side
+    got4 = spark.createDataFrame(
+        [('<link rel=canonical/ href="/x">'
+          '<link rel=canonical href="/y">',)],
+        "html string").select(m["canonical"].alias("c")).collect()[0]["c"]
+    assert got4 == "/y"
+
+    # capacity line (bounds.py spirit): only the first EIGHT
+    # discriminator tags are probed for a non-empty value
+    many = ('<meta property="og:title" content="">' * 8
+            + '<meta property="og:title" content="ninth">')
+    got5 = spark.createDataFrame([(many,)], "html string").select(
+        m["og_title"].alias("o")).collect()[0]["o"]
+    assert got5 == ""  # browser: "ninth"; documented slice(8) capacity
