@@ -107,8 +107,20 @@ class _Gen:
                 b, _ = self.expr("b", depth - 1)
                 return f"({a}) {op} ({b})", None
             if pick < 0.8:
-                nt = self.rng.choice(["i", "f"])
                 op = self.rng.choice(["==", "!=", "<", "<=", ">", ">="])
+                if self.rng.random() < 0.1:
+                    # r16 (verdict r15 ask #7): the 2^53 as-f64
+                    # promotion boundary is IN the grammar — mixed
+                    # int/float comparisons around it must agree
+                    # between Spark's bigint-vs-double cast and the
+                    # interpreter's float() promotion (r15 review find)
+                    base = 9007199254740992  # 2^53
+                    ai = base + self.rng.randint(-2, 3)
+                    bf = float(base + self.rng.randint(-2, 3))
+                    if self.rng.random() < 0.5:
+                        return f"({ai}) {op} ({bf!r})", None
+                    return f"({bf!r}) {op} ({ai})", None
+                nt = self.rng.choice(["i", "f"])
                 a, _ = self.expr(nt, depth - 1)
                 b, _ = self.expr(self.rng.choice(["i", "f"]), depth - 1)
                 return f"({a}) {op} ({b})", None
@@ -523,7 +535,39 @@ class _ImpGen(_Gen):
     """Imperative-script generator: terminating while loops (counter
     initialized from a %-bounded int, strictly decremented by a literal),
     reassignment of declared vars, and early returns — the UDF-tier-only
-    grammar."""
+    grammar.
+
+    r16 (verdict r15 ask #7): the r15 conformance closures' fresh
+    surface is IN the grammar, not just directed cases — bool exprs
+    sprinkle DYNAMICALLY-DEAD ill-typed operands (the _NeedsUdf routing
+    class: non-bool logical operands, bool ordering, string/unit
+    arithmetic, non-bool if-conditions) behind short-circuit guards, so
+    a regression in routing or in the interpreter's lazy error-on-
+    evaluation semantics fails at volume. The reference interpreter
+    short-circuits natively, so dead operands never evaluate there
+    either."""
+
+    # each evaluates to a literal bool on BOTH sides; the ill-typed
+    # operand is dynamically dead (Rhai runs these fine — ADVICE r14)
+    DEAD_ILLTYPED = [
+        "(false && (lang && true))",
+        "(false && !likeCount)",
+        "(false && (true < false))",
+        '(false && ("a" - 1 > 0))',
+        "(true || (likeCount && false))",
+        "(true || ((if false { 1 }) + 1 > 0))",
+        "(false && (if likeCount { true } else { false }))",
+        '(false && (lang * 2 == 4))',
+    ]
+
+    def expr(self, ty, depth):
+        text, bound = super().expr(ty, depth)
+        if ty == "b" and self.rng.random() < 0.25:
+            guard = self.rng.choice(self.DEAD_ILLTYPED)
+            if guard.startswith("(true"):
+                return f"({guard} && ({text}))", None
+            return f"({guard} || ({text}))", None
+        return text, bound
 
     def imperative_script(self):
         rng = self.rng
