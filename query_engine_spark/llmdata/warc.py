@@ -314,12 +314,16 @@ _PRE_GT_SENT = "\x05"
 # real page misses (block-opener literals inside quoted attribute
 # values are the rare tail of inline-handler content).
 # Over-approximating on purpose (a probe miss must imply no round
-# could fire, never the reverse): an opener or own-tag terminator
-# literal within a bounded same-quote-free span after an attribute
-# quote — the span crosses '<'/'>' that the rounds clear progressively
+# could fire, never the reverse): an opener literal within a bounded
+# same-quote-free span after an attribute quote — the span crosses
+# '<'/'>' that the rounds clear progressively, and its 4096 bound
+# matches the round scans' own bound exactly (r16 review find #3: an
+# unbounded round scan with a bounded probe silently skipped
+# protection past 4 KB; both sides now share the bound, so the skip
+# is exact and >4 KB spans are a documented capacity line).
 _OPENER_IN_VALUE = (
     "(?is)=\\s*(\"[^\"]{0,4096}|'[^']{0,4096})"
-    "<(!--|!\\[cdata\\[|script\\b|style\\b|/script\\s*>|/style\\s*>)"
+    "<(!--|!\\[cdata\\[|script\\b|style\\b)"
 )
 
 
@@ -372,30 +376,25 @@ def protect_quoted_block_openers(col: Column) -> Column:
             "(?:\"[^\">/\\-\\]]*|'[^'>/\\-\\]]*))>",
             "$1" + _PRE_GT_SENT,
         )
+        # value scans share the gate probe's 4096 bound (review find
+        # #3: a longer span must fall back, not half-fire)
         p = F.regexp_replace(
             p,
-            "(?is)(<[a-z][^>]{0,2048}?=\\s*(?:\"[^\"<]*|'[^'<]*))"
+            "(?is)(<[a-z][^>]{0,2048}?="
+            "\\s*(?:\"[^\"<]{0,4096}|'[^'<]{0,4096}))"
             "<(!--|!\\[CDATA\\[|script\\b|style\\b)",
             "$1" + _OPENER_SENT + "$2",
         )
-        # terminator literal inside an attribute OF THE BLOCK'S OWN
-        # OPENING TAG ('<style onload="el.innerHTML=\'...</style>\'">'):
-        # the tokenizer is in-tag there, so a browser never ends the
-        # block at it — but the strip's lazy body, searching from the
-        # tag START, would. Sentinel it so the strip ends at the first
-        # DATA terminator like a browser. Restricted to script/style
-        # TAG anchors on purpose: under any other anchor a raw
-        # terminator literal must stay live, because if a real block is
-        # still open there, the browser IS in script/style data and
-        # ends it exactly there (everything between being data, not
-        # attributes).
-        p = F.regexp_replace(
-            p,
-            "(?is)(<(?:script|style)\\b[^>]{0,2048}?"
-            "=\\s*(?:\"[^\"<]*|'[^'<]*))"
-            "<(/(?:script|style)\\s*>)",
-            "$1" + _OPENER_SENT + "$2",
-        )
+        # NO terminator-sentinel round (r16 review find #1, reverted
+        # in-round): sentineling an own-tag terminator literal
+        # ('<style onload="...</style>...">') looked safe, but the
+        # anchor cannot distinguish a real script/style TAG from a
+        # '<script ... =' LOOKALIKE inside actual script DATA
+        # ("var s = '<script defer src=';"), where the value scan
+        # reached and sentineled the block's REAL terminator — the
+        # strip then overran to EOF, a worse and more realistic
+        # regression than the shape it fixed. The own-tag-terminator
+        # shape is a pinned capacity instead (test_bombs.py).
     return F.when(c.rlike(_OPENER_IN_VALUE), p).otherwise(c)
 
 # One early-exit probe gating the 16-replace protect chain: exactly the
@@ -1215,7 +1214,7 @@ def _meta_title(col: Column) -> Column:
 def _meta_lang(col: Column) -> Column:
     lang_tok = F.regexp_extract(
         col,
-        r'(?is)<html\b[^<>]*lang\s*=\s*("[^"]+"|' + "'[^']+'"
+        r'(?is)<html\b[^<>]*[\s"\'/]lang\s*=\s*("[^"]+"|' + "'[^']+'"
         r"|[^\s\x22\x27<>=\x60]+)", 1)
     return restore_angles(_strip_value_quotes(lang_tok))
 
@@ -1244,13 +1243,13 @@ def _meta_attr_value(col: Column, tag: str, disc_attr: str,
     # work (bounds.py-spirit capacity: a page whose first EIGHT
     # discriminator tags are all value-less falls back to empty).
     tag_pat = (
-        rf"(?is)<{tag}\b[^<>]*\b{disc_attr}\s*=\s*"
+        rf"(?is)<{tag}\b[^<>]*[\s\"'/]{disc_attr}\s*=\s*"
         rf"(?:[\"']{disc_value}[\"'][^<>]*|{disc_value}\s[^<>]*"
         rf"|{disc_value})>"
     )
     tags = F.slice(
         F.regexp_extract_all(col, F.lit(tag_pat), F.lit(0)), 1, 8)
-    val_pat = rf"(?is)\b{value_attr}\s*=\s*{_VAL_TOKEN}"
+    val_pat = rf"(?is)[\s\"'/]{value_attr}\s*=\s*{_VAL_TOKEN}"
     # the lambda captures NO outer expressions (the r6
     # HOF-recompute trap); each extract runs on a tag-length token
     vals = F.transform(tags, lambda t: restore_angles(
@@ -1312,7 +1311,7 @@ def outlink_edges(df: DataFrame, *, html_col: str = "html",
     # per-quote href pull: the quote after '=' picks the pattern, so
     # values containing the OTHER quote char survive intact
     href_tok = F.regexp_extract(
-        F.col("_tag"), rf"(?is)\bhref\s*=\s*{_VAL_TOKEN}", 1
+        F.col("_tag"), rf"(?is)[\s\"'/]href\s*=\s*{_VAL_TOKEN}", 1
     )
     links = links.select(
         "src_host",
@@ -1494,7 +1493,7 @@ def image_refs(df: DataFrame, *, html_col: str = "html",
 
     def _attr(name: str) -> Column:
         tok = F.regexp_extract(
-            tag, rf"(?is)\b{name}\s*=\s*{_VAL_TOKEN}", 1
+            tag, rf"(?is)[\s\"'/]{name}\s*=\s*{_VAL_TOKEN}", 1
         )
         return restore_angles(_strip_value_quotes(tok))
 

@@ -2625,7 +2625,10 @@ def llm_html_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = restore_angles(F.regexp_extract(
         _bind_once(protect_quoted_block_openers(page),
                    lambda p: protect_quoted_angles(p)),
-        r"""(?is)<script[^<>]*type=["']application/ld\+json["'][^<>]*>(.{0,65536}?)</script>""",
+        # [\s"'/] before 'type': html.parser's attribute-name separator
+        # class — a data-type="application/ld+json" attribute must not
+        # satisfy the discriminator (r16 review find #2's class)
+        r"""(?is)<script[^<>]*[\s"'/]type\s*=\s*["']application/ld\+json["'][^<>]*>(.{0,65536}?)</script>""",
         1,
     ))
     schema = (

@@ -859,6 +859,67 @@ def test_quoted_angle_protection_valid_html5(spark):
     assert links3 == []  # browser keeps both; the second value's
     # unprotected opener swallows from mid-tag (before the href) on
 
+    # r16 review find #1 (regression caught and REVERTED in-round): a
+    # '<script ... =' LOOKALIKE inside real script DATA must never let
+    # the pre-pass sentinel the block's REAL terminator — the browser
+    # ends the block at the first data '</script>' and so must the
+    # strip. The own-tag-terminator sentinel round was dropped for
+    # exactly this; text and edges after the block survive.
+    page_lookalike = ("<script>var s = '<script defer src=';load(s)"
+                      "</script><p>KEEP</p>"
+                      '<a href="https://x.example/1">L</a>')
+    assert txt(page_lookalike) == "KEEP\nL"
+    links4 = outlink_edges(
+        spark.createDataFrame(
+            [("https://s.example/p", page_lookalike)],
+            "url string, html string",
+        ), html_col="html", url_col="url",
+    ).collect()
+    assert [(r["src_host"], r["dst_host"]) for r in links4] == [
+        ("s.example", "x.example")
+    ]
+    # ...the price: a RAW own-tag terminator literal in a script/style
+    # tag's own handler attribute ends the block early (pinned
+    # capacity; real-world inline JS writes '<\\/style>', which the
+    # generator pools use)
+    assert txt("<style onload=\"el.innerHTML='<style>x</style>';\">"
+               "p{}</style> tail") == "';\">p{} tail"
+
+    # r16 review find #3: the opener round's value scan shares the
+    # gate probe's 4096 bound — a >4 KB quote-to-opener span falls
+    # back WHOLLY (pre-r16 behavior), never half-fires
+    far = ('<div onclick="' + "x" * 5000 + "<script s>" + '">T</div>'
+           ' <p>AFTER</p>')
+    out = txt(far)
+    assert "AFTER" not in out  # swallowed: documented >4 KB capacity
+
+    # r16 review find #2: hyphen-prefixed attribute names must not
+    # satisfy attribute pulls — html.parser's separator class ["'\s/]
+    # now precedes every name (data-content/data-href/data-src are
+    # DIFFERENT attributes)
+    from query_engine_spark.llmdata.warc import html_metadata
+
+    m = html_metadata(F.col("html"))
+    row = spark.createDataFrame(
+        [('<meta name="description" data-content="WRONG" content="RIGHT">'
+          '<link rel="canonical" data-href="/wrong" href="/right">'
+          '<meta data-name="description" content="PHANTOM">'
+          '<html data-lang="xx" lang="en">',)],
+        "html string").select(
+        m["description"].alias("d"), m["canonical"].alias("c"),
+        m["lang"].alias("l")).collect()[0]
+    assert row["d"] == "RIGHT" and row["c"] == "/right" and row["l"] == "en"
+    imgs3 = image_refs(
+        spark.createDataFrame(
+            [("https://s.example/p",
+              '<img data-src="/wrong.png" src="/right.png"'
+              ' data-alt="no" alt="yes">')],
+            "url string, html string",
+        ), html_col="html", url_col="url",
+    ).collect()
+    assert (imgs3[0]["img_url"], imgs3[0]["alt"]) == (
+        "https://s.example/right.png", "yes")
+
 
 def test_quoted_angle_protection_stays_linear(spark):
     """CPU probes for the sentinel pre-pass itself and the full

@@ -140,18 +140,23 @@ class _PageGen:
     # block-opener-literal tail (document.write / innerHTML strings
     # that embed '<script'/'<style'/'<!--' as TEXT — a browser never
     # treats them as block starts; protect_quoted_block_openers makes
-    # the extractors agree). Contract exclusion that remains: a raw
-    # NON-opener '<' BEFORE the first opener in the same value (the
-    # linear value scan cannot cross it without lookahead — documented
-    # capacity, pinned in test_bombs.py). Values are single-quote-only
-    # so they wrap in double quotes entity-free.
+    # the extractors agree). Contract exclusions that remain, both
+    # pinned in test_bombs.py: a raw NON-opener '<' BEFORE the first
+    # opener in the same value (the linear value scan cannot cross it
+    # without lookahead), and a RAW own-tag terminator literal
+    # ('</style>' unescaped in a style tag's own handler — the
+    # terminator-sentinel design was probed and REVERTED in-round: it
+    # could not distinguish a real tag from a '<script ... =' lookalike
+    # inside script data and broke real termination; the pools use the
+    # '<\\/' JS-escaped form real-world inline code uses). Values are
+    # single-quote-only so they wrap in double quotes entity-free.
     HANDLER_JS = [
         "return confirm('Sure?');",
         "ga('send','pv');",
         "window.open(this.href); return false;",
         "if (a<b && c>d) { t('x'); }",
         "document.write('<script src=/ads.js><\\/script>');",
-        "el.innerHTML = '<style>.x{display:none}</style>';",
+        "el.innerHTML = '<style>.x{display:none}<\\/style>';",
         "var t = '<!--[if IE]>x<![endif]-->';",
     ]
 

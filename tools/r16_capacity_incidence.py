@@ -83,7 +83,7 @@ SAFE_JS = [
 # generator contract keeps attr values entity-free).
 RISKY_JS = [
     "document.write('<script src=/ads.js><\\/script>');",
-    "el.innerHTML = '<style>.x{display:none}</style>';",
+    "el.innerHTML = '<style>.x{display:none}<\\/style>';",
     "var tpl = '<!--[if IE]><p>old</p><![endif]-->';",
     "inject('<script>init()<\\/script>');",
     "note.title = 'see <!-- docs --> section';",
