@@ -1160,11 +1160,12 @@ def html_metadata(col: Column) -> dict[str, Column]:
     contract as `html_to_text`: RE2-safe regexps, DuckDB-replayable, runs
     at scan speed): <title>, the canonical link, meta description, the
     og:title card, and the html lang attribute — the five fields a
-    page-curation pass groups and filters on. Attribute order varies in
-    real HTML, so the attribute-bearing patterns anchor on the
-    discriminating attribute and accept both quote styles where the
-    fixtures exercise them; absent fields yield empty strings (cast to
-    NULL by the caller when preferred)."""
+    page-curation pass groups and filters on. Attribute order and quote
+    style (double/single/unquoted) vary freely in real HTML; since r16
+    multi-instance fields resolve in DOCUMENT ORDER taking the first
+    NON-EMPTY value, exactly html.parser/browser semantics (see
+    _meta_attr_value). Absent fields yield empty strings (cast to NULL
+    by the caller when preferred)."""
     # [^<>] + the bounded body are CPU-bomb guards (r12: an unclosed
     # <title> retried the to-end scan at every later opener, O(N²); no
     # real <title> approaches 2 KB, so the bound is a capacity line in
