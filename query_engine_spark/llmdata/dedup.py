@@ -557,21 +557,44 @@ def ngram_jaccard_pairs(
 
     Explode + self-join keyed on the shingle; `max_df` drops shingles that
     occur in more than max_df docs (stopword-grams) — the standard guard
-    against quadratic blowup on common shingles."""
+    against quadratic blowup on common shingles.
+
+    The exploded shingle table feeds THREE consumers (both self-join sides
+    and the per-doc sizes agg; four with the `max_df` doc-frequency pass), so
+    it is persisted once via the tracked cache — without it each consumer
+    re-runs the scan + tokenize/shingle Generate, which profiled as ~80% of
+    the whole query's wall at sf0.1 (4 identical Generate nodes in the
+    plan). At 100 TB the same trade holds: one materialization of the
+    narrow (id, shingle) table vs three re-reads of the text corpus."""
+    from query_engine_spark.llmdata import tracked_persist
+
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("s"),
     )
     if max_df is not None:
+        sh = tracked_persist(sh)
         dfreq = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
         sh = sh.join(dfreq.select("s"), "s", "left_semi")
+    sh = tracked_persist(sh)
     # sizes AFTER the max_df filter so the Jaccard numerator and denominator
     # use the same shingle universe (round-1 advice: computing sizes first
     # biased similarity low when max_df dropped stop-grams)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # join keyed on xxhash64(s) with the exact string equality kept as a
+    # residual condition: the hash only NARROWS the probe (identical result
+    # set), and a fixed-width long key hashes/compares far cheaper than a
+    # variable-length shingle string in both the broadcast build and an
+    # at-scale SMJ sort (guide §2.3 "narrower types" applied to the key).
+    a = sh.select("id", "s", F.xxhash64("s").alias("__h")).alias("a")
+    b = sh.select("id", "s", F.xxhash64("s").alias("__h")).alias("b")
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.__h") == F.col("b.__h"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("__i"))
     )
@@ -607,19 +630,31 @@ def containment_pairs(
     a ≠ b, both directions surface separately). Same shuffle shape as the
     Jaccard: distinct-shingle explode, shingle-keyed self-join with the
     `max_df` stop-gram guard, sizes measured AFTER the guard so numerator
-    and denominator share one shingle universe.
+    and denominator share one shingle universe. The shingle table is
+    persisted once for its three consumers (see `ngram_jaccard_pairs`).
     """
+    from query_engine_spark.llmdata import tracked_persist
+
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("s"),
     )
     if max_df is not None:
+        sh = tracked_persist(sh)
         dfreq = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
         sh = sh.join(dfreq.select("s"), "s", "left_semi")
+    sh = tracked_persist(sh)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # hash-prejoin key with exact-string residual — see ngram_jaccard_pairs
+    a = sh.select("id", "s", F.xxhash64("s").alias("__h")).alias("a")
+    b = sh.select("id", "s", F.xxhash64("s").alias("__h")).alias("b")
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") != F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.__h") == F.col("b.__h"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("__i"))
     )

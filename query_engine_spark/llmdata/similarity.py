@@ -1111,7 +1111,7 @@ def rrf_fuse(
     )
     scored = j.select("id", score.alias("score_q"))
     limited = scored.orderBy(F.col("score_q").desc(), "id").limit(top)
-    ranked = dense_rank_over(limited, [F.col("score_q").desc(), F.col("id")], "rank")
+    ranked = dense_rank_over(limited, [F.col("score_q").desc(), F.col("id")], "rank", bounded=True)
     return ranked.select(F.col("id").alias(id_col), "score_q", "rank")
 
 

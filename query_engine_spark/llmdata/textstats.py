@@ -265,7 +265,7 @@ def _bm25_score(tf: DataFrame, stats: DataFrame, *, k1: float, b: float, top: in
 
     # dense rank over the top-N survivors only (no unpartitioned window)
     limited = scored.orderBy(F.col("score").desc(), F.col("id")).limit(top)
-    ranked = dense_rank_over(limited, [F.col("score").desc(), F.col("id")], "rank")
+    ranked = dense_rank_over(limited, [F.col("score").desc(), F.col("id")], "rank", bounded=True)
     return ranked.select(F.col("id").alias(id_col), "score", "rank")
 
 
@@ -1077,7 +1077,7 @@ def bpe_pair_counts(
     pc = pairs.groupBy("l", "r").agg(F.sum("cnt").alias("cnt"))
     limited = pc.orderBy(F.col("cnt").desc(), "l", "r").limit(top)
     ranked = dense_rank_over(
-        limited, [F.col("cnt").desc(), F.col("l"), F.col("r")], "rank"
+        limited, [F.col("cnt").desc(), F.col("l"), F.col("r")], "rank", bounded=True
     )
     return ranked.select("l", "r", "cnt", "rank")
 
@@ -1269,7 +1269,7 @@ def weighted_sample(
     keyed = df.filter(F.col(weight_col) > 0).withColumn("__key", key)
     limited = keyed.orderBy(F.col("__key").desc(), F.col(id_col)).limit(k)
     ranked = dense_rank_over(
-        limited, [F.col("__key").desc(), F.col(id_col)], "sample_rank"
+        limited, [F.col("__key").desc(), F.col(id_col)], "sample_rank", bounded=True
     )
     return ranked.drop("__key")
 
@@ -1321,6 +1321,11 @@ def tfidf_pairs(
     base = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t")).filter(
         F.col("t") != ""
     )
+    # NOTE (r16 measurement): persisting `tf`/`w` for their multiple
+    # consumers was tried and measured NEUTRAL-to-worse at sf0.1 (1.99 s
+    # unpersisted vs 2.09 s persisted) — ReuseExchange already dedups the
+    # repeated subtrees at runtime; the plan-string scan count overstates
+    # the real work (the r8 pagerank lesson). Left unpersisted on purpose.
     tf = base.groupBy("id", "t").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     cap = (
@@ -1740,7 +1745,7 @@ def top_terms(
     toks = df.select(F.explode(_tokens(F.col(text_col))).alias("term")).filter(F.col("term") != "")
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") >= min_count)
     limited = counts.orderBy(F.col("cnt").desc(), F.col("term")).limit(k)
-    return dense_rank_over(limited, [F.col("cnt").desc(), F.col("term")], "rank").select(
+    return dense_rank_over(limited, [F.col("cnt").desc(), F.col("term")], "rank", bounded=True).select(
         "term", "cnt", "rank"
     )
 
