@@ -52,16 +52,27 @@ def curation_flags(
     columns are all integers/booleans, so the output hashes identically
     across engines.
     """
+    from pyspark.sql import Window
+
     did = F.col(id_col)
-    fp = df.select(did.alias("doc_id"), D.fingerprint(F.col(text_col)).alias("fp"))
-    keeper = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
-    dup = fp.join(keeper, "fp").select(
-        "doc_id", (F.col("doc_id") != F.col("keeper")).alias("is_dup")
+    # One pass for the three per-row/window signals (r16): quality and
+    # langid are pure column expressions and the exact-dup flag is
+    # `doc_id != min(doc_id) over (partition by fingerprint)` — computing
+    # them in a single select + one fp-keyed window replaces three
+    # separate scans and two doc-keyed joins (the before-plan carried 11
+    # scans / 17 exchanges; guide §2.4). Values are identical: the window
+    # min is exactly the old groupBy-join `keeper`, and quality/lang are
+    # the same expressions quality_features/langid evaluate.
+    base = df.select(
+        did.alias("doc_id"),
+        D.fingerprint(F.col(text_col)).alias("__fp"),
+        Tx.quality_col(F.col(text_col)).alias("quality"),
+        Tx.langid(F.col(text_col)).alias("lang_pred"),
     )
-    qual = Tx.quality_features(df, text_col=text_col, id_col=id_col).select(
-        F.col(id_col).alias("doc_id"), "quality"
-    )
-    lang = df.select(did.alias("doc_id"), Tx.langid(F.col(text_col)).alias("lang_pred"))
+    w = Window.partitionBy("__fp")
+    per_row = base.withColumn(
+        "is_dup", F.col("doc_id") != F.min("doc_id").over(w)
+    ).drop("__fp")
     rep = Tx.repetition_features(df, id_col=id_col, text_col=text_col).select(
         "doc_id", "top2_ppm"
     )
@@ -69,10 +80,7 @@ def curation_flags(
         "doc_id", "score_q"
     )
     out = (
-        df.select(did.alias("doc_id"))
-        .join(dup, "doc_id")
-        .join(qual, "doc_id")
-        .join(lang, "doc_id")
+        per_row
         .join(rep, "doc_id", "left")
         .join(lmsc, "doc_id", "left")
         .select(

@@ -79,18 +79,23 @@ def bind_once(expr: Column, body) -> Column:
     return F.element_at(F.transform(F.array(expr), body), 1)
 
 
+def shingles_of_words(words: Column, k: int) -> Column:
+    """Array of word k-shingles from an ALREADY-tokenized words array
+    (empty if < k words). `words` should be a lambda variable or attribute
+    (see bind_once) so the slice per shingle is O(1) to reference."""
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Array of word k-shingles of the normalized text (empty if < k words)."""
-
-    def mk(words: Column) -> Column:
-        n = F.size(words)
-        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
-        return F.when(
-            n >= k,
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k))),
-        ).otherwise(F.array().cast("array<string>"))
-
-    return bind_once(F.split(normalize_text(col), " "), mk)
+    return bind_once(
+        F.split(normalize_text(col), " "), lambda words: shingles_of_words(words, k)
+    )
 
 
 def minhash_signature(col: Column, n_hashes: int = 16, k: int = 3) -> Column:

@@ -80,20 +80,9 @@ def quality_score_col(t: Column) -> Column:
     """`textstats.quality_features`' composite score as a single Column
     (same gates, same 6-digit ratio rounding) — lets a pipeline apply the
     quality gate as a pure row filter without materializing the feature
-    table or joining back."""
-    toks = Tx._tokens(t)
-    n_tok = F.size(toks)
-    n_chars = F.length(t)
-    punct = F.length(F.regexp_replace(t, "[^.!?,;:]", ""))
-    en_hits = F.size(F.filter(toks, lambda x: x.isin(*Tx.LANG_PROFILES["en"])))
-    punct_ratio = F.round(punct / F.greatest(n_chars, F.lit(1)), 6)
-    stop_ratio = F.round(en_hits / F.greatest(n_tok, F.lit(1)), 6)
-    return F.round(
-        F.when(n_tok >= 20, F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.when((punct_ratio > 0.0) & (punct_ratio < 0.2), F.lit(0.3)).otherwise(F.lit(0.0))
-        + F.when(stop_ratio > 0.05, F.lit(0.3)).otherwise(F.lit(0.0)),
-        2,
-    )
+    table or joining back. Delegates to `textstats.quality_col` (one
+    definition of the composite; r16)."""
+    return Tx.quality_col(t)
 
 
 def translate_curation_pipeline(

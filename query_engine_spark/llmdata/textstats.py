@@ -139,7 +139,17 @@ def langid_ngram_table(
     rows = [(g, lang) for lang, grams in CHAR_TRIGRAM_PROFILES.items() for g in grams]
     prof = spark.createDataFrame(rows, "gram string, lang string")
     tri = df.select(F.col(id_col).alias("id"), F.explode(char_trigrams(F.col(text_col))).alias("gram"))
-    totals = tri.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    # per-doc trigram total = max(len(normalized)-2, 0) as a pure column —
+    # identical to counting the exploded rows, without the second pass over
+    # the ~len(text)-row explode and its doc-keyed agg exchange (r16;
+    # guide §2.4: the explode existed only to re-derive a row count the
+    # scan already knows)
+    from query_engine_spark.llmdata.dedup import normalize_text
+
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.greatest(F.length(normalize_text(F.col(text_col))) - F.lit(2), F.lit(0)).alias("n"),
+    )
     hits = tri.join(F.broadcast(prof), "gram").groupBy("id", "lang").agg(F.count(F.lit(1)).alias("h"))
     scored = hits.join(totals, "id").withColumn("s", F.col("h") / F.greatest(F.col("n"), F.lit(1)))
     best = scored.groupBy("id").agg(
@@ -175,6 +185,26 @@ def langid_ngram(col: Column, default: str = "und") -> Column:
     for lang in sorted(scores, reverse=True):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     return F.when(best > 0, pred).otherwise(F.lit(default))
+
+
+def quality_col(t: Column) -> Column:
+    """`quality_features`' composite score as a single Column (same gates,
+    same 6-digit ratio rounding) — for callers that need the gate as a pure
+    row expression without the feature table (pipeline.quality_score_col
+    delegates here; curation_flags fuses it into its per-row pass)."""
+    toks = _tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    punct = F.length(F.regexp_replace(t, "[^.!?,;:]", ""))
+    en_hits = F.size(F.filter(toks, lambda x: x.isin(*LANG_PROFILES["en"])))
+    punct_ratio = F.round(punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(en_hits / F.greatest(n_tok, F.lit(1)), 6)
+    return F.round(
+        F.when(n_tok >= 20, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((punct_ratio > 0.0) & (punct_ratio < 0.2), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.05, F.lit(0.3)).otherwise(F.lit(0.0)),
+        2,
+    )
 
 
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -582,6 +612,12 @@ def repetition_features(
     """
     from query_engine_spark.llmdata.dedup import word_shingles
 
+    # NOTE (r16 measurement): fusing the three per-n streams into ONE
+    # Generate (tagged structs concat'd inside a bound tokenize) was tried
+    # and measured SLOWER at sf0.1 (2.60 s vs 1.81 s) — the struct-building
+    # transform/concat HOFs are interpreted, while the three separate
+    # Generates stay in whole-stage codegen. The 3-scan union is the
+    # faster shape; left as is on purpose.
     def grams_of(n: int) -> DataFrame:
         if n == 1:
             return df.select(
