@@ -8515,6 +8515,15 @@ def perceptual_dedup_pairs(
     # (media_id, band_id, val) — dragging all four bands through both
     # sides of the self-join would shuffle ~8x the necessary payload —
     # then join the unexploded bands table back by id for the verify.
+    # The bands table is persisted once (r16): its four consumers (both
+    # candidate sides + both verify sides) sit below Python decode
+    # MapInPandas nodes with NO shared exchange, so AQE runtime reuse
+    # cannot dedup them — without the persist every consumer re-decodes
+    # the media (guide §4: never pay the Python boundary twice for the
+    # same bytes).
+    from query_engine_spark.llmdata import tracked_persist
+
+    bands = tracked_persist(bands)
     long = _exploded_band_keys(bands, "media_id", "media_id", _subband_splits(max_hamming))
     if max_bucket is not None:
         from pyspark.sql import Window
@@ -8651,6 +8660,12 @@ def perceptual_probe_pairs(
     from the same `max_hamming`, so they always agree).
     """
     s = _subband_splits(max_hamming)
+    # new_bands is decoded media (2 consumers: probe keys + verify) —
+    # persist once; index_bands is a parquet-backed index, cheap to re-read
+    from query_engine_spark.llmdata import tracked_persist
+
+    if not new_bands.isStreaming:
+        new_bands = tracked_persist(new_bands)
     idx = _exploded_band_keys(index_bands, "media_id", "match_id", s)
     if max_bucket is not None:
         from pyspark.sql import Window
@@ -8762,6 +8777,12 @@ def video_dedup_pairs(
     hash (never all-pairs), `max_bucket` capping degenerate hashes
     (black/title frames are the video hub analogue), then a count
     filter. Returns (media_a, media_b, n_common), media_a < media_b."""
+    # NOTE (r16 measurement): persisting `sig` for its two join sides was
+    # tried and measured SLOWER (0.94 s vs 0.72 s at sf0.1) — the distinct
+    # ends in an exchange that AQE already reuses at runtime, so the
+    # persist only added a block-store round-trip (the r8 pagerank
+    # lesson). Contrast perceptual_dedup_pairs, whose consumers share no
+    # exchange and DO need the persist.
     sig = frame_hashes.select("media_id", "b0", "b1", "b2", "b3").distinct()
     if max_bucket is not None:
         from pyspark.sql import Window
