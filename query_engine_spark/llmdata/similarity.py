@@ -242,54 +242,48 @@ def assign_cells(
     cent_vec_col: str = "cent_vec",
 ) -> DataFrame:
     """IVF assignment: nearest centroid per vector (by cosine; ties → lowest
-    centroid id). FULLY map-only against broadcast centroids (r16): the
-    centroid table collapses to ONE row carrying an array of (cent_id, cv,
-    norm) structs, and the argmax is an order-independent fold over that
-    array — strictly better than the previous crossJoin + row_number
-    window, which shuffled and sorted the k-fold expanded table by vec_id
-    on EVERY assignment (3 window exchanges inside one kmeans_lloyd call).
-    The comparison is the same round(dot/(|v|·|c|), 6) with ties → lowest
-    cent_id, and the fold keeps the incumbent unless STRICTLY better, so
-    collect_list's nondeterministic order cannot change the winner. Norms
-    are still computed once per side (float-identical sqrt·sqrt)."""
-    carr = F.broadcast(
+    centroid id). Map-only against broadcast centroids. Norms are computed
+    once per vector and once per centroid below the join (float-identical
+    to the inlined cosine — sqrt·sqrt in the same order — so the rounded
+    comparison can't drift), leaving only the dot per (vector, centroid)
+    pair; interpreted HOF folds are the cost center here.
+
+    NOTE (r16 measurement): two window-free variants were built and
+    measured AGAINST this shape on the full consumers (kmeans_lloyd /
+    semdedup), interleaved in one warm session: (a) a broadcast one-row
+    centroid-array + per-row HOF argmax fold (fully map-only) — faster on
+    an isolated assignment (0.66 s vs 1.11 s noop) but SLOWER end-to-end
+    (semdedup min 3.47 s vs 2.96 s): the fold is re-evaluated in every
+    downstream branch that references the assignment, while the window is
+    a hard once-per-row boundary; (b) an explode + broadcast join +
+    codegen hash-agg dot — 0.86 s isolated, extra stage barriers lose
+    end-to-end. The crossJoin+window form stays; at very large scale the
+    window shuffle is one keyed exchange of (vec_id, cent_id, csim)
+    proxies, not payloads.
+    """
+    c = F.broadcast(
         centroids.select(
-            F.struct(
-                F.col(cent_id_col).alias("cent_id"),
-                F.col(cent_vec_col).alias("cv"),
-                l2_norm(F.col(cent_vec_col)).alias("__cn"),
-            ).alias("c")
-        ).agg(F.collect_list("c").alias("__cs"))
-    )
-    base = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
-        l2_norm(F.col(vec_col)).alias("__vn"),
-    ).crossJoin(carr)
-
-    def better(acc: Column, cand: Column) -> Column:
-        csim = F.round(
-            dot(F.col("v"), cand["cv"]) / (F.col("__vn") * cand["__cn"]), 6
+            F.col(cent_id_col).alias("cent_id"),
+            F.col(cent_vec_col).alias("cv"),
+            l2_norm(F.col(cent_vec_col)).alias("__cn"),
         )
-        take = (
-            acc["cent_id"].isNull()
-            | (csim > acc["csim"])
-            | ((csim == acc["csim"]) & (cand["cent_id"] < acc["cent_id"]))
+    )
+    scored = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            l2_norm(F.col(vec_col)).alias("__vn"),
         )
-        return F.when(
-            take,
-            F.struct(csim.alias("csim"), cand["cent_id"].alias("cent_id")),
-        ).otherwise(acc)
-
-    init = F.struct(
-        F.lit(None).cast("double").alias("csim"),
-        F.lit(None).cast("long").alias("cent_id"),
+        .crossJoin(c)
+        .select(
+            "vec_id", "v", "cent_id",
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("__vn") * F.col("__cn")), 6
+            ).alias("csim"),
+        )
     )
-    return base.select(
-        "vec_id",
-        "v",
-        F.aggregate("__cs", init, better)["cent_id"].alias("cent_id"),
-    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
+    return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn", "csim")
 
 
 def _query_probes(
