@@ -362,8 +362,14 @@ def simhash_candidate_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 32-bit signature into `chunks`
     8-bit chunks (pigeonhole: hamming ≤ chunks-1 ⟹ some chunk equal), join on
-    chunk equality, verify with bit_count(xor) ≤ max_hamming."""
-    sig = tracked_persist(simhash32_table(df, text_col, id_col))
+    chunk equality, verify with bit_count(xor) ≤ max_hamming.
+
+    The signature table is NOT persisted (r16 measurement): it ends in the
+    32-vote groupBy exchange, which AQE reuses between the two join sides
+    at runtime — interleaved A/B showed the persist consistently slower
+    (min 1.83-2.14 s persisted vs 1.47-1.60 s without at sf0.1), the same
+    exchange-reuse mechanism as the r8 pagerank lesson."""
+    sig = simhash32_table(df, text_col, id_col)
     width = 32 // chunks
     banded = sig.select(
         "id",
