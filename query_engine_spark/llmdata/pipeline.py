@@ -178,6 +178,14 @@ def translate_curation_pipeline(
                     "label_min_quality", 0.5
                 )
                 n_buckets = stage.get("n_buckets", 4096)
+                # deliberately NOT fused into one tokenization pass (r16
+                # A/B): a shared per-(doc, bucket) pre-agg feeding both the
+                # model agg and the doc score shuffles ~one row per token
+                # (docs spread over 4096 buckets, so the partial agg barely
+                # collapses), while these two groupBys partial-aggregate
+                # map-side to ≤n_buckets / per-doc rows — tiny shuffles.
+                # Interleaved same-session: unfused 1.99 s vs fused 2.41 s
+                # on the full pipeline (tools/r16_ab_classifier.py).
                 model = Tx.train_hashed_classifier(df, label, n_buckets=n_buckets)
                 scored = Tx.hashed_classifier_score(
                     df, model, label, n_buckets=n_buckets

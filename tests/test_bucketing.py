@@ -71,8 +71,15 @@ def test_zorder_rowgroup_skipping(spark, tmp_path):
     # baseline: the obvious layout — sorted by time only
     df.repartitionByRange(64, "ts_us").sortWithinPartitions("ts_us").write.parquet(lin_path)
 
-    # 2-D box: ~10% of each dimension
-    u_lo, u_hi, t_lo, t_hi = 100, 199, 20_000, 29_999
+    # 2-D box: ~10% of users x ~30% of the ts range. The ts span is wide on
+    # purpose: repartitionByRange picks boundaries by SAMPLING (seeded off
+    # the RDD id, which depends on how many RDDs the shared session created
+    # before this test), so per-run hit counts jitter by a few row groups; a
+    # 10% ts window put the one-dim baseline at ~7/64 with z-order's worst
+    # sample also reaching 7 (an exact tie failed the strict <). At 30% ts
+    # the baseline hits ~20 groups while the Morton layout's 2-D bound stays
+    # far below — the property is the same, the margin is no longer 0-wide.
+    u_lo, u_hi, t_lo, t_hi = 100, 199, 20_000, 49_999
 
     def overlapping_rowgroups(path: str) -> tuple[int, int]:
         total = hit = 0
