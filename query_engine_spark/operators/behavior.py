@@ -137,6 +137,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     scale: int = 10**12,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank (d = 0.85, dangling mass redistributed
     uniformly) on an INTEGER fixed-point grid: every rank is a bigint in
@@ -153,10 +154,23 @@ def pagerank(
     Per iteration: contributions are an equi-join of ranks onto edges
     grouped by destination (the one big shuffle, keyed like every other
     per-node agg), the dangling total is a one-row broadcast scalar, and
-    |V| rides in-plan the same way. Fixed `iters` keeps the lazy plan
-    shallow (for tens of iterations, localCheckpoint every few rounds
-    like dedup_clusters). No driver-side loops over data — only the
-    Python-side plan unroll.
+    |V| rides in-plan the same way. No driver-side loops over data — only
+    the Python-side plan unroll.
+
+    `checkpoint_every=k` localCheckpoints the rank table after every k-th
+    iteration (never after the last), cutting the unrolled lineage for
+    many-iteration runs. Off by default: at the declared queries' iters=3
+    AQE's runtime exchange reuse already dedups the re-embedded edge
+    subtrees and a checkpoint is overhead (r16 cadence table, sf0.1,
+    tools/r16_ab_pagerank.py: iters=3 uncut 1.35 s vs 1.54/1.62 s at
+    k=2/4; r8 measured a persist regressing 2.56 -> 4.35 s the same way).
+    Past a handful of iterations the uncut lineage's plan-compile/AQE
+    re-planning cost explodes and then kills the driver: iters=8 uncut
+    141 s vs 3.65 s at k=2; iters=12 uncut OOMs an 8g driver heap during
+    planning while k=2 runs in 4.0 s. Use k=2 for anything beyond ~5
+    iterations. Ranks are bit-identical either way (integer grid;
+    checkpointing only materializes them — parity collect-verified at
+    iters=8 for k=2 and k=4).
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     nodes = (
@@ -169,7 +183,7 @@ def pagerank(
     r = nodes.crossJoin(F.broadcast(nn)).select(
         "node", F.expr(f"{scale} div n").alias("r")
     )
-    for _ in range(iters):
+    for it in range(iters):
         j = r.join(outdeg, "node", "left")
         contrib = j.filter(F.col("outdeg").isNotNull()).select(
             F.col("node").alias("u"), F.expr("r div outdeg").alias("c")
@@ -194,6 +208,12 @@ def pagerank(
                 ).alias("r"),
             )
         )
+        if (
+            checkpoint_every
+            and (it + 1) % checkpoint_every == 0
+            and (it + 1) < iters
+        ):
+            r = r.localCheckpoint()
     return r.select("node", F.col("r").alias("rank_q"))
 
 

@@ -7548,7 +7548,13 @@ _STALE_VERIFICATION: set[str] = set()
 # metadata resolves multi-instance fields in document order with
 # unquoted discriminators, the dot-segment gate covers '?'/'#'
 # terminators (ADVICE r15), and the protect/strip/extract pipeline is
-# stage-bound via bind_once — ALL SEVEN HTML-family queries ride.
+# stage-bound via bind_once — ALL SEVEN HTML-family queries ride;
+# (c) the optimization round's pagerank `checkpoint_every` knob
+# (behavior.py): off by default so the declared plans/results are
+# byte-identical, but the unroll loop now evaluates the cadence
+# condition on the happy path, so both pagerank riders re-earn
+# (crawl_host_rank already rides via (b)) — same precedent as the r11
+# pure-wrapping riders.
 # Touched names ride at the window head, displacing the NEWEST r10-era
 # tail names per the r15 verdict — the 20-name r9-era remainder keeps
 # its slots.
@@ -7560,6 +7566,8 @@ _ROUND16_TOUCHED: set[str] = {
     "llm_html_metadata", "llm_html_outlinks", "llm_html_jsonld",
     "llm_html_image_pairs", "llm_warc_ingest", "crawl_host_rank",
     "multimodal_image_text_pairs",
+    # (c) behavior.py pagerank checkpoint_every rider
+    "graph_pagerank",
 }
 
 # Stable alias so _driver_order and the scheduling tests survive the

@@ -216,6 +216,24 @@ def test_pagerank_ranking_and_mass(spark):
     assert abs(sum(got.values()) - 10**12) < 11 * 3 * 100
 
 
+def test_pagerank_checkpoint_cadence_bit_identical(spark):
+    # checkpoint_every only materializes the rank table mid-unroll — the
+    # integer grid makes every cadence bit-identical to the uncut lineage
+    # (the r16 knob for many-iteration runs; see OPTIMIZATION_r16.md)
+    rng = random.Random(7)
+    edges = [(rng.randrange(15), rng.randrange(15)) for _ in range(60)]
+    edges = [(u, v) for u, v in edges if u != 14]  # 14 dangling if present
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = {r.node: r.rank_q for r in pagerank(df, iters=6).collect()}
+    for k in (1, 2, 4, 6, 99):
+        got = {
+            r.node: r.rank_q
+            for r in pagerank(df, iters=6, checkpoint_every=k).collect()
+        }
+        assert got == want, f"cadence {k} diverged"
+    assert want == brute_pagerank(edges, iters=6)
+
+
 def test_transition_matrix_handcrafted(spark):
     import datetime as dt
     from query_engine_spark.operators.behavior import transition_matrix
