@@ -3,11 +3,14 @@
 
 Prints the full JSON record:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
-followed by ONE SHORT summary JSON line as the FINAL stdout line
-(metric/value/first_pass/calibration_sec/best_ever_total/sf) — the
-driver keeps only the output tail, which truncated inside the full
-record's per-query dicts and left BENCH_r{5..9}.json with
-"parsed": null; the short final line always parses whole.
+followed by ONE summary JSON line as the FINAL stdout line
+(metric/value/queries/first_pass/calibration_sec/best_ever_total/sf) —
+the driver keeps only the output tail, which truncated inside the full
+record's THREE per-query dicts and left BENCH_r{5..9}.json with
+"parsed": null; the final line carries only the this-run per-query
+minima (~1.5 KB) so it parses whole within the tail capture while
+giving the driver's PERF comparison its per-query map back (r16
+verdict item 2).
 
 `value` is the total of per-query MINIMUM wall-clock over N passes
 (default 3, $SPARK_GRAFT_BENCH_N) — single-run numbers on a busy host swing
@@ -290,15 +293,21 @@ def main() -> int:
             f.write(json.dumps({"ts": int(time.time()), **hist_rec}) + "\n")
     except OSError:
         pass
-    # FINAL stdout line: a SHORT summary the driver's tail capture can
-    # always parse whole — the full record above truncates inside the
-    # per-query dicts when only the output tail is kept, which left the
-    # official BENCH artifact with "parsed": null for five straight
-    # rounds (r9 verdict). BENCH_HISTORY.jsonl keeps the full record.
+    # FINAL stdout line: a summary the driver's tail capture can always
+    # parse whole — the full record above truncates inside the per-query
+    # dicts when only the output tail is kept, which left the official
+    # BENCH artifact with "parsed": null for five straight rounds (r9
+    # verdict). r16 VERDICT item 2: the short line carried NO per-query
+    # map, so PERF per-query regression and scaling analysis came back
+    # empty (per_query: {}, now_bench_ok: false). The this-run minima
+    # (56 entries at ms precision, ~1.5 KB) fit the tail capture, so
+    # include them here; the verbose fields (best_ever fold, legacy
+    # minima, note) stay in the full record above / BENCH_HISTORY.jsonl.
     print(json.dumps({
         "metric": result["metric"],
         "value": result["value"],
         "unit": result["unit"],
+        "queries": best,
         "first_pass": result["first_pass"],
         "calibration_sec": result["calibration_sec"],
         "best_ever_total": result["best_ever_total"],

@@ -7397,44 +7397,25 @@ def multimodal_webp_lossy_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_LAST_VERIFIED: dict[str, int] = {
     # Transcribed per-round by tools/ledger_transcribe.py from the
     # CORRECTNESS_r*.json artifacts: name -> last round a driver
-    # hash-match (or designed rows-only pass) was recorded. Post-r15:
-    # the r15 window (49 hash-green + the designed rows-only
-    # f12_where_udf_tier, 50/50) drained the ENTIRE 34-name r8-era
-    # cohort plus the 4 stalest r9 names and 12 touched riders;
-    # cohorts now 20 r9 / 45 r10 / 38 r11 / 40 r12 / 38 r13 /
-    # 41 r14 / 50 r15 = 272, matching the r15 verdict's
-    # artifact-derived arithmetic digit for digit.
-    **{n: 9 for n in (
-        "crawl_frontier_bloom", "crawl_politeness_schedule",
-        "llm_cdx_select", "llm_csv_roundtrip", "llm_export_manifest",
-        "llm_jsonl_roundtrip", "llm_mbox_ingest",
-        "llm_quality_classifier", "llm_robots_rules",
-        "llm_robots_wildcards", "media_type_sniff",
-        "multimodal_audio_multichannel",
-        "multimodal_audio_wav_extensible", "multimodal_bmp_topdown",
-        "multimodal_exif_metadata", "multimodal_id3_metadata",
-        "multimodal_mp3_frames", "multimodal_tiff_rgb",
-        "multimodal_webp_lossy_meta", "text_nfc_normalize",
-    )},
+    # hash-match (or designed rows-only pass) was recorded. Post-r16:
+    # the r16 window (49 hash-green + the designed rows-only
+    # f12_where_udf_tier, 50/50) verified the 13 _ROUND16_TOUCHED
+    # riders plus 37 rotation names (drained the r9-era 20-name cohort
+    # and most of the r10 TPC-H/eventless tail); cohorts now
+    # 28 r10 / 37 r11 / 40 r12 / 38 r13 / 41 r14 / 38 r15 / 50 r16
+    # = 272.
     **{n: 10 for n in (
-        "asof_join_directions", "asof_join_events",
-        "dedup_best_of_cluster", "embed_dim_stats",
-        "embed_label_cohesion", "events_ema",
+        "asof_join_directions", "asof_join_events", "events_ema",
         "events_transition_matrix", "funnel_events", "graph_triangles",
-        "group_quantiles_bucketed", "group_quantiles_events",
-        "hopping_window_events", "kmv_distinct_users",
-        "llm_balanced_sample", "llm_bpe_pair_counts", "llm_chunk_docs",
-        "llm_curation_flags", "llm_decontaminate", "llm_dedup_funnel",
+        "group_quantiles_events", "hopping_window_events",
+        "kmv_distinct_users", "llm_balanced_sample",
+        "llm_bpe_pair_counts", "llm_chunk_docs", "llm_curation_flags",
         "llm_doc_lm_score", "llm_domain_mix", "llm_ngram_lm",
-        "llm_pack_chunks", "llm_quality_calibrated",
-        "llm_stupid_backoff", "multimodal_audio_au", "multimodal_fits",
-        "multimodal_pnm", "multimodal_subtitles", "multimodal_svg",
-        "multimodal_woff", "q10_returned_items", "q11_important_value",
-        "q13_customer_distribution", "q14_promo_revenue",
-        "q15_top_supplier", "q2_min_cost_supplier",
-        "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
-        "range_join_events", "retention_cohorts", "s1_firehose",
-        "stream_interval_join_pairs", "text_top_terms_per_lang",
+        "llm_pack_chunks", "llm_stupid_backoff", "multimodal_audio_au",
+        "multimodal_fits", "multimodal_pnm", "multimodal_subtitles",
+        "multimodal_svg", "multimodal_woff", "range_join_events",
+        "retention_cohorts", "stream_interval_join_pairs",
+        "text_top_terms_per_lang",
     )},
     **{n: 11 for n in (
         "dedup_containment", "dedup_incremental", "embed_ivfpq_topk",
@@ -7442,8 +7423,8 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "events_cusum_drift", "events_ohlc", "events_salted_counts",
         "events_zorder_box", "f10_embed_prefix", "f13_videos_notnull",
         "f14_regex", "f15_profile_filters", "f9_non_duplicates",
-        "graph_pagerank", "kmv_set_ops_events", "llm_bpe_apply",
-        "llm_bpe_train", "llm_curation_pipeline", "llm_dsir_weights",
+        "kmv_set_ops_events", "llm_bpe_apply", "llm_bpe_train",
+        "llm_curation_pipeline", "llm_dsir_weights",
         "llm_weighted_sample", "media_audio_dedup",
         "media_decode_dispatch", "multimodal_audio_resample",
         "multimodal_features", "multimodal_resize",
@@ -7507,28 +7488,46 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
         "text_quality", "text_tokens", "window_running_revenue",
     )},
     **{n: 15 for n in (
-        "agg_rollup", "crawl_host_rank", "dedup_clusters",
-        "embed_label_centroids", "embed_pq_indexed", "embed_semdedup",
-        "f12_where_script", "f12_where_script_stmt",
-        "f12_where_udf_tier", "j10_community", "j10_top_moots",
-        "llm_curation_pipeline_balance", "llm_hash_sample",
-        "llm_html_image_pairs", "llm_html_jsonld", "llm_html_metadata",
-        "llm_html_outlinks", "llm_prepare_corpus", "llm_split_assign",
-        "llm_top_terms", "llm_warc_ingest", "media_dedup",
-        "multimodal_audio", "multimodal_audio_aiff",
-        "multimodal_audio_alaw", "multimodal_audio_flac_stereo",
-        "multimodal_audio_pcm24", "multimodal_audio_sphere",
-        "multimodal_audio_wav_stereo", "multimodal_bmp8",
-        "multimodal_gif_disposals", "multimodal_gif_interlaced",
-        "multimodal_image_text_pairs", "multimodal_jpeg_422",
+        "agg_rollup", "dedup_clusters", "embed_label_centroids",
+        "embed_pq_indexed", "embed_semdedup", "j10_community",
+        "j10_top_moots", "llm_curation_pipeline_balance",
+        "llm_hash_sample", "llm_prepare_corpus", "llm_split_assign",
+        "llm_top_terms", "media_dedup", "multimodal_audio",
+        "multimodal_audio_aiff", "multimodal_audio_alaw",
+        "multimodal_audio_flac_stereo", "multimodal_audio_pcm24",
+        "multimodal_audio_sphere", "multimodal_audio_wav_stereo",
+        "multimodal_bmp8", "multimodal_gif_disposals",
+        "multimodal_gif_interlaced", "multimodal_jpeg_422",
         "multimodal_jpeg_restart", "multimodal_png_palette",
         "multimodal_tiff", "multimodal_tiff_multipage",
-        "pipeline_flagship", "q16_supplier_variety",
-        "q17_small_quantity", "q19_disjunctive",
+        "q16_supplier_variety", "q17_small_quantity", "q19_disjunctive",
         "q22_no_order_customers", "q4_order_priority",
-        "q7_nation_volume", "sc1_script_score", "text_bm25_search",
+        "q7_nation_volume", "text_bm25_search",
         "text_repetition_features", "text_strip_dup_spans",
         "window_revenue_deciles",
+    )},
+    **{n: 16 for n in (
+        "crawl_frontier_bloom", "crawl_host_rank",
+        "crawl_politeness_schedule", "dedup_best_of_cluster",
+        "embed_dim_stats", "embed_label_cohesion", "f12_where_script",
+        "f12_where_script_stmt", "f12_where_udf_tier", "graph_pagerank",
+        "group_quantiles_bucketed", "llm_cdx_select",
+        "llm_csv_roundtrip", "llm_decontaminate", "llm_dedup_funnel",
+        "llm_export_manifest", "llm_html_image_pairs",
+        "llm_html_jsonld", "llm_html_metadata", "llm_html_outlinks",
+        "llm_jsonl_roundtrip", "llm_mbox_ingest",
+        "llm_quality_calibrated", "llm_quality_classifier",
+        "llm_robots_rules", "llm_robots_wildcards", "llm_warc_ingest",
+        "media_type_sniff", "multimodal_audio_multichannel",
+        "multimodal_audio_wav_extensible", "multimodal_bmp_topdown",
+        "multimodal_exif_metadata", "multimodal_id3_metadata",
+        "multimodal_image_text_pairs", "multimodal_mp3_frames",
+        "multimodal_tiff_rgb", "multimodal_webp_lossy_meta",
+        "pipeline_flagship", "q10_returned_items",
+        "q11_important_value", "q13_customer_distribution",
+        "q14_promo_revenue", "q15_top_supplier", "q2_min_cost_supplier",
+        "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
+        "s1_firehose", "sc1_script_score", "text_nfc_normalize",
     )},
 }
 
@@ -7537,42 +7536,29 @@ _DRIVER_LAST_VERIFIED: dict[str, int] = {
 # recorded verification is stale — schedule them as if never verified.
 _STALE_VERIFICATION: set[str] = set()
 
-# Queries whose machinery round 16 changed after their last driver check.
-# Round 16 lands (a) the ADVICE-r15 scripting closure: string `+` with
-# exactly one string operand now concatenates like Rhai's
-# MoreStringPackage add_append/add_prepend (both tiers), instead of the
-# incorrectly-asserted runtime type error — the five script-bearing
-# queries ride; (b) the r15-verdict HTML capacity fix bundle in warc.py
-# (measured nonzero incidence → FIX): quoted-attribute block-opener
-# literals no longer swallow content (protect_quoted_block_openers),
-# metadata resolves multi-instance fields in document order with
-# unquoted discriminators, the dot-segment gate covers '?'/'#'
-# terminators (ADVICE r15), and the protect/strip/extract pipeline is
-# stage-bound via bind_once — ALL SEVEN HTML-family queries ride;
-# (c) the optimization round's pagerank `checkpoint_every` knob
-# (behavior.py): off by default so the declared plans/results are
-# byte-identical, but the unroll loop now evaluates the cadence
-# condition on the happy path, so both pagerank riders re-earn
-# (crawl_host_rank already rides via (b)) — same precedent as the r11
-# pure-wrapping riders.
-# Touched names ride at the window head, displacing the NEWEST r10-era
-# tail names per the r15 verdict — the 20-name r9-era remainder keeps
-# its slots.
-_ROUND16_TOUCHED: set[str] = {
-    # (a) scripting.py string-+ concat closure
-    "f12_where_script", "f12_where_script_stmt", "f12_where_udf_tier",
-    "sc1_script_score", "pipeline_flagship",
-    # (b) warc.py HTML fix bundle (shared protect/strip/extract chain)
-    "llm_html_metadata", "llm_html_outlinks", "llm_html_jsonld",
-    "llm_html_image_pairs", "llm_warc_ingest", "crawl_host_rank",
-    "multimodal_image_text_pairs",
-    # (c) behavior.py pagerank checkpoint_every rider
-    "graph_pagerank",
+# Queries whose machinery round 16/17 changed after their last driver
+# check. The r16 VERDICT's top finding: the r16 window spent its 50
+# slots on inherited mid-build riders and rotation names while every
+# query whose RESULT-PRODUCING machinery round 16 rewrote was steered
+# away from the driver's oracle. These 17 rewrites (bounded-rank family,
+# KMV array sketches, shingle persist+hash-key join, fused curation
+# flags, AQE-reuse de-persists, dHash-band persist) ride at the window
+# head this round so CORRECTNESS_r17.json actually exercises them —
+# verdict item 1, which "outranks every perf task". Queries whose
+# operators round 17 touches join the set as the round progresses.
+_ROUND17_TOUCHED: set[str] = {
+    # r16 rewrites the driver never verified (VERDICT r16 "What's wrong" #1)
+    "kmv_set_ops_events", "hybrid_rrf_search", "text_bm25_search",
+    "text_bm25_indexed", "llm_bpe_train", "llm_weighted_sample",
+    "llm_top_terms", "dedup_ngram_jaccard", "dedup_containment",
+    "llm_curation_flags", "llm_curation_pipeline_neardup",
+    "text_langid_ngram", "s9_liked_weighted", "s10_liked_by_likers",
+    "dedup_simhash", "media_perceptual_dedup", "media_incremental_dedup",
 }
 
 # Stable alias so _driver_order and the scheduling tests survive the
 # per-round rename of the touched set.
-_ROUND_TOUCHED = _ROUND16_TOUCHED
+_ROUND_TOUCHED = _ROUND17_TOUCHED
 
 
 def _driver_order() -> list[str]:
