@@ -52,27 +52,47 @@ def curation_flags(
     columns are all integers/booleans, so the output hashes identically
     across engines.
     """
-    from pyspark.sql import Window
+    from query_engine_spark.llmdata import tracked_persist
 
     did = F.col(id_col)
-    # One pass for the three per-row/window signals (r16): quality and
-    # langid are pure column expressions and the exact-dup flag is
-    # `doc_id != min(doc_id) over (partition by fingerprint)` — computing
-    # them in a single select + one fp-keyed window replaces three
-    # separate scans and two doc-keyed joins (the before-plan carried 11
-    # scans / 17 exchanges; guide §2.4). Values are identical: the window
-    # min is exactly the old groupBy-join `keeper`, and quality/lang are
-    # the same expressions quality_features/langid evaluate.
-    base = df.select(
+    # One pass for the three per-row signals (r16): quality and langid are
+    # pure column expressions computed in the same select as the dup
+    # fingerprint — one corpus scan for all three instead of three scans
+    # and two doc-keyed joins (the r15 plan carried 11 scans / 17
+    # exchanges; guide §2.4). PERSISTED (r17): the keeper aggregation and
+    # the probe below both consume it and share no exchange — unpersisted,
+    # the r17 join shape re-ran the scan + fingerprint/quality/langid
+    # expressions per consumer and measured 3.22 s vs the window's 2.02 s;
+    # cached, both read the narrow (id, fp, quality, lang) rows once and
+    # the join form is bench-neutral vs the window (interleaved min-of-4:
+    # 2.381 vs 2.352 s, every run pair within noise —
+    # tools/r17_ab_curation.py).
+    base = tracked_persist(df.select(
         did.alias("doc_id"),
         D.fingerprint(F.col(text_col)).alias("__fp"),
         Tx.quality_col(F.col(text_col)).alias("quality"),
         Tx.langid(F.col(text_col)).alias("lang_pred"),
+    ))
+    # Exact-dup keeper via groupBy + join, NOT `min(doc_id) over
+    # (partition by __fp)` (r16 verdict "What's wrong" #3): the window has
+    # no map-side partial aggregation, so one hot fingerprint (millions of
+    # empty/boilerplate docs sharing an fp) lands in a single window task
+    # at 100 TB. The groupBy partial-aggregates each map task's hot-fp rows
+    # to one, and the join back is AQE-skew-splittable (guide §2.5) — at
+    # bench scale the keeper side broadcasts. Null-SAFE equality keeps the
+    # window's (and the oracle's) null semantics: all null-fingerprint
+    # docs form ONE dup group, exactly like `PARTITION BY fp` groups
+    # nulls; a plain equi-join would silently drop them.
+    keeper = base.groupBy("__fp").agg(F.min("doc_id").alias("__keep_id"))
+    per_row = (
+        base.join(keeper, base["__fp"].eqNullSafe(keeper["__fp"]), "inner")
+        .select(
+            base["doc_id"],
+            (base["doc_id"] != F.col("__keep_id")).alias("is_dup"),
+            "quality",
+            "lang_pred",
+        )
     )
-    w = Window.partitionBy("__fp")
-    per_row = base.withColumn(
-        "is_dup", F.col("doc_id") != F.min("doc_id").over(w)
-    ).drop("__fp")
     rep = Tx.repetition_features(df, id_col=id_col, text_col=text_col).select(
         "doc_id", "top2_ppm"
     )

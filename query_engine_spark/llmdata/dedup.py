@@ -310,10 +310,16 @@ def minhash_dedup_pairs(
     """LSH candidates verified by exact shingle-set Jaccard ≥ threshold.
     Returns (id_a, id_b, jaccard) — `jaccard` rounded to 6 for portability.
 
-    The (repartitioned) input is persisted once and shared by the signature
-    aggregation and the verify join — otherwise each stage re-scans and
-    re-derives the shingles."""
-    df = tracked_persist(df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)))
+    The repartitioned input is NOT persisted (r17 re-check under the r16
+    AQE-reuse lens, verdict item 3): the repartition IS an exchange, and
+    all three consumers (the signature agg inside the persisted banded
+    table, and the two verify-join shingle sides) sit directly above it —
+    ReuseExchange dedups the scan at runtime and the persist was pure
+    block-store overhead. Interleaved min-of-4 on dedup_minhash_lsh at
+    sf0.1 (tools/r17_ab_lsh.py): banded-persist-only 0.993 s vs
+    banded+df 1.105 s vs neither 1.044 s vs df-only 1.222 s — the banded
+    persist stays (its self-join sides share no exchange above it)."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     cand = lsh_candidate_pairs(df, text_col, id_col, n_hashes=n_hashes, bands=bands, k=k)
     sh = df.select(F.col(id_col).alias("id"), F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh"))
     j = (
@@ -579,15 +585,19 @@ def ngram_jaccard_pairs(
     narrow (id, shingle) table vs three re-reads of the text corpus."""
     from query_engine_spark.llmdata import tracked_persist
 
-    sh = df.select(
+    sh = tracked_persist(df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("s"),
-    )
+    ))
     if max_df is not None:
-        sh = tracked_persist(sh)
+        # ONE persist (r16 ADVICE: the old shape cached the pre-filter AND
+        # the post-filter shingle tables simultaneously — ~2× the largest
+        # intermediate in the query). Cache the pre-filter explode only;
+        # the post-filter view is a lazy broadcast semi-join probe of the
+        # cache, and its dfreq build subtree is identical across the three
+        # downstream consumers, so ReuseExchange computes it once.
         dfreq = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
         sh = sh.join(dfreq.select("s"), "s", "left_semi")
-    sh = tracked_persist(sh)
     # sizes AFTER the max_df filter so the Jaccard numerator and denominator
     # use the same shingle universe (round-1 advice: computing sizes first
     # biased similarity low when max_df dropped stop-grams)
@@ -646,15 +656,14 @@ def containment_pairs(
     """
     from query_engine_spark.llmdata import tracked_persist
 
-    sh = df.select(
+    sh = tracked_persist(df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("s"),
-    )
+    ))
     if max_df is not None:
-        sh = tracked_persist(sh)
+        # one persist for the pre-filter table only — see ngram_jaccard_pairs
         dfreq = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
         sh = sh.join(dfreq.select("s"), "s", "left_semi")
-    sh = tracked_persist(sh)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     # hash-prejoin key with exact-string residual — see ngram_jaccard_pairs
     a = sh.select("id", "s", F.xxhash64("s").alias("__h")).alias("a")

@@ -178,14 +178,20 @@ def translate_curation_pipeline(
                     "label_min_quality", 0.5
                 )
                 n_buckets = stage.get("n_buckets", 4096)
-                # deliberately NOT fused into one tokenization pass (r16
-                # A/B): a shared per-(doc, bucket) pre-agg feeding both the
-                # model agg and the doc score shuffles ~one row per token
-                # (docs spread over 4096 buckets, so the partial agg barely
-                # collapses), while these two groupBys partial-aggregate
-                # map-side to ≤n_buckets / per-doc rows — tiny shuffles.
-                # Interleaved same-session: unfused 1.99 s vs fused 2.41 s
-                # on the full pipeline (tools/r16_ab_classifier.py).
+                # deliberately NOT fused into one tokenization pass. Two
+                # shapes measured and rejected: (r16) a shared
+                # per-(doc, bucket) pre-agg exchange barely collapses (docs
+                # spread over 4096 buckets) and shuffles ~one row per token
+                # — unfused 1.99 s vs fused 2.41 s
+                # (tools/r16_ab_classifier.py); (r17, verdict item 3) a
+                # PERSISTED un-aggregated (doc_id, __pos, bkt) per-token
+                # table feeding both groupBys — the block-store
+                # materialization of one row per token costs more than the
+                # duplicate explode+md5 it saves: full neardup pipeline
+                # interleaved min-of-4, 2.94 s unfused vs 3.38 s shared
+                # (tools/r17_ab_neardup.py). The two groupBys'
+                # map-side partial aggregation (≤n_buckets / per-doc rows
+                # shuffled) keeps winning; guide §2.3.
                 model = Tx.train_hashed_classifier(df, label, n_buckets=n_buckets)
                 scored = Tx.hashed_classifier_score(
                     df, model, label, n_buckets=n_buckets

@@ -1174,9 +1174,23 @@ def semdedup(
     if k is None:
         n = embeddings.select(id_col).count()
         k = max(8, n // target_cluster_size)
-    assigned = kmeans_lloyd(
+    from query_engine_spark.llmdata import tracked_persist
+
+    # Persist the ASSIGNMENT OUTPUT (narrow (vec_id, cent_id) rows): it is
+    # consumed twice — the pair-scoring side join and the final is_dup
+    # left join — and each consumer otherwise replays the full assignment
+    # chain (embedding scan → quantize → broadcast-centroid cross join →
+    # per-vector argmax window; AQE reuse only dedups the exchange BELOW
+    # the window, re-running the sort/rank/dot products per branch).
+    # Measured NEUTRAL at sf0.1 (full-query min-of-4 incl. construction:
+    # 2.81 s persisted vs 2.92 s not, overlapping bands —
+    # tools/r17_ab_semdedup.py; the 2000-row table persists for free);
+    # kept for scale, where the replayed branch is a second full pass over
+    # the embedding corpus vs caching two integer columns per vector
+    # (r16 verdict item 7).
+    assigned = tracked_persist(kmeans_lloyd(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col, quant=quant
-    )
+    ))
     # per-vector norm ONCE below the join boundary: cosine(a,b) inside the
     # pair join would recompute both norms per PAIR — 3x the per-pair flops
     # on Σ|cluster|² pairs (and HOF array folds are interpreted, not

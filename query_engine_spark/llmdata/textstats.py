@@ -707,6 +707,17 @@ def lm_score_docs(
                 "self-training an LM on an unbounded stream is ill-defined — "
                 "train offline with ngram_lm and pass it as `lm`"
             )
+        # Self-training keeps its OWN corpus explode — the shared-gram
+        # rollup (corpus counts = Σ of the per-(doc, gram) pre-agg, AQE
+        # reusing that exchange) was RE-MEASURED UNPERSISTED in r17 per the
+        # r16 verdict item 6 and still lost: 0.90 s direct vs 1.25 s shared
+        # (backoff 1.56 vs 1.73 s), interleaved same-session min-of-3,
+        # tools/r17_ab_lm.py. Mechanism: the rollup's reused exchange
+        # carries one row per (doc, gram) — the direct explode→groupBy(g)
+        # map-side-combines to ≤|vocab| rows per task before shuffling
+        # (guide §2.3 "aggregate before you shuffle"), the same reason the
+        # r16 classifier fusion lost. The r8 persisted-shape measurement
+        # (6.2 vs 4.2 s) pointed the same way.
         lm = ngram_lm(df, n, text_col=text_col, min_count=min_count, quant=quant)
     lm_side = lm.select(F.col("ngram").alias("g"), "prob_q")
     if df.isStreaming:
@@ -764,8 +775,6 @@ def stupid_backoff_score(
     """
     from query_engine_spark.llmdata.dedup import word_shingles
 
-    lm3 = ngram_lm(df, 3, text_col=text_col, min_count=min_count, quant=quant)
-    lm2 = ngram_lm(df, 2, text_col=text_col, min_count=min_count, quant=quant)
     dg = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -775,6 +784,15 @@ def stupid_backoff_score(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("g2", F.regexp_replace("g", "^[^ ]+ ", ""))
     )
+    # Both LM tables keep their own corpus explode: deriving the trigram
+    # LM from dg's rollup (shared (doc_id, g) exchange, AQE-reused) was
+    # re-measured UNPERSISTED in r17 and lost, 1.56 s direct vs 1.73 s
+    # shared (tools/r17_ab_lm.py, interleaved min-of-3) — the reused
+    # exchange ships per-(doc, gram) rows while the direct explode's
+    # groupBy(g) map-side-combines to ≤|vocab| rows per task first
+    # (guide §2.3); see lm_score_docs for the full note.
+    lm3 = ngram_lm(df, 3, text_col=text_col, min_count=min_count, quant=quant)
+    lm2 = ngram_lm(df, 2, text_col=text_col, min_count=min_count, quant=quant)
     j = (
         dg.join(
             lm3.select(F.col("ngram").alias("g"), F.col("prob_q").alias("p3")),

@@ -172,6 +172,8 @@ def pagerank(
     checkpointing only materializes them — parity collect-verified at
     iters=8 for k=2 and k=4).
     """
+    from query_engine_spark.cache import _PERSISTED, local_checkpoint_with_free
+
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     nodes = (
         e.select(F.col("u").alias("node"))
@@ -183,6 +185,7 @@ def pagerank(
     r = nodes.crossJoin(F.broadcast(nn)).select(
         "node", F.expr(f"{scale} div n").alias("r")
     )
+    _prev_free = None
     for it in range(iters):
         j = r.join(outdeg, "node", "left")
         contrib = j.filter(F.col("outdeg").isNotNull()).select(
@@ -213,7 +216,20 @@ def pagerank(
             and (it + 1) % checkpoint_every == 0
             and (it + 1) < iters
         ):
-            r = r.localCheckpoint()
+            # tracked checkpoint, dedup_clusters pattern (ADVICE r16): a raw
+            # localCheckpoint leaves non-evictable RDD blocks no
+            # Dataset.unpersist can reach, so a long-lived driver leaks one
+            # rank table per cadence point. localCheckpoint is EAGER, so
+            # once the new checkpoint exists the previous round's blocks are
+            # dead — free them immediately; the LAST checkpoint's blocks are
+            # registered for clear_tracked_cache() (the caller still needs
+            # them to materialize the returned ranks).
+            r, free = local_checkpoint_with_free(r)
+            if _prev_free is not None:
+                _PERSISTED.remove(_prev_free)
+                _prev_free()
+            _PERSISTED.append(free)
+            _prev_free = free
     return r.select("node", F.col("r").alias("rank_q"))
 
 

@@ -6584,7 +6584,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kmv_set_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    out = Sk.kmv_set_ops(ev, "event_type", "user_id", k=64)
+    # broadcast_sketches=True: |sets| = |event types|, an application-bounded
+    # enum (single digits at every SF) — skip the operator's counting gate
+    out = Sk.kmv_set_ops(ev, "event_type", "user_id", k=64, broadcast_sketches=True)
     return out.select(
         "set_a",
         "set_b",
@@ -7554,6 +7556,16 @@ _ROUND17_TOUCHED: set[str] = {
     "llm_curation_flags", "llm_curation_pipeline_neardup",
     "text_langid_ngram", "s9_liked_weighted", "s10_liked_by_likers",
     "dedup_simhash", "media_perceptual_dedup", "media_incremental_dedup",
+    # r17 machinery changes: minhash_dedup_pairs drops the stage-input
+    # persist (AQE reuses the repartition exchange) — every caller rides
+    "dedup_minhash_lsh", "dedup_clusters", "llm_dedup_funnel",
+    "dedup_best_of_cluster", "llm_prepare_corpus",
+    # r17: semdedup persists the assignment output
+    "embed_semdedup",
+    # r17: pagerank cadence branch now frees checkpoint blocks; the
+    # unroll body changed on the happy path — both riders re-earn
+    # (r16 precedent)
+    "graph_pagerank", "crawl_host_rank",
 }
 
 # Stable alias so _driver_order and the scheduling tests survive the

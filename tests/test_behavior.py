@@ -234,6 +234,33 @@ def test_pagerank_checkpoint_cadence_bit_identical(spark):
     assert want == brute_pagerank(edges, iters=6)
 
 
+def test_pagerank_checkpoint_blocks_freed(spark):
+    # r17 (ADVICE r16): checkpoint_every now goes through
+    # local_checkpoint_with_free — each cadence point frees the PREVIOUS
+    # round's RDD blocks immediately (they are dead once the next eager
+    # checkpoint exists), and the LAST checkpoint's blocks are registered
+    # with the tracked cache so clear_tracked_cache() reclaims them. A raw
+    # r.localCheckpoint() leaked one non-evictable rank table per cadence
+    # point for the lifetime of the driver.
+    from query_engine_spark.cache import clear_tracked_cache
+    from query_engine_spark.operators.behavior import pagerank
+
+    clear_tracked_cache()
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    edges = [(i, (i + 1) % 9) for i in range(9)] + [(0, 5), (3, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = pagerank(df, iters=6, checkpoint_every=2)  # cadence points at 2, 4
+    # construction is eager (localCheckpoint): only the LAST checkpoint's
+    # blocks may be alive — the it=2 round's blocks were freed at it=4
+    mid = set(jsc.getPersistentRDDs().keySet().toArray()) - before
+    assert len(mid) <= 1, f"previous cadence blocks leaked: {sorted(mid)}"
+    out.collect()
+    clear_tracked_cache()
+    after = set(jsc.getPersistentRDDs().keySet().toArray()) - before
+    assert not after, f"checkpoint blocks survived clear_tracked_cache: {sorted(after)}"
+
+
 def test_transition_matrix_handcrafted(spark):
     import datetime as dt
     from query_engine_spark.operators.behavior import transition_matrix

@@ -394,6 +394,32 @@ def test_kmv_set_ops_estimate_close_and_all_pairs(spark):
     assert got[("B", "C")].jaccard_est == 0.0
 
 
+def test_kmv_set_ops_broadcast_gate_fallback_identical(spark):
+    """The r17 broadcast gate (verdict r16 item 4): past
+    _KMV_BROADCAST_MAX_SETS the sketch self-join drops the broadcast hint
+    and degrades to a partitioned non-broadcast join instead of
+    hard-failing the 8 GB broadcast cap. The fallback path must produce
+    identical estimates, and forcing the gate OFF must really remove the
+    broadcast hint from the plan."""
+    from query_engine_spark.operators import sketches as Sk
+
+    rows = [Row(s="A", v=i) for i in range(10)] + [
+        Row(s="B", v=i) for i in range(5, 15)
+    ] + [Row(s="C", v=i) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    on = sorted(map(tuple, Sk.kmv_set_ops(df, "s", "v", k=64, broadcast_sketches=True).collect()))
+    off = sorted(map(tuple, Sk.kmv_set_ops(df, "s", "v", k=64, broadcast_sketches=False).collect()))
+    assert on == off and len(on) == 3
+    # the auto gate counts the sets (3 <= max) and broadcasts
+    auto = sorted(map(tuple, Sk.kmv_set_ops(df, "s", "v", k=64).collect()))
+    assert auto == on
+    # plan check: no BroadcastNestedLoopJoin without the hint
+    plan_off = Sk.kmv_set_ops(df, "s", "v", k=64, broadcast_sketches=False)._jdf.queryExecution().executedPlan().toString()
+    plan_on = Sk.kmv_set_ops(df, "s", "v", k=64, broadcast_sketches=True)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan_on
+    assert "BroadcastNestedLoopJoin" not in plan_off
+
+
 def test_kmeans_lloyd_separates_clear_clusters(spark):
     from query_engine_spark.llmdata.similarity import kmeans_lloyd
 
