@@ -153,9 +153,20 @@ def translate_curation_pipeline(
                 lab = df.join(cc, "doc_id", "left").withColumn(
                     "__cluster", F.coalesce("cluster", F.col("doc_id"))
                 ).drop("cluster")
+                # keep=best materializes the quality score as a real column
+                # (`__q`) and CARRIES it to later stages: quality_score_col
+                # is dozens of string ops per doc, and a downstream
+                # classifier_filter needs the same value for its training
+                # label and prior — reusing the column evaluates it once
+                # per doc instead of three times (r17; a pure per-row
+                # expression, so the value is identical wherever computed).
+                # `run` drops __q before returning.
+                keep_best = stage.get("keep", "best") == "best"
+                if keep_best:
+                    lab = lab.withColumn("__q", quality_score_col(F.col("text")))
                 order = (
-                    [quality_score_col(F.col("text")).desc(), F.col("doc_id")]
-                    if stage.get("keep", "best") == "best"
+                    [F.col("__q").desc(), F.col("doc_id")]
+                    if keep_best
                     else [F.col("doc_id")]
                 )
                 w = Window.partitionBy("__cluster").orderBy(*order)
@@ -173,10 +184,15 @@ def translate_curation_pipeline(
                 # cost — persist the narrow doc projection once. At real
                 # scale the funnel writes the deduped corpus out between
                 # stages anyway; this is the in-session equivalent.
+                # reuse an upstream keep=best stage's materialized quality
+                # column when present (same pure per-row expression — see
+                # the dedup_minhash note); the persist then caches the
+                # already-computed score instead of re-deriving it for the
+                # training label AND the prior aggregate
+                if "__q" not in df.columns:
+                    df = df.withColumn("__q", quality_score_col(F.col("text")))
                 df = tracked_persist(df)
-                label = quality_score_col(F.col("text")) >= stage.get(
-                    "label_min_quality", 0.5
-                )
+                label = F.col("__q") >= stage.get("label_min_quality", 0.5)
                 n_buckets = stage.get("n_buckets", 4096)
                 # deliberately NOT fused into one tokenization pass. Two
                 # shapes measured and rejected: (r16) a shared
@@ -285,6 +301,8 @@ def translate_curation_pipeline(
                     capacity=stage.get("capacity", 512),
                     shards=stage.get("shards", 32),
                 )
-        return df
+        # `__q` is a stage-to-stage internal (the shared quality column) —
+        # it must never change a pipeline's output schema
+        return df.drop("__q") if "__q" in df.columns else df
 
     return run
