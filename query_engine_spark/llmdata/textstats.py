@@ -127,39 +127,46 @@ def langid_ngram_table(
 ) -> DataFrame:
     """Character-n-gram language ID as (id, lang_pred) — the scale path.
 
-    Same semantics as the Column form ``langid_ngram`` but built as
-    explode → broadcast profile join → two aggregates instead of one
-    per-language higher-order-function expression per row. The HOF form
-    re-inlines the trigram transform ~5× per language and runs interpreted
-    (not codegen'd) — 24 s at sf0.01; this shape is sub-second. Profile rows
-    (~24) broadcast; argmax = min(struct(-score, lang)) for the alphabetical
-    tie-break; docs with no trigrams or zero hits get `default`.
+    MAP-ONLY (r17): per-language hit counts via `regexp_count` with a
+    zero-width-lookahead alternation of the profile's quoted trigram
+    literals — ``(?=(?:\\Qg1\\E|\\Qg2\\E|...))`` matches (and counts) every
+    POSITION where a profile trigram starts, which is exactly the
+    explode-form's overlapping count: at most one 3-char literal of a
+    language can start at a given position, and a zero-width find()
+    advances one char, so positions are counted independently. Each
+    pattern is a fixed-literal alternation under a lookahead — no
+    quantifiers, every attempt bounded by six 3-char comparisons, linear
+    on any adversarial input (the r12/r13 regex discipline). The previous
+    shape (trigram-array explode → 24-row broadcast profile join → two
+    aggregates) spent 1.5 s of its 2.6 s at sf0.1 building the trigram
+    array in the interpreted `transform` HOF; this form is pure codegen
+    expressions — 0.46 s, no Generate, no join, no exchange, and the
+    per-language score's shared denominator means the argmax needs no
+    division at all (argmax over h == argmax over h/max(n,1)).
+    Collect-verified identical on sf0.1 (tools note in OPTIMIZATION_r17).
+    Argmax = least(struct(-h, lang)) for the alphabetical tie-break over
+    the hit languages; docs with no trigrams, no hits, or null text get
+    `default` (null counts propagate to a null condition → otherwise).
     """
-    spark = df.sparkSession
-    rows = [(g, lang) for lang, grams in CHAR_TRIGRAM_PROFILES.items() for g in grams]
-    prof = spark.createDataFrame(rows, "gram string, lang string")
-    tri = df.select(F.col(id_col).alias("id"), F.explode(char_trigrams(F.col(text_col))).alias("gram"))
-    # per-doc trigram total = max(len(normalized)-2, 0) as a pure column —
-    # identical to counting the exploded rows, without the second pass over
-    # the ~len(text)-row explode and its doc-keyed agg exchange (r16;
-    # guide §2.4: the explode existed only to re-derive a row count the
-    # scan already knows)
     from query_engine_spark.llmdata.dedup import normalize_text
 
-    totals = df.select(
-        F.col(id_col).alias("id"),
-        F.greatest(F.length(normalize_text(F.col(text_col))) - F.lit(2), F.lit(0)).alias("n"),
+    langs = sorted(CHAR_TRIGRAM_PROFILES)
+    norm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("__t"))
+    pats = {
+        l: "(?=(?:" + "|".join("\\Q%s\\E" % g for g in CHAR_TRIGRAM_PROFILES[l]) + "))"
+        for l in langs
+    }
+    scored = norm.select(
+        F.col(id_col),
+        *[F.regexp_count(F.col("__t"), F.lit(pats[l])).alias(f"__h_{l}") for l in langs],
     )
-    hits = tri.join(F.broadcast(prof), "gram").groupBy("id", "lang").agg(F.count(F.lit(1)).alias("h"))
-    scored = hits.join(totals, "id").withColumn("s", F.col("h") / F.greatest(F.col("n"), F.lit(1)))
-    best = scored.groupBy("id").agg(
-        F.min(F.struct((-F.col("s")).alias("ns"), F.col("lang").alias("lang"))).alias("b")
+    best = F.least(
+        *[F.struct((-F.col(f"__h_{l}")).alias("ns"), F.lit(l).alias("lang")) for l in langs]
     )
-    picked = best.select("id", F.col("b.lang").alias("lang_pred"))
-    return (
-        df.select(F.col(id_col).alias("id"))
-        .join(picked, "id", "left")
-        .select(F.col("id").alias(id_col), F.coalesce("lang_pred", F.lit(default)).alias("lang_pred"))
+    anyhit = F.greatest(*[F.col(f"__h_{l}") for l in langs]) > 0
+    return scored.select(
+        F.col(id_col),
+        F.when(anyhit, best["lang"]).otherwise(F.lit(default)).alias("lang_pred"),
     )
 
 
