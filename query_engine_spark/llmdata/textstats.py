@@ -70,20 +70,27 @@ def _tokens(col: Column) -> Column:
     return F.split(normalize_text(col), " ")
 
 
+def _word_hits(nt: Column, words: tuple[str, ...]) -> Column:
+    """Count of whole-token occurrences of `words` in normalized text `nt`
+    (single-space separated, trimmed — normalize_text's contract), as a
+    zero-width-lookahead regexp count: ``(?=(?:^| )(?:\\Qw\\E|...)(?: |$))``
+    matches exactly one position per occurrence (the boundary before the
+    token), so the count equals ``size(filter(split(nt,' '), isin(words)))``
+    — the r17 langid_ngram_table device applied to token membership. The
+    HOF filter it replaces is interpreted per array element; this is one
+    codegen'd linear regex pass (fixed-literal alternation, no
+    quantifiers)."""
+    pat = "(?=(?:^| )(?:" + "|".join("\\Q%s\\E" % w for w in words) + ")(?: |$))"
+    return F.regexp_count(nt, F.lit(pat))
+
+
 def langid_scores(col: Column) -> dict[str, Column]:
     """Per-language stopword hit-rate (fraction of tokens in the profile)."""
-    toks = _tokens(col)
-    n = F.greatest(F.size(toks), F.lit(1))
+    from query_engine_spark.llmdata.dedup import normalize_text
 
-    def member_of(words: tuple[str, ...]):
-        # single-arg lambda: a 2-arg lambda would be treated as (elem, index)
-        return lambda t: t.isin(list(words))
-
-    out = {}
-    for lang, words in LANG_PROFILES.items():
-        hits = F.size(F.filter(toks, member_of(words)))
-        out[lang] = hits / n
-    return out
+    nt = normalize_text(col)
+    n = F.greatest(F.size(F.split(nt, " ")), F.lit(1))
+    return {lang: _word_hits(nt, words) / n for lang, words in LANG_PROFILES.items()}
 
 
 def langid(col: Column, default: str = "und") -> Column:
@@ -199,11 +206,15 @@ def quality_col(t: Column) -> Column:
     same 6-digit ratio rounding) — for callers that need the gate as a pure
     row expression without the feature table (pipeline.quality_score_col
     delegates here; curation_flags fuses it into its per-row pass)."""
-    toks = _tokens(t)
-    n_tok = F.size(toks)
+    from query_engine_spark.llmdata.dedup import normalize_text
+
+    nt = normalize_text(t)
+    n_tok = F.size(F.split(nt, " "))
     n_chars = F.length(t)
     punct = F.length(F.regexp_replace(t, "[^.!?,;:]", ""))
-    en_hits = F.size(F.filter(toks, lambda x: x.isin(*LANG_PROFILES["en"])))
+    # whole-token stopword count as a codegen'd lookahead regexp instead of
+    # the interpreted filter-isin HOF — identical integer (see _word_hits)
+    en_hits = _word_hits(nt, LANG_PROFILES["en"])
     punct_ratio = F.round(punct / F.greatest(n_chars, F.lit(1)), 6)
     stop_ratio = F.round(en_hits / F.greatest(n_tok, F.lit(1)), 6)
     return F.round(
@@ -220,12 +231,16 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     The composite mirrors the usual C4/Gopher-style gates: not too short,
     sane punctuation density, some stopwords (a fluency proxy).
     """
+    from query_engine_spark.llmdata.dedup import normalize_text
+
     t = F.col(text_col)
-    toks = _tokens(t)
-    n_tok = F.size(toks)
+    nt = normalize_text(t)
+    n_tok = F.size(F.split(nt, " "))
     n_chars = F.length(t)
     punct = F.length(F.regexp_replace(t, "[^.!?,;:]", ""))
-    en_hits = F.size(F.filter(toks, lambda x: x.isin(*LANG_PROFILES["en"])))
+    # codegen'd lookahead count instead of the interpreted filter-isin HOF
+    # — identical integer (see _word_hits)
+    en_hits = _word_hits(nt, LANG_PROFILES["en"])
     feats = df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
