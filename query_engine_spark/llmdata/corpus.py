@@ -83,12 +83,16 @@ def curation_flags(
     # window's (and the oracle's) null semantics: all null-fingerprint
     # docs form ONE dup group, exactly like `PARTITION BY fp` groups
     # nulls; a plain equi-join would silently drop them.
-    keeper = base.groupBy("__fp").agg(F.min("doc_id").alias("__keep_id"))
+    keeper = (
+        base.groupBy("__fp")
+        .agg(F.min("doc_id").alias("__keep_id"))
+        .withColumnRenamed("__fp", "__kfp")
+    )
     per_row = (
-        base.join(keeper, base["__fp"].eqNullSafe(keeper["__fp"]), "inner")
+        base.join(keeper, F.col("__fp").eqNullSafe(F.col("__kfp")), "inner")
         .select(
-            base["doc_id"],
-            (base["doc_id"] != F.col("__keep_id")).alias("is_dup"),
+            "doc_id",
+            (F.col("doc_id") != F.col("__keep_id")).alias("is_dup"),
             "quality",
             "lang_pred",
         )

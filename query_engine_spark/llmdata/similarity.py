@@ -260,6 +260,15 @@ def assign_cells(
     end-to-end. The crossJoin+window form stays; at very large scale the
     window shuffle is one keyed exchange of (vec_id, cent_id, csim)
     proxies, not payloads.
+
+    r17 re-check: with semdedup's assignment output now persisted (the
+    re-evaluation that sank variant (a) in r16 is gone), the fold was
+    re-measured on all four real consumers' full queries
+    (tools/r17_ab_assign.py, interleaved min-of-3, parity-verified) and
+    still LOST everywhere: semdedup 2.53 window vs 3.00 fold, kmeans 1.75
+    vs 2.50, ivf_topk 0.88 vs 1.64, ivfpq_topk 4.88 vs 6.28 — the
+    per-element struct-building aggregate fold is simply slower than the
+    codegen crossJoin + one keyed window. Window form re-confirmed.
     """
     c = F.broadcast(
         centroids.select(
