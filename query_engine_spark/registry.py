@@ -7566,6 +7566,20 @@ _ROUND17_TOUCHED: set[str] = {
     # unroll body changed on the happy path — both riders re-earn
     # (r16 precedent)
     "graph_pagerank", "crawl_host_rank",
+    # r17 text-machinery rewrites (collect-verified identical, but the
+    # executed code changed, so every consumer re-earns):
+    # word_shingles -> regexp_extract_all lookahead capture
+    "dedup_incremental", "llm_decontaminate", "llm_doc_lm_score",
+    "llm_dsir_weights", "llm_ngram_lm", "llm_stupid_backoff",
+    "text_contamination", "text_doc_segment_dedup", "text_dup_spans",
+    "text_fingerprint", "text_strip_dup_spans", "text_winnowing",
+    # quality/langid stopword counts -> lookahead regexp_count
+    "text_langid", "text_quality", "llm_quality_calibrated",
+    # translate_curation_pipeline (shared __q column, run() tail) — all
+    # pipeline queries' happy path runs the new code (r11 precedent)
+    "llm_curation_pipeline", "llm_curation_pipeline_balance",
+    "llm_curation_pipeline_decontam", "llm_curation_pipeline_scrub",
+    "text_repetition_features",
 }
 
 # Stable alias so _driver_order and the scheduling tests survive the

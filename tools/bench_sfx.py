@@ -40,6 +40,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# text_tfidf_pairs is deliberately ABSENT: the synthetic corpus has a
+# ~31-word vocabulary, so at factor 10 its candidate-pair upper bound is
+# 2.2e9 and the operator's in-plan max_pairs assert fires (loudly, BEFORE
+# the term-keyed shuffle — the guard working as designed; see its
+# docstring). That is a fixture property, not a workload this probe can
+# measure meaningfully.
 HEAVY10 = [
     "llm_curation_pipeline_neardup",
     "dedup_simhash",
@@ -48,7 +54,7 @@ HEAVY10 = [
     "dedup_ngram_jaccard",
     "llm_stupid_backoff",
     "graph_pagerank",
-    "text_tfidf_pairs",
+    "text_repetition_features",
     "llm_bpe_train",
     "dedup_minhash_lsh",
 ]
