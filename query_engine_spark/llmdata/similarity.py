@@ -221,12 +221,33 @@ def srp_near_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # per-side norms hoisted BELOW the verify join (r17; the r6 cosine
+    # lesson): cosine() inlined per pair re-runs both 64-element
+    # interpreted norm folds per CANDIDATE — 3x the per-pair fold ops.
+    # dot/(na*nb) is the same IEEE ops in the same order as
+    # dot/(l2(a)*l2(b)), so round(...,6) cannot drift (parity-verified;
+    # neutral at sf0.1's 581 output pairs — 0.972 vs 0.967 s interleaved —
+    # and structural where candidates ≫ vectors; tools/r17_ab_srp.py,
+    # which also re-checked both persists under the AQE-reuse lens:
+    # UNLIKE simhash, dropping the signature persist here regresses
+    # 0.97 -> 1.87 s, so both persists stay).
+    va = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("__na"),
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("__nb"),
+    )
     out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")), 6
+            ).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
     )
     return out

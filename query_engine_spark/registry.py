@@ -7575,6 +7575,8 @@ _ROUND17_TOUCHED: set[str] = {
     "text_fingerprint", "text_strip_dup_spans", "text_winnowing",
     # quality/langid stopword counts -> lookahead regexp_count
     "text_langid", "text_quality", "llm_quality_calibrated",
+    # srp verify-join norm hoist
+    "embed_srp_near_dup",
     # translate_curation_pipeline (shared __q column, run() tail) — all
     # pipeline queries' happy path runs the new code (r11 precedent)
     "llm_curation_pipeline", "llm_curation_pipeline_balance",
