@@ -1208,6 +1208,7 @@ def bpe_train(
     *,
     rounds: int = 6,
     text_col: str = "text",
+    driver_vocab_max: int = 4096,
 ):
     """Iterative BPE vocabulary TRAINING (Sennrich et al. 2016): `rounds`
     merge rounds, each picking the corpus-wide most frequent adjacent
@@ -1244,6 +1245,42 @@ def bpe_train(
         F.lit("|"), F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), "|"), F.lit("|")
     )
     vocab = tracked_persist(vocab.select("cnt", seg0.alias("seg")))
+    # Small-vocabulary fast path (r17): the merge loop is inherently
+    # sequential and ALREADY driver-paced — one argmax collect per round.
+    # When the (persisted, model-sized) vocabulary fits a small bound,
+    # collect it ONCE and run the rounds locally: 6 vocab-sized Spark jobs
+    # + 6 one-row collects become 1 count + 1 collect (the count
+    # materializes the persist that round 1 would have paid anyway). The
+    # local loop restates the exact distributed semantics — weighted
+    # adjacent-pair counts over the delimited symbol string, argmax by
+    # (cnt desc, l, r), one non-overlapping leftmost str.replace pass per
+    # round (Python str.replace ≡ F.replace ≡ the oracle's replace) — and
+    # test_bpe_train_local_path_matches_distributed pins both paths equal.
+    # 4096 caps BOTH driver memory (segs ≤ a few hundred KB) and the
+    # local loop's Python time; a 100 TB corpus's vocabulary blows the
+    # gate and keeps the distributed rounds. The gate itself is one count
+    # over the persisted table — model-sized, never the corpus.
+    if driver_vocab_max and vocab.count() <= driver_vocab_max:
+        segs = [(r["cnt"], r["seg"]) for r in vocab.collect()]
+        local_merges: list[tuple[int, str, str, int]] = []
+        for rnd in range(1, rounds + 1):
+            pc: dict[tuple[str, str], int] = {}
+            for cnt, s in segs:
+                syms = [x for x in s.split("|") if x]
+                for l, r in zip(syms, syms[1:]):
+                    pc[(l, r)] = pc.get((l, r), 0) + cnt
+            if not pc:
+                break
+            (l, r), cnt = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            local_merges.append((rnd, l, r, int(cnt)))
+            segs = [
+                (c, s.replace(f"|{l}|{r}|", f"|{l}{r}|")) for c, s in segs
+            ]
+        return df.sparkSession.createDataFrame(
+            local_merges, "merge_rank long, l string, r string, cnt long"
+        )
     merges: list[tuple[int, str, str, int]] = []
     seg = F.col("seg")
     for rnd in range(1, rounds + 1):

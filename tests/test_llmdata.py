@@ -1580,6 +1580,28 @@ def test_bpe_train_stops_when_no_pairs_remain(spark):
     assert [(r["merge_rank"], r["l"], r["r"]) for r in rows] == [(1, "a", "b")]
 
 
+def test_bpe_train_local_path_matches_distributed(spark):
+    # r17: under `driver_vocab_max` the merge loop runs driver-side on the
+    # collected (model-sized) vocabulary — the local str.replace /
+    # counter loop must reproduce the distributed rounds' merges exactly,
+    # including the (cnt desc, l, r) tie-break, early stop, and chained
+    # merges over earlier rounds' symbols.
+    from query_engine_spark.llmdata.textstats import bpe_train
+
+    corpora = [
+        [(1, "the the then"), (2, "the")],
+        [(1, "banana bandana"), (2, "cabana")],
+        [(1, "ab ab"), (2, "")],
+        [(1, "aaaa aa a"), (2, "aaa")],  # self-overlapping pair chains
+        [(1, "x1 y2 x1 z"), (2, "y2 y2")],
+    ]
+    for rows_in in corpora:
+        df = spark.createDataFrame(rows_in, "doc_id long, text string")
+        local = [tuple(r) for r in bpe_train(df, rounds=5).orderBy("merge_rank").collect()]
+        dist = [tuple(r) for r in bpe_train(df, rounds=5, driver_vocab_max=0).orderBy("merge_rank").collect()]
+        assert local == dist, (rows_in, local, dist)
+
+
 def test_dhash_identical_images_hamming_zero(spark):
     from query_engine_spark.llmdata.multimodal import (
         make_bmp, dhash_bmp_bands, dhash_bands, perceptual_dedup_pairs,
