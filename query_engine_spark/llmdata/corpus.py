@@ -97,8 +97,21 @@ def curation_flags(
             "lang_pred",
         )
     )
-    rep = Tx.repetition_features(df, id_col=id_col, text_col=text_col).select(
-        "doc_id", "top2_ppm"
+    # `repetitive` needs only top2_ppm, so compute it from the BIGRAM
+    # per-(doc, gram) counts alone instead of repetition_features' three-way
+    # n ∈ {1,2,3} union (r17): that shape exploded every token and every
+    # trigram just to discard their features, and shuffled the 3x-tagged
+    # gram stream. Built via the same `_doc_gram_counts` helper as
+    # lm_score_docs' pre-agg below, the two bigram subtrees are
+    # plan-identical and AQE's ReuseExchange dedups the explode + partial
+    # aggregation — one bigram pass feeds both signals, exactly the oracle's
+    # shared `c2` table. Semantics: (max(cnt)·1e6) div sum(cnt) is
+    # repetition_features' top_ppm arithmetic verbatim; docs with < 2 words
+    # had top2_ppm = 0 through the old pivot and are ABSENT here — both
+    # coalesce to `repetitive = false` in the left join below.
+    dg2 = Tx._doc_gram_counts(df, 2, id_col=id_col, text_col=text_col)
+    rep = dg2.groupBy("doc_id").agg(
+        F.expr("(max(cnt) * 1000000) div sum(cnt)").alias("top2_ppm")
     )
     lmsc = Tx.lm_score_docs(df, id_col=id_col, text_col=text_col).select(
         "doc_id", "score_q"

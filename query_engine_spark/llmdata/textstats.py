@@ -678,6 +678,30 @@ def repetition_features(
     )
 
 
+def _doc_gram_counts(
+    df: DataFrame,
+    n: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(doc, word-n-gram) occurrence counts — the shared pre-aggregation
+    of lm_score_docs and curation_flags' repetition signal. Built through
+    one helper so both consumers produce PLAN-IDENTICAL subtrees: inside a
+    single query, AQE's ReuseExchange then dedups the explode + partial
+    aggregation instead of running the corpus tokenization twice (r17)."""
+    from query_engine_spark.llmdata.dedup import word_shingles
+
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def lm_score_docs(
     df: DataFrame,
     lm: DataFrame | None = None,
@@ -719,10 +743,6 @@ def lm_score_docs(
     """
     from query_engine_spark.llmdata.dedup import word_shingles
 
-    grams = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
-    )
     if lm is None:
         if df.isStreaming:
             raise ValueError(
@@ -746,6 +766,10 @@ def lm_score_docs(
         # one stateful operator only: stream-static join on the gram, then a
         # single doc-keyed agg (a per-(doc,gram) pre-agg would chain two
         # stateful aggregations, which Structured Streaming rejects)
+        grams = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+        )
         joined = grams.join(lm_side, "g", "left")
         return (
             joined.groupBy("doc_id")
@@ -758,7 +782,7 @@ def lm_score_docs(
             )
             .withColumn("score_q", F.expr("sum_prob_q div n_grams"))
         )
-    dg = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    dg = _doc_gram_counts(df, n, id_col=id_col, text_col=text_col)
     joined = dg.join(lm_side, "g", "left")
     return (
         joined.groupBy("doc_id")

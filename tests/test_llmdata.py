@@ -888,6 +888,28 @@ def test_repetition_features_fractions(spark):
     assert got[3]["top2_ppm"] == 0 and got[3]["dup2_ppm"] == 0
 
 
+def test_curation_flags_repetitive_short_doc_edge(spark):
+    # r17: `repetitive` comes from the shared BIGRAM gram counts only (the
+    # oracle's c2 table), not repetition_features' n∈{1,2,3} union. Pin the
+    # edge the rewrite must preserve: docs with < 2 words produce NO bigram
+    # row (the old pivot gave top2_ppm = 0) — both must coalesce to
+    # repetitive = false, while a genuinely repetitive doc still flags.
+    from query_engine_spark.llmdata.corpus import curation_flags
+
+    rows = [
+        (1, "solo"),                       # 1 word: no bigrams at all
+        (2, "spam spam spam spam spam"),   # top bigram owns 100% > 10%
+        (3, "the quick brown fox jumps over the lazy dog today ok fine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in curation_flags(df).collect()}
+    assert got[1]["repetitive"] is False
+    assert got[2]["repetitive"] is True
+    assert got[3]["repetitive"] is False
+    # and the flags row set still covers every doc exactly once
+    assert set(got) == {1, 2, 3}
+
+
 def test_lm_score_docs_self_scoring(spark):
     df = spark.createDataFrame(
         [(1, "a b a b c"), (2, "a b x")], "doc_id long, text string"
